@@ -1,0 +1,41 @@
+"""Raw-query entry point: stateless batch SQL over parquet.
+
+Reference: RawQueryEngine.scala:56-195 — input files registered as a plain
+table named `input` (no watermarks, no system columns), the multi-step SQL
+loop (:138-149), a single output parquet file, response carries only
+numRecords (:111-112). This is exactly Spark's native shape; the whole
+streaming scaffolding (marker files, terminateWhenExhausted, constant-0
+timestamps at :188) disappears.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..plans.dialect import rewrite_query
+from ..protocol.model import InvalidQueryError, RawQueryRequest, RawQueryResponse
+from ..sinks.parquet import write_single_parquet
+from ..sources.parquet import read_parquet_slices
+
+
+def run_query_steps(spark: SparkSession, steps, *, watermark=None) -> DataFrame:
+    """Run a chained multi-step transform: each aliased step becomes a temp
+    view usable by later steps; the last (unaliased) step is the output
+    (TransformEngine.scala:252-262)."""
+    result: DataFrame | None = None
+    for step in steps:
+        df = spark.sql(rewrite_query(step.query, watermark=watermark))
+        if step.alias:
+            df.createOrReplaceTempView(step.alias)
+        result = df
+    if result is None:
+        raise InvalidQueryError("transform contains no query steps")
+    return result
+
+
+def execute_raw_query(spark: SparkSession, request: RawQueryRequest) -> RawQueryResponse:
+    df = read_parquet_slices(spark, request.input_data_paths)
+    df.createOrReplaceTempView("input")
+    result = run_query_steps(spark, request.transform.queries)
+    num = write_single_parquet(result, request.output_data_path, sorted_single=True)
+    return RawQueryResponse(num_records=num)

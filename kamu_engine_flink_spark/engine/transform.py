@@ -1,0 +1,205 @@
+"""ExecuteTransform: the resumable streaming-SQL transform runner.
+
+Re-derives the reference's main code path (TransformEngine.scala:64-336)
+Spark-first. One invocation = one batch job over (new slices ∪ persisted
+operator state); engine-owned state files play the savepoint role. The
+awkward run-until-marker-files-then-stop-with-savepoint machinery
+(TransformEngine.scala:338-380) disappears by design — Spark's batch
+execution IS "process what's here and exit".
+
+Pipeline per invocation:
+  1. open inputs: read slices (offset-ordered), apply offsetInterval slice
+     filter (TransformEngine.scala:432-449), strip offset/system_time
+     before user SQL sees the table (:234-248; `op` stays visible, §1.4),
+     expose the ledger offset as internal `__seq` for emission ordering;
+  2. resolve watermarks: effective = max(previous, request explicit)
+     (ParquetFilesStreamSourceFunction.scala:46-56 — prev watermark first,
+     data under it, explicit watermarks last);
+  3. run each SQL step through its classified stateful executor
+     (plans/classify.py), registering aliased steps as views for later
+     steps (TransformEngine.scala:252-262);
+  4. validate output (must contain event_time, must not contain
+     offset/system_time — TransformEngine.scala:269-289), append system
+     columns, stamp offsets (OffsetOperator.scala:11-24) and ops
+     (ChangelogOperator.scala:14-23);
+  5. write ONE parquet file, persist state, report newOffsetInterval +
+     newWatermark (TransformEngine.scala:140-153).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import interval_join, map_step, temporal_join, topn, window_agg
+from ..operators.base import StepContext, StepResult
+from ..plans import classify as C
+from ..protocol.model import (
+    OP_APPEND,
+    InvalidQueryError,
+    OffsetInterval,
+    TransformRequest,
+    TransformRequestInput,
+    TransformResponse,
+)
+from ..sinks.parquet import write_single_parquet
+from ..sources.parquet import read_parquet_slices, table_schema
+from .state import StateStore
+
+SEQ = "__seq"
+
+_EXECUTORS = {
+    C.MAP: map_step.execute_map,
+    C.WINDOW_AGG: window_agg.execute_window_agg,
+    C.INTERVAL_JOIN: interval_join.execute_interval_join,
+    C.TEMPORAL_JOIN: temporal_join.execute_temporal_join,
+    C.TOPN: topn.execute_topn,
+}
+
+
+def _open_input(spark: SparkSession, input_def: TransformRequestInput) -> DataFrame:
+    """Slice read + offset-interval filter + system-column strip."""
+    vocab = input_def.vocab
+    if input_def.data_paths:
+        df = read_parquet_slices(spark, input_def.data_paths)
+    else:
+        # Watermark-only invocation: no new data, same schema.
+        df = spark.createDataFrame([], table_schema(spark, input_def.schema_file))
+    if input_def.offset_interval is not None:
+        oi = input_def.offset_interval
+        df = df.filter(
+            (F.col(vocab.offset_column) >= oi.start) & (F.col(vocab.offset_column) <= oi.end)
+        )
+    # Ledger order must not depend on file listing order: sort by offset.
+    df = df.orderBy(F.col(vocab.offset_column).asc())
+    # Strip offset/system_time; keep `op` visible (§1.4) and keep the
+    # ledger offset as the internal sequencing column.
+    df = df.withColumn(SEQ, F.col(vocab.offset_column))
+    return df.drop(vocab.offset_column, vocab.system_time_column)
+
+
+def _effective_watermark(
+    prev: datetime | None, input_def: TransformRequestInput
+) -> datetime | None:
+    wms = [w.event_time for w in input_def.explicit_watermarks]
+    if prev is not None:
+        wms.append(prev)
+    return max(wms) if wms else None
+
+
+def execute_transform(spark: SparkSession, request: TransformRequest) -> TransformResponse:
+    state = StateStore(spark, request.prev_checkpoint_path, request.new_checkpoint_path)
+    saved_wms = state.load_watermarks()
+
+    views: dict[str, DataFrame] = {}
+    event_time_cols: dict[str, str] = {}
+    prev_wms: dict[str, datetime | None] = {}
+    new_wms: dict[str, datetime | None] = {}
+
+    for input_def in request.query_inputs:
+        alias = input_def.query_alias
+        views[alias] = _open_input(spark, input_def)
+        views[alias].createOrReplaceTempView(alias)
+        event_time_cols[alias] = input_def.vocab.event_time_column
+        prev_wms[alias] = saved_wms.get(alias)
+        new_wms[alias] = _effective_watermark(prev_wms[alias], input_def)
+
+    steps = request.transform.queries
+    result: StepResult | None = None
+    for i, step in enumerate(steps):
+        ctx = StepContext(
+            spark=spark,
+            state=state,
+            step_key=f"step{i}",
+            request=request,
+            views=views,
+            event_time_cols=event_time_cols,
+            prev_wms=prev_wms,
+            new_wms=new_wms,
+        )
+        kind = C.classify(step.query, set(views))
+        result = _EXECUTORS[kind](ctx, step.query)
+        if step.alias:
+            views[step.alias] = result.df
+            result.df.createOrReplaceTempView(step.alias)
+            event_time_cols[step.alias] = request.vocab.event_time_column
+            prev_wms[step.alias] = saved_wms.get(step.alias)
+            new_wms[step.alias] = result.watermark
+    if result is None:
+        raise InvalidQueryError("transform contains no query steps")
+
+    out_df = _assemble_output(spark, request, result)
+    num_records = write_single_parquet(out_df, request.new_data_path, sorted_single=True)
+
+    # Persist watermark state for every view (inputs + aliased steps).
+    state.save_watermarks({**new_wms, "__output__": result.watermark})
+    state.finish()
+
+    return TransformResponse(
+        new_offset_interval=(
+            OffsetInterval(request.next_offset, request.next_offset + num_records - 1)
+            if num_records > 0
+            else None
+        ),
+        new_watermark=result.watermark,
+    )
+
+
+def _assemble_output(
+    spark: SparkSession, request: TransformRequest, result: StepResult
+) -> DataFrame:
+    vocab = request.vocab
+    df = result.df
+    user_cols = [c for c in df.columns if not c.startswith("__")]
+
+    if vocab.event_time_column not in user_cols:
+        raise InvalidQueryError(
+            f"Event time column {vocab.event_time_column} was not found amongst: "
+            + ", ".join(user_cols)
+        )
+    for forbidden in (vocab.offset_column, vocab.system_time_column):
+        if forbidden in user_cols:
+            raise InvalidQueryError(
+                f"Transformed data contains a column that conflicts with the system "
+                f"column name, you should either rename the data column or configure "
+                f"the dataset vocabulary to use a different name: {forbidden}"
+            )
+
+    # Deterministic emission order -> offset stamping. Sorting happens on
+    # the full (possibly internal) column set, then internals are dropped.
+    if result.order_cols:
+        df = df.orderBy(*[F.col(c).asc() for c in result.order_cols])
+    df = df.coalesce(1)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.monotonically_increasing_id())
+    df = df.withColumn(
+        vocab.offset_column,
+        (F.row_number().over(w) - 1 + F.lit(request.next_offset)).cast("long"),
+    )
+
+    # op: propagated if the user query emitted it, else executor-derived
+    # (Top-N corrections), else Append (TransformEngine.scala:294-302).
+    if vocab.operation_type_column in user_cols:
+        df = df.withColumn(
+            vocab.operation_type_column, F.col(vocab.operation_type_column).cast("int")
+        )
+    elif topn.OP_COL in df.columns:
+        df = df.withColumn(vocab.operation_type_column, F.col(topn.OP_COL).cast("int"))
+    else:
+        df = df.withColumn(vocab.operation_type_column, F.lit(OP_APPEND).cast("int"))
+
+    df = df.withColumn(
+        vocab.system_time_column, F.lit(request.system_time).cast("timestamp")
+    )
+
+    ordered_user_cols = [
+        c for c in user_cols if c not in (vocab.operation_type_column,)
+    ]
+    # Internal (__-prefixed) columns drop out here.
+    return df.select(
+        vocab.offset_column,
+        vocab.operation_type_column,
+        vocab.system_time_column,
+        *ordered_user_cols,
+    )

@@ -1,0 +1,52 @@
+"""Common contract for stateful step executors.
+
+Each transform query step runs through an executor that owns the step's
+cross-invocation state (the role Flink savepoints play in the reference —
+SURVEY.md §7 "State = versioned Parquet under the checkpoint dir").
+
+Timing model, mirroring ParquetFilesStreamSourceFunction.scala:46-56 and
+:115-126: rows of the current invocation are processed under the PREVIOUS
+watermark (the source emits the saved watermark first, then data, then the
+request's explicit watermarks last). So lateness checks use prev_wm and
+emission checks use new_wm.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..engine.state import StateStore
+from ..protocol.model import TransformRequest
+
+
+@dataclass
+class StepContext:
+    spark: SparkSession
+    state: StateStore
+    step_key: str  # stable per transform step, e.g. "step0"
+    request: TransformRequest
+    views: dict[str, DataFrame]  # current-run rows per registered view
+    event_time_cols: dict[str, str]  # view -> event-time column name
+    prev_wms: dict[str, datetime | None]
+    new_wms: dict[str, datetime | None]
+
+
+@dataclass
+class StepResult:
+    df: DataFrame
+    watermark: datetime | None
+    # Deterministic emission order for offset stamping; None = preserve the
+    # DataFrame's natural (single-input narrow-plan) order.
+    order_cols: list[str] | None = None
+    # Internal columns to drop after ordering/op extraction (e.g. __op).
+    internal_cols: list[str] = field(default_factory=list)
+
+
+def min_watermark(*wms: datetime | None) -> datetime | None:
+    present = [w for w in wms if w is not None]
+    if not present:
+        return None
+    return min(present)

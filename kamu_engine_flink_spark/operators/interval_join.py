@@ -1,0 +1,132 @@
+"""Stateful stream-to-stream interval join (INNER and LEFT).
+
+Reference semantics (README.md "Stream-To-Stream Joins",
+EngineJoinStreamToStreamTest.scala:88-477): equi-join plus a time-range
+bound `r.event_time BETWEEN l.event_time AND l.event_time + I`. A matched
+pair emits as soon as both rows exist (possibly in different invocations —
+join buffers persist). For LEFT joins, the NULL-padded row for an unmatched
+left row emits only once the right-side watermark proves no match can
+arrive (wm_r > l.event_time + upper). The output watermark lags the inputs
+by the join interval (test: inputs at 10/11 -> output 8 with a 2-day upper,
+EngineJoinStreamToStreamTest.scala:204-216).
+
+Spark-first derivation: per-side persisted buffers with a __matched flag on
+the left. Pair-uniqueness across invocations needs no emitted-ledger: a
+pair is new iff at least one side is new this run, so the join runs as
+new_left x all_right UNION old_left x new_right — two shuffles over
+buffers bounded by the interval + watermark horizon (Flink's cleanup rule:
+purge left when wm_r passes et+upper, right when wm_l passes et).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.classify import IntervalJoinSpec, parse_interval_join
+from ..plans.dialect import rewrite_query
+from ..protocol.model import InvalidQueryError
+from .base import StepContext, StepResult, min_watermark
+
+_MATCHED = "__matched"
+_LEFT_JOIN_RE = re.compile(r"\bLEFT\s+(OUTER\s+)?JOIN\b", re.IGNORECASE)
+
+
+def _run_with_views(ctx: StepContext, sql: str, bindings: dict[str, DataFrame], wm) -> DataFrame:
+    for name, df in bindings.items():
+        df.createOrReplaceTempView(name)
+    try:
+        return ctx.spark.sql(rewrite_query(sql, watermark=wm))
+    finally:
+        for name in bindings:
+            ctx.views[name].createOrReplaceTempView(name)
+
+
+def execute_interval_join(ctx: StepContext, sql: str) -> StepResult:
+    spec = parse_interval_join(sql, set(ctx.views))
+    if spec is None:
+        raise InvalidQueryError("interval join executor could not parse the join shape")
+    lv, rv = spec.left_view, spec.right_view
+    wm_l, wm_r = ctx.new_wms.get(lv), ctx.new_wms.get(rv)
+
+    left_state = f"{ctx.step_key}-left-buffer"
+    right_state = f"{ctx.step_key}-right-buffer"
+    new_left = ctx.views[lv].withColumn(_MATCHED, F.lit(False))
+    old_left = ctx.state.load_df(left_state, schema=new_left.schema)
+    new_right = ctx.views[rv]
+    old_right = ctx.state.load_df(right_state, schema=new_right.schema)
+    all_left = old_left.unionByName(new_left)
+    all_right = old_right.unionByName(new_right)
+
+    inner_sql = _LEFT_JOIN_RE.sub("JOIN", sql)
+    joint_wm = min_watermark(wm_l, wm_r)
+    # New matched pairs: at least one side arrived this invocation.
+    matches = _run_with_views(
+        ctx, inner_sql, {lv: new_left.drop(_MATCHED), rv: all_right}, joint_wm
+    ).unionByName(
+        _run_with_views(ctx, inner_sql, {lv: old_left.drop(_MATCHED), rv: new_right}, joint_wm)
+    )
+
+    # Update matched flags: a left row is matched if any right row (old or
+    # new) satisfies the raw join condition. The ON text uses the query's
+    # own aliases, so alias the frames the same way.
+    cond = F.expr(spec.on_condition)
+    matched_now = (
+        all_left.drop(_MATCHED)
+        .alias(spec.left_alias)
+        .join(all_right.alias(spec.right_alias), cond, "left_semi")
+        .withColumn(_MATCHED, F.lit(True))
+    )
+    # Rows with no match among the CURRENT buffers keep their old flag: a
+    # row matched in a previous run stays matched even after its partner
+    # was purged from the right buffer.
+    not_matching_now = all_left.alias(spec.left_alias).join(
+        all_right.alias(spec.right_alias), cond, "left_anti"
+    )
+    flagged_left = matched_now.unionByName(not_matching_now)
+
+    emit_parts = [matches]
+
+    # LEFT join: NULL-pad left rows whose horizon passed without a match.
+    if spec.is_left_outer:
+        lt = F.col(spec.left_time_col)
+        horizon_passed = (
+            (lt + F.expr(f"INTERVAL {int(spec.upper.total_seconds())} SECOND")) < F.lit(wm_r)
+            if wm_r is not None
+            else F.lit(False)
+        )
+        pad_lefts = flagged_left.filter(~F.col(_MATCHED)).filter(horizon_passed).drop(_MATCHED)
+        empty_right = all_right.limit(0)
+        padded = _run_with_views(ctx, sql, {lv: pad_lefts, rv: empty_right}, joint_wm)
+        emit_parts.append(padded)
+
+    result = emit_parts[0]
+    for part in emit_parts[1:]:
+        result = result.unionByName(part)
+
+    # State cleanup (Flink interval-join horizon math): left rows survive
+    # until wm_r passes et+upper; right rows until wm_l passes their et.
+    keep_left = flagged_left
+    if wm_r is not None:
+        lt = F.col(spec.left_time_col)
+        keep_left = flagged_left.filter(
+            (lt + F.expr(f"INTERVAL {int(spec.upper.total_seconds())} SECOND")) >= F.lit(wm_r)
+        )
+    keep_right = all_right
+    if wm_l is not None:
+        keep_right = all_right.filter(F.col(spec.right_time_col) >= F.lit(wm_l))
+    ctx.state.save_df(left_state, keep_left)
+    ctx.state.save_df(right_state, keep_right)
+
+    out_wm = None
+    if joint_wm is not None:
+        out_wm = joint_wm - spec.upper
+
+    order_cols = list(result.columns)
+    out_et = ctx.request.vocab.event_time_column
+    if out_et in order_cols:
+        order_cols.remove(out_et)
+        order_cols.insert(0, out_et)
+    return StepResult(df=result, watermark=out_wm, order_cols=order_cols)

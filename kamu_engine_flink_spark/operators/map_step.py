@@ -1,0 +1,54 @@
+"""Stateless map/filter step.
+
+Projection, filtering, scalar expressions and anything else Spark SQL can
+evaluate row-wise (EngineMapTest parity). Corrections/retractions flow
+through untouched: `op` is an ordinary visible column
+(EngineMapTest.scala:149-231, SURVEY.md §1.4).
+
+Emission order must follow the input ledger (offset order) for the output
+offset contract. The engine exposes the ledger offset as a `__seq` column
+on input views; for simple single-SELECT steps we thread it through the
+projection so ordering survives arbitrary Spark physical plans. Complex
+shapes (set ops, subqueries) fall back to natural order.
+"""
+
+from __future__ import annotations
+
+import re
+
+from ..plans.classify import referenced_views
+from ..plans.dialect import rewrite_query
+from .base import StepContext, StepResult, min_watermark
+
+SEQ_INPUT = "__seq"
+
+_SIMPLE_SELECT_RE = re.compile(r"^\s*select\s+", re.IGNORECASE)
+
+
+def _inject_seq(sql: str) -> str | None:
+    """Thread __seq through a single-block SELECT; None if unsafe."""
+    if sql.lower().count("select") != 1:
+        return None
+    if re.search(r"\b(group\s+by|union|distinct|order\s+by|limit)\b", sql, re.IGNORECASE):
+        return None
+    if SEQ_INPUT in sql or re.search(r"select\s+\*", sql, re.IGNORECASE):
+        return sql  # a star projection already carries __seq
+    return _SIMPLE_SELECT_RE.sub(f"SELECT {SEQ_INPUT}, ", sql, count=1)
+
+
+def execute_map(ctx: StepContext, sql: str) -> StepResult:
+    refs = referenced_views(sql, set(ctx.views))
+    wm = min_watermark(*[ctx.new_wms.get(r) for r in refs]) if refs else None
+
+    order_cols: list[str] | None = None
+    internal: list[str] = []
+    run_sql = sql
+    if len(refs) == 1 and SEQ_INPUT in ctx.views[refs[0]].columns:
+        injected = _inject_seq(sql)
+        if injected is not None:
+            run_sql = injected
+    df = ctx.spark.sql(rewrite_query(run_sql, watermark=wm))
+    if SEQ_INPUT in df.columns:
+        order_cols = [SEQ_INPUT]
+        internal = [SEQ_INPUT]
+    return StepResult(df=df, watermark=wm, order_cols=order_cols, internal_cols=internal)

@@ -1,0 +1,193 @@
+"""Stateful Top-N with changelog corrections.
+
+Reference semantics (EngineTopNTest.scala:22-155, TopNTest.scala:18-89):
+`row_number() OVER (ORDER BY score DESC)` + outer `WHERE place <= N`
+maintains a running Top-N; every input record that changes the ranking
+emits correction pairs immediately — CorrectFrom(op=2) with the old row,
+CorrectTo(op=3) with the new — in ascending place order, per record, in
+input (offset) order. A fresh place emits Append(op=0).
+
+Spark-first derivation: the changelog granularity is inherently sequential
+(record i's corrections depend on the state after record i-1), but almost
+no records can touch a Top-N: a distributed prefilter keeps only rows that
+beat the current N-th entry (threshold is monotone within a batch, so
+filtering against the previous state is exact). The surviving handful fold
+through a driver-side simulation; state is the <=N-row ranking table.
+
+Supported shape (the reference's only tested one): an outer projection over
+`(SELECT row_number() OVER (ORDER BY <col> [DESC]) AS <rank>, <cols> FROM
+<view>) WHERE <rank> <= N`.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+from ..plans.classify import parse_topn
+from ..plans.dialect import rewrite_query
+from ..protocol.model import OP_APPEND, OP_CORRECT_FROM, OP_CORRECT_TO, InvalidQueryError
+from .base import StepContext, StepResult
+
+OP_COL = "__op"
+SEQ_COL = "__emit_seq"
+SEQ_INPUT = "__seq"  # engine-provided ledger-offset column on input views
+
+_SHAPE_RE = re.compile(
+    r"^(?P<outer>select\s+.*?)\bfrom\s*\(\s*(?P<inner>select\b.*)\)\s*"
+    r"(?P<tail>where\s+.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ORDER_RE = re.compile(
+    r"row_number\s*\(\s*\)\s+over\s*\(\s*order\s+by\s+([`\w.]+)\s*(desc)?\s*\)",
+    re.IGNORECASE,
+)
+_INNER_FROM_RE = re.compile(r"\bfrom\s+([`\w]+)\s*$", re.IGNORECASE | re.DOTALL)
+
+
+def _dedupe_columns(df):
+    seen: dict[str, int] = {}
+    cols = []
+    for i, name in enumerate(df.columns):
+        if name not in seen:
+            seen[name] = i
+            cols.append(df[i])
+    return df.select(*cols) if len(cols) != len(df.columns) else df
+
+
+def execute_topn(ctx: StepContext, sql: str) -> StepResult:
+    spec = parse_topn(sql)
+    shape = _SHAPE_RE.search(sql.strip())
+    order_m = _ORDER_RE.search(sql)
+    if spec is None or shape is None or order_m is None:
+        raise InvalidQueryError("unsupported Top-N query shape")
+    order_col = order_m.group(1).split(".")[-1].strip("`")
+    descending = bool(order_m.group(2))
+    inner_sql = shape.group("inner").strip()
+    from_m = _INNER_FROM_RE.search(inner_sql)
+    if not from_m:
+        raise InvalidQueryError("Top-N subquery must read a single view")
+    src = from_m.group(1).strip("`")
+    if src not in ctx.views:
+        raise InvalidQueryError(f"Top-N subquery reads unknown view {src!r}")
+
+    # Ranked-subquery projection applied to this run's input rows. Input
+    # order comes from the engine-provided __seq column (ledger offset) on
+    # base input views; we thread it through the projection explicitly.
+    inner_no_rank = re.sub(
+        r"row_number\s*\(\s*\)\s+over\s*\([^)]*\)\s+as\s+[`\w]+\s*,?",
+        "",
+        inner_sql,
+        flags=re.IGNORECASE,
+    )
+    if SEQ_INPUT in ctx.views[src].columns and SEQ_INPUT not in inner_no_rank:
+        inner_no_rank = re.sub(
+            r"^\s*select\s+", f"SELECT {SEQ_INPUT}, ", inner_no_rank, count=1, flags=re.IGNORECASE
+        )
+    incoming = ctx.spark.sql(rewrite_query(inner_no_rank))
+    value_cols = [c for c in incoming.columns if c != SEQ_INPUT]
+
+    state_name = f"{ctx.step_key}-topn-state"
+    state_schema = StructType(
+        [StructField("place", LongType())] + [incoming.schema[c] for c in value_cols]
+    )
+    prev_state = ctx.state.load_df(state_name, schema=state_schema)
+    prev_rows = [r.asDict() for r in prev_state.orderBy("place").collect()]
+    ranking: list[dict[str, Any]] = [
+        {k: v for k, v in r.items() if k != "place"} for r in prev_rows
+    ]
+
+    # Distributed prefilter: only rows beating the current N-th can matter.
+    if len(ranking) >= spec.limit:
+        threshold = ranking[-1][order_col]
+        cond = F.col(order_col) > F.lit(threshold) if descending else F.col(
+            order_col
+        ) < F.lit(threshold)
+        candidates = incoming.filter(cond)
+    else:
+        candidates = incoming
+    rows = [r.asDict() for r in candidates.collect()]
+    # Input order: sort by the ledger-offset sequencing column when present
+    # (collect order is otherwise partition-dependent).
+    if SEQ_INPUT in candidates.columns:
+        rows.sort(key=lambda r: r[SEQ_INPUT])
+
+    changelog: list[dict[str, Any]] = []
+    seq = 0
+    for row in rows:
+        row = {k: v for k, v in row.items() if k in value_cols}
+        v = row[order_col]
+        # Insertion point: ties go after existing entries (row_number
+        # stability — an equal score does not displace an earlier row).
+        pos = 0
+        for i, existing in enumerate(ranking):
+            ev = existing[order_col]
+            beats = (v > ev) if descending else (v < ev)
+            if beats:
+                pos = i
+                break
+            pos = i + 1
+        if pos >= spec.limit:
+            continue
+        old_top = ranking[: spec.limit]
+        ranking.insert(pos, row)
+        new_top = ranking[: spec.limit]
+        for place in range(pos, spec.limit):
+            if place >= len(new_top):
+                break
+            new_row = new_top[place]
+            old_row = old_top[place] if place < len(old_top) else None
+            if old_row is None:
+                changelog.append({**new_row, "place": place + 1, OP_COL: OP_APPEND, SEQ_COL: seq})
+                seq += 1
+            elif old_row != new_row:
+                changelog.append(
+                    {**old_row, "place": place + 1, OP_COL: OP_CORRECT_FROM, SEQ_COL: seq}
+                )
+                seq += 1
+                changelog.append(
+                    {**new_row, "place": place + 1, OP_COL: OP_CORRECT_TO, SEQ_COL: seq}
+                )
+                seq += 1
+        del ranking[spec.limit :]  # beyond-N tail can never resurface
+
+    out_schema = StructType(
+        list(state_schema.fields)
+        + [StructField(OP_COL, IntegerType()), StructField(SEQ_COL, LongType())]
+    )
+    changelog_df = ctx.spark.createDataFrame(
+        [
+            {**{k: v for k, v in e.items() if k not in (OP_COL, SEQ_COL)},
+             OP_COL: e[OP_COL], SEQ_COL: e[SEQ_COL]}
+            for e in changelog
+        ],
+        out_schema,
+    )
+
+    new_state = ctx.spark.createDataFrame(
+        [{"place": i + 1, **row} for i, row in enumerate(ranking[: spec.limit])],
+        state_schema,
+    )
+    ctx.state.save_df(state_name, new_state)
+
+    # Re-apply the user's outer projection over the changelog, threading the
+    # internal op/sequence columns through.
+    view_name = f"__topn_changelog_{ctx.step_key.replace('-', '_')}"
+    changelog_df.createOrReplaceTempView(view_name)
+    outer = shape.group("outer")
+    injected = re.sub(
+        r"^select\s+", f"SELECT {OP_COL}, {SEQ_COL}, ", outer, count=1, flags=re.IGNORECASE
+    )
+    final_sql = f"{injected} FROM {view_name} {shape.group('tail')}"
+    result = _dedupe_columns(ctx.spark.sql(rewrite_query(final_sql)))
+
+    wm = ctx.new_wms.get(src)
+    return StepResult(
+        df=result,
+        watermark=wm,
+        order_cols=[SEQ_COL],
+        internal_cols=[SEQ_COL],
+    )

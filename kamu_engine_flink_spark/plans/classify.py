@@ -1,0 +1,158 @@
+"""Query-step classification.
+
+The reference hands every SQL step to Flink's planner, whose stateful
+operators (window agg, interval join, temporal join, rank) get incremental
+semantics from savepoints for free. Spark's batch engine has no implicit
+cross-run state, so the transform runner classifies each step into the
+documented query shapes (SURVEY.md §2.B — the complete tested surface) and
+drives a shape-specific stateful executor. Anything unclassified is a
+stateless map/filter step.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from datetime import timedelta
+
+MAP = "map"
+WINDOW_AGG = "window_agg"
+INTERVAL_JOIN = "interval_join"
+TEMPORAL_JOIN = "temporal_join"
+TOPN = "topn"
+
+_TUMBLE_RE = re.compile(
+    r"TUMBLE\s*\(\s*([`\w.]+)\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*\)", re.IGNORECASE
+)
+_TEMPORAL_RE = re.compile(r"LATERAL\s+TABLE|FOR\s+SYSTEM_TIME\s+AS\s+OF", re.IGNORECASE)
+_ROW_NUMBER_RE = re.compile(
+    r"row_number\s*\(\s*\)\s+OVER\s*\(([^)]*)\)\s+AS\s+([`\w]+)", re.IGNORECASE
+)
+_RANK_FILTER_RE = re.compile(r"WHERE\s+([`\w]+)\s*<=?\s*(\d+)", re.IGNORECASE)
+_BETWEEN_RE = re.compile(
+    r"([`\w]+)\.([`\w]+)\s+BETWEEN\s+([`\w]+)\.([`\w]+)\s+AND\s+"
+    r"\3\.\4\s*\+\s*INTERVAL\s+'(\d+)'\s+(\w+)",
+    re.IGNORECASE,
+)
+_JOIN_RE = re.compile(
+    r"FROM\s+([`\w]+)(?:\s+AS\s+([`\w]+)|\s+(?!LEFT\b|JOIN\b|INNER\b|WHERE\b)([`\w]+))?"
+    r"\s+(LEFT\s+(?:OUTER\s+)?)?JOIN\s+([`\w]+)(?:\s+AS\s+([`\w]+)|\s+(?!ON\b)([`\w]+))?"
+    r"\s+ON\s+(.*?)(?:\s+WHERE\s+|\s+GROUP\s+BY\s+|\s*$)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_SECONDS = {
+    "SECOND": 1,
+    "MINUTE": 60,
+    "HOUR": 3600,
+    "DAY": 86400,
+    "WEEK": 604800,
+}
+
+
+def interval_to_timedelta(n: str | int, unit: str) -> timedelta:
+    return timedelta(seconds=int(n) * _SECONDS[unit.upper()])
+
+
+@dataclass
+class TumbleSpec:
+    time_col: str  # unqualified
+    size: timedelta
+    duration: str  # Spark window duration string
+
+
+@dataclass
+class IntervalJoinSpec:
+    left_view: str
+    left_alias: str
+    right_view: str
+    right_alias: str
+    is_left_outer: bool
+    on_condition: str  # full ON clause text (Spark-compatible after rewrite)
+    left_time_col: str
+    right_time_col: str
+    lower: timedelta  # right.et >= left.et + lower (0 for BETWEEN a AND a+u)
+    upper: timedelta  # right.et <= left.et + upper
+
+
+@dataclass
+class TopNSpec:
+    rank_alias: str
+    limit: int
+
+
+def parse_tumble(sql: str) -> TumbleSpec | None:
+    m = _TUMBLE_RE.search(sql)
+    if not m:
+        return None
+    col, n, unit = m.groups()
+    unqual = col.split(".")[-1].strip("`")
+    return TumbleSpec(
+        time_col=unqual,
+        size=interval_to_timedelta(n, unit),
+        duration=f"{n} {unit.lower()}",
+    )
+
+
+def parse_topn(sql: str) -> TopNSpec | None:
+    rn = _ROW_NUMBER_RE.search(sql)
+    if not rn:
+        return None
+    alias = rn.group(2).strip("`")
+    for m in _RANK_FILTER_RE.finditer(sql):
+        if m.group(1).strip("`") == alias:
+            return TopNSpec(rank_alias=alias, limit=int(m.group(2)))
+    return None
+
+
+def parse_interval_join(sql: str, known_views: set[str]) -> IntervalJoinSpec | None:
+    jm = _JOIN_RE.search(sql)
+    bm = _BETWEEN_RE.search(sql)
+    if not jm or not bm:
+        return None
+    left_view = jm.group(1).strip("`")
+    right_view = jm.group(5).strip("`")
+    if left_view not in known_views or right_view not in known_views:
+        return None
+    left_alias = (jm.group(2) or jm.group(3) or jm.group(1)).strip("`")
+    right_alias = (jm.group(6) or jm.group(7) or jm.group(5)).strip("`")
+    r_al, r_col, l_al, l_col, n, unit = bm.groups()
+    upper = interval_to_timedelta(n, unit)
+    # BETWEEN binds right.et ∈ [left.et, left.et + upper]; if the aliases
+    # come out swapped the query bound the left side's time — mirror it.
+    if r_al.strip("`") == left_alias:
+        l_al, l_col, r_al, r_col = r_al, r_col, l_al, l_col
+    return IntervalJoinSpec(
+        left_view=left_view,
+        left_alias=left_alias,
+        right_view=right_view,
+        right_alias=right_alias,
+        is_left_outer=bool(jm.group(4)),
+        on_condition=jm.group(8).strip(),
+        left_time_col=l_col.strip("`"),
+        right_time_col=r_col.strip("`"),
+        lower=timedelta(0),
+        upper=upper,
+    )
+
+
+def classify(sql: str, known_views: set[str]) -> str:
+    if _TUMBLE_RE.search(sql):
+        return WINDOW_AGG
+    if _TEMPORAL_RE.search(sql):
+        return TEMPORAL_JOIN
+    if parse_topn(sql) is not None:
+        return TOPN
+    if parse_interval_join(sql, known_views) is not None:
+        return INTERVAL_JOIN
+    return MAP
+
+
+def referenced_views(sql: str, known_views: set[str]) -> list[str]:
+    """Registered view names a step's SQL references (for watermark
+    propagation)."""
+    out = []
+    for name in known_views:
+        if re.search(rf"(?<![\w.]){re.escape(name)}(?!\w)", sql):
+            out.append(name)
+    return out

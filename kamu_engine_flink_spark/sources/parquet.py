@@ -1,0 +1,67 @@
+"""Parquet slice source.
+
+The reference reads each input dataset as an ordered vector of parquet
+"slice" files streamed row-at-a-time through a vendored vectorized reader
+(ParquetFilesStreamSourceFunction.scala:21-113,
+ParquetColumnarRowInputFormatKamu.java:48-204 — ~2,130 LoC of Java that
+exists only to read int64-millis timestamps). Spark's native vectorized
+parquet scan replaces the whole stack; ordering is restored relationally
+from the ODF `offset` column rather than by physical read order, which
+keeps the scan parallel at any scale.
+
+One genuine gap in Spark is INT64 TIMESTAMP(NANOS) parquet columns
+(PARQUET_TYPE_ILLEGAL). We read them as raw longs
+(spark.sql.legacy.parquet.nanosAsLong=true, set by session.py) and convert
+to microsecond timestamps here, truncating exactly like DuckDB does when
+it casts ns to its us-precision TIMESTAMP.
+"""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _nanos_timestamp_columns(path: str) -> list[str]:
+    """Column names whose parquet logical type is TIMESTAMP(NANOS)."""
+    schema = pq.read_schema(path)
+    out = []
+    for name, typ in zip(schema.names, schema.types):
+        if str(typ) == "timestamp[ns]" or str(typ).startswith("timestamp[ns,"):
+            out.append(name)
+    return out
+
+
+def read_parquet_slices(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Read an ordered vector of parquet slice files as one DataFrame.
+
+    Order is NOT physical: callers that need the ledger order sort by the
+    dataset's offset column (engine/transform.py does). This lets Spark
+    split/parallelize the scan freely — at 100 TB the per-file sequential
+    loop the reference uses (ParquetFilesStreamSourceFunction.scala:60-113)
+    would be the bottleneck.
+    """
+    if not paths:
+        raise ValueError("read_parquet_slices: empty path vector")
+    df = spark.read.parquet(*paths)
+    ns_cols = _nanos_timestamp_columns(paths[0])
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros((F.col(c) / F.lit(1000)).cast("long")))
+    return df
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one named test table (TESTDATA.md layout: <dir>/<name>.parquet)."""
+    return read_parquet_slices(spark, [f"{sf_dir}/{name}.parquet"])
+
+
+def table_schema(spark: SparkSession, schema_file: str):
+    """StructType derived from a parquet file footer.
+
+    Replaces ParquetSchemaConverterKamu.java (TransformEngine.scala:533-543
+    reads the footer of `schemaFile` per input): Spark's own converter
+    handles every type the reference supports plus nested structs, lists
+    of primitives and FIXED_LEN_BYTE_ARRAY, which it rejects.
+    """
+    return read_parquet_slices(spark, [schema_file]).schema

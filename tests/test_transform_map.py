@@ -1,0 +1,121 @@
+"""Map transform parity — mirrors EngineMapTest.scala:23-233.
+
+Covers: projection + arithmetic, multi-invocation offset continuity,
+multi-file slices, op passthrough for corrections/retractions, reported
+newOffsetInterval/newWatermark.
+"""
+
+from datetime import timezone
+
+import pyarrow.parquet as pq
+
+from .helpers import TransformRunner, ticker_slice, ts
+
+MAP_QUERY = """SELECT
+  event_time,
+  symbol,
+  price * 10 as price
+FROM `in`"""
+
+
+def _rows(out_path):
+    table = pq.read_table(out_path)
+    return [
+        (
+            r["offset"],
+            r["op"],
+            r["system_time"].replace(tzinfo=timezone.utc),
+            r["event_time"].replace(tzinfo=timezone.utc),
+            r["symbol"],
+            r["price"],
+        )
+        for r in table.to_pylist()
+    ]
+
+
+def test_map_simple(spark, tmp_path):
+    runner = TransformRunner(spark, tmp_path, queries=[(MAP_QUERY, None)])
+    slice1 = str(tmp_path / "in" / "slice1.parquet")
+    ticker_slice(
+        slice1,
+        [
+            (0, 0, ts(5), ts(1), "A", 10),
+            (1, 0, ts(5), ts(2), "B", 20),
+            (2, 0, ts(5), ts(3), "A", 11),
+            (3, 0, ts(5), ts(4), "B", 21),
+        ],
+    )
+    resp, out = runner.run(
+        [{"alias": "in", "data_paths": [slice1], "schema_file": slice1, "watermark": ts(4)}],
+        system_time=ts(10),
+    )
+    assert (resp.new_offset_interval.start, resp.new_offset_interval.end) == (0, 3)
+    assert resp.new_watermark == ts(4)
+    assert _rows(out) == [
+        (0, 0, ts(10), ts(1), "A", 100),
+        (1, 0, ts(10), ts(2), "B", 200),
+        (2, 0, ts(10), ts(3), "A", 110),
+        (3, 0, ts(10), ts(4), "B", 210),
+    ]
+
+    # Second invocation: input arrives as TWO slice files.
+    slice2 = str(tmp_path / "in" / "slice2.parquet")
+    slice3 = str(tmp_path / "in" / "slice3.parquet")
+    ticker_slice(slice2, [(4, 0, ts(15), ts(5), "A", 12), (5, 0, ts(15), ts(6), "B", 22)])
+    ticker_slice(slice3, [(6, 0, ts(15), ts(7), "A", 13), (7, 0, ts(15), ts(8), "B", 23)])
+    resp, out = runner.run(
+        [
+            {
+                "alias": "in",
+                "data_paths": [slice2, slice3],
+                "schema_file": slice2,
+                "watermark": ts(8),
+            }
+        ],
+        system_time=ts(20),
+    )
+    assert (resp.new_offset_interval.start, resp.new_offset_interval.end) == (4, 7)
+    assert resp.new_watermark == ts(8)
+    assert _rows(out) == [
+        (4, 0, ts(20), ts(5), "A", 120),
+        (5, 0, ts(20), ts(6), "B", 220),
+        (6, 0, ts(20), ts(7), "A", 130),
+        (7, 0, ts(20), ts(8), "B", 230),
+    ]
+
+
+def test_map_corrections_retractions_pass_through(spark, tmp_path):
+    query = """select
+  op,
+  event_time,
+  symbol,
+  price * 10 as price
+from input"""
+    runner = TransformRunner(spark, tmp_path, queries=[(query, None)])
+    slice1 = str(tmp_path / "in" / "slice1.parquet")
+    ticker_slice(
+        slice1,
+        [
+            (0, 0, ts(5), ts(1), "A", 10),
+            (1, 2, ts(5), ts(1), "A", 10),
+            (2, 3, ts(5), ts(1), "A", 11),
+            (3, 1, ts(5), ts(1), "A", 11),
+        ],
+    )
+    resp, out = runner.run(
+        [{"alias": "input", "data_paths": [slice1], "schema_file": slice1, "watermark": ts(1)}],
+        system_time=ts(10),
+    )
+    assert _rows(out) == [
+        (0, 0, ts(10), ts(1), "A", 100),
+        (1, 2, ts(10), ts(1), "A", 100),
+        (2, 3, ts(10), ts(1), "A", 110),
+        (3, 1, ts(10), ts(1), "A", 110),
+    ]
+    assert (resp.new_offset_interval.start, resp.new_offset_interval.end) == (0, 3)
+    assert resp.new_watermark == ts(1)
+
+    # Output parquet column order matches the reference's golden schema:
+    # offset, op, system_time, <user columns>.
+    schema = pq.read_schema(out)
+    assert schema.names == ["offset", "op", "system_time", "event_time", "symbol", "price"]
