@@ -132,6 +132,13 @@ def execute_transform(spark: SparkSession, request: TransformRequest) -> Transfo
 
     out_df = _assemble_output(spark, request, result)
     num_records = write_single_parquet(out_df, request.new_data_path, sorted_single=True)
+    if num_records == 0:
+        # The reference writes no data file on an empty result (e.g. a
+        # watermark-only run with nothing to flush) — EngineAggregationTest
+        # asserts !Files.exists(newDataPath).
+        import os
+
+        os.remove(request.new_data_path)
 
     # Persist watermark state for every view (inputs + aliased steps).
     state.save_watermarks({**new_wms, "__output__": result.watermark})

@@ -47,13 +47,17 @@ def execute_window_agg(ctx: StepContext, sql: str) -> StepResult:
 
     # Lateness: a row whose window already closed under the watermark the
     # run STARTED with is dropped (source emits prev watermark before data).
+    # Note: Spark's analyzer materializes a `window` projection for the
+    # TimeWindow expression, so each filter re-selects the original columns
+    # to keep the buffer/view schema clean.
+    cols = incoming.columns
     if prev_wm is not None:
-        incoming = incoming.filter(_window_end(incoming, spec) > F.lit(prev_wm))
+        incoming = incoming.filter(_window_end(incoming, spec) > F.lit(prev_wm)).select(*cols)
     buf = prev_buf.unionByName(incoming)
 
     if new_wm is not None:
-        closed = buf.filter(_window_end(buf, spec) <= F.lit(new_wm))
-        still_open = buf.filter(_window_end(buf, spec) > F.lit(new_wm))
+        closed = buf.filter(_window_end(buf, spec) <= F.lit(new_wm)).select(*cols)
+        still_open = buf.filter(_window_end(buf, spec) > F.lit(new_wm)).select(*cols)
     else:
         closed = buf.limit(0)
         still_open = buf

@@ -1,0 +1,198 @@
+"""Tumbling window aggregation parity — mirrors
+EngineAggregationTest.scala:54-440.
+
+Covers: incremental window emission across invocations, open-window state
+carry-over, watermark-only flush runs, empty-result runs (no output file),
+late data within/beyond the watermark.
+"""
+
+import os
+from datetime import timezone
+
+import pyarrow.parquet as pq
+
+from .helpers import TransformRunner, ticker_slice, ts
+
+AGG_QUERY = """SELECT
+  TUMBLE_START(event_time, INTERVAL '1' DAY) as event_time,
+  symbol as symbol,
+  min(price) as `min`,
+  max(price) as `max`
+FROM `in`
+GROUP BY TUMBLE(event_time, INTERVAL '1' DAY), symbol"""
+
+
+def _summaries(out_path):
+    """(system_time, event_time, symbol, min, max) sorted by (et, symbol)."""
+    table = pq.read_table(out_path)
+    rows = [
+        (
+            r["system_time"].replace(tzinfo=timezone.utc),
+            r["event_time"].replace(tzinfo=timezone.utc),
+            r["symbol"],
+            r["min"],
+            r["max"],
+        )
+        for r in table.to_pylist()
+    ]
+    return sorted(rows, key=lambda r: (r[1], r[2]))
+
+
+def test_tumbling_window_aggregation_ordered(spark, tmp_path):
+    runner = TransformRunner(spark, tmp_path, queries=[(AGG_QUERY, None)])
+
+    s1 = str(tmp_path / "in" / "s1.parquet")
+    ticker_slice(
+        s1,
+        [
+            (0, 0, ts(5), ts(1, 1), "A", 10),
+            (1, 0, ts(5), ts(1, 1), "B", 20),
+            (2, 0, ts(5), ts(1, 2), "A", 11),
+            (3, 0, ts(5), ts(1, 2), "B", 21),
+            (4, 0, ts(5), ts(2, 1), "A", 12),
+            (5, 0, ts(5), ts(2, 1), "B", 22),
+            (6, 0, ts(5), ts(2, 2), "A", 13),
+            (7, 0, ts(5), ts(2, 2), "B", 23),
+            (8, 0, ts(5), ts(3, 1), "A", 14),
+            (9, 0, ts(5), ts(3, 1), "B", 24),
+            (10, 0, ts(5), ts(3, 2), "A", 15),
+            (11, 0, ts(5), ts(3, 2), "B", 25),
+        ],
+    )
+    resp, out = runner.run(
+        [{"alias": "in", "data_paths": [s1], "schema_file": s1, "watermark": ts(3, 2)}],
+        system_time=ts(10),
+    )
+    assert (resp.new_offset_interval.start, resp.new_offset_interval.end) == (0, 3)
+    assert resp.new_watermark == ts(3, 2)
+    assert _summaries(out) == [
+        (ts(10), ts(1), "A", 10, 11),
+        (ts(10), ts(1), "B", 20, 21),
+        (ts(10), ts(2), "A", 12, 13),
+        (ts(10), ts(2), "B", 22, 23),
+    ]
+
+    s2 = str(tmp_path / "in" / "s2.parquet")
+    ticker_slice(
+        s2,
+        [
+            (12, 0, ts(15), ts(4, 1), "A", 16),
+            (13, 0, ts(15), ts(4, 1), "B", 26),
+            (14, 0, ts(15), ts(4, 2), "A", 17),
+            (15, 0, ts(15), ts(4, 2), "B", 27),
+            (16, 0, ts(15), ts(5, 1), "A", 18),
+            (17, 0, ts(15), ts(5, 1), "B", 28),
+            (18, 0, ts(15), ts(5, 2), "A", 19),
+            (19, 0, ts(15), ts(5, 2), "B", 29),
+        ],
+    )
+    resp, out = runner.run(
+        [{"alias": "in", "data_paths": [s2], "schema_file": s2, "watermark": ts(5, 2)}],
+        system_time=ts(20),
+    )
+    assert (resp.new_offset_interval.start, resp.new_offset_interval.end) == (4, 7)
+    assert resp.new_watermark == ts(5, 2)
+    assert _summaries(out) == [
+        (ts(20), ts(3), "A", 14, 15),
+        (ts(20), ts(3), "B", 24, 25),
+        (ts(20), ts(4), "A", 16, 17),
+        (ts(20), ts(4), "B", 26, 27),
+    ]
+
+    s3 = str(tmp_path / "in" / "s3.parquet")
+    ticker_slice(s3, [(20, 0, ts(20), ts(6, 1), "A", 20), (21, 0, ts(20), ts(6, 1), "B", 30)])
+    runner.next_offset = 12
+    resp, out = runner.run(
+        [{"alias": "in", "data_paths": [s3], "schema_file": s3, "watermark": ts(6, 1)}],
+        system_time=ts(30),
+    )
+    assert (resp.new_offset_interval.start, resp.new_offset_interval.end) == (12, 13)
+    assert resp.new_watermark == ts(6, 1)
+    assert _summaries(out) == [
+        (ts(30), ts(5), "A", 18, 19),
+        (ts(30), ts(5), "B", 28, 29),
+    ]
+
+    # Watermark advances without new data -> flushes day-6 window.
+    runner.next_offset = 14
+    resp, out = runner.run(
+        [{"alias": "in", "data_paths": [], "schema_file": s3, "watermark": ts(7, 1)}],
+        system_time=ts(31),
+    )
+    assert (resp.new_offset_interval.start, resp.new_offset_interval.end) == (14, 15)
+    assert resp.new_watermark == ts(7, 1)
+    assert _summaries(out) == [
+        (ts(31), ts(6), "A", 20, 20),
+        (ts(31), ts(6), "B", 30, 30),
+    ]
+
+    # Watermark advances again: nothing to flush, no output file, but the
+    # previous watermark is still propagated.
+    runner.next_offset = 16
+    resp, out = runner.run(
+        [{"alias": "in", "data_paths": [], "schema_file": s3, "watermark": ts(8)}],
+        system_time=ts(31),
+    )
+    assert resp.new_offset_interval is None
+    assert resp.new_watermark == ts(8)
+    assert not os.path.exists(out)
+
+
+def test_tumbling_window_aggregation_late_data(spark, tmp_path):
+    runner = TransformRunner(spark, tmp_path, queries=[(AGG_QUERY, None)])
+
+    s1 = str(tmp_path / "in" / "s1.parquet")
+    ticker_slice(
+        s1,
+        [
+            (0, 0, ts(5), ts(1, 1), "A", 10),
+            (1, 0, ts(5), ts(1, 1), "B", 20),
+            (2, 0, ts(5), ts(1, 2), "A", 10),
+            (3, 0, ts(5), ts(1, 2), "B", 21),
+            (4, 0, ts(5), ts(2, 1), "A", 12),
+            (5, 0, ts(5), ts(2, 1), "B", 22),
+            (6, 0, ts(5), ts(2, 2), "A", 13),
+            (7, 0, ts(5), ts(2, 2), "B", 23),
+            (8, 0, ts(5), ts(1, 3), "A", 11),  # one day late: considered
+            (9, 0, ts(5), ts(3, 1), "A", 14),
+            (10, 0, ts(5), ts(3, 1), "B", 24),
+            (11, 0, ts(5), ts(3, 2), "A", 15),
+            (12, 0, ts(5), ts(3, 2), "B", 25),
+        ],
+    )
+    resp, out = runner.run(
+        [{"alias": "in", "data_paths": [s1], "schema_file": s1, "watermark": ts(2, 2)}],
+        system_time=ts(10),
+    )
+    assert (resp.new_offset_interval.start, resp.new_offset_interval.end) == (0, 1)
+    assert resp.new_watermark == ts(2, 2)
+    assert _summaries(out) == [
+        (ts(10), ts(1), "A", 10, 11),
+        (ts(10), ts(1), "B", 20, 21),
+    ]
+
+    s2 = str(tmp_path / "in" / "s2.parquet")
+    ticker_slice(
+        s2,
+        [
+            (13, 0, ts(10), ts(1, 4), "A", 12),  # two days late: discarded
+            (14, 0, ts(10), ts(4, 1), "A", 16),
+            (15, 0, ts(10), ts(4, 1), "B", 26),
+            (16, 0, ts(10), ts(4, 2), "A", 17),
+            (17, 0, ts(10), ts(4, 2), "B", 27),
+            (18, 0, ts(10), ts(5, 1), "A", 18),
+            (19, 0, ts(10), ts(5, 1), "B", 28),
+        ],
+    )
+    resp, out = runner.run(
+        [{"alias": "in", "data_paths": [s2], "schema_file": s2, "watermark": ts(4, 1)}],
+        system_time=ts(20),
+    )
+    assert (resp.new_offset_interval.start, resp.new_offset_interval.end) == (2, 5)
+    assert resp.new_watermark == ts(4, 1)
+    assert _summaries(out) == [
+        (ts(20), ts(2), "A", 12, 13),
+        (ts(20), ts(2), "B", 22, 23),
+        (ts(20), ts(3), "A", 14, 15),
+        (ts(20), ts(3), "B", 24, 25),
+    ]
