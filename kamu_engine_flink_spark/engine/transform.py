@@ -50,6 +50,24 @@ from .state import StateStore
 
 SEQ = "__seq"
 
+
+def _safe_name(alias: str) -> str:
+    """Spark temp-view-safe alias. The reference allows dotted dataset
+    aliases quoted with backticks in SQL (`stocks.owned`,
+    EngineJoinStreamToTemporalTableTest.scala:83); Spark temp views cannot
+    contain dots, so dotted aliases map to __-joined names and the SQL text
+    is rewritten accordingly."""
+    import re as _re
+
+    return _re.sub(r"[^\w]", "__", alias)
+
+
+def _sanitize_sql(sql: str, aliases: dict[str, str]) -> str:
+    for orig, safe in aliases.items():
+        if orig != safe:
+            sql = sql.replace(f"`{orig}`", safe)
+    return sql
+
 _EXECUTORS = {
     C.MAP: map_step.execute_map,
     C.WINDOW_AGG: window_agg.execute_window_agg,
@@ -98,8 +116,36 @@ def execute_transform(spark: SparkSession, request: TransformRequest) -> Transfo
     prev_wms: dict[str, datetime | None] = {}
     new_wms: dict[str, datetime | None] = {}
 
+    alias_map = {i.query_alias: _safe_name(i.query_alias) for i in request.query_inputs}
+    for step in request.transform.queries:
+        if step.alias:
+            alias_map[step.alias] = _safe_name(step.alias)
+    for t in request.transform.temporal_tables:
+        alias_map.setdefault(t.name, _safe_name(t.name))
+    if any(o != s for o, s in alias_map.items()):
+        from dataclasses import replace as _replace
+
+        request = _replace(
+            request,
+            transform=_replace(
+                request.transform,
+                queries=[
+                    _replace(
+                        q,
+                        query=_sanitize_sql(q.query, alias_map),
+                        alias=alias_map.get(q.alias, q.alias) if q.alias else None,
+                    )
+                    for q in request.transform.queries
+                ],
+                temporal_tables=[
+                    _replace(t, name=alias_map.get(t.name, t.name))
+                    for t in request.transform.temporal_tables
+                ],
+            ),
+        )
+
     for input_def in request.query_inputs:
-        alias = input_def.query_alias
+        alias = alias_map[input_def.query_alias]
         views[alias] = _open_input(spark, input_def)
         views[alias].createOrReplaceTempView(alias)
         event_time_cols[alias] = input_def.vocab.event_time_column

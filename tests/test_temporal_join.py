@@ -1,0 +1,145 @@
+"""Temporal (as-of) join parity — mirrors
+EngineJoinStreamToTemporalTableTest.scala:54-451.
+
+Covers: LATERAL TABLE and FOR SYSTEM_TIME AS OF spellings, probe-row
+buffering until the joint watermark, version history across invocations,
+dotted dataset aliases.
+"""
+
+from datetime import timezone
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .helpers import TransformRunner, ticker_slice, ts, write_input_slice
+
+LATERAL_QUERY = """SELECT
+  t.event_time,
+  t.symbol,
+  owned.volume as volume,
+  t.price as current_price,
+  owned.volume * t.price as current_value
+FROM
+  tickers as t,
+  LATERAL TABLE (`stocks.owned`(t.event_time)) AS owned
+WHERE t.symbol = owned.symbol"""
+
+SYSTEM_TIME_QUERY = """SELECT
+  t.event_time,
+  t.symbol,
+  owned.volume as volume,
+  t.price as current_price,
+  owned.volume * t.price as current_value
+FROM tickers as t
+JOIN `stocks.owned` FOR SYSTEM_TIME AS OF t.event_time AS owned
+ON t.symbol = owned.symbol"""
+
+
+def stocks_owned_slice(path: str, rows: list[tuple]):
+    """rows: (offset, system_time, event_time, symbol, volume)"""
+    cols = list(zip(*rows))
+    write_input_slice(
+        path,
+        {
+            "offset": list(cols[0]),
+            "op": [0] * len(rows),
+            "system_time": list(cols[1]),
+            "event_time": list(cols[2]),
+            "symbol": list(cols[3]),
+            "volume": list(cols[4]),
+        },
+        {
+            "offset": pa.int64(),
+            "op": pa.int32(),
+            "system_time": pa.timestamp("ms", tz="UTC"),
+            "event_time": pa.timestamp("ms", tz="UTC"),
+            "symbol": pa.string(),
+            "volume": pa.int32(),
+        },
+    )
+
+
+def _rows(out_path):
+    table = pq.read_table(out_path)
+    rows = [
+        (
+            r["system_time"].replace(tzinfo=timezone.utc),
+            r["event_time"].replace(tzinfo=timezone.utc),
+            r["symbol"],
+            r["volume"],
+            r["current_price"],
+            r["current_value"],
+        )
+        for r in table.to_pylist()
+    ]
+    return sorted(rows, key=lambda r: (r[1], r[2]))
+
+
+def _run_scenario(spark, tmp_path, query):
+    runner = TransformRunner(
+        spark,
+        tmp_path,
+        queries=[(query, None)],
+        temporal_tables=[("stocks.owned", "symbol")],
+    )
+    t1 = str(tmp_path / "tickers" / "t1.parquet")
+    ticker_slice(
+        t1,
+        [
+            (0, 0, ts(5), ts(1), "A", 10),
+            (1, 0, ts(5), ts(1), "B", 20),
+            (2, 0, ts(5), ts(2), "A", 10),
+            (3, 0, ts(5), ts(2), "B", 20),
+            (4, 0, ts(5), ts(3), "A", 12),
+            (5, 0, ts(5), ts(3), "B", 22),
+            (6, 0, ts(5), ts(4), "A", 14),
+            (7, 0, ts(5), ts(4), "B", 24),
+        ],
+    )
+    s1 = str(tmp_path / "stocks" / "s1.parquet")
+    stocks_owned_slice(s1, [(0, ts(4), ts(2), "A", 100), (1, ts(4), ts(3), "B", 200)])
+
+    resp, out = runner.run(
+        [
+            {"alias": "tickers", "data_paths": [t1], "schema_file": t1, "watermark": ts(4)},
+            {"alias": "stocks.owned", "data_paths": [s1], "schema_file": s1, "watermark": ts(3)},
+        ],
+        system_time=ts(10),
+    )
+    assert (resp.new_offset_interval.start, resp.new_offset_interval.end) == (0, 2)
+    assert resp.new_watermark == ts(3)
+    assert _rows(out) == [
+        (ts(10), ts(2), "A", 100, 10, 1000),
+        (ts(10), ts(3), "A", 100, 12, 1200),
+        (ts(10), ts(3), "B", 200, 22, 4400),
+    ]
+
+    # Second invocation: buffered ts(4) probe rows release; B's volume was
+    # updated to 250 effective ts(4).
+    t2 = str(tmp_path / "tickers" / "t2.parquet")
+    ticker_slice(t2, [(8, 0, ts(6), ts(5), "A", 15), (9, 0, ts(6), ts(5), "B", 25)])
+    s2 = str(tmp_path / "stocks" / "s2.parquet")
+    stocks_owned_slice(s2, [(2, ts(5), ts(4), "B", 250)])
+
+    runner.next_offset = 3
+    resp, out = runner.run(
+        [
+            {"alias": "tickers", "data_paths": [t2], "schema_file": t2, "watermark": ts(5)},
+            {"alias": "stocks.owned", "data_paths": [s2], "schema_file": s2, "watermark": ts(4)},
+        ],
+        system_time=ts(20),
+    )
+    assert (resp.new_offset_interval.start, resp.new_offset_interval.end) == (3, 4)
+    assert resp.new_watermark == ts(4)
+    assert _rows(out) == [
+        (ts(20), ts(4), "A", 100, 14, 1400),
+        (ts(20), ts(4), "B", 250, 24, 6000),
+    ]
+
+
+def test_temporal_join_lateral_table(spark, tmp_path):
+    _run_scenario(spark, tmp_path, LATERAL_QUERY)
+
+
+def test_temporal_join_for_system_time(spark, tmp_path):
+    _run_scenario(spark, tmp_path, SYSTEM_TIME_QUERY)
