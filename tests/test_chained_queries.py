@@ -1,0 +1,160 @@
+"""Chained multi-step pipeline parity — mirrors
+EngineJoinStreamToStreamTest.scala:230-477 ("join result can be used with
+other queries", simple + tricky variants).
+
+Three steps: interval LEFT join -> tumbling window agg over the join
+output -> filter. Exercises per-step state, watermark propagation through
+the chain (join lag included), and NULL-padding feeding an aggregation.
+"""
+
+from datetime import timezone
+
+import pyarrow.parquet as pq
+
+from kamu_engine_flink_spark.protocol.model import DatasetVocabulary
+
+from .helpers import TransformRunner, ts
+from .test_interval_join import orders_slice, shipments_slice
+
+STEP1 = (
+    """SELECT
+  o.event_time as order_time,
+  o.order_id,
+  o.quantity as order_quantity,
+  CAST(s.event_time as TIMESTAMP(3)) as shipped_time,
+  COALESCE(s.num_shipped, 0) as shipped_quantity
+FROM
+  orders as o
+LEFT JOIN shipments as s
+ON
+  o.order_id = s.order_id
+  AND s.event_time BETWEEN o.event_time AND o.event_time + INTERVAL '2' DAY""",
+    "order_shipments",
+)
+STEP2 = (
+    """SELECT
+  TUMBLE_START(order_time, INTERVAL '1' DAY) as order_time,
+  order_id,
+  count(*) as num_shipments,
+  min(shipped_time) as first_shipment,
+  max(shipped_time) as last_shipment,
+  min(order_quantity) as order_quantity,
+  sum(shipped_quantity) as shipped_quantity_total
+FROM order_shipments
+GROUP BY TUMBLE(order_time, INTERVAL '1' DAY), order_id""",
+    "shipment_stats",
+)
+STEP3 = (
+    """SELECT *
+FROM shipment_stats
+WHERE order_quantity <> shipped_quantity_total""",
+    None,
+)
+
+
+def _rows(out_path):
+    table = pq.read_table(out_path)
+    rows = [
+        (
+            r["system_time"].replace(tzinfo=timezone.utc),
+            r["order_time"].replace(tzinfo=timezone.utc),
+            r["order_id"],
+            r["num_shipments"],
+            r["first_shipment"].replace(tzinfo=timezone.utc) if r["first_shipment"] else None,
+            r["last_shipment"].replace(tzinfo=timezone.utc) if r["last_shipment"] else None,
+            r["order_quantity"],
+            r["shipped_quantity_total"],
+        )
+        for r in table.to_pylist()
+    ]
+    return sorted(rows, key=lambda r: (r[1], r[2]))
+
+
+def test_chained_queries_simple(spark, tmp_path):
+    runner = TransformRunner(
+        spark,
+        tmp_path,
+        queries=[STEP1, STEP2, STEP3],
+        vocab=DatasetVocabulary(event_time_column="order_time"),
+    )
+    o1 = str(tmp_path / "orders" / "o1.parquet")
+    orders_slice(
+        o1,
+        [
+            (0, 0, ts(16), ts(1), 1, 10),
+            (1, 0, ts(16), ts(1), 2, 120),
+            (2, 0, ts(16), ts(5), 3, 9),
+            (3, 0, ts(16), ts(10), 4, 110),
+            (4, 0, ts(16), ts(15), 5, 10),
+        ],
+    )
+    s1 = str(tmp_path / "ship" / "s1.parquet")
+    shipments_slice(
+        s1,
+        [
+            (0, ts(17), ts(1), 1, 4),
+            (1, ts(17), ts(2), 1, 6),
+            (2, ts(17), ts(2), 2, 120),
+            (3, ts(17), ts(6), 3, 5),
+            (4, ts(17), ts(11), 4, 50),
+            (5, ts(17), ts(13), 4, 60),
+            (6, ts(17), ts(16), 5, 10),
+        ],
+    )
+    resp, out = runner.run(
+        [
+            {"alias": "orders", "data_paths": [o1], "schema_file": o1, "watermark": ts(15)},
+            {"alias": "shipments", "data_paths": [s1], "schema_file": s1, "watermark": ts(16)},
+        ],
+        system_time=ts(20),
+    )
+    assert resp.new_watermark == ts(13)
+    assert (resp.new_offset_interval.start, resp.new_offset_interval.end) == (0, 1)
+    assert _rows(out) == [
+        (ts(20), ts(5), 3, 1, ts(6), ts(6), 9, 5),
+        (ts(20), ts(10), 4, 1, ts(11), ts(11), 110, 50),
+    ]
+
+
+def test_chained_queries_tricky(spark, tmp_path):
+    runner = TransformRunner(
+        spark,
+        tmp_path,
+        queries=[STEP1, STEP2, STEP3],
+        vocab=DatasetVocabulary(event_time_column="order_time"),
+    )
+    o1 = str(tmp_path / "orders" / "o1.parquet")
+    orders_slice(
+        o1,
+        [
+            (0, 0, ts(11), ts(1), 1, 10),
+            (1, 0, ts(11), ts(1), 2, 120),
+            (2, 0, ts(11), ts(5), 3, 9),
+            (3, 0, ts(11), ts(10), 4, 110),
+        ],
+    )
+    s1 = str(tmp_path / "ship" / "s1.parquet")
+    shipments_slice(
+        s1,
+        [
+            (0, ts(14), ts(1), 1, 4),
+            (1, ts(14), ts(2), 1, 6),
+            (2, ts(14), ts(2), 2, 120),
+            (3, ts(14), ts(8), 3, 9),  # outside order 3's join interval
+            (4, ts(14), ts(11), 4, 50),
+            (5, ts(14), ts(13), 4, 60),  # outside order 4's join interval
+        ],
+    )
+    resp, out = runner.run(
+        [
+            {"alias": "orders", "data_paths": [o1], "schema_file": o1, "watermark": ts(13)},
+            {"alias": "shipments", "data_paths": [s1], "schema_file": s1, "watermark": ts(13)},
+        ],
+        system_time=ts(20),
+    )
+    assert (resp.new_offset_interval.start, resp.new_offset_interval.end) == (0, 1)
+    assert resp.new_watermark == ts(11)
+    assert _rows(out) == [
+        (ts(20), ts(5), 3, 1, None, None, 9, 0),
+        (ts(20), ts(10), 4, 1, ts(11), ts(11), 110, 50),
+    ]

@@ -1,0 +1,124 @@
+"""Top-N changelog parity — mirrors EngineTopNTest.scala:22-155.
+
+Covers: per-record correction pairs (op=2 CorrectFrom / op=3 CorrectTo) in
+ascending place order, vocabulary override (eventTimeColumn=placed_at),
+row_number tie stability, offset/op/system_time assembly.
+"""
+
+from datetime import timezone
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from kamu_engine_flink_spark.protocol.model import DatasetVocabulary
+
+from .helpers import TransformRunner, ts, write_input_slice
+
+TOPN_QUERY = """select
+  cast(now() as timestamp(3)) as placed_at,
+  *
+from (
+  select
+    row_number() over (order by score desc) AS place,
+    match_time,
+    player_name,
+    score
+  from match_scores
+) where place <= 2"""
+
+
+def match_scores_slice(path, rows):
+    """rows: (offset, op, system_time, match_time, player_name, score)"""
+    cols = list(zip(*rows))
+    write_input_slice(
+        path,
+        {
+            "offset": list(cols[0]),
+            "op": list(cols[1]),
+            "system_time": list(cols[2]),
+            "match_time": list(cols[3]),
+            "player_name": list(cols[4]),
+            "score": list(cols[5]),
+        },
+        {
+            "offset": pa.int64(),
+            "op": pa.int32(),
+            "system_time": pa.timestamp("ms", tz="UTC"),
+            "match_time": pa.timestamp("ms", tz="UTC"),
+            "player_name": pa.string(),
+            "score": pa.int32(),
+        },
+    )
+
+
+def test_topn_changelog(spark, tmp_path):
+    runner = TransformRunner(
+        spark,
+        tmp_path,
+        queries=[(TOPN_QUERY, None)],
+        vocab=DatasetVocabulary(event_time_column="placed_at"),
+    )
+    s1 = str(tmp_path / "in" / "s1.parquet")
+    match_scores_slice(
+        s1,
+        [
+            (0, 0, ts(5), ts(1), "Alice", 100),
+            (1, 0, ts(5), ts(1), "Bob", 80),
+            (2, 0, ts(5), ts(2), "Alice", 70),
+            (3, 0, ts(5), ts(2), "Charlie", 90),
+            (4, 0, ts(5), ts(3), "Bob", 60),
+            (5, 0, ts(5), ts(3), "Charlie", 110),
+        ],
+    )
+    vocab_in = DatasetVocabulary(event_time_column="match_time")
+    resp, out = runner.run(
+        [
+            {
+                "alias": "match_scores",
+                "data_paths": [s1],
+                "schema_file": s1,
+                "watermark": ts(3),
+                "vocab": vocab_in,
+            }
+        ],
+        system_time=ts(10),
+    )
+    assert (resp.new_offset_interval.start, resp.new_offset_interval.end) == (0, 7)
+    assert resp.new_watermark == ts(3)
+
+    table = pq.read_table(out)
+    rows = [
+        (
+            r["offset"],
+            r["op"],
+            r["system_time"].replace(tzinfo=timezone.utc),
+            r["place"],
+            r["match_time"].replace(tzinfo=timezone.utc),
+            r["player_name"],
+            r["score"],
+        )
+        for r in table.to_pylist()
+    ]
+    # Golden changelog from EngineTopNTest.scala:92-128 (placed_at is
+    # now()-valued and excluded from comparison, like the reference does).
+    assert rows == [
+        (0, 0, ts(10), 1, ts(1), "Alice", 100),
+        (1, 0, ts(10), 2, ts(1), "Bob", 80),
+        (2, 2, ts(10), 2, ts(1), "Bob", 80),
+        (3, 3, ts(10), 2, ts(2), "Charlie", 90),
+        (4, 2, ts(10), 1, ts(1), "Alice", 100),
+        (5, 3, ts(10), 1, ts(3), "Charlie", 110),
+        (6, 2, ts(10), 2, ts(2), "Charlie", 90),
+        (7, 3, ts(10), 2, ts(1), "Alice", 100),
+    ]
+    # Column order parity with the golden parquet schema.
+    assert table.column_names == [
+        "offset",
+        "op",
+        "system_time",
+        "placed_at",
+        "place",
+        "match_time",
+        "player_name",
+        "score",
+    ]
