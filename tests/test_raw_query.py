@@ -1,0 +1,128 @@
+"""Raw-query parity — mirrors EngineRawQueryTest.scala:17-74 and
+EngineFormatsTest.scala:38-147 (decimal round-trips via TRY_CAST).
+"""
+
+import os
+from datetime import timezone
+from decimal import Decimal
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from kamu_engine_flink_spark.engine.raw_query import execute_raw_query
+from kamu_engine_flink_spark.protocol.model import (
+    RawQueryRequest,
+    SqlQueryStep,
+    Transform,
+)
+
+from .helpers import ticker_slice, ts
+
+
+def _raw(spark, tmp_path, query, in_path, out_name="out.parquet"):
+    out = str(tmp_path / out_name)
+    request = RawQueryRequest(
+        input_data_paths=[in_path],
+        transform=Transform(queries=[SqlQueryStep(query=query)]),
+        output_data_path=out,
+    )
+    return execute_raw_query(spark, request), out
+
+
+def test_raw_query_simple(spark, tmp_path):
+    in_path = str(tmp_path / "input.parquet")
+    ticker_slice(
+        in_path,
+        [
+            (0, 0, ts(5), ts(1), "A", 10),
+            (1, 0, ts(5), ts(2), "B", 20),
+            (2, 0, ts(5), ts(3), "A", 11),
+            (3, 0, ts(5), ts(4), "B", 21),
+        ],
+    )
+    query = """SELECT
+  `offset`,
+  `system_time`,
+  `op`,
+  `event_time`,
+  `symbol`,
+  `price` * 10 as `price`
+FROM input"""
+    resp, out = _raw(spark, tmp_path, query, in_path)
+    assert resp.num_records == 4
+    rows = [
+        (r["offset"], r["symbol"], r["price"], r["event_time"].replace(tzinfo=timezone.utc))
+        for r in pq.read_table(out).to_pylist()
+    ]
+    assert sorted(rows) == [
+        (0, "A", 100, ts(1)),
+        (1, "B", 200, ts(2)),
+        (2, "A", 110, ts(3)),
+        (3, "B", 210, ts(4)),
+    ]
+
+
+def test_raw_query_write_decimal(spark, tmp_path):
+    """TRY_CAST to DECIMAL: overflow -> NULL; spec-compliant decimal output
+    (the reference writes non-standard binary decimals Spark can't read —
+    README 'Known Issues'; we write FIXED_LEN_BYTE_ARRAY natively)."""
+    in_path = str(tmp_path / "in.parquet")
+    values = [
+        "123456789.0123",
+        "-123456789.0123",
+        "12345678901234567890.123456789012345678",
+        "-12345678901234567890.123456789012345678",
+    ]
+    pq.write_table(pa.table({"value": pa.array(values, pa.string())}), in_path)
+    query = """SELECT
+  TRY_CAST(`value` as DECIMAL(13,4)) as decimal_13_4,
+  TRY_CAST(`value` as DECIMAL(38,18)) as decimal_38_18
+FROM `input`"""
+    resp, out = _raw(spark, tmp_path, query, in_path)
+    assert resp.num_records == 4
+    table = pq.read_table(out)
+    assert str(table.schema.field("decimal_13_4").type) == "decimal128(13, 4)"
+    assert str(table.schema.field("decimal_38_18").type) == "decimal128(38, 18)"
+    got = [(r["decimal_13_4"], r["decimal_38_18"]) for r in table.to_pylist()]
+    assert got == [
+        (Decimal("123456789.0123"), Decimal("123456789.012300000000000000")),
+        (Decimal("-123456789.0123"), Decimal("-123456789.012300000000000000")),
+        (None, Decimal("12345678901234567890.123456789012345678")),
+        (None, Decimal("-12345678901234567890.123456789012345678")),
+    ]
+
+
+def test_raw_query_read_decimal(spark, tmp_path):
+    in_path = str(tmp_path / "in.parquet")
+    pq.write_table(
+        pa.table({"decimal": pa.array([Decimal("123456789.0123")], pa.decimal128(20, 4))}),
+        in_path,
+    )
+    resp, out = _raw(
+        spark, tmp_path, "SELECT cast(`decimal` as string) as `value` FROM `input`", in_path
+    )
+    assert resp.num_records == 1
+    assert pq.read_table(out).to_pylist() == [{"value": "123456789.0123"}]
+
+
+def test_raw_query_multi_step(spark, tmp_path):
+    """Chained aliased steps in raw-query mode (RawQueryEngine.scala:138-149)."""
+    in_path = str(tmp_path / "input.parquet")
+    ticker_slice(in_path, [(0, 0, ts(5), ts(1), "A", 10), (1, 0, ts(5), ts(2), "B", 20)])
+    out = str(tmp_path / "out.parquet")
+    request = RawQueryRequest(
+        input_data_paths=[in_path],
+        transform=Transform(
+            queries=[
+                SqlQueryStep(query="SELECT symbol, price * 2 as p2 FROM input", alias="doubled"),
+                SqlQueryStep(query="SELECT symbol, p2 + 1 as p FROM doubled"),
+            ]
+        ),
+        output_data_path=out,
+    )
+    resp = execute_raw_query(spark, request)
+    assert resp.num_records == 2
+    assert sorted([(r["symbol"], r["p"]) for r in pq.read_table(out).to_pylist()]) == [
+        ("A", 21),
+        ("B", 41),
+    ]
