@@ -1,0 +1,232 @@
+"""Deduplication operators over document tables.
+
+Beyond-reference surface (driver north star): exact, MinHash+LSH, SimHash,
+n-gram Jaccard, and embedding-cosine near-dup detection, each as a
+DataFrame -> DataFrame operator designed for the 100 TB shape:
+
+- exact dedup is one hash-partitioned groupBy (map-side combine, no row
+  explosion);
+- candidate generation for near-dup methods is banded LSH: explode to
+  (band, key) buckets, shuffle once on the bucket key, and pair only
+  within buckets — never an O(n^2) cross join;
+- survivors are decided by the "smaller-id wins" rule (a doc is dropped
+  iff it has a near-dup with a smaller id), a one-pass, deterministic,
+  associative criterion that needs no iterative connected components.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+from ..functions import text as T
+from ..functions import vectors as V
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the smallest-id row per exact text content. Single shuffle on
+    the (hashed) content; ties impossible (ids unique)."""
+    return (
+        df.withColumn("__fp", F.md5(F.col(text_col)))
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .drop("__fp")
+    )
+
+
+def _minhash_buckets(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int, bands: int, shingle_k: int
+) -> DataFrame:
+    sig = H.minhash_signature(H.char_shingles(T.normalize_text(F.col(text_col)), shingle_k), num_hashes)
+    rows_per_band = num_hashes // bands
+    banded = df.select(
+        F.col(id_col).alias("__id"),
+        *[
+            F.xxhash64(
+                F.lit(b), F.concat_ws(",", *[F.element_at(sig, b * rows_per_band + r + 1).cast("string") for r in range(rows_per_band)])
+            ).alias(f"__band{b}")
+            for b in range(bands)
+        ],
+    )
+    return banded.select(
+        "__id",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"__band{b}").alias("key")) for b in range(bands)])
+        ).alias("bucket"),
+    ).select("__id", "bucket.band", "bucket.key")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) that share at least one
+    LSH band. One shuffle on (band, key); skew-safe under AQE."""
+    buckets = _minhash_buckets(df, text_col, id_col, num_hashes, bands, shingle_k)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+
+
+def dedup_minhash_lsh(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    jaccard_threshold: float | None = 0.8,
+) -> DataFrame:
+    """Smaller-id-wins MinHash dedup; candidates optionally verified with
+    exact shingle-set Jaccard before a doc is dropped."""
+    pairs = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, shingle_k)
+    if jaccard_threshold is not None:
+        shingled = df.select(
+            F.col(id_col).alias("__id"),
+            H.char_shingles(T.normalize_text(F.col(text_col)), shingle_k).alias("__sh"),
+        )
+        pairs = (
+            pairs.join(shingled.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "__sh_a"), "id_a")
+            .join(shingled.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "__sh_b"), "id_b")
+            .withColumn(
+                "__jac",
+                F.size(F.array_intersect("__sh_a", "__sh_b"))
+                / F.greatest(F.size(F.array_union("__sh_a", "__sh_b")), F.lit(1)),
+            )
+            .filter(F.col("__jac") >= jaccard_threshold)
+            .select("id_a", "id_b")
+        )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: 4x16-bit bands (pigeonhole: hamming<=3
+    guarantees one identical band), verified with exact bit_count."""
+    sim = df.select(
+        F.col(id_col).alias("__id"), H.simhash64(T.tokens(F.col(text_col))).alias("__sim")
+    )
+    bands = sim.select(
+        "__id",
+        "__sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("__sim"), 16 * b)
+                        .bitwiseAND(F.lit(0xFFFF).cast("bigint"))
+                        .alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bucket"),
+    ).select("__id", "__sim", "bucket.band", "bucket.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            H.hamming64(F.col("a.__sim"), F.col("b.__sim")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def dedup_simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    losers = simhash_pairs(df, text_col, id_col, max_hamming).select(
+        F.col("id_b").alias(id_col)
+    ).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity pairs (id_a < id_b,
+    jaccard >= threshold). `block_col` restricts comparisons to equal
+    blocking keys (e.g. a language column); without one this is the
+    O(n^2)-per-partition reference implementation used as the oracle for
+    the LSH variants — at scale, feed it LSH candidates instead."""
+    grams = df.select(
+        F.col(id_col).alias("__id"),
+        *( [F.col(block_col).alias("__blk")] if block_col else [] ),
+        H.word_ngrams(T.tokens(F.col(text_col)), n).alias("__ng"),
+    )
+    a, b = grams.alias("a"), grams.alias("b")
+    cond = F.col("a.__id") < F.col("b.__id")
+    if block_col:
+        cond = cond & (F.col("a.__blk") == F.col("b.__blk"))
+    return (
+        a.join(b, cond)
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("a.__ng", "b.__ng"))
+            / F.greatest(F.size(F.array_union("a.__ng", "b.__ng")), F.lit(1)),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b,
+    cosine > threshold). Brute-force within blocks; the scale path feeds
+    LSH-bucketed candidates (similarity.hyperplane_lsh_buckets)."""
+    vecs = df.select(
+        F.col(id_col).alias("__id"),
+        *( [F.col(block_col).alias("__blk")] if block_col else [] ),
+        F.col(vec_col).alias("__v"),
+    )
+    a, b = vecs.alias("a"), vecs.alias("b")
+    cond = F.col("a.__id") < F.col("b.__id")
+    if block_col:
+        cond = cond & (F.col("a.__blk") == F.col("b.__blk"))
+    return (
+        a.join(b, cond)
+        .withColumn("cosine", V.cosine(F.col("a.__v"), F.col("b.__v")))
+        .filter(F.col("cosine") > threshold)
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+    )

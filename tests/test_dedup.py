@@ -1,0 +1,85 @@
+"""Dedup operator tests on the driver's synthetic documents table plus
+hand-built near-duplicate fixtures."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kamu_engine_flink_spark.operators import dedup
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def near_dups(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the sun shines "
+        "bright over the green valley and the river runs fast"
+    )
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base.replace("fast", "slow")),  # near dup of 1
+        (4, "completely different content about machine learning pipelines and spark engines running at scale"),
+        (5, "short text"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_dedup_exact(spark, docs):
+    n = docs.count()
+    result = dedup.dedup_exact(docs)
+    uniq = docs.select("text").distinct().count()
+    assert result.count() == uniq
+    # duplicate counts add back up to the corpus size
+    assert result.agg(F.sum("dup_count")).collect()[0][0] == n
+
+
+def test_minhash_lsh_finds_near_dups(near_dups):
+    pairs = {(r.id_a, r.id_b) for r in dedup.minhash_lsh_pairs(near_dups).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) in pairs
+    assert all(4 not in p for p in pairs)
+
+
+def test_dedup_minhash_keeps_smallest_id(near_dups):
+    kept = sorted(r.doc_id for r in dedup.dedup_minhash_lsh(near_dups, jaccard_threshold=0.5).collect())
+    assert kept == [1, 4, 5]
+
+
+def test_simhash_pairs(near_dups):
+    pairs = {(r.id_a, r.id_b) for r in dedup.simhash_pairs(near_dups, max_hamming=3).collect()}
+    assert (1, 2) in pairs  # identical text -> hamming 0
+    assert all(4 not in p and 5 not in p for p in pairs)
+
+
+def test_ngram_jaccard_pairs(near_dups):
+    rows = {(r.id_a, r.id_b): r.jaccard for r in dedup.ngram_jaccard_pairs(near_dups, threshold=0.5).collect()}
+    assert rows[(1, 2)] == 1.0
+    assert 0.5 <= rows[(1, 3)] < 1.0
+    assert (1, 4) not in rows
+
+
+def test_embedding_near_dup_pairs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),  # near dup of 1
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = {(r.id_a, r.id_b) for r in dedup.embedding_near_dup_pairs(df, threshold=0.95).collect()}
+    assert pairs == {(1, 2)}
+
+
+def test_minhash_approximates_jaccard(near_dups):
+    """MinHash band-collision implies high true Jaccard on this fixture:
+    every LSH candidate must survive exact verification at 0.5."""
+    cand = dedup.minhash_lsh_pairs(near_dups)
+    exact = dedup.ngram_jaccard_pairs(near_dups, n=3, threshold=0.0)
+    joined = cand.join(exact, ["id_a", "id_b"], "left")
+    for r in joined.collect():
+        assert r.jaccard is not None and r.jaccard > 0.3

@@ -1,0 +1,48 @@
+"""Similarity-search operator tests on the synthetic embeddings table."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kamu_engine_flink_spark.operators import similarity
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_cosine_topk_exact(embeddings):
+    queries = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    result = similarity.cosine_topk(embeddings, queries, k=5)
+    rows = result.collect()
+    assert len(rows) == 15
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, neighbors in by_q.items():
+        neighbors.sort(key=lambda r: r.rank)
+        # rank 1 must be the query itself (cosine 1.0)
+        assert neighbors[0].vec_id == qid
+        assert neighbors[0].cosine == pytest.approx(1.0, abs=1e-4)
+        # scores non-increasing
+        scores = [r.cosine for r in neighbors]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_lsh_topk_recall(embeddings):
+    """LSH with multiprobe should recover most of the exact top-5."""
+    queries = embeddings.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(embeddings, queries, k=5)
+    approx = similarity.hyperplane_lsh_topk(embeddings, queries, k=5, dim=64, bits=8)
+    exact_set = {(r.query_id, r.vec_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+    # self-match always lands in the same bucket
+    assert all((q, q) in approx_set for q in range(10))
