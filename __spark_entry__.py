@@ -1,38 +1,710 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: flagship entry, per-operator queries, and DuckDB oracles.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an implemented operator from SURVEY.md §2 (the
+reference's query surface: projection/filter/scalar, windowed aggregation,
+equi/interval/as-of joins, Top-N) or a beyond-reference training-pipeline
+operator (dedup, similarity search, text analysis, multimodal plumbing).
+Each returns a DataFrame whose column names AND values match the paired
+``oracle_sql()`` ANSI-SQL run by DuckDB on the same parquet tables.
+
+Determinism rules used throughout (so value-hashes match bit-for-bit):
+  - money aggregates go through DECIMAL (exact, order-independent) and are
+    cast back to DOUBLE — both engines produce the identical double;
+  - raw doubles pass through untouched or with per-row arithmetic only
+    (identical IEEE ops in both engines);
+  - timestamps are emitted as epoch-microseconds, DATE, or formatted
+    strings — never as raw tz-aware values;
+  - every integer output is cast to BIGINT; ranks/topk have total
+    deterministic orderings (value DESC, id ASC).
+
+Approximate operators (MinHash-LSH, SimHash, hyperplane-LSH top-k) have no
+oracle entry — the driver records a rows-only check for those, and their
+exact counterparts (ngram-jaccard, brute-force cosine) ARE oracle-checked.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kamu_engine_flink_spark.operators import dedup as D
+from kamu_engine_flink_spark.operators import multimodal as M
+from kamu_engine_flink_spark.operators import similarity as S
+from kamu_engine_flink_spark.operators.temporal_join import with_validity
+from kamu_engine_flink_spark.operators.text_analysis import analyze_documents
+from kamu_engine_flink_spark.sources.parquet import read_table
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _conf(spark: SparkSession) -> None:
+    """Session settings the driver's session may not carry: UTC (all
+    window/date math) and nanosAsLong (events.ts is TIMESTAMP(NANOS),
+    which Spark otherwise refuses to read)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _conf(spark)
+    return read_table(spark, sf_dir, name)
+
+
+def _dec(col, p: int = 18, s: int = 4):
+    """Exact-sum pattern: double -> decimal(p,s); SUM stays exact and
+    order-independent, the final cast back to double is deterministic."""
+    return col.cast(f"decimal({p},{s})")
+
+
+# --------------------------------------------------------------------------
+# Reference query surface (SURVEY.md §2.B) as batch queries on the testdata
+# --------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy grouped aggregation with map-side combine."""
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") < "1998-09-01")
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(_dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+        .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order"))
+    )
+
+
+def q3_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + group + deterministic Top-10 by exact decimal revenue."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter((F.col("o_orderdate") < "1998-01-01") & (F.col("l_shipdate") > "1998-01-01"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-way star join; dims broadcast, fact-side shuffle only on the agg."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter((F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure filter + scalar aggregate; filters must push to the parquet scan."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice") * F.col("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+
+
+def agg_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").cast("long").alias("n_suppliers"),
+        F.countDistinct("l_partkey").cast("long").alias("n_parts"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+def scalar_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-shape transform: CAST/TRY_CAST/COALESCE/JSON/string functions
+    (reference surface: EngineMapTest, EngineFormatsTest)."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.upper("event_type").alias("type_u"),
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        F.coalesce(F.expr("try_cast(event_type AS BIGINT)"), F.lit(-1).cast("long")).alias(
+            "bad_cast"
+        ),
+        F.round(F.col("value") * 10, 6).alias("value10"),
+    )
+
+
+def chained_multistep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-step chained pipeline (view -> view -> output), the reference's
+    multi-step `queries:` contract (TransformEngine.scala:252-262)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__ch_orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__ch_lineitem")
+    spark.sql(
+        "SELECT o_orderkey, o_totalprice FROM __ch_orders WHERE o_orderstatus = 'O'"
+    ).createOrReplaceTempView("__ch_open")
+    spark.sql(
+        """
+        SELECT o.o_orderkey, CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM __ch_open o JOIN __ch_lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderkey
+        """
+    ).createOrReplaceTempView("__ch_sums")
+    return spark.sql("SELECT * FROM __ch_sums WHERE total_qty > 150 OR n_items <= 2")
+
+
+def window_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation (README 'Windowed
+    Aggregations'): GROUP BY TUMBLE(ts, 1 day), event_type."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(_dec(F.col("value"), 18, 6)).cast("double").alias("sum_value"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .select(F.col("w.start").cast("date").alias("day"), "event_type", "n_events", "sum_value", "n_users")
+    )
+
+
+def window_sliding_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (2h size, 1h slide) — beyond the reference (tumbling
+    only); Spark's window() provides it natively."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("window_start"),
+            "n_events",
+        )
+    )
+
+
+def topn_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N pattern (EngineTopNTest): row_number + rank filter, with a
+    total deterministic order (price DESC, orderkey ASC)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+def asof_join_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal/as-of join (README 'Temporal Table Joins'): each click joins
+    the latest prior-or-equal purchase of the same user. Built on the
+    engine's validity-interval derivation (operators/temporal_join.py)."""
+    e = _t(spark, sf_dir, "events")
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    versions = with_validity(purchases, ["user_id"], "ts").select(
+        F.col("user_id").alias("v_user"),
+        F.col("purchase_value"),
+        F.col("__valid_from"),
+        F.col("__valid_to"),
+    )
+    clicks = e.filter(F.col("event_type") == "click")
+    return (
+        clicks.join(
+            versions,
+            (clicks.user_id == versions.v_user)
+            & (clicks.ts >= versions.__valid_from)
+            & (versions.__valid_to.isNull() | (clicks.ts < versions.__valid_to)),
+            "left",
+        )
+        .select(
+            F.col("event_id").cast("long").alias("event_id"),
+            F.col("user_id").cast("long").alias("user_id"),
+            F.unix_micros("ts").alias("ts_us"),
+            F.col("purchase_value"),
+        )
+    )
+
+
+def interval_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-to-stream interval join shape (README 'Stream-To-Stream
+    Joins'): clicks within [purchase.ts, purchase.ts + 1h) per user, LEFT
+    (unmatched purchases kept with count 0)."""
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    return (
+        p.join(
+            c,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts"))
+            & (F.col("c_ts") < F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
+            "left",
+        )
+        .groupBy("p_id")
+        .agg(F.count("c_ts").cast("long").alias("n_clicks"))
+        .select(F.col("p_id").cast("long").alias("purchase_id"), "n_clicks")
+    )
+
+
+# --------------------------------------------------------------------------
+# Training-pipeline operators (beyond-reference, driver north star)
+# --------------------------------------------------------------------------
+
+
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return D.dedup_exact(d, "text", "doc_id").select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.col("dup_count").cast("long").alias("dup_count")
+    )
+
+
+def dedup_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup by normalized-text fingerprint (functions/text.py
+    fingerprint = md5 of lowercased, punctuation-stripped, space-collapsed
+    text) — catches case/punctuation variants exact dedup misses."""
+    d = analyze_documents(_t(spark, sf_dir, "documents"))
+    return (
+        d.groupBy("fingerprint")
+        .agg(F.min("doc_id").cast("long").alias("doc_id"), F.count(F.lit(1)).cast("long").alias("dup_count"))
+        .select("doc_id", "fingerprint", "dup_count")
+    )
+
+
+def dedup_minhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dedup (approximate; no SQL oracle — its exact
+    counterpart ngram_jaccard_pairs is oracle-checked)."""
+    d = _t(spark, sf_dir, "documents")
+    out = D.dedup_minhash_lsh(d, "text", "doc_id", num_hashes=64, bands=16, jaccard_threshold=0.8)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "lang", "source")
+
+
+def dedup_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return D.dedup_simhash(d, "text", "doc_id", max_hamming=3).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", "source"
+    )
+
+
+def ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs (blocked by lang), threshold 0.5."""
+    d = _t(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5, block_col="lang").select(
+        F.col("id_a").cast("long").alias("id_a"), F.col("id_b").cast("long").alias("id_b"), "jaccard"
+    )
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs. Threshold 0.45 is tuned to the
+    synthetic testdata (max pairwise cosine ~0.51 — no planted dups), so
+    the check exercises real matches instead of passing on empty output."""
+    e = _t(spark, sf_dir, "embeddings")
+    return D.embedding_near_dup_pairs(e, "embedding", "vec_id", threshold=0.45).select(
+        F.col("id_a").cast("long").alias("id_a"), F.col("id_b").cast("long").alias("id_b")
+    )
+
+
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5: queries = vec_id < 10 (broadcast),
+    one corpus pass, per-query window rank."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    return S.cosine_topk(e, q, k=5, corpus_id="vec_id", query_id="query_id", vec_col="embedding").select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "cosine",
+    )
+
+
+def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-k (no oracle: approximate by design;
+    recall is asserted against the exact path in tests/test_similarity.py)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = S.hyperplane_lsh_topk(e, q, k=5, dim=64, bits=12, tables=4)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "cosine",
+    )
+
+
+def text_analysis_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = analyze_documents(_t(spark, sf_dir, "documents"))
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("token_count").cast("long").alias("token_count"),
+        F.col("bpe_token_count").cast("long").alias("bpe_token_count"),
+        F.col("char_count").cast("long").alias("char_count"),
+        "alpha_ratio",
+        "digit_ratio",
+        "punct_ratio",
+        "stopword_ratio",
+        "lang_guess",
+        "quality_score",
+        "fingerprint",
+    )
+
+
+def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload decode plumbing: documents.text as opaque bytes ->
+    mapInPandas (Arrow-batched) deterministic metadata. The oracle
+    recomputes the digest-derived fields in SQL, so the entire Python
+    UDF path is value-checked."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("payload")
+    )
+    out = M.decode_images(d, "payload")
+    return out.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        F.col("image_meta.width").cast("long").alias("width"),
+        F.col("image_meta.height").cast("long").alias("height"),
+        F.col("image_meta.channels").cast("long").alias("channels"),
+        F.col("image_meta.format").alias("format"),
+    )
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: one row per 1000ms of duration."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.col("n_chars").alias("duration_ms"),
+    )
+    out = M.sample_frames(d, "media_id", "payload", every_ms=1000, duration_col="duration_ms")
+    return out.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        F.col("frame_index").cast("long").alias("frame_index"),
+        F.col("frame_time_ms").cast("long").alias("frame_time_ms"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Driver contract
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: six-way star join + exact decimal aggregation at sf0.001."""
+    return q5_supplier_volume(spark, SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_unshipped": q3_top_unshipped,
+        "q5_supplier_volume": q5_supplier_volume,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "agg_distinct_suppliers": agg_distinct_suppliers,
+        "scalar_projection": scalar_projection,
+        "chained_multistep": chained_multistep,
+        "window_tumbling_daily": window_tumbling_daily,
+        "window_sliding_2h": window_sliding_2h,
+        "topn_orders_per_customer": topn_orders_per_customer,
+        "asof_join_purchase_value": asof_join_purchase_value,
+        "interval_join_clicks": interval_join_clicks,
+        "dedup_exact_documents": dedup_exact_documents,
+        "dedup_fingerprint_documents": dedup_fingerprint_documents,
+        "dedup_minhash_documents": dedup_minhash_documents,
+        "dedup_simhash_documents": dedup_simhash_documents,
+        "ngram_jaccard_documents": ngram_jaccard_documents,
+        "embedding_near_dup": embedding_near_dup,
+        "similarity_cosine_topk": similarity_cosine_topk,
+        "similarity_lsh_topk": similarity_lsh_topk,
+        "text_analysis_documents": text_analysis_documents,
+        "multimodal_image_meta": multimodal_image_meta,
+        "multimodal_frame_sample": multimodal_frame_sample,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# DuckDB equivalents. Shared SQL fragments for the text oracle:
+_TOKS = r"string_split_regex(trim(lower(text)), '\s+')"
+_TOKEN_COUNT = (
+    r"CASE WHEN length(trim(text)) = 0 THEN 0 "
+    r"ELSE len(string_split_regex(trim(text), '\s+')) END"
+)
+
+
+def _hits(words: list[str]) -> str:
+    arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    return f"len(list_filter({_TOKS}, t -> list_contains({arr}, t)))"
+
+
+_EN = _hits(["the", "and", "of", "to", "is", "in", "that", "it", "was", "for"])
+_DE = _hits(["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "sich"])
+_FR = _hits(["le", "la", "et", "les", "des", "est", "une", "dans", "que", "pour"])
+_ES = _hits(["el", "la", "los", "es", "una", "por", "con", "para", "del", "las"])
+
+_ALPHA = r"(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) / greatest(length(text), 1)"
+_DIGIT = r"(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / greatest(length(text), 1)"
+_PUNCT = r"(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))) / greatest(length(text), 1)"
+_SW_RATIO = f"({_EN}) / greatest({_TOKEN_COUNT}, 1)"
+_FINGERPRINT = (
+    r"md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),"
+    r" '\s+', ' ', 'g')))"
+)
+_NGRAMS = (
+    r"list_distinct(list_transform(range(1, greatest(len({t}) - 3, 0) + 2),"
+    r" i -> array_to_string({t}[i:i+2], ' ')))"
+).format(t=_TOKS)
+
+_HEXB = "(strpos('0123456789abcdef', substr(md5(text), {a}, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(md5(text), {b}, 1)) - 1"
+_D0 = _HEXB.format(a=1, b=2)
+_D1 = _HEXB.format(a=3, b=4)
+_D2 = _HEXB.format(a=5, b=6)
+_D3 = _HEXB.format(a=7, b=8)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+                   CAST(COUNT(*) AS BIGINT) AS count_order,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty
+            FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_top_unshipped": """
+            SELECT o.o_orderkey,
+                   CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                   CAST(o.o_orderdate AS DATE) AS order_date,
+                   o.o_orderpriority
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE o.o_orderdate < TIMESTAMP '1998-01-01' AND l.l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+            ORDER BY revenue DESC, o.o_orderkey ASC LIMIT 10
+        """,
+        "q5_supplier_volume": """
+            SELECT n.n_name,
+                   CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_nationkey = s.s_nationkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n.n_name
+        """,
+        "q6_forecast_revenue": """
+            SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+        """,
+        "agg_distinct_suppliers": """
+            SELECT l_returnflag,
+                   CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+                   CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+                   MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "scalar_projection": """
+            SELECT CAST(event_id AS BIGINT) AS event_id,
+                   upper(event_type) AS type_u,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                   COALESCE(TRY_CAST(event_type AS BIGINT), -1) AS bad_cast,
+                   round(value * 10, 6) AS value10
+            FROM events
+        """,
+        "chained_multistep": """
+            WITH open_orders AS (
+                SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'O'
+            ), sums AS (
+                SELECT o.o_orderkey,
+                       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty,
+                       CAST(COUNT(*) AS BIGINT) AS n_items
+                FROM open_orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+                GROUP BY o.o_orderkey
+            )
+            SELECT * FROM sums WHERE total_qty > 150 OR n_items <= 2
+        """,
+        "window_tumbling_daily": """
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY 1, 2
+        """,
+        "window_sliding_2h": """
+            SELECT strftime(ws, '%Y-%m-%d %H:%M') AS window_start,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM (
+                SELECT unnest([date_trunc('hour', ts),
+                               date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws
+                FROM events
+            ) GROUP BY ws
+        """,
+        "topn_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       CAST(row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rank
+                FROM orders
+            ) WHERE rank <= 3
+        """,
+        "asof_join_purchase_value": """
+            WITH purchases AS (
+                SELECT user_id, ts, MAX(value) AS purchase_value
+                FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+            ), clicks AS (
+                SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+            )
+            SELECT CAST(c.event_id AS BIGINT) AS event_id,
+                   CAST(c.user_id AS BIGINT) AS user_id,
+                   epoch_us(c.ts) AS ts_us,
+                   p.purchase_value
+            FROM clicks c ASOF LEFT JOIN purchases p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "interval_join_clicks": """
+            WITH p AS (
+                SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts
+                FROM events WHERE event_type = 'purchase'
+            ), c AS (
+                SELECT user_id AS c_user, ts AS c_ts FROM events WHERE event_type = 'click'
+            )
+            SELECT CAST(p_id AS BIGINT) AS purchase_id,
+                   CAST(COUNT(c_ts) AS BIGINT) AS n_clicks
+            FROM p LEFT JOIN c ON p_user = c_user
+                 AND c_ts >= p_ts AND c_ts < p_ts + INTERVAL 1 HOUR
+            GROUP BY p_id
+        """,
+        "dedup_exact_documents": """
+            SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS dup_count
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup_fingerprint_documents": f"""
+            SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+                   {_FINGERPRINT} AS fingerprint,
+                   CAST(COUNT(*) AS BIGINT) AS dup_count
+            FROM documents GROUP BY 2
+        """,
+        "ngram_jaccard_documents": f"""
+            WITH g AS (
+                SELECT doc_id AS id, lang, {_NGRAMS} AS ng FROM documents
+            )
+            SELECT CAST(a.id AS BIGINT) AS id_a, CAST(b.id AS BIGINT) AS id_b,
+                   round(len(list_intersect(a.ng, b.ng)) /
+                         greatest(len(list_distinct(list_concat(a.ng, b.ng))), 1), 6) AS jaccard
+            FROM g a JOIN g b ON a.id < b.id AND a.lang = b.lang
+            WHERE len(list_intersect(a.ng, b.ng)) /
+                  greatest(len(list_distinct(list_concat(a.ng, b.ng))), 1) >= 0.5
+        """,
+        "embedding_near_dup": """
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+            SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+            WHERE list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i]))
+                  / (sqrt(list_sum(list_transform(range(1, 65), i -> a.e[i] * a.e[i])))
+                     * sqrt(list_sum(list_transform(range(1, 65), i -> b.e[i] * b.e[i])))) > 0.45
+        """,
+        "similarity_cosine_topk": """
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 10),
+            scored AS (
+                SELECT q.qid, v.vec_id,
+                       list_sum(list_transform(range(1, 65), i -> v.e[i] * q.qe[i]))
+                       / (sqrt(list_sum(list_transform(range(1, 65), i -> v.e[i] * v.e[i])))
+                          * sqrt(list_sum(list_transform(range(1, 65), i -> q.qe[i] * q.qe[i])))) AS cos
+                FROM v CROSS JOIN q
+            )
+            SELECT CAST(qid AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(rank AS BIGINT) AS rank, round(cos, 6) AS cosine
+            FROM (
+                SELECT qid, vec_id, cos,
+                       row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+                FROM scored
+            ) WHERE rank <= 5
+        """,
+        "text_analysis_documents": f"""
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST({_TOKEN_COUNT} AS BIGINT) AS token_count,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_token_count,
+                   CAST(length(text) AS BIGINT) AS char_count,
+                   round({_ALPHA}, 6) AS alpha_ratio,
+                   round({_DIGIT}, 6) AS digit_ratio,
+                   round({_PUNCT}, 6) AS punct_ratio,
+                   round({_SW_RATIO}, 6) AS stopword_ratio,
+                   CASE WHEN ({_ES}) > greatest(0, {_EN}, {_DE}, {_FR}) THEN 'es'
+                        WHEN ({_FR}) > greatest(0, {_EN}, {_DE}) THEN 'fr'
+                        WHEN ({_DE}) > greatest(0, {_EN}) THEN 'de'
+                        WHEN ({_EN}) > 0 THEN 'en'
+                        ELSE 'und' END AS lang_guess,
+                   round(0.25 * least({_TOKEN_COUNT} / 100.0, 1.0)
+                         + 0.35 * ({_ALPHA})
+                         + 0.25 * least(({_SW_RATIO}) * 4, 1.0)
+                         + 0.15 * (1 - least(({_PUNCT}) * 4, 1.0)), 4) AS quality_score,
+                   {_FINGERPRINT} AS fingerprint
+            FROM documents
+        """,
+        "multimodal_image_meta": f"""
+            SELECT CAST(doc_id AS BIGINT) AS media_id,
+                   CAST(64 + ({_D0}) % 192 AS BIGINT) AS width,
+                   CAST(64 + ({_D1}) % 192 AS BIGINT) AS height,
+                   CAST(1 + (({_D2}) % 2) * 2 AS BIGINT) AS channels,
+                   CASE ({_D3}) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
+            FROM documents
+        """,
+        "multimodal_frame_sample": """
+            SELECT CAST(doc_id AS BIGINT) AS media_id,
+                   CAST(t // 1000 AS BIGINT) AS frame_index,
+                   CAST(t AS BIGINT) AS frame_time_ms
+            FROM documents, unnest(range(0, greatest(n_chars, 1), 1000)) AS u(t)
+        """,
+    }

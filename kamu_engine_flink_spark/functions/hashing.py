@@ -34,21 +34,26 @@ def word_ngrams(tokens_col: Column, n: int = 3) -> Column:
     )
 
 
+_LONG_MAX = (1 << 63) - 1
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
     """array<long> MinHash signature: element i = min over shingles of
     xxhash64(i, shingle) — xxhash64 over the (seed, value) pair gives k
-    independent hash families from one JVM hash function."""
+    independent hash families from one JVM hash function.
 
-    def _hash_with_seed(seed: int):
-        # Closure factory (pyspark introspects lambda arity — a defaulted
-        # second parameter would be bound to the array index).
-        return lambda s: F.xxhash64(F.lit(seed), s)
-
-    return F.array(
-        *[
-            F.array_min(F.transform(shingles, _hash_with_seed(i)))
-            for i in range(num_hashes)
-        ]
+    Shape matters: a SINGLE fold with an array<long> accumulator
+    (per shingle: k hashes zipped with running minima). The naive form —
+    k separate array_min(transform(...)) branches — builds a k-wide
+    expression tree that takes Catalyst minutes to analyze/codegen."""
+    init = F.array_repeat(F.lit(_LONG_MAX).cast("bigint"), num_hashes)
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    return F.aggregate(
+        shingles,
+        init,
+        lambda acc, s: F.zip_with(
+            acc, F.transform(seeds, lambda i: F.xxhash64(i, s)), lambda a, b: F.least(a, b)
+        ),
     )
 
 
@@ -79,23 +84,47 @@ def lsh_bands(signature: Column, bands: int) -> Column:
 def simhash64(tokens_col: Column) -> Column:
     """64-bit SimHash of a token array, as BIGINT. Bit b of the result is
     set iff the sum over tokens of ±1 (sign of bit b of xxhash64(token))
-    is positive. Pure higher-order functions: one xxhash64 per token, then
-    64 bit-count folds — all inside codegen."""
-    hashes = F.transform(tokens_col, lambda t: F.xxhash64(t))
+    is positive.
 
-    def _fold(shift: int):
-        # Closure factory: pyspark introspects lambda arity, so the shift
-        # amount must not appear as a (defaulted) lambda parameter.
-        return lambda acc, h: acc + (
-            F.shiftrightunsigned(h, shift).bitwiseAND(F.lit(1).cast("bigint")) * 2 - 1
+    Single fold with an array<long> accumulator of 64 running bit-sums
+    (per token: hash once, unpack its 64 bits, zip-add), then one packing
+    fold. The naive 64-separate-aggregates form explodes Catalyst
+    analysis/codegen time."""
+    bit_idx = F.sequence(F.lit(0), F.lit(63))
+    # Single-bit masks; bit 63 as the negative two's-complement long since
+    # 1<<63 overflows a signed literal. Doubles as the packing addend table.
+    powers = F.array(
+        *[F.lit((1 << b) if b < 63 else -(1 << 63)).cast("bigint") for b in range(64)]
+    )
+    one = F.lit(1).cast("bigint")
+    zero = F.lit(0).cast("bigint")
+
+    def _add_token(acc, t):
+        h = F.xxhash64(t)
+        # Bit test via mask AND (shift functions require literal amounts,
+        # but bitwiseAND accepts a column-valued mask).
+        signs = F.transform(
+            bit_idx,
+            lambda b: F.when(h.bitwiseAND(F.element_at(powers, b + 1)) != 0, one).otherwise(-one),
         )
+        return F.zip_with(acc, signs, lambda a, s: a + s)
 
-    packed = F.lit(0).cast("bigint")
-    for b in range(64):  # literal shift amounts (shift functions require them)
-        bit_sum = F.aggregate(hashes, F.lit(0).cast("bigint"), _fold(b))
-        bit = F.when(bit_sum > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-        packed = packed.bitwiseOR(F.shiftleft(bit, b))
-    return packed
+    sums = F.aggregate(
+        tokens_col, F.array_repeat(F.lit(0).cast("bigint"), 64), _add_token
+    )
+    # Pack bit-sums into one long. The sums subtree is bound ONCE as a
+    # lambda variable (single-element array fold) so it isn't re-evaluated
+    # or re-embedded per bit.
+    return F.aggregate(
+        F.array(sums),
+        zero,
+        lambda acc, sarr: F.aggregate(
+            bit_idx,
+            acc,
+            lambda a2, b: a2
+            + F.when(F.element_at(sarr, b + 1) > 0, F.element_at(powers, b + 1)).otherwise(zero),
+        ),
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:

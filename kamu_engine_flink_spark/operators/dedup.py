@@ -38,23 +38,19 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def _minhash_buckets(
     df: DataFrame, text_col: str, id_col: str, num_hashes: int, bands: int, shingle_k: int
 ) -> DataFrame:
-    sig = H.minhash_signature(H.char_shingles(T.normalize_text(F.col(text_col)), shingle_k), num_hashes)
-    rows_per_band = num_hashes // bands
-    banded = df.select(
-        F.col(id_col).alias("__id"),
-        *[
-            F.xxhash64(
-                F.lit(b), F.concat_ws(",", *[F.element_at(sig, b * rows_per_band + r + 1).cast("string") for r in range(rows_per_band)])
-            ).alias(f"__band{b}")
-            for b in range(bands)
-        ],
+    """(id, band, key) bucket rows. The signature is bound to a column
+    FIRST so the (large) minhash fold appears exactly once in the plan;
+    band keys are then cheap slices over that column (functions/hashing
+    lsh_bands). Embedding the signature expression per-band would blow the
+    Catalyst tree up ~bands×."""
+    sig = H.minhash_signature(
+        H.char_shingles(T.normalize_text(F.col(text_col)), shingle_k), num_hashes
     )
-    return banded.select(
-        "__id",
-        F.explode(
-            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"__band{b}").alias("key")) for b in range(bands)])
-        ).alias("bucket"),
-    ).select("__id", "bucket.band", "bucket.key")
+    return (
+        df.select(F.col(id_col).alias("__id"), sig.alias("__sig"))
+        .select("__id", F.explode(H.lsh_bands(F.col("__sig"), bands)).alias("bucket"))
+        .select("__id", F.col("bucket.band").alias("band"), F.col("bucket.key").alias("key"))
+    )
 
 
 def minhash_lsh_pairs(
@@ -95,9 +91,16 @@ def dedup_minhash_lsh(
     exact shingle-set Jaccard before a doc is dropped."""
     pairs = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, shingle_k)
     if jaccard_threshold is not None:
+        # Verify on HASHED shingles: xxhash64 per shingle makes the
+        # array_intersect/union run on bigints and the join shuffle move
+        # 8 bytes per shingle instead of k chars (collisions are ~2^-64
+        # per pair — immaterial to a 0.8 threshold).
         shingled = df.select(
             F.col(id_col).alias("__id"),
-            H.char_shingles(T.normalize_text(F.col(text_col)), shingle_k).alias("__sh"),
+            F.transform(
+                H.char_shingles(T.normalize_text(F.col(text_col)), shingle_k),
+                lambda s: F.xxhash64(s),
+            ).alias("__sh"),
         )
         pairs = (
             pairs.join(shingled.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "__sh_a"), "id_a")

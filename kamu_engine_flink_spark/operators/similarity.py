@@ -49,21 +49,53 @@ def cosine_topk(
     )
 
 
-def _plane_component(seed: int, plane: int, dim: int):
-    """Deterministic pseudo-gaussian plane component in [-1, 1): derived
-    from xxhash64(seed, plane, dim) — uniform is fine for sign-LSH."""
-    h = F.xxhash64(F.lit(seed), F.lit(plane), F.lit(dim))
-    return (h.cast("double") / F.lit(float(2**63)))
+def _plane_values(seed: int, bits: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1), derived from
+    md5(seed, plane, dim) driver-side — uniform is fine for sign-LSH, and
+    literal planes keep the Spark expression tree tiny (no per-component
+    hash nodes)."""
+    import hashlib
+
+    planes = []
+    for p in range(bits):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).digest()
+            v = int.from_bytes(h[:8], "little", signed=False)
+            row.append(v / float(2**63) - 1.0)
+        planes.append(row)
+    return planes
 
 
 def hyperplane_signature(vec, dim: int, bits: int = 16, seed: int = 42):
-    """b-bit sign signature of `vec` (array column, length `dim`)."""
-    sig = F.lit(0).cast("bigint")
-    for p in range(bits):
-        plane = F.array(*[_plane_component(seed, p, d) for d in range(dim)])
-        bit = (V.dot(vec, plane) > 0).cast("bigint")
-        sig = sig.bitwiseOR(F.shiftleft(bit, p))
-    return sig
+    """b-bit sign signature of `vec` (array column, length `dim`).
+
+    One fold over bit indices against a literal plane matrix; the vector
+    column is referenced (not re-embedded) per bit, so the tree stays
+    O(bits*dim) literals + a compact aggregate."""
+    planes = F.array(
+        *[
+            F.array(*[F.lit(v) for v in row])
+            for row in _plane_values(seed, bits, dim)
+        ]
+    )
+    vec_d = F.transform(vec, lambda x: x.cast("double"))
+    powers = F.array(*[F.lit(1 << p).cast("bigint") for p in range(bits)])
+    zero = F.lit(0).cast("bigint")
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        zero,
+        lambda acc, p: acc
+        + F.when(
+            F.aggregate(
+                F.zip_with(vec_d, F.element_at(planes, p + 1), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            > 0,
+            F.element_at(powers, p + 1),
+        ).otherwise(zero),
+    )
 
 
 def hyperplane_lsh_topk(
@@ -76,13 +108,15 @@ def hyperplane_lsh_topk(
     corpus_id: str = "vec_id",
     query_id: str = "query_id",
     vec_col: str = "embedding",
-    multiprobe: bool = True,
+    multiprobe: int = 2,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: join on LSH bucket — candidates are the union
-    over `tables` independent hash tables (plus 1-bit-flip probes of each
-    query signature) — then exact cosine re-ranks. Recall scales with
-    tables/probes, candidate cost with 2^-bits; tune per corpus density."""
+    over `tables` independent hash tables (plus all probes of the query
+    signature within `multiprobe` bit flips) — then exact cosine re-ranks.
+    Recall scales with tables/probes, candidate cost with 2^-bits; tune per
+    corpus density. Probes multiply only the (small) query side — the
+    corpus keeps exactly `tables` bucket rows per vector."""
     c_sigs = [
         F.struct(
             F.lit(t).alias("table"),
@@ -95,19 +129,31 @@ def hyperplane_lsh_topk(
         F.col(vec_col).alias("__cv"),
         F.explode(F.array(*c_sigs)).alias("__sig"),
     )
-    q_probes = []
-    for t in range(tables):
-        qsig = hyperplane_signature(F.col(vec_col), dim, bits, seed + 1000 * t)
-        sigs = [qsig] + (
-            [qsig.bitwiseXOR(F.lit(1 << b).cast("bigint")) for b in range(bits)]
-            if multiprobe
-            else []
-        )
-        q_probes += [F.struct(F.lit(t).alias("table"), s.alias("key")) for s in sigs]
-    q = queries.select(
+    # Bind each per-table query signature to a column first; the 1-bit
+    # multiprobe flips are then cheap XORs of a column reference instead of
+    # (1 + bits) re-embeddings of the signature fold.
+    q_sigged = queries.select(
         F.col(query_id).alias("__qid"),
         F.col(vec_col).alias("__qv"),
-        F.explode(F.array(*q_probes)).alias("__sig"),
+        *[
+            hyperplane_signature(F.col(vec_col), dim, bits, seed + 1000 * t).alias(f"__s{t}")
+            for t in range(tables)
+        ],
+    )
+    flips = [0]
+    if int(multiprobe) >= 1:
+        flips += [1 << b for b in range(bits)]
+    if int(multiprobe) >= 2:
+        flips += [(1 << a) | (1 << b) for a in range(bits) for b in range(a + 1, bits)]
+    q_probes = []
+    for t in range(tables):
+        sigs = [
+            F.col(f"__s{t}") if m == 0 else F.col(f"__s{t}").bitwiseXOR(F.lit(m).cast("bigint"))
+            for m in flips
+        ]
+        q_probes += [F.struct(F.lit(t).alias("table"), s.alias("key")) for s in sigs]
+    q = q_sigged.select(
+        "__qid", "__qv", F.explode(F.array(*q_probes)).alias("__sig")
     )
     cand = c.join(F.broadcast(q), "__sig").withColumn(
         "cosine", V.cosine(F.col("__cv"), F.col("__qv"))
