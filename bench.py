@@ -46,8 +46,14 @@ def main() -> None:
         sf_num = None
 
     spark = engine_session(app_name="kamu-engine-spark-bench")
-    # Warm the JVM/codegen once; excluded from per-query timings.
+    # Warm the JVM/codegen and the Arrow/Python-UDF worker pool once
+    # (a real cluster's executors are warm); excluded from per-query timings.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    from pyspark.sql.functions import lit
+
+    from kamu_engine_flink_spark.functions.minhash_pandas import shingle_hashes_fast
+
+    spark.range(0, 1000, 1, 32).select(shingle_hashes_fast(lit("warm up text"), 3)).count()
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}

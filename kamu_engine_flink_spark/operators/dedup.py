@@ -20,8 +20,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import hashing as H
+from ..functions import minhash_pandas as MP
 from ..functions import text as T
 from ..functions import vectors as V
+from ..functions.partitioning import spread
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -38,16 +40,16 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def _minhash_buckets(
     df: DataFrame, text_col: str, id_col: str, num_hashes: int, bands: int, shingle_k: int
 ) -> DataFrame:
-    """(id, band, key) bucket rows. The signature is bound to a column
-    FIRST so the (large) minhash fold appears exactly once in the plan;
-    band keys are then cheap slices over that column (functions/hashing
-    lsh_bands). Embedding the signature expression per-band would blow the
-    Catalyst tree up ~bands×."""
-    sig = H.minhash_signature(
-        H.char_shingles(T.normalize_text(F.col(text_col)), shingle_k), num_hashes
+    """(id, band, key) bucket rows. Signature computation is the
+    vectorized numpy Pandas UDF (functions/minhash_pandas.py — the
+    pure-expression form is interpreted CodegenFallback and ~100x
+    slower); normalization stays JVM-side, band keys are cheap slices
+    over the bound signature column (functions/hashing lsh_bands)."""
+    sig = MP.minhash_signature_fast(
+        T.normalize_text(F.col(text_col)), num_hashes, shingle_k
     )
     return (
-        df.select(F.col(id_col).alias("__id"), sig.alias("__sig"))
+        spread(df).select(F.col(id_col).alias("__id"), sig.alias("__sig"))
         .select("__id", F.explode(H.lsh_bands(F.col("__sig"), bands)).alias("bucket"))
         .select("__id", F.col("bucket.band").alias("band"), F.col("bucket.key").alias("key"))
     )
@@ -91,16 +93,13 @@ def dedup_minhash_lsh(
     exact shingle-set Jaccard before a doc is dropped."""
     pairs = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, shingle_k)
     if jaccard_threshold is not None:
-        # Verify on HASHED shingles: xxhash64 per shingle makes the
-        # array_intersect/union run on bigints and the join shuffle move
-        # 8 bytes per shingle instead of k chars (collisions are ~2^-64
-        # per pair — immaterial to a 0.8 threshold).
-        shingled = df.select(
+        # Verify on HASHED shingles (numpy UDF — the expression form is
+        # interpreted and dominates runtime): array_intersect/union run on
+        # bigints and the join shuffle moves 8 bytes per shingle instead
+        # of k chars (collisions ~2^-64/pair — immaterial at 0.8).
+        shingled = spread(df).select(
             F.col(id_col).alias("__id"),
-            F.transform(
-                H.char_shingles(T.normalize_text(F.col(text_col)), shingle_k),
-                lambda s: F.xxhash64(s),
-            ).alias("__sh"),
+            MP.shingle_hashes_fast(T.normalize_text(F.col(text_col)), shingle_k).alias("__sh"),
         )
         pairs = (
             pairs.join(shingled.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "__sh_a"), "id_a")
@@ -125,7 +124,7 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash: 4x16-bit bands (pigeonhole: hamming<=3
     guarantees one identical band), verified with exact bit_count."""
-    sim = df.select(
+    sim = spread(df).select(
         F.col(id_col).alias("__id"), H.simhash64(T.tokens(F.col(text_col))).alias("__sim")
     )
     bands = sim.select(
