@@ -223,6 +223,47 @@ def window_sliding_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) per user — beyond the
+    reference (tumbling only); Spark session_window merges natively, the
+    oracle proves it against a gaps-and-islands SQL formulation."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+def agg_rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (subtotals + grand total) — free via Catalyst;
+    level derived from key nullness so the oracle is engine-neutral."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.when(F.col("l_returnflag").isNull(), F.lit(2))
+            .when(F.col("l_linestatus").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("level"),
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
 def topn_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-N pattern (EngineTopNTest): row_number + rank filter, with a
     total deterministic order (price DESC, orderkey ASC)."""
@@ -449,6 +490,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chained_multistep": chained_multistep,
         "window_tumbling_daily": window_tumbling_daily,
         "window_sliding_2h": window_sliding_2h,
+        "window_session_30m": window_session_30m,
+        "agg_rollup_flag_status": agg_rollup_flag_status,
         "topn_orders_per_customer": topn_orders_per_customer,
         "asof_join_purchase_value": asof_join_purchase_value,
         "interval_join_clicks": interval_join_clicks,
@@ -588,6 +631,35 @@ def oracle_sql() -> dict[str, str]:
                                date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws
                 FROM events
             ) GROUP BY ws
+        """,
+        "window_session_30m": """
+            WITH marked AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), sessions AS (
+                SELECT user_id, ts,
+                       SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM marked
+            )
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   epoch_us(MIN(ts)) AS session_start_us,
+                   epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM sessions GROUP BY user_id, session_id
+        """,
+        "agg_rollup_flag_status": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(CASE WHEN l_returnflag IS NULL THEN 2
+                             WHEN l_linestatus IS NULL THEN 1
+                             ELSE 0 END AS BIGINT) AS level,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "topn_orders_per_customer": """
             SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
