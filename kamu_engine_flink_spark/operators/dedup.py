@@ -37,22 +37,37 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def _minhash_buckets(
-    df: DataFrame, text_col: str, id_col: str, num_hashes: int, bands: int, shingle_k: int
+def _minhash_sigs(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int, shingle_k: int
 ) -> DataFrame:
-    """(id, band, key) bucket rows. Signature computation is the
-    vectorized numpy Pandas UDF (functions/minhash_pandas.py — the
-    pure-expression form is interpreted CodegenFallback and ~100x
-    slower); normalization stays JVM-side, band keys are cheap slices
-    over the bound signature column (functions/hashing lsh_bands)."""
+    """(__id, __sig) — signature computation is the vectorized numpy
+    Pandas UDF (functions/minhash_pandas.py — the pure-expression form is
+    interpreted CodegenFallback and ~100x slower); normalization stays
+    JVM-side codegen."""
     sig = MP.minhash_signature_fast(
         T.normalize_text(F.col(text_col)), num_hashes, shingle_k
     )
+    return spread(df).select(F.col(id_col).alias("__id"), sig.alias("__sig"))
+
+
+def _minhash_buckets(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int, bands: int, shingle_k: int
+) -> DataFrame:
+    """(id, band, key) bucket rows: cheap slices of the bound signature
+    column (functions/hashing lsh_bands)."""
     return (
-        spread(df).select(F.col(id_col).alias("__id"), sig.alias("__sig"))
+        _minhash_sigs(df, text_col, id_col, num_hashes, shingle_k)
         .select("__id", F.explode(H.lsh_bands(F.col("__sig"), bands)).alias("bucket"))
         .select("__id", F.col("bucket.band").alias("band"), F.col("bucket.key").alias("key"))
     )
+
+
+def _estimated_jaccard(sig_a, sig_b):
+    """MinHash estimator: fraction of matching signature components
+    (unbiased; stderr ~= sqrt(j(1-j)/k), ~0.05 at k=64, j=0.8)."""
+    return F.size(
+        F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda m: m)
+    ) / F.size(sig_a)
 
 
 def minhash_lsh_pairs(
@@ -88,15 +103,38 @@ def dedup_minhash_lsh(
     bands: int = 16,
     shingle_k: int = 5,
     jaccard_threshold: float | None = 0.8,
+    verify: str = "estimate",
 ) -> DataFrame:
-    """Smaller-id-wins MinHash dedup; candidates optionally verified with
-    exact shingle-set Jaccard before a doc is dropped."""
+    """Smaller-id-wins MinHash dedup.
+
+    verify='estimate' (default, the 100 TB path): candidates are verified
+    with the MinHash-estimated Jaccard — one extra join against the
+    (id, signature) relation, no second pass over the corpus text.
+    verify='exact': recompute exact Jaccard over hashed shingle sets —
+    a second corpus-wide UDF pass plus two array joins; use when the
+    threshold must be sharp. verify=None / jaccard_threshold=None: trust
+    the banding alone."""
+    if verify not in ("estimate", "exact", None):
+        raise ValueError(f"verify must be 'estimate', 'exact' or None, got {verify!r}")
     pairs = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, shingle_k)
-    if jaccard_threshold is not None:
-        # Verify on HASHED shingles (numpy UDF — the expression form is
-        # interpreted and dominates runtime): array_intersect/union run on
-        # bigints and the join shuffle moves 8 bytes per shingle instead
-        # of k chars (collisions ~2^-64/pair — immaterial at 0.8).
+    if jaccard_threshold is not None and verify == "estimate":
+        sigs = _minhash_sigs(df, text_col, id_col, num_hashes, shingle_k)
+        pairs = (
+            pairs.join(
+                sigs.select(F.col("__id").alias("id_a"), F.col("__sig").alias("__sig_a")), "id_a"
+            )
+            .join(
+                sigs.select(F.col("__id").alias("id_b"), F.col("__sig").alias("__sig_b")), "id_b"
+            )
+            .filter(
+                _estimated_jaccard(F.col("__sig_a"), F.col("__sig_b")) >= jaccard_threshold
+            )
+            .select("id_a", "id_b")
+        )
+    elif jaccard_threshold is not None and verify == "exact":
+        # Exact Jaccard on HASHED shingles (numpy UDF; array_intersect and
+        # the join shuffle run on bigints — 8 bytes per shingle, collision
+        # odds ~2^-64/pair).
         shingled = spread(df).select(
             F.col(id_col).alias("__id"),
             MP.shingle_hashes_fast(T.normalize_text(F.col(text_col)), shingle_k).alias("__sh"),
