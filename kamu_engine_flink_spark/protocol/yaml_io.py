@@ -123,15 +123,24 @@ def load_raw_query_request(path: str) -> RawQueryRequest:
         return parse_raw_query_request(yaml.safe_load(f))
 
 
-def dump_response(resp: TransformResponse | RawQueryResponse, path: str) -> None:
-    def _clean(obj: Any) -> Any:
-        if isinstance(obj, dict):
-            return {k: _clean(v) for k, v in obj.items() if v is not None}
-        if isinstance(obj, list):
-            return [_clean(v) for v in obj]
-        if isinstance(obj, datetime):
-            return obj.astimezone(timezone.utc).isoformat().replace("+00:00", "Z")
-        return obj
+def _clean(obj: Any) -> Any:
+    if isinstance(obj, dict):
+        return {k: _clean(v) for k, v in obj.items() if v is not None}
+    if isinstance(obj, list):
+        return [_clean(v) for v in obj]
+    if isinstance(obj, datetime):
+        return obj.astimezone(timezone.utc).isoformat().replace("+00:00", "Z")
+    return obj
 
+
+def dump_response(resp: TransformResponse | RawQueryResponse, path: str) -> None:
     with open(path, "w") as f:
         yaml.safe_dump(_clean(asdict(resp)), f, sort_keys=False)
+
+
+def dump_request(req: TransformRequest | RawQueryRequest, path: str) -> None:
+    """Serialize a request to its engine-side YAML IR (snake_case keys —
+    the loader accepts both spellings). Used by the adapter layer
+    (adapter.rs:120-125 writes request.yaml the same way)."""
+    with open(path, "w") as f:
+        yaml.safe_dump(_clean(asdict(req)), f, sort_keys=False)
