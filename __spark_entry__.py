@@ -419,6 +419,20 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k (no oracle: approximate by design; recall asserted
+    against the exact path in tests/test_similarity.py)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = S.ivf_topk(e, q, k=5, nlist=16, nprobe=4)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "cosine",
+    )
+
+
 def text_analysis_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = analyze_documents(_t(spark, sf_dir, "documents"))
     return d.select(
@@ -503,6 +517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": embedding_near_dup,
         "similarity_cosine_topk": similarity_cosine_topk,
         "similarity_lsh_topk": similarity_lsh_topk,
+        "similarity_ivf_topk": similarity_ivf_topk,
         "text_analysis_documents": text_analysis_documents,
         "multimodal_image_meta": multimodal_image_meta,
         "multimodal_frame_sample": multimodal_frame_sample,

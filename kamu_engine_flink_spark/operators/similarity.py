@@ -10,16 +10,25 @@ Two paths, same results contract (top-k neighbors per query):
   b-bit signature (sign of dot with b pseudo-random planes); candidates
   share a signature bucket (with multi-probe on 1-bit flips), then exact
   cosine re-ranks. Sub-linear candidate sets at 100 TB; recall tunable via
-  bits/probes. Planes are derived deterministically from a seed via
-  xxhash64 so results are reproducible with no stored model.
+  bits/probes. Planes are derived deterministically from a seed so results
+  are reproducible with no stored model.
+- `ivf_topk` — inverted-file index: spherical k-means centroids trained
+  driver-side on a bounded deterministic sample, broadcast into a
+  vectorized assignment UDF; corpus bucketed by nearest centroid, queries
+  probe their `nprobe` nearest clusters, exact cosine re-ranks.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
 
 from ..functions import vectors as V
+from ..functions.partitioning import spread
 
 
 def cosine_topk(
@@ -162,6 +171,91 @@ def hyperplane_lsh_topk(
     return (
         cand.select("__qid", "__cid", "cosine")
         .distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__cid").alias(corpus_id),
+            F.col("rank"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
+def _train_centroids(
+    corpus: DataFrame, vec_col: str, id_col: str, nlist: int, sample_size: int, iters: int
+) -> np.ndarray:
+    """Driver-side spherical k-means on a deterministic, hash-ordered
+    sample (bounded collect — model training, not data processing). Init
+    = first nlist sample points; ties/empty clusters keep their previous
+    centroid, so the result is reproducible run-to-run."""
+    sample = (
+        corpus.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col).cast("string")).alias("h"))
+        .orderBy("h")
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.array([r.v for r in sample], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    c = x[:nlist].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(nlist):
+            members = x[assign == j]
+            if len(members):
+                m = members.sum(axis=0)
+                c[j] = m / max(np.linalg.norm(m), 1e-12)
+    return c
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    sample_size: int = 2048,
+    train_iters: int = 5,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: centroids trained once on
+    the driver, broadcast inside a vectorized assignment UDF; the corpus
+    is bucketed by nearest centroid (ONE narrow pass, no shuffle of the
+    vectors beyond the bucket join); each query probes its `nprobe`
+    nearest clusters and exact cosine re-ranks the candidates. At 100 TB
+    the cluster assignment is a cheap matmul per Arrow batch and the
+    candidate set shrinks by ~nlist/nprobe."""
+    cents = _train_centroids(corpus, vec_col, corpus_id, nlist, sample_size, train_iters)
+
+    def _assign_factory(top: int):
+        @pandas_udf(ArrayType(LongType()))
+        def assign(vecs: pd.Series) -> pd.Series:
+            x = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+            x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            scores = x @ cents.T
+            order = np.argsort(-scores, axis=1)[:, :top]
+            return pd.Series([row.astype(np.int64) for row in order])
+
+        return assign
+
+    c = spread(corpus).select(
+        F.col(corpus_id).alias("__cid"),
+        F.col(vec_col).alias("__cv"),
+        F.element_at(_assign_factory(1)(F.col(vec_col)), 1).alias("__cluster"),
+    )
+    q = queries.select(
+        F.col(query_id).alias("__qid"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(_assign_factory(nprobe)(F.col(vec_col))).alias("__cluster"),
+    )
+    cand = c.join(F.broadcast(q), "__cluster").withColumn(
+        "cosine", V.cosine(F.col("__cv"), F.col("__qv"))
+    )
+    w = Window.partitionBy("__qid").orderBy(F.desc("cosine"), F.asc("__cid"))
+    return (
+        cand.select("__qid", "__cid", "cosine")
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(

@@ -46,3 +46,18 @@ def test_lsh_topk_recall(embeddings):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
     # self-match always lands in the same bucket
     assert all((q, q) in approx_set for q in range(10))
+
+
+def test_ivf_topk_recall(embeddings):
+    """IVF with nprobe=3/nlist=8 recovers most of the exact top-5; a
+    query's own vector always lands in its probed (nearest) cluster."""
+    queries = embeddings.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(embeddings, queries, k=5)
+    approx = similarity.ivf_topk(embeddings, queries, k=5, nlist=8, nprobe=3)
+    exact_set = {(r.query_id, r.vec_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    assert all((q, q) in approx_set for q in range(10))
