@@ -90,10 +90,12 @@ def _open_input(spark: SparkSession, input_def: TransformRequestInput) -> DataFr
         df = df.filter(
             (F.col(vocab.offset_column) >= oi.start) & (F.col(vocab.offset_column) <= oi.end)
         )
-    # Ledger order must not depend on file listing order: sort by offset.
-    df = df.orderBy(F.col(vocab.offset_column).asc())
-    # Strip offset/system_time; keep `op` visible (§1.4) and keep the
-    # ledger offset as the internal sequencing column.
+    # No input-side sort: ledger order is carried relationally by the
+    # offset (as `__seq`) and re-imposed only where emission order needs
+    # it (output assembly order_cols, Top-N state fold). A global
+    # orderBy here would be a full sort+exchange of every input per
+    # invocation that no downstream operator could rely on anyway (joins
+    # and aggs destroy physical order).
     df = df.withColumn(SEQ, F.col(vocab.offset_column))
     return df.drop(vocab.offset_column, vocab.system_time_column)
 
