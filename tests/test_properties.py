@@ -1,0 +1,64 @@
+"""Property-based tests (hypothesis) for the driver-side numeric kernels.
+
+These run without a SparkSession: functions/minhash_pandas.py's shingle
+hashing and signature math are pure numpy, so statistical properties of
+the MinHash estimator can be checked densely and fast.
+"""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kamu_engine_flink_spark.functions.minhash_pandas import (
+    _families,
+    _shingle_hashes,
+    minhash_signature_udf,  # noqa: F401 — import proves udf construction works
+)
+
+_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _signature(shingles: np.ndarray, k: int = 64) -> np.ndarray:
+    a, b = _families(k)
+    with np.errstate(over="ignore"):
+        return ((a[:, None] * shingles[None, :] + b[:, None]) & _MASK).min(axis=1)
+
+
+def _exact_jaccard(x: np.ndarray, y: np.ndarray) -> float:
+    inter = len(np.intersect1d(x, y))
+    union = len(np.union1d(x, y))
+    return inter / union if union else 1.0
+
+
+words = st.text(alphabet="abcdefgh ", min_size=0, max_size=200)
+
+
+@settings(max_examples=50, deadline=None)
+@given(words)
+def test_shingle_hashes_deterministic_and_distinct(text):
+    h1 = _shingle_hashes(text.encode(), 5)
+    h2 = _shingle_hashes(text.encode(), 5)
+    assert np.array_equal(h1, h2)
+    assert len(np.unique(h1)) == len(h1)
+    assert len(h1) >= 1  # short text is padded to one shingle
+
+
+@settings(max_examples=30, deadline=None)
+@given(words, words)
+def test_minhash_estimator_tracks_exact_jaccard(t1, t2):
+    """|estimate - exact| stays within ~5.6 sigma of the k=64 estimator
+    (sigma = sqrt(j(1-j)/64) <= 0.0625) — a bound violated with
+    probability ~1e-8 per example if the estimator is unbiased."""
+    s1 = _shingle_hashes(t1.encode(), 5)
+    s2 = _shingle_hashes(t2.encode(), 5)
+    exact = _exact_jaccard(s1, s2)
+    est = float(np.mean(_signature(s1) == _signature(s2)))
+    assert abs(est - exact) <= 0.35
+
+
+@settings(max_examples=20, deadline=None)
+@given(words)
+def test_minhash_identity(text):
+    s = _shingle_hashes(text.encode(), 5)
+    assert np.array_equal(_signature(s), _signature(s.copy()))
+    assert _exact_jaccard(s, s) == 1.0
