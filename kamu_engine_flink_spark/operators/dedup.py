@@ -50,18 +50,6 @@ def _minhash_sigs(
     return spread(df).select(F.col(id_col).alias("__id"), sig.alias("__sig"))
 
 
-def _minhash_buckets(
-    df: DataFrame, text_col: str, id_col: str, num_hashes: int, bands: int, shingle_k: int
-) -> DataFrame:
-    """(id, band, key) bucket rows: cheap slices of the bound signature
-    column (functions/hashing lsh_bands)."""
-    return (
-        _minhash_sigs(df, text_col, id_col, num_hashes, shingle_k)
-        .select("__id", F.explode(H.lsh_bands(F.col("__sig"), bands)).alias("bucket"))
-        .select("__id", F.col("bucket.band").alias("band"), F.col("bucket.key").alias("key"))
-    )
-
-
 def _estimated_jaccard(sig_a, sig_b):
     """MinHash estimator: fraction of matching signature components
     (unbiased; stderr ~= sqrt(j(1-j)/k), ~0.05 at k=64, j=0.8)."""
@@ -77,10 +65,20 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_k: int = 5,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) that share at least one
-    LSH band. One shuffle on (band, key); skew-safe under AQE."""
-    buckets = _minhash_buckets(df, text_col, id_col, num_hashes, bands, shingle_k)
+    LSH band. One shuffle on (band, key); skew-safe under AQE.
+
+    `sigs`: optional precomputed (__id, __sig) relation. Pass a persisted
+    one when the caller also needs signatures downstream — the self-join
+    below evaluates its input subtree twice, so an unpersisted signature
+    UDF would run two corpus passes here alone."""
+    if sigs is None:
+        sigs = _minhash_sigs(df, text_col, id_col, num_hashes, shingle_k)
+    buckets = sigs.select(
+        "__id", F.explode(H.lsh_bands(F.col("__sig"), bands)).alias("bucket")
+    ).select("__id", F.col("bucket.band").alias("band"), F.col("bucket.key").alias("key"))
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -116,9 +114,13 @@ def dedup_minhash_lsh(
     the banding alone."""
     if verify not in ("estimate", "exact", None):
         raise ValueError(f"verify must be 'estimate', 'exact' or None, got {verify!r}")
-    pairs = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, shingle_k)
+    # The signature relation feeds the bucket self-join (twice, branch
+    # duplication) and both verification joins. Persist it so the Pandas-UDF
+    # corpus pass runs exactly once per action — at 100 TB this is the
+    # difference between one and four full scans of the corpus text.
+    sigs = _minhash_sigs(df, text_col, id_col, num_hashes, shingle_k).persist()
+    pairs = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, shingle_k, sigs=sigs)
     if jaccard_threshold is not None and verify == "estimate":
-        sigs = _minhash_sigs(df, text_col, id_col, num_hashes, shingle_k)
         pairs = (
             pairs.join(
                 sigs.select(F.col("__id").alias("id_a"), F.col("__sig").alias("__sig_a")), "id_a"
