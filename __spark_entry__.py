@@ -264,6 +264,103 @@ def agg_rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semi_join_returned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / left-semi join (TPC-H Q4 shape): orders with at least one
+    returned lineitem, counted per priority. Catalyst plans a semi join —
+    the probe side never materializes lineitem columns."""
+    o = _t(spark, sf_dir, "orders")
+    ret = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(ret, o.o_orderkey == ret.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+
+
+def anti_join_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS / left-anti join (TPC-H Q22 shape): customers with no
+    orders since 1998, counted per market segment with their balance sum
+    (the date filter keeps the result non-empty on the synthetic data, so
+    the check exercises real anti-join rows)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "1998-01-01")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum(_dec(F.col("c_acctbal"))).cast("double").alias("sum_acctbal"),
+        )
+    )
+
+
+def lag_lead_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics over the event stream: per-user gap to the
+    previous event and the next event's type (SURVEY §2.B 'other analytic
+    functions' row — available-but-unexercised in the reference)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (all 4 grouping combinations) — free via Catalyst;
+    level bits derived from key nullness keep the oracle engine-neutral."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(_dec(F.col("o_totalprice"))).cast("double").alias("sum_price"),
+        )
+        .select(
+            "o_orderstatus",
+            "o_orderpriority",
+            (
+                F.when(F.col("o_orderstatus").isNull(), 2).otherwise(0)
+                + F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("level"),
+            "n_orders",
+            "sum_price",
+        )
+    )
+
+
+def formats_try_cast_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRY_CAST to DECIMAL(13,4) with NULL on overflow/garbage — the
+    EngineFormatsTest.scala:53-101 contract, over string-rendered bigints
+    (integer-to-string rendering is identical across engines)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.select(
+        F.col("l_orderkey").cast("long").alias("l_orderkey"),
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        F.expr("CAST(try_cast(l_returnflag AS DECIMAL(13,4)) AS DOUBLE)").alias("garbage_cast"),
+        F.expr(
+            "CAST(try_cast(CAST(l_orderkey * 100000 AS STRING) AS DECIMAL(13,4)) AS DOUBLE)"
+        ).alias("overflow_cast"),
+        F.expr(
+            "CAST(try_cast(CAST(CAST(l_quantity AS BIGINT) AS STRING) AS DECIMAL(13,4)) AS DOUBLE)"
+        ).alias("qty_cast"),
+    )
+
+
+def setops_nation_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (INTERSECT / EXCEPT / UNION ALL): nation keys that
+    have both customers and suppliers vs customer-only."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").cast("long").alias("nationkey")).distinct()
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").cast("long").alias("nationkey")).distinct()
+    both = c.intersect(s).select(F.lit("both").alias("tag"), "nationkey")
+    cust_only = c.exceptAll(s).select(F.lit("cust_only").alias("tag"), "nationkey")
+    return both.unionAll(cust_only)
+
+
 def topn_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-N pattern (EngineTopNTest): row_number + rank filter, with a
     total deterministic order (price DESC, orderkey ASC)."""
@@ -506,6 +603,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_sliding_2h": window_sliding_2h,
         "window_session_30m": window_session_30m,
         "agg_rollup_flag_status": agg_rollup_flag_status,
+        "semi_join_returned_orders": semi_join_returned_orders,
+        "anti_join_inactive_customers": anti_join_inactive_customers,
+        "lag_lead_user_events": lag_lead_user_events,
+        "cube_orders_status_priority": cube_orders_status_priority,
+        "formats_try_cast_decimal": formats_try_cast_decimal,
+        "setops_nation_coverage": setops_nation_coverage,
         "topn_orders_per_customer": topn_orders_per_customer,
         "asof_join_purchase_value": asof_join_purchase_value,
         "interval_join_clicks": interval_join_clicks,
@@ -675,6 +778,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
                    CAST(COUNT(*) AS BIGINT) AS n_rows
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "semi_join_returned_orders": """
+            SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+            GROUP BY o_orderpriority
+        """,
+        "anti_join_inactive_customers": """
+            SELECT c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                              AND o.o_orderdate >= TIMESTAMP '1998-01-01')
+            GROUP BY c_mktsegment
+        """,
+        "lag_lead_user_events": """
+            SELECT CAST(event_id AS BIGINT) AS event_id,
+                   CAST(user_id AS BIGINT) AS user_id,
+                   epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us,
+                   lead(event_type) OVER w AS next_type
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "cube_orders_status_priority": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(CASE WHEN o_orderstatus IS NULL THEN 2 ELSE 0 END
+                        + CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END AS BIGINT) AS level,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "formats_try_cast_decimal": """
+            SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+                   CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   CAST(TRY_CAST(l_returnflag AS DECIMAL(13,4)) AS DOUBLE) AS garbage_cast,
+                   CAST(TRY_CAST(CAST(l_orderkey * 100000 AS VARCHAR) AS DECIMAL(13,4)) AS DOUBLE) AS overflow_cast,
+                   CAST(TRY_CAST(CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS DECIMAL(13,4)) AS DOUBLE) AS qty_cast
+            FROM lineitem
+        """,
+        "setops_nation_coverage": """
+            SELECT 'both' AS tag, CAST(nationkey AS BIGINT) AS nationkey FROM (
+                SELECT DISTINCT c_nationkey AS nationkey FROM customer
+                INTERSECT
+                SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+            )
+            UNION ALL
+            SELECT 'cust_only' AS tag, CAST(nationkey AS BIGINT) AS nationkey FROM (
+                SELECT DISTINCT c_nationkey AS nationkey FROM customer
+                EXCEPT
+                SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+            )
         """,
         "topn_orders_per_customer": """
             SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
