@@ -89,3 +89,170 @@ def test_incremental_window_agg_across_runs(spark, dirs):
     assert [(r[1], r[2], r[3]) for r in new] == [("A", 11, 11)]
     # Day-1 windows did not re-emit (exactly-once append across runs).
     assert len(out2) == len(out1) + 1
+
+
+# ---------------------------------------------------------------------------
+# Stream-to-stream interval join (always-on mode)
+# ---------------------------------------------------------------------------
+
+from kamu_engine_flink_spark.streaming.structured import (  # noqa: E402
+    StreamingDedup,
+    StreamingIntervalJoin,
+)
+
+
+def _orders_slice(path, rows):
+    cols = list(zip(*rows)) if rows else [[], [], []]
+    pq.write_table(
+        pa.table(
+            {
+                "order_time": pa.array(list(cols[0]), pa.timestamp("ms", tz="UTC")),
+                "order_id": pa.array(list(cols[1]), pa.int64()),
+                "quantity": pa.array(list(cols[2]), pa.int32()),
+            }
+        ),
+        path,
+        compression="snappy",
+    )
+
+
+def _shipments_slice(path, rows):
+    cols = list(zip(*rows)) if rows else [[], [], []]
+    pq.write_table(
+        pa.table(
+            {
+                "ship_time": pa.array(list(cols[0]), pa.timestamp("ms", tz="UTC")),
+                "ship_order_id": pa.array(list(cols[1]), pa.int64()),
+                "shipped": pa.array(list(cols[2]), pa.int32()),
+            }
+        ),
+        path,
+        compression="snappy",
+    )
+
+
+@pytest.fixture()
+def join_dirs(tmp_path):
+    d = {k: str(tmp_path / k) for k in ["orders", "shipments", "chk", "out"]}
+    os.makedirs(d["orders"])
+    os.makedirs(d["shipments"])
+    return d
+
+
+def _join_job(d, how):
+    return StreamingIntervalJoin(
+        left_dir=d["orders"],
+        right_dir=d["shipments"],
+        checkpoint_dir=d["chk"],
+        output_dir=d["out"],
+        left_time="order_time",
+        right_time="ship_time",
+        equi_keys=[("order_id", "ship_order_id")],
+        lower="0 seconds",
+        upper="2 days",
+        watermark_delay_left="1 hour",
+        watermark_delay_right="1 hour",
+        how=how,
+    )
+
+
+def test_streaming_interval_join_matches_across_runs(spark, join_dirs):
+    """The reference's cross-invocation scenario
+    (EngineJoinStreamToStreamTest.scala:178-226): an order from run 1 is
+    matched by a shipment that only arrives in run 2 — the join buffer
+    lives in the checkpoint."""
+    job = _join_job(join_dirs, "inner")
+
+    _orders_slice(
+        os.path.join(join_dirs["orders"], "s1.parquet"),
+        [(ts(1, 1), 1, 10), (ts(2, 1), 2, 20)],
+    )
+    _shipments_slice(
+        os.path.join(join_dirs["shipments"], "s1.parquet"),
+        [(ts(1, 2), 1, 10)],
+    )
+    job.run_available_now(spark)
+    out1 = sorted(
+        (r.order_id, r.shipped) for r in spark.read.parquet(join_dirs["out"]).collect()
+    )
+    assert out1 == [(1, 10)]
+
+    # Run 2: shipment for order 2 arrives within the interval.
+    _shipments_slice(
+        os.path.join(join_dirs["shipments"], "s2.parquet"),
+        [(ts(2, 3), 2, 20)],
+    )
+    job.run_available_now(spark)
+    out2 = sorted(
+        (r.order_id, r.shipped) for r in spark.read.parquet(join_dirs["out"]).collect()
+    )
+    assert out2 == [(1, 10), (2, 20)]
+
+
+def test_streaming_interval_join_left_outer_null_pads_on_expiry(spark, join_dirs):
+    """LEFT join: the unmatched order is emitted null-padded only once the
+    watermarks prove no match can arrive (order 3 from run 1 emitted in a
+    later run — EngineJoinStreamToStreamTest.scala:222-225)."""
+    job = _join_job(join_dirs, "left_outer")
+
+    _orders_slice(
+        os.path.join(join_dirs["orders"], "s1.parquet"),
+        [(ts(1, 1), 1, 10), (ts(3, 1), 3, 30)],
+    )
+    _shipments_slice(
+        os.path.join(join_dirs["shipments"], "s1.parquet"),
+        [(ts(1, 2), 1, 10)],
+    )
+    job.run_available_now(spark)
+    out1 = sorted(
+        (r.order_id, r.shipped) for r in spark.read.parquet(join_dirs["out"]).collect()
+    )
+    # Order 3's horizon (order_time + 2 days + delay) hasn't passed.
+    assert out1 == [(1, 10)]
+
+    # Run 2: far-future rows on both sides push both watermarks past
+    # order 3's horizon -> null-padded row flushes.
+    _orders_slice(
+        os.path.join(join_dirs["orders"], "s2.parquet"), [(ts(20, 1), 99, 1)]
+    )
+    _shipments_slice(
+        os.path.join(join_dirs["shipments"], "s2.parquet"), [(ts(20, 1), 99, 1)]
+    )
+    job.run_available_now(spark)
+    rows = spark.read.parquet(join_dirs["out"]).collect()
+    padded = [(r.order_id, r.shipped) for r in rows if r.shipped is None]
+    assert padded == [(3, None)]
+
+
+def test_streaming_dedup_within_watermark(spark, dirs):
+    """First occurrence per key wins; duplicates within the watermark
+    horizon are dropped, including across runs via checkpointed state."""
+    job = StreamingDedup(
+        input_dir=dirs["in"],
+        checkpoint_dir=dirs["chk"],
+        output_dir=dirs["out"],
+        keys=["symbol"],
+        event_time_col="event_time",
+        watermark_delay="1 day",
+    )
+    _slice(
+        os.path.join(dirs["in"], "s1.parquet"),
+        [(ts(1, 1), "A", 10), (ts(1, 2), "A", 12), (ts(1, 1), "B", 20)],
+    )
+    job.run_available_now(spark)
+    out1 = sorted(
+        (r.symbol, r.price) for r in spark.read.parquet(dirs["out"]).collect()
+    )
+    assert out1 == [("A", 10), ("B", 20)]
+
+    # Run 2: another A duplicate within the horizon is dropped via state
+    # restored from the checkpoint; C is new and passes.
+    _slice(
+        os.path.join(dirs["in"], "s2.parquet"),
+        [(ts(1, 3), "A", 13), (ts(1, 2), "C", 30)],
+    )
+    job.run_available_now(spark)
+    out2 = sorted(
+        (r.symbol, r.price) for r in spark.read.parquet(dirs["out"]).collect()
+    )
+    assert out2 == [("A", 10), ("B", 20), ("C", 30)]
