@@ -28,6 +28,8 @@ HEADLINE = [
     "q6_forecast_revenue",
     "window_tumbling_daily",
     "topn_orders_per_customer",
+    "semi_join_returned_orders",
+    "cube_orders_status_priority",
     "asof_join_purchase_value",
     "interval_join_clicks",
     "dedup_exact_documents",

@@ -66,6 +66,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_k: int = 5,
     sigs: DataFrame | None = None,
+    dedupe: bool = True,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) that share at least one
     LSH band. One shuffle on (band, key); skew-safe under AQE.
@@ -73,7 +74,12 @@ def minhash_lsh_pairs(
     `sigs`: optional precomputed (__id, __sig) relation. Pass a persisted
     one when the caller also needs signatures downstream — the self-join
     below evaluates its input subtree twice, so an unpersisted signature
-    UDF would run two corpus passes here alone."""
+    UDF would run two corpus passes here alone.
+
+    `dedupe=False` skips the distinct (saves a shuffle): use when the
+    caller tolerates one pair row per shared band — e.g. a cheap per-pair
+    verification followed by its own aggregation (duplicates are bounded
+    by `bands`)."""
     if sigs is None:
         sigs = _minhash_sigs(df, text_col, id_col, num_hashes, shingle_k)
     buckets = sigs.select(
@@ -81,16 +87,13 @@ def minhash_lsh_pairs(
     ).select("__id", F.col("bucket.band").alias("band"), F.col("bucket.key").alias("key"))
     a = buckets.alias("a")
     b = buckets.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.__id") < F.col("b.__id")),
-        )
-        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .distinct()
-    )
+    pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col("a.__id") < F.col("b.__id")),
+    ).select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+    return pairs.distinct() if dedupe else pairs
 
 
 def dedup_minhash_lsh(
@@ -119,7 +122,15 @@ def dedup_minhash_lsh(
     # corpus pass runs exactly once per action — at 100 TB this is the
     # difference between one and four full scans of the corpus text.
     sigs = _minhash_sigs(df, text_col, id_col, num_hashes, shingle_k).persist()
-    pairs = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, shingle_k, sigs=sigs)
+    # Pair-level distinct is redundant for the estimate/None paths: the
+    # per-band duplicate pairs (bounded by `bands`) are either filtered by
+    # the cheap signature comparison or collapsed by the losers distinct
+    # below — skipping it saves a full pairs shuffle. The exact path keeps
+    # it so each candidate joins the heavy shingle arrays once.
+    pairs = minhash_lsh_pairs(
+        df, text_col, id_col, num_hashes, bands, shingle_k,
+        sigs=sigs, dedupe=(verify == "exact"),
+    )
     if jaccard_threshold is not None and verify == "estimate":
         pairs = (
             pairs.join(
