@@ -432,6 +432,231 @@ def interval_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-nation trade flow. Both nation dims broadcast;
+    the fact side shuffles once for the final group-by."""
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    supp_n = F.broadcast(n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")))
+    cust_n = F.broadcast(n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(supp_n, s.s_nationkey == F.col("sn_key"))
+        .join(cust_n, c.c_nationkey == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+def q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation — promo revenue share. The
+    ratio divides two exact decimal sums rendered to identical doubles."""
+    p = _t(spark, sf_dir, "part")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-07-01")
+    )
+    rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,4)")))
+            .cast("double")
+            .alias("promo_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+        .select(
+            (F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue")).alias("promo_pct"),
+            "promo_revenue",
+            "total_revenue",
+        )
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: scalar-subquery max — supplier(s) whose quarterly
+    revenue equals the global maximum. Exercises the SQL path with a CTE
+    reused by both the probe and the scalar subquery."""
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("__q15_supplier")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__q15_lineitem")
+    return spark.sql(
+        """
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+                       AS total_revenue
+            FROM __q15_lineitem
+            WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM __q15_supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        """
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated aggregate subquery — revenue from
+    lineitems below half their part's average quantity. The per-part avg is
+    exact (integer-valued double quantities), so the comparison is
+    deterministic; Catalyst turns the correlation into a broadcast join."""
+    l = _t(spark, sf_dir, "lineitem")
+    part_avg = l.groupBy(F.col("l_partkey").alias("pa_key")).agg(
+        (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        l.join(F.broadcast(part_avg), l.l_partkey == F.col("pa_key"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice"))).cast("double").alias("small_qty_revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: group-having semi-filter — orders whose total
+    quantity exceeds 250, with customer attribution."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs join predicates (brand x size x quantity
+    branches) — exercises Catalyst's disjunction handling over a broadcast
+    join; the common half-open quantity bound still pushes to the scan."""
+    p = _t(spark, sf_dir, "part")
+    l = _t(spark, sf_dir, "lineitem")
+    branch1 = (F.col("p_brand") == "Brand#11") & (F.col("p_size") <= 5) & (F.col("l_quantity") < 11)
+    branch2 = (F.col("p_brand") == "Brand#22") & (F.col("p_size") <= 10) & (F.col("l_quantity") < 21)
+    branch3 = (F.col("p_brand") == "Brand#33") & (F.col("p_size") <= 15) & (F.col("l_quantity") < 31)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(branch1 | branch2 | branch3)
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+def pivot_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per market segment x order status. Explicit pivot
+    values keep the plan a single pass (no distinct-values pre-query)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "c_mktsegment",
+            F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("n_open"),
+            F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("n_fulfilled"),
+            F.coalesce(F.col("P"), F.lit(0)).cast("long").alias("n_pending"),
+        )
+    )
+
+
+def groupingsets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (two independent rollup axes + grand total) —
+    distinct from ROLLUP/CUBE; level derived from key nullness."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(CASE WHEN o_orderstatus IS NULL AND o_orderpriority IS NULL THEN 2
+                         WHEN o_orderstatus IS NULL THEN 1
+                         ELSE 0 END AS BIGINT) AS level,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+def stats_moments_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical moments (mean / sample variance / stddev) per event type,
+    computed from exact decimal power sums so the doubles are identical in
+    any engine and any aggregation order — the scale-safe way to get exact
+    second moments distributed."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("sum_v"),
+            F.sum((F.col("value") * F.col("value")).cast("decimal(28,10)")).cast("double").alias("sum_v2"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round(F.col("sum_v") / F.col("n"), 6).alias("mean_v"),
+            F.round(
+                (F.col("sum_v2") - F.col("sum_v") * F.col("sum_v") / F.col("n")) / (F.col("n") - 1), 6
+            ).alias("var_v"),
+            F.round(
+                F.sqrt((F.col("sum_v2") - F.col("sum_v") * F.col("sum_v") / F.col("n")) / (F.col("n") - 1)),
+                6,
+            ).alias("stddev_v"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Training-pipeline operators (beyond-reference, driver north star)
 # --------------------------------------------------------------------------
@@ -609,6 +834,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_orders_status_priority": cube_orders_status_priority,
         "formats_try_cast_decimal": formats_try_cast_decimal,
         "setops_nation_coverage": setops_nation_coverage,
+        "q7_nation_trade": q7_nation_trade,
+        "q10_returned_customers": q10_returned_customers,
+        "q14_promo_share": q14_promo_share,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q18_large_orders": q18_large_orders,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "pivot_segment_status": pivot_segment_status,
+        "groupingsets_status_priority": groupingsets_status_priority,
+        "stats_moments_by_type": stats_moments_by_type,
         "topn_orders_per_customer": topn_orders_per_customer,
         "asof_join_purchase_value": asof_join_purchase_value,
         "interval_join_clicks": interval_join_clicks,
@@ -831,6 +1066,117 @@ def oracle_sql() -> dict[str, str]:
                 EXCEPT
                 SELECT DISTINCT s_nationkey AS nationkey FROM supplier
             )
+        """,
+        "q7_nation_trade": """
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+                   CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+            JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+            WHERE sn.n_name <> cn.n_name
+            GROUP BY 1, 2, 3
+        """,
+        "q10_returned_customers": """
+            SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+                   CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE l.l_returnflag = 'R'
+            GROUP BY 1, 2, 3, 4
+            ORDER BY revenue DESC, c.c_custkey ASC LIMIT 20
+        """,
+        "q14_promo_share": """
+            WITH sums AS (
+                SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                                     THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
+                                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
+                       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+                WHERE l.l_shipdate >= TIMESTAMP '1997-01-01' AND l.l_shipdate < TIMESTAMP '1997-07-01'
+            )
+            SELECT 100.0 * promo_revenue / total_revenue AS promo_pct,
+                   promo_revenue, total_revenue
+            FROM sums
+        """,
+        "q15_top_supplier": """
+            WITH revenue AS (
+                SELECT l_suppkey AS supplier_no,
+                       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+                           AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s.s_suppkey, s.s_name, r.total_revenue
+            FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+            WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        """,
+        "q17_small_quantity_revenue": """
+            SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS small_qty_revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM lineitem l
+            JOIN (SELECT l_partkey, SUM(l_quantity) / COUNT(*) AS avg_qty
+                  FROM lineitem GROUP BY l_partkey) pa
+              ON l.l_partkey = pa.l_partkey
+            WHERE l.l_quantity < 0.5 * pa.avg_qty
+        """,
+        "q18_large_orders": """
+            SELECT c.c_custkey, c.c_name, o.o_orderkey,
+                   CAST(o.o_orderdate AS DATE) AS order_date,
+                   o.o_totalprice, big.sum_qty
+            FROM orders o
+            JOIN (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+                  FROM lineitem GROUP BY l_orderkey
+                  HAVING SUM(l_quantity) > 250) big
+              ON o.o_orderkey = big.l_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "q19_disjunctive_revenue": """
+            SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE (p.p_brand = 'Brand#11' AND p.p_size <= 5 AND l.l_quantity < 11)
+               OR (p.p_brand = 'Brand#22' AND p.p_size <= 10 AND l.l_quantity < 21)
+               OR (p.p_brand = 'Brand#33' AND p.p_size <= 15 AND l.l_quantity < 31)
+        """,
+        "pivot_segment_status": """
+            SELECT c.c_mktsegment,
+                   CAST(SUM(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+                   CAST(SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_fulfilled,
+                   CAST(SUM(CASE WHEN o.o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1
+        """,
+        "groupingsets_status_priority": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(CASE WHEN o_orderstatus IS NULL AND o_orderpriority IS NULL THEN 2
+                             WHEN o_orderstatus IS NULL THEN 1
+                             ELSE 0 END AS BIGINT) AS level,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """,
+        "stats_moments_by_type": """
+            WITH sums AS (
+                SELECT event_type,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_v,
+                       CAST(SUM(CAST(value * value AS DECIMAL(28,10))) AS DOUBLE) AS sum_v2
+                FROM events GROUP BY event_type
+            )
+            SELECT event_type, n,
+                   round(sum_v / n, 6) AS mean_v,
+                   round((sum_v2 - sum_v * sum_v / n) / (n - 1), 6) AS var_v,
+                   round(sqrt((sum_v2 - sum_v * sum_v / n) / (n - 1)), 6) AS stddev_v
+            FROM sums
         """,
         "topn_orders_per_customer": """
             SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (

@@ -30,6 +30,8 @@ HEADLINE = [
     "topn_orders_per_customer",
     "semi_join_returned_orders",
     "cube_orders_status_priority",
+    "q7_nation_trade",
+    "q18_large_orders",
     "asof_join_purchase_value",
     "interval_join_clicks",
     "dedup_exact_documents",
