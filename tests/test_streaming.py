@@ -224,6 +224,66 @@ def test_streaming_interval_join_left_outer_null_pads_on_expiry(spark, join_dirs
     assert padded == [(3, None)]
 
 
+def _scores_slice(path, rows):
+    cols = list(zip(*rows)) if rows else [[], [], []]
+    pq.write_table(
+        pa.table(
+            {
+                "game": pa.array(list(cols[0]), pa.string()),
+                "player_id": pa.array(list(cols[1]), pa.int64()),
+                "score": pa.array(list(cols[2]), pa.float64()),
+            }
+        ),
+        path,
+        compression="snappy",
+    )
+
+
+def test_streaming_topn_changelog_corrections_across_runs(spark, dirs):
+    """The reference's ranked-changelog scenario (EngineTopNTest.scala:
+    92-128): run 1 publishes the Top-2; a better score arriving in run 2
+    corrects place 2 with a CorrectFrom/CorrectTo (op=2/3) pair, via
+    ranking state restored from the stream checkpoint."""
+    from kamu_engine_flink_spark.streaming.structured import StreamingTopN
+
+    job = StreamingTopN(
+        input_dir=dirs["in"],
+        checkpoint_dir=dirs["chk"],
+        output_dir=dirs["out"],
+        n=2,
+        id_col="player_id",
+        score_col="score",
+        partition_col="game",
+    )
+    _scores_slice(
+        os.path.join(dirs["in"], "s1.parquet"),
+        [("chess", 1, 10.0), ("chess", 2, 8.0), ("go", 7, 5.0)],
+    )
+    job.run_available_now(spark)
+    out1 = sorted(
+        (r.scope, r.op, r.place, r.id, r.score)
+        for r in spark.read.parquet(dirs["out"]).collect()
+    )
+    assert out1 == [
+        ("chess", 0, 1, 1, 10.0),
+        ("chess", 0, 2, 2, 8.0),
+        ("go", 0, 1, 7, 5.0),
+    ]
+
+    # Run 2: player 3 scores 9.0 in chess -> displaces player 2 at place 2.
+    _scores_slice(os.path.join(dirs["in"], "s2.parquet"), [("chess", 3, 9.0)])
+    job.run_available_now(spark)
+    out2 = sorted(
+        (r.scope, r.op, r.place, r.id, r.score)
+        for r in spark.read.parquet(dirs["out"]).collect()
+    )
+    new = sorted(set(out2) - set(out1))
+    assert new == [
+        ("chess", 2, 2, 2, 8.0),  # CorrectFrom: old occupant of place 2
+        ("chess", 3, 2, 3, 9.0),  # CorrectTo: new occupant
+    ]
+
+
 def test_streaming_dedup_within_watermark(spark, dirs):
     """First occurrence per key wins; duplicates within the watermark
     horizon are dropped, including across runs via checkpointed state."""
