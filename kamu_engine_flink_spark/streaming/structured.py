@@ -194,6 +194,163 @@ class StreamingDedup:
         _run_available_now(self._plan(spark), self.checkpoint_dir, self.output_dir)
 
 
+_ASOF_OUTPUT = StructType(
+    [
+        StructField("pk", StringType()),
+        StructField("probe_ts_ms", LongType()),
+        StructField("probe_val", DoubleType()),
+        StructField("version_val", DoubleType()),
+    ]
+)
+_ASOF_STATE = StructType(
+    [
+        StructField("v_ts", ArrayType(LongType())),
+        StructField("v_val", ArrayType(DoubleType())),
+        StructField("p_ts", ArrayType(LongType())),
+        StructField("p_val", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _asof_join_fn(how: str):
+    """Per-key stateful as-of kernel. A probe row at time t must join the
+    LATEST version with ts <= t — and that answer is only final once the
+    watermark passes t (no earlier-timestamped version can still arrive).
+    So: buffer probes; on every invocation emit the ones the watermark has
+    finalized; schedule an event-time timeout at the earliest pending
+    probe so the group is re-invoked when the watermark reaches it (the
+    no-data micro-batch after each run fires these).
+
+    State is bounded: versions strictly older than the newest
+    version <= watermark are pruned — every surviving future probe has
+    ts >= watermark, so that newest version shadows all older ones. This
+    is the invariant that keeps per-key state O(active horizon), not
+    O(history), at 100 TB."""
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        wm = state.getCurrentWatermarkMs()
+        if state.exists:
+            v_ts, v_val, p_ts, p_val = state.get
+            versions = list(zip(v_ts, v_val))
+            pending = list(zip(p_ts, p_val))
+        else:
+            versions, pending = [], []
+        for pdf in pdfs:
+            ts_ms = (pdf["__ts"].astype("int64") // 1_000_000).tolist()
+            for kind, t, val in zip(pdf["__kind"].tolist(), ts_ms, pdf["__val"].tolist()):
+                if kind == "v":
+                    versions.append((t, val))
+                else:
+                    pending.append((t, val))
+        versions.sort()
+        out = []
+        still_pending = []
+        for t, val in sorted(pending):
+            if t <= wm:
+                vmatch = None
+                for vt, vv in versions:
+                    if vt <= t:
+                        vmatch = vv
+                    else:
+                        break
+                if vmatch is not None or how == "left":
+                    out.append((key[0], t, val, vmatch))
+            else:
+                still_pending.append((t, val))
+        # Prune versions shadowed by the newest one at/below the watermark.
+        latest_final = None
+        for i, (vt, _) in enumerate(versions):
+            if vt <= wm:
+                latest_final = i
+            else:
+                break
+        if latest_final is not None and latest_final > 0:
+            versions = versions[latest_final:]
+        state.update(
+            (
+                [t for t, _ in versions],
+                [v for _, v in versions],
+                [t for t, _ in still_pending],
+                [v for _, v in still_pending],
+            )
+        )
+        if still_pending:
+            state.setTimeoutTimestamp(min(t for t, _ in still_pending))
+        if out:
+            yield pd.DataFrame(out, columns=["pk", "probe_ts_ms", "probe_val", "version_val"])
+
+    return fn
+
+
+@dataclass
+class StreamingAsOfJoin:
+    """Always-on temporal/as-of join — the reference's temporal table join
+    (README 'Temporal Table Joins', TransformEngine.scala:163-200) as a
+    CUSTOM STATEFUL OPERATOR on applyInPandasWithState, since Structured
+    Streaming has no stream-stream as-of join.
+
+    Both inputs are unioned into one keyed stream (version rows tagged
+    'v', probe rows 'p'), each side watermarked on its own event time; the
+    global watermark is their min, so "watermark passed the probe's time"
+    guarantees the version history at that time is complete on BOTH
+    sides — the same finality rule Flink's temporal join applies before
+    emitting. A probe emitted in run N may therefore have arrived in run
+    N-1 (version/probe buffers ride the checkpoint), mirroring the
+    cross-invocation scenario in EngineJoinStreamToTemporalTableTest.
+
+    `how`: 'inner' (probe with no version <= t is dropped — Flink
+    `LATERAL TABLE` semantics) or 'left' (emitted with NULL version).
+    The batch counterpart is operators/temporal_join.py."""
+
+    version_dir: str
+    probe_dir: str
+    checkpoint_dir: str
+    output_dir: str
+    pk_col: str = "pk"
+    version_time: str = "event_time"
+    version_value: str = "value"
+    probe_time: str = "event_time"
+    probe_value: str = "value"
+    watermark_delay: str = "0 seconds"
+    how: str = "inner"
+    version_schema: StructType | None = None
+    probe_schema: StructType | None = None
+
+    def _tagged(self, spark: SparkSession, d: str, schema, kind: str, pk: str, ts: str, val: str) -> DataFrame:
+        return (
+            _file_stream(spark, d, schema)
+            .withWatermark(ts, self.watermark_delay)
+            .select(
+                F.col(pk).cast("string").alias("__pk"),
+                F.lit(kind).alias("__kind"),
+                F.col(ts).alias("__ts"),
+                F.col(val).cast("double").alias("__val"),
+            )
+        )
+
+    def _plan(self, spark: SparkSession) -> DataFrame:
+        versions = self._tagged(
+            spark, self.version_dir, self.version_schema, "v",
+            self.pk_col, self.version_time, self.version_value,
+        )
+        probes = self._tagged(
+            spark, self.probe_dir, self.probe_schema, "p",
+            self.pk_col, self.probe_time, self.probe_value,
+        )
+        return versions.unionByName(probes).groupBy("__pk").applyInPandasWithState(
+            _asof_join_fn(self.how),
+            outputStructType=_ASOF_OUTPUT,
+            stateStructType=_ASOF_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+
+    def run_available_now(self, spark: SparkSession) -> None:
+        _run_available_now(self._plan(spark), self.checkpoint_dir, self.output_dir)
+
+
 _TOPN_OUTPUT = StructType(
     [
         StructField("scope", StringType()),

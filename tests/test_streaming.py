@@ -284,6 +284,99 @@ def test_streaming_topn_changelog_corrections_across_runs(spark, dirs):
     ]
 
 
+def _kv_slice(path, rows):
+    cols = list(zip(*rows)) if rows else [[], [], []]
+    pq.write_table(
+        pa.table(
+            {
+                "pk": pa.array(list(cols[0]), pa.string()),
+                "event_time": pa.array(list(cols[1]), pa.timestamp("ms", tz="UTC")),
+                "value": pa.array(list(cols[2]), pa.float64()),
+            }
+        ),
+        path,
+        compression="snappy",
+    )
+
+
+@pytest.fixture()
+def asof_dirs(tmp_path):
+    d = {k: str(tmp_path / k) for k in ["versions", "probes", "chk", "out"]}
+    os.makedirs(d["versions"])
+    os.makedirs(d["probes"])
+    return d
+
+
+def test_streaming_asof_join_finalizes_on_watermark_across_runs(spark, asof_dirs):
+    """Temporal join in always-on mode: a probe emits only once the global
+    (min-of-sides) watermark passes its time — proving no earlier version
+    can still arrive — so the day-2 probe buffered in run 1 emits in run 2
+    with the day-1 version, and a version-less probe null-pads under
+    how='left' (EngineJoinStreamToTemporalTableTest cross-run scenario)."""
+    from kamu_engine_flink_spark.streaming.structured import StreamingAsOfJoin
+
+    job = StreamingAsOfJoin(
+        version_dir=asof_dirs["versions"],
+        probe_dir=asof_dirs["probes"],
+        checkpoint_dir=asof_dirs["chk"],
+        output_dir=asof_dirs["out"],
+        how="left",
+    )
+    # Run 1: version A@day1=100; probes A@day2, B@day2. Version-side
+    # watermark is only day1 -> neither probe is final yet.
+    _kv_slice(os.path.join(asof_dirs["versions"], "s1.parquet"), [("A", ts(1), 100.0)])
+    _kv_slice(
+        os.path.join(asof_dirs["probes"], "s1.parquet"),
+        [("A", ts(2), 5.0), ("B", ts(2), 7.0)],
+    )
+    job.run_available_now(spark)
+    assert _asof_out(spark, asof_dirs["out"]) == []
+
+    # Run 2: version A@day3=110 and probe A@day4 push both watermarks to
+    # >= day2 -> run-1 probes finalize: A joins the day-1 version (the
+    # day-3 version is later than the probe), B has none -> NULL.
+    _kv_slice(os.path.join(asof_dirs["versions"], "s2.parquet"), [("A", ts(3), 110.0)])
+    _kv_slice(os.path.join(asof_dirs["probes"], "s2.parquet"), [("A", ts(4), 6.0)])
+    job.run_available_now(spark)
+    assert _asof_out(spark, asof_dirs["out"]) == [
+        ("A", ts(2), 5.0, 100.0),
+        ("B", ts(2), 7.0, None),
+    ]
+
+    # Run 3: watermarks reach day9 -> the day-4 probe emits with the NEWER
+    # day-3 version (proving version state advanced and pruning kept
+    # correctness), and the day-9 probe finalizes at the watermark
+    # boundary (wm >= t) with the same-timestamp day-9 version (vt <= t
+    # is inclusive, the as-of convention).
+    _kv_slice(os.path.join(asof_dirs["versions"], "s3.parquet"), [("A", ts(9), 120.0)])
+    _kv_slice(os.path.join(asof_dirs["probes"], "s3.parquet"), [("A", ts(9), 1.0)])
+    job.run_available_now(spark)
+    assert _asof_out(spark, asof_dirs["out"]) == [
+        ("A", ts(2), 5.0, 100.0),
+        ("A", ts(4), 6.0, 110.0),
+        ("A", ts(9), 1.0, 120.0),
+        ("B", ts(2), 7.0, None),
+    ]
+
+
+def _asof_out(spark, path):
+    try:
+        rows = spark.read.parquet(path).collect()
+    except Exception:
+        return []
+    from datetime import datetime, timezone
+
+    return sorted(
+        (
+            r.pk,
+            datetime.fromtimestamp(r.probe_ts_ms / 1000, tz=timezone.utc),
+            r.probe_val,
+            r.version_val,
+        )
+        for r in rows
+    )
+
+
 def test_streaming_dedup_within_watermark(spark, dirs):
     """First occurrence per key wins; duplicates within the watermark
     horizon are dropped, including across runs via checkpointed state."""
