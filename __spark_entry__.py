@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kamu_engine_flink_spark.operators import dedup as D
+from kamu_engine_flink_spark.operators import graph as G
 from kamu_engine_flink_spark.operators import multimodal as M
 from kamu_engine_flink_spark.operators import similarity as S
 from kamu_engine_flink_spark.operators.temporal_join import with_validity
@@ -704,6 +705,23 @@ def ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_clusters_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: exact n-gram Jaccard pairs -> connected
+    components (iterative min-label propagation, operators/graph.py) ->
+    per-doc cluster id / size / representative flag. The oracle replays
+    the same transitive closure as a DuckDB recursive CTE, so the whole
+    iterative distributed algorithm is value-checked."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5, block_col="lang")
+    out = G.dedup_clusters(d.select("doc_id"), pairs, "doc_id")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        "is_representative",
+    )
+
+
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs. Threshold 0.45 is tuned to the
     synthetic testdata (max pairwise cosine ~0.51 — no planted dups), so
@@ -852,6 +870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_documents": dedup_minhash_documents,
         "dedup_simhash_documents": dedup_simhash_documents,
         "ngram_jaccard_documents": ngram_jaccard_documents,
+        "dedup_clusters_ngram": dedup_clusters_ngram,
         "embedding_near_dup": embedding_near_dup,
         "similarity_cosine_topk": similarity_cosine_topk,
         "similarity_lsh_topk": similarity_lsh_topk,
@@ -1234,6 +1253,33 @@ def oracle_sql() -> dict[str, str]:
             FROM g a JOIN g b ON a.id < b.id AND a.lang = b.lang
             WHERE len(list_intersect(a.ng, b.ng)) /
                   greatest(len(list_distinct(list_concat(a.ng, b.ng))), 1) >= 0.5
+        """,
+        "dedup_clusters_ngram": f"""
+            WITH RECURSIVE g AS (
+                SELECT doc_id AS id, lang, {_NGRAMS} AS ng FROM documents
+            ), p AS (
+                SELECT a.id AS id_a, b.id AS id_b
+                FROM g a JOIN g b ON a.id < b.id AND a.lang = b.lang
+                WHERE len(list_intersect(a.ng, b.ng)) /
+                      greatest(len(list_distinct(list_concat(a.ng, b.ng))), 1) >= 0.5
+            ), edges AS (
+                SELECT id_a AS u, id_b AS v FROM p
+                UNION
+                SELECT id_b AS u, id_a AS v FROM p
+            ), reach(u, lab) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.u
+            ), comp AS (
+                SELECT u AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY u
+            ), sizes AS (
+                SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id
+            )
+            SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+                   CAST(c.cluster_id AS BIGINT) AS cluster_id,
+                   CAST(s.cluster_size AS BIGINT) AS cluster_size,
+                   c.doc_id = c.cluster_id AS is_representative
+            FROM comp c JOIN sizes s USING (cluster_id)
         """,
         "embedding_near_dup": """
             WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
