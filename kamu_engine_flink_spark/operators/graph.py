@@ -8,24 +8,42 @@ then {A,B,C} is one cluster and one representative survives. The
 reference engine has nothing like this (its surface is per-row SQL); it
 is a first-class training-pipeline operator here.
 
-Algorithm: iterative min-label propagation. Every node starts labeled
-with itself; each round, every node takes the min label in its
-neighborhood (both edge directions); stop when no label changes. Rounds
-= graph diameter, and near-dup graphs are unions of small quasi-cliques
-(diameter 2-4), so 3-5 rounds cover real corpora. Each round is one
-shuffle on the node id — the driver loop only orchestrates; all data
-movement is distributed joins, no collect() of nodes or edges. The
-convergence check is a count of changed labels (a cheap aggregate per
-round). This is the standard Spark formulation (cf. GraphX/GraphFrames'
-label-propagation CC); for adversarial long-chain graphs, swap in
+Algorithm: iterative min-label propagation with pointer jumping. Every
+node starts labeled with itself; each round, every node takes the min
+label in its neighborhood (both edge directions), then follows its
+label's label (path halving). Neighbor propagation alone needs
+diameter rounds; the jump halves label-chain length every round, giving
+O(log diameter) rounds overall — the same asymptotics as
 large-star/small-star (Kiveris et al., "Connected Components in
-MapReduce and Beyond") — same per-round plan shape, O(log n) rounds.
+MapReduce and Beyond") with a simpler per-round plan: two keyed joins
+and a min-aggregate, all distributed; the driver loop only orchestrates
+and reads one scalar (changed-label count) per round for convergence.
+Near-dup graphs are unions of small quasi-cliques, so real corpora
+converge in 2-4 rounds; the log bound is the safety net for adversarial
+chains.
+
+Each round checkpoints the label table to truncate lineage: the pointer
+jump references the round's candidate labels twice (a self-join), so
+without truncation the logical plan doubles per round and the optimizer
+dies on an exponential tree long before the data is big. Reliable
+checkpoints are used when the session has a checkpoint dir configured
+(cluster mode — survives executor loss); otherwise localCheckpoint
+(executor-local, fine for single-node and tests).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _truncate_lineage(df: DataFrame) -> DataFrame:
+    """Materialize and cut the logical plan. Iterative self-referencing
+    plans grow exponentially otherwise."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir():
+        return df.checkpoint()
+    return df.localCheckpoint()
 
 
 def connected_components(
@@ -47,11 +65,12 @@ def connected_components(
         .unionAll(edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
         .distinct()
     )
-    labels = nodes.select(F.col(id_col).alias("u"), F.col(id_col).alias("component"))
+    labels = _truncate_lineage(
+        nodes.select(F.col(id_col).alias("u"), F.col(id_col).alias("component"))
+    )
     sym = sym.persist()
     try:
         for _ in range(max_iter):
-            labels = labels.persist()
             # min label among self + neighbors (neighbor labels arrive by
             # joining each edge's far end to its current label).
             neighbor_min = (
@@ -59,22 +78,36 @@ def connected_components(
                 .groupBy("u")
                 .agg(F.min("component").alias("n_component"))
             )
-            new_labels = (
-                labels.join(neighbor_min, "u", "left")
+            cand = labels.join(neighbor_min, "u", "left").select(
+                "u",
+                F.least(
+                    F.col("component"), F.coalesce("n_component", "component")
+                ).alias("component"),
+            )
+            # The self-join below reads cand twice; persist so the
+            # join+aggregate above runs once, not twice.
+            cand = cand.persist()
+            # Pointer jump (path halving): follow the label's own label.
+            # Labels are always node ids, so the self-join always hits.
+            ptr = cand.select(
+                F.col("u").alias("c_u"), F.col("component").alias("c_comp")
+            )
+            new_labels = _truncate_lineage(
+                cand.join(ptr, cand["component"] == ptr["c_u"], "left")
                 .select(
-                    "u",
+                    cand["u"],
                     F.least(
-                        F.col("component"), F.coalesce("n_component", "component")
+                        cand["component"],
+                        F.coalesce(ptr["c_comp"], cand["component"]),
                     ).alias("component"),
                 )
             )
-            new_labels = new_labels.persist()
             changed = (
                 new_labels.join(labels.withColumnRenamed("component", "old"), "u")
                 .filter(F.col("component") != F.col("old"))
                 .count()
             )
-            labels.unpersist()
+            cand.unpersist()
             labels = new_labels
             if changed == 0:
                 break
