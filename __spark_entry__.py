@@ -593,6 +593,308 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated-min supplier selection. The testdata has
+    no partsupp table, so the part-supplier offer relation is derived from
+    lineitem (unit_cost = MIN(extendedprice/quantity) per pair); the
+    correlated 'cheapest supplier in region' subquery becomes a window MIN
+    over the part key — one shuffle instead of a re-scan probe. Dims
+    (supplier x nation x region, size-15 parts) broadcast."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    offers = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.greatest(F.col("l_quantity"), F.lit(1.0))).alias(
+            "unit_cost"
+        )
+    )
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eu_offers = offers.join(F.broadcast(eu), offers.l_suppkey == eu.s_suppkey).withColumn(
+        "best_cost", F.min("unit_cost").over(Window.partitionBy("l_partkey"))
+    )
+    return (
+        eu_offers.filter(F.col("unit_cost") == F.col("best_cost"))
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .select(
+            F.col("p_partkey").cast("long").alias("p_partkey"),
+            "p_brand",
+            "s_name",
+            "n_name",
+            F.col("l_suppkey").cast("long").alias("s_suppkey"),
+            "s_acctbal",
+            F.round("unit_cost", 6).alias("unit_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), F.asc("p_partkey"), F.asc("s_suppkey"))
+        .limit(100)
+    )
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS-correlated semi-join — orders in a quarter
+    with at least one lineitem shipped >60 days after the order date.
+    Expressed as a left-semi join (equi key + range residual) so Catalyst
+    dedups matches without materializing them."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    waited = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey)
+        & (l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return waited.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("order_count")
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — one nation's slice of
+    STANDARD-part revenue sold into AMERICA, per year. The ratio divides
+    two exact decimal sums from the same grouped pass (no second scan)."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    amer_nat = (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    supp_n = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    vol = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(amer_nat), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(supp_n), s.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_7", vol).otherwise(zero))
+            .cast("double")
+            .alias("nation_volume"),
+            F.sum(vol).cast("double").alias("total_volume"),
+        )
+        .select(
+            "o_year",
+            "nation_volume",
+            "total_volume",
+            (F.col("nation_volume") / F.col("total_volume")).alias("mkt_share"),
+        )
+    )
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-line profit by supplier nation and year.
+    No ps_supplycost in the testdata — cost is modeled as
+    retailprice x quantity x 0.01. Revenue and cost are summed as separate
+    exact decimals (both per-row amounts are non-negative, so decimal
+    rounding is engine-identical) and differenced once at the end."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    cost = _dec(F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.01))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(rev).cast("double").alias("gross_revenue"),
+            F.sum(cost).cast("double").alias("supply_cost"),
+        )
+        .withColumn("profit", F.col("gross_revenue") - F.col("supply_cost"))
+    )
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: HAVING against a global scalar subquery — parts
+    whose inventory value (from three nations' suppliers) exceeds a fixed
+    fraction of the total. The scalar total is a broadcast single-row
+    cross join, so the grouped relation is scanned once."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    )
+    val = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(_dec(F.col("l_extendedprice"))).alias("v"))
+    )
+    total = val.agg(F.sum("v").cast("double").alias("total_v"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("v").cast("double") > 0.001 * F.col("total_v"))
+        .select(
+            F.col("l_partkey").cast("long").alias("part_key"),
+            F.col("v").cast("double").alias("value"),
+        )
+    )
+
+
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional priority counts over late shipments
+    (shipped 30+ days after ordering) in one year. No l_shipmode column —
+    l_linestatus plays the grouping dimension."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: two-level aggregation — per-customer order counts
+    (LEFT join keeps zero-order customers) rolled into a count-of-counts
+    distribution."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy(F.col("c_count").cast("long").alias("c_count")).agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute with a
+    NOT-IN exclusion (suppliers in arrears), as a left-anti join. The
+    part-supplier relation is the distinct (partkey, suppkey) projection
+    of lineitem."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#11")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35, 40, 45)
+    )
+    ps = l.select("l_partkey", "l_suppkey").distinct()
+    neg = s.filter(F.col("s_acctbal") < 0).select(F.col("s_suppkey").alias("bad_key"))
+    return (
+        ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .join(F.broadcast(neg), ps.l_suppkey == F.col("bad_key"), "left_anti")
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN with a correlated quantity threshold —
+    suppliers who shipped more than 2.5x the per-supplier average of a
+    'small%' part's volume in 1997. The correlated subquery pair becomes
+    two stacked aggregations over the same year slice + a semi join."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    ss = (
+        l.filter((F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_dec(F.col("l_quantity"))).cast("double").alias("supp_qty"))
+    )
+    pt = ss.groupBy(F.col("l_partkey").alias("pt_key")).agg(
+        F.sum(_dec(F.col("supp_qty"))).cast("double").alias("total_qty"),
+        F.count(F.lit(1)).alias("n_supp"),
+    )
+    excess = (
+        ss.join(pt, ss.l_partkey == F.col("pt_key"))
+        .join(F.broadcast(p), ss.l_partkey == p.p_partkey)
+        .filter(F.col("supp_qty") > F.lit(2.5) * F.col("total_qty") / F.col("n_supp"))
+        .select(F.col("l_suppkey").alias("ex_key"))
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(excess, s.s_suppkey == F.col("ex_key"), "left_semi")
+        .select(F.col("s_suppkey").cast("long").alias("s_suppkey"), "s_name", "n_name")
+    )
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who alone held up multi-supplier orders
+    (late = shipped >60 days after ordering, order status F). The classic
+    EXISTS / NOT-EXISTS self-join pair collapses into one per-order
+    aggregate (distinct suppliers vs distinct late suppliers) — a single
+    extra shuffle instead of two correlated probes of lineitem."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    ordstat = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_orderkey").alias("os_key"))
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+        )
+    )
+    return (
+        l.join(o.filter(F.col("o_orderstatus") == "F"), l.l_orderkey == o.o_orderkey)
+        .filter(late)
+        .join(ordstat, l.l_orderkey == F.col("os_key"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )
+
+
+def q22_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: global-average scalar subquery + anti join —
+    above-average-balance customers with no orders since 2000, grouped by
+    nation. The average is an exact decimal sum divided once (identical
+    doubles in any engine); the NOT EXISTS is a left-anti join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    pos = c.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(_dec(F.col("c_acctbal"))).cast("double") / F.count(F.lit(1))).alias("avg_bal")
+    )
+    recent = o.filter(F.col("o_orderdate") >= "2000-01-01").select(
+        F.col("o_custkey").alias("r_key")
+    )
+    return (
+        c.crossJoin(F.broadcast(pos))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, c.c_custkey == F.col("r_key"), "left_anti")
+        .groupBy(F.col("c_nationkey").cast("long").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.sum(_dec(F.col("c_acctbal"))).cast("double").alias("totacctbal"),
+        )
+    )
+
+
 def pivot_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: order counts per market segment x order status. Explicit pivot
     values keep the plan a single pass (no distinct-values pre-query)."""
@@ -852,13 +1154,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_orders_status_priority": cube_orders_status_priority,
         "formats_try_cast_decimal": formats_try_cast_decimal,
         "setops_nation_coverage": setops_nation_coverage,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q4_order_priority": q4_order_priority,
         "q7_nation_trade": q7_nation_trade,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
         "q10_returned_customers": q10_returned_customers,
+        "q11_important_parts": q11_important_parts,
+        "q12_late_shipment_priority": q12_late_shipment_priority,
+        "q13_order_count_distribution": q13_order_count_distribution,
         "q14_promo_share": q14_promo_share,
         "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_part_counts": q16_supplier_part_counts,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q18_large_orders": q18_large_orders,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q20_excess_suppliers": q20_excess_suppliers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "q22_lapsed_customers": q22_lapsed_customers,
         "pivot_segment_status": pivot_segment_status,
         "groupingsets_status_priority": groupingsets_status_priority,
         "stats_moments_by_type": stats_moments_by_type,
@@ -1086,6 +1399,38 @@ def oracle_sql() -> dict[str, str]:
                 SELECT DISTINCT s_nationkey AS nationkey FROM supplier
             )
         """,
+        "q2_min_cost_supplier": """
+            WITH offers AS (
+                SELECT l_partkey, l_suppkey,
+                       MIN(l_extendedprice / greatest(l_quantity, 1.0)) AS unit_cost
+                FROM lineitem GROUP BY 1, 2
+            ), eu AS (
+                SELECT s_suppkey, s_name, s_acctbal, n_name
+                FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'EUROPE'
+            ), eu_offers AS (
+                SELECT o.l_partkey, o.l_suppkey, o.unit_cost, e.s_name, e.s_acctbal, e.n_name,
+                       MIN(o.unit_cost) OVER (PARTITION BY o.l_partkey) AS best_cost
+                FROM offers o JOIN eu e ON e.s_suppkey = o.l_suppkey
+            )
+            SELECT CAST(p.p_partkey AS BIGINT) AS p_partkey, p.p_brand, eo.s_name, eo.n_name,
+                   CAST(eo.l_suppkey AS BIGINT) AS s_suppkey, eo.s_acctbal,
+                   round(eo.unit_cost, 6) AS unit_cost
+            FROM part p JOIN eu_offers eo ON eo.l_partkey = p.p_partkey
+            WHERE p.p_size = 15 AND eo.unit_cost = eo.best_cost
+            ORDER BY eo.s_acctbal DESC, p_partkey ASC, s_suppkey ASC LIMIT 100
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+            GROUP BY 1
+        """,
         "q7_nation_trade": """
             SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
                    CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
@@ -1100,6 +1445,49 @@ def oracle_sql() -> dict[str, str]:
             WHERE sn.n_name <> cn.n_name
             GROUP BY 1, 2, 3
         """,
+        "q8_market_share": """
+            WITH flat AS (
+                SELECT EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+                       CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)) AS volume,
+                       n2.n_name AS supp_nation
+                FROM lineitem l
+                JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'STANDARD'
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+                JOIN region r ON n1.n_regionkey = r.r_regionkey AND r.r_name = 'AMERICA'
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+            ), sums AS (
+                SELECT CAST(o_year AS BIGINT) AS o_year,
+                       CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN volume
+                                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS nation_volume,
+                       CAST(SUM(volume) AS DOUBLE) AS total_volume
+                FROM flat GROUP BY 1
+            )
+            SELECT o_year, nation_volume, total_volume,
+                   nation_volume / total_volume AS mkt_share
+            FROM sums
+        """,
+        "q9_product_profit": """
+            WITH sums AS (
+                SELECT n.n_name AS nation,
+                       CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+                       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+                            AS DOUBLE) AS gross_revenue,
+                       CAST(SUM(CAST(p.p_retailprice * l.l_quantity * 0.01 AS DECIMAL(18,4)))
+                            AS DOUBLE) AS supply_cost
+                FROM lineitem l
+                JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%red%'
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN nation n ON s.s_nationkey = n.n_nationkey
+                GROUP BY 1, 2
+            )
+            SELECT nation, o_year, gross_revenue, supply_cost,
+                   gross_revenue - supply_cost AS profit
+            FROM sums
+        """,
         "q10_returned_customers": """
             SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
                    CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
@@ -1110,6 +1498,43 @@ def oracle_sql() -> dict[str, str]:
             WHERE l.l_returnflag = 'R'
             GROUP BY 1, 2, 3, 4
             ORDER BY revenue DESC, c.c_custkey ASC LIMIT 20
+        """,
+        "q11_important_parts": """
+            WITH val AS (
+                SELECT l.l_partkey, SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS v
+                FROM lineitem l
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN nation n ON s.s_nationkey = n.n_nationkey
+                WHERE n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+                GROUP BY 1
+            )
+            SELECT CAST(l_partkey AS BIGINT) AS part_key, CAST(v AS DOUBLE) AS value
+            FROM val
+            WHERE CAST(v AS DOUBLE) > 0.001 * (SELECT CAST(SUM(v) AS DOUBLE) FROM val)
+        """,
+        "q12_late_shipment_priority": """
+            SELECT l.l_linestatus,
+                   CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l.l_shipdate < TIMESTAMP '1998-01-01'
+              AND l.l_shipdate >= o.o_orderdate + INTERVAL 30 DAY
+            GROUP BY 1
+        """,
+        "q13_order_count_distribution": """
+            WITH per_cust AS (
+                SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+                FROM customer c
+                LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                     AND o.o_orderpriority <> '4-NOT SPECIFIED'
+                GROUP BY 1
+            )
+            SELECT CAST(c_count AS BIGINT) AS c_count,
+                   CAST(COUNT(*) AS BIGINT) AS custdist
+            FROM per_cust GROUP BY 1
         """,
         "q14_promo_share": """
             WITH sums AS (
@@ -1136,6 +1561,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.s_suppkey, s.s_name, r.total_revenue
             FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
             WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        """,
+        "q16_supplier_part_counts": """
+            WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+            SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+                   CAST(COUNT(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM ps JOIN part p ON ps.l_partkey = p.p_partkey
+            WHERE p.p_brand <> 'Brand#11' AND p.p_type <> 'PROMO'
+              AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35, 40, 45)
+              AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY 1, 2, 3
         """,
         "q17_small_quantity_revenue": """
             SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS small_qty_revenue,
@@ -1164,6 +1599,63 @@ def oracle_sql() -> dict[str, str]:
             WHERE (p.p_brand = 'Brand#11' AND p.p_size <= 5 AND l.l_quantity < 11)
                OR (p.p_brand = 'Brand#22' AND p.p_size <= 10 AND l.l_quantity < 21)
                OR (p.p_brand = 'Brand#33' AND p.p_size <= 15 AND l.l_quantity < 31)
+        """,
+        "q20_excess_suppliers": """
+            WITH ss AS (
+                SELECT l_partkey, l_suppkey,
+                       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS supp_qty
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate < TIMESTAMP '1998-01-01'
+                GROUP BY 1, 2
+            ), pt AS (
+                SELECT l_partkey,
+                       CAST(SUM(CAST(supp_qty AS DECIMAL(18,4))) AS DOUBLE) AS total_qty,
+                       COUNT(*) AS n_supp
+                FROM ss GROUP BY 1
+            )
+            SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name, n.n_name
+            FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE s.s_suppkey IN (
+                SELECT ss.l_suppkey FROM ss
+                JOIN pt ON ss.l_partkey = pt.l_partkey
+                JOIN part p ON p.p_partkey = ss.l_partkey
+                WHERE p.p_name LIKE 'small%'
+                  AND ss.supp_qty > 2.5 * pt.total_qty / pt.n_supp
+            )
+        """,
+        "q21_waiting_suppliers": """
+            WITH ordstat AS (
+                SELECT l.l_orderkey,
+                       COUNT(DISTINCT l.l_suppkey) AS n_supp,
+                       COUNT(DISTINCT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                                           THEN l.l_suppkey END) AS n_late_supp
+                FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+                GROUP BY 1
+            )
+            SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+            FROM lineitem l1
+            JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+            JOIN ordstat os ON os.l_orderkey = l1.l_orderkey
+            JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+            WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+              AND os.n_supp > 1 AND os.n_late_supp = 1
+            GROUP BY 1 ORDER BY numwait DESC, s.s_name ASC LIMIT 100
+        """,
+        "q22_lapsed_customers": """
+            WITH pos AS (
+                SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_bal
+                FROM customer WHERE c_acctbal > 0
+            )
+            SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
+                   CAST(COUNT(*) AS BIGINT) AS numcust,
+                   CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+            FROM customer c, pos
+            WHERE c.c_acctbal > pos.avg_bal
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+            GROUP BY 1
         """,
         "pivot_segment_status": """
             SELECT c.c_mktsegment,

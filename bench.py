@@ -31,7 +31,9 @@ HEADLINE = [
     "semi_join_returned_orders",
     "cube_orders_status_priority",
     "q7_nation_trade",
+    "q9_product_profit",
     "q18_large_orders",
+    "q21_waiting_suppliers",
     "asof_join_purchase_value",
     "interval_join_clicks",
     "dedup_exact_documents",
