@@ -849,22 +849,25 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     s = _t(spark, sf_dir, "supplier")
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
-    ordstat = (
+    # One lineitem scan: pre-aggregate to (order, supplier) grain, then
+    # derive both the per-order stats (replacing countDistinct's expand)
+    # and the per-supplier late-line counts from that much smaller relation.
+    per_os = (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .groupBy(F.col("l_orderkey").alias("os_key"))
-        .agg(
-            F.countDistinct("l_suppkey").alias("n_supp"),
-            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
-        )
+        .groupBy("l_orderkey", "l_suppkey", "o_orderstatus")
+        .agg(F.count(F.when(late, F.lit(1))).alias("n_late_lines"))
+    )
+    ord_level = per_os.groupBy(F.col("l_orderkey").alias("os_key")).agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.count(F.when(F.col("n_late_lines") > 0, F.lit(1))).alias("n_late_supp"),
     )
     return (
-        l.join(o.filter(F.col("o_orderstatus") == "F"), l.l_orderkey == o.o_orderkey)
-        .filter(late)
-        .join(ordstat, l.l_orderkey == F.col("os_key"))
+        per_os.filter((F.col("o_orderstatus") == "F") & (F.col("n_late_lines") > 0))
+        .join(ord_level, per_os.l_orderkey == F.col("os_key"))
         .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(s), per_os.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .agg(F.sum("n_late_lines").cast("long").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(100)
     )

@@ -57,9 +57,15 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     from pyspark.sql.functions import lit
 
-    from kamu_engine_flink_spark.functions.minhash_pandas import shingle_hashes_fast
+    from kamu_engine_flink_spark.functions.minhash_pandas import (
+        minhash_signature_fast,
+        shingle_hashes_fast,
+    )
 
-    spark.range(0, 1000, 1, 32).select(shingle_hashes_fast(lit("warm up text"), 3)).count()
+    spark.range(0, 1000, 1, 32).select(
+        shingle_hashes_fast(lit("warm up text"), 3),
+        minhash_signature_fast(lit("warm up text"), 64, 3),
+    ).count()
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}

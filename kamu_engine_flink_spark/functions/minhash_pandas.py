@@ -58,22 +58,62 @@ def _shingle_hashes(data: bytes, k: int) -> np.ndarray:
     return np.unique(h)
 
 
+def _batch_shingle_segments(texts, k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Shingle hashes for a WHOLE Arrow batch in one vectorized pass.
+
+    Concatenates every row's utf-8 bytes (short rows padded to k), runs the
+    rolling polynomial once over the concatenation, and extracts only the
+    in-row windows (k-grams crossing row boundaries are dropped by index
+    arithmetic, not masking). Returns (hashes, segment_starts, seg_lengths)
+    where row i's multiset of shingle hashes is
+    hashes[segment_starts[i] : segment_starts[i] + seg_lengths[i]].
+    Identical hash values to _shingle_hashes modulo distinctness — callers
+    that need set semantics dedupe per segment."""
+    bs = [(t or "").encode("utf-8") for t in texts]
+    bs = [b if len(b) >= k else b + b"_" * (k - len(b)) for b in bs]
+    n = len(bs)
+    lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=n)
+    m = lens - k + 1
+    offs = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(m[:-1], out=starts[1:])
+    total_m = int(m.sum())
+    arr = np.frombuffer(b"".join(bs), dtype=np.uint8).astype(np.uint64)
+    hm = arr.shape[0] - k + 1
+    h = np.zeros(hm, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            h = (h * _POLY_B + arr[j : hm + j]) & _MASK
+    valid_idx = np.arange(total_m, dtype=np.int64) + np.repeat(offs - starts, m)
+    return h[valid_idx], starts, m
+
+
 def minhash_signature_udf(num_hashes: int = 64, shingle_k: int = 5):
     """Returns a pandas_udf: normalized text -> array<long> signature."""
     a, b = _families(num_hashes)
-    a_col = a[:, None]
-    b_col = b[:, None]
 
     @pandas_udf(ArrayType(LongType()))
     def sig(texts: pd.Series) -> pd.Series:
-        out = []
+        if len(texts) == 0:
+            return pd.Series([], dtype=object)
+        # Whole-batch vectorization: one rolling-hash pass over the
+        # concatenated batch, then a segmented min per hash family
+        # (np.minimum.reduceat) — no per-row Python loop, no per-row
+        # (num_hashes x m) allocation, and no np.unique sort (the min of
+        # a multiset equals the min of its distinct values).
+        h, starts, _m = _batch_shingle_segments(texts, shingle_k)
+        sigs = np.empty((num_hashes, len(texts)), dtype=np.uint64)
+        v = np.empty_like(h)
         with np.errstate(over="ignore"):
-            for t in texts:
-                sh = _shingle_hashes((t or "").encode("utf-8"), shingle_k)
-                # (num_hashes, m) affine table; row-wise min is the signature.
-                mins = ((a_col * sh[None, :] + b_col) & _MASK).min(axis=1)
-                out.append(mins.view(np.int64))
-        return pd.Series(out)
+            for i in range(num_hashes):
+                # uint64 arithmetic wraps mod 2^64 natively — no mask op;
+                # out= buffers keep the loop allocation-free.
+                np.multiply(h, a[i], out=v)
+                np.add(v, b[i], out=v)
+                np.minimum.reduceat(v, starts, out=sigs[i])
+        rows = np.ascontiguousarray(sigs.T).view(np.int64)
+        return pd.Series(list(rows))
 
     return sig
 
@@ -91,12 +131,23 @@ def shingle_hashes_udf(shingle_k: int = 5):
 
     @pandas_udf(ArrayType(LongType()))
     def hashes(texts: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                _shingle_hashes((t or "").encode("utf-8"), shingle_k).view(np.int64)
-                for t in texts
-            ]
-        )
+        if len(texts) == 0:
+            return pd.Series([], dtype=object)
+        # Batch-vectorized distinct-per-row: one lexsort of (segment, hash)
+        # over the whole batch, adjacent-duplicate mask, then split by the
+        # per-segment distinct counts — same sorted-distinct arrays as
+        # np.unique per row without the per-row Python loop.
+        h, starts, m = _batch_shingle_segments(texts, shingle_k)
+        seg = np.repeat(np.arange(len(texts), dtype=np.int64), m)
+        order = np.lexsort((h, seg))
+        hs = h[order]
+        sg = seg[order]
+        keep = np.ones(hs.shape[0], dtype=bool)
+        keep[1:] = (hs[1:] != hs[:-1]) | (sg[1:] != sg[:-1])
+        counts = np.add.reduceat(keep, starts) if hs.shape[0] else np.zeros(0, np.int64)
+        distinct = hs[keep].view(np.int64)
+        bounds = np.cumsum(counts[:-1])
+        return pd.Series(np.split(distinct, bounds))
 
     return hashes
 
