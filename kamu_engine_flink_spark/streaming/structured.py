@@ -57,6 +57,7 @@ class StreamingWindowAgg:
     group_keys: list[str] = field(default_factory=list)
     aggs: dict[str, str] = field(default_factory=dict)
     schema: StructType | None = None
+    slide_duration: str | None = None  # None = tumbling; else sliding/hopping
 
     def _plan(self, spark: SparkSession) -> DataFrame:
         schema = self.schema
@@ -64,12 +65,14 @@ class StreamingWindowAgg:
             schema = spark.read.parquet(self.input_dir).schema
         stream = spark.readStream.schema(schema).parquet(self.input_dir)
         agg_cols = [F.expr(expr).alias(name) for name, expr in self.aggs.items()]
+        window = (
+            F.window(F.col(self.event_time_col), self.window_duration, self.slide_duration)
+            if self.slide_duration
+            else F.window(F.col(self.event_time_col), self.window_duration)
+        )
         return (
             stream.withWatermark(self.event_time_col, self.watermark_delay)
-            .groupBy(
-                F.window(F.col(self.event_time_col), self.window_duration).alias("w"),
-                *self.group_keys,
-            )
+            .groupBy(window.alias("w"), *self.group_keys)
             .agg(*agg_cols)
             .select(
                 F.col("w.start").alias(self.event_time_col),
@@ -82,6 +85,58 @@ class StreamingWindowAgg:
         """One incremental pass: process all files not yet seen by the
         checkpoint, emit windows the (derived) watermark has closed since
         the previous pass, persist stream + operator state, stop."""
+        _run_available_now(self._plan(spark), self.checkpoint_dir, self.output_dir)
+
+
+@dataclass
+class StreamingSessionWindow:
+    """Continuous session-window aggregation — activity bursts separated
+    by >= `gap` of event-time silence become one row per (key, session).
+
+    The reference has NO session windows at all (README 'Does not support
+    month/quarter/year tumbling windows'; only TUMBLE appears in the repo)
+    — this is beyond-reference surface. Spark Structured Streaming has a
+    NATIVE streaming session window (`F.session_window`, merging windows
+    in the state store, append-mode emit once the watermark passes
+    session_end + 0), so no custom stateful kernel is warranted: the
+    built-in shards session state by grouping key across executors and
+    merges partial sessions exactly once per micro-batch.
+
+    A session stays open across invocations (checkpointed state) until
+    the derived watermark proves no event can extend it — so a run-2
+    slice inside the gap EXTENDS a run-1 session rather than opening a
+    new one; the batch counterpart is the gaps-and-islands
+    `window_session_30m` query in __spark_entry__.py."""
+
+    input_dir: str
+    checkpoint_dir: str
+    output_dir: str
+    gap: str = "30 minutes"
+    watermark_delay: str = "1 hour"
+    event_time_col: str = "event_time"
+    group_keys: list[str] = field(default_factory=list)
+    aggs: dict[str, str] = field(default_factory=dict)
+    schema: StructType | None = None
+
+    def _plan(self, spark: SparkSession) -> DataFrame:
+        stream = _file_stream(spark, self.input_dir, self.schema)
+        agg_cols = [F.expr(expr).alias(name) for name, expr in self.aggs.items()]
+        return (
+            stream.withWatermark(self.event_time_col, self.watermark_delay)
+            .groupBy(
+                F.session_window(F.col(self.event_time_col), self.gap).alias("w"),
+                *self.group_keys,
+            )
+            .agg(*agg_cols)
+            .select(
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                *self.group_keys,
+                *self.aggs.keys(),
+            )
+        )
+
+    def run_available_now(self, spark: SparkSession) -> None:
         _run_available_now(self._plan(spark), self.checkpoint_dir, self.output_dir)
 
 

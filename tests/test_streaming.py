@@ -409,3 +409,91 @@ def test_streaming_dedup_within_watermark(spark, dirs):
         (r.symbol, r.price) for r in spark.read.parquet(dirs["out"]).collect()
     )
     assert out2 == [("A", 10), ("B", 20), ("C", 30)]
+
+
+# ---------------------------------------------------------------------------
+# Session windows (native streaming session_window) + sliding windows
+# ---------------------------------------------------------------------------
+
+from kamu_engine_flink_spark.streaming.structured import (  # noqa: E402
+    StreamingSessionWindow,
+)
+
+
+def test_streaming_session_window_extends_across_runs(spark, dirs):
+    """A run-2 event inside the gap EXTENDS the run-1 session (merged in
+    the checkpointed session store); the session emits exactly once, only
+    when the derived watermark proves no event can extend it."""
+    job = StreamingSessionWindow(
+        input_dir=dirs["in"],
+        checkpoint_dir=dirs["chk"],
+        output_dir=dirs["out"],
+        gap="30 minutes",
+        watermark_delay="0 seconds",
+        event_time_col="event_time",
+        group_keys=["symbol"],
+        aggs={"n_events": "count(1)", "max_price": "max(price)"},
+    )
+    # Run 1: A has a burst at day1 01:00-01:20; watermark settles at the
+    # max event time (day1 10:00 from B), which is past 01:20+30m -> A's
+    # session closes THIS run. B's lone event at 10:00 stays open.
+    _slice(
+        os.path.join(dirs["in"], "s1.parquet"),
+        [(ts(1, 1, 0), "A", 10), (ts(1, 1, 20), "A", 12), (ts(1, 10, 0), "B", 20)],
+    )
+    job.run_available_now(spark)
+    out1 = sorted(
+        (r.symbol, r.session_start, r.session_end, r.n_events, r.max_price)
+        for r in spark.read.parquet(dirs["out"]).collect()
+    )
+    assert [(r[0], r[3], r[4]) for r in out1] == [("A", 2, 12)]
+    # session spans first event .. last event + gap: 01:00 .. 01:50
+    assert (out1[0][2] - out1[0][1]).total_seconds() == 50 * 60
+
+    # Run 2: B event at 10:20 is INSIDE B's open session gap -> extends it;
+    # day-2 event advances the watermark past 10:20+30m, closing B's
+    # merged session (2 events spanning 10:00-10:50) exactly once.
+    _slice(
+        os.path.join(dirs["in"], "s2.parquet"),
+        [(ts(1, 10, 20), "B", 21), (ts(2, 0, 0), "A", 99)],
+    )
+    job.run_available_now(spark)
+    out2 = sorted(
+        (r.symbol, r.session_start, r.session_end, r.n_events, r.max_price)
+        for r in spark.read.parquet(dirs["out"]).collect()
+    )
+    new = [r for r in out2 if r not in out1]
+    assert [(r[0], r[3], r[4]) for r in new] == [("B", 2, 21)]
+    b = new[0]
+    assert (b[2] - b[1]).total_seconds() == 50 * 60  # 10:00 .. 10:20+30m
+
+
+def test_streaming_sliding_window(spark, dirs):
+    """slide_duration turns the tumbling agg into hopping windows: each
+    event lands in window_duration/slide_duration overlapping windows."""
+    job = StreamingWindowAgg(
+        input_dir=dirs["in"],
+        checkpoint_dir=dirs["chk"],
+        output_dir=dirs["out"],
+        window_duration="2 hours",
+        slide_duration="1 hour",
+        watermark_delay="0 seconds",
+        event_time_col="event_time",
+        group_keys=["symbol"],
+        aggs={"min_price": "min(price)", "max_price": "max(price)"},
+    )
+    # One event at day1 05:30 -> belongs to windows [04:00,06:00) and
+    # [05:00,07:00); a day-2 event closes both.
+    _slice(
+        os.path.join(dirs["in"], "s1.parquet"),
+        [(ts(1, 5, 30), "A", 10), (ts(2, 0, 0), "B", 1)],
+    )
+    job.run_available_now(spark)
+    out = sorted(
+        (r.event_time, r.symbol, r.min_price, r.max_price)
+        for r in spark.read.parquet(dirs["out"]).collect()
+        if r.symbol == "A"
+    )
+    assert len(out) == 2
+    assert [o[0].hour for o in out] == [4, 5]
+    assert all(o[2] == 10 and o[3] == 10 for o in out)
