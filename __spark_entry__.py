@@ -32,6 +32,8 @@ from pyspark.sql import functions as F
 from kamu_engine_flink_spark.operators import dedup as D
 from kamu_engine_flink_spark.operators import graph as G
 from kamu_engine_flink_spark.operators import multimodal as M
+from kamu_engine_flink_spark.functions import text as T
+from kamu_engine_flink_spark.functions.partitioning import salted_agg
 from kamu_engine_flink_spark.operators import similarity as S
 from kamu_engine_flink_spark.operators.temporal_join import with_validity
 from kamu_engine_flink_spark.operators.text_analysis import analyze_documents
@@ -898,6 +900,69 @@ def q22_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline op: deterministic hash-based dataset splitting.
+    Each document's split is a pure function of its id (first md5 byte:
+    <0xcd train ~80%, <0xe6 val ~10%, else test) — stable under
+    re-partitioning, re-runs, and incremental appends, unlike
+    sample()-based splits. Zero shuffle: a per-row projection."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(bucket < "cd", "train").when(bucket < "e6", "val").otherwise("test")
+    )
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        split.alias("split"),
+    )
+
+
+def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline op: token-budget sequence packing. Documents are
+    packed in a deterministic order (doc_id) into 2048-token bins per
+    source — bin = tokens accumulated before the doc, integer-divided by
+    the budget. The running sum is a window cumsum partitioned by source,
+    so packing parallelizes across sources (the 100 TB layout: one
+    partition tree per corpus shard, no global sort)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = T.token_count(F.col("text"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(toks).over(w)
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        toks.cast("long").alias("tokens"),
+        cum.cast("long").alias("cum_tokens"),
+        F.floor((cum - toks) / F.lit(2048.0)).cast("long").alias("bin"),
+    )
+
+
+def agg_salted_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (functions/partitioning.salted_agg):
+    per-user event totals where a hot user would pin one reducer — the
+    salt splits each key across 32 partial groups, recombined in a tiny
+    second shuffle. Sums go through decimal so the salted re-association
+    is exact and matches the oracle's single-pass GROUP BY bit-for-bit."""
+    e = _t(spark, sf_dir, "events")
+    proj = e.select("user_id", F.col("value").cast("decimal(28,10)").alias("value_dec"))
+    r = salted_agg(
+        proj,
+        ["user_id"],
+        {"n_events": ("count", "value_dec"), "sum_value": ("sum", "value_dec")},
+        salt_buckets=32,
+    )
+    return r.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
 def pivot_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: order counts per market segment x order status. Explicit pivot
     values keep the plan a single pass (no distinct-values pre-query)."""
@@ -1175,6 +1240,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_excess_suppliers": q20_excess_suppliers,
         "q21_waiting_suppliers": q21_waiting_suppliers,
         "q22_lapsed_customers": q22_lapsed_customers,
+        "split_train_val_test": split_train_val_test,
+        "sequence_packing_bins": sequence_packing_bins,
+        "agg_salted_user_value": agg_salted_user_value,
         "pivot_segment_status": pivot_segment_status,
         "groupingsets_status_priority": groupingsets_status_priority,
         "stats_moments_by_type": stats_moments_by_type,
@@ -1659,6 +1727,31 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_orderdate >= TIMESTAMP '2000-01-01')
             GROUP BY 1
+        """,
+        "split_train_val_test": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "sequence_packing_bins": f"""
+            WITH toks AS (
+                SELECT doc_id, source, {_TOKEN_COUNT} AS tok FROM documents
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+                   CAST(tok AS BIGINT) AS tokens,
+                   CAST(SUM(tok) OVER w AS BIGINT) AS cum_tokens,
+                   CAST(FLOOR((SUM(tok) OVER w - tok) / 2048.0) AS BIGINT) AS bin
+            FROM toks
+            WINDOW w AS (PARTITION BY source ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "agg_salted_user_value": """
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(COUNT(value) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1
         """,
         "pivot_segment_status": """
             SELECT c.c_mktsegment,
