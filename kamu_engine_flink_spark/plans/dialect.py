@@ -11,6 +11,16 @@ Flink builtin surface, SURVEY.md §2.B "string/date/math function library").
 Rewrites:
   TUMBLE(ts, INTERVAL 'n' UNIT)        -> window(ts, 'n unit')     [GROUP BY]
   TUMBLE_START(ts, ...)/TUMBLE_END(..) -> window.start / window.end
+  HOP(ts, INTERVAL slide, INTERVAL size) -> window(ts, size, slide)
+  HOP_START/HOP_END                    -> window.start / window.end
+  SESSION(ts, INTERVAL gap)            -> session_window(ts, gap)
+  SESSION_START/SESSION_END            -> session_window.start / .end
+  (HOP/SESSION are BEYOND-reference Flink SQL spellings — the reference
+  supports TUMBLE only (README "Does not support month/quarter/year
+  tumbling windows"); accepted here on the batch/raw-query path so Flink
+  SQL users keep their hopping/session queries. The incremental transform
+  runner's cross-run window state covers TUMBLE, reference parity;
+  always-on hopping/session state is streaming/structured.py.)
   CAST(x AS TIMESTAMP(p))              -> CAST(x AS TIMESTAMP)
   current_watermark(col)               -> TIMESTAMP 'w' literal (engine state)
   t FOR SYSTEM_TIME AS OF p.ts AS a    -> <t>__versions a + validity preds
@@ -42,7 +52,16 @@ VALID_TO = "__valid_to"
 VERSIONS_SUFFIX = "__versions"
 
 _TUMBLE_RE = re.compile(
-    r"TUMBLE(_START|_END)?\s*\(\s*([`\w.]+)\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*\)",
+    r"(?<![\w.])TUMBLE(_START|_END)?\s*\(\s*([`\w.]+)\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*\)",
+    re.IGNORECASE,
+)
+_HOP_RE = re.compile(
+    r"(?<![\w.])HOP(_START|_END)?\s*\(\s*([`\w.]+)\s*,"
+    r"\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*\)",
+    re.IGNORECASE,
+)
+_SESSION_RE = re.compile(
+    r"(?<![\w.])SESSION(_START|_END)?\s*\(\s*([`\w.]+)\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*\)",
     re.IGNORECASE,
 )
 _TS_PRECISION_RE = re.compile(r"\bTIMESTAMP\s*\(\s*\d\s*\)", re.IGNORECASE)
@@ -76,6 +95,33 @@ def _rewrite_tumble(sql: str) -> str:
         return "window.start" if suffix.upper() == "_START" else "window.end"
 
     return _TUMBLE_RE.sub(repl, sql)
+
+
+def _rewrite_hop(sql: str) -> str:
+    """Flink argument order is (time, slide, size); Spark window() takes
+    (time, size, slide)."""
+
+    def repl(m: re.Match) -> str:
+        suffix, col, slide_n, slide_u, size_n, size_u = m.groups()
+        if suffix is None:
+            size = _interval_to_duration(size_n, size_u)
+            slide = _interval_to_duration(slide_n, slide_u)
+            return f"window({col}, '{size}', '{slide}')"
+        return "window.start" if suffix.upper() == "_START" else "window.end"
+
+    return _HOP_RE.sub(repl, sql)
+
+
+def _rewrite_session(sql: str) -> str:
+    def repl(m: re.Match) -> str:
+        suffix, col, n, unit = m.groups()
+        if suffix is None:
+            return f"session_window({col}, '{_interval_to_duration(n, unit)}')"
+        return (
+            "session_window.start" if suffix.upper() == "_START" else "session_window.end"
+        )
+
+    return _SESSION_RE.sub(repl, sql)
 
 
 def _validity_pred(alias: str, time_expr: str) -> str:
@@ -125,6 +171,8 @@ def _rewrite_lateral(sql: str) -> str:
 def rewrite_query(sql: str, *, watermark: datetime | None = None) -> str:
     """Rewrite one Flink-dialect SQL step into Spark SQL."""
     out = _rewrite_tumble(sql)
+    out = _rewrite_hop(out)
+    out = _rewrite_session(out)
     out = _TS_PRECISION_RE.sub("TIMESTAMP", out)
     if _CURRENT_WM_RE.search(out):
         if watermark is None:

@@ -126,3 +126,69 @@ def test_raw_query_multi_step(spark, tmp_path):
         ("A", 21),
         ("B", 41),
     ]
+
+
+def test_raw_query_hop_window_sql(spark, tmp_path):
+    """Flink HOP() spelling (beyond-reference: the reference supports only
+    TUMBLE) rewrites to Spark's sliding window(); each event lands in
+    size/slide overlapping windows."""
+    in_path = str(tmp_path / "hop_in.parquet")
+    ticker_slice(
+        in_path,
+        [
+            (0, 0, ts(5), ts(1, 5, 30), "A", 10),
+            (1, 0, ts(5), ts(1, 6, 30), "A", 14),
+        ],
+    )
+    resp, out = _raw(
+        spark,
+        tmp_path,
+        "SELECT HOP_START(event_time, INTERVAL '1' HOUR, INTERVAL '2' HOUR) AS ws, "
+        "count(*) AS n, max(price) AS max_price FROM input "
+        "GROUP BY HOP(event_time, INTERVAL '1' HOUR, INTERVAL '2' HOUR)",
+        in_path,
+        "hop_out.parquet",
+    )
+    rows = sorted(
+        (r.ws.replace(tzinfo=timezone.utc), r.n, r.max_price)
+        for r in spark.read.parquet(out).collect()
+    )
+    # 05:30 -> [04,06) [05,07); 06:30 -> [05,07) [06,08)
+    assert rows == [
+        (ts(1, 4), 1, 10),
+        (ts(1, 5), 2, 14),
+        (ts(1, 6), 1, 14),
+    ]
+    assert resp.num_records == 3
+
+
+def test_raw_query_session_window_sql(spark, tmp_path):
+    """Flink SESSION() spelling -> Spark session_window(): events within
+    the gap merge into one session; a gap splits sessions."""
+    in_path = str(tmp_path / "sess_in.parquet")
+    ticker_slice(
+        in_path,
+        [
+            (0, 0, ts(5), ts(1, 1, 0), "A", 10),
+            (1, 0, ts(5), ts(1, 1, 20), "A", 12),
+            (2, 0, ts(5), ts(1, 9, 0), "A", 30),
+        ],
+    )
+    resp, out = _raw(
+        spark,
+        tmp_path,
+        "SELECT SESSION_START(event_time, INTERVAL '30' MINUTE) AS s, "
+        "SESSION_END(event_time, INTERVAL '30' MINUTE) AS e, "
+        "count(*) AS n FROM input "
+        "GROUP BY SESSION(event_time, INTERVAL '30' MINUTE), symbol",
+        in_path,
+        "sess_out.parquet",
+    )
+    rows = sorted(
+        ((r.e - r.s).total_seconds() / 60, r.n)
+        for r in spark.read.parquet(out).collect()
+    )
+    # burst 01:00-01:20 -> one 50-minute session (end = last + gap);
+    # lone 09:00 event -> one 30-minute session.
+    assert rows == [(30.0, 1), (50.0, 2)]
+    assert resp.num_records == 2
