@@ -963,6 +963,65 @@ def agg_salted_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline op: per-class embedding centroids, fully
+    distributed — posexplode to (label, dim) grain and aggregate, in
+    contrast to the IVF trainer's driver-side sample k-means. Sums go
+    through decimal so the reduction is order-independent; the mean is
+    one exact-sum / count division. Scale shape: the shuffle key is
+    (label, dim) — |labels| x 64 groups, never a hot single key."""
+    e = _t(spark, sf_dir, "embeddings")
+    # FLOOR-quantized nano-units: float->double is exact, the multiply and
+    # floor are identical IEEE ops in any engine, and bigint sums are
+    # order-independent — no decimal rounding-mode edge cases at all.
+    sv = F.floor(F.col("v").cast("double") * F.lit(1000000000.0)).cast("long")
+    ex = e.select("label", F.posexplode("embedding").alias("dim", "v"))
+    return (
+        ex.groupBy(
+            F.col("label").cast("long").alias("label"),
+            F.col("dim").cast("long").alias("dim"),
+        )
+        .agg(
+            F.sum(sv).alias("s"),
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        )
+        .select(
+            "label",
+            "dim",
+            (F.col("s").cast("double") / F.lit(1000000000.0) / F.col("n_vectors")).alias(
+                "centroid_v"
+            ),
+            "n_vectors",
+        )
+    )
+
+
+def median_price_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median via rank arithmetic — the deterministic distributed
+    form (no interpolation builtin whose float ordering could differ
+    across engines): rank rows per group with a total order, average the
+    one or two middle values through an exact decimal sum."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    r = o.select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("o_orderstatus")).alias("n"),
+    )
+    mid = r.filter(
+        (F.col("rn") == F.floor((F.col("n") + 1) / F.lit(2.0)))
+        | (F.col("rn") == F.floor((F.col("n") + 2) / F.lit(2.0)))
+    )
+    return mid.groupBy("o_orderstatus").agg(
+        (
+            F.sum(_dec(F.col("o_totalprice"))).cast("double")
+            / F.count(F.lit(1))
+        ).alias("median_price"),
+        F.max("n").cast("long").alias("n_orders"),
+    )
+
+
 def pivot_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: order counts per market segment x order status. Explicit pivot
     values keep the plan a single pass (no distinct-values pre-query)."""
@@ -1240,6 +1299,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_excess_suppliers": q20_excess_suppliers,
         "q21_waiting_suppliers": q21_waiting_suppliers,
         "q22_lapsed_customers": q22_lapsed_customers,
+        "embedding_centroids_by_label": embedding_centroids_by_label,
+        "median_price_by_status": median_price_by_status,
         "split_train_val_test": split_train_val_test,
         "sequence_packing_bins": sequence_packing_bins,
         "agg_salted_user_value": agg_salted_user_value,
@@ -1726,6 +1787,33 @@ def oracle_sql() -> dict[str, str]:
               AND NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+            GROUP BY 1
+        """,
+        "embedding_centroids_by_label": """
+            WITH ex AS (
+                SELECT label, t.i AS dim, embedding[t.i + 1] AS v
+                FROM embeddings, unnest(range(0, 64)) AS t(i)
+            )
+            SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+                   CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000000.0) AS BIGINT)) AS DOUBLE)
+                       / 1000000000.0 / COUNT(*) AS centroid_v,
+                   CAST(COUNT(*) AS BIGINT) AS n_vectors
+            FROM ex GROUP BY 1, 2
+        """,
+        "median_price_by_status": """
+            WITH r AS (
+                SELECT o_orderstatus, o_totalprice,
+                       row_number() OVER (PARTITION BY o_orderstatus
+                                          ORDER BY o_totalprice, o_orderkey) AS rn,
+                       COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+                FROM orders
+            )
+            SELECT o_orderstatus,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+                       AS median_price,
+                   CAST(MAX(n) AS BIGINT) AS n_orders
+            FROM r
+            WHERE rn = FLOOR((n + 1) / 2.0) OR rn = FLOOR((n + 2) / 2.0)
             GROUP BY 1
         """,
         "split_train_val_test": """
