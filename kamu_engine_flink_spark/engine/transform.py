@@ -71,6 +71,8 @@ def _sanitize_sql(sql: str, aliases: dict[str, str]) -> str:
 _EXECUTORS = {
     C.MAP: map_step.execute_map,
     C.WINDOW_AGG: window_agg.execute_window_agg,
+    C.HOP_AGG: window_agg.execute_hop_agg,
+    C.SESSION_AGG: window_agg.execute_session_agg,
     C.INTERVAL_JOIN: interval_join.execute_interval_join,
     C.TEMPORAL_JOIN: temporal_join.execute_temporal_join,
     C.TOPN: topn.execute_topn,

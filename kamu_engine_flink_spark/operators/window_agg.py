@@ -21,7 +21,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..plans.classify import TumbleSpec, parse_tumble, referenced_views
+from ..plans.classify import (
+    TumbleSpec,
+    parse_hop,
+    parse_session,
+    parse_tumble,
+    referenced_views,
+)
 from ..plans.dialect import rewrite_query
 from .base import StepContext, StepResult, min_watermark
 
@@ -79,3 +85,147 @@ def execute_window_agg(ctx: StepContext, sql: str) -> StepResult:
         order_cols.remove(et)
         order_cols.insert(0, et)
     return StepResult(df=result, watermark=new_wm, order_cols=order_cols)
+
+
+def _single_source(ctx: StepContext, sql: str, what: str) -> str:
+    refs = referenced_views(sql, set(ctx.views))
+    if len(refs) != 1:
+        raise ValueError(f"{what} must read exactly one view, got {refs}")
+    return refs[0]
+
+
+def _emit_and_order(
+    ctx: StepContext, sql: str, src: str, buf: DataFrame, end_col, prev_wm, new_wm, lead_alias
+) -> StepResult:
+    """Run the user's (rewritten) SQL over the full buffer and keep only
+    result windows whose end falls in (prev_wm, new_wm] — each window is
+    emitted in exactly one invocation even though rows contributing to
+    several windows stay buffered across runs."""
+    buf.createOrReplaceTempView(src)
+    try:
+        result = ctx.spark.sql(rewrite_query(sql, watermark=new_wm))
+    finally:
+        ctx.views[src].createOrReplaceTempView(src)
+    if new_wm is None:
+        result = result.limit(0)
+    else:
+        result = result.filter(end_col <= F.lit(new_wm))
+        if prev_wm is not None:
+            result = result.filter(end_col > F.lit(prev_wm))
+    order_cols = list(result.columns)
+    if lead_alias in order_cols:
+        order_cols.remove(lead_alias)
+        order_cols.insert(0, lead_alias)
+    return StepResult(df=result, watermark=new_wm, order_cols=order_cols)
+
+
+def execute_hop_agg(ctx: StepContext, sql: str) -> StepResult:
+    """Stateful HOP (sliding/hopping) window aggregation — BEYOND the
+    reference (TUMBLE only). Each row belongs to size/slide windows, so a
+    row is buffered until its LAST containing window closes and the
+    emission is filtered at the RESULT level by window end; the query must
+    project HOP_START or HOP_END so results are attributable to windows
+    (the reference idiom — every tested TUMBLE query projects
+    TUMBLE_START)."""
+    spec = parse_hop(sql)
+    if spec is None:
+        raise ValueError("hop_agg executor requires a HOP clause")
+    if spec.start_alias is None and spec.end_alias is None:
+        raise ValueError(
+            "incremental HOP aggregation requires HOP_START(...) AS <alias> or "
+            "HOP_END(...) AS <alias> in the projection"
+        )
+    src = _single_source(ctx, sql, "hopping aggregation")
+    prev_wm = ctx.prev_wms.get(src)
+    new_wm = ctx.new_wms.get(src)
+
+    incoming = ctx.views[src]
+    cols = incoming.columns
+    buffer_name = f"{ctx.step_key}-hop-buffer"
+    prev_buf = ctx.state.load_df(buffer_name, schema=incoming.schema)
+
+    size_secs = int(spec.size.total_seconds())
+    last_end = F.window(F.col(spec.time_col), spec.slide_duration)["start"] + F.expr(
+        f"INTERVAL '{size_secs}' SECOND"
+    )
+    # Lateness: drop rows whose EVERY containing window already emitted.
+    if prev_wm is not None:
+        incoming = incoming.filter(last_end > F.lit(prev_wm)).select(*cols)
+    buf = prev_buf.unionByName(incoming)
+    still_open = (
+        buf.filter(last_end > F.lit(new_wm)).select(*cols) if new_wm is not None else buf
+    )
+    ctx.state.save_df(buffer_name, still_open)
+
+    if spec.end_alias is not None:
+        end_col = F.col(spec.end_alias)
+        lead = spec.end_alias
+    else:
+        end_col = F.col(spec.start_alias) + F.expr(f"INTERVAL '{size_secs}' SECOND")
+        lead = spec.start_alias
+    return _emit_and_order(ctx, sql, src, buf, end_col, prev_wm, new_wm, lead)
+
+
+def execute_session_agg(ctx: StepContext, sql: str) -> StepResult:
+    """Stateful SESSION window aggregation — BEYOND the reference. A
+    session closes when the watermark passes last_event + gap; until then
+    its rows stay buffered, so a later invocation's row inside the gap
+    MERGES into (extends) the session. Emission filters the result by
+    SESSION_END (required in the projection: a session's end is not
+    derivable from its start). Buffer eviction re-sessionizes the buffer
+    with the query's own group keys and keeps only rows of still-open
+    sessions."""
+    spec = parse_session(sql)
+    if spec is None:
+        raise ValueError("session_agg executor requires a SESSION clause")
+    if spec.end_alias is None:
+        raise ValueError(
+            "incremental SESSION aggregation requires SESSION_END(...) AS <alias> "
+            "in the projection"
+        )
+    if spec.group_keys is None:
+        raise ValueError(
+            "incremental SESSION aggregation supports only plain column group keys"
+        )
+    src = _single_source(ctx, sql, "session aggregation")
+    prev_wm = ctx.prev_wms.get(src)
+    new_wm = ctx.new_wms.get(src)
+
+    incoming = ctx.views[src]
+    cols = incoming.columns
+    buffer_name = f"{ctx.step_key}-session-buffer"
+    prev_buf = ctx.state.load_df(buffer_name, schema=incoming.schema)
+
+    gap_secs = int(spec.gap.total_seconds())
+    own_close = F.col(spec.time_col) + F.expr(f"INTERVAL '{gap_secs}' SECOND")
+    # Lateness: drop a row only if even its own singleton session would
+    # already have closed under the run-start watermark.
+    if prev_wm is not None:
+        incoming = incoming.filter(own_close > F.lit(prev_wm)).select(*cols)
+    buf = prev_buf.unionByName(incoming)
+
+    # Evict rows of sessions the new watermark closes (they emit this run
+    # and can never merge with future rows: any future ts >= wm >= end).
+    if new_wm is not None:
+        sess = buf.groupBy(
+            F.session_window(F.col(spec.time_col), spec.gap_duration).alias("__sw"),
+            *spec.group_keys,
+        ).agg(F.count(F.lit(1)).alias("__n"))
+        open_sess = sess.filter(F.col("__sw.end") > F.lit(new_wm)).select(
+            F.col("__sw.start").alias("__ss_start"),
+            F.col("__sw.end").alias("__ss_end"),
+            *[F.col(k).alias(f"__ss_{k}") for k in spec.group_keys],
+        )
+        cond = (F.col(spec.time_col) >= F.col("__ss_start")) & (
+            F.col(spec.time_col) < F.col("__ss_end")
+        )
+        for k in spec.group_keys:
+            cond = cond & (F.col(k).eqNullSafe(F.col(f"__ss_{k}")))
+        still_open = buf.join(F.broadcast(open_sess), cond, "left_semi").select(*cols)
+    else:
+        still_open = buf
+    ctx.state.save_df(buffer_name, still_open)
+
+    return _emit_and_order(
+        ctx, sql, src, buf, F.col(spec.end_alias), prev_wm, new_wm, spec.end_alias
+    )

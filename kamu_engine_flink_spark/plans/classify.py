@@ -17,12 +17,33 @@ from datetime import timedelta
 
 MAP = "map"
 WINDOW_AGG = "window_agg"
+HOP_AGG = "hop_agg"
+SESSION_AGG = "session_agg"
 INTERVAL_JOIN = "interval_join"
 TEMPORAL_JOIN = "temporal_join"
 TOPN = "topn"
 
 _TUMBLE_RE = re.compile(
     r"TUMBLE\s*\(\s*([`\w.]+)\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*\)", re.IGNORECASE
+)
+_HOP_RE = re.compile(
+    r"(?<![\w.])HOP\s*\(\s*([`\w.]+)\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*,"
+    r"\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*\)",
+    re.IGNORECASE,
+)
+_HOP_PROJ_RE = re.compile(
+    r"(?<![\w.])HOP_(START|END)\s*\([^)]*\)\s+(?:AS\s+)?`?(\w+)`?", re.IGNORECASE
+)
+_SESSION_RE = re.compile(
+    r"(?<![\w.])SESSION\s*\(\s*([`\w.]+)\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*\)",
+    re.IGNORECASE,
+)
+_SESSION_PROJ_RE = re.compile(
+    r"(?<![\w.])SESSION_(START|END)\s*\([^)]*\)\s+(?:AS\s+)?`?(\w+)`?", re.IGNORECASE
+)
+_GROUP_BY_RE = re.compile(
+    r"GROUP\s+BY\s+(.*?)(?:\s+ORDER\s+BY|\s+HAVING|\s+LIMIT|\s*$)",
+    re.IGNORECASE | re.DOTALL,
 )
 _TEMPORAL_RE = re.compile(r"LATERAL\s+TABLE|FOR\s+SYSTEM_TIME\s+AS\s+OF", re.IGNORECASE)
 _ROW_NUMBER_RE = re.compile(
@@ -94,6 +115,87 @@ def parse_tumble(sql: str) -> TumbleSpec | None:
     )
 
 
+@dataclass
+class HopSpec:
+    time_col: str  # unqualified
+    slide: timedelta
+    size: timedelta
+    slide_duration: str
+    size_duration: str
+    start_alias: str | None  # projected HOP_START alias
+    end_alias: str | None  # projected HOP_END alias
+
+
+@dataclass
+class SessionSpec:
+    time_col: str  # unqualified
+    gap: timedelta
+    gap_duration: str
+    end_alias: str | None  # projected SESSION_END alias (required for state)
+    group_keys: list[str] | None  # non-window GROUP BY columns
+
+
+def _split_top_level(clause: str) -> list[str]:
+    parts, depth, cur = [], 0, []
+    for ch in clause:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur).strip())
+    return parts
+
+
+def parse_hop(sql: str) -> HopSpec | None:
+    m = _HOP_RE.search(sql)
+    if not m:
+        return None
+    col, slide_n, slide_u, size_n, size_u = m.groups()
+    aliases = {kind.upper(): alias for kind, alias in _HOP_PROJ_RE.findall(sql)}
+    return HopSpec(
+        time_col=col.split(".")[-1].strip("`"),
+        slide=interval_to_timedelta(slide_n, slide_u),
+        size=interval_to_timedelta(size_n, size_u),
+        slide_duration=f"{slide_n} {slide_u.lower()}",
+        size_duration=f"{size_n} {size_u.lower()}",
+        start_alias=aliases.get("START"),
+        end_alias=aliases.get("END"),
+    )
+
+
+def parse_session(sql: str) -> SessionSpec | None:
+    m = _SESSION_RE.search(sql)
+    if not m:
+        return None
+    col, n, unit = m.groups()
+    aliases = {kind.upper(): alias for kind, alias in _SESSION_PROJ_RE.findall(sql)}
+    keys: list[str] | None = []
+    gm = _GROUP_BY_RE.search(sql)
+    if gm:
+        for term in _split_top_level(gm.group(1)):
+            if _SESSION_RE.search(term):
+                continue
+            name = term.strip().strip("`")
+            if re.fullmatch(r"[\w.]+", name):
+                keys.append(name.split(".")[-1])
+            else:
+                keys = None  # non-trivial key expression: caller must reject
+                break
+    return SessionSpec(
+        time_col=col.split(".")[-1].strip("`"),
+        gap=interval_to_timedelta(n, unit),
+        gap_duration=f"{n} {unit.lower()}",
+        end_alias=aliases.get("END"),
+        group_keys=keys,
+    )
+
+
 def parse_topn(sql: str) -> TopNSpec | None:
     rn = _ROW_NUMBER_RE.search(sql)
     if not rn:
@@ -139,6 +241,10 @@ def parse_interval_join(sql: str, known_views: set[str]) -> IntervalJoinSpec | N
 def classify(sql: str, known_views: set[str]) -> str:
     if _TUMBLE_RE.search(sql):
         return WINDOW_AGG
+    if _HOP_RE.search(sql):
+        return HOP_AGG
+    if _SESSION_RE.search(sql):
+        return SESSION_AGG
     if _TEMPORAL_RE.search(sql):
         return TEMPORAL_JOIN
     if parse_topn(sql) is not None:

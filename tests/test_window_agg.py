@@ -196,3 +196,125 @@ def test_tumbling_window_aggregation_late_data(spark, tmp_path):
         (ts(20), ts(3), "A", 14, 15),
         (ts(20), ts(3), "B", 24, 25),
     ]
+
+
+# ---------------------------------------------------------------------------
+# Incremental HOP (sliding) windows — beyond-reference stateful surface
+# ---------------------------------------------------------------------------
+
+HOP_QUERY = """SELECT
+  HOP_START(event_time, INTERVAL '1' DAY, INTERVAL '2' DAY) as event_time,
+  symbol as symbol,
+  min(price) as `min`,
+  max(price) as `max`
+FROM `in`
+GROUP BY HOP(event_time, INTERVAL '1' DAY, INTERVAL '2' DAY), symbol"""
+
+
+def _hop_rows(out_path):
+    table = pq.read_table(out_path)
+    return sorted(
+        (r["event_time"].replace(tzinfo=timezone.utc), r["symbol"], r["min"], r["max"])
+        for r in table.to_pylist()
+    )
+
+
+def test_hop_window_incremental_across_runs(spark, tmp_path):
+    """2-day windows sliding by 1 day: each event is in two windows; a
+    window emits exactly once when the watermark passes its end, and a
+    buffered row contributes to its SECOND window in a later run."""
+    runner = TransformRunner(spark, tmp_path, queries=[(HOP_QUERY, None)])
+
+    s1 = str(tmp_path / "in" / "s1.parquet")
+    ticker_slice(
+        s1,
+        [
+            (0, 0, ts(5), ts(1, 1), "A", 10),
+            (1, 0, ts(5), ts(2, 1), "A", 12),
+        ],
+    )
+    # Watermark day3 00:00: closes windows ending <= day3: [day0,day2) and
+    # [day1,day3). Window [day2,day4) (containing the day-2 row) stays open.
+    resp, out = runner.run(
+        [{"alias": "in", "data_paths": [s1], "schema_file": s1, "watermark": ts(3)}],
+        system_time=ts(10),
+    )
+    from datetime import datetime
+
+    day0 = datetime(1999, 12, 31, tzinfo=timezone.utc)
+    out1 = _hop_rows(out)
+    assert out1 == [
+        (day0, "A", 10, 10),    # [day0, day2): day-1 row only
+        (ts(1), "A", 10, 12),   # [day1, day3): both rows
+    ]
+
+    # Run 2: watermark-only advance to day5 closes [day2,day4) — the
+    # day-2 row was buffered across the run boundary for its second
+    # window, which now emits with only that row.
+    resp2, out2 = runner.run(
+        [{"alias": "in", "data_paths": [], "schema_file": s1, "watermark": ts(5)}],
+        system_time=ts(11),
+    )
+    assert _hop_rows(out2) == [(ts(2), "A", 12, 12)]
+
+
+# ---------------------------------------------------------------------------
+# Incremental SESSION windows — beyond-reference stateful surface
+# ---------------------------------------------------------------------------
+
+SESSION_QUERY = """SELECT
+  SESSION_START(event_time, INTERVAL '2' HOUR) as event_time,
+  SESSION_END(event_time, INTERVAL '2' HOUR) as sess_end,
+  symbol as symbol,
+  count(*) as `n`,
+  max(price) as `max`
+FROM `in`
+GROUP BY SESSION(event_time, INTERVAL '2' HOUR), symbol"""
+
+
+def _session_rows(out_path):
+    table = pq.read_table(out_path)
+    return sorted(
+        (
+            r["event_time"].replace(tzinfo=timezone.utc),
+            r["sess_end"].replace(tzinfo=timezone.utc),
+            r["symbol"],
+            r["n"],
+            r["max"],
+        )
+        for r in table.to_pylist()
+    )
+
+
+def test_session_window_merges_across_runs(spark, tmp_path):
+    """A run-2 event inside the gap EXTENDS a session opened in run 1
+    (rows merged from the cross-run buffer); the merged session emits
+    once, when the watermark passes last_event + gap."""
+    runner = TransformRunner(spark, tmp_path, queries=[(SESSION_QUERY, None)])
+
+    s1 = str(tmp_path / "in" / "s1.parquet")
+    ticker_slice(
+        s1,
+        [
+            (0, 0, ts(5), ts(1, 1), "A", 10),
+            (1, 0, ts(5), ts(1, 2), "A", 12),
+            (2, 0, ts(5), ts(1, 10), "B", 20),
+        ],
+    )
+    # Watermark day1 11:00: A's burst (01:00-02:00, closes at 04:00)
+    # emits; B's session (closes 12:00) stays open in state.
+    resp, out = runner.run(
+        [{"alias": "in", "data_paths": [s1], "schema_file": s1, "watermark": ts(1, 11)}],
+        system_time=ts(10),
+    )
+    assert _session_rows(out) == [(ts(1, 1), ts(1, 4), "A", 2, 12)]
+
+    # Run 2: B at 11:30 is within 2h of B's buffered 10:00 event ->
+    # merges into one session [10:00, 13:30); day-2 watermark closes it.
+    s2 = str(tmp_path / "in" / "s2.parquet")
+    ticker_slice(s2, [(3, 0, ts(15), ts(1, 11, 30), "B", 21)])
+    resp2, out2 = runner.run(
+        [{"alias": "in", "data_paths": [s2], "schema_file": s2, "watermark": ts(2)}],
+        system_time=ts(11),
+    )
+    assert _session_rows(out2) == [(ts(1, 10), ts(1, 13, 30), "B", 2, 21)]
