@@ -1022,6 +1022,38 @@ def median_price_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline op: deterministic stratified sampling — up to 50
+    docs per language, chosen by hash order (md5 of the id) so the sample
+    is stable across runs/partitionings and unbiased w.r.t. insertion
+    order. One shuffle on the stratum key; rank state is O(quota)."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        d.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= 50)
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "lang", "sample_rank")
+    )
+
+
+def term_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline op: inverted-index / document-frequency counts —
+    explode lowercase alpha tokens, count distinct docs per term, top 100
+    with a total order. The explode shuffles (term, doc) pairs once; at
+    100 TB the same plan with a salt on stop-word-heavy terms (or a
+    pre-filter) bounds the hot keys."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term")
+    ).filter(F.col("term") != "")
+    return (
+        tok.groupBy("term")
+        .agg(F.countDistinct("doc_id").cast("long").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("term"))
+        .limit(100)
+    )
+
+
 def pivot_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: order counts per market segment x order status. Explicit pivot
     values keep the plan a single pass (no distinct-values pre-query)."""
@@ -1299,6 +1331,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_excess_suppliers": q20_excess_suppliers,
         "q21_waiting_suppliers": q21_waiting_suppliers,
         "q22_lapsed_customers": q22_lapsed_customers,
+        "stratified_sample_documents": stratified_sample_documents,
+        "term_doc_frequency": term_doc_frequency,
         "embedding_centroids_by_label": embedding_centroids_by_label,
         "median_price_by_status": median_price_by_status,
         "split_train_val_test": split_train_val_test,
@@ -1788,6 +1822,27 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_orderdate >= TIMESTAMP '2000-01-01')
             GROUP BY 1
+        """,
+        "stratified_sample_documents": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+                   CAST(sample_rank AS BIGINT) AS sample_rank
+            FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+                FROM documents
+            ) WHERE sample_rank <= 50
+        """,
+        "term_doc_frequency": """
+            WITH tok AS (
+                SELECT doc_id, t.term
+                FROM documents,
+                     unnest(string_split_regex(lower(text), '[^a-z]+')) AS t(term)
+                WHERE t.term <> ''
+            )
+            SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+            FROM tok GROUP BY 1
+            ORDER BY doc_freq DESC, term ASC LIMIT 100
         """,
         "embedding_centroids_by_label": """
             WITH ex AS (
