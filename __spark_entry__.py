@@ -48,6 +48,10 @@ def _conf(spark: SparkSession) -> None:
     which Spark otherwise refuses to read)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Untagged parquet timestamps (isAdjustedToUTC=false) must come in as
+    # TIMESTAMP_LTZ in this UTC session, not TIMESTAMP_NTZ: NTZ breaks
+    # unix_micros()/window() and DuckDB compares them as naive-UTC anyway.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
