@@ -121,7 +121,13 @@ def dedup_minhash_lsh(
     # duplication) and both verification joins. Persist it so the Pandas-UDF
     # corpus pass runs exactly once per action — at 100 TB this is the
     # difference between one and four full scans of the corpus text.
+    # Materialize EAGERLY: AQE launches the four consuming shuffle stages
+    # concurrently, and if the cache is still cold they all recompute the
+    # UDF subtree and serialize on per-partition cache locks (measured 4x
+    # CPU + ~3x wall on the bench corpus). One count() up front makes every
+    # branch a cache read.
     sigs = _minhash_sigs(df, text_col, id_col, num_hashes, shingle_k).persist()
+    sigs.count()
     # Pair-level distinct is redundant for the estimate/None paths: the
     # per-band duplicate pairs (bounded by `bands`) are either filtered by
     # the cheap signature comparison or collapsed by the losers distinct

@@ -43,7 +43,7 @@ def cosine_topk(
     corpus id. Self-queries (same id) are not excluded — pass pre-filtered
     queries if needed."""
     q = queries.select(F.col(query_id).alias("__qid"), F.col(vec_col).alias("__qv"))
-    c = corpus.select(F.col(corpus_id).alias("__cid"), F.col(vec_col).alias("__cv"))
+    c = spread(corpus).select(F.col(corpus_id).alias("__cid"), F.col(vec_col).alias("__cv"))
     scored = c.join(F.broadcast(q)).withColumn("cosine", V.cosine(F.col("__cv"), F.col("__qv")))
     w = Window.partitionBy("__qid").orderBy(F.desc("cosine"), F.asc("__cid"))
     return (

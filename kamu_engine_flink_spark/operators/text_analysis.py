@@ -1,8 +1,11 @@
 """Document-table text analysis: one operator that annotates a corpus with
 token counts, character-class ratios, language guess, quality score and
 fingerprint — all JVM-side expressions (functions/text.py), so the whole
-thing is a single narrow projection: no shuffle, full codegen, trivially
-scalable to any corpus size.
+thing is a single narrow projection: full codegen, trivially scalable to
+any corpus size. The only shuffle is the `spread` widening round-robin,
+and that fires only when the scan arrives narrower than the session's
+parallelism (small/single-file corpora — compute-bound projections must
+not inherit byte-based split counts).
 """
 
 from __future__ import annotations
@@ -11,11 +14,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as T
+from ..functions.partitioning import spread
 
 
 def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
-    return df.select(
+    return spread(df).select(
         "*",
         T.token_count(c).alias("token_count"),
         T.bpe_ish_token_count(c).alias("bpe_token_count"),
