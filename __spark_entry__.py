@@ -1288,6 +1288,41 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode plumbing (decode stubbed, digest-derived): the oracle
+    recomputes sample_rate/channels/duration/codec from md5 hex in SQL, so
+    the mapInPandas path is value-checked end-to-end."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("payload")
+    )
+    out = M.decode_audio(d, "payload")
+    return out.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        F.col("audio_meta.sample_rate").cast("long").alias("sample_rate"),
+        F.col("audio_meta.channels").cast("long").alias("channels"),
+        F.col("audio_meta.duration_ms").cast("long").alias("duration_ms"),
+        F.col("audio_meta.codec").alias("codec"),
+    )
+
+
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio window-explosion plumbing: one row per 500ms analysis window
+    at a fixed 16kHz stub rate; boundary arithmetic is oracle-checked."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.col("n_chars").alias("duration_ms"),
+    )
+    out = M.sample_audio_windows(d, "media_id", "payload", window_ms=500, sample_rate=16000)
+    return out.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        F.col("window_index").cast("long").alias("window_index"),
+        F.col("start_ms").cast("long").alias("start_ms"),
+        F.col("end_ms").cast("long").alias("end_ms"),
+        F.col("n_samples").cast("long").alias("n_samples"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -1361,6 +1396,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_analysis_documents": text_analysis_documents,
         "multimodal_image_meta": multimodal_image_meta,
         "multimodal_frame_sample": multimodal_frame_sample,
+        "multimodal_audio_meta": multimodal_audio_meta,
+        "multimodal_audio_windows": multimodal_audio_windows,
     }
 
 
@@ -1400,6 +1437,11 @@ _D0 = _HEXB.format(a=1, b=2)
 _D1 = _HEXB.format(a=3, b=4)
 _D2 = _HEXB.format(a=5, b=6)
 _D3 = _HEXB.format(a=7, b=8)
+_D4 = _HEXB.format(a=9, b=10)
+_D5 = _HEXB.format(a=11, b=12)
+_D6 = _HEXB.format(a=13, b=14)
+_D7 = _HEXB.format(a=15, b=16)
+_D8 = _HEXB.format(a=17, b=18)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2076,5 +2118,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(t // 1000 AS BIGINT) AS frame_index,
                    CAST(t AS BIGINT) AS frame_time_ms
             FROM documents, unnest(range(0, greatest(n_chars, 1), 1000)) AS u(t)
+        """,
+        "multimodal_audio_meta": f"""
+            SELECT CAST(doc_id AS BIGINT) AS media_id,
+                   CAST(CASE ({_D4}) % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                        WHEN 2 THEN 22050 ELSE 44100 END AS BIGINT) AS sample_rate,
+                   CAST(1 + ({_D5}) % 2 AS BIGINT) AS channels,
+                   CAST(1000 + (({_D6}) * 256 + ({_D7})) % 60000 AS BIGINT) AS duration_ms,
+                   CASE ({_D8}) % 3 WHEN 0 THEN 'wav' WHEN 1 THEN 'flac' ELSE 'opus' END AS codec
+            FROM documents
+        """,
+        "multimodal_audio_windows": """
+            SELECT CAST(doc_id AS BIGINT) AS media_id,
+                   CAST(t // 500 AS BIGINT) AS window_index,
+                   CAST(t AS BIGINT) AS start_ms,
+                   CAST(least(t + 500, greatest(n_chars, 1)) AS BIGINT) AS end_ms,
+                   CAST((least(t + 500, greatest(n_chars, 1)) - t) * 16000 // 1000 AS BIGINT) AS n_samples
+            FROM documents, unnest(range(0, greatest(n_chars, 1), 500)) AS u(t)
         """,
     }

@@ -116,6 +116,127 @@ def image_features(
     return df.mapInPandas(batches, out_schema)
 
 
+AUDIO_META_SCHEMA = StructType(
+    [
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("codec", StringType()),
+    ]
+)
+
+
+def _decode_audio_bytes(payload: bytes):
+    """Real audio codec hook. Plug soundfile/librosa here when available."""
+    try:
+        import soundfile  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "audio decoding requires a codec library (soundfile/librosa) not present"
+        ) from e
+    raise NotImplementedError("real audio decode path not wired yet")
+
+
+def _fake_audio_meta(payload: bytes) -> tuple[int, int, int, str]:
+    """Deterministic pseudo audio metadata from digest bytes 4..8 (bytes
+    0..3 are the image stub's — same payload can carry both modalities in
+    tests without colliding fields)."""
+    d = hashlib.md5(payload or b"").digest()
+    sample_rate = [8000, 16000, 22050, 44100][d[4] % 4]
+    channels = 1 + d[5] % 2
+    duration_ms = 1000 + (d[6] * 256 + d[7]) % 60000
+    codec = ["wav", "flac", "opus"][d[8] % 3]
+    return sample_rate, channels, duration_ms, codec
+
+
+def decode_audio(
+    df: DataFrame,
+    payload_col: str = "payload",
+    deterministic_fake: bool = True,
+) -> DataFrame:
+    """Attach an `audio_meta` struct decoded from the binary payload."""
+    out_schema = StructType(df.schema.fields + [StructField("audio_meta", AUDIO_META_SCHEMA)])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            metas = []
+            for payload in pdf[payload_col]:
+                raw = bytes(payload) if payload is not None else b""
+                if deterministic_fake:
+                    sr, ch, dur, codec = _fake_audio_meta(raw)
+                else:
+                    sr, ch, dur, codec = _decode_audio_bytes(raw)
+                metas.append(
+                    {"sample_rate": sr, "channels": ch, "duration_ms": dur, "codec": codec}
+                )
+            pdf = pdf.copy()
+            pdf["audio_meta"] = metas
+            yield pdf
+
+    return df.mapInPandas(batches, out_schema)
+
+
+AUDIO_WINDOW_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("window_index", IntegerType()),
+        StructField("start_ms", LongType()),
+        StructField("end_ms", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("window_payload", StringType()),  # stub: digest, not samples
+    ]
+)
+
+
+def sample_audio_windows(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    window_ms: int = 500,
+    duration_col: str = "duration_ms",
+    sample_rate: int = 16000,
+) -> DataFrame:
+    """Explode an audio payload into fixed-length analysis windows (the
+    grain resampling / spectral features / VAD run at). The explosion is
+    fully vectorized per Arrow batch (np.repeat index arithmetic — no
+    per-row Python loop for the shape); only the stubbed per-window digest
+    walks rows. Durations are clamped to >= 1ms so every payload yields at
+    least one window."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            dur = np.maximum(pdf[duration_col].to_numpy(np.int64), 1)
+            nwin = (dur + window_ms - 1) // window_ms
+            total = int(nwin.sum())
+            seg_starts = np.zeros(len(nwin), dtype=np.int64)
+            np.cumsum(nwin[:-1], out=seg_starts[1:])
+            idx = np.arange(total, dtype=np.int64) - np.repeat(seg_starts, nwin)
+            start_ms = idx * window_ms
+            end_ms = np.minimum(start_ms + window_ms, np.repeat(dur, nwin))
+            payloads = [
+                bytes(p) if p is not None else b"" for p in pdf[payload_col]
+            ]
+            row_of = np.repeat(np.arange(len(nwin), dtype=np.int64), nwin)
+            yield pd.DataFrame(
+                {
+                    "media_id": np.repeat(pdf[id_col].to_numpy(np.int64), nwin),
+                    "window_index": idx.astype("int32"),
+                    "start_ms": start_ms,
+                    "end_ms": end_ms,
+                    "n_samples": (end_ms - start_ms) * sample_rate // 1000,
+                    "window_payload": [
+                        hashlib.md5(
+                            payloads[r] + int(s).to_bytes(8, "little")
+                        ).hexdigest()
+                        for r, s in zip(row_of, start_ms)
+                    ],
+                }
+            )
+
+    return df.mapInPandas(batches, AUDIO_WINDOW_SCHEMA)
+
+
 FRAME_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),

@@ -56,6 +56,32 @@ def test_sample_frames_explosion(media):
     assert len({r.frame_payload for r in one}) == 4  # distinct per frame
 
 
+def test_decode_audio_schema_and_determinism(media):
+    out = multimodal.decode_audio(media)
+    assert "audio_meta" in out.columns
+    rows1 = {r.media_id: r.audio_meta for r in out.collect()}
+    rows2 = {r.media_id: r.audio_meta for r in multimodal.decode_audio(media).collect()}
+    assert rows1 == rows2
+    meta = rows1[0]
+    assert meta.sample_rate in (8000, 16000, 22050, 44100)
+    assert meta.channels in (1, 2)
+    assert 1000 <= meta.duration_ms < 61000
+    assert meta.codec in ("wav", "flac", "opus")
+
+
+def test_sample_audio_windows_explosion(media):
+    wins = multimodal.sample_audio_windows(media, window_ms=500, sample_rate=16000)
+    counts = {r.media_id: r.n for r in wins.groupBy("media_id").agg(F.count("*").alias("n")).collect()}
+    assert counts[0] == 7  # 3500ms / 500ms
+    assert counts[19] == 11  # 5400ms -> ceil(5400/500)
+    one = wins.filter(F.col("media_id") == 19).orderBy("window_index").collect()
+    assert [r.start_ms for r in one][:3] == [0, 500, 1000]
+    assert one[-1].end_ms == 5400  # last window clamped to duration
+    assert one[-1].n_samples == (5400 - 5000) * 16000 // 1000
+    assert one[0].n_samples == 500 * 16000 // 1000
+    assert len({r.window_payload for r in one}) == len(one)  # distinct digests
+
+
 def test_real_decode_path_gated(media, spark):
     with pytest.raises(Exception) as exc_info:
         multimodal.decode_images(media, deterministic_fake=False).collect()
