@@ -1288,6 +1288,43 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (dup-token ratio, top-bigram
+    share) — boilerplate/template detection for training corpora."""
+    d = _t(spark, sf_dir, "documents")
+    from kamu_engine_flink_spark.operators.text_analysis import repetition_signals
+
+    return repetition_signals(d, "text", n=2).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "dup_token_ratio",
+        F.col("top_ngram_count").cast("long").alias("top_bigram_count"),
+        F.col("top_ngram_frac").alias("top_bigram_frac"),
+    )
+
+
+def window_rank_family_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ranking-function family (SURVEY §2.B 'other ranking/analytic
+    functions' — available-but-unexercised in the reference): rank /
+    dense_rank / percent_rank / cume_dist over a tie-heavy key (values are
+    functions of the key, so ties are engine-neutral) and ntile over a
+    total deterministic order."""
+    o = _t(spark, sf_dir, "orders")
+    w_ties = Window.partitionBy("o_orderstatus").orderBy(F.asc("o_orderpriority"))
+    w_total = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        "o_orderstatus",
+        "o_orderpriority",
+        F.rank().over(w_ties).cast("long").alias("rnk"),
+        F.dense_rank().over(w_ties).cast("long").alias("drnk"),
+        F.round(F.percent_rank().over(w_ties), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w_ties), 6).alias("cume"),
+        F.ntile(4).over(w_total).cast("long").alias("price_quartile"),
+    )
+
+
 def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio decode plumbing (decode stubbed, digest-derived): the oracle
     recomputes sample_rate/channels/duration/codec from md5 hex in SQL, so
@@ -1398,6 +1435,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": multimodal_frame_sample,
         "multimodal_audio_meta": multimodal_audio_meta,
         "multimodal_audio_windows": multimodal_audio_windows,
+        "text_repetition_documents": text_repetition_documents,
+        "window_rank_family_orders": window_rank_family_orders,
     }
 
 
@@ -2135,5 +2174,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(least(t + 500, greatest(n_chars, 1)) AS BIGINT) AS end_ms,
                    CAST((least(t + 500, greatest(n_chars, 1)) - t) * 16000 // 1000 AS BIGINT) AS n_samples
             FROM documents, unnest(range(0, greatest(n_chars, 1), 500)) AS u(t)
+        """,
+        "text_repetition_documents": f"""
+            WITH g AS (
+                SELECT doc_id,
+                       {_TOKS} AS toks,
+                       list_transform(range(1, greatest(len({_TOKS}) - 2, 0) + 2),
+                                      i -> array_to_string(({_TOKS})[i:i+1], ' ')) AS bg
+                FROM documents
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   round((len(toks) - len(list_distinct(toks))) / greatest(len(toks), 1), 6)
+                       AS dup_token_ratio,
+                   CAST(list_max(list_transform(list_distinct(bg),
+                        x -> len(list_filter(bg, y -> y = x)))) AS BIGINT) AS top_bigram_count,
+                   round(list_max(list_transform(list_distinct(bg),
+                        x -> len(list_filter(bg, y -> y = x)))) / len(bg), 6) AS top_bigram_frac
+            FROM g
+        """,
+        "window_rank_family_orders": """
+            SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                   o_orderstatus,
+                   o_orderpriority,
+                   CAST(rank() OVER wt AS BIGINT) AS rnk,
+                   CAST(dense_rank() OVER wt AS BIGINT) AS drnk,
+                   round(percent_rank() OVER wt, 6) AS pct_rank,
+                   round(cume_dist() OVER wt, 6) AS cume,
+                   CAST(ntile(4) OVER (PARTITION BY o_orderstatus
+                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS price_quartile
+            FROM orders
+            WINDOW wt AS (PARTITION BY o_orderstatus ORDER BY o_orderpriority ASC)
         """,
     }

@@ -101,6 +101,38 @@ def quality_score(col: Column) -> Column:
     )
 
 
+def word_ngram_multiset(col: Column, n: int = 2) -> Column:
+    """All word n-grams in order (multiset — duplicates kept, unlike
+    hashing.word_ngrams). Documents shorter than n words yield one
+    partial gram, matching DuckDB slice semantics in the oracle."""
+    t = tokens(col)
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+    )
+
+
+def dup_token_ratio(col: Column) -> Column:
+    """Fraction of tokens that are repeats of an earlier token — the
+    Gopher-style repetition signal at token grain."""
+    t = tokens(col)
+    return (F.size(t) - F.size(F.array_distinct(t))) / F.greatest(F.size(t), F.lit(1))
+
+
+def top_ngram_count(col: Column, n: int = 2) -> Column:
+    """Occurrences of the most frequent word n-gram."""
+    ng = word_ngram_multiset(col, n)
+    return F.array_max(
+        F.transform(F.array_distinct(ng), lambda g: F.size(F.filter(ng, lambda x: x == g)))
+    )
+
+
+def top_ngram_frac(col: Column, n: int = 2) -> Column:
+    """Fraction of all n-gram slots taken by the most frequent n-gram —
+    high values flag boilerplate/template documents."""
+    return top_ngram_count(col, n) / F.size(word_ngram_multiset(col, n))
+
+
 def normalize_text(col: Column) -> Column:
     """Canonical form for fingerprinting: lowercase, collapse whitespace,
     strip punctuation."""

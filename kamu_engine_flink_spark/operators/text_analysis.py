@@ -32,3 +32,18 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
         T.quality_score(c).alias("quality_score"),
         T.fingerprint(c).alias("fingerprint"),
     )
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text", n: int = 2) -> DataFrame:
+    """Gopher-style repetition filters: duplicate-token fraction and the
+    share of n-gram slots held by the single most frequent n-gram. The
+    top-n-gram scan is O(distinct x total) per document — fine at document
+    grain (hundreds of tokens); it stays a narrow per-row projection, so
+    the operator scales with the corpus exactly like analyze_documents."""
+    c = F.col(text_col)
+    return spread(df).select(
+        "*",
+        F.round(T.dup_token_ratio(c), 6).alias("dup_token_ratio"),
+        T.top_ngram_count(c, n).alias("top_ngram_count"),
+        F.round(T.top_ngram_frac(c, n), 6).alias("top_ngram_frac"),
+    )

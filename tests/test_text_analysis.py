@@ -46,3 +46,34 @@ def test_fingerprint_stable_under_formatting(spark):
 def test_language_guess_plausible(analyzed):
     langs = {r[0] for r in analyzed.select("lang_guess").distinct().collect()}
     assert langs <= {"en", "de", "fr", "es", "und"}
+
+
+def test_repetition_signals_hand_computed(spark):
+    from kamu_engine_flink_spark.operators.text_analysis import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a b"),        # 4 tokens, 2 distinct; bigrams: "a a","a a","a b"
+            (2, "x y z"),          # no repeats; bigrams "x y","y z" all unique
+            (3, "spam spam spam spam"),  # total repetition
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in repetition_signals(df).collect()}
+    assert rows[1].dup_token_ratio == 0.5
+    assert rows[1].top_ngram_count == 2
+    assert abs(rows[1].top_ngram_frac - 2 / 3) < 1e-6
+    assert rows[2].dup_token_ratio == 0.0
+    assert rows[2].top_ngram_count == 1
+    assert rows[3].dup_token_ratio == 0.75
+    assert rows[3].top_ngram_count == 3  # "spam spam" x3
+    assert rows[3].top_ngram_frac == 1.0
+
+
+def test_repetition_signals_degenerate_docs(spark):
+    from kamu_engine_flink_spark.operators.text_analysis import repetition_signals
+
+    df = spark.createDataFrame([(1, ""), (2, "one")], ["doc_id", "text"])
+    rows = {r.doc_id: r for r in repetition_signals(df).collect()}
+    assert rows[1].dup_token_ratio == 0.0  # empty -> [''] single token
+    assert rows[2].top_ngram_count == 1  # partial gram of a 1-token doc
