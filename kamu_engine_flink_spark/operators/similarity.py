@@ -20,15 +20,27 @@ Two paths, same results contract (top-k neighbors per query):
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
 
 from ..functions import vectors as V
 from ..functions.partitioning import spread
+
+
+def _seq_dot(a, b) -> float:
+    """Left-to-right sequential float64 dot — the exact IEEE evaluation
+    order of both the Spark `aggregate` fold (functions/vectors.py) and
+    DuckDB's list_sum, so scores are bit-identical across all three."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s += float(x) * float(y)
+    return s
 
 
 def cosine_topk(
@@ -38,13 +50,84 @@ def cosine_topk(
     corpus_id: str = "vec_id",
     query_id: str = "query_id",
     vec_col: str = "embedding",
+    gemm: bool = True,
+    pool_extra: int = 8,
 ) -> DataFrame:
     """Exact top-k by cosine for each query row. Deterministic tie-break on
     corpus id. Self-queries (same id) are not excluded — pass pre-filtered
-    queries if needed."""
-    q = queries.select(F.col(query_id).alias("__qid"), F.col(vec_col).alias("__qv"))
-    c = spread(corpus).select(F.col(corpus_id).alias("__cid"), F.col(vec_col).alias("__cv"))
-    scored = c.join(F.broadcast(q)).withColumn("cosine", V.cosine(F.col("__cv"), F.col("__qv")))
+    queries if needed.
+
+    gemm=True (default, the scale path): the query matrix rides into an
+    Arrow-batched stage that scores each corpus batch with one numpy matrix
+    multiply and keeps only the per-batch top (k + pool_extra) candidates
+    per query — the window shuffle then ranks ~k rows per query per
+    partition instead of every (corpus x query) pair. Selection uses the
+    GEMM score; the *emitted* cosine is recomputed with the sequential
+    fold, so reported values are bit-identical to the expression path
+    (pool_extra absorbs any sub-1e-13 selection-order divergence).
+
+    gemm=False: pure built-in expressions (zip_with/aggregate fold) — no
+    Python anywhere, at the cost of interpreted per-pair evaluation
+    (higher-order functions are CodegenFallback)."""
+    if not gemm:
+        q = queries.select(F.col(query_id).alias("__qid"), F.col(vec_col).alias("__qv"))
+        c = spread(corpus).select(F.col(corpus_id).alias("__cid"), F.col(vec_col).alias("__cv"))
+        scored = c.join(F.broadcast(q)).withColumn(
+            "cosine", V.cosine(F.col("__cv"), F.col("__qv"))
+        )
+        w = Window.partitionBy("__qid").orderBy(F.desc("cosine"), F.asc("__cid"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                F.col("__qid").alias(query_id),
+                F.col("__cid").alias(corpus_id),
+                F.col("rank"),
+                F.round("cosine", 6).alias("cosine"),
+            )
+        )
+
+    q_rows = queries.select(query_id, vec_col).collect()
+    if not q_rows:
+        return cosine_topk(
+            corpus, queries, k, corpus_id, query_id, vec_col, gemm=False
+        )
+    qids = [r[0] for r in q_rows]
+    qvecs = [[float(x) for x in r[1]] for r in q_rows]
+    qn_exact = [math.sqrt(_seq_dot(v, v)) for v in qvecs]
+    Qn = np.array(qvecs, dtype=np.float64)
+    Qn /= np.maximum(np.linalg.norm(Qn, axis=1, keepdims=True), 1e-300)
+    pool = k + pool_extra
+
+    out_schema = StructType(
+        [
+            StructField("__qid", queries.schema[query_id].dataType),
+            StructField("__cid", corpus.schema[corpus_id].dataType),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            C = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+            S = Cn @ Qn.T  # batch x queries
+            take = min(pool, S.shape[0])
+            sel = np.argpartition(-S, take - 1, axis=0)[:take]
+            ids = pdf[corpus_id].to_numpy()
+            out_q, out_c, out_cos = [], [], []
+            for j in range(S.shape[1]):
+                qv, qn = qvecs[j], qn_exact[j]
+                for i in sel[:, j]:
+                    cv = C[i]
+                    out_q.append(qids[j])
+                    out_c.append(ids[i])
+                    out_cos.append(_seq_dot(cv, qv) / (math.sqrt(_seq_dot(cv, cv)) * qn))
+            yield pd.DataFrame({"__qid": out_q, "__cid": out_c, "cosine": out_cos})
+
+    scored = spread(corpus).mapInPandas(batches, out_schema)
     w = Window.partitionBy("__qid").orderBy(F.desc("cosine"), F.asc("__cid"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
