@@ -1325,6 +1325,69 @@ def window_rank_family_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document (inverted-index workload). The
+    (term -> doc-frequency) relation joins back on `term` with a SHUFFLE
+    join on purpose: vocabulary grows with the corpus, so a broadcast
+    would not survive 100 TB — both sides are term-partitioned and AQE
+    coalesces. Ranking uses the rounded score so double 1-ulp log()
+    differences can't flip cross-engine tie order."""
+    d = _t(spark, sf_dir, "documents")
+    terms = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.round(F.col("tf") * (F.log((F.col("n") + 1) / (F.col("df") + 1)) + 1), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("rank").cast("long").alias("rank"),
+            "score",
+        )
+    )
+
+
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (4x storage
+    reduction for ANN at scale): per-vector scale = max|x| / 127,
+    q_i = floor(x_i/scale + 0.5). Engine-neutral rounding (explicit
+    floor(+0.5), not round()) and per-vector checksums keep the oracle
+    exact without emitting 64-wide arrays."""
+    e = _t(spark, sf_dir, "embeddings")
+    xd = F.transform("embedding", lambda x: x.cast("double"))
+    amax = F.greatest(F.array_max(F.transform(xd, F.abs)), F.lit(1e-30))
+    scale = (amax / F.lit(127.0)).alias("scale")
+    return (
+        e.select(F.col("vec_id").cast("long").alias("vec_id"), scale, xd.alias("__xd"))
+        .select(
+            "vec_id",
+            F.round("scale", 9).alias("scale9"),
+            F.transform("__xd", lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("long")).alias("__q"),
+        )
+        .select(
+            "vec_id",
+            "scale9",
+            F.aggregate("__q", F.lit(0).cast("long"), lambda a, x: a + x).alias("qsum"),
+            F.array_min("__q").alias("qmin"),
+            F.array_max("__q").alias("qmax"),
+        )
+    )
+
+
 def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio decode plumbing (decode stubbed, digest-derived): the oracle
     recomputes sample_rate/channels/duration/codec from md5 hex in SQL, so
@@ -1437,6 +1500,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_windows": multimodal_audio_windows,
         "text_repetition_documents": text_repetition_documents,
         "window_rank_family_orders": window_rank_family_orders,
+        "tfidf_top_terms": tfidf_top_terms,
+        "embedding_quantize_int8": embedding_quantize_int8,
     }
 
 
@@ -2191,6 +2256,51 @@ def oracle_sql() -> dict[str, str]:
                    round(list_max(list_transform(list_distinct(bg),
                         x -> len(list_filter(bg, y -> y = x)))) / len(bg), 6) AS top_bigram_frac
             FROM g
+        """,
+        "tfidf_top_terms": """
+            WITH terms AS (
+                SELECT doc_id, t AS term
+                FROM documents, unnest(string_split_regex(lower(text), '[^a-z]+')) AS u(t)
+                WHERE t <> ''
+            ),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+            dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+            n AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.term, tf.tf,
+                       round(tf.tf * (ln((n.n + 1) / (dfreq.df + 1)) + 1), 6) AS score
+                FROM tf JOIN dfreq USING (term) CROSS JOIN n
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, term, CAST(tf AS BIGINT) AS tf,
+                   CAST(rank AS BIGINT) AS rank, score
+            FROM (
+                SELECT doc_id, term, tf, score,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, term ASC) AS rank
+                FROM scored
+            ) WHERE rank <= 3
+        """,
+        "embedding_quantize_int8": """
+            WITH v AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+            ),
+            s AS (
+                SELECT vec_id, e,
+                       greatest(list_max(list_transform(e, x -> abs(x))), 1e-30) / 127.0
+                           AS scale
+                FROM v
+            ),
+            q AS (
+                SELECT vec_id, scale,
+                       list_transform(e, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS qs
+                FROM s
+            )
+            SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                   round(scale, 9) AS scale9,
+                   CAST(list_sum(qs) AS BIGINT) AS qsum,
+                   CAST(list_min(qs) AS BIGINT) AS qmin,
+                   CAST(list_max(qs) AS BIGINT) AS qmax
+            FROM q
         """,
         "window_rank_family_orders": """
             SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
