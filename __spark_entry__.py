@@ -1326,21 +1326,20 @@ def window_rank_family_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF top-3 terms per document (inverted-index workload). The
-    (term -> doc-frequency) relation joins back on `term` with a SHUFFLE
-    join on purpose: vocabulary grows with the corpus, so a broadcast
-    would not survive 100 TB — both sides are term-partitioned and AQE
-    coalesces. Ranking uses the rounded score so double 1-ulp log()
-    differences can't flip cross-engine tie order."""
+    """TF-IDF top-3 terms per document (inverted-index workload). df(term)
+    is a window count over the tf relation — one corpus scan+explode, no
+    vocabulary join at all (the naive tf-join-df formulation scans the
+    corpus twice and shuffles the vocabulary as a join side). Ranking uses
+    the rounded score so double 1-ulp log() differences can't flip
+    cross-engine tie order."""
     d = _t(spark, sf_dir, "documents")
     terms = d.select(
         "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term")
     ).filter(F.col("term") != "")
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n"))
     scored = (
-        tf.join(dfreq, "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(n))
         .withColumn(
             "score",
