@@ -188,6 +188,24 @@ AUDIO_WINDOW_SCHEMA = StructType(
 )
 
 
+def _audio_window_grid(durations, window_ms: int):
+    """Vectorized fixed-window tiling: for each duration (clamped >= 1ms)
+    return per-window (row_count, window_index, start_ms, end_ms) arrays,
+    concatenated in row order. Windows tile [0, duration) exactly: no
+    gaps, no overlap, last end == duration."""
+    import numpy as np
+
+    dur = np.maximum(np.asarray(durations, dtype=np.int64), 1)
+    nwin = (dur + window_ms - 1) // window_ms
+    total = int(nwin.sum())
+    seg_starts = np.zeros(len(nwin), dtype=np.int64)
+    np.cumsum(nwin[:-1], out=seg_starts[1:])
+    idx = np.arange(total, dtype=np.int64) - np.repeat(seg_starts, nwin)
+    start_ms = idx * window_ms
+    end_ms = np.minimum(start_ms + window_ms, np.repeat(dur, nwin))
+    return nwin, idx, start_ms, end_ms
+
+
 def sample_audio_windows(
     df: DataFrame,
     id_col: str = "media_id",
@@ -206,14 +224,9 @@ def sample_audio_windows(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            dur = np.maximum(pdf[duration_col].to_numpy(np.int64), 1)
-            nwin = (dur + window_ms - 1) // window_ms
-            total = int(nwin.sum())
-            seg_starts = np.zeros(len(nwin), dtype=np.int64)
-            np.cumsum(nwin[:-1], out=seg_starts[1:])
-            idx = np.arange(total, dtype=np.int64) - np.repeat(seg_starts, nwin)
-            start_ms = idx * window_ms
-            end_ms = np.minimum(start_ms + window_ms, np.repeat(dur, nwin))
+            nwin, idx, start_ms, end_ms = _audio_window_grid(
+                pdf[duration_col].to_numpy(np.int64), window_ms
+            )
             payloads = [
                 bytes(p) if p is not None else b"" for p in pdf[payload_col]
             ]

@@ -62,3 +62,29 @@ def test_minhash_identity(text):
     s = _shingle_hashes(text.encode(), 5)
     assert np.array_equal(_signature(s), _signature(s.copy()))
     assert _exact_jaccard(s, s) == 1.0
+
+
+# --- audio window tiling (operators/multimodal._audio_window_grid) -------
+
+durations = st.lists(st.integers(min_value=0, max_value=100_000), min_size=1, max_size=40)
+window_sizes = st.integers(min_value=1, max_value=5_000)
+
+
+@settings(max_examples=60, deadline=None)
+@given(durations, window_sizes)
+def test_audio_window_grid_tiles_exactly(durs, wms):
+    from kamu_engine_flink_spark.operators.multimodal import _audio_window_grid
+
+    nwin, idx, start, end = _audio_window_grid(durs, wms)
+    clamped = [max(d, 1) for d in durs]
+    # per-row window counts
+    assert list(nwin) == [-(-d // wms) for d in clamped]  # ceil division
+    pos = 0
+    for d, n in zip(clamped, nwin):
+        s, e, ix = start[pos : pos + n], end[pos : pos + n], idx[pos : pos + n]
+        assert list(ix) == list(range(n))  # indices restart per row
+        assert s[0] == 0 and e[-1] == d  # tiles cover [0, d)
+        assert all(e[i] == s[i + 1] for i in range(n - 1))  # no gaps/overlap
+        assert all(0 < e[i] - s[i] <= wms for i in range(n))  # bounded width
+        pos += n
+    assert pos == len(start) == len(end) == len(idx)
