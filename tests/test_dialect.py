@@ -1,0 +1,93 @@
+"""Dialect-rewrite unit tests (string-level, no SparkSession) plus an
+engine-level current_watermark() run.
+
+The reference exposes Flink SQL; our engine accepts the documented Flink
+spellings (SURVEY.md §2.B) and rewrites them to Spark SQL
+(plans/dialect.py). TUMBLE / LATERAL TABLE / FOR SYSTEM_TIME rewrites are
+exercised end-to-end by test_window_agg / test_temporal_join; this file
+pins the remaining constructs and the current_watermark() literal
+injection (TopNTest.scala:55 uses it in the reference's changelog test).
+"""
+
+from datetime import datetime, timezone
+
+from kamu_engine_flink_spark.plans.dialect import rewrite_query
+
+from .helpers import TransformRunner, ticker_slice, ts
+
+
+def test_tumble_rewrite():
+    out = rewrite_query(
+        "SELECT TUMBLE_START(event_time, INTERVAL '1' DAY) as t, sum(price) "
+        "FROM x GROUP BY TUMBLE(event_time, INTERVAL '1' DAY)"
+    )
+    assert "SELECT window.start as t" in out
+    assert "GROUP BY window(event_time, '1 day')" in out
+    assert "TUMBLE" not in out
+
+
+def test_hop_and_session_rewrite():
+    out = rewrite_query(
+        "SELECT HOP_START(ts, INTERVAL '1' HOUR, INTERVAL '2' HOUR) FROM x "
+        "GROUP BY HOP(ts, INTERVAL '1' HOUR, INTERVAL '2' HOUR)"
+    )
+    assert "SELECT window.start" in out
+    assert "GROUP BY window(ts, '2 hour', '1 hour')" in out
+    out = rewrite_query(
+        "SELECT SESSION_END(ts, INTERVAL '30' MINUTE) FROM x "
+        "GROUP BY SESSION(ts, INTERVAL '30' MINUTE)"
+    )
+    assert "SELECT session_window.end" in out
+    assert "GROUP BY session_window(ts, '30 minute')" in out
+
+
+def test_timestamp_precision_stripped():
+    out = rewrite_query("SELECT CAST(x AS TIMESTAMP(3)) FROM t")
+    assert "TIMESTAMP(3)" not in out
+    assert "CAST(x AS TIMESTAMP)" in out
+
+
+def test_current_watermark_literal_injection():
+    wm = datetime(2000, 1, 2, 3, 4, 5, tzinfo=timezone.utc)
+    out = rewrite_query("SELECT current_watermark(event_time) AS wm FROM t", watermark=wm)
+    assert "TIMESTAMP '2000-01-02 03:04:05.000'" in out
+    assert "current_watermark" not in out
+
+
+def test_current_watermark_null_when_unset():
+    out = rewrite_query("SELECT current_watermark(event_time) FROM t")
+    assert "CAST(NULL AS TIMESTAMP)" in out
+
+
+def test_passthrough_untouched():
+    sql = "SELECT a, b FROM t WHERE a <> b ORDER BY a LIMIT 5"
+    assert rewrite_query(sql) == sql
+
+
+WM_QUERY = """SELECT
+  event_time,
+  symbol,
+  current_watermark(event_time) as wm
+FROM `in`"""
+
+
+def test_current_watermark_through_engine(spark, tmp_path):
+    """Engine run whose query projects current_watermark(): every output
+    row carries the effective input watermark of the invocation."""
+    runner = TransformRunner(spark, tmp_path, queries=[(WM_QUERY, None)])
+    slice1 = str(tmp_path / "in" / "slice1.parquet")
+    ticker_slice(
+        slice1,
+        [(0, 0, ts(5), ts(1), "A", 10), (1, 0, ts(5), ts(2), "B", 20)],
+    )
+    resp, out = runner.run(
+        [{"alias": "in", "data_paths": [slice1], "schema_file": slice1, "watermark": ts(2)}],
+        system_time=ts(10),
+    )
+    import pyarrow.parquet as pq
+
+    rows = pq.read_table(out).to_pylist()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["wm"].replace(tzinfo=timezone.utc) == ts(2)
+    assert resp.new_watermark == ts(2)
