@@ -158,6 +158,7 @@ def execute_transform(spark: SparkSession, request: TransformRequest) -> Transfo
 
     steps = request.transform.queries
     result: StepResult | None = None
+    pinned: list[DataFrame] = []
     for i, step in enumerate(steps):
         ctx = StepContext(
             spark=spark,
@@ -168,6 +169,7 @@ def execute_transform(spark: SparkSession, request: TransformRequest) -> Transfo
             event_time_cols=event_time_cols,
             prev_wms=prev_wms,
             new_wms=new_wms,
+            pinned=pinned,
         )
         kind = C.classify(step.query, set(views))
         result = _EXECUTORS[kind](ctx, step.query)
@@ -193,6 +195,8 @@ def execute_transform(spark: SparkSession, request: TransformRequest) -> Transfo
     # Persist watermark state for every view (inputs + aliased steps).
     state.save_watermarks({**new_wms, "__output__": result.watermark})
     state.finish()
+    for df in pinned:
+        df.unpersist()
 
     return TransformResponse(
         new_offset_interval=(

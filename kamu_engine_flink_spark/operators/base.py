@@ -32,6 +32,20 @@ class StepContext:
     event_time_cols: dict[str, str]  # view -> event-time column name
     prev_wms: dict[str, datetime | None]
     new_wms: dict[str, datetime | None]
+    # DataFrames an executor persisted for reuse between its state-save
+    # action and the output action; the engine unpersists them after the
+    # final write (shared list across all steps of one invocation).
+    pinned: list[DataFrame] = field(default_factory=list)
+
+    def pin(self, df: DataFrame) -> DataFrame:
+        """Cache `df` (memory-and-disk) so the state-save action and the
+        result action scan the input union once, not twice — per-slice
+        read amplification is 2x otherwise on every stateful step."""
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        self.pinned.append(df)
+        return df
 
 
 @dataclass

@@ -57,8 +57,10 @@ def execute_interval_join(ctx: StepContext, sql: str) -> StepResult:
     old_left = ctx.state.load_df(left_state, schema=new_left.schema)
     new_right = ctx.views[rv]
     old_right = ctx.state.load_df(right_state, schema=new_right.schema)
-    all_left = old_left.unionByName(new_left)
-    all_right = old_right.unionByName(new_right)
+    # Each side's union feeds several join branches plus the state save —
+    # pin so every consumer reads one cached copy, not the slices again.
+    all_left = ctx.pin(old_left.unionByName(new_left))
+    all_right = ctx.pin(old_right.unionByName(new_right))
 
     inner_sql = _LEFT_JOIN_RE.sub("JOIN", sql)
     joint_wm = min_watermark(wm_l, wm_r)

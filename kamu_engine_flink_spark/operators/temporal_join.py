@@ -67,12 +67,12 @@ def execute_temporal_join(ctx: StepContext, sql: str) -> StepResult:
     # Version history accumulates across invocations.
     versions_state = f"versions-{build}"
     prev_versions = ctx.state.load_df(versions_state, schema=ctx.views[build].schema)
-    versions = prev_versions.unionByName(ctx.views[build])
+    versions = ctx.pin(prev_versions.unionByName(ctx.views[build]))
 
     # Probe rows release when the joint watermark passes their event time.
     probe_state = f"{ctx.step_key}-probe-buffer"
     prev_probe = ctx.state.load_df(probe_state, schema=ctx.views[probe].schema)
-    probe_all = prev_probe.unionByName(ctx.views[probe])
+    probe_all = ctx.pin(prev_probe.unionByName(ctx.views[probe]))
     joint_wm = min_watermark(ctx.new_wms.get(probe), ctx.new_wms.get(build))
     if joint_wm is not None:
         release = probe_all.filter(F.col(probe_et) <= F.lit(joint_wm))

@@ -59,7 +59,9 @@ def execute_window_agg(ctx: StepContext, sql: str) -> StepResult:
     cols = incoming.columns
     if prev_wm is not None:
         incoming = incoming.filter(_window_end(incoming, spec) > F.lit(prev_wm)).select(*cols)
-    buf = prev_buf.unionByName(incoming)
+    # One scan of (buffer ∪ new slice) feeds both the state save and the
+    # aggregation — unpinned, each action would re-read every input slice.
+    buf = ctx.pin(prev_buf.unionByName(incoming))
 
     if new_wm is not None:
         closed = buf.filter(_window_end(buf, spec) <= F.lit(new_wm)).select(*cols)
@@ -151,7 +153,7 @@ def execute_hop_agg(ctx: StepContext, sql: str) -> StepResult:
     # Lateness: drop rows whose EVERY containing window already emitted.
     if prev_wm is not None:
         incoming = incoming.filter(last_end > F.lit(prev_wm)).select(*cols)
-    buf = prev_buf.unionByName(incoming)
+    buf = ctx.pin(prev_buf.unionByName(incoming))
     still_open = (
         buf.filter(last_end > F.lit(new_wm)).select(*cols) if new_wm is not None else buf
     )
@@ -202,7 +204,7 @@ def execute_session_agg(ctx: StepContext, sql: str) -> StepResult:
     # already have closed under the run-start watermark.
     if prev_wm is not None:
         incoming = incoming.filter(own_close > F.lit(prev_wm)).select(*cols)
-    buf = prev_buf.unionByName(incoming)
+    buf = ctx.pin(prev_buf.unionByName(incoming))
 
     # Evict rows of sessions the new watermark closes (they emit this run
     # and can never merge with future rows: any future ts >= wm >= end).
