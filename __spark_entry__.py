@@ -1387,6 +1387,28 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Spark-native, Apache DataSketches format):
+    per-day per-type sketches union-merged to a per-type estimate — the
+    re-aggregatable pattern that replaces countDistinct at 100 TB (partial
+    sketches merge across partitions/days; exact distinct requires a full
+    reshuffle of raw keys). Approximate by design -> no SQL oracle; the
+    exact column rides along and tests assert the HLL error bound."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.hll_sketch_agg(F.col("user_id"), F.lit(14)).alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(False))).alias("approx_users")
+    )
+    exact = e.groupBy("event_type").agg(F.countDistinct("user_id").alias("exact_users"))
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        F.col("approx_users").cast("long").alias("approx_users"),
+        F.col("exact_users").cast("long").alias("exact_users"),
+    )
+
+
 def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio decode plumbing (decode stubbed, digest-derived): the oracle
     recomputes sample_rate/channels/duration/codec from md5 hex in SQL, so
@@ -1501,6 +1523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rank_family_orders": window_rank_family_orders,
         "tfidf_top_terms": tfidf_top_terms,
         "embedding_quantize_int8": embedding_quantize_int8,
+        "sketch_distinct_users": sketch_distinct_users,
     }
 
 

@@ -1,0 +1,58 @@
+"""HLL sketch operators (Spark-native Apache DataSketches HLL): accuracy
+bound and the property that makes sketches worth using at scale —
+mergeability (union of partial sketches == sketch of the union)."""
+
+from pyspark.sql import functions as F
+
+
+def _events(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+
+
+def test_hll_estimate_within_bound(spark):
+    e = _events(spark)
+    got = (
+        e.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg(F.col("user_id"), F.lit(14))).alias("approx"),
+            F.countDistinct("user_id").alias("exact"),
+        )
+        .collect()
+    )
+    assert got
+    for r in got:
+        # lgConfigK=14 -> relative standard error ~0.81%; 5% is >6 sigma.
+        assert abs(r.approx - r.exact) <= max(0.05 * r.exact, 2), r
+
+
+def test_hll_daily_merge_equals_direct(spark):
+    """Union-merging per-day partial sketches must estimate the same as
+    sketching the whole column directly (identical sketch state, not just
+    close): this is what lets partial aggregates re-merge across
+    partitions, files and invocations."""
+    e = _events(spark)
+    direct = {
+        r.event_type: r.approx
+        for r in e.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg(F.col("user_id"), F.lit(14))).alias("approx"))
+        .collect()
+    }
+    daily = e.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.hll_sketch_agg(F.col("user_id"), F.lit(14)).alias("sk")
+    )
+    merged = {
+        r.event_type: r.approx
+        for r in daily.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(False))).alias("approx"))
+        .collect()
+    }
+    assert merged == direct
+
+
+def test_sketch_query_contract(spark):
+    import __spark_entry__ as entry
+
+    df = entry.queries()["sketch_distinct_users"](spark, "/root/testdata/sf0.01")
+    rows = df.collect()
+    assert [f.name for f in df.schema.fields] == ["event_type", "approx_users", "exact_users"]
+    assert rows and all(r.approx_users > 0 for r in rows)
