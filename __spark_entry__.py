@@ -1387,6 +1387,23 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrubbing (emails/URLs/number runs -> placeholder tokens)
+    with per-pattern match counts — a narrow codegen projection, the
+    standard pre-training redaction pass. Counts are taken on the original
+    text per pattern, so they're order-independent and oracle-exact."""
+    d = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        T.scrub_text(c).alias("scrubbed"),
+        T.pattern_count(c, T.EMAIL_RE).cast("long").alias("n_emails"),
+        T.pattern_count(c, T.URL_RE).cast("long").alias("n_urls"),
+        T.pattern_count(c, T.NUM_RE).cast("long").alias("n_nums"),
+        (F.length(c) - F.length(T.scrub_text(c))).cast("long").alias("chars_removed"),
+    )
+
+
 def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketches (Spark-native, Apache DataSketches format):
     per-day per-type sketches union-merged to a per-type estimate — the
@@ -1524,6 +1541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": tfidf_top_terms,
         "embedding_quantize_int8": embedding_quantize_int8,
         "sketch_distinct_users": sketch_distinct_users,
+        "text_scrub_documents": text_scrub_documents,
     }
 
 
@@ -2323,6 +2341,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_min(qs) AS BIGINT) AS qmin,
                    CAST(list_max(qs) AS BIGINT) AS qmax
             FROM q
+        """,
+        "text_scrub_documents": r"""
+            WITH s AS (
+                SELECT doc_id, text,
+                       regexp_replace(regexp_replace(regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                           'https?://[^\s]+', '<URL>', 'g'),
+                           '[0-9][0-9-]{2,}', '<NUM>', 'g') AS scrubbed
+                FROM documents
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   scrubbed,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+                   CAST(len(regexp_extract_all(text, '[0-9][0-9-]{2,}')) AS BIGINT) AS n_nums,
+                   CAST(length(text) - length(scrubbed) AS BIGINT) AS chars_removed
+            FROM s
         """,
         "window_rank_family_orders": """
             SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,

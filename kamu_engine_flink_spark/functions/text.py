@@ -133,6 +133,26 @@ def top_ngram_frac(col: Column, n: int = 2) -> Column:
     return top_ngram_count(col, n) / F.size(word_ngram_multiset(col, n))
 
 
+# Scrub patterns (portable between Java regex and RE2-ish engines: no
+# backrefs, no lookaround). Application order matters — emails before
+# URLs before bare number runs.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+NUM_RE = r"[0-9][0-9-]{2,}"
+
+
+def scrub_text(col: Column) -> Column:
+    """PII-style redaction for training corpora: emails -> <EMAIL>,
+    URLs -> <URL>, digit runs (phone/id-like, 3+ chars) -> <NUM>."""
+    out = F.regexp_replace(col, EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, URL_RE, "<URL>")
+    return F.regexp_replace(out, NUM_RE, "<NUM>")
+
+
+def pattern_count(col: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0)))
+
+
 def normalize_text(col: Column) -> Column:
     """Canonical form for fingerprinting: lowercase, collapse whitespace,
     strip punctuation."""

@@ -77,3 +77,32 @@ def test_repetition_signals_degenerate_docs(spark):
     rows = {r.doc_id: r for r in repetition_signals(df).collect()}
     assert rows[1].dup_token_ratio == 0.0  # empty -> [''] single token
     assert rows[2].top_ngram_count == 1  # partial gram of a 1-token doc
+
+
+def test_scrub_text_redacts_pii(spark):
+    from kamu_engine_flink_spark.functions import text as T
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "Contact bob.smith+x@corp.io or visit https://a.b/c?d=1 now"),
+            (2, "tel 555-0199 ref 12345 ok"),
+            (3, "clean text, no pii"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            T.scrub_text(F.col("text")).alias("s"),
+            T.pattern_count(F.col("text"), T.EMAIL_RE).alias("e"),
+            T.pattern_count(F.col("text"), T.URL_RE).alias("u"),
+            T.pattern_count(F.col("text"), T.NUM_RE).alias("n"),
+        ).collect()
+    }
+    assert out[1].s == "Contact <EMAIL> or visit <URL> now"
+    assert (out[1].e, out[1].u) == (1, 1)
+    assert out[2].s == "tel <NUM> ref <NUM> ok"
+    assert out[2].n == 2
+    assert out[3].s == "clean text, no pii"
