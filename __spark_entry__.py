@@ -1387,6 +1387,33 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate value quantiles per event type (Greenwald-Khanna via
+    percentile_approx, accuracy 1/10000) next to the exact quantiles —
+    the mergeable-summary alternative to a full sort at corpus scale.
+    Approximate by design -> no SQL oracle; tests assert the rank-error
+    bound against the exact companion columns."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("qa"),
+            F.expr("percentile(value, array(0.5, 0.9, 0.99))").alias("qe"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select(
+            "event_type",
+            F.round(F.element_at("qa", 1), 6).alias("approx_p50"),
+            F.round(F.element_at("qa", 2), 6).alias("approx_p90"),
+            F.round(F.element_at("qa", 3), 6).alias("approx_p99"),
+            F.round(F.element_at("qe", 1), 6).alias("exact_p50"),
+            F.round(F.element_at("qe", 2), 6).alias("exact_p90"),
+            F.round(F.element_at("qe", 3), 6).alias("exact_p99"),
+            "n",
+        )
+    )
+
+
 def text_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII-style scrubbing (emails/URLs/number runs -> placeholder tokens)
     with per-pattern match counts — a narrow codegen projection, the
@@ -1542,6 +1569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize_int8": embedding_quantize_int8,
         "sketch_distinct_users": sketch_distinct_users,
         "text_scrub_documents": text_scrub_documents,
+        "approx_quantiles_events": approx_quantiles_events,
     }
 
 

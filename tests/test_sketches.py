@@ -56,3 +56,18 @@ def test_sketch_query_contract(spark):
     rows = df.collect()
     assert [f.name for f in df.schema.fields] == ["event_type", "approx_users", "exact_users"]
     assert rows and all(r.approx_users > 0 for r in rows)
+
+
+def test_approx_quantiles_close_to_exact(spark):
+    import __spark_entry__ as entry
+
+    df = entry.queries()["approx_quantiles_events"](spark, "/root/testdata/sf0.01")
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        # GK with accuracy 10000 -> rank error <= n/10000; on continuous
+        # data the value error at these quantiles stays tiny.
+        for q in ("p50", "p90", "p99"):
+            approx, exact = getattr(r, f"approx_{q}"), getattr(r, f"exact_{q}")
+            spread = abs(exact) + 1e-9
+            assert abs(approx - exact) <= 0.05 * spread + 1e-6, (q, r)
