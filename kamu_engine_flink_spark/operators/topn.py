@@ -48,6 +48,47 @@ _ORDER_RE = re.compile(
 _INNER_FROM_RE = re.compile(r"\bfrom\s+([`\w]+)\s*$", re.IGNORECASE | re.DOTALL)
 
 
+def _prune_partition_local(df, order_col: str, descending: bool, limit: int):
+    """Keep only rows that enter a PARTITION-LOCAL running top-N processed
+    in ledger (__seq) order. Safely conservative: dropped rows are beaten
+    or tied by >= limit earlier rows locally, hence globally, so they can
+    never enter the visible top-N (ties insert after equals, so a tie
+    counts as beaten). Survivors stream back for the exact driver fold."""
+    import heapq
+
+    from pyspark.sql.types import NumericType
+
+    # Ascending order uses negated keys in the min-heap — only valid for
+    # numeric scores; descending works on anything orderable. Null scores
+    # pass through to the driver fold untouched.
+    if not descending and not isinstance(df.schema[order_col].dataType, NumericType):
+        return df
+
+    def batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(SEQ_INPUT, kind="mergesort")
+            best: list[float] = []  # min-heap of the local top `limit` keys
+            keep = []
+            for v in pdf[order_col]:
+                if v is None:
+                    keep.append(True)
+                    continue
+                key = v if descending else -v
+                if len(best) < limit:
+                    heapq.heappush(best, key)
+                    keep.append(True)
+                elif best[0] < key:  # strictly beats the local N-th
+                    heapq.heapreplace(best, key)
+                    keep.append(True)
+                else:
+                    keep.append(False)
+            yield pdf[keep]
+
+    return df.mapInPandas(batches, df.schema)
+
+
 def _dedupe_columns(df):
     seen: dict[str, int] = {}
     cols = []
@@ -109,6 +150,16 @@ def execute_topn(ctx: StepContext, sql: str) -> StepResult:
         candidates = incoming.filter(cond)
     else:
         candidates = incoming
+    # Partition-local running-top-N prune before the driver collect: a row
+    # beaten (or tied) by >= N earlier rows in its own partition is beaten
+    # by >= N earlier rows globally, so it can never enter the visible
+    # top-N and never emits changelog. Bounds the first-run collect to
+    # ~N*ln(rows/partition) survivors per partition on shuffled data
+    # instead of the whole input.
+    if SEQ_INPUT in candidates.columns:
+        candidates = _prune_partition_local(
+            candidates, order_col, descending, spec.limit
+        )
     rows = [r.asDict() for r in candidates.collect()]
     # Input order: sort by the ledger-offset sequencing column when present
     # (collect order is otherwise partition-dependent).

@@ -122,3 +122,45 @@ def test_topn_changelog(spark, tmp_path):
         "player_name",
         "score",
     ]
+
+
+def test_partition_prune_keeps_all_global_enterers(spark):
+    """The partition-local prune may only drop rows that can never enter
+    the global running top-N (processed in __seq order). Randomized input
+    across several partitions; the global enterer set is computed by a
+    reference fold."""
+    import random
+
+    from pyspark.sql.types import LongType, DoubleType, StructField, StructType
+
+    from kamu_engine_flink_spark.operators.topn import _prune_partition_local
+
+    rng = random.Random(7)
+    rows = [(i, rng.uniform(0, 100)) for i in range(500)]
+    schema = StructType(
+        [StructField("__seq", LongType()), StructField("score", DoubleType())]
+    )
+    df = spark.createDataFrame(rows, schema).repartition(8)
+
+    for descending, limit in ((True, 3), (False, 5)):
+        # Reference: which rows enter the running top-N globally?
+        ranking = []
+        enterers = set()
+        for seq, v in rows:
+            pos = 0
+            for i, ev in enumerate(ranking):
+                beats = (v > ev) if descending else (v < ev)
+                if beats:
+                    pos = i
+                    break
+                pos = i + 1
+            if pos < limit:
+                enterers.add(seq)
+                ranking.insert(pos, v)
+                del ranking[limit:]
+        survived = {
+            r["__seq"]
+            for r in _prune_partition_local(df, "score", descending, limit).collect()
+        }
+        assert enterers <= survived, (descending, limit, enterers - survived)
+        assert len(survived) < len(rows)  # it actually prunes
