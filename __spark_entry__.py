@@ -1387,6 +1387,28 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered event sequences (the grain behavioral training
+    examples are built at): one groupBy, sequence ordered by (ts,
+    event_id) inside the aggregation via array_sort over structs — no
+    window pass, one shuffle. Sequences are emitted as a compact string
+    so the comparison stays engine-neutral (arrays of structs format
+    differently across engines)."""
+    e = _t(spark, sf_dir, "events")
+    ev = F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"))
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.concat_ws(
+                ">", F.transform(F.array_sort(F.collect_list(ev)), lambda x: x.event_type)
+            ).alias("seq"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("span_us"),
+        )
+        .select(F.col("user_id").cast("long").alias("user_id"), "n_events", "seq", "span_us")
+    )
+
+
 def approx_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate value quantiles per event type (Greenwald-Khanna via
     percentile_approx, accuracy 1/10000) next to the exact quantiles —
@@ -1570,6 +1592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_distinct_users": sketch_distinct_users,
         "text_scrub_documents": text_scrub_documents,
         "approx_quantiles_events": approx_quantiles_events,
+        "user_event_sequences": user_event_sequences,
     }
 
 
@@ -2369,6 +2392,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_min(qs) AS BIGINT) AS qmin,
                    CAST(list_max(qs) AS BIGINT) AS qmax
             FROM q
+        """,
+        "user_event_sequences": """
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   string_agg(event_type, '>' ORDER BY ts ASC, event_id ASC) AS seq,
+                   CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS span_us
+            FROM events
+            GROUP BY user_id
         """,
         "text_scrub_documents": r"""
             WITH s AS (
