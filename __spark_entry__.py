@@ -1387,6 +1387,39 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline decontamination: eval/test documents that share
+    at least 3 distinct word 5-grams with a train document (the benchmark-
+    leakage check run before training). Same hash split as
+    split_train_val_test; candidate generation is an equi-join on the
+    exploded n-gram relation — one shuffle keyed by gram, never a cross
+    join. At 100 TB the gram relation is the dominant shuffle; hot grams
+    (boilerplate) are the skew risk, which AQE's skew-join splitting
+    absorbs."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = F.when(bucket < "cd", "train").when(bucket < "e6", "val").otherwise("test")
+    from kamu_engine_flink_spark.functions.hashing import word_ngrams
+
+    grams = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        split.alias("split"),
+        F.explode(word_ngrams(T.tokens(F.col("text")), 5)).alias("gram"),
+    )
+    train = grams.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_id"), "gram"
+    )
+    heldout = grams.filter(F.col("split") != "train").select(
+        F.col("doc_id").alias("eval_id"), "gram"
+    )
+    return (
+        heldout.join(train, "gram")
+        .groupBy("eval_id", "train_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )
+
+
 def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user ordered event sequences (the grain behavioral training
     examples are built at): one groupBy, sequence ordered by (ts,
@@ -1593,6 +1626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_scrub_documents": text_scrub_documents,
         "approx_quantiles_events": approx_quantiles_events,
         "user_event_sequences": user_event_sequences,
+        "decontamination_overlap": decontamination_overlap,
     }
 
 
@@ -2392,6 +2426,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_min(qs) AS BIGINT) AS qmin,
                    CAST(list_max(qs) AS BIGINT) AS qmax
             FROM q
+        """,
+        "decontamination_overlap": f"""
+            WITH g AS (
+                SELECT doc_id,
+                       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+                            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                            ELSE 'test' END AS split,
+                       unnest(list_distinct(list_transform(
+                           range(1, greatest(len({_TOKS}) - 5, 0) + 2),
+                           i -> array_to_string(({_TOKS})[i:i+4], ' ')))) AS gram
+                FROM documents
+            )
+            SELECT CAST(h.doc_id AS BIGINT) AS eval_id,
+                   CAST(t.doc_id AS BIGINT) AS train_id,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM g h JOIN g t USING (gram)
+            WHERE h.split <> 'train' AND t.split = 'train'
+            GROUP BY 1, 2
+            HAVING count(*) >= 3
         """,
         "user_event_sequences": """
             SELECT CAST(user_id AS BIGINT) AS user_id,
