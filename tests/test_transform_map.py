@@ -119,3 +119,67 @@ from input"""
     # offset, op, system_time, <user columns>.
     schema = pq.read_schema(out)
     assert schema.names == ["offset", "op", "system_time", "event_time", "symbol", "price"]
+
+
+def test_fully_custom_vocabulary(spark, tmp_path):
+    """All four system-column names overridden on both input and output
+    (DatasetVocabulary is per-dataset in the reference — SURVEY §1.2):
+    the engine must strip/append/stamp the configured names, not the
+    defaults."""
+    import pyarrow as pa
+
+    from kamu_engine_flink_spark.protocol.model import DatasetVocabulary
+
+    from .helpers import write_input_slice
+
+    vocab = DatasetVocabulary(
+        offset_column="seq_no",
+        operation_type_column="kind",
+        system_time_column="tx_time",
+        event_time_column="happened_at",
+    )
+    slice1 = str(tmp_path / "in" / "slice1.parquet")
+    write_input_slice(
+        slice1,
+        {
+            "seq_no": [0, 1],
+            "kind": [0, 0],
+            "tx_time": [ts(5), ts(5)],
+            "happened_at": [ts(1), ts(2)],
+            "symbol": ["A", "B"],
+            "price": [10, 20],
+        },
+        {
+            "seq_no": pa.int64(),
+            "kind": pa.int32(),
+            "tx_time": pa.timestamp("ms", tz="UTC"),
+            "happened_at": pa.timestamp("ms", tz="UTC"),
+            "symbol": pa.string(),
+            "price": pa.int32(),
+        },
+    )
+    runner = TransformRunner(
+        spark,
+        tmp_path,
+        queries=[("SELECT happened_at, symbol, price * 2 as price FROM `in`", None)],
+        vocab=vocab,
+    )
+    resp, out = runner.run(
+        [
+            {
+                "alias": "in",
+                "data_paths": [slice1],
+                "schema_file": slice1,
+                "watermark": ts(2),
+                "vocab": vocab,
+            }
+        ],
+        system_time=ts(10),
+    )
+    table = pq.read_table(out)
+    assert table.column_names == ["seq_no", "kind", "tx_time", "happened_at", "symbol", "price"]
+    rows = table.to_pylist()
+    assert [r["seq_no"] for r in rows] == [0, 1]
+    assert all(r["kind"] == 0 for r in rows)
+    assert [r["price"] for r in rows] == [20, 40]
+    assert (resp.new_offset_interval.start, resp.new_offset_interval.end) == (0, 1)
