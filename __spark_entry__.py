@@ -863,13 +863,17 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "l_suppkey", "o_orderstatus")
         .agg(F.count(F.when(late, F.lit(1))).alias("n_late_lines"))
     )
-    ord_level = per_os.groupBy(F.col("l_orderkey").alias("os_key")).agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.count(F.when(F.col("n_late_lines") > 0, F.lit(1))).alias("n_late_supp"),
+    # Per-order stats come from a WINDOW over the same (order, supplier)
+    # relation — one shuffle on l_orderkey replaces the groupBy+self-join,
+    # which Catalyst planned as two full computations of the pre-aggregate
+    # subtree (no runtime exchange reuse across the join's branches).
+    w_ord = Window.partitionBy("l_orderkey")
+    per_os = per_os.withColumn("n_supp", F.count(F.lit(1)).over(w_ord)).withColumn(
+        "n_late_supp",
+        F.count(F.when(F.col("n_late_lines") > 0, F.lit(1))).over(w_ord),
     )
     return (
         per_os.filter((F.col("o_orderstatus") == "F") & (F.col("n_late_lines") > 0))
-        .join(ord_level, per_os.l_orderkey == F.col("os_key"))
         .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
         .join(F.broadcast(s), per_os.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
