@@ -828,13 +828,15 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(_dec(F.col("l_quantity"))).cast("double").alias("supp_qty"))
     )
-    pt = ss.groupBy(F.col("l_partkey").alias("pt_key")).agg(
-        F.sum(_dec(F.col("supp_qty"))).cast("double").alias("total_qty"),
-        F.count(F.lit(1)).alias("n_supp"),
-    )
+    # Per-part totals via a window over the same (part, supplier) relation
+    # — one shuffle on l_partkey instead of a groupBy + join-back that
+    # Catalyst computes as two copies of the pre-aggregate subtree.
+    w_part = Window.partitionBy("l_partkey")
+    ss = ss.withColumn(
+        "total_qty", F.sum(_dec(F.col("supp_qty"))).over(w_part).cast("double")
+    ).withColumn("n_supp", F.count(F.lit(1)).over(w_part))
     excess = (
-        ss.join(pt, ss.l_partkey == F.col("pt_key"))
-        .join(F.broadcast(p), ss.l_partkey == p.p_partkey)
+        ss.join(F.broadcast(p), ss.l_partkey == p.p_partkey)
         .filter(F.col("supp_qty") > F.lit(2.5) * F.col("total_qty") / F.col("n_supp"))
         .select(F.col("l_suppkey").alias("ex_key"))
     )
