@@ -83,3 +83,38 @@ def test_minhash_approximates_jaccard(near_dups):
     joined = cand.join(exact, ["id_a", "id_b"], "left")
     for r in joined.collect():
         assert r.jaccard is not None and r.jaccard > 0.3
+
+
+def test_null_and_empty_text_robustness(spark):
+    """Real corpora contain null/empty documents; every corpus operator
+    must pass them through with defined semantics, never crash: nulls
+    dedup with nulls (md5(null) = null groups), empty normalizes to the
+    padded shingle (so null/empty are MinHash near-dups of each other),
+    metrics go null for null text."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from kamu_engine_flink_spark.operators import dedup as D
+    from kamu_engine_flink_spark.operators.text_analysis import (
+        analyze_documents,
+        repetition_signals,
+    )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    df = spark.createDataFrame([(1, None), (2, ""), (3, "hello world"), (4, None)], schema)
+
+    exact = {r.doc_id: r.dup_count for r in D.dedup_exact(df).collect()}
+    assert exact == {1: 2, 2: 1, 3: 1}  # nulls group together, empty is its own key
+
+    kept = {r.doc_id for r in D.dedup_minhash_lsh(df).collect()}
+    assert kept == {1, 3}  # null normalizes like empty -> near-dups, min id wins
+
+    analyzed = {r.doc_id: r for r in analyze_documents(df).collect()}
+    assert analyzed[1].token_count is None and analyzed[1].fingerprint is None
+    assert analyzed[2].token_count == 0
+    assert analyzed[3].token_count == 2
+
+    rep = {r.doc_id: r for r in repetition_signals(df).collect()}
+    assert rep[1].dup_token_ratio is None
+    assert rep[2].dup_token_ratio == 0.0
