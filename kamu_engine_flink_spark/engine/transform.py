@@ -159,44 +159,52 @@ def execute_transform(spark: SparkSession, request: TransformRequest) -> Transfo
     steps = request.transform.queries
     result: StepResult | None = None
     pinned: list[DataFrame] = []
-    for i, step in enumerate(steps):
-        ctx = StepContext(
-            spark=spark,
-            state=state,
-            step_key=f"step{i}",
-            request=request,
-            views=views,
-            event_time_cols=event_time_cols,
-            prev_wms=prev_wms,
-            new_wms=new_wms,
-            pinned=pinned,
+    # Pinned (MEMORY_AND_DISK) DataFrames must be released even when an
+    # executor step, the output write, or the state save raises — a
+    # long-lived adapter process runs many invocations on one session and
+    # would otherwise leak the cache on every failure.
+    try:
+        for i, step in enumerate(steps):
+            ctx = StepContext(
+                spark=spark,
+                state=state,
+                step_key=f"step{i}",
+                request=request,
+                views=views,
+                event_time_cols=event_time_cols,
+                prev_wms=prev_wms,
+                new_wms=new_wms,
+                pinned=pinned,
+            )
+            kind = C.classify(step.query, set(views))
+            result = _EXECUTORS[kind](ctx, step.query)
+            if step.alias:
+                views[step.alias] = result.df
+                result.df.createOrReplaceTempView(step.alias)
+                event_time_cols[step.alias] = request.vocab.event_time_column
+                prev_wms[step.alias] = saved_wms.get(step.alias)
+                new_wms[step.alias] = result.watermark
+        if result is None:
+            raise InvalidQueryError("transform contains no query steps")
+
+        out_df = _assemble_output(spark, request, result)
+        num_records = write_single_parquet(
+            out_df, request.new_data_path, sorted_single=True
         )
-        kind = C.classify(step.query, set(views))
-        result = _EXECUTORS[kind](ctx, step.query)
-        if step.alias:
-            views[step.alias] = result.df
-            result.df.createOrReplaceTempView(step.alias)
-            event_time_cols[step.alias] = request.vocab.event_time_column
-            prev_wms[step.alias] = saved_wms.get(step.alias)
-            new_wms[step.alias] = result.watermark
-    if result is None:
-        raise InvalidQueryError("transform contains no query steps")
+        if num_records == 0:
+            # The reference writes no data file on an empty result (e.g. a
+            # watermark-only run with nothing to flush) — EngineAggregationTest
+            # asserts !Files.exists(newDataPath).
+            import os
 
-    out_df = _assemble_output(spark, request, result)
-    num_records = write_single_parquet(out_df, request.new_data_path, sorted_single=True)
-    if num_records == 0:
-        # The reference writes no data file on an empty result (e.g. a
-        # watermark-only run with nothing to flush) — EngineAggregationTest
-        # asserts !Files.exists(newDataPath).
-        import os
+            os.remove(request.new_data_path)
 
-        os.remove(request.new_data_path)
-
-    # Persist watermark state for every view (inputs + aliased steps).
-    state.save_watermarks({**new_wms, "__output__": result.watermark})
-    state.finish()
-    for df in pinned:
-        df.unpersist()
+        # Persist watermark state for every view (inputs + aliased steps).
+        state.save_watermarks({**new_wms, "__output__": result.watermark})
+        state.finish()
+    finally:
+        for df in pinned:
+            df.unpersist()
 
     return TransformResponse(
         new_offset_interval=(

@@ -114,13 +114,23 @@ def cosine_topk(
             C = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
             S = Cn @ Qn.T  # batch x queries
-            take = min(pool, S.shape[0])
-            sel = np.argpartition(-S, take - 1, axis=0)[:take]
+            n = S.shape[0]
             ids = pdf[corpus_id].to_numpy()
             out_q, out_c, out_cos = [], [], []
             for j in range(S.shape[1]):
+                col = S[:, j]
+                if n <= pool:
+                    cand = np.arange(n)
+                else:
+                    part = np.argpartition(-col, pool - 1)[:pool]
+                    # Every row tied with the pool boundary score comes
+                    # along: the per-batch cut is a deterministic superset,
+                    # so exact ties (duplicate embeddings) can never shadow
+                    # a smaller corpus id that the global
+                    # (cosine DESC, id ASC) rank would keep.
+                    cand = np.nonzero(col >= col[part].min())[0]
                 qv, qn = qvecs[j], qn_exact[j]
-                for i in sel[:, j]:
+                for i in cand:
                     cv = C[i]
                     out_q.append(qids[j])
                     out_c.append(ids[i])

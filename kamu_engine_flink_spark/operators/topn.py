@@ -53,37 +53,48 @@ def _prune_partition_local(df, order_col: str, descending: bool, limit: int):
     in ledger (__seq) order. Safely conservative: dropped rows are beaten
     or tied by >= limit earlier rows locally, hence globally, so they can
     never enter the visible top-N (ties insert after equals, so a tie
-    counts as beaten). Survivors stream back for the exact driver fold."""
-    import heapq
+    counts as beaten). Survivors stream back for the exact driver fold.
 
-    from pyspark.sql.types import NumericType
+    Type-generic: the running top-N is a sorted list compared directly
+    against its worst element, so any orderable type (strings, timestamps,
+    numerics) prunes in either direction — no key negation. Missing scores
+    (None and the NaN/NaT that nullable columns become in Arrow batches —
+    pd.isna covers both) pass through to the driver fold untouched and are
+    never pushed into the list, where NaN comparisons would corrupt it.
+    """
+    import bisect
 
-    # Ascending order uses negated keys in the min-heap — only valid for
-    # numeric scores; descending works on anything orderable. Null scores
-    # pass through to the driver fold untouched.
-    if not descending and not isinstance(df.schema[order_col].dataType, NumericType):
-        return df
+    import pandas as pd
 
     def batches(it):
         for pdf in it:
             if not len(pdf):
                 continue
             pdf = pdf.sort_values(SEQ_INPUT, kind="mergesort")
-            best: list[float] = []  # min-heap of the local top `limit` keys
+            best: list = []  # sorted ascending; local top `limit` keys
             keep = []
             for v in pdf[order_col]:
-                if v is None:
+                if pd.isna(v):
                     keep.append(True)
                     continue
-                key = v if descending else -v
                 if len(best) < limit:
-                    heapq.heappush(best, key)
+                    bisect.insort(best, v)
                     keep.append(True)
-                elif best[0] < key:  # strictly beats the local N-th
-                    heapq.heapreplace(best, key)
-                    keep.append(True)
+                    continue
+                if descending:
+                    if v > best[0]:  # strictly beats the local N-th (min)
+                        del best[0]
+                        bisect.insort(best, v)
+                        keep.append(True)
+                    else:
+                        keep.append(False)
                 else:
-                    keep.append(False)
+                    if v < best[-1]:  # strictly beats the local N-th (max)
+                        del best[-1]
+                        bisect.insort(best, v)
+                        keep.append(True)
+                    else:
+                        keep.append(False)
             yield pdf[keep]
 
     return df.mapInPandas(batches, df.schema)
@@ -142,11 +153,17 @@ def execute_topn(ctx: StepContext, sql: str) -> StepResult:
     ]
 
     # Distributed prefilter: only rows beating the current N-th can matter.
-    if len(ranking) >= spec.limit:
+    # Null ordering matches the Flink/Spark default for row_number ORDER BY:
+    # DESC ranks nulls last (a null never beats a non-null threshold, so the
+    # null-dropping SQL comparison is exact); ASC ranks nulls first (a null
+    # always beats a non-null threshold, so nulls must be kept). A null
+    # threshold disables the prefilter — conservative, the fold is exact.
+    if len(ranking) >= spec.limit and ranking[-1][order_col] is not None:
         threshold = ranking[-1][order_col]
-        cond = F.col(order_col) > F.lit(threshold) if descending else F.col(
-            order_col
-        ) < F.lit(threshold)
+        if descending:
+            cond = F.col(order_col) > F.lit(threshold)
+        else:
+            cond = (F.col(order_col) < F.lit(threshold)) | F.col(order_col).isNull()
         candidates = incoming.filter(cond)
     else:
         candidates = incoming
@@ -166,6 +183,15 @@ def execute_topn(ctx: StepContext, sql: str) -> StepResult:
     if SEQ_INPUT in candidates.columns:
         rows.sort(key=lambda r: r[SEQ_INPUT])
 
+    def _beats(v: Any, ev: Any) -> bool:
+        # DESC: nulls last — a non-null beats a null, null beats nothing.
+        # ASC: nulls first — a null beats any non-null. Null vs null ties.
+        if v is None:
+            return (not descending) and ev is not None
+        if ev is None:
+            return descending
+        return (v > ev) if descending else (v < ev)
+
     changelog: list[dict[str, Any]] = []
     seq = 0
     for row in rows:
@@ -175,9 +201,7 @@ def execute_topn(ctx: StepContext, sql: str) -> StepResult:
         # stability — an equal score does not displace an earlier row).
         pos = 0
         for i, existing in enumerate(ranking):
-            ev = existing[order_col]
-            beats = (v > ev) if descending else (v < ev)
-            if beats:
+            if _beats(v, existing[order_col]):
                 pos = i
                 break
             pos = i + 1

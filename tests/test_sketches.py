@@ -2,11 +2,19 @@
 bound and the property that makes sketches worth using at scale —
 mergeability (union of partial sketches == sketch of the union)."""
 
+import os
+
+import pytest
 from pyspark.sql import functions as F
+
+_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
 def _events(spark):
-    return spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    path = os.path.join(_SF_DIR, "events.parquet")
+    if not os.path.exists(path):
+        pytest.skip(f"test data not found at {path} (set SPARK_GRAFT_SF_DIR)")
+    return spark.read.parquet(path)
 
 
 def test_hll_estimate_within_bound(spark):
