@@ -6,15 +6,20 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 Each query is fully materialized with a noop sink (no driver collect, no
 disk write skew) so the number measures the distributed plan, not the
 driver. Spark/JVM warmup is paid once by a throwaway scan, like a real
-cluster's warm executors.
+cluster's warm executors. Every entry is timed REPS times and reported as
+the median — single-shot numbers on a shared 32-core box are ±20% noisy,
+which makes round-over-round regression calls unreliable.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
+
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -116,6 +121,42 @@ def _time_transform(spark, ledger: str, wm, sql: str, workdir: str, tag: str) ->
     return round(time.perf_counter() - t0, 3)
 
 
+def _stress_dedup_cluster(spark, sf_dir: str) -> float:
+    """documents x10 (distinct ids per replica) -> MinHash+LSH candidate
+    pairs -> connected components -> cluster table, materialized to noop.
+    The replicas are exact duplicates, so every doc lands in a >=10-node
+    cluster and the pairs stage carries ~C(10,2) edges per bucket — a
+    deliberate worst-ish case for the band join and the label-propagation
+    rounds."""
+    from pyspark.sql import functions as F
+
+    from kamu_engine_flink_spark.operators import dedup as D
+    from kamu_engine_flink_spark.operators import graph as G
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    big = (
+        d.crossJoin(spark.range(10).select(F.col("id").alias("__rep")))
+        .select((F.col("doc_id") + F.col("__rep") * F.lit(1_000_000)).alias("doc_id"), "text")
+    )
+    t0 = time.perf_counter()
+    # Persist signatures so the corpus UDF pass runs once, not once per
+    # band-join branch (same pattern as dedup_minhash_lsh).
+    sigs = D._minhash_sigs(big, "text", "doc_id", 64, 5).persist()
+    sigs.count()
+    try:
+        # Star linkage: connectivity-equivalent for clustering, linear in
+        # bucket size — all-pairs banding on this corpus emits 8.2M pairs
+        # (template clusters blow up quadratically), star emits ~500k.
+        pairs = D.minhash_lsh_pairs(
+            big, "text", "doc_id", num_hashes=64, bands=16, sigs=sigs, linkage="star"
+        )
+        out = G.dedup_clusters(big.select("doc_id"), pairs, "doc_id")
+        out.write.format("noop").mode("overwrite").save()
+    finally:
+        sigs.unpersist()
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
@@ -143,14 +184,19 @@ def main() -> None:
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        df = qs[name](spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"{name}: {timings[name]}s", file=sys.stderr)
+        runs = []
+        for _ in range(REPS):
+            df = qs[name](spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 3)
+        print(f"{name}: {timings[name]}s (runs: {[round(r, 3) for r in runs]})", file=sys.stderr)
 
     # The ODF transform runner — the reference's primary surface
-    # (TransformEngine.scala:64-336) — timed as full invocations.
+    # (TransformEngine.scala:64-336) — timed as full invocations. Each rep
+    # uses a fresh checkpoint/output path so every run measures the same
+    # first-invocation shape.
     import shutil
     import tempfile
 
@@ -158,10 +204,26 @@ def main() -> None:
     try:
         ledger, wm = _odf_ledger(spark, sf_dir, workdir)
         for tag, sql in (("odf_transform_map", MAP_SQL), ("odf_transform_window_agg", AGG_SQL)):
-            timings[tag] = _time_transform(spark, ledger, wm, sql, workdir, tag)
-            print(f"{tag}: {timings[tag]}s", file=sys.stderr)
+            runs = []
+            for rep in range(REPS):
+                runs.append(
+                    _time_transform(spark, ledger, wm, sql, workdir, f"{tag}-{rep}")
+                )
+            timings[tag] = round(statistics.median(runs), 3)
+            print(f"{tag}: {timings[tag]}s (runs: {[round(r, 3) for r in runs]})", file=sys.stderr)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+    # Scale-stress: the MinHash->LSH-pairs->connected-components pipeline on
+    # the documents corpus replicated x10 (50k docs at sf0.1, every doc in a
+    # >=10-clone duplicate cluster). Exercises the banded bucket join and the
+    # pointer-jumping component rounds at 10x the registry size; timed once
+    # (it IS the repetition).
+    timings["stress_minhash_cluster_x10"] = _stress_dedup_cluster(spark, sf_dir)
+    print(
+        f"stress_minhash_cluster_x10: {timings['stress_minhash_cluster_x10']}s",
+        file=sys.stderr,
+    )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -170,6 +232,7 @@ def main() -> None:
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
+                "n": REPS,
                 "queries": timings,
                 "sf": sf_num,
             }

@@ -85,6 +85,13 @@ class StateStore:
             return None
         return os.path.join(base, f"{name}.parquet")
 
+    def has_df(self, name: str) -> bool:
+        """True when the previous checkpoint persisted this relation —
+        lets operators skip the buffer-union (and its materializing pin)
+        entirely on a first run."""
+        path = self._rel_path(self.prev_dir, name)
+        return bool(path and os.path.exists(path))
+
     def load_df(self, name: str, schema: StructType | None = None) -> DataFrame | None:
         """Previous-run state relation, or an empty frame if `schema` given."""
         path = self._rel_path(self.prev_dir, name)

@@ -67,6 +67,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     sigs: DataFrame | None = None,
     dedupe: bool = True,
+    linkage: str = "pairs",
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) that share at least one
     LSH band. One shuffle on (band, key); skew-safe under AQE.
@@ -79,12 +80,32 @@ def minhash_lsh_pairs(
     `dedupe=False` skips the distinct (saves a shuffle): use when the
     caller tolerates one pair row per shared band — e.g. a cheap per-pair
     verification followed by its own aggregation (duplicates are bounded
-    by `bands`)."""
+    by `bands`).
+
+    `linkage='star'` links every bucket member to the bucket's minimum id
+    instead of emitting all in-bucket pairs: m-1 edges per bucket instead
+    of C(m,2). Connectivity-equivalent for clustering (the hub reaches all
+    members), so connected-components downstream yields identical
+    clusters — and it's the only shape that survives heavily-boilerplated
+    corpora at scale, where one hot bucket of 10k near-identical docs
+    would otherwise emit 50M pairs. Not for pairwise-verified dedup: the
+    hub-member pair may be less similar than member-member pairs, so a
+    post-hoc Jaccard filter would break transitivity differently."""
+    if linkage not in ("pairs", "star"):
+        raise ValueError(f"linkage must be 'pairs' or 'star', got {linkage!r}")
     if sigs is None:
         sigs = _minhash_sigs(df, text_col, id_col, num_hashes, shingle_k)
     buckets = sigs.select(
         "__id", F.explode(H.lsh_bands(F.col("__sig"), bands)).alias("bucket")
     ).select("__id", F.col("bucket.band").alias("band"), F.col("bucket.key").alias("key"))
+    if linkage == "star":
+        hubs = buckets.groupBy("band", "key").agg(F.min("__id").alias("id_a"))
+        pairs = (
+            buckets.join(hubs, ["band", "key"])
+            .filter(F.col("__id") != F.col("id_a"))
+            .select("id_a", F.col("__id").alias("id_b"))
+        )
+        return pairs.distinct() if dedupe else pairs
     a = buckets.alias("a")
     b = buckets.alias("b")
     pairs = a.join(

@@ -59,17 +59,24 @@ def connected_components(
     singleton clusters. Returns (id, component).
 
     `nodes` must contain every id referenced by `edges`."""
+    # Materialize the caller's edge subtree ONCE before symmetrizing: the
+    # union below references `edges` twice, and upstream pair producers
+    # (LSH band self-joins over UDF-computed signatures) are expensive
+    # subtrees that Spark does not de-duplicate across union branches —
+    # without this, the first loop action runs the corpus pipeline 4x.
+    eg = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v")).persist()
+    eg.count()
     # Undirected: propagate along both directions each round.
-    sym = (
-        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
-        .unionAll(edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
-        .distinct()
-    )
+    sym = eg.unionAll(
+        eg.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
     labels = _truncate_lineage(
         nodes.select(F.col(id_col).alias("u"), F.col(id_col).alias("component"))
     )
     sym = sym.persist()
     try:
+        sym.count()  # cache the symmetric edge list before the rounds
+        eg.unpersist()
         for _ in range(max_iter):
             # min label among self + neighbors (neighbor labels arrive by
             # joining each edge's far end to its current label).
@@ -78,8 +85,12 @@ def connected_components(
                 .groupBy("u")
                 .agg(F.min("component").alias("n_component"))
             )
+            # Thread the pre-round label through as `old` so convergence is
+            # read from the checkpointed frame itself — no extra
+            # join-and-count job per round.
             cand = labels.join(neighbor_min, "u", "left").select(
                 "u",
+                F.col("component").alias("old"),
                 F.least(
                     F.col("component"), F.coalesce("n_component", "component")
                 ).alias("component"),
@@ -92,23 +103,20 @@ def connected_components(
             ptr = cand.select(
                 F.col("u").alias("c_u"), F.col("component").alias("c_comp")
             )
-            new_labels = _truncate_lineage(
+            new_full = _truncate_lineage(
                 cand.join(ptr, cand["component"] == ptr["c_u"], "left")
                 .select(
                     cand["u"],
+                    cand["old"],
                     F.least(
                         cand["component"],
                         F.coalesce(ptr["c_comp"], cand["component"]),
                     ).alias("component"),
                 )
             )
-            changed = (
-                new_labels.join(labels.withColumnRenamed("component", "old"), "u")
-                .filter(F.col("component") != F.col("old"))
-                .count()
-            )
+            changed = new_full.filter(F.col("component") != F.col("old")).count()
             cand.unpersist()
-            labels = new_labels
+            labels = new_full.select("u", "component")
             if changed == 0:
                 break
         return labels.select(F.col("u").alias(id_col), "component")

@@ -49,7 +49,6 @@ def execute_window_agg(ctx: StepContext, sql: str) -> StepResult:
 
     incoming = ctx.views[src]
     buffer_name = f"{ctx.step_key}-window-buffer"
-    prev_buf = ctx.state.load_df(buffer_name, schema=incoming.schema)
 
     # Lateness: a row whose window already closed under the watermark the
     # run STARTED with is dropped (source emits prev watermark before data).
@@ -59,9 +58,18 @@ def execute_window_agg(ctx: StepContext, sql: str) -> StepResult:
     cols = incoming.columns
     if prev_wm is not None:
         incoming = incoming.filter(_window_end(incoming, spec) > F.lit(prev_wm)).select(*cols)
-    # One scan of (buffer ∪ new slice) feeds both the state save and the
-    # aggregation — unpinned, each action would re-read every input slice.
-    buf = ctx.pin(prev_buf.unionByName(incoming))
+    if ctx.state.has_df(buffer_name):
+        # Resume: one pinned scan of (buffer ∪ new slice) feeds both the
+        # state save and the aggregation — unpinned, each action would
+        # re-read every buffer file and input slice.
+        prev_buf = ctx.state.load_df(buffer_name, schema=incoming.schema)
+        buf = ctx.pin(prev_buf.unionByName(incoming))
+    else:
+        # First run: no buffer to merge, so skip the union AND the pin —
+        # the closed/still-open actions each re-scan the source parquet
+        # directly (columnar, filter-pushed), which is cheaper than
+        # materializing the whole slice into the block store first.
+        buf = incoming
 
     if new_wm is not None:
         closed = buf.filter(_window_end(buf, spec) <= F.lit(new_wm)).select(*cols)
@@ -144,7 +152,6 @@ def execute_hop_agg(ctx: StepContext, sql: str) -> StepResult:
     incoming = ctx.views[src]
     cols = incoming.columns
     buffer_name = f"{ctx.step_key}-hop-buffer"
-    prev_buf = ctx.state.load_df(buffer_name, schema=incoming.schema)
 
     size_secs = int(spec.size.total_seconds())
     last_end = F.window(F.col(spec.time_col), spec.slide_duration)["start"] + F.expr(
@@ -153,7 +160,11 @@ def execute_hop_agg(ctx: StepContext, sql: str) -> StepResult:
     # Lateness: drop rows whose EVERY containing window already emitted.
     if prev_wm is not None:
         incoming = incoming.filter(last_end > F.lit(prev_wm)).select(*cols)
-    buf = ctx.pin(prev_buf.unionByName(incoming))
+    if ctx.state.has_df(buffer_name):
+        prev_buf = ctx.state.load_df(buffer_name, schema=incoming.schema)
+        buf = ctx.pin(prev_buf.unionByName(incoming))
+    else:
+        buf = incoming  # first run: re-scan the source, skip the pin
     still_open = (
         buf.filter(last_end > F.lit(new_wm)).select(*cols) if new_wm is not None else buf
     )
@@ -196,7 +207,6 @@ def execute_session_agg(ctx: StepContext, sql: str) -> StepResult:
     incoming = ctx.views[src]
     cols = incoming.columns
     buffer_name = f"{ctx.step_key}-session-buffer"
-    prev_buf = ctx.state.load_df(buffer_name, schema=incoming.schema)
 
     gap_secs = int(spec.gap.total_seconds())
     own_close = F.col(spec.time_col) + F.expr(f"INTERVAL '{gap_secs}' SECOND")
@@ -204,7 +214,11 @@ def execute_session_agg(ctx: StepContext, sql: str) -> StepResult:
     # already have closed under the run-start watermark.
     if prev_wm is not None:
         incoming = incoming.filter(own_close > F.lit(prev_wm)).select(*cols)
-    buf = ctx.pin(prev_buf.unionByName(incoming))
+    if ctx.state.has_df(buffer_name):
+        prev_buf = ctx.state.load_df(buffer_name, schema=incoming.schema)
+        buf = ctx.pin(prev_buf.unionByName(incoming))
+    else:
+        buf = incoming  # first run: re-scan the source, skip the pin
 
     # Evict rows of sessions the new watermark closes (they emit this run
     # and can never merge with future rows: any future ts >= wm >= end).

@@ -118,3 +118,23 @@ def test_null_and_empty_text_robustness(spark):
     rep = {r.doc_id: r for r in repetition_signals(df).collect()}
     assert rep[1].dup_token_ratio is None
     assert rep[2].dup_token_ratio == 0.0
+
+
+def test_star_linkage_clusters_equal_pairs_linkage(spark, docs):
+    """Star linkage (bucket-min hub edges) must produce IDENTICAL connected
+    components to all-pairs linkage — it's the linear-edge scale path for
+    clustering, so cluster assignments may not drift."""
+    from kamu_engine_flink_spark.operators import graph
+
+    d = docs.select("doc_id", "text")
+    nodes = d.select("doc_id")
+    out = {}
+    for linkage in ("pairs", "star"):
+        p = dedup.minhash_lsh_pairs(
+            d, "text", "doc_id", num_hashes=32, bands=8, linkage=linkage
+        )
+        cc = graph.connected_components(nodes, p, "doc_id")
+        out[linkage] = {
+            (r["doc_id"], r["component"]) for r in cc.collect()
+        }
+    assert out["pairs"] == out["star"]
