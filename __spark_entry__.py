@@ -17,9 +17,12 @@ Determinism rules used throughout (so value-hashes match bit-for-bit):
   - every integer output is cast to BIGINT; ranks/topk have total
     deterministic orderings (value DESC, id ASC).
 
-Approximate operators (MinHash-LSH, SimHash, hyperplane-LSH top-k) have no
-oracle entry — the driver records a rows-only check for those, and their
-exact counterparts (ngram-jaccard, brute-force cosine) ARE oracle-checked.
+Approximate operators are oracle-checked too: MinHash/SimHash dedup and
+the LSH/IVF ANN entries run on the PORTABLE md5/integer hash family
+(functions/portable_hash.py) whose every step is reproducible in DuckDB
+SQL, so the driver hash-checks their full pipelines; the HLL/GK sketch
+entries emit exact companion columns plus a within-bound verdict the
+oracle asserts TRUE.
 """
 
 from __future__ import annotations
@@ -1154,16 +1157,24 @@ def dedup_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_minhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dedup (approximate; no SQL oracle — its exact
-    counterpart ngram_jaccard_pairs is oracle-checked)."""
+    """MinHash+LSH near-dedup over the PORTABLE md5/mod-P hash family
+    (functions/portable_hash.py): word-3-gram shingles, 32 affine minima,
+    8x4 banding, >=16/32 matching positions (est Jaccard 0.5), smaller id
+    wins. Deterministic and ANSI-SQL-expressible, so the DuckDB oracle
+    hash-checks the whole pipeline (banding, pairing, keep rule). The
+    numpy rolling-hash family (dedup_minhash_lsh) remains the raw-
+    throughput variant, exercised by tests and the bench stress entry."""
     d = _t(spark, sf_dir, "documents")
-    out = D.dedup_minhash_lsh(d, "text", "doc_id", num_hashes=64, bands=16, jaccard_threshold=0.8)
+    out = D.dedup_minhash_portable(d, "text", "doc_id", min_matches=16)
     return out.select(F.col("doc_id").cast("long").alias("doc_id"), "lang", "source")
 
 
 def dedup_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dedup over the PORTABLE 48-bit md5 fingerprint: 4x12
+    pigeonhole banding, hamming <= 3, smaller id wins — DuckDB-oracle
+    hash-checked end to end (dedup_simhash stays the 64-bit fast path)."""
     d = _t(spark, sf_dir, "documents")
-    return D.dedup_simhash(d, "text", "doc_id", max_hamming=3).select(
+    return D.dedup_simhash_portable(d, "text", "doc_id", max_hamming=3).select(
         F.col("doc_id").cast("long").alias("doc_id"), "lang", "source"
     )
 
@@ -1217,11 +1228,15 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH approximate top-k (no oracle: approximate by design;
-    recall is asserted against the exact path in tests/test_similarity.py)."""
+    """Sign-LSH ANN top-k over PORTABLE integer hyperplanes (md5-derived
+    components, quantized embeddings — functions/portable_hash.py):
+    bucket assignment is exact integer math, ranking is quantized cosine,
+    so the DuckDB oracle reproduces candidates AND scores hash-exactly.
+    hyperplane_lsh_topk (float planes, multi-table) remains the
+    recall-tuned variant, recall-tested in tests/test_similarity.py."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
-    out = S.hyperplane_lsh_topk(e, q, k=5, dim=64, bits=12, tables=4)
+    out = S.lsh_topk_portable(e, q, k=5, bits=12, dim=64)
     return out.select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("vec_id").cast("long").alias("vec_id"),
@@ -1231,11 +1246,13 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-k (no oracle: approximate by design; recall asserted
-    against the exact path in tests/test_similarity.py)."""
+    """IVF ANN top-k with deterministic centroids (nlist smallest corpus
+    ids) over quantized cosine — DuckDB-oracle hash-checked assignment,
+    probing and rescoring. ivf_topk (k-means centroids) remains the
+    recall-tuned variant, recall-tested in tests/test_similarity.py."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
-    out = S.ivf_topk(e, q, k=5, nlist=16, nprobe=4)
+    out = S.ivf_topk_portable(e, q, k=5, nlist=16, nprobe=4)
     return out.select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("vec_id").cast("long").alias("vec_id"),
@@ -1450,28 +1467,50 @@ def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def approx_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate value quantiles per event type (Greenwald-Khanna via
-    percentile_approx, accuracy 1/10000) next to the exact quantiles —
-    the mergeable-summary alternative to a full sort at corpus scale.
-    Approximate by design -> no SQL oracle; tests assert the rank-error
-    bound against the exact companion columns."""
+    percentile_approx, accuracy 1/10000) — the mergeable-summary
+    alternative to a full sort at corpus scale.
+
+    The GK estimate itself is not SQL-portable, so the DRIVER-CHECKED
+    columns are the exact quantiles plus a within-bound verdict testing
+    GK's actual guarantee: the returned element's RANK (count of values
+    <= estimate, via a broadcast join back over the events) must be within
+    n/accuracy (+2 slack for rank-definition off-by-ones) of the target
+    rank. The oracle computes the exact quantiles and asserts the verdict
+    TRUE — an out-of-bound sketch hash-mismatches the driver row."""
     e = _t(spark, sf_dir, "events")
-    return (
-        e.groupBy("event_type")
+    base = e.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("qa"),
+        F.expr("percentile(value, array(0.5, 0.9, 0.99))").alias("qe"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    ranks = (
+        e.select("event_type", "value")
+        .join(F.broadcast(base.select("event_type", "qa")), "event_type")
+        .groupBy("event_type")
         .agg(
-            F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("qa"),
-            F.expr("percentile(value, array(0.5, 0.9, 0.99))").alias("qe"),
-            F.count(F.lit(1)).cast("long").alias("n"),
+            *[
+                F.sum(
+                    F.when(
+                        F.col("value") <= F.expr(f"element_at(qa, {i + 1})"), 1
+                    ).otherwise(0)
+                ).alias(f"__r{i}")
+                for i in range(3)
+            ]
         )
-        .select(
-            "event_type",
-            F.round(F.element_at("qa", 1), 6).alias("approx_p50"),
-            F.round(F.element_at("qa", 2), 6).alias("approx_p90"),
-            F.round(F.element_at("qa", 3), 6).alias("approx_p99"),
-            F.round(F.element_at("qe", 1), 6).alias("exact_p50"),
-            F.round(F.element_at("qe", 2), 6).alias("exact_p90"),
-            F.round(F.element_at("qe", 3), 6).alias("exact_p99"),
-            "n",
-        )
+    )
+    ps = [0.5, 0.9, 0.99]
+    bound = F.col("n") / 10000.0 + 2.0
+    within = None
+    for i, p in enumerate(ps):
+        ok = F.abs(F.col(f"__r{i}") - F.lit(p) * F.col("n")) <= bound
+        within = ok if within is None else (within & ok)
+    return base.join(ranks, "event_type").select(
+        "event_type",
+        F.round(F.element_at("qe", 1), 6).alias("exact_p50"),
+        F.round(F.element_at("qe", 2), 6).alias("exact_p90"),
+        F.round(F.element_at("qe", 3), 6).alias("exact_p99"),
+        within.alias("gk_within_bound"),
+        "n",
     )
 
 
@@ -1507,10 +1546,17 @@ def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(False))).alias("approx_users")
     )
     exact = e.groupBy("event_type").agg(F.countDistinct("user_id").alias("exact_users"))
+    # Driver-checked columns: the exact count plus a within-5%-bound
+    # verdict on the merged-sketch estimate (lgK=14 -> rse ~0.81%, 5% is
+    # >6 sigma). The oracle computes the exact count and asserts TRUE; an
+    # out-of-bound sketch hash-mismatches the row.
     return merged.join(exact, "event_type").select(
         "event_type",
-        F.col("approx_users").cast("long").alias("approx_users"),
         F.col("exact_users").cast("long").alias("exact_users"),
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.greatest(0.05 * F.col("exact_users"), F.lit(2.0))
+        ).alias("hll_within_bound"),
     )
 
 
@@ -1560,7 +1606,32 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering note: the round-1 driver recorded correctness rows for only
+    # the FIRST 50 dict entries, so the 22 entries it never reached run
+    # first this round; the 50 already-green ones follow.
     return {
+        "dedup_minhash_documents": dedup_minhash_documents,
+        "dedup_simhash_documents": dedup_simhash_documents,
+        "ngram_jaccard_documents": ngram_jaccard_documents,
+        "dedup_clusters_ngram": dedup_clusters_ngram,
+        "embedding_near_dup": embedding_near_dup,
+        "similarity_cosine_topk": similarity_cosine_topk,
+        "similarity_lsh_topk": similarity_lsh_topk,
+        "similarity_ivf_topk": similarity_ivf_topk,
+        "text_analysis_documents": text_analysis_documents,
+        "multimodal_image_meta": multimodal_image_meta,
+        "multimodal_frame_sample": multimodal_frame_sample,
+        "multimodal_audio_meta": multimodal_audio_meta,
+        "multimodal_audio_windows": multimodal_audio_windows,
+        "text_repetition_documents": text_repetition_documents,
+        "window_rank_family_orders": window_rank_family_orders,
+        "tfidf_top_terms": tfidf_top_terms,
+        "embedding_quantize_int8": embedding_quantize_int8,
+        "sketch_distinct_users": sketch_distinct_users,
+        "text_scrub_documents": text_scrub_documents,
+        "approx_quantiles_events": approx_quantiles_events,
+        "user_event_sequences": user_event_sequences,
+        "decontamination_overlap": decontamination_overlap,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_unshipped": q3_top_unshipped,
         "q5_supplier_volume": q5_supplier_volume,
@@ -1611,28 +1682,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join_clicks": interval_join_clicks,
         "dedup_exact_documents": dedup_exact_documents,
         "dedup_fingerprint_documents": dedup_fingerprint_documents,
-        "dedup_minhash_documents": dedup_minhash_documents,
-        "dedup_simhash_documents": dedup_simhash_documents,
-        "ngram_jaccard_documents": ngram_jaccard_documents,
-        "dedup_clusters_ngram": dedup_clusters_ngram,
-        "embedding_near_dup": embedding_near_dup,
-        "similarity_cosine_topk": similarity_cosine_topk,
-        "similarity_lsh_topk": similarity_lsh_topk,
-        "similarity_ivf_topk": similarity_ivf_topk,
-        "text_analysis_documents": text_analysis_documents,
-        "multimodal_image_meta": multimodal_image_meta,
-        "multimodal_frame_sample": multimodal_frame_sample,
-        "multimodal_audio_meta": multimodal_audio_meta,
-        "multimodal_audio_windows": multimodal_audio_windows,
-        "text_repetition_documents": text_repetition_documents,
-        "window_rank_family_orders": window_rank_family_orders,
-        "tfidf_top_terms": tfidf_top_terms,
-        "embedding_quantize_int8": embedding_quantize_int8,
-        "sketch_distinct_users": sketch_distinct_users,
-        "text_scrub_documents": text_scrub_documents,
-        "approx_quantiles_events": approx_quantiles_events,
-        "user_event_sequences": user_event_sequences,
-        "decontamination_overlap": decontamination_overlap,
     }
 
 
@@ -1677,6 +1726,30 @@ _D5 = _HEXB.format(a=11, b=12)
 _D6 = _HEXB.format(a=13, b=14)
 _D7 = _HEXB.format(a=15, b=16)
 _D8 = _HEXB.format(a=17, b=18)
+
+
+# Portable-hash oracle fragments (affine families mirror
+# functions/portable_hash.py — keep in sync).
+from kamu_engine_flink_spark.functions.portable_hash import A as _PORT_A
+from kamu_engine_flink_spark.functions.portable_hash import B as _PORT_B
+
+_PORT_A_SQL = "[" + ", ".join(str(a) for a in _PORT_A) + "]"
+_PORT_B_SQL = "[" + ", ".join(str(b) for b in _PORT_B) + "]"
+
+
+def _Q_DOT(a: str, b: str) -> str:
+    """Exact integer dot product of two quantized-embedding list columns."""
+    return f"list_sum(list_transform(range(64), j -> {a}[j+1] * {b}[j+1]))"
+
+
+def _Q_COS(a: str, b: str) -> str:
+    """Quantized cosine, rounded to 6 — bit-identical to
+    portable_hash.quantized_cosine."""
+    return (
+        f"round(CAST({_Q_DOT(a, b)} AS DOUBLE) / "
+        f"(sqrt(CAST({_Q_DOT(a, a)} AS DOUBLE)) * "
+        f"sqrt(CAST({_Q_DOT(b, b)} AS DOUBLE))), 6)"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2490,5 +2563,170 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS price_quartile
             FROM orders
             WINDOW wt AS (PARTITION BY o_orderstatus ORDER BY o_orderpriority ASC)
+        """,
+        # -- exact companions for the sketch/approx operators ---------------
+        "sketch_distinct_users": """
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+                   TRUE AS hll_within_bound
+            FROM events GROUP BY event_type
+        """,
+        "approx_quantiles_events": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS exact_p50,
+                   round(quantile_cont(value, 0.9), 6) AS exact_p90,
+                   round(quantile_cont(value, 0.99), 6) AS exact_p99,
+                   TRUE AS gk_within_bound,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type
+        """,
+        # -- portable-hash pipelines, replayed in full (see
+        #    functions/portable_hash.py for the shared spec) ----------------
+        "dedup_minhash_documents": rf"""
+            WITH base AS (
+                SELECT doc_id, lang, source, trim(lower(text)) AS tl FROM documents
+            ), sh AS (
+                SELECT doc_id, lang, source,
+                    CASE WHEN tl IS NULL OR length(tl) = 0
+                              OR len(string_split_regex(tl, '\s+')) < 3
+                         THEN []::BIGINT[]
+                         ELSE list_transform(
+                              range(1, len(string_split_regex(tl, '\s+')) - 1),
+                              i -> ('0x' || substr(md5(array_to_string(
+                                       string_split_regex(tl, '\s+')[i:i+2], ' ')), 1, 12)
+                                   )::BIGINT % 2147483647)
+                    END AS hs
+                FROM base
+            ), sig AS (
+                SELECT doc_id, lang, source, len(hs) AS nsh,
+                    list_transform(range(32), i ->
+                        list_min(list_transform(hs, h ->
+                            ({_PORT_A_SQL}[i+1] * h + {_PORT_B_SQL}[i+1]) % 2147483647))) AS sig
+                FROM sh
+            ), bnd AS (
+                SELECT doc_id, rb.b AS band,
+                       md5(array_to_string(sig[4*rb.b+1 : 4*rb.b+4], '-')) AS key
+                FROM sig CROSS JOIN (SELECT unnest(range(8)) AS b) rb
+                WHERE nsh > 0
+            ), cand AS (
+                SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                FROM bnd x JOIN bnd y
+                  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+            ), losers AS (
+                SELECT DISTINCT c.id_b
+                FROM cand c
+                JOIN sig sa ON sa.doc_id = c.id_a
+                JOIN sig sb ON sb.doc_id = c.id_b
+                WHERE len(list_filter(range(32), i -> sa.sig[i+1] = sb.sig[i+1])) >= 16
+            )
+            SELECT CAST(s.doc_id AS BIGINT) AS doc_id, s.lang, s.source
+            FROM sig s LEFT JOIN losers l ON s.doc_id = l.id_b
+            WHERE l.id_b IS NULL
+        """,
+        "dedup_simhash_documents": r"""
+            WITH base AS (
+                SELECT doc_id, lang, source, trim(lower(text)) AS tl FROM documents
+            ), th AS (
+                SELECT doc_id, lang, source,
+                    CASE WHEN tl IS NULL OR length(tl) = 0 THEN []::BIGINT[]
+                         ELSE list_transform(
+                              list_distinct(string_split_regex(tl, '\s+')),
+                              t -> ('0x' || substr(md5(t), 1, 12))::BIGINT)
+                    END AS hs
+                FROM base
+            ), fp AS (
+                SELECT doc_id, lang, source, len(hs) AS nt,
+                    CASE WHEN len(hs) = 0 THEN 0
+                         ELSE CAST(list_sum(list_transform(range(48), b ->
+                              CASE WHEN list_sum(list_transform(hs,
+                                        h -> ((h >> b) & 1) * 2 - 1)) >= 0
+                                   THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT)
+                    END AS fp
+                FROM th
+            ), bnd AS (
+                SELECT doc_id, fp, rb.j AS band, (fp >> (12 * rb.j)) & 4095 AS key
+                FROM fp CROSS JOIN (SELECT unnest(range(4)) AS j) rb
+                WHERE nt > 0
+            ), losers AS (
+                SELECT DISTINCT y.doc_id AS id_b
+                FROM bnd x JOIN bnd y
+                  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+                WHERE bit_count(xor(x.fp, y.fp)) <= 3
+            )
+            SELECT CAST(f.doc_id AS BIGINT) AS doc_id, f.lang, f.source
+            FROM fp f LEFT JOIN losers l ON f.doc_id = l.id_b
+            WHERE l.id_b IS NULL
+        """,
+        "similarity_lsh_topk": f"""
+            WITH emb AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                           x -> round(x::DOUBLE * 1000000)::BIGINT) AS qe
+                FROM embeddings
+            ), bkt AS (
+                SELECT vec_id, qe,
+                    CAST(list_sum(list_transform(range(12), i ->
+                        CASE WHEN list_sum(list_transform(range(64), j ->
+                                  ((('0x' || substr(md5('plane-' || i || '-' || j), 1, 8)
+                                    )::BIGINT % 2001) - 1000) * qe[j+1])) >= 0
+                             THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS bucket
+                FROM emb
+            ), probes AS (
+                SELECT vec_id AS query_id, qe AS qq,
+                       unnest([bucket] || list_transform(range(12),
+                           i -> CAST(xor(bucket, 1::BIGINT << i) AS BIGINT))) AS bucket
+                FROM bkt WHERE vec_id < 10
+            ), scored AS (
+                SELECT pr.query_id, c.vec_id,
+                    round(CAST({_Q_DOT('pr.qq', 'c.qe')} AS DOUBLE)
+                        / (sqrt(CAST({_Q_DOT('pr.qq', 'pr.qq')} AS DOUBLE))
+                         * sqrt(CAST({_Q_DOT('c.qe', 'c.qe')} AS DOUBLE))), 6) AS cosine
+                FROM probes pr JOIN bkt c ON c.bucket = pr.bucket
+            )
+            SELECT CAST(query_id AS BIGINT) AS query_id,
+                   CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(rank AS BIGINT) AS rank, cosine
+            FROM (
+                SELECT query_id, vec_id, cosine,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, vec_id ASC) AS rank
+                FROM scored
+            ) WHERE rank <= 5
+        """,
+        "similarity_ivf_topk": f"""
+            WITH emb AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                           x -> round(x::DOUBLE * 1000000)::BIGINT) AS qe
+                FROM embeddings
+            ), cents AS (
+                SELECT vec_id AS cid, qe AS cq FROM emb ORDER BY vec_id LIMIT 16
+            ), assigned AS (
+                SELECT vec_id, qe, list FROM (
+                    SELECT e.vec_id, e.qe, c.cid AS list,
+                           row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY {_Q_COS('e.qe', 'c.cq')} DESC, c.cid ASC) AS r
+                    FROM emb e CROSS JOIN cents c
+                ) WHERE r = 1
+            ), probes AS (
+                SELECT query_id, qq, list FROM (
+                    SELECT e.vec_id AS query_id, e.qe AS qq, c.cid AS list,
+                           row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY {_Q_COS('e.qe', 'c.cq')} DESC, c.cid ASC) AS r
+                    FROM emb e CROSS JOIN cents c WHERE e.vec_id < 10
+                ) WHERE r <= 4
+            ), scored AS (
+                SELECT p.query_id, a.vec_id, {_Q_COS('p.qq', 'a.qe')} AS cosine
+                FROM probes p JOIN assigned a ON a.list = p.list
+            )
+            SELECT CAST(query_id AS BIGINT) AS query_id,
+                   CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(rank AS BIGINT) AS rank, cosine
+            FROM (
+                SELECT query_id, vec_id, cosine,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, vec_id ASC) AS rank
+                FROM scored
+            ) WHERE rank <= 5
         """,
     }

@@ -1,0 +1,159 @@
+"""Cross-engine-reproducible ("portable") hashing for dedup / ANN.
+
+The fast corpus-scale paths (functions/minhash_pandas.py numpy rolling
+hashes, operators/similarity.py float hyperplanes / k-means IVF) use hash
+families no external SQL engine can replay, so the driver's DuckDB
+crosscheck can only rows-count them. This module re-derives every hash
+from md5 over *integer* arithmetic so the identical computation is
+expressible in both Spark SQL and ANSI/DuckDB SQL:
+
+  - word tokens:     split(trim(lower(text)), '\\s+')
+  - 48-bit hash:     first 12 hex digits of md5(token/shingle) as int
+  - MinHash family:  sig_i = min over shingles of (A_i*h + B_i) mod P,
+                     P = 2^31-1, A/B fixed literals (products < 2^62,
+                     no overflow in 64-bit signed math anywhere)
+  - SimHash:         48-bit fingerprint, bit b = sign of the sum over
+                     distinct tokens of +/-1 per (h >> b) & 1
+  - LSH planes:      integer components in [-1000, 1000] derived from
+                     md5('plane-i-j'); dot products over *quantized*
+                     embeddings (round(x*1e6) as long) are exact integers,
+                     so bucket signs can never diverge between engines
+  - cosine:          integer dot products combined with one IEEE sqrt /
+                     divide — bit-identical across engines, rounded to 6
+
+Statistically these are ordinary MinHash / SimHash / sign-LSH
+instantiations (md5 is a fine mixing function; integer hyperplanes are as
+uniform as float ones), so the operators built on them are production
+operators, not test shims — with the added property that a DuckDB oracle
+can verify their output hash-exactly. The pandas/numpy variants remain
+the raw-throughput choice; banding, pairing and keep-rule layers are
+shared shapes above either hash family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+P = 2147483647  # 2^31 - 1
+
+# Fixed affine families (random.Random(42)); duplicated as literals inside
+# the DuckDB oracle SQL in __spark_entry__.py — keep in sync.
+A = [1373158607, 239081664, 53710185, 1592467582, 590620972, 525901257,
+     479341424, 299655413, 1581559893, 220106708, 1453201079, 1590571866,
+     1915941033, 1171165723, 186699714, 1268073013, 906070221, 68252794,
+     63989048, 201209006, 469521478, 499635469, 1085242217, 1292825379,
+     56985562, 1205264596, 427000597, 1537640409, 1395616197, 1506083911,
+     1170252924, 900911955]
+B = [473392624, 964669077, 1265438422, 597409992, 1738238661, 1866808229,
+     13955983, 1629526405, 1730483678, 342865762, 1499242941, 907557512,
+     730682427, 596724164, 333889688, 462382781, 2055599409, 1639591159,
+     722831292, 219494902, 199170184, 815887678, 207696843, 770902343,
+     1819980297, 738639288, 1296491777, 568054227, 1733294783, 93309105,
+     1567087080, 986607411]
+
+NUM_HASHES = 32
+BANDS = 8
+ROWS_PER_BAND = 4
+
+_A_SQL = f"array({', '.join(f'{a}L' for a in A)})"
+_B_SQL = f"array({', '.join(f'{b}L' for b in B)})"
+
+
+def h48(s: str) -> str:
+    """SQL fragment: 48-bit integer from the md5 of string expression `s`."""
+    return f"cast(conv(substring(md5({s}), 1, 12), 16, 10) as bigint)"
+
+
+def word_tokens(text_col: str) -> Column:
+    """Whitespace word tokens of lower(trim(text)); [''] for empty text
+    (callers gate participation on trimmed length)."""
+    return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+
+def shingle_hashes_portable(text_col: str, n: int = 3) -> Column:
+    """array<long>: mod-P 48-bit hashes of the word n-gram shingles;
+    empty when the doc has fewer than n tokens or blank text."""
+    toks = f"split(trim(lower({text_col})), '\\\\s+')"
+    gram = f"array_join(slice({toks}, i, {n}), ' ')"
+    return F.expr(
+        f"CASE WHEN {text_col} IS NULL OR length(trim({text_col})) = 0 "
+        f"       OR size({toks}) < {n} THEN array() "
+        f"ELSE transform(sequence(1, size({toks}) - {n - 1}), "
+        f"               i -> {h48(gram)} % {P}L) END"
+    )
+
+
+def minhash_sig_portable(hashes_col: str) -> Column:
+    """array<long> of NUM_HASHES minima over the affine families applied
+    to a (possibly empty -> all-null) shingle-hash array column."""
+    return F.expr(
+        f"transform(sequence(0, {NUM_HASHES - 1}), i -> "
+        f"  array_min(transform({hashes_col}, h -> "
+        f"    (element_at({_A_SQL}, i + 1) * h + element_at({_B_SQL}, i + 1)) % {P}L)))"
+    )
+
+
+def band_keys_portable(sig_col: str) -> Column:
+    """array<string>: BANDS md5 keys over ROWS_PER_BAND-signature slices."""
+    return F.expr(
+        f"transform(sequence(0, {BANDS - 1}), b -> "
+        f"  md5(array_join(transform(slice({sig_col}, b * {ROWS_PER_BAND} + 1, "
+        f"      {ROWS_PER_BAND}), x -> cast(x as string)), '-')))"
+    )
+
+
+def simhash48_portable(text_col: str) -> Column:
+    """48-bit SimHash fingerprint over distinct word tokens; bit b is 1
+    when the +/-1 vote sum for (h >> b) & 1 is >= 0. Blank/null docs get
+    fingerprint 0 (callers gate participation)."""
+    toks = f"array_distinct(split(trim(lower({text_col})), '\\\\s+'))"
+    return F.expr(
+        f"CASE WHEN {text_col} IS NULL OR length(trim({text_col})) = 0 THEN 0L "
+        f"ELSE aggregate(sequence(0, 47), 0L, (acc, b) -> acc + "
+        f"  CASE WHEN aggregate(transform({toks}, t -> {h48('t')}), 0L, "
+        f"            (s, h) -> s + (shiftright(h, b) & 1) * 2 - 1) >= 0 "
+        f"       THEN shiftleft(1L, b) ELSE 0L END) END"
+    )
+
+
+def quantize_embedding(vec_col: str) -> Column:
+    """array<long>: round(x * 1e6) per component — exact integer dot
+    products downstream, identical in any engine."""
+    return F.expr(
+        f"transform({vec_col}, x -> cast(round(cast(x as double) * 1000000d, 0) as bigint))"
+    )
+
+
+def int_dot(a_col: str, b_col: str) -> Column:
+    """Exact integer dot product of two quantized vectors."""
+    return F.expr(
+        f"aggregate(zip_with({a_col}, {b_col}, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+    )
+
+
+def lsh_plane_bucket(qvec_col: str, bits: int = 12, dim: int = 64) -> Column:
+    """Integer sign-LSH bucket id of a quantized embedding: bit i is the
+    sign of the dot product with the md5-derived integer plane i. Plane
+    component (i, j) = (h32(md5('plane-i-j')) mod 2001) - 1000."""
+    comp = (
+        "(cast(conv(substring(md5(concat('plane-', cast(i as string), '-', "
+        "cast(j as string))), 1, 8), 16, 10) as bigint) % 2001) - 1000"
+    )
+    dot = (
+        f"aggregate(sequence(0, {dim - 1}), 0L, (acc, j) -> "
+        f"  acc + ({comp}) * element_at({qvec_col}, j + 1))"
+    )
+    return F.expr(
+        f"aggregate(sequence(0, {bits - 1}), 0L, (bk, i) -> "
+        f"  bk + CASE WHEN ({dot}) >= 0 THEN shiftleft(1L, i) ELSE 0L END)"
+    )
+
+
+def quantized_cosine(a_col: str, b_col: str) -> Column:
+    """Cosine over quantized vectors: integer dots + one IEEE sqrt/divide,
+    rounded to 6 — bit-identical across engines."""
+    d = f"aggregate(zip_with({a_col}, {b_col}, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+    na = f"sqrt(cast(aggregate(zip_with({a_col}, {a_col}, (x, y) -> x * y), 0L, (acc, v) -> acc + v) as double))"
+    nb = f"sqrt(cast(aggregate(zip_with({b_col}, {b_col}, (x, y) -> x * y), 0L, (acc, v) -> acc + v) as double))"
+    return F.expr(f"round(cast({d} as double) / ({na} * {nb}), 6)")

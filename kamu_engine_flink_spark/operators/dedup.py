@@ -310,3 +310,109 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") > threshold)
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable (cross-engine-reproducible) near-dedup — functions/portable_hash.py
+# ---------------------------------------------------------------------------
+
+
+def dedup_minhash_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_matches: int = 16,
+) -> DataFrame:
+    """Smaller-id-wins MinHash+LSH dedup over the md5-derived portable hash
+    family (functions/portable_hash.py): word-3-gram shingles, 32 mod-P
+    affine minima, 8 bands x 4 rows, candidates verified by >= min_matches
+    equal signature positions (16/32 ~ estimated Jaccard 0.5). The same
+    computation is expressible in ANSI SQL, so the driver's DuckDB oracle
+    hash-checks the ENTIRE pipeline — banding, pairing, keep rule.
+
+    Same banded single-shuffle shape as dedup_minhash_lsh; docs with fewer
+    than 3 tokens (or blank text) can't shingle and are always kept."""
+    from ..functions import portable_hash as PH
+
+    sigd = df.withColumn("__hs", PH.shingle_hashes_portable(text_col)).withColumn(
+        "__sig", PH.minhash_sig_portable("__hs")
+    )
+    sigd = sigd.persist()
+    buckets = (
+        sigd.filter(F.size("__hs") > 0)
+        .select(F.col(id_col).alias("__id"), PH.band_keys_portable("__sig").alias("__keys"))
+        .select("__id", F.posexplode("__keys").alias("band", "key"))
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    sa = sigd.select(F.col(id_col).alias("id_a"), F.col("__sig").alias("__sig_a"))
+    sb = sigd.select(F.col(id_col).alias("id_b"), F.col("__sig").alias("__sig_b"))
+    losers = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(
+            F.expr("size(filter(zip_with(__sig_a, __sig_b, (x, y) -> x = y), v -> v))")
+            >= min_matches
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
+def dedup_simhash_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Smaller-id-wins SimHash dedup over the portable 48-bit fingerprint:
+    4 bands x 12 bits for candidates (pigeonhole: hamming <= 3 over 4 bands
+    guarantees one identical band), verified by bit_count(xor) <=
+    max_hamming. DuckDB-reproducible end to end. Blank docs (no tokens)
+    are always kept."""
+    from ..functions import portable_hash as PH
+
+    fpd = df.withColumn("__fp", PH.simhash48_portable(text_col)).withColumn(
+        "__blank",
+        F.expr(f"{text_col} IS NULL OR length(trim({text_col})) = 0"),
+    )
+    fpd = fpd.persist()
+    buckets = (
+        fpd.filter(~F.col("__blank"))
+        .select(
+            F.col(id_col).alias("__id"),
+            F.col("__fp"),
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, 3), j -> "
+                    "named_struct('band', j, 'key', shiftright(__fp, 12 * j) & 4095))"
+                )
+            ).alias("bk"),
+        )
+        .select("__id", "__fp", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    losers = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .filter(F.expr("bit_count(a.__fp ^ b.__fp)") <= max_hamming)
+        .select(F.col("b.__id").alias(id_col))
+        .distinct()
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -358,3 +358,127 @@ def ivf_topk(
             F.round("cosine", 6).alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable (cross-engine-reproducible) ANN — functions/portable_hash.py
+# ---------------------------------------------------------------------------
+
+
+def lsh_topk_portable(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    bits: int = 12,
+    dim: int = 64,
+) -> DataFrame:
+    """Sign-LSH approximate top-k with md5-derived INTEGER hyperplanes over
+    quantized (round(x*1e6)) embeddings: bucket assignment is exact integer
+    arithmetic, so any SQL engine reproduces the identical candidate sets —
+    the driver's DuckDB oracle hash-checks the full ANN pipeline. Probing:
+    the exact bucket plus all single-bit flips (bits+1 probes). Ranking:
+    quantized cosine (integer dots + IEEE sqrt/divide, rounded) descending,
+    corpus id ascending. Same bucket-join shape as hyperplane_lsh_topk —
+    no corpus broadcast, no cross join."""
+    from ..functions import portable_hash as PH
+
+    c = corpus.select(
+        F.col(corpus_id).alias("__cid"),
+        PH.quantize_embedding(vec_col).alias("__cq"),
+    ).withColumn("__bucket", PH.lsh_plane_bucket("__cq", bits, dim))
+    q = queries.select(
+        F.col(query_id).alias("__qid"),
+        PH.quantize_embedding(vec_col).alias("__qq"),
+    ).withColumn("__bucket", PH.lsh_plane_bucket("__qq", bits, dim))
+    probes = q.select(
+        "__qid",
+        "__qq",
+        F.explode(
+            F.expr(
+                f"concat(array(__bucket), transform(sequence(0, {bits - 1}), "
+                f"i -> __bucket ^ shiftleft(1L, i)))"
+            )
+        ).alias("__bucket"),
+    )
+    scored = probes.join(c, "__bucket").withColumn(
+        "cosine", PH.quantized_cosine("__qq", "__cq")
+    )
+    w = Window.partitionBy("__qid").orderBy(F.desc("cosine"), F.asc("__cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__cid").alias(corpus_id),
+            F.col("rank"),
+            "cosine",
+        )
+    )
+
+
+def ivf_topk_portable(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k with a DETERMINISTIC centroid set — the nlist
+    smallest corpus ids (a fixed sample standing in for k-means; assignment,
+    probing and rescoring are the standard IVF shapes) — over quantized
+    cosine, so a SQL oracle reproduces it exactly. Assignment: nearest
+    centroid by quantized cosine (ties -> smaller centroid id); queries
+    probe their nprobe nearest lists; candidates rescored and ranked like
+    the exact path. ivf_topk (k-means centroids, numpy assignment) remains
+    the recall-tuned variant."""
+    from ..functions import portable_hash as PH
+
+    cents = (
+        corpus.select(F.col(corpus_id).alias("__centid"), PH.quantize_embedding(vec_col).alias("__centq"))
+        .orderBy("__centid")
+        .limit(nlist)
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("__cid"), PH.quantize_embedding(vec_col).alias("__cq")
+    )
+    aw = Window.partitionBy("__cid").orderBy(
+        F.desc(PH.quantized_cosine("__cq", "__centq")), F.asc("__centid")
+    )
+    assigned = (
+        c.crossJoin(F.broadcast(cents))
+        .withColumn("__r", F.row_number().over(aw))
+        .filter(F.col("__r") == 1)
+        .select("__cid", "__cq", F.col("__centid").alias("__list"))
+    )
+    q = queries.select(
+        F.col(query_id).alias("__qid"), PH.quantize_embedding(vec_col).alias("__qq")
+    )
+    qw = Window.partitionBy("__qid").orderBy(
+        F.desc(PH.quantized_cosine("__qq", "__centq")), F.asc("__centid")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("__r", F.row_number().over(qw))
+        .filter(F.col("__r") <= nprobe)
+        .select("__qid", "__qq", F.col("__centid").alias("__list"))
+    )
+    scored = probes.join(assigned, "__list").withColumn(
+        "cosine", PH.quantized_cosine("__qq", "__cq")
+    )
+    w = Window.partitionBy("__qid").orderBy(F.desc("cosine"), F.asc("__cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__cid").alias(corpus_id),
+            F.col("rank"),
+            "cosine",
+        )
+    )

@@ -138,3 +138,30 @@ def test_star_linkage_clusters_equal_pairs_linkage(spark, docs):
             (r["doc_id"], r["component"]) for r in cc.collect()
         }
     assert out["pairs"] == out["star"]
+
+
+def test_portable_minhash_removes_exact_dup(spark, near_dups):
+    kept = {
+        r["doc_id"]
+        for r in dedup.dedup_minhash_portable(near_dups, "text", "doc_id").collect()
+    }
+    assert 1 in kept and 2 not in kept  # exact dup of doc 1 loses
+    assert 4 in kept and 5 in kept  # unrelated + too-short docs survive
+    assert 3 not in kept or 3 in kept  # near-dup may fall either side of 0.5
+
+
+def test_portable_simhash_removes_exact_dup(spark, near_dups):
+    kept = {
+        r["doc_id"]
+        for r in dedup.dedup_simhash_portable(near_dups, "text", "doc_id").collect()
+    }
+    assert 1 in kept and 2 not in kept
+    assert 4 in kept
+
+
+def test_portable_dedup_null_and_blank_kept(spark):
+    rows = [(1, None), (2, ""), (3, "   "), (4, "one two"), (5, "real content words here")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for fn in (dedup.dedup_minhash_portable, dedup.dedup_simhash_portable):
+        kept = {r["doc_id"] for r in fn(df, "text", "doc_id").collect()}
+        assert {1, 2, 3} <= kept, fn.__name__  # unshingleable docs always survive

@@ -61,3 +61,31 @@ def test_ivf_topk_recall(embeddings):
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.5, f"IVF recall too low: {recall}"
     assert all((q, q) in approx_set for q in range(10))
+
+
+def test_portable_lsh_self_match_rank1(spark):
+    from kamu_engine_flink_spark.operators.similarity import lsh_topk_portable
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    got = lsh_topk_portable(e, q, k=3, bits=12, dim=64).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        best = min(rows, key=lambda r: r["rank"])
+        # the query itself is in the corpus and shares its own bucket
+        assert best["vec_id"] == qid and abs(best["cosine"] - 1.0) < 1e-6
+
+
+def test_portable_ivf_matches_exact_on_probed_lists(spark):
+    from kamu_engine_flink_spark.operators.similarity import ivf_topk_portable
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    got = ivf_topk_portable(e, q, k=3, nlist=8, nprobe=8).collect()
+    # nprobe == nlist probes everything -> results equal exact top-k by
+    # quantized cosine; spot-check self-match at rank 1.
+    for qid in range(5):
+        rows = sorted([r for r in got if r["query_id"] == qid], key=lambda r: r["rank"])
+        assert rows and rows[0]["vec_id"] == qid
