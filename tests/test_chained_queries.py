@@ -158,3 +158,97 @@ def test_chained_queries_tricky(spark, tmp_path):
         (ts(20), ts(5), 3, 1, None, None, 9, 0),
         (ts(20), ts(10), 4, 1, ts(11), ts(11), 110, 50),
     ]
+
+
+def test_chained_queries_multi_invocation(spark, tmp_path):
+    """The same 3-step join -> TUMBLE agg -> filter pipeline run as THREE
+    invocations where step 2 consumes a STATEFUL step-1 alias across runs:
+    order #3 arrives in run 1 but its shipment only in run 2 (cross-run
+    interval-join buffer), and the combined emissions must equal the
+    reference's single-run golden rows (EngineJoinStreamToStreamTest.scala
+    :230-353). Run 3 is a watermark-only advance whose flushed window is
+    fully shipped and therefore filtered — data file absent."""
+    import os
+
+    runner = TransformRunner(
+        spark,
+        tmp_path,
+        queries=[STEP1, STEP2, STEP3],
+        vocab=DatasetVocabulary(event_time_column="order_time"),
+    )
+    o1 = str(tmp_path / "orders" / "o1.parquet")
+    orders_slice(
+        o1,
+        [
+            (0, 0, ts(6), ts(1), 1, 10),
+            (1, 0, ts(6), ts(1), 2, 120),
+            (2, 0, ts(6), ts(5), 3, 9),
+        ],
+    )
+    s1 = str(tmp_path / "ship" / "s1.parquet")
+    shipments_slice(
+        s1,
+        [
+            (0, ts(6), ts(1), 1, 4),
+            (1, ts(6), ts(2), 1, 6),
+            (2, ts(6), ts(2), 2, 120),
+        ],
+    )
+    resp1, out1 = runner.run(
+        [
+            {"alias": "orders", "data_paths": [o1], "schema_file": o1, "watermark": ts(6)},
+            {"alias": "shipments", "data_paths": [s1], "schema_file": s1, "watermark": ts(6)},
+        ],
+        system_time=ts(20),
+    )
+    # Orders #1/#2 join+close in run 1 but are fully shipped -> filtered;
+    # #3 stays in the join buffer (horizon ts(7) > wm ts(6)).
+    assert resp1.new_offset_interval is None
+    assert not os.path.exists(out1)
+    assert resp1.new_watermark == ts(4)  # min input wm minus 2-day join lag
+
+    o2 = str(tmp_path / "orders" / "o2.parquet")
+    orders_slice(
+        o2,
+        [
+            (3, 0, ts(16), ts(10), 4, 110),
+            (4, 0, ts(16), ts(15), 5, 10),
+        ],
+    )
+    s2 = str(tmp_path / "ship" / "s2.parquet")
+    shipments_slice(
+        s2,
+        [
+            (3, ts(16), ts(6), 3, 5),  # matches run-1's buffered order #3
+            (4, ts(16), ts(11), 4, 50),
+            (5, ts(16), ts(13), 4, 60),  # outside order #4's interval
+            (6, ts(16), ts(16), 5, 10),
+        ],
+    )
+    resp2, out2 = runner.run(
+        [
+            {"alias": "orders", "data_paths": [o2], "schema_file": o2, "watermark": ts(15)},
+            {"alias": "shipments", "data_paths": [s2], "schema_file": s2, "watermark": ts(16)},
+        ],
+        system_time=ts(21),
+    )
+    assert (resp2.new_offset_interval.start, resp2.new_offset_interval.end) == (0, 1)
+    assert resp2.new_watermark == ts(13)
+    # The reference's golden rows, emitted across the run boundary.
+    assert _rows(out2) == [
+        (ts(21), ts(5), 3, 1, ts(6), ts(6), 9, 5),
+        (ts(21), ts(10), 4, 1, ts(11), ts(11), 110, 50),
+    ]
+
+    # Run 3: watermark-only advance. Order #5 joins its ts(16) shipment,
+    # the day-15 window closes, but 10 == 10 -> filtered; no data file.
+    resp3, out3 = runner.run(
+        [
+            {"alias": "orders", "data_paths": [], "schema_file": o2, "watermark": ts(19)},
+            {"alias": "shipments", "data_paths": [], "schema_file": s2, "watermark": ts(19)},
+        ],
+        system_time=ts(22),
+    )
+    assert resp3.new_offset_interval is None
+    assert not os.path.exists(out3)
+    assert resp3.new_watermark == ts(17)
