@@ -1728,13 +1728,15 @@ _D7 = _HEXB.format(a=15, b=16)
 _D8 = _HEXB.format(a=17, b=18)
 
 
-# Portable-hash oracle fragments (affine families mirror
+# Portable-hash oracle fragments (affine families and tokenization mirror
 # functions/portable_hash.py — keep in sync).
 from kamu_engine_flink_spark.functions.portable_hash import A as _PORT_A
 from kamu_engine_flink_spark.functions.portable_hash import B as _PORT_B
+from kamu_engine_flink_spark.functions.portable_hash import duck_toks_sql as _duck_toks_sql
 
 _PORT_A_SQL = "[" + ", ".join(str(a) for a in _PORT_A) + "]"
 _PORT_B_SQL = "[" + ", ".join(str(b) for b in _PORT_B) + "]"
+_DUCK_TOKS = _duck_toks_sql("text")
 
 
 def _Q_DOT(a: str, b: str) -> str:
@@ -2584,16 +2586,16 @@ def oracle_sql() -> dict[str, str]:
         #    functions/portable_hash.py for the shared spec) ----------------
         "dedup_minhash_documents": rf"""
             WITH base AS (
-                SELECT doc_id, lang, source, trim(lower(text)) AS tl FROM documents
+                SELECT doc_id, lang, source,
+                       CASE WHEN text IS NULL THEN []::VARCHAR[]
+                            ELSE {_DUCK_TOKS} END AS toks
+                FROM documents
             ), sh AS (
                 SELECT doc_id, lang, source,
-                    CASE WHEN tl IS NULL OR length(tl) = 0
-                              OR len(string_split_regex(tl, '\s+')) < 3
-                         THEN []::BIGINT[]
-                         ELSE list_transform(
-                              range(1, len(string_split_regex(tl, '\s+')) - 1),
+                    CASE WHEN len(toks) < 3 THEN []::BIGINT[]
+                         ELSE list_transform(range(1, len(toks) - 1),
                               i -> ('0x' || substr(md5(array_to_string(
-                                       string_split_regex(tl, '\s+')[i:i+2], ' ')), 1, 12)
+                                       toks[i:i+2], ' ')), 1, 12)
                                    )::BIGINT % 2147483647)
                     END AS hs
                 FROM base
@@ -2623,16 +2625,16 @@ def oracle_sql() -> dict[str, str]:
             FROM sig s LEFT JOIN losers l ON s.doc_id = l.id_b
             WHERE l.id_b IS NULL
         """,
-        "dedup_simhash_documents": r"""
+        "dedup_simhash_documents": rf"""
             WITH base AS (
-                SELECT doc_id, lang, source, trim(lower(text)) AS tl FROM documents
+                SELECT doc_id, lang, source,
+                       CASE WHEN text IS NULL THEN []::VARCHAR[]
+                            ELSE {_DUCK_TOKS} END AS toks
+                FROM documents
             ), th AS (
                 SELECT doc_id, lang, source,
-                    CASE WHEN tl IS NULL OR length(tl) = 0 THEN []::BIGINT[]
-                         ELSE list_transform(
-                              list_distinct(string_split_regex(tl, '\s+')),
-                              t -> ('0x' || substr(md5(t), 1, 12))::BIGINT)
-                    END AS hs
+                    list_transform(list_distinct(toks),
+                                   t -> ('0x' || substr(md5(t), 1, 12))::BIGINT) AS hs
                 FROM base
             ), fp AS (
                 SELECT doc_id, lang, source, len(hs) AS nt,

@@ -59,6 +59,38 @@ ROWS_PER_BAND = 4
 _A_SQL = f"array({', '.join(f'{a}L' for a in A)})"
 _B_SQL = f"array({', '.join(f'{b}L' for b in B)})"
 
+# Tokenization must agree BY CONSTRUCTION across engines, so no
+# locale/engine-defined primitive appears in the spec:
+#   - whitespace is the EXPLICIT class [ \t\n\f\r\x0B]+ (Java's \s
+#     includes \x0B, RE2's does not — the one ASCII divergence);
+#   - case folding is ASCII-only via translate() (identical table in
+#     every engine; full Unicode lower() diverges, e.g. U+0130 'İ' maps
+#     to 'i'+combining-dot in Java but 'i' in DuckDB);
+#   - NO trim() anywhere (Spark strips ASCII spaces, DuckDB strips
+#     Unicode spaces incl. U+00A0 — a real divergence on edge nbsp);
+#     edge whitespace only yields empty tokens, which are filtered
+#     explicitly.
+_UP = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_LO = "abcdefghijklmnopqrstuvwxyz"
+_WS_SPARK = "[ \\\\t\\\\n\\\\f\\\\r\\\\x0B]+"  # inside F.expr single quotes
+WS_DUCK = r"[ \t\n\f\r\x0b]+"  # inside a plain SQL string literal
+
+
+def _toks_sql(text_col: str) -> str:
+    """Spark SQL fragment: portable word tokens of `text_col`."""
+    return (
+        f"filter(split(translate({text_col}, '{_UP}', '{_LO}'), "
+        f"'{_WS_SPARK}'), t -> t != '')"
+    )
+
+
+def duck_toks_sql(text_col: str) -> str:
+    """DuckDB fragment computing the identical token list."""
+    return (
+        f"list_filter(string_split_regex(translate({text_col}, "
+        f"'{_UP}', '{_LO}'), '{WS_DUCK}'), t -> t != '')"
+    )
+
 
 def h48(s: str) -> str:
     """SQL fragment: 48-bit integer from the md5 of string expression `s`."""
@@ -66,19 +98,18 @@ def h48(s: str) -> str:
 
 
 def word_tokens(text_col: str) -> Column:
-    """Whitespace word tokens of lower(trim(text)); [''] for empty text
-    (callers gate participation on trimmed length)."""
-    return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    """Portable word tokens (ASCII-lowered, explicit whitespace class,
+    empties filtered); empty array for blank/null text."""
+    return F.expr(f"CASE WHEN {text_col} IS NULL THEN array() ELSE {_toks_sql(text_col)} END")
 
 
 def shingle_hashes_portable(text_col: str, n: int = 3) -> Column:
     """array<long>: mod-P 48-bit hashes of the word n-gram shingles;
     empty when the doc has fewer than n tokens or blank text."""
-    toks = f"split(trim(lower({text_col})), '\\\\s+')"
+    toks = _toks_sql(text_col)
     gram = f"array_join(slice({toks}, i, {n}), ' ')"
     return F.expr(
-        f"CASE WHEN {text_col} IS NULL OR length(trim({text_col})) = 0 "
-        f"       OR size({toks}) < {n} THEN array() "
+        f"CASE WHEN {text_col} IS NULL OR size({toks}) < {n} THEN array() "
         f"ELSE transform(sequence(1, size({toks}) - {n - 1}), "
         f"               i -> {h48(gram)} % {P}L) END"
     )
@@ -107,9 +138,9 @@ def simhash48_portable(text_col: str) -> Column:
     """48-bit SimHash fingerprint over distinct word tokens; bit b is 1
     when the +/-1 vote sum for (h >> b) & 1 is >= 0. Blank/null docs get
     fingerprint 0 (callers gate participation)."""
-    toks = f"array_distinct(split(trim(lower({text_col})), '\\\\s+'))"
+    toks = f"array_distinct({_toks_sql(text_col)})"
     return F.expr(
-        f"CASE WHEN {text_col} IS NULL OR length(trim({text_col})) = 0 THEN 0L "
+        f"CASE WHEN {text_col} IS NULL OR size({toks}) = 0 THEN 0L "
         f"ELSE aggregate(sequence(0, 47), 0L, (acc, b) -> acc + "
         f"  CASE WHEN aggregate(transform({toks}, t -> {h48('t')}), 0L, "
         f"            (s, h) -> s + (shiftright(h, b) & 1) * 2 - 1) >= 0 "

@@ -384,8 +384,7 @@ def dedup_simhash_portable(
     from ..functions import portable_hash as PH
 
     fpd = df.withColumn("__fp", PH.simhash48_portable(text_col)).withColumn(
-        "__blank",
-        F.expr(f"{text_col} IS NULL OR length(trim({text_col})) = 0"),
+        "__blank", F.size(PH.word_tokens(text_col)) == 0
     )
     fpd = fpd.persist()
     buckets = (
