@@ -163,17 +163,32 @@ def int_dot(a_col: str, b_col: str) -> Column:
     )
 
 
+def plane_component(i: int, j: int) -> int:
+    """Integer hyperplane component (i, j) = (h32(md5('plane-i-j')) mod
+    2001) - 1000 — the exact derivation the DuckDB oracle replays with
+    ('0x' || substr(md5('plane-' || i || '-' || j), 1, 8))::BIGINT."""
+    import hashlib
+
+    h = hashlib.md5(f"plane-{i}-{j}".encode()).hexdigest()
+    return (int(h[:8], 16) % 2001) - 1000
+
+
 def lsh_plane_bucket(qvec_col: str, bits: int = 12, dim: int = 64) -> Column:
     """Integer sign-LSH bucket id of a quantized embedding: bit i is the
-    sign of the dot product with the md5-derived integer plane i. Plane
-    component (i, j) = (h32(md5('plane-i-j')) mod 2001) - 1000."""
-    comp = (
-        "(cast(conv(substring(md5(concat('plane-', cast(i as string), '-', "
-        "cast(j as string))), 1, 8), 16, 10) as bigint) % 2001) - 1000"
-    )
+    sign of the dot product with the md5-derived integer plane i.
+
+    The plane matrix is CONSTANT, so it is derived driver-side (see
+    plane_component — byte-identical to the oracle's in-SQL derivation)
+    and embedded as literals: deriving it inside the lambda would
+    re-evaluate bits*dim interpreted md5 calls per row (measured 10x the
+    whole query cost at sf0.01)."""
+    planes = "array(" + ", ".join(
+        "array(" + ", ".join(f"{plane_component(i, j)}L" for j in range(dim)) + ")"
+        for i in range(bits)
+    ) + ")"
     dot = (
-        f"aggregate(sequence(0, {dim - 1}), 0L, (acc, j) -> "
-        f"  acc + ({comp}) * element_at({qvec_col}, j + 1))"
+        f"aggregate(zip_with(element_at({planes}, i + 1), {qvec_col}, "
+        f"(p, x) -> p * x), 0L, (acc, v) -> acc + v)"
     )
     return F.expr(
         f"aggregate(sequence(0, {bits - 1}), 0L, (bk, i) -> "

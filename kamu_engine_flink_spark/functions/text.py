@@ -120,11 +120,32 @@ def dup_token_ratio(col: Column) -> Column:
 
 
 def top_ngram_count(col: Column, n: int = 2) -> Column:
-    """Occurrences of the most frequent word n-gram."""
+    """Occurrences of the most frequent word n-gram.
+
+    Single pass over the SORTED multiset (max multiplicity = longest run
+    of equal adjacent elements): O(m log m) per doc instead of the naive
+    O(distinct x total) nested scan, which at ~500 tokens/doc was 10x the
+    rest of the text-analysis suite combined. Values are identical
+    (including the NULL for an empty multiset)."""
     ng = word_ngram_multiset(col, n)
-    return F.array_max(
-        F.transform(F.array_distinct(ng), lambda g: F.size(F.filter(ng, lambda x: x == g)))
+    best = F.aggregate(
+        F.array_sort(ng),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x.eqNullSafe(acc.prev), acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x.eqNullSafe(acc.prev), acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
     )
+    return F.when(F.size(ng) == 0, F.lit(None).cast("int")).otherwise(best)
 
 
 def top_ngram_frac(col: Column, n: int = 2) -> Column:
