@@ -33,7 +33,14 @@ from datetime import datetime
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators import interval_join, map_step, temporal_join, topn, window_agg
+from ..operators import (
+    distinct_step,
+    interval_join,
+    map_step,
+    temporal_join,
+    topn,
+    window_agg,
+)
 from ..operators.base import StepContext, StepResult
 from ..plans import classify as C
 from ..protocol.model import (
@@ -70,6 +77,7 @@ def _sanitize_sql(sql: str, aliases: dict[str, str]) -> str:
 
 _EXECUTORS = {
     C.MAP: map_step.execute_map,
+    C.DISTINCT: distinct_step.execute_distinct,
     C.WINDOW_AGG: window_agg.execute_window_agg,
     C.HOP_AGG: window_agg.execute_hop_agg,
     C.SESSION_AGG: window_agg.execute_session_agg,

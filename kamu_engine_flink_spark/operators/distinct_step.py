@@ -1,0 +1,97 @@
+"""Stateful cross-invocation SELECT DISTINCT.
+
+Flink streaming semantics for `SELECT DISTINCT` retain the distinct-key
+state for the life of the stream: a row equal to one emitted in ANY
+earlier micro-batch is suppressed, not just within the current one. The
+reference engine would inherit exactly that from Flink's planner +
+savepoints had its users written a DISTINCT query (none of its tests do —
+SURVEY.md §2.B), so this executor supplies the parity semantics our
+micro-batch runner otherwise lacks: per-slice distinct would wrongly
+re-emit on later invocations.
+
+State is a single-column relation of md5 fingerprints over the projected
+row values (null-safe, unit-separator-joined), persisted in the
+checkpoint like every other operator buffer. Per invocation: one
+groupBy for the in-slice first-occurrence (ledger order preserved via
+min(__seq)), one anti-join against the fingerprint state, one state
+rewrite — all distributed, state bounded by the distinct-value count
+(the inherent cost of DISTINCT on an infinite stream; Flink holds the
+same state in RocksDB).
+
+This is also the incremental exact-dedup shape a training-data ingest
+pipeline needs: dedup against everything already ingested, not just the
+current batch.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from ..plans.classify import referenced_views
+from ..plans.dialect import rewrite_query
+from .base import StepContext, StepResult, min_watermark
+from .map_step import SEQ_INPUT
+
+_DISTINCT_HEAD_RE = re.compile(r"^\s*select\s+distinct\b", re.IGNORECASE)
+
+
+def _inject_seq_distinct(sql: str) -> str | None:
+    """Rewrite `SELECT DISTINCT <cols> FROM v` into a plain projection
+    carrying __seq; None when the shape is too complex to thread safely
+    (the executor then falls back to unordered distinct)."""
+    if sql.lower().count("select") != 1:
+        return None
+    if re.search(r"\b(group\s+by|union|order\s+by|limit|join)\b", sql, re.IGNORECASE):
+        return None
+    if SEQ_INPUT in sql:
+        return _DISTINCT_HEAD_RE.sub("SELECT ", sql)
+    return _DISTINCT_HEAD_RE.sub(f"SELECT {SEQ_INPUT}, ", sql)
+
+
+def execute_distinct(ctx: StepContext, sql: str) -> StepResult:
+    refs = referenced_views(sql, set(ctx.views))
+    wm = min_watermark(*[ctx.new_wms.get(r) for r in refs]) if refs else None
+
+    run_sql = None
+    if len(refs) == 1 and SEQ_INPUT in ctx.views[refs[0]].columns:
+        run_sql = _inject_seq_distinct(sql)
+    df = ctx.spark.sql(rewrite_query(run_sql or sql, watermark=wm))
+
+    value_cols = [c for c in df.columns if c != SEQ_INPUT]
+    if SEQ_INPUT in df.columns:
+        # In-slice first occurrence, in ledger order (Flink emits the first
+        # arrival of each distinct row).
+        df = df.groupBy(*value_cols).agg(F.min(SEQ_INPUT).alias(SEQ_INPUT))
+    else:
+        df = df.distinct()
+
+    fingerprint = F.md5(
+        F.concat_ws(
+            "\x1f",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                for c in value_cols
+            ],
+        )
+    )
+    state_name = f"{ctx.step_key}-distinct-state"
+    state_schema = StructType([StructField("fp", StringType())])
+    prev = ctx.state.load_df(state_name, schema=state_schema)
+
+    tagged = df.withColumn("__fp", fingerprint)
+    # One scan feeds both the emission and the state rewrite.
+    fresh = ctx.pin(tagged.join(prev, tagged["__fp"] == prev["fp"], "left_anti"))
+    new_state = prev.unionByName(fresh.select(F.col("__fp").alias("fp"))).distinct()
+    ctx.state.save_df(state_name, new_state)
+
+    out = fresh.drop("__fp")
+    has_seq = SEQ_INPUT in out.columns
+    return StepResult(
+        df=out,
+        watermark=wm,
+        order_cols=[SEQ_INPUT] if has_seq else None,
+        internal_cols=[SEQ_INPUT] if has_seq else [],
+    )

@@ -16,6 +16,7 @@ from dataclasses import dataclass
 from datetime import timedelta
 
 MAP = "map"
+DISTINCT = "distinct"
 WINDOW_AGG = "window_agg"
 HOP_AGG = "hop_agg"
 SESSION_AGG = "session_agg"
@@ -251,6 +252,15 @@ def classify(sql: str, known_views: set[str]) -> str:
         return TOPN
     if parse_interval_join(sql, known_views) is not None:
         return INTERVAL_JOIN
+    # Top-level SELECT DISTINCT gets Flink's STATEFUL stream semantics
+    # (suppress rows seen in any earlier invocation), not per-slice
+    # distinct. Conservative shape: single-block, no joins/aggregation.
+    if (
+        re.match(r"^\s*select\s+distinct\b", sql, re.IGNORECASE)
+        and sql.lower().count("select") == 1
+        and not re.search(r"\b(join|group\s+by|union)\b", sql, re.IGNORECASE)
+    ):
+        return DISTINCT
     return MAP
 
 

@@ -1,0 +1,103 @@
+"""Stateful SELECT DISTINCT across invocations (Flink stream semantics:
+a row equal to one emitted in ANY earlier micro-batch is suppressed).
+Also the incremental exact-dedup shape for training-data ingest."""
+
+import pyarrow as pa
+
+from kamu_engine_flink_spark.plans.classify import DISTINCT, MAP, classify
+from kamu_engine_flink_spark.protocol.model import DatasetVocabulary
+
+from .helpers import TransformRunner, ts, write_input_slice
+
+QUERY = "SELECT DISTINCT event_time, category FROM readings"
+
+
+def readings_slice(path, rows):
+    """rows: (offset, op, system_time, event_time, category)"""
+    cols = list(zip(*rows))
+    write_input_slice(
+        path,
+        {
+            "offset": list(cols[0]),
+            "op": list(cols[1]),
+            "system_time": list(cols[2]),
+            "event_time": list(cols[3]),
+            "category": list(cols[4]),
+        },
+        {
+            "offset": pa.int64(),
+            "op": pa.int32(),
+            "system_time": pa.timestamp("ms", tz="UTC"),
+            "event_time": pa.timestamp("ms", tz="UTC"),
+            "category": pa.string(),
+        },
+    )
+
+
+def test_classify_distinct():
+    views = {"readings"}
+    assert classify(QUERY, views) == DISTINCT
+    # Joins / aggregations / subqueries keep their existing routes.
+    assert classify("SELECT DISTINCT a FROM readings JOIN x ON 1=1", views | {"x"}) == MAP
+    assert (
+        classify("SELECT a FROM (SELECT DISTINCT a FROM readings)", views) == MAP
+    )
+
+
+def test_distinct_suppresses_rows_seen_in_earlier_invocations(spark, tmp_path):
+    runner = TransformRunner(
+        spark,
+        tmp_path,
+        queries=[(QUERY, None)],
+        vocab=DatasetVocabulary(),
+    )
+    s1 = str(tmp_path / "in" / "s1.parquet")
+    readings_slice(
+        s1,
+        [
+            (0, 0, ts(5), ts(1), "a"),
+            (1, 0, ts(5), ts(1), "a"),  # in-slice duplicate
+            (2, 0, ts(5), ts(2), "b"),
+        ],
+    )
+    resp1, out1 = runner.run(
+        [{"alias": "readings", "data_paths": [s1], "schema_file": s1, "watermark": ts(2)}],
+        system_time=ts(10),
+    )
+    assert (resp1.new_offset_interval.start, resp1.new_offset_interval.end) == (0, 1)
+    rows1 = [(r[3], r[4]) for r in runner.read_output(out1)]
+    assert rows1 == [(ts(1).replace(tzinfo=None), "a"), (ts(2).replace(tzinfo=None), "b")] or [
+        (r[1],) for r in rows1
+    ] == [("a",), ("b",)]
+
+    s2 = str(tmp_path / "in" / "s2.parquet")
+    readings_slice(
+        s2,
+        [
+            (3, 0, ts(6), ts(1), "a"),  # seen in invocation 1 -> suppressed
+            (4, 0, ts(6), ts(3), "c"),  # new
+            (5, 0, ts(6), ts(2), "b"),  # seen -> suppressed
+            (6, 0, ts(6), ts(3), "c"),  # in-slice duplicate of the new row
+        ],
+    )
+    resp2, out2 = runner.run(
+        [{"alias": "readings", "data_paths": [s2], "schema_file": s2, "watermark": ts(3)}],
+        system_time=ts(11),
+    )
+    assert (resp2.new_offset_interval.start, resp2.new_offset_interval.end) == (2, 2)
+    assert resp2.new_watermark == ts(3)
+    rows2 = runner.read_output(out2)
+    assert len(rows2) == 1
+    assert rows2[0][4] == "c"
+
+    # Invocation 3: everything already seen -> empty output, no data file.
+    import os
+
+    s3 = str(tmp_path / "in" / "s3.parquet")
+    readings_slice(s3, [(7, 0, ts(7), ts(1), "a"), (8, 0, ts(7), ts(3), "c")])
+    resp3, out3 = runner.run(
+        [{"alias": "readings", "data_paths": [s3], "schema_file": s3, "watermark": ts(4)}],
+        system_time=ts(12),
+    )
+    assert resp3.new_offset_interval is None
+    assert not os.path.exists(out3)
