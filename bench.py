@@ -49,6 +49,7 @@ HEADLINE = [
 
 
 MAP_SQL = "SELECT event_time, user_id, event_type, value * 2 as value2 FROM events"
+DISTINCT_SQL = "SELECT DISTINCT event_time, user_id, event_type FROM events"
 AGG_SQL = """SELECT
   TUMBLE_START(event_time, INTERVAL '1' DAY) as event_time,
   event_type,
@@ -203,7 +204,11 @@ def main() -> None:
     workdir = tempfile.mkdtemp(prefix="bench-odf-")
     try:
         ledger, wm = _odf_ledger(spark, sf_dir, workdir)
-        for tag, sql in (("odf_transform_map", MAP_SQL), ("odf_transform_window_agg", AGG_SQL)):
+        for tag, sql in (
+            ("odf_transform_map", MAP_SQL),
+            ("odf_transform_window_agg", AGG_SQL),
+            ("odf_transform_distinct", DISTINCT_SQL),
+        ):
             runs = []
             for rep in range(REPS):
                 runs.append(
