@@ -3,14 +3,16 @@
 Media payloads are opaque `binary` columns with typed metadata structs.
 Decode / feature-extraction / resize / frame-sampling run as Arrow-batched
 `mapInPandas` stages — the Spark-side contract (schema, batch shape,
-partitioning) is real and tested; the actual codec step is stubbed because
-media libraries aren't available in this container:
+partitioning) is real and tested. The codec step resolves in order:
 
-- with PIL/librosa/etc. installed, plug the real decoder into
-  `_decode_image_bytes` (raises NotImplementedError today);
-- `deterministic_fake=True` (default) derives plausible, reproducible
-  metadata/features from the payload hash, so pipelines are testable
-  end-to-end without codecs.
+- PIL / soundfile when importable (not present in this container);
+- pure-stdlib decoders (functions/codecs.py): FULL pixel decode for
+  8-bit non-interlaced PNG and PCM decode for RIFF/WAV, header metadata
+  for JPEG/GIF/BMP — so `deterministic_fake=False` is a real path for
+  those containers;
+- `deterministic_fake=True` (default) derives reproducible
+  metadata/features from the payload hash for container formats nothing
+  present can read (the synthetic testdata payloads are such bytes).
 
 At scale, the important properties are already here: media bytes never
 leave the executor (no driver collect), Arrow moves batches into pandas
@@ -46,14 +48,26 @@ IMAGE_META_SCHEMA = StructType(
 
 
 def _decode_image_bytes(payload: bytes):
-    """Real codec hook. Plug PIL here when available."""
+    """Real image decode: PIL when available, else the pure-stdlib
+    container parsers (functions/codecs.py — full PNG pixel decode,
+    header metadata for JPEG/GIF/BMP). Raises NotImplementedError only
+    for containers nothing present can read."""
     try:
-        from PIL import Image  # noqa: F401
-    except ImportError as e:
+        from PIL import Image
+
+        with Image.open(__import__("io").BytesIO(payload)) as im:
+            return im.width, im.height, len(im.getbands()), (im.format or "?").lower()
+    except ImportError:
+        pass
+    from ..functions import codecs
+
+    try:
+        meta = codecs.image_meta(payload)
+    except ValueError as e:
         raise NotImplementedError(
-            "image decoding requires a codec library (PIL) not present in this environment"
+            f"no available codec can read this image container: {e}"
         ) from e
-    raise NotImplementedError("real decode path not wired yet")
+    return meta["width"], meta["height"], meta["channels"], meta["format"]
 
 
 def _fake_meta(payload: bytes) -> tuple[int, int, int, str]:
@@ -101,12 +115,32 @@ def image_features(
     out_schema = StructType(df.schema.fields + [StructField("features", ArrayType(FloatType()))])
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in it:
             feats = []
             for payload in pdf[payload_col]:
                 raw = bytes(payload) if payload is not None else b""
                 if not deterministic_fake:
-                    raise NotImplementedError("real feature extraction requires a codec library")
+                    # Real features from real pixels: dim-bucket mean
+                    # intensities over the PNG's unfiltered sample stream.
+                    from ..functions import codecs
+
+                    try:
+                        px = codecs.decode_png(raw)["pixels"]
+                    except ValueError as e:
+                        raise NotImplementedError(
+                            f"real feature extraction needs a decodable image: {e}"
+                        ) from e
+                    arr = np.frombuffer(px, dtype=np.uint8)
+                    if arr.size == 0:
+                        feats.append([0.0] * dim)
+                        continue
+                    buckets = np.array_split(arr.astype(np.float64), dim)
+                    feats.append(
+                        [float(b.mean()) / 255.0 if b.size else 0.0 for b in buckets]
+                    )
+                    continue
                 d = hashlib.sha256(raw).digest()
                 feats.append([(d[i % 32] - 128) / 128.0 for i in range(dim)])
             pdf = pdf.copy()
@@ -127,14 +161,28 @@ AUDIO_META_SCHEMA = StructType(
 
 
 def _decode_audio_bytes(payload: bytes):
-    """Real audio codec hook. Plug soundfile/librosa here when available."""
+    """Real audio decode: soundfile when available, else the stdlib
+    RIFF/WAV parser (functions/codecs.py — full PCM access). Raises
+    NotImplementedError for containers nothing present can read."""
     try:
-        import soundfile  # noqa: F401
-    except ImportError as e:
+        import soundfile
+
+        import io as _io
+
+        with soundfile.SoundFile(_io.BytesIO(payload)) as f:
+            dur = int(len(f) * 1000 / f.samplerate)
+            return f.samplerate, f.channels, dur, (f.format or "?").lower()
+    except ImportError:
+        pass
+    from ..functions import codecs
+
+    try:
+        meta = codecs.decode_wav(payload)
+    except ValueError as e:
         raise NotImplementedError(
-            "audio decoding requires a codec library (soundfile/librosa) not present"
+            f"no available codec can read this audio container: {e}"
         ) from e
-    raise NotImplementedError("real audio decode path not wired yet")
+    return meta["sample_rate"], meta["channels"], meta["duration_ms"], meta["codec"]
 
 
 def _fake_audio_meta(payload: bytes) -> tuple[int, int, int, str]:
