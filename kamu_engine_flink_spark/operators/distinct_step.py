@@ -79,12 +79,18 @@ def execute_distinct(ctx: StepContext, sql: str) -> StepResult:
     )
     state_name = f"{ctx.step_key}-distinct-state"
     state_schema = StructType([StructField("fp", StringType())])
-    prev = ctx.state.load_df(state_name, schema=state_schema)
 
     tagged = df.withColumn("__fp", fingerprint)
-    # One scan feeds both the emission and the state rewrite.
-    fresh = ctx.pin(tagged.join(prev, tagged["__fp"] == prev["fp"], "left_anti"))
-    new_state = prev.unionByName(fresh.select(F.col("__fp").alias("fp"))).distinct()
+    if ctx.state.has_df(state_name):
+        prev = ctx.state.load_df(state_name, schema=state_schema)
+        # One scan feeds both the emission and the state rewrite.
+        fresh = ctx.pin(tagged.join(prev, tagged["__fp"] == prev["fp"], "left_anti"))
+        new_state = prev.unionByName(fresh.select(F.col("__fp").alias("fp"))).distinct()
+    else:
+        # First run: nothing seen before — no state to join, no pin (the
+        # emission and the state write each re-read the slice directly).
+        fresh = tagged
+        new_state = fresh.select(F.col("__fp").alias("fp"))
     ctx.state.save_df(state_name, new_state)
 
     out = fresh.drop("__fp")
