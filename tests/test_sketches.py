@@ -62,7 +62,7 @@ def test_sketch_query_contract(spark):
     merged-sketch estimate (the oracle asserts the verdict literally)."""
     import __spark_entry__ as entry
 
-    df = entry.queries()["sketch_distinct_users"](spark, "/root/testdata/sf0.01")
+    df = entry.queries()["sketch_distinct_users"](spark, _SF_DIR)
     rows = df.collect()
     assert [f.name for f in df.schema.fields] == [
         "event_type", "exact_users", "hll_within_bound",
@@ -74,7 +74,7 @@ def test_approx_quantiles_contract(spark):
     """Driver contract: exact quantiles + a TRUE GK rank-bound verdict."""
     import __spark_entry__ as entry
 
-    df = entry.queries()["approx_quantiles_events"](spark, "/root/testdata/sf0.01")
+    df = entry.queries()["approx_quantiles_events"](spark, _SF_DIR)
     rows = df.collect()
     assert rows
     for r in rows:
