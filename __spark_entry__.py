@@ -38,6 +38,7 @@ from kamu_engine_flink_spark.operators import multimodal as M
 from kamu_engine_flink_spark.functions import text as T
 from kamu_engine_flink_spark.functions.partitioning import salted_agg
 from kamu_engine_flink_spark.operators import similarity as S
+from kamu_engine_flink_spark.operators import training_data as TD
 from kamu_engine_flink_spark.operators.temporal_join import with_validity
 from kamu_engine_flink_spark.operators.text_analysis import analyze_documents
 from kamu_engine_flink_spark.sources.parquet import read_table
@@ -1595,6 +1596,56 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/training_data.py): sign-LSH
+    cluster assignment over quantized embeddings + within-cluster
+    earlier-id-wins prune at quantized cosine >= 0.3 — every step on the
+    portable hash family, so the oracle replays it hash-exactly."""
+    out = TD.semantic_dedup(_t(spark, sf_dir, "embeddings"))
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "is_kept",
+        F.col("dup_of").cast("long").alias("dup_of"),
+    )
+
+
+def training_shards_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle: md5-hash shard + in-shard
+    position, both pure functions of (salt, doc_id)."""
+    out = TD.shard_assign(_t(spark, sf_dir, "documents"), num_shards=8)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("shard").cast("long").alias("shard"),
+        F.col("shard_pos").cast("long").alias("shard_pos"),
+    )
+
+
+def mixture_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha=0.5) mixture sampling across `source`
+    domains with a 200-doc budget; per-domain picks by md5-hash order."""
+    out = TD.mixture_sample(_t(spark, sf_dir, "documents"))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.col("picked_rank").cast("long").alias("picked_rank"),
+        F.col("domain_target").cast("long").alias("domain_target"),
+    )
+
+
+def curriculum_bins_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-curriculum binning: 5 equal-size ntile bins over the fixed
+    quality score, worst-first, with per-bin stats."""
+    return TD.curriculum_bins(_t(spark, sf_dir, "documents"), n_bins=5)
+
+
+def duplicate_ngram_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shared-shingle signal (Lee et al. exact-substring-dedup
+    preprocessing shape): per document, how many of its word 5-gram
+    shingles occur in another document."""
+    return TD.duplicate_ngram_docs(_t(spark, sf_dir, "documents"), n=5)
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -1610,6 +1661,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the FIRST 50 dict entries, so the 22 entries it never reached run
     # first this round; the 50 already-green ones follow.
     return {
+        "semantic_dedup_embeddings": semantic_dedup_embeddings,
+        "training_shards_documents": training_shards_documents,
+        "mixture_sample_documents": mixture_sample_documents,
+        "curriculum_bins_documents": curriculum_bins_documents,
+        "duplicate_ngram_spans_documents": duplicate_ngram_spans_documents,
         "dedup_minhash_documents": dedup_minhash_documents,
         "dedup_simhash_documents": dedup_simhash_documents,
         "ngram_jaccard_documents": ngram_jaccard_documents,
@@ -2730,5 +2786,119 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY cosine DESC, vec_id ASC) AS rank
                 FROM scored
             ) WHERE rank <= 5
+        """,
+        "semantic_dedup_embeddings": f"""
+            WITH emb AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                           x -> round(x::DOUBLE * 1000000)::BIGINT) AS qe
+                FROM embeddings
+            ), bkt AS (
+                SELECT vec_id, qe,
+                    CAST(list_sum(list_transform(range(6), i ->
+                        CASE WHEN list_sum(list_transform(range(64), j ->
+                                  ((('0x' || substr(md5('plane-' || i || '-' || j), 1, 8)
+                                    )::BIGINT % 2001) - 1000) * qe[j+1])) >= 0
+                             THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS cluster
+                FROM emb
+            ), losers AS (
+                SELECT a.vec_id AS vid, MIN(b.vec_id) AS dup_of
+                FROM bkt a JOIN bkt b
+                  ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+                WHERE {_Q_COS('a.qe', 'b.qe')} >= 0.3
+                GROUP BY a.vec_id
+            )
+            SELECT CAST(k.vec_id AS BIGINT) AS vec_id,
+                   CAST(k.cluster AS BIGINT) AS cluster_id,
+                   l.dup_of IS NULL AS is_kept,
+                   CAST(l.dup_of AS BIGINT) AS dup_of
+            FROM bkt k LEFT JOIN losers l ON k.vec_id = l.vid
+        """,
+        "training_shards_documents": """
+            WITH h AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5('shard-v1-' || doc_id), 1, 12))::BIGINT AS h
+                FROM documents
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(h % 8 AS BIGINT) AS shard,
+                   CAST(row_number() OVER (PARTITION BY h % 8
+                        ORDER BY h, doc_id) - 1 AS BIGINT) AS shard_pos
+            FROM h
+        """,
+        "mixture_sample_documents": """
+            WITH counts AS (
+                SELECT source, CAST(count(*) AS DOUBLE) AS n
+                FROM documents GROUP BY source
+            ), tot AS (
+                SELECT sum(sqrt(n)) AS t FROM counts
+            ), targets AS (
+                SELECT source,
+                       CAST(floor(sqrt(n) / t * 200.0) AS BIGINT) AS domain_target
+                FROM counts CROSS JOIN tot
+            ), ranked AS (
+                SELECT doc_id, source,
+                       row_number() OVER (PARTITION BY source
+                           ORDER BY ('0x' || substr(md5('mix-v1-' || doc_id), 1, 12)
+                                    )::BIGINT, doc_id) AS picked_rank
+                FROM documents
+            )
+            SELECT CAST(r.doc_id AS BIGINT) AS doc_id, r.source,
+                   CAST(r.picked_rank AS BIGINT) AS picked_rank, t.domain_target
+            FROM ranked r JOIN targets t USING (source)
+            WHERE r.picked_rank <= t.domain_target
+        """,
+        "curriculum_bins_documents": f"""
+            WITH scored AS (
+                SELECT doc_id,
+                       round(0.25 * least({_TOKEN_COUNT} / 100.0, 1.0)
+                             + 0.35 * ({_ALPHA})
+                             + 0.25 * least(({_SW_RATIO}) * 4, 1.0)
+                             + 0.15 * (1 - least(({_PUNCT}) * 4, 1.0)), 4) AS q,
+                       {_TOKEN_COUNT} AS toks
+                FROM documents
+            ), binned AS (
+                SELECT doc_id, q, toks,
+                       ntile(5) OVER (ORDER BY q, doc_id) AS bin
+                FROM scored
+            )
+            SELECT CAST(bin AS BIGINT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   round(CAST(sum(CAST(q AS DECIMAL(18,4))) AS DOUBLE)
+                         / count(*), 6) AS avg_quality,
+                   min(q) AS min_quality,
+                   max(q) AS max_quality,
+                   CAST(sum(toks) AS BIGINT) AS total_tokens
+            FROM binned GROUP BY bin
+        """,
+        "duplicate_ngram_spans_documents": rf"""
+            WITH base AS (
+                SELECT doc_id, CASE WHEN text IS NULL THEN []::VARCHAR[]
+                                    ELSE {_DUCK_TOKS} END AS toks
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                    CASE WHEN len(toks) < 5 THEN []::BIGINT[]
+                         ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+                              i -> ('0x' || substr(md5(array_to_string(
+                                       toks[i:i+4], ' ')), 1, 12)
+                                   )::BIGINT % 2147483647))
+                    END AS hs
+                FROM base
+            ), ex AS (
+                SELECT doc_id, unnest(hs) AS h FROM sh WHERE len(hs) > 0
+            ), dfreq AS (
+                SELECT h, count(DISTINCT doc_id) AS df FROM ex GROUP BY h
+            ), per AS (
+                SELECT e.doc_id,
+                       count(*) AS n_shingles,
+                       sum(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) AS dup_shingles
+                FROM ex e JOIN dfreq d USING (h) GROUP BY e.doc_id
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_shingles AS BIGINT) AS n_shingles,
+                   CAST(dup_shingles AS BIGINT) AS dup_shingles,
+                   round(dup_shingles / n_shingles, 6) AS dup_shingle_frac
+            FROM per
         """,
     }
