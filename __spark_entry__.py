@@ -1639,6 +1639,93 @@ def curriculum_bins_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TD.curriculum_bins(_t(spark, sf_dir, "documents"), n_bins=5)
 
 
+def kmeans_clusters_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means (operators/clustering.py): k=8 seeds
+    from the smallest vec_ids, two assignment rounds with a
+    grid-rounded exact-rational centroid update between them — every
+    step integer-exact, so the DuckDB oracle replays the entire fit."""
+    from kamu_engine_flink_spark.operators.clustering import kmeans_quantized
+
+    out = kmeans_quantized(
+        _t(spark, sf_dir, "embeddings"), k=8, iters=2, scale=1000
+    )
+    w = Window.partitionBy("cluster")
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cluster").cast("long").alias("cluster"),
+        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+    )
+
+
+def _customer_snapshots(spark: SparkSession, sf_dir: str):
+    """Deterministic (prev, cur) snapshot pair over customer for the
+    changelog operators: cur is the table; prev differs by missing every
+    custkey%10==3 (appears -> op 0), doubling acctbal on custkey%7==0
+    (changes -> op 2/3 pair), and carrying extra custkey+1000000 ghosts
+    for custkey%13==0 (vanishes -> op 1)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    cur = c
+    kept = c.filter(F.col("c_custkey") % 10 != 3)
+    modified = kept.select(
+        "c_custkey",
+        "c_name",
+        F.when(F.col("c_custkey") % 7 == 0, F.col("c_acctbal") * 2)
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+    )
+    ghosts = c.filter(F.col("c_custkey") % 13 == 0).select(
+        (F.col("c_custkey") + F.lit(1000000)).alias("c_custkey"),
+        "c_name",
+        "c_acctbal",
+    )
+    prev = modified.unionByName(ghosts)
+    return prev, cur
+
+
+def changelog_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ODF snapshot-merge diff (operators/changelog.to_changelog —
+    reference changelog model: Op.scala:5-18): minimal op-stamped rows
+    turning the prev customer snapshot into the current one."""
+    from kamu_engine_flink_spark.operators import changelog as CL
+
+    prev, cur = _customer_snapshots(spark, sf_dir)
+    out = CL.to_changelog(prev, cur, ["c_custkey"])
+    return out.select(
+        F.col("op").cast("long").alias("op"),
+        F.col("pair_ord").cast("long").alias("pair_ord"),
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        "c_name",
+        "c_acctbal",
+    )
+
+
+def changelog_snapshot_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip law as a query: base changelog of prev + the diff,
+    offset-stamped in order, collapsed by operators/changelog.snapshot —
+    must equal the current customer snapshot exactly (the oracle is the
+    plain current table, the strongest possible check)."""
+    from kamu_engine_flink_spark.operators import changelog as CL
+
+    prev, cur = _customer_snapshots(spark, sf_dir)
+    diff = CL.to_changelog(prev, cur, ["c_custkey"])
+    base = prev.select(
+        F.lit(0).alias("op"), F.lit(-1).alias("pair_ord"), "c_custkey", "c_name", "c_acctbal"
+    )
+    # Offsets: all base rows first (pair_ord -1), then diff rows by
+    # (pk, pair_ord) so correct-from precedes correct-to.
+    allc = base.unionByName(diff).withColumn(
+        "offset",
+        F.row_number().over(
+            Window.orderBy(F.col("pair_ord") >= 0, "c_custkey", "pair_ord")
+        )
+        - 1,
+    )
+    snap = CL.snapshot(allc.drop("pair_ord"), ["c_custkey"])
+    return snap.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"), "c_name", "c_acctbal"
+    )
+
+
 def duplicate_ngram_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shared-shingle signal (Lee et al. exact-substring-dedup
     preprocessing shape): per document, how many of its word 5-gram
@@ -1666,6 +1753,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample_documents": mixture_sample_documents,
         "curriculum_bins_documents": curriculum_bins_documents,
         "duplicate_ngram_spans_documents": duplicate_ngram_spans_documents,
+        "changelog_diff_customers": changelog_diff_customers,
+        "changelog_snapshot_customers": changelog_snapshot_customers,
+        "kmeans_clusters_embeddings": kmeans_clusters_embeddings,
         "dedup_minhash_documents": dedup_minhash_documents,
         "dedup_simhash_documents": dedup_simhash_documents,
         "ngram_jaccard_documents": ngram_jaccard_documents,
@@ -2786,6 +2876,82 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY cosine DESC, vec_id ASC) AS rank
                 FROM scored
             ) WHERE rank <= 5
+        """,
+        "kmeans_clusters_embeddings": """
+            WITH emb AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                           x -> round(x::DOUBLE * 1000)::BIGINT) AS qe
+                FROM embeddings
+            ), seeds AS (
+                SELECT vec_id AS cid, qe AS m FROM emb ORDER BY vec_id LIMIT 8
+            ), a1 AS (
+                SELECT vec_id, qe, cid FROM (
+                    SELECT e.vec_id, e.qe, s.cid,
+                        row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                            list_sum(list_transform(range(1, 65),
+                                i -> (e.qe[i] - s.m[i]) * (e.qe[i] - s.m[i]))),
+                            s.cid) AS r
+                    FROM emb e CROSS JOIN seeds s
+                ) WHERE r = 1
+            ), sums AS (
+                SELECT cid, pos, sum(qe[pos]) AS s, count(*) AS n
+                FROM a1, unnest(range(1, 65)) AS u(pos)
+                GROUP BY cid, pos
+            ), c1 AS (
+                SELECT cid,
+                       list(CAST(floor((2 * s + n) / (2.0 * n)) AS BIGINT)
+                            ORDER BY pos) AS m
+                FROM sums GROUP BY cid
+            ), a2 AS (
+                SELECT vec_id, cid FROM (
+                    SELECT e.vec_id, c.cid,
+                        row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                            list_sum(list_transform(range(1, 65),
+                                i -> (e.qe[i] - c.m[i]) * (e.qe[i] - c.m[i]))),
+                            c.cid) AS r
+                    FROM emb e CROSS JOIN c1 c
+                ) WHERE r = 1
+            )
+            SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(cid AS BIGINT) AS cluster,
+                   CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS cluster_size
+            FROM a2
+        """,
+        "changelog_diff_customers": """
+            WITH cur AS (
+                SELECT c_custkey, c_name, c_acctbal FROM customer
+            ), prev AS (
+                SELECT c_custkey, c_name,
+                       CASE WHEN c_custkey % 7 = 0 THEN c_acctbal * 2
+                            ELSE c_acctbal END AS c_acctbal
+                FROM cur WHERE c_custkey % 10 != 3
+                UNION ALL
+                SELECT c_custkey + 1000000, c_name, c_acctbal
+                FROM cur WHERE c_custkey % 13 = 0
+            ), j AS (
+                SELECT cur.c_custkey AS ck, prev.c_custkey AS pk,
+                       cur.c_name AS cn, prev.c_name AS pn,
+                       cur.c_acctbal AS cb, prev.c_acctbal AS pb
+                FROM cur FULL OUTER JOIN prev ON cur.c_custkey = prev.c_custkey
+            )
+            SELECT CAST(0 AS BIGINT) AS op, CAST(0 AS BIGINT) AS pair_ord,
+                   CAST(ck AS BIGINT) AS c_custkey, cn AS c_name, cb AS c_acctbal
+            FROM j WHERE pk IS NULL
+            UNION ALL
+            SELECT 1, 0, CAST(pk AS BIGINT), pn, pb FROM j WHERE ck IS NULL
+            UNION ALL
+            SELECT 2, 0, CAST(ck AS BIGINT), pn, pb
+            FROM j WHERE ck IS NOT NULL AND pk IS NOT NULL
+                    AND (cb IS DISTINCT FROM pb OR cn IS DISTINCT FROM pn)
+            UNION ALL
+            SELECT 3, 1, CAST(ck AS BIGINT), cn, cb
+            FROM j WHERE ck IS NOT NULL AND pk IS NOT NULL
+                    AND (cb IS DISTINCT FROM pb OR cn IS DISTINCT FROM pn)
+        """,
+        "changelog_snapshot_customers": """
+            SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, c_acctbal
+            FROM customer
         """,
         "semantic_dedup_embeddings": f"""
             WITH emb AS (

@@ -105,13 +105,22 @@ def word_tokens(text_col: str) -> Column:
 
 def shingle_hashes_portable(text_col: str, n: int = 3) -> Column:
     """array<long>: mod-P 48-bit hashes of the word n-gram shingles;
-    empty when the doc has fewer than n tokens or blank text."""
+    empty when the doc has fewer than n tokens or blank text.
+
+    The token array is bound ONCE per row via a single-element-array
+    lambda (`transform(array(<toks>), t -> ...)`): inlining the
+    tokenization fragment into the per-shingle lambda would re-split the
+    whole document for every shingle index — O(tokens^2) interpreted
+    work per row, measured 4x the entire query cost on the documents
+    table. Values are unchanged; only evaluation count differs."""
     toks = _toks_sql(text_col)
-    gram = f"array_join(slice({toks}, i, {n}), ' ')"
+    gram = f"array_join(slice(t, i, {n}), ' ')"
     return F.expr(
-        f"CASE WHEN {text_col} IS NULL OR size({toks}) < {n} THEN array() "
-        f"ELSE transform(sequence(1, size({toks}) - {n - 1}), "
-        f"               i -> {h48(gram)} % {P}L) END"
+        f"CASE WHEN {text_col} IS NULL THEN array() "
+        f"ELSE flatten(transform(array({toks}), t -> "
+        f"  CASE WHEN size(t) < {n} THEN array() "
+        f"  ELSE transform(sequence(1, size(t) - {n - 1}), "
+        f"                 i -> {h48(gram)} % {P}L) END)) END"
     )
 
 

@@ -254,10 +254,17 @@ def duplicate_ngram_docs(
     one join back on the shingle hash. No pairwise work anywhere; this is
     the standard distributed substitute for a monolithic suffix array.
     """
-    sh = df.select(
-        F.col(id_col).alias("__id"),
-        F.array_distinct(PH.shingle_hashes_portable(text_col, n=n)).alias("__sh"),
-    ).filter(F.size("__sh") > 0)
+    # Persist the shingle table: the exploded frame below feeds BOTH the
+    # docfreq aggregate and the join back, and the shingle expression is
+    # the dominant cost — same pattern as dedup_minhash_portable's sigd.
+    sh = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.array_distinct(PH.shingle_hashes_portable(text_col, n=n)).alias("__sh"),
+        )
+        .filter(F.size("__sh") > 0)
+        .persist()
+    )
     exploded = sh.select("__id", F.explode("__sh").alias("__h"))
     docfreq = exploded.groupBy("__h").agg(
         F.countDistinct("__id").alias("__df")
