@@ -65,10 +65,17 @@ def semantic_dedup(
     The join is JVM-side codegen; for mega-clusters the GEMM path in
     operators/similarity.py is the escape hatch.
     """
-    q = df.select(
-        F.col(id_col).alias("__id"),
-        PH.quantize_embedding(vec_col).alias("__qe"),
-    ).withColumn("__cluster", PH.lsh_plane_bucket("__qe", bits=bits))
+    # Persist: the clustered table feeds both sides of the within-cluster
+    # self-join AND the final keep-flag join — unpinned, the 64x64
+    # integer-plane bucket expression would run three times per row.
+    q = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            PH.quantize_embedding(vec_col).alias("__qe"),
+        )
+        .withColumn("__cluster", PH.lsh_plane_bucket("__qe", bits=bits))
+        .persist()
+    )
 
     a = q.alias("a")
     b = q.alias("b")

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from ..plans.classify import (
     TumbleSpec,
     parse_hop,
+    parse_mergeable_tumble_aggs,
     parse_session,
     parse_tumble,
     referenced_views,
@@ -34,6 +35,18 @@ from .base import StepContext, StepResult, min_watermark
 
 def _window_end(df: DataFrame, spec: TumbleSpec):
     return F.window(F.col(spec.time_col), spec.duration)["end"]
+
+
+def _ordered_result(ctx: StepContext, src: str, result: DataFrame, new_wm) -> StepResult:
+    """Deterministic emission order: window start first (ascending event
+    time, like the reference's single-threaded stream), then remaining
+    output columns to break ties between groups of the same window."""
+    order_cols = list(result.columns)
+    et = ctx.event_time_cols.get(src)
+    if et in order_cols:
+        order_cols.remove(et)
+        order_cols.insert(0, et)
+    return StepResult(df=result, watermark=new_wm, order_cols=order_cols)
 
 
 def execute_window_agg(ctx: StepContext, sql: str) -> StepResult:
@@ -49,6 +62,7 @@ def execute_window_agg(ctx: StepContext, sql: str) -> StepResult:
 
     incoming = ctx.views[src]
     buffer_name = f"{ctx.step_key}-window-buffer"
+    partials_name = f"{ctx.step_key}-window-partials"
 
     # Lateness: a row whose window already closed under the watermark the
     # run STARTED with is dropped (source emits prev watermark before data).
@@ -58,6 +72,19 @@ def execute_window_agg(ctx: StepContext, sql: str) -> StepResult:
     cols = incoming.columns
     if prev_wm is not None:
         incoming = incoming.filter(_window_end(incoming, spec) > F.lit(prev_wm)).select(*cols)
+
+    # Accumulator state (Flink-parity): when every aggregate is an
+    # algebraic sum/count/min/max, per-window PARTIAL RESULTS merge
+    # across runs, so the checkpoint holds O(open windows x groups)
+    # accumulator rows instead of O(buffered input rows). The raw-row
+    # buffer below remains the general fallback, and owns any checkpoint
+    # it already wrote — a state format never switches mid-stream.
+    mspec = parse_mergeable_tumble_aggs(sql)
+    if mspec is not None and not ctx.state.has_df(buffer_name):
+        return _execute_with_partials(
+            ctx, sql, src, incoming, mspec, spec, partials_name, new_wm
+        )
+
     if ctx.state.has_df(buffer_name):
         # Resume: one pinned scan of (buffer ∪ new slice) feeds both the
         # state save and the aggregation — unpinned, each action would
@@ -86,15 +113,72 @@ def execute_window_agg(ctx: StepContext, sql: str) -> StepResult:
     finally:
         ctx.views[src].createOrReplaceTempView(src)
 
-    # Deterministic emission order: window start first (ascending event
-    # time, like the reference's single-threaded stream), then remaining
-    # output columns to break ties between groups of the same window.
-    order_cols = list(result.columns)
-    et = ctx.event_time_cols.get(src)
-    if et in order_cols:
-        order_cols.remove(et)
-        order_cols.insert(0, et)
-    return StepResult(df=result, watermark=new_wm, order_cols=order_cols)
+    return _ordered_result(ctx, src, result, new_wm)
+
+
+def _execute_with_partials(
+    ctx: StepContext,
+    sql: str,
+    src: str,
+    incoming: DataFrame,
+    mspec,
+    spec: TumbleSpec,
+    partials_name: str,
+    new_wm,
+) -> StepResult:
+    """Accumulator-state execution: run the user's aggregation over the
+    (late-filtered) slice alone, merge the per-window partial results
+    with the checkpointed partials, emit windows the watermark closes,
+    persist the still-open partials."""
+    size_secs = int(spec.size.total_seconds())
+    if mspec.end_alias is not None:
+        end_col = F.col(mspec.end_alias)
+    else:
+        end_col = F.col(mspec.start_alias) + F.expr(f"INTERVAL '{size_secs}' SECOND")
+
+    incoming.createOrReplaceTempView(src)
+    try:
+        slice_partials = ctx.spark.sql(rewrite_query(sql, watermark=new_wm))
+    finally:
+        ctx.views[src].createOrReplaceTempView(src)
+
+    key_cols = [c for c in slice_partials.columns if c not in mspec.merges]
+    out_types = {f.name: f.dataType for f in slice_partials.schema.fields}
+
+    if ctx.state.has_df(partials_name):
+        prev = ctx.state.load_df(partials_name, schema=slice_partials.schema)
+        # Merge = re-aggregate with each column's merge function; sums of
+        # sums widen (decimal precision), so cast back to the slice-SQL
+        # output type — the invocation-stable schema contract. Pinned:
+        # the emission and the state save both read it.
+        merged = (
+            prev.unionByName(slice_partials)
+            .groupBy(*key_cols)
+            .agg(
+                *[
+                    getattr(F, fn)(c).cast(out_types[c]).alias(c)
+                    for c, fn in mspec.merges.items()
+                ]
+            )
+            .select(*slice_partials.columns)
+        )
+    else:
+        merged = slice_partials
+    # Pin unconditionally: unlike the raw-row buffer (where pinning a
+    # whole first-run slice costs more than re-scanning parquet), the
+    # aggregate output is O(groups) small, and both the emission and the
+    # state save read it — pinning halves the aggregation passes.
+    merged = ctx.pin(merged)
+
+    if new_wm is not None:
+        result = merged.filter(end_col <= F.lit(new_wm))
+        still_open = merged.filter(end_col > F.lit(new_wm))
+    else:
+        result = merged.limit(0)
+        still_open = merged
+
+    ctx.state.save_df(partials_name, still_open)
+    return _ordered_result(ctx, src, result, new_wm)
 
 
 def _single_source(ctx: StepContext, sql: str, what: str) -> str:

@@ -84,6 +84,88 @@ class TumbleSpec:
 
 
 @dataclass
+class MergeAggSpec:
+    """A TUMBLE aggregation whose per-window results are self-mergeable
+    (every aggregate is an algebraic sum/count/min/max with an alias),
+    letting the runner keep O(groups) accumulator state instead of
+    O(rows) raw buffers — the Spark-side equivalent of Flink's window
+    accumulator state the reference inherits (SURVEY.md §2.B
+    aggregations row: min/max/sum/count(*) is the full tested surface).
+    """
+
+    start_alias: str | None  # projected TUMBLE_START alias
+    end_alias: str | None  # projected TUMBLE_END alias
+    merges: dict[str, str]  # output column -> merge fn (sum/min/max)
+
+
+_TUMBLE_PROJ_RE = re.compile(
+    r"(?<![\w.])TUMBLE_(START|END)\s*\([^)]*\)\s+(?:AS\s+)?`?(\w+)`?", re.IGNORECASE
+)
+_SIMPLE_AGG_ITEM_RE = re.compile(
+    r"^(sum|count|min|max)\s*\(\s*(\*|[`\w.]+)\s*\)\s+(?:AS\s+)?`?(\w+)`?$",
+    re.IGNORECASE,
+)
+_AGG_CALL_RE = re.compile(r"\b(sum|count|min|max|avg|stddev|variance|collect_\w+|first|last)\s*\(", re.IGNORECASE)
+_MERGE_FN = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+
+def _split_top_level(s: str) -> list[str]:
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur).strip())
+    return parts
+
+
+def parse_mergeable_tumble_aggs(sql: str) -> MergeAggSpec | None:
+    """Conservatively decide whether a TUMBLE aggregation can run on
+    accumulator state: single SELECT, no HAVING/DISTINCT/subquery, the
+    projection carries TUMBLE_START or TUMBLE_END, and every item that
+    contains an aggregate call is exactly `fn(arg) AS alias` with fn in
+    sum/count/min/max. Returns None (callers fall back to raw-row
+    buffering) on anything else."""
+    low = sql.lower()
+    if low.count("select") != 1 or "having" in low or "distinct" in low:
+        return None
+    # Per-run literals (current_watermark/now) would merge as distinct
+    # key values across invocations — raw buffering replays them fresh.
+    if "current_watermark" in low or "now(" in low:
+        return None
+    m = re.search(r"select\s+(.*?)\s+from\s", sql, re.IGNORECASE | re.DOTALL)
+    if not m:
+        return None
+    start_alias = end_alias = None
+    merges: dict[str, str] = {}
+    for item in _split_top_level(m.group(1)):
+        pm = _TUMBLE_PROJ_RE.match(item)
+        if pm:
+            if pm.group(1).upper() == "START":
+                start_alias = pm.group(2)
+            else:
+                end_alias = pm.group(2)
+            continue
+        am = _SIMPLE_AGG_ITEM_RE.match(item)
+        if am:
+            merges[am.group(3)] = _MERGE_FN[am.group(1).lower()]
+            continue
+        if _AGG_CALL_RE.search(item):
+            return None  # aggregate inside a larger expression — not mergeable
+        # anything else is a group-key projection: fine as-is
+    if (start_alias is None and end_alias is None) or not merges:
+        return None
+    return MergeAggSpec(start_alias=start_alias, end_alias=end_alias, merges=merges)
+
+
+@dataclass
 class IntervalJoinSpec:
     left_view: str
     left_alias: str

@@ -211,6 +211,81 @@ FROM `in`
 GROUP BY HOP(event_time, INTERVAL '1' DAY, INTERVAL '2' DAY), symbol"""
 
 
+def test_accumulator_state_holds_partials_not_rows(spark, tmp_path):
+    """Mergeable sum/count/min/max aggregations keep O(groups)
+    accumulator state (Flink-accumulator parity), not raw buffered rows:
+    after run 1 the checkpoint holds exactly one partial row per open
+    (window, symbol) group, and no raw-row window buffer."""
+    runner = TransformRunner(spark, tmp_path, queries=[(AGG_QUERY, None)])
+    s1 = str(tmp_path / "in" / "s1.parquet")
+    ticker_slice(
+        s1,
+        [
+            (0, 0, ts(5), ts(1, 1), "A", 10),
+            (1, 0, ts(5), ts(1, 2), "A", 11),
+            (2, 0, ts(5), ts(2, 1), "A", 12),
+            (3, 0, ts(5), ts(3, 1), "A", 14),  # day-3 window stays open
+            (4, 0, ts(5), ts(3, 1), "B", 24),
+            (5, 0, ts(5), ts(3, 2), "B", 25),
+        ],
+    )
+    runner.run(
+        [{"alias": "in", "data_paths": [s1], "schema_file": s1, "watermark": ts(3)}],
+        system_time=ts(10),
+    )
+    cp = str(tmp_path / "checkpoint-1")
+    entries = os.listdir(cp)
+    partials = [e for e in entries if "window-partials" in e]
+    assert partials, entries
+    assert not [e for e in entries if "window-buffer" in e], entries
+    # 6 buffered raw rows would be 3; partials are 2: (day3, A), (day3, B)
+    state = pq.read_table(os.path.join(cp, partials[0])).to_pylist()
+    assert len(state) == 2, state
+    assert {(r["symbol"], r["min"], r["max"]) for r in state} == {
+        ("A", 14, 14),
+        ("B", 24, 25),
+    }
+
+
+FALLBACK_QUERY = """SELECT
+  TUMBLE_START(event_time, INTERVAL '1' DAY) as event_time,
+  symbol as symbol,
+  COALESCE(min(price), 0) as `min`,
+  max(price) as `max`
+FROM `in`
+GROUP BY TUMBLE(event_time, INTERVAL '1' DAY), symbol"""
+
+
+def test_non_mergeable_aggs_fall_back_to_raw_buffer(spark, tmp_path):
+    """An aggregate wrapped in a larger expression (COALESCE(min(...)))
+    is not self-mergeable; the executor must keep the raw-row buffer and
+    still produce the right cross-run emissions."""
+    runner = TransformRunner(spark, tmp_path, queries=[(FALLBACK_QUERY, None)])
+    s1 = str(tmp_path / "in" / "s1.parquet")
+    ticker_slice(
+        s1,
+        [
+            (0, 0, ts(5), ts(1, 1), "A", 10),
+            (1, 0, ts(5), ts(2, 1), "A", 12),  # day-2 stays open
+        ],
+    )
+    resp, out = runner.run(
+        [{"alias": "in", "data_paths": [s1], "schema_file": s1, "watermark": ts(2)}],
+        system_time=ts(10),
+    )
+    assert [e for e in os.listdir(str(tmp_path / "checkpoint-1")) if "window-buffer" in e]
+    assert _summaries(out) == [(ts(10), ts(1), "A", 10, 10)]
+
+    s2 = str(tmp_path / "in" / "s2.parquet")
+    ticker_slice(s2, [(2, 0, ts(15), ts(2, 2), "A", 7)])
+    resp, out = runner.run(
+        [{"alias": "in", "data_paths": [s2], "schema_file": s2, "watermark": ts(3)}],
+        system_time=ts(20),
+    )
+    # run-2 row merged into the buffered day-2 window before it closed
+    assert _summaries(out) == [(ts(20), ts(2), "A", 7, 12)]
+
+
 def _hop_rows(out_path):
     table = pq.read_table(out_path)
     return sorted(
