@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from ..plans.classify import (
     TumbleSpec,
     parse_hop,
+    parse_mergeable_hop_aggs,
     parse_mergeable_tumble_aggs,
     parse_session,
     parse_tumble,
@@ -142,6 +143,22 @@ def _execute_with_partials(
     finally:
         ctx.views[src].createOrReplaceTempView(src)
 
+    result = _merge_partials(
+        ctx, partials_name, slice_partials, mspec, end_col, new_wm
+    )
+    return _ordered_result(ctx, src, result, new_wm)
+
+
+def _merge_partials(
+    ctx: StepContext,
+    partials_name: str,
+    slice_partials: DataFrame,
+    mspec,
+    end_col,
+    new_wm,
+) -> DataFrame:
+    """Merge this run's per-window partial results with the checkpointed
+    partials, save the still-open ones, return the closed ones."""
     key_cols = [c for c in slice_partials.columns if c not in mspec.merges]
     out_types = {f.name: f.dataType for f in slice_partials.schema.fields}
 
@@ -149,8 +166,7 @@ def _execute_with_partials(
         prev = ctx.state.load_df(partials_name, schema=slice_partials.schema)
         # Merge = re-aggregate with each column's merge function; sums of
         # sums widen (decimal precision), so cast back to the slice-SQL
-        # output type — the invocation-stable schema contract. Pinned:
-        # the emission and the state save both read it.
+        # output type — the invocation-stable schema contract.
         merged = (
             prev.unionByName(slice_partials)
             .groupBy(*key_cols)
@@ -178,7 +194,7 @@ def _execute_with_partials(
         still_open = merged
 
     ctx.state.save_df(partials_name, still_open)
-    return _ordered_result(ctx, src, result, new_wm)
+    return result
 
 
 def _single_source(ctx: StepContext, sql: str, what: str) -> str:
@@ -244,6 +260,39 @@ def execute_hop_agg(ctx: StepContext, sql: str) -> StepResult:
     # Lateness: drop rows whose EVERY containing window already emitted.
     if prev_wm is not None:
         incoming = incoming.filter(last_end > F.lit(prev_wm)).select(*cols)
+
+    # Accumulator state: a row contributes to size/slide windows, so the
+    # raw buffer holds each row size/slide windows long — per-window
+    # partial results (when every aggregate merges) shrink that to one
+    # accumulator row per open (window, group), same gate and merge as
+    # the TUMBLE path. A slice row can still yield partials for windows
+    # that ALREADY emitted (its earlier windows) — those are late for
+    # that window and are dropped before the merge, matching the raw
+    # path's result-level (prev_wm, new_wm] emission filter.
+    mspec = parse_mergeable_hop_aggs(sql)
+    if mspec is not None and not ctx.state.has_df(buffer_name):
+        if mspec.end_alias is not None:
+            p_end = F.col(mspec.end_alias)
+            lead = mspec.end_alias
+        else:
+            p_end = F.col(mspec.start_alias) + F.expr(f"INTERVAL '{size_secs}' SECOND")
+            lead = mspec.start_alias
+        incoming.createOrReplaceTempView(src)
+        try:
+            slice_partials = ctx.spark.sql(rewrite_query(sql, watermark=new_wm))
+        finally:
+            ctx.views[src].createOrReplaceTempView(src)
+        if prev_wm is not None:
+            slice_partials = slice_partials.filter(p_end > F.lit(prev_wm))
+        result = _merge_partials(
+            ctx, f"{ctx.step_key}-hop-partials", slice_partials, mspec, p_end, new_wm
+        )
+        order_cols = list(result.columns)
+        if lead in order_cols:
+            order_cols.remove(lead)
+            order_cols.insert(0, lead)
+        return StepResult(df=result, watermark=new_wm, order_cols=order_cols)
+
     if ctx.state.has_df(buffer_name):
         prev_buf = ctx.state.load_df(buffer_name, schema=incoming.schema)
         buf = ctx.pin(prev_buf.unionByName(incoming))

@@ -99,7 +99,7 @@ class MergeAggSpec:
 
 
 _TUMBLE_PROJ_RE = re.compile(
-    r"(?<![\w.])TUMBLE_(START|END)\s*\([^)]*\)\s+(?:AS\s+)?`?(\w+)`?", re.IGNORECASE
+    r"^(?:\s*)TUMBLE_(START|END)\s*\([^)]*\)\s+(?:AS\s+)?`?(\w+)`?$", re.IGNORECASE
 )
 _SIMPLE_AGG_ITEM_RE = re.compile(
     r"^(sum|count|min|max)\s*\(\s*(\*|[`\w.]+)\s*\)\s+(?:AS\s+)?`?(\w+)`?$",
@@ -126,13 +126,13 @@ def _split_top_level(s: str) -> list[str]:
     return parts
 
 
-def parse_mergeable_tumble_aggs(sql: str) -> MergeAggSpec | None:
-    """Conservatively decide whether a TUMBLE aggregation can run on
-    accumulator state: single SELECT, no HAVING/DISTINCT/subquery, the
-    projection carries TUMBLE_START or TUMBLE_END, and every item that
-    contains an aggregate call is exactly `fn(arg) AS alias` with fn in
-    sum/count/min/max. Returns None (callers fall back to raw-row
-    buffering) on anything else."""
+def _parse_mergeable_aggs(sql: str, proj_re: re.Pattern) -> MergeAggSpec | None:
+    """Shared conservative gate for accumulator-state aggregation:
+    single SELECT, no HAVING/DISTINCT/subquery/per-run literals, the
+    projection carries a window START or END alias (matched by
+    `proj_re`), and every item that contains an aggregate call is
+    exactly `fn(arg) AS alias` with fn in sum/count/min/max. Returns
+    None (callers fall back to raw-row buffering) on anything else."""
     low = sql.lower()
     if low.count("select") != 1 or "having" in low or "distinct" in low:
         return None
@@ -146,7 +146,7 @@ def parse_mergeable_tumble_aggs(sql: str) -> MergeAggSpec | None:
     start_alias = end_alias = None
     merges: dict[str, str] = {}
     for item in _split_top_level(m.group(1)):
-        pm = _TUMBLE_PROJ_RE.match(item)
+        pm = proj_re.match(item)
         if pm:
             if pm.group(1).upper() == "START":
                 start_alias = pm.group(2)
@@ -163,6 +163,23 @@ def parse_mergeable_tumble_aggs(sql: str) -> MergeAggSpec | None:
     if (start_alias is None and end_alias is None) or not merges:
         return None
     return MergeAggSpec(start_alias=start_alias, end_alias=end_alias, merges=merges)
+
+
+def parse_mergeable_tumble_aggs(sql: str) -> MergeAggSpec | None:
+    return _parse_mergeable_aggs(sql, _TUMBLE_PROJ_RE)
+
+
+def parse_mergeable_hop_aggs(sql: str) -> MergeAggSpec | None:
+    """HOP variant: per-window partial results merge exactly like
+    TUMBLE's — a row contributing to size/slide windows just yields that
+    many partial rows from the slice aggregation, which makes
+    accumulator state proportionally MORE valuable than for tumbling."""
+    return _parse_mergeable_aggs(sql, _HOP_PROJ_ITEM_RE)
+
+
+_HOP_PROJ_ITEM_RE = re.compile(
+    r"^(?:\s*)HOP_(START|END)\s*\([^)]*\)\s+(?:AS\s+)?`?(\w+)`?$", re.IGNORECASE
+)
 
 
 @dataclass

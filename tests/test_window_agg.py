@@ -322,6 +322,16 @@ def test_hop_window_incremental_across_runs(spark, tmp_path):
         (day0, "A", 10, 10),    # [day0, day2): day-1 row only
         (ts(1), "A", 10, 12),   # [day1, day3): both rows
     ]
+    # The mergeable min/max query runs on accumulator state: the
+    # checkpoint holds one partial row for the open [day2, day4) window,
+    # not raw buffered input rows.
+    cp_entries = os.listdir(str(tmp_path / "checkpoint-1"))
+    partials = [e for e in cp_entries if "hop-partials" in e]
+    assert partials and not [e for e in cp_entries if "hop-buffer" in e], cp_entries
+    state = pq.read_table(
+        os.path.join(str(tmp_path / "checkpoint-1"), partials[0])
+    ).to_pylist()
+    assert len(state) == 1 and state[0]["min"] == 12 and state[0]["max"] == 12
 
     # Run 2: watermark-only advance to day5 closes [day2,day4) — the
     # day-2 row was buffered across the run boundary for its second
