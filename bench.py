@@ -59,18 +59,38 @@ AGG_SQL = """SELECT
   count(*) as n_events,
   sum(value) as sum_value
 FROM events GROUP BY TUMBLE(event_time, INTERVAL '1' DAY), event_type"""
+TOPN_SQL = """SELECT * FROM (
+  SELECT
+    row_number() OVER (ORDER BY value DESC) AS place,
+    event_time, user_id, event_type, value
+  FROM events
+) WHERE place <= 100"""
+JOIN_SQL = """SELECT
+  p.event_time as event_time,
+  p.user_id as user_id,
+  p.value as purchase_value,
+  COALESCE(c.value, 0) as click_value
+FROM purchases as p
+LEFT JOIN clicks as c
+ON
+  p.user_id = c.user_id
+  AND c.event_time BETWEEN p.event_time AND p.event_time + INTERVAL '1' HOUR"""
 
 
-def _odf_ledger(spark, sf_dir: str, workdir: str):
+def _odf_ledger(spark, sf_dir: str, workdir: str, name: str = "events", event_type: str | None = None):
     """events.parquet as an ODF ledger (system columns added) — prep cost
-    excluded from timings, like the reference's test fixtures."""
+    excluded from timings, like the reference's test fixtures. With
+    `event_type`, only that slice of the stream (a second input for the
+    join surfaces)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from kamu_engine_flink_spark.sinks.parquet import write_single_parquet
 
-    path = os.path.join(workdir, "events_ledger.parquet")
+    path = os.path.join(workdir, f"{name}_ledger.parquet")
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if event_type is not None:
+        e = e.filter(F.col("event_type") == event_type)
     df = (
         e.select(
             F.col("ts").alias("event_time"), "user_id", "event_type", "value"
@@ -85,10 +105,10 @@ def _odf_ledger(spark, sf_dir: str, workdir: str):
     return path, wm
 
 
-def _time_transform(spark, ledger: str, wm, sql: str, workdir: str, tag: str) -> float:
+def _time_transform(spark, inputs, sql: str, workdir: str, tag: str) -> float:
     """One full ODF transform invocation (the reference's primary surface):
     slice read, dialect rewrite, stateful executor, offset stamp,
-    single-file write, state persist."""
+    single-file write, state persist. `inputs`: [(alias, ledger_path, wm)]."""
     from datetime import timezone
 
     from kamu_engine_flink_spark.engine.transform import execute_transform
@@ -101,17 +121,21 @@ def _time_transform(spark, ledger: str, wm, sql: str, workdir: str, tag: str) ->
         Watermark,
     )
 
-    st = wm.replace(tzinfo=timezone.utc) if wm.tzinfo is None else wm
+    def _utc(w):
+        return w.replace(tzinfo=timezone.utc) if w.tzinfo is None else w
+
+    st = max(_utc(wm) for (_, _, wm) in inputs)
     req = TransformRequest(
         transform=Transform(queries=[SqlQueryStep(query=sql)]),
         query_inputs=[
             TransformRequestInput(
-                query_alias="events",
+                query_alias=alias,
                 data_paths=[ledger],
                 schema_file=ledger,
                 vocab=DatasetVocabulary(),
-                explicit_watermarks=[Watermark(system_time=st, event_time=st)],
+                explicit_watermarks=[Watermark(system_time=st, event_time=_utc(wm))],
             )
+            for (alias, ledger, wm) in inputs
         ],
         system_time=st,
         next_offset=0,
@@ -214,15 +238,23 @@ def main() -> None:
     workdir = tempfile.mkdtemp(prefix="bench-odf-")
     try:
         ledger, wm = _odf_ledger(spark, sf_dir, workdir)
-        for tag, sql in (
-            ("odf_transform_map", MAP_SQL),
-            ("odf_transform_window_agg", AGG_SQL),
-            ("odf_transform_distinct", DISTINCT_SQL),
+        p_ledger, p_wm = _odf_ledger(spark, sf_dir, workdir, "purchases", "purchase")
+        c_ledger, c_wm = _odf_ledger(spark, sf_dir, workdir, "clicks", "click")
+        for tag, sql, inputs in (
+            ("odf_transform_map", MAP_SQL, [("events", ledger, wm)]),
+            ("odf_transform_window_agg", AGG_SQL, [("events", ledger, wm)]),
+            ("odf_transform_distinct", DISTINCT_SQL, [("events", ledger, wm)]),
+            ("odf_transform_topn", TOPN_SQL, [("events", ledger, wm)]),
+            (
+                "odf_transform_interval_join",
+                JOIN_SQL,
+                [("purchases", p_ledger, p_wm), ("clicks", c_ledger, c_wm)],
+            ),
         ):
             runs = []
             for rep in range(REPS):
                 runs.append(
-                    _time_transform(spark, ledger, wm, sql, workdir, f"{tag}-{rep}")
+                    _time_transform(spark, inputs, sql, workdir, f"{tag}-{rep}")
                 )
             timings[tag] = round(statistics.median(runs), 3)
             print(f"{tag}: {timings[tag]}s (runs: {[round(r, 3) for r in runs]})", file=sys.stderr)
