@@ -30,7 +30,7 @@ from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 from ..plans.classify import parse_topn
 from ..plans.dialect import rewrite_query
 from ..protocol.model import OP_APPEND, OP_CORRECT_FROM, OP_CORRECT_TO, InvalidQueryError
-from .base import StepContext, StepResult
+from .base import StepContext, StepResult, fast_local_df
 
 OP_COL = "__op"
 SEQ_COL = "__emit_seq"
@@ -199,12 +199,18 @@ def execute_topn(ctx: StepContext, sql: str) -> StepResult:
         v = row[order_col]
         # Insertion point: ties go after existing entries (row_number
         # stability — an equal score does not displace an earlier row).
-        pos = 0
-        for i, existing in enumerate(ranking):
-            if _beats(v, existing[order_col]):
-                pos = i
-                break
-            pos = i + 1
+        # `ranking` is sorted best-to-worst, so _beats(v, ranking[i]) is
+        # monotone in i and the first-True index binary-searches in
+        # O(log N) — the linear scan was the driver-loop hotspot
+        # (survivors x N comparisons on a first run with no threshold).
+        lo, hi = 0, len(ranking)
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if _beats(v, ranking[mid][order_col]):
+                hi = mid
+            else:
+                lo = mid + 1
+        pos = lo
         if pos >= spec.limit:
             continue
         old_top = ranking[: spec.limit]
@@ -233,16 +239,10 @@ def execute_topn(ctx: StepContext, sql: str) -> StepResult:
         list(state_schema.fields)
         + [StructField(OP_COL, IntegerType()), StructField(SEQ_COL, LongType())]
     )
-    changelog_df = ctx.spark.createDataFrame(
-        [
-            {**{k: v for k, v in e.items() if k not in (OP_COL, SEQ_COL)},
-             OP_COL: e[OP_COL], SEQ_COL: e[SEQ_COL]}
-            for e in changelog
-        ],
-        out_schema,
-    )
+    changelog_df = fast_local_df(ctx.spark, changelog, out_schema)
 
-    new_state = ctx.spark.createDataFrame(
+    new_state = fast_local_df(
+        ctx.spark,
         [{"place": i + 1, **row} for i, row in enumerate(ranking[: spec.limit])],
         state_schema,
     )
