@@ -1639,6 +1639,14 @@ def curriculum_bins_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TD.curriculum_bins(_t(spark, sf_dir, "documents"), n_bins=5)
 
 
+def random_projection_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL-style integer random projection to 16 coordinates
+    (operators/training_data.random_projection): exact integer plane
+    dots over quantized embeddings — bit-reproducible in any engine."""
+    out = TD.random_projection(_t(spark, sf_dir, "embeddings"), out_dim=16)
+    return out.select(F.col("vec_id").cast("long").alias("vec_id"), "proj")
+
+
 def kmeans_clusters_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd k-means (operators/clustering.py): k=8 seeds
     from the smallest vec_ids, two assignment rounds with a
@@ -1756,6 +1764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changelog_diff_customers": changelog_diff_customers,
         "changelog_snapshot_customers": changelog_snapshot_customers,
         "kmeans_clusters_embeddings": kmeans_clusters_embeddings,
+        "random_projection_embeddings": random_projection_embeddings,
         "dedup_minhash_documents": dedup_minhash_documents,
         "dedup_simhash_documents": dedup_simhash_documents,
         "ngram_jaccard_documents": ngram_jaccard_documents,
@@ -2876,6 +2885,15 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY cosine DESC, vec_id ASC) AS rank
                 FROM scored
             ) WHERE rank <= 5
+        """,
+        "random_projection_embeddings": """
+            SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                   list_transform(range(16), i ->
+                       list_sum(list_transform(range(64), j ->
+                           ((('0x' || substr(md5('rp-' || i || '-' || j), 1, 8)
+                             )::BIGINT % 2001) - 1000)
+                           * round(embedding[j+1]::DOUBLE * 1000000)::BIGINT))) AS proj
+            FROM embeddings
         """,
         "kmeans_clusters_embeddings": """
             WITH emb AS (

@@ -59,6 +59,12 @@ AGG_SQL = """SELECT
   count(*) as n_events,
   sum(value) as sum_value
 FROM events GROUP BY TUMBLE(event_time, INTERVAL '1' DAY), event_type"""
+HOP_SQL = """SELECT
+  HOP_START(event_time, INTERVAL '1' HOUR, INTERVAL '2' HOUR) as event_time,
+  event_type,
+  count(*) as n_events,
+  sum(value) as sum_value
+FROM events GROUP BY HOP(event_time, INTERVAL '1' HOUR, INTERVAL '2' HOUR), event_type"""
 TOPN_SQL = """SELECT * FROM (
   SELECT
     row_number() OVER (ORDER BY value DESC) AS place,
@@ -244,6 +250,7 @@ def main() -> None:
             ("odf_transform_map", MAP_SQL, [("events", ledger, wm)]),
             ("odf_transform_window_agg", AGG_SQL, [("events", ledger, wm)]),
             ("odf_transform_distinct", DISTINCT_SQL, [("events", ledger, wm)]),
+            ("odf_transform_hop_agg", HOP_SQL, [("events", ledger, wm)]),
             ("odf_transform_topn", TOPN_SQL, [("events", ledger, wm)]),
             (
                 "odf_transform_interval_join",

@@ -172,13 +172,15 @@ def int_dot(a_col: str, b_col: str) -> Column:
     )
 
 
-def plane_component(i: int, j: int) -> int:
-    """Integer hyperplane component (i, j) = (h32(md5('plane-i-j')) mod
-    2001) - 1000 — the exact derivation the DuckDB oracle replays with
-    ('0x' || substr(md5('plane-' || i || '-' || j), 1, 8))::BIGINT."""
+def plane_component(i: int, j: int, prefix: str = "plane") -> int:
+    """Integer hyperplane component (i, j) = (h32(md5('<prefix>-i-j'))
+    mod 2001) - 1000 — the exact derivation the DuckDB oracle replays
+    with ('0x' || substr(md5('<prefix>-' || i || '-' || j), 1, 8))::BIGINT.
+    Distinct prefixes give statistically independent plane families
+    (LSH buckets vs random projections)."""
     import hashlib
 
-    h = hashlib.md5(f"plane-{i}-{j}".encode()).hexdigest()
+    h = hashlib.md5(f"{prefix}-{i}-{j}".encode()).hexdigest()
     return (int(h[:8], 16) % 2001) - 1000
 
 

@@ -237,6 +237,42 @@ def curriculum_bins(
     )
 
 
+def random_projection(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dim: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Johnson-Lindenstrauss-style random projection to `out_dim`
+    integer coordinates: each output component is the exact integer dot
+    product of the quantized embedding with an md5-derived integer plane
+    (functions/portable_hash.plane_component, 'rp' family — independent
+    of the LSH bucket planes). Distance-preserving enough for coarse
+    ANN prefiltering and dedup blocking at ~dim/out_dim the bytes; being
+    all-integer, any engine reproduces it bit-exactly.
+
+    Scale: pure codegen projection, zero shuffle, one corpus pass; the
+    out_dim x dim plane matrix is inlined as literals (driver-known
+    constants, the broadcast-variable pattern without a join)."""
+    from ..functions.portable_hash import plane_component, quantize_embedding
+
+    q = df.select(
+        F.col(id_col), quantize_embedding(vec_col).alias("__qe")
+    )
+    comps = []
+    for i in range(out_dim):
+        plane = "array(" + ", ".join(
+            f"{plane_component(i, j, prefix='rp')}L" for j in range(dim)
+        ) + ")"
+        comps.append(
+            f"aggregate(zip_with(__qe, {plane}, (x, y) -> x * y), 0L, (a, v) -> a + v)"
+        )
+    return q.select(
+        id_col, F.expr(f"array({', '.join(comps)})").alias("proj")
+    )
+
+
 def duplicate_ngram_docs(
     df: DataFrame,
     text_col: str = "text",

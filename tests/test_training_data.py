@@ -144,6 +144,66 @@ def test_curriculum_bins_equal_sizes_and_monotonic(spark):
 
 
 # --------------------------------------------------------------------------
+# random_projection
+# --------------------------------------------------------------------------
+
+
+def test_random_projection_matches_hashlib_replication(spark):
+    """Bit-exact agreement with an independent hashlib/python replication
+    of the quantize + integer-plane-dot contract."""
+    import hashlib
+
+    emb_path = os.path.join(_SF_DIR, "embeddings.parquet")
+    if not os.path.exists(emb_path):
+        pytest.skip(f"test data not found at {emb_path}")
+    emb = spark.read.parquet(emb_path).limit(20)
+    got = {r.vec_id: list(r.proj) for r in TD.random_projection(emb, out_dim=4).collect()}
+
+    def plane(i, j):
+        h = hashlib.md5(f"rp-{i}-{j}".encode()).hexdigest()
+        return (int(h[:8], 16) % 2001) - 1000
+
+    import math
+
+    for r in emb.collect():
+        q = [
+            int(math.floor(abs(float(x)) * 1e6 + 0.5)) * (1 if x >= 0 else -1)
+            for x in r.embedding
+        ]
+        expected = [sum(plane(i, j) * q[j] for j in range(64)) for i in range(4)]
+        assert got[r.vec_id] == expected
+
+
+def test_random_projection_distance_estimator_unbiased(spark):
+    """JL sanity: E[||proj(a)-proj(b)||^2] = k * var_plane * ||a-b||^2,
+    so the mean normalized ratio over many pairs must sit near 1 (its
+    spread is dominated by the shared k=16 planes: std ~ sqrt(2/k) ~
+    0.35 — the bound reflects that, not the pair count). Unit-norm
+    embeddings concentrate pairwise distances, so rank correlation is
+    NOT expected at small k; unbiasedness is the scale-relevant
+    property (coarse blocking, not exact ranking)."""
+    np = pytest.importorskip("numpy")
+    emb_path = os.path.join(_SF_DIR, "embeddings.parquet")
+    if not os.path.exists(emb_path):
+        pytest.skip(f"test data not found at {emb_path}")
+    emb = spark.read.parquet(emb_path).limit(60)
+    k = 16
+    proj = {r.vec_id: np.array(r.proj, dtype=float) for r in TD.random_projection(emb, out_dim=k).collect()}
+    orig = {r.vec_id: np.array(r.embedding, dtype=float) for r in emb.collect()}
+    ids = sorted(orig)
+    var_plane = (2001.0**2 - 1) / 12.0
+    scale = 1e6**2  # quantization factor squared
+    ratios = []
+    for a in ids[:20]:
+        for b in ids[20:40]:
+            d2 = ((orig[a] - orig[b]) ** 2).sum()
+            p2 = ((proj[a] - proj[b]) ** 2).sum()
+            ratios.append(p2 / (k * var_plane * scale * d2))
+    mean = float(np.mean(ratios))
+    assert 0.5 < mean < 1.7, mean
+
+
+# --------------------------------------------------------------------------
 # duplicate_ngram_docs
 # --------------------------------------------------------------------------
 
