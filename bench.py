@@ -81,6 +81,25 @@ LEFT JOIN clicks as c
 ON
   p.user_id = c.user_id
   AND c.event_time BETWEEN p.event_time AND p.event_time + INTERVAL '1' HOUR"""
+# The reference's 3-step join -> window-agg -> filter pipeline shape
+# (EngineJoinStreamToStreamTest.scala:355-470 "tricky"): a stateful
+# interval join feeding a stateful tumbling aggregation feeding a filter,
+# all in one invocation.
+CHAINED_STEPS = [
+    ("purchase_clicks", JOIN_SQL),
+    (
+        "daily_stats",
+        """SELECT
+  TUMBLE_START(event_time, INTERVAL '1' DAY) as event_time,
+  user_id,
+  count(*) as n_rows,
+  sum(purchase_value) as purchase_total,
+  sum(click_value) as click_total
+FROM purchase_clicks
+GROUP BY TUMBLE(event_time, INTERVAL '1' DAY), user_id""",
+    ),
+    (None, "SELECT * FROM daily_stats WHERE click_total > purchase_total"),
+]
 
 
 def _odf_ledger(spark, sf_dir: str, workdir: str, name: str = "events", event_type: str | None = None):
@@ -111,10 +130,11 @@ def _odf_ledger(spark, sf_dir: str, workdir: str, name: str = "events", event_ty
     return path, wm
 
 
-def _time_transform(spark, inputs, sql: str, workdir: str, tag: str) -> float:
+def _time_transform(spark, inputs, sql, workdir: str, tag: str) -> float:
     """One full ODF transform invocation (the reference's primary surface):
     slice read, dialect rewrite, stateful executor, offset stamp,
-    single-file write, state persist. `inputs`: [(alias, ledger_path, wm)]."""
+    single-file write, state persist. `inputs`: [(alias, ledger_path, wm)];
+    `sql` is one query string or a list of (alias, sql) steps."""
     from datetime import timezone
 
     from kamu_engine_flink_spark.engine.transform import execute_transform
@@ -130,9 +150,14 @@ def _time_transform(spark, inputs, sql: str, workdir: str, tag: str) -> float:
     def _utc(w):
         return w.replace(tzinfo=timezone.utc) if w.tzinfo is None else w
 
+    steps = (
+        [SqlQueryStep(query=sql)]
+        if isinstance(sql, str)
+        else [SqlQueryStep(query=q, alias=a) for (a, q) in sql]
+    )
     st = max(_utc(wm) for (_, _, wm) in inputs)
     req = TransformRequest(
-        transform=Transform(queries=[SqlQueryStep(query=sql)]),
+        transform=Transform(queries=steps),
         query_inputs=[
             TransformRequestInput(
                 query_alias=alias,
@@ -255,6 +280,11 @@ def main() -> None:
             (
                 "odf_transform_interval_join",
                 JOIN_SQL,
+                [("purchases", p_ledger, p_wm), ("clicks", c_ledger, c_wm)],
+            ),
+            (
+                "odf_transform_chained",
+                CHAINED_STEPS,
                 [("purchases", p_ledger, p_wm), ("clicks", c_ledger, c_wm)],
             ),
         ):
