@@ -1490,20 +1490,37 @@ def approx_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             *[
-                F.sum(
-                    F.when(
-                        F.col("value") <= F.expr(f"element_at(qa, {i + 1})"), 1
-                    ).otherwise(0)
-                ).alias(f"__r{i}")
+                agg
                 for i in range(3)
+                for agg in (
+                    F.sum(
+                        F.when(
+                            F.col("value") < F.expr(f"element_at(qa, {i + 1})"), 1
+                        ).otherwise(0)
+                    ).alias(f"__lt{i}"),
+                    F.sum(
+                        F.when(
+                            F.col("value") <= F.expr(f"element_at(qa, {i + 1})"), 1
+                        ).otherwise(0)
+                    ).alias(f"__le{i}"),
+                )
             ]
         )
     )
     ps = [0.5, 0.9, 0.99]
+    # GK's guarantee is about the returned ELEMENT's rank interval: with
+    # ties of multiplicity m, count(<=v) overshoots the target by up to
+    # m-1 on a perfectly correct sketch. The verdict therefore asks
+    # whether the element's rank interval [count(<v)+1, count(<=v)]
+    # intersects [target - eps, target + eps], eps = n/10000 (+2 slack
+    # for rank-definition off-by-ones).
     bound = F.col("n") / 10000.0 + 2.0
     within = None
     for i, p in enumerate(ps):
-        ok = F.abs(F.col(f"__r{i}") - F.lit(p) * F.col("n")) <= bound
+        target = F.lit(p) * F.col("n")
+        ok = (F.col(f"__lt{i}") + 1 <= target + bound) & (
+            F.col(f"__le{i}") >= target - bound
+        )
         within = ok if within is None else (within & ok)
     return base.join(ranks, "event_type").select(
         "event_type",
@@ -3014,12 +3031,13 @@ def oracle_sql() -> dict[str, str]:
             WITH counts AS (
                 SELECT source, CAST(count(*) AS DOUBLE) AS n
                 FROM documents GROUP BY source
+            ), weighted AS (
+                SELECT source, round(sqrt(n) * 1000000)::BIGINT AS m FROM counts
             ), tot AS (
-                SELECT sum(sqrt(n)) AS t FROM counts
+                SELECT sum(m) AS t FROM weighted
             ), targets AS (
-                SELECT source,
-                       CAST(floor(sqrt(n) / t * 200.0) AS BIGINT) AS domain_target
-                FROM counts CROSS JOIN tot
+                SELECT source, CAST((200 * m) // t AS BIGINT) AS domain_target
+                FROM weighted CROSS JOIN tot
             ), ranked AS (
                 SELECT doc_id, source,
                        row_number() OVER (PARTITION BY source

@@ -100,7 +100,20 @@ def fast_local_df(spark: SparkSession, rows: list[dict], schema) -> DataFrame:
             pa_t = _PA.get(f.dataType)
             if pa_t is None:
                 raise TypeError(f.dataType)
-            cols[f.name] = pa.array([r.get(f.name) for r in rows], type=pa_t)
+            vals = [r.get(f.name) for r in rows]
+            if isinstance(f.dataType, TimestampType):
+                # Rows collected via the classic path carry NAIVE
+                # driver-LOCAL datetimes (TimestampType.fromInternal);
+                # pyarrow would reinterpret those as UTC wall time,
+                # shifting every timestamp by the driver's UTC offset.
+                # .timestamp() applies the local zone to naive values and
+                # respects tzinfo on aware ones — mirror of the verified
+                # row path's time.mktime, correct on any driver TZ.
+                vals = [
+                    None if v is None else int(round(v.timestamp() * 1_000_000))
+                    for v in vals
+                ]
+            cols[f.name] = pa.array(vals, type=pa_t)
         out = spark.createDataFrame(pa.table(cols))
         if out.schema != schema:
             raise TypeError("arrow schema mismatch")

@@ -79,17 +79,21 @@ def to_changelog(
     if [c for c in prev.columns if c not in pk_cols] != val_cols:
         raise ValueError("to_changelog: prev and cur must share one schema")
 
-    p = prev.select(
-        *[F.col(c).alias(f"__p_{c}") for c in prev.columns]
+    # Literal presence flags, not pk IS NOT NULL: the join is null-safe
+    # precisely so NULL primary keys work, and a NULL-pk row must still
+    # classify as present on its side.
+    c_flagged = cur.withColumn("__c_present", F.lit(True))
+    p = prev.withColumn("__p_present", F.lit(True)).select(
+        *[F.col(c).alias(f"__p_{c}") for c in prev.columns], "__p_present"
     )
     join_cond = None
     for k in pk_cols:
         c = F.col(f"__p_{k}").eqNullSafe(F.col(k))
         join_cond = c if join_cond is None else (join_cond & c)
-    joined = cur.join(p, join_cond, "full_outer")
+    joined = c_flagged.join(p, join_cond, "full_outer")
 
-    in_cur = F.col(pk_cols[0]).isNotNull()
-    in_prev = F.col(f"__p_{pk_cols[0]}").isNotNull()
+    in_cur = F.col("__c_present").isNotNull()
+    in_prev = F.col("__p_present").isNotNull()
     changed = F.lit(False)
     for c in val_cols:
         changed = changed | ~F.col(c).eqNullSafe(F.col(f"__p_{c}"))

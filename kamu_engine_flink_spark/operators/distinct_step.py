@@ -42,7 +42,9 @@ def _inject_seq_distinct(sql: str) -> str | None:
     """Rewrite `SELECT DISTINCT <cols> FROM v` into a plain projection
     carrying __seq; None when the shape is too complex to thread safely
     (the executor then falls back to unordered distinct)."""
-    if sql.lower().count("select") != 1:
+    from ..plans.classify import select_count
+
+    if select_count(sql) != 1:
         return None
     if re.search(r"\b(group\s+by|union|order\s+by|limit|join)\b", sql, re.IGNORECASE):
         return None
@@ -68,13 +70,19 @@ def execute_distinct(ctx: StepContext, sql: str) -> StepResult:
     else:
         df = df.distinct()
 
+    # Injective row fingerprint: per-column tokens are 'n' (NULL) or
+    # 'v' + md5(value) — prefix-decodable (token type is its first char,
+    # value tokens are fixed width), so no delimiter/sentinel byte inside
+    # a value can make two distinct rows collide (a raw concat_ws('\x1f')
+    # would conflate ('a\x1fb','c') with ('a','b\x1fc')).
     fingerprint = F.md5(
-        F.concat_ws(
-            "\x1f",
+        F.concat(
             *[
-                F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                F.when(F.col(c).isNull(), F.lit("n")).otherwise(
+                    F.concat(F.lit("v"), F.md5(F.col(c).cast("string")))
+                )
                 for c in value_cols
-            ],
+            ]
         )
     )
     state_name = f"{ctx.step_key}-distinct-state"

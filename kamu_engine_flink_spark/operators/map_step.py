@@ -27,7 +27,9 @@ _SIMPLE_SELECT_RE = re.compile(r"^\s*select\s+", re.IGNORECASE)
 
 def _inject_seq(sql: str) -> str | None:
     """Thread __seq through a single-block SELECT; None if unsafe."""
-    if sql.lower().count("select") != 1:
+    from ..plans.classify import select_count
+
+    if select_count(sql) != 1:
         return None
     if re.search(r"\b(group\s+by|union|distinct|order\s+by|limit)\b", sql, re.IGNORECASE):
         return None

@@ -157,21 +157,27 @@ def mixture_sample(
     h = F.expr(_h48(f"concat('{salt}-', cast({id_col} as string))"))
     counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
 
-    # alpha=0.5 goes through sqrt, not pow: IEEE-754 requires sqrt to be
-    # correctly rounded but NOT pow(x, 0.5), so sqrt is the one spelling
-    # every engine (and the DuckDB oracle) reproduces bit-exactly.
+    # Exact cross-engine targets: per-domain weights are count^alpha
+    # QUANTIZED to millionths (alpha=0.5 through sqrt — the one power
+    # IEEE-754 requires to be correctly rounded), the total is an exact
+    # integer sum (a raw float sum is addition-order-dependent, and
+    # Spark's partial-aggregation order differs from any oracle's), and
+    # the target is one integer floor division — no float whose last ulp
+    # could flip a floor boundary between engines.
     def _w(col):
         c = col.cast("double")
-        return F.sqrt(c) if alpha == 0.5 else F.pow(c, F.lit(alpha))
+        base = F.sqrt(c) if alpha == 0.5 else F.pow(c, F.lit(alpha))
+        return F.round(base * F.lit(1_000_000.0), 0).cast("bigint")
 
-    tot = counts.agg(F.sum(_w(F.col("__n"))).alias("__tot"))
+    weighted = counts.select(F.col(domain_col), _w(F.col("__n")).alias("__m"))
+    tot = weighted.agg(F.sum("__m").alias("__tot"))
     targets = (
-        counts.crossJoin(F.broadcast(tot))
+        weighted.crossJoin(F.broadcast(tot))
         .select(
             domain_col,
-            F.floor(_w(F.col("__n")) / F.col("__tot") * F.lit(float(budget)))
-            .cast("bigint")
-            .alias("domain_target"),
+            F.expr(f"CAST({int(budget)}L * __m DIV __tot AS BIGINT)").alias(
+                "domain_target"
+            ),
         )
     )
     from pyspark.sql import Window

@@ -109,6 +109,17 @@ _AGG_CALL_RE = re.compile(r"\b(sum|count|min|max|avg|stddev|variance|collect_\w+
 _MERGE_FN = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 
 
+_SELECT_WORD_RE = re.compile(r"\bselect\b", re.IGNORECASE)
+
+
+def select_count(sql: str) -> int:
+    """Number of SELECT keywords (word-boundary — a column named
+    `selected_at` must not count, or a simple query silently loses its
+    single-block classification and with it e.g. stateful DISTINCT
+    semantics)."""
+    return len(_SELECT_WORD_RE.findall(sql))
+
+
 def _split_top_level(s: str) -> list[str]:
     parts, depth, cur = [], 0, []
     for ch in s:
@@ -133,9 +144,9 @@ def _parse_mergeable_aggs(sql: str, proj_re: re.Pattern) -> MergeAggSpec | None:
     `proj_re`), and every item that contains an aggregate call is
     exactly `fn(arg) AS alias` with fn in sum/count/min/max. Returns
     None (callers fall back to raw-row buffering) on anything else."""
-    low = sql.lower()
-    if low.count("select") != 1 or "having" in low or "distinct" in low:
+    if select_count(sql) != 1 or re.search(r"\b(having|distinct)\b", sql, re.IGNORECASE):
         return None
+    low = sql.lower()
     # Per-run literals (current_watermark/now) would merge as distinct
     # key values across invocations — raw buffering replays them fresh.
     if "current_watermark" in low or "now(" in low:
@@ -356,7 +367,7 @@ def classify(sql: str, known_views: set[str]) -> str:
     # distinct. Conservative shape: single-block, no joins/aggregation.
     if (
         re.match(r"^\s*select\s+distinct\b", sql, re.IGNORECASE)
-        and sql.lower().count("select") == 1
+        and select_count(sql) == 1
         and not re.search(r"\b(join|group\s+by|union)\b", sql, re.IGNORECASE)
     ):
         return DISTINCT

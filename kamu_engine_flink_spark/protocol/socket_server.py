@@ -103,16 +103,23 @@ class _Handler(socketserver.BaseRequestHandler):
             return
         method = (envelope or {}).get("method")
         doc = (envelope or {}).get("request") or {}
-        if method == "executeTransform":
-            resp = _run_app(
-                "kamu_engine_flink_spark.transform_app", doc, self.server.workspace
-            )
-        elif method == "executeRawQuery":
-            resp = _run_app(
-                "kamu_engine_flink_spark.raw_query_app", doc, self.server.workspace
-            )
-        else:
-            resp = {"kind": "invalidRequest", "message": f"unknown method {method!r}"}
+        # The contract is EXACTLY one response frame per request: any
+        # dispatch failure (subprocess timeout, workspace I/O, unserializable
+        # request doc) must become an error envelope, never a dropped
+        # connection that strands the client mid-read.
+        try:
+            if method == "executeTransform":
+                resp = _run_app(
+                    "kamu_engine_flink_spark.transform_app", doc, self.server.workspace
+                )
+            elif method == "executeRawQuery":
+                resp = _run_app(
+                    "kamu_engine_flink_spark.raw_query_app", doc, self.server.workspace
+                )
+            else:
+                resp = {"kind": "invalidRequest", "message": f"unknown method {method!r}"}
+        except Exception as e:  # noqa: BLE001 — envelope-ize everything
+            resp = {"kind": "internalError", "message": f"{type(e).__name__}: {e}"}
         write_frame(self.request, yaml.safe_dump(resp).encode("utf-8"))
 
 

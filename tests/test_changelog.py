@@ -73,6 +73,25 @@ def test_to_changelog_rejects_schema_mismatch(spark):
         CL.to_changelog(prev, cur, ["k"])
 
 
+def test_to_changelog_null_pk_rows(spark):
+    """A NULL primary key is a legal key value for the null-safe join:
+    presence classification must come from literal flags, not pk IS NOT
+    NULL — a NULL-pk row only in cur is an op-0 append (not a bogus
+    correction pair), one only in prev is an op-1 retract."""
+    prev = spark.createDataFrame([(None, "old"), (1, "same")], "k: long, v: string")
+    cur = spark.createDataFrame([(2, "new"), (1, "same")], "k: long, v: string")
+    rows = sorted(
+        [(r.op, r.k, r.v) for r in CL.to_changelog(prev, cur, ["k"]).collect()],
+        key=lambda t: (t[0], t[1] if t[1] is not None else -1),
+    )
+    assert rows == [(0, 2, "new"), (1, None, "old")]
+    # NULL pk present on BOTH sides with a changed value -> one 2/3 pair
+    prev2 = spark.createDataFrame([(None, "a")], "k: long, v: string")
+    cur2 = spark.createDataFrame([(None, "b")], "k: long, v: string")
+    pair = sorted([(r.op, r.v) for r in CL.to_changelog(prev2, cur2, ["k"]).collect()])
+    assert pair == [(2, "a"), (3, "b")]
+
+
 def test_round_trip_law(spark):
     """snapshot(base changelog of prev ++ to_changelog(prev, cur)) == cur
     for snapshots with appears/vanishes/changes/unchanged all present."""

@@ -42,6 +42,49 @@ def test_classify_distinct():
     assert (
         classify("SELECT a FROM (SELECT DISTINCT a FROM readings)", views) == MAP
     )
+    # An identifier CONTAINING 'select' must not defeat the single-block
+    # detection (word-boundary keyword counting) — the downgrade to MAP
+    # would silently change semantics to per-slice distinct.
+    assert (
+        classify("SELECT DISTINCT user_id, selected_at FROM readings", views)
+        == DISTINCT
+    )
+
+
+def test_fingerprint_injective_across_column_boundaries(spark, tmp_path):
+    """Rows ('a\\x1fb', 'c') and ('a', 'b\\x1fc') are distinct and must
+    both emit — a delimiter-joined fingerprint would conflate them."""
+    runner = TransformRunner(
+        spark, tmp_path, queries=[("SELECT DISTINCT event_time, category, extra FROM readings", None)]
+    )
+    path = str(tmp_path / "in" / "s1.parquet")
+    write_input_slice(
+        path,
+        {
+            "offset": [0, 1],
+            "op": [0, 0],
+            "system_time": [ts(5), ts(5)],
+            "event_time": [ts(1), ts(1)],
+            "category": ["a\x1fb", "a"],
+            "extra": ["c", "b\x1fc"],
+        },
+        {
+            "offset": pa.int64(),
+            "op": pa.int32(),
+            "system_time": pa.timestamp("ms", tz="UTC"),
+            "event_time": pa.timestamp("ms", tz="UTC"),
+            "category": pa.string(),
+            "extra": pa.string(),
+        },
+    )
+    resp, out = runner.run(
+        [{"alias": "readings", "data_paths": [path], "schema_file": path, "watermark": ts(1)}],
+        system_time=ts(10),
+    )
+    import pyarrow.parquet as pq
+
+    got = {(r["category"], r["extra"]) for r in pq.read_table(out).to_pylist()}
+    assert got == {("a\x1fb", "c"), ("a", "b\x1fc")}
 
 
 def test_distinct_suppresses_rows_seen_in_earlier_invocations(spark, tmp_path):
