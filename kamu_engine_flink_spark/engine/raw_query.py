@@ -36,6 +36,15 @@ def run_query_steps(spark: SparkSession, steps, *, watermark=None) -> DataFrame:
 def execute_raw_query(spark: SparkSession, request: RawQueryRequest) -> RawQueryResponse:
     df = read_parquet_slices(spark, request.input_data_paths)
     df.createOrReplaceTempView("input")
-    result = run_query_steps(spark, request.transform.queries)
-    num = write_single_parquet(result, request.output_data_path, sorted_single=True)
+    try:
+        result = run_query_steps(spark, request.transform.queries)
+        num = write_single_parquet(result, request.output_data_path, sorted_single=True)
+    finally:
+        # Drop 'input' and step views: on a shared long-lived session a
+        # leftover view would let a later invocation's typo'd reference
+        # silently resolve to this invocation's data.
+        spark.catalog.dropTempView("input")
+        for step in request.transform.queries:
+            if step.alias:
+                spark.catalog.dropTempView(step.alias)
     return RawQueryResponse(num_records=num)

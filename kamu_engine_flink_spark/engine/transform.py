@@ -134,6 +134,16 @@ def execute_transform(spark: SparkSession, request: TransformRequest) -> Transfo
             alias_map[step.alias] = _safe_name(step.alias)
     for t in request.transform.temporal_tables:
         alias_map.setdefault(t.name, _safe_name(t.name))
+    # Distinct aliases must stay distinct after sanitization — `a.b` and
+    # `a__b` both map to a__b, and a silent collision would merge two
+    # inputs into one view.
+    if len(set(alias_map.values())) != len(alias_map):
+        from collections import Counter
+
+        dupes = [s for s, n in Counter(alias_map.values()).items() if n > 1]
+        raise InvalidQueryError(
+            f"dataset aliases collide after view-name sanitization: {dupes}"
+        )
     if any(o != s for o, s in alias_map.items()):
         from dataclasses import replace as _replace
 

@@ -55,8 +55,6 @@ class StepResult:
     # Deterministic emission order for offset stamping; None = preserve the
     # DataFrame's natural (single-input narrow-plan) order.
     order_cols: list[str] | None = None
-    # Internal columns to drop after ordering/op extraction (e.g. __op).
-    internal_cols: list[str] = field(default_factory=list)
 
 
 def min_watermark(*wms: datetime | None) -> datetime | None:

@@ -107,5 +107,4 @@ def execute_distinct(ctx: StepContext, sql: str) -> StepResult:
         df=out,
         watermark=wm,
         order_cols=[SEQ_INPUT] if has_seq else None,
-        internal_cols=[SEQ_INPUT] if has_seq else [],
     )

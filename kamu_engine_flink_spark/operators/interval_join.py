@@ -63,7 +63,15 @@ def execute_interval_join(ctx: StepContext, sql: str) -> StepResult:
     all_right = ctx.pin(old_right.unionByName(new_right))
 
     inner_sql = _LEFT_JOIN_RE.sub("JOIN", sql)
-    joint_wm = min_watermark(wm_l, wm_r)
+    # BOTH watermarks must exist for a joint one (Flink's two-input rule:
+    # an input with no watermark holds the combined watermark at
+    # MIN_VALUE). Collapsing to the present side would publish an output
+    # watermark the absent side can still write beneath. Matched pairs
+    # still emit (a pair is final once both rows exist); only the
+    # watermark-driven parts (pads, purges, output wm) hold back.
+    joint_wm = (
+        min_watermark(wm_l, wm_r) if wm_l is not None and wm_r is not None else None
+    )
     # New matched pairs: at least one side arrived this invocation.
     matches = _run_with_views(
         ctx, inner_sql, {lv: new_left.drop(_MATCHED), rv: all_right}, joint_wm
@@ -118,7 +126,14 @@ def execute_interval_join(ctx: StepContext, sql: str) -> StepResult:
         )
     keep_right = all_right
     if wm_l is not None:
-        keep_right = all_right.filter(F.col(spec.right_time_col) >= F.lit(wm_l))
+        # A right row r matches lefts with l.et ∈ [r.et - upper, r.et - lower];
+        # future lefts have et >= wm_l, so r is dead once r.et - lower < wm_l.
+        # (lower=0 for the standard orientation; -I for the mirrored
+        # BETWEEN, where purging at r.et < wm_l would drop rows future
+        # lefts can still match.)
+        keep_right = all_right.filter(
+            F.col(spec.right_time_col) >= F.lit(wm_l + spec.lower)
+        )
     ctx.state.save_df(left_state, keep_left)
     ctx.state.save_df(right_state, keep_right)
 

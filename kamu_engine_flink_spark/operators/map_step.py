@@ -33,8 +33,15 @@ def _inject_seq(sql: str) -> str | None:
         return None
     if re.search(r"\b(group\s+by|union|distinct|order\s+by|limit)\b", sql, re.IGNORECASE):
         return None
-    if SEQ_INPUT in sql or re.search(r"select\s+\*", sql, re.IGNORECASE):
-        return sql  # a star projection already carries __seq
+    if SEQ_INPUT in sql or re.search(
+        r"(?:\bselect|,)\s*(?:[`\w]+\s*\.\s*)?\*", sql, re.IGNORECASE
+    ):
+        # A star projection — bare `*` or qualified `t.*`, leading or
+        # mid-list — already expands the view's __seq; injecting another
+        # would duplicate the column and make the output-ordering
+        # reference ambiguous. (`price * 10` does not match: its `*` is
+        # preceded by an operand, not SELECT or a comma.)
+        return sql
     return _SIMPLE_SELECT_RE.sub(f"SELECT {SEQ_INPUT}, ", sql, count=1)
 
 
@@ -43,7 +50,6 @@ def execute_map(ctx: StepContext, sql: str) -> StepResult:
     wm = min_watermark(*[ctx.new_wms.get(r) for r in refs]) if refs else None
 
     order_cols: list[str] | None = None
-    internal: list[str] = []
     run_sql = sql
     if len(refs) == 1 and SEQ_INPUT in ctx.views[refs[0]].columns:
         injected = _inject_seq(sql)
@@ -52,5 +58,4 @@ def execute_map(ctx: StepContext, sql: str) -> StepResult:
     df = ctx.spark.sql(rewrite_query(run_sql, watermark=wm))
     if SEQ_INPUT in df.columns:
         order_cols = [SEQ_INPUT]
-        internal = [SEQ_INPUT]
-    return StepResult(df=df, watermark=wm, order_cols=order_cols, internal_cols=internal)
+    return StepResult(df=df, watermark=wm, order_cols=order_cols)

@@ -73,7 +73,13 @@ def execute_temporal_join(ctx: StepContext, sql: str) -> StepResult:
     probe_state = f"{ctx.step_key}-probe-buffer"
     prev_probe = ctx.state.load_df(probe_state, schema=ctx.views[probe].schema)
     probe_all = ctx.pin(prev_probe.unionByName(ctx.views[probe]))
-    joint_wm = min_watermark(ctx.new_wms.get(probe), ctx.new_wms.get(build))
+    # Releasing a probe requires the watermark of BOTH inputs past its
+    # event time (the joined version must be final). A side with no
+    # watermark yet holds everything — min_watermark's skip-None would
+    # otherwise release probes against non-final history and drop them
+    # from the buffer forever.
+    pw, bw = ctx.new_wms.get(probe), ctx.new_wms.get(build)
+    joint_wm = min_watermark(pw, bw) if pw is not None and bw is not None else None
     if joint_wm is not None:
         release = probe_all.filter(F.col(probe_et) <= F.lit(joint_wm))
         keep = probe_all.filter(F.col(probe_et) > F.lit(joint_wm))
@@ -94,9 +100,7 @@ def execute_temporal_join(ctx: StepContext, sql: str) -> StepResult:
     ctx.state.save_df(versions_state, pruned)
 
     release.createOrReplaceTempView(probe)
-    with_validity(versions, tt.primary_key, build_et).createOrReplaceTempView(
-        build + VERSIONS_SUFFIX
-    )
+    versioned.createOrReplaceTempView(build + VERSIONS_SUFFIX)
     try:
         result = ctx.spark.sql(rewrite_query(sql, watermark=joint_wm))
     finally:

@@ -260,9 +260,6 @@ def execute_topn(ctx: StepContext, sql: str) -> StepResult:
     result = _dedupe_columns(ctx.spark.sql(rewrite_query(final_sql)))
 
     wm = ctx.new_wms.get(src)
-    return StepResult(
-        df=result,
-        watermark=wm,
-        order_cols=[SEQ_COL],
-        internal_cols=[SEQ_COL],
-    )
+    # __-prefixed columns (the op/sequence plumbing) are dropped by the
+    # output assembly's internal-column convention (transform.py).
+    return StepResult(df=result, watermark=wm, order_cols=[SEQ_COL])

@@ -330,11 +330,18 @@ def parse_interval_join(sql: str, known_views: set[str]) -> IntervalJoinSpec | N
     left_alias = (jm.group(2) or jm.group(3) or jm.group(1)).strip("`")
     right_alias = (jm.group(6) or jm.group(7) or jm.group(5)).strip("`")
     r_al, r_col, l_al, l_col, n, unit = bm.groups()
-    upper = interval_to_timedelta(n, unit)
-    # BETWEEN binds right.et ∈ [left.et, left.et + upper]; if the aliases
-    # come out swapped the query bound the left side's time — mirror it.
+    iv = interval_to_timedelta(n, unit)
+    # BETWEEN binds right.et ∈ [left.et, left.et + I]. When the query
+    # bound the LEFT side's time instead (`l.et BETWEEN r.et AND r.et+I`),
+    # mirroring the aliases flips the window: the constraint becomes
+    # right.et ∈ [left.et - I, left.et], i.e. lower=-I, upper=0 — NOT
+    # lower=0/upper=I, which would purge right rows that future lefts can
+    # still match and delay LEFT-outer pads.
     if r_al.strip("`") == left_alias:
         l_al, l_col, r_al, r_col = r_al, r_col, l_al, l_col
+        lower, upper = -iv, timedelta(0)
+    else:
+        lower, upper = timedelta(0), iv
     return IntervalJoinSpec(
         left_view=left_view,
         left_alias=left_alias,
@@ -344,7 +351,7 @@ def parse_interval_join(sql: str, known_views: set[str]) -> IntervalJoinSpec | N
         on_condition=jm.group(8).strip(),
         left_time_col=l_col.strip("`"),
         right_time_col=r_col.strip("`"),
-        lower=timedelta(0),
+        lower=lower,
         upper=upper,
     )
 

@@ -41,18 +41,29 @@ def read_parquet_slices(spark: SparkSession, paths: list[str]) -> DataFrame:
     split/parallelize the scan freely — at 100 TB the per-file sequential
     loop the reference uses (ParquetFilesStreamSourceFunction.scala:60-113)
     would be the bottleneck.
+
+    ns-timestamp detection reads only paths[0]'s footer: the ODF schema
+    contract is fixed-per-dataset with NO evolution (SURVEY.md §1.4 —
+    both this engine and the reference reject it), so every slice shares
+    the first file's schema by construction.
     """
     if not paths:
         raise ValueError("read_parquet_slices: empty path vector")
     df = spark.read.parquet(*paths)
     ns_cols = _nanos_timestamp_columns(paths[0])
     for c in ns_cols:
-        # Integer `div`, not float division: epoch-ns longs (~1.7e18 in
-        # 2024) exceed double's 53-bit exact range, so `/ 1000` would be
-        # off by up to ±128ns before the cast truncates — enough to flip
-        # the resulting microsecond for ~12% of rows vs DuckDB's exact
-        # ns->us floor.
-        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+        # Exact integer FLOOR division, in two respects: float `/ 1000`
+        # would be off by up to ±128ns (epoch-ns ~1.7e18 exceeds double's
+        # 53-bit range), and `div` truncates toward zero, rounding
+        # PRE-1970 nanoseconds the wrong way (-500 div 1000 = 0, floor =
+        # -1µs) vs DuckDB's exact ns->us floor. floor-mod then div is
+        # branch-free exact floor for any sign.
+        df = df.withColumn(
+            c,
+            F.expr(
+                f"timestamp_micros((`{c}` - ((`{c}` % 1000) + 1000) % 1000) div 1000)"
+            ),
+        )
     return df
 
 

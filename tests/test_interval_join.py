@@ -148,3 +148,139 @@ def test_stream_to_stream_join_basic(spark, tmp_path):
         (ts(20), ts(5), 3, 9, None, 0),
         (ts(20), ts(10), 4, 110, ts(11), 110),
     ]
+
+
+MIRRORED_QUERY = """SELECT
+  o.event_time as order_time,
+  o.order_id,
+  o.quantity as order_quantity,
+  CAST(s.event_time as TIMESTAMP(3)) as shipped_time,
+  COALESCE(s.num_shipped, 0) as shipped_quantity
+FROM
+  orders as o
+LEFT JOIN shipments as s
+ON
+  o.order_id = s.order_id
+  AND o.event_time BETWEEN s.event_time AND s.event_time + INTERVAL '2' DAY"""
+
+
+def test_mirrored_between_keeps_right_rows_for_future_lefts(spark, tmp_path):
+    """`l.et BETWEEN r.et AND r.et + I` flips the window to
+    right.et in [left.et - I, left.et]: a buffered shipment must survive
+    wm_l past ITS event time (until wm_l > et + I), because later orders
+    inside the interval still match it."""
+    from kamu_engine_flink_spark.protocol.model import DatasetVocabulary
+
+    runner = TransformRunner(
+        spark,
+        tmp_path,
+        queries=[(MIRRORED_QUERY, None)],
+        vocab=DatasetVocabulary(event_time_column="order_time"),
+    )
+    s_o1 = str(tmp_path / "in" / "o1.parquet")
+    s_s1 = str(tmp_path / "in" / "s1.parquet")
+    # Run 1: one shipment at day 10, no orders yet (the o1 file only
+    # donates its schema — data_paths stays empty); orders watermark
+    # advances to day 11 — PAST the shipment's event time.
+    orders_slice(s_o1, [(0, 0, ts(1), ts(1), 999, 0)])
+    shipments_slice(s_s1, [(0, ts(14), ts(10), 7, 70)])
+    runner.run(
+        [
+            {"alias": "orders", "data_paths": [], "schema_file": s_o1, "watermark": ts(11)},
+            {"alias": "shipments", "data_paths": [s_s1], "schema_file": s_s1, "watermark": ts(11)},
+        ],
+        system_time=ts(20),
+    )
+    # Run 2: an order at day 11.5 — inside [10, 12], must match the
+    # buffered shipment (the old purge rule deleted it at wm_l=11 > 10).
+    s_o2 = str(tmp_path / "in" / "o2.parquet")
+    orders_slice(s_o2, [(0, 0, ts(21), ts(11, 12), 7, 5)])
+    resp2, out2 = runner.run(
+        [
+            {"alias": "orders", "data_paths": [s_o2], "schema_file": s_o2, "watermark": ts(14)},
+            {"alias": "shipments", "data_paths": [], "schema_file": s_s1, "watermark": ts(14)},
+        ],
+        system_time=ts(21),
+    )
+    got = _rows(out2)
+    assert [(r[2], r[3], r[4], r[5]) for r in got] == [(7, 5, ts(10), 70)]
+
+
+def test_temporal_join_holds_probes_without_build_watermark(spark, tmp_path):
+    """A temporal-table input with NO watermark must hold every probe row
+    (its version history is not final) — releasing and dropping them
+    loses joins forever. The probe matches once the build watermark
+    arrives in a later run."""
+    from .helpers import write_input_slice
+
+    def tickers_slice(path, rows):
+        cols = list(zip(*rows)) if rows else [[], [], [], [], [], []]
+        write_input_slice(
+            path,
+            {
+                "offset": list(cols[0]), "op": list(cols[1]),
+                "system_time": list(cols[2]), "event_time": list(cols[3]),
+                "symbol": list(cols[4]), "price": list(cols[5]),
+            },
+            {
+                "offset": pa.int64(), "op": pa.int32(),
+                "system_time": pa.timestamp("ms", tz="UTC"),
+                "event_time": pa.timestamp("ms", tz="UTC"),
+                "symbol": pa.string(), "price": pa.int64(),
+            },
+        )
+
+    QUERY = """SELECT
+      t.event_time as event_time, t.symbol, t.price, o.volume as volume
+    FROM tickers as t
+    JOIN owned FOR SYSTEM_TIME AS OF t.event_time AS o
+    ON t.symbol = o.symbol"""
+
+    def owned_slice(path, rows):
+        cols = list(zip(*rows)) if rows else [[], [], [], [], [], []]
+        write_input_slice(
+            path,
+            {
+                "offset": list(cols[0]), "op": list(cols[1]),
+                "system_time": list(cols[2]), "event_time": list(cols[3]),
+                "symbol": list(cols[4]), "volume": list(cols[5]),
+            },
+            {
+                "offset": pa.int64(), "op": pa.int32(),
+                "system_time": pa.timestamp("ms", tz="UTC"),
+                "event_time": pa.timestamp("ms", tz="UTC"),
+                "symbol": pa.string(), "volume": pa.int64(),
+            },
+        )
+
+    runner = TransformRunner(
+        spark, tmp_path, queries=[(QUERY, None)], temporal_tables=[("owned", "symbol")]
+    )
+    t1 = str(tmp_path / "in" / "t1.parquet")
+    o1 = str(tmp_path / "in" / "o1.parquet")
+    tickers_slice(t1, [(0, 0, ts(5), ts(2), "A", 100)])
+    owned_slice(o1, [])
+    # Run 1: probe watermark day 3, temporal table has NO watermark —
+    # nothing may release.
+    resp1, out1 = runner.run(
+        [
+            {"alias": "tickers", "data_paths": [t1], "schema_file": t1, "watermark": ts(3)},
+            {"alias": "owned", "data_paths": [], "schema_file": o1},
+        ],
+        system_time=ts(10),
+    )
+    assert out1 is None or not __import__("os").path.exists(out1) or \
+        pq.read_table(out1).num_rows == 0
+    # Run 2: the version (day 1) plus a build watermark arrive — the
+    # buffered probe must now join it.
+    o2 = str(tmp_path / "in" / "o2.parquet")
+    owned_slice(o2, [(0, 0, ts(11), ts(1), "A", 42)])
+    resp2, out2 = runner.run(
+        [
+            {"alias": "tickers", "data_paths": [], "schema_file": t1, "watermark": ts(3)},
+            {"alias": "owned", "data_paths": [o2], "schema_file": o2, "watermark": ts(3)},
+        ],
+        system_time=ts(11),
+    )
+    rows = pq.read_table(out2).to_pylist()
+    assert [(r["symbol"], r["price"], r["volume"]) for r in rows] == [("A", 100, 42)]

@@ -192,3 +192,25 @@ def test_raw_query_session_window_sql(spark, tmp_path):
     # lone 09:00 event -> one 30-minute session.
     assert rows == [(30.0, 1), (50.0, 2)]
     assert resp.num_records == 2
+def test_pre_epoch_nanos_floor_to_micros(spark, tmp_path):
+    """ns->us conversion must FLOOR (DuckDB parity), not truncate toward
+    zero: -500ns is 1969-12-31T23:59:59.999999, not 1970-01-01T00:00:00."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kamu_engine_flink_spark.sources.parquet import read_parquet_slices
+
+    path = str(tmp_path / "ns.parquet")
+    pq.write_table(
+        pa.table({"ts": pa.array([-500, 500, -1500], type=pa.timestamp("ns")),
+                  "i": pa.array([1, 2, 3], type=pa.int64())}),
+        path,
+        use_deprecated_int96_timestamps=False,
+        coerce_timestamps=None,
+    )
+    got = {r.i: r.ts for r in read_parquet_slices(spark, [path]).collect()}
+    from datetime import datetime
+
+    assert got[2] == datetime(1970, 1, 1, 0, 0, 0)          # +500ns floors to 0us
+    assert got[1] == datetime(1969, 12, 31, 23, 59, 59, 999999)  # -500ns floors DOWN
+    assert got[3] == datetime(1969, 12, 31, 23, 59, 59, 999998)  # -1500ns -> -2us

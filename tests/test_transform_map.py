@@ -183,3 +183,45 @@ def test_fully_custom_vocabulary(spark, tmp_path):
     assert all(r["kind"] == 0 for r in rows)
     assert [r["price"] for r in rows] == [20, 40]
     assert (resp.new_offset_interval.start, resp.new_offset_interval.end) == (0, 1)
+
+
+def test_map_qualified_star_projection(spark, tmp_path):
+    """`SELECT t.* FROM v t` must not get a second __seq injected (the
+    qualified star already expands the view's) — the duplicate made the
+    output ordering reference ambiguous and failed the invocation."""
+    runner = TransformRunner(spark, tmp_path, queries=[("SELECT t.* FROM ticker t", None)])
+    s1 = str(tmp_path / "in" / "s1.parquet")
+    ticker_slice(s1, [(0, 0, ts(5), ts(1), "A", 10.0), (1, 0, ts(5), ts(2), "B", 20.0)])
+    resp, out = runner.run(
+        [{"alias": "ticker", "data_paths": [s1], "schema_file": s1, "watermark": ts(2)}],
+        system_time=ts(5),
+    )
+    import pyarrow.parquet as pq
+
+    rows = pq.read_table(out).to_pylist()
+    assert [(r["symbol"], r["price"]) for r in rows] == [("A", 10.0), ("B", 20.0)]
+    assert resp.new_offset_interval.start == 0 and resp.new_offset_interval.end == 1
+
+
+def test_alias_collision_after_sanitization_rejected(spark, tmp_path):
+    """`a.b` and `a__b` sanitize to the same temp-view name — must raise,
+    not silently merge the two inputs."""
+    import pytest
+
+    from kamu_engine_flink_spark.protocol.model import InvalidQueryError
+
+    runner = TransformRunner(
+        spark,
+        tmp_path,
+        queries=[("SELECT event_time, symbol, price FROM `stocks.owned`", None)],
+    )
+    s1 = str(tmp_path / "in" / "s1.parquet")
+    ticker_slice(s1, [(0, 0, ts(5), ts(1), "A", 10.0)])
+    with pytest.raises(InvalidQueryError, match="collide"):
+        runner.run(
+            [
+                {"alias": "stocks.owned", "data_paths": [s1], "schema_file": s1, "watermark": ts(1)},
+                {"alias": "stocks__owned", "data_paths": [s1], "schema_file": s1, "watermark": ts(1)},
+            ],
+            system_time=ts(5),
+        )
