@@ -1613,6 +1613,41 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_cumulate_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative windows (1h step, 6h size) — Flink's CUMULATE surface
+    (public windowing TVF since 1.13; beyond the reference's TUMBLE-only
+    set), routed through the engine's own dialect rewrite
+    (plans/dialect.py:_rewrite_cumulate — row explode over window ends,
+    GROUP BY (span, end)). Money math via DECIMAL for order-independent
+    sums; the avg is an IEEE division of identical operands in both
+    engines."""
+    from kamu_engine_flink_spark.plans.dialect import rewrite_query
+
+    _t(spark, sf_dir, "events").select(
+        F.col("ts").alias("event_time"), "event_type", "value"
+    ).createOrReplaceTempView("cumulate_events_v")
+    cum = spark.sql(
+        rewrite_query(
+            """SELECT
+  CUMULATE_START(event_time, INTERVAL '1' HOUR, INTERVAL '6' HOUR) as win_start,
+  CUMULATE_END(event_time, INTERVAL '1' HOUR, INTERVAL '6' HOUR) as win_end,
+  event_type,
+  count(*) as n_events,
+  sum(CAST(value AS DECIMAL(18,6))) as sum_value
+FROM cumulate_events_v
+GROUP BY CUMULATE(event_time, INTERVAL '1' HOUR, INTERVAL '6' HOUR), event_type"""
+        )
+    )
+    return cum.select(
+        F.unix_micros("win_start").alias("win_start_us"),
+        F.unix_micros("win_end").alias("win_end_us"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_value").cast("decimal(38,6)").alias("sum_value"),
+        (F.col("sum_value").cast("double") / F.col("n_events")).alias("avg_value"),
+    )
+
+
 def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (operators/training_data.py): sign-LSH
     cluster assignment over quantized embeddings + within-cluster
@@ -1773,6 +1808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the FIRST 50 dict entries, so the 22 entries it never reached run
     # first this round; the 50 already-green ones follow.
     return {
+        "window_cumulate_6h": window_cumulate_6h,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "training_shards_documents": training_shards_documents,
         "mixture_sample_documents": mixture_sample_documents,
@@ -2987,6 +3023,32 @@ def oracle_sql() -> dict[str, str]:
         "changelog_snapshot_customers": """
             SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, c_acctbal
             FROM customer
+        """,
+        "window_cumulate_6h": """
+            -- CUMULATE(step 1h, size 6h) replayed by hand: span start via
+            -- integer floor-division on epoch micros, ends via
+            -- generate_series(first_end, span_end, step) — the same
+            -- integer geometry the Spark dialect rewrite emits.
+            WITH e AS (
+                SELECT epoch_us(ts) AS us, event_type,
+                       CAST(value AS DECIMAL(18,6)) AS value_dec
+                FROM events
+            ), x AS (
+                SELECT *, (us // 21600000000) * 21600000000 AS s_us FROM e
+            ), w AS (
+                SELECT s_us, event_type, value_dec,
+                       unnest(generate_series(
+                           s_us + ((us - s_us) // 3600000000 + 1) * 3600000000,
+                           s_us + 21600000000,
+                           3600000000)) AS end_us
+                FROM x
+            )
+            SELECT s_us AS win_start_us, end_us AS win_end_us, event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(value_dec) AS DECIMAL(38,6)) AS sum_value,
+                   CAST(sum(value_dec) AS DOUBLE) / count(*) AS avg_value
+            FROM w
+            GROUP BY 1, 2, 3
         """,
         "semantic_dedup_embeddings": f"""
             WITH emb AS (

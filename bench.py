@@ -65,6 +65,12 @@ HOP_SQL = """SELECT
   count(*) as n_events,
   sum(value) as sum_value
 FROM events GROUP BY HOP(event_time, INTERVAL '1' HOUR, INTERVAL '2' HOUR), event_type"""
+CUMULATE_SQL = """SELECT
+  CUMULATE_END(event_time, INTERVAL '1' HOUR, INTERVAL '6' HOUR) as event_time,
+  event_type,
+  count(*) as n_events,
+  avg(value) as avg_value
+FROM events GROUP BY CUMULATE(event_time, INTERVAL '1' HOUR, INTERVAL '6' HOUR), event_type"""
 TOPN_SQL = """SELECT * FROM (
   SELECT
     row_number() OVER (ORDER BY value DESC) AS place,
@@ -276,6 +282,7 @@ def main() -> None:
             ("odf_transform_window_agg", AGG_SQL, [("events", ledger, wm)]),
             ("odf_transform_distinct", DISTINCT_SQL, [("events", ledger, wm)]),
             ("odf_transform_hop_agg", HOP_SQL, [("events", ledger, wm)]),
+            ("odf_transform_cumulate_agg", CUMULATE_SQL, [("events", ledger, wm)]),
             ("odf_transform_topn", TOPN_SQL, [("events", ledger, wm)]),
             (
                 "odf_transform_interval_join",

@@ -81,6 +81,7 @@ _EXECUTORS = {
     C.WINDOW_AGG: window_agg.execute_window_agg,
     C.HOP_AGG: window_agg.execute_hop_agg,
     C.SESSION_AGG: window_agg.execute_session_agg,
+    C.CUMULATE_AGG: window_agg.execute_cumulate_agg,
     C.INTERVAL_JOIN: interval_join.execute_interval_join,
     C.TEMPORAL_JOIN: temporal_join.execute_temporal_join,
     C.TOPN: topn.execute_topn,

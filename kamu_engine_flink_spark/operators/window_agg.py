@@ -23,15 +23,41 @@ from pyspark.sql import functions as F
 
 from ..plans.classify import (
     TumbleSpec,
+    parse_cumulate,
     parse_hop,
+    parse_mergeable_cumulate_aggs,
     parse_mergeable_hop_aggs,
     parse_mergeable_tumble_aggs,
     parse_session,
     parse_tumble,
     referenced_views,
 )
-from ..plans.dialect import rewrite_query
+from ..plans.dialect import rewrite_cumulate_as_step_tumble, rewrite_query
 from .base import StepContext, StepResult, min_watermark
+
+
+def _probe_output_schema(ctx: StepContext, sql: str, src: str):
+    """Output schema (names, order, types) of the user's query — resolved
+    against an empty slice of the source view. Plan-only analysis: no job
+    runs."""
+    ctx.views[src].limit(0).createOrReplaceTempView(src)
+    try:
+        return ctx.spark.sql(rewrite_query(sql)).schema
+    finally:
+        ctx.views[src].createOrReplaceTempView(src)
+
+
+def _finalize_avgs(df: DataFrame, mspec, out_schema) -> DataFrame:
+    """Replace each avg's (sum, count) partial pair with the final
+    quotient (sum-of-sums / sum-of-counts — Flink's AvgAggFunction merge)
+    cast to the type Spark's own avg() would produce, and restore the
+    user's projection order."""
+    if not mspec.avgs:
+        return df
+    types = {f.name: f.dataType for f in out_schema.fields}
+    for alias, (s_col, c_col) in mspec.avgs.items():
+        df = df.withColumn(alias, (F.col(s_col) / F.col(c_col)).cast(types[alias]))
+    return df.select(*[f.name for f in out_schema.fields])
 
 
 def _window_end(df: DataFrame, spec: TumbleSpec):
@@ -139,13 +165,17 @@ def _execute_with_partials(
 
     incoming.createOrReplaceTempView(src)
     try:
-        slice_partials = ctx.spark.sql(rewrite_query(sql, watermark=new_wm))
+        slice_partials = ctx.spark.sql(
+            rewrite_query(mspec.slice_sql or sql, watermark=new_wm)
+        )
     finally:
         ctx.views[src].createOrReplaceTempView(src)
 
     result = _merge_partials(
         ctx, partials_name, slice_partials, mspec, end_col, new_wm
     )
+    if mspec.avgs:
+        result = _finalize_avgs(result, mspec, _probe_output_schema(ctx, sql, src))
     return _ordered_result(ctx, src, result, new_wm)
 
 
@@ -279,7 +309,9 @@ def execute_hop_agg(ctx: StepContext, sql: str) -> StepResult:
             lead = mspec.start_alias
         incoming.createOrReplaceTempView(src)
         try:
-            slice_partials = ctx.spark.sql(rewrite_query(sql, watermark=new_wm))
+            slice_partials = ctx.spark.sql(
+                rewrite_query(mspec.slice_sql or sql, watermark=new_wm)
+            )
         finally:
             ctx.views[src].createOrReplaceTempView(src)
         if prev_wm is not None:
@@ -287,6 +319,8 @@ def execute_hop_agg(ctx: StepContext, sql: str) -> StepResult:
         result = _merge_partials(
             ctx, f"{ctx.step_key}-hop-partials", slice_partials, mspec, p_end, new_wm
         )
+        if mspec.avgs:
+            result = _finalize_avgs(result, mspec, _probe_output_schema(ctx, sql, src))
         order_cols = list(result.columns)
         if lead in order_cols:
             order_cols.remove(lead)
@@ -310,6 +344,174 @@ def execute_hop_agg(ctx: StepContext, sql: str) -> StepResult:
         end_col = F.col(spec.start_alias) + F.expr(f"INTERVAL '{size_secs}' SECOND")
         lead = spec.start_alias
     return _emit_and_order(ctx, sql, src, buf, end_col, prev_wm, new_wm, lead)
+
+
+def execute_cumulate_agg(ctx: StepContext, sql: str) -> StepResult:
+    """Stateful CUMULATE (cumulative-window) aggregation — BEYOND the
+    reference (TUMBLE only); Flink's public cumulative-window surface.
+    Within each size-aligned span [S, S+size) the engine emits growing
+    windows [S, S+k*step) as the watermark passes each end.
+
+    Preferred path (mergeable aggregates): the slice is aggregated by
+    STEP windows — Flink's slicing optimization, every cumulative window
+    is a union of whole steps — merged with the checkpointed per-step
+    partials, expanded to the cumulative ends each step feeds, and
+    re-merged per (span, end, keys). State is O(open spans x steps x
+    groups) accumulator rows; each window end emits in exactly one
+    invocation via the (prev_wm, new_wm] end filter.
+
+    Fallback (arbitrary aggregates, e.g. stddev): raw rows buffer until
+    their span closes and the dialect rewrite (explode over window ends)
+    runs over the whole buffer; requires CUMULATE_END in the projection
+    so results are attributable to windows."""
+    spec = parse_cumulate(sql)
+    if spec is None:
+        raise ValueError("cumulate_agg executor requires a CUMULATE clause")
+    src = _single_source(ctx, sql, "cumulative aggregation")
+    prev_wm = ctx.prev_wms.get(src)
+    new_wm = ctx.new_wms.get(src)
+
+    incoming = ctx.views[src]
+    cols = incoming.columns
+    buffer_name = f"{ctx.step_key}-cumulate-buffer"
+    partials_name = f"{ctx.step_key}-cumulate-partials"
+
+    step_secs = int(spec.step.total_seconds())
+    size_us = int(spec.size.total_seconds()) * 1_000_000
+    # A row's LAST containing window ends where its span ends. Integer
+    # DIV on epoch micros — exact (non-negative epochs).
+    row_last_end = F.expr(
+        f"timestamp_micros((unix_micros({spec.time_col}) DIV {size_us} + 1) * {size_us})"
+    )
+    if prev_wm is not None:
+        incoming = incoming.filter(row_last_end > F.lit(prev_wm)).select(*cols)
+
+    mspec = parse_mergeable_cumulate_aggs(sql)
+    if mspec is not None and not ctx.state.has_df(buffer_name):
+        if mspec.start_alias is None and mspec.end_alias is None:
+            raise ValueError(
+                "incremental CUMULATE aggregation requires CUMULATE_START(...) AS "
+                "<alias> or CUMULATE_END(...) AS <alias> in the projection"
+            )
+        # Slice partials at step grain: CUMULATE -> step-sized TUMBLE.
+        step_sql = rewrite_cumulate_as_step_tumble(mspec.slice_sql or sql)
+        incoming.createOrReplaceTempView(src)
+        try:
+            slice_partials = ctx.spark.sql(rewrite_query(step_sql, watermark=new_wm))
+        finally:
+            ctx.views[src].createOrReplaceTempView(src)
+
+        # Step end (exclusive) — derivable from either projected alias.
+        if mspec.end_alias is not None:
+            step_end = F.col(mspec.end_alias)
+        else:
+            step_end = F.col(mspec.start_alias) + F.expr(f"INTERVAL '{step_secs}' SECOND")
+        # Span geometry via exact integer DIV on epoch micros; -1 because
+        # the final step's end coincides with the NEXT span's boundary.
+        def with_span(df: DataFrame) -> DataFrame:
+            return df.withColumn("__step_end", step_end).withColumn(
+                "__span_start_us",
+                F.expr(f"((unix_micros(__step_end) - 1) DIV {size_us}) * {size_us}"),
+            )
+
+        span_last_end = F.expr(f"timestamp_micros(__span_start_us + {size_us})")
+
+        key_cols = [c for c in slice_partials.columns if c not in mspec.merges]
+        out_types = {f.name: f.dataType for f in slice_partials.schema.fields}
+        if ctx.state.has_df(partials_name):
+            prev = ctx.state.load_df(partials_name, schema=slice_partials.schema)
+            merged = (
+                prev.unionByName(slice_partials)
+                .groupBy(*key_cols)
+                .agg(
+                    *[
+                        getattr(F, fn)(c).cast(out_types[c]).alias(c)
+                        for c, fn in mspec.merges.items()
+                    ]
+                )
+                .select(*slice_partials.columns)
+            )
+        else:
+            merged = slice_partials
+        merged = ctx.pin(with_span(merged))
+
+        # Keep step partials whose span is still open (its later windows
+        # can still merge new steps); emit from the PRE-eviction merge.
+        if new_wm is not None:
+            ctx.state.save_df(
+                partials_name,
+                merged.filter(span_last_end > F.lit(new_wm)).select(
+                    *slice_partials.columns
+                ),
+            )
+            emit_upper = F.lit(new_wm)
+        else:
+            ctx.state.save_df(partials_name, merged.select(*slice_partials.columns))
+            emit_upper = None
+
+        # Expand each step partial into the cumulative ends it feeds:
+        # E in {step_end, step_end+step, ..., span_end}.
+        expanded = merged.withColumn(
+            "__cum_end",
+            F.explode(
+                F.sequence(
+                    F.col("__step_end"),
+                    F.expr(f"timestamp_micros(__span_start_us + {size_us})"),
+                    F.expr(f"INTERVAL '{step_secs}' SECOND"),
+                )
+            ),
+        ).withColumn("__span_start", F.expr("timestamp_micros(__span_start_us)"))
+        if emit_upper is None:
+            expanded = expanded.filter(F.lit(False))
+        else:
+            expanded = expanded.filter(F.col("__cum_end") <= emit_upper)
+            if prev_wm is not None:
+                expanded = expanded.filter(F.col("__cum_end") > F.lit(prev_wm))
+
+        group_keys = [c for c in key_cols if c not in (mspec.start_alias, mspec.end_alias)]
+        result = (
+            expanded.groupBy("__span_start", "__cum_end", *group_keys)
+            .agg(
+                *[
+                    getattr(F, fn)(c).cast(out_types[c]).alias(c)
+                    for c, fn in mspec.merges.items()
+                ]
+            )
+        )
+        if mspec.start_alias is not None:
+            result = result.withColumn(mspec.start_alias, F.col("__span_start"))
+        if mspec.end_alias is not None:
+            result = result.withColumn(mspec.end_alias, F.col("__cum_end"))
+        result = result.select(*slice_partials.columns)
+        result = _finalize_avgs(result, mspec, _probe_output_schema(ctx, sql, src))
+        lead = mspec.end_alias or mspec.start_alias
+        order_cols = list(result.columns)
+        if lead in order_cols:
+            order_cols.remove(lead)
+            order_cols.insert(0, lead)
+        return StepResult(df=result, watermark=new_wm, order_cols=order_cols)
+
+    # Raw-row fallback: arbitrary aggregates via the dialect's explode
+    # rewrite over the full buffer.
+    if spec.end_alias is None:
+        raise ValueError(
+            "CUMULATE with non-mergeable aggregates requires CUMULATE_END(...) AS "
+            "<alias> in the projection"
+        )
+    if ctx.state.has_df(buffer_name):
+        prev_buf = ctx.state.load_df(buffer_name, schema=incoming.schema)
+        buf = ctx.pin(prev_buf.unionByName(incoming))
+    else:
+        buf = incoming  # first run: re-scan the source, skip the pin
+    still_open = (
+        buf.filter(row_last_end > F.lit(new_wm)).select(*cols)
+        if new_wm is not None
+        else buf
+    )
+    ctx.state.save_df(buffer_name, still_open)
+    return _emit_and_order(
+        ctx, sql, src, buf, F.col(spec.end_alias), prev_wm, new_wm, spec.end_alias
+    )
 
 
 def execute_session_agg(ctx: StepContext, sql: str) -> StepResult:

@@ -12,7 +12,7 @@ stateless map/filter step.
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from datetime import timedelta
 
 MAP = "map"
@@ -20,6 +20,7 @@ DISTINCT = "distinct"
 WINDOW_AGG = "window_agg"
 HOP_AGG = "hop_agg"
 SESSION_AGG = "session_agg"
+CUMULATE_AGG = "cumulate_agg"
 INTERVAL_JOIN = "interval_join"
 TEMPORAL_JOIN = "temporal_join"
 TOPN = "topn"
@@ -41,6 +42,14 @@ _SESSION_RE = re.compile(
 )
 _SESSION_PROJ_RE = re.compile(
     r"(?<![\w.])SESSION_(START|END)\s*\([^)]*\)\s+(?:AS\s+)?`?(\w+)`?", re.IGNORECASE
+)
+_CUMULATE_RE = re.compile(
+    r"(?<![\w.])CUMULATE\s*\(\s*([`\w.]+)\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*,"
+    r"\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*\)",
+    re.IGNORECASE,
+)
+_CUMULATE_PROJ_RE = re.compile(
+    r"(?<![\w.])CUMULATE_(START|END)\s*\([^)]*\)\s+(?:AS\s+)?`?(\w+)`?", re.IGNORECASE
 )
 _GROUP_BY_RE = re.compile(
     r"GROUP\s+BY\s+(.*?)(?:\s+ORDER\s+BY|\s+HAVING|\s+LIMIT|\s*$)",
@@ -85,17 +94,25 @@ class TumbleSpec:
 
 @dataclass
 class MergeAggSpec:
-    """A TUMBLE aggregation whose per-window results are self-mergeable
-    (every aggregate is an algebraic sum/count/min/max with an alias),
-    letting the runner keep O(groups) accumulator state instead of
-    O(rows) raw buffers — the Spark-side equivalent of Flink's window
-    accumulator state the reference inherits (SURVEY.md §2.B
-    aggregations row: min/max/sum/count(*) is the full tested surface).
+    """An aggregation whose per-window results are self-mergeable (every
+    aggregate is an algebraic sum/count/min/max, or an avg decomposed
+    into a sum+count partial pair), letting the runner keep O(groups)
+    accumulator state instead of O(rows) raw buffers — the Spark-side
+    equivalent of Flink's window accumulator state the reference inherits
+    (SURVEY.md §2.B aggregations row: min/max/sum/count(*) is the tested
+    surface; avg is part of the same Flink builtin family).
     """
 
     start_alias: str | None  # projected TUMBLE_START alias
     end_alias: str | None  # projected TUMBLE_END alias
     merges: dict[str, str]  # output column -> merge fn (sum/min/max)
+    # avg alias -> (sum partial column, count partial column). When
+    # non-empty, `slice_sql` is the user SQL with each `avg(x) AS a`
+    # replaced by the two partials; the executor computes the final
+    # quotient after the cross-run merge (sum-of-sums / sum-of-counts —
+    # exactly how Flink's AvgAggFunction merges accumulators).
+    avgs: dict[str, tuple[str, str]] = field(default_factory=dict)
+    slice_sql: str | None = None  # rewritten SQL for slice partials (if avgs)
 
 
 _TUMBLE_PROJ_RE = re.compile(
@@ -104,6 +121,9 @@ _TUMBLE_PROJ_RE = re.compile(
 _SIMPLE_AGG_ITEM_RE = re.compile(
     r"^(sum|count|min|max)\s*\(\s*(\*|[`\w.]+)\s*\)\s+(?:AS\s+)?`?(\w+)`?$",
     re.IGNORECASE,
+)
+_AVG_AGG_ITEM_RE = re.compile(
+    r"^avg\s*\(\s*([`\w.]+)\s*\)\s+(?:AS\s+)?`?(\w+)`?$", re.IGNORECASE
 )
 _AGG_CALL_RE = re.compile(r"\b(sum|count|min|max|avg|stddev|variance|collect_\w+|first|last)\s*\(", re.IGNORECASE)
 _MERGE_FN = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
@@ -156,6 +176,8 @@ def _parse_mergeable_aggs(sql: str, proj_re: re.Pattern) -> MergeAggSpec | None:
         return None
     start_alias = end_alias = None
     merges: dict[str, str] = {}
+    avgs: dict[str, tuple[str, str]] = {}
+    new_items: list[str] = []
     for item in _split_top_level(m.group(1)):
         pm = proj_re.match(item)
         if pm:
@@ -163,17 +185,38 @@ def _parse_mergeable_aggs(sql: str, proj_re: re.Pattern) -> MergeAggSpec | None:
                 start_alias = pm.group(2)
             else:
                 end_alias = pm.group(2)
+            new_items.append(item)
             continue
         am = _SIMPLE_AGG_ITEM_RE.match(item)
         if am:
             merges[am.group(3)] = _MERGE_FN[am.group(1).lower()]
+            new_items.append(item)
+            continue
+        vm = _AVG_AGG_ITEM_RE.match(item)
+        if vm:
+            arg, alias = vm.group(1), vm.group(2)
+            s_col, c_col = f"__avg_sum_{alias}", f"__avg_cnt_{alias}"
+            avgs[alias] = (s_col, c_col)
+            merges[s_col] = "sum"
+            merges[c_col] = "sum"
+            new_items.append(f"sum({arg}) AS {s_col}, count({arg}) AS {c_col}")
             continue
         if _AGG_CALL_RE.search(item):
             return None  # aggregate inside a larger expression — not mergeable
         # anything else is a group-key projection: fine as-is
+        new_items.append(item)
     if (start_alias is None and end_alias is None) or not merges:
         return None
-    return MergeAggSpec(start_alias=start_alias, end_alias=end_alias, merges=merges)
+    slice_sql = None
+    if avgs:
+        slice_sql = sql[: m.start(1)] + ", ".join(new_items) + sql[m.end(1) :]
+    return MergeAggSpec(
+        start_alias=start_alias,
+        end_alias=end_alias,
+        merges=merges,
+        avgs=avgs,
+        slice_sql=slice_sql,
+    )
 
 
 def parse_mergeable_tumble_aggs(sql: str) -> MergeAggSpec | None:
@@ -188,8 +231,21 @@ def parse_mergeable_hop_aggs(sql: str) -> MergeAggSpec | None:
     return _parse_mergeable_aggs(sql, _HOP_PROJ_ITEM_RE)
 
 
+def parse_mergeable_cumulate_aggs(sql: str) -> MergeAggSpec | None:
+    """CUMULATE variant: the executor aggregates the slice by STEP
+    windows (Flink's slicing optimization — every cumulative window is a
+    union of whole steps) and expands merged step partials into the
+    cumulative windows that contain them, so the mergeable gate is the
+    enabling condition for incremental CUMULATE, not just an
+    optimization."""
+    return _parse_mergeable_aggs(sql, _CUMULATE_PROJ_ITEM_RE)
+
+
 _HOP_PROJ_ITEM_RE = re.compile(
     r"^(?:\s*)HOP_(START|END)\s*\([^)]*\)\s+(?:AS\s+)?`?(\w+)`?$", re.IGNORECASE
+)
+_CUMULATE_PROJ_ITEM_RE = re.compile(
+    r"^(?:\s*)CUMULATE_(START|END)\s*\([^)]*\)\s+(?:AS\s+)?`?(\w+)`?$", re.IGNORECASE
 )
 
 
@@ -238,6 +294,23 @@ class HopSpec:
 
 
 @dataclass
+class CumulateSpec:
+    """CUMULATE(time, INTERVAL 'step', INTERVAL 'size') — Flink's
+    cumulative windows (public windowing surface since 1.13): within each
+    size-aligned span [S, S+size), emit growing windows [S, S+step),
+    [S, S+2*step), ..., [S, S+size). Argument order mirrors Flink's
+    CUMULATE(TABLE, DESCRIPTOR(ts), step, size)."""
+
+    time_col: str  # unqualified
+    step: timedelta
+    size: timedelta
+    step_duration: str
+    size_duration: str
+    start_alias: str | None  # projected CUMULATE_START alias
+    end_alias: str | None  # projected CUMULATE_END alias
+
+
+@dataclass
 class SessionSpec:
     time_col: str  # unqualified
     gap: timedelta
@@ -274,6 +347,30 @@ def parse_hop(sql: str) -> HopSpec | None:
         slide=interval_to_timedelta(slide_n, slide_u),
         size=interval_to_timedelta(size_n, size_u),
         slide_duration=f"{slide_n} {slide_u.lower()}",
+        size_duration=f"{size_n} {size_u.lower()}",
+        start_alias=aliases.get("START"),
+        end_alias=aliases.get("END"),
+    )
+
+
+def parse_cumulate(sql: str) -> CumulateSpec | None:
+    m = _CUMULATE_RE.search(sql)
+    if not m:
+        return None
+    col, step_n, step_u, size_n, size_u = m.groups()
+    step = interval_to_timedelta(step_n, step_u)
+    size = interval_to_timedelta(size_n, size_u)
+    if step.total_seconds() <= 0 or size.total_seconds() % step.total_seconds() != 0:
+        raise ValueError(
+            f"CUMULATE size must be a positive multiple of step, got "
+            f"step={step_n} {step_u}, size={size_n} {size_u}"
+        )
+    aliases = {kind.upper(): alias for kind, alias in _CUMULATE_PROJ_RE.findall(sql)}
+    return CumulateSpec(
+        time_col=col.split(".")[-1].strip("`"),
+        step=step,
+        size=size,
+        step_duration=f"{step_n} {step_u.lower()}",
         size_duration=f"{size_n} {size_u.lower()}",
         start_alias=aliases.get("START"),
         end_alias=aliases.get("END"),
@@ -357,6 +454,8 @@ def parse_interval_join(sql: str, known_views: set[str]) -> IntervalJoinSpec | N
 
 
 def classify(sql: str, known_views: set[str]) -> str:
+    if _CUMULATE_RE.search(sql):
+        return CUMULATE_AGG
     if _TUMBLE_RE.search(sql):
         return WINDOW_AGG
     if _HOP_RE.search(sql):

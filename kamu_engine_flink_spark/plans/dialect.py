@@ -15,6 +15,9 @@ Rewrites:
   HOP_START/HOP_END                    -> window.start / window.end
   SESSION(ts, INTERVAL gap)            -> session_window(ts, gap)
   SESSION_START/SESSION_END            -> session_window.start / .end
+  CUMULATE(ts, INTERVAL step, INTERVAL size) -> (window(ts, size), __cum_end)
+    + FROM-subquery exploding each row into its cumulative-window ends;
+    CUMULATE_START -> window.start, CUMULATE_END -> __cum_end
   (HOP/SESSION are BEYOND-reference Flink SQL spellings — the reference
   supports TUMBLE only (README "Does not support month/quarter/year
   tumbling windows"); accepted here on the batch/raw-query path so Flink
@@ -62,6 +65,15 @@ _HOP_RE = re.compile(
 )
 _SESSION_RE = re.compile(
     r"(?<![\w.])SESSION(_START|_END)?\s*\(\s*([`\w.]+)\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*\)",
+    re.IGNORECASE,
+)
+_CUMULATE_ANY_RE = re.compile(
+    r"(?<![\w.])CUMULATE(_START|_END)?\s*\(\s*([`\w.]+)\s*,"
+    r"\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*\)",
+    re.IGNORECASE,
+)
+_FROM_VIEW_RE = re.compile(
+    r"(\bFROM\s+)(`?[\w.]+`?)((?:\s+AS\s+[`\w]+|\s+(?!WHERE\b|GROUP\b|ORDER\b|HAVING\b|LIMIT\b|JOIN\b|LEFT\b|RIGHT\b|INNER\b|CROSS\b|UNION\b)[`\w]+)?)",
     re.IGNORECASE,
 )
 _TS_PRECISION_RE = re.compile(r"\bTIMESTAMP\s*\(\s*\d\s*\)", re.IGNORECASE)
@@ -124,6 +136,87 @@ def _rewrite_session(sql: str) -> str:
     return _SESSION_RE.sub(repl, sql)
 
 
+_INTERVAL_US = {
+    "SECOND": 1_000_000,
+    "MINUTE": 60_000_000,
+    "HOUR": 3_600_000_000,
+    "DAY": 86_400_000_000,
+    "WEEK": 604_800_000_000,
+}
+
+
+def cumulate_ends_sql(time_col: str, step_n: str, step_u: str, size_n: str, size_u: str) -> str:
+    """SQL array expression listing every cumulative-window end a row at
+    `time_col` belongs to: E in {S + k*step : E > ts, k <= size/step},
+    with S the size-aligned span start. Pure integer epoch-microsecond
+    arithmetic (exact; assumes non-negative epochs) + sequence() — all
+    JVM-side codegen, no UDF."""
+    step_us = int(step_n) * _INTERVAL_US[step_u.upper()]
+    size_us = int(size_n) * _INTERVAL_US[size_u.upper()]
+    s = f"(unix_micros({time_col}) DIV {size_us}) * {size_us}"
+    first_end = f"{s} + ((unix_micros({time_col}) - ({s})) DIV {step_us} + 1) * {step_us}"
+    return (
+        f"sequence(timestamp_micros(CAST({first_end} AS BIGINT)), "
+        f"timestamp_micros(CAST({s} + {size_us} AS BIGINT)), "
+        f"INTERVAL '{step_n}' {step_u.upper()})"
+    )
+
+
+def _rewrite_cumulate(sql: str) -> str:
+    """CUMULATE (Flink's cumulative windows, public SQL surface since
+    1.13, spelled group-window style for consistency with TUMBLE/HOP):
+    every row expands to one copy per containing cumulative window via an
+    injected FROM-subquery (`explode(sequence(...)) AS __cum_end`), the
+    GROUP BY term becomes (size-span window, __cum_end), CUMULATE_START
+    -> window.start (the span start), CUMULATE_END -> __cum_end. Single
+    FROM-view queries only — the classifier enforces the same shape for
+    the stateful executor."""
+    m = _CUMULATE_ANY_RE.search(sql)
+    if m is None:
+        return sql
+    # All CUMULATE/_START/_END calls in one query must agree on args.
+    _, col, step_n, step_u, size_n, size_u = m.groups()
+    size_dur = _interval_to_duration(size_n, size_u)
+
+    def repl(cm: re.Match) -> str:
+        suffix = cm.group(1)
+        if suffix is None:
+            return f"window({col}, '{size_dur}'), __cum_end"
+        return "window.start" if suffix.upper() == "_START" else "__cum_end"
+
+    out = _CUMULATE_ANY_RE.sub(repl, sql)
+    ends = cumulate_ends_sql(
+        col.split(".")[-1].strip("`"), step_n, step_u, size_n, size_u
+    )
+
+    def from_repl(fm: re.Match) -> str:
+        view = fm.group(2)
+        alias = fm.group(3) or ""
+        return (
+            f"{fm.group(1)}(SELECT *, explode({ends}) AS __cum_end "
+            f"FROM {view}) {alias.strip() or view.strip('`')}"
+        )
+
+    return _FROM_VIEW_RE.sub(from_repl, out, count=1)
+
+
+def rewrite_cumulate_as_step_tumble(sql: str) -> str:
+    """CUMULATE -> plain STEP-sized tumbling windows (Flink's slicing
+    optimization: every cumulative window is a union of whole steps, so
+    per-step partials are the natural accumulator grain). CUMULATE_START/
+    CUMULATE_END become the STEP window's start/end — the stateful
+    executor re-derives span starts and cumulative ends from them when it
+    expands merged partials."""
+
+    def repl(m: re.Match) -> str:
+        suffix, col, step_n, step_u, _size_n, _size_u = m.groups()
+        if suffix is None:
+            return f"window({col}, '{_interval_to_duration(step_n, step_u)}')"
+        return "window.start" if suffix.upper() == "_START" else "window.end"
+
+    return _CUMULATE_ANY_RE.sub(repl, sql)
+
+
 def _validity_pred(alias: str, time_expr: str) -> str:
     return (
         f"{alias}.{VALID_FROM} <= {time_expr}"
@@ -170,7 +263,8 @@ def _rewrite_lateral(sql: str) -> str:
 
 def rewrite_query(sql: str, *, watermark: datetime | None = None) -> str:
     """Rewrite one Flink-dialect SQL step into Spark SQL."""
-    out = _rewrite_tumble(sql)
+    out = _rewrite_cumulate(sql)
+    out = _rewrite_tumble(out)
     out = _rewrite_hop(out)
     out = _rewrite_session(out)
     out = _TS_PRECISION_RE.sub("TIMESTAMP", out)

@@ -91,3 +91,25 @@ def test_current_watermark_through_engine(spark, tmp_path):
     for r in rows:
         assert r["wm"].replace(tzinfo=timezone.utc) == ts(2)
     assert resp.new_watermark == ts(2)
+
+
+def test_cumulate_rewrite_shape():
+    """CUMULATE -> (size-span window, __cum_end) grouping over an
+    exploded-ends FROM-subquery; CUMULATE_START/END map to span start and
+    the exploded end."""
+    from kamu_engine_flink_spark.plans.dialect import rewrite_query as rq
+
+    sql = (
+        "SELECT CUMULATE_START(event_time, INTERVAL '1' HOUR, INTERVAL '4' HOUR) as s, "
+        "CUMULATE_END(event_time, INTERVAL '1' HOUR, INTERVAL '4' HOUR) as e, "
+        "count(*) as n FROM t "
+        "GROUP BY CUMULATE(event_time, INTERVAL '1' HOUR, INTERVAL '4' HOUR)"
+    )
+    out = rq(sql)
+    assert "window.start as s" in out
+    assert "__cum_end as e" in out
+    assert "GROUP BY window(event_time, '4 hour'), __cum_end" in out
+    assert "explode(sequence(" in out and "FROM t) t" in out
+    # non-CUMULATE queries pass through this rewrite untouched
+    plain = "SELECT a FROM t WHERE b > 1"
+    assert rq(plain) == plain

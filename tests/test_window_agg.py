@@ -403,3 +403,191 @@ def test_session_window_merges_across_runs(spark, tmp_path):
         system_time=ts(11),
     )
     assert _session_rows(out2) == [(ts(1, 10), ts(1, 13, 30), "B", 2, 21)]
+
+
+CUMULATE_QUERY = """SELECT
+  CUMULATE_START(event_time, INTERVAL '1' HOUR, INTERVAL '4' HOUR) as start_time,
+  CUMULATE_END(event_time, INTERVAL '1' HOUR, INTERVAL '4' HOUR) as event_time,
+  symbol as symbol,
+  min(price) as `min`,
+  max(price) as `max`,
+  avg(price) as avg_price
+FROM `in`
+GROUP BY CUMULATE(event_time, INTERVAL '1' HOUR, INTERVAL '4' HOUR), symbol"""
+
+
+def _cumulate_rows(out_path):
+    table = pq.read_table(out_path)
+    return sorted(
+        (
+            r["start_time"].replace(tzinfo=timezone.utc),
+            r["event_time"].replace(tzinfo=timezone.utc),
+            r["symbol"],
+            r["min"],
+            r["max"],
+            r["avg_price"],
+        )
+        for r in table.to_pylist()
+    )
+
+
+def test_cumulate_window_incremental_across_runs(spark, tmp_path):
+    """CUMULATE(step 1h, size 4h): within the span [00:00, 04:00) the
+    engine emits growing windows as the watermark passes each hourly end;
+    a run-2 row merges into the span's still-open later windows; a
+    watermark-only run flushes the final window; avg merges exactly
+    across runs via the sum/count accumulator decomposition."""
+    runner = TransformRunner(spark, tmp_path, queries=[(CUMULATE_QUERY, None)])
+
+    s1 = str(tmp_path / "in" / "s1.parquet")
+    ticker_slice(
+        s1,
+        [
+            (0, 0, ts(5), ts(1, 0, 30), "A", 10),
+            (1, 0, ts(5), ts(1, 1, 30), "A", 12),
+        ],
+    )
+    resp, out = runner.run(
+        [{"alias": "in", "data_paths": [s1], "schema_file": s1, "watermark": ts(1, 2)}],
+        system_time=ts(10),
+    )
+    # Ends 01:00 and 02:00 close under wm 02:00; 03:00 and 04:00 stay open.
+    assert _cumulate_rows(out) == [
+        (ts(1), ts(1, 1), "A", 10, 10, 10.0),
+        (ts(1), ts(1, 2), "A", 10, 12, 11.0),
+    ]
+    # Accumulator state: per-step partials, no raw-row buffer.
+    cp1 = str(tmp_path / "checkpoint-1")
+    assert [e for e in os.listdir(cp1) if "cumulate-partials" in e]
+    assert not [e for e in os.listdir(cp1) if "cumulate-buffer" in e]
+
+    s2 = str(tmp_path / "in" / "s2.parquet")
+    ticker_slice(s2, [(2, 0, ts(15), ts(1, 2, 30), "A", 8)])
+    resp, out = runner.run(
+        [{"alias": "in", "data_paths": [s2], "schema_file": s2, "watermark": ts(1, 3)}],
+        system_time=ts(20),
+    )
+    # End 03:00 emits once, merging run-1 partials with the run-2 row.
+    assert _cumulate_rows(out) == [(ts(1), ts(1, 3), "A", 8, 12, 10.0)]
+
+    # Run 3: a LATE row (01:45 — its 02:00/03:00 windows already emitted)
+    # still merges into the span's open final window; the watermark-only
+    # flush then emits [00:00, 04:00) exactly once with all four rows.
+    s3 = str(tmp_path / "in" / "s3.parquet")
+    ticker_slice(s3, [(3, 0, ts(25), ts(1, 1, 45), "A", 99)])
+    resp, out = runner.run(
+        [{"alias": "in", "data_paths": [s3], "schema_file": s3, "watermark": ts(1, 4)}],
+        system_time=ts(30),
+    )
+    assert _cumulate_rows(out) == [(ts(1), ts(1, 4), "A", 8, 99, 32.25)]
+    assert resp.new_watermark == ts(1, 4)
+
+    # Span closed: no further output on a later watermark-only run.
+    resp, out = runner.run(
+        [{"alias": "in", "data_paths": [], "schema_file": s1, "watermark": ts(2)}],
+        system_time=ts(31),
+    )
+    assert resp.new_offset_interval is None
+    assert not os.path.exists(out)
+
+
+CUMULATE_FALLBACK_QUERY = """SELECT
+  CUMULATE_END(event_time, INTERVAL '1' HOUR, INTERVAL '4' HOUR) as event_time,
+  symbol as symbol,
+  max(price) - min(price) as spread
+FROM `in`
+GROUP BY CUMULATE(event_time, INTERVAL '1' HOUR, INTERVAL '4' HOUR), symbol"""
+
+
+def test_cumulate_non_mergeable_falls_back_to_raw_buffer(spark, tmp_path):
+    """max(price)-min(price) is an aggregate inside a larger expression —
+    not self-mergeable — so CUMULATE buffers raw rows and recomputes over
+    the buffer; emissions still appear exactly once per window end."""
+    runner = TransformRunner(spark, tmp_path, queries=[(CUMULATE_FALLBACK_QUERY, None)])
+    s1 = str(tmp_path / "in" / "s1.parquet")
+    ticker_slice(
+        s1,
+        [
+            (0, 0, ts(5), ts(1, 0, 30), "A", 10),
+            (1, 0, ts(5), ts(1, 1, 30), "A", 16),
+        ],
+    )
+    resp, out = runner.run(
+        [{"alias": "in", "data_paths": [s1], "schema_file": s1, "watermark": ts(1, 2)}],
+        system_time=ts(10),
+    )
+    assert [
+        e
+        for e in os.listdir(str(tmp_path / "checkpoint-1"))
+        if "cumulate-buffer" in e
+    ]
+    table = pq.read_table(out)
+    rows = sorted(
+        (r["event_time"].replace(tzinfo=timezone.utc), r["symbol"], r["spread"])
+        for r in table.to_pylist()
+    )
+    assert rows == [(ts(1, 1), "A", 0), (ts(1, 2), "A", 6)]
+
+    s2 = str(tmp_path / "in" / "s2.parquet")
+    ticker_slice(s2, [(2, 0, ts(15), ts(1, 2, 30), "A", 4)])
+    resp, out = runner.run(
+        [{"alias": "in", "data_paths": [s2], "schema_file": s2, "watermark": ts(1, 4)}],
+        system_time=ts(20),
+    )
+    table = pq.read_table(out)
+    rows = sorted(
+        (r["event_time"].replace(tzinfo=timezone.utc), r["symbol"], r["spread"])
+        for r in table.to_pylist()
+    )
+    assert rows == [(ts(1, 3), "A", 12), (ts(1, 4), "A", 12)]
+
+
+AVG_AGG_QUERY = """SELECT
+  TUMBLE_START(event_time, INTERVAL '1' DAY) as event_time,
+  symbol as symbol,
+  avg(price) as avg_price,
+  count(*) as n
+FROM `in`
+GROUP BY TUMBLE(event_time, INTERVAL '1' DAY), symbol"""
+
+
+def test_tumble_avg_uses_accumulator_state(spark, tmp_path):
+    """avg() joins the mergeable-accumulator family via sum/count
+    decomposition: the checkpoint holds partial-pair rows (not raw rows),
+    and a cross-run merge yields the exact whole-window average."""
+    runner = TransformRunner(spark, tmp_path, queries=[(AVG_AGG_QUERY, None)])
+    s1 = str(tmp_path / "in" / "s1.parquet")
+    ticker_slice(
+        s1,
+        [
+            (0, 0, ts(5), ts(1, 1), "A", 10),
+            (1, 0, ts(5), ts(2, 1), "A", 12),  # day-2 stays open
+        ],
+    )
+    resp, out = runner.run(
+        [{"alias": "in", "data_paths": [s1], "schema_file": s1, "watermark": ts(2)}],
+        system_time=ts(10),
+    )
+    cp1 = str(tmp_path / "checkpoint-1")
+    assert [e for e in os.listdir(cp1) if "window-partials" in e]
+    assert not [e for e in os.listdir(cp1) if "window-buffer" in e]
+    table = pq.read_table(out)
+    rows = [
+        (r["event_time"].replace(tzinfo=timezone.utc), r["symbol"], r["avg_price"], r["n"])
+        for r in table.to_pylist()
+    ]
+    assert rows == [(ts(1), "A", 10.0, 1)]
+
+    s2 = str(tmp_path / "in" / "s2.parquet")
+    ticker_slice(s2, [(2, 0, ts(15), ts(2, 2), "A", 17)])
+    resp, out = runner.run(
+        [{"alias": "in", "data_paths": [s2], "schema_file": s2, "watermark": ts(3)}],
+        system_time=ts(20),
+    )
+    table = pq.read_table(out)
+    rows = [
+        (r["event_time"].replace(tzinfo=timezone.utc), r["symbol"], r["avg_price"], r["n"])
+        for r in table.to_pylist()
+    ]
+    # (12 + 17) / 2 across two invocations — merged from sum/count pairs.
+    assert rows == [(ts(2), "A", 14.5, 2)]
