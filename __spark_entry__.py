@@ -1613,6 +1613,39 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def inverted_index_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index (operators/text_analysis.inverted_index): per term,
+    distinct-doc frequency, total term frequency, and the 20 smallest doc
+    ids as a capped postings list — retrieval-side companion to
+    term_doc_frequency."""
+    from kamu_engine_flink_spark.operators.text_analysis import inverted_index
+
+    out = inverted_index(_t(spark, sf_dir, "documents"), "text", "doc_id", 20)
+    return out.select(
+        "term",
+        "doc_freq",
+        "total_tf",
+        F.col("postings").cast("array<long>").alias("postings"),
+    )
+
+
+def dedup_segments_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicate-segment removal with reassembly
+    (operators/dedup.remove_duplicate_segments): 10-word segments,
+    first occurrence (smallest (doc_id, position)) wins corpus-wide,
+    documents rebuilt from surviving segments. The CCNet/RefinedWeb
+    paragraph-dedup shape on fixed word windows."""
+    out = D.remove_duplicate_segments(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", seg_words=10
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "clean_text",
+        "n_segments",
+        "n_removed",
+    )
+
+
 def window_cumulate_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative windows (1h step, 6h size) — Flink's CUMULATE surface
     (public windowing TVF since 1.13; beyond the reference's TUMBLE-only
@@ -1808,6 +1841,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the FIRST 50 dict entries, so the 22 entries it never reached run
     # first this round; the 50 already-green ones follow.
     return {
+        "inverted_index_documents": inverted_index_documents,
+        "dedup_segments_documents": dedup_segments_documents,
         "window_cumulate_6h": window_cumulate_6h,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "training_shards_documents": training_shards_documents,
@@ -3023,6 +3058,55 @@ def oracle_sql() -> dict[str, str]:
         "changelog_snapshot_customers": """
             SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, c_acctbal
             FROM customer
+        """,
+        "inverted_index_documents": """
+            WITH tok AS (
+                SELECT doc_id, t.term
+                FROM documents,
+                     unnest(string_split_regex(lower(text), '[^a-z]+')) AS t(term)
+                WHERE t.term <> ''
+            ), per_doc AS (
+                SELECT term, doc_id, count(*) AS tf
+                FROM tok GROUP BY 1, 2
+            )
+            SELECT term,
+                   CAST(count(*) AS BIGINT) AS doc_freq,
+                   CAST(sum(tf) AS BIGINT) AS total_tf,
+                   list_slice(list_sort(list(doc_id)), 1, 20) AS postings
+            FROM per_doc GROUP BY 1
+        """,
+        "dedup_segments_documents": """
+            -- 10-word segment split, corpus-wide keep-first per segment
+            -- text, ordered reassembly. list_slice is 1-based inclusive
+            -- and clamps at the list end, matching Spark's slice().
+            WITH words AS (
+                SELECT doc_id, string_split(text, ' ') AS ws
+                FROM documents WHERE text IS NOT NULL
+            ), segs AS (
+                SELECT doc_id,
+                       unnest(generate_series(0, CAST((len(ws) + 9) // 10 AS BIGINT) - 1)) AS pos,
+                       ws
+                FROM words
+            ), seg_text AS (
+                SELECT doc_id, pos,
+                       array_to_string(list_slice(ws, pos * 10 + 1, pos * 10 + 10), ' ') AS seg
+                FROM segs
+            ), ranked AS (
+                SELECT doc_id, pos, seg,
+                       row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rk
+                FROM seg_text
+            ), rebuilt AS (
+                SELECT doc_id,
+                       coalesce(string_agg(CASE WHEN rk = 1 THEN seg END, ' ' ORDER BY pos), '') AS clean_text,
+                       CAST(count(*) AS BIGINT) AS n_segments,
+                       CAST(sum(CASE WHEN rk = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+                FROM ranked GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   r.clean_text,
+                   coalesce(r.n_segments, 0) AS n_segments,
+                   coalesce(r.n_removed, 0) AS n_removed
+            FROM documents d LEFT JOIN rebuilt r USING (doc_id)
         """,
         "window_cumulate_6h": """
             -- CUMULATE(step 1h, size 6h) replayed by hand: span start via

@@ -415,3 +415,76 @@ def dedup_simhash_portable(
         .distinct()
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def remove_duplicate_segments(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_words: int = 10,
+) -> DataFrame:
+    """Corpus-level duplicate-SEGMENT removal with reassembly (the
+    CCNet/RefinedWeb paragraph-dedup shape, on fixed word-count segments
+    since the corpus has no newlines): split each document into
+    consecutive `seg_words`-word segments, keep only the FIRST occurrence
+    of each segment text corpus-wide (earliest (id, position) wins —
+    deterministic, order-independent), and rebuild each document from its
+    surviving segments.
+
+    100 TB shape: the split/segment expressions are pure JVM codegen (no
+    UDF); the keep-first decision is one row_number window keyed on the
+    segment text (high-cardinality key, well distributed — at scale swap
+    the raw text for xxhash64(seg) to shrink shuffle bytes at a
+    negligible collision risk); reassembly is one groupBy(id) with an
+    in-group sort. Two shuffles total, no row explosion beyond the
+    segment count.
+
+    Output: (id, clean_text, n_segments, n_removed) — clean_text is NULL
+    for NULL input text and '' when every segment was a duplicate.
+    """
+    from pyspark.sql import Window as W
+
+    words = F.split(F.col(text_col), " ")
+    n_segs = F.ceil(F.size(words) / F.lit(seg_words)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.array_join(F.slice(words, i * seg_words + 1, seg_words), " "),
+    )
+    seg_rows = df.select(
+        F.col(id_col).alias("__id"), F.posexplode(segs).alias("__pos", "__seg")
+    )
+    w = W.partitionBy("__seg").orderBy("__id", "__pos")
+    kept = (
+        seg_rows.withColumn("__rk", F.row_number().over(w))
+        .withColumn("__keep", F.col("__rk") == 1)
+        .groupBy("__id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("__keep"), F.struct("__pos", "__seg"))
+                        )
+                    ),
+                    lambda s: s["__seg"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.sum(F.when(~F.col("__keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+    # NULL-text docs produce no segment rows; restore them with NULL
+    # clean_text (null-semantics contract shared by the corpus operators).
+    return (
+        df.select(F.col(id_col).alias("__id"))
+        .join(kept, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "clean_text",
+            F.coalesce("n_segments", F.lit(0)).alias("n_segments"),
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+        )
+    )

@@ -47,3 +47,33 @@ def repetition_signals(df: DataFrame, text_col: str = "text", n: int = 2) -> Dat
         T.top_ngram_count(c, n).alias("top_ngram_count"),
         F.round(T.top_ngram_frac(c, n), 6).alias("top_ngram_frac"),
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_postings: int = 20,
+) -> DataFrame:
+    """Build a term -> postings inverted index over the corpus: per
+    lowercase alpha term, the distinct-document frequency, the total term
+    frequency, and a CAPPED postings list (the `max_postings` smallest doc
+    ids — deterministic; a real index shards long postings, and an
+    uncapped collect_list on a stop word would be a straggler at 100 TB).
+
+    Plan: explode -> per-(term, doc) count (map-side combinable) ->
+    per-term rollup. Two shuffles, both on high-cardinality or
+    pre-aggregated keys; no UDF.
+    """
+    tok = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("term"),
+    ).filter(F.col("term") != "")
+    per_doc = tok.groupBy("term", "__id").agg(F.count(F.lit(1)).alias("__tf"))
+    return per_doc.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_freq"),
+        F.sum("__tf").cast("long").alias("total_tf"),
+        F.slice(F.array_sort(F.collect_list("__id")), 1, max_postings).alias(
+            "postings"
+        ),
+    )

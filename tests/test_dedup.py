@@ -165,3 +165,43 @@ def test_portable_dedup_null_and_blank_kept(spark):
     for fn in (dedup.dedup_minhash_portable, dedup.dedup_simhash_portable):
         kept = {r["doc_id"] for r in fn(df, "text", "doc_id").collect()}
         assert {1, 2, 3} <= kept, fn.__name__  # unshingleable docs always survive
+
+
+def test_remove_duplicate_segments_keep_first(spark):
+    """Corpus-wide keep-first on 3-word segments: doc 2 repeats doc 1's
+    first segment (removed), keeps its unique tail; a NULL-text doc
+    passes through with NULL clean_text; an all-duplicate doc rebuilds
+    to ''."""
+    rows = [
+        (1, "a b c d e f"),          # segments: "a b c", "d e f"
+        (2, "a b c x y z"),          # "a b c" is a dup of doc 1's
+        (3, None),                   # NULL text
+        (4, "a b c"),                # every segment a dup -> ''
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_segments"], r["n_removed"])
+        for r in dedup.remove_duplicate_segments(df, seg_words=3).collect()
+    }
+    assert out[1] == ("a b c d e f", 2, 0)
+    assert out[2] == ("x y z", 2, 1)
+    assert out[3] == (None, 0, 0)
+    assert out[4] == ("", 1, 1)
+
+
+def test_remove_duplicate_segments_identity_without_dups(spark, docs):
+    """A corpus with no duplicated segments must reassemble byte-exact.
+    Make each doc's segments unique by prefixing every doc's text with
+    its id-derived token."""
+    tagged = docs.select(
+        "doc_id", F.concat(F.lit("uid"), F.col("doc_id"), F.lit(" "), F.col("text")).alias("text")
+    )
+    out = dedup.remove_duplicate_segments(tagged, seg_words=7)
+    joined = tagged.join(out, "doc_id")
+    # Any doc whose segments were all unique reassembles to the original.
+    mismatch = joined.filter(
+        (F.col("n_removed") == 0) & (F.col("clean_text") != F.col("text"))
+    ).count()
+    assert mismatch == 0
+    # and with unique-per-doc leading tokens most docs keep everything
+    assert out.filter(F.col("n_removed") == 0).count() > 0

@@ -106,3 +106,26 @@ def test_scrub_text_redacts_pii(spark):
     assert out[2].s == "tel <NUM> ref <NUM> ok"
     assert out[2].n == 2
     assert out[3].s == "clean text, no pii"
+
+
+def test_inverted_index_postings(spark):
+    from kamu_engine_flink_spark.operators.text_analysis import inverted_index
+
+    rows = [
+        (1, "spark spark flink"),
+        (2, "spark duck"),
+        (3, "duck duck goose"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["term"]: r for r in inverted_index(df, max_postings=2).collect()}
+    assert out["spark"]["doc_freq"] == 2
+    assert out["spark"]["total_tf"] == 3  # two in doc 1, one in doc 2
+    assert out["spark"]["postings"] == [1, 2]
+    assert out["duck"]["postings"] == [2, 3]
+    assert out["goose"]["doc_freq"] == 1 and out["goose"]["postings"] == [3]
+    # cap: a term in 3 docs keeps only the 2 smallest ids
+    df2 = spark.createDataFrame(
+        [(i, "common") for i in (5, 3, 9)], ["doc_id", "text"]
+    )
+    (row,) = inverted_index(df2, max_postings=2).collect()
+    assert row["doc_freq"] == 3 and row["postings"] == [3, 5]
