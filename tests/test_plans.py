@@ -97,3 +97,31 @@ def test_mixture_broadcasts_only_tiny_sides(spark):
     assert _count(plan, "CartesianProduct") == 0
     # every nested loop in this plan must be broadcast-backed
     assert _count(plan, "BroadcastNestedLoopJoin") <= 2
+
+
+def test_cumulate_single_exchange_pushed_scan(spark):
+    """The CUMULATE rewrite must stay one aggregation exchange over a
+    filter-pushed scan — the explode adds rows, never a shuffle."""
+    plan = _explain(spark, "window_cumulate_6h")
+    assert _count(plan, "Exchange") <= 2  # agg exchange (+ AQE read)
+    assert _count(plan, "SortMergeJoin") == 0
+    assert "PushedFilters: [IsNotNull(ts)]" in plan or "PushedFilters" in plan
+    assert _count(plan, "ArrowEvalPython") + _count(plan, "BatchEvalPython") == 0
+
+
+def test_segment_dedup_two_shuffles_no_python(spark):
+    """Segment dedup: keep-first window + reassembly groupBy are the only
+    wide ops; everything else is codegen expressions."""
+    plan = _explain(spark, "dedup_segments_documents")
+    assert _count(plan, "CartesianProduct") == 0
+    assert _count(plan, "ArrowEvalPython") + _count(plan, "BatchEvalPython") == 0
+
+
+def test_inverted_index_preaggregates(spark):
+    """Inverted index: the (term, doc) pre-aggregation must be present so
+    the per-term rollup never sees raw token rows."""
+    plan = _explain(spark, "inverted_index_documents")
+    # partial+final per level: (term,doc) counts are HashAggregate, the
+    # postings collect_list rollup is ObjectHashAggregate.
+    assert _count(plan, "HashAggregate") + _count(plan, "ObjectHashAggregate") >= 4
+    assert _count(plan, "ArrowEvalPython") + _count(plan, "BatchEvalPython") == 0

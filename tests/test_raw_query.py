@@ -214,3 +214,39 @@ def test_pre_epoch_nanos_floor_to_micros(spark, tmp_path):
     assert got[2] == datetime(1970, 1, 1, 0, 0, 0)          # +500ns floors to 0us
     assert got[1] == datetime(1969, 12, 31, 23, 59, 59, 999999)  # -500ns floors DOWN
     assert got[3] == datetime(1969, 12, 31, 23, 59, 59, 999998)  # -1500ns -> -2us
+
+
+def test_raw_query_cumulate(spark, tmp_path):
+    """CUMULATE through the raw-query entry point (the batch dialect
+    rewrite): hourly cumulative windows within a 2-hour span."""
+    in_path = str(tmp_path / "input.parquet")
+    ticker_slice(
+        in_path,
+        [
+            (0, 0, ts(5), ts(1, 0, 10), "A", 10),
+            (1, 0, ts(5), ts(1, 0, 40), "A", 14),
+            (2, 0, ts(5), ts(1, 1, 20), "A", 30),
+        ],
+    )
+    query = """SELECT
+  CUMULATE_START(event_time, INTERVAL '1' HOUR, INTERVAL '2' HOUR) as span_start,
+  CUMULATE_END(event_time, INTERVAL '1' HOUR, INTERVAL '2' HOUR) as span_end,
+  symbol,
+  sum(price) as total
+FROM input
+GROUP BY CUMULATE(event_time, INTERVAL '1' HOUR, INTERVAL '2' HOUR), symbol"""
+    resp, out = _raw(spark, tmp_path, query, in_path)
+    assert resp.num_records == 2
+    rows = sorted(
+        (
+            r["span_start"].replace(tzinfo=timezone.utc),
+            r["span_end"].replace(tzinfo=timezone.utc),
+            r["symbol"],
+            r["total"],
+        )
+        for r in pq.read_table(out).to_pylist()
+    )
+    assert rows == [
+        (ts(1), ts(1, 1), "A", 24),  # first hour: 10 + 14
+        (ts(1), ts(1, 2), "A", 54),  # full span: + 30
+    ]
