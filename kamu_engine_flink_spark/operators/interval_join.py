@@ -81,21 +81,30 @@ def execute_interval_join(ctx: StepContext, sql: str) -> StepResult:
 
     # Update matched flags: a left row is matched if any right row (old or
     # new) satisfies the raw join condition. The ON text uses the query's
-    # own aliases, so alias the frames the same way.
-    cond = F.expr(spec.on_condition)
-    matched_now = (
-        all_left.drop(_MATCHED)
-        .alias(spec.left_alias)
-        .join(all_right.alias(spec.right_alias), cond, "left_semi")
-        .withColumn(_MATCHED, F.lit(True))
-    )
-    # Rows with no match among the CURRENT buffers keep their old flag: a
-    # row matched in a previous run stays matched even after its partner
-    # was purged from the right buffer.
-    not_matching_now = all_left.alias(spec.left_alias).join(
-        all_right.alias(spec.right_alias), cond, "left_anti"
-    )
-    flagged_left = matched_now.unionByName(not_matching_now)
+    # own aliases, so alias the frames the same way. INNER joins never
+    # read the flag (no pads; purge is horizon-only), so they skip the
+    # semi/anti flag joins entirely.
+    if spec.is_left_outer:
+        cond = F.expr(spec.on_condition)
+        matched_now = (
+            all_left.drop(_MATCHED)
+            .alias(spec.left_alias)
+            .join(all_right.alias(spec.right_alias), cond, "left_semi")
+            .withColumn(_MATCHED, F.lit(True))
+        )
+        # Rows with no match among the CURRENT buffers keep their old flag:
+        # a row matched in a previous run stays matched even after its
+        # partner was purged from the right buffer.
+        not_matching_now = all_left.alias(spec.left_alias).join(
+            all_right.alias(spec.right_alias), cond, "left_anti"
+        )
+        # NOT pinned even though the state save and the pad emission both
+        # consume it: materializing the flag joins eagerly serializes two
+        # otherwise-parallel plans and blocks AQE (measured ~12% slower
+        # per invocation at sf0.1 than recomputing).
+        flagged_left = matched_now.unionByName(not_matching_now)
+    else:
+        flagged_left = all_left
 
     emit_parts = [matches]
 
