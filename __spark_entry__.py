@@ -1613,6 +1613,26 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_classifier_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier scoring (operators/text_analysis.
+    quality_classifier_score): hashing-trick token weights on the
+    portable md5 family, logit = weight-sum / (1000 * sqrt(n_tokens)),
+    keep = logit > 0. Deterministic stand-in weights with the exact plan
+    shape of a trained fastText-style scorer; integer weight sum + one
+    IEEE sqrt/divide, so the oracle matches bit-for-bit."""
+    from kamu_engine_flink_spark.operators.text_analysis import (
+        quality_classifier_score,
+    )
+
+    out = quality_classifier_score(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_tokens",
+        "logit",
+        "keep",
+    )
+
+
 def inverted_index_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted index (operators/text_analysis.inverted_index): per term,
     distinct-doc frequency, total term frequency, and the 20 smallest doc
@@ -1841,6 +1861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the FIRST 50 dict entries, so the 22 entries it never reached run
     # first this round; the 50 already-green ones follow.
     return {
+        "quality_classifier_documents": quality_classifier_documents,
         "inverted_index_documents": inverted_index_documents,
         "dedup_segments_documents": dedup_segments_documents,
         "window_cumulate_6h": window_cumulate_6h,
@@ -3058,6 +3079,29 @@ def oracle_sql() -> dict[str, str]:
         "changelog_snapshot_customers": """
             SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, c_acctbal
             FROM customer
+        """,
+        "quality_classifier_documents": f"""
+            -- Hashing-trick linear scorer on the portable md5 token
+            -- hashes: integer weight sum, one IEEE sqrt + divide.
+            WITH base AS (
+                SELECT doc_id,
+                       CASE WHEN text IS NULL THEN NULL
+                            ELSE {_DUCK_TOKS} END AS toks
+                FROM documents
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(coalesce(len(toks), 0) AS BIGINT) AS n_tokens,
+                   CASE WHEN toks IS NULL OR len(toks) = 0 THEN NULL
+                        ELSE list_sum(list_transform(toks, t ->
+                                 ('0x' || substr(md5(t), 1, 12))::BIGINT % 2001 - 1000))
+                             / (1000.0 * sqrt(len(toks)))
+                   END AS logit,
+                   CASE WHEN toks IS NULL OR len(toks) = 0 THEN NULL
+                        ELSE list_sum(list_transform(toks, t ->
+                                 ('0x' || substr(md5(t), 1, 12))::BIGINT % 2001 - 1000))
+                             / (1000.0 * sqrt(len(toks))) > 0
+                   END AS keep
+            FROM base
         """,
         "inverted_index_documents": """
             WITH tok AS (

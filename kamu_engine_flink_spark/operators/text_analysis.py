@@ -77,3 +77,78 @@ def inverted_index(
             "postings"
         ),
     )
+
+
+def quality_classifier_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """fastText/CCNet-style linear quality scorer via the hashing trick:
+    logit = sum of per-token weights / (1000 * sqrt(n_tokens)), keep =
+    logit > 0. The document-ranking shape every large-scale corpus
+    pipeline runs before sampling.
+
+    With `weights` (a trained vocabulary -> weight map), tokens join a
+    broadcast weight table (unknown tokens weigh 0; weights are scaled by
+    1000 into the integer sum so both paths share one normalization).
+    Without it, each token's weight derives from the portable 48-bit md5
+    hash ((h % 2001) - 1000 in [-1000, 1000]) — a deterministic stand-in
+    with the exact plan shape of the trained model, reproducible in
+    DuckDB SQL so the oracle can hash-check the full pipeline. Swap-in
+    point for real model weights, like the multimodal codec plug.
+
+    Zero-shuffle in the hash path (pure per-row codegen expressions);
+    one broadcast join + one groupBy in the weights path. NULL/blank
+    text scores NULL.
+    """
+    from ..functions.portable_hash import _toks_sql, h48
+
+    toks = _toks_sql(text_col)
+    if weights is None:
+        wsum = (
+            f"aggregate(t, 0L, (a, x) -> a + {h48('x')} % 2001 - 1000)"
+        )
+        logit = F.expr(
+            f"CASE WHEN {text_col} IS NULL THEN CAST(NULL AS DOUBLE) "
+            f"ELSE transform(array({toks}), t -> "
+            f"  CASE WHEN size(t) = 0 THEN CAST(NULL AS DOUBLE) "
+            f"  ELSE {wsum} / (1000.0D * sqrt(size(t))) END)[0] END"
+        )
+        scored = spread(df).select(
+            F.col(id_col),
+            F.expr(f"size({toks})").alias("n_tokens"),
+            logit.alias("logit"),
+        )
+        # Blank text has zero tokens but a non-NULL array — size() above
+        # returns 0 there and -1 only for NULL input; normalize to 0.
+        scored = scored.withColumn(
+            "n_tokens", F.greatest(F.col("n_tokens"), F.lit(0)).cast("long")
+        )
+    else:
+        w_df = df.sparkSession.createDataFrame(
+            [(t, float(w)) for t, w in weights.items()], ["__tok", "__w"]
+        )
+        tok_rows = spread(df).select(
+            F.col(id_col), F.explode_outer(F.expr(toks)).alias("__tok")
+        )
+        scored = (
+            tok_rows.join(F.broadcast(w_df), "__tok", "left")
+            .groupBy(id_col)
+            .agg(
+                F.count("__tok").cast("long").alias("n_tokens"),
+                F.sum(F.coalesce(F.col("__w"), F.lit(0.0))).alias("__wsum"),
+            )
+            .withColumn(
+                "logit",
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.col("__wsum") / F.sqrt(F.col("n_tokens")),
+                ),
+            )
+            .drop("__wsum")
+        )
+        # NULL-text docs explode to a NULL token row: n_tokens counts
+        # non-null tokens, so they land at 0 with NULL logit as intended.
+    return scored.withColumn("keep", F.col("logit") > F.lit(0.0))

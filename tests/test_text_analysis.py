@@ -129,3 +129,44 @@ def test_inverted_index_postings(spark):
     )
     (row,) = inverted_index(df2, max_postings=2).collect()
     assert row["doc_freq"] == 3 and row["postings"] == [3, 5]
+
+
+def test_quality_classifier_trained_weights(spark):
+    from kamu_engine_flink_spark.operators.text_analysis import (
+        quality_classifier_score,
+    )
+
+    rows = [
+        (1, "good great excellent"),
+        (2, "bad awful good"),
+        (3, None),
+        (4, "unknown words only"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    w = {"good": 1.0, "great": 2.0, "excellent": 3.0, "bad": -2.0, "awful": -4.0}
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["logit"], r["keep"])
+        for r in quality_classifier_score(df, weights=w).collect()
+    }
+    import math
+
+    assert out[1][0] == 3 and abs(out[1][1] - 6.0 / math.sqrt(3)) < 1e-12
+    assert out[1][2] is True
+    assert abs(out[2][1] - (-5.0) / math.sqrt(3)) < 1e-12 and out[2][2] is False
+    assert out[3] == (0, None, None)  # NULL text
+    assert out[4][0] == 3 and out[4][1] == 0.0 and out[4][2] is False
+
+
+def test_quality_classifier_hash_path_deterministic(spark):
+    from kamu_engine_flink_spark.operators.text_analysis import (
+        quality_classifier_score,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in quality_classifier_score(df).collect()}
+    # identical text -> identical score; blank text -> NULL score
+    assert rows[1]["logit"] == rows[2]["logit"] and rows[1]["logit"] is not None
+    assert rows[3]["n_tokens"] == 0 and rows[3]["logit"] is None
