@@ -252,3 +252,96 @@ def test_chained_queries_multi_invocation(spark, tmp_path):
     assert resp3.new_offset_interval is None
     assert not os.path.exists(out3)
     assert resp3.new_watermark == ts(17)
+
+
+CUM_STEP1 = (
+    """SELECT
+  o.event_time as event_time,
+  o.order_id,
+  o.quantity as quantity
+FROM
+  orders as o
+JOIN shipments as s
+ON
+  o.order_id = s.order_id
+  AND s.event_time BETWEEN o.event_time AND o.event_time + INTERVAL '2' HOUR""",
+    "shipped_orders",
+)
+CUM_STEP2 = (
+    """SELECT
+  CUMULATE_START(event_time, INTERVAL '1' HOUR, INTERVAL '4' HOUR) as span_start,
+  CUMULATE_END(event_time, INTERVAL '1' HOUR, INTERVAL '4' HOUR) as event_time,
+  count(*) as n_orders,
+  sum(quantity) as total_quantity
+FROM shipped_orders
+GROUP BY CUMULATE(event_time, INTERVAL '1' HOUR, INTERVAL '4' HOUR)""",
+    None,
+)
+
+
+def _cum_rows(out_path):
+    table = pq.read_table(out_path)
+    return sorted(
+        (
+            r["span_start"].replace(tzinfo=timezone.utc),
+            r["event_time"].replace(tzinfo=timezone.utc),
+            r["n_orders"],
+            r["total_quantity"],
+        )
+        for r in table.to_pylist()
+    )
+
+
+def test_chained_join_into_cumulate_across_runs(spark, tmp_path):
+    """A stateful interval join feeding a stateful CUMULATE aggregation
+    across invocations: run 2's matched order merges into the span's
+    still-open cumulative windows built from run 1's step partials."""
+    runner = TransformRunner(spark, tmp_path, queries=[CUM_STEP1, CUM_STEP2])
+    o1 = str(tmp_path / "orders" / "o1.parquet")
+    orders_slice(
+        o1,
+        [
+            (0, 0, ts(6), ts(1, 0, 30), 1, 10),
+            (1, 0, ts(6), ts(1, 1, 30), 2, 20),
+        ],
+    )
+    s1 = str(tmp_path / "ship" / "s1.parquet")
+    shipments_slice(
+        s1,
+        [
+            (0, ts(6), ts(1, 0, 45), 1, 1),
+            (1, ts(6), ts(1, 1, 45), 2, 1),
+        ],
+    )
+    resp1, out1 = runner.run(
+        [
+            {"alias": "orders", "data_paths": [o1], "schema_file": o1, "watermark": ts(1, 4)},
+            {"alias": "shipments", "data_paths": [s1], "schema_file": s1, "watermark": ts(1, 4)},
+        ],
+        system_time=ts(20),
+    )
+    # Join output wm = 04:00 - 2h = 02:00 -> cumulative ends 01:00, 02:00.
+    assert resp1.new_watermark == ts(1, 2)
+    assert _cum_rows(out1) == [
+        (ts(1), ts(1, 1), 1, 10),
+        (ts(1), ts(1, 2), 2, 30),
+    ]
+
+    o2 = str(tmp_path / "orders" / "o2.parquet")
+    orders_slice(o2, [(2, 0, ts(16), ts(1, 2, 30), 3, 30)])
+    s2 = str(tmp_path / "ship" / "s2.parquet")
+    shipments_slice(s2, [(2, ts(16), ts(1, 3), 3, 1)])
+    resp2, out2 = runner.run(
+        [
+            {"alias": "orders", "data_paths": [o2], "schema_file": o2, "watermark": ts(1, 6)},
+            {"alias": "shipments", "data_paths": [s2], "schema_file": s2, "watermark": ts(1, 6)},
+        ],
+        system_time=ts(21),
+    )
+    # Join wm advances to 04:00 -> ends 03:00 and 04:00 flush, merging the
+    # run-1 step partials with run-2's order #3.
+    assert resp2.new_watermark == ts(1, 4)
+    assert _cum_rows(out2) == [
+        (ts(1), ts(1, 3), 3, 60),
+        (ts(1), ts(1, 4), 3, 60),
+    ]
