@@ -1613,6 +1613,24 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bigram_lm_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM fluency scoring (operators/text_analysis.
+    bigram_lm_score): add-one-smoothed P(w2|w1) over the portable token
+    stream, per-doc mean of floor-quantized probabilities — the
+    hash-checkable form of CCNet perplexity filtering (ln() differs
+    between JVM and C libm in the last ulp, so the oracle-exact score
+    quantizes before summing)."""
+    from kamu_engine_flink_spark.operators.text_analysis import bigram_lm_score
+
+    out = bigram_lm_score(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_bigrams",
+        "sum_prob_q",
+        "mean_prob_q",
+    )
+
+
 def quality_classifier_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear quality-classifier scoring (operators/text_analysis.
     quality_classifier_score): hashing-trick token weights on the
@@ -1861,6 +1879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the FIRST 50 dict entries, so the 22 entries it never reached run
     # first this round; the 50 already-green ones follow.
     return {
+        "bigram_lm_score_documents": bigram_lm_score_documents,
         "quality_classifier_documents": quality_classifier_documents,
         "inverted_index_documents": inverted_index_documents,
         "dedup_segments_documents": dedup_segments_documents,
@@ -3079,6 +3098,44 @@ def oracle_sql() -> dict[str, str]:
         "changelog_snapshot_customers": """
             SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, c_acctbal
             FROM customer
+        """,
+        "bigram_lm_score_documents": f"""
+            -- Corpus-trained add-one bigram LM; per-doc mean of
+            -- floor(P * 1e6) — integer-exact, order-independent.
+            WITH base AS (
+                SELECT doc_id,
+                       CASE WHEN text IS NULL THEN NULL
+                            ELSE {_DUCK_TOKS} END AS toks
+                FROM documents
+            ), bg AS (
+                SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+                FROM (
+                    SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+                    FROM base WHERE len(toks) >= 2
+                )
+            ), c12 AS (
+                SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2
+            ), c1 AS (
+                SELECT w1, count(*) AS c1 FROM bg GROUP BY 1
+            ), v AS (
+                SELECT count(DISTINCT t) AS v
+                FROM (SELECT unnest(toks) AS t FROM base)
+            ), probs AS (
+                SELECT w1, w2, (c12 + 1.0) / (c1 + v) AS p
+                FROM c12 JOIN c1 USING (w1) CROSS JOIN v
+            ), docbg AS (
+                SELECT doc_id, w1, w2, count(*) AS m FROM bg GROUP BY 1, 2, 3
+            ), scored AS (
+                SELECT doc_id,
+                       CAST(sum(m) AS BIGINT) AS n_bigrams,
+                       CAST(sum(m * floor(p * 1e6)) AS BIGINT) AS sum_prob_q
+                FROM docbg JOIN probs USING (w1, w2) GROUP BY 1
+            )
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   coalesce(s.n_bigrams, 0) AS n_bigrams,
+                   s.sum_prob_q,
+                   s.sum_prob_q / s.n_bigrams AS mean_prob_q
+            FROM documents d LEFT JOIN scored s USING (doc_id)
         """,
         "quality_classifier_documents": f"""
             -- Hashing-trick linear scorer on the portable md5 token

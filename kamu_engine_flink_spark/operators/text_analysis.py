@@ -152,3 +152,88 @@ def quality_classifier_score(
         # NULL-text docs explode to a NULL token row: n_tokens counts
         # non-null tokens, so they land at 0 with NULL logit as intended.
     return scored.withColumn("keep", F.col("logit") > F.lit(0.0))
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    with_perplexity: bool = False,
+) -> DataFrame:
+    """CCNet-style language-model fluency scoring with a corpus-trained
+    bigram LM: P(w2|w1) = (c(w1 w2) + 1) / (c(w1 .) + V), add-one
+    smoothed over the corpus vocabulary. Per document, emits the bigram
+    count and the mean quantized probability (sum of floor(P * 1e6) over
+    occurrences / n) — floor of a deterministic IEEE division is an exact
+    integer, so the whole score is order-independent and replayable in
+    DuckDB SQL, unlike ln()-based perplexity (JVM and C libm logs differ
+    in the last ulp on ~80% of inputs). `with_perplexity=True` adds the
+    conventional exp(-mean ln P) column for production ranking.
+
+    Scale shape: two aggregation passes train the LM (bigram counts,
+    context counts — both map-side combinable), the corpus joins its own
+    bigram table on the (w1, w2) key (co-partitioned shuffle join, never
+    broadcast — the bigram table grows with the corpus), and V arrives as
+    a broadcast one-row cross join. Docs with <2 tokens score NULL.
+    """
+    from ..functions.portable_hash import word_tokens
+
+    toks = word_tokens(text_col)
+    base = spread(df).select(F.col(id_col).alias("__id"), toks.alias("__toks"))
+    bigrams = base.select(
+        "__id",
+        F.explode(
+            F.when(
+                F.size("__toks") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(__toks) - 1), "
+                    "i -> struct(__toks[i-1] AS w1, __toks[i] AS w2))"
+                ),
+            ).otherwise(F.expr("array()"))
+        ).alias("bg"),
+    ).select("__id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+    bigram_counts = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c12"))
+    context_counts = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("__c1"))
+    vocab = base.select(F.explode("__toks").alias("t")).agg(
+        F.countDistinct("t").alias("__v")
+    )
+    probs = (
+        bigram_counts.join(context_counts, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            ((F.col("__c12") + F.lit(1.0)) / (F.col("__c1") + F.col("__v"))).alias(
+                "__p"
+            ),
+        )
+    )
+
+    doc_bg = bigrams.groupBy("__id", "w1", "w2").agg(F.count(F.lit(1)).alias("__m"))
+    agg_cols = [
+        F.sum("__m").cast("long").alias("n_bigrams"),
+        F.sum(F.col("__m") * F.floor(F.col("__p") * 1e6))
+        .cast("long")
+        .alias("sum_prob_q"),
+    ]
+    if with_perplexity:
+        agg_cols.append(
+            F.exp(-F.sum(F.col("__m") * F.log("__p")) / F.sum("__m")).alias(
+                "perplexity"
+            )
+        )
+    scored = doc_bg.join(probs, ["w1", "w2"]).groupBy("__id").agg(*agg_cols)
+
+    out = (
+        df.select(F.col(id_col).alias("__id"))
+        .join(scored, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "sum_prob_q",
+            (F.col("sum_prob_q") / F.col("n_bigrams")).alias("mean_prob_q"),
+            *(["perplexity"] if with_perplexity else []),
+        )
+    )
+    return out

@@ -174,7 +174,13 @@ def _rewrite_cumulate(sql: str) -> str:
     m = _CUMULATE_ANY_RE.search(sql)
     if m is None:
         return sql
-    # All CUMULATE/_START/_END calls in one query must agree on args.
+    # All CUMULATE/_START/_END calls in one query must agree on args —
+    # mismatched intervals would silently adopt the first call's geometry.
+    arg_sets = {g[1:] for g in (mm.groups() for mm in _CUMULATE_ANY_RE.finditer(sql))}
+    if len(arg_sets) > 1:
+        raise ValueError(
+            f"all CUMULATE calls in one query must share (time, step, size); got {sorted(arg_sets)}"
+        )
     _, col, step_n, step_u, size_n, size_u = m.groups()
     size_dur = _interval_to_duration(size_n, size_u)
 

@@ -170,3 +170,32 @@ def test_quality_classifier_hash_path_deterministic(spark):
     # identical text -> identical score; blank text -> NULL score
     assert rows[1]["logit"] == rows[2]["logit"] and rows[1]["logit"] is not None
     assert rows[3]["n_tokens"] == 0 and rows[3]["logit"] is None
+
+
+def test_bigram_lm_score_trains_on_corpus(spark):
+    from kamu_engine_flink_spark.operators.text_analysis import bigram_lm_score
+
+    rows = [
+        (1, "a b a b"),      # bigrams: (a,b) x2, (b,a) x1
+        (2, "a b"),          # (a,b)
+        (3, "x"),            # <2 tokens -> NULL score
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in bigram_lm_score(df, with_perplexity=True).collect()}
+    # LM: c(a,b)=3, c(b,a)=1; contexts c(a.)=3, c(b.)=1; V=3 (a, b, x).
+    p_ab = (3 + 1.0) / (3 + 3)
+    p_ba = (1 + 1.0) / (1 + 3)
+    import math
+
+    q = lambda p: math.floor(p * 1e6)  # noqa: E731
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["sum_prob_q"] == 2 * q(p_ab) + q(p_ba)
+    assert abs(out[1]["mean_prob_q"] - out[1]["sum_prob_q"] / 3) < 1e-12
+    expected_ppl = math.exp(-(2 * math.log(p_ab) + math.log(p_ba)) / 3)
+    assert abs(out[1]["perplexity"] - expected_ppl) < 1e-9
+    assert out[2]["n_bigrams"] == 1 and out[2]["sum_prob_q"] == q(p_ab)
+    assert out[3]["n_bigrams"] == 0 and out[3]["sum_prob_q"] is None
+    assert out[4]["n_bigrams"] == 0 and out[4]["mean_prob_q"] is None
+    # frequent-pattern doc scores higher than a one-off sequence
+    assert out[1]["mean_prob_q"] > 0
