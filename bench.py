@@ -48,6 +48,8 @@ HEADLINE = [
     "semantic_dedup_embeddings",
     "duplicate_ngram_spans_documents",
     "training_shards_documents",
+    "bigram_lm_score_documents",
+    "dedup_segments_documents",
 ]
 
 

@@ -193,8 +193,12 @@ def bigram_lm_score(
         ).alias("bg"),
     ).select("__id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
 
-    bigram_counts = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c12"))
-    context_counts = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("__c1"))
+    # Counts cascade from the per-doc aggregation so the raw bigram
+    # stream is shuffled once, not three times: doc_bg -> corpus bigram
+    # counts -> context counts, each pass over already-aggregated rows.
+    doc_bg = bigrams.groupBy("__id", "w1", "w2").agg(F.count(F.lit(1)).alias("__m"))
+    bigram_counts = doc_bg.groupBy("w1", "w2").agg(F.sum("__m").alias("__c12"))
+    context_counts = bigram_counts.groupBy("w1").agg(F.sum("__c12").alias("__c1"))
     vocab = base.select(F.explode("__toks").alias("t")).agg(
         F.countDistinct("t").alias("__v")
     )
@@ -210,7 +214,6 @@ def bigram_lm_score(
         )
     )
 
-    doc_bg = bigrams.groupBy("__id", "w1", "w2").agg(F.count(F.lit(1)).alias("__m"))
     agg_cols = [
         F.sum("__m").cast("long").alias("n_bigrams"),
         F.sum(F.col("__m") * F.floor(F.col("__p") * 1e6))
