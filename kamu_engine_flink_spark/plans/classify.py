@@ -51,6 +51,31 @@ _CUMULATE_RE = re.compile(
 _CUMULATE_PROJ_RE = re.compile(
     r"(?<![\w.])CUMULATE_(START|END)\s*\([^)]*\)\s+(?:AS\s+)?`?(\w+)`?", re.IGNORECASE
 )
+# Flink 1.13+ windowing TVF spellings; implicit window_start/window_end
+# output columns (plans/dialect.py materializes them).
+_WINDOW_TVF_RE = re.compile(
+    r"TABLE\s*\(\s*(TUMBLE|HOP|CUMULATE)\s*\(\s*TABLE\s+([`\w.]+)\s*,"
+    r"\s*DESCRIPTOR\s*\(\s*([`\w.]+)\s*\)\s*,"
+    r"\s*INTERVAL\s+'(\d+)'\s+(\w+)"
+    r"(?:\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+))?\s*\)\s*\)",
+    re.IGNORECASE,
+)
+_TVF_COL_ALIAS_RES = {
+    "START": re.compile(r"(?<![\w.`])window_start(?:\s+AS\s+`?(\w+)`?)?", re.IGNORECASE),
+    "END": re.compile(r"(?<![\w.`])window_end(?:\s+AS\s+`?(\w+)`?)?", re.IGNORECASE),
+}
+
+
+def _tvf_alias(sql: str, kind: str) -> str | None:
+    """Output column name carrying the TVF's window_start/window_end in
+    the user's projection (honoring an AS rename), or None if the query
+    never projects it."""
+    m = re.search(r"select\s+(.*?)\s+from\s", sql, re.IGNORECASE | re.DOTALL)
+    scope = m.group(1) if m else sql
+    am = _TVF_COL_ALIAS_RES[kind].search(scope)
+    if am is None:
+        return None
+    return am.group(1) or f"window_{kind.lower()}"
 _GROUP_BY_RE = re.compile(
     r"GROUP\s+BY\s+(.*?)(?:\s+ORDER\s+BY|\s+HAVING|\s+LIMIT|\s*$)",
     re.IGNORECASE | re.DOTALL,
@@ -271,9 +296,13 @@ class TopNSpec:
 
 def parse_tumble(sql: str) -> TumbleSpec | None:
     m = _TUMBLE_RE.search(sql)
-    if not m:
-        return None
-    col, n, unit = m.groups()
+    if m:
+        col, n, unit = m.groups()
+    else:
+        tm = _WINDOW_TVF_RE.search(sql)
+        if not tm or tm.group(1).upper() != "TUMBLE":
+            return None
+        col, n, unit = tm.group(3), tm.group(4), tm.group(5)
     unqual = col.split(".")[-1].strip("`")
     return TumbleSpec(
         time_col=unqual,
@@ -338,10 +367,17 @@ def _split_top_level(clause: str) -> list[str]:
 
 def parse_hop(sql: str) -> HopSpec | None:
     m = _HOP_RE.search(sql)
-    if not m:
-        return None
-    col, slide_n, slide_u, size_n, size_u = m.groups()
-    aliases = {kind.upper(): alias for kind, alias in _HOP_PROJ_RE.findall(sql)}
+    if m:
+        col, slide_n, slide_u, size_n, size_u = m.groups()
+        aliases = {kind.upper(): alias for kind, alias in _HOP_PROJ_RE.findall(sql)}
+    else:
+        tm = _WINDOW_TVF_RE.search(sql)
+        if not tm or tm.group(1).upper() != "HOP" or tm.group(6) is None:
+            return None
+        col, slide_n, slide_u, size_n, size_u = tm.group(3, 4, 5, 6, 7)
+        aliases = {
+            k: a for k in ("START", "END") if (a := _tvf_alias(sql, k)) is not None
+        }
     return HopSpec(
         time_col=col.split(".")[-1].strip("`"),
         slide=interval_to_timedelta(slide_n, slide_u),
@@ -355,9 +391,17 @@ def parse_hop(sql: str) -> HopSpec | None:
 
 def parse_cumulate(sql: str) -> CumulateSpec | None:
     m = _CUMULATE_RE.search(sql)
-    if not m:
-        return None
-    col, step_n, step_u, size_n, size_u = m.groups()
+    if m:
+        col, step_n, step_u, size_n, size_u = m.groups()
+        aliases = {kind.upper(): alias for kind, alias in _CUMULATE_PROJ_RE.findall(sql)}
+    else:
+        tm = _WINDOW_TVF_RE.search(sql)
+        if not tm or tm.group(1).upper() != "CUMULATE" or tm.group(6) is None:
+            return None
+        col, step_n, step_u, size_n, size_u = tm.group(3, 4, 5, 6, 7)
+        aliases = {
+            k: a for k in ("START", "END") if (a := _tvf_alias(sql, k)) is not None
+        }
     step = interval_to_timedelta(step_n, step_u)
     size = interval_to_timedelta(size_n, size_u)
     if step.total_seconds() <= 0 or size.total_seconds() % step.total_seconds() != 0:
@@ -365,7 +409,6 @@ def parse_cumulate(sql: str) -> CumulateSpec | None:
             f"CUMULATE size must be a positive multiple of step, got "
             f"step={step_n} {step_u}, size={size_n} {size_u}"
         )
-    aliases = {kind.upper(): alias for kind, alias in _CUMULATE_PROJ_RE.findall(sql)}
     return CumulateSpec(
         time_col=col.split(".")[-1].strip("`"),
         step=step,
@@ -454,6 +497,11 @@ def parse_interval_join(sql: str, known_views: set[str]) -> IntervalJoinSpec | N
 
 
 def classify(sql: str, known_views: set[str]) -> str:
+    tvf = _WINDOW_TVF_RE.search(sql)
+    if tvf:
+        return {"TUMBLE": WINDOW_AGG, "HOP": HOP_AGG, "CUMULATE": CUMULATE_AGG}[
+            tvf.group(1).upper()
+        ]
     if _CUMULATE_RE.search(sql):
         return CUMULATE_AGG
     if _TUMBLE_RE.search(sql):

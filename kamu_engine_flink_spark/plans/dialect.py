@@ -76,6 +76,16 @@ _FROM_VIEW_RE = re.compile(
     r"(\bFROM\s+)(`?[\w.]+`?)((?:\s+AS\s+[`\w]+|\s+(?!WHERE\b|GROUP\b|ORDER\b|HAVING\b|LIMIT\b|JOIN\b|LEFT\b|RIGHT\b|INNER\b|CROSS\b|UNION\b)[`\w]+)?)",
     re.IGNORECASE,
 )
+# Flink 1.13+ windowing TVFs: TUMBLE(TABLE t, DESCRIPTOR(ts), size),
+# HOP(TABLE t, DESCRIPTOR(ts), slide, size),
+# CUMULATE(TABLE t, DESCRIPTOR(ts), step, size).
+_WINDOW_TVF_RE = re.compile(
+    r"TABLE\s*\(\s*(TUMBLE|HOP|CUMULATE)\s*\(\s*TABLE\s+([`\w.]+)\s*,"
+    r"\s*DESCRIPTOR\s*\(\s*([`\w.]+)\s*\)\s*,"
+    r"\s*INTERVAL\s+'(\d+)'\s+(\w+)"
+    r"(?:\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+))?\s*\)\s*\)",
+    re.IGNORECASE,
+)
 _TS_PRECISION_RE = re.compile(r"\bTIMESTAMP\s*\(\s*\d\s*\)", re.IGNORECASE)
 _CURRENT_WM_RE = re.compile(r"current_watermark\s*\(\s*[`\w.]*\s*\)", re.IGNORECASE)
 _KEYWORD_GUARD = r"(?!(?:ON|WHERE|JOIN|LEFT|RIGHT|FULL|INNER|CROSS|GROUP|ORDER|HAVING|UNION|LIMIT|AS)\b)"
@@ -206,6 +216,72 @@ def _rewrite_cumulate(sql: str) -> str:
     return _FROM_VIEW_RE.sub(from_repl, out, count=1)
 
 
+def hop_starts_sql(time_col: str, slide_n: str, slide_u: str, size_n: str, size_u: str) -> str:
+    """SQL array expression listing every HOP window start a row at
+    `time_col` belongs to: aligned starts S with S <= ts < S + size, i.e.
+    S in (ts - size, ts] stepping by slide. Exact integer epoch-micros
+    arithmetic (non-negative epochs), JVM-side codegen."""
+    slide_us = int(slide_n) * _INTERVAL_US[slide_u.upper()]
+    size_us = int(size_n) * _INTERVAL_US[size_u.upper()]
+    us = f"unix_micros({time_col})"
+    first = f"(({us} - {size_us}) DIV {slide_us} + 1) * {slide_us}"
+    last = f"({us} DIV {slide_us}) * {slide_us}"
+    return (
+        f"sequence(timestamp_micros(CAST({first} AS BIGINT)), "
+        f"timestamp_micros(CAST({last} AS BIGINT)), "
+        f"INTERVAL '{slide_n}' {slide_u.upper()})"
+    )
+
+
+def _rewrite_window_tvf(sql: str) -> str:
+    """Flink 1.13+ windowing TVF spellings -> an expanded FROM-subquery
+    that materializes the implicit `window_start`/`window_end` columns
+    (which the outer query GROUPs BY / projects like ordinary columns):
+
+      FROM TABLE(TUMBLE(TABLE v, DESCRIPTOR(ts), size)) ->
+        (SELECT *, window(ts, size).start AS window_start, ... FROM v) v
+      HOP / CUMULATE -> one-generator subqueries exploding the per-row
+        window-start / window-end lists (same integer geometry as the
+        group-window rewrites).
+
+    The legacy group-window spellings remain the primary surface; this
+    accepts the TVF form so newer Flink SQL ports run unchanged."""
+
+    def repl(m: re.Match) -> str:
+        kind = m.group(1).upper()
+        view, col = m.group(2), m.group(3)
+        ucol = col.split(".")[-1].strip("`")
+        n1, u1, n2, u2 = m.group(4), m.group(5), m.group(6), m.group(7)
+        if kind == "TUMBLE":
+            if n2 is not None:
+                raise ValueError("TUMBLE TVF takes one interval (size)")
+            dur = _interval_to_duration(n1, u1)
+            return (
+                f"(SELECT *, window({ucol}, '{dur}').start AS window_start, "
+                f"window({ucol}, '{dur}').end AS window_end FROM {view})"
+            )
+        if n2 is None:
+            raise ValueError(f"{kind} TVF takes two intervals")
+        if kind == "HOP":
+            # Flink order: (slide, size).
+            starts = hop_starts_sql(ucol, n1, u1, n2, u2)
+            return (
+                f"(SELECT *, window_start + INTERVAL '{n2}' {u2.upper()} "
+                f"AS window_end FROM "
+                f"(SELECT *, explode({starts}) AS window_start FROM {view}))"
+            )
+        # CUMULATE: (step, size); span start is fixed per row.
+        size_us = int(n2) * _INTERVAL_US[u2.upper()]
+        ends = cumulate_ends_sql(ucol, n1, u1, n2, u2)
+        return (
+            f"(SELECT *, timestamp_micros((unix_micros({ucol}) DIV {size_us}) "
+            f"* {size_us}) AS window_start, explode({ends}) AS window_end "
+            f"FROM {view})"
+        )
+
+    return _WINDOW_TVF_RE.sub(repl, sql)
+
+
 def rewrite_cumulate_as_step_tumble(sql: str) -> str:
     """CUMULATE -> plain STEP-sized tumbling windows (Flink's slicing
     optimization: every cumulative window is a union of whole steps, so
@@ -269,7 +345,8 @@ def _rewrite_lateral(sql: str) -> str:
 
 def rewrite_query(sql: str, *, watermark: datetime | None = None) -> str:
     """Rewrite one Flink-dialect SQL step into Spark SQL."""
-    out = _rewrite_cumulate(sql)
+    out = _rewrite_window_tvf(sql)
+    out = _rewrite_cumulate(out)
     out = _rewrite_tumble(out)
     out = _rewrite_hop(out)
     out = _rewrite_session(out)

@@ -113,3 +113,94 @@ def test_cumulate_rewrite_shape():
     # non-CUMULATE queries pass through this rewrite untouched
     plain = "SELECT a FROM t WHERE b > 1"
     assert rq(plain) == plain
+
+
+def test_window_tvf_matches_legacy_spellings(spark, tmp_path):
+    """Flink 1.13+ windowing TVF spellings produce the same windows as
+    the legacy group-window spellings for all three kinds."""
+    from kamu_engine_flink_spark.plans.dialect import rewrite_query as rq
+
+    rows = [
+        (ts(1, 0, 15), 1.0),
+        (ts(1, 0, 45), 2.0),
+        (ts(1, 1, 30), 4.0),
+        (ts(1, 3, 10), 8.0),
+    ]
+    spark.createDataFrame(rows, ["event_time", "v"]).createOrReplaceTempView("tvf_ev")
+    pairs = [
+        (
+            """SELECT window_start, window_end, sum(v) as s FROM
+TABLE(TUMBLE(TABLE tvf_ev, DESCRIPTOR(event_time), INTERVAL '1' HOUR))
+GROUP BY window_start, window_end""",
+            """SELECT TUMBLE_START(event_time, INTERVAL '1' HOUR) as window_start,
+TUMBLE_END(event_time, INTERVAL '1' HOUR) as window_end, sum(v) as s
+FROM tvf_ev GROUP BY TUMBLE(event_time, INTERVAL '1' HOUR)""",
+        ),
+        (
+            """SELECT window_start, window_end, sum(v) as s FROM
+TABLE(HOP(TABLE tvf_ev, DESCRIPTOR(event_time), INTERVAL '1' HOUR, INTERVAL '2' HOUR))
+GROUP BY window_start, window_end""",
+            """SELECT HOP_START(event_time, INTERVAL '1' HOUR, INTERVAL '2' HOUR) as window_start,
+HOP_END(event_time, INTERVAL '1' HOUR, INTERVAL '2' HOUR) as window_end, sum(v) as s
+FROM tvf_ev GROUP BY HOP(event_time, INTERVAL '1' HOUR, INTERVAL '2' HOUR)""",
+        ),
+        (
+            """SELECT window_start, window_end, sum(v) as s FROM
+TABLE(CUMULATE(TABLE tvf_ev, DESCRIPTOR(event_time), INTERVAL '1' HOUR, INTERVAL '4' HOUR))
+GROUP BY window_start, window_end""",
+            """SELECT CUMULATE_START(event_time, INTERVAL '1' HOUR, INTERVAL '4' HOUR) as window_start,
+CUMULATE_END(event_time, INTERVAL '1' HOUR, INTERVAL '4' HOUR) as window_end, sum(v) as s
+FROM tvf_ev GROUP BY CUMULATE(event_time, INTERVAL '1' HOUR, INTERVAL '4' HOUR)""",
+        ),
+    ]
+    for tvf_sql, legacy_sql in pairs:
+        tvf = sorted(map(tuple, spark.sql(rq(tvf_sql)).collect()))
+        legacy = sorted(map(tuple, spark.sql(rq(legacy_sql)).collect()))
+        assert tvf == legacy and len(tvf) > 0, tvf_sql
+
+
+TVF_AGG_QUERY = """SELECT
+  window_start as event_time,
+  symbol as symbol,
+  min(price) as `min`,
+  max(price) as `max`
+FROM TABLE(TUMBLE(TABLE `in`, DESCRIPTOR(event_time), INTERVAL '1' DAY))
+GROUP BY window_start, symbol"""
+
+
+def test_tvf_tumble_stateful_across_runs(spark, tmp_path):
+    """The TVF TUMBLE spelling routes to the stateful window executor:
+    run 1 emits only the closed day, run 2's late-window row merges into
+    the open day before it flushes."""
+    import pyarrow.parquet as pq
+
+    runner = TransformRunner(spark, tmp_path, queries=[(TVF_AGG_QUERY, None)])
+    s1 = str(tmp_path / "in" / "s1.parquet")
+    ticker_slice(
+        s1,
+        [
+            (0, 0, ts(5), ts(1, 1), "A", 10),
+            (1, 0, ts(5), ts(2, 1), "A", 12),
+        ],
+    )
+    resp, out = runner.run(
+        [{"alias": "in", "data_paths": [s1], "schema_file": s1, "watermark": ts(2)}],
+        system_time=ts(10),
+    )
+    rows = [
+        (r["event_time"].replace(tzinfo=timezone.utc), r["symbol"], r["min"], r["max"])
+        for r in pq.read_table(out).to_pylist()
+    ]
+    assert rows == [(ts(1), "A", 10, 10)]
+
+    s2 = str(tmp_path / "in" / "s2.parquet")
+    ticker_slice(s2, [(2, 0, ts(15), ts(2, 2), "A", 7)])
+    resp, out = runner.run(
+        [{"alias": "in", "data_paths": [s2], "schema_file": s2, "watermark": ts(3)}],
+        system_time=ts(20),
+    )
+    rows = [
+        (r["event_time"].replace(tzinfo=timezone.utc), r["symbol"], r["min"], r["max"])
+        for r in pq.read_table(out).to_pylist()
+    ]
+    assert rows == [(ts(2), "A", 7, 12)]
