@@ -26,6 +26,11 @@ Rewrites:
   always-on hopping/session state is streaming/structured.py.)
   CAST(x AS TIMESTAMP(p))              -> CAST(x AS TIMESTAMP)
   current_watermark(col)               -> TIMESTAMP 'w' literal (engine state)
+  JSON_VALUE(x, path)                  -> get_json_object(x, path)
+  PROCTIME()                           -> current_timestamp()
+  TO_TIMESTAMP_LTZ(x, 3|0)             -> timestamp_millis/timestamp_seconds
+  TABLE(TUMBLE/HOP/CUMULATE(TABLE t, DESCRIPTOR(ts), ...)) windowing TVFs
+    -> FROM-subqueries materializing window_start/window_end
   t FOR SYSTEM_TIME AS OF p.ts AS a    -> <t>__versions a + validity preds
   , LATERAL TABLE (t(p.ts)) AS a       -> JOIN <t>__versions a ON validity
 
@@ -87,6 +92,13 @@ _WINDOW_TVF_RE = re.compile(
     re.IGNORECASE,
 )
 _TS_PRECISION_RE = re.compile(r"\bTIMESTAMP\s*\(\s*\d\s*\)", re.IGNORECASE)
+# Flink scalar builtins Spark spells differently (README/Flink docs public
+# surface; each maps 1:1 with identical semantics).
+_JSON_VALUE_RE = re.compile(r"\bJSON_VALUE\s*\(", re.IGNORECASE)
+_PROCTIME_RE = re.compile(r"\bPROCTIME\s*\(\s*\)", re.IGNORECASE)
+_TO_TS_LTZ_RE = re.compile(
+    r"\bTO_TIMESTAMP_LTZ\s*\(\s*([^,()]+?)\s*,\s*([03])\s*\)", re.IGNORECASE
+)
 _CURRENT_WM_RE = re.compile(r"current_watermark\s*\(\s*[`\w.]*\s*\)", re.IGNORECASE)
 _KEYWORD_GUARD = r"(?!(?:ON|WHERE|JOIN|LEFT|RIGHT|FULL|INNER|CROSS|GROUP|ORDER|HAVING|UNION|LIMIT|AS)\b)"
 _SYSTEM_TIME_JOIN_RE = re.compile(
@@ -351,6 +363,16 @@ def rewrite_query(sql: str, *, watermark: datetime | None = None) -> str:
     out = _rewrite_hop(out)
     out = _rewrite_session(out)
     out = _TS_PRECISION_RE.sub("TIMESTAMP", out)
+    out = _JSON_VALUE_RE.sub("get_json_object(", out)
+    out = _PROCTIME_RE.sub("current_timestamp()", out)
+    out = _TO_TS_LTZ_RE.sub(
+        lambda m: (
+            f"timestamp_millis({m.group(1)})"
+            if m.group(2) == "3"
+            else f"timestamp_seconds({m.group(1)})"
+        ),
+        out,
+    )
     if _CURRENT_WM_RE.search(out):
         if watermark is None:
             lit = "CAST(NULL AS TIMESTAMP)"

@@ -204,3 +204,21 @@ def test_tvf_tumble_stateful_across_runs(spark, tmp_path):
         for r in pq.read_table(out).to_pylist()
     ]
     assert rows == [(ts(2), "A", 7, 12)]
+
+
+def test_flink_scalar_function_rewrites():
+    from kamu_engine_flink_spark.plans.dialect import rewrite_query as rq
+
+    assert (
+        rq("SELECT JSON_VALUE(props, '$.k') FROM t")
+        == "SELECT get_json_object(props, '$.k') FROM t"
+    )
+    assert rq("SELECT PROCTIME() FROM t") == "SELECT current_timestamp() FROM t"
+    assert (
+        rq("SELECT TO_TIMESTAMP_LTZ(ms_col, 3) FROM t")
+        == "SELECT timestamp_millis(ms_col) FROM t"
+    )
+    assert (
+        rq("SELECT TO_TIMESTAMP_LTZ(s_col, 0) FROM t")
+        == "SELECT timestamp_seconds(s_col) FROM t"
+    )
