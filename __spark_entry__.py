@@ -1613,6 +1613,26 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.pq_topk_portable):
+    8 subspaces x 16 codes, deterministic codebook (subvectors of the 16
+    smallest corpus ids), integer-L2 encoding and ADC — every code and
+    distance replayed exactly by the DuckDB oracle. pq_topk (trained
+    codebooks, Arrow-batched ADC) is the recall-tuned variant, recall-
+    tested in tests/test_similarity.py."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = S.pq_topk_portable(e, q, k=5, m=8, ksub=16, dim=64)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("approx_d2").cast("long").alias("approx_d2"),
+    )
+
+
 def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured column handling: the events.props JSON string
     parsed through the engine dialect's JSON_VALUE rewrite
@@ -1909,6 +1929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the FIRST 50 dict entries, so the 22 entries it never reached run
     # first this round; the 50 already-green ones follow.
     return {
+        "similarity_pq_topk": similarity_pq_topk,
         "json_extract_events": json_extract_events,
         "bigram_lm_score_documents": bigram_lm_score_documents,
         "quality_classifier_documents": quality_classifier_documents,
@@ -3129,6 +3150,54 @@ def oracle_sql() -> dict[str, str]:
         "changelog_snapshot_customers": """
             SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, c_acctbal
             FROM customer
+        """,
+        "similarity_pq_topk": """
+            -- PQ replayed by hand: deterministic codebook (16 smallest
+            -- ids' subvectors), integer-L2 encode, ADC table join.
+            WITH emb AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                           x -> round(x::DOUBLE * 1000000)::BIGINT) AS q
+                FROM embeddings
+            ), cents AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, q
+                FROM (SELECT vec_id, q FROM emb ORDER BY vec_id LIMIT 16)
+            ), codebook AS (
+                SELECT code, jt.j, list_slice(q, jt.j * 8 + 1, jt.j * 8 + 8) AS cb
+                FROM cents CROSS JOIN (SELECT unnest(range(8)) AS j) jt
+            ), csub AS (
+                SELECT vec_id, jt.j, list_slice(q, jt.j * 8 + 1, jt.j * 8 + 8) AS sub
+                FROM emb CROSS JOIN (SELECT unnest(range(8)) AS j) jt
+            ), codes AS (
+                SELECT vec_id, j, code FROM (
+                    SELECT c.vec_id, c.j, b.code,
+                           row_number() OVER (PARTITION BY c.vec_id, c.j ORDER BY
+                               list_sum(list_transform(range(1, 9),
+                                   i -> (c.sub[i] - b.cb[i]) * (c.sub[i] - b.cb[i]))) ASC,
+                               b.code ASC) AS r
+                    FROM csub c JOIN codebook b ON c.j = b.j
+                ) WHERE r = 1
+            ), qtab AS (
+                SELECT s.vec_id AS qid, s.j, b.code,
+                       list_sum(list_transform(range(1, 9),
+                           i -> (s.sub[i] - b.cb[i]) * (s.sub[i] - b.cb[i]))) AS d2
+                FROM csub s JOIN codebook b ON s.j = b.j
+                WHERE s.vec_id < 10
+            ), adc AS (
+                SELECT t.qid, c.vec_id, sum(t.d2) AS approx_d2
+                FROM codes c JOIN qtab t ON t.j = c.j AND t.code = c.code
+                GROUP BY 1, 2
+            )
+            SELECT CAST(qid AS BIGINT) AS query_id,
+                   CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(rank AS BIGINT) AS rank,
+                   CAST(approx_d2 AS BIGINT) AS approx_d2
+            FROM (
+                SELECT qid, vec_id, approx_d2,
+                       row_number() OVER (PARTITION BY qid
+                           ORDER BY approx_d2 ASC, vec_id ASC) AS rank
+                FROM adc
+            ) WHERE rank <= 5
         """,
         "json_extract_events": """
             SELECT event_type,

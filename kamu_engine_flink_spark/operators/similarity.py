@@ -482,3 +482,234 @@ def ivf_topk_portable(
             "cosine",
         )
     )
+
+
+def _train_pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int,
+    ksub: int,
+    sample_size: int,
+    iters: int,
+) -> np.ndarray:
+    """(m, ksub, dsub) product-quantization codebooks: per-subspace
+    k-means (euclidean) on the same deterministic hash-ordered sample as
+    _train_centroids, over L2-normalized vectors. Init = first ksub
+    sample subvectors; empty clusters keep their previous centroid."""
+    sample = (
+        corpus.select(
+            F.col(vec_col).alias("v"),
+            F.xxhash64(F.col(id_col).cast("string")).alias("h"),
+        )
+        .orderBy("h")
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.array([r.v for r in sample], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    dim = x.shape[1]
+    dsub = dim // m
+    books = np.empty((m, ksub, dsub))
+    for j in range(m):
+        xs = x[:, j * dsub : (j + 1) * dsub]
+        c = xs[:ksub].copy()
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for code in range(ksub):
+                members = xs[assign == code]
+                if len(members):
+                    c[code] = members.mean(axis=0)
+        books[j] = c
+    return books
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    sample_size: int = 2048,
+    train_iters: int = 5,
+    rescore_factor: int = 4,
+) -> DataFrame:
+    """Product-quantization ANN top-k (the FAISS PQ/ADC shape): per-
+    subspace codebooks trained once on the driver and broadcast; the
+    corpus never ships vectors to the driver — each Arrow batch encodes
+    to m 4-bit-ish codes and scores ALL queries at once via inner-product
+    lookup tables (asymmetric distance computation), emitting only its
+    per-query shortlist of k * rescore_factor candidates. The shortlist
+    then joins back to the corpus for an EXACT cosine rescore (the
+    standard PQ pipeline — ADC finds the neighborhood, exact scores order
+    it), so recall is bounded by shortlist recall, not code resolution.
+    At 100 TB the per-batch work is two small matmuls + a table gather;
+    network traffic is k * rescore_factor rows per (query, batch), and
+    the rescore join touches only shortlist ids."""
+    books = _train_pq_codebooks(
+        corpus, vec_col, corpus_id, m, ksub, sample_size, train_iters
+    )
+    q_rows = queries.select(
+        F.col(query_id).alias("__qid"), F.col(vec_col).alias("__qv")
+    ).collect()
+    qids = np.array([r["__qid"] for r in q_rows], dtype=np.int64)
+    qm = np.array([r["__qv"] for r in q_rows], dtype=np.float64)
+    qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    dim = qm.shape[1]
+    dsub = dim // m
+    # LUT[q, j, code] = q_subvector_j . codebook_j[code]
+    lut = np.einsum("qjd,jkd->qjk", qm.reshape(len(qm), m, dsub), books)
+
+    out_schema = "qid long, cid long, score double"
+
+    def score_batches(batches):
+        for pdf in batches:
+            x = np.array([np.asarray(v, dtype=np.float64) for v in pdf["__cv"]])
+            if len(x) == 0:
+                continue
+            x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            xs = x.reshape(len(x), m, dsub)
+            codes = np.empty((len(x), m), dtype=np.int64)
+            for j in range(m):
+                d2 = ((xs[:, j, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = np.argmin(d2, axis=1)
+            cids = pdf["__cid"].to_numpy(dtype=np.int64)
+            take = min(k * rescore_factor, len(x))
+            col = np.arange(m)[None, :]
+            for qi in range(len(qids)):
+                # s[b] = sum_j lut[qi, j, codes[b, j]]
+                s = lut[qi][col, codes].sum(axis=1)
+                idx = np.lexsort((cids, -s))[:take]
+                yield pd.DataFrame(
+                    {
+                        "qid": np.full(len(idx), qids[qi], dtype=np.int64),
+                        "cid": cids[idx],
+                        "score": s[idx],
+                    }
+                )
+
+    cand = (
+        spread(corpus)
+        .select(F.col(corpus_id).alias("__cid"), F.col(vec_col).alias("__cv"))
+        .mapInPandas(score_batches, out_schema)
+    )
+    # Global ADC shortlist, then exact-cosine rescore over shortlist ids.
+    sw = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
+    shortlist = (
+        cand.withColumn("__r", F.row_number().over(sw))
+        .filter(F.col("__r") <= k * rescore_factor)
+        .select("qid", "cid")
+    )
+    qdf = queries.select(
+        F.col(query_id).alias("qid"), F.col(vec_col).alias("__qv")
+    )
+    rescored = (
+        shortlist.join(
+            corpus.select(F.col(corpus_id).alias("cid"), F.col(vec_col).alias("__cv")),
+            "cid",
+        )
+        .join(F.broadcast(qdf), "qid")
+        .withColumn("cosine", V.cosine(F.col("__cv"), F.col("__qv")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(query_id),
+            F.col("cid").alias(corpus_id),
+            F.col("rank"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
+def pq_topk_portable(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization with a DETERMINISTIC codebook — subvectors of
+    the ksub smallest corpus ids (fixed sample standing in for per-
+    subspace k-means; encoding and ADC are the standard PQ shapes) —
+    over quantized integers, so a SQL oracle reproduces every code and
+    distance exactly. Encoding: per (row, subspace) argmin integer L2 to
+    the codebook (ties -> smaller code); ADC: each query's (subspace,
+    code) distance table joins the corpus codes and sums. pq_topk
+    (trained codebooks, Arrow ADC) remains the recall-tuned variant."""
+    from ..functions import portable_hash as PH
+
+    dsub = dim // m
+    subs_expr = (
+        f"transform(sequence(0, {m - 1}), j -> slice(__q, j * {dsub} + 1, {dsub}))"
+    )
+    d2 = (
+        "aggregate(zip_with(__sub, __cb, (x, y) -> (x - y) * (x - y)), "
+        "0L, (acc, v) -> acc + v)"
+    )
+
+    def subvectors(df: DataFrame, keep: list[str]) -> DataFrame:
+        return df.select(
+            *keep, F.posexplode(F.expr(subs_expr)).alias("__j", "__sub")
+        )
+
+    cq = corpus.select(
+        F.col(corpus_id).alias("__cid"), PH.quantize_embedding(vec_col).alias("__q")
+    )
+    cents = (
+        cq.orderBy("__cid")
+        .limit(ksub)
+        .withColumn(
+            "__code", F.row_number().over(Window.orderBy("__cid")) - 1
+        )
+    )
+    codebook = subvectors(cents, ["__code"]).select(
+        "__code", "__j", F.col("__sub").alias("__cb")
+    )
+
+    enc_w = Window.partitionBy("__cid", "__j").orderBy(
+        F.expr(d2).asc(), F.col("__code").asc()
+    )
+    codes = (
+        subvectors(cq, ["__cid"])
+        .join(F.broadcast(codebook), "__j")
+        .withColumn("__r", F.row_number().over(enc_w))
+        .filter(F.col("__r") == 1)
+        .select("__cid", "__j", "__code")
+    )
+
+    qq = queries.select(
+        F.col(query_id).alias("__qid"), PH.quantize_embedding(vec_col).alias("__q")
+    )
+    qtab = (
+        subvectors(qq, ["__qid"])
+        .join(F.broadcast(codebook), "__j")
+        .select("__qid", "__j", "__code", F.expr(d2).alias("__d2"))
+    )
+
+    adc = (
+        codes.join(F.broadcast(qtab), ["__j", "__code"])
+        .groupBy("__qid", "__cid")
+        .agg(F.sum("__d2").alias("approx_d2"))
+    )
+    w = Window.partitionBy("__qid").orderBy(F.asc("approx_d2"), F.asc("__cid"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__cid").alias(corpus_id),
+            F.col("rank"),
+            "approx_d2",
+        )
+    )

