@@ -591,3 +591,75 @@ def test_tumble_avg_uses_accumulator_state(spark, tmp_path):
     ]
     # (12 + 17) / 2 across two invocations — merged from sum/count pairs.
     assert rows == [(ts(2), "A", 14.5, 2)]
+
+
+def test_cumulate_random_split_equals_batch(spark, tmp_path):
+    """Randomized (seeded) equivalence: 48 in-order rows split across 3
+    invocations with advancing watermarks must emit, in union, exactly
+    the batch cumulate result — every (window end, symbol) group once,
+    with whole-history min/max."""
+    import random
+    from datetime import timedelta
+
+    rng = random.Random(7)
+    rows = sorted(
+        (
+            ts(1) + timedelta(minutes=rng.randrange(0, 2 * 24 * 60)),
+            rng.choice("AB"),
+            rng.randrange(1, 100),
+        )
+        for _ in range(48)
+    )
+    step = timedelta(hours=1)
+    size = timedelta(hours=4)
+
+    def span_start(t):
+        epoch = ts(1).replace(hour=0)  # 2000-01-01 00:00 is size-aligned
+        k = int((t - epoch).total_seconds() // size.total_seconds())
+        return epoch + k * size
+
+    final_wm = max(t for t, _, _ in rows) + size
+    expected = {}
+    ends = set()
+    for t, _, _ in rows:
+        s = span_start(t)
+        e = s + step
+        while e <= s + size:
+            if e > t:
+                ends.add(e)
+            e += step
+    for e in ends:
+        if e > final_wm:
+            continue
+        s = span_start(e - timedelta(microseconds=1))
+        for sym in "AB":
+            prices = [p for (t, sy, p) in rows if sy == sym and s <= t < e]
+            if prices:
+                expected[(e, sym)] = (min(prices), max(prices))
+
+    runner = TransformRunner(spark, tmp_path, queries=[(CUMULATE_QUERY, None)])
+    cuts = [16, 32, 48]
+    prev = 0
+    got = {}
+    for i, cut in enumerate(cuts):
+        chunk = rows[prev:cut]
+        wm = final_wm if i == 2 else chunk[-1][0]
+        path = str(tmp_path / "in" / f"s{i}.parquet")
+        ticker_slice(
+            path,
+            [
+                (prev + j, 0, ts(20), t, sym, p)
+                for j, (t, sym, p) in enumerate(chunk)
+            ],
+        )
+        _, out = runner.run(
+            [{"alias": "in", "data_paths": [path], "schema_file": path, "watermark": wm}],
+            system_time=ts(25 + i),
+        )
+        prev = cut
+        if os.path.exists(out):
+            for r in pq.read_table(out).to_pylist():
+                key = (r["event_time"].replace(tzinfo=timezone.utc), r["symbol"])
+                assert key not in got, f"window {key} emitted twice"
+                got[key] = (r["min"], r["max"])
+    assert got == expected
