@@ -58,6 +58,15 @@ class StreamingWindowAgg:
     aggs: dict[str, str] = field(default_factory=dict)
     schema: StructType | None = None
     slide_duration: str | None = None  # None = tumbling; else sliding/hopping
+    # Cumulative windows (Flink CUMULATE): window_duration acts as the
+    # span SIZE and cumulate_step as the growing step. Implemented by
+    # exploding each row into its cumulative-window ends and watermarking
+    # the END column itself — Spark's append-mode aggregation finalizes a
+    # (end, keys) group once the derived watermark passes it, which is
+    # exactly the cumulate emission rule. The end-column watermark runs
+    # ahead of the event-time one by up to `size`, so late tolerance is
+    # watermark_delay measured against window ends, not raw events.
+    cumulate_step: str | None = None
 
     def _plan(self, spark: SparkSession) -> DataFrame:
         schema = self.schema
@@ -65,6 +74,25 @@ class StreamingWindowAgg:
             schema = spark.read.parquet(self.input_dir).schema
         stream = spark.readStream.schema(schema).parquet(self.input_dir)
         agg_cols = [F.expr(expr).alias(name) for name, expr in self.aggs.items()]
+        if self.cumulate_step is not None:
+            from ..plans.dialect import cumulate_ends_sql
+
+            step_n, step_u = self.cumulate_step.split()
+            size_n, size_u = self.window_duration.split()
+            ends = cumulate_ends_sql(
+                self.event_time_col, step_n, step_u, size_n, size_u
+            )
+            return (
+                stream.withColumn("__cum_end", F.explode(F.expr(ends)))
+                .withWatermark("__cum_end", self.watermark_delay)
+                .groupBy("__cum_end", *self.group_keys)
+                .agg(*agg_cols)
+                .select(
+                    F.col("__cum_end").alias(self.event_time_col),
+                    *self.group_keys,
+                    *self.aggs.keys(),
+                )
+            )
         window = (
             F.window(F.col(self.event_time_col), self.window_duration, self.slide_duration)
             if self.slide_duration

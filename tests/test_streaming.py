@@ -497,3 +497,44 @@ def test_streaming_sliding_window(spark, dirs):
     assert len(out) == 2
     assert [o[0].hour for o in out] == [4, 5]
     assert all(o[2] == 10 and o[3] == 10 for o in out)
+
+
+def test_streaming_cumulate_across_runs(spark, dirs):
+    """Cumulative windows in always-on mode: growing hourly windows within
+    a 4h span emit as the end-column watermark passes each end; a run-2
+    row inside the span merges into the still-open later windows without
+    re-emitting closed ones."""
+    job = StreamingWindowAgg(
+        input_dir=dirs["in"],
+        checkpoint_dir=dirs["chk"],
+        output_dir=dirs["out"],
+        window_duration="4 hour",
+        cumulate_step="1 hour",
+        watermark_delay="2 hours",
+        event_time_col="event_time",
+        group_keys=["symbol"],
+        aggs={"min_price": "min(price)", "max_price": "max(price)"},
+    )
+
+    # Run 1: rows at 00:30 and 01:30 explode to ends 01:00..04:00; the
+    # end watermark settles at 04:00 - 2h = 02:00, closing ends <= 02:00.
+    _slice(
+        os.path.join(dirs["in"], "c-1.parquet"),
+        [(ts(1, 0, 30), "A", 10), (ts(1, 1, 30), "A", 12)],
+    )
+    job.run_available_now(spark)
+    out1 = _read_out(spark, dirs["out"])
+    assert [(r[0].hour, r[2], r[3]) for r in out1] == [(1, 10, 10), (2, 10, 12)]
+
+    # Run 2: a 02:30 row merges into the span's open 03:00/04:00 windows,
+    # and a next-span row advances the end watermark to 06:00, flushing
+    # them exactly once with the merged min.
+    _slice(
+        os.path.join(dirs["in"], "c-2.parquet"),
+        [(ts(1, 2, 30), "A", 7), (ts(1, 6, 30), "A", 99)],
+    )
+    job.run_available_now(spark)
+    out2 = _read_out(spark, dirs["out"])
+    new = [r for r in out2 if r not in out1]
+    assert [(r[0].hour, r[2], r[3]) for r in new] == [(3, 7, 12), (4, 7, 12)]
+    assert len(out2) == len(out1) + 2
