@@ -110,8 +110,67 @@ def _dedupe_columns(df):
     return df.select(*cols) if len(cols) != len(df.columns) else df
 
 
+def fold_records(ranking, rows, order_col, descending, limit):
+    """Fold slice rows (ledger order) through a running top-N `ranking`
+    (mutated in place, sorted best-to-worst), yielding changelog tuples
+    (gseq, sub, op, place, row) — gseq is the triggering row's ledger
+    offset, sub orders one record's corrections (ascending place, op 2
+    before 3). Shared by the global driver fold and the per-key
+    distributed fold (keyed_topn.py)."""
+
+    def _beats(v: Any, ev: Any) -> bool:
+        # DESC: nulls last — a non-null beats a null, null beats nothing.
+        # ASC: nulls first — a null beats any non-null. Null vs null ties.
+        if v is None:
+            return (not descending) and ev is not None
+        if ev is None:
+            return descending
+        return (v > ev) if descending else (v < ev)
+
+    for row, gseq in rows:
+        v = row[order_col]
+        # Insertion point: ties go after existing entries (row_number
+        # stability — an equal score does not displace an earlier row).
+        # `ranking` is sorted best-to-worst, so _beats(v, ranking[i]) is
+        # monotone in i and the first-True index binary-searches in
+        # O(log N).
+        lo, hi = 0, len(ranking)
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if _beats(v, ranking[mid][order_col]):
+                hi = mid
+            else:
+                lo = mid + 1
+        pos = lo
+        if pos >= limit:
+            continue
+        old_top = ranking[:limit]
+        ranking.insert(pos, row)
+        new_top = ranking[:limit]
+        sub = 0
+        for place in range(pos, limit):
+            if place >= len(new_top):
+                break
+            new_row = new_top[place]
+            old_row = old_top[place] if place < len(old_top) else None
+            if old_row is None:
+                yield (gseq, sub, OP_APPEND, place + 1, new_row)
+                sub += 1
+            elif old_row != new_row:
+                yield (gseq, sub, OP_CORRECT_FROM, place + 1, old_row)
+                sub += 1
+                yield (gseq, sub, OP_CORRECT_TO, place + 1, new_row)
+                sub += 1
+        del ranking[limit:]  # beyond-N tail can never resurface
+
+
 def execute_topn(ctx: StepContext, sql: str) -> StepResult:
     spec = parse_topn(sql)
+    if spec is not None:
+        from .keyed_topn import execute_keyed_topn, parse_keyed_order
+
+        if parse_keyed_order(sql) is not None:
+            return execute_keyed_topn(ctx, sql, spec)
     shape = _SHAPE_RE.search(sql.strip())
     order_m = _ORDER_RE.search(sql)
     if spec is None or shape is None or order_m is None:
@@ -183,57 +242,17 @@ def execute_topn(ctx: StepContext, sql: str) -> StepResult:
     if SEQ_INPUT in candidates.columns:
         rows.sort(key=lambda r: r[SEQ_INPUT])
 
-    def _beats(v: Any, ev: Any) -> bool:
-        # DESC: nulls last — a non-null beats a null, null beats nothing.
-        # ASC: nulls first — a null beats any non-null. Null vs null ties.
-        if v is None:
-            return (not descending) and ev is not None
-        if ev is None:
-            return descending
-        return (v > ev) if descending else (v < ev)
-
+    fold_rows = [
+        ({k: v for k, v in row.items() if k in value_cols}, row.get(SEQ_INPUT))
+        for row in rows
+    ]
     changelog: list[dict[str, Any]] = []
     seq = 0
-    for row in rows:
-        row = {k: v for k, v in row.items() if k in value_cols}
-        v = row[order_col]
-        # Insertion point: ties go after existing entries (row_number
-        # stability — an equal score does not displace an earlier row).
-        # `ranking` is sorted best-to-worst, so _beats(v, ranking[i]) is
-        # monotone in i and the first-True index binary-searches in
-        # O(log N) — the linear scan was the driver-loop hotspot
-        # (survivors x N comparisons on a first run with no threshold).
-        lo, hi = 0, len(ranking)
-        while lo < hi:
-            mid = (lo + hi) // 2
-            if _beats(v, ranking[mid][order_col]):
-                hi = mid
-            else:
-                lo = mid + 1
-        pos = lo
-        if pos >= spec.limit:
-            continue
-        old_top = ranking[: spec.limit]
-        ranking.insert(pos, row)
-        new_top = ranking[: spec.limit]
-        for place in range(pos, spec.limit):
-            if place >= len(new_top):
-                break
-            new_row = new_top[place]
-            old_row = old_top[place] if place < len(old_top) else None
-            if old_row is None:
-                changelog.append({**new_row, "place": place + 1, OP_COL: OP_APPEND, SEQ_COL: seq})
-                seq += 1
-            elif old_row != new_row:
-                changelog.append(
-                    {**old_row, "place": place + 1, OP_COL: OP_CORRECT_FROM, SEQ_COL: seq}
-                )
-                seq += 1
-                changelog.append(
-                    {**new_row, "place": place + 1, OP_COL: OP_CORRECT_TO, SEQ_COL: seq}
-                )
-                seq += 1
-        del ranking[spec.limit :]  # beyond-N tail can never resurface
+    for _gseq, _sub, op, place, row in fold_records(
+        ranking, fold_rows, order_col, descending, spec.limit
+    ):
+        changelog.append({**row, "place": place, OP_COL: op, SEQ_COL: seq})
+        seq += 1
 
     out_schema = StructType(
         list(state_schema.fields)

@@ -84,7 +84,7 @@ _TEMPORAL_RE = re.compile(r"LATERAL\s+TABLE|FOR\s+SYSTEM_TIME\s+AS\s+OF", re.IGN
 _ROW_NUMBER_RE = re.compile(
     r"row_number\s*\(\s*\)\s+OVER\s*\(([^)]*)\)\s+AS\s+([`\w]+)", re.IGNORECASE
 )
-_RANK_FILTER_RE = re.compile(r"WHERE\s+([`\w]+)\s*<=?\s*(\d+)", re.IGNORECASE)
+_RANK_FILTER_RE = re.compile(r"WHERE\s+([`\w]+)\s*(<=|<|=)\s*(\d+)", re.IGNORECASE)
 _BETWEEN_RE = re.compile(
     r"([`\w]+)\.([`\w]+)\s+BETWEEN\s+([`\w]+)\.([`\w]+)\s+AND\s+"
     r"\3\.\4\s*\+\s*INTERVAL\s+'(\d+)'\s+(\w+)",
@@ -454,7 +454,17 @@ def parse_topn(sql: str) -> TopNSpec | None:
     alias = rn.group(2).strip("`")
     for m in _RANK_FILTER_RE.finditer(sql):
         if m.group(1).strip("`") == alias:
-            return TopNSpec(rank_alias=alias, limit=int(m.group(2)))
+            n = int(m.group(3))
+            # `rn < N` keeps N-1 places; `rn = 1` is Flink's dedup spelling
+            # (only meaningful for 1 — `rn = k` for k>1 emits a single rank,
+            # which the Top-N changelog contract can't express).
+            if m.group(2) == "<":
+                n -= 1
+            elif m.group(2) == "=" and n != 1:
+                return None
+            if n < 1:
+                return None
+            return TopNSpec(rank_alias=alias, limit=n)
     return None
 
 

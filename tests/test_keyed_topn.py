@@ -1,0 +1,163 @@
+"""Per-key Top-N / streaming-deduplication changelog parity.
+
+The reference delegates every SQL step to Flink's planner
+(TransformEngine.scala:252-262), whose rank operator accepts PARTITION BY
+(the N=1 form is Flink's documented Deduplication pattern). These scenarios
+extend the global changelog contract pinned by EngineTopNTest.scala:22-155
+per key: corrections emit immediately per input record, ascending place
+order within a record, interleaved across keys by ledger-offset order.
+"""
+
+from datetime import timezone
+
+import pyarrow.parquet as pq
+
+from kamu_engine_flink_spark.protocol.model import DatasetVocabulary
+
+from .helpers import TransformRunner, ts
+from .test_topn import match_scores_slice
+
+KEYED_TOPN_QUERY = """select
+  cast(now() as timestamp(3)) as placed_at,
+  *
+from (
+  select
+    row_number() over (partition by player_name order by score desc) AS place,
+    match_time,
+    player_name,
+    score
+  from match_scores
+) where place <= 2"""
+
+DEDUP_LAST_QUERY = """select
+  cast(now() as timestamp(3)) as placed_at,
+  *
+from (
+  select
+    row_number() over (partition by player_name order by match_time desc) AS place,
+    match_time,
+    player_name,
+    score
+  from match_scores
+) where place = 1"""
+
+
+def _read_rows(out):
+    table = pq.read_table(out)
+    return [
+        (
+            r["offset"],
+            r["op"],
+            r["place"],
+            r["match_time"].replace(tzinfo=timezone.utc),
+            r["player_name"],
+            r["score"],
+        )
+        for r in table.to_pylist()
+    ]
+
+
+def _runner(spark, tmp_path, query):
+    return TransformRunner(
+        spark,
+        tmp_path,
+        queries=[(query, None)],
+        vocab=DatasetVocabulary(event_time_column="placed_at"),
+    )
+
+
+def _input(path, watermark):
+    return {
+        "alias": "match_scores",
+        "data_paths": [path] if path else [],
+        "schema_file": path,
+        "watermark": watermark,
+        "vocab": DatasetVocabulary(event_time_column="match_time"),
+    }
+
+
+def test_keyed_topn_changelog_and_resume(spark, tmp_path):
+    runner = _runner(spark, tmp_path, KEYED_TOPN_QUERY)
+    s1 = str(tmp_path / "in" / "s1.parquet")
+    match_scores_slice(
+        s1,
+        [
+            (0, 0, ts(5), ts(1), "Alice", 100),
+            (1, 0, ts(5), ts(1), "Bob", 80),
+            (2, 0, ts(5), ts(2), "Alice", 70),
+            (3, 0, ts(5), ts(2), "Bob", 90),
+            (4, 0, ts(5), ts(3), "Alice", 95),
+            (5, 0, ts(5), ts(3), "Charlie", 50),
+        ],
+    )
+    resp, out = runner.run([_input(s1, ts(3))], system_time=ts(10))
+    assert (resp.new_offset_interval.start, resp.new_offset_interval.end) == (0, 8)
+    # Hand-derived golden changelog: per-record corrections within each
+    # key's ranking, global order = (triggering offset, place, 2-before-3).
+    assert _read_rows(out) == [
+        (0, 0, 1, ts(1), "Alice", 100),
+        (1, 0, 1, ts(1), "Bob", 80),
+        (2, 0, 2, ts(2), "Alice", 70),
+        (3, 2, 1, ts(1), "Bob", 80),
+        (4, 3, 1, ts(2), "Bob", 90),
+        (5, 0, 2, ts(1), "Bob", 80),
+        (6, 2, 2, ts(2), "Alice", 70),
+        (7, 3, 2, ts(3), "Alice", 95),
+        (8, 0, 1, ts(3), "Charlie", 50),
+    ]
+
+    # Second invocation resumes per-key state from the checkpoint.
+    s2 = str(tmp_path / "in" / "s2.parquet")
+    match_scores_slice(
+        s2,
+        [
+            (6, 0, ts(6), ts(4), "Bob", 85),
+            (7, 0, ts(6), ts(4), "Dana", 120),
+        ],
+    )
+    resp2, out2 = runner.run([_input(s2, ts(4))], system_time=ts(11))
+    assert (resp2.new_offset_interval.start, resp2.new_offset_interval.end) == (9, 11)
+    assert _read_rows(out2) == [
+        (9, 2, 2, ts(1), "Bob", 80),
+        (10, 3, 2, ts(4), "Bob", 85),
+        (11, 0, 1, ts(4), "Dana", 120),
+    ]
+
+
+def test_dedup_keep_last_changelog(spark, tmp_path):
+    """Flink Deduplication pattern: row_number over (partition by key order
+    by event_time desc) = 1 — keep the latest row per key, correcting the
+    previous winner with an op 2/3 pair."""
+    runner = _runner(spark, tmp_path, DEDUP_LAST_QUERY)
+    s1 = str(tmp_path / "in" / "s1.parquet")
+    match_scores_slice(
+        s1,
+        [
+            (0, 0, ts(5), ts(1), "Alice", 100),
+            (1, 0, ts(5), ts(2), "Bob", 80),
+            (2, 0, ts(5), ts(3), "Alice", 70),
+        ],
+    )
+    resp, out = runner.run([_input(s1, ts(3))], system_time=ts(10))
+    assert _read_rows(out) == [
+        (0, 0, 1, ts(1), "Alice", 100),
+        (1, 0, 1, ts(2), "Bob", 80),
+        (2, 2, 1, ts(1), "Alice", 100),
+        (3, 3, 1, ts(3), "Alice", 70),
+    ]
+
+    # Resume: an older event time must NOT displace the kept (latest) row;
+    # a newer one must.
+    s2 = str(tmp_path / "in" / "s2.parquet")
+    match_scores_slice(
+        s2,
+        [
+            (3, 0, ts(6), ts(2), "Alice", 55),  # older than kept ts(3): no-op
+            (4, 0, ts(6), ts(4), "Bob", 60),  # newer than kept ts(2): corrects
+        ],
+    )
+    resp2, out2 = runner.run([_input(s2, ts(4))], system_time=ts(11))
+    assert _read_rows(out2) == [
+        (4, 2, 1, ts(2), "Bob", 80),
+        (5, 3, 1, ts(4), "Bob", 60),
+    ]
