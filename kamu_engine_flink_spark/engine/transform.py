@@ -37,6 +37,7 @@ from ..operators import (
     distinct_step,
     interval_join,
     map_step,
+    over_agg,
     temporal_join,
     topn,
     window_agg,
@@ -85,6 +86,7 @@ _EXECUTORS = {
     C.INTERVAL_JOIN: interval_join.execute_interval_join,
     C.TEMPORAL_JOIN: temporal_join.execute_temporal_join,
     C.TOPN: topn.execute_topn,
+    C.OVER_AGG: over_agg.execute_over_agg,
 }
 
 

@@ -24,6 +24,7 @@ CUMULATE_AGG = "cumulate_agg"
 INTERVAL_JOIN = "interval_join"
 TEMPORAL_JOIN = "temporal_join"
 TOPN = "topn"
+OVER_AGG = "over_agg"
 
 _TUMBLE_RE = re.compile(
     r"TUMBLE\s*\(\s*([`\w.]+)\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*\)", re.IGNORECASE
@@ -468,6 +469,65 @@ def parse_topn(sql: str) -> TopNSpec | None:
     return None
 
 
+_OVER_FRAME_RE = re.compile(
+    r"OVER\s*\(\s*(?:PARTITION\s+BY\s+(?P<keys>[`\w.]+(?:\s*,\s*[`\w.]+)*)\s+)?"
+    r"ORDER\s+BY\s+(?P<col>[`\w.]+)(?:\s+ASC)?\s+"
+    r"(?P<kind>RANGE|ROWS)\s+BETWEEN\s+"
+    r"(?:INTERVAL\s+'(?P<n>\d+)'\s+(?P<unit>\w+)|(?P<rows>\d+))\s+"
+    r"PRECEDING\s+AND\s+CURRENT\s+ROW\s*\)",
+    re.IGNORECASE,
+)
+
+
+@dataclass
+class OverAggSpec:
+    """Flink row-time Over Aggregation (streaming SQL docs "Over
+    Aggregation"): one output row per input row, aggregating a backward
+    frame over the same partition. All OVER clauses in one SELECT must be
+    identical (Flink's own constraint), the ORDER BY attribute is the
+    ascending rowtime, and the frame is bounded PRECEDING .. CURRENT ROW."""
+
+    time_col: str  # unqualified rowtime attribute
+    part_keys: list[str]
+    kind: str  # "range" | "rows"
+    range_size: timedelta | None
+    rows_n: int | None
+
+
+def parse_over_agg(sql: str) -> OverAggSpec | None:
+    matches = list(_OVER_FRAME_RE.finditer(sql))
+    if not matches:
+        return None
+    first = matches[0].group(0)
+    if any(m.group(0) != first for m in matches[1:]):
+        # Flink requires all over windows of one SELECT to be identical.
+        raise ValueError(
+            "all OVER windows in one SELECT must share an identical spec"
+        )
+    m = matches[0]
+    keys = (
+        [k.strip().strip("`").split(".")[-1] for k in m.group("keys").split(",")]
+        if m.group("keys")
+        else []
+    )
+    kind = m.group("kind").lower()
+    if kind == "range":
+        if not m.group("n"):
+            return None  # RANGE BETWEEN <rows> PRECEDING is not valid SQL
+        size, rows_n = interval_to_timedelta(m.group("n"), m.group("unit")), None
+    else:
+        if not m.group("rows"):
+            return None  # ROWS BETWEEN INTERVAL .. PRECEDING is not valid
+        size, rows_n = None, int(m.group("rows"))
+    return OverAggSpec(
+        time_col=m.group("col").split(".")[-1].strip("`"),
+        part_keys=keys,
+        kind=kind,
+        range_size=size,
+        rows_n=rows_n,
+    )
+
+
 def parse_interval_join(sql: str, known_views: set[str]) -> IntervalJoinSpec | None:
     jm = _JOIN_RE.search(sql)
     bm = _BETWEEN_RE.search(sql)
@@ -524,6 +584,8 @@ def classify(sql: str, known_views: set[str]) -> str:
         return TEMPORAL_JOIN
     if parse_topn(sql) is not None:
         return TOPN
+    if parse_over_agg(sql) is not None:
+        return OVER_AGG
     if parse_interval_join(sql, known_views) is not None:
         return INTERVAL_JOIN
     # Top-level SELECT DISTINCT gets Flink's STATEFUL stream semantics

@@ -1,0 +1,142 @@
+"""Row-time OVER aggregation parity (Flink streaming SQL "Over
+Aggregation", delegated by TransformEngine.scala:252-262).
+
+Semantics pinned: one output row per input row when the watermark passes
+its rowtime; backward RANGE/ROWS frames per partition; late rows dropped;
+pending rows and frame-context rows carry across invocations in the
+checkpoint; emission order (rowtime, ledger offset).
+"""
+
+from datetime import timezone
+
+import pyarrow.parquet as pq
+
+from .helpers import TransformRunner, ticker_slice, ts
+
+RANGE_QUERY = """select
+  event_time, symbol, price,
+  sum(price) over (partition by symbol order by event_time
+    range between interval '2' minute preceding and current row) as sum2m,
+  count(*) over (partition by symbol order by event_time
+    range between interval '2' minute preceding and current row) as cnt2m
+from tickers"""
+
+ROWS_QUERY = """select
+  event_time, symbol, price,
+  sum(price) over (partition by symbol order by event_time
+    rows between 1 preceding and current row) as sum2
+from tickers"""
+
+
+def _rows(out, *cols):
+    table = pq.read_table(out)
+    return [
+        tuple(
+            r[c].replace(tzinfo=timezone.utc) if c == "event_time" else r[c]
+            for c in ("offset", "op", "event_time", *cols)
+        )
+        for r in table.to_pylist()
+    ]
+
+
+def _input(path, watermark):
+    return {
+        "alias": "tickers",
+        "data_paths": [path] if path else [],
+        "schema_file": path,
+        "watermark": watermark,
+    }
+
+
+def test_over_agg_range_cross_run(spark, tmp_path):
+    runner = TransformRunner(spark, tmp_path, queries=[(RANGE_QUERY, None)])
+    s1 = str(tmp_path / "in" / "s1.parquet")
+    ticker_slice(
+        s1,
+        [
+            (0, 0, ts(2), ts(1, 0, 0), "A", 10),
+            (1, 0, ts(2), ts(1, 0, 1), "A", 20),
+            (2, 0, ts(2), ts(1, 0, 3), "A", 30),
+            (3, 0, ts(2), ts(1, 0, 5), "A", 40),  # beyond wm: pending
+            (4, 0, ts(2), ts(1, 0, 2), "B", 5),
+        ],
+    )
+    resp, out = runner.run([_input(s1, ts(1, 0, 4))], system_time=ts(2))
+    assert resp.new_watermark == ts(1, 0, 4)
+    assert _rows(out, "symbol", "price", "sum2m", "cnt2m") == [
+        (0, 0, ts(1, 0, 0), "A", 10, 10, 1),
+        (1, 0, ts(1, 0, 1), "A", 20, 30, 2),
+        (2, 0, ts(1, 0, 2), "B", 5, 5, 1),
+        (3, 0, ts(1, 0, 3), "A", 30, 50, 2),
+    ]
+
+    # Run 2: the pending 00:05 row emits with frame context persisted from
+    # run 1 (the 00:03 row), a new 00:06 row emits, a late 00:02 row drops.
+    s2 = str(tmp_path / "in" / "s2.parquet")
+    ticker_slice(
+        s2,
+        [
+            (5, 0, ts(3), ts(1, 0, 6), "A", 50),
+            (6, 0, ts(3), ts(1, 0, 2), "A", 99),  # late: ts <= prev wm
+        ],
+    )
+    resp2, out2 = runner.run([_input(s2, ts(1, 0, 7))], system_time=ts(3))
+    assert (resp2.new_offset_interval.start, resp2.new_offset_interval.end) == (4, 5)
+    assert _rows(out2, "symbol", "price", "sum2m", "cnt2m") == [
+        (4, 0, ts(1, 0, 5), "A", 40, 70, 2),  # 30 (from run-1 state) + 40
+        (5, 0, ts(1, 0, 6), "A", 50, 90, 2),  # 40 + 50
+    ]
+
+
+def test_over_agg_rows_frame_tie_and_resume(spark, tmp_path):
+    runner = TransformRunner(spark, tmp_path, queries=[(ROWS_QUERY, None)])
+    s1 = str(tmp_path / "in" / "s1.parquet")
+    ticker_slice(
+        s1,
+        [
+            (0, 0, ts(2), ts(1, 0, 1), "A", 10),
+            (1, 0, ts(2), ts(1, 0, 1), "A", 20),  # equal rowtime: ledger order
+            (2, 0, ts(2), ts(1, 0, 2), "A", 30),
+        ],
+    )
+    resp, out = runner.run([_input(s1, ts(1, 0, 4))], system_time=ts(2))
+    assert _rows(out, "symbol", "price", "sum2") == [
+        (0, 0, ts(1, 0, 1), "A", 10, 10),
+        (1, 0, ts(1, 0, 1), "A", 20, 30),
+        (2, 0, ts(1, 0, 2), "A", 30, 50),
+    ]
+
+    # ROWS-frame context (the last 1 row per key) persists; the new row's
+    # frame reaches back into run 1.
+    s2 = str(tmp_path / "in" / "s2.parquet")
+    ticker_slice(s2, [(3, 0, ts(3), ts(1, 0, 5), "A", 40)])
+    resp2, out2 = runner.run([_input(s2, ts(1, 0, 6))], system_time=ts(3))
+    assert _rows(out2, "symbol", "price", "sum2") == [
+        (3, 0, ts(1, 0, 5), "A", 40, 70),
+    ]
+
+
+def test_over_agg_watermark_only_flush(spark, tmp_path):
+    """Pending rows flush on a data-less watermark advance."""
+    runner = TransformRunner(spark, tmp_path, queries=[(RANGE_QUERY, None)])
+    s1 = str(tmp_path / "in" / "s1.parquet")
+    ticker_slice(
+        s1,
+        [
+            (0, 0, ts(2), ts(1, 0, 1), "A", 10),
+            (1, 0, ts(2), ts(1, 0, 5), "A", 20),  # pending under wm 0:03
+        ],
+    )
+    resp, out = runner.run([_input(s1, ts(1, 0, 3))], system_time=ts(2))
+    assert _rows(out, "symbol", "price", "sum2m", "cnt2m") == [
+        (0, 0, ts(1, 0, 1), "A", 10, 10, 1),
+    ]
+    resp2, out2 = runner.run(
+        [{"alias": "tickers", "data_paths": [], "schema_file": s1,
+          "watermark": ts(1, 0, 6)}],
+        system_time=ts(3),
+    )
+    # Watermark-only invocation: the pending 00:05 row flushes from state.
+    assert _rows(out2, "symbol", "price", "sum2m", "cnt2m") == [
+        (1, 0, ts(1, 0, 5), "A", 20, 20, 1),
+    ]
