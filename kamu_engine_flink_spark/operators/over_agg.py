@@ -34,7 +34,13 @@ from .base import StepContext, StepResult
 SEQ_INPUT = "__seq"
 
 _ROWS_ORDER_RE = re.compile(
-    r"(ORDER\s+BY\s+[`\w.]+)((?:\s+ASC)?\s+ROWS\s+BETWEEN)", re.IGNORECASE
+    r"(ORDER\s+BY\s+[`\w.]+)((?:\s+ASC)?\s+ROWS\s+(?:BETWEEN|UNBOUNDED))",
+    re.IGNORECASE,
+)
+_AGG_OVER_RE = re.compile(
+    r"(?P<fn>SUM|COUNT|MIN|MAX|AVG)\s*\(\s*(?P<arg>\*|[`\w.]+)\s*\)\s+"
+    r"(?P<over>OVER\s*\([^)]*\))\s+AS\s+(?P<alias>[`\w]+)",
+    re.IGNORECASE,
 )
 
 
@@ -42,6 +48,8 @@ def execute_over_agg(ctx: StepContext, sql: str) -> StepResult:
     spec = parse_over_agg(sql)
     if spec is None:
         raise InvalidQueryError("over_agg executor requires a bounded OVER frame")
+    if spec.unbounded:
+        return _execute_unbounded(ctx, sql, spec)
     refs = referenced_views(sql, set(ctx.views))
     if len(refs) != 1:
         raise InvalidQueryError(f"over aggregation must read exactly one view, got {refs}")
@@ -121,5 +129,203 @@ def execute_over_agg(ctx: StepContext, sql: str) -> StepResult:
         )
         still_open = pending.unionByName(context_rows).select(*cols)
     ctx.state.save_df(buffer_name, still_open)
+
+    return StepResult(df=result, watermark=new_wm, order_cols=[spec.time_col, SEQ_INPUT])
+
+
+def _null_skip(fn, a, b):
+    """Binary merge that treats NULL as the identity (SQL agg semantics)."""
+    return (
+        F.when(a.isNull(), b).when(b.isNull(), a).otherwise(fn(a, b))
+    )
+
+
+def _execute_unbounded(ctx: StepContext, sql: str, spec) -> StepResult:
+    """UNBOUNDED PRECEDING frames: raw-row retention would grow without
+    bound, so emitted history lives in a per-key ACCUMULATOR (running
+    sum/count/min/max per aggregate; avg as a sum+count pair) — the same
+    O(keys) state Flink's over-agg keeps. Pending (beyond-watermark) rows
+    stay raw; each emission combines the buffer-local prefix aggregate
+    with the accumulator."""
+    aggs = [
+        (
+            m.group("fn").lower(),
+            m.group("arg").strip("`").split(".")[-1] if m.group("arg") != "*" else "*",
+            m.group("alias").strip("`"),
+            m.group("over"),
+        )
+        for m in _AGG_OVER_RE.finditer(sql)
+    ]
+    n_over = len(re.findall(r"\bOVER\b", sql, re.IGNORECASE))
+    if len(aggs) != n_over:
+        raise InvalidQueryError(
+            "unbounded over aggregation supports SUM/COUNT/MIN/MAX/AVG of a "
+            "plain column (accumulator state needs mergeable aggregates)"
+        )
+    refs = referenced_views(sql, set(ctx.views))
+    if len(refs) != 1:
+        raise InvalidQueryError(f"over aggregation must read exactly one view, got {refs}")
+    src = refs[0]
+    prev_wm = ctx.prev_wms.get(src)
+    new_wm = ctx.new_wms.get(src)
+
+    incoming = ctx.views[src]
+    if SEQ_INPUT not in incoming.columns:
+        raise InvalidQueryError("over aggregation requires ledger-offset sequencing")
+    t = F.col(spec.time_col)
+    if prev_wm is not None:
+        incoming = incoming.filter(t > F.lit(prev_wm))
+
+    buffer_name = f"{ctx.step_key}-over-pending"
+    acc_name = f"{ctx.step_key}-over-acc"
+    if ctx.state.has_df(buffer_name):
+        prev_buf = ctx.state.load_df(buffer_name, schema=incoming.schema)
+        buf = ctx.pin(prev_buf.unionByName(incoming))
+    else:
+        buf = incoming
+
+    # Buffer-local prefix aggregates: the user's SQL plus AVG's hidden
+    # sum/count companions (an average of averages doesn't merge).
+    run_sql = _ROWS_ORDER_RE.sub(rf"\1, {SEQ_INPUT}\2", sql)
+    run_sql = re.sub(
+        r"^\s*select\s+", f"SELECT {SEQ_INPUT}, ", run_sql, count=1, flags=re.IGNORECASE
+    )
+    companions = "".join(
+        f", SUM({arg}) {over} AS __os_{alias}, COUNT({arg}) {over} AS __oc_{alias}"
+        for fn, arg, alias, over in aggs
+        if fn == "avg"
+    )
+    if companions:
+        run_sql = re.sub(r"\bFROM\b", companions + " FROM", run_sql, count=1,
+                         flags=re.IGNORECASE)
+        run_sql = _ROWS_ORDER_RE.sub(rf"\1, {SEQ_INPUT}\2", run_sql)
+    buf.createOrReplaceTempView(src)
+    try:
+        local = ctx.spark.sql(rewrite_query(run_sql, watermark=new_wm))
+    finally:
+        ctx.views[src].createOrReplaceTempView(src)
+    if spec.time_col not in local.columns:
+        raise InvalidQueryError(
+            f"over aggregation must project its rowtime attribute {spec.time_col!r}"
+        )
+
+    # Accumulator schema: keys + one (or two, for avg) columns per alias.
+    local_types = {f.name: f.dataType for f in local.schema.fields}
+    keys = list(spec.part_keys)
+    acc_fields = []
+    for fn, arg, alias, _ in aggs:
+        if fn == "sum":
+            acc_fields.append((f"__a_sum_{alias}", local_types[alias]))
+        elif fn == "count":
+            acc_fields.append((f"__a_cnt_{alias}", local_types[alias]))
+        elif fn in ("min", "max"):
+            acc_fields.append((f"__a_{fn}_{alias}", local_types[alias]))
+        else:  # avg
+            acc_fields.append((f"__a_sum_{alias}", local_types[f"__os_{alias}"]))
+            acc_fields.append((f"__a_cnt_{alias}", local_types[f"__oc_{alias}"]))
+    from pyspark.sql.types import StructField, StructType
+
+    buf_types = {f.name: f.dataType for f in buf.schema.fields}
+    acc_schema = StructType(
+        [StructField(k, buf_types[k]) for k in keys]
+        + [StructField(n, dt) for n, dt in acc_fields]
+    )
+    acc = ctx.state.load_df(acc_name, schema=acc_schema)
+
+    # Combine buffer-local prefix values with the accumulator per key.
+    join_keys = keys or ["__gk"]
+    if not keys:
+        local = local.withColumn("__gk", F.lit(0))
+        acc = acc.withColumn("__gk", F.lit(0))
+    combined = local.join(F.broadcast(acc), join_keys, "left")
+    for fn, arg, alias, _ in aggs:
+        a = F.col(alias)
+        if fn == "sum":
+            combined = combined.withColumn(
+                alias,
+                _null_skip(lambda x, y: x + y, F.col(f"__a_sum_{alias}"), a).cast(
+                    local_types[alias]
+                ),
+            )
+        elif fn == "count":
+            combined = combined.withColumn(
+                alias, (F.coalesce(F.col(f"__a_cnt_{alias}"), F.lit(0)) + a).cast(
+                    local_types[alias]
+                )
+            )
+        elif fn in ("min", "max"):
+            merge = F.least if fn == "min" else F.greatest
+            combined = combined.withColumn(
+                alias, _null_skip(lambda x, y: merge(x, y), F.col(f"__a_{fn}_{alias}"), a)
+            )
+        else:  # avg: (base_sum + local_sum) / (base_cnt + local_cnt)
+            s = _null_skip(
+                lambda x, y: x + y, F.col(f"__a_sum_{alias}"), F.col(f"__os_{alias}")
+            )
+            c = F.coalesce(F.col(f"__a_cnt_{alias}"), F.lit(0)) + F.col(f"__oc_{alias}")
+            combined = combined.withColumn(
+                alias,
+                F.when(c > 0, s / c).otherwise(F.lit(None)).cast(local_types[alias]),
+            )
+    drop_cols = [n for n, _ in acc_fields] + [
+        c for c in combined.columns if c.startswith(("__os_", "__oc_"))
+    ]
+    if not keys:
+        drop_cols.append("__gk")
+    result = combined.drop(*dict.fromkeys(drop_cols))
+
+    rt = F.col(spec.time_col)
+    if new_wm is None:
+        result = result.limit(0)
+        ctx.state.save_df(buffer_name, buf)
+        ctx.state.save_df(acc_name, acc.drop("__gk") if not keys else acc)
+        return StepResult(df=result, watermark=new_wm,
+                          order_cols=[spec.time_col, SEQ_INPUT])
+    result = result.filter(rt <= F.lit(new_wm))
+    if prev_wm is not None:
+        result = result.filter(rt > F.lit(prev_wm))
+
+    # Fold this run's emitted rows into the accumulator; keep beyond-
+    # watermark rows raw.
+    t = F.col(spec.time_col)
+    emitted = buf.filter(t <= F.lit(new_wm))
+    upd_aggs, merge_aggs = [], []
+    for fn, arg, alias, _ in aggs:
+        argc = F.lit(1) if arg == "*" else F.col(arg)
+        if fn == "sum":
+            nm, tpe = f"__a_sum_{alias}", local_types[alias]
+            upd_aggs.append(F.sum(argc).cast(tpe).alias(nm))
+            merge_aggs.append(F.sum(nm).cast(tpe).alias(nm))
+        elif fn == "count":
+            nm, tpe = f"__a_cnt_{alias}", local_types[alias]
+            upd_aggs.append(F.count(argc).cast(tpe).alias(nm))
+            merge_aggs.append(F.sum(nm).cast(tpe).alias(nm))
+        elif fn in ("min", "max"):
+            nm = f"__a_{fn}_{alias}"
+            agg_fn = F.min if fn == "min" else F.max
+            upd_aggs.append(agg_fn(argc).alias(nm))
+            merge_aggs.append(agg_fn(nm).alias(nm))
+        else:  # avg
+            snm, cnm = f"__a_sum_{alias}", f"__a_cnt_{alias}"
+            stp = local_types[f"__os_{alias}"]
+            ctp = local_types[f"__oc_{alias}"]
+            upd_aggs.append(F.sum(argc).cast(stp).alias(snm))
+            upd_aggs.append(F.count(argc).cast(ctp).alias(cnm))
+            merge_aggs.append(F.sum(snm).cast(stp).alias(snm))
+            merge_aggs.append(F.sum(cnm).cast(ctp).alias(cnm))
+    # De-dup alias collisions (an avg can share its sum name with a sum of
+    # the same alias only if aliases repeat, which SQL forbids).
+    upd = emitted.groupBy(*[F.col(k) for k in keys] if keys else []).agg(*upd_aggs)
+    acc_cols = [f.name for f in acc_schema.fields]
+    old_acc = acc.drop("__gk") if not keys else acc
+    new_acc = (
+        old_acc.select(*acc_cols)
+        .unionByName(upd.select(*acc_cols))
+        .groupBy(*keys)
+        .agg(*merge_aggs)
+        .select(*acc_cols)
+    )
+    ctx.state.save_df(acc_name, new_acc)
+    ctx.state.save_df(buffer_name, buf.filter(t > F.lit(new_wm)))
 
     return StepResult(df=result, watermark=new_wm, order_cols=[spec.time_col, SEQ_INPUT])

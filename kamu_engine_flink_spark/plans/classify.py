@@ -472,9 +472,10 @@ def parse_topn(sql: str) -> TopNSpec | None:
 _OVER_FRAME_RE = re.compile(
     r"OVER\s*\(\s*(?:PARTITION\s+BY\s+(?P<keys>[`\w.]+(?:\s*,\s*[`\w.]+)*)\s+)?"
     r"ORDER\s+BY\s+(?P<col>[`\w.]+)(?:\s+ASC)?\s+"
-    r"(?P<kind>RANGE|ROWS)\s+BETWEEN\s+"
-    r"(?:INTERVAL\s+'(?P<n>\d+)'\s+(?P<unit>\w+)|(?P<rows>\d+))\s+"
-    r"PRECEDING\s+AND\s+CURRENT\s+ROW\s*\)",
+    r"(?P<kind>RANGE|ROWS)\s+"
+    r"(?:BETWEEN\s+(?:INTERVAL\s+'(?P<n>\d+)'\s+(?P<unit>\w+)|(?P<rows>\d+)|"
+    r"(?P<unb>UNBOUNDED))\s+PRECEDING\s+AND\s+CURRENT\s+ROW"
+    r"|(?P<unb2>UNBOUNDED)\s+PRECEDING)\s*\)",
     re.IGNORECASE,
 )
 
@@ -492,6 +493,7 @@ class OverAggSpec:
     kind: str  # "range" | "rows"
     range_size: timedelta | None
     rows_n: int | None
+    unbounded: bool = False
 
 
 def parse_over_agg(sql: str) -> OverAggSpec | None:
@@ -511,20 +513,24 @@ def parse_over_agg(sql: str) -> OverAggSpec | None:
         else []
     )
     kind = m.group("kind").lower()
-    if kind == "range":
-        if not m.group("n"):
-            return None  # RANGE BETWEEN <rows> PRECEDING is not valid SQL
-        size, rows_n = interval_to_timedelta(m.group("n"), m.group("unit")), None
-    else:
-        if not m.group("rows"):
-            return None  # ROWS BETWEEN INTERVAL .. PRECEDING is not valid
-        size, rows_n = None, int(m.group("rows"))
+    unbounded = bool(m.group("unb") or m.group("unb2"))
+    size = rows_n = None
+    if not unbounded:
+        if kind == "range":
+            if not m.group("n"):
+                return None  # RANGE BETWEEN <rows> PRECEDING is not valid SQL
+            size = interval_to_timedelta(m.group("n"), m.group("unit"))
+        else:
+            if not m.group("rows"):
+                return None  # ROWS BETWEEN INTERVAL .. PRECEDING is not valid
+            rows_n = int(m.group("rows"))
     return OverAggSpec(
         time_col=m.group("col").split(".")[-1].strip("`"),
         part_keys=keys,
         kind=kind,
         range_size=size,
         rows_n=rows_n,
+        unbounded=unbounded,
     )
 
 

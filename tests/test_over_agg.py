@@ -116,6 +116,44 @@ def test_over_agg_rows_frame_tie_and_resume(spark, tmp_path):
     ]
 
 
+UNBOUNDED_QUERY = """select
+  event_time, symbol, price,
+  sum(price) over (partition by symbol order by event_time rows unbounded preceding) as rsum,
+  avg(price) over (partition by symbol order by event_time rows unbounded preceding) as ravg,
+  count(*) over (partition by symbol order by event_time rows unbounded preceding) as rcnt
+from tickers"""
+
+
+def test_over_agg_unbounded_accumulator(spark, tmp_path):
+    """UNBOUNDED PRECEDING keeps O(keys) accumulator state, not raw
+    history: run 2's values continue run 1's running sum/avg/count."""
+    runner = TransformRunner(spark, tmp_path, queries=[(UNBOUNDED_QUERY, None)])
+    s1 = str(tmp_path / "in" / "s1.parquet")
+    ticker_slice(
+        s1,
+        [
+            (0, 0, ts(2), ts(1, 0, 1), "A", 10),
+            (1, 0, ts(2), ts(1, 0, 2), "A", 20),
+            (2, 0, ts(2), ts(1, 0, 3), "B", 5),
+            (3, 0, ts(2), ts(1, 0, 5), "A", 30),  # pending
+        ],
+    )
+    resp, out = runner.run([_input(s1, ts(1, 0, 4))], system_time=ts(2))
+    assert _rows(out, "symbol", "price", "rsum", "ravg", "rcnt") == [
+        (0, 0, ts(1, 0, 1), "A", 10, 10, 10.0, 1),
+        (1, 0, ts(1, 0, 2), "A", 20, 30, 15.0, 2),
+        (2, 0, ts(1, 0, 3), "B", 5, 5, 5.0, 1),
+    ]
+
+    s2 = str(tmp_path / "in" / "s2.parquet")
+    ticker_slice(s2, [(4, 0, ts(3), ts(1, 0, 6), "A", 60)])
+    resp2, out2 = runner.run([_input(s2, ts(1, 0, 7))], system_time=ts(3))
+    assert _rows(out2, "symbol", "price", "rsum", "ravg", "rcnt") == [
+        (3, 0, ts(1, 0, 5), "A", 30, 60, 20.0, 3),
+        (4, 0, ts(1, 0, 6), "A", 60, 120, 30.0, 4),
+    ]
+
+
 def test_over_agg_watermark_only_flush(spark, tmp_path):
     """Pending rows flush on a data-less watermark advance."""
     runner = TransformRunner(spark, tmp_path, queries=[(RANGE_QUERY, None)])
