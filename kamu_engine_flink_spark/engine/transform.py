@@ -37,6 +37,7 @@ from ..operators import (
     distinct_step,
     interval_join,
     map_step,
+    match_recognize,
     over_agg,
     temporal_join,
     topn,
@@ -87,6 +88,7 @@ _EXECUTORS = {
     C.TEMPORAL_JOIN: temporal_join.execute_temporal_join,
     C.TOPN: topn.execute_topn,
     C.OVER_AGG: over_agg.execute_over_agg,
+    C.MATCH_RECOGNIZE: match_recognize.execute_match_recognize,
 }
 
 

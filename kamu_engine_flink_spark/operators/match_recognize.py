@@ -1,0 +1,439 @@
+"""Stateful MATCH_RECOGNIZE (CEP pattern matching) — a deterministic
+online subset of Flink's streaming SQL surface.
+
+The reference hands every SQL step to Flink's planner
+(TransformEngine.scala:252-262), which includes row-pattern recognition
+(Flink docs "Pattern Recognition"). This executor implements the subset
+that admits ONLINE matching with no lookahead beyond the current row —
+the classic CEP shapes ("A, then anything until C"):
+
+  SELECT <cols> FROM <view> MATCH_RECOGNIZE (
+    [PARTITION BY k1, k2]
+    ORDER BY <rowtime>
+    MEASURES <FIRST|LAST(V.col) | V.col | COUNT(V.*) |
+              COUNT|SUM|MIN|MAX|AVG(V.col)> AS alias, ...
+    [ONE ROW PER MATCH]
+    [AFTER MATCH SKIP PAST LAST ROW]
+    PATTERN (V1 V2* V3? ... Vn)   -- quantifiers * + ? (reluctant: the
+                                  -- next element's predicate closes them;
+                                  -- *? +? spellings accepted), final
+                                  -- element unquantified
+    DEFINE V AS <predicate over V's own row>, ...
+  )
+
+Restrictions vs full Flink (each raises InvalidQueryError): DEFINE
+predicates see only the current row (no LAST/PREV cross-references),
+quantifiers are reluctant (Flink's greedy default needs retroactive
+emission), ALL ROWS PER MATCH and other AFTER MATCH modes are out.
+
+Spark-first derivation: DEFINE predicates compile to boolean columns
+evaluated JVM-side (whole-stage codegen) BEFORE the per-key fold, so the
+Python matcher touches only booleans. Matching distributes as one
+applyInPandas over the partition keys. Row-time semantics: only rows at
+or under the watermark enter the matcher (later rows could still get
+predecessors); a partial match at the processed boundary suspends, and
+its rows — exactly the suffix from the current attempt start — persist
+to the next invocation. AFTER MATCH SKIP PAST LAST ROW means at most one
+active attempt per key, so that suffix IS the whole per-key state.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+from ..plans.dialect import rewrite_query
+from ..protocol.model import InvalidQueryError
+from .base import StepContext, StepResult
+
+SEQ_INPUT = "__seq"
+KIND_COL = "__kind"  # 0 = match row, 1 = per-key keep-from marker
+
+_MR_RE = re.compile(
+    r"^\s*select\s+(?P<proj>.*?)\s+from\s+(?P<src>[`\w]+)\s+MATCH_RECOGNIZE\s*\("
+    r"(?P<body>.*)\)\s*(?:AS\s+[`\w]+\s*)?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_PART_RE = re.compile(r"PARTITION\s+BY\s+(?P<keys>[`\w.]+(?:\s*,\s*[`\w.]+)*)", re.IGNORECASE)
+_ORDER_RE = re.compile(r"ORDER\s+BY\s+(?P<col>[`\w.]+)", re.IGNORECASE)
+_MEASURES_RE = re.compile(
+    r"MEASURES\s+(?P<body>.*?)\s*(?:ONE\s+ROW\s+PER\s+MATCH|ALL\s+ROWS\s+PER\s+MATCH|"
+    r"AFTER\s+MATCH|PATTERN)",
+    re.IGNORECASE | re.DOTALL,
+)
+_PATTERN_RE = re.compile(r"PATTERN\s*\(\s*(?P<pat>[^)]*)\)", re.IGNORECASE)
+_DEFINE_RE = re.compile(r"DEFINE\s+(?P<body>.*)$", re.IGNORECASE | re.DOTALL)
+_PAT_TOKEN_RE = re.compile(r"([A-Za-z_]\w*)\s*(\*\?|\+\?|\*|\+|\?)?")
+_MEASURE_RE = re.compile(
+    r"^(?:(?P<fn>FIRST|LAST|COUNT|SUM|MIN|MAX|AVG)\s*\(\s*"
+    r"(?P<var1>[A-Za-z_]\w*)\.(?P<col1>[`\w]+|\*)\s*\)"
+    r"|(?P<var2>[A-Za-z_]\w*)\.(?P<col2>[`\w]+))\s+AS\s+(?P<alias>[`\w]+)$",
+    re.IGNORECASE,
+)
+_ALL_ROWS_RE = re.compile(r"ALL\s+ROWS\s+PER\s+MATCH", re.IGNORECASE)
+_AFTER_RE = re.compile(r"AFTER\s+MATCH\s+SKIP\s+(?!PAST\s+LAST\s+ROW)", re.IGNORECASE)
+
+
+def _split_top_level(s: str) -> list[str]:
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return [p.strip() for p in out if p.strip()]
+
+
+def parse_match_recognize(sql: str):
+    m = _MR_RE.search(sql.strip())
+    if not m:
+        return None
+    body = m.group("body")
+    if _ALL_ROWS_RE.search(body):
+        raise InvalidQueryError("MATCH_RECOGNIZE: only ONE ROW PER MATCH is supported")
+    if _AFTER_RE.search(body):
+        raise InvalidQueryError(
+            "MATCH_RECOGNIZE: only AFTER MATCH SKIP PAST LAST ROW is supported"
+        )
+    pm = _PART_RE.search(body)
+    keys = (
+        [k.strip().strip("`").split(".")[-1] for k in pm.group("keys").split(",")]
+        if pm
+        else []
+    )
+    om = _ORDER_RE.search(body)
+    if not om:
+        raise InvalidQueryError("MATCH_RECOGNIZE requires ORDER BY <rowtime>")
+    time_col = om.group("col").split(".")[-1].strip("`")
+    mm = _MEASURES_RE.search(body)
+    if not mm:
+        raise InvalidQueryError("MATCH_RECOGNIZE requires a MEASURES clause")
+    measures = []
+    for item in _split_top_level(mm.group("body")):
+        im = _MEASURE_RE.match(item.strip())
+        if not im:
+            raise InvalidQueryError(
+                f"MATCH_RECOGNIZE: unsupported measure {item!r} (supported: "
+                f"FIRST/LAST/COUNT/SUM/MIN/MAX/AVG(V.col), COUNT(V.*), V.col)"
+            )
+        if im.group("fn"):
+            fn = im.group("fn").lower()
+            var, col = im.group("var1"), im.group("col1").strip("`")
+            if col == "*" and fn != "count":
+                raise InvalidQueryError(f"MATCH_RECOGNIZE: {fn}(V.*) is not valid")
+        else:
+            fn, var, col = "last", im.group("var2"), im.group("col2").strip("`")
+        measures.append((fn, var, col, im.group("alias").strip("`")))
+    pat_m = _PATTERN_RE.search(body)
+    if not pat_m:
+        raise InvalidQueryError("MATCH_RECOGNIZE requires a PATTERN clause")
+    elements = []
+    for var, quant in _PAT_TOKEN_RE.findall(pat_m.group("pat")):
+        if not var:
+            continue
+        elements.append((var, {None: "one", "": "one", "?": "opt", "*": "star",
+                               "+": "plus", "*?": "star", "+?": "plus"}[quant or ""]))
+    if not elements:
+        raise InvalidQueryError("MATCH_RECOGNIZE: empty PATTERN")
+    if elements[-1][1] != "one":
+        raise InvalidQueryError(
+            "MATCH_RECOGNIZE: the final pattern element must be unquantified "
+            "(online matching cannot extend a completed greedy tail)"
+        )
+    dm = _DEFINE_RE.search(body)
+    defines: dict[str, str] = {}
+    if dm:
+        for item in _split_top_level(dm.group("body")):
+            dm2 = re.match(r"([A-Za-z_]\w*)\s+AS\s+(.*)$", item.strip(),
+                           re.IGNORECASE | re.DOTALL)
+            if not dm2:
+                raise InvalidQueryError(f"MATCH_RECOGNIZE: bad DEFINE item {item!r}")
+            var, pred = dm2.group(1), dm2.group(2).strip()
+            other = re.findall(r"\b([A-Za-z_]\w*)\.", pred)
+            if any(o.upper() not in (var.upper(),) for o in other):
+                raise InvalidQueryError(
+                    "MATCH_RECOGNIZE: DEFINE predicates may reference only the "
+                    "current row of their own variable (no LAST/PREV cross-refs)"
+                )
+            if re.search(r"\b(FIRST|LAST|PREV|NEXT)\s*\(", pred, re.IGNORECASE):
+                raise InvalidQueryError(
+                    "MATCH_RECOGNIZE: FIRST/LAST/PREV/NEXT in DEFINE is not supported"
+                )
+            defines[var] = re.sub(rf"\b{var}\.", "", pred)
+    return {
+        "proj": m.group("proj").strip(),
+        "src": m.group("src").strip("`"),
+        "keys": keys,
+        "time_col": time_col,
+        "measures": measures,
+        "elements": elements,
+        "defines": defines,
+    }
+
+
+def _measure_type(fn: str, col_type):
+    """Aggregate result types mirroring Spark SQL (SUM widens integers to
+    BIGINT and floats to DOUBLE; AVG and COUNT are DOUBLE/BIGINT)."""
+    if fn == "count":
+        return LongType()
+    if fn == "avg":
+        return DoubleType()
+    if fn == "sum":
+        s = col_type.simpleString()
+        if s in ("tinyint", "smallint", "int", "bigint"):
+            return LongType()
+        if s in ("float", "double"):
+            return DoubleType()
+        return col_type  # decimal keeps its type
+    return col_type
+
+
+def execute_match_recognize(ctx: StepContext, sql: str) -> StepResult:
+    spec = parse_match_recognize(sql)
+    if spec is None:
+        raise InvalidQueryError("unsupported MATCH_RECOGNIZE shape")
+    src = spec["src"]
+    if src not in ctx.views:
+        raise InvalidQueryError(f"MATCH_RECOGNIZE reads unknown view {src!r}")
+    prev_wm = ctx.prev_wms.get(src)
+    new_wm = ctx.new_wms.get(src)
+    incoming = ctx.views[src]
+    if SEQ_INPUT not in incoming.columns:
+        raise InvalidQueryError("MATCH_RECOGNIZE requires ledger-offset sequencing")
+    time_col = spec["time_col"]
+    t = F.col(time_col)
+    if prev_wm is not None:
+        incoming = incoming.filter(t > F.lit(prev_wm))
+
+    buffer_name = f"{ctx.step_key}-mr-buffer"
+    if ctx.state.has_df(buffer_name):
+        prev_buf = ctx.state.load_df(buffer_name, schema=incoming.schema)
+        buf = ctx.pin(prev_buf.unionByName(incoming))
+    else:
+        buf = incoming
+
+    # DEFINE predicates as JVM-evaluated boolean columns (an undefined
+    # variable is TRUE — SQL:2016 semantics, matches any row).
+    pred_cols = {}
+    with_preds = buf
+    for var, _q in spec["elements"]:
+        name = f"__p_{var}"
+        if name in pred_cols:
+            continue
+        pred = spec["defines"].get(var)
+        with_preds = with_preds.withColumn(
+            name,
+            F.coalesce(F.expr(rewrite_query(pred, watermark=new_wm)), F.lit(False))
+            if pred
+            else F.lit(True),
+        )
+        pred_cols[name] = True
+
+    keys = spec["keys"]
+    buf_types = {f.name: f.dataType for f in buf.schema.fields}
+    measure_fields = [
+        StructField(alias, _measure_type(fn, buf_types.get(col, LongType())))
+        for fn, var, col, alias in spec["measures"]
+    ]
+    out_schema = StructType(
+        [StructField(k, buf_types[k]) for k in keys]
+        + measure_fields
+        + [
+            StructField("__final_ts", buf_types[time_col]),
+            StructField("__final_seq", LongType()),
+            StructField("__keep_from", LongType()),
+            StructField(KIND_COL, LongType()),
+        ]
+    )
+    out_names = [f.name for f in out_schema.fields]
+    elements = spec["elements"]
+    measures = spec["measures"]
+    wm_val = new_wm
+    n_elem = len(elements)
+
+    def fold(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values([time_col, SEQ_INPUT], kind="mergesort").reset_index(
+            drop=True
+        )
+        obj = pdf.astype(object).where(pd.notnull(pdf), None)
+        n = len(pdf)
+        if wm_val is None:
+            n_proc = 0
+        else:
+            wm_naive = pd.Timestamp(wm_val)
+            ts_series = pd.to_datetime(pdf[time_col])
+            if ts_series.dt.tz is not None and wm_naive.tz is None:
+                wm_naive = wm_naive.tz_localize(ts_series.dt.tz)
+            elif ts_series.dt.tz is None and wm_naive.tz is not None:
+                wm_naive = wm_naive.tz_localize(None)
+            n_proc = int((ts_series <= wm_naive).sum())
+        preds = {var: pdf[f"__p_{var}"].tolist() for var, _ in elements}
+        out = []
+        start = 0
+        pending_from = None
+        while start < n_proc:
+            assign: dict[str, list[int]] = {}
+            i = start
+            matched = True
+            pending = False
+            for ei, (var, quant) in enumerate(elements):
+                nxt_var = elements[ei + 1][0] if ei + 1 < n_elem else None
+                if quant in ("one",):
+                    if i >= n_proc:
+                        pending = True  # boundary: need more rows
+                        matched = False
+                        break
+                    if preds[var][i]:
+                        assign.setdefault(var, []).append(i)
+                        i += 1
+                    else:
+                        matched = False
+                        break
+                elif quant == "opt":
+                    if i >= n_proc:
+                        pending = True
+                        matched = False
+                        break
+                    if nxt_var is not None and preds[nxt_var][i]:
+                        continue  # reluctant: prefer zero occurrences
+                    if preds[var][i]:
+                        assign.setdefault(var, []).append(i)
+                        i += 1
+                    # else zero occurrences, fall through to next element
+                else:  # star / plus
+                    if quant == "plus":
+                        # A reluctant plus still consumes one mandatory row
+                        # before the next element's predicate may close it.
+                        if i >= n_proc:
+                            pending = True
+                            matched = False
+                            break
+                        if not preds[var][i]:
+                            matched = False
+                            break
+                        assign.setdefault(var, []).append(i)
+                        i += 1
+                    while True:
+                        if i >= n_proc:
+                            pending = True
+                            matched = False
+                            break
+                        if nxt_var is not None and preds[nxt_var][i]:
+                            break  # reluctant close
+                        if preds[var][i]:
+                            assign.setdefault(var, []).append(i)
+                            i += 1
+                        else:
+                            matched = False
+                            break
+                    if not matched:
+                        break
+            if pending:
+                pending_from = start
+                break
+            if matched:
+                rec: dict[str, Any] = {}
+                for k in keys:
+                    rec[k] = obj.at[start, k]
+                for fn, var, col, alias in measures:
+                    idxs = assign.get(var, [])
+                    if fn == "count":
+                        rec[alias] = len(idxs)
+                    elif not idxs:
+                        rec[alias] = None
+                    elif fn == "first":
+                        rec[alias] = obj.at[idxs[0], col]
+                    elif fn == "last":
+                        rec[alias] = obj.at[idxs[-1], col]
+                    else:
+                        vals = [obj.at[j, col] for j in idxs]
+                        vals = [v for v in vals if v is not None]
+                        if not vals:
+                            rec[alias] = None
+                        elif fn == "sum":
+                            rec[alias] = sum(vals)
+                        elif fn == "min":
+                            rec[alias] = min(vals)
+                        elif fn == "max":
+                            rec[alias] = max(vals)
+                        else:  # avg
+                            rec[alias] = float(sum(vals)) / len(vals)
+                last_i = i - 1
+                rec["__final_ts"] = obj.at[last_i, time_col]
+                rec["__final_seq"] = obj.at[last_i, SEQ_INPUT]
+                rec["__keep_from"] = None
+                rec[KIND_COL] = 0
+                out.append(rec)
+                start = i  # AFTER MATCH SKIP PAST LAST ROW
+            else:
+                start += 1
+        if pending_from is None:
+            # No suspended attempt: keep only the not-yet-processed
+            # (beyond-watermark) suffix.
+            pending_from = n_proc if n_proc < n else None
+        keep_rec: dict[str, Any] = {k: obj.at[0, k] if n else None for k in keys}
+        for f in measure_fields:
+            keep_rec[f.name] = None
+        keep_rec["__final_ts"] = None
+        keep_rec["__final_seq"] = None
+        keep_rec["__keep_from"] = (
+            obj.at[pending_from, SEQ_INPUT] if pending_from is not None else None
+        )
+        keep_rec[KIND_COL] = 1
+        if keep_rec["__keep_from"] is not None:
+            out.append(keep_rec)
+        return pd.DataFrame(out, columns=out_names)
+
+    grouped = (
+        with_preds.groupBy(*keys) if keys else with_preds.groupBy(F.lit(0).alias("__gk"))
+    )
+    folded = ctx.pin(grouped.applyInPandas(fold, out_schema))
+
+    # State: per key, the suffix from the first row still in play.
+    markers = folded.filter(F.col(KIND_COL) == 1).select(
+        *[F.col(k).alias(f"__m_{k}") for k in keys], F.col("__keep_from")
+    )
+    if keys:
+        cond = None
+        for k in keys:
+            c = F.col(k).eqNullSafe(F.col(f"__m_{k}"))
+            cond = c if cond is None else (cond & c)
+        joined = buf.join(F.broadcast(markers), cond, "inner")
+    else:
+        joined = buf.crossJoin(F.broadcast(markers))
+    still_open = joined.filter(F.col(SEQ_INPUT) >= F.col("__keep_from")).select(
+        *buf.columns
+    )
+    ctx.state.save_df(buffer_name, still_open)
+
+    matches = folded.filter(F.col(KIND_COL) == 0).drop(
+        "__keep_from", KIND_COL
+    )
+
+    # Outer projection: SELECT * keeps (keys + measures); otherwise apply
+    # the user's column list over the match relation.
+    view_name = f"__mr_{ctx.step_key.replace('-', '_')}"
+    matches.createOrReplaceTempView(view_name)
+    proj = spec["proj"]
+    if proj == "*":
+        sel = ", ".join([*keys, *[m[3] for m in measures]])
+    else:
+        sel = proj
+    result = ctx.spark.sql(
+        f"SELECT __final_ts, __final_seq, {sel} FROM {view_name}"
+    )
+    return StepResult(
+        df=result, watermark=new_wm, order_cols=["__final_ts", "__final_seq"]
+    )

@@ -25,6 +25,7 @@ INTERVAL_JOIN = "interval_join"
 TEMPORAL_JOIN = "temporal_join"
 TOPN = "topn"
 OVER_AGG = "over_agg"
+MATCH_RECOGNIZE = "match_recognize"
 
 _TUMBLE_RE = re.compile(
     r"TUMBLE\s*\(\s*([`\w.]+)\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*\)", re.IGNORECASE
@@ -573,6 +574,8 @@ def parse_interval_join(sql: str, known_views: set[str]) -> IntervalJoinSpec | N
 
 
 def classify(sql: str, known_views: set[str]) -> str:
+    if re.search(r"\bMATCH_RECOGNIZE\b", sql, re.IGNORECASE):
+        return MATCH_RECOGNIZE
     tvf = _WINDOW_TVF_RE.search(sql)
     if tvf:
         return {"TUMBLE": WINDOW_AGG, "HOP": HOP_AGG, "CUMULATE": CUMULATE_AGG}[
