@@ -1369,6 +1369,44 @@ def over_agg_rolling_value_events(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def match_recognize_dip_spike_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE (CEP) batch twin: per-user dip->spike adjacency
+    (value < 2 immediately followed by value > 18) via the real pattern
+    matcher (operators/match_recognize.py — JVM-side DEFINE predicates,
+    per-key applyInPandas fold). The two predicates are disjoint, so
+    AFTER MATCH SKIP PAST LAST ROW can never suppress a later pair and
+    the oracle is expressible with a single lead() window."""
+    from kamu_engine_flink_spark.operators.match_recognize import (
+        match_recognize_batch,
+    )
+
+    e = _t(spark, sf_dir, "events").withColumn("__seq", F.col("event_id"))
+    out = match_recognize_batch(
+        spark,
+        e,
+        """select * from events MATCH_RECOGNIZE (
+             PARTITION BY user_id
+             ORDER BY ts
+             MEASURES
+               A.ts AS dip_ts,
+               C.ts AS spike_ts,
+               A.value AS dip_value,
+               C.value AS spike_value
+             ONE ROW PER MATCH
+             AFTER MATCH SKIP PAST LAST ROW
+             PATTERN (A C)
+             DEFINE A AS A.value < 2, C AS C.value > 18
+           )""",
+    )
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "dip_ts",
+        "spike_ts",
+        "dip_value",
+        "spike_value",
+    )
+
+
 def dedup_keep_last_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flink Deduplication pattern batch twin (operators/keyed_topn.py
     runs the stateful changelog form): latest event per user, ties broken
@@ -1968,6 +2006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first this round; the 50 already-green ones follow.
     return {
         "over_agg_rolling_value_events": over_agg_rolling_value_events,
+        "match_recognize_dip_spike_events": match_recognize_dip_spike_events,
         "dedup_keep_last_events": dedup_keep_last_events,
         "similarity_pq_topk": similarity_pq_topk,
         "json_extract_events": json_extract_events,
@@ -2629,6 +2668,18 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts
                          RANGE BETWEEN INTERVAL '2' HOUR PRECEDING AND CURRENT ROW)
+        """,
+        "match_recognize_dip_spike_events": """
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   ts AS dip_ts, next_ts AS spike_ts,
+                   value AS dip_value, next_value AS spike_value
+            FROM (
+                SELECT user_id, ts, value,
+                       lead(ts) OVER w AS next_ts,
+                       lead(value) OVER w AS next_value
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ) WHERE value < 2 AND next_value > 18
         """,
         "dedup_keep_last_events": """
             SELECT CAST(user_id AS BIGINT) AS user_id,

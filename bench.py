@@ -79,6 +79,37 @@ TOPN_SQL = """SELECT * FROM (
     event_time, user_id, event_type, value
   FROM events
 ) WHERE place <= 100"""
+KEYED_TOPN_SQL = """SELECT * FROM (
+  SELECT
+    row_number() OVER (PARTITION BY user_id ORDER BY value DESC) AS place,
+    event_time, user_id, event_type, value
+  FROM events
+) WHERE place <= 3"""
+OVER_AGG_SQL = """SELECT
+  event_time, user_id, value,
+  sum(value) over (partition by user_id order by event_time
+    range between interval '2' hour preceding and current row) as roll_sum,
+  count(*) over (partition by user_id order by event_time
+    range between interval '2' hour preceding and current row) as roll_cnt
+FROM events"""
+MATCH_RECOGNIZE_SQL = """select * from events
+MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY event_time
+  MEASURES
+    A.event_time AS dip_time,
+    LAST(C.event_time) AS event_time,
+    COUNT(B.*) AS n_mid,
+    A.value AS dip_value,
+    C.value AS spike_value
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (A B* C)
+  DEFINE
+    A AS A.value < 2,
+    B AS B.value >= 2 AND B.value <= 100,
+    C AS C.value > 100
+)"""
 JOIN_SQL = """SELECT
   p.event_time as event_time,
   p.user_id as user_id,
@@ -286,6 +317,13 @@ def main() -> None:
             ("odf_transform_hop_agg", HOP_SQL, [("events", ledger, wm)]),
             ("odf_transform_cumulate_agg", CUMULATE_SQL, [("events", ledger, wm)]),
             ("odf_transform_topn", TOPN_SQL, [("events", ledger, wm)]),
+            ("odf_transform_keyed_topn", KEYED_TOPN_SQL, [("events", ledger, wm)]),
+            ("odf_transform_over_agg", OVER_AGG_SQL, [("events", ledger, wm)]),
+            (
+                "odf_transform_match_recognize",
+                MATCH_RECOGNIZE_SQL,
+                [("events", ledger, wm)],
+            ),
             (
                 "odf_transform_interval_join",
                 JOIN_SQL,

@@ -198,30 +198,14 @@ def _measure_type(fn: str, col_type):
     return col_type
 
 
-def execute_match_recognize(ctx: StepContext, sql: str) -> StepResult:
-    spec = parse_match_recognize(sql)
-    if spec is None:
-        raise InvalidQueryError("unsupported MATCH_RECOGNIZE shape")
-    src = spec["src"]
-    if src not in ctx.views:
-        raise InvalidQueryError(f"MATCH_RECOGNIZE reads unknown view {src!r}")
-    prev_wm = ctx.prev_wms.get(src)
-    new_wm = ctx.new_wms.get(src)
-    incoming = ctx.views[src]
-    if SEQ_INPUT not in incoming.columns:
-        raise InvalidQueryError("MATCH_RECOGNIZE requires ledger-offset sequencing")
+def _fold_matches(buf, spec, wm_val, process_all=False):
+    """Build the per-key matcher fold over `buf` (which must carry the
+    SEQ_INPUT total-order column) and return the folded DataFrame:
+    KIND 0 rows are completed matches (keys + measures + final row
+    coordinates), the KIND 1 row per key carries the keep-from ledger
+    offset of the suspended suffix. With process_all, the whole input is
+    treated as watermark-complete (bounded/batch execution)."""
     time_col = spec["time_col"]
-    t = F.col(time_col)
-    if prev_wm is not None:
-        incoming = incoming.filter(t > F.lit(prev_wm))
-
-    buffer_name = f"{ctx.step_key}-mr-buffer"
-    if ctx.state.has_df(buffer_name):
-        prev_buf = ctx.state.load_df(buffer_name, schema=incoming.schema)
-        buf = ctx.pin(prev_buf.unionByName(incoming))
-    else:
-        buf = incoming
-
     # DEFINE predicates as JVM-evaluated boolean columns (an undefined
     # variable is TRUE — SQL:2016 semantics, matches any row).
     pred_cols = {}
@@ -233,7 +217,7 @@ def execute_match_recognize(ctx: StepContext, sql: str) -> StepResult:
         pred = spec["defines"].get(var)
         with_preds = with_preds.withColumn(
             name,
-            F.coalesce(F.expr(rewrite_query(pred, watermark=new_wm)), F.lit(False))
+            F.coalesce(F.expr(rewrite_query(pred, watermark=wm_val)), F.lit(False))
             if pred
             else F.lit(True),
         )
@@ -258,7 +242,6 @@ def execute_match_recognize(ctx: StepContext, sql: str) -> StepResult:
     out_names = [f.name for f in out_schema.fields]
     elements = spec["elements"]
     measures = spec["measures"]
-    wm_val = new_wm
     n_elem = len(elements)
 
     def fold(pdf):
@@ -269,7 +252,9 @@ def execute_match_recognize(ctx: StepContext, sql: str) -> StepResult:
         )
         obj = pdf.astype(object).where(pd.notnull(pdf), None)
         n = len(pdf)
-        if wm_val is None:
+        if process_all:
+            n_proc = n
+        elif wm_val is None:
             n_proc = 0
         else:
             wm_naive = pd.Timestamp(wm_val)
@@ -399,7 +384,57 @@ def execute_match_recognize(ctx: StepContext, sql: str) -> StepResult:
     grouped = (
         with_preds.groupBy(*keys) if keys else with_preds.groupBy(F.lit(0).alias("__gk"))
     )
-    folded = ctx.pin(grouped.applyInPandas(fold, out_schema))
+    return grouped.applyInPandas(fold, out_schema)
+
+
+def match_recognize_batch(spark, df, sql: str):
+    """Bounded/batch MATCH_RECOGNIZE over `df` (whole input treated as
+    watermark-complete). The FROM clause of `sql` must name a view; `df`
+    is used as that relation and must carry a total-order `__seq` column.
+    Returns one row per match: partition keys + measures."""
+    spec = parse_match_recognize(sql)
+    if spec is None:
+        raise InvalidQueryError("unsupported MATCH_RECOGNIZE shape")
+    if SEQ_INPUT not in df.columns:
+        raise InvalidQueryError("MATCH_RECOGNIZE requires a __seq total-order column")
+    folded = _fold_matches(df, spec, wm_val=None, process_all=True)
+    matches = folded.filter(F.col(KIND_COL) == 0).drop(
+        "__keep_from", KIND_COL, "__final_ts", "__final_seq"
+    )
+    if spec["proj"] != "*":
+        view_name = "__mr_batch"
+        matches.createOrReplaceTempView(view_name)
+        return spark.sql(f"SELECT {spec['proj']} FROM {view_name}")
+    return matches
+
+
+def execute_match_recognize(ctx: StepContext, sql: str) -> StepResult:
+    spec = parse_match_recognize(sql)
+    if spec is None:
+        raise InvalidQueryError("unsupported MATCH_RECOGNIZE shape")
+    src = spec["src"]
+    if src not in ctx.views:
+        raise InvalidQueryError(f"MATCH_RECOGNIZE reads unknown view {src!r}")
+    prev_wm = ctx.prev_wms.get(src)
+    new_wm = ctx.new_wms.get(src)
+    incoming = ctx.views[src]
+    if SEQ_INPUT not in incoming.columns:
+        raise InvalidQueryError("MATCH_RECOGNIZE requires ledger-offset sequencing")
+    time_col = spec["time_col"]
+    t = F.col(time_col)
+    if prev_wm is not None:
+        incoming = incoming.filter(t > F.lit(prev_wm))
+
+    buffer_name = f"{ctx.step_key}-mr-buffer"
+    if ctx.state.has_df(buffer_name):
+        prev_buf = ctx.state.load_df(buffer_name, schema=incoming.schema)
+        buf = ctx.pin(prev_buf.unionByName(incoming))
+    else:
+        buf = incoming
+
+    keys = spec["keys"]
+    measures = spec["measures"]
+    folded = ctx.pin(_fold_matches(buf, spec, wm_val=new_wm))
 
     # State: per key, the suffix from the first row still in play.
     markers = folded.filter(F.col(KIND_COL) == 1).select(
