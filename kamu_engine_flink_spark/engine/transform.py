@@ -42,6 +42,7 @@ from ..operators import (
     temporal_join,
     topn,
     window_agg,
+    window_join,
 )
 from ..operators.base import StepContext, StepResult
 from ..plans import classify as C
@@ -89,6 +90,7 @@ _EXECUTORS = {
     C.TOPN: topn.execute_topn,
     C.OVER_AGG: over_agg.execute_over_agg,
     C.MATCH_RECOGNIZE: match_recognize.execute_match_recognize,
+    C.WINDOW_JOIN: window_join.execute_window_join,
 }
 
 

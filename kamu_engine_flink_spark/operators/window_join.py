@@ -1,0 +1,95 @@
+"""Stateful window join (Flink 1.14+ TVF feature).
+
+`TABLE(TUMBLE(TABLE a, ...)) L JOIN TABLE(TUMBLE(TABLE b, ...)) R ON
+L.window_start = R.window_start AND ...` joins the rows of two streams
+that fall into the same tumbling window, emitting when the window
+closes. Part of the Flink SQL surface the reference exposes by planner
+delegation (TransformEngine.scala:252-262).
+
+Spark-first derivation: both sides ride the same raw-row buffer the
+tumbling aggregation uses (window_agg.py) — rows buffer until the
+EFFECTIVE watermark (min of both inputs, the Flink two-input watermark
+rule) passes their window end, then the user's (dialect-rewritten) join
+SQL runs over the closed rows of both sides as one Catalyst plan: a
+plain shuffle-or-broadcast hash join on (window_start, window_end, keys).
+A window closes in exactly one invocation, so emission is exactly-once
+without any result-level filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..plans.classify import _WINDOW_TVF_RE, interval_to_timedelta
+from ..plans.dialect import rewrite_query
+from ..protocol.model import InvalidQueryError
+from .base import StepContext, StepResult, min_watermark
+
+
+def execute_window_join(ctx: StepContext, sql: str) -> StepResult:
+    tvfs = list(_WINDOW_TVF_RE.finditer(sql))
+    if len(tvfs) != 2:
+        raise InvalidQueryError("window join requires exactly two window TVFs")
+    sides = []
+    for m in tvfs:
+        kind, view, tcol = m.group(1).upper(), m.group(2).strip("`"), m.group(3)
+        if kind != "TUMBLE":
+            raise InvalidQueryError(
+                "window join supports TUMBLE windows (HOP/CUMULATE emission "
+                "needs result-level window attribution)"
+            )
+        if view not in ctx.views:
+            raise InvalidQueryError(f"window join reads unknown view {view!r}")
+        sides.append(
+            (
+                view,
+                tcol.split(".")[-1].strip("`"),
+                interval_to_timedelta(m.group(4), m.group(5)),
+                f"{m.group(4)} {m.group(5).lower()}",
+            )
+        )
+    if sides[0][2] != sides[1][2]:
+        raise InvalidQueryError("window join requires identical window specs")
+    if sides[0][0] == sides[1][0]:
+        raise InvalidQueryError("window self-join is not supported")
+
+    # Two-input watermark rule: the operator's clock is the slower input.
+    prev_wm = min_watermark(*[ctx.prev_wms.get(v) for v, *_ in sides])
+    new_wm = min_watermark(*[ctx.new_wms.get(v) for v, *_ in sides])
+
+    originals = {}
+    try:
+        for side_idx, (view, tcol, _size, dur) in enumerate(sides):
+            incoming = ctx.views[view]
+            cols = incoming.columns
+            end = F.window(F.col(tcol), dur)["end"]
+            if prev_wm is not None:
+                incoming = incoming.filter(end > F.lit(prev_wm)).select(*cols)
+            buffer_name = f"{ctx.step_key}-wjoin-{side_idx}"
+            if ctx.state.has_df(buffer_name):
+                prev_buf = ctx.state.load_df(buffer_name, schema=incoming.schema)
+                buf = ctx.pin(prev_buf.unionByName(incoming))
+            else:
+                buf = incoming
+            if new_wm is not None:
+                closed = buf.filter(end <= F.lit(new_wm)).select(*cols)
+                still_open = buf.filter(end > F.lit(new_wm)).select(*cols)
+            else:
+                closed = buf.limit(0)
+                still_open = buf
+            ctx.state.save_df(buffer_name, still_open)
+            originals[view] = ctx.views[view]
+            closed.createOrReplaceTempView(view)
+        result = ctx.spark.sql(rewrite_query(sql, watermark=new_wm))
+    finally:
+        for view, df in originals.items():
+            df.createOrReplaceTempView(view)
+
+    # Deterministic emission order: output event-time column (usually the
+    # projected window_start) first, remaining columns as tie-breakers.
+    order_cols = list(result.columns)
+    et = ctx.request.vocab.event_time_column
+    if et in order_cols:
+        order_cols.remove(et)
+        order_cols.insert(0, et)
+    return StepResult(df=result, watermark=new_wm, order_cols=order_cols)

@@ -26,6 +26,7 @@ TEMPORAL_JOIN = "temporal_join"
 TOPN = "topn"
 OVER_AGG = "over_agg"
 MATCH_RECOGNIZE = "match_recognize"
+WINDOW_JOIN = "window_join"
 
 _TUMBLE_RE = re.compile(
     r"TUMBLE\s*\(\s*([`\w.]+)\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*\)", re.IGNORECASE
@@ -576,6 +577,10 @@ def parse_interval_join(sql: str, known_views: set[str]) -> IntervalJoinSpec | N
 def classify(sql: str, known_views: set[str]) -> str:
     if re.search(r"\bMATCH_RECOGNIZE\b", sql, re.IGNORECASE):
         return MATCH_RECOGNIZE
+    if len(_WINDOW_TVF_RE.findall(sql)) >= 2 and re.search(
+        r"\bJOIN\b", sql, re.IGNORECASE
+    ):
+        return WINDOW_JOIN
     tvf = _WINDOW_TVF_RE.search(sql)
     if tvf:
         return {"TUMBLE": WINDOW_AGG, "HOP": HOP_AGG, "CUMULATE": CUMULATE_AGG}[

@@ -1,0 +1,83 @@
+"""Window join (Flink 1.14+ TVF feature): rows of two streams joined
+within the same tumbling window, emitted when the window closes under
+the two-input (min) watermark. Cross-invocation: open windows buffer
+per side.
+"""
+
+from datetime import timezone
+
+import pyarrow.parquet as pq
+
+from .helpers import TransformRunner, ticker_slice, ts
+
+WJOIN = """SELECT L.window_start AS event_time, L.symbol, L.price AS a_price, R.price AS b_price
+FROM TABLE(TUMBLE(TABLE a, DESCRIPTOR(event_time), INTERVAL '10' MINUTE)) L
+JOIN TABLE(TUMBLE(TABLE b, DESCRIPTOR(event_time), INTERVAL '10' MINUTE)) R
+ON L.window_start = R.window_start AND L.symbol = R.symbol"""
+
+
+def _rows(out):
+    table = pq.read_table(out)
+    return [
+        (
+            r["offset"],
+            r["op"],
+            r["event_time"].replace(tzinfo=timezone.utc),
+            r["symbol"],
+            r["a_price"],
+            r["b_price"],
+        )
+        for r in table.to_pylist()
+    ]
+
+
+def _inputs(a_path, a_wm, b_path, b_wm):
+    return [
+        {"alias": "a", "data_paths": [a_path] if a_path else [],
+         "schema_file": a_path, "watermark": a_wm},
+        {"alias": "b", "data_paths": [b_path] if b_path else [],
+         "schema_file": b_path, "watermark": b_wm},
+    ]
+
+
+def test_window_join_cross_run(spark, tmp_path):
+    runner = TransformRunner(spark, tmp_path, queries=[(WJOIN, None)])
+    a1 = str(tmp_path / "in" / "a1.parquet")
+    b1 = str(tmp_path / "in" / "b1.parquet")
+    ticker_slice(
+        a1,
+        [
+            (0, 0, ts(2), ts(1, 0, 1), "A", 10),
+            (1, 0, ts(2), ts(1, 0, 2), "B", 20),
+            (2, 0, ts(2), ts(1, 0, 12), "A", 99),
+        ],
+    )
+    ticker_slice(
+        b1,
+        [
+            (0, 0, ts(2), ts(1, 0, 3), "A", 7),
+            (1, 0, ts(2), ts(1, 0, 4), "C", 5),
+            (2, 0, ts(2), ts(1, 0, 13), "A", 50),
+        ],
+    )
+    # Effective watermark = min(0:11, 0:15) = 0:11: only window
+    # [00:00, 00:10) closes; A joins, B/C have no partner.
+    resp, out = runner.run(_inputs(a1, ts(1, 0, 11), b1, ts(1, 0, 15)), system_time=ts(2))
+    assert resp.new_watermark == ts(1, 0, 11)
+    assert _rows(out) == [
+        (0, 0, ts(1, 0, 0), "A", 10, 7),
+    ]
+
+    # Run 2: a new a-row lands in the open [00:10, 00:20) window, then it
+    # closes — both of a's buffered rows join b's buffered 50.
+    a2 = str(tmp_path / "in" / "a2.parquet")
+    b2 = str(tmp_path / "in" / "b2.parquet")
+    ticker_slice(a2, [(3, 0, ts(3), ts(1, 0, 14), "A", 11)])
+    ticker_slice(b2, [])
+    resp2, out2 = runner.run(
+        _inputs(a2, ts(1, 0, 25), b2, ts(1, 0, 25)), system_time=ts(3)
+    )
+    assert _rows(out2) == [
+        (1, 0, ts(1, 0, 10), "A", 11, 50),
+        (2, 0, ts(1, 0, 10), "A", 99, 50),
+    ]
