@@ -22,9 +22,44 @@ def run_query_steps(spark: SparkSession, steps, *, watermark=None) -> DataFrame:
     """Run a chained multi-step transform: each aliased step becomes a temp
     view usable by later steps; the last (unaliased) step is the output
     (TransformEngine.scala:252-262)."""
+    import re
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
     result: DataFrame | None = None
     for step in steps:
-        df = spark.sql(rewrite_query(step.query, watermark=watermark))
+        if re.search(r"\bMATCH_RECOGNIZE\b", step.query, re.IGNORECASE):
+            # Spark has no native MATCH_RECOGNIZE; run the bounded matcher
+            # (whole input watermark-complete). The total order the matcher
+            # needs comes from the pattern's ORDER BY attribute.
+            from ..operators.match_recognize import (
+                match_recognize_batch,
+                parse_match_recognize,
+            )
+
+            spec = parse_match_recognize(step.query)
+            if spec is None:
+                raise InvalidQueryError("unsupported MATCH_RECOGNIZE shape")
+            src = spark.table(spec["src"])
+            if "__seq" not in src.columns:
+                if "offset" in src.columns:
+                    # ODF inputs carry the ledger offset — the natural
+                    # total order, no sort needed.
+                    src = src.withColumn("__seq", F.col("offset").cast("long"))
+                else:
+                    # Fallback: a global row_number (single-partition sort —
+                    # acceptable for the bounded raw-query surface, which
+                    # writes a single output file anyway).
+                    src = src.withColumn(
+                        "__seq",
+                        F.row_number()
+                        .over(Window.orderBy(F.col(spec["time_col"]).asc()))
+                        .cast("long"),
+                    )
+            df = match_recognize_batch(spark, src, step.query)
+        else:
+            df = spark.sql(rewrite_query(step.query, watermark=watermark))
         if step.alias:
             df.createOrReplaceTempView(step.alias)
         result = df

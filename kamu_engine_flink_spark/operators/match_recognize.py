@@ -14,17 +14,22 @@ the classic CEP shapes ("A, then anything until C"):
               COUNT|SUM|MIN|MAX|AVG(V.col)> AS alias, ...
     [ONE ROW PER MATCH]
     [AFTER MATCH SKIP PAST LAST ROW]
-    PATTERN (V1 V2* V3? ... Vn)   -- quantifiers * + ? (reluctant: the
-                                  -- next element's predicate closes them;
-                                  -- *? +? spellings accepted), final
-                                  -- element unquantified
+    PATTERN (V1 V2* V3? ... Vn)   -- quantifiers * + ? greedy (Flink's
+                                  -- default), *? +? ?? reluctant; the
+                                  -- final element unquantified
     DEFINE V AS <predicate over V's own row>, ...
   )
 
+Quantifier semantics are exact: the matcher explores branches in
+preference order (greedy consumes more first), and an attempt SUSPENDS —
+rather than emitting a shorter match — whenever a preferred branch runs
+into the processed-rows boundary, which is precisely Flink's NFA rule
+that a match emits only once no longer-preferred alternative can still
+complete.
+
 Restrictions vs full Flink (each raises InvalidQueryError): DEFINE
 predicates see only the current row (no LAST/PREV cross-references),
-quantifiers are reluctant (Flink's greedy default needs retroactive
-emission), ALL ROWS PER MATCH and other AFTER MATCH modes are out.
+ALL ROWS PER MATCH and other AFTER MATCH modes are out.
 
 Spark-first derivation: DEFINE predicates compile to boolean columns
 evaluated JVM-side (whole-stage codegen) BEFORE the per-key fold, so the
@@ -66,7 +71,7 @@ _MEASURES_RE = re.compile(
 )
 _PATTERN_RE = re.compile(r"PATTERN\s*\(\s*(?P<pat>[^)]*)\)", re.IGNORECASE)
 _DEFINE_RE = re.compile(r"DEFINE\s+(?P<body>.*)$", re.IGNORECASE | re.DOTALL)
-_PAT_TOKEN_RE = re.compile(r"([A-Za-z_]\w*)\s*(\*\?|\+\?|\*|\+|\?)?")
+_PAT_TOKEN_RE = re.compile(r"([A-Za-z_]\w*)\s*(\*\?|\+\?|\?\?|\*|\+|\?)?")
 _MEASURE_RE = re.compile(
     r"^(?:(?P<fn>FIRST|LAST|COUNT|SUM|MIN|MAX|AVG)\s*\(\s*"
     r"(?P<var1>[A-Za-z_]\w*)\.(?P<col1>[`\w]+|\*)\s*\)"
@@ -138,11 +143,20 @@ def parse_match_recognize(sql: str):
     if not pat_m:
         raise InvalidQueryError("MATCH_RECOGNIZE requires a PATTERN clause")
     elements = []
+    quant_map = {
+        "": ("one", True),
+        "?": ("opt", True),
+        "??": ("opt", False),
+        "*": ("star", True),
+        "*?": ("star", False),
+        "+": ("plus", True),
+        "+?": ("plus", False),
+    }
     for var, quant in _PAT_TOKEN_RE.findall(pat_m.group("pat")):
         if not var:
             continue
-        elements.append((var, {None: "one", "": "one", "?": "opt", "*": "star",
-                               "+": "plus", "*?": "star", "+?": "plus"}[quant or ""]))
+        q, greedy = quant_map[quant or ""]
+        elements.append((var, q, greedy))
     if not elements:
         raise InvalidQueryError("MATCH_RECOGNIZE: empty PATTERN")
     if elements[-1][1] != "one":
@@ -210,7 +224,7 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
     # variable is TRUE — SQL:2016 semantics, matches any row).
     pred_cols = {}
     with_preds = buf
-    for var, _q in spec["elements"]:
+    for var, *_ in spec["elements"]:
         name = f"__p_{var}"
         if name in pred_cols:
             continue
@@ -264,106 +278,124 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
             elif ts_series.dt.tz is None and wm_naive.tz is not None:
                 wm_naive = wm_naive.tz_localize(None)
             n_proc = int((ts_series <= wm_naive).sum())
-        preds = {var: pdf[f"__p_{var}"].tolist() for var, _ in elements}
+        preds = {var: pdf[f"__p_{var}"].tolist() for var, *_ in elements}
+
+        PENDING = ("pending",)
+        # In bounded (batch) execution the end of input is FINAL: no
+        # future row can extend a preferred branch, so boundary hits
+        # backtrack instead of suspending.
+        final = process_all
+
+        def try_from(i, ei, pairs):
+            """Backtracking matcher in PREFERENCE order (greedy: consume
+            more first; reluctant: less first). Returns ("match", end_i,
+            pairs), PENDING, or None. Preference-order exploration makes
+            the online rule exact: the first branch that either completes
+            (emit now) or hits the processed-rows boundary while viable
+            (suspend — a preferred longer match may complete with future
+            rows) decides the attempt. Recursion depth = pattern length;
+            quantifier runs iterate."""
+            if ei == n_elem:
+                return ("match", i, pairs)
+            var, quant, greedy = elements[ei]
+            p = preds[var]
+            if quant == "one":
+                if i >= n_proc:
+                    return None if final else PENDING
+                if not p[i]:
+                    return None
+                return try_from(i + 1, ei + 1, pairs + [(var, i)])
+            if quant == "opt":
+                branches = ("take", "skip") if greedy else ("skip", "take")
+                for b in branches:
+                    if b == "take":
+                        if i >= n_proc:
+                            if not final:
+                                return PENDING
+                            continue  # no row to take; other branches only
+                        if p[i]:
+                            r = try_from(i + 1, ei + 1, pairs + [(var, i)])
+                            if r:
+                                return r
+                    else:
+                        r = try_from(i, ei + 1, pairs)
+                        if r:
+                            return r
+                return None
+            # star / plus: maximal run of var-satisfying rows from i.
+            j = i
+            while j < n_proc and p[j]:
+                j += 1
+            hit_boundary = j >= n_proc
+            min_take = 1 if quant == "plus" else 0
+            run_len = j - i
+            if run_len < min_take:
+                return PENDING if (hit_boundary and not final) else None
+            if greedy:
+                if hit_boundary and not final:
+                    return PENDING  # preferred branch wants more rows
+                ks = range(run_len, min_take - 1, -1)
+            else:
+                ks = range(min_take, run_len + 1)
+            for k in ks:
+                r = try_from(
+                    i + k, ei + 1, pairs + [(var, idx) for idx in range(i, i + k)]
+                )
+                if r:
+                    return r
+            # Reluctant exhausted every processed length; with an open
+            # boundary a longer run could still admit a match.
+            return PENDING if (not greedy and hit_boundary and not final) else None
+
         out = []
         start = 0
         pending_from = None
         while start < n_proc:
-            assign: dict[str, list[int]] = {}
-            i = start
-            matched = True
-            pending = False
-            for ei, (var, quant) in enumerate(elements):
-                nxt_var = elements[ei + 1][0] if ei + 1 < n_elem else None
-                if quant in ("one",):
-                    if i >= n_proc:
-                        pending = True  # boundary: need more rows
-                        matched = False
-                        break
-                    if preds[var][i]:
-                        assign.setdefault(var, []).append(i)
-                        i += 1
-                    else:
-                        matched = False
-                        break
-                elif quant == "opt":
-                    if i >= n_proc:
-                        pending = True
-                        matched = False
-                        break
-                    if nxt_var is not None and preds[nxt_var][i]:
-                        continue  # reluctant: prefer zero occurrences
-                    if preds[var][i]:
-                        assign.setdefault(var, []).append(i)
-                        i += 1
-                    # else zero occurrences, fall through to next element
-                else:  # star / plus
-                    if quant == "plus":
-                        # A reluctant plus still consumes one mandatory row
-                        # before the next element's predicate may close it.
-                        if i >= n_proc:
-                            pending = True
-                            matched = False
-                            break
-                        if not preds[var][i]:
-                            matched = False
-                            break
-                        assign.setdefault(var, []).append(i)
-                        i += 1
-                    while True:
-                        if i >= n_proc:
-                            pending = True
-                            matched = False
-                            break
-                        if nxt_var is not None and preds[nxt_var][i]:
-                            break  # reluctant close
-                        if preds[var][i]:
-                            assign.setdefault(var, []).append(i)
-                            i += 1
-                        else:
-                            matched = False
-                            break
-                    if not matched:
-                        break
-            if pending:
+            r = try_from(start, 0, [])
+            if r is None:
+                start += 1
+                continue
+            if r[0] == "pending":
                 pending_from = start
                 break
-            if matched:
-                rec: dict[str, Any] = {}
-                for k in keys:
-                    rec[k] = obj.at[start, k]
-                for fn, var, col, alias in measures:
-                    idxs = assign.get(var, [])
-                    if fn == "count":
-                        rec[alias] = len(idxs)
-                    elif not idxs:
+            _, end_i, pairs = r
+            assign: dict[str, list[int]] = {}
+            for var, idx in pairs:
+                assign.setdefault(var, []).append(idx)
+            i = end_i
+            rec: dict[str, Any] = {}
+            for k in keys:
+                rec[k] = obj.at[start, k]
+            for fn, var, col, alias in measures:
+                idxs = assign.get(var, [])
+                if fn == "count":
+                    rec[alias] = len(idxs)
+                elif not idxs:
+                    rec[alias] = None
+                elif fn == "first":
+                    rec[alias] = obj.at[idxs[0], col]
+                elif fn == "last":
+                    rec[alias] = obj.at[idxs[-1], col]
+                else:
+                    vals = [obj.at[j, col] for j in idxs]
+                    vals = [v for v in vals if v is not None]
+                    if not vals:
                         rec[alias] = None
-                    elif fn == "first":
-                        rec[alias] = obj.at[idxs[0], col]
-                    elif fn == "last":
-                        rec[alias] = obj.at[idxs[-1], col]
-                    else:
-                        vals = [obj.at[j, col] for j in idxs]
-                        vals = [v for v in vals if v is not None]
-                        if not vals:
-                            rec[alias] = None
-                        elif fn == "sum":
-                            rec[alias] = sum(vals)
-                        elif fn == "min":
-                            rec[alias] = min(vals)
-                        elif fn == "max":
-                            rec[alias] = max(vals)
-                        else:  # avg
-                            rec[alias] = float(sum(vals)) / len(vals)
-                last_i = i - 1
-                rec["__final_ts"] = obj.at[last_i, time_col]
-                rec["__final_seq"] = obj.at[last_i, SEQ_INPUT]
-                rec["__keep_from"] = None
-                rec[KIND_COL] = 0
-                out.append(rec)
-                start = i  # AFTER MATCH SKIP PAST LAST ROW
-            else:
-                start += 1
+                    elif fn == "sum":
+                        rec[alias] = sum(vals)
+                    elif fn == "min":
+                        rec[alias] = min(vals)
+                    elif fn == "max":
+                        rec[alias] = max(vals)
+                    else:  # avg
+                        rec[alias] = float(sum(vals)) / len(vals)
+            last_i = i - 1
+            rec["__final_ts"] = obj.at[last_i, time_col]
+            rec["__final_seq"] = obj.at[last_i, SEQ_INPUT]
+            rec["__keep_from"] = None
+            rec[KIND_COL] = 0
+            out.append(rec)
+            start = i  # AFTER MATCH SKIP PAST LAST ROW
         if pending_from is None:
             # No suspended attempt: keep only the not-yet-processed
             # (beyond-watermark) suffix.

@@ -124,6 +124,82 @@ def test_match_recognize_failed_attempt_advances(spark, tmp_path):
     ]
 
 
+def _mr_batch(spark, rows, pattern):
+    """rows: (seq, x) over one key; returns sorted (b_count, c_x) tuples."""
+    from kamu_engine_flink_spark.operators.match_recognize import (
+        match_recognize_batch,
+    )
+
+    df = spark.createDataFrame(
+        [(1, s, s, float(x)) for s, x in rows], "k int, ts long, __seq long, x double"
+    )
+    out = match_recognize_batch(
+        spark,
+        df,
+        f"""select * from t MATCH_RECOGNIZE (
+             PARTITION BY k ORDER BY ts
+             MEASURES COUNT(B.*) AS n_b, C.x AS c_x, A.x AS a_x
+             ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+             PATTERN {pattern}
+             DEFINE A AS A.x < 10, B AS B.x >= 10, C AS C.x >= 100
+           )""",
+    )
+    return sorted((r["n_b"], r["c_x"], r["a_x"]) for r in out.collect())
+
+
+def test_greedy_vs_reluctant_quantifier(spark):
+    """C-rows also satisfy B (C ⊂ B): greedy B* swallows the first spike
+    and matches the LAST viable one; reluctant B*? closes on the first."""
+    rows = [(0, 5), (1, 20), (2, 120), (3, 30), (4, 150), (5, 3)]
+    assert _mr_batch(spark, rows, "(A B* C)") == [(3, 150.0, 5.0)]
+    assert _mr_batch(spark, rows, "(A B*? C)") == [(1, 120.0, 5.0)]
+
+
+def test_greedy_suspends_at_watermark_boundary(spark, tmp_path):
+    """Greedy B* with C ⊂ B must NOT emit while the tail can still extend
+    (Flink NFA rule); the match emits once a non-B row resolves it."""
+    query = """select * from tickers
+MATCH_RECOGNIZE (
+  PARTITION BY symbol
+  ORDER BY event_time
+  MEASURES
+    A.event_time AS event_time,
+    COUNT(B.*) AS n_b,
+    C.price AS spike
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (A B* C)
+  DEFINE A AS A.price < 10, B AS B.price >= 10, C AS C.price >= 100
+)"""
+    runner = TransformRunner(spark, tmp_path, queries=[(query, None)])
+    s1 = str(tmp_path / "in" / "s1.parquet")
+    ticker_slice(
+        s1,
+        [
+            (0, 0, ts(2), ts(1, 0, 1), "A", 5),
+            (1, 0, ts(2), ts(1, 0, 2), "A", 20),
+            (2, 0, ts(2), ts(1, 0, 3), "A", 120),
+        ],
+    )
+    resp, out = runner.run([_input(s1, ts(1, 0, 5))], system_time=ts(2))
+    # 120 completes a match AND extends B — greedy suspends: empty run
+    # (the engine writes no data file on an empty result, reference
+    # behavior — EngineAggregationTest asserts !Files.exists).
+    import os
+
+    assert resp.new_offset_interval is None
+    assert not os.path.exists(out)
+
+    s2 = str(tmp_path / "in" / "s2.parquet")
+    ticker_slice(s2, [(3, 0, ts(3), ts(1, 0, 6), "A", 3)])
+    resp2, out2 = runner.run([_input(s2, ts(1, 0, 10))], system_time=ts(3))
+    table = pq.read_table(out2).to_pylist()
+    # The non-B row (3) resolves it: greedy backtracks to the last viable
+    # spike (120), counting one B (the 20).
+    assert [(r["n_b"], r["spike"]) for r in table] == [(1, 120)]
+    # ...and the 3 immediately opens the next attempt (suspended).
+
+
 def test_match_recognize_rejects_greedy_tail_and_cross_refs():
     with pytest.raises(InvalidQueryError, match="final pattern element"):
         parse_match_recognize(

@@ -250,3 +250,34 @@ GROUP BY CUMULATE(event_time, INTERVAL '1' HOUR, INTERVAL '2' HOUR), symbol"""
         (ts(1), ts(1, 1), "A", 24),  # first hour: 10 + 14
         (ts(1), ts(1, 2), "A", 54),  # full span: + 30
     ]
+
+
+def test_raw_query_match_recognize(spark, tmp_path):
+    """MATCH_RECOGNIZE routes to the bounded matcher (Spark has no native
+    row-pattern support); the input's ODF offset is the total order."""
+    in_path = str(tmp_path / "input.parquet")
+    ticker_slice(
+        in_path,
+        [
+            (0, 0, ts(5), ts(1), "A", 5),
+            (1, 0, ts(5), ts(2), "A", 20),
+            (2, 0, ts(5), ts(3), "A", 120),
+            (3, 0, ts(5), ts(4), "A", 7),
+        ],
+    )
+    query = """select * from input
+MATCH_RECOGNIZE (
+  PARTITION BY symbol
+  ORDER BY event_time
+  MEASURES A.price AS dip, C.price AS spike, COUNT(B.*) AS n_mid
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (A B* C)
+  DEFINE A AS A.price < 10, B AS B.price >= 10 AND B.price < 100, C AS C.price >= 100
+)"""
+    resp, out = _raw(spark, tmp_path, query, in_path)
+    assert resp.num_records == 1
+    rows = pq.read_table(out).to_pylist()
+    assert [(r["symbol"], r["dip"], r["spike"], r["n_mid"]) for r in rows] == [
+        ("A", 5, 120, 1)
+    ]
