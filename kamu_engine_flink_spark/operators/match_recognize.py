@@ -15,9 +15,10 @@ the classic CEP shapes ("A, then anything until C"):
     [ONE ROW PER MATCH]
     [AFTER MATCH SKIP PAST LAST ROW]
     PATTERN (V1 V2* V3? ... Vn)   -- quantifiers * + ? greedy (Flink's
-                                  -- default), *? +? ?? reluctant; the
-                                  -- final element unquantified
-    DEFINE V AS <predicate over V's own row>, ...
+                                  -- default), *? +? ?? reluctant;
+                                  -- quantified tails suspend until
+                                  -- resolved
+    DEFINE V AS <predicate over V's own row, PREV(V.col [, n]) allowed>, ...
   )
 
 Quantifier semantics are exact: the matcher explores branches in
@@ -27,9 +28,16 @@ into the processed-rows boundary, which is precisely Flink's NFA rule
 that a match emits only once no longer-preferred alternative can still
 complete.
 
+PREV(V.col, n) compiles to a lag() column over the ordered partition
+(SQL:2016 row navigation — it addresses input rows, not match rows), so
+the V-shape DEFINE idiom (`DOWN AS DOWN.price < PREV(DOWN.price)`) runs
+entirely JVM-side; the executor retains max-lag context rows below the
+match boundary so resumed predicates stay exact across checkpoints.
+
 Restrictions vs full Flink (each raises InvalidQueryError): DEFINE
-predicates see only the current row (no LAST/PREV cross-references),
-ALL ROWS PER MATCH and other AFTER MATCH modes are out.
+predicates see only the current row and PREV of their own variable (no
+LAST/FIRST/NEXT navigation, no cross-variable references), ALL ROWS PER
+MATCH and other AFTER MATCH modes are out.
 
 Spark-first derivation: DEFINE predicates compile to boolean columns
 evaluated JVM-side (whole-stage codegen) BEFORE the per-key fold, so the
@@ -159,13 +167,13 @@ def parse_match_recognize(sql: str):
         elements.append((var, q, greedy))
     if not elements:
         raise InvalidQueryError("MATCH_RECOGNIZE: empty PATTERN")
-    if elements[-1][1] != "one":
-        raise InvalidQueryError(
-            "MATCH_RECOGNIZE: the final pattern element must be unquantified "
-            "(online matching cannot extend a completed greedy tail)"
-        )
+    # A quantified final element is fine: the preference-order matcher
+    # suspends a greedy tail at the processed-rows boundary (it may still
+    # extend) and resolves it when a non-matching row or the bounded end
+    # of input arrives — exactly Flink's NFA emission rule.
     dm = _DEFINE_RE.search(body)
     defines: dict[str, str] = {}
+    lags: set[tuple[str, int]] = set()  # (column, offset) pairs PREV needs
     if dm:
         for item in _split_top_level(dm.group("body")):
             dm2 = re.match(r"([A-Za-z_]\w*)\s+AS\s+(.*)$", item.strip(),
@@ -173,15 +181,36 @@ def parse_match_recognize(sql: str):
             if not dm2:
                 raise InvalidQueryError(f"MATCH_RECOGNIZE: bad DEFINE item {item!r}")
             var, pred = dm2.group(1), dm2.group(2).strip()
+
+            # PREV(V.col [, n]) — SQL:2016 row-navigation to the n-th
+            # previous row of the ordered PARTITION (not the match), so it
+            # compiles to a lag() column evaluated JVM-side.
+            def _prev_repl(pm):
+                pvar, pcol = pm.group(1), pm.group(2).strip("`")
+                n = int(pm.group(3) or 1)
+                if pvar.upper() != var.upper():
+                    raise InvalidQueryError(
+                        "MATCH_RECOGNIZE: PREV may reference only the DEFINE's "
+                        "own variable"
+                    )
+                lags.add((pcol, n))
+                return f"__lag{n}_{pcol}"
+
+            pred = re.sub(
+                r"PREV\s*\(\s*([A-Za-z_]\w*)\.([`\w]+)\s*(?:,\s*(\d+))?\s*\)",
+                _prev_repl,
+                pred,
+                flags=re.IGNORECASE,
+            )
             other = re.findall(r"\b([A-Za-z_]\w*)\.", pred)
             if any(o.upper() not in (var.upper(),) for o in other):
                 raise InvalidQueryError(
                     "MATCH_RECOGNIZE: DEFINE predicates may reference only the "
-                    "current row of their own variable (no LAST/PREV cross-refs)"
+                    "current row of their own variable (no LAST cross-refs)"
                 )
-            if re.search(r"\b(FIRST|LAST|PREV|NEXT)\s*\(", pred, re.IGNORECASE):
+            if re.search(r"\b(FIRST|LAST|NEXT)\s*\(", pred, re.IGNORECASE):
                 raise InvalidQueryError(
-                    "MATCH_RECOGNIZE: FIRST/LAST/PREV/NEXT in DEFINE is not supported"
+                    "MATCH_RECOGNIZE: FIRST/LAST/NEXT in DEFINE is not supported"
                 )
             defines[var] = re.sub(rf"\b{var}\.", "", pred)
     return {
@@ -192,6 +221,7 @@ def parse_match_recognize(sql: str):
         "measures": measures,
         "elements": elements,
         "defines": defines,
+        "lags": sorted(lags),
     }
 
 
@@ -220,10 +250,24 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
     offset of the suspended suffix. With process_all, the whole input is
     treated as watermark-complete (bounded/batch execution)."""
     time_col = spec["time_col"]
+    # PREV(V.col, n) navigation: lag columns over the ordered partition,
+    # JVM-evaluated before the fold. Buffered CONTEXT rows (retained by
+    # the executor below the match boundary) make the lag exact at the
+    # matcher's resume position.
+    with_preds = buf
+    if spec.get("lags"):
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(
+            *[F.col(k) for k in spec["keys"]] or [F.lit(0)]
+        ).orderBy(F.col(time_col).asc(), F.col(SEQ_INPUT).asc())
+        for col, nlag in spec["lags"]:
+            with_preds = with_preds.withColumn(
+                f"__lag{nlag}_{col}", F.lag(col, nlag).over(w)
+            )
     # DEFINE predicates as JVM-evaluated boolean columns (an undefined
     # variable is TRUE — SQL:2016 semantics, matches any row).
     pred_cols = {}
-    with_preds = buf
     for var, *_ in spec["elements"]:
         name = f"__p_{var}"
         if name in pred_cols:
@@ -250,6 +294,9 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
             StructField("__final_ts", buf_types[time_col]),
             StructField("__final_seq", LongType()),
             StructField("__keep_from", LongType()),
+            StructField("__keep_ts", buf_types[time_col]),
+            StructField("__ctx_from", LongType()),
+            StructField("__ctx_ts", buf_types[time_col]),
             StructField(KIND_COL, LongType()),
         ]
     )
@@ -257,6 +304,8 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
     elements = spec["elements"]
     measures = spec["measures"]
     n_elem = len(elements)
+    max_lag = max((nlag for _c, nlag in spec.get("lags", [])), default=0)
+    has_ctx = "__mrctx" in buf.columns
 
     def fold(pdf):
         import pandas as pd
@@ -348,7 +397,9 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
             return PENDING if (not greedy and hit_boundary and not final) else None
 
         out = []
-        start = 0
+        # Context rows (kept only for PREV navigation) all sort before the
+        # match boundary; matching resumes after them.
+        start = int(pdf["__mrctx"].sum()) if has_ctx else 0
         pending_from = None
         while start < n_proc:
             r = try_from(start, 0, [])
@@ -392,7 +443,8 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
             last_i = i - 1
             rec["__final_ts"] = obj.at[last_i, time_col]
             rec["__final_seq"] = obj.at[last_i, SEQ_INPUT]
-            rec["__keep_from"] = None
+            rec["__keep_from"] = rec["__keep_ts"] = None
+            rec["__ctx_from"] = rec["__ctx_ts"] = None
             rec[KIND_COL] = 0
             out.append(rec)
             start = i  # AFTER MATCH SKIP PAST LAST ROW
@@ -400,16 +452,30 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
             # No suspended attempt: keep only the not-yet-processed
             # (beyond-watermark) suffix.
             pending_from = n_proc if n_proc < n else None
+        # PREV context: retain max_lag rows below the match boundary so
+        # the lag columns are exact at the resume position (and at the
+        # next slice's first row when nothing is pending).
+        boundary = pending_from if pending_from is not None else n
+        ctx_idx = max(0, boundary - max_lag) if max_lag else boundary
+        if pending_from is None and ctx_idx >= n:
+            return pd.DataFrame(out, columns=out_names)
         keep_rec: dict[str, Any] = {k: obj.at[0, k] if n else None for k in keys}
         for f in measure_fields:
             keep_rec[f.name] = None
         keep_rec["__final_ts"] = None
         keep_rec["__final_seq"] = None
-        keep_rec["__keep_from"] = (
-            obj.at[pending_from, SEQ_INPUT] if pending_from is not None else None
-        )
+        if pending_from is not None:
+            keep_rec["__keep_from"] = obj.at[pending_from, SEQ_INPUT]
+            keep_rec["__keep_ts"] = obj.at[pending_from, time_col]
+        else:
+            keep_rec["__keep_from"] = keep_rec["__keep_ts"] = None
+        if ctx_idx < n:
+            keep_rec["__ctx_from"] = obj.at[ctx_idx, SEQ_INPUT]
+            keep_rec["__ctx_ts"] = obj.at[ctx_idx, time_col]
+        else:
+            keep_rec["__ctx_from"] = keep_rec["__ctx_ts"] = None
         keep_rec[KIND_COL] = 1
-        if keep_rec["__keep_from"] is not None:
+        if keep_rec["__keep_from"] is not None or keep_rec["__ctx_from"] is not None:
             out.append(keep_rec)
         return pd.DataFrame(out, columns=out_names)
 
@@ -431,7 +497,8 @@ def match_recognize_batch(spark, df, sql: str):
         raise InvalidQueryError("MATCH_RECOGNIZE requires a __seq total-order column")
     folded = _fold_matches(df, spec, wm_val=None, process_all=True)
     matches = folded.filter(F.col(KIND_COL) == 0).drop(
-        "__keep_from", KIND_COL, "__final_ts", "__final_seq"
+        "__keep_from", "__keep_ts", "__ctx_from", "__ctx_ts", KIND_COL,
+        "__final_ts", "__final_seq",
     )
     if spec["proj"] != "*":
         view_name = "__mr_batch"
@@ -456,6 +523,11 @@ def execute_match_recognize(ctx: StepContext, sql: str) -> StepResult:
     t = F.col(time_col)
     if prev_wm is not None:
         incoming = incoming.filter(t > F.lit(prev_wm))
+    max_lag = max((nlag for _c, nlag in spec.get("lags", [])), default=0)
+    if max_lag:
+        # PREV navigation needs a few already-consumed rows as lag
+        # context; they carry a marker so matching never revisits them.
+        incoming = incoming.withColumn("__mrctx", F.lit(False))
 
     buffer_name = f"{ctx.step_key}-mr-buffer"
     if ctx.state.has_df(buffer_name):
@@ -468,9 +540,14 @@ def execute_match_recognize(ctx: StepContext, sql: str) -> StepResult:
     measures = spec["measures"]
     folded = ctx.pin(_fold_matches(buf, spec, wm_val=new_wm))
 
-    # State: per key, the suffix from the first row still in play.
+    # State: per key, the suffix from the first row still in play (plus
+    # max_lag context rows below it when PREV is used). Boundaries are
+    # LEXICOGRAPHIC (rowtime, ledger offset) pairs — the matcher's sort
+    # order; the ledger offset alone is not monotone with it, and a
+    # seq-only filter would re-retain consumed rows that sort earlier.
+    marker_cols = ["__keep_from", "__keep_ts", "__ctx_from", "__ctx_ts"]
     markers = folded.filter(F.col(KIND_COL) == 1).select(
-        *[F.col(k).alias(f"__m_{k}") for k in keys], F.col("__keep_from")
+        *[F.col(k).alias(f"__m_{k}") for k in keys], *marker_cols
     )
     if keys:
         cond = None
@@ -480,14 +557,25 @@ def execute_match_recognize(ctx: StepContext, sql: str) -> StepResult:
         joined = buf.join(F.broadcast(markers), cond, "inner")
     else:
         joined = buf.crossJoin(F.broadcast(markers))
-    still_open = joined.filter(F.col(SEQ_INPUT) >= F.col("__keep_from")).select(
-        *buf.columns
-    )
+
+    def lex_ge(bts, bseq):
+        return (t > F.col(bts)) | ((t == F.col(bts)) & (F.col(SEQ_INPUT) >= F.col(bseq)))
+
+    if max_lag:
+        retained = joined.filter(
+            F.col("__ctx_from").isNotNull() & lex_ge("__ctx_ts", "__ctx_from")
+        )
+        is_match_row = F.col("__keep_from").isNotNull() & lex_ge(
+            "__keep_ts", "__keep_from"
+        )
+        still_open = retained.withColumn("__mrctx", ~is_match_row).select(*buf.columns)
+    else:
+        still_open = joined.filter(
+            F.col("__keep_from").isNotNull() & lex_ge("__keep_ts", "__keep_from")
+        ).select(*buf.columns)
     ctx.state.save_df(buffer_name, still_open)
 
-    matches = folded.filter(F.col(KIND_COL) == 0).drop(
-        "__keep_from", KIND_COL
-    )
+    matches = folded.filter(F.col(KIND_COL) == 0).drop(*marker_cols, KIND_COL)
 
     # Outer projection: SELECT * keeps (keys + measures); otherwise apply
     # the user's column list over the match relation.

@@ -200,14 +200,124 @@ MATCH_RECOGNIZE (
     # ...and the 3 immediately opens the next attempt (suspended).
 
 
-def test_match_recognize_rejects_greedy_tail_and_cross_refs():
-    with pytest.raises(InvalidQueryError, match="final pattern element"):
-        parse_match_recognize(
-            "select * from t MATCH_RECOGNIZE (ORDER BY ts MEASURES A.x AS event_time "
-            "PATTERN (A B+) DEFINE A AS A.x > 0, B AS B.x > 0)"
-        )
+V_QUERY = """select * from tickers
+MATCH_RECOGNIZE (
+  PARTITION BY symbol
+  ORDER BY event_time
+  MEASURES
+    STRT.event_time AS event_time,
+    STRT.price AS start_price,
+    LAST(DOWN.price) AS bottom_price,
+    LAST(UP.price) AS end_price
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (STRT DOWN+ UP+)
+  DEFINE
+    DOWN AS DOWN.price < PREV(DOWN.price),
+    UP AS UP.price > PREV(UP.price)
+)"""
+
+
+def test_v_pattern_prev_cross_run(spark, tmp_path):
+    """Flink docs' flagship V-shape (falling then rising prices via PREV),
+    with a greedy UP+ tail that suspends at the watermark and resolves in
+    the next invocation."""
+    import os
+
+    runner = TransformRunner(spark, tmp_path, queries=[(V_QUERY, None)])
+    s1 = str(tmp_path / "in" / "s1.parquet")
+    ticker_slice(
+        s1,
+        [
+            (0, 0, ts(2), ts(1, 0, 1), "A", 12),
+            (1, 0, ts(2), ts(1, 0, 2), "A", 10),
+            (2, 0, ts(2), ts(1, 0, 3), "A", 8),
+            (3, 0, ts(2), ts(1, 0, 4), "A", 9),
+            (4, 0, ts(2), ts(1, 0, 5), "A", 11),
+            (5, 0, ts(2), ts(1, 0, 6), "A", 11),  # flat: beyond wm, pending
+        ],
+    )
+    # wm 00:05: the greedy UP+ tail can still extend — nothing emits.
+    resp, out = runner.run([_input(s1, ts(1, 0, 5))], system_time=ts(2))
+    assert resp.new_offset_interval is None and not os.path.exists(out)
+
+    s2 = str(tmp_path / "in" / "s2.parquet")
+    ticker_slice(s2, [(6, 0, ts(3), ts(1, 0, 7), "A", 13)])
+    resp2, out2 = runner.run([_input(s2, ts(1, 0, 10))], system_time=ts(3))
+    rows = pq.read_table(out2).to_pylist()
+    # The flat 11 resolves the tail: V = 12 -> 8 -> 11.
+    assert [
+        (r["symbol"], r["start_price"], r["bottom_price"], r["end_price"])
+        for r in rows
+    ] == [("A", 12, 8, 11)]
+
+
+def test_prev_needs_consumed_context_row(spark, tmp_path):
+    """A pattern STARTING with a PREV-predicated variable: the suspended
+    attempt's first row re-evaluates its predicate against a row that was
+    already discarded from matching — the retained lag-context row makes
+    it exact across the checkpoint."""
+    query = """select * from tickers
+MATCH_RECOGNIZE (
+  PARTITION BY symbol
+  ORDER BY event_time
+  MEASURES
+    FIRST(DOWN.event_time) AS event_time,
+    MIN(DOWN.price) AS bottom,
+    UP.price AS rebound
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (DOWN+ UP)
+  DEFINE
+    DOWN AS DOWN.price < PREV(DOWN.price),
+    UP AS UP.price > PREV(UP.price)
+)"""
+    import os
+
+    runner = TransformRunner(spark, tmp_path, queries=[(query, None)])
+    s1 = str(tmp_path / "in" / "s1.parquet")
+    ticker_slice(
+        s1,
+        [
+            (0, 0, ts(2), ts(1, 0, 1), "A", 12),
+            (1, 0, ts(2), ts(1, 0, 2), "A", 10),  # down vs 12
+            (2, 0, ts(2), ts(1, 0, 3), "A", 8),  # down vs 10
+        ],
+    )
+    # DOWN+ run hits the watermark boundary: suspended, keep-from is the
+    # 00:02 row whose predicate references the (discarded) 00:01 row.
+    resp, out = runner.run([_input(s1, ts(1, 0, 3))], system_time=ts(2))
+    assert resp.new_offset_interval is None and not os.path.exists(out)
+
+    s2 = str(tmp_path / "in" / "s2.parquet")
+    ticker_slice(s2, [(3, 0, ts(3), ts(1, 0, 4), "A", 9)])  # up vs 8
+    resp2, out2 = runner.run([_input(s2, ts(1, 0, 6))], system_time=ts(3))
+    rows = pq.read_table(out2).to_pylist()
+    assert [(r["symbol"], r["bottom"], r["rebound"]) for r in rows] == [("A", 8, 9)]
+
+
+def test_match_recognize_parse_rules():
+    # Quantified final elements are supported (greedy-tail suspension).
+    spec = parse_match_recognize(
+        "select * from t MATCH_RECOGNIZE (ORDER BY ts MEASURES A.x AS event_time "
+        "PATTERN (A B+) DEFINE A AS A.x > 0, B AS B.x > 0)"
+    )
+    assert spec["elements"] == [("A", "one", True), ("B", "plus", True)]
+    # PREV of the own variable compiles to a lag column.
+    spec = parse_match_recognize(
+        "select * from t MATCH_RECOGNIZE (ORDER BY ts MEASURES A.x AS event_time "
+        "PATTERN (A B) DEFINE A AS A.x > 0, B AS B.x > PREV(B.x))"
+    )
+    assert spec["lags"] == [("x", 1)]
+    assert spec["defines"]["B"] == "x > __lag1_x"
+    # Cross-variable references stay rejected.
     with pytest.raises(InvalidQueryError, match="own variable"):
         parse_match_recognize(
             "select * from t MATCH_RECOGNIZE (ORDER BY ts MEASURES A.x AS event_time "
             "PATTERN (A B) DEFINE A AS A.x > 0, B AS B.x > A.x)"
+        )
+    with pytest.raises(InvalidQueryError, match="own variable"):
+        parse_match_recognize(
+            "select * from t MATCH_RECOGNIZE (ORDER BY ts MEASURES A.x AS event_time "
+            "PATTERN (A B) DEFINE A AS A.x > 0, B AS B.x > PREV(A.x))"
         )
