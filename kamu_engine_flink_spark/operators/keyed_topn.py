@@ -64,6 +64,54 @@ def parse_keyed_order(sql: str):
     return keys, m.group("col").split(".")[-1].strip("`"), bool(m.group("desc"))
 
 
+def _prune_partition_local_keyed(df, part_keys, order_col, descending, limit):
+    """Per-key partition-local running-top-N prune (the keyed twin of
+    topn._prune_partition_local): a row beaten or tied by >= limit earlier
+    rows OF ITS KEY in its own partition is beaten by >= limit earlier
+    rows of its key globally, so it can never enter the visible top-N and
+    never emits changelog. Cuts the Arrow transfer into the per-key fold
+    from O(slice) to O(keys x limit x ln(rows/partition)) on shuffled
+    data. Missing keys/scores pass through untouched."""
+    import bisect
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(SEQ_INPUT, kind="mergesort")
+            best: dict = {}
+            keep = []
+            key_iters = [pdf[k] for k in part_keys]
+            for v, *kparts in zip(pdf[order_col], *key_iters):
+                if any(pd.isna(kp) for kp in kparts) or pd.isna(v):
+                    keep.append(True)
+                    continue
+                key = tuple(kparts)
+                lst = best.setdefault(key, [])
+                if len(lst) < limit:
+                    bisect.insort(lst, v)
+                    keep.append(True)
+                elif descending:
+                    if v > lst[0]:
+                        del lst[0]
+                        bisect.insort(lst, v)
+                        keep.append(True)
+                    else:
+                        keep.append(False)
+                else:
+                    if v < lst[-1]:
+                        del lst[-1]
+                        bisect.insort(lst, v)
+                        keep.append(True)
+                    else:
+                        keep.append(False)
+            yield pdf[keep]
+
+    return df.mapInPandas(batches, df.schema)
+
+
 def execute_keyed_topn(ctx: StepContext, sql: str, spec) -> StepResult:
     shape = _SHAPE_RE.search(sql.strip())
     parsed = parse_keyed_order(sql)
@@ -108,8 +156,11 @@ def execute_keyed_topn(ctx: StepContext, sql: str, spec) -> StepResult:
 
     # Union (state ∪ slice) on a common schema; fold output carries both the
     # changelog and the key's new ranking (KIND_COL splits them afterward).
+    pruned = _prune_partition_local_keyed(
+        incoming, part_keys, order_col, descending, spec.limit
+    )
     unioned = prev_state.withColumn(SEQ_INPUT, F.lit(None).cast("long")).unionByName(
-        incoming.withColumn("place", F.lit(None).cast("long")).select(
+        pruned.withColumn("place", F.lit(None).cast("long")).select(
             "place", *value_cols, SEQ_INPUT
         )
     )

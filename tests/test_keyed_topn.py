@@ -124,6 +124,39 @@ def test_keyed_topn_changelog_and_resume(spark, tmp_path):
     ]
 
 
+def test_keyed_topn_randomized_vs_simulation(spark, tmp_path):
+    """2000 random rows over 20 keys through the distributed fold (with
+    the partition-local prune) must produce exactly the changelog of a
+    driver-side per-key simulation interleaved by ledger offset."""
+    import random
+
+    from kamu_engine_flink_spark.operators.topn import fold_records
+
+    rng = random.Random(7)
+    n, limit = 2000, 2  # KEYED_TOPN_QUERY keeps place <= 2
+    rows = [
+        (i, 0, ts(5), ts(1, 0, 0), f"p{rng.randrange(20)}", rng.randrange(10_000))
+        for i in range(n)
+    ]
+    # Reference simulation: per-key running top-N, global order (seq, sub).
+    rankings: dict = {}
+    expected = []
+    for seq, _op, _st, _et, player, score in rows:
+        row = {"match_time": ts(1, 0, 0), "player_name": player, "score": score}
+        ranking = rankings.setdefault(player, [])
+        for gseq, sub, op, place, r in fold_records(
+            ranking, [(row, seq)], "score", True, limit
+        ):
+            expected.append((op, place, r["player_name"], r["score"]))
+
+    runner = _runner(spark, tmp_path, KEYED_TOPN_QUERY)
+    s1 = str(tmp_path / "in" / "s1.parquet")
+    match_scores_slice(s1, rows)
+    resp, out = runner.run([_input(s1, ts(1, 0, 1))], system_time=ts(6))
+    got = [(r[1], r[2], r[4], r[5]) for r in _read_rows(out)]
+    assert got == expected
+
+
 def test_dedup_keep_last_changelog(spark, tmp_path):
     """Flink Deduplication pattern: row_number over (partition by key order
     by event_time desc) = 1 — keep the latest row per key, correcting the
