@@ -34,10 +34,14 @@ the V-shape DEFINE idiom (`DOWN AS DOWN.price < PREV(DOWN.price)`) runs
 entirely JVM-side; the executor retains max-lag context rows below the
 match boundary so resumed predicates stay exact across checkpoints.
 
+ALL ROWS PER MATCH is supported with Flink's RUNNING measure semantics
+(one output row per matched row, aggregates over the match's rows so
+far, all input columns projected).
+
 Restrictions vs full Flink (each raises InvalidQueryError): DEFINE
 predicates see only the current row and PREV of their own variable (no
-LAST/FIRST/NEXT navigation, no cross-variable references), ALL ROWS PER
-MATCH and other AFTER MATCH modes are out.
+LAST/FIRST/NEXT navigation, no cross-variable references); AFTER MATCH
+modes other than SKIP PAST LAST ROW are out.
 
 Spark-first derivation: DEFINE predicates compile to boolean columns
 evaluated JVM-side (whole-stage codegen) BEFORE the per-key fold, so the
@@ -112,8 +116,7 @@ def parse_match_recognize(sql: str):
     if not m:
         return None
     body = m.group("body")
-    if _ALL_ROWS_RE.search(body):
-        raise InvalidQueryError("MATCH_RECOGNIZE: only ONE ROW PER MATCH is supported")
+    all_rows = bool(_ALL_ROWS_RE.search(body))
     if _AFTER_RE.search(body):
         raise InvalidQueryError(
             "MATCH_RECOGNIZE: only AFTER MATCH SKIP PAST LAST ROW is supported"
@@ -222,6 +225,7 @@ def parse_match_recognize(sql: str):
         "elements": elements,
         "defines": defines,
         "lags": sorted(lags),
+        "all_rows": all_rows,
     }
 
 
@@ -287,8 +291,15 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
         StructField(alias, _measure_type(fn, buf_types.get(col, LongType())))
         for fn, var, col, alias in spec["measures"]
     ]
+    all_rows = spec.get("all_rows", False)
+    # ONE ROW PER MATCH: keys + measures. ALL ROWS PER MATCH: every input
+    # column + RUNNING measures per matched row (Flink's default
+    # running semantics).
+    data_cols = (
+        [c for c in buf.columns if not c.startswith("__")] if all_rows else keys
+    )
     out_schema = StructType(
-        [StructField(k, buf_types[k]) for k in keys]
+        [StructField(c, buf_types[c]) for c in data_cols]
         + measure_fields
         + [
             StructField("__final_ts", buf_types[time_col]),
@@ -414,39 +425,48 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
             for var, idx in pairs:
                 assign.setdefault(var, []).append(idx)
             i = end_i
-            rec: dict[str, Any] = {}
-            for k in keys:
-                rec[k] = obj.at[start, k]
-            for fn, var, col, alias in measures:
-                idxs = assign.get(var, [])
+
+            def _measure_val(fn, idxs, col):
                 if fn == "count":
-                    rec[alias] = len(idxs)
-                elif not idxs:
-                    rec[alias] = None
-                elif fn == "first":
-                    rec[alias] = obj.at[idxs[0], col]
-                elif fn == "last":
-                    rec[alias] = obj.at[idxs[-1], col]
-                else:
-                    vals = [obj.at[j, col] for j in idxs]
-                    vals = [v for v in vals if v is not None]
-                    if not vals:
-                        rec[alias] = None
-                    elif fn == "sum":
-                        rec[alias] = sum(vals)
-                    elif fn == "min":
-                        rec[alias] = min(vals)
-                    elif fn == "max":
-                        rec[alias] = max(vals)
-                    else:  # avg
-                        rec[alias] = float(sum(vals)) / len(vals)
-            last_i = i - 1
-            rec["__final_ts"] = obj.at[last_i, time_col]
-            rec["__final_seq"] = obj.at[last_i, SEQ_INPUT]
-            rec["__keep_from"] = rec["__keep_ts"] = None
-            rec["__ctx_from"] = rec["__ctx_ts"] = None
-            rec[KIND_COL] = 0
-            out.append(rec)
+                    return len(idxs)
+                if not idxs:
+                    return None
+                if fn == "first":
+                    return obj.at[idxs[0], col]
+                if fn == "last":
+                    return obj.at[idxs[-1], col]
+                vals = [v for v in (obj.at[j, col] for j in idxs) if v is not None]
+                if not vals:
+                    return None
+                if fn == "sum":
+                    return sum(vals)
+                if fn == "min":
+                    return min(vals)
+                if fn == "max":
+                    return max(vals)
+                return float(sum(vals)) / len(vals)  # avg
+
+            def _emit(rec, row_i):
+                rec["__final_ts"] = obj.at[row_i, time_col]
+                rec["__final_seq"] = obj.at[row_i, SEQ_INPUT]
+                rec["__keep_from"] = rec["__keep_ts"] = None
+                rec["__ctx_from"] = rec["__ctx_ts"] = None
+                rec[KIND_COL] = 0
+                out.append(rec)
+
+            if all_rows:
+                # One output row per matched row, RUNNING measures.
+                for j in range(start, i):
+                    rec = {c: obj.at[j, c] for c in data_cols}
+                    for fn, var, col, alias in measures:
+                        idxs = [x for x in assign.get(var, []) if x <= j]
+                        rec[alias] = _measure_val(fn, idxs, col)
+                    _emit(rec, j)
+            else:
+                rec = {k: obj.at[start, k] for k in keys}
+                for fn, var, col, alias in measures:
+                    rec[alias] = _measure_val(fn, assign.get(var, []), col)
+                _emit(rec, i - 1)
             start = i  # AFTER MATCH SKIP PAST LAST ROW
         if pending_from is None:
             # No suspended attempt: keep only the not-yet-processed
@@ -583,7 +603,9 @@ def execute_match_recognize(ctx: StepContext, sql: str) -> StepResult:
     matches.createOrReplaceTempView(view_name)
     proj = spec["proj"]
     if proj == "*":
-        sel = ", ".join([*keys, *[m[3] for m in measures]])
+        # ONE ROW: keys + measures; ALL ROWS: input columns + measures —
+        # both are exactly the non-internal columns of the match relation.
+        sel = ", ".join(c for c in matches.columns if not c.startswith("__"))
     else:
         sel = proj
     result = ctx.spark.sql(

@@ -296,6 +296,43 @@ MATCH_RECOGNIZE (
     assert [(r["symbol"], r["bottom"], r["rebound"]) for r in rows] == [("A", 8, 9)]
 
 
+def test_all_rows_per_match_running_measures(spark, tmp_path):
+    """ALL ROWS PER MATCH: one output row per matched row with RUNNING
+    measures; unmatched rows between matches are not emitted."""
+    query = """select * from tickers
+MATCH_RECOGNIZE (
+  PARTITION BY symbol
+  ORDER BY event_time
+  MEASURES
+    COUNT(B.*) AS n_mid,
+    C.price AS spike
+  ALL ROWS PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (A B* C)
+  DEFINE A AS A.price < 10, B AS B.price >= 10 AND B.price < 100, C AS C.price >= 100
+)"""
+    runner = TransformRunner(spark, tmp_path, queries=[(query, None)])
+    s1 = str(tmp_path / "in" / "s1.parquet")
+    ticker_slice(
+        s1,
+        [
+            (0, 0, ts(2), ts(1, 0, 1), "A", 5),
+            (1, 0, ts(2), ts(1, 0, 2), "A", 20),
+            (2, 0, ts(2), ts(1, 0, 3), "A", 120),
+            (3, 0, ts(2), ts(1, 0, 4), "A", 50),  # dead row: no match
+        ],
+    )
+    resp, out = runner.run([_input(s1, ts(1, 0, 5))], system_time=ts(2))
+    rows = pq.read_table(out).to_pylist()
+    assert [
+        (r["offset"], r["symbol"], r["price"], r["n_mid"], r["spike"]) for r in rows
+    ] == [
+        (0, "A", 5, 0, None),
+        (1, "A", 20, 1, None),
+        (2, "A", 120, 1, 120),
+    ]
+
+
 def test_match_recognize_parse_rules():
     # Quantified final elements are supported (greedy-tail suspension).
     spec = parse_match_recognize(
