@@ -1369,6 +1369,74 @@ def over_agg_rolling_value_events(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel per user (view -> first click after it -> first
+    purchase after that) in ONE shuffle: three stacked per-user window
+    minimums reuse the same hash partitioning (Catalyst collapses them
+    into a single exchange), and the final per-user rollup rides it too —
+    no self-joins, no re-shuffles, scales as a single pass over events."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    ty = F.col("event_type")
+    e2 = e.withColumn("v_ts", F.min(F.when(ty == "view", F.col("ts"))).over(w))
+    e3 = e2.withColumn(
+        "c_ts",
+        F.min(
+            F.when((ty == "click") & (F.col("ts") > F.col("v_ts")), F.col("ts"))
+        ).over(w),
+    )
+    e4 = e3.withColumn(
+        "p_ts",
+        F.min(
+            F.when((ty == "purchase") & (F.col("ts") > F.col("c_ts")), F.col("ts"))
+        ).over(w),
+    )
+    return (
+        e4.groupBy(F.col("user_id").cast("long").alias("user_id"))
+        .agg(
+            F.first("v_ts").alias("view_ts"),
+            F.first("c_ts").alias("click_ts"),
+            F.first("p_ts").alias("purchase_ts"),
+        )
+        .withColumn(
+            "stage",
+            (
+                F.col("view_ts").isNotNull().cast("int")
+                + F.col("click_ts").isNotNull().cast("int")
+                + F.col("purchase_ts").isNotNull().cast("int")
+            ).cast("long"),
+        )
+    )
+
+
+def retention_cohorts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by the week of their first
+    signup, counted in every later week they were active. Two co-keyed
+    aggregations joined on user_id — the join and both groupBys share one
+    hash partitioning."""
+    e = _t(spark, sf_dir, "events")
+    first_s = e.groupBy("user_id").agg(
+        F.date_trunc(
+            "week", F.min(F.when(F.col("event_type") == "signup", F.col("ts")))
+        ).alias("cohort_week")
+    )
+    act = e.select("user_id", F.date_trunc("week", "ts").alias("active_week")).distinct()
+    return (
+        first_s.join(act, "user_id")
+        .filter(F.col("cohort_week").isNotNull())
+        .filter(F.col("active_week") >= F.col("cohort_week"))
+        .withColumn(
+            "week_offset",
+            (
+                (F.unix_timestamp("active_week") - F.unix_timestamp("cohort_week"))
+                / 604800
+            ).cast("long"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 def match_recognize_dip_spike_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MATCH_RECOGNIZE (CEP) batch twin: per-user dip->spike adjacency
     (value < 2 immediately followed by value > 18) via the real pattern
@@ -2006,6 +2074,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first this round; the 50 already-green ones follow.
     return {
         "over_agg_rolling_value_events": over_agg_rolling_value_events,
+        "funnel_view_click_purchase": funnel_view_click_purchase,
+        "retention_cohorts_events": retention_cohorts_events,
         "match_recognize_dip_spike_events": match_recognize_dip_spike_events,
         "dedup_keep_last_events": dedup_keep_last_events,
         "similarity_pq_topk": similarity_pq_topk,
@@ -2668,6 +2738,41 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts
                          RANGE BETWEEN INTERVAL '2' HOUR PRECEDING AND CURRENT ROW)
+        """,
+        "funnel_view_click_purchase": """
+            WITH v AS (
+                SELECT user_id, MIN(ts) FILTER (WHERE event_type = 'view') AS view_ts
+                FROM events GROUP BY 1
+            ),
+            c AS (
+                SELECT e.user_id, MIN(e.ts) AS click_ts
+                FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.view_ts
+                WHERE e.event_type = 'click' GROUP BY 1
+            ),
+            p AS (
+                SELECT e.user_id, MIN(e.ts) AS purchase_ts
+                FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.click_ts
+                WHERE e.event_type = 'purchase' GROUP BY 1
+            )
+            SELECT CAST(v.user_id AS BIGINT) AS user_id, v.view_ts, c.click_ts, p.purchase_ts,
+                   CAST((v.view_ts IS NOT NULL)::INT + (c.click_ts IS NOT NULL)::INT
+                        + (p.purchase_ts IS NOT NULL)::INT AS BIGINT) AS stage
+            FROM v LEFT JOIN c ON v.user_id = c.user_id
+                   LEFT JOIN p ON v.user_id = p.user_id
+        """,
+        "retention_cohorts_events": """
+            WITH first_s AS (
+                SELECT user_id,
+                       date_trunc('week', MIN(ts) FILTER (WHERE event_type = 'signup')) AS cohort_week
+                FROM events GROUP BY 1
+            ),
+            act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events)
+            SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week,
+                   CAST((epoch(active_week) - epoch(cohort_week)) / 604800 AS BIGINT) AS week_offset,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM first_s JOIN act USING (user_id)
+            WHERE cohort_week IS NOT NULL AND active_week >= cohort_week
+            GROUP BY 1, 2
         """,
         "match_recognize_dip_spike_events": """
             SELECT CAST(user_id AS BIGINT) AS user_id,
