@@ -543,3 +543,124 @@ class StreamingTopN:
 
     def run_available_now(self, spark: SparkSession) -> None:
         _run_available_now(self._plan(spark), self.checkpoint_dir, self.output_dir)
+
+
+_OVER_OUTPUT = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("ts", LongType()),  # event time, epoch micros
+        StructField("value", DoubleType()),
+        StructField("roll_sum", DoubleType()),
+        StructField("roll_cnt", LongType()),
+    ]
+)
+_OVER_STATE = StructType(
+    [
+        StructField("ts_us", ArrayType(LongType())),
+        StructField("vals", ArrayType(DoubleType())),
+        StructField("emitted_upto_us", LongType()),
+    ]
+)
+
+
+def _over_agg_fn(h_us: int):
+    """Per-key rolling-frame kernel (row-time Over Aggregation,
+    operators/over_agg.py's always-on twin). State = rows inside the frame
+    horizon as parallel (ts, value) arrays plus the emission high-water
+    mark; each micro-batch emits rows the stream watermark has finalized,
+    aggregating the backward RANGE frame [ts - h, ts], then evicts rows
+    no future row's frame can reach (ts < wm - h)."""
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            ts_l, val_l, emitted_upto = state.get
+            rows = sorted(zip(ts_l, val_l))
+        else:
+            rows, emitted_upto = [], None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ts_us = (pdf["__ts"].astype("int64") // 1000).tolist()
+            for t, v in zip(ts_us, pdf["__val"].tolist()):
+                if emitted_upto is None or t > emitted_upto:
+                    rows.append((t, float(v)))
+        rows.sort()
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        out = []
+        for t, v in rows:
+            if t > wm_us:
+                break
+            if emitted_upto is not None and t <= emitted_upto:
+                continue
+            frame = [(ft, fv) for ft, fv in rows if t - h_us <= ft <= t]
+            out.append((key[0], t, v, sum(fv for _, fv in frame), len(frame)))
+        emitted_upto = max(emitted_upto or 0, wm_us) if rows else emitted_upto
+        keep = [(t, v) for t, v in rows if t >= wm_us - h_us]
+        state.update(
+            ([t for t, _ in keep], [v for _, v in keep], emitted_upto)
+        )
+        if out:
+            yield pd.DataFrame(
+                out, columns=["key", "ts", "value", "roll_sum", "roll_cnt"]
+            )
+
+    return fn
+
+
+@dataclass
+class StreamingOverAgg:
+    """Always-on row-time OVER aggregation (rolling backward RANGE frame
+    per key) as a CUSTOM STATEFUL OPERATOR on applyInPandasWithState —
+    Structured Streaming has no per-row streaming window aggregation.
+    The micro-batch engine's operators/over_agg.py covers the explicit-
+    watermark ODF mode; this is the data-derived-watermark deployment.
+
+    Scale shape: state shards by key and holds only the frame horizon
+    (wm - h, ...] per key; emission is monotone in the watermark, so each
+    row emits exactly once across restarts via the stream checkpoint."""
+
+    input_dir: str
+    checkpoint_dir: str
+    output_dir: str
+    frame: str = "2 hours"
+    event_time_col: str = "event_time"
+    value_col: str = "value"
+    partition_col: str | None = None
+    watermark_delay: str = "1 minute"
+    schema: StructType | None = None
+
+    def _plan(self, spark: SparkSession) -> DataFrame:
+        n, unit = self.frame.split()
+        secs = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+                "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}[unit]
+        h_us = int(n) * secs * 1_000_000
+        stream = _file_stream(spark, self.input_dir, self.schema)
+        scope = (
+            F.col(self.partition_col).cast("string")
+            if self.partition_col
+            else F.lit("__global__")
+        )
+        rows = stream.withWatermark(self.event_time_col, self.watermark_delay).select(
+            scope.alias("__scope"),
+            F.col(self.event_time_col).alias("__ts"),
+            F.col(self.value_col).cast("double").alias("__val"),
+        )
+        out = rows.groupBy("__scope").applyInPandasWithState(
+            _over_agg_fn(h_us),
+            outputStructType=_OVER_OUTPUT,
+            stateStructType=_OVER_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        return out.select(
+            "key",
+            F.timestamp_micros(F.col("ts")).alias(self.event_time_col),
+            "value",
+            "roll_sum",
+            "roll_cnt",
+        )
+
+    def run_available_now(self, spark: SparkSession) -> None:
+        _run_available_now(self._plan(spark), self.checkpoint_dir, self.output_dir)

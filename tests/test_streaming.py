@@ -538,3 +538,66 @@ def test_streaming_cumulate_across_runs(spark, dirs):
     new = [r for r in out2 if r not in out1]
     assert [(r[0].hour, r[2], r[3]) for r in new] == [(3, 7, 12), (4, 7, 12)]
     assert len(out2) == len(out1) + 2
+
+
+def _overagg_slice(path, rows):
+    """rows: (symbol, event_time, value)"""
+    cols = list(zip(*rows)) if rows else [[], [], []]
+    pq.write_table(
+        pa.table(
+            {
+                "symbol": pa.array(list(cols[0]), pa.string()),
+                "event_time": pa.array(list(cols[1]), pa.timestamp("us", tz="UTC")),
+                "value": pa.array(list(cols[2]), pa.float64()),
+            }
+        ),
+        path,
+        compression="snappy",
+    )
+
+
+def test_streaming_over_agg_rolling_frame(spark, dirs):
+    """Always-on row-time over-aggregation: rows emit once the derived
+    watermark passes them, frames reach back across micro-batch runs,
+    frame-horizon eviction bounds the state."""
+    from datetime import timezone
+
+    from kamu_engine_flink_spark.streaming.structured import StreamingOverAgg
+
+    job = StreamingOverAgg(
+        input_dir=dirs["in"],
+        checkpoint_dir=dirs["chk"],
+        output_dir=dirs["out"],
+        frame="2 minutes",
+        partition_col="symbol",
+        watermark_delay="1 minute",
+    )
+    _overagg_slice(
+        os.path.join(dirs["in"], "s1.parquet"),
+        [("A", ts(1, 0, 1), 10.0), ("A", ts(1, 0, 2), 20.0), ("A", ts(1, 0, 4), 40.0)],
+    )
+    job.run_available_now(spark)  # first pass: watermark still at zero
+
+    _overagg_slice(os.path.join(dirs["in"], "s2.parquet"), [("A", ts(1, 0, 10), 5.0)])
+    job.run_available_now(spark)
+    out = sorted(
+        (r.key, r.event_time.replace(tzinfo=timezone.utc), r.value, r.roll_sum, r.roll_cnt)
+        for r in spark.read.parquet(dirs["out"]).collect()
+    )
+    # Watermark = 00:04 - 1min = 00:03 -> the 00:01 and 00:02 rows emit.
+    assert out == [
+        ("A", ts(1, 0, 1), 10.0, 10.0, 1),
+        ("A", ts(1, 0, 2), 20.0, 30.0, 2),
+    ]
+
+    _overagg_slice(os.path.join(dirs["in"], "s3.parquet"), [("A", ts(1, 0, 20), 1.0)])
+    job.run_available_now(spark)
+    out3 = sorted(
+        (r.key, r.event_time.replace(tzinfo=timezone.utc), r.value, r.roll_sum, r.roll_cnt)
+        for r in spark.read.parquet(dirs["out"]).collect()
+    )
+    # Watermark = 00:10 - 1min: the 00:04 row emits, its frame reaching
+    # the retained 00:02 row; 00:10 stays pending.
+    assert sorted(set(out3) - set(out)) == [
+        ("A", ts(1, 0, 4), 40.0, 60.0, 2),
+    ]
