@@ -91,7 +91,10 @@ _MEASURE_RE = re.compile(
     re.IGNORECASE,
 )
 _ALL_ROWS_RE = re.compile(r"ALL\s+ROWS\s+PER\s+MATCH", re.IGNORECASE)
-_AFTER_RE = re.compile(r"AFTER\s+MATCH\s+SKIP\s+(?!PAST\s+LAST\s+ROW)", re.IGNORECASE)
+_AFTER_NEXT_RE = re.compile(r"AFTER\s+MATCH\s+SKIP\s+TO\s+NEXT\s+ROW", re.IGNORECASE)
+_AFTER_RE = re.compile(
+    r"AFTER\s+MATCH\s+SKIP\s+(?!PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW)", re.IGNORECASE
+)
 
 
 def _split_top_level(s: str) -> list[str]:
@@ -117,9 +120,11 @@ def parse_match_recognize(sql: str):
         return None
     body = m.group("body")
     all_rows = bool(_ALL_ROWS_RE.search(body))
+    skip_mode = "next" if _AFTER_NEXT_RE.search(body) else "past"
     if _AFTER_RE.search(body):
         raise InvalidQueryError(
-            "MATCH_RECOGNIZE: only AFTER MATCH SKIP PAST LAST ROW is supported"
+            "MATCH_RECOGNIZE: supported AFTER MATCH modes are SKIP PAST LAST "
+            "ROW and SKIP TO NEXT ROW"
         )
     pm = _PART_RE.search(body)
     keys = (
@@ -226,6 +231,7 @@ def parse_match_recognize(sql: str):
         "defines": defines,
         "lags": sorted(lags),
         "all_rows": all_rows,
+        "skip_mode": skip_mode,
     }
 
 
@@ -317,6 +323,8 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
     n_elem = len(elements)
     max_lag = max((nlag for _c, nlag in spec.get("lags", [])), default=0)
     has_ctx = "__mrctx" in buf.columns
+    has_done = "__mrdone" in buf.columns
+    skip_next = spec.get("skip_mode") == "next"
 
     def fold(pdf):
         import pandas as pd
@@ -408,66 +416,88 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
             return PENDING if (not greedy and hit_boundary and not final) else None
 
         out = []
-        # Context rows (kept only for PREV navigation) all sort before the
-        # match boundary; matching resumes after them.
-        start = int(pdf["__mrctx"].sum()) if has_ctx else 0
-        pending_from = None
-        while start < n_proc:
-            r = try_from(start, 0, [])
-            if r is None:
-                start += 1
-                continue
-            if r[0] == "pending":
-                pending_from = start
-                break
-            _, end_i, pairs = r
+
+        def _measure_val(fn, idxs, col):
+            if fn == "count":
+                return len(idxs)
+            if not idxs:
+                return None
+            if fn == "first":
+                return obj.at[idxs[0], col]
+            if fn == "last":
+                return obj.at[idxs[-1], col]
+            vals = [v for v in (obj.at[j, col] for j in idxs) if v is not None]
+            if not vals:
+                return None
+            if fn == "sum":
+                return sum(vals)
+            if fn == "min":
+                return min(vals)
+            if fn == "max":
+                return max(vals)
+            return float(sum(vals)) / len(vals)  # avg
+
+        def _emit(rec, row_i, kind=0):
+            rec["__final_ts"] = obj.at[row_i, time_col]
+            rec["__final_seq"] = obj.at[row_i, SEQ_INPUT]
+            rec["__keep_from"] = rec["__keep_ts"] = None
+            rec["__ctx_from"] = rec["__ctx_ts"] = None
+            rec[KIND_COL] = kind
+            out.append(rec)
+
+        def emit_match(s0, end_i, pairs):
             assign: dict[str, list[int]] = {}
             for var, idx in pairs:
                 assign.setdefault(var, []).append(idx)
-            i = end_i
-
-            def _measure_val(fn, idxs, col):
-                if fn == "count":
-                    return len(idxs)
-                if not idxs:
-                    return None
-                if fn == "first":
-                    return obj.at[idxs[0], col]
-                if fn == "last":
-                    return obj.at[idxs[-1], col]
-                vals = [v for v in (obj.at[j, col] for j in idxs) if v is not None]
-                if not vals:
-                    return None
-                if fn == "sum":
-                    return sum(vals)
-                if fn == "min":
-                    return min(vals)
-                if fn == "max":
-                    return max(vals)
-                return float(sum(vals)) / len(vals)  # avg
-
-            def _emit(rec, row_i):
-                rec["__final_ts"] = obj.at[row_i, time_col]
-                rec["__final_seq"] = obj.at[row_i, SEQ_INPUT]
-                rec["__keep_from"] = rec["__keep_ts"] = None
-                rec["__ctx_from"] = rec["__ctx_ts"] = None
-                rec[KIND_COL] = 0
-                out.append(rec)
-
             if all_rows:
                 # One output row per matched row, RUNNING measures.
-                for j in range(start, i):
+                for j in range(s0, end_i):
                     rec = {c: obj.at[j, c] for c in data_cols}
                     for fn, var, col, alias in measures:
                         idxs = [x for x in assign.get(var, []) if x <= j]
                         rec[alias] = _measure_val(fn, idxs, col)
                     _emit(rec, j)
             else:
-                rec = {k: obj.at[start, k] for k in keys}
+                rec = {k: obj.at[s0, k] for k in keys}
                 for fn, var, col, alias in measures:
                     rec[alias] = _measure_val(fn, assign.get(var, []), col)
-                _emit(rec, i - 1)
-            start = i  # AFTER MATCH SKIP PAST LAST ROW
+                _emit(rec, end_i - 1)
+
+        # Context rows (kept only for PREV navigation) all sort before the
+        # match boundary; matching resumes after them.
+        n_ctx = int(pdf["__mrctx"].sum()) if has_ctx else 0
+        pending_from = None
+        if skip_next:
+            # SKIP TO NEXT ROW: every row is an attempt start; matches
+            # overlap. A completed start is tombstoned (__mrdone) so a
+            # retained suffix never re-emits it.
+            done = (
+                pdf["__mrdone"].fillna(False).tolist() if has_done else [False] * n
+            )
+            for s0 in range(n_ctx, n_proc):
+                if done[s0]:
+                    continue
+                r = try_from(s0, 0, [])
+                if r is None:
+                    continue
+                if r[0] == "pending":
+                    if pending_from is None:
+                        pending_from = s0
+                    continue
+                emit_match(s0, r[1], r[2])
+                done[s0] = True
+        else:
+            start = n_ctx
+            while start < n_proc:
+                r = try_from(start, 0, [])
+                if r is None:
+                    start += 1
+                    continue
+                if r[0] == "pending":
+                    pending_from = start
+                    break
+                emit_match(start, r[1], r[2])
+                start = r[1]  # AFTER MATCH SKIP PAST LAST ROW
         if pending_from is None:
             # No suspended attempt: keep only the not-yet-processed
             # (beyond-watermark) suffix.
@@ -497,6 +527,13 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
         keep_rec[KIND_COL] = 1
         if keep_rec["__keep_from"] is not None or keep_rec["__ctx_from"] is not None:
             out.append(keep_rec)
+            if skip_next and not process_all:
+                # Tombstone every completed start inside the retained
+                # suffix so the next invocation skips it.
+                for d in range(boundary, n_proc):
+                    if done[d]:
+                        rec = {k: obj.at[0, k] for k in keys}
+                        _emit(rec, d, kind=2)
         return pd.DataFrame(out, columns=out_names)
 
     grouped = (
@@ -548,6 +585,11 @@ def execute_match_recognize(ctx: StepContext, sql: str) -> StepResult:
         # PREV navigation needs a few already-consumed rows as lag
         # context; they carry a marker so matching never revisits them.
         incoming = incoming.withColumn("__mrctx", F.lit(False))
+    skip_next = spec.get("skip_mode") == "next"
+    if skip_next:
+        # SKIP TO NEXT ROW: completed attempt starts stay in the retained
+        # suffix (matches overlap) — the tombstone flag stops re-emission.
+        incoming = incoming.withColumn("__mrdone", F.lit(False))
 
     buffer_name = f"{ctx.step_key}-mr-buffer"
     if ctx.state.has_df(buffer_name):
@@ -593,6 +635,24 @@ def execute_match_recognize(ctx: StepContext, sql: str) -> StepResult:
         still_open = joined.filter(
             F.col("__keep_from").isNotNull() & lex_ge("__keep_ts", "__keep_from")
         ).select(*buf.columns)
+    if skip_next:
+        tombs = folded.filter(F.col(KIND_COL) == 2).select(
+            *[F.col(k).alias(f"__t_{k}") for k in keys],
+            F.col("__final_ts").alias("__t_ts"),
+            F.col("__final_seq").alias("__t_seq"),
+            F.lit(True).alias("__t_hit"),
+        )
+        tcond = (t == F.col("__t_ts")) & (F.col(SEQ_INPUT) == F.col("__t_seq"))
+        for k in keys:
+            tcond = tcond & F.col(k).eqNullSafe(F.col(f"__t_{k}"))
+        still_open = (
+            still_open.join(F.broadcast(tombs), tcond, "left")
+            .withColumn(
+                "__mrdone",
+                F.col("__mrdone") | F.coalesce(F.col("__t_hit"), F.lit(False)),
+            )
+            .select(*buf.columns)
+        )
     ctx.state.save_df(buffer_name, still_open)
 
     matches = folded.filter(F.col(KIND_COL) == 0).drop(*marker_cols, KIND_COL)

@@ -333,6 +333,42 @@ MATCH_RECOGNIZE (
     ]
 
 
+def test_skip_to_next_row_overlapping(spark, tmp_path):
+    """AFTER MATCH SKIP TO NEXT ROW: matches overlap (every row starts an
+    attempt); the retained suffix re-runs without duplicating emissions."""
+    query = """select * from tickers
+MATCH_RECOGNIZE (
+  PARTITION BY symbol
+  ORDER BY event_time
+  MEASURES A.event_time AS event_time, A.price AS p1, B.price AS p2
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (A B)
+  DEFINE A AS A.price < 100, B AS B.price < 100
+)"""
+    runner = TransformRunner(spark, tmp_path, queries=[(query, None)])
+    s1 = str(tmp_path / "in" / "s1.parquet")
+    ticker_slice(
+        s1,
+        [
+            (0, 0, ts(2), ts(1, 0, 1), "A", 10),
+            (1, 0, ts(2), ts(1, 0, 2), "A", 20),
+            (2, 0, ts(2), ts(1, 0, 3), "A", 30),
+        ],
+    )
+    resp, out = runner.run([_input(s1, ts(1, 0, 5))], system_time=ts(2))
+    rows = pq.read_table(out).to_pylist()
+    # Overlapping pairs — SKIP PAST LAST ROW would emit only (10, 20).
+    assert [(r["p1"], r["p2"]) for r in rows] == [(10, 20), (20, 30)]
+
+    # Run 2: the suspended attempt at 30 completes; nothing re-emits.
+    s2 = str(tmp_path / "in" / "s2.parquet")
+    ticker_slice(s2, [(3, 0, ts(3), ts(1, 0, 6), "A", 40)])
+    resp2, out2 = runner.run([_input(s2, ts(1, 0, 8))], system_time=ts(3))
+    rows2 = pq.read_table(out2).to_pylist()
+    assert [(r["p1"], r["p2"]) for r in rows2] == [(30, 40)]
+
+
 def test_match_recognize_parse_rules():
     # Quantified final elements are supported (greedy-tail suspension).
     spec = parse_match_recognize(
