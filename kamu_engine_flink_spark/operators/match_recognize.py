@@ -12,14 +12,14 @@ the classic CEP shapes ("A, then anything until C"):
     ORDER BY <rowtime>
     MEASURES <FIRST|LAST(V.col) | V.col | COUNT(V.*) |
               COUNT|SUM|MIN|MAX|AVG(V.col)> AS alias, ...
-    [ONE ROW PER MATCH]
-    [AFTER MATCH SKIP PAST LAST ROW]
+    [ONE ROW PER MATCH | ALL ROWS PER MATCH]
+    [AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW]
     PATTERN (V1 V2* V3? ... Vn)   -- quantifiers * + ? greedy (Flink's
                                   -- default), *? +? ?? reluctant;
                                   -- quantified tails suspend until
                                   -- resolved
     DEFINE V AS <predicate over V's own row, PREV(V.col [, n]) allowed>, ...
-  )
+  )  -- plus PATTERN (...) WITHIN INTERVAL 'n' UNIT time bounds
 
 Quantifier semantics are exact: the matcher explores branches in
 preference order (greedy consumes more first), and an attempt SUSPENDS —
@@ -38,10 +38,15 @@ ALL ROWS PER MATCH is supported with Flink's RUNNING measure semantics
 (one output row per matched row, aggregates over the match's rows so
 far, all input columns projected).
 
+WITHIN INTERVAL caps every attempt at start_ts + within; once the
+watermark passes that cap an incomplete attempt FAILS instead of
+suspending, so both suspension latency and retained state are bounded by
+the window — the property that makes CEP viable on unbounded streams.
+
 Restrictions vs full Flink (each raises InvalidQueryError): DEFINE
 predicates see only the current row and PREV of their own variable (no
 LAST/FIRST/NEXT navigation, no cross-variable references); AFTER MATCH
-modes other than SKIP PAST LAST ROW are out.
+SKIP TO FIRST/LAST(variable) modes are out.
 
 Spark-first derivation: DEFINE predicates compile to boolean columns
 evaluated JVM-side (whole-stage codegen) BEFORE the per-key fold, so the
@@ -82,11 +87,16 @@ _MEASURES_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _PATTERN_RE = re.compile(r"PATTERN\s*\(\s*(?P<pat>[^)]*)\)", re.IGNORECASE)
+_WITHIN_RE = re.compile(
+    r"WITHIN\s+INTERVAL\s+'(?P<n>\d+)'\s+(?P<unit>\w+)", re.IGNORECASE
+)
 _DEFINE_RE = re.compile(r"DEFINE\s+(?P<body>.*)$", re.IGNORECASE | re.DOTALL)
 _PAT_TOKEN_RE = re.compile(r"([A-Za-z_]\w*)\s*(\*\?|\+\?|\?\?|\*|\+|\?)?")
 _MEASURE_RE = re.compile(
-    r"^(?:(?P<fn>FIRST|LAST|COUNT|SUM|MIN|MAX|AVG)\s*\(\s*"
+    r"^(?:(?P<mode>RUNNING|FINAL)\s+)?"
+    r"(?:(?P<fn>FIRST|LAST|COUNT|SUM|MIN|MAX|AVG)\s*\(\s*"
     r"(?P<var1>[A-Za-z_]\w*)\.(?P<col1>[`\w]+|\*)\s*\)"
+    r"|(?P<special>CLASSIFIER|MATCH_NUMBER)\s*\(\s*\)"
     r"|(?P<var2>[A-Za-z_]\w*)\.(?P<col2>[`\w]+))\s+AS\s+(?P<alias>[`\w]+)$",
     re.IGNORECASE,
 )
@@ -147,14 +157,17 @@ def parse_match_recognize(sql: str):
                 f"MATCH_RECOGNIZE: unsupported measure {item!r} (supported: "
                 f"FIRST/LAST/COUNT/SUM/MIN/MAX/AVG(V.col), COUNT(V.*), V.col)"
             )
+        mode = (im.group("mode") or "").lower()
         if im.group("fn"):
             fn = im.group("fn").lower()
             var, col = im.group("var1"), im.group("col1").strip("`")
             if col == "*" and fn != "count":
                 raise InvalidQueryError(f"MATCH_RECOGNIZE: {fn}(V.*) is not valid")
+        elif im.group("special"):
+            fn, var, col = im.group("special").lower(), None, None
         else:
             fn, var, col = "last", im.group("var2"), im.group("col2").strip("`")
-        measures.append((fn, var, col, im.group("alias").strip("`")))
+        measures.append((fn, var, col, im.group("alias").strip("`"), mode))
     pat_m = _PATTERN_RE.search(body)
     if not pat_m:
         raise InvalidQueryError("MATCH_RECOGNIZE requires a PATTERN clause")
@@ -232,7 +245,17 @@ def parse_match_recognize(sql: str):
         "lags": sorted(lags),
         "all_rows": all_rows,
         "skip_mode": skip_mode,
+        "within": _parse_within(body),
     }
+
+
+def _parse_within(body: str):
+    m = _WITHIN_RE.search(body)
+    if not m:
+        return None
+    from ..plans.classify import interval_to_timedelta
+
+    return interval_to_timedelta(m.group("n"), m.group("unit"))
 
 
 def _measure_type(fn: str, col_type):
@@ -293,9 +316,18 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
 
     keys = spec["keys"]
     buf_types = {f.name: f.dataType for f in buf.schema.fields}
+    from pyspark.sql.types import StringType
+
     measure_fields = [
-        StructField(alias, _measure_type(fn, buf_types.get(col, LongType())))
-        for fn, var, col, alias in spec["measures"]
+        StructField(
+            alias,
+            StringType()
+            if fn == "classifier"
+            else LongType()
+            if fn == "match_number"
+            else _measure_type(fn, buf_types.get(col, LongType())),
+        )
+        for fn, var, col, alias, _mode in spec["measures"]
     ]
     all_rows = spec.get("all_rows", False)
     # ONE ROW PER MATCH: keys + measures. ALL ROWS PER MATCH: every input
@@ -314,6 +346,7 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
             StructField("__keep_ts", buf_types[time_col]),
             StructField("__ctx_from", LongType()),
             StructField("__ctx_ts", buf_types[time_col]),
+            StructField("__match_count", LongType()),
             StructField(KIND_COL, LongType()),
         ]
     )
@@ -325,6 +358,9 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
     has_ctx = "__mrctx" in buf.columns
     has_done = "__mrdone" in buf.columns
     skip_next = spec.get("skip_mode") == "next"
+    within = spec.get("within")
+    use_match_no = any(fn == "match_number" for fn, *_ in spec["measures"])
+    has_count = "__mrcount" in buf.columns
 
     def fold(pdf):
         import pandas as pd
@@ -334,25 +370,38 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
         )
         obj = pdf.astype(object).where(pd.notnull(pdf), None)
         n = len(pdf)
-        if process_all:
-            n_proc = n
-        elif wm_val is None:
-            n_proc = 0
-        else:
+        ts_series = pd.to_datetime(pdf[time_col])
+        wm_naive = None
+        if wm_val is not None:
             wm_naive = pd.Timestamp(wm_val)
-            ts_series = pd.to_datetime(pdf[time_col])
             if ts_series.dt.tz is not None and wm_naive.tz is None:
                 wm_naive = wm_naive.tz_localize(ts_series.dt.tz)
             elif ts_series.dt.tz is None and wm_naive.tz is not None:
                 wm_naive = wm_naive.tz_localize(None)
+        if process_all:
+            n_proc = n
+        elif wm_naive is None:
+            n_proc = 0
+        else:
             n_proc = int((ts_series <= wm_naive).sum())
         preds = {var: pdf[f"__p_{var}"].tolist() for var, *_ in elements}
 
         PENDING = ("pending",)
         # In bounded (batch) execution the end of input is FINAL: no
         # future row can extend a preferred branch, so boundary hits
-        # backtrack instead of suspending.
+        # backtrack instead of suspending. A WITHIN clause caps each
+        # attempt's row range at start_ts + within, and the cap becomes
+        # final once the watermark passes it — bounding both suspension
+        # time and retained state.
         final = process_all
+        att = {"n": n_proc, "final": final}
+
+        def set_attempt(s0):
+            if within is None:
+                return
+            wlimit = ts_series.iloc[s0] + within
+            att["n"] = min(n_proc, int(ts_series.searchsorted(wlimit, side="right")))
+            att["final"] = final or (wm_naive is not None and wm_naive >= wlimit)
 
         def try_from(i, ei, pairs):
             """Backtracking matcher in PREFERENCE order (greedy: consume
@@ -368,8 +417,8 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
             var, quant, greedy = elements[ei]
             p = preds[var]
             if quant == "one":
-                if i >= n_proc:
-                    return None if final else PENDING
+                if i >= att["n"]:
+                    return None if att["final"] else PENDING
                 if not p[i]:
                     return None
                 return try_from(i + 1, ei + 1, pairs + [(var, i)])
@@ -377,8 +426,8 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
                 branches = ("take", "skip") if greedy else ("skip", "take")
                 for b in branches:
                     if b == "take":
-                        if i >= n_proc:
-                            if not final:
+                        if i >= att["n"]:
+                            if not att["final"]:
                                 return PENDING
                             continue  # no row to take; other branches only
                         if p[i]:
@@ -392,15 +441,15 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
                 return None
             # star / plus: maximal run of var-satisfying rows from i.
             j = i
-            while j < n_proc and p[j]:
+            while j < att["n"] and p[j]:
                 j += 1
-            hit_boundary = j >= n_proc
+            hit_boundary = j >= att["n"]
             min_take = 1 if quant == "plus" else 0
             run_len = j - i
             if run_len < min_take:
-                return PENDING if (hit_boundary and not final) else None
+                return PENDING if (hit_boundary and not att["final"]) else None
             if greedy:
-                if hit_boundary and not final:
+                if hit_boundary and not att["final"]:
                     return PENDING  # preferred branch wants more rows
                 ks = range(run_len, min_take - 1, -1)
             else:
@@ -413,7 +462,7 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
                     return r
             # Reluctant exhausted every processed length; with an open
             # boundary a longer run could still admit a match.
-            return PENDING if (not greedy and hit_boundary and not final) else None
+            return PENDING if (not greedy and hit_boundary and not att["final"]) else None
 
         out = []
 
@@ -445,22 +494,43 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
             rec[KIND_COL] = kind
             out.append(rec)
 
+        base_count = (
+            int(pdf["__mrcount"].iloc[0]) if has_count and n else 0
+        )
+        match_no = [base_count]
+
         def emit_match(s0, end_i, pairs):
+            match_no[0] += 1
             assign: dict[str, list[int]] = {}
+            var_of: dict[int, str] = {}
             for var, idx in pairs:
                 assign.setdefault(var, []).append(idx)
+                var_of[idx] = var
             if all_rows:
-                # One output row per matched row, RUNNING measures.
+                # One output row per matched row; RUNNING measures by
+                # default, FINAL on request (SQL:2016 semantics).
                 for j in range(s0, end_i):
                     rec = {c: obj.at[j, c] for c in data_cols}
-                    for fn, var, col, alias in measures:
-                        idxs = [x for x in assign.get(var, []) if x <= j]
-                        rec[alias] = _measure_val(fn, idxs, col)
+                    for fn, var, col, alias, mode in measures:
+                        if fn == "classifier":
+                            rec[alias] = var_of.get(j)
+                        elif fn == "match_number":
+                            rec[alias] = match_no[0]
+                        else:
+                            idxs = assign.get(var, [])
+                            if mode != "final":
+                                idxs = [x for x in idxs if x <= j]
+                            rec[alias] = _measure_val(fn, idxs, col)
                     _emit(rec, j)
             else:
                 rec = {k: obj.at[s0, k] for k in keys}
-                for fn, var, col, alias in measures:
-                    rec[alias] = _measure_val(fn, assign.get(var, []), col)
+                for fn, var, col, alias, _mode in measures:
+                    if fn == "classifier":
+                        rec[alias] = var_of.get(end_i - 1)
+                    elif fn == "match_number":
+                        rec[alias] = match_no[0]
+                    else:
+                        rec[alias] = _measure_val(fn, assign.get(var, []), col)
                 _emit(rec, end_i - 1)
 
         # Context rows (kept only for PREV navigation) all sort before the
@@ -477,6 +547,7 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
             for s0 in range(n_ctx, n_proc):
                 if done[s0]:
                     continue
+                set_attempt(s0)
                 r = try_from(s0, 0, [])
                 if r is None:
                     continue
@@ -489,6 +560,7 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
         else:
             start = n_ctx
             while start < n_proc:
+                set_attempt(start)
                 r = try_from(start, 0, [])
                 if r is None:
                     start += 1
@@ -507,7 +579,8 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
         # next slice's first row when nothing is pending).
         boundary = pending_from if pending_from is not None else n
         ctx_idx = max(0, boundary - max_lag) if max_lag else boundary
-        if pending_from is None and ctx_idx >= n:
+        counts_changed = use_match_no and match_no[0] != base_count
+        if pending_from is None and ctx_idx >= n and not counts_changed:
             return pd.DataFrame(out, columns=out_names)
         keep_rec: dict[str, Any] = {k: obj.at[0, k] if n else None for k in keys}
         for f in measure_fields:
@@ -524,8 +597,13 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
             keep_rec["__ctx_ts"] = obj.at[ctx_idx, time_col]
         else:
             keep_rec["__ctx_from"] = keep_rec["__ctx_ts"] = None
+        keep_rec["__match_count"] = match_no[0] if use_match_no else None
         keep_rec[KIND_COL] = 1
-        if keep_rec["__keep_from"] is not None or keep_rec["__ctx_from"] is not None:
+        if (
+            keep_rec["__keep_from"] is not None
+            or keep_rec["__ctx_from"] is not None
+            or counts_changed
+        ):
             out.append(keep_rec)
             if skip_next and not process_all:
                 # Tombstone every completed start inside the retained
@@ -554,8 +632,8 @@ def match_recognize_batch(spark, df, sql: str):
         raise InvalidQueryError("MATCH_RECOGNIZE requires a __seq total-order column")
     folded = _fold_matches(df, spec, wm_val=None, process_all=True)
     matches = folded.filter(F.col(KIND_COL) == 0).drop(
-        "__keep_from", "__keep_ts", "__ctx_from", "__ctx_ts", KIND_COL,
-        "__final_ts", "__final_seq",
+        "__keep_from", "__keep_ts", "__ctx_from", "__ctx_ts", "__match_count",
+        KIND_COL, "__final_ts", "__final_seq",
     )
     if spec["proj"] != "*":
         view_name = "__mr_batch"
@@ -600,7 +678,45 @@ def execute_match_recognize(ctx: StepContext, sql: str) -> StepResult:
 
     keys = spec["keys"]
     measures = spec["measures"]
-    folded = ctx.pin(_fold_matches(buf, spec, wm_val=new_wm))
+    use_match_no = any(fn == "match_number" for fn, *_ in measures)
+    fold_input = buf
+    counts_name = f"{ctx.step_key}-mr-counts"
+    if use_match_no:
+        # MATCH_NUMBER() is a per-partition ordinal over the stream's
+        # lifetime — a tiny per-key counter state joined in as a column.
+        from pyspark.sql.types import StructField as _SF
+        from pyspark.sql.types import StructType as _ST
+
+        buf_types = {f.name: f.dataType for f in buf.schema.fields}
+        counts_schema = _ST(
+            [_SF(k, buf_types[k]) for k in keys]
+            + [_SF("__mrcount", LongType())]
+        )
+        old_counts = ctx.state.load_df(counts_name, schema=counts_schema)
+        if keys:
+            fold_input = buf.join(F.broadcast(old_counts), keys, "left")
+        else:
+            fold_input = buf.crossJoin(
+                F.broadcast(old_counts.limit(1))
+            ) if old_counts.take(1) else buf.withColumn(
+                "__mrcount", F.lit(None).cast("long")
+            )
+        fold_input = fold_input.withColumn(
+            "__mrcount", F.coalesce(F.col("__mrcount"), F.lit(0))
+        )
+    folded = ctx.pin(_fold_matches(fold_input, spec, wm_val=new_wm))
+    if use_match_no:
+        new_counts = folded.filter(
+            (F.col(KIND_COL) == 1) & F.col("__match_count").isNotNull()
+        ).select(*keys, F.col("__match_count").alias("__mrcount"))
+        if keys:
+            merged_counts = new_counts.unionByName(
+                old_counts.join(new_counts, keys, "left_anti")
+            )
+        else:
+            # Single global key: the new marker (if any) supersedes.
+            merged_counts = new_counts if new_counts.take(1) else old_counts
+        ctx.state.save_df(counts_name, merged_counts)
 
     # State: per key, the suffix from the first row still in play (plus
     # max_lag context rows below it when PREV is used). Boundaries are

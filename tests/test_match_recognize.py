@@ -369,6 +369,104 @@ MATCH_RECOGNIZE (
     assert [(r["p1"], r["p2"]) for r in rows2] == [(30, 40)]
 
 
+def test_within_bounds_suspension(spark, tmp_path):
+    """WITHIN INTERVAL: an attempt that cannot complete inside the time
+    bound FAILS once the watermark passes start + within (instead of
+    suspending forever), so a late spike no longer matches an expired dip
+    — and state stays bounded by the window."""
+    query = """select * from tickers
+MATCH_RECOGNIZE (
+  PARTITION BY symbol
+  ORDER BY event_time
+  MEASURES A.event_time AS event_time, A.price AS dip, C.price AS spike
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (A B* C) WITHIN INTERVAL '2' MINUTE
+  DEFINE A AS A.price < 10, B AS B.price >= 10 AND B.price < 100, C AS C.price >= 100
+)"""
+    runner = TransformRunner(spark, tmp_path, queries=[(query, None)])
+    s1 = str(tmp_path / "in" / "s1.parquet")
+    ticker_slice(
+        s1,
+        [
+            (0, 0, ts(2), ts(1, 0, 1), "A", 5),  # dip; window closes 00:03
+            (1, 0, ts(2), ts(1, 0, 2), "A", 20),
+        ],
+    )
+    import os
+
+    resp, out = runner.run([_input(s1, ts(1, 0, 5))], system_time=ts(2))
+    # Watermark passed 00:03: the attempt expired — nothing pending.
+    assert resp.new_offset_interval is None and not os.path.exists(out)
+
+    s2 = str(tmp_path / "in" / "s2.parquet")
+    ticker_slice(
+        s2,
+        [
+            (2, 0, ts(3), ts(1, 0, 6), "A", 150),  # spike: dip expired, no match
+            (3, 0, ts(3), ts(1, 0, 7), "A", 7),  # fresh dip
+            (4, 0, ts(3), ts(1, 0, 8), "A", 120),  # spike within 2 min
+        ],
+    )
+    resp2, out2 = runner.run([_input(s2, ts(1, 0, 12))], system_time=ts(3))
+    rows = pq.read_table(out2).to_pylist()
+    assert [(r["dip"], r["spike"]) for r in rows] == [(7, 120)]
+
+
+def test_classifier_match_number_final(spark, tmp_path):
+    """CLASSIFIER() / MATCH_NUMBER() / FINAL-mode measures; the match
+    ordinal is a per-key counter persisted across invocations."""
+    query = """select * from tickers
+MATCH_RECOGNIZE (
+  PARTITION BY symbol
+  ORDER BY event_time
+  MEASURES
+    CLASSIFIER() AS cls,
+    MATCH_NUMBER() AS mn,
+    FINAL COUNT(B.*) AS total_b,
+    COUNT(B.*) AS running_b
+  ALL ROWS PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (A B* C)
+  DEFINE A AS A.price < 10, B AS B.price >= 10 AND B.price < 100, C AS C.price >= 100
+)"""
+    runner = TransformRunner(spark, tmp_path, queries=[(query, None)])
+    s1 = str(tmp_path / "in" / "s1.parquet")
+    ticker_slice(
+        s1,
+        [
+            (0, 0, ts(2), ts(1, 0, 1), "A", 5),
+            (1, 0, ts(2), ts(1, 0, 2), "A", 20),
+            (2, 0, ts(2), ts(1, 0, 3), "A", 120),
+        ],
+    )
+    resp, out = runner.run([_input(s1, ts(1, 0, 5))], system_time=ts(2))
+    rows = pq.read_table(out).to_pylist()
+    assert [
+        (r["price"], r["cls"], r["mn"], r["total_b"], r["running_b"]) for r in rows
+    ] == [
+        (5, "A", 1, 1, 0),
+        (20, "B", 1, 1, 1),
+        (120, "C", 1, 1, 1),
+    ]
+
+    # Second match in a later invocation continues the ordinal.
+    s2 = str(tmp_path / "in" / "s2.parquet")
+    ticker_slice(
+        s2,
+        [
+            (3, 0, ts(3), ts(1, 0, 6), "A", 7),
+            (4, 0, ts(3), ts(1, 0, 7), "A", 130),
+        ],
+    )
+    resp2, out2 = runner.run([_input(s2, ts(1, 0, 9))], system_time=ts(3))
+    rows2 = pq.read_table(out2).to_pylist()
+    assert [(r["price"], r["cls"], r["mn"]) for r in rows2] == [
+        (7, "A", 2),
+        (130, "C", 2),
+    ]
+
+
 def test_match_recognize_parse_rules():
     # Quantified final elements are supported (greedy-tail suspension).
     spec = parse_match_recognize(
