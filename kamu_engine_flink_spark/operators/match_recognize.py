@@ -275,6 +275,78 @@ def _measure_type(fn: str, col_type):
     return col_type
 
 
+PENDING = ("pending",)
+
+
+def try_match(preds, elements, att, i, ei, pairs):
+    """Backtracking matcher in PREFERENCE order (greedy: consume more
+    first; reluctant: less first). Returns ("match", end_i, pairs),
+    PENDING, or None. Preference-order exploration makes the online rule
+    exact: the first branch that either completes (emit now) or hits the
+    processed-rows boundary while viable (suspend — a preferred longer
+    match may complete with future rows) decides the attempt. `att` is
+    the per-attempt limit {"n": processed-rows bound, "final": bool} —
+    final means the bound cannot move (bounded input, or a WITHIN window
+    the watermark already closed), so boundary hits backtrack instead of
+    suspending. Recursion depth = pattern length; quantifier runs
+    iterate. Shared by the micro-batch fold and the always-on streaming
+    operator (streaming/structured.py)."""
+    if ei == len(elements):
+        return ("match", i, pairs)
+    var, quant, greedy = elements[ei]
+    p = preds[var]
+    if quant == "one":
+        if i >= att["n"]:
+            return None if att["final"] else PENDING
+        if not p[i]:
+            return None
+        return try_match(preds, elements, att, i + 1, ei + 1, pairs + [(var, i)])
+    if quant == "opt":
+        branches = ("take", "skip") if greedy else ("skip", "take")
+        for b in branches:
+            if b == "take":
+                if i >= att["n"]:
+                    if not att["final"]:
+                        return PENDING
+                    continue  # no row to take; other branches only
+                if p[i]:
+                    r = try_match(
+                        preds, elements, att, i + 1, ei + 1, pairs + [(var, i)]
+                    )
+                    if r:
+                        return r
+            else:
+                r = try_match(preds, elements, att, i, ei + 1, pairs)
+                if r:
+                    return r
+        return None
+    # star / plus: maximal run of var-satisfying rows from i.
+    j = i
+    while j < att["n"] and p[j]:
+        j += 1
+    hit_boundary = j >= att["n"]
+    min_take = 1 if quant == "plus" else 0
+    run_len = j - i
+    if run_len < min_take:
+        return PENDING if (hit_boundary and not att["final"]) else None
+    if greedy:
+        if hit_boundary and not att["final"]:
+            return PENDING  # preferred branch wants more rows
+        ks = range(run_len, min_take - 1, -1)
+    else:
+        ks = range(min_take, run_len + 1)
+    for k in ks:
+        r = try_match(
+            preds, elements, att, i + k, ei + 1,
+            pairs + [(var, idx) for idx in range(i, i + k)],
+        )
+        if r:
+            return r
+    # Reluctant exhausted every processed length; with an open boundary a
+    # longer run could still admit a match.
+    return PENDING if (not greedy and hit_boundary and not att["final"]) else None
+
+
 def _fold_matches(buf, spec, wm_val, process_all=False):
     """Build the per-key matcher fold over `buf` (which must carry the
     SEQ_INPUT total-order column) and return the folded DataFrame:
@@ -386,7 +458,6 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
             n_proc = int((ts_series <= wm_naive).sum())
         preds = {var: pdf[f"__p_{var}"].tolist() for var, *_ in elements}
 
-        PENDING = ("pending",)
         # In bounded (batch) execution the end of input is FINAL: no
         # future row can extend a preferred branch, so boundary hits
         # backtrack instead of suspending. A WITHIN clause caps each
@@ -404,65 +475,7 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
             att["final"] = final or (wm_naive is not None and wm_naive >= wlimit)
 
         def try_from(i, ei, pairs):
-            """Backtracking matcher in PREFERENCE order (greedy: consume
-            more first; reluctant: less first). Returns ("match", end_i,
-            pairs), PENDING, or None. Preference-order exploration makes
-            the online rule exact: the first branch that either completes
-            (emit now) or hits the processed-rows boundary while viable
-            (suspend — a preferred longer match may complete with future
-            rows) decides the attempt. Recursion depth = pattern length;
-            quantifier runs iterate."""
-            if ei == n_elem:
-                return ("match", i, pairs)
-            var, quant, greedy = elements[ei]
-            p = preds[var]
-            if quant == "one":
-                if i >= att["n"]:
-                    return None if att["final"] else PENDING
-                if not p[i]:
-                    return None
-                return try_from(i + 1, ei + 1, pairs + [(var, i)])
-            if quant == "opt":
-                branches = ("take", "skip") if greedy else ("skip", "take")
-                for b in branches:
-                    if b == "take":
-                        if i >= att["n"]:
-                            if not att["final"]:
-                                return PENDING
-                            continue  # no row to take; other branches only
-                        if p[i]:
-                            r = try_from(i + 1, ei + 1, pairs + [(var, i)])
-                            if r:
-                                return r
-                    else:
-                        r = try_from(i, ei + 1, pairs)
-                        if r:
-                            return r
-                return None
-            # star / plus: maximal run of var-satisfying rows from i.
-            j = i
-            while j < att["n"] and p[j]:
-                j += 1
-            hit_boundary = j >= att["n"]
-            min_take = 1 if quant == "plus" else 0
-            run_len = j - i
-            if run_len < min_take:
-                return PENDING if (hit_boundary and not att["final"]) else None
-            if greedy:
-                if hit_boundary and not att["final"]:
-                    return PENDING  # preferred branch wants more rows
-                ks = range(run_len, min_take - 1, -1)
-            else:
-                ks = range(min_take, run_len + 1)
-            for k in ks:
-                r = try_from(
-                    i + k, ei + 1, pairs + [(var, idx) for idx in range(i, i + k)]
-                )
-                if r:
-                    return r
-            # Reluctant exhausted every processed length; with an open
-            # boundary a longer run could still admit a match.
-            return PENDING if (not greedy and hit_boundary and not att["final"]) else None
+            return try_match(preds, elements, att, i, ei, pairs)
 
         out = []
 

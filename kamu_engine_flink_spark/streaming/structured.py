@@ -664,3 +664,188 @@ class StreamingOverAgg:
 
     def run_available_now(self, spark: SparkSession) -> None:
         _run_available_now(self._plan(spark), self.checkpoint_dir, self.output_dir)
+
+
+_CEP_OUTPUT = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("start_ts", LongType()),  # epoch micros
+        StructField("end_ts", LongType()),
+        StructField("n_rows", LongType()),
+    ]
+)
+_CEP_STATE = StructType(
+    [
+        StructField("ts_us", ArrayType(LongType())),
+        StructField("seqs", ArrayType(LongType())),
+        StructField("masks", ArrayType(LongType())),  # bit i = pred of var i
+        StructField("next_seq", LongType()),
+        StructField("wm_floor_us", LongType()),  # lateness floor
+    ]
+)
+
+
+def _cep_fn(elements, within_us):
+    """Per-key online CEP kernel reusing the micro-batch engine's exact
+    matcher (operators/match_recognize.try_match): greedy/reluctant
+    preference order, boundary suspension, WITHIN-bounded attempts.
+    State = the suffix of rows still in play (ts, arrival seq, predicate
+    bitmask); AFTER MATCH SKIP PAST LAST ROW."""
+    var_order = [v for v, _q, _g in elements]
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        from kamu_engine_flink_spark.operators.match_recognize import try_match
+
+        if state.exists:
+            ts_l, seq_l, mask_l, next_seq, wm_floor = state.get
+            rows = list(zip(ts_l, seq_l, mask_l))
+        else:
+            rows, next_seq, wm_floor = [], 0, None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ts_us = (pdf["__ts"].astype("int64") // 1000).tolist()
+            masks = [0] * len(pdf)
+            for bit, var in enumerate(var_order):
+                col = pdf[f"__p_{var}"].fillna(False).tolist()
+                for i, v in enumerate(col):
+                    if v:
+                        masks[i] |= 1 << bit
+            for t, mk in zip(ts_us, masks):
+                if wm_floor is not None and t <= wm_floor:
+                    continue  # late: the region below the floor already ran
+                rows.append((t, next_seq, mk))
+                next_seq += 1
+        rows.sort(key=lambda r: (r[0], r[1]))
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        n = len(rows)
+        n_proc = sum(1 for t, _s, _m in rows if t <= wm_us)
+        preds = {
+            var: [bool(m & (1 << bit)) for _t, _s, m in rows]
+            for bit, var in enumerate(var_order)
+        }
+        att = {"n": n_proc, "final": False}
+        out = []
+        start = 0
+        pending_from = None
+        while start < n_proc:
+            if within_us is not None:
+                wlimit = rows[start][0] + within_us
+                k = start
+                while k < n_proc and rows[k][0] <= wlimit:
+                    k += 1
+                att["n"] = k
+                att["final"] = wm_us >= wlimit
+            r = try_match(preds, elements, att, start, 0, [])
+            if r is None:
+                start += 1
+                continue
+            if r[0] == "pending":
+                pending_from = start
+                break
+            _, end_i, _pairs = r
+            out.append((key[0], rows[start][0], rows[end_i - 1][0], end_i - start))
+            start = end_i
+        boundary = pending_from if pending_from is not None else n_proc
+        keep = rows[boundary:]
+        state.update(
+            (
+                [t for t, _s, _m in keep],
+                [s for _t, s, _m in keep],
+                [m for _t, _s, m in keep],
+                next_seq,
+                max(wm_floor or 0, wm_us),
+            )
+        )
+        if out:
+            yield pd.DataFrame(out, columns=["key", "start_ts", "end_ts", "n_rows"])
+
+    return fn
+
+
+@dataclass
+class StreamingMatchRecognize:
+    """Always-on CEP (MATCH_RECOGNIZE core) as a CUSTOM STATEFUL OPERATOR
+    on applyInPandasWithState — the data-derived-watermark twin of the
+    micro-batch executor (operators/match_recognize.py), sharing its
+    matcher. DEFINE predicates are SQL expressions compiled to JVM
+    boolean columns before the state fn; pattern quantifiers and WITHIN
+    behave identically. Emits one row per match: key, start/end rowtime,
+    matched-row count.
+
+    Scale shape: state shards by key and holds only the suffix from the
+    earliest suspended attempt (bounded by WITHIN when given)."""
+
+    input_dir: str
+    checkpoint_dir: str
+    output_dir: str
+    pattern: str = "A B* C"
+    defines: dict = field(default_factory=dict)  # var -> SQL predicate
+    within: str | None = None  # e.g. "2 minutes"
+    event_time_col: str = "event_time"
+    partition_col: str | None = None
+    watermark_delay: str = "1 minute"
+    schema: StructType | None = None
+
+    def _elements(self):
+        from kamu_engine_flink_spark.operators.match_recognize import (
+            _PAT_TOKEN_RE,
+        )
+
+        quant_map = {
+            "": ("one", True), "?": ("opt", True), "??": ("opt", False),
+            "*": ("star", True), "*?": ("star", False),
+            "+": ("plus", True), "+?": ("plus", False),
+        }
+        out = []
+        for var, quant in _PAT_TOKEN_RE.findall(self.pattern):
+            if var:
+                q, greedy = quant_map[quant or ""]
+                out.append((var, q, greedy))
+        return out
+
+    def _plan(self, spark: SparkSession) -> DataFrame:
+        elements = self._elements()
+        within_us = None
+        if self.within:
+            n, unit = self.within.split()
+            secs = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+                    "hour": 3600, "hours": 3600}[unit]
+            within_us = int(n) * secs * 1_000_000
+        stream = _file_stream(spark, self.input_dir, self.schema)
+        scope = (
+            F.col(self.partition_col).cast("string")
+            if self.partition_col
+            else F.lit("__global__")
+        )
+        cols = [
+            scope.alias("__scope"),
+            F.col(self.event_time_col).alias("__ts"),
+        ]
+        for var, _q, _g in elements:
+            pred = self.defines.get(var)
+            cols.append(
+                (F.coalesce(F.expr(pred), F.lit(False)) if pred else F.lit(True))
+                .alias(f"__p_{var}")
+            )
+        rows = stream.withWatermark(self.event_time_col, self.watermark_delay).select(
+            *cols
+        )
+        out = rows.groupBy("__scope").applyInPandasWithState(
+            _cep_fn(elements, within_us),
+            outputStructType=_CEP_OUTPUT,
+            stateStructType=_CEP_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        return out.select(
+            "key",
+            F.timestamp_micros(F.col("start_ts")).alias("start_time"),
+            F.timestamp_micros(F.col("end_ts")).alias("end_time"),
+            "n_rows",
+        )
+
+    def run_available_now(self, spark: SparkSession) -> None:
+        _run_available_now(self._plan(spark), self.checkpoint_dir, self.output_dir)

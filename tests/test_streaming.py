@@ -601,3 +601,52 @@ def test_streaming_over_agg_rolling_frame(spark, dirs):
     assert sorted(set(out3) - set(out)) == [
         ("A", ts(1, 0, 4), 40.0, 60.0, 2),
     ]
+
+
+def test_streaming_match_recognize_cross_run(spark, dirs):
+    """Always-on CEP: a dip->spike pattern suspended in run 1 (greedy mid
+    quantifier at the watermark boundary) resolves in run 2 with state
+    carried in the stream checkpoint — same matcher as the micro-batch
+    executor."""
+    from datetime import timezone
+
+    from kamu_engine_flink_spark.streaming.structured import StreamingMatchRecognize
+
+    job = StreamingMatchRecognize(
+        input_dir=dirs["in"],
+        checkpoint_dir=dirs["chk"],
+        output_dir=dirs["out"],
+        pattern="A B* C",
+        defines={
+            "A": "value < 10",
+            "B": "value >= 10 AND value < 100",
+            "C": "value >= 100",
+        },
+        partition_col="symbol",
+        watermark_delay="1 minute",
+        event_time_col="event_time",
+    )
+    _overagg_slice(
+        os.path.join(dirs["in"], "s1.parquet"),
+        [("X", ts(1, 0, 1), 5.0), ("X", ts(1, 0, 2), 20.0), ("X", ts(1, 0, 3), 120.0)],
+    )
+    job.run_available_now(spark)  # watermark at zero: everything buffers
+
+    _overagg_slice(os.path.join(dirs["in"], "s2.parquet"), [("X", ts(1, 0, 9), 1.0)])
+    job.run_available_now(spark)
+    # Watermark = 00:03 - 1min = 00:02: only rows <= 00:02 processed; the
+    # attempt is pending (needs C) -> still nothing.
+    _overagg_slice(os.path.join(dirs["in"], "s3.parquet"), [("X", ts(1, 0, 15), 2.0)])
+    job.run_available_now(spark)
+    # Watermark = 00:09 - 1min = 00:08: the 120 row processes; pattern
+    # completes 5 -> [20] -> 120.
+    out = [
+        (
+            r.key,
+            r.start_time.replace(tzinfo=timezone.utc),
+            r.end_time.replace(tzinfo=timezone.utc),
+            r.n_rows,
+        )
+        for r in spark.read.parquet(dirs["out"]).collect()
+    ]
+    assert out == [("X", ts(1, 0, 1), ts(1, 0, 3), 3)]
