@@ -467,6 +467,65 @@ MATCH_RECOGNIZE (
     ]
 
 
+def test_chained_match_into_window_agg(spark, tmp_path):
+    """Cross-operator chaining: a MATCH_RECOGNIZE step aliased as a view
+    feeds a stateful TUMBLE aggregation — both steps keep independent
+    cross-invocation state, and the window closes over matches whose
+    resolution arrived in a later run."""
+    step1 = (
+        """select * from tickers
+MATCH_RECOGNIZE (
+  PARTITION BY symbol
+  ORDER BY event_time
+  MEASURES LAST(C.event_time) AS event_time, A.price AS dip, C.price AS spike
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (A B* C)
+  DEFINE A AS A.price < 10, B AS B.price >= 10 AND B.price < 100, C AS C.price >= 100
+)""",
+        "dips",
+    )
+    step2 = (
+        """SELECT
+  TUMBLE_START(event_time, INTERVAL '10' MINUTE) as event_time,
+  count(*) as n_matches,
+  min(dip) as min_dip
+FROM dips GROUP BY TUMBLE(event_time, INTERVAL '10' MINUTE)""",
+        None,
+    )
+    runner = TransformRunner(spark, tmp_path, queries=[step1, step2])
+    s1 = str(tmp_path / "in" / "s1.parquet")
+    ticker_slice(
+        s1,
+        [
+            (0, 0, ts(2), ts(1, 0, 1), "A", 5),
+            (1, 0, ts(2), ts(1, 0, 2), "A", 120),  # match 1 ends 00:02
+            (2, 0, ts(2), ts(1, 0, 3), "A", 7),  # pending dip
+        ],
+    )
+    import os
+
+    # Run 1: one match found, but its window [00:00, 00:10) is still open.
+    resp, out = runner.run([_input(s1, ts(1, 0, 5))], system_time=ts(2))
+    assert resp.new_offset_interval is None and not os.path.exists(out)
+
+    s2 = str(tmp_path / "in" / "s2.parquet")
+    ticker_slice(
+        s2,
+        [
+            (3, 0, ts(3), ts(1, 0, 6), "A", 150),  # resolves match 2 (7 -> 150)
+            (4, 0, ts(3), ts(1, 0, 15), "A", 4),
+        ],
+    )
+    # Run 2: watermark passes 00:10 -> the window emits BOTH matches.
+    resp2, out2 = runner.run([_input(s2, ts(1, 0, 12))], system_time=ts(3))
+    rows = pq.read_table(out2).to_pylist()
+    assert [
+        (r["event_time"].replace(tzinfo=timezone.utc), r["n_matches"], r["min_dip"])
+        for r in rows
+    ] == [(ts(1, 0, 0), 2, 5)]
+
+
 def test_match_recognize_parse_rules():
     # Quantified final elements are supported (greedy-tail suspension).
     spec = parse_match_recognize(
