@@ -15,6 +15,8 @@ import re
 from dataclasses import dataclass, field
 from datetime import timedelta
 
+from ..protocol.model import InvalidQueryError
+
 MAP = "map"
 DISTINCT = "distinct"
 WINDOW_AGG = "window_agg"
@@ -408,7 +410,7 @@ def parse_cumulate(sql: str) -> CumulateSpec | None:
     step = interval_to_timedelta(step_n, step_u)
     size = interval_to_timedelta(size_n, size_u)
     if step.total_seconds() <= 0 or size.total_seconds() % step.total_seconds() != 0:
-        raise ValueError(
+        raise InvalidQueryError(
             f"CUMULATE size must be a positive multiple of step, got "
             f"step={step_n} {step_u}, size={size_n} {size_u}"
         )
@@ -505,7 +507,7 @@ def parse_over_agg(sql: str) -> OverAggSpec | None:
     first = matches[0].group(0)
     if any(m.group(0) != first for m in matches[1:]):
         # Flink requires all over windows of one SELECT to be identical.
-        raise ValueError(
+        raise InvalidQueryError(
             "all OVER windows in one SELECT must share an identical spec"
         )
     m = matches[0]
