@@ -31,7 +31,7 @@ from ..protocol.model import InvalidQueryError
 from .base import StepContext, StepResult, min_watermark
 
 _MATCHED = "__matched"
-_LEFT_JOIN_RE = re.compile(r"\bLEFT\s+(OUTER\s+)?JOIN\b", re.IGNORECASE)
+_OUTER_JOIN_RE = re.compile(r"\b(?:LEFT|RIGHT|FULL)\s+(?:OUTER\s+)?JOIN\b", re.IGNORECASE)
 
 
 def _run_with_views(ctx: StepContext, sql: str, bindings: dict[str, DataFrame], wm) -> DataFrame:
@@ -56,13 +56,15 @@ def execute_interval_join(ctx: StepContext, sql: str) -> StepResult:
     new_left = ctx.views[lv].withColumn(_MATCHED, F.lit(False))
     old_left = ctx.state.load_df(left_state, schema=new_left.schema)
     new_right = ctx.views[rv]
+    if spec.is_right_outer:
+        new_right = new_right.withColumn(_MATCHED, F.lit(False))
     old_right = ctx.state.load_df(right_state, schema=new_right.schema)
     # Each side's union feeds several join branches plus the state save —
     # pin so every consumer reads one cached copy, not the slices again.
     all_left = ctx.pin(old_left.unionByName(new_left))
     all_right = ctx.pin(old_right.unionByName(new_right))
 
-    inner_sql = _LEFT_JOIN_RE.sub("JOIN", sql)
+    inner_sql = _OUTER_JOIN_RE.sub("JOIN", sql)
     # BOTH watermarks must exist for a joint one (Flink's two-input rule:
     # an input with no watermark holds the combined watermark at
     # MIN_VALUE). Collapsing to the present side would publish an output
@@ -73,10 +75,15 @@ def execute_interval_join(ctx: StepContext, sql: str) -> StepResult:
         min_watermark(wm_l, wm_r) if wm_l is not None and wm_r is not None else None
     )
     # New matched pairs: at least one side arrived this invocation.
+    def _r(df):
+        return df.drop(_MATCHED) if spec.is_right_outer else df
+
     matches = _run_with_views(
-        ctx, inner_sql, {lv: new_left.drop(_MATCHED), rv: all_right}, joint_wm
+        ctx, inner_sql, {lv: new_left.drop(_MATCHED), rv: _r(all_right)}, joint_wm
     ).unionByName(
-        _run_with_views(ctx, inner_sql, {lv: old_left.drop(_MATCHED), rv: new_right}, joint_wm)
+        _run_with_views(
+            ctx, inner_sql, {lv: old_left.drop(_MATCHED), rv: _r(new_right)}, joint_wm
+        )
     )
 
     # Update matched flags: a left row is matched if any right row (old or
@@ -89,14 +96,14 @@ def execute_interval_join(ctx: StepContext, sql: str) -> StepResult:
         matched_now = (
             all_left.drop(_MATCHED)
             .alias(spec.left_alias)
-            .join(all_right.alias(spec.right_alias), cond, "left_semi")
+            .join(_r(all_right).alias(spec.right_alias), cond, "left_semi")
             .withColumn(_MATCHED, F.lit(True))
         )
         # Rows with no match among the CURRENT buffers keep their old flag:
         # a row matched in a previous run stays matched even after its
         # partner was purged from the right buffer.
         not_matching_now = all_left.alias(spec.left_alias).join(
-            all_right.alias(spec.right_alias), cond, "left_anti"
+            _r(all_right).alias(spec.right_alias), cond, "left_anti"
         )
         # NOT pinned even though the state save and the pad emission both
         # consume it: materializing the flag joins eagerly serializes two
@@ -117,9 +124,39 @@ def execute_interval_join(ctx: StepContext, sql: str) -> StepResult:
             else F.lit(False)
         )
         pad_lefts = flagged_left.filter(~F.col(_MATCHED)).filter(horizon_passed).drop(_MATCHED)
-        empty_right = all_right.limit(0)
+        empty_right = _r(all_right).limit(0)
         padded = _run_with_views(ctx, sql, {lv: pad_lefts, rv: empty_right}, joint_wm)
         emit_parts.append(padded)
+
+    # RIGHT/FULL: NULL-pad right rows whose match horizon passed — a right
+    # row r matches lefts with l.et in [r.et - upper, r.et - lower]; once
+    # wm_l proves no such left can still arrive (wm_l > r.et - lower), r
+    # is final. Pad exactly at purge time, so each right row pads once.
+    if spec.is_right_outer:
+        rcond = F.expr(spec.on_condition)
+        r_matched_now = (
+            all_right.drop(_MATCHED)
+            .alias(spec.right_alias)
+            .join(all_left.drop(_MATCHED).alias(spec.left_alias), rcond, "left_semi")
+            .withColumn(_MATCHED, F.lit(True))
+        )
+        r_not_matching = all_right.alias(spec.right_alias).join(
+            all_left.drop(_MATCHED).alias(spec.left_alias), rcond, "left_anti"
+        )
+        flagged_right = r_matched_now.unionByName(r_not_matching)
+        rt_col = F.col(spec.right_time_col)
+        r_horizon_passed = (
+            rt_col < F.lit(wm_l + spec.lower) if wm_l is not None else F.lit(False)
+        )
+        pad_rights = (
+            flagged_right.filter(~F.col(_MATCHED)).filter(r_horizon_passed).drop(_MATCHED)
+        )
+        empty_left = new_left.drop(_MATCHED).limit(0)
+        emit_parts.append(
+            _run_with_views(ctx, sql, {lv: empty_left, rv: pad_rights}, joint_wm)
+        )
+    else:
+        flagged_right = all_right
 
     result = emit_parts[0]
     for part in emit_parts[1:]:
@@ -133,14 +170,14 @@ def execute_interval_join(ctx: StepContext, sql: str) -> StepResult:
         keep_left = flagged_left.filter(
             (lt + F.expr(f"INTERVAL {int(spec.upper.total_seconds())} SECOND")) >= F.lit(wm_r)
         )
-    keep_right = all_right
+    keep_right = flagged_right
     if wm_l is not None:
         # A right row r matches lefts with l.et ∈ [r.et - upper, r.et - lower];
         # future lefts have et >= wm_l, so r is dead once r.et - lower < wm_l.
         # (lower=0 for the standard orientation; -I for the mirrored
         # BETWEEN, where purging at r.et < wm_l would drop rows future
         # lefts can still match.)
-        keep_right = all_right.filter(
+        keep_right = flagged_right.filter(
             F.col(spec.right_time_col) >= F.lit(wm_l + spec.lower)
         )
     ctx.state.save_df(left_state, keep_left)

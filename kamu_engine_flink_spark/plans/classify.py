@@ -96,8 +96,8 @@ _BETWEEN_RE = re.compile(
     re.IGNORECASE,
 )
 _JOIN_RE = re.compile(
-    r"FROM\s+([`\w]+)(?:\s+AS\s+([`\w]+)|\s+(?!LEFT\b|JOIN\b|INNER\b|WHERE\b)([`\w]+))?"
-    r"\s+(LEFT\s+(?:OUTER\s+)?)?JOIN\s+([`\w]+)(?:\s+AS\s+([`\w]+)|\s+(?!ON\b)([`\w]+))?"
+    r"FROM\s+([`\w]+)(?:\s+AS\s+([`\w]+)|\s+(?!LEFT\b|RIGHT\b|FULL\b|JOIN\b|INNER\b|WHERE\b)([`\w]+))?"
+    r"\s+((?:LEFT|RIGHT|FULL)\s+(?:OUTER\s+)?)?JOIN\s+([`\w]+)(?:\s+AS\s+([`\w]+)|\s+(?!ON\b)([`\w]+))?"
     r"\s+ON\s+(.*?)(?:\s+WHERE\s+|\s+GROUP\s+BY\s+|\s*$)",
     re.IGNORECASE | re.DOTALL,
 )
@@ -286,6 +286,7 @@ class IntervalJoinSpec:
     right_view: str
     right_alias: str
     is_left_outer: bool
+    is_right_outer: bool
     on_condition: str  # full ON clause text (Spark-compatible after rewrite)
     left_time_col: str
     right_time_col: str
@@ -567,7 +568,8 @@ def parse_interval_join(sql: str, known_views: set[str]) -> IntervalJoinSpec | N
         left_alias=left_alias,
         right_view=right_view,
         right_alias=right_alias,
-        is_left_outer=bool(jm.group(4)),
+        is_left_outer=(jm.group(4) or "").strip().upper().startswith(("LEFT", "FULL")),
+        is_right_outer=(jm.group(4) or "").strip().upper().startswith(("RIGHT", "FULL")),
         on_condition=jm.group(8).strip(),
         left_time_col=l_col.strip("`"),
         right_time_col=r_col.strip("`"),

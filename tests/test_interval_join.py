@@ -284,3 +284,101 @@ def test_temporal_join_holds_probes_without_build_watermark(spark, tmp_path):
     )
     rows = pq.read_table(out2).to_pylist()
     assert [(r["symbol"], r["price"], r["volume"]) for r in rows] == [("A", 100, 42)]
+
+
+RIGHT_JOIN_QUERY = """SELECT
+  s.event_time as event_time,
+  s.order_id as order_id,
+  s.num_shipped,
+  o.quantity as order_quantity
+FROM
+  orders as o
+RIGHT JOIN shipments as s
+ON
+  o.order_id = s.order_id
+  AND s.event_time BETWEEN o.event_time AND o.event_time + INTERVAL '2' DAY"""
+
+FULL_JOIN_QUERY = """SELECT
+  COALESCE(o.event_time, s.event_time) as event_time,
+  COALESCE(o.order_id, s.order_id) as order_id,
+  o.quantity as order_quantity,
+  s.num_shipped
+FROM
+  orders as o
+FULL OUTER JOIN shipments as s
+ON
+  o.order_id = s.order_id
+  AND s.event_time BETWEEN o.event_time AND o.event_time + INTERVAL '2' DAY"""
+
+
+def test_right_outer_interval_join(spark, tmp_path):
+    """RIGHT JOIN: every shipment emits — matched immediately, unmatched
+    NULL-padded once the ORDERS watermark proves no order can still
+    arrive (wm_l > s.event_time - lower); cross-run left buffer still
+    matches a later shipment."""
+    runner = TransformRunner(spark, tmp_path, queries=[(RIGHT_JOIN_QUERY, None)])
+    o1 = str(tmp_path / "o1.parquet")
+    s1 = str(tmp_path / "s1.parquet")
+    orders_slice(o1, [(0, 0, ts(5), ts(1), 1, 10)])
+    shipments_slice(s1, [(0, ts(5), ts(2), 1, 4), (1, ts(5), ts(2), 99, 7)])
+    resp, out = runner.run(
+        [
+            {"alias": "orders", "data_paths": [o1], "schema_file": o1, "watermark": ts(4)},
+            {"alias": "shipments", "data_paths": [s1], "schema_file": s1, "watermark": ts(2)},
+        ],
+        system_time=ts(6),
+    )
+    rows = [
+        (r["offset"], r["event_time"].replace(tzinfo=timezone.utc), r["order_id"],
+         r["num_shipped"], r["order_quantity"])
+        for r in pq.read_table(out).to_pylist()
+    ]
+    assert sorted(rows) == [
+        (0, ts(2), 1, 4, 10),
+        (1, ts(2), 99, 7, None),  # no order 99: padded at horizon
+    ]
+
+    # Run 2: a shipment for the STILL-BUFFERED order 1 matches across runs.
+    s2 = str(tmp_path / "s2.parquet")
+    shipments_slice(s2, [(2, ts(7), ts(2, 12), 1, 6)])
+    resp2, out2 = runner.run(
+        [
+            {"alias": "orders", "data_paths": [], "schema_file": o1, "watermark": ts(8)},
+            {"alias": "shipments", "data_paths": [s2], "schema_file": s2, "watermark": ts(8)},
+        ],
+        system_time=ts(9),
+    )
+    rows2 = [
+        (r["event_time"].replace(tzinfo=timezone.utc), r["order_id"],
+         r["num_shipped"], r["order_quantity"])
+        for r in pq.read_table(out2).to_pylist()
+    ]
+    assert rows2 == [(ts(2, 12), 1, 6, 10)]
+
+
+def test_full_outer_interval_join(spark, tmp_path):
+    """FULL OUTER: unmatched rows on BOTH sides pad at their horizons."""
+    runner = TransformRunner(spark, tmp_path, queries=[(FULL_JOIN_QUERY, None)])
+    o1 = str(tmp_path / "o1.parquet")
+    s1 = str(tmp_path / "s1.parquet")
+    orders_slice(o1, [(0, 0, ts(5), ts(1), 1, 10), (1, 0, ts(5), ts(1), 2, 20)])
+    shipments_slice(s1, [(0, ts(5), ts(2), 1, 4), (1, ts(5), ts(2), 99, 7)])
+    resp, out = runner.run(
+        [
+            {"alias": "orders", "data_paths": [o1], "schema_file": o1, "watermark": ts(6)},
+            {"alias": "shipments", "data_paths": [s1], "schema_file": s1, "watermark": ts(6)},
+        ],
+        system_time=ts(7),
+    )
+    rows = [
+        (r["event_time"].replace(tzinfo=timezone.utc), r["order_id"],
+         r["order_quantity"], r["num_shipped"])
+        for r in pq.read_table(out).to_pylist()
+    ]
+    # order 1 matched; order 2 padded (wm_s=6 > et+2d=3); shipment 99
+    # padded (wm_o=6 > et=2).
+    assert sorted(rows) == [
+        (ts(1), 1, 10, 4),
+        (ts(1), 2, 20, None),
+        (ts(2), 99, None, 7),
+    ]
