@@ -86,7 +86,24 @@ _MEASURES_RE = re.compile(
     r"AFTER\s+MATCH|PATTERN)",
     re.IGNORECASE | re.DOTALL,
 )
-_PATTERN_RE = re.compile(r"PATTERN\s*\(\s*(?P<pat>[^)]*)\)", re.IGNORECASE)
+_PATTERN_KW_RE = re.compile(r"\bPATTERN\s*\(", re.IGNORECASE)
+
+
+def _extract_pattern(body: str) -> str | None:
+    """Balanced-paren extraction of the PATTERN (...) text — alternation
+    groups nest parens, so a [^)]* regex would stop early."""
+    m = _PATTERN_KW_RE.search(body)
+    if not m:
+        return None
+    depth, start = 1, m.end()
+    for i in range(start, len(body)):
+        if body[i] == "(":
+            depth += 1
+        elif body[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return body[start:i]
+    return None
 _WITHIN_RE = re.compile(
     r"WITHIN\s+INTERVAL\s+'(?P<n>\d+)'\s+(?P<unit>\w+)", re.IGNORECASE
 )
@@ -122,6 +139,55 @@ def _split_top_level(s: str) -> list[str]:
     if cur:
         out.append("".join(cur))
     return [p.strip() for p in out if p.strip()]
+
+
+QUANT_MAP = {
+    "": ("one", True),
+    "?": ("opt", True),
+    "??": ("opt", False),
+    "*": ("star", True),
+    "*?": ("star", False),
+    "+": ("plus", True),
+    "+?": ("plus", False),
+}
+
+
+def _parse_pattern(pat: str):
+    """Pattern elements as (vars, quant, greedy) with `vars` a tuple —
+    one entry for a plain variable, several for an alternation group
+    `(B | C)` (row classified as the FIRST alternative whose predicate
+    holds, the SQL:2016 preference order). A quantifier may follow a
+    variable or a group."""
+    elements = []
+    i, n = 0, len(pat)
+    while i < n:
+        ch = pat[i]
+        if ch.isspace():
+            i += 1
+            continue
+        if ch == "(":
+            j = pat.find(")", i)
+            if j < 0:
+                raise InvalidQueryError("MATCH_RECOGNIZE: unbalanced group in PATTERN")
+            vars_ = tuple(v.strip() for v in pat[i + 1 : j].split("|") if v.strip())
+            if not vars_ or not all(re.fullmatch(r"[A-Za-z_]\w*", v) for v in vars_):
+                raise InvalidQueryError(
+                    f"MATCH_RECOGNIZE: bad alternation group {pat[i : j + 1]!r}"
+                )
+            i = j + 1
+        else:
+            m = re.match(r"[A-Za-z_]\w*", pat[i:])
+            if not m:
+                raise InvalidQueryError(f"MATCH_RECOGNIZE: bad PATTERN near {pat[i:]!r}")
+            vars_ = (m.group(0),)
+            i += m.end()
+        qm = re.match(r"\s*(\*\?|\+\?|\?\?|\*|\+|\?)", pat[i:])
+        quant = qm.group(1) if qm else ""
+        if qm:
+            i += qm.end()
+        q, greedy = QUANT_MAP[quant]
+        elements.append((vars_, q, greedy))
+    return elements
 
 
 def parse_match_recognize(sql: str):
@@ -168,24 +234,10 @@ def parse_match_recognize(sql: str):
         else:
             fn, var, col = "last", im.group("var2"), im.group("col2").strip("`")
         measures.append((fn, var, col, im.group("alias").strip("`"), mode))
-    pat_m = _PATTERN_RE.search(body)
-    if not pat_m:
+    pat_text = _extract_pattern(body)
+    if pat_text is None:
         raise InvalidQueryError("MATCH_RECOGNIZE requires a PATTERN clause")
-    elements = []
-    quant_map = {
-        "": ("one", True),
-        "?": ("opt", True),
-        "??": ("opt", False),
-        "*": ("star", True),
-        "*?": ("star", False),
-        "+": ("plus", True),
-        "+?": ("plus", False),
-    }
-    for var, quant in _PAT_TOKEN_RE.findall(pat_m.group("pat")):
-        if not var:
-            continue
-        q, greedy = quant_map[quant or ""]
-        elements.append((var, q, greedy))
+    elements = _parse_pattern(pat_text)
     if not elements:
         raise InvalidQueryError("MATCH_RECOGNIZE: empty PATTERN")
     # A quantified final element is fine: the preference-order matcher
@@ -293,14 +345,32 @@ def try_match(preds, elements, att, i, ei, pairs):
     operator (streaming/structured.py)."""
     if ei == len(elements):
         return ("match", i, pairs)
-    var, quant, greedy = elements[ei]
-    p = preds[var]
+    vars_, quant, greedy = elements[ei]
+    if len(vars_) == 1:
+        p0 = preds[vars_[0]]
+
+        def p(i):
+            return p0[i]
+
+        def cv(i):
+            return vars_[0]
+
+    else:
+        # Alternation group: a row matches if ANY alternative's predicate
+        # holds; it is classified as the FIRST holding one (SQL:2016
+        # preference order).
+        def p(i):
+            return any(preds[v][i] for v in vars_)
+
+        def cv(i):
+            return next(v for v in vars_ if preds[v][i])
+
     if quant == "one":
         if i >= att["n"]:
             return None if att["final"] else PENDING
-        if not p[i]:
+        if not p(i):
             return None
-        return try_match(preds, elements, att, i + 1, ei + 1, pairs + [(var, i)])
+        return try_match(preds, elements, att, i + 1, ei + 1, pairs + [(cv(i), i)])
     if quant == "opt":
         branches = ("take", "skip") if greedy else ("skip", "take")
         for b in branches:
@@ -309,9 +379,9 @@ def try_match(preds, elements, att, i, ei, pairs):
                     if not att["final"]:
                         return PENDING
                     continue  # no row to take; other branches only
-                if p[i]:
+                if p(i):
                     r = try_match(
-                        preds, elements, att, i + 1, ei + 1, pairs + [(var, i)]
+                        preds, elements, att, i + 1, ei + 1, pairs + [(cv(i), i)]
                     )
                     if r:
                         return r
@@ -320,9 +390,9 @@ def try_match(preds, elements, att, i, ei, pairs):
                 if r:
                     return r
         return None
-    # star / plus: maximal run of var-satisfying rows from i.
+    # star / plus: maximal run of group-satisfying rows from i.
     j = i
-    while j < att["n"] and p[j]:
+    while j < att["n"] and p(j):
         j += 1
     hit_boundary = j >= att["n"]
     min_take = 1 if quant == "plus" else 0
@@ -338,7 +408,7 @@ def try_match(preds, elements, att, i, ei, pairs):
     for k in ks:
         r = try_match(
             preds, elements, att, i + k, ei + 1,
-            pairs + [(var, idx) for idx in range(i, i + k)],
+            pairs + [(cv(idx), idx) for idx in range(i, i + k)],
         )
         if r:
             return r
@@ -373,7 +443,7 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
     # DEFINE predicates as JVM-evaluated boolean columns (an undefined
     # variable is TRUE — SQL:2016 semantics, matches any row).
     pred_cols = {}
-    for var, *_ in spec["elements"]:
+    for var in [v for vars_, *_ in spec["elements"] for v in vars_]:
         name = f"__p_{var}"
         if name in pred_cols:
             continue
@@ -456,7 +526,11 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
             n_proc = 0
         else:
             n_proc = int((ts_series <= wm_naive).sum())
-        preds = {var: pdf[f"__p_{var}"].tolist() for var, *_ in elements}
+        preds = {
+            var: pdf[f"__p_{var}"].tolist()
+            for vars_, *_ in elements
+            for var in vars_
+        }
 
         # In bounded (batch) execution the end of input is FINAL: no
         # future row can extend a preferred branch, so boundary hits

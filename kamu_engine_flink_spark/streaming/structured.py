@@ -691,7 +691,7 @@ def _cep_fn(elements, within_us):
     preference order, boundary suspension, WITHIN-bounded attempts.
     State = the suffix of rows still in play (ts, arrival seq, predicate
     bitmask); AFTER MATCH SKIP PAST LAST ROW."""
-    var_order = [v for v, _q, _g in elements]
+    var_order = [v for vars_, _q, _g in elements for v in vars_]
 
     def fn(key, pdfs, state):
         import pandas as pd
@@ -791,20 +791,10 @@ class StreamingMatchRecognize:
 
     def _elements(self):
         from kamu_engine_flink_spark.operators.match_recognize import (
-            _PAT_TOKEN_RE,
+            _parse_pattern,
         )
 
-        quant_map = {
-            "": ("one", True), "?": ("opt", True), "??": ("opt", False),
-            "*": ("star", True), "*?": ("star", False),
-            "+": ("plus", True), "+?": ("plus", False),
-        }
-        out = []
-        for var, quant in _PAT_TOKEN_RE.findall(self.pattern):
-            if var:
-                q, greedy = quant_map[quant or ""]
-                out.append((var, q, greedy))
-        return out
+        return _parse_pattern(self.pattern)
 
     def _plan(self, spark: SparkSession) -> DataFrame:
         elements = self._elements()
@@ -824,7 +814,7 @@ class StreamingMatchRecognize:
             scope.alias("__scope"),
             F.col(self.event_time_col).alias("__ts"),
         ]
-        for var, _q, _g in elements:
+        for var in [v for vars_, _q, _g in elements for v in vars_]:
             pred = self.defines.get(var)
             cols.append(
                 (F.coalesce(F.expr(pred), F.lit(False)) if pred else F.lit(True))

@@ -532,7 +532,17 @@ def test_match_recognize_parse_rules():
         "select * from t MATCH_RECOGNIZE (ORDER BY ts MEASURES A.x AS event_time "
         "PATTERN (A B+) DEFINE A AS A.x > 0, B AS B.x > 0)"
     )
-    assert spec["elements"] == [("A", "one", True), ("B", "plus", True)]
+    assert spec["elements"] == [(("A",), "one", True), (("B",), "plus", True)]
+    # Alternation groups parse to multi-var elements.
+    spec2 = parse_match_recognize(
+        "select * from t MATCH_RECOGNIZE (ORDER BY ts MEASURES A.x AS event_time "
+        "PATTERN (A (B | C)+ D) DEFINE A AS A.x > 0)"
+    )
+    assert spec2["elements"] == [
+        (("A",), "one", True),
+        (("B", "C"), "plus", True),
+        (("D",), "one", True),
+    ]
     # PREV of the own variable compiles to a lag column.
     spec = parse_match_recognize(
         "select * from t MATCH_RECOGNIZE (ORDER BY ts MEASURES A.x AS event_time "
@@ -551,3 +561,43 @@ def test_match_recognize_parse_rules():
             "select * from t MATCH_RECOGNIZE (ORDER BY ts MEASURES A.x AS event_time "
             "PATTERN (A B) DEFINE A AS A.x > 0, B AS B.x > PREV(A.x))"
         )
+
+
+def test_alternation_group(spark, tmp_path):
+    """Alternation `(B | C)+`: rows classified as the FIRST alternative
+    whose predicate holds; the group's quantifier spans both."""
+    query = """select * from tickers
+MATCH_RECOGNIZE (
+  PARTITION BY symbol
+  ORDER BY event_time
+  MEASURES CLASSIFIER() AS cls, D.price AS spike
+  ALL ROWS PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (A (B | C)+ D)
+  DEFINE
+    A AS A.price < 10,
+    B AS B.price >= 10 AND B.price < 50,
+    C AS C.price >= 50 AND C.price < 100,
+    D AS D.price >= 100
+)"""
+    runner = TransformRunner(spark, tmp_path, queries=[(query, None)])
+    s1 = str(tmp_path / "in" / "s1.parquet")
+    ticker_slice(
+        s1,
+        [
+            (0, 0, ts(2), ts(1, 0, 1), "A", 5),  # A
+            (1, 0, ts(2), ts(1, 0, 2), "A", 20),  # B
+            (2, 0, ts(2), ts(1, 0, 3), "A", 70),  # C
+            (3, 0, ts(2), ts(1, 0, 4), "A", 30),  # B
+            (4, 0, ts(2), ts(1, 0, 5), "A", 150),  # D
+        ],
+    )
+    resp, out = runner.run([_input(s1, ts(1, 0, 6))], system_time=ts(2))
+    rows = pq.read_table(out).to_pylist()
+    assert [(r["price"], r["cls"]) for r in rows] == [
+        (5, "A"),
+        (20, "B"),
+        (70, "C"),
+        (30, "B"),
+        (150, "D"),
+    ]
