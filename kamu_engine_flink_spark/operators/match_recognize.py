@@ -119,8 +119,13 @@ _MEASURE_RE = re.compile(
 )
 _ALL_ROWS_RE = re.compile(r"ALL\s+ROWS\s+PER\s+MATCH", re.IGNORECASE)
 _AFTER_NEXT_RE = re.compile(r"AFTER\s+MATCH\s+SKIP\s+TO\s+NEXT\s+ROW", re.IGNORECASE)
+_AFTER_TO_VAR_RE = re.compile(
+    r"AFTER\s+MATCH\s+SKIP\s+TO\s+(FIRST|LAST)\s*\(?\s*([A-Za-z_]\w*)\s*\)?",
+    re.IGNORECASE,
+)
 _AFTER_RE = re.compile(
-    r"AFTER\s+MATCH\s+SKIP\s+(?!PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW)", re.IGNORECASE
+    r"AFTER\s+MATCH\s+SKIP\s+(?!PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW|TO\s+(?:FIRST|LAST)\b)",
+    re.IGNORECASE,
 )
 
 
@@ -196,11 +201,17 @@ def parse_match_recognize(sql: str):
         return None
     body = m.group("body")
     all_rows = bool(_ALL_ROWS_RE.search(body))
-    skip_mode = "next" if _AFTER_NEXT_RE.search(body) else "past"
+    tv = _AFTER_TO_VAR_RE.search(body)
+    if tv:
+        skip_mode = (tv.group(1).lower(), tv.group(2))
+    elif _AFTER_NEXT_RE.search(body):
+        skip_mode = "next"
+    else:
+        skip_mode = "past"
     if _AFTER_RE.search(body):
         raise InvalidQueryError(
             "MATCH_RECOGNIZE: supported AFTER MATCH modes are SKIP PAST LAST "
-            "ROW and SKIP TO NEXT ROW"
+            "ROW, SKIP TO NEXT ROW, and SKIP TO FIRST/LAST(variable)"
         )
     pm = _PART_RE.search(body)
     keys = (
@@ -499,7 +510,8 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
     max_lag = max((nlag for _c, nlag in spec.get("lags", [])), default=0)
     has_ctx = "__mrctx" in buf.columns
     has_done = "__mrdone" in buf.columns
-    skip_next = spec.get("skip_mode") == "next"
+    skip_mode_v = spec.get("skip_mode", "past")
+    skip_next = skip_mode_v == "next"
     within = spec.get("within")
     use_match_no = any(fn == "match_number" for fn, *_ in spec["measures"])
     has_count = "__mrcount" in buf.columns
@@ -609,6 +621,7 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
                                 idxs = [x for x in idxs if x <= j]
                             rec[alias] = _measure_val(fn, idxs, col)
                     _emit(rec, j)
+                return assign
             else:
                 rec = {k: obj.at[s0, k] for k in keys}
                 for fn, var, col, alias, _mode in measures:
@@ -619,6 +632,7 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
                     else:
                         rec[alias] = _measure_val(fn, assign.get(var, []), col)
                 _emit(rec, end_i - 1)
+            return assign
 
         # Context rows (kept only for PREV navigation) all sort before the
         # match boundary; matching resumes after them.
@@ -655,8 +669,22 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
                 if r[0] == "pending":
                     pending_from = start
                     break
-                emit_match(start, r[1], r[2])
-                start = r[1]  # AFTER MATCH SKIP PAST LAST ROW
+                assign = emit_match(start, r[1], r[2])
+                if isinstance(skip_mode_v, tuple):
+                    # SKIP TO FIRST/LAST(var): resume at that row of the
+                    # match; SQL:2016 requires strict progress.
+                    which, svar = skip_mode_v
+                    idxs = assign.get(svar, [])
+                    resume = (idxs[0] if which == "first" else idxs[-1]) if idxs else None
+                    if resume is None or resume <= start:
+                        raise RuntimeError(
+                            f"AFTER MATCH SKIP TO {which.upper()}({svar}) does "
+                            f"not advance past the match start — aborting to "
+                            f"avoid an infinite matching loop"
+                        )
+                    start = resume
+                else:
+                    start = r[1]  # AFTER MATCH SKIP PAST LAST ROW
         if pending_from is None:
             # No suspended attempt: keep only the not-yet-processed
             # (beyond-watermark) suffix.

@@ -601,3 +601,38 @@ MATCH_RECOGNIZE (
         (30, "B"),
         (150, "D"),
     ]
+
+
+def test_skip_to_last_var_w_shape(spark, tmp_path):
+    """AFTER MATCH SKIP TO LAST(UP): the W-shape idiom — the first V's
+    final peak becomes the next V's start row (overlap by one row)."""
+    query = """select * from tickers
+MATCH_RECOGNIZE (
+  PARTITION BY symbol
+  ORDER BY event_time
+  MEASURES STRT.price AS start_price, MIN(DOWN.price) AS bottom,
+           LAST(UP.price) AS top, STRT.event_time AS event_time
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO LAST(UP)
+  PATTERN (STRT DOWN+ UP+)
+  DEFINE
+    DOWN AS DOWN.price < PREV(DOWN.price),
+    UP AS UP.price > PREV(UP.price)
+)"""
+    runner = TransformRunner(spark, tmp_path, queries=[(query, None)])
+    s1 = str(tmp_path / "in" / "s1.parquet")
+    prices = [12, 10, 8, 9, 11, 7, 6, 9, 12, 3]
+    ticker_slice(
+        s1,
+        [
+            (i, 0, ts(2), ts(1, 0, i + 1), "A", p)
+            for i, p in enumerate(prices)
+        ],
+    )
+    resp, out = runner.run([_input(s1, ts(1, 0, 11))], system_time=ts(2))
+    rows = pq.read_table(out).to_pylist()
+    # Two V's sharing the 11-peak: (12 -> 8 -> 11) then (11 -> 6 -> 12).
+    assert [(r["start_price"], r["bottom"], r["top"]) for r in rows] == [
+        (12, 8, 11),
+        (11, 6, 12),
+    ]
