@@ -40,6 +40,7 @@ from .topn import (
     OP_COL,
     SEQ_INPUT,
     _dedupe_columns,
+    _prune_partition_local,
     fold_records,
 )
 
@@ -62,54 +63,6 @@ def parse_keyed_order(sql: str):
         return None
     keys = [k.strip().strip("`").split(".")[-1] for k in m.group("keys").split(",")]
     return keys, m.group("col").split(".")[-1].strip("`"), bool(m.group("desc"))
-
-
-def _prune_partition_local_keyed(df, part_keys, order_col, descending, limit):
-    """Per-key partition-local running-top-N prune (the keyed twin of
-    topn._prune_partition_local): a row beaten or tied by >= limit earlier
-    rows OF ITS KEY in its own partition is beaten by >= limit earlier
-    rows of its key globally, so it can never enter the visible top-N and
-    never emits changelog. Cuts the Arrow transfer into the per-key fold
-    from O(slice) to O(keys x limit x ln(rows/partition)) on shuffled
-    data. Missing keys/scores pass through untouched."""
-    import bisect
-
-    def batches(it):
-        import pandas as pd
-
-        for pdf in it:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values(SEQ_INPUT, kind="mergesort")
-            best: dict = {}
-            keep = []
-            key_iters = [pdf[k] for k in part_keys]
-            for v, *kparts in zip(pdf[order_col], *key_iters):
-                if any(pd.isna(kp) for kp in kparts) or pd.isna(v):
-                    keep.append(True)
-                    continue
-                key = tuple(kparts)
-                lst = best.setdefault(key, [])
-                if len(lst) < limit:
-                    bisect.insort(lst, v)
-                    keep.append(True)
-                elif descending:
-                    if v > lst[0]:
-                        del lst[0]
-                        bisect.insort(lst, v)
-                        keep.append(True)
-                    else:
-                        keep.append(False)
-                else:
-                    if v < lst[-1]:
-                        del lst[-1]
-                        bisect.insort(lst, v)
-                        keep.append(True)
-                    else:
-                        keep.append(False)
-            yield pdf[keep]
-
-    return df.mapInPandas(batches, df.schema)
 
 
 def execute_keyed_topn(ctx: StepContext, sql: str, spec) -> StepResult:
@@ -149,19 +102,20 @@ def execute_keyed_topn(ctx: StepContext, sql: str, spec) -> StepResult:
         raise InvalidQueryError("keyed Top-N requires ledger-offset sequencing")
 
     state_name = f"{ctx.step_key}-keyed-topn-state"
+    rank_col = spec.rank_alias  # the user's own rank alias (place, rownum, ...)
     state_schema = StructType(
-        [StructField("place", LongType())] + [incoming.schema[c] for c in value_cols]
+        [StructField(rank_col, LongType())] + [incoming.schema[c] for c in value_cols]
     )
     prev_state = ctx.state.load_df(state_name, schema=state_schema)
 
     # Union (state ∪ slice) on a common schema; fold output carries both the
     # changelog and the key's new ranking (KIND_COL splits them afterward).
-    pruned = _prune_partition_local_keyed(
-        incoming, part_keys, order_col, descending, spec.limit
+    pruned = _prune_partition_local(
+        incoming, order_col, descending, spec.limit, part_keys=part_keys
     )
     unioned = prev_state.withColumn(SEQ_INPUT, F.lit(None).cast("long")).unionByName(
-        pruned.withColumn("place", F.lit(None).cast("long")).select(
-            "place", *value_cols, SEQ_INPUT
+        pruned.withColumn(rank_col, F.lit(None).cast("long")).select(
+            rank_col, *value_cols, SEQ_INPUT
         )
     )
     fold_schema = StructType(
@@ -180,10 +134,10 @@ def execute_keyed_topn(ctx: StepContext, sql: str, spec) -> StepResult:
         import pandas as pd
 
         pdf = pdf.astype(object).where(pd.notnull(pdf), None)
-        is_state = pdf["place"].map(lambda v: v is not None)
+        is_state = pdf[rank_col].map(lambda v: v is not None)
         ranking: list[dict[str, Any]] = [
             {c: r[c] for c in value_cols}
-            for _, r in pdf[is_state].sort_values("place", kind="mergesort").iterrows()
+            for _, r in pdf[is_state].sort_values(rank_col, kind="mergesort").iterrows()
         ]
         slice_pdf = pdf[~is_state].sort_values(SEQ_INPUT, kind="mergesort")
         rows = [
@@ -195,19 +149,19 @@ def execute_keyed_topn(ctx: StepContext, sql: str, spec) -> StepResult:
             ranking, rows, order_col, descending, limit
         ):
             out.append(
-                {**row, "place": place, OP_COL: op, GSEQ_COL: gseq, SUB_COL: sub,
+                {**row, rank_col: place, OP_COL: op, GSEQ_COL: gseq, SUB_COL: sub,
                  KIND_COL: 0}
             )
         for i, row in enumerate(ranking[:limit]):
             out.append(
-                {**row, "place": i + 1, OP_COL: None, GSEQ_COL: None, SUB_COL: None,
+                {**row, rank_col: i + 1, OP_COL: None, GSEQ_COL: None, SUB_COL: None,
                  KIND_COL: 1}
             )
         return pd.DataFrame(out, columns=out_names)
 
     folded = ctx.pin(unioned.groupBy(*part_keys).applyInPandas(fold, fold_schema))
     ctx.state.save_df(
-        state_name, folded.filter(F.col(KIND_COL) == 1).select("place", *value_cols)
+        state_name, folded.filter(F.col(KIND_COL) == 1).select(rank_col, *value_cols)
     )
     changelog_df = folded.filter(F.col(KIND_COL) == 0).drop(KIND_COL)
 

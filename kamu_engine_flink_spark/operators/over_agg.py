@@ -190,14 +190,20 @@ def _execute_unbounded(ctx: StepContext, sql: str, spec) -> StepResult:
     run_sql = re.sub(
         r"^\s*select\s+", f"SELECT {SEQ_INPUT}, ", run_sql, count=1, flags=re.IGNORECASE
     )
-    companions = "".join(
-        f", SUM({arg}) {over} AS __os_{alias}, COUNT({arg}) {over} AS __oc_{alias}"
+    # AVG's hidden sum/count companions lead the select list (injecting
+    # before a FROM token would land inside EXTRACT(x FROM y)-style
+    # expressions); they are dropped after the accumulator combine, so
+    # output column order is unaffected.
+    companions = ", ".join(
+        f"SUM({arg}) {over} AS __os_{alias}, COUNT({arg}) {over} AS __oc_{alias}"
         for fn, arg, alias, over in aggs
         if fn == "avg"
     )
     if companions:
-        run_sql = re.sub(r"\bFROM\b", companions + " FROM", run_sql, count=1,
-                         flags=re.IGNORECASE)
+        run_sql = re.sub(
+            r"^\s*select\s+", f"SELECT {companions}, ", run_sql, count=1,
+            flags=re.IGNORECASE,
+        )
         run_sql = _ROWS_ORDER_RE.sub(rf"\1, {SEQ_INPUT}\2", run_sql)
     buf.createOrReplaceTempView(src)
     try:

@@ -48,19 +48,22 @@ _ORDER_RE = re.compile(
 _INNER_FROM_RE = re.compile(r"\bfrom\s+([`\w]+)\s*$", re.IGNORECASE | re.DOTALL)
 
 
-def _prune_partition_local(df, order_col: str, descending: bool, limit: int):
+def _prune_partition_local(df, order_col: str, descending: bool, limit: int,
+                           part_keys=()):
     """Keep only rows that enter a PARTITION-LOCAL running top-N processed
-    in ledger (__seq) order. Safely conservative: dropped rows are beaten
-    or tied by >= limit earlier rows locally, hence globally, so they can
-    never enter the visible top-N (ties insert after equals, so a tie
-    counts as beaten). Survivors stream back for the exact driver fold.
+    in ledger (__seq) order — per `part_keys` group when given (the keyed
+    rank/dedup executor), globally otherwise. Safely conservative: dropped
+    rows are beaten or tied by >= limit earlier rows locally, hence
+    globally, so they can never enter the visible top-N (ties insert after
+    equals, so a tie counts as beaten). Survivors stream on to the exact
+    fold.
 
     Type-generic: the running top-N is a sorted list compared directly
     against its worst element, so any orderable type (strings, timestamps,
     numerics) prunes in either direction — no key negation. Missing scores
-    (None and the NaN/NaT that nullable columns become in Arrow batches —
-    pd.isna covers both) pass through to the driver fold untouched and are
-    never pushed into the list, where NaN comparisons would corrupt it.
+    or keys (None and the NaN/NaT that nullable columns become in Arrow
+    batches — pd.isna covers both) pass through to the fold untouched and
+    are never pushed into a list, where NaN comparisons would corrupt it.
     """
     import bisect
 
@@ -71,27 +74,28 @@ def _prune_partition_local(df, order_col: str, descending: bool, limit: int):
             if not len(pdf):
                 continue
             pdf = pdf.sort_values(SEQ_INPUT, kind="mergesort")
-            best: list = []  # sorted ascending; local top `limit` keys
+            best: dict = {}
             keep = []
-            for v in pdf[order_col]:
-                if pd.isna(v):
+            key_iters = [pdf[k] for k in part_keys]
+            for v, *kparts in zip(pdf[order_col], *key_iters):
+                if pd.isna(v) or any(pd.isna(kp) for kp in kparts):
                     keep.append(True)
                     continue
-                if len(best) < limit:
-                    bisect.insort(best, v)
+                lst = best.setdefault(tuple(kparts), [])
+                if len(lst) < limit:
+                    bisect.insort(lst, v)
                     keep.append(True)
-                    continue
-                if descending:
-                    if v > best[0]:  # strictly beats the local N-th (min)
-                        del best[0]
-                        bisect.insort(best, v)
+                elif descending:
+                    if v > lst[0]:  # strictly beats the local N-th (min)
+                        del lst[0]
+                        bisect.insort(lst, v)
                         keep.append(True)
                     else:
                         keep.append(False)
                 else:
-                    if v < best[-1]:  # strictly beats the local N-th (max)
-                        del best[-1]
-                        bisect.insort(best, v)
+                    if v < lst[-1]:  # strictly beats the local N-th (max)
+                        del lst[-1]
+                        bisect.insort(lst, v)
                         keep.append(True)
                     else:
                         keep.append(False)
@@ -202,13 +206,14 @@ def execute_topn(ctx: StepContext, sql: str) -> StepResult:
     value_cols = [c for c in incoming.columns if c != SEQ_INPUT]
 
     state_name = f"{ctx.step_key}-topn-state"
+    rank_col = spec.rank_alias  # the user's own rank alias (place, rownum, ...)
     state_schema = StructType(
-        [StructField("place", LongType())] + [incoming.schema[c] for c in value_cols]
+        [StructField(rank_col, LongType())] + [incoming.schema[c] for c in value_cols]
     )
     prev_state = ctx.state.load_df(state_name, schema=state_schema)
-    prev_rows = [r.asDict() for r in prev_state.orderBy("place").collect()]
+    prev_rows = [r.asDict() for r in prev_state.orderBy(rank_col).collect()]
     ranking: list[dict[str, Any]] = [
-        {k: v for k, v in r.items() if k != "place"} for r in prev_rows
+        {k: v for k, v in r.items() if k != rank_col} for r in prev_rows
     ]
 
     # Distributed prefilter: only rows beating the current N-th can matter.
@@ -251,7 +256,7 @@ def execute_topn(ctx: StepContext, sql: str) -> StepResult:
     for _gseq, _sub, op, place, row in fold_records(
         ranking, fold_rows, order_col, descending, spec.limit
     ):
-        changelog.append({**row, "place": place, OP_COL: op, SEQ_COL: seq})
+        changelog.append({**row, rank_col: place, OP_COL: op, SEQ_COL: seq})
         seq += 1
 
     out_schema = StructType(
@@ -262,7 +267,7 @@ def execute_topn(ctx: StepContext, sql: str) -> StepResult:
 
     new_state = fast_local_df(
         ctx.spark,
-        [{"place": i + 1, **row} for i, row in enumerate(ranking[: spec.limit])],
+        [{rank_col: i + 1, **row} for i, row in enumerate(ranking[: spec.limit])],
         state_schema,
     )
     ctx.state.save_df(state_name, new_state)

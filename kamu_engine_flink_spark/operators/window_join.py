@@ -53,9 +53,15 @@ def execute_window_join(ctx: StepContext, sql: str) -> StepResult:
     if sides[0][0] == sides[1][0]:
         raise InvalidQueryError("window self-join is not supported")
 
-    # Two-input watermark rule: the operator's clock is the slower input.
-    prev_wm = min_watermark(*[ctx.prev_wms.get(v) for v, *_ in sides])
-    new_wm = min_watermark(*[ctx.new_wms.get(v) for v, *_ in sides])
+    # Two-input watermark rule: the operator's clock is the slower input —
+    # and an input that never published a watermark holds the combined
+    # clock at MIN_VALUE (Flink's rule; same guard as interval_join.py).
+    # Collapsing to the present side would close windows the absent side
+    # can still write into, silently dropping its late-arriving partners.
+    prev_sides = [ctx.prev_wms.get(v) for v, *_ in sides]
+    new_sides = [ctx.new_wms.get(v) for v, *_ in sides]
+    prev_wm = min_watermark(*prev_sides) if all(w is not None for w in prev_sides) else None
+    new_wm = min_watermark(*new_sides) if all(w is not None for w in new_sides) else None
 
     originals = {}
     try:

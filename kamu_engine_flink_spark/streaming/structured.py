@@ -589,18 +589,41 @@ def _over_agg_fn(h_us: int):
         rows.sort()
         wm_us = state.getCurrentWatermarkMs() * 1000
         out = []
-        for t, v in rows:
+        # Two-pointer sliding frame over the sorted rows: lo trails the
+        # frame start, the running sum/count update in O(1) per row.
+        lo = 0
+        run_sum = 0.0
+        run_cnt = 0
+        for hi, (t, v) in enumerate(rows):
+            run_sum += v
+            run_cnt += 1
+            while rows[lo][0] < t - h_us:
+                run_sum -= rows[lo][1]
+                run_cnt -= 1
+                lo += 1
             if t > wm_us:
                 break
             if emitted_upto is not None and t <= emitted_upto:
                 continue
-            frame = [(ft, fv) for ft, fv in rows if t - h_us <= ft <= t]
-            out.append((key[0], t, v, sum(fv for _, fv in frame), len(frame)))
+            # RANGE semantics: equal-timestamp PEERS sorted after this row
+            # are inside its frame too.
+            peer_sum, peer_cnt, hp = run_sum, run_cnt, hi
+            while hp + 1 < len(rows) and rows[hp + 1][0] == t:
+                hp += 1
+                peer_sum += rows[hp][1]
+                peer_cnt += 1
+            out.append((key[0], t, v, peer_sum, peer_cnt))
         emitted_upto = max(emitted_upto or 0, wm_us) if rows else emitted_upto
         keep = [(t, v) for t, v in rows if t >= wm_us - h_us]
         state.update(
             ([t for t, _ in keep], [v for _, v in keep], emitted_upto)
         )
+        pending = [t for t, _ in keep if t > wm_us]
+        if pending:
+            # Re-invoke this key when the watermark reaches the earliest
+            # pending row, even if no new data arrives for it (timeout
+            # must sit strictly above the current watermark).
+            state.setTimeoutTimestamp(max(min(pending) // 1000, wm_us // 1000 + 1))
         if out:
             yield pd.DataFrame(
                 out, columns=["key", "ts", "value", "roll_sum", "roll_cnt"]
@@ -652,7 +675,7 @@ class StreamingOverAgg:
             outputStructType=_OVER_OUTPUT,
             stateStructType=_OVER_STATE,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
         return out.select(
             "key",
@@ -691,7 +714,7 @@ def _cep_fn(elements, within_us):
     preference order, boundary suspension, WITHIN-bounded attempts.
     State = the suffix of rows still in play (ts, arrival seq, predicate
     bitmask); AFTER MATCH SKIP PAST LAST ROW."""
-    var_order = [v for vars_, _q, _g in elements for v in vars_]
+    var_order = list(dict.fromkeys(v for vars_, _q, _g in elements for v in vars_))
 
     def fn(key, pdfs, state):
         import pandas as pd
@@ -759,6 +782,11 @@ def _cep_fn(elements, within_us):
                 max(wm_floor or 0, wm_us),
             )
         )
+        if keep:
+            # Wake the key when the watermark passes the suspended suffix
+            # (timeout must sit strictly above the current watermark).
+            min_ms = min(t for t, _s, _m in keep) // 1000
+            state.setTimeoutTimestamp(max(min_ms, wm_us // 1000 + 1))
         if out:
             yield pd.DataFrame(out, columns=["key", "start_ts", "end_ts", "n_rows"])
 
@@ -814,7 +842,7 @@ class StreamingMatchRecognize:
             scope.alias("__scope"),
             F.col(self.event_time_col).alias("__ts"),
         ]
-        for var in [v for vars_, _q, _g in elements for v in vars_]:
+        for var in dict.fromkeys(v for vars_, _q, _g in elements for v in vars_):
             pred = self.defines.get(var)
             cols.append(
                 (F.coalesce(F.expr(pred), F.lit(False)) if pred else F.lit(True))
@@ -828,7 +856,7 @@ class StreamingMatchRecognize:
             outputStructType=_CEP_OUTPUT,
             stateStructType=_CEP_STATE,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
         return out.select(
             "key",

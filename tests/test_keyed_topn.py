@@ -194,3 +194,33 @@ def test_dedup_keep_last_changelog(spark, tmp_path):
         (4, 2, 1, ts(2), "Bob", 80),
         (5, 3, 1, ts(4), "Bob", 60),
     ]
+
+
+def test_dedup_rownum_alias(spark, tmp_path):
+    """Flink's documented Deduplication spelling uses `rownum` as the rank
+    alias — the executor must carry the user's alias through state and the
+    outer WHERE."""
+    query = """select
+  cast(now() as timestamp(3)) as placed_at, *
+from (
+  select
+    row_number() over (partition by player_name order by match_time desc) AS rownum,
+    match_time, player_name, score
+  from match_scores
+) where rownum = 1"""
+    runner = _runner(spark, tmp_path, query)
+    s1 = str(tmp_path / "in" / "s1.parquet")
+    match_scores_slice(
+        s1,
+        [
+            (0, 0, ts(5), ts(1), "Alice", 100),
+            (1, 0, ts(5), ts(2), "Alice", 70),
+        ],
+    )
+    resp, out = runner.run([_input(s1, ts(3))], system_time=ts(10))
+    table = pq.read_table(out).to_pylist()
+    assert [(r["op"], r["rownum"], r["score"]) for r in table] == [
+        (0, 1, 100),
+        (2, 1, 100),
+        (3, 1, 70),
+    ]

@@ -178,3 +178,29 @@ def test_over_agg_watermark_only_flush(spark, tmp_path):
     assert _rows(out2, "symbol", "price", "sum2m", "cnt2m") == [
         (1, 0, ts(1, 0, 5), "A", 20, 20, 1),
     ]
+
+
+def test_over_agg_unbounded_avg_with_from_in_expression(spark, tmp_path):
+    """AVG companions must not splice into EXTRACT(x FROM y) expressions
+    (regression: companion injection previously targeted the first FROM
+    token in the query text)."""
+    query = """select
+  event_time, symbol, price,
+  EXTRACT(MINUTE FROM event_time) as minute_of,
+  avg(price) over (partition by symbol order by event_time rows unbounded preceding) as ravg
+from tickers"""
+    runner = TransformRunner(spark, tmp_path, queries=[(query, None)])
+    s1 = str(tmp_path / "in" / "s1.parquet")
+    ticker_slice(
+        s1,
+        [
+            (0, 0, ts(2), ts(1, 0, 1), "A", 10),
+            (1, 0, ts(2), ts(1, 0, 2), "A", 20),
+        ],
+    )
+    resp, out = runner.run([_input(s1, ts(1, 0, 4))], system_time=ts(2))
+    rows = pq.read_table(out).to_pylist()
+    assert [(r["price"], r["minute_of"], r["ravg"]) for r in rows] == [
+        (10, 1, 10.0),
+        (20, 2, 15.0),
+    ]

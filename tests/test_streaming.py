@@ -584,10 +584,14 @@ def test_streaming_over_agg_rolling_frame(spark, dirs):
         (r.key, r.event_time.replace(tzinfo=timezone.utc), r.value, r.roll_sum, r.roll_cnt)
         for r in spark.read.parquet(dirs["out"]).collect()
     )
-    # Watermark = 00:04 - 1min = 00:03 -> the 00:01 and 00:02 rows emit.
+    # The data batch runs under watermark 00:03 (emitting 00:01/00:02);
+    # the event-time timeout then fires a trailing batch under the
+    # advanced watermark 00:09, emitting the 00:04 row too (frame reaches
+    # the retained 00:02 row). 00:10 stays pending.
     assert out == [
         ("A", ts(1, 0, 1), 10.0, 10.0, 1),
         ("A", ts(1, 0, 2), 20.0, 30.0, 2),
+        ("A", ts(1, 0, 4), 40.0, 60.0, 2),
     ]
 
     _overagg_slice(os.path.join(dirs["in"], "s3.parquet"), [("A", ts(1, 0, 20), 1.0)])
@@ -596,10 +600,10 @@ def test_streaming_over_agg_rolling_frame(spark, dirs):
         (r.key, r.event_time.replace(tzinfo=timezone.utc), r.value, r.roll_sum, r.roll_cnt)
         for r in spark.read.parquet(dirs["out"]).collect()
     )
-    # Watermark = 00:10 - 1min: the 00:04 row emits, its frame reaching
-    # the retained 00:02 row; 00:10 stays pending.
+    # Watermark reaches 00:19 via the timeout batch: the 00:10 row emits
+    # (its 2-minute frame holds only itself).
     assert sorted(set(out3) - set(out)) == [
-        ("A", ts(1, 0, 4), 40.0, 60.0, 2),
+        ("A", ts(1, 0, 10), 5.0, 5.0, 1),
     ]
 
 
@@ -650,3 +654,32 @@ def test_streaming_match_recognize_cross_run(spark, dirs):
         for r in spark.read.parquet(dirs["out"]).collect()
     ]
     assert out == [("X", ts(1, 0, 1), ts(1, 0, 3), 3)]
+
+
+def test_streaming_over_agg_idle_key_wakes_on_timeout(spark, dirs):
+    """A key with pending rows must emit them when OTHER keys advance the
+    watermark — the event-time timeout re-invokes the idle key's state
+    function (the NoTimeout pitfall)."""
+    from datetime import timezone
+
+    from kamu_engine_flink_spark.streaming.structured import StreamingOverAgg
+
+    job = StreamingOverAgg(
+        input_dir=dirs["in"],
+        checkpoint_dir=dirs["chk"],
+        output_dir=dirs["out"],
+        frame="2 minutes",
+        partition_col="symbol",
+        watermark_delay="1 minute",
+    )
+    _overagg_slice(os.path.join(dirs["in"], "s1.parquet"), [("A", ts(1, 0, 5), 10.0)])
+    job.run_available_now(spark)  # A pending (wm at zero)
+
+    # Only B arrives; its event time drives the watermark past A's row.
+    _overagg_slice(os.path.join(dirs["in"], "s2.parquet"), [("B", ts(1, 0, 30), 1.0)])
+    job.run_available_now(spark)
+    out = sorted(
+        (r.key, r.event_time.replace(tzinfo=timezone.utc), r.roll_sum)
+        for r in spark.read.parquet(dirs["out"]).collect()
+    )
+    assert ("A", ts(1, 0, 5), 10.0) in out

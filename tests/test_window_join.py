@@ -81,3 +81,34 @@ def test_window_join_cross_run(spark, tmp_path):
         (1, 0, ts(1, 0, 10), "A", 11, 50),
         (2, 0, ts(1, 0, 10), "A", 99, 50),
     ]
+
+
+def test_window_join_missing_watermark_holds(spark, tmp_path):
+    """An input with no watermark holds the two-input clock at MIN_VALUE
+    (Flink rule): the window must NOT close on the present side alone."""
+    import os
+
+    runner = TransformRunner(spark, tmp_path, queries=[(WJOIN, None)])
+    a1 = str(tmp_path / "in" / "a1.parquet")
+    b1 = str(tmp_path / "in" / "b1.parquet")
+    ticker_slice(a1, [(0, 0, ts(2), ts(1, 0, 1), "A", 10)])
+    ticker_slice(b1, [(0, 0, ts(2), ts(1, 0, 2), "A", 7)])
+    # b publishes NO watermark: nothing may emit.
+    resp, out = runner.run(
+        [
+            {"alias": "a", "data_paths": [a1], "schema_file": a1, "watermark": ts(1, 0, 30)},
+            {"alias": "b", "data_paths": [b1], "schema_file": b1},
+        ],
+        system_time=ts(2),
+    )
+    assert resp.new_offset_interval is None and not os.path.exists(out)
+
+    # b's watermark arrives in run 2: the buffered window closes and joins.
+    resp2, out2 = runner.run(
+        [
+            {"alias": "a", "data_paths": [], "schema_file": a1, "watermark": ts(1, 0, 30)},
+            {"alias": "b", "data_paths": [], "schema_file": b1, "watermark": ts(1, 0, 30)},
+        ],
+        system_time=ts(3),
+    )
+    assert _rows(out2) == [(0, 0, ts(1, 0, 0), "A", 10, 7)]
