@@ -112,3 +112,22 @@ def test_window_join_missing_watermark_holds(spark, tmp_path):
         system_time=ts(3),
     )
     assert _rows(out2) == [(0, 0, ts(1, 0, 0), "A", 10, 7)]
+
+
+def test_window_left_join_pads_at_close(spark, tmp_path):
+    """LEFT window join: unmatched left rows NULL-pad when their window
+    closes (both sides final at close — no per-row pad machinery)."""
+    query = WJOIN.replace("\nJOIN TABLE", "\nLEFT JOIN TABLE")
+    runner = TransformRunner(spark, tmp_path, queries=[(query, None)])
+    a1 = str(tmp_path / "in" / "a1.parquet")
+    b1 = str(tmp_path / "in" / "b1.parquet")
+    ticker_slice(
+        a1,
+        [(0, 0, ts(2), ts(1, 0, 1), "A", 10), (1, 0, ts(2), ts(1, 0, 2), "B", 20)],
+    )
+    ticker_slice(b1, [(0, 0, ts(2), ts(1, 0, 3), "A", 7)])
+    resp, out = runner.run(_inputs(a1, ts(1, 0, 15), b1, ts(1, 0, 15)), system_time=ts(2))
+    assert sorted(_rows(out)) == [
+        (0, 0, ts(1, 0, 0), "A", 10, 7),
+        (1, 0, ts(1, 0, 0), "B", 20, None),
+    ]
