@@ -224,3 +224,26 @@ from (
         (2, 1, 100),
         (3, 1, 70),
     ]
+
+
+def test_keyed_topn_null_scores(spark, tmp_path):
+    """NULL scores follow row_number's null ordering (DESC ranks nulls
+    last): a null enters the ranking only while places are free, and the
+    prune must pass nulls through to the fold untouched."""
+    runner = _runner(spark, tmp_path, KEYED_TOPN_QUERY)
+    s1 = str(tmp_path / "in" / "s1.parquet")
+    match_scores_slice(
+        s1,
+        [
+            (0, 0, ts(5), ts(1), "Alice", None),  # place 1 while empty
+            (1, 0, ts(5), ts(1), "Alice", 50),  # beats null -> corrections
+            (2, 0, ts(5), ts(2), "Alice", None),  # ties with null at 2: stays
+        ],
+    )
+    resp, out = runner.run([_input(s1, ts(3))], system_time=ts(10))
+    assert _read_rows(out) == [
+        (0, 0, 1, ts(1), "Alice", None),
+        (1, 2, 1, ts(1), "Alice", None),
+        (2, 3, 1, ts(1), "Alice", 50),
+        (3, 0, 2, ts(1), "Alice", None),
+    ]
