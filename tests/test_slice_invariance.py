@@ -153,3 +153,86 @@ def test_match_recognize_slice_invariance(spark, tmp_path):
     b = _read_all(staged, drop=("system_time", "offset"))
     assert sorted(a) == sorted(b)
     assert len(a) > 0  # the scenario actually produced matches
+
+def test_keyed_topn_slice_invariance(spark, tmp_path):
+    """The keyed rank changelog is record-driven (no watermark gating):
+    cutting the ledger into invocations must not change a single emitted
+    row, offsets included."""
+    import pyarrow as pa
+
+    from .helpers import TransformRunner, write_input_slice
+
+    rng = random.Random(17)
+    n = 400
+    rows = [
+        (i, f"p{rng.randrange(12)}", rng.randrange(1000)) for i in range(n)
+    ]
+
+    def slice_file(path, chunk):
+        write_input_slice(
+            path,
+            {
+                "offset": [r[0] for r in chunk],
+                "op": [0] * len(chunk),
+                "system_time": [ts(9)] * len(chunk),
+                "match_time": [ts(1)] * len(chunk),
+                "player_name": [r[1] for r in chunk],
+                "score": [r[2] for r in chunk],
+            },
+            {
+                "offset": pa.int64(),
+                "op": pa.int32(),
+                "system_time": pa.timestamp("ms", tz="UTC"),
+                "match_time": pa.timestamp("ms", tz="UTC"),
+                "player_name": pa.string(),
+                "score": pa.int64(),
+            },
+        )
+
+    query = """select
+  cast(now() as timestamp(3)) as placed_at, *
+from (
+  select
+    row_number() over (partition by player_name order by score desc) AS place,
+    match_time, player_name, score
+  from match_scores
+) where place <= 3"""
+
+    from kamu_engine_flink_spark.protocol.model import DatasetVocabulary
+
+    def run_cuts(tag, cuts):
+        runner = TransformRunner(
+            spark,
+            tmp_path / tag,
+            queries=[(query, None)],
+            vocab=DatasetVocabulary(event_time_column="placed_at"),
+        )
+        outs = []
+        bounds = [0, *cuts, n]
+        for si in range(len(bounds) - 1):
+            chunk = rows[bounds[si] : bounds[si + 1]]
+            path = str(tmp_path / tag / f"s{si}.parquet")
+            slice_file(path, chunk)
+            resp, out = runner.run(
+                [
+                    {
+                        "alias": "match_scores",
+                        "data_paths": [path],
+                        "schema_file": path,
+                        "watermark": ts(2),
+                        "vocab": DatasetVocabulary(event_time_column="match_time"),
+                    }
+                ],
+                system_time=ts(9 + si),
+            )
+            if resp.new_offset_interval is not None:
+                outs.append(out)
+        return [
+            tuple(v for k, v in sorted(r.items()) if k not in ("system_time", "placed_at"))
+            for out in outs
+            for r in pq.read_table(out).to_pylist()
+        ]
+
+    one = run_cuts("one", [])
+    many = run_cuts("many", [137, 291])
+    assert one == many
