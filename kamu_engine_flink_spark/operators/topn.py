@@ -75,13 +75,14 @@ def _prune_partition_local(df, order_col: str, descending: bool, limit: int,
                 continue
             pdf = pdf.sort_values(SEQ_INPUT, kind="mergesort")
             best: dict = {}
+            glob: list = []  # global (no part_keys) fast path
             keep = []
             key_iters = [pdf[k] for k in part_keys]
             for v, *kparts in zip(pdf[order_col], *key_iters):
                 if pd.isna(v) or any(pd.isna(kp) for kp in kparts):
                     keep.append(True)
                     continue
-                lst = best.setdefault(tuple(kparts), [])
+                lst = best.setdefault(tuple(kparts), []) if part_keys else glob
                 if len(lst) < limit:
                     bisect.insort(lst, v)
                     keep.append(True)
