@@ -1369,6 +1369,28 @@ def over_agg_rolling_value_events(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def window_topn_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window Top-N batch twin (the stateful TVF form rides the window-agg
+    raw buffer): top-3 users by total value per day — a rank over the
+    windowed aggregate, one shuffle for the aggregate and the rank's
+    partitioning reuses it."""
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            F.date_trunc("day", "ts").alias("day"),
+            F.col("user_id").cast("long").alias("user_id"),
+        )
+        .agg(F.sum(_dec(F.col("value"), 28, 10)).alias("dec_total"))
+        .withColumn("total_value", F.col("dec_total").cast("double"))
+    )
+    w = Window.partitionBy("day").orderBy(F.desc("dec_total"), F.asc("user_id"))
+    return (
+        daily.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("day", "user_id", "total_value", F.col("rn").cast("long").alias("rn"))
+    )
+
+
 def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel per user (view -> first click after it -> first
     purchase after that) in ONE shuffle: three stacked per-user window
@@ -2074,6 +2096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first this round; the 50 already-green ones follow.
     return {
         "over_agg_rolling_value_events": over_agg_rolling_value_events,
+        "window_topn_daily_users": window_topn_daily_users,
         "funnel_view_click_purchase": funnel_view_click_purchase,
         "retention_cohorts_events": retention_cohorts_events,
         "match_recognize_dip_spike_events": match_recognize_dip_spike_events,
@@ -2738,6 +2761,20 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts
                          RANGE BETWEEN INTERVAL '2' HOUR PRECEDING AND CURRENT ROW)
+        """,
+        "window_topn_daily_users": """
+            SELECT CAST(day AS TIMESTAMP) AS day, user_id, total_value, rn FROM (
+                SELECT day, user_id,
+                       CAST(dec_total AS DOUBLE) AS total_value,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY day
+                            ORDER BY dec_total DESC, user_id ASC) AS BIGINT) AS rn
+                FROM (
+                    SELECT date_trunc('day', ts) AS day,
+                           CAST(user_id AS BIGINT) AS user_id,
+                           SUM(CAST(value AS DECIMAL(28,10))) AS dec_total
+                    FROM events GROUP BY 1, 2
+                )
+            ) WHERE rn <= 3
         """,
         "funnel_view_click_purchase": """
             WITH v AS (
