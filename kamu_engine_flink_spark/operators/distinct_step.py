@@ -75,11 +75,26 @@ def execute_distinct(ctx: StepContext, sql: str) -> StepResult:
     # value tokens are fixed width), so no delimiter/sentinel byte inside
     # a value can make two distinct rows collide (a raw concat_ws('\x1f')
     # would conflate ('a\x1fb','c') with ('a','b\x1fc')).
+    # Complex types (array/map/struct) go through to_json: a plain string
+    # cast conflates structurally distinct values — array('a, b') and
+    # array('a','b') both cast to '[a, b]' — and maps don't cast at all.
+    from pyspark.sql.types import ArrayType, MapType
+    from pyspark.sql.types import StructType as _StructType
+
+    complex_cols = {
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, _StructType))
+    }
+
+    def _as_text(c):
+        return F.to_json(F.col(c)) if c in complex_cols else F.col(c).cast("string")
+
     fingerprint = F.md5(
         F.concat(
             *[
                 F.when(F.col(c).isNull(), F.lit("n")).otherwise(
-                    F.concat(F.lit("v"), F.md5(F.col(c).cast("string")))
+                    F.concat(F.lit("v"), F.md5(_as_text(c)))
                 )
                 for c in value_cols
             ]

@@ -65,7 +65,10 @@ def execute_temporal_join(ctx: StepContext, sql: str) -> StepResult:
     probe_et = ctx.event_time_cols[probe]
 
     # Version history accumulates across invocations.
-    versions_state = f"versions-{build}"
+    # Scoped per STEP: two temporal-join steps on the same build table
+    # prune by different joint watermarks — a shared file would let the
+    # last writer destroy versions the other step's buffered probes need.
+    versions_state = f"{ctx.step_key}-versions-{build}"
     prev_versions = ctx.state.load_df(versions_state, schema=ctx.views[build].schema)
     versions = ctx.pin(prev_versions.unionByName(ctx.views[build]))
 

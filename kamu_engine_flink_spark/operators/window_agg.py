@@ -69,10 +69,14 @@ def _ordered_result(ctx: StepContext, src: str, result: DataFrame, new_wm) -> St
     time, like the reference's single-threaded stream), then remaining
     output columns to break ties between groups of the same window."""
     order_cols = list(result.columns)
-    et = ctx.event_time_cols.get(src)
-    if et in order_cols:
-        order_cols.remove(et)
-        order_cols.insert(0, et)
+    # The OUTPUT event-time column leads (reference emission is ascending
+    # window time); fall back to the source's column name when the query
+    # keeps it (they usually coincide, but a projection may rename).
+    for et in (ctx.request.vocab.event_time_column, ctx.event_time_cols.get(src)):
+        if et in order_cols:
+            order_cols.remove(et)
+            order_cols.insert(0, et)
+            break
     return StepResult(df=result, watermark=new_wm, order_cols=order_cols)
 
 
@@ -483,7 +487,8 @@ def execute_cumulate_agg(ctx: StepContext, sql: str) -> StepResult:
         if mspec.end_alias is not None:
             result = result.withColumn(mspec.end_alias, F.col("__cum_end"))
         result = result.select(*slice_partials.columns)
-        result = _finalize_avgs(result, mspec, _probe_output_schema(ctx, sql, src))
+        if mspec.avgs:
+            result = _finalize_avgs(result, mspec, _probe_output_schema(ctx, sql, src))
         lead = mspec.end_alias or mspec.start_alias
         order_cols = list(result.columns)
         if lead in order_cols:
@@ -572,7 +577,10 @@ def execute_session_agg(ctx: StepContext, sql: str) -> StepResult:
         )
         for k in spec.group_keys:
             cond = cond & (F.col(k).eqNullSafe(F.col(f"__ss_{k}")))
-        still_open = buf.join(F.broadcast(open_sess), cond, "left_semi").select(*cols)
+        # No broadcast hint: open_sess is one row per OPEN session —
+        # unbounded at scale; Spark's size-based planning picks broadcast
+        # when it actually fits.
+        still_open = buf.join(open_sess, cond, "left_semi").select(*cols)
     else:
         still_open = buf
     ctx.state.save_df(buffer_name, still_open)

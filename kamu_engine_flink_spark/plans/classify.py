@@ -194,7 +194,12 @@ def _parse_mergeable_aggs(sql: str, proj_re: re.Pattern) -> MergeAggSpec | None:
     `proj_re`), and every item that contains an aggregate call is
     exactly `fn(arg) AS alias` with fn in sum/count/min/max. Returns
     None (callers fall back to raw-row buffering) on anything else."""
-    if select_count(sql) != 1 or re.search(r"\b(having|distinct)\b", sql, re.IGNORECASE):
+    if select_count(sql) != 1 or re.search(
+        r"\b(having|distinct|order\s+by|limit)\b", sql, re.IGNORECASE
+    ):
+        # ORDER BY / LIMIT over partials would truncate per-slice results
+        # BEFORE the cross-run merge — only the raw-buffer path (whole
+        # closed buffer per emission) applies them correctly.
         return None
     low = sql.lower()
     # Per-run literals (current_watermark/now) would merge as distinct
@@ -233,7 +238,15 @@ def _parse_mergeable_aggs(sql: str, proj_re: re.Pattern) -> MergeAggSpec | None:
             continue
         if _AGG_CALL_RE.search(item):
             return None  # aggregate inside a larger expression — not mergeable
-        # anything else is a group-key projection: fine as-is
+        if re.search(r"\b\w+\s*\(", item):
+            # Any OTHER function call (approx_count_distinct, max_by,
+            # count_if, CAST, arithmetic over calls, ...) might be an
+            # unrecognized aggregate: treating it as a group key would
+            # group by the per-slice PARTIAL VALUE and emit corrupt
+            # duplicate rows after the cross-run merge. Conservative
+            # raw-buffer fallback for every such item.
+            return None
+        # anything else is a plain-column group-key projection: fine as-is
         new_items.append(item)
     if (start_alias is None and end_alias is None) or not merges:
         return None

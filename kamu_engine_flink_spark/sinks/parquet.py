@@ -125,3 +125,7 @@ def write_partitioned_ledger(
         return acc - next_offset
     finally:
         tagged.unpersist()
+        try:
+            bbase.destroy()
+        except NameError:
+            pass  # broadcast never created (write failed before it)

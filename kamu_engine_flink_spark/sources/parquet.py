@@ -24,12 +24,22 @@ from pyspark.sql import functions as F
 
 
 def _nanos_timestamp_columns(path: str) -> list[str]:
-    """Column names whose parquet logical type is TIMESTAMP(NANOS)."""
+    """Column names whose parquet logical type is TIMESTAMP(NANOS). A ns
+    timestamp NESTED inside a struct/list/map is rejected explicitly:
+    with nanosAsLong it would silently surface as a raw int64 (no nested
+    rewrite exists), and silent epoch-nanos longs corrupt comparisons."""
     schema = pq.read_schema(path)
     out = []
     for name, typ in zip(schema.names, schema.types):
-        if str(typ) == "timestamp[ns]" or str(typ).startswith("timestamp[ns,"):
+        st = str(typ)
+        if st == "timestamp[ns]" or st.startswith("timestamp[ns,"):
             out.append(name)
+        elif "timestamp[ns" in st:
+            raise ValueError(
+                f"column {name!r} nests a TIMESTAMP(NANOS) inside {st}; "
+                f"nested ns-timestamps are not supported (top-level ns "
+                f"columns are converted exactly)"
+            )
     return out
 
 
