@@ -2091,9 +2091,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering note: the round-1 driver recorded correctness rows for only
-    # the FIRST 50 dict entries, so the 22 entries it never reached run
-    # first this round; the 50 already-green ones follow.
+    # Ordering note: the driver records correctness rows for only the
+    # FIRST 50 dict entries per round, so every entry without a green
+    # CORRECTNESS row yet runs first (43 as of round 2 — all within the
+    # first 50); previously-green entries follow. tools/crosscheck.py
+    # verifies ALL entries locally regardless.
     return {
         "over_agg_rolling_value_events": over_agg_rolling_value_events,
         "window_topn_daily_users": window_topn_daily_users,
