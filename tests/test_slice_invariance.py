@@ -236,3 +236,46 @@ from (
     one = run_cuts("one", [])
     many = run_cuts("many", [137, 291])
     assert one == many
+
+
+def test_interval_join_slice_invariance(spark, tmp_path):
+    """Matched pairs of the stream-to-stream interval join are final once
+    both rows exist, so cutting the two ledgers into invocations (without
+    intermediate watermark advances) must produce the same INNER-join pair
+    set as a single invocation."""
+    JOIN_SQL = """SELECT
+  p.event_time as event_time, p.symbol as symbol,
+  p.price as l_price, c.price as r_price
+FROM lefts as p
+JOIN rights as c
+ON p.symbol = c.symbol
+  AND c.event_time BETWEEN p.event_time AND p.event_time + INTERVAL '30' MINUTE"""
+
+    rng = random.Random(23)
+    lrows = _gen_rows(rng, 150)
+    rrows = _gen_rows(rng, 150)
+
+    def run_cuts(tag, cuts):
+        runner = TransformRunner(spark, tmp_path / tag, queries=[(JOIN_SQL, None)])
+        outs = []
+        bounds = [0, *cuts, 150]
+        for si in range(len(bounds) - 1):
+            lp = str(tmp_path / tag / f"l{si}.parquet")
+            rp = str(tmp_path / tag / f"r{si}.parquet")
+            ticker_slice(lp, lrows[bounds[si] : bounds[si + 1]])
+            ticker_slice(rp, rrows[bounds[si] : bounds[si + 1]])
+            final = si == len(bounds) - 2
+            resp, out = runner.run(
+                [
+                    {"alias": "lefts", "data_paths": [lp], "schema_file": lp,
+                     "watermark": ts(1, 4, 0) if final else None},
+                    {"alias": "rights", "data_paths": [rp], "schema_file": rp,
+                     "watermark": ts(1, 4, 0) if final else None},
+                ],
+                system_time=ts(9 + si),
+            )
+            if resp.new_offset_interval is not None:
+                outs.append(out)
+        return sorted(_read_all(outs, drop=("system_time", "offset")))
+
+    assert run_cuts("one", []) == run_cuts("many", [60, 110])
