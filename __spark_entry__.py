@@ -1825,7 +1825,10 @@ GROUP BY event_type, CAST(JSON_VALUE(props, '$.k') AS INT) DIV 10"""
         "event_type",
         F.col("k_decile").cast("long").alias("k_decile"),
         F.col("n_events").cast("long").alias("n_events"),
-        F.col("sum_value").cast("decimal(38,6)").alias("sum_value"),
+        # DECIMAL sum for order-independence, DOUBLE on the wire (the
+        # file-wide money convention; raw DecimalType breaks the driver
+        # canonicalizer's value hash).
+        F.col("sum_value").cast("double").alias("sum_value"),
     )
 
 
@@ -1879,7 +1882,11 @@ def inverted_index_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "term",
         "doc_freq",
         "total_tf",
-        F.col("postings").cast("array<long>").alias("postings"),
+        # CSV-encode the postings list: the driver canonicalizer cannot
+        # sort/hash raw array columns (pandas factorize on lists throws).
+        F.array_join(F.col("postings").cast("array<string>"), ",").alias(
+            "postings"
+        ),
     )
 
 
@@ -1930,7 +1937,10 @@ GROUP BY CUMULATE(event_time, INTERVAL '1' HOUR, INTERVAL '6' HOUR), event_type"
         F.unix_micros("win_end").alias("win_end_us"),
         "event_type",
         F.col("n_events").cast("long").alias("n_events"),
-        F.col("sum_value").cast("decimal(38,6)").alias("sum_value"),
+        # DECIMAL internally for order-independent summation, DOUBLE on
+        # the wire (file-wide money convention; raw DecimalType breaks
+        # the driver canonicalizer's value hash).
+        F.col("sum_value").cast("double").alias("sum_value"),
         (F.col("sum_value").cast("double") / F.col("n_events")).alias("avg_value"),
     )
 
@@ -1983,7 +1993,11 @@ def random_projection_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/training_data.random_projection): exact integer plane
     dots over quantized embeddings — bit-reproducible in any engine."""
     out = TD.random_projection(_t(spark, sf_dir, "embeddings"), out_dim=16)
-    return out.select(F.col("vec_id").cast("long").alias("vec_id"), "proj")
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        # CSV-encode: driver canonicalizer cannot hash raw array columns.
+        F.array_join(F.col("proj").cast("array<string>"), ",").alias("proj"),
+    )
 
 
 def kmeans_clusters_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3322,11 +3336,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "random_projection_embeddings": """
             SELECT CAST(vec_id AS BIGINT) AS vec_id,
-                   list_transform(range(16), i ->
-                       list_sum(list_transform(range(64), j ->
+                   array_to_string(list_transform(range(16), i ->
+                       CAST(list_sum(list_transform(range(64), j ->
                            ((('0x' || substr(md5('rp-' || i || '-' || j), 1, 8)
                              )::BIGINT % 2001) - 1000)
-                           * round(embedding[j+1]::DOUBLE * 1000000)::BIGINT))) AS proj
+                           * round(embedding[j+1]::DOUBLE * 1000000)::BIGINT))
+                        AS VARCHAR)), ',') AS proj
             FROM embeddings
         """,
         "kmeans_clusters_embeddings": """
@@ -3457,7 +3472,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(CAST(json_extract_string(props, '$.k') AS INT) // 10 AS BIGINT) AS k_decile,
                    CAST(count(*) AS BIGINT) AS n_events,
-                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
             FROM events
             GROUP BY 1, 2
         """,
@@ -3535,7 +3550,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT term,
                    CAST(count(*) AS BIGINT) AS doc_freq,
                    CAST(sum(tf) AS BIGINT) AS total_tf,
-                   list_slice(list_sort(list(doc_id)), 1, 20) AS postings
+                   array_to_string(list_transform(
+                       list_slice(list_sort(list(doc_id)), 1, 20),
+                       x -> CAST(x AS VARCHAR)), ',') AS postings
             FROM per_doc GROUP BY 1
         """,
         "dedup_segments_documents": """
@@ -3592,7 +3609,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT s_us AS win_start_us, end_us AS win_end_us, event_type,
                    CAST(count(*) AS BIGINT) AS n_events,
-                   CAST(sum(value_dec) AS DECIMAL(38,6)) AS sum_value,
+                   CAST(sum(value_dec) AS DOUBLE) AS sum_value,
                    CAST(sum(value_dec) AS DOUBLE) / count(*) AS avg_value
             FROM w
             GROUP BY 1, 2, 3

@@ -1,0 +1,101 @@
+"""Batched grouped-map: a mapInPandas replacement for per-key applyInPandas.
+
+`DataFrame.groupBy(keys).applyInPandas(fn)` invokes `fn` once per key with
+a per-group Arrow round-trip. At high key cardinality (the 100 TB shape:
+millions of user_id-grade keys, a handful of rows each) that per-group
+framework overhead — slicing, FFI, one Arrow batch per group — dominates
+end-to-end runtime by orders of magnitude (measured ~0.5 ms/group even for
+a no-op fold).
+
+`grouped_map_batched` keeps the same per-group Python fold contract but
+amortizes the framework cost across whole Arrow batches:
+
+  1. hash-partition by the keys (all rows of a key land in one partition),
+  2. sort within partitions by (keys..., sort_cols...) so groups are
+     contiguous runs and each group arrives pre-sorted,
+  3. mapInPandas: stream the partition's Arrow batches, split each batch
+     into complete key runs, CARRY the tail run to the next batch (a group
+     may straddle batch boundaries), fold each complete group, and emit
+     ONE output DataFrame per input batch.
+
+The fold receives exactly what applyInPandas would have passed (all
+columns, one key's rows) and returns a list of record dicts; missing keys
+become NULL, matching applyInPandas' column-aligned construction.
+
+Null keys are preserved as groups (pandas NaN-equality is handled in the
+run splitter), matching Spark groupBy semantics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame
+
+
+def _run_boundaries(pdf, keys):
+    """Boolean Series: True where the key tuple differs from the previous
+    row (NaN == NaN). Position 0 is always True."""
+    m = None
+    for k in keys:
+        s = pdf[k]
+        p = s.shift()
+        neq = ~((s == p) | (s.isna() & p.isna()))
+        m = neq if m is None else (m | neq)
+    m.iloc[0] = True
+    return m
+
+
+def grouped_map_batched(
+    df: DataFrame,
+    keys: list[str],
+    fold_records: Callable[..., list[dict]],
+    out_schema,
+    sort_cols: list[str] | None = None,
+) -> DataFrame:
+    """Apply `fold_records(group_pdf) -> list[dict]` once per distinct key,
+    with batch-amortized overhead. See module docstring for the contract.
+    """
+    if not keys:
+        raise ValueError("grouped_map_batched requires at least one key")
+    out_names = [f.name for f in out_schema.fields]
+
+    def mapper(batches) -> Iterator:
+        import pandas as pd
+
+        carry = None
+
+        def fold_groups(pdf):
+            recs: list[dict] = []
+            gid = _run_boundaries(pdf, keys).cumsum()
+            for _, g in pdf.groupby(gid, sort=False):
+                recs.extend(fold_records(g.reset_index(drop=True)))
+            return recs
+
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            n = len(pdf)
+            if n == 0:
+                continue
+            # Split off the trailing run (rows sharing the last row's key):
+            # it may continue into the next Arrow batch.
+            bounds = _run_boundaries(pdf, keys)
+            starts = bounds[bounds].index
+            tail_start = starts[-1]
+            carry = pdf.iloc[tail_start:].reset_index(drop=True)
+            head = pdf.iloc[:tail_start]
+            if len(head):
+                recs = fold_groups(head)
+                if recs:
+                    yield pd.DataFrame(recs, columns=out_names)
+        if carry is not None and len(carry):
+            recs = fold_groups(carry)
+            if recs:
+                yield pd.DataFrame(recs, columns=out_names)
+
+    ordered = df.repartition(*keys).sortWithinPartitions(
+        *keys, *(sort_cols or [])
+    )
+    return ordered.mapInPandas(mapper, out_schema)

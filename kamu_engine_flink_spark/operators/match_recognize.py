@@ -516,15 +516,39 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
     use_match_no = any(fn == "match_number" for fn, *_ in spec["measures"])
     has_count = "__mrcount" in buf.columns
 
-    def fold(pdf):
+    def fold_records(pdf):
+        import numpy as np
         import pandas as pd
 
-        pdf = pdf.sort_values([time_col, SEQ_INPUT], kind="mergesort").reset_index(
-            drop=True
-        )
-        obj = pdf.astype(object).where(pd.notnull(pdf), None)
         n = len(pdf)
+        # Hot path at high key cardinality (one fold call per key): avoid
+        # the O(columns) astype(object) copy and only physically sort when
+        # the group isn't already ordered. Column values are materialized
+        # lazily, per accessed column, as plain Python lists.
         ts_series = pd.to_datetime(pdf[time_col])
+        if n > 1:
+            ts64 = ts_series.to_numpy(dtype="datetime64[ns]")
+            seqv = pdf[SEQ_INPUT].to_numpy()
+            order = np.lexsort((seqv, ts64))
+            if not np.array_equal(order, np.arange(n)):
+                pdf = pdf.take(order)
+                ts_series = ts_series.take(order).reset_index(drop=True)
+
+        colvals: dict[str, list] = {}
+
+        def _nullify(x):
+            if x is None or x is pd.NaT:
+                return None
+            if isinstance(x, float) and x != x:
+                return None
+            return x
+
+        def colv(c):
+            v = colvals.get(c)
+            if v is None:
+                v = [_nullify(x) for x in pdf[c].tolist()]
+                colvals[c] = v
+            return v
         wm_naive = None
         if wm_val is not None:
             wm_naive = pd.Timestamp(wm_val)
@@ -570,11 +594,12 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
                 return len(idxs)
             if not idxs:
                 return None
+            cv = colv(col)
             if fn == "first":
-                return obj.at[idxs[0], col]
+                return cv[idxs[0]]
             if fn == "last":
-                return obj.at[idxs[-1], col]
-            vals = [v for v in (obj.at[j, col] for j in idxs) if v is not None]
+                return cv[idxs[-1]]
+            vals = [cv[j] for j in idxs if cv[j] is not None]
             if not vals:
                 return None
             if fn == "sum":
@@ -586,8 +611,8 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
             return float(sum(vals)) / len(vals)  # avg
 
         def _emit(rec, row_i, kind=0):
-            rec["__final_ts"] = obj.at[row_i, time_col]
-            rec["__final_seq"] = obj.at[row_i, SEQ_INPUT]
+            rec["__final_ts"] = colv(time_col)[row_i]
+            rec["__final_seq"] = colv(SEQ_INPUT)[row_i]
             rec["__keep_from"] = rec["__keep_ts"] = None
             rec["__ctx_from"] = rec["__ctx_ts"] = None
             rec[KIND_COL] = kind
@@ -609,7 +634,7 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
                 # One output row per matched row; RUNNING measures by
                 # default, FINAL on request (SQL:2016 semantics).
                 for j in range(s0, end_i):
-                    rec = {c: obj.at[j, c] for c in data_cols}
+                    rec = {c: colv(c)[j] for c in data_cols}
                     for fn, var, col, alias, mode in measures:
                         if fn == "classifier":
                             rec[alias] = var_of.get(j)
@@ -623,7 +648,7 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
                     _emit(rec, j)
                 return assign
             else:
-                rec = {k: obj.at[s0, k] for k in keys}
+                rec = {k: colv(k)[s0] for k in keys}
                 for fn, var, col, alias, _mode in measures:
                     if fn == "classifier":
                         rec[alias] = var_of.get(end_i - 1)
@@ -696,20 +721,20 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
         ctx_idx = max(0, boundary - max_lag) if max_lag else boundary
         counts_changed = use_match_no and match_no[0] != base_count
         if pending_from is None and ctx_idx >= n and not counts_changed:
-            return pd.DataFrame(out, columns=out_names)
-        keep_rec: dict[str, Any] = {k: obj.at[0, k] if n else None for k in keys}
+            return out
+        keep_rec: dict[str, Any] = {k: colv(k)[0] if n else None for k in keys}
         for f in measure_fields:
             keep_rec[f.name] = None
         keep_rec["__final_ts"] = None
         keep_rec["__final_seq"] = None
         if pending_from is not None:
-            keep_rec["__keep_from"] = obj.at[pending_from, SEQ_INPUT]
-            keep_rec["__keep_ts"] = obj.at[pending_from, time_col]
+            keep_rec["__keep_from"] = colv(SEQ_INPUT)[pending_from]
+            keep_rec["__keep_ts"] = colv(time_col)[pending_from]
         else:
             keep_rec["__keep_from"] = keep_rec["__keep_ts"] = None
         if ctx_idx < n:
-            keep_rec["__ctx_from"] = obj.at[ctx_idx, SEQ_INPUT]
-            keep_rec["__ctx_ts"] = obj.at[ctx_idx, time_col]
+            keep_rec["__ctx_from"] = colv(SEQ_INPUT)[ctx_idx]
+            keep_rec["__ctx_ts"] = colv(time_col)[ctx_idx]
         else:
             keep_rec["__ctx_from"] = keep_rec["__ctx_ts"] = None
         keep_rec["__match_count"] = match_no[0] if use_match_no else None
@@ -725,14 +750,31 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
                 # suffix so the next invocation skips it.
                 for d in range(boundary, n_proc):
                     if done[d]:
-                        rec = {k: obj.at[0, k] for k in keys}
+                        rec = {k: colv(k)[0] for k in keys}
                         _emit(rec, d, kind=2)
-        return pd.DataFrame(out, columns=out_names)
+        return out
 
-    grouped = (
-        with_preds.groupBy(*keys) if keys else with_preds.groupBy(F.lit(0).alias("__gk"))
-    )
-    return grouped.applyInPandas(fold, out_schema)
+    if keys:
+        # Batch-amortized grouped map: at user_id-grade key cardinality a
+        # per-key applyInPandas pays ~0.5 ms of framework overhead per key
+        # (one Arrow round-trip each); the mapInPandas run-splitter folds
+        # thousands of contiguous key groups per Arrow batch instead.
+        from ..functions.grouped import grouped_map_batched
+
+        return grouped_map_batched(
+            with_preds,
+            keys,
+            fold_records,
+            out_schema,
+            sort_cols=[time_col, SEQ_INPUT],
+        )
+
+    def fold(pdf):
+        import pandas as pd
+
+        return pd.DataFrame(fold_records(pdf), columns=out_names)
+
+    return with_preds.groupBy(F.lit(0).alias("__gk")).applyInPandas(fold, out_schema)
 
 
 def match_recognize_batch(spark, df, sql: str):
@@ -809,7 +851,10 @@ def execute_match_recognize(ctx: StepContext, sql: str) -> StepResult:
         )
         old_counts = ctx.state.load_df(counts_name, schema=counts_schema)
         if keys:
-            fold_input = buf.join(F.broadcast(old_counts), keys, "left")
+            # No broadcast hint: old_counts is one row per active partition
+            # key — unbounded at scale; size-based planning broadcasts it
+            # only when it actually fits (cf. window_agg.py session join).
+            fold_input = buf.join(old_counts, keys, "left")
         else:
             fold_input = buf.crossJoin(
                 F.broadcast(old_counts.limit(1))
@@ -847,8 +892,12 @@ def execute_match_recognize(ctx: StepContext, sql: str) -> StepResult:
         for k in keys:
             c = F.col(k).eqNullSafe(F.col(f"__m_{k}"))
             cond = c if cond is None else (cond & c)
-        joined = buf.join(F.broadcast(markers), cond, "inner")
+        # Null-safe equi-join on the keys; no broadcast hint — markers is
+        # one row per active key (unbounded at user_id-grade cardinality).
+        joined = buf.join(markers, cond, "inner")
     else:
+        # Keyless pattern: markers is a single global row — broadcast is
+        # provably bounded here.
         joined = buf.crossJoin(F.broadcast(markers))
 
     def lex_ge(bts, bseq):
@@ -876,8 +925,9 @@ def execute_match_recognize(ctx: StepContext, sql: str) -> StepResult:
         tcond = (t == F.col("__t_ts")) & (F.col(SEQ_INPUT) == F.col("__t_seq"))
         for k in keys:
             tcond = tcond & F.col(k).eqNullSafe(F.col(f"__t_{k}"))
+        # tombs is O(matches this invocation) — unbounded; no hint.
         still_open = (
-            still_open.join(F.broadcast(tombs), tcond, "left")
+            still_open.join(tombs, tcond, "left")
             .withColumn(
                 "__mrdone",
                 F.col("__mrdone") | F.coalesce(F.col("__t_hit"), F.lit(False)),

@@ -243,7 +243,12 @@ def _execute_unbounded(ctx: StepContext, sql: str, spec) -> StepResult:
     if not keys:
         local = local.withColumn("__gk", F.lit(0))
         acc = acc.withColumn("__gk", F.lit(0))
-    combined = local.join(F.broadcast(acc), join_keys, "left")
+    # No broadcast hint: the accumulator table is one row per DISTINCT
+    # partition key — unbounded at scale (user_id-grade cardinality would
+    # OOM the driver's broadcast build). Spark's size-based planning picks
+    # broadcast when acc actually fits (cf. window_agg.py session-state
+    # join for the same pattern).
+    combined = local.join(acc, join_keys, "left")
     for fn, arg, alias, _ in aggs:
         a = F.col(alias)
         if fn == "sum":

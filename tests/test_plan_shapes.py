@@ -1,0 +1,176 @@
+"""Plan-shape guards for per-key state joins at high key cardinality.
+
+The per-key state tables (OVER-aggregation accumulators, MATCH_RECOGNIZE
+continuation markers/counts/tombstones) are O(distinct partition keys) —
+unbounded at user_id-grade cardinality. These tests pin that the state
+joins carry NO forced broadcast hint: with autoBroadcastJoinThreshold
+disabled, the captured physical plans must contain no BroadcastExchange.
+A hard F.broadcast() hint would ignore the threshold and reintroduce a
+driver-OOM at 100x key cardinality (the round-2 verdict's scale-killer).
+
+Evidence that size-based planning still broadcasts when the state is
+genuinely small is in the default-threshold runs of test_over_agg.py /
+test_match_recognize.py; here we only guard against forced hints.
+"""
+
+from contextlib import contextmanager
+
+import pyarrow.parquet as pq
+
+from .helpers import TransformRunner, ticker_slice, ts
+
+N_KEYS = 100_000
+
+OVER_QUERY = """select
+  event_time, symbol, price,
+  sum(price) over (partition by symbol order by event_time
+    rows between unbounded preceding and current row) as run_sum
+from tickers"""
+
+MR_QUERY = """select * from tickers
+MATCH_RECOGNIZE (
+  PARTITION BY symbol
+  ORDER BY event_time
+  MEASURES
+    LAST(B.event_time) AS event_time,
+    MATCH_NUMBER() AS mno,
+    A.price AS a_price,
+    B.price AS b_price
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (A B)
+  DEFINE
+    A AS A.price < 10,
+    B AS B.price >= 100
+)"""
+
+
+def _input(path, watermark):
+    return {
+        "alias": "tickers",
+        "data_paths": [path] if path else [],
+        "schema_file": path,
+        "watermark": watermark,
+    }
+
+
+def _executions(spark):
+    """Physical plan descriptions from the SQL status store."""
+    store = spark._jsparkSession.sharedState().statusStore()
+    lst = store.executionsList()
+    return [lst.apply(i).physicalPlanDescription() for i in range(lst.size())]
+
+
+@contextmanager
+def _no_auto_broadcast(spark):
+    """Disable size-based broadcast so any BroadcastExchange in a captured
+    plan can only come from a forced hint."""
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ]
+    saved = {}
+    for k in keys:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, "-1")
+    try:
+        yield
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def _drain_listener_bus(spark):
+    bus = spark.sparkContext._jsc.sc().listenerBus()
+    try:
+        bus.waitUntilEmpty()
+    except Exception:
+        import time
+
+        time.sleep(2)
+
+
+def _assert_no_broadcast(spark, n_before):
+    _drain_listener_bus(spark)
+    plans = _executions(spark)[:]
+    new = plans[: max(0, len(plans) - n_before)] if plans else []
+    # executionsList is oldest-first in some versions; just scan the ones
+    # beyond the pre-run count regardless of ordering direction.
+    new = plans[n_before:] if len(plans) > n_before else new
+    offenders = [p for p in new if "BroadcastExchange" in p]
+    assert not offenders, (
+        f"forced broadcast found in {len(offenders)} plan(s); first:\n"
+        + offenders[0][:4000]
+    )
+
+
+def test_over_agg_no_forced_broadcast_high_cardinality(spark, tmp_path):
+    runner = TransformRunner(spark, tmp_path, queries=[(OVER_QUERY, None)])
+    s1 = str(tmp_path / "in" / "s1.parquet")
+    ticker_slice(
+        s1,
+        [
+            (i, 0, ts(2), ts(1, 0, 1), f"k{i}", 1)
+            for i in range(N_KEYS)
+        ],
+    )
+    # Run 1 populates a 100k-key accumulator table.
+    runner.run([_input(s1, ts(1, 0, 30))], system_time=ts(2))
+
+    # Run 2 joins the 100k-key accumulator state with the new slice; with
+    # auto-broadcast off, the plan must contain no BroadcastExchange.
+    s2 = str(tmp_path / "in" / "s2.parquet")
+    ticker_slice(
+        s2,
+        [
+            (N_KEYS + i, 0, ts(3), ts(1, 0, 40), f"k{i}", 2)
+            for i in range(N_KEYS)
+        ],
+    )
+    with _no_auto_broadcast(spark):
+        _drain_listener_bus(spark)
+        n_before = len(_executions(spark))
+        resp, out = runner.run([_input(s2, ts(1, 1, 0))], system_time=ts(3))
+        _assert_no_broadcast(spark, n_before)
+
+    # Cross-run accumulator correctness at this cardinality: every key's
+    # second row sums run-1 state (1) with the new price (2).
+    table = pq.read_table(out)
+    assert table.num_rows == N_KEYS
+    assert set(table.column("run_sum").to_pylist()) == {3}
+
+
+def test_match_recognize_no_forced_broadcast_high_cardinality(spark, tmp_path):
+    runner = TransformRunner(spark, tmp_path, queries=[(MR_QUERY, None)])
+    s1 = str(tmp_path / "in" / "s1.parquet")
+    # Run 1: one A row per key -> 100k open partial matches (markers state).
+    ticker_slice(
+        s1,
+        [(i, 0, ts(2), ts(1, 0, 1), f"k{i}", 5) for i in range(N_KEYS)],
+    )
+    runner.run([_input(s1, ts(1, 0, 1))], system_time=ts(2))
+
+    # Run 2: B rows (ahead of the run-1 watermark) complete every match;
+    # the buffer joins 100k-key marker/count state — no BroadcastExchange
+    # allowed with auto off.
+    s2 = str(tmp_path / "in" / "s2.parquet")
+    ticker_slice(
+        s2,
+        [(N_KEYS + i, 0, ts(3), ts(1, 0, 5), f"k{i}", 200) for i in range(N_KEYS)],
+    )
+    with _no_auto_broadcast(spark):
+        _drain_listener_bus(spark)
+        n_before = len(_executions(spark))
+        resp, out = runner.run([_input(s2, ts(1, 1, 0))], system_time=ts(3))
+        _assert_no_broadcast(spark, n_before)
+
+    table = pq.read_table(out)
+    assert table.num_rows == N_KEYS
+    assert set(table.column("a_price").to_pylist()) == {5}
+    assert set(table.column("b_price").to_pylist()) == {200}
