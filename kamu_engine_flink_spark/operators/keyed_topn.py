@@ -128,23 +128,40 @@ def execute_keyed_topn(ctx: StepContext, sql: str, spec) -> StepResult:
         ]
     )
     limit = spec.limit
-    out_names = [f.name for f in fold_schema.fields]
 
-    def fold(pdf):
+    def fold_group(pdf) -> list[dict[str, Any]]:
+        # Hot path at high key cardinality: plain per-column Python lists
+        # instead of an astype(object) copy + iterrows (row-at-a-time
+        # pandas was the round-2 profile's top cost in this fold).
         import pandas as pd
 
-        pdf = pdf.astype(object).where(pd.notnull(pdf), None)
-        is_state = pdf[rank_col].map(lambda v: v is not None)
+        def _nullify(x):
+            if x is None or x is pd.NaT:
+                return None
+            if isinstance(x, float) and x != x:
+                return None
+            return x
+
+        cols = {
+            c: [_nullify(x) for x in pdf[c].tolist()]
+            for c in (*value_cols, rank_col, SEQ_INPUT)
+        }
+        n = len(pdf)
+        rank_v, seq_v = cols[rank_col], cols[SEQ_INPUT]
+        state_idx = sorted(
+            (i for i in range(n) if rank_v[i] is not None),
+            key=lambda i: rank_v[i],
+        )
         ranking: list[dict[str, Any]] = [
-            {c: r[c] for c in value_cols}
-            for _, r in pdf[is_state].sort_values(rank_col, kind="mergesort").iterrows()
+            {c: cols[c][i] for c in value_cols} for i in state_idx
         ]
-        slice_pdf = pdf[~is_state].sort_values(SEQ_INPUT, kind="mergesort")
+        slice_idx = sorted(
+            (i for i in range(n) if rank_v[i] is None), key=lambda i: seq_v[i]
+        )
         rows = [
-            ({c: r[c] for c in value_cols}, r[SEQ_INPUT])
-            for _, r in slice_pdf.iterrows()
+            ({c: cols[c][i] for c in value_cols}, seq_v[i]) for i in slice_idx
         ]
-        out = []
+        out: list[dict[str, Any]] = []
         for gseq, sub, op, place, row in fold_records(
             ranking, rows, order_col, descending, limit
         ):
@@ -157,9 +174,13 @@ def execute_keyed_topn(ctx: StepContext, sql: str, spec) -> StepResult:
                 {**row, rank_col: i + 1, OP_COL: None, GSEQ_COL: None, SUB_COL: None,
                  KIND_COL: 1}
             )
-        return pd.DataFrame(out, columns=out_names)
+        return out
 
-    folded = ctx.pin(unioned.groupBy(*part_keys).applyInPandas(fold, fold_schema))
+    from ..functions.grouped import grouped_map_batched
+
+    folded = ctx.pin(
+        grouped_map_batched(unioned, part_keys, fold_group, fold_schema)
+    )
     ctx.state.save_df(
         state_name, folded.filter(F.col(KIND_COL) == 1).select(rank_col, *value_cols)
     )

@@ -70,19 +70,39 @@ def _prune_partition_local(df, order_col: str, descending: bool, limit: int,
     import pandas as pd
 
     def batches(it):
+        # The running top-N state carries ACROSS Arrow batches within a
+        # partition (sound because the partition is seq-sorted below):
+        # survivors per key shrink from ~N*ln(rows/key/batch) per batch to
+        # ~N*ln(rows/key/partition) total — the difference between pruning
+        # 26% and pruning 80% when batches hold few rows per key.
+        best: dict = {}
+        glob: list = []  # global (no part_keys) fast path
         for pdf in it:
             if not len(pdf):
                 continue
             pdf = pdf.sort_values(SEQ_INPUT, kind="mergesort")
-            best: dict = {}
-            glob: list = []  # global (no part_keys) fast path
             keep = []
-            key_iters = [pdf[k] for k in part_keys]
-            for v, *kparts in zip(pdf[order_col], *key_iters):
-                if pd.isna(v) or any(pd.isna(kp) for kp in kparts):
+            # Vectorized null masks + list materialization: iterating raw
+            # pandas Series and calling pd.isna per cell is 3-5x slower
+            # than this in the hot loop.
+            vals = pdf[order_col].tolist()
+            null_mask = pd.isna(pdf[order_col]).to_numpy()
+            if part_keys:
+                key_lists = [pdf[k].tolist() for k in part_keys]
+                for k in part_keys:
+                    null_mask = null_mask | pd.isna(pdf[k]).to_numpy()
+                kt = (
+                    key_lists[0]
+                    if len(key_lists) == 1
+                    else list(zip(*key_lists))
+                )
+            else:
+                kt = None
+            for i, v in enumerate(vals):
+                if null_mask[i]:
                     keep.append(True)
                     continue
-                lst = best.setdefault(tuple(kparts), []) if part_keys else glob
+                lst = best.setdefault(kt[i], []) if part_keys else glob
                 if len(lst) < limit:
                     bisect.insort(lst, v)
                     keep.append(True)
@@ -102,7 +122,10 @@ def _prune_partition_local(df, order_col: str, descending: bool, limit: int,
                         keep.append(False)
             yield pdf[keep]
 
-    return df.mapInPandas(batches, df.schema)
+    # Partition-level seq sort (no shuffle): makes Arrow batches arrive in
+    # ledger order, which the cross-batch carry above relies on — dropped
+    # rows are then beaten only by genuinely EARLIER rows.
+    return df.sortWithinPartitions(SEQ_INPUT).mapInPandas(batches, df.schema)
 
 
 def _dedupe_columns(df):
