@@ -107,6 +107,10 @@ def execute_keyed_topn(ctx: StepContext, sql: str, spec) -> StepResult:
         [StructField(rank_col, LongType())] + [incoming.schema[c] for c in value_cols]
     )
     prev_state = ctx.state.load_df(state_name, schema=state_schema)
+    # One-time migration mirroring topn.py: pre-alias-change checkpoints
+    # persisted the rank under a literal 'place' column.
+    if rank_col not in prev_state.columns and "place" in prev_state.columns:
+        prev_state = prev_state.withColumnRenamed("place", rank_col)
 
     # Union (state ∪ slice) on a common schema; fold output carries both the
     # changelog and the key's new ranking (KIND_COL splits them afterward).

@@ -489,12 +489,25 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
     data_cols = (
         [c for c in buf.columns if not c.startswith("__")] if all_rows else keys
     )
+    if all_rows:
+        # ALL ROWS PER MATCH emits every input column plus the measures: a
+        # measure aliased to an input column name would yield duplicate
+        # StructType fields and an opaque downstream analysis failure.
+        clashes = sorted(
+            {f.name for f in measure_fields} & set(data_cols)
+        )
+        if clashes:
+            raise InvalidQueryError(
+                "ALL ROWS PER MATCH measure aliases collide with input "
+                f"column names: {clashes}; alias the measures differently"
+            )
     out_schema = StructType(
         [StructField(c, buf_types[c]) for c in data_cols]
         + measure_fields
         + [
             StructField("__final_ts", buf_types[time_col]),
             StructField("__final_seq", LongType()),
+            StructField("__start_seq", LongType()),
             StructField("__keep_from", LongType()),
             StructField("__keep_ts", buf_types[time_col]),
             StructField("__ctx_from", LongType()),
@@ -610,9 +623,17 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
                 return max(vals)
             return float(sum(vals)) / len(vals)  # avg
 
-        def _emit(rec, row_i, kind=0):
+        def _emit(rec, row_i, kind=0, start_i=None):
             rec["__final_ts"] = colv(time_col)[row_i]
             rec["__final_seq"] = colv(SEQ_INPUT)[row_i]
+            # Deterministic tertiary order key: with AFTER MATCH SKIP TO
+            # NEXT ROW (or ALL ROWS PER MATCH) two overlapping matches can
+            # END on the same input row; their (ts, seq) sort keys tie and
+            # ledger offset stamping would be nondeterministic without the
+            # match's start position breaking the tie.
+            rec["__start_seq"] = colv(SEQ_INPUT)[
+                start_i if start_i is not None else row_i
+            ]
             rec["__keep_from"] = rec["__keep_ts"] = None
             rec["__ctx_from"] = rec["__ctx_ts"] = None
             rec[KIND_COL] = kind
@@ -645,7 +666,7 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
                             if mode != "final":
                                 idxs = [x for x in idxs if x <= j]
                             rec[alias] = _measure_val(fn, idxs, col)
-                    _emit(rec, j)
+                    _emit(rec, j, start_i=s0)
                 return assign
             else:
                 rec = {k: colv(k)[s0] for k in keys}
@@ -656,7 +677,7 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
                         rec[alias] = match_no[0]
                     else:
                         rec[alias] = _measure_val(fn, assign.get(var, []), col)
-                _emit(rec, end_i - 1)
+                _emit(rec, end_i - 1, start_i=s0)
             return assign
 
         # Context rows (kept only for PREV navigation) all sort before the
@@ -727,6 +748,7 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
             keep_rec[f.name] = None
         keep_rec["__final_ts"] = None
         keep_rec["__final_seq"] = None
+        keep_rec["__start_seq"] = None
         if pending_from is not None:
             keep_rec["__keep_from"] = colv(SEQ_INPUT)[pending_from]
             keep_rec["__keep_ts"] = colv(time_col)[pending_from]
@@ -790,7 +812,7 @@ def match_recognize_batch(spark, df, sql: str):
     folded = _fold_matches(df, spec, wm_val=None, process_all=True)
     matches = folded.filter(F.col(KIND_COL) == 0).drop(
         "__keep_from", "__keep_ts", "__ctx_from", "__ctx_ts", "__match_count",
-        KIND_COL, "__final_ts", "__final_seq",
+        KIND_COL, "__final_ts", "__final_seq", "__start_seq",
     )
     if spec["proj"] != "*":
         view_name = "__mr_batch"
@@ -950,8 +972,13 @@ def execute_match_recognize(ctx: StepContext, sql: str) -> StepResult:
     else:
         sel = proj
     result = ctx.spark.sql(
-        f"SELECT __final_ts, __final_seq, {sel} FROM {view_name}"
+        f"SELECT __final_ts, __final_seq, __start_seq, {sel} FROM {view_name}"
     )
     return StepResult(
-        df=result, watermark=new_wm, order_cols=["__final_ts", "__final_seq"]
+        df=result,
+        watermark=new_wm,
+        # __start_seq breaks (end ts, end seq) ties between overlapping
+        # matches that end on the same row (SKIP TO NEXT ROW / ALL ROWS),
+        # keeping ledger offset stamping deterministic across retries.
+        order_cols=["__final_ts", "__final_seq", "__start_seq"],
     )

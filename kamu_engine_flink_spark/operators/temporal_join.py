@@ -69,7 +69,22 @@ def execute_temporal_join(ctx: StepContext, sql: str) -> StepResult:
     # prune by different joint watermarks — a shared file would let the
     # last writer destroy versions the other step's buffered probes need.
     versions_state = f"{ctx.step_key}-versions-{build}"
-    prev_versions = ctx.state.load_df(versions_state, schema=ctx.views[build].schema)
+    # One-time migration: checkpoints from engine revisions before the
+    # per-step scoping used the unscoped key. Loading the legacy file once
+    # (it is re-saved under the scoped key below) keeps a restored
+    # dataset's entire build-side history instead of silently starting an
+    # EMPTY versions frame.
+    legacy_versions_state = f"versions-{build}"
+    if not ctx.state.has_df(versions_state) and ctx.state.has_df(
+        legacy_versions_state
+    ):
+        prev_versions = ctx.state.load_df(
+            legacy_versions_state, schema=ctx.views[build].schema
+        )
+    else:
+        prev_versions = ctx.state.load_df(
+            versions_state, schema=ctx.views[build].schema
+        )
     versions = ctx.pin(prev_versions.unionByName(ctx.views[build]))
 
     # Probe rows release when the joint watermark passes their event time.

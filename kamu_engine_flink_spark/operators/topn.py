@@ -235,6 +235,11 @@ def execute_topn(ctx: StepContext, sql: str) -> StepResult:
         [StructField(rank_col, LongType())] + [incoming.schema[c] for c in value_cols]
     )
     prev_state = ctx.state.load_df(state_name, schema=state_schema)
+    # One-time migration: engine revisions before the user-alias change
+    # persisted the rank under a literal 'place' column; rename on load so
+    # restored checkpoints keep their ranking state.
+    if rank_col not in prev_state.columns and "place" in prev_state.columns:
+        prev_state = prev_state.withColumnRenamed("place", rank_col)
     prev_rows = [r.asDict() for r in prev_state.orderBy(rank_col).collect()]
     ranking: list[dict[str, Any]] = [
         {k: v for k, v in r.items() if k != rank_col} for r in prev_rows

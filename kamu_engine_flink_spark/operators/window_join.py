@@ -18,6 +18,8 @@ without any result-level filter.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from ..plans.classify import _WINDOW_TVF_RE, interval_to_timedelta
@@ -52,6 +54,29 @@ def execute_window_join(ctx: StepContext, sql: str) -> StepResult:
         raise InvalidQueryError("window join requires identical window specs")
     if sides[0][0] == sides[1][0]:
         raise InvalidQueryError("window self-join is not supported")
+
+    # Flink's planner only recognizes a window join when the ON clause
+    # equates the window bounds of both sides; without that predicate the
+    # executor below would join rows from DIFFERENT windows that happen to
+    # close in the same invocation — output would depend on how the input
+    # is sliced. (Identical window specs make start equality imply end
+    # equality, so one bound suffices.)
+    on_m = re.search(
+        r"\bON\b(?P<on>.*?)(?:\bWHERE\b|\bGROUP\s+BY\b|$)",
+        sql,
+        re.IGNORECASE | re.DOTALL,
+    )
+    on_text = on_m.group("on") if on_m else ""
+    if not re.search(
+        r"[`\w.]*\bwindow_(start|end)`?\s*=\s*[`\w.]*\bwindow_(start|end)\b",
+        on_text,
+        re.IGNORECASE,
+    ):
+        raise InvalidQueryError(
+            "window join requires window-bound equality in the ON clause "
+            "(e.g. L.window_start = R.window_start); Flink would otherwise "
+            "run this as a regular streaming join over all rows"
+        )
 
     # Two-input watermark rule: the operator's clock is the slower input —
     # and an input that never published a watermark holds the combined

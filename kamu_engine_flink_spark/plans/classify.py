@@ -591,6 +591,16 @@ def parse_interval_join(sql: str, known_views: set[str]) -> IntervalJoinSpec | N
     )
 
 
+# Any aggregate function OVER a window with an ORDER BY — the stateful
+# Over-Aggregation family. Shapes parse_over_agg accepts are classified
+# OVER_AGG above; anything else matching this is rejected, not mapped.
+_OVER_AGG_REJECT_RE = re.compile(
+    r"\b(?:sum|count|min|max|avg)\s*\((?:[^()]|\([^()]*\))*\)\s+"
+    r"over\s*\((?:[^()]|\([^()]*\))*\border\s+by\b",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
 def classify(sql: str, known_views: set[str]) -> str:
     if re.search(r"\bMATCH_RECOGNIZE\b", sql, re.IGNORECASE):
         return MATCH_RECOGNIZE
@@ -617,6 +627,19 @@ def classify(sql: str, known_views: set[str]) -> str:
         return TOPN
     if parse_over_agg(sql) is not None:
         return OVER_AGG
+    # An aggregate OVER (... ORDER BY ...) that parse_over_agg did NOT
+    # accept (descending order, FOLLOWING bounds, expression order keys,
+    # or the implicit RANGE UNBOUNDED PRECEDING default frame with an
+    # unsupported spelling) must not silently fall through to stateless
+    # MAP: a per-slice evaluation with no watermark gating or cross-run
+    # state yields slice-dependent results where Flink would evaluate the
+    # window statefully. Reject loudly instead.
+    if _OVER_AGG_REJECT_RE.search(sql):
+        raise InvalidQueryError(
+            "unsupported OVER aggregation shape: only ascending row-time "
+            "ORDER BY with a PRECEDING .. CURRENT ROW (or UNBOUNDED "
+            "PRECEDING) frame is supported in streaming transforms"
+        )
     if parse_interval_join(sql, known_views) is not None:
         return INTERVAL_JOIN
     # Top-level SELECT DISTINCT gets Flink's STATEFUL stream semantics

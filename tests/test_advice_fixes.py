@@ -1,0 +1,185 @@
+"""Regression tests for the round-2 advisor findings.
+
+1. A WINDOW_JOIN-classified query whose ON clause lacks window-bound
+   equality must be rejected (it would otherwise join rows from different
+   windows closing in the same invocation — slice-dependent output).
+2. MATCH_RECOGNIZE emission order is deterministic when overlapping
+   matches end on the same input row (SKIP TO NEXT ROW): the match's
+   start position breaks the (end ts, end seq) tie.
+3. Temporal-join version state written under the pre-step-scoping legacy
+   key is migrated on load instead of silently starting empty.
+4. Aggregate OVER shapes parse_over_agg does not support (e.g. DESC order)
+   are rejected instead of silently running as stateless MAP per slice.
+5. ALL ROWS PER MATCH measures aliased to input column names are rejected
+   with a clear error instead of an opaque duplicate-field failure.
+"""
+
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from kamu_engine_flink_spark.protocol.model import InvalidQueryError
+
+from .helpers import TransformRunner, ticker_slice, ts
+from .test_temporal_join import stocks_owned_slice
+
+
+def _input(path, watermark, alias="tickers"):
+    return {
+        "alias": alias,
+        "data_paths": [path] if path else [],
+        "schema_file": path,
+        "watermark": watermark,
+    }
+
+
+BAD_WJOIN = """SELECT L.window_start AS event_time, L.symbol, L.price AS a_price, R.price AS b_price
+FROM TABLE(TUMBLE(TABLE a_side, DESCRIPTOR(event_time), INTERVAL '1' DAY)) L
+JOIN TABLE(TUMBLE(TABLE b_side, DESCRIPTOR(event_time), INTERVAL '1' DAY)) R
+ON L.symbol = R.symbol"""
+
+
+def test_window_join_requires_window_bound_equality(spark, tmp_path):
+    runner = TransformRunner(spark, tmp_path, queries=[(BAD_WJOIN, None)])
+    a = str(tmp_path / "in" / "a.parquet")
+    b = str(tmp_path / "in" / "b.parquet")
+    ticker_slice(a, [(0, 0, ts(2), ts(1), "A", 1)])
+    ticker_slice(b, [(0, 0, ts(2), ts(1), "A", 2)])
+    with pytest.raises(InvalidQueryError, match="window-bound equality"):
+        runner.run(
+            [_input(a, ts(2), "a_side"), _input(b, ts(2), "b_side")],
+            system_time=ts(2),
+        )
+
+
+MR_OVERLAP = """select * from tickers
+MATCH_RECOGNIZE (
+  PARTITION BY symbol
+  ORDER BY event_time
+  MEASURES
+    LAST(C.event_time) AS event_time,
+    FIRST(A.price) AS first_a,
+    COUNT(A.*) AS n_a
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (A+ C)
+  DEFINE
+    A AS A.price < 100,
+    C AS C.price >= 100
+)"""
+
+
+def test_match_recognize_overlapping_end_deterministic(spark, tmp_path):
+    # Matches starting at rows 0 and 1 BOTH end on row 2 (same final ts
+    # and seq); emission order must be pinned by the start position.
+    def run_once(sub):
+        runner = TransformRunner(
+            spark, tmp_path / sub, queries=[(MR_OVERLAP, None)]
+        )
+        s1 = str(tmp_path / sub / "in" / "s1.parquet")
+        ticker_slice(
+            s1,
+            [
+                (0, 0, ts(2), ts(1, 0, 1), "A", 1),
+                (1, 0, ts(2), ts(1, 0, 2), "A", 2),
+                (2, 0, ts(2), ts(1, 0, 3), "A", 200),
+            ],
+        )
+        resp, out = runner.run([_input(s1, ts(1, 1))], system_time=ts(2))
+        table = pq.read_table(out)
+        return [
+            (r["offset"], r["first_a"], r["n_a"]) for r in table.to_pylist()
+        ]
+
+    expected = [(0, 1, 2), (1, 2, 1)]  # earlier start first
+    assert run_once("r1") == expected
+    assert run_once("r2") == expected
+
+
+TEMPORAL_QUERY = """SELECT
+  t.event_time, t.symbol, owned.volume as volume,
+  owned.volume * t.price as current_value
+FROM tickers as t
+JOIN owned FOR SYSTEM_TIME AS OF t.event_time AS owned
+ON t.symbol = owned.symbol"""
+
+
+def test_temporal_join_legacy_state_key_migration(spark, tmp_path):
+    runner = TransformRunner(
+        spark,
+        tmp_path,
+        queries=[(TEMPORAL_QUERY, None)],
+        temporal_tables=[("owned", "symbol")],
+    )
+    o1 = str(tmp_path / "owned" / "o1.parquet")
+    stocks_owned_slice(o1, [(0, ts(2), ts(1), "A", 100)])
+    t1 = str(tmp_path / "tickers" / "t1.parquet")
+    ticker_slice(t1, [(0, 0, ts(2), ts(1, 1), "A", 10)])
+    resp, out1 = runner.run(
+        [_input(t1, ts(1, 2)), _input(o1, ts(1, 2), "owned")], system_time=ts(2)
+    )
+    assert pq.read_table(out1).num_rows == 1
+
+    # Simulate a checkpoint written by the pre-step-scoping engine
+    # revision: move the versions state to the legacy unscoped name.
+    ckpt = runner.prev_checkpoint
+    scoped = os.path.join(ckpt, "step0-versions-owned.parquet")
+    legacy = os.path.join(ckpt, "versions-owned.parquet")
+    assert os.path.exists(scoped)
+    shutil.move(scoped, legacy)
+
+    # Run 2: a new probe row must still find the run-1 version history.
+    t2 = str(tmp_path / "tickers" / "t2.parquet")
+    ticker_slice(t2, [(1, 0, ts(3), ts(1, 3), "A", 20)])
+    resp, out2 = runner.run(
+        [
+            _input(t2, ts(1, 4)),
+            {
+                "alias": "owned",
+                "data_paths": [],
+                "schema_file": o1,
+                "watermark": ts(1, 4),
+            },
+        ],
+        system_time=ts(3),
+    )
+    rows = pq.read_table(out2).to_pylist()
+    assert [(r["symbol"], r["volume"], r["current_value"]) for r in rows] == [
+        ("A", 100, 2000)
+    ]
+
+
+DESC_OVER = """select event_time, symbol, price,
+  sum(price) over (partition by symbol order by event_time desc
+    rows between 1 preceding and current row) as s
+from tickers"""
+
+
+def test_unsupported_over_shape_rejected(spark, tmp_path):
+    runner = TransformRunner(spark, tmp_path, queries=[(DESC_OVER, None)])
+    s1 = str(tmp_path / "in" / "s1.parquet")
+    ticker_slice(s1, [(0, 0, ts(2), ts(1), "A", 1)])
+    with pytest.raises(InvalidQueryError, match="OVER aggregation shape"):
+        runner.run([_input(s1, ts(2))], system_time=ts(2))
+
+
+MR_ALIAS_CLASH = """select * from tickers
+MATCH_RECOGNIZE (
+  PARTITION BY symbol
+  ORDER BY event_time
+  MEASURES LAST(B.event_time) AS event_time, A.price AS price
+  ALL ROWS PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (A B)
+  DEFINE A AS A.price < 10, B AS B.price >= 100
+)"""
+
+
+def test_all_rows_measure_alias_collision_rejected(spark, tmp_path):
+    runner = TransformRunner(spark, tmp_path, queries=[(MR_ALIAS_CLASH, None)])
+    s1 = str(tmp_path / "in" / "s1.parquet")
+    ticker_slice(s1, [(0, 0, ts(2), ts(1), "A", 1)])
+    with pytest.raises(InvalidQueryError, match="collide with input"):
+        runner.run([_input(s1, ts(2))], system_time=ts(2))
