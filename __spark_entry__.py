@@ -1170,6 +1170,24 @@ def dedup_minhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("doc_id").cast("long").alias("doc_id"), "lang", "source")
 
 
+def dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dedup on the numpy rolling-hash family
+    (operators/dedup.dedup_minhash_lsh + functions/minhash_pandas.py) —
+    the raw-throughput 100 TB path: vectorized Arrow signatures, banded
+    single-shuffle LSH, estimate-verified candidates. No oracle twin (the
+    64-bit rolling family is not ANSI-SQL-expressible); correctness is
+    pinned by tests/test_dedup.py and the x10 stress bench entry, and the
+    portable twin `dedup_minhash_documents` hash-checks the identical
+    pipeline shape. Benched under its own name so the two variants'
+    numbers can never be conflated again."""
+    d = _t(spark, sf_dir, "documents")
+    out = D.dedup_minhash_lsh(
+        d, "text", "doc_id", num_hashes=64, bands=16, shingle_k=5,
+        jaccard_threshold=0.5,
+    )
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "lang", "source")
+
+
 def dedup_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dedup over the PORTABLE 48-bit md5 fingerprint: 4x12
     pigeonhole banding, hamming <= 3, smaller id wins — DuckDB-oracle
@@ -2105,62 +2123,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering note: the driver records correctness rows for only the
-    # FIRST 50 dict entries per round, so every entry without a green
-    # CORRECTNESS row yet runs first (43 as of round 2 — all within the
-    # first 50); previously-green entries follow. tools/crosscheck.py
-    # verifies ALL entries locally regardless.
+    # ROTATION note: the driver records correctness rows for only the
+    # FIRST 50 dict entries per round, so the registry rotates each round
+    # to give every entry a driver row at least every other round.
+    # Round 3 first-50 = the 44 entries last driver-checked in round 1,
+    # the 4 output-shape fixes from round 2 (json_extract, cumulate,
+    # inverted_index, random_projection — must re-check), and the two
+    # operators whose executors were rewritten this round
+    # (match_recognize, keyed dedup). tools/crosscheck.py verifies ALL
+    # entries locally regardless; the full run is committed per round as
+    # CROSSCHECK_r{N}.txt.
     return {
-        "over_agg_rolling_value_events": over_agg_rolling_value_events,
-        "window_topn_daily_users": window_topn_daily_users,
-        "funnel_view_click_purchase": funnel_view_click_purchase,
-        "retention_cohorts_events": retention_cohorts_events,
-        "match_recognize_dip_spike_events": match_recognize_dip_spike_events,
-        "dedup_keep_last_events": dedup_keep_last_events,
-        "similarity_pq_topk": similarity_pq_topk,
-        "json_extract_events": json_extract_events,
-        "bigram_lm_score_documents": bigram_lm_score_documents,
-        "quality_classifier_documents": quality_classifier_documents,
-        "inverted_index_documents": inverted_index_documents,
-        "dedup_segments_documents": dedup_segments_documents,
-        "window_cumulate_6h": window_cumulate_6h,
-        "semantic_dedup_embeddings": semantic_dedup_embeddings,
-        "training_shards_documents": training_shards_documents,
-        "mixture_sample_documents": mixture_sample_documents,
-        "curriculum_bins_documents": curriculum_bins_documents,
-        "duplicate_ngram_spans_documents": duplicate_ngram_spans_documents,
-        "changelog_diff_customers": changelog_diff_customers,
-        "changelog_snapshot_customers": changelog_snapshot_customers,
-        "kmeans_clusters_embeddings": kmeans_clusters_embeddings,
-        "random_projection_embeddings": random_projection_embeddings,
-        "dedup_minhash_documents": dedup_minhash_documents,
-        "dedup_simhash_documents": dedup_simhash_documents,
-        "ngram_jaccard_documents": ngram_jaccard_documents,
-        "dedup_clusters_ngram": dedup_clusters_ngram,
-        "embedding_near_dup": embedding_near_dup,
-        "similarity_cosine_topk": similarity_cosine_topk,
-        "similarity_lsh_topk": similarity_lsh_topk,
-        "similarity_ivf_topk": similarity_ivf_topk,
-        "text_analysis_documents": text_analysis_documents,
-        "multimodal_image_meta": multimodal_image_meta,
-        "multimodal_frame_sample": multimodal_frame_sample,
-        "multimodal_audio_meta": multimodal_audio_meta,
-        "multimodal_audio_windows": multimodal_audio_windows,
-        "text_repetition_documents": text_repetition_documents,
-        "window_rank_family_orders": window_rank_family_orders,
-        "tfidf_top_terms": tfidf_top_terms,
-        "embedding_quantize_int8": embedding_quantize_int8,
-        "sketch_distinct_users": sketch_distinct_users,
-        "text_scrub_documents": text_scrub_documents,
-        "approx_quantiles_events": approx_quantiles_events,
-        "user_event_sequences": user_event_sequences,
-        "decontamination_overlap": decontamination_overlap,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_top_unshipped": q3_top_unshipped,
-        "q5_supplier_volume": q5_supplier_volume,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "agg_distinct_suppliers": agg_distinct_suppliers,
-        "scalar_projection": scalar_projection,
+        # --- checked r01, due for re-check (44) ---
         "chained_multistep": chained_multistep,
         "window_tumbling_daily": window_tumbling_daily,
         "window_sliding_2h": window_sliding_2h,
@@ -2205,6 +2179,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join_clicks": interval_join_clicks,
         "dedup_exact_documents": dedup_exact_documents,
         "dedup_fingerprint_documents": dedup_fingerprint_documents,
+        # --- round-2 red rows, output shape fixed this round (4) ---
+        "json_extract_events": json_extract_events,
+        "window_cumulate_6h": window_cumulate_6h,
+        "inverted_index_documents": inverted_index_documents,
+        "random_projection_embeddings": random_projection_embeddings,
+        # --- executors rewritten this round, re-check (2) ---
+        "match_recognize_dip_spike_events": match_recognize_dip_spike_events,
+        "dedup_keep_last_events": dedup_keep_last_events,
+        # --- checked green r02 (rotate back in next round) ---
+        "over_agg_rolling_value_events": over_agg_rolling_value_events,
+        "window_topn_daily_users": window_topn_daily_users,
+        "funnel_view_click_purchase": funnel_view_click_purchase,
+        "retention_cohorts_events": retention_cohorts_events,
+        "similarity_pq_topk": similarity_pq_topk,
+        "bigram_lm_score_documents": bigram_lm_score_documents,
+        "quality_classifier_documents": quality_classifier_documents,
+        "dedup_segments_documents": dedup_segments_documents,
+        "semantic_dedup_embeddings": semantic_dedup_embeddings,
+        "training_shards_documents": training_shards_documents,
+        "mixture_sample_documents": mixture_sample_documents,
+        "curriculum_bins_documents": curriculum_bins_documents,
+        "duplicate_ngram_spans_documents": duplicate_ngram_spans_documents,
+        "changelog_diff_customers": changelog_diff_customers,
+        "changelog_snapshot_customers": changelog_snapshot_customers,
+        "kmeans_clusters_embeddings": kmeans_clusters_embeddings,
+        "dedup_minhash_documents": dedup_minhash_documents,
+        "dedup_minhash_fast": dedup_minhash_fast,
+        "dedup_simhash_documents": dedup_simhash_documents,
+        "ngram_jaccard_documents": ngram_jaccard_documents,
+        "dedup_clusters_ngram": dedup_clusters_ngram,
+        "embedding_near_dup": embedding_near_dup,
+        "similarity_cosine_topk": similarity_cosine_topk,
+        "similarity_lsh_topk": similarity_lsh_topk,
+        "similarity_ivf_topk": similarity_ivf_topk,
+        "text_analysis_documents": text_analysis_documents,
+        "multimodal_image_meta": multimodal_image_meta,
+        "multimodal_frame_sample": multimodal_frame_sample,
+        "multimodal_audio_meta": multimodal_audio_meta,
+        "multimodal_audio_windows": multimodal_audio_windows,
+        "text_repetition_documents": text_repetition_documents,
+        "window_rank_family_orders": window_rank_family_orders,
+        "tfidf_top_terms": tfidf_top_terms,
+        "embedding_quantize_int8": embedding_quantize_int8,
+        "sketch_distinct_users": sketch_distinct_users,
+        "text_scrub_documents": text_scrub_documents,
+        "approx_quantiles_events": approx_quantiles_events,
+        "user_event_sequences": user_event_sequences,
+        "decontamination_overlap": decontamination_overlap,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_unshipped": q3_top_unshipped,
+        "q5_supplier_volume": q5_supplier_volume,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "agg_distinct_suppliers": agg_distinct_suppliers,
+        "scalar_projection": scalar_projection,
     }
 
 

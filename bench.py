@@ -42,7 +42,8 @@ HEADLINE = [
     "asof_join_purchase_value",
     "interval_join_clicks",
     "dedup_exact_documents",
-    "dedup_minhash_documents",
+    "dedup_minhash_documents",  # portable md5 family (oracle-checkable)
+    "dedup_minhash_fast",  # numpy rolling-hash family (throughput path)
     "text_analysis_documents",
     "similarity_cosine_topk",
     "semantic_dedup_embeddings",
