@@ -220,6 +220,114 @@ def _time_transform(spark, inputs, sql, workdir: str, tag: str) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _x10_sliced_ledgers(
+    spark, sf_dir: str, workdir: str, name: str = "events",
+    event_type: str | None = None, slices: int = 3,
+):
+    """10x-replicated events ledger (distinct user_id per replica -> 10x key
+    cardinality) split into `slices` consecutive event-time ranges, one per
+    chained invocation. Prep cost excluded from timings. Returns
+    [(slice_path, slice_watermark)] in invocation order."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kamu_engine_flink_spark.sinks.parquet import write_single_parquet
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if event_type is not None:
+        e = e.filter(F.col("event_type") == event_type)
+    big = (
+        e.crossJoin(spark.range(10).select(F.col("id").alias("__rep")))
+        .select(
+            F.col("ts").alias("event_time"),
+            (F.col("user_id") + F.col("__rep") * F.lit(10_000_000)).alias("user_id"),
+            "event_type",
+            "value",
+        )
+        .withColumn(
+            "offset", F.row_number().over(Window.orderBy("event_time", "user_id")) - 1
+        )
+        .withColumn("op", F.lit(0).cast("int"))
+        .withColumn("system_time", F.to_timestamp(F.lit("2020-01-01 00:00:00")))
+        .select("offset", "op", "system_time", "event_time", "user_id", "event_type", "value")
+    )
+    lo, hi = big.agg(
+        F.min("event_time").alias("lo"), F.max("event_time").alias("hi")
+    ).collect()[0]
+    span = (hi - lo) / slices
+    out = []
+    for i in range(slices):
+        start = lo + span * i
+        end = hi if i == slices - 1 else lo + span * (i + 1)
+        cond = (F.col("event_time") >= F.lit(start)) & (
+            (F.col("event_time") <= F.lit(end))
+            if i == slices - 1
+            else (F.col("event_time") < F.lit(end))
+        )
+        path = os.path.join(workdir, f"{name}_x10_s{i}.parquet")
+        write_single_parquet(big.filter(cond), path, sorted_single=False)
+        wm = (
+            spark.read.parquet(path).agg({"event_time": "max"}).collect()[0][0]
+        )
+        out.append((path, wm))
+    return out
+
+
+def _stress_transform_x10(spark, invocations, sql, workdir: str, tag: str) -> float:
+    """Chained ODF invocations over the 10x sliced ledgers: invocation i
+    restores invocation i-1's checkpoint (state restore + horizon eviction
+    included in the measured time, as in a real deployment). `invocations`:
+    per-invocation [(alias, slice_path, wm)]. Returns total seconds across
+    all invocations."""
+    from datetime import timezone
+
+    from kamu_engine_flink_spark.engine.transform import execute_transform
+    from kamu_engine_flink_spark.protocol.model import (
+        DatasetVocabulary,
+        SqlQueryStep,
+        Transform,
+        TransformRequest,
+        TransformRequestInput,
+        Watermark,
+    )
+
+    def _utc(w):
+        return w.replace(tzinfo=timezone.utc) if w.tzinfo is None else w
+
+    prev_cp = None
+    next_offset = 0
+    total = 0.0
+    for inv, inputs in enumerate(invocations):
+        st = max(_utc(wm) for (_, _, wm) in inputs)
+        new_cp = os.path.join(workdir, f"cp-{tag}-{inv}")
+        req = TransformRequest(
+            transform=Transform(queries=[SqlQueryStep(query=sql)]),
+            query_inputs=[
+                TransformRequestInput(
+                    query_alias=alias,
+                    data_paths=[ledger],
+                    schema_file=ledger,
+                    vocab=DatasetVocabulary(),
+                    explicit_watermarks=[Watermark(system_time=st, event_time=_utc(wm))],
+                )
+                for (alias, ledger, wm) in inputs
+            ],
+            system_time=st,
+            next_offset=next_offset,
+            prev_checkpoint_path=prev_cp,
+            new_checkpoint_path=new_cp,
+            new_data_path=os.path.join(workdir, f"out-{tag}-{inv}.parquet"),
+            vocab=DatasetVocabulary(),
+        )
+        t0 = time.perf_counter()
+        resp = execute_transform(spark, req)
+        total += time.perf_counter() - t0
+        prev_cp = new_cp
+        if resp.new_offset_interval:
+            next_offset = resp.new_offset_interval.end + 1
+    return round(total, 3)
+
+
 def _stress_dedup_cluster(spark, sf_dir: str) -> float:
     """documents x10 (distinct ids per replica) -> MinHash+LSH candidate
     pairs -> connected components -> cluster table, materialized to noop.
@@ -340,6 +448,34 @@ def main() -> None:
             for rep in range(REPS):
                 runs.append(
                     _time_transform(spark, inputs, sql, workdir, f"{tag}-{rep}")
+                )
+            timings[tag] = round(statistics.median(runs), 3)
+            print(f"{tag}: {timings[tag]}s (runs: {[round(r, 3) for r in runs]})", file=sys.stderr)
+
+        # Scale-stress: the four stateful transforms over the events ledger
+        # replicated x10 (1M rows, 10x user_id cardinality) split into 3
+        # chained invocations — state restore, horizon eviction, and
+        # cross-invocation buffers all inside the measured time. The
+        # matching state-size contracts are asserted in
+        # tests/test_state_stress.py.
+        ev_slices = _x10_sliced_ledgers(spark, sf_dir, workdir)
+        p_slices = _x10_sliced_ledgers(spark, sf_dir, workdir, "purchases", "purchase")
+        c_slices = _x10_sliced_ledgers(spark, sf_dir, workdir, "clicks", "click")
+        ev_invs = [[("events", p, wm)] for (p, wm) in ev_slices]
+        join_invs = [
+            [("purchases", pp, pwm), ("clicks", cp, cwm)]
+            for (pp, pwm), (cp, cwm) in zip(p_slices, c_slices)
+        ]
+        for tag, sql, invs in (
+            ("stress_interval_join_x10_3inv", JOIN_SQL, join_invs),
+            ("stress_keyed_topn_x10_3inv", KEYED_TOPN_SQL, ev_invs),
+            ("stress_over_agg_x10_3inv", OVER_AGG_SQL, ev_invs),
+            ("stress_match_recognize_x10_3inv", MATCH_RECOGNIZE_SQL, ev_invs),
+        ):
+            runs = []
+            for rep in range(REPS):
+                runs.append(
+                    _stress_transform_x10(spark, invs, sql, workdir, f"{tag}-r{rep}")
                 )
             timings[tag] = round(statistics.median(runs), 3)
             print(f"{tag}: {timings[tag]}s (runs: {[round(r, 3) for r in runs]})", file=sys.stderr)
