@@ -234,6 +234,36 @@ def window_sliding_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar (month) tumbling window — BEYOND reference parity: its
+    README lists month/quarter/year tumbling as unsupported; the engine
+    runs them on date_trunc boundaries (plans/dialect.py calendar branch,
+    operators/window_agg.py stateful path tested cross-run). Pure codegen
+    group-by, one partial+final exchange — scales like any TUMBLE."""
+    from kamu_engine_flink_spark.plans.dialect import rewrite_query
+
+    _t(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").alias("order_ts"), "o_totalprice"
+    ).createOrReplaceTempView("orders_monthly_v")
+    out = spark.sql(
+        rewrite_query(
+            """SELECT
+  TUMBLE_START(order_ts, INTERVAL '1' MONTH) as month_start,
+  TUMBLE_END(order_ts, INTERVAL '1' MONTH) as month_end,
+  count(*) as n_orders,
+  sum(CAST(o_totalprice AS DECIMAL(18,2))) as revenue
+FROM orders_monthly_v
+GROUP BY TUMBLE(order_ts, INTERVAL '1' MONTH)"""
+        )
+    )
+    return out.select(
+        F.date_format("month_start", "yyyy-MM-dd").alias("month_start"),
+        F.date_format("month_end", "yyyy-MM-dd").alias("month_end"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("revenue").cast("double").alias("revenue"),
+    )
+
+
 def window_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-min inactivity gap) per user — beyond the
     reference (tumbling only); Spark session_window merges natively, the
@@ -1850,6 +1880,37 @@ GROUP BY event_type, CAST(JSON_VALUE(props, '$.k') AS INT) DIV 10"""
     )
 
 
+def flink_scalar_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-3 Flink scalar-rewrite surface (plans/dialect.py):
+    SPLIT_INDEX (literal-delimiter regex escaping + 0-based index +
+    NULL-out-of-range via try_element_at), JSON_QUERY and JSON_EXISTS
+    (get_json_object mappings). All per-row codegen ahead of one
+    partial+final aggregation exchange — no UDF, scales linearly."""
+    from kamu_engine_flink_spark.plans.dialect import rewrite_query
+
+    _t(spark, sf_dir, "events").select(
+        "event_type", "user_id", "props"
+    ).createOrReplaceTempView("flink_scalar_v")
+    bucket = "SPLIT_INDEX(concat(event_type, '.', CAST(user_id % 10 AS STRING)), '.', 1)"
+    out = spark.sql(
+        rewrite_query(
+            f"""SELECT
+  {bucket} as user_bucket,
+  count(*) as n_events,
+  sum(CASE WHEN JSON_EXISTS(props, '$.k') THEN 1 ELSE 0 END) as n_with_k,
+  sum(CAST(JSON_QUERY(props, '$.k') AS INT)) as sum_k
+FROM flink_scalar_v
+GROUP BY {bucket}"""
+        )
+    )
+    return out.select(
+        "user_bucket",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_with_k").cast("long").alias("n_with_k"),
+        F.col("sum_k").cast("long").alias("sum_k"),
+    )
+
+
 def bigram_lm_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained bigram-LM fluency scoring (operators/text_analysis.
     bigram_lm_score): add-one-smoothed P(w2|w1) over the portable token
@@ -2134,10 +2195,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries locally regardless; the full run is committed per round as
     # CROSSCHECK_r{N}.txt.
     return {
-        # --- checked r01, due for re-check (44) ---
+        # --- checked r01, due for re-check ---
         "chained_multistep": chained_multistep,
         "window_tumbling_daily": window_tumbling_daily,
-        "window_sliding_2h": window_sliding_2h,
         "window_session_30m": window_session_30m,
         "agg_rollup_flag_status": agg_rollup_flag_status,
         "semi_join_returned_orders": semi_join_returned_orders,
@@ -2178,7 +2238,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_purchase_value": asof_join_purchase_value,
         "interval_join_clicks": interval_join_clicks,
         "dedup_exact_documents": dedup_exact_documents,
-        "dedup_fingerprint_documents": dedup_fingerprint_documents,
         # --- round-2 red rows, output shape fixed this round (4) ---
         "json_extract_events": json_extract_events,
         "window_cumulate_6h": window_cumulate_6h,
@@ -2187,6 +2246,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- executors rewritten this round, re-check (2) ---
         "match_recognize_dip_spike_events": match_recognize_dip_spike_events,
         "dedup_keep_last_events": dedup_keep_last_events,
+        # --- NEW this round (first driver row takes priority; displaces
+        # dedup_fingerprint_documents + window_sliding_2h past slot 50 ->
+        # first in line r04) ---
+        "flink_scalar_functions_events": flink_scalar_functions_events,
+        "window_monthly_orders": window_monthly_orders,
+        # --- rotated past the cap this round (r04 front of line) ---
+        "dedup_fingerprint_documents": dedup_fingerprint_documents,
+        "window_sliding_2h": window_sliding_2h,
         # --- checked green r02 (rotate back in next round) ---
         "over_agg_rolling_value_events": over_agg_rolling_value_events,
         "window_topn_daily_users": window_topn_daily_users,
@@ -3503,6 +3570,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "window_monthly_orders": """
+            SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+                   strftime(date_trunc('month', o_orderdate) + INTERVAL 1 MONTH, '%Y-%m-%d') AS month_end,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+            FROM orders
+            GROUP BY 1, 2
+        """,
+        "flink_scalar_functions_events": """
+            SELECT split_part(event_type || '.' || CAST(user_id % 10 AS VARCHAR), '.', 2) AS user_bucket,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CASE WHEN json_extract(props, '$.k') IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_k,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+            FROM events
+            GROUP BY 1
         """,
         "bigram_lm_score_documents": f"""
             -- Corpus-trained add-one bigram LM; per-doc mean of

@@ -264,9 +264,20 @@ def _assemble_output(
     # Deterministic emission order -> offset stamping. Sorting happens on
     # the full (possibly internal) column set, then internals are dropped.
     if result.order_cols:
-        df = df.orderBy(*[F.col(c).asc() for c in result.order_cols])
-    df = df.coalesce(1)
-    w = Window.partitionBy(F.lit(0)).orderBy(F.monotonically_increasing_id())
+        # One round-robin shuffle to a single partition, with the
+        # deterministic sort folded into the offset-stamping window (the
+        # window operator sorts its partition anyway). A global orderBy
+        # here would add a range-partitioner SAMPLING job + an extra sort
+        # per invocation for the same single-partition result.
+        df = df.repartition(1)
+        w = Window.partitionBy(F.lit(0)).orderBy(
+            *[F.col(c).asc() for c in result.order_cols]
+        )
+    else:
+        # Natural (narrow-plan) order must be preserved -> coalesce, and
+        # number rows by physical position.
+        df = df.coalesce(1)
+        w = Window.partitionBy(F.lit(0)).orderBy(F.monotonically_increasing_id())
     df = df.withColumn(
         vocab.offset_column,
         (F.row_number().over(w) - 1 + F.lit(request.next_offset)).cast("long"),

@@ -27,7 +27,11 @@ Rewrites:
   CAST(x AS TIMESTAMP(p))              -> CAST(x AS TIMESTAMP)
   current_watermark(col)               -> TIMESTAMP 'w' literal (engine state)
   JSON_VALUE(x, path)                  -> get_json_object(x, path)
-  PROCTIME()                           -> current_timestamp()
+  JSON_QUERY(x, path)                  -> get_json_object(x, path)
+  JSON_EXISTS(x, 'path')               -> (get_json_object(x, 'path') IS NOT NULL)
+  PROCTIME() / CURRENT_ROW_TIMESTAMP() -> current_timestamp()
+  SPLIT_INDEX(s, sep, i)               -> try_element_at(split(s, <esc>), i+1)
+  RAND_INTEGER(n)                      -> CAST(FLOOR(RAND() * (n)) AS INT)
   TO_TIMESTAMP_LTZ(x, 3|0)             -> timestamp_millis/timestamp_seconds
   TABLE(TUMBLE/HOP/CUMULATE(TABLE t, DESCRIPTOR(ts), ...)) windowing TVFs
     -> FROM-subqueries materializing window_start/window_end
@@ -95,7 +99,61 @@ _TS_PRECISION_RE = re.compile(r"\bTIMESTAMP\s*\(\s*\d\s*\)", re.IGNORECASE)
 # Flink scalar builtins Spark spells differently (README/Flink docs public
 # surface; each maps 1:1 with identical semantics).
 _JSON_VALUE_RE = re.compile(r"\bJSON_VALUE\s*\(", re.IGNORECASE)
+_JSON_QUERY_RE = re.compile(r"\bJSON_QUERY\s*\(", re.IGNORECASE)
 _PROCTIME_RE = re.compile(r"\bPROCTIME\s*\(\s*\)", re.IGNORECASE)
+_CURRENT_ROW_TS_RE = re.compile(r"\bCURRENT_ROW_TIMESTAMP\s*\(\s*\)", re.IGNORECASE)
+_REGEX_META = set(".^$*+?()[]{}|\\")
+
+
+def _split_top_level_args(text: str) -> list[str]:
+    """Split a function-call argument string on top-level commas,
+    respecting nested parens and single-quoted strings."""
+    args, depth, in_str, start = [], 0, False, 0
+    for i, ch in enumerate(text):
+        if in_str:
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            args.append(text[start:i].strip())
+            start = i + 1
+    args.append(text[start:].strip())
+    return args
+
+
+def _rewrite_call(sql: str, name: str, repl_fn) -> str:
+    """Rewrite every `name(args...)` call (case-insensitive, arguments may
+    nest calls/strings) via repl_fn(list_of_arg_strings) -> replacement."""
+    pattern = re.compile(r"\b" + name + r"\s*\(", re.IGNORECASE)
+    out, pos = [], 0
+    while True:
+        m = pattern.search(sql, pos)
+        if not m:
+            out.append(sql[pos:])
+            return "".join(out)
+        depth, in_str, i = 1, False, m.end()
+        while i < len(sql) and depth:
+            ch = sql[i]
+            if in_str:
+                in_str = ch != "'"
+            elif ch == "'":
+                in_str = True
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            i += 1
+        if depth:  # unbalanced — leave untouched, Spark will report it
+            out.append(sql[pos:])
+            return "".join(out)
+        out.append(sql[pos : m.start()])
+        out.append(repl_fn(_split_top_level_args(sql[m.end() : i - 1])))
+        pos = i
 _TO_TS_LTZ_RE = re.compile(
     r"\bTO_TIMESTAMP_LTZ\s*\(\s*([^,()]+?)\s*,\s*([03])\s*\)", re.IGNORECASE
 )
@@ -120,9 +178,25 @@ def _interval_to_duration(n: str, unit: str) -> str:
     return f"{n} {u}"
 
 
+_CALENDAR_MONTHS = {"MONTH": 1, "QUARTER": 3, "YEAR": 12}
+
+
 def _rewrite_tumble(sql: str) -> str:
     def repl(m: re.Match) -> str:
         suffix, col, n, unit = m.groups()
+        if unit.upper() in _CALENDAR_MONTHS:
+            # Calendar tumbling (beyond reference parity — its README lists
+            # month/quarter/year windows as unsupported): windows are
+            # date_trunc buckets, variable-length, so Spark's fixed-duration
+            # window() cannot express them.
+            if n != "1":
+                raise ValueError(
+                    f"calendar tumbling windows support INTERVAL '1' {unit.upper()} only"
+                )
+            start = f"date_trunc('{unit.upper()}', {col})"
+            if suffix is None or suffix.upper() == "_START":
+                return start
+            return f"({start} + INTERVAL {_CALENDAR_MONTHS[unit.upper()]} MONTH)"
         dur = _interval_to_duration(n, unit)
         if suffix is None:
             return f"window({col}, '{dur}')"
@@ -355,6 +429,24 @@ def _rewrite_lateral(sql: str) -> str:
     return _LATERAL_RE.sub(repl, sql)
 
 
+def _split_index_repl(args: list[str]) -> str:
+    """SPLIT_INDEX(s, sep, idx): Flink splits on a LITERAL delimiter,
+    0-based index, NULL when out of range. Spark's split() takes a regex,
+    so literal delimiters are regex-escaped; try_element_at keeps
+    NULL-on-out-of-range under ANSI mode (1-based, hence idx+1)."""
+    s, sep, idx = args[0], args[1], int(args[2])
+    if sep.startswith("'") and sep.endswith("'"):
+        # Two escaping levels: Spark's string literal parser eats one
+        # backslash, the Java regex the other — so '.' becomes '\\.' in
+        # SQL text (string value '\.'), and a literal backslash '\\\\'.
+        body = "".join(
+            ("\\\\\\\\" if ch == "\\" else "\\\\" + ch) if ch in _REGEX_META else ch
+            for ch in sep[1:-1]
+        )
+        sep = f"'{body}'"
+    return f"try_element_at(split({s}, {sep}), {idx + 1})"
+
+
 def rewrite_query(sql: str, *, watermark: datetime | None = None) -> str:
     """Rewrite one Flink-dialect SQL step into Spark SQL."""
     out = _rewrite_window_tvf(sql)
@@ -364,7 +456,17 @@ def rewrite_query(sql: str, *, watermark: datetime | None = None) -> str:
     out = _rewrite_session(out)
     out = _TS_PRECISION_RE.sub("TIMESTAMP", out)
     out = _JSON_VALUE_RE.sub("get_json_object(", out)
+    out = _JSON_QUERY_RE.sub("get_json_object(", out)
+    out = _rewrite_call(
+        out, "JSON_EXISTS",
+        lambda a: f"(get_json_object({a[0]}, {a[1]}) IS NOT NULL)",
+    )
     out = _PROCTIME_RE.sub("current_timestamp()", out)
+    out = _CURRENT_ROW_TS_RE.sub("current_timestamp()", out)
+    out = _rewrite_call(out, "SPLIT_INDEX", _split_index_repl)
+    out = _rewrite_call(
+        out, "RAND_INTEGER", lambda a: f"CAST(FLOOR(RAND() * ({a[0]})) AS INT)"
+    )
     out = _TO_TS_LTZ_RE.sub(
         lambda m: (
             f"timestamp_millis({m.group(1)})"

@@ -222,3 +222,65 @@ def test_flink_scalar_function_rewrites():
         rq("SELECT TO_TIMESTAMP_LTZ(s_col, 0) FROM t")
         == "SELECT timestamp_seconds(s_col) FROM t"
     )
+
+
+def test_flink_scalar_rewrites_round3():
+    from kamu_engine_flink_spark.plans.dialect import rewrite_query as rq
+
+    assert (
+        rq("SELECT JSON_QUERY(props, '$.tags') FROM t")
+        == "SELECT get_json_object(props, '$.tags') FROM t"
+    )
+    assert (
+        rq("SELECT x FROM t WHERE JSON_EXISTS(props, '$.k')")
+        == "SELECT x FROM t WHERE (get_json_object(props, '$.k') IS NOT NULL)"
+    )
+    assert (
+        rq("SELECT CURRENT_ROW_TIMESTAMP() FROM t")
+        == "SELECT current_timestamp() FROM t"
+    )
+    # 0-based -> 1-based, literal delimiter regex-escaped through BOTH the
+    # SQL-string and regex escaping levels
+    assert (
+        rq("SELECT SPLIT_INDEX(host, '.', 1) FROM t")
+        == "SELECT try_element_at(split(host, '\\\\.'), 2) FROM t"
+    )
+    assert (
+        rq("SELECT SPLIT_INDEX(csv, ',', 0) FROM t")
+        == "SELECT try_element_at(split(csv, ','), 1) FROM t"
+    )
+    # column delimiter passes through un-escaped
+    assert (
+        rq("SELECT SPLIT_INDEX(s, sep_col, 2) FROM t")
+        == "SELECT try_element_at(split(s, sep_col), 3) FROM t"
+    )
+    assert (
+        rq("SELECT RAND_INTEGER(10) FROM t")
+        == "SELECT CAST(FLOOR(RAND() * (10)) AS INT) FROM t"
+    )
+
+
+def test_split_index_executes_flink_semantics(spark):
+    """End-to-end: literal-dot delimiter, 0-based index, NULL out-of-range
+    (Flink SPLIT_INDEX contract) through a real Spark plan."""
+    from kamu_engine_flink_spark.plans.dialect import rewrite_query as rq
+
+    spark.createDataFrame(
+        [("a.b.c",), ("nodots",)], "host string"
+    ).createOrReplaceTempView("hosts_t")
+    rows = spark.sql(
+        rq("SELECT SPLIT_INDEX(host, '.', 1) AS second FROM hosts_t ORDER BY host")
+    ).collect()
+    assert [r.second for r in rows] == ["b", None]
+
+
+def test_json_exists_executes(spark):
+    from kamu_engine_flink_spark.plans.dialect import rewrite_query as rq
+
+    spark.createDataFrame(
+        [('{"k": 1}',), ('{"other": 2}',), (None,)], "props string"
+    ).createOrReplaceTempView("props_t")
+    rows = spark.sql(
+        rq("SELECT count(*) AS n FROM props_t WHERE JSON_EXISTS(props, '$.k')")
+    ).collect()
+    assert rows[0].n == 1

@@ -88,3 +88,76 @@ def test_audio_window_grid_tiles_exactly(durs, wms):
         assert all(0 < e[i] - s[i] <= wms for i in range(n))  # bounded width
         pos += n
     assert pos == len(start) == len(end) == len(idx)
+
+
+# ---------------------------------------------------------------------------
+# Top-N changelog fold vs a brute-force oracle.
+#
+# fold_records (operators/topn.py) maintains a running top-N with
+# insert-after-ties and emits correction pairs per trigger record. The
+# independent oracle: because rows only ever move DOWN after insertion, the
+# running top-N after record i equals the stable sort of rows[0..i] (by
+# score, arrival-stable, Flink's row_number null ordering) truncated to N;
+# emissions are the positional diff between consecutive prefixes. Every
+# emission must match op-for-op, place-for-place — including None scores
+# and ties.
+
+import functools
+
+scores = st.lists(
+    st.one_of(st.none(), st.integers(min_value=0, max_value=9)), min_size=0, max_size=40
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(scores, st.integers(min_value=1, max_value=4), st.booleans())
+def test_fold_records_matches_brute_force_oracle(vals, limit, descending):
+    from kamu_engine_flink_spark.operators.topn import (
+        OP_APPEND,
+        OP_CORRECT_FROM,
+        OP_CORRECT_TO,
+        fold_records,
+    )
+
+    rows = [({"v": v, "id": i}, i) for i, v in enumerate(vals)]
+    ranking: list = []
+    got = list(fold_records(ranking, rows, "v", descending, limit))
+
+    def beats(a, b):
+        if a is None:
+            return (not descending) and b is not None
+        if b is None:
+            return descending
+        return (a > b) if descending else (a < b)
+
+    def cmp(ra, rb):
+        if beats(ra["v"], rb["v"]):
+            return -1
+        if beats(rb["v"], ra["v"]):
+            return 1
+        return -1 if ra["id"] < rb["id"] else 1
+
+    expected = []
+    prev_top: list = []
+    for i in range(len(vals)):
+        prefix = sorted((r for r, _ in rows[: i + 1]), key=functools.cmp_to_key(cmp))
+        top = prefix[:limit]
+        sub = 0
+        for place in range(limit):
+            new_r = top[place] if place < len(top) else None
+            old_r = prev_top[place] if place < len(prev_top) else None
+            if new_r is None:
+                break
+            if old_r is None:
+                expected.append((i, sub, OP_APPEND, place + 1, new_r))
+                sub += 1
+            elif old_r != new_r:
+                expected.append((i, sub, OP_CORRECT_FROM, place + 1, old_r))
+                sub += 1
+                expected.append((i, sub, OP_CORRECT_TO, place + 1, new_r))
+                sub += 1
+        prev_top = top
+
+    assert got == expected
+    # and the final persisted ranking equals the oracle's final top-N
+    assert ranking == prev_top
