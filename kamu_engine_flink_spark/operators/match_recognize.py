@@ -14,8 +14,9 @@ the classic CEP shapes ("A, then anything until C"):
               COUNT|SUM|MIN|MAX|AVG(V.col)> AS alias, ...
     [ONE ROW PER MATCH | ALL ROWS PER MATCH]
     [AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW]
-    PATTERN (V1 V2* V3? ... Vn)   -- quantifiers * + ? greedy (Flink's
-                                  -- default), *? +? ?? reluctant;
+    PATTERN (V1 V2* V3? ... Vn)   -- quantifiers * + ? and bounded
+                                  -- {n} {n,} {n,m} greedy (Flink's
+                                  -- default), *? +? ?? {n,m}? reluctant;
                                   -- quantified tails suspend until
                                   -- resolved
     DEFINE V AS <predicate over V's own row, PREV(V.col [, n]) allowed>, ...
@@ -186,6 +187,21 @@ def _parse_pattern(pat: str):
                 raise InvalidQueryError(f"MATCH_RECOGNIZE: bad PATTERN near {pat[i:]!r}")
             vars_ = (m.group(0),)
             i += m.end()
+        bm = re.match(r"\s*\{\s*(\d+)\s*(?:(,)\s*(\d+)?)?\s*\}(\??)", pat[i:])
+        if bm:
+            # Bounded quantifiers {n} / {n,} / {n,m} (+ reluctant '?'),
+            # Flink's SQL:2016 surface beyond * + ?.
+            mn = int(bm.group(1))
+            mx = mn if bm.group(2) is None else (
+                int(bm.group(3)) if bm.group(3) is not None else None
+            )
+            if mx is not None and mx < mn:
+                raise InvalidQueryError(
+                    f"MATCH_RECOGNIZE: bad quantifier bounds {{{mn},{mx}}}"
+                )
+            i += bm.end()
+            elements.append((vars_, ("range", mn, mx), not bm.group(4)))
+            continue
         qm = re.match(r"\s*(\*\?|\+\?|\?\?|\*|\+|\?)", pat[i:])
         quant = qm.group(1) if qm else ""
         if qm:
@@ -401,13 +417,19 @@ def try_match(preds, elements, att, i, ei, pairs):
                 if r:
                     return r
         return None
-    # star / plus: maximal run of group-satisfying rows from i.
+    # star / plus / bounded range: maximal run of group-satisfying rows
+    # from i (capped at the range's upper bound when given).
+    if isinstance(quant, tuple):  # ("range", min, max|None)
+        min_take, max_take = quant[1], quant[2]
+    else:
+        min_take, max_take = (1, None) if quant == "plus" else (0, None)
     j = i
-    while j < att["n"] and p(j):
+    while j < att["n"] and p(j) and (max_take is None or j - i < max_take):
         j += 1
-    hit_boundary = j >= att["n"]
-    min_take = 1 if quant == "plus" else 0
     run_len = j - i
+    # The run is extendable by future rows only if it stopped at the
+    # processed-rows bound while still below its upper bound.
+    hit_boundary = j >= att["n"] and (max_take is None or run_len < max_take)
     if run_len < min_take:
         return PENDING if (hit_boundary and not att["final"]) else None
     if greedy:

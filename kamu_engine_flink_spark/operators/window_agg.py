@@ -61,6 +61,10 @@ def _finalize_avgs(df: DataFrame, mspec, out_schema) -> DataFrame:
 
 
 def _window_end(df: DataFrame, spec: TumbleSpec):
+    if spec.calendar_unit is not None:
+        return F.date_trunc(spec.calendar_unit, F.col(spec.time_col)) + F.expr(
+            f"INTERVAL {spec.months} MONTH"
+        )
     return F.window(F.col(spec.time_col), spec.duration)["end"]
 
 
@@ -161,10 +165,12 @@ def _execute_with_partials(
     (late-filtered) slice alone, merge the per-window partial results
     with the checkpointed partials, emit windows the watermark closes,
     persist the still-open partials."""
-    size_secs = int(spec.size.total_seconds())
     if mspec.end_alias is not None:
         end_col = F.col(mspec.end_alias)
+    elif spec.calendar_unit is not None:
+        end_col = F.col(mspec.start_alias) + F.expr(f"INTERVAL {spec.months} MONTH")
     else:
+        size_secs = int(spec.size.total_seconds())
         end_col = F.col(mspec.start_alias) + F.expr(f"INTERVAL '{size_secs}' SECOND")
 
     incoming.createOrReplaceTempView(src)

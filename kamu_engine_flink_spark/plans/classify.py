@@ -118,8 +118,15 @@ def interval_to_timedelta(n: str | int, unit: str) -> timedelta:
 @dataclass
 class TumbleSpec:
     time_col: str  # unqualified
-    size: timedelta
-    duration: str  # Spark window duration string
+    size: timedelta | None
+    duration: str | None  # Spark window duration string
+    # Calendar-unit tumbling (MONTH/QUARTER/YEAR): Spark's window() only
+    # takes fixed durations, so these run on date_trunc boundaries instead.
+    # The reference cannot run them at all (README "Does not support
+    # month/quarter/year tumbling windows") — this is a deliberate
+    # capability EXCEEDING reference parity.
+    calendar_unit: str | None = None  # 'MONTH' | 'QUARTER' | 'YEAR'
+    months: int = 0  # window length in months (1 / 3 / 12)
 
 
 @dataclass
@@ -323,6 +330,19 @@ def parse_tumble(sql: str) -> TumbleSpec | None:
             return None
         col, n, unit = tm.group(3), tm.group(4), tm.group(5)
     unqual = col.split(".")[-1].strip("`")
+    cal = {"MONTH": 1, "QUARTER": 3, "YEAR": 12}
+    if unit.upper() in cal:
+        if n != "1":
+            raise ValueError(
+                f"calendar tumbling windows support INTERVAL '1' {unit.upper()} only"
+            )
+        return TumbleSpec(
+            time_col=unqual,
+            size=None,
+            duration=None,
+            calendar_unit=unit.upper(),
+            months=cal[unit.upper()],
+        )
     return TumbleSpec(
         time_col=unqual,
         size=interval_to_timedelta(n, unit),

@@ -636,3 +636,90 @@ MATCH_RECOGNIZE (
         (12, 8, 11),
         (11, 6, 12),
     ]
+
+
+def test_bounded_quantifier_parse():
+    from kamu_engine_flink_spark.operators.match_recognize import _parse_pattern
+    from kamu_engine_flink_spark.protocol.model import InvalidQueryError
+    import pytest
+
+    assert _parse_pattern("A B{2,3} C") == [
+        (("A",), "one", True),
+        (("B",), ("range", 2, 3), True),
+        (("C",), "one", True),
+    ]
+    assert _parse_pattern("B{2}") == [(("B",), ("range", 2, 2), True)]
+    assert _parse_pattern("B{2,}") == [(("B",), ("range", 2, None), True)]
+    assert _parse_pattern("B{1,4}?") == [(("B",), ("range", 1, 4), False)]
+    assert _parse_pattern("(B | C){0,2}") == [(("B", "C"), ("range", 0, 2), True)]
+    with pytest.raises(InvalidQueryError):
+        _parse_pattern("B{3,2}")
+
+
+def test_bounded_quantifier_matching(spark):
+    """Flink's {n}/{n,}/{n,m} surface. C ⊂ B, so bounds control how many
+    mid rows the run may swallow."""
+    rows = [(0, 5), (1, 20), (2, 30), (3, 40), (4, 150), (5, 3)]
+    # exact {2}: A, exactly 2 Bs, then C must hold at row 3 -> no match
+    # (row 3 is 40, not >= 100); with {3} row 4 is the C.
+    assert _mr_batch(spark, rows, "(A B{3} C)") == [(3, 150.0, 5.0)]
+    assert _mr_batch(spark, rows, "(A B{4} C)") == []
+    # {2,3} greedy prefers 3 mids; the C lands on the spike.
+    assert _mr_batch(spark, rows, "(A B{2,3} C)") == [(3, 150.0, 5.0)]
+    # upper bound forces fewer mids than available: B{1,2} takes rows 1-2,
+    # then C must hold at row 3 (40 < 100) -> backtracks to no match
+    # anywhere (no 2-mid window ends at a spike).
+    assert _mr_batch(spark, rows, "(A B{1,2} C)") == []
+    # a tighter stream where {1,2} does land on the spike
+    rows2 = [(0, 5), (1, 20), (2, 120), (3, 3)]
+    assert _mr_batch(spark, rows2, "(A B{1,2} C)") == [(1, 120.0, 5.0)]
+    # reluctant prefers the SHORT run: 1 mid then C at row 2 (120) wins
+    rows3 = [(0, 5), (1, 20), (2, 120), (3, 130), (4, 3)]
+    assert _mr_batch(spark, rows3, "(A B{1,2}? C)") == [(1, 120.0, 5.0)]
+    assert _mr_batch(spark, rows3, "(A B{1,2} C)") == [(2, 130.0, 5.0)]
+    # {n,} unbounded above behaves like a floored star
+    assert _mr_batch(spark, rows, "(A B{2,} C)") == [(3, 150.0, 5.0)]
+
+
+def test_bounded_quantifier_suspends_until_resolved(spark, tmp_path):
+    """Greedy B{1,3} with C ⊂ B at a watermark boundary: the attempt can
+    still prefer a longer mid-run, so nothing emits until the bound
+    resolves (cross-run exactness, same contract as B*)."""
+    runner = TransformRunner(
+        spark,
+        tmp_path,
+        queries=[
+            (
+                """select * from tickers MATCH_RECOGNIZE (
+  PARTITION BY symbol ORDER BY event_time
+  MEASURES A.event_time AS event_time, COUNT(B.*) AS n_mid, C.price AS spike
+  ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (A B{1,3} C)
+  DEFINE A AS A.price < 10, B AS B.price >= 10, C AS C.price >= 100
+)""",
+                None,
+            )
+        ],
+    )
+    s1 = str(tmp_path / "in" / "s1.parquet")
+    ticker_slice(
+        s1,
+        [
+            (0, 0, ts(2), ts(1, 0, 1), "A", 5),
+            (1, 0, ts(2), ts(1, 0, 2), "A", 20),
+            (2, 0, ts(2), ts(1, 0, 3), "A", 120),
+        ],
+    )
+    resp, out = runner.run([_input(s1, ts(1, 0, 3))], system_time=ts(2))
+    # 120 satisfies both B and C; greedy wants more mids -> suspended.
+    assert resp.new_offset_interval is None
+
+    s2 = str(tmp_path / "in" / "s2.parquet")
+    ticker_slice(s2, [(3, 0, ts(3), ts(1, 0, 4), "A", 130), (4, 0, ts(3), ts(1, 0, 5), "A", 3)])
+    resp, out = runner.run([_input(s2, ts(1, 0, 6))], system_time=ts(3))
+    rows = [
+        (r["n_mid"], r["spike"]) for r in pq.read_table(out).to_pylist()
+    ]
+    # resolved: greedy tries 3 mids (20,120,130) but then C fails on the
+    # closing 3-row; it backtracks to 2 mids with C = 130.
+    assert rows == [(2, 130)]

@@ -663,3 +663,99 @@ def test_cumulate_random_split_equals_batch(spark, tmp_path):
                 assert key not in got, f"window {key} emitted twice"
                 got[key] = (r["min"], r["max"])
     assert got == expected
+
+
+MONTHLY_QUERY = """SELECT
+  TUMBLE_START(event_time, INTERVAL '1' MONTH) as event_time,
+  symbol,
+  count(*) as n,
+  sum(price) as total
+FROM tickers GROUP BY TUMBLE(event_time, INTERVAL '1' MONTH), symbol"""
+
+
+def test_monthly_tumble_cross_run(spark, tmp_path):
+    """Calendar (month) tumbling — BEYOND reference parity (its README
+    lists month/quarter/year windows as unsupported): windows are
+    date_trunc buckets with calendar-variable length; exactly-once emit,
+    cross-run open-window state, and watermark gating all behave like the
+    fixed-duration path."""
+    from datetime import datetime, timezone
+
+    def mts(month, day, hour=0):
+        return datetime(2000, month, day, hour, tzinfo=timezone.utc)
+
+    runner = TransformRunner(spark, tmp_path, queries=[(MONTHLY_QUERY, None)])
+    s1 = str(tmp_path / "in" / "s1.parquet")
+    ticker_slice(
+        s1,
+        [
+            (0, 0, mts(3, 1), mts(1, 5), "A", 10),
+            (1, 0, mts(3, 1), mts(1, 20), "A", 20),
+            (2, 0, mts(3, 1), mts(2, 2), "A", 7),
+        ],
+    )
+    resp, out = runner.run(
+        [{"alias": "tickers", "data_paths": [s1], "schema_file": s1, "watermark": mts(2, 1)}],
+        system_time=mts(3, 1),
+    )
+    rows = [
+        (r["event_time"].replace(tzinfo=timezone.utc), r["symbol"], r["n"], r["total"])
+        for r in pq.read_table(out).to_pylist()
+    ]
+    # January closed (wm = Feb 1 >= its end); February still open.
+    assert rows == [(mts(1, 1), "A", 2, 30)]
+
+    # Run 2: another February row arrives, then the watermark passes March.
+    s2 = str(tmp_path / "in" / "s2.parquet")
+    ticker_slice(s2, [(3, 0, mts(4, 1), mts(2, 10), "A", 5)])
+    resp, out = runner.run(
+        [{"alias": "tickers", "data_paths": [s2], "schema_file": s2, "watermark": mts(3, 1)}],
+        system_time=mts(4, 1),
+    )
+    rows = [
+        (r["event_time"].replace(tzinfo=timezone.utc), r["symbol"], r["n"], r["total"])
+        for r in pq.read_table(out).to_pylist()
+    ]
+    # February merges the run-1 buffered row with run 2's.
+    assert rows == [(mts(2, 1), "A", 2, 12)]
+
+
+def test_quarter_and_year_tumble_batch(spark):
+    """QUARTER/YEAR date_trunc bucketing through the dialect rewrite."""
+    from datetime import datetime, timezone
+
+    from kamu_engine_flink_spark.plans.dialect import rewrite_query as rq
+
+    rows = [
+        (datetime(2000, 1, 10), 1),
+        (datetime(2000, 2, 10), 2),
+        (datetime(2000, 5, 10), 4),
+        (datetime(2001, 1, 1), 8),
+    ]
+    spark.createDataFrame(rows, "et timestamp, v int").createOrReplaceTempView("cal_t")
+    q = spark.sql(
+        rq(
+            "SELECT TUMBLE_START(et, INTERVAL '1' QUARTER) as qs, "
+            "TUMBLE_END(et, INTERVAL '1' QUARTER) as qe, sum(v) as s "
+            "FROM cal_t GROUP BY TUMBLE(et, INTERVAL '1' QUARTER) ORDER BY qs"
+        )
+    ).collect()
+    assert [(r.qs.month, r.qe.month, r.s) for r in q] == [(1, 4, 3), (4, 7, 4), (1, 4, 8)]
+    y = spark.sql(
+        rq(
+            "SELECT TUMBLE_START(et, INTERVAL '1' YEAR) as ys, sum(v) as s "
+            "FROM cal_t GROUP BY TUMBLE(et, INTERVAL '1' YEAR) ORDER BY ys"
+        )
+    ).collect()
+    assert [(r.ys.year, r.s) for r in y] == [(2000, 7), (2001, 8)]
+
+
+def test_multi_unit_calendar_tumble_rejected(spark, tmp_path):
+    """INTERVAL '2' MONTH has no date_trunc boundary — clear error, not a
+    silently wrong grouping."""
+    import pytest
+
+    from kamu_engine_flink_spark.plans.dialect import rewrite_query as rq
+
+    with pytest.raises(ValueError, match="INTERVAL '1' MONTH"):
+        rq("SELECT TUMBLE_START(et, INTERVAL '2' MONTH) FROM t GROUP BY TUMBLE(et, INTERVAL '2' MONTH)")
