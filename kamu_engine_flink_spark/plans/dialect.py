@@ -11,6 +11,9 @@ Flink builtin surface, SURVEY.md §2.B "string/date/math function library").
 Rewrites:
   TUMBLE(ts, INTERVAL 'n' UNIT)        -> window(ts, 'n unit')     [GROUP BY]
   TUMBLE_START(ts, ...)/TUMBLE_END(..) -> window.start / window.end
+  TUMBLE/HOP/SESSION_ROWTIME(..)       -> (window.end - INTERVAL 1 MILLISECOND)
+    (Flink's group-window rowtime attribute, for cascading windowed aggs)
+  TUMBLE(ts, INTERVAL '1' MONTH/QUARTER/YEAR) -> date_trunc calendar windows
   HOP(ts, INTERVAL slide, INTERVAL size) -> window(ts, size, slide)
   HOP_START/HOP_END                    -> window.start / window.end
   SESSION(ts, INTERVAL gap)            -> session_window(ts, gap)
@@ -64,16 +67,16 @@ VALID_TO = "__valid_to"
 VERSIONS_SUFFIX = "__versions"
 
 _TUMBLE_RE = re.compile(
-    r"(?<![\w.])TUMBLE(_START|_END)?\s*\(\s*([`\w.]+)\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*\)",
+    r"(?<![\w.])TUMBLE(_START|_END|_ROWTIME)?\s*\(\s*([`\w.]+)\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*\)",
     re.IGNORECASE,
 )
 _HOP_RE = re.compile(
-    r"(?<![\w.])HOP(_START|_END)?\s*\(\s*([`\w.]+)\s*,"
+    r"(?<![\w.])HOP(_START|_END|_ROWTIME)?\s*\(\s*([`\w.]+)\s*,"
     r"\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*\)",
     re.IGNORECASE,
 )
 _SESSION_RE = re.compile(
-    r"(?<![\w.])SESSION(_START|_END)?\s*\(\s*([`\w.]+)\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*\)",
+    r"(?<![\w.])SESSION(_START|_END|_ROWTIME)?\s*\(\s*([`\w.]+)\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*\)",
     re.IGNORECASE,
 )
 _CUMULATE_ANY_RE = re.compile(
@@ -196,11 +199,21 @@ def _rewrite_tumble(sql: str) -> str:
             start = f"date_trunc('{unit.upper()}', {col})"
             if suffix is None or suffix.upper() == "_START":
                 return start
-            return f"({start} + INTERVAL {_CALENDAR_MONTHS[unit.upper()]} MONTH)"
+            end = f"{start} + INTERVAL {_CALENDAR_MONTHS[unit.upper()]} MONTH"
+            if suffix.upper() == "_ROWTIME":
+                return f"({end} - INTERVAL 1 MILLISECOND)"
+            return f"({end})"
         dur = _interval_to_duration(n, unit)
         if suffix is None:
             return f"window({col}, '{dur}')"
-        return "window.start" if suffix.upper() == "_START" else "window.end"
+        if suffix.upper() == "_START":
+            return "window.start"
+        if suffix.upper() == "_ROWTIME":
+            # Flink's rowtime attribute of a group window: end - 1ms, a
+            # valid event time INSIDE the window so cascaded windowed
+            # aggregations bucket it into the enclosing window.
+            return "(window.end - INTERVAL 1 MILLISECOND)"
+        return "window.end"
 
     return _TUMBLE_RE.sub(repl, sql)
 
@@ -215,7 +228,11 @@ def _rewrite_hop(sql: str) -> str:
             size = _interval_to_duration(size_n, size_u)
             slide = _interval_to_duration(slide_n, slide_u)
             return f"window({col}, '{size}', '{slide}')"
-        return "window.start" if suffix.upper() == "_START" else "window.end"
+        if suffix.upper() == "_START":
+            return "window.start"
+        if suffix.upper() == "_ROWTIME":
+            return "(window.end - INTERVAL 1 MILLISECOND)"
+        return "window.end"
 
     return _HOP_RE.sub(repl, sql)
 
@@ -225,9 +242,11 @@ def _rewrite_session(sql: str) -> str:
         suffix, col, n, unit = m.groups()
         if suffix is None:
             return f"session_window({col}, '{_interval_to_duration(n, unit)}')"
-        return (
-            "session_window.start" if suffix.upper() == "_START" else "session_window.end"
-        )
+        if suffix.upper() == "_START":
+            return "session_window.start"
+        if suffix.upper() == "_ROWTIME":
+            return "(session_window.end - INTERVAL 1 MILLISECOND)"
+        return "session_window.end"
 
     return _SESSION_RE.sub(repl, sql)
 

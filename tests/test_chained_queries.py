@@ -345,3 +345,60 @@ def test_chained_join_into_cumulate_across_runs(spark, tmp_path):
         (ts(1), ts(1, 3), 3, 60),
         (ts(1), ts(1, 4), 3, 60),
     ]
+
+
+def test_cascaded_window_aggs_via_rowtime(spark, tmp_path):
+    """Flink's cascading-windows idiom: an hourly TUMBLE whose
+    TUMBLE_ROWTIME (window end - 1ms, a timestamp INSIDE the window)
+    feeds a daily TUMBLE in the next step. Cross-invocation: hourly
+    windows close under the first watermark, the daily rollup only when
+    the day passes."""
+    from .helpers import ticker_slice
+
+    HOURLY = (
+        """SELECT
+  TUMBLE_ROWTIME(event_time, INTERVAL '1' HOUR) as event_time,
+  symbol,
+  sum(price) as hourly_total
+FROM tickers GROUP BY TUMBLE(event_time, INTERVAL '1' HOUR), symbol""",
+        "hourly",
+    )
+    DAILY = (
+        """SELECT
+  TUMBLE_START(event_time, INTERVAL '1' DAY) as event_time,
+  symbol,
+  count(*) as n_hours,
+  sum(hourly_total) as daily_total
+FROM hourly GROUP BY TUMBLE(event_time, INTERVAL '1' DAY), symbol""",
+        None,
+    )
+    runner = TransformRunner(spark, tmp_path, queries=[HOURLY, DAILY])
+    s1 = str(tmp_path / "in" / "s1.parquet")
+    ticker_slice(
+        s1,
+        [
+            (0, 0, ts(3), ts(1, 1, 10), "A", 10),
+            (1, 0, ts(3), ts(1, 1, 40), "A", 20),
+            (2, 0, ts(3), ts(1, 5, 15), "A", 5),
+        ],
+    )
+    # Watermark passes mid-day-1: hourly windows 1h and 5h close, but the
+    # day-1 window stays open -> no output rows yet.
+    resp, out = runner.run(
+        [{"alias": "tickers", "data_paths": [s1], "schema_file": s1, "watermark": ts(1, 8)}],
+        system_time=ts(3),
+    )
+    assert resp.new_offset_interval is None
+
+    # Day rolls over: the daily window closes, rolling up BOTH hourly rows.
+    s2 = str(tmp_path / "in" / "s2.parquet")
+    ticker_slice(s2, [(3, 0, ts(4), ts(2, 3, 0), "A", 100)])
+    resp, out = runner.run(
+        [{"alias": "tickers", "data_paths": [s2], "schema_file": s2, "watermark": ts(2, 6)}],
+        system_time=ts(4),
+    )
+    rows = [
+        (r["event_time"].replace(tzinfo=timezone.utc), r["symbol"], r["n_hours"], r["daily_total"])
+        for r in pq.read_table(out).to_pylist()
+    ]
+    assert rows == [(ts(1), "A", 2, 35)]

@@ -284,3 +284,25 @@ def test_json_exists_executes(spark):
         rq("SELECT count(*) AS n FROM props_t WHERE JSON_EXISTS(props, '$.k')")
     ).collect()
     assert rows[0].n == 1
+
+
+def test_rowtime_rewrites():
+    from kamu_engine_flink_spark.plans.dialect import rewrite_query as rq
+
+    assert (
+        rq("SELECT TUMBLE_ROWTIME(ts, INTERVAL '1' HOUR) FROM t")
+        == "SELECT (window.end - INTERVAL 1 MILLISECOND) FROM t"
+    )
+    assert (
+        rq("SELECT HOP_ROWTIME(ts, INTERVAL '1' HOUR, INTERVAL '2' HOUR) FROM t")
+        == "SELECT (window.end - INTERVAL 1 MILLISECOND) FROM t"
+    )
+    assert (
+        rq("SELECT SESSION_ROWTIME(ts, INTERVAL '30' MINUTE) FROM t")
+        == "SELECT (session_window.end - INTERVAL 1 MILLISECOND) FROM t"
+    )
+    # calendar rowtime: month end - 1ms
+    assert (
+        rq("SELECT TUMBLE_ROWTIME(ts, INTERVAL '1' MONTH) FROM t")
+        == "SELECT (date_trunc('MONTH', ts) + INTERVAL 1 MONTH - INTERVAL 1 MILLISECOND) FROM t"
+    )
