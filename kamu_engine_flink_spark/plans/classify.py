@@ -91,8 +91,16 @@ _ROW_NUMBER_RE = re.compile(
 )
 _RANK_FILTER_RE = re.compile(r"WHERE\s+([`\w]+)\s*(<=|<|=)\s*(\d+)", re.IGNORECASE)
 _BETWEEN_RE = re.compile(
-    r"([`\w]+)\.([`\w]+)\s+BETWEEN\s+([`\w]+)\.([`\w]+)\s+AND\s+"
-    r"\3\.\4\s*\+\s*INTERVAL\s+'(\d+)'\s+(\w+)",
+    r"([`\w]+)\.([`\w]+)\s+BETWEEN\s+([`\w]+)\.([`\w]+)"
+    r"(?:\s*([+-])\s*INTERVAL\s+'(\d+)'\s+(\w+))?\s+AND\s+"
+    r"\3\.\4(?:\s*([+-])\s*INTERVAL\s+'(\d+)'\s+(\w+))?",
+    re.IGNORECASE,
+)
+# One time-bound conjunct of the comparison-spelled interval join
+# (Flink docs: `l.t >= r.t - I AND l.t < r.t + I`).
+_TIME_CMP_RE = re.compile(
+    r"([`\w]+)\.([`\w]+)\s*(<=|>=|<|>)\s*([`\w]+)\.([`\w]+)"
+    r"(?:\s*([+-])\s*INTERVAL\s+'(\d+)'\s+(\w+))?",
     re.IGNORECASE,
 )
 _JOIN_RE = re.compile(
@@ -572,10 +580,44 @@ def parse_over_agg(sql: str) -> OverAggSpec | None:
     )
 
 
+def _signed_interval(sign: str | None, n: str | None, unit: str | None) -> timedelta:
+    if n is None:
+        return timedelta(0)
+    iv = interval_to_timedelta(n, unit)
+    return -iv if sign == "-" else iv
+
+
+def _parse_cmp_bounds(on_text: str):
+    """Both bounds of a comparison-spelled interval join in `on_text`
+    (Flink docs form `l.t >= r.t - I AND l.t < r.t + I`): returns
+    (a_alias, a_col, b_alias, b_col, lo, hi) meaning a.t - b.t ∈ [lo, hi],
+    or None. At least one bound must carry INTERVAL arithmetic, so plain
+    non-time inequalities (quantity comparisons etc.) never classify a
+    regular join as an interval join."""
+    cons: dict[tuple, dict] = {}
+    flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}
+    for m in _TIME_CMP_RE.finditer(on_text):
+        a_al, a_col, op, b_al, b_col, sign, n, unit = m.groups()
+        delta = _signed_interval(sign, n, unit)
+        key = (a_al, a_col, b_al, b_col)
+        rkey = (b_al, b_col, a_al, a_col)
+        if rkey in cons and key not in cons:
+            key, delta, op = rkey, -delta, flip[op]
+        d = cons.setdefault(key, {})
+        if op in ("<", "<="):
+            d["hi"] = delta
+        else:
+            d["lo"] = delta
+        d["has_interval"] = d.get("has_interval", False) or n is not None
+    for (a_al, a_col, b_al, b_col), d in cons.items():
+        if "lo" in d and "hi" in d and d["has_interval"] and d["lo"] <= d["hi"]:
+            return a_al, a_col, b_al, b_col, d["lo"], d["hi"]
+    return None
+
+
 def parse_interval_join(sql: str, known_views: set[str]) -> IntervalJoinSpec | None:
     jm = _JOIN_RE.search(sql)
-    bm = _BETWEEN_RE.search(sql)
-    if not jm or not bm:
+    if not jm:
         return None
     left_view = jm.group(1).strip("`")
     right_view = jm.group(5).strip("`")
@@ -583,19 +625,39 @@ def parse_interval_join(sql: str, known_views: set[str]) -> IntervalJoinSpec | N
         return None
     left_alias = (jm.group(2) or jm.group(3) or jm.group(1)).strip("`")
     right_alias = (jm.group(6) or jm.group(7) or jm.group(5)).strip("`")
-    r_al, r_col, l_al, l_col, n, unit = bm.groups()
-    iv = interval_to_timedelta(n, unit)
-    # BETWEEN binds right.et ∈ [left.et, left.et + I]. When the query
-    # bound the LEFT side's time instead (`l.et BETWEEN r.et AND r.et+I`),
-    # mirroring the aliases flips the window: the constraint becomes
-    # right.et ∈ [left.et - I, left.et], i.e. lower=-I, upper=0 — NOT
-    # lower=0/upper=I, which would purge right rows that future lefts can
-    # still match and delay LEFT-outer pads.
-    if r_al.strip("`") == left_alias:
-        l_al, l_col, r_al, r_col = r_al, r_col, l_al, l_col
-        lower, upper = -iv, timedelta(0)
+
+    # Time bound: generalized BETWEEN (`a.t BETWEEN b.t - I1 AND b.t + I2`)
+    # or the two-conjunct comparison spelling. Both normalize to
+    # a.t - b.t ∈ [lo, hi].
+    bm = _BETWEEN_RE.search(sql)
+    if bm:
+        a_al, a_col, b_al, b_col = bm.group(1), bm.group(2), bm.group(3), bm.group(4)
+        lo = _signed_interval(bm.group(5), bm.group(6), bm.group(7))
+        hi = _signed_interval(bm.group(8), bm.group(9), bm.group(10))
+        if bm.group(6) is None and bm.group(9) is None:
+            return None  # no interval arithmetic — not a time-window join
+        if lo > hi:
+            return None
     else:
-        lower, upper = timedelta(0), iv
+        cb = _parse_cmp_bounds(jm.group(8))
+        if cb is None:
+            return None
+        a_al, a_col, b_al, b_col, lo, hi = cb
+
+    # Orient onto the executor's convention: right.et ∈
+    # [left.et + lower, left.et + upper]. When the bound subject is the
+    # LEFT side's time (`l.et - r.et ∈ [lo, hi]`), the window flips to
+    # right.et ∈ [left.et - hi, left.et - lo] — NOT [lo, hi], which would
+    # purge right rows that future lefts can still match and delay
+    # LEFT-outer pads.
+    if a_al.strip("`") == right_alias:
+        l_col, r_col = b_col, a_col
+        lower, upper = lo, hi
+    elif a_al.strip("`") == left_alias:
+        l_col, r_col = a_col, b_col
+        lower, upper = -hi, -lo
+    else:
+        return None
     return IntervalJoinSpec(
         left_view=left_view,
         left_alias=left_alias,

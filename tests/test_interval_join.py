@@ -382,3 +382,73 @@ def test_full_outer_interval_join(spark, tmp_path):
         (ts(1), 2, 20, None),
         (ts(2), 99, None, 7),
     ]
+
+
+CMP_SPELLED_QUERY = """SELECT
+  o.event_time as order_time,
+  o.order_id,
+  o.quantity as order_quantity,
+  CAST(s.event_time as TIMESTAMP(3)) as shipped_time,
+  COALESCE(s.num_shipped, 0) as shipped_quantity
+FROM
+  orders as o
+LEFT JOIN shipments as s
+ON
+  o.order_id = s.order_id
+  AND s.event_time >= o.event_time
+  AND s.event_time <= o.event_time + INTERVAL '2' DAY"""
+
+
+def test_comparison_spelled_interval_join_matches_between(spark, tmp_path):
+    """Flink's comparison spelling (`r.t >= l.t AND r.t <= l.t + I`) must
+    run as the SAME stateful interval join as the BETWEEN form — buffers,
+    NULL-pad horizon, cross-run matching, output watermark lag — not fall
+    through to a stateless per-slice join."""
+    from kamu_engine_flink_spark.plans.classify import classify, parse_interval_join
+
+    views = {"orders", "shipments"}
+    assert classify(CMP_SPELLED_QUERY, views) == "interval_join"
+    spec = parse_interval_join(CMP_SPELLED_QUERY, views)
+    assert (spec.lower.total_seconds(), spec.upper.total_seconds()) == (0, 2 * 86400)
+
+    vocab = __import__(
+        "kamu_engine_flink_spark.protocol.model", fromlist=["DatasetVocabulary"]
+    ).DatasetVocabulary(event_time_column="order_time")
+    runner = TransformRunner(spark, tmp_path, queries=[(CMP_SPELLED_QUERY, None)], vocab=vocab)
+
+    o1 = str(tmp_path / "orders" / "o1.parquet")
+    orders_slice(o1, [(0, 0, ts(6), ts(1), 1, 10), (1, 0, ts(6), ts(1), 2, 120), (2, 0, ts(6), ts(5), 3, 9)])
+    s1 = str(tmp_path / "ship" / "s1.parquet")
+    shipments_slice(s1, [(0, ts(3), ts(1), 1, 4), (1, ts(3), ts(2), 1, 6), (2, ts(3), ts(2), 2, 120)])
+    resp, out = runner.run(
+        [
+            {"alias": "orders", "data_paths": [o1], "schema_file": o1, "watermark": ts(5)},
+            {"alias": "shipments", "data_paths": [s1], "schema_file": s1, "watermark": ts(2)},
+        ],
+        system_time=ts(10),
+    )
+    assert _rows(out) == [
+        (ts(10), ts(1), 1, 10, ts(1), 4),
+        (ts(10), ts(1), 1, 10, ts(2), 6),
+        (ts(10), ts(1), 2, 120, ts(2), 120),
+    ]
+
+    # Cross-run: order 3's late shipment misses the window -> NULL-pad;
+    # order 4 matches across slices — identical to the BETWEEN scenario.
+    o2 = str(tmp_path / "orders" / "o2.parquet")
+    orders_slice(o2, [(3, 0, ts(11), ts(10), 4, 110)])
+    s2 = str(tmp_path / "ship" / "s2.parquet")
+    shipments_slice(s2, [(3, ts(12), ts(8), 3, 9), (4, ts(12), ts(11), 4, 110)])
+    runner.next_offset = 3
+    resp, out = runner.run(
+        [
+            {"alias": "orders", "data_paths": [o2], "schema_file": o2, "watermark": ts(10)},
+            {"alias": "shipments", "data_paths": [s2], "schema_file": s2, "watermark": ts(11)},
+        ],
+        system_time=ts(20),
+    )
+    assert resp.new_watermark == ts(8)
+    assert _rows(out) == [
+        (ts(20), ts(5), 3, 9, None, 0),
+        (ts(20), ts(10), 4, 110, ts(11), 110),
+    ]
