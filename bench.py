@@ -111,6 +111,17 @@ MATCH_RECOGNIZE (
     B AS B.value >= 2 AND B.value <= 100,
     C AS C.value > 100
 )"""
+# Flink's REGULAR (unbounded) stream join: full-history pairing, both
+# sides buffered forever. ~1.6M pair rows at sf0.1 — the cost is
+# dominated by the single-file ODF sink contract, not the join.
+REGULAR_JOIN_SQL = """SELECT
+  p.event_time as event_time,
+  p.user_id as user_id,
+  p.value as purchase_value,
+  c.value as click_value
+FROM purchases as p
+JOIN clicks as c
+ON p.user_id = c.user_id"""
 JOIN_SQL = """SELECT
   p.event_time as event_time,
   p.user_id as user_id,
@@ -436,6 +447,11 @@ def main() -> None:
             (
                 "odf_transform_interval_join",
                 JOIN_SQL,
+                [("purchases", p_ledger, p_wm), ("clicks", c_ledger, c_wm)],
+            ),
+            (
+                "odf_transform_regular_join",
+                REGULAR_JOIN_SQL,
                 [("purchases", p_ledger, p_wm), ("clicks", c_ledger, c_wm)],
             ),
             (

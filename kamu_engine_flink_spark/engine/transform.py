@@ -39,6 +39,7 @@ from ..operators import (
     map_step,
     match_recognize,
     over_agg,
+    regular_join,
     temporal_join,
     topn,
     window_agg,
@@ -86,6 +87,7 @@ _EXECUTORS = {
     C.SESSION_AGG: window_agg.execute_session_agg,
     C.CUMULATE_AGG: window_agg.execute_cumulate_agg,
     C.INTERVAL_JOIN: interval_join.execute_interval_join,
+    C.REGULAR_JOIN: regular_join.execute_regular_join,
     C.TEMPORAL_JOIN: temporal_join.execute_temporal_join,
     C.TOPN: topn.execute_topn,
     C.OVER_AGG: over_agg.execute_over_agg,

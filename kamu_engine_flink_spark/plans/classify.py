@@ -24,6 +24,7 @@ HOP_AGG = "hop_agg"
 SESSION_AGG = "session_agg"
 CUMULATE_AGG = "cumulate_agg"
 INTERVAL_JOIN = "interval_join"
+REGULAR_JOIN = "regular_join"
 TEMPORAL_JOIN = "temporal_join"
 TOPN = "topn"
 OVER_AGG = "over_agg"
@@ -580,6 +581,70 @@ def parse_over_agg(sql: str) -> OverAggSpec | None:
     )
 
 
+@dataclass
+class RegularJoinSpec:
+    """Flink "regular" (unbounded, non-windowed) stream join: every row of
+    either side pairs with the FULL history of the other, so both sides
+    buffer forever (the documented Flink state caveat; the reference
+    inherits it by planner delegation)."""
+
+    left_view: str
+    left_alias: str
+    right_view: str
+    right_alias: str
+    join_kind: str  # "", "LEFT", "RIGHT", "FULL"
+    on_condition: str
+
+
+_EQUI_ON_RE = re.compile(
+    r"([`\w]+)\.([`\w]+)\s*=\s*([`\w]+)\.([`\w]+)"
+)
+
+
+def parse_regular_join(sql: str, known_views: set[str]) -> RegularJoinSpec | None:
+    """A single two-view equi JOIN with NO time-window bound (and no
+    temporal/TVF spelling, which classify() routes earlier): Flink's
+    regular join. Conservative shape — anything else keeps its existing
+    MAP route."""
+    if len(re.findall(r"\bJOIN\b", sql, re.IGNORECASE)) != 1:
+        return None
+    if re.search(r"\bGROUP\s+BY\b|\bUNION\b", sql, re.IGNORECASE):
+        return None
+    if re.match(r"^\s*SELECT\s+DISTINCT\b", sql.strip(), re.IGNORECASE):
+        return None
+    if select_count(sql) != 1:
+        return None
+    jm = _JOIN_RE.search(sql)
+    if not jm:
+        return None
+    left_view = jm.group(1).strip("`")
+    right_view = jm.group(5).strip("`")
+    if left_view not in known_views or right_view not in known_views:
+        return None
+    on = jm.group(8).strip()
+    left_alias = (jm.group(2) or jm.group(3) or jm.group(1)).strip("`")
+    right_alias = (jm.group(6) or jm.group(7) or jm.group(5)).strip("`")
+    # Must have at least one cross-side column equality; must NOT carry a
+    # time-window bound (those are interval joins).
+    aliases = {left_alias, right_alias}
+    has_equi = any(
+        {m.group(1).strip("`"), m.group(3).strip("`")} == aliases
+        for m in _EQUI_ON_RE.finditer(on)
+    )
+    if not has_equi:
+        return None
+    if _BETWEEN_RE.search(sql) or _parse_cmp_bounds(on) is not None:
+        return None
+    return RegularJoinSpec(
+        left_view=left_view,
+        left_alias=left_alias,
+        right_view=right_view,
+        right_alias=right_alias,
+        join_kind=(jm.group(4) or "").strip().upper().split()[0] if jm.group(4) else "",
+        on_condition=on,
+    )
+
+
 def _signed_interval(sign: str | None, n: str | None, unit: str | None) -> timedelta:
     if n is None:
         return timedelta(0)
@@ -724,6 +789,12 @@ def classify(sql: str, known_views: set[str]) -> str:
         )
     if parse_interval_join(sql, known_views) is not None:
         return INTERVAL_JOIN
+    # A plain equi-join of two registered stream views with no time bound
+    # is Flink's REGULAR join (cross-history pairing, unbounded state) —
+    # running it as stateless MAP would pair only same-invocation rows,
+    # silently slice-dependent.
+    if parse_regular_join(sql, known_views) is not None:
+        return REGULAR_JOIN
     # Top-level SELECT DISTINCT gets Flink's STATEFUL stream semantics
     # (suppress rows seen in any earlier invocation), not per-slice
     # distinct. Conservative shape: single-block, no joins/aggregation.

@@ -250,6 +250,36 @@ class StreamingIntervalJoin:
 
 
 @dataclass
+class StreamingRegularJoin:
+    """Flink's REGULAR (unbounded) stream equi-join, always-on twin of
+    operators/regular_join.py: INNER stream-stream join with NO time
+    constraint — Spark keeps both sides' state forever, exactly Flink's
+    documented behavior for this operator (outer shapes need retractions
+    and are rejected by the micro-batch executor; Spark likewise requires
+    watermark time-bounds before allowing outer stream-stream joins)."""
+
+    left_dir: str
+    right_dir: str
+    checkpoint_dir: str
+    output_dir: str
+    equi_keys: list[tuple[str, str]] = field(default_factory=list)
+    left_schema: StructType | None = None
+    right_schema: StructType | None = None
+
+    def _plan(self, spark: SparkSession) -> DataFrame:
+        left = _file_stream(spark, self.left_dir, self.left_schema)
+        right = _file_stream(spark, self.right_dir, self.right_schema)
+        cond = None
+        for lk, rk in self.equi_keys:
+            c = F.col(lk) == F.col(rk)
+            cond = c if cond is None else (cond & c)
+        return left.join(right, cond, "inner")
+
+    def run_available_now(self, spark: SparkSession) -> None:
+        _run_available_now(self._plan(spark), self.checkpoint_dir, self.output_dir)
+
+
+@dataclass
 class StreamingDedup:
     """Streaming exact dedup: first occurrence per key wins, duplicates
     arriving within the watermark horizon are dropped, state is evicted

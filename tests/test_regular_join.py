@@ -1,0 +1,169 @@
+"""Regular (unbounded, non-windowed) stream join parity.
+
+Flink pairs each row with the FULL history of the other side (state never
+evicts); the reference exposes this via planner delegation. The previous
+MAP route paired only same-invocation rows — these tests pin the stateful
+cross-invocation behavior, the no-duplicate-pairs rule, and the loud
+rejection of outer shapes (whose Flink form emits retractions)."""
+
+from datetime import timezone
+
+import pyarrow.parquet as pq
+import pytest
+
+from kamu_engine_flink_spark.plans.classify import (
+    MAP,
+    REGULAR_JOIN,
+    classify,
+    parse_regular_join,
+)
+from kamu_engine_flink_spark.protocol.model import DatasetVocabulary, InvalidQueryError
+
+from .helpers import TransformRunner, ts
+from .test_interval_join import orders_slice, shipments_slice
+
+RJ_QUERY = """SELECT
+  o.event_time as order_time,
+  o.order_id,
+  o.quantity as order_quantity,
+  s.num_shipped as shipped_quantity
+FROM
+  orders as o
+JOIN shipments as s
+ON
+  o.order_id = s.order_id"""
+
+
+def test_classification():
+    views = {"orders", "shipments"}
+    assert classify(RJ_QUERY, views) == REGULAR_JOIN
+    # unknown view -> stays MAP
+    assert classify(RJ_QUERY, {"orders"}) == MAP
+    # no cross-side equality -> stays MAP
+    assert classify(
+        "SELECT * FROM orders o JOIN shipments s ON 1=1", views
+    ) == MAP
+    # time-bounded -> interval join, not regular
+    assert (
+        classify(
+            """SELECT * FROM orders o JOIN shipments s ON o.order_id = s.order_id
+               AND s.event_time BETWEEN o.event_time AND o.event_time + INTERVAL '1' DAY""",
+            views,
+        )
+        == "interval_join"
+    )
+    spec = parse_regular_join(RJ_QUERY, views)
+    assert (spec.left_view, spec.right_view, spec.join_kind) == ("orders", "shipments", "")
+
+
+def _rows(out):
+    return sorted(
+        (r["order_id"], r["order_quantity"], r["shipped_quantity"])
+        for r in pq.read_table(out).to_pylist()
+    )
+
+
+def test_cross_invocation_pairing(spark, tmp_path):
+    runner = TransformRunner(
+        spark,
+        tmp_path,
+        queries=[(RJ_QUERY, None)],
+        vocab=DatasetVocabulary(event_time_column="order_time"),
+    )
+    o1 = str(tmp_path / "o" / "o1.parquet")
+    s1 = str(tmp_path / "s" / "s1.parquet")
+    orders_slice(o1, [(0, 0, ts(2), ts(1), 1, 10), (1, 0, ts(2), ts(1), 2, 20)])
+    shipments_slice(s1, [(0, ts(2), ts(1), 1, 4)])
+    resp, out = runner.run(
+        [
+            {"alias": "orders", "data_paths": [o1], "schema_file": o1, "watermark": ts(1)},
+            {"alias": "shipments", "data_paths": [s1], "schema_file": s1, "watermark": ts(1)},
+        ],
+        system_time=ts(5),
+    )
+    # same-run pair only; order 2 unmatched (INNER -> nothing)
+    assert _rows(out) == [(1, 10, 4)]
+
+    # Run 2: a shipment for order 2 arrives — must pair with the RUN-1
+    # order (full-history semantics); order 1's old shipment must NOT
+    # re-emit (no duplicate pairs).
+    o2 = str(tmp_path / "o" / "o2.parquet")
+    s2 = str(tmp_path / "s" / "s2.parquet")
+    orders_slice(o2, [(2, 0, ts(3), ts(2), 3, 30)])
+    shipments_slice(s2, [(1, ts(3), ts(2), 2, 8), (2, ts(3), ts(2), 3, 9)])
+    resp, out = runner.run(
+        [
+            {"alias": "orders", "data_paths": [o2], "schema_file": o2, "watermark": ts(2)},
+            {"alias": "shipments", "data_paths": [s2], "schema_file": s2, "watermark": ts(2)},
+        ],
+        system_time=ts(6),
+    )
+    assert _rows(out) == [(2, 20, 8), (3, 30, 9)]
+
+    # Run 3: a new order pairs with a RUN-2 shipment (old-right history).
+    o3 = str(tmp_path / "o" / "o3.parquet")
+    orders_slice(o3, [(3, 0, ts(4), ts(3), 2, 99)])
+    resp, out = runner.run(
+        [
+            {"alias": "orders", "data_paths": [o3], "schema_file": o3, "watermark": ts(3)},
+            {"alias": "shipments", "data_paths": [], "schema_file": s2, "watermark": ts(3)},
+        ],
+        system_time=ts(7),
+    )
+    assert _rows(out) == [(2, 99, 8)]
+
+
+def test_slice_invariance(spark, tmp_path):
+    import random
+
+    rng = random.Random(31)
+    lrows = [(i, 0, ts(9), ts(1), i % 7, 10 + i) for i in range(40)]
+    rrows = [(i, ts(9), ts(1), i % 5, 100 + i) for i in range(40)]
+
+    def run_cuts(tag, cuts):
+        runner = TransformRunner(
+            spark,
+            tmp_path / tag,
+            queries=[(RJ_QUERY, None)],
+            vocab=DatasetVocabulary(event_time_column="order_time"),
+        )
+        pairs = []
+        bounds = [0, *cuts, 40]
+        for si in range(len(bounds) - 1):
+            op = str(tmp_path / tag / f"o{si}.parquet")
+            sp = str(tmp_path / tag / f"s{si}.parquet")
+            orders_slice(op, lrows[bounds[si] : bounds[si + 1]])
+            shipments_slice(sp, rrows[bounds[si] : bounds[si + 1]])
+            resp, out = runner.run(
+                [
+                    {"alias": "orders", "data_paths": [op], "schema_file": op, "watermark": ts(1)},
+                    {"alias": "shipments", "data_paths": [sp], "schema_file": sp, "watermark": ts(1)},
+                ],
+                system_time=ts(9 + si),
+            )
+            if resp.new_offset_interval is not None:
+                pairs.extend(_rows(out))
+        return sorted(pairs)
+
+    assert run_cuts("one", []) == run_cuts("many", [13, 29])
+
+
+def test_outer_regular_join_rejected(spark, tmp_path):
+    runner = TransformRunner(
+        spark,
+        tmp_path,
+        queries=[(RJ_QUERY.replace("JOIN shipments", "LEFT JOIN shipments"), None)],
+        vocab=DatasetVocabulary(event_time_column="order_time"),
+    )
+    o1 = str(tmp_path / "o" / "o1.parquet")
+    s1 = str(tmp_path / "s" / "s1.parquet")
+    orders_slice(o1, [(0, 0, ts(2), ts(1), 1, 10)])
+    shipments_slice(s1, [(0, ts(2), ts(1), 1, 4)])
+    with pytest.raises(InvalidQueryError, match="retraction"):
+        runner.run(
+            [
+                {"alias": "orders", "data_paths": [o1], "schema_file": o1, "watermark": ts(1)},
+                {"alias": "shipments", "data_paths": [s1], "schema_file": s1, "watermark": ts(1)},
+            ],
+            system_time=ts(5),
+        )

@@ -683,3 +683,37 @@ def test_streaming_over_agg_idle_key_wakes_on_timeout(spark, dirs):
         for r in spark.read.parquet(dirs["out"]).collect()
     )
     assert ("A", ts(1, 0, 5), 10.0) in out
+
+
+def test_streaming_regular_join_unbounded_history(spark, join_dirs):
+    """StreamingRegularJoin: NO time bound — a shipment arriving far
+    outside any interval horizon still pairs with a run-1 order (full-
+    history state, Flink's regular-join behavior)."""
+    from kamu_engine_flink_spark.streaming.structured import StreamingRegularJoin
+
+    job = StreamingRegularJoin(
+        left_dir=join_dirs["orders"],
+        right_dir=join_dirs["shipments"],
+        checkpoint_dir=join_dirs["chk"],
+        output_dir=join_dirs["out"],
+        equi_keys=[("order_id", "ship_order_id")],
+    )
+    _orders_slice(
+        os.path.join(join_dirs["orders"], "s1.parquet"),
+        [(ts(1, 1), 1, 10), (ts(1, 2), 2, 20)],
+    )
+    _shipments_slice(os.path.join(join_dirs["shipments"], "s1.parquet"), [])
+    job.run_available_now(spark)
+    assert spark.read.parquet(join_dirs["out"]).count() == 0
+
+    # 20 days later — far beyond any interval-join horizon — both orders
+    # finally match, including double-pairing order 1.
+    _shipments_slice(
+        os.path.join(join_dirs["shipments"], "s2.parquet"),
+        [(ts(21, 1), 1, 7), (ts(21, 2), 1, 3), (ts(21, 3), 2, 20)],
+    )
+    job.run_available_now(spark)
+    out = sorted(
+        (r.order_id, r.shipped) for r in spark.read.parquet(join_dirs["out"]).collect()
+    )
+    assert out == [(1, 3), (1, 7), (2, 20)]
