@@ -452,3 +452,66 @@ def test_comparison_spelled_interval_join_matches_between(spark, tmp_path):
         (ts(20), ts(5), 3, 9, None, 0),
         (ts(20), ts(10), 4, 110, ts(11), 110),
     ]
+
+
+SIGNED_BETWEEN_QUERY = """SELECT
+  o.event_time as order_time,
+  o.order_id,
+  o.quantity as order_quantity,
+  CAST(s.event_time as TIMESTAMP(3)) as shipped_time,
+  COALESCE(s.num_shipped, 0) as shipped_quantity
+FROM
+  orders as o
+LEFT JOIN shipments as s
+ON
+  o.order_id = s.order_id
+  AND s.event_time BETWEEN o.event_time - INTERVAL '1' DAY AND o.event_time + INTERVAL '1' DAY"""
+
+
+def test_signed_between_lower_bound_keeps_preceding_rows(spark, tmp_path):
+    """`BETWEEN o.et - I1 AND o.et + I2`: a shipment arriving BEFORE its
+    order (within I1) must survive in the right buffer past the left
+    watermark and match the order when it arrives next run — the
+    lower=-I1 eviction rule (purging at r.et < wm_l would drop it)."""
+    from kamu_engine_flink_spark.plans.classify import parse_interval_join
+
+    spec = parse_interval_join(SIGNED_BETWEEN_QUERY, {"orders", "shipments"})
+    assert (spec.lower.total_seconds(), spec.upper.total_seconds()) == (-86400, 86400)
+
+    vocab = __import__(
+        "kamu_engine_flink_spark.protocol.model", fromlist=["DatasetVocabulary"]
+    ).DatasetVocabulary(event_time_column="order_time")
+    runner = TransformRunner(
+        spark, tmp_path, queries=[(SIGNED_BETWEEN_QUERY, None)], vocab=vocab
+    )
+    # Run 1: the shipment exists, its order does not yet. Watermarks pass
+    # the shipment's own event time.
+    o1 = str(tmp_path / "orders" / "o1.parquet")
+    orders_slice(o1, [(0, 0, ts(3), ts(1), 9, 1)])  # unrelated order
+    s1 = str(tmp_path / "ship" / "s1.parquet")
+    shipments_slice(s1, [(0, ts(3), ts(2), 7, 5)])
+    resp, out = runner.run(
+        [
+            {"alias": "orders", "data_paths": [o1], "schema_file": o1, "watermark": ts(2, 12)},
+            {"alias": "shipments", "data_paths": [s1], "schema_file": s1, "watermark": ts(2, 12)},
+        ],
+        system_time=ts(10),
+    )
+    # Run 2: order 7 arrives with event time one day AFTER its shipment —
+    # inside the [-1d, +1d] window. The buffered shipment must pair.
+    o2 = str(tmp_path / "orders" / "o2.parquet")
+    orders_slice(o2, [(1, 0, ts(4), ts(3), 7, 70)])
+    runner.next_offset = resp.new_offset_interval.end + 1 if resp.new_offset_interval else 0
+    resp2, out2 = runner.run(
+        [
+            {"alias": "orders", "data_paths": [o2], "schema_file": o2, "watermark": ts(5)},
+            {"alias": "shipments", "data_paths": [], "schema_file": s1, "watermark": ts(5)},
+        ],
+        system_time=ts(11),
+    )
+    rows = [
+        (r["order_id"], r["shipped_time"].replace(tzinfo=timezone.utc), r["shipped_quantity"])
+        for r in pq.read_table(out2).to_pylist()
+        if r["order_id"] == 7
+    ]
+    assert rows == [(7, ts(2), 5)]
