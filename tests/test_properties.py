@@ -161,3 +161,112 @@ def test_fold_records_matches_brute_force_oracle(vals, limit, descending):
     assert got == expected
     # and the final persisted ranking equals the oracle's final top-N
     assert ranking == prev_top
+
+
+# ---------------------------------------------------------------------------
+# MATCH_RECOGNIZE matcher vs a regex oracle.
+#
+# SQL:2016 row-pattern matching uses the same leftmost, preference-ordered
+# backtracking as classic regex engines, so try_match (the shared NFA core
+# of operators/match_recognize.py) can be checked independently: encode
+# each row as a character whose bits say which variables' predicates hold,
+# map each pattern element to a character class, and compare match SPANS
+# under AFTER MATCH SKIP PAST LAST ROW with re.finditer (leftmost,
+# non-overlapping — the same attempt loop the fold runs in batch mode).
+
+import re as _re
+
+_VARS = ["A", "B", "C"]
+
+
+def _mr_elements(pattern_spec):
+    """pattern_spec: list of (var_bits, quant, greedy) -> engine elements
+    (single-var tuples; var_bits selects which of A/B/C the element is)."""
+    from kamu_engine_flink_spark.operators.match_recognize import _parse_pattern
+
+    text = []
+    for var, quant, greedy in pattern_spec:
+        q = {"one": "", "opt": "?", "star": "*", "plus": "+"}.get(quant)
+        if q is None:  # ("range", mn, mx)
+            mn, mx = quant[1], quant[2]
+            q = f"{{{mn}}}" if mx == mn else (f"{{{mn},}}" if mx is None else f"{{{mn},{mx}}}")
+        text.append(var + q + ("" if greedy or not q else "?"))
+    return _parse_pattern(" ".join(text))
+
+
+def _regex_for(pattern_spec):
+    """Same pattern as a regex over bitmask characters: row char =
+    chr('a' + bitmask of satisfied vars); var V matches any char with V's
+    bit set."""
+    parts = []
+    for var, quant, greedy in pattern_spec:
+        bit = 1 << _VARS.index(var)
+        cls = "[" + "".join(
+            chr(ord("a") + m) for m in range(8) if m & bit
+        ) + "]"
+        q = {"one": "", "opt": "?", "star": "*", "plus": "+"}.get(quant)
+        if q is None:
+            mn, mx = quant[1], quant[2]
+            q = f"{{{mn}}}" if mx == mn else (f"{{{mn},}}" if mx is None else f"{{{mn},{mx}}}")
+        parts.append(cls + q + ("" if greedy or not q else "?"))
+    return _re.compile("".join(parts))
+
+
+def _engine_spans(preds, elements, n):
+    """The fold's batch attempt loop (AFTER MATCH SKIP PAST LAST ROW,
+    final watermark): ascending starts, jump past each match."""
+    from kamu_engine_flink_spark.operators.match_recognize import try_match
+
+    att = {"n": n, "final": True}
+    spans = []
+    i = 0
+    while i < n:
+        r = try_match(preds, elements, att, i, 0, [])
+        if r and r[0] == "match" and r[1] > i:
+            spans.append((i, r[1]))
+            i = r[1]
+        else:
+            i += 1
+    return spans
+
+
+quant_strategy = st.one_of(
+    st.sampled_from(["one", "opt", "star", "plus"]),
+    st.tuples(
+        st.just("range"), st.integers(0, 3),
+        st.one_of(st.none(), st.integers(0, 4)),
+    ).filter(lambda t: t[2] is None or t[2] >= t[1]),
+)
+pattern_strategy = st.lists(
+    st.tuples(st.sampled_from(_VARS), quant_strategy, st.booleans()),
+    min_size=1,
+    max_size=4,
+).filter(
+    # at least one element that must consume a row, else the pattern can
+    # match empty (regex yields zero-width matches; the engine skips them)
+    lambda spec: any(
+        q == "one" or q == "plus" or (isinstance(q, tuple) and q[1] > 0)
+        for _, q, _ in spec
+    )
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    pattern_strategy,
+    st.lists(st.integers(min_value=0, max_value=7), min_size=0, max_size=18),
+)
+def test_try_match_spans_match_regex_oracle(pattern_spec, row_masks):
+    elements = _mr_elements(pattern_spec)
+    preds = {
+        v: [bool(m & (1 << k)) for m in row_masks]
+        for k, v in enumerate(_VARS)
+    }
+    got = _engine_spans(preds, elements, len(row_masks))
+    text = "".join(chr(ord("a") + m) for m in row_masks)
+    expected = [
+        (m.start(), m.end())
+        for m in _regex_for(pattern_spec).finditer(text)
+        if m.end() > m.start()
+    ]
+    assert got == expected, (pattern_spec, row_masks)
