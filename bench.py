@@ -74,6 +74,15 @@ CUMULATE_SQL = """SELECT
   count(*) as n_events,
   avg(value) as avg_value
 FROM events GROUP BY CUMULATE(event_time, INTERVAL '1' HOUR, INTERVAL '6' HOUR), event_type"""
+# Flink's continuous (unbounded) aggregation: per-key accumulators with
+# op 0/2/3 correction changelog output.
+UNBOUNDED_AGG_SQL = """SELECT
+  cast(now() as timestamp(3)) as event_time,
+  user_id,
+  count(*) as n_events,
+  sum(value) as total_value,
+  avg(value) as mean_value
+FROM events GROUP BY user_id"""
 TOPN_SQL = """SELECT * FROM (
   SELECT
     row_number() OVER (ORDER BY value DESC) AS place,
@@ -436,6 +445,7 @@ def main() -> None:
             ("odf_transform_distinct", DISTINCT_SQL, [("events", ledger, wm)]),
             ("odf_transform_hop_agg", HOP_SQL, [("events", ledger, wm)]),
             ("odf_transform_cumulate_agg", CUMULATE_SQL, [("events", ledger, wm)]),
+            ("odf_transform_unbounded_agg", UNBOUNDED_AGG_SQL, [("events", ledger, wm)]),
             ("odf_transform_topn", TOPN_SQL, [("events", ledger, wm)]),
             ("odf_transform_keyed_topn", KEYED_TOPN_SQL, [("events", ledger, wm)]),
             ("odf_transform_over_agg", OVER_AGG_SQL, [("events", ledger, wm)]),

@@ -41,6 +41,7 @@ from ..operators import (
     over_agg,
     regular_join,
     temporal_join,
+    unbounded_agg,
     topn,
     window_agg,
     window_join,
@@ -88,6 +89,7 @@ _EXECUTORS = {
     C.CUMULATE_AGG: window_agg.execute_cumulate_agg,
     C.INTERVAL_JOIN: interval_join.execute_interval_join,
     C.REGULAR_JOIN: regular_join.execute_regular_join,
+    C.UNBOUNDED_AGG: unbounded_agg.execute_unbounded_agg,
     C.TEMPORAL_JOIN: temporal_join.execute_temporal_join,
     C.TOPN: topn.execute_topn,
     C.OVER_AGG: over_agg.execute_over_agg,

@@ -1,0 +1,145 @@
+"""Stateful CONTINUOUS (unbounded, windowless) GROUP BY aggregation with
+correction changelog.
+
+Flink's hallmark updating aggregate: `SELECT k, sum(v) FROM s GROUP BY k`
+over a stream continuously revises each key's row, emitting -U/+U
+retraction pairs downstream; the reference exposes it by planner
+delegation and its ChangelogOperator maps those RowKinds to op 2/3
+(ChangelogOperator.scala:10-24, Op.scala:5-18) — the same contract the
+Top-N changelog pins (EngineTopNTest.scala:92-128). The previous MAP route
+recomputed per slice, emitting conflicting absolute rows per invocation.
+
+Spark-first derivation: per-key mergeable accumulators (sum/count/min/max,
+avg as a sum+count pair — plans/classify.parse_unbounded_aggs, the same
+gate as the window accumulator paths), kept as one state relation of
+O(distinct keys) rows. Each invocation aggregates the slice alone
+(partial), merges with the persisted accumulators in one groupBy, and
+diffs old vs new per key:
+
+    key unseen before        -> op 0 (Append) with the new values
+    key present, any change  -> op 2 (CorrectFrom old) + op 3 (CorrectTo new)
+    key untouched            -> no emission
+
+One emission per changed key per invocation — Flink's mini-batch
+aggregation emission (table.exec.mini-batch), which is what an
+invocation-per-slice engine IS. Inputs are treated as append-only (`op`
+stays a data column), the engine-wide stance (TransformEngine.scala:506-511
+has the same behavior). Aggregates that cannot merge (collect_list,
+expressions over aggregates, DISTINCT) keep their MAP route.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+from ..plans.classify import parse_unbounded_aggs, referenced_views, unbounded_agg_group_cols
+from ..plans.dialect import rewrite_query
+from ..protocol.model import InvalidQueryError
+from .base import StepContext, StepResult
+from .topn import OP_COL
+
+SUB_COL = "__emit_sub"  # 0 for op 0/2 rows, 1 for op 3 — pair order per key
+
+_OP_APPEND = 0
+_OP_CORRECT_FROM = 2
+_OP_CORRECT_TO = 3
+
+
+def _probe_schema(ctx: StepContext, sql: str, src: str) -> StructType:
+    ctx.views[src].limit(0).createOrReplaceTempView(src)
+    try:
+        return ctx.spark.sql(rewrite_query(sql)).schema
+    finally:
+        ctx.views[src].createOrReplaceTempView(src)
+
+
+def execute_unbounded_agg(ctx: StepContext, sql: str) -> StepResult:
+    spec = parse_unbounded_aggs(sql)
+    if spec is None:
+        raise InvalidQueryError("unbounded aggregation executor could not parse the query")
+    mspec = spec.mspec
+    refs = referenced_views(sql, set(ctx.views))
+    if len(refs) != 1:
+        raise InvalidQueryError("continuous aggregation must read exactly one view")
+    src = refs[0]
+    group_cols = unbounded_agg_group_cols(sql)
+    out_schema = _probe_schema(ctx, sql, src)
+
+    # Slice partials (the now() emission-time item stripped; avg
+    # decomposed into sum+count when present).
+    partials = ctx.spark.sql(rewrite_query(mspec.slice_sql or spec.core_sql))
+    acc_name = f"{ctx.step_key}-unbounded-acc"
+    prev = ctx.state.load_df(acc_name, schema=partials.schema)
+
+    merge_exprs = [
+        getattr(F, fn)(F.col(c)).alias(c) for c, fn in mspec.merges.items()
+    ]
+    merged = ctx.pin(
+        prev.unionByName(partials).groupBy(*group_cols).agg(*merge_exprs)
+    )
+    ctx.state.save_df(acc_name, merged)
+
+    # Per-key diff old vs new. Null-safe key equality keeps NULL group
+    # keys as ordinary groups (Spark groupBy semantics); a literal TRUE
+    # marker on the old side distinguishes "key unseen" from "NULL key".
+    prev_marked = prev.withColumn("__present", F.lit(True))
+    key_cond = None
+    for k in group_cols:
+        c = F.col(f"n.{k}").eqNullSafe(F.col(f"o.{k}"))
+        key_cond = c if key_cond is None else (key_cond & c)
+    joined = merged.alias("n").join(prev_marked.alias("o"), key_cond, "left")
+    is_new = F.col("o.__present").isNull()
+
+    def _finals(side: str) -> list:
+        """User-shape projection (aliases, order, types) from one side's
+        accumulator columns — avg becomes the merged quotient, every
+        aggregate is cast back to the type the user's own SQL produces."""
+        cols = []
+        for f in out_schema.fields:
+            if f.name in group_cols:
+                cols.append(F.col(f"n.{f.name}").alias(f.name))  # keys from new side
+            elif f.name == spec.now_alias:
+                # Emission time, re-stamped per invocation (the engine's
+                # Top-N changelog idiom).
+                cols.append(F.current_timestamp().cast(f.dataType).alias(f.name))
+            elif f.name in mspec.avgs:
+                s_col, c_col = mspec.avgs[f.name]
+                cols.append(
+                    (F.col(f"{side}.{s_col}") / F.col(f"{side}.{c_col}"))
+                    .cast(f.dataType)
+                    .alias(f.name)
+                )
+            else:
+                cols.append(F.col(f"{side}.{f.name}").cast(f.dataType).alias(f.name))
+        return cols
+
+    changed = None
+    for c in mspec.merges:
+        neq = ~F.col(f"n.{c}").eqNullSafe(F.col(f"o.{c}"))
+        changed = neq if changed is None else (changed | neq)
+
+    appends = joined.filter(is_new).select(
+        *_finals("n"),
+        F.lit(_OP_APPEND).cast(IntegerType()).alias(OP_COL),
+        F.lit(0).cast(LongType()).alias(SUB_COL),
+    )
+    changed_rows = joined.filter(~is_new & changed)
+    corrects_from = changed_rows.select(
+        *_finals("o"),
+        F.lit(_OP_CORRECT_FROM).cast(IntegerType()).alias(OP_COL),
+        F.lit(0).cast(LongType()).alias(SUB_COL),
+    )
+    corrects_to = changed_rows.select(
+        *_finals("n"),
+        F.lit(_OP_CORRECT_TO).cast(IntegerType()).alias(OP_COL),
+        F.lit(1).cast(LongType()).alias(SUB_COL),
+    )
+    result = appends.unionByName(corrects_from).unionByName(corrects_to)
+
+    # Deterministic emission: key order, then op-2-before-op-3 per key.
+    order_cols = [*group_cols, SUB_COL]
+    return StepResult(
+        df=result, watermark=ctx.new_wms.get(src), order_cols=order_cols
+    )

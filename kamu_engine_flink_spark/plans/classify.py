@@ -25,6 +25,7 @@ SESSION_AGG = "session_agg"
 CUMULATE_AGG = "cumulate_agg"
 INTERVAL_JOIN = "interval_join"
 REGULAR_JOIN = "regular_join"
+UNBOUNDED_AGG = "unbounded_agg"
 TEMPORAL_JOIN = "temporal_join"
 TOPN = "topn"
 OVER_AGG = "over_agg"
@@ -203,7 +204,9 @@ def _split_top_level(s: str) -> list[str]:
     return parts
 
 
-def _parse_mergeable_aggs(sql: str, proj_re: re.Pattern) -> MergeAggSpec | None:
+def _parse_mergeable_aggs(
+    sql: str, proj_re: re.Pattern, require_window: bool = True
+) -> MergeAggSpec | None:
     """Shared conservative gate for accumulator-state aggregation:
     single SELECT, no HAVING/DISTINCT/subquery/per-run literals, the
     projection carries a window START or END alias (matched by
@@ -264,7 +267,7 @@ def _parse_mergeable_aggs(sql: str, proj_re: re.Pattern) -> MergeAggSpec | None:
             return None
         # anything else is a plain-column group-key projection: fine as-is
         new_items.append(item)
-    if (start_alias is None and end_alias is None) or not merges:
+    if (require_window and start_alias is None and end_alias is None) or not merges:
         return None
     slice_sql = None
     if avgs:
@@ -280,6 +283,67 @@ def _parse_mergeable_aggs(sql: str, proj_re: re.Pattern) -> MergeAggSpec | None:
 
 def parse_mergeable_tumble_aggs(sql: str) -> MergeAggSpec | None:
     return _parse_mergeable_aggs(sql, _TUMBLE_PROJ_RE)
+
+
+_NEVER_RE = re.compile(r"(?!x)x")
+# The engine's emission-time idiom (same as the Top-N tests):
+# `cast(now() as timestamp(3)) as placed_at` projected alongside the
+# aggregates to satisfy the output event-time contract.
+_NOW_ITEM_RE = re.compile(
+    r"^(?:CAST\s*\(\s*)?now\s*\(\s*\)\s*"
+    r"(?:AS\s+TIMESTAMP(?:\s*\(\s*\d\s*\))?\s*\))?\s+(?:AS\s+)?`?(\w+)`?$",
+    re.IGNORECASE,
+)
+
+
+@dataclass
+class UnboundedAggSpec:
+    mspec: MergeAggSpec
+    core_sql: str  # user SQL minus the now() emission-time item
+    now_alias: str | None
+
+
+def parse_unbounded_aggs(sql: str) -> UnboundedAggSpec | None:
+    """Windowless GROUP BY over mergeable aggregates — Flink's continuous
+    (unbounded) aggregation, whose per-key results UPDATE as input
+    arrives. The same accumulator machinery as the window paths, minus
+    any window alias; group keys must be plain columns. A projected
+    `now() AS <alias>` emission-time item is stripped before the shared
+    parser (whose per-run-literal guard exists for partials that must
+    merge across runs — here it is re-stamped per emission instead)."""
+    gm = _GROUP_BY_RE.search(sql)
+    if not gm:
+        return None
+    if any(
+        not re.fullmatch(r"[`\w.]+", c.strip())
+        for c in _split_top_level(gm.group(1))
+    ):
+        return None  # expression group keys — stateless MAP keeps them
+    m = re.search(r"select\s+(.*?)\s+from\s", sql, re.IGNORECASE | re.DOTALL)
+    if not m:
+        return None
+    now_alias = None
+    kept: list[str] = []
+    for item in _split_top_level(m.group(1)):
+        nm = _NOW_ITEM_RE.match(item)
+        if nm and now_alias is None:
+            now_alias = nm.group(1)
+        else:
+            kept.append(item)
+    if not kept:
+        return None
+    core_sql = sql[: m.start(1)] + ", ".join(kept) + sql[m.end(1) :]
+    mspec = _parse_mergeable_aggs(core_sql, _NEVER_RE, require_window=False)
+    if mspec is None:
+        return None
+    return UnboundedAggSpec(mspec=mspec, core_sql=core_sql, now_alias=now_alias)
+
+
+def unbounded_agg_group_cols(sql: str) -> list[str]:
+    gm = _GROUP_BY_RE.search(sql)
+    return [
+        c.strip().strip("`").split(".")[-1] for c in _split_top_level(gm.group(1))
+    ]
 
 
 def parse_mergeable_hop_aggs(sql: str) -> MergeAggSpec | None:
@@ -795,6 +859,16 @@ def classify(sql: str, known_views: set[str]) -> str:
     # silently slice-dependent.
     if parse_regular_join(sql, known_views) is not None:
         return REGULAR_JOIN
+    # Windowless GROUP BY over one stream view with mergeable aggregates:
+    # Flink's continuous aggregation — per-key results UPDATE as rows
+    # arrive, emitting correction pairs into the changelog. Stateless MAP
+    # would recompute per slice and emit conflicting absolute rows.
+    if (
+        not re.search(r"\bJOIN\b", sql, re.IGNORECASE)
+        and len(referenced_views(sql, known_views)) == 1
+        and parse_unbounded_aggs(sql) is not None
+    ):
+        return UNBOUNDED_AGG
     # Top-level SELECT DISTINCT gets Flink's STATEFUL stream semantics
     # (suppress rows seen in any earlier invocation), not per-slice
     # distinct. Conservative shape: single-block, no joins/aggregation.
