@@ -89,6 +89,9 @@ def execute_unbounded_agg(ctx: StepContext, sql: str) -> StepResult:
     for k in group_cols:
         c = F.col(f"n.{k}").eqNullSafe(F.col(f"o.{k}"))
         key_cond = c if key_cond is None else (key_cond & c)
+    if key_cond is None:
+        # Global (keyless) aggregation: one group — old side is <= 1 row.
+        key_cond = F.lit(True)
     joined = merged.alias("n").join(prev_marked.alias("o"), key_cond, "left")
     is_new = F.col("o.__present").isNull()
 

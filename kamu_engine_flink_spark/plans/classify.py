@@ -312,13 +312,13 @@ def parse_unbounded_aggs(sql: str) -> UnboundedAggSpec | None:
     parser (whose per-run-literal guard exists for partials that must
     merge across runs — here it is re-stamped per emission instead)."""
     gm = _GROUP_BY_RE.search(sql)
-    if not gm:
-        return None
-    if any(
+    if gm and any(
         not re.fullmatch(r"[`\w.]+", c.strip())
         for c in _split_top_level(gm.group(1))
     ):
         return None  # expression group keys — stateless MAP keeps them
+    if not gm and not _AGG_CALL_RE.search(sql):
+        return None  # no GROUP BY and no aggregate — plain projection
     m = re.search(r"select\s+(.*?)\s+from\s", sql, re.IGNORECASE | re.DOTALL)
     if not m:
         return None
@@ -341,6 +341,8 @@ def parse_unbounded_aggs(sql: str) -> UnboundedAggSpec | None:
 
 def unbounded_agg_group_cols(sql: str) -> list[str]:
     gm = _GROUP_BY_RE.search(sql)
+    if not gm:
+        return []  # global (keyless) continuous aggregation: one group
     return [
         c.strip().strip("`").split(".")[-1] for c in _split_top_level(gm.group(1))
     ]
@@ -869,6 +871,24 @@ def classify(sql: str, known_views: set[str]) -> str:
         and parse_unbounded_aggs(sql) is not None
     ):
         return UNBOUNDED_AGG
+    # A windowless aggregate over ONE stream view that the continuous
+    # executor could NOT parse (collect_list, expressions over aggregates,
+    # DISTINCT aggs, expression group keys, HAVING): running it as
+    # stateless MAP would emit conflicting per-slice absolute rows —
+    # silently slice-dependent where Flink evaluates it statefully.
+    # Reject loudly, like the unsupported-OVER shapes above.
+    if (
+        not re.search(r"\bJOIN\b|\bover\s*\(|\bunion\b", sql, re.IGNORECASE)
+        and select_count(sql) == 1
+        and len(referenced_views(sql, known_views)) == 1
+        and _AGG_CALL_RE.search(sql)
+    ):
+        raise InvalidQueryError(
+            "unsupported continuous-aggregation shape: windowless stream "
+            "aggregates support plain-column group keys and mergeable "
+            "sum/count/min/max/avg aggregates only (window the query with "
+            "TUMBLE/HOP/SESSION for other shapes)"
+        )
     # Top-level SELECT DISTINCT gets Flink's STATEFUL stream semantics
     # (suppress rows seen in any earlier invocation), not per-slice
     # distinct. Conservative shape: single-block, no joins/aggregation.

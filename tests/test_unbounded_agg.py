@@ -30,17 +30,24 @@ group by symbol"""
 
 
 def test_classification():
+    import pytest
+
+    from kamu_engine_flink_spark.protocol.model import InvalidQueryError
+
     assert classify(UA_QUERY, {"tickers"}) == UNBOUNDED_AGG
-    # non-mergeable aggregate stays MAP
+    # global (keyless) continuous aggregation
     assert (
+        classify("select count(*) as n, sum(price) as total from tickers", {"tickers"})
+        == UNBOUNDED_AGG
+    )
+    # non-mergeable aggregate / expression group key: rejected LOUDLY —
+    # a stateless per-slice evaluation would be silently slice-dependent.
+    with pytest.raises(InvalidQueryError, match="continuous-aggregation"):
         classify("select symbol, collect_list(price) as ps from tickers group by symbol", {"tickers"})
-        == MAP
-    )
-    # expression group key stays MAP
-    assert (
+    with pytest.raises(InvalidQueryError, match="continuous-aggregation"):
         classify("select upper(symbol) as s, count(*) as n from tickers group by upper(symbol)", {"tickers"})
-        == MAP
-    )
+    # window functions (OVER) keep their routes / plain projections stay MAP
+    assert classify("select symbol, price from tickers", {"tickers"}) == MAP
     # windowed aggregations keep their window routes
     assert (
         classify(
@@ -157,3 +164,33 @@ def test_changelog_folds_to_batch_result(spark, tmp_path):
 
     assert run_cuts("one", []) == expect
     assert run_cuts("many", [40, 77, 103]) == expect
+
+
+def test_global_continuous_agg(spark, tmp_path):
+    """Keyless (global) continuous aggregation: one updating row."""
+    runner = TransformRunner(
+        spark,
+        tmp_path,
+        queries=[(
+            "select cast(now() as timestamp(3)) as placed_at, count(*) as n, sum(price) as total from tickers",
+            None,
+        )],
+        vocab=DatasetVocabulary(event_time_column="placed_at"),
+    )
+    s1 = str(tmp_path / "in" / "s1.parquet")
+    ticker_slice(s1, [(0, 0, ts(2), ts(1, 0, 1), "A", 10), (1, 0, ts(2), ts(1, 0, 2), "B", 5)])
+    resp, out = runner.run(
+        [{"alias": "tickers", "data_paths": [s1], "schema_file": s1, "watermark": ts(1)}],
+        system_time=ts(2),
+    )
+    rows = [(r["op"], r["n"], r["total"]) for r in pq.read_table(out).to_pylist()]
+    assert rows == [(0, 2, 15)]
+
+    s2 = str(tmp_path / "in" / "s2.parquet")
+    ticker_slice(s2, [(2, 0, ts(3), ts(1, 0, 3), "A", 100)])
+    resp, out = runner.run(
+        [{"alias": "tickers", "data_paths": [s2], "schema_file": s2, "watermark": ts(1)}],
+        system_time=ts(3),
+    )
+    rows = [(r["op"], r["n"], r["total"]) for r in pq.read_table(out).to_pylist()]
+    assert rows == [(2, 2, 15), (3, 3, 115)]
