@@ -353,3 +353,49 @@ def test_match_recognize_state_horizon_bounded(spark, tmp_path):
         # most ~2 in-flight attempt rows per key (A [B*] awaiting C under
         # SKIP PAST LAST ROW with this price cycle).
         assert buf.num_rows <= 4 * 5 + 2 * keys + 5, buf.num_rows
+
+
+# ---------------------------------------------------------------- unbounded agg
+
+STRESS_UA_QUERY = """select
+  cast(now() as timestamp(3)) as placed_at,
+  symbol,
+  count(*) as n,
+  sum(price) as total
+from tickers group by symbol"""
+
+
+def test_unbounded_agg_state_is_o_keys(spark, tmp_path):
+    """Continuous aggregation keeps ONE accumulator row per distinct key —
+    state never grows with input volume, only with key cardinality."""
+    from kamu_engine_flink_spark.protocol.model import DatasetVocabulary
+
+    runner = TransformRunner(
+        spark,
+        tmp_path,
+        queries=[(STRESS_UA_QUERY, None)],
+        vocab=DatasetVocabulary(event_time_column="placed_at"),
+    )
+    keys = 30
+    off = 0
+    for inv in (1, 2, 3):
+        rows = []
+        for minute in range(60):
+            for j in range(5):
+                sym = f"S{(off + j) % keys:02d}"
+                rows.append((off, 0, ts(2 + inv), _mts(inv, minute), sym, 1 + off % 9))
+                off += 1
+        path = str(tmp_path / "in" / f"s{inv}.parquet")
+        ticker_slice(path, rows)
+        runner.run(
+            [
+                {
+                    "alias": "tickers",
+                    "data_paths": [path],
+                    "schema_file": path,
+                    "watermark": _mts(inv, 55),
+                }
+            ],
+            system_time=ts(2 + inv),
+        )
+        assert _state_rows(runner, "unbounded-acc") == keys
