@@ -123,23 +123,27 @@ def execute_unbounded_agg(ctx: StepContext, sql: str) -> StepResult:
         neq = ~F.col(f"n.{c}").eqNullSafe(F.col(f"o.{c}"))
         changed = neq if changed is None else (changed | neq)
 
-    appends = joined.filter(is_new).select(
-        *_finals("n"),
-        F.lit(_OP_APPEND).cast(IntegerType()).alias(OP_COL),
-        F.lit(0).cast(LongType()).alias(SUB_COL),
+    # Single join pass: each surviving key explodes into its emission rows
+    # (op 0, or the op 2/3 pair) instead of three separate join branches —
+    # one exchange, one scan of the cached accumulators.
+    def _emit_struct(side: str, op: int, sub: int):
+        return F.struct(
+            *_finals(side),
+            F.lit(op).cast(IntegerType()).alias(OP_COL),
+            F.lit(sub).cast(LongType()).alias(SUB_COL),
+        )
+
+    emissions = F.when(is_new, F.array(_emit_struct("n", _OP_APPEND, 0))).otherwise(
+        F.array(
+            _emit_struct("o", _OP_CORRECT_FROM, 0),
+            _emit_struct("n", _OP_CORRECT_TO, 1),
+        )
     )
-    changed_rows = joined.filter(~is_new & changed)
-    corrects_from = changed_rows.select(
-        *_finals("o"),
-        F.lit(_OP_CORRECT_FROM).cast(IntegerType()).alias(OP_COL),
-        F.lit(0).cast(LongType()).alias(SUB_COL),
+    result = (
+        joined.filter(is_new | changed)
+        .select(F.explode(emissions).alias("__e"))
+        .select("__e.*")
     )
-    corrects_to = changed_rows.select(
-        *_finals("n"),
-        F.lit(_OP_CORRECT_TO).cast(IntegerType()).alias(OP_COL),
-        F.lit(1).cast(LongType()).alias(SUB_COL),
-    )
-    result = appends.unionByName(corrects_from).unionByName(corrects_to)
 
     # Deterministic emission: key order, then op-2-before-op-3 per key.
     order_cols = [*group_cols, SUB_COL]
