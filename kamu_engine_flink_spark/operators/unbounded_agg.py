@@ -30,9 +30,8 @@ expressions over aggregates, DISTINCT) keep their MAP route.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+from pyspark.sql.types import IntegerType, LongType, StructType
 
 from ..plans.classify import parse_unbounded_aggs, referenced_views, unbounded_agg_group_cols
 from ..plans.dialect import rewrite_query
