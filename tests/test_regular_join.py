@@ -148,11 +148,67 @@ def test_slice_invariance(spark, tmp_path):
     assert run_cuts("one", []) == run_cuts("many", [13, 29])
 
 
-def test_outer_regular_join_rejected(spark, tmp_path):
+def _oprows(out):
+    return [
+        (r["op"], r["order_id"], r["order_quantity"], r["shipped_quantity"])
+        for r in pq.read_table(out).to_pylist()
+    ]
+
+
+def test_left_regular_join_pads_and_retracts(spark, tmp_path):
+    """Flink's LEFT regular join changelog: an unmatched left emits its
+    NULL-pad immediately (op 0); the FIRST later match retracts the pad
+    (op 1, before the pair) — later matches pair without churn."""
     runner = TransformRunner(
         spark,
         tmp_path,
         queries=[(RJ_QUERY.replace("JOIN shipments", "LEFT JOIN shipments"), None)],
+        vocab=DatasetVocabulary(event_time_column="order_time"),
+    )
+    o1 = str(tmp_path / "o" / "o1.parquet")
+    s1 = str(tmp_path / "s" / "s1.parquet")
+    orders_slice(o1, [(0, 0, ts(2), ts(1), 1, 10), (1, 0, ts(2), ts(1), 2, 20)])
+    shipments_slice(s1, [(0, ts(2), ts(1), 1, 4)])
+    resp, out = runner.run(
+        [
+            {"alias": "orders", "data_paths": [o1], "schema_file": o1, "watermark": ts(1)},
+            {"alias": "shipments", "data_paths": [s1], "schema_file": s1, "watermark": ts(1)},
+        ],
+        system_time=ts(5),
+    )
+    # order 1 pairs; order 2 pads immediately.
+    assert sorted(_oprows(out)) == [(0, 1, 10, 4), (0, 2, 20, None)]
+
+    # Run 2: order 2's first match arrives -> retract the pad, emit the pair.
+    s2 = str(tmp_path / "s" / "s2.parquet")
+    shipments_slice(s2, [(1, ts(3), ts(2), 2, 8)])
+    resp, out = runner.run(
+        [
+            {"alias": "orders", "data_paths": [], "schema_file": o1, "watermark": ts(2)},
+            {"alias": "shipments", "data_paths": [s2], "schema_file": s2, "watermark": ts(2)},
+        ],
+        system_time=ts(6),
+    )
+    assert _oprows(out) == [(1, 2, 20, None), (0, 2, 20, 8)]
+
+    # Run 3: a SECOND match for order 2 -> pair only, no retraction churn.
+    s3 = str(tmp_path / "s" / "s3.parquet")
+    shipments_slice(s3, [(2, ts(4), ts(3), 2, 9)])
+    resp, out = runner.run(
+        [
+            {"alias": "orders", "data_paths": [], "schema_file": o1, "watermark": ts(3)},
+            {"alias": "shipments", "data_paths": [s3], "schema_file": s3, "watermark": ts(3)},
+        ],
+        system_time=ts(7),
+    )
+    assert _oprows(out) == [(0, 2, 20, 9)]
+
+
+def test_right_full_regular_join_rejected(spark, tmp_path):
+    runner = TransformRunner(
+        spark,
+        tmp_path,
+        queries=[(RJ_QUERY.replace("JOIN shipments", "FULL JOIN shipments"), None)],
         vocab=DatasetVocabulary(event_time_column="order_time"),
     )
     o1 = str(tmp_path / "o" / "o1.parquet")
