@@ -26,7 +26,6 @@ table, partitioned by key.
 from __future__ import annotations
 
 import re
-from typing import Any
 
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, LongType, StructField, StructType
@@ -37,16 +36,15 @@ from .base import StepContext, StepResult
 from .topn import (
     _INNER_FROM_RE,
     _SHAPE_RE,
+    GSEQ_COL,
+    KIND_COL,
     OP_COL,
     SEQ_INPUT,
+    SUB_COL,
     _dedupe_columns,
     _prune_partition_local,
-    fold_records,
+    make_fold_group,
 )
-
-GSEQ_COL = "__emit_gseq"  # triggering record's ledger offset
-SUB_COL = "__emit_sub"  # emission order within one record's corrections
-KIND_COL = "__kind"  # fold output: 0 = changelog row, 1 = state row
 
 _PART_ORDER_RE = re.compile(
     r"row_number\s*\(\s*\)\s+over\s*\(\s*partition\s+by\s+(?P<keys>[`\w.]+(?:\s*,\s*[`\w.]+)*)"
@@ -131,54 +129,9 @@ def execute_keyed_topn(ctx: StepContext, sql: str, spec) -> StepResult:
             StructField(KIND_COL, IntegerType()),
         ]
     )
-    limit = spec.limit
-
-    def fold_group(pdf) -> list[dict[str, Any]]:
-        # Hot path at high key cardinality: plain per-column Python lists
-        # instead of an astype(object) copy + iterrows (row-at-a-time
-        # pandas was the round-2 profile's top cost in this fold).
-        import pandas as pd
-
-        def _nullify(x):
-            if x is None or x is pd.NaT:
-                return None
-            if isinstance(x, float) and x != x:
-                return None
-            return x
-
-        cols = {
-            c: [_nullify(x) for x in pdf[c].tolist()]
-            for c in (*value_cols, rank_col, SEQ_INPUT)
-        }
-        n = len(pdf)
-        rank_v, seq_v = cols[rank_col], cols[SEQ_INPUT]
-        state_idx = sorted(
-            (i for i in range(n) if rank_v[i] is not None),
-            key=lambda i: rank_v[i],
-        )
-        ranking: list[dict[str, Any]] = [
-            {c: cols[c][i] for c in value_cols} for i in state_idx
-        ]
-        slice_idx = sorted(
-            (i for i in range(n) if rank_v[i] is None), key=lambda i: seq_v[i]
-        )
-        rows = [
-            ({c: cols[c][i] for c in value_cols}, seq_v[i]) for i in slice_idx
-        ]
-        out: list[dict[str, Any]] = []
-        for gseq, sub, op, place, row in fold_records(
-            ranking, rows, order_col, descending, limit
-        ):
-            out.append(
-                {**row, rank_col: place, OP_COL: op, GSEQ_COL: gseq, SUB_COL: sub,
-                 KIND_COL: 0}
-            )
-        for i, row in enumerate(ranking[:limit]):
-            out.append(
-                {**row, rank_col: i + 1, OP_COL: None, GSEQ_COL: None, SUB_COL: None,
-                 KIND_COL: 1}
-            )
-        return out
+    fold_group = make_fold_group(
+        value_cols, rank_col, order_col, descending, spec.limit
+    )
 
     from ..functions.grouped import grouped_map_batched
 

@@ -11,8 +11,13 @@ Spark-first derivation: the changelog granularity is inherently sequential
 (record i's corrections depend on the state after record i-1), but almost
 no records can touch a Top-N: a distributed prefilter keeps only rows that
 beat the current N-th entry (threshold is monotone within a batch, so
-filtering against the previous state is exact). The surviving handful fold
-through a driver-side simulation; state is the <=N-row ranking table.
+filtering against the previous state is exact), then a partition-local
+running-top-N prune bounds survivors to ~N*ln(rows/partition) per
+partition. The survivors fold through ONE distributed `applyInPandas`
+group (the same machinery as the keyed variant, keyed by a constant) —
+no data row ever materializes on the driver; the only driver-side values
+are the single N-th-place threshold row. State is the <=N-row ranking
+table.
 
 Supported shape (the reference's only tested one): an outer projection over
 `(SELECT row_number() OVER (ORDER BY <col> [DESC]) AS <rank>, <cols> FROM
@@ -30,11 +35,15 @@ from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 from ..plans.classify import parse_topn
 from ..plans.dialect import rewrite_query
 from ..protocol.model import OP_APPEND, OP_CORRECT_FROM, OP_CORRECT_TO, InvalidQueryError
-from .base import StepContext, StepResult, fast_local_df
+from .base import StepContext, StepResult
 
 OP_COL = "__op"
 SEQ_COL = "__emit_seq"
 SEQ_INPUT = "__seq"  # engine-provided ledger-offset column on input views
+GSEQ_COL = "__emit_gseq"  # triggering record's ledger offset
+SUB_COL = "__emit_sub"  # emission order within one record's corrections
+KIND_COL = "__kind"  # fold output: 0 = changelog row, 1 = state row
+GROUP_COL = "__g"  # constant key routing the global fold through one group
 
 _SHAPE_RE = re.compile(
     r"^(?P<outer>select\s+.*?)\bfrom\s*\(\s*(?P<inner>select\b.*)\)\s*"
@@ -192,6 +201,64 @@ def fold_records(ranking, rows, order_col, descending, limit):
         del ranking[limit:]  # beyond-N tail can never resurface
 
 
+def make_fold_group(value_cols, rank_col, order_col, descending, limit):
+    """Build the applyInPandas group fold shared by the global and keyed
+    Top-N executors. The group pdf is the union of (previous state rows —
+    rank_col set) and (slice rows — rank_col null, ordered by SEQ_INPUT);
+    the fold replays the slice through the running ranking and returns
+    changelog records (KIND 0, ordered by GSEQ/SUB) plus the group's new
+    ranking (KIND 1)."""
+
+    def fold_group(pdf) -> list[dict[str, Any]]:
+        # Hot path at high key cardinality: plain per-column Python lists
+        # instead of an astype(object) copy + iterrows (row-at-a-time
+        # pandas was the round-2 profile's top cost in this fold).
+        import pandas as pd
+
+        def _nullify(x):
+            if x is None or x is pd.NaT:
+                return None
+            if isinstance(x, float) and x != x:
+                return None
+            return x
+
+        cols = {
+            c: [_nullify(x) for x in pdf[c].tolist()]
+            for c in (*value_cols, rank_col, SEQ_INPUT)
+        }
+        n = len(pdf)
+        rank_v, seq_v = cols[rank_col], cols[SEQ_INPUT]
+        state_idx = sorted(
+            (i for i in range(n) if rank_v[i] is not None),
+            key=lambda i: rank_v[i],
+        )
+        ranking: list[dict[str, Any]] = [
+            {c: cols[c][i] for c in value_cols} for i in state_idx
+        ]
+        slice_idx = sorted(
+            (i for i in range(n) if rank_v[i] is None), key=lambda i: seq_v[i]
+        )
+        rows = [
+            ({c: cols[c][i] for c in value_cols}, seq_v[i]) for i in slice_idx
+        ]
+        out: list[dict[str, Any]] = []
+        for gseq, sub, op, place, row in fold_records(
+            ranking, rows, order_col, descending, limit
+        ):
+            out.append(
+                {**row, rank_col: place, OP_COL: op, GSEQ_COL: gseq,
+                 SUB_COL: sub, KIND_COL: 0}
+            )
+        for i, row in enumerate(ranking[:limit]):
+            out.append(
+                {**row, rank_col: i + 1, OP_COL: None, GSEQ_COL: None,
+                 SUB_COL: None, KIND_COL: 1}
+            )
+        return out
+
+    return fold_group
+
+
 def execute_topn(ctx: StepContext, sql: str) -> StepResult:
     spec = parse_topn(sql)
     if spec is not None:
@@ -240,19 +307,19 @@ def execute_topn(ctx: StepContext, sql: str) -> StepResult:
     # restored checkpoints keep their ranking state.
     if rank_col not in prev_state.columns and "place" in prev_state.columns:
         prev_state = prev_state.withColumnRenamed("place", rank_col)
-    prev_rows = [r.asDict() for r in prev_state.orderBy(rank_col).collect()]
-    ranking: list[dict[str, Any]] = [
-        {k: v for k, v in r.items() if k != rank_col} for r in prev_rows
-    ]
-
     # Distributed prefilter: only rows beating the current N-th can matter.
-    # Null ordering matches the Flink/Spark default for row_number ORDER BY:
-    # DESC ranks nulls last (a null never beats a non-null threshold, so the
-    # null-dropping SQL comparison is exact); ASC ranks nulls first (a null
-    # always beats a non-null threshold, so nulls must be kept). A null
-    # threshold disables the prefilter — conservative, the fold is exact.
-    if len(ranking) >= spec.limit and ranking[-1][order_col] is not None:
-        threshold = ranking[-1][order_col]
+    # The sole driver-side value is the N-th-place state row (bounded: ONE
+    # row, fetched with limit(1) — never data rows). Null ordering matches
+    # the Flink/Spark default for row_number ORDER BY: DESC ranks nulls
+    # last (a null never beats a non-null threshold, so the null-dropping
+    # SQL comparison is exact); ASC ranks nulls first (a null always beats
+    # a non-null threshold, so nulls must be kept). A null threshold
+    # disables the prefilter — conservative, the fold is exact.
+    worst = prev_state.orderBy(F.col(rank_col).desc()).limit(1).collect()
+    threshold = None
+    if worst and worst[0][rank_col] >= spec.limit:
+        threshold = worst[0][order_col]
+    if threshold is not None:
         if descending:
             cond = F.col(order_col) > F.lit(threshold)
         else:
@@ -260,46 +327,62 @@ def execute_topn(ctx: StepContext, sql: str) -> StepResult:
         candidates = incoming.filter(cond)
     else:
         candidates = incoming
-    # Partition-local running-top-N prune before the driver collect: a row
-    # beaten (or tied) by >= N earlier rows in its own partition is beaten
-    # by >= N earlier rows globally, so it can never enter the visible
-    # top-N and never emits changelog. Bounds the first-run collect to
+    if SEQ_INPUT not in candidates.columns:
+        # Derived views without a ledger-offset column: synthesize a
+        # partition-ordered sequence (replaces the previous collect-order
+        # semantics — inputs with no defined arrival order fold in a
+        # deterministic partition-major order).
+        candidates = candidates.withColumn(
+            SEQ_INPUT, F.monotonically_increasing_id()
+        )
+    # Partition-local running-top-N prune before the single-group fold: a
+    # row beaten (or tied) by >= N earlier rows in its own partition is
+    # beaten by >= N earlier rows globally, so it can never enter the
+    # visible top-N and never emits changelog. Bounds the fold group to
     # ~N*ln(rows/partition) survivors per partition on shuffled data
     # instead of the whole input.
-    if SEQ_INPUT in candidates.columns:
-        candidates = _prune_partition_local(
-            candidates, order_col, descending, spec.limit
+    candidates = _prune_partition_local(
+        candidates, order_col, descending, spec.limit
+    )
+
+    # Distributed fold: the global changelog is inherently one sequential
+    # fold, so run it as ONE applyInPandas group (constant key) over
+    # (previous state ∪ pruned survivors) — the same machinery as the
+    # keyed variant. No data row ever materializes on the driver; the
+    # reference runs the whole job at parallelism 1 (SURVEY §3), so a
+    # single fold task over the pruned handful is the faithful — and
+    # bounded — physical shape.
+    unioned = (
+        prev_state.withColumn(SEQ_INPUT, F.lit(None).cast("long"))
+        .unionByName(
+            candidates.withColumn(rank_col, F.lit(None).cast("long")).select(
+                rank_col, *value_cols, SEQ_INPUT
+            )
         )
-    rows = [r.asDict() for r in candidates.collect()]
-    # Input order: sort by the ledger-offset sequencing column when present
-    # (collect order is otherwise partition-dependent).
-    if SEQ_INPUT in candidates.columns:
-        rows.sort(key=lambda r: r[SEQ_INPUT])
-
-    fold_rows = [
-        ({k: v for k, v in row.items() if k in value_cols}, row.get(SEQ_INPUT))
-        for row in rows
-    ]
-    changelog: list[dict[str, Any]] = []
-    seq = 0
-    for _gseq, _sub, op, place, row in fold_records(
-        ranking, fold_rows, order_col, descending, spec.limit
-    ):
-        changelog.append({**row, rank_col: place, OP_COL: op, SEQ_COL: seq})
-        seq += 1
-
-    out_schema = StructType(
+        .withColumn(GROUP_COL, F.lit(0))
+    )
+    fold_schema = StructType(
         list(state_schema.fields)
-        + [StructField(OP_COL, IntegerType()), StructField(SEQ_COL, LongType())]
+        + [
+            StructField(OP_COL, IntegerType()),
+            StructField(GSEQ_COL, LongType()),
+            StructField(SUB_COL, LongType()),
+            StructField(KIND_COL, IntegerType()),
+        ]
     )
-    changelog_df = fast_local_df(ctx.spark, changelog, out_schema)
+    from ..functions.grouped import grouped_map_batched
 
-    new_state = fast_local_df(
-        ctx.spark,
-        [{rank_col: i + 1, **row} for i, row in enumerate(ranking[: spec.limit])],
-        state_schema,
+    fold_group = make_fold_group(
+        value_cols, rank_col, order_col, descending, spec.limit
     )
-    ctx.state.save_df(state_name, new_state)
+    folded = ctx.pin(
+        grouped_map_batched(unioned, [GROUP_COL], fold_group, fold_schema)
+    )
+    ctx.state.save_df(
+        state_name,
+        folded.filter(F.col(KIND_COL) == 1).select(rank_col, *value_cols),
+    )
+    changelog_df = folded.filter(F.col(KIND_COL) == 0).drop(KIND_COL)
 
     # Re-apply the user's outer projection over the changelog, threading the
     # internal op/sequence columns through.
@@ -307,7 +390,11 @@ def execute_topn(ctx: StepContext, sql: str) -> StepResult:
     changelog_df.createOrReplaceTempView(view_name)
     outer = shape.group("outer")
     injected = re.sub(
-        r"^select\s+", f"SELECT {OP_COL}, {SEQ_COL}, ", outer, count=1, flags=re.IGNORECASE
+        r"^select\s+",
+        f"SELECT {OP_COL}, {GSEQ_COL}, {SUB_COL}, ",
+        outer,
+        count=1,
+        flags=re.IGNORECASE,
     )
     final_sql = f"{injected} FROM {view_name} {shape.group('tail')}"
     result = _dedupe_columns(ctx.spark.sql(rewrite_query(final_sql)))
@@ -315,4 +402,4 @@ def execute_topn(ctx: StepContext, sql: str) -> StepResult:
     wm = ctx.new_wms.get(src)
     # __-prefixed columns (the op/sequence plumbing) are dropped by the
     # output assembly's internal-column convention (transform.py).
-    return StepResult(df=result, watermark=wm, order_cols=[SEQ_COL])
+    return StepResult(df=result, watermark=wm, order_cols=[GSEQ_COL, SUB_COL])
