@@ -16,14 +16,18 @@ eviction (there is none to apply: any future row can match any past row).
 State therefore grows with the inputs — exactly Flink's behavior for this
 operator; bound-state variants are the interval/window/temporal joins.
 
-INNER and LEFT. Flink's LEFT regular join emits the NULL-padded row
-immediately for an unmatched left, then RETRACTS it when the first match
-arrives (-D of the pad, +I of the pair); here that is the op changelog —
-pad rows carry op 0, the retraction op 1 (DELETE, ChangelogOperator.scala
-mapping), ordered before the new pairs within the invocation. The left
-state carries a per-row matched flag so a pad is retracted exactly once.
-RIGHT/FULL shapes (two-sided retraction bookkeeping) remain rejected
-loudly rather than computed with silently-different semantics.
+INNER, LEFT, RIGHT, FULL. Flink's outer regular joins emit the NULL-padded
+row immediately for an unmatched row on a padded side, then RETRACT it
+when the first match arrives (-D of the pad, +I of the pair); here that is
+the op changelog — pad rows carry op 0, the retraction op 1 (DELETE,
+ChangelogOperator.scala mapping), ordered before the new pairs within the
+invocation. Each padded side's state carries a per-row matched flag so a
+pad is retracted exactly once; FULL pads/retracts on both sides.
+
+Self-joins (the same view on both sides) are supported by rebinding the
+right side under a private temp-view name before the branch SQL runs, so
+the per-branch bindings (new-vs-all, old-vs-new) never collapse into one
+view; distinct relation aliases are required, as in any SQL self-join.
 """
 
 from __future__ import annotations
@@ -42,6 +46,7 @@ from .topn import OP_COL
 
 _MATCHED = "__rj_matched"
 _PHASE = "__emit_phase"  # 0 = pad retractions, 1 = pads + pairs
+_SELF_RIGHT = "__rj_self_right"
 
 
 def _run_with_views(
@@ -53,105 +58,179 @@ def _run_with_views(
         return ctx.spark.sql(rewrite_query(sql, watermark=wm))
     finally:
         for name in bindings:
-            ctx.views[name].createOrReplaceTempView(name)
+            if name in ctx.views:
+                ctx.views[name].createOrReplaceTempView(name)
+            else:
+                ctx.spark.catalog.dropTempView(name)
+
+
+def _with_flag(df: DataFrame, value: bool) -> DataFrame:
+    return df.withColumn(_MATCHED, F.lit(value))
 
 
 def execute_regular_join(ctx: StepContext, sql: str) -> StepResult:
     spec = parse_regular_join(sql, set(ctx.views))
     if spec is None:
         raise InvalidQueryError("regular join executor could not parse the join shape")
-    if spec.join_kind not in ("", "LEFT"):
-        raise InvalidQueryError(
-            "RIGHT/FULL regular (non-windowed) stream joins require two-sided "
-            "retraction bookkeeping and are not supported; bound the join "
-            "with a time interval (interval join) or use FOR SYSTEM_TIME AS "
-            "OF (temporal join)"
-        )
-    is_left = spec.join_kind == "LEFT"
-    # Pair branches always run the INNER form -- the LEFT sql bound against
-    # partial views would re-pad every old unmatched left each invocation.
-    inner_sql = (
-        re.sub(r"\bLEFT\s+(?:OUTER\s+)?JOIN\b", "JOIN", sql, flags=re.IGNORECASE)
-        if is_left
-        else sql
-    )
+    kind = spec.join_kind  # "", "LEFT", "RIGHT", "FULL"
+    pad_left = kind in ("LEFT", "FULL")
+    pad_right = kind in ("RIGHT", "FULL")
     lv, rv = spec.left_view, spec.right_view
     la, ra = spec.left_alias, spec.right_alias
+
+    # Self-join: the two sides must bind to DIFFERENT DataFrames per branch
+    # (new-vs-all, old-vs-new), so rebind the right side under a private
+    # temp-view name; `AS <alias>` keeps every column reference valid.
+    if lv == rv:
+        if la == ra:
+            raise InvalidQueryError(
+                "a regular self-join needs distinct aliases for the two sides"
+            )
+        sql = re.sub(
+            rf"(\bJOIN\s+)`?{re.escape(rv)}`?"
+            rf"(?:\s+AS\s+[`\w]+|\s+(?!ON\b)[`\w]+)?",
+            rf"\g<1>{_SELF_RIGHT} AS {ra}",
+            sql,
+            count=1,
+            flags=re.IGNORECASE,
+        )
+        rv_bind = _SELF_RIGHT
+    else:
+        rv_bind = rv
+
+    # Pair branches always run the INNER form — the outer sql bound against
+    # partial views would re-pad every old unmatched row each invocation.
+    inner_sql = (
+        re.sub(
+            r"\b(?:LEFT|RIGHT|FULL)\s+(?:OUTER\s+)?JOIN\b",
+            "JOIN",
+            sql,
+            flags=re.IGNORECASE,
+        )
+        if kind
+        else sql
+    )
     new_left, new_right = ctx.views[lv], ctx.views[rv]
     left_state = f"{ctx.step_key}-rj-left"
     right_state = f"{ctx.step_key}-rj-right"
     left_state_schema = (
         StructType(list(new_left.schema.fields) + [StructField(_MATCHED, BooleanType())])
-        if is_left
+        if pad_left
         else new_left.schema
     )
+    right_state_schema = (
+        StructType(list(new_right.schema.fields) + [StructField(_MATCHED, BooleanType())])
+        if pad_right
+        else new_right.schema
+    )
     old_left_state = ctx.state.load_df(left_state, schema=left_state_schema)
-    old_left = old_left_state.drop(_MATCHED) if is_left else old_left_state
-    old_right = ctx.state.load_df(right_state, schema=new_right.schema)
+    old_left = old_left_state.drop(_MATCHED) if pad_left else old_left_state
+    old_right_state = ctx.state.load_df(right_state, schema=right_state_schema)
+    old_right = old_right_state.drop(_MATCHED) if pad_right else old_right_state
     all_right = ctx.pin(old_right.unionByName(new_right))
 
     # Pair-uniqueness across invocations without an emitted ledger: a pair
     # is new iff at least one side arrived this run.
     wm = min_watermark(ctx.new_wms.get(lv), ctx.new_wms.get(rv))
-    part_a = _run_with_views(ctx, inner_sql, {lv: new_left, rv: all_right}, wm)
-    part_b = _run_with_views(ctx, inner_sql, {lv: old_left, rv: new_right}, wm)
+    part_a = _run_with_views(ctx, inner_sql, {lv: new_left, rv_bind: all_right}, wm)
+    part_b = _run_with_views(ctx, inner_sql, {lv: old_left, rv_bind: new_right}, wm)
     pairs = part_a.unionByName(part_b)
 
-    if is_left:
-        cond = F.expr(spec.on_condition)
-        empty_right = all_right.limit(0)
+    cond = F.expr(spec.on_condition)
+    empty_right = all_right.limit(0)
+    retract_parts: list[DataFrame] = []
+    pad_parts: list[DataFrame] = []
+
+    if pad_left:
         # New lefts without any match so far: NULL-pad immediately (op 0).
         new_l = ctx.pin(new_left)
-        new_matched = new_l.alias(la).join(all_right.alias(ra), cond, "left_semi")
-        new_unmatched = new_l.alias(la).join(all_right.alias(ra), cond, "left_anti")
-        pads = _run_with_views(ctx, sql, {lv: new_unmatched, rv: empty_right}, wm)
+        new_matched_l = new_l.alias(la).join(all_right.alias(ra), cond, "left_semi")
+        new_unmatched_l = new_l.alias(la).join(all_right.alias(ra), cond, "left_anti")
+        pad_parts.append(
+            _run_with_views(ctx, sql, {lv: new_unmatched_l, rv_bind: empty_right}, wm)
+        )
         # Old padded lefts whose FIRST match arrived this run: retract the
         # pad (op 1 = DELETE, emitted before this invocation's pairs),
-        # exactly once -- the per-row matched flag in the left state.
-        old_unmatched = old_left_state.filter(~F.col(_MATCHED)).drop(_MATCHED)
-        newly_matched = old_unmatched.alias(la).join(
+        # exactly once — the per-row matched flag in the left state.
+        old_unmatched_l = old_left_state.filter(~F.col(_MATCHED)).drop(_MATCHED)
+        newly_matched_l = old_unmatched_l.alias(la).join(
             new_right.alias(ra), cond, "left_semi"
         )
-        still_unmatched = old_unmatched.alias(la).join(
+        still_unmatched_l = old_unmatched_l.alias(la).join(
             new_right.alias(ra), cond, "left_anti"
         )
-        retracts = _run_with_views(ctx, sql, {lv: newly_matched, rv: empty_right}, wm)
+        retract_parts.append(
+            _run_with_views(ctx, sql, {lv: newly_matched_l, rv_bind: empty_right}, wm)
+        )
+        old_matched_l = old_left_state.filter(F.col(_MATCHED)).drop(_MATCHED)
+        keep_left = (
+            _with_flag(old_matched_l, True)
+            .unionByName(_with_flag(newly_matched_l, True))
+            .unionByName(_with_flag(still_unmatched_l, False))
+            .unionByName(_with_flag(new_matched_l, True))
+            .unionByName(_with_flag(new_unmatched_l, False))
+        )
+    else:
+        keep_left = old_left.unionByName(new_left)
+
+    if pad_right:
+        # Mirror image: unmatched rights pad with a NULL left side (RIGHT/
+        # FULL with an empty left projects exactly those pads).
+        all_left = ctx.pin(old_left.unionByName(new_left))
+        empty_left = all_left.limit(0)
+        new_r = ctx.pin(new_right)
+        new_matched_r = new_r.alias(ra).join(all_left.alias(la), cond, "left_semi")
+        new_unmatched_r = new_r.alias(ra).join(all_left.alias(la), cond, "left_anti")
+        pad_parts.append(
+            _run_with_views(ctx, sql, {lv: empty_left, rv_bind: new_unmatched_r}, wm)
+        )
+        old_unmatched_r = old_right_state.filter(~F.col(_MATCHED)).drop(_MATCHED)
+        newly_matched_r = old_unmatched_r.alias(ra).join(
+            new_left.alias(la), cond, "left_semi"
+        )
+        still_unmatched_r = old_unmatched_r.alias(ra).join(
+            new_left.alias(la), cond, "left_anti"
+        )
+        retract_parts.append(
+            _run_with_views(ctx, sql, {lv: empty_left, rv_bind: newly_matched_r}, wm)
+        )
+        old_matched_r = old_right_state.filter(F.col(_MATCHED)).drop(_MATCHED)
+        keep_right = (
+            _with_flag(old_matched_r, True)
+            .unionByName(_with_flag(newly_matched_r, True))
+            .unionByName(_with_flag(still_unmatched_r, False))
+            .unionByName(_with_flag(new_matched_r, True))
+            .unionByName(_with_flag(new_unmatched_r, False))
+        )
+    else:
+        keep_right = all_right
+
+    if kind:
 
         def _tag(df: DataFrame, op: int, phase: int) -> DataFrame:
             return df.withColumn(OP_COL, F.lit(op).cast(IntegerType())).withColumn(
                 _PHASE, F.lit(phase).cast(IntegerType())
             )
 
-        result = (
-            _tag(retracts, OP_RETRACT, 0)
-            .unionByName(_tag(pads, OP_APPEND, 1))
-            .unionByName(_tag(pairs, OP_APPEND, 1))
-        )
-        # Left state: every row with its updated matched flag.
-        old_matched = old_left_state.filter(F.col(_MATCHED)).drop(_MATCHED)
-        keep_left = (
-            old_matched.withColumn(_MATCHED, F.lit(True))
-            .unionByName(newly_matched.withColumn(_MATCHED, F.lit(True)))
-            .unionByName(still_unmatched.withColumn(_MATCHED, F.lit(False)))
-            .unionByName(new_matched.withColumn(_MATCHED, F.lit(True)))
-            .unionByName(new_unmatched.withColumn(_MATCHED, F.lit(False)))
-        )
+        result = _tag(pairs, OP_APPEND, 1)
+        for p in pad_parts:
+            result = result.unionByName(_tag(p, OP_APPEND, 1))
+        for r in retract_parts:
+            result = result.unionByName(_tag(r, OP_RETRACT, 0))
     else:
         result = pairs
-        keep_left = old_left.unionByName(new_left)
 
-    # Full-history state (Flink regular-join semantics -- no horizon to
-    # evict by; self-join of a view with itself still persists each side
-    # under its own key).
+    # Full-history state (Flink regular-join semantics — no horizon to
+    # evict by; a self-join persists each side under its own state key).
     ctx.state.save_df(left_state, keep_left)
-    ctx.state.save_df(right_state, all_right)
+    ctx.state.save_df(right_state, keep_right)
 
     order_cols = [c for c in result.columns if c != _PHASE]
     out_et = ctx.request.vocab.event_time_column
     if out_et in order_cols:
         order_cols.remove(out_et)
         order_cols.insert(0, out_et)
-    if is_left:
+    if kind:
         # Retractions of earlier pads land before this invocation's new
         # pads/pairs in the emitted ledger.
         order_cols = [_PHASE, *order_cols]

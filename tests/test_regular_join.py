@@ -204,22 +204,172 @@ def test_left_regular_join_pads_and_retracts(spark, tmp_path):
     assert _oprows(out) == [(0, 2, 20, 9)]
 
 
-def test_right_full_regular_join_rejected(spark, tmp_path):
+# Outer query whose event time survives a pad on either side.
+RJ_OUTER_QUERY = """SELECT
+  coalesce(o.event_time, s.event_time) as order_time,
+  coalesce(o.order_id, s.order_id) as order_id,
+  o.quantity as order_quantity,
+  s.num_shipped as shipped_quantity
+FROM
+  orders as o
+{kind} JOIN shipments as s
+ON
+  o.order_id = s.order_id"""
+
+
+def test_right_regular_join_pads_and_retracts(spark, tmp_path):
+    """Mirror of the LEFT lifecycle: an unmatched RIGHT row pads the left
+    side with NULLs immediately (op 0); its FIRST later match retracts the
+    pad (op 1, before the pair)."""
     runner = TransformRunner(
         spark,
         tmp_path,
-        queries=[(RJ_QUERY.replace("JOIN shipments", "FULL JOIN shipments"), None)],
+        queries=[(RJ_OUTER_QUERY.format(kind="RIGHT"), None)],
         vocab=DatasetVocabulary(event_time_column="order_time"),
     )
     o1 = str(tmp_path / "o" / "o1.parquet")
     s1 = str(tmp_path / "s" / "s1.parquet")
     orders_slice(o1, [(0, 0, ts(2), ts(1), 1, 10)])
-    shipments_slice(s1, [(0, ts(2), ts(1), 1, 4)])
-    with pytest.raises(InvalidQueryError, match="retraction"):
+    shipments_slice(s1, [(0, ts(2), ts(1), 1, 4), (1, ts(2), ts(1), 2, 7)])
+    resp, out = runner.run(
+        [
+            {"alias": "orders", "data_paths": [o1], "schema_file": o1, "watermark": ts(1)},
+            {"alias": "shipments", "data_paths": [s1], "schema_file": s1, "watermark": ts(1)},
+        ],
+        system_time=ts(5),
+    )
+    # shipment 1 pairs; shipment 2 pads immediately (left side NULL).
+    assert sorted(_oprows(out)) == [(0, 1, 10, 4), (0, 2, None, 7)]
+
+    # Run 2: shipment 2's first matching order arrives -> retract the pad,
+    # emit the pair.
+    o2 = str(tmp_path / "o" / "o2.parquet")
+    orders_slice(o2, [(1, 0, ts(3), ts(2), 2, 20)])
+    resp, out = runner.run(
+        [
+            {"alias": "orders", "data_paths": [o2], "schema_file": o2, "watermark": ts(2)},
+            {"alias": "shipments", "data_paths": [], "schema_file": s1, "watermark": ts(2)},
+        ],
+        system_time=ts(6),
+    )
+    assert _oprows(out) == [(1, 2, None, 7), (0, 2, 20, 7)]
+
+    # Run 3: a SECOND matching order -> pair only, no retraction churn.
+    o3 = str(tmp_path / "o" / "o3.parquet")
+    orders_slice(o3, [(2, 0, ts(4), ts(3), 2, 30)])
+    resp, out = runner.run(
+        [
+            {"alias": "orders", "data_paths": [o3], "schema_file": o3, "watermark": ts(3)},
+            {"alias": "shipments", "data_paths": [], "schema_file": s1, "watermark": ts(3)},
+        ],
+        system_time=ts(7),
+    )
+    assert _oprows(out) == [(0, 2, 30, 7)]
+
+
+def test_full_regular_join_pads_both_sides(spark, tmp_path):
+    """FULL: unmatched rows on EITHER side pad immediately; each side's
+    pad retracts exactly once when its first match arrives."""
+    runner = TransformRunner(
+        spark,
+        tmp_path,
+        queries=[(RJ_OUTER_QUERY.format(kind="FULL"), None)],
+        vocab=DatasetVocabulary(event_time_column="order_time"),
+    )
+    o1 = str(tmp_path / "o" / "o1.parquet")
+    s1 = str(tmp_path / "s" / "s1.parquet")
+    orders_slice(o1, [(0, 0, ts(2), ts(1), 1, 10), (1, 0, ts(2), ts(1), 2, 20)])
+    shipments_slice(s1, [(0, ts(2), ts(1), 1, 4), (1, ts(2), ts(1), 3, 7)])
+    resp, out = runner.run(
+        [
+            {"alias": "orders", "data_paths": [o1], "schema_file": o1, "watermark": ts(1)},
+            {"alias": "shipments", "data_paths": [s1], "schema_file": s1, "watermark": ts(1)},
+        ],
+        system_time=ts(5),
+    )
+    # order 1 / shipment 1 pair; order 2 pads right-NULL; shipment 3 pads
+    # left-NULL.
+    assert sorted(_oprows(out), key=lambda t: (t[0], t[1])) == [
+        (0, 1, 10, 4),
+        (0, 2, 20, None),
+        (0, 3, None, 7),
+    ]
+
+    # Run 2: order 2's first shipment AND shipment 3's first order arrive
+    # -> both pads retract, both pairs emit.
+    o2 = str(tmp_path / "o" / "o2.parquet")
+    s2 = str(tmp_path / "s" / "s2.parquet")
+    orders_slice(o2, [(2, 0, ts(3), ts(2), 3, 30)])
+    shipments_slice(s2, [(2, ts(3), ts(2), 2, 8)])
+    resp, out = runner.run(
+        [
+            {"alias": "orders", "data_paths": [o2], "schema_file": o2, "watermark": ts(2)},
+            {"alias": "shipments", "data_paths": [s2], "schema_file": s2, "watermark": ts(2)},
+        ],
+        system_time=ts(6),
+    )
+    got = _oprows(out)
+    assert sorted(r for r in got if r[0] == 1) == [(1, 2, 20, None), (1, 3, None, 7)]
+    assert sorted(r for r in got if r[0] == 0) == [(0, 2, 20, 8), (0, 3, 30, 7)]
+    # retractions precede this invocation's pads/pairs in the ledger
+    ops = [r[0] for r in got]
+    assert ops == sorted(ops, reverse=True)
+
+
+SELF_JOIN_QUERY = """SELECT
+  a.event_time as order_time,
+  a.order_id,
+  a.quantity as qa,
+  b.quantity as qb
+FROM orders as a
+JOIN orders as b
+ON a.order_id = b.order_id"""
+
+
+def test_self_regular_join_no_duplicate_pairs(spark, tmp_path):
+    """Self-join of a view with itself: each side binds to its own
+    (new-vs-all / old-vs-new) relation — run-1 pairs must NOT re-emit in
+    run 2 and old x old pairs never reappear."""
+    runner = TransformRunner(
+        spark,
+        tmp_path,
+        queries=[(SELF_JOIN_QUERY, None)],
+        vocab=DatasetVocabulary(event_time_column="order_time"),
+    )
+    o1 = str(tmp_path / "o" / "o1.parquet")
+    orders_slice(o1, [(0, 0, ts(2), ts(1), 1, 10)])
+    resp, out = runner.run(
+        [{"alias": "orders", "data_paths": [o1], "schema_file": o1, "watermark": ts(1)}],
+        system_time=ts(5),
+    )
+    rows = sorted((r["order_id"], r["qa"], r["qb"]) for r in pq.read_table(out).to_pylist())
+    assert rows == [(1, 10, 10)]
+
+    # Run 2: one more row with the same key -> exactly the three NEW pairs.
+    o2 = str(tmp_path / "o" / "o2.parquet")
+    orders_slice(o2, [(1, 0, ts(3), ts(2), 1, 20)])
+    resp, out = runner.run(
+        [{"alias": "orders", "data_paths": [o2], "schema_file": o2, "watermark": ts(2)}],
+        system_time=ts(6),
+    )
+    rows = sorted((r["order_id"], r["qa"], r["qb"]) for r in pq.read_table(out).to_pylist())
+    assert rows == [(1, 10, 20), (1, 20, 10), (1, 20, 20)]
+
+
+def test_self_regular_join_requires_distinct_aliases(spark, tmp_path):
+    degenerate = SELF_JOIN_QUERY.replace(" as b", " as a").replace(
+        "b.quantity", "a.quantity"
+    ).replace("= b.order_id", "= a.order_id")
+    runner = TransformRunner(
+        spark,
+        tmp_path,
+        queries=[(degenerate, None)],
+        vocab=DatasetVocabulary(event_time_column="order_time"),
+    )
+    o1 = str(tmp_path / "o" / "o1.parquet")
+    orders_slice(o1, [(0, 0, ts(2), ts(1), 1, 10)])
+    with pytest.raises(InvalidQueryError, match="distinct aliases"):
         runner.run(
-            [
-                {"alias": "orders", "data_paths": [o1], "schema_file": o1, "watermark": ts(1)},
-                {"alias": "shipments", "data_paths": [s1], "schema_file": s1, "watermark": ts(1)},
-            ],
+            [{"alias": "orders", "data_paths": [o1], "schema_file": o1, "watermark": ts(1)}],
             system_time=ts(5),
         )
