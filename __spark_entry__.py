@@ -1909,8 +1909,8 @@ GROUP BY p.user_id"""
 def flink_scalar_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-3 Flink scalar-rewrite surface (plans/dialect.py):
     SPLIT_INDEX (literal-delimiter regex escaping + 0-based index +
-    NULL-out-of-range via try_element_at), JSON_QUERY and JSON_EXISTS
-    (get_json_object mappings). All per-row codegen ahead of one
+    NULL-out-of-range via try_element_at), JSON_VALUE (the faithful Flink
+    mapping for scalar paths) and JSON_EXISTS (get_json_object mappings). All per-row codegen ahead of one
     partial+final aggregation exchange — no UDF, scales linearly."""
     from kamu_engine_flink_spark.plans.dialect import rewrite_query
 
@@ -1924,7 +1924,7 @@ def flink_scalar_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame
   {bucket} as user_bucket,
   count(*) as n_events,
   sum(CASE WHEN JSON_EXISTS(props, '$.k') THEN 1 ELSE 0 END) as n_with_k,
-  sum(CAST(JSON_QUERY(props, '$.k') AS INT)) as sum_k
+  sum(CAST(JSON_VALUE(props, '$.k') AS INT)) as sum_k
 FROM flink_scalar_v
 GROUP BY {bucket}"""
         )

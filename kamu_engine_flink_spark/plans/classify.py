@@ -408,7 +408,7 @@ def parse_tumble(sql: str) -> TumbleSpec | None:
     cal = {"MONTH": 1, "QUARTER": 3, "YEAR": 12}
     if unit.upper() in cal:
         if n != "1":
-            raise ValueError(
+            raise InvalidQueryError(
                 f"calendar tumbling windows support INTERVAL '1' {unit.upper()} only"
             )
         return TumbleSpec(

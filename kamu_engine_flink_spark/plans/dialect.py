@@ -31,6 +31,12 @@ Rewrites:
   current_watermark(col)               -> TIMESTAMP 'w' literal (engine state)
   JSON_VALUE(x, path)                  -> get_json_object(x, path)
   JSON_QUERY(x, path)                  -> get_json_object(x, path)
+    DOCUMENTED DEVIATION: for array/object-valued paths this matches
+    Flink's JSON_QUERY (returns the JSON text); for SCALAR-valued paths
+    Flink returns NULL (without ARRAY WRAPPER) while get_json_object
+    returns the raw scalar — i.e. scalar paths behave like JSON_VALUE
+    here. Queries that need the Flink NULL-for-scalar behavior should
+    use JSON_VALUE for scalars explicitly.
   JSON_EXISTS(x, 'path')               -> (get_json_object(x, 'path') IS NOT NULL)
   PROCTIME() / CURRENT_ROW_TIMESTAMP() -> current_timestamp()
   SPLIT_INDEX(s, sep, i)               -> try_element_at(split(s, <esc>), i+1)
@@ -53,6 +59,8 @@ from __future__ import annotations
 
 import re
 from datetime import datetime
+
+from ..protocol.model import InvalidQueryError
 
 _UNIT_MAP = {
     "SECOND": "second",
@@ -177,7 +185,7 @@ _LATERAL_RE = re.compile(
 def _interval_to_duration(n: str, unit: str) -> str:
     u = _UNIT_MAP.get(unit.upper())
     if u is None:
-        raise ValueError(f"unsupported TUMBLE interval unit: {unit}")
+        raise InvalidQueryError(f"unsupported TUMBLE interval unit: {unit}")
     return f"{n} {u}"
 
 
@@ -193,7 +201,7 @@ def _rewrite_tumble(sql: str) -> str:
             # date_trunc buckets, variable-length, so Spark's fixed-duration
             # window() cannot express them.
             if n != "1":
-                raise ValueError(
+                raise InvalidQueryError(
                     f"calendar tumbling windows support INTERVAL '1' {unit.upper()} only"
                 )
             start = f"date_trunc('{unit.upper()}', {col})"
@@ -293,7 +301,7 @@ def _rewrite_cumulate(sql: str) -> str:
     # mismatched intervals would silently adopt the first call's geometry.
     arg_sets = {g[1:] for g in (mm.groups() for mm in _CUMULATE_ANY_RE.finditer(sql))}
     if len(arg_sets) > 1:
-        raise ValueError(
+        raise InvalidQueryError(
             f"all CUMULATE calls in one query must share (time, step, size); got {sorted(arg_sets)}"
         )
     _, col, step_n, step_u, size_n, size_u = m.groups()
@@ -359,14 +367,14 @@ def _rewrite_window_tvf(sql: str) -> str:
         n1, u1, n2, u2 = m.group(4), m.group(5), m.group(6), m.group(7)
         if kind == "TUMBLE":
             if n2 is not None:
-                raise ValueError("TUMBLE TVF takes one interval (size)")
+                raise InvalidQueryError("TUMBLE TVF takes one interval (size)")
             dur = _interval_to_duration(n1, u1)
             return (
                 f"(SELECT *, window({ucol}, '{dur}').start AS window_start, "
                 f"window({ucol}, '{dur}').end AS window_end FROM {view})"
             )
         if n2 is None:
-            raise ValueError(f"{kind} TVF takes two intervals")
+            raise InvalidQueryError(f"{kind} TVF takes two intervals")
         if kind == "HOP":
             # Flink order: (slide, size).
             starts = hop_starts_sql(ucol, n1, u1, n2, u2)
@@ -453,7 +461,7 @@ def _split_index_repl(args: list[str]) -> str:
     0-based index, NULL when out of range. Spark's split() takes a regex,
     so literal delimiters are regex-escaped; try_element_at keeps
     NULL-on-out-of-range under ANSI mode (1-based, hence idx+1)."""
-    s, sep, idx = args[0], args[1], int(args[2])
+    s, sep = args[0], args[1]
     if sep.startswith("'") and sep.endswith("'"):
         # Two escaping levels: Spark's string literal parser eats one
         # backslash, the Java regex the other — so '.' becomes '\\.' in
@@ -463,7 +471,13 @@ def _split_index_repl(args: list[str]) -> str:
             for ch in sep[1:-1]
         )
         sep = f"'{body}'"
-    return f"try_element_at(split({s}, {sep}), {idx + 1})"
+    try:
+        idx = f"{int(args[2]) + 1}"
+    except ValueError:
+        # Non-literal index (a column or expression — valid in Flink):
+        # shift to 1-based in SQL instead of at rewrite time.
+        idx = f"(({args[2]}) + 1)"
+    return f"try_element_at(split({s}, {sep}), {idx})"
 
 
 def rewrite_query(sql: str, *, watermark: datetime | None = None) -> str:
@@ -483,8 +497,12 @@ def rewrite_query(sql: str, *, watermark: datetime | None = None) -> str:
     out = _PROCTIME_RE.sub("current_timestamp()", out)
     out = _CURRENT_ROW_TS_RE.sub("current_timestamp()", out)
     out = _rewrite_call(out, "SPLIT_INDEX", _split_index_repl)
+    # RAND_INTEGER(bound) / RAND_INTEGER(seed, bound): the bound is always
+    # the LAST argument; a seed cannot be honored by Spark's RAND() here and
+    # is dropped (Flink itself documents the seeded form as a per-operator
+    # reproducibility aid, not a value contract).
     out = _rewrite_call(
-        out, "RAND_INTEGER", lambda a: f"CAST(FLOOR(RAND() * ({a[0]})) AS INT)"
+        out, "RAND_INTEGER", lambda a: f"CAST(FLOOR(RAND() * ({a[-1]})) AS INT)"
     )
     out = _TO_TS_LTZ_RE.sub(
         lambda m: (

@@ -260,6 +260,37 @@ def test_flink_scalar_rewrites_round3():
     )
 
 
+def test_flink_scalar_rewrites_advice_round4():
+    """External-review fixes: non-literal SPLIT_INDEX index shifts to
+    1-based in SQL; two-arg RAND_INTEGER(seed, bound) uses the BOUND (the
+    seed cannot be honored and is dropped); calendar windows with n != 1
+    reject via the engine's structured error, not a bare ValueError."""
+    import pytest
+
+    from kamu_engine_flink_spark.plans.classify import parse_tumble
+    from kamu_engine_flink_spark.plans.dialect import rewrite_query as rq
+    from kamu_engine_flink_spark.protocol.model import InvalidQueryError
+
+    assert (
+        rq("SELECT SPLIT_INDEX(s, ',', idx_col) FROM t")
+        == "SELECT try_element_at(split(s, ','), ((idx_col) + 1)) FROM t"
+    )
+    assert (
+        rq("SELECT SPLIT_INDEX(s, ',', n - 1) FROM t")
+        == "SELECT try_element_at(split(s, ','), ((n - 1) + 1)) FROM t"
+    )
+    assert (
+        rq("SELECT RAND_INTEGER(42, 10) FROM t")
+        == "SELECT CAST(FLOOR(RAND() * (10)) AS INT) FROM t"
+    )
+    with pytest.raises(InvalidQueryError, match="INTERVAL '1'"):
+        rq("SELECT TUMBLE_START(ts, INTERVAL '2' MONTH) FROM t")
+    with pytest.raises(InvalidQueryError, match="INTERVAL '1'"):
+        parse_tumble(
+            "SELECT count(*) FROM t GROUP BY TUMBLE(ts, INTERVAL '3' QUARTER)"
+        )
+
+
 def test_split_index_executes_flink_semantics(spark):
     """End-to-end: literal-dot delimiter, 0-based index, NULL out-of-range
     (Flink SPLIT_INDEX contract) through a real Spark plan."""

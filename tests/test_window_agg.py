@@ -756,6 +756,7 @@ def test_multi_unit_calendar_tumble_rejected(spark, tmp_path):
     import pytest
 
     from kamu_engine_flink_spark.plans.dialect import rewrite_query as rq
+    from kamu_engine_flink_spark.protocol.model import InvalidQueryError
 
-    with pytest.raises(ValueError, match="INTERVAL '1' MONTH"):
+    with pytest.raises(InvalidQueryError, match="INTERVAL '1' MONTH"):
         rq("SELECT TUMBLE_START(et, INTERVAL '2' MONTH) FROM t GROUP BY TUMBLE(et, INTERVAL '2' MONTH)")
