@@ -321,13 +321,21 @@ def sample_frames(
     planning at scale) is real."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # List-zip over materialized columns (like the audio-window path
+        # above) — several-x faster than row-at-a-time pandas iterrows on
+        # the frame-explode stage; per-frame work (the digest stub, or a
+        # real decode) is inherent.
         for pdf in it:
             out = {"media_id": [], "frame_index": [], "frame_time_ms": [], "frame_payload": []}
-            for _, row in pdf.iterrows():
-                raw = bytes(row[payload_col]) if row[payload_col] is not None else b""
-                duration = int(row[duration_col])
-                for i, t in enumerate(range(0, max(duration, 1), every_ms)):
-                    out["media_id"].append(int(row[id_col]))
+            for mid, payload, duration in zip(
+                pdf[id_col].tolist(),
+                pdf[payload_col].tolist(),
+                pdf[duration_col].tolist(),
+            ):
+                raw = bytes(payload) if payload is not None else b""
+                mid = int(mid)
+                for i, t in enumerate(range(0, max(int(duration), 1), every_ms)):
+                    out["media_id"].append(mid)
                     out["frame_index"].append(i)
                     out["frame_time_ms"].append(t)
                     out["frame_payload"].append(
