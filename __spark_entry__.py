@@ -56,6 +56,11 @@ def _conf(spark: SparkSession) -> None:
     # TIMESTAMP_LTZ in this UTC session, not TIMESTAMP_NTZ: NTZ breaks
     # unix_micros()/window() and DuckDB compares them as naive-UTC anyway.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # The invocation-simulation entries write intermediate ledgers; the
+    # driver's session may default to INT96 timestamps, which pyarrow
+    # reports as timestamp[ns] and would trip the ns-conversion path on
+    # re-read. Millis matches the engine's golden output schema.
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1906,6 +1911,190 @@ GROUP BY p.user_id"""
     )
 
 
+def _run_odf_invocations(spark, sql, per_inv_inputs, workdir, tag):
+    """Simulate chained ODF transform invocations (checkpoint restore
+    between them, the reference's savepoint contract) and return
+    [(invocation_index, output_parquet_path)] for invocations that emitted
+    rows. `per_inv_inputs`: per invocation, a list of (alias, ledger_path,
+    watermark)."""
+    import os
+    from datetime import timezone
+
+    from kamu_engine_flink_spark.engine.transform import execute_transform
+    from kamu_engine_flink_spark.protocol.model import (
+        DatasetVocabulary,
+        SqlQueryStep,
+        Transform,
+        TransformRequest,
+        TransformRequestInput,
+        Watermark,
+    )
+
+    def _utc(w):
+        return w.replace(tzinfo=timezone.utc) if w.tzinfo is None else w
+
+    prev_cp, next_offset, outs = None, 0, []
+    for inv, inputs in enumerate(per_inv_inputs):
+        st = max(_utc(wm) for (_, _, wm) in inputs)
+        new_cp = os.path.join(workdir, f"cp-{tag}-{inv}")
+        data_path = os.path.join(workdir, f"out-{tag}-{inv}.parquet")
+        req = TransformRequest(
+            transform=Transform(queries=[SqlQueryStep(query=sql)]),
+            query_inputs=[
+                TransformRequestInput(
+                    query_alias=alias,
+                    data_paths=[path],
+                    schema_file=path,
+                    vocab=DatasetVocabulary(),
+                    explicit_watermarks=[
+                        Watermark(system_time=st, event_time=_utc(wm))
+                    ],
+                )
+                for (alias, path, wm) in inputs
+            ],
+            system_time=st,
+            next_offset=next_offset,
+            prev_checkpoint_path=prev_cp,
+            new_checkpoint_path=new_cp,
+            new_data_path=data_path,
+            vocab=DatasetVocabulary(),
+        )
+        resp = execute_transform(spark, req)
+        prev_cp = new_cp
+        if resp.new_offset_interval:
+            next_offset = resp.new_offset_interval.end + 1
+            outs.append((inv, data_path))
+    return outs
+
+
+def _ledger_slices(spark, ledger, workdir, name, n_slices):
+    """Split a prepared ODF ledger into n deterministic invocation files
+    by offset % n (offset = the unique event_id, identical arithmetic in
+    the DuckDB oracle); returns [(path, max_event_time)]."""
+    import os
+
+    from kamu_engine_flink_spark.sinks.parquet import write_single_parquet
+
+    out = []
+    for i in range(n_slices):
+        path = os.path.join(workdir, f"{name}_s{i}.parquet")
+        part = ledger.filter(F.pmod(F.col("offset"), F.lit(n_slices)) == i)
+        write_single_parquet(part, path, sorted_single=False)
+        wm = spark.read.parquet(path).agg(F.max("event_time")).collect()[0][0]
+        out.append((path, wm))
+    return out
+
+
+def _events_ledger(spark, sf_dir, event_type=None):
+    """events as an ODF input ledger: offset = event_id (unique), integer
+    cents so every aggregate is exact in both engines."""
+    e = _t(spark, sf_dir, "events")
+    if event_type is not None:
+        e = e.filter(F.col("event_type") == event_type)
+    return e.select(
+        F.col("event_id").alias("offset"),
+        F.lit(0).cast("int").alias("op"),
+        F.to_timestamp(F.lit("2020-01-01 00:00:00")).alias("system_time"),
+        F.col("ts").alias("event_time"),
+        "user_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+
+def unbounded_agg_changelog_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS (windowless) GROUP BY aggregation changelog
+    (operators/unbounded_agg.py): three chained ODF invocations over
+    event_id%3 slices of events. Each invocation emits op 0 on a key's
+    first appearance and an op 2 (CorrectFrom old) / op 3 (CorrectTo new)
+    pair when its accumulators change — Flink's -U/+U updating aggregate
+    (ChangelogOperator.scala RowKind mapping). The oracle reconstructs the
+    identical changelog from per-slice cumulative aggregates. State is
+    O(distinct keys); each invocation is one partial+merge groupBy —
+    scales."""
+    import tempfile
+
+    _conf(spark)
+    workdir = tempfile.mkdtemp(prefix="uagg-entry-")
+    slices = _ledger_slices(
+        spark, _events_ledger(spark, sf_dir), workdir, "events", 3
+    )
+    sql = """SELECT
+  cast(now() as timestamp(3)) as event_time,
+  user_id,
+  count(*) as n_events,
+  sum(cents) as cents_sum,
+  min(cents) as cents_min,
+  max(cents) as cents_max
+FROM events GROUP BY user_id"""
+    outs = _run_odf_invocations(
+        spark, sql, [[("events", p, wm)] for p, wm in slices], workdir, "uagg"
+    )
+    parts = [
+        spark.read.parquet(path).select(
+            F.lit(inv).cast("int").alias("inv"),
+            F.col("op").cast("int").alias("op"),
+            "user_id",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("cents_sum").cast("long").alias("cents_sum"),
+            F.col("cents_min").cast("long").alias("cents_min"),
+            F.col("cents_max").cast("long").alias("cents_max"),
+        )
+        for inv, path in outs
+    ]
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out
+
+
+def regular_join_full_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL regular (unbounded) stream join changelog
+    (operators/regular_join.py): two chained ODF invocations over
+    event_id%2 slices of purchases x clicks. Unmatched rows on EITHER
+    side NULL-pad immediately (op 0); a side's pad retracts exactly once
+    (op 1) when its first match arrives; pairs emit once at
+    max(side invocations) — Flink's outer regular-join retraction stream.
+    The oracle reconstructs pads/retracts from per-side first-match
+    invocations. Dual-branch equi-join shuffle per invocation — scales
+    (full-history state is Flink's own caveat for this operator)."""
+    import tempfile
+
+    _conf(spark)
+    workdir = tempfile.mkdtemp(prefix="rjfull-entry-")
+    p_slices = _ledger_slices(
+        spark, _events_ledger(spark, sf_dir, "purchase"), workdir, "purchases", 2
+    )
+    c_slices = _ledger_slices(
+        spark, _events_ledger(spark, sf_dir, "click"), workdir, "clicks", 2
+    )
+    sql = """SELECT
+  coalesce(p.event_time, c.event_time) as event_time,
+  coalesce(p.user_id, c.user_id) as user_id,
+  p.cents as p_cents,
+  c.cents as c_cents
+FROM purchases as p
+FULL JOIN clicks as c
+ON p.user_id = c.user_id"""
+    per_inv = [
+        [("purchases", *p_slices[i]), ("clicks", *c_slices[i])] for i in range(2)
+    ]
+    outs = _run_odf_invocations(spark, sql, per_inv, workdir, "rjfull")
+    parts = [
+        spark.read.parquet(path).select(
+            F.lit(inv).cast("int").alias("inv"),
+            F.col("op").cast("int").alias("op"),
+            "user_id",
+            F.col("p_cents").cast("long").alias("p_cents"),
+            F.col("c_cents").cast("long").alias("c_cents"),
+        )
+        for inv, path in outs
+    ]
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out
+
+
 def flink_scalar_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-3 Flink scalar-rewrite surface (plans/dialect.py):
     SPLIT_INDEX (literal-delimiter regex escaping + 0-based index +
@@ -2213,71 +2402,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION note: the driver records correctness rows for only the
     # FIRST 50 dict entries per round, so the registry rotates each round
     # to give every entry a driver row at least every other round.
-    # Round 3 first-50 = the 44 entries last driver-checked in round 1,
-    # the 4 output-shape fixes from round 2 (json_extract, cumulate,
-    # inverted_index, random_projection — red in r02, must re-check), and
-    # the 2 queries NEW this round (flink_scalar_functions,
-    # window_monthly). Everything r02-green — including the entries whose
-    # executors changed this round — rotates back in round 4.
+    # Round 4 first-50 = the 48 entries last driver-checked in round 2
+    # (including regular_join_purchases_clicks, new in r03 and due its
+    # first driver row) + the 2 entries NEW this round: the continuous
+    # (windowless) aggregation changelog and the FULL regular-join
+    # pad/retract changelog, both simulated as chained ODF invocations
+    # with full DuckDB oracles. The 50 entries checked green in round 3
+    # rotate to the back (due again round 5).
     # tools/crosscheck.py verifies ALL entries locally regardless; the
     # full run is committed per round as CROSSCHECK_r{N}.txt.
     return {
-        # --- checked r01, due for re-check (44) ---
-        "chained_multistep": chained_multistep,
-        "window_tumbling_daily": window_tumbling_daily,
-        "window_sliding_2h": window_sliding_2h,
-        "window_session_30m": window_session_30m,
-        "agg_rollup_flag_status": agg_rollup_flag_status,
-        "semi_join_returned_orders": semi_join_returned_orders,
-        "anti_join_inactive_customers": anti_join_inactive_customers,
-        "lag_lead_user_events": lag_lead_user_events,
-        "cube_orders_status_priority": cube_orders_status_priority,
-        "formats_try_cast_decimal": formats_try_cast_decimal,
-        "setops_nation_coverage": setops_nation_coverage,
-        "q2_min_cost_supplier": q2_min_cost_supplier,
-        "q4_order_priority": q4_order_priority,
-        "q7_nation_trade": q7_nation_trade,
-        "q8_market_share": q8_market_share,
-        "q9_product_profit": q9_product_profit,
-        "q10_returned_customers": q10_returned_customers,
-        "q11_important_parts": q11_important_parts,
-        "q12_late_shipment_priority": q12_late_shipment_priority,
-        "q13_order_count_distribution": q13_order_count_distribution,
-        "q14_promo_share": q14_promo_share,
-        "q15_top_supplier": q15_top_supplier,
-        "q16_supplier_part_counts": q16_supplier_part_counts,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q18_large_orders": q18_large_orders,
-        "q19_disjunctive_revenue": q19_disjunctive_revenue,
-        "q20_excess_suppliers": q20_excess_suppliers,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
-        "q22_lapsed_customers": q22_lapsed_customers,
-        "stratified_sample_documents": stratified_sample_documents,
-        "term_doc_frequency": term_doc_frequency,
-        "embedding_centroids_by_label": embedding_centroids_by_label,
-        "median_price_by_status": median_price_by_status,
-        "split_train_val_test": split_train_val_test,
-        "sequence_packing_bins": sequence_packing_bins,
-        "agg_salted_user_value": agg_salted_user_value,
-        "pivot_segment_status": pivot_segment_status,
-        "groupingsets_status_priority": groupingsets_status_priority,
-        "stats_moments_by_type": stats_moments_by_type,
-        "topn_orders_per_customer": topn_orders_per_customer,
-        "asof_join_purchase_value": asof_join_purchase_value,
-        "interval_join_clicks": interval_join_clicks,
-        "dedup_exact_documents": dedup_exact_documents,
-        "dedup_fingerprint_documents": dedup_fingerprint_documents,
-        # --- round-2 red rows, output shape fixed this round (4) ---
-        "json_extract_events": json_extract_events,
-        "window_cumulate_6h": window_cumulate_6h,
-        "inverted_index_documents": inverted_index_documents,
-        "random_projection_embeddings": random_projection_embeddings,
-        # --- NEW this round, first driver row (2) ---
-        "flink_scalar_functions_events": flink_scalar_functions_events,
-        "window_monthly_orders": window_monthly_orders,
-        # --- checked green r02 (rotate back in round 4; includes the
-        # entries whose executors changed this round — their round-3
-        # correctness is pinned by the committed full crosscheck) ---
+        # --- last driver-checked r02, due for re-check (48) ---
         "match_recognize_dip_spike_events": match_recognize_dip_spike_events,
         "dedup_keep_last_events": dedup_keep_last_events,
         "regular_join_purchases_clicks": regular_join_purchases_clicks,
@@ -2326,7 +2461,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": q6_forecast_revenue,
         "agg_distinct_suppliers": agg_distinct_suppliers,
         "scalar_projection": scalar_projection,
+        # --- NEW this round, first driver row (2) ---
+        "unbounded_agg_changelog_events": unbounded_agg_changelog_events,
+        "regular_join_full_changelog": regular_join_full_changelog,
+        # --- checked green r03, rotate back in round 5 (50) ---
+        "chained_multistep": chained_multistep,
+        "window_tumbling_daily": window_tumbling_daily,
+        "window_sliding_2h": window_sliding_2h,
+        "window_session_30m": window_session_30m,
+        "agg_rollup_flag_status": agg_rollup_flag_status,
+        "semi_join_returned_orders": semi_join_returned_orders,
+        "anti_join_inactive_customers": anti_join_inactive_customers,
+        "lag_lead_user_events": lag_lead_user_events,
+        "cube_orders_status_priority": cube_orders_status_priority,
+        "formats_try_cast_decimal": formats_try_cast_decimal,
+        "setops_nation_coverage": setops_nation_coverage,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q4_order_priority": q4_order_priority,
+        "q7_nation_trade": q7_nation_trade,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q10_returned_customers": q10_returned_customers,
+        "q11_important_parts": q11_important_parts,
+        "q12_late_shipment_priority": q12_late_shipment_priority,
+        "q13_order_count_distribution": q13_order_count_distribution,
+        "q14_promo_share": q14_promo_share,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_part_counts": q16_supplier_part_counts,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q18_large_orders": q18_large_orders,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q20_excess_suppliers": q20_excess_suppliers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "q22_lapsed_customers": q22_lapsed_customers,
+        "stratified_sample_documents": stratified_sample_documents,
+        "term_doc_frequency": term_doc_frequency,
+        "embedding_centroids_by_label": embedding_centroids_by_label,
+        "median_price_by_status": median_price_by_status,
+        "split_train_val_test": split_train_val_test,
+        "sequence_packing_bins": sequence_packing_bins,
+        "agg_salted_user_value": agg_salted_user_value,
+        "pivot_segment_status": pivot_segment_status,
+        "groupingsets_status_priority": groupingsets_status_priority,
+        "stats_moments_by_type": stats_moments_by_type,
+        "topn_orders_per_customer": topn_orders_per_customer,
+        "asof_join_purchase_value": asof_join_purchase_value,
+        "interval_join_clicks": interval_join_clicks,
+        "dedup_exact_documents": dedup_exact_documents,
+        "dedup_fingerprint_documents": dedup_fingerprint_documents,
+        "json_extract_events": json_extract_events,
+        "window_cumulate_6h": window_cumulate_6h,
+        "inverted_index_documents": inverted_index_documents,
+        "random_projection_embeddings": random_projection_embeddings,
+        "flink_scalar_functions_events": flink_scalar_functions_events,
+        "window_monthly_orders": window_monthly_orders,
     }
+
 
 
 # DuckDB equivalents. Shared SQL fragments for the text oracle:
@@ -3605,6 +3795,83 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT user_id, value FROM events WHERE event_type = 'click') c
               ON p.user_id = c.user_id
             GROUP BY p.user_id
+        """,
+        "unbounded_agg_changelog_events": """
+            -- Continuous-agg changelog reconstruction: per event_id%3
+            -- slice, each key's cumulative accumulators; op 0 on first
+            -- appearance, op 2 (old) + op 3 (new) on every later slice
+            -- the key appears in (count always changes).
+            WITH sl AS (
+                SELECT CAST(event_id % 3 AS INT) AS inv, user_id,
+                       CAST(floor(value * 100) AS BIGINT) AS cents
+                FROM events
+            ), per AS (
+                SELECT inv, user_id, count(*) AS n, sum(cents) AS s,
+                       min(cents) AS mn, max(cents) AS mx
+                FROM sl GROUP BY 1, 2
+            ), cum AS (
+                SELECT inv, user_id,
+                       CAST(sum(n) OVER w AS BIGINT) AS cn,
+                       CAST(sum(s) OVER w AS BIGINT) AS cs,
+                       CAST(min(mn) OVER w AS BIGINT) AS cmn,
+                       CAST(max(mx) OVER w AS BIGINT) AS cmx,
+                       row_number() OVER (PARTITION BY user_id ORDER BY inv) AS rn
+                FROM per
+                WINDOW w AS (PARTITION BY user_id ORDER BY inv
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ), pairs AS (
+                SELECT inv, user_id, cn, cs, cmn, cmx, rn,
+                       lag(cn) OVER u AS pn, lag(cs) OVER u AS ps,
+                       lag(cmn) OVER u AS pmn, lag(cmx) OVER u AS pmx
+                FROM cum
+                WINDOW u AS (PARTITION BY user_id ORDER BY inv)
+            )
+            SELECT inv, CAST(0 AS INT) AS op, user_id, cn AS n_events,
+                   cs AS cents_sum, cmn AS cents_min, cmx AS cents_max
+            FROM pairs WHERE rn = 1
+            UNION ALL
+            SELECT inv, CAST(2 AS INT), user_id, pn, ps, pmn, pmx
+            FROM pairs WHERE rn > 1
+            UNION ALL
+            SELECT inv, CAST(3 AS INT), user_id, cn, cs, cmn, cmx
+            FROM pairs WHERE rn > 1
+        """,
+        "regular_join_full_changelog": """
+            -- FULL regular-join changelog reconstruction over event_id%2
+            -- slices: pairs at max(side invocations); a side pads (op 0,
+            -- other side NULL) when its first match arrives strictly
+            -- later (or never), and that pad retracts (op 1) at the
+            -- first-match invocation.
+            WITH p AS (
+                SELECT CAST(event_id % 2 AS INT) AS inv, user_id,
+                       CAST(floor(value * 100) AS BIGINT) AS cents
+                FROM events WHERE event_type = 'purchase'
+            ), c AS (
+                SELECT CAST(event_id % 2 AS INT) AS inv, user_id,
+                       CAST(floor(value * 100) AS BIGINT) AS cents
+                FROM events WHERE event_type = 'click'
+            ), cf AS (SELECT user_id, min(inv) AS minv FROM c GROUP BY 1),
+               pf AS (SELECT user_id, min(inv) AS minv FROM p GROUP BY 1)
+            SELECT CAST(greatest(p.inv, c.inv) AS INT) AS inv,
+                   CAST(0 AS INT) AS op, p.user_id AS user_id,
+                   p.cents AS p_cents, c.cents AS c_cents
+            FROM p JOIN c USING (user_id)
+            UNION ALL
+            SELECT p.inv, CAST(0 AS INT), p.user_id, p.cents, NULL
+            FROM p LEFT JOIN cf ON p.user_id = cf.user_id
+            WHERE cf.user_id IS NULL OR cf.minv > p.inv
+            UNION ALL
+            SELECT CAST(cf.minv AS INT), CAST(1 AS INT), p.user_id, p.cents, NULL
+            FROM p JOIN cf ON p.user_id = cf.user_id
+            WHERE cf.minv > p.inv
+            UNION ALL
+            SELECT c.inv, CAST(0 AS INT), c.user_id, NULL, c.cents
+            FROM c LEFT JOIN pf ON c.user_id = pf.user_id
+            WHERE pf.user_id IS NULL OR pf.minv > c.inv
+            UNION ALL
+            SELECT CAST(pf.minv AS INT), CAST(1 AS INT), c.user_id, NULL, c.cents
+            FROM c JOIN pf ON c.user_id = pf.user_id
+            WHERE pf.minv > c.inv
         """,
         "window_monthly_orders": """
             SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
