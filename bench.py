@@ -131,6 +131,14 @@ REGULAR_JOIN_SQL = """SELECT
 FROM purchases as p
 JOIN clicks as c
 ON p.user_id = c.user_id"""
+FULL_JOIN_SQL = """SELECT
+  coalesce(p.event_time, c.event_time) as event_time,
+  coalesce(p.user_id, c.user_id) as user_id,
+  p.value as purchase_value,
+  c.value as click_value
+FROM purchases as p
+FULL JOIN clicks as c
+ON p.user_id = c.user_id"""
 JOIN_SQL = """SELECT
   p.event_time as event_time,
   p.user_id as user_id,
@@ -462,6 +470,11 @@ def main() -> None:
             (
                 "odf_transform_regular_join",
                 REGULAR_JOIN_SQL,
+                [("purchases", p_ledger, p_wm), ("clicks", c_ledger, c_wm)],
+            ),
+            (
+                "odf_transform_full_join",
+                FULL_JOIN_SQL,
                 [("purchases", p_ledger, p_wm), ("clicks", c_ledger, c_wm)],
             ),
             (
