@@ -44,10 +44,18 @@ _AGG_OVER_RE = re.compile(
 )
 
 
+_ROWS_ORDER_DESC_RE = re.compile(
+    r"(ORDER\s+BY\s+[`\w.]+\s+DESC)\s+(ROWS\s+BETWEEN)",
+    re.IGNORECASE,
+)
+
+
 def execute_over_agg(ctx: StepContext, sql: str) -> StepResult:
     spec = parse_over_agg(sql)
     if spec is None:
         raise InvalidQueryError("over_agg executor requires a bounded OVER frame")
+    if spec.forward:
+        return _execute_forward(ctx, sql, spec)
     if spec.unbounded:
         return _execute_unbounded(ctx, sql, spec)
     refs = referenced_views(sql, set(ctx.views))
@@ -131,6 +139,154 @@ def execute_over_agg(ctx: StepContext, sql: str) -> StepResult:
     ctx.state.save_df(buffer_name, still_open)
 
     return StepResult(df=result, watermark=new_wm, order_cols=[spec.time_col, SEQ_INPUT])
+
+
+def _execute_forward(ctx: StepContext, sql: str, spec) -> StepResult:
+    """FORWARD-looking frames (beyond Flink parity — its planner rejects
+    descending or FOLLOWING row-time frames): ORDER BY rowtime DESC with a
+    PRECEDING bound, or ascending with a FOLLOWING bound (optionally
+    two-sided, PRECEDING AND FOLLOWING). A row's frame contains rows at or
+    AFTER its own rowtime, so it emits once the WATERMARK completes the
+    frame: t + h <= wm for RANGE horizons, or once its n-th
+    (rowtime, ledger-offset)-ordered follower is watermark-final for ROWS
+    frames. Pure-forward context rows are themselves pending (later rows
+    emit later), so state is exactly the pending suffix; two-sided frames
+    additionally retain the backward context window. The output watermark
+    lags by the forward horizon (cf. the interval join's output-wm lag) so
+    downstream windowed steps never see these emissions as late."""
+    from datetime import timedelta
+
+    refs = referenced_views(sql, set(ctx.views))
+    if len(refs) != 1:
+        raise InvalidQueryError(f"over aggregation must read exactly one view, got {refs}")
+    src = refs[0]
+    prev_wm = ctx.prev_wms.get(src)
+    new_wm = ctx.new_wms.get(src)
+
+    incoming = ctx.views[src]
+    if SEQ_INPUT not in incoming.columns:
+        raise InvalidQueryError("over aggregation requires ledger-offset sequencing")
+    cols = incoming.columns
+    t = F.col(spec.time_col)
+    if prev_wm is not None:
+        incoming = incoming.filter(t > F.lit(prev_wm))
+
+    buffer_name = f"{ctx.step_key}-over-fwd-buffer"
+    if ctx.state.has_df(buffer_name):
+        prev_buf = ctx.state.load_df(buffer_name, schema=incoming.schema)
+        buf = ctx.pin(prev_buf.unionByName(incoming))
+    else:
+        buf = incoming
+
+    # The user's SQL runs unmodified over (buffer ∪ slice) — Spark's
+    # window functions evaluate DESC orderings and FOLLOWING frames
+    # natively. ROWS frames get the ledger offset as the equal-rowtime
+    # tie-break (matching the backward executor's arrival-order rule);
+    # ROWS frames also get a LEAD marker over the canonical ascending
+    # (rowtime, offset) order: the n-th follower's rowtime decides frame
+    # completeness (beyond-watermark rows sort strictly after every final
+    # row, so a marker beyond the watermark means the frame is not yet
+    # complete).
+    run_sql = sql
+    if spec.kind == "rows":
+        run_sql = _ROWS_ORDER_RE.sub(rf"\1, {SEQ_INPUT}\2", run_sql)
+        run_sql = _ROWS_ORDER_DESC_RE.sub(rf"\1, {SEQ_INPUT} DESC \2", run_sql)
+        part = (
+            f"PARTITION BY {', '.join(spec.part_keys)} " if spec.part_keys else ""
+        )
+        marker = (
+            f"LEAD({spec.time_col}, {spec.fwd_rows}) OVER "
+            f"({part}ORDER BY {spec.time_col}, {SEQ_INPUT}) AS __fwd_lead_t"
+        )
+        run_sql = re.sub(
+            r"^\s*select\s+", f"SELECT {marker}, ", run_sql, count=1,
+            flags=re.IGNORECASE,
+        )
+    run_sql = re.sub(
+        r"^\s*select\s+", f"SELECT {SEQ_INPUT}, ", run_sql, count=1, flags=re.IGNORECASE
+    )
+    buf.createOrReplaceTempView(src)
+    try:
+        result = ctx.spark.sql(rewrite_query(run_sql, watermark=new_wm))
+    finally:
+        ctx.views[src].createOrReplaceTempView(src)
+    if spec.time_col not in result.columns:
+        raise InvalidQueryError(
+            f"over aggregation must project its rowtime attribute {spec.time_col!r} "
+            f"(emission is gated on it)"
+        )
+
+    rt = F.col(spec.time_col)
+    out_wm = new_wm
+    if new_wm is None:
+        result = result.limit(0)
+        still_open = buf
+    elif spec.kind == "range":
+        # Frame [t - back, t + fwd] completes when t + fwd <= wm.
+        fwd = spec.fwd_range
+        result = result.filter(rt <= F.lit(new_wm - fwd))
+        if prev_wm is not None:
+            result = result.filter(rt > F.lit(prev_wm - fwd))
+        # Pending rows have t > new_wm - fwd; their backward context
+        # reaches no deeper than new_wm - fwd - back.
+        back = spec.range_size or timedelta(0)
+        still_open = buf.filter(t >= F.lit(new_wm - fwd - back))
+        out_wm = new_wm - fwd
+    else:
+        lead_t = F.col("__fwd_lead_t")
+        emit_cond = lead_t.isNotNull() & (lead_t <= F.lit(new_wm))
+        if prev_wm is not None:
+            emit_cond = emit_cond & (lead_t > F.lit(prev_wm))
+        result = result.filter(emit_cond)
+        # Keep every beyond-watermark row plus, per key, the last
+        # (fwd + back) watermark-final rows: final-but-incomplete rows are
+        # the trailing <= fwd rows of the final ordering, and their
+        # backward context adds at most `back` more.
+        keep_n = spec.fwd_rows + (spec.rows_n or 0)
+        pending = buf.filter(t > F.lit(new_wm))
+        w = Window.partitionBy(
+            *[F.col(k) for k in spec.part_keys] or [F.lit(0)]
+        ).orderBy(t.desc(), F.col(SEQ_INPUT).desc())
+        tail_rows = (
+            buf.filter(t <= F.lit(new_wm))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= keep_n)
+            .drop("__rn")
+        )
+        still_open = ctx.pin(pending.unionByName(tail_rows).select(*cols))
+        # Output watermark: future emissions are exactly the pending rows
+        # (rows whose frame the watermark has not yet completed); one
+        # scalar min over the retained pending set bounds them. A ROWS
+        # horizon is unbounded in TIME, so this is computed, not derived.
+        pend_final = (
+            buf.filter(t <= F.lit(new_wm))
+            .withColumn(
+                "__lt",
+                F.lead(t, spec.fwd_rows).over(
+                    Window.partitionBy(
+                        *[F.col(k) for k in spec.part_keys] or [F.lit(0)]
+                    ).orderBy(t.asc(), F.col(SEQ_INPUT).asc())
+                ),
+            )
+            .filter(F.col("__lt").isNull() | (F.col("__lt") > F.lit(new_wm)))
+        )
+        min_pend = (
+            pend_final.select(t.alias("__t"))
+            .unionByName(pending.select(t.alias("__t")))
+            .agg(F.min("__t"))
+            .collect()[0][0]
+        )
+        if min_pend is not None:
+            if new_wm.tzinfo is not None and min_pend.tzinfo is None:
+                from datetime import timezone
+
+                min_pend = min_pend.replace(tzinfo=timezone.utc)
+            out_wm = min(new_wm, min_pend - timedelta(milliseconds=1))
+    ctx.state.save_df(buffer_name, still_open)
+
+    if "__fwd_lead_t" in result.columns:
+        result = result.drop("__fwd_lead_t")
+    return StepResult(df=result, watermark=out_wm, order_cols=[spec.time_col, SEQ_INPUT])
 
 
 def _null_skip(fn, a, b):

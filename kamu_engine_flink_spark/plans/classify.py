@@ -596,23 +596,107 @@ _OVER_FRAME_RE = re.compile(
 @dataclass
 class OverAggSpec:
     """Flink row-time Over Aggregation (streaming SQL docs "Over
-    Aggregation"): one output row per input row, aggregating a backward
-    frame over the same partition. All OVER clauses in one SELECT must be
-    identical (Flink's own constraint), the ORDER BY attribute is the
-    ascending rowtime, and the frame is bounded PRECEDING .. CURRENT ROW."""
+    Aggregation"): one output row per input row, aggregating a frame over
+    the same partition. All OVER clauses in one SELECT must be identical
+    (Flink's own constraint) and the ORDER BY attribute is the rowtime.
+    Backward frames (ascending + PRECEDING .. CURRENT ROW) are Flink
+    parity; FORWARD frames (descending + PRECEDING, or ascending with a
+    FOLLOWING bound — shapes Flink's planner rejects) are a beyond-parity
+    extension whose rows emit once the watermark completes the frame."""
 
     time_col: str  # unqualified rowtime attribute
     part_keys: list[str]
     kind: str  # "range" | "rows"
-    range_size: timedelta | None
+    range_size: timedelta | None  # backward horizon (two-sided forward too)
     rows_n: int | None
     unbounded: bool = False
+    forward: bool = False
+    fwd_range: timedelta | None = None  # forward horizon (RANGE)
+    fwd_rows: int | None = None  # forward follower count (ROWS)
+
+
+_OVER_FWD_RE = re.compile(
+    r"OVER\s*\(\s*(?:PARTITION\s+BY\s+(?P<keys>[`\w.]+(?:\s*,\s*[`\w.]+)*)\s+)?"
+    r"ORDER\s+BY\s+(?P<col>[`\w.]+)\s*"
+    r"(?:(?P<desc>DESC)\s+(?P<kind>RANGE|ROWS)\s+BETWEEN\s+"
+    r"(?:INTERVAL\s+'(?P<n>\d+)'\s+(?P<unit>\w+)|(?P<rows>\d+))"
+    r"\s+PRECEDING\s+AND\s+CURRENT\s+ROW"
+    r"|(?:ASC\s+)?(?P<kind2>RANGE|ROWS)\s+BETWEEN\s+"
+    r"(?:(?:INTERVAL\s+'(?P<pn>\d+)'\s+(?P<punit>\w+)|(?P<prows>\d+))"
+    r"\s+PRECEDING|CURRENT\s+ROW)"
+    r"\s+AND\s+(?:INTERVAL\s+'(?P<fn>\d+)'\s+(?P<funit>\w+)|(?P<frows>\d+))"
+    r"\s+FOLLOWING)\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _parse_forward_over(sql: str) -> OverAggSpec | None:
+    matches = list(_OVER_FWD_RE.finditer(sql))
+    if not matches:
+        return None
+    first = matches[0].group(0)
+    if any(m.group(0) != first for m in matches[1:]):
+        raise InvalidQueryError(
+            "all OVER windows in one SELECT must share an identical spec"
+        )
+    m = matches[0]
+    keys = (
+        [k.strip().strip("`").split(".")[-1] for k in m.group("keys").split(",")]
+        if m.group("keys")
+        else []
+    )
+    back_size = back_rows = fwd_size = fwd_rows = None
+    if m.group("desc"):
+        # DESC + PRECEDING is the mirror spelling of ASC + FOLLOWING:
+        # "preceding" rows in descending rowtime order are LATER in time.
+        kind = m.group("kind").lower()
+        if kind == "range":
+            if not m.group("n"):
+                return None
+            fwd_size = interval_to_timedelta(m.group("n"), m.group("unit"))
+        else:
+            if not m.group("rows"):
+                return None
+            fwd_rows = int(m.group("rows"))
+    else:
+        kind = m.group("kind2").lower()
+        if kind == "range":
+            if not m.group("fn"):
+                return None
+            fwd_size = interval_to_timedelta(m.group("fn"), m.group("funit"))
+            if m.group("pn"):
+                back_size = interval_to_timedelta(m.group("pn"), m.group("punit"))
+            elif m.group("prows"):
+                return None  # row-count bound on a RANGE frame is invalid
+        else:
+            if not m.group("frows"):
+                return None
+            fwd_rows = int(m.group("frows"))
+            if m.group("prows"):
+                back_rows = int(m.group("prows"))
+            elif m.group("pn"):
+                return None  # interval bound on a ROWS frame is invalid
+    return OverAggSpec(
+        time_col=m.group("col").split(".")[-1].strip("`"),
+        part_keys=keys,
+        kind=kind,
+        range_size=back_size,
+        rows_n=back_rows,
+        forward=True,
+        fwd_range=fwd_size,
+        fwd_rows=fwd_rows,
+    )
 
 
 def parse_over_agg(sql: str) -> OverAggSpec | None:
     matches = list(_OVER_FRAME_RE.finditer(sql))
     if not matches:
-        return None
+        return _parse_forward_over(sql)
+    if _OVER_FWD_RE.search(sql):
+        # A backward and a forward frame in one SELECT — not identical.
+        raise InvalidQueryError(
+            "all OVER windows in one SELECT must share an identical spec"
+        )
     first = matches[0].group(0)
     if any(m.group(0) != first for m in matches[1:]):
         # Flink requires all over windows of one SELECT to be identical.

@@ -151,9 +151,13 @@ def test_temporal_join_legacy_state_key_migration(spark, tmp_path):
     ]
 
 
+# Bounded DESC frames became supported forward frames in round 4
+# (test_over_agg.py::test_forward_* pins them); DESC + UNBOUNDED PRECEDING
+# (a suffix aggregate, which the accumulator state cannot express) must
+# still reject loudly rather than run slice-dependent.
 DESC_OVER = """select event_time, symbol, price,
   sum(price) over (partition by symbol order by event_time desc
-    rows between 1 preceding and current row) as s
+    rows unbounded preceding) as s
 from tickers"""
 
 

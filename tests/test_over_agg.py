@@ -204,3 +204,153 @@ from tickers"""
         (10, 1, 10.0),
         (20, 2, 15.0),
     ]
+
+
+# ---------------------------------------------------------------------------
+# FORWARD frames (beyond Flink parity — its planner rejects descending /
+# FOLLOWING row-time frames). A row emits when the watermark COMPLETES its
+# frame; the output watermark lags by the forward horizon.
+# ---------------------------------------------------------------------------
+
+FWD_RANGE_QUERY = """select
+  event_time, symbol, price,
+  sum(price) over (partition by symbol order by event_time
+    range between current row and interval '2' minute following) as fsum
+from tickers"""
+
+
+def test_forward_range_cross_run(spark, tmp_path):
+    runner = TransformRunner(spark, tmp_path, queries=[(FWD_RANGE_QUERY, None)])
+    s1 = str(tmp_path / "in" / "s1.parquet")
+    ticker_slice(
+        s1,
+        [
+            (0, 0, ts(2), ts(1, 0, 0), "A", 10),
+            (1, 0, ts(2), ts(1, 0, 1), "A", 20),
+            (2, 0, ts(2), ts(1, 0, 3), "A", 30),
+        ],
+    )
+    resp, out = runner.run([_input(s1, ts(1, 0, 2))], system_time=ts(2))
+    # Only 00:00 has a watermark-complete frame ([00:00, 00:02] ⊆ final);
+    # the output watermark lags by the 2-minute horizon.
+    assert resp.new_watermark == ts(1, 0, 0)
+    assert _rows(out, "symbol", "price", "fsum") == [
+        (0, 0, ts(1, 0, 0), "A", 10, 30),  # 10 + 20 (00:03 outside frame)
+    ]
+
+    # Run 2: the watermark completes 00:01's and 00:03's frames; 00:04 is
+    # pending (frame open until 00:06). 00:01 must NOT re-emit later.
+    s2 = str(tmp_path / "in" / "s2.parquet")
+    ticker_slice(s2, [(3, 0, ts(3), ts(1, 0, 4), "A", 40)])
+    resp2, out2 = runner.run([_input(s2, ts(1, 0, 5))], system_time=ts(3))
+    assert resp2.new_watermark == ts(1, 0, 3)
+    assert _rows(out2, "symbol", "price", "fsum") == [
+        (1, 0, ts(1, 0, 1), "A", 20, 50),  # 20 + 30
+        (2, 0, ts(1, 0, 3), "A", 30, 70),  # 30 + 40
+    ]
+
+    # Run 3: watermark-only flush of the pending 00:04 row.
+    resp3, out3 = runner.run(
+        [{"alias": "tickers", "data_paths": [], "schema_file": s1,
+          "watermark": ts(1, 0, 10)}],
+        system_time=ts(4),
+    )
+    assert _rows(out3, "symbol", "price", "fsum") == [
+        (3, 0, ts(1, 0, 4), "A", 40, 40),
+    ]
+
+
+DESC_ROWS_QUERY = """select
+  event_time, symbol, price,
+  sum(price) over (partition by symbol order by event_time desc
+    rows between 1 preceding and current row) as fsum
+from tickers"""
+
+
+def test_forward_desc_rows_cross_run(spark, tmp_path):
+    """ORDER BY rowtime DESC with a PRECEDING bound is the mirror spelling
+    of an ascending FOLLOWING frame: each row aggregates itself plus its
+    next (rowtime, offset)-ordered follower, emitting once that follower
+    is watermark-final."""
+    runner = TransformRunner(spark, tmp_path, queries=[(DESC_ROWS_QUERY, None)])
+    s1 = str(tmp_path / "in" / "s1.parquet")
+    ticker_slice(
+        s1,
+        [
+            (0, 0, ts(2), ts(1, 0, 0), "A", 10),
+            (1, 0, ts(2), ts(1, 0, 1), "A", 20),
+            (2, 0, ts(2), ts(1, 0, 2), "A", 30),
+            (3, 0, ts(2), ts(1, 0, 1), "B", 5),
+        ],
+    )
+    resp, out = runner.run([_input(s1, ts(1, 0, 2))], system_time=ts(2))
+    # A@00:02 and B@00:01 lack a final follower -> pending; the output
+    # watermark retreats to just before the earliest pending row.
+    assert _rows(out, "symbol", "price", "fsum") == [
+        (0, 0, ts(1, 0, 0), "A", 10, 30),  # 10 + 20
+        (1, 0, ts(1, 0, 1), "A", 20, 50),  # 20 + 30
+    ]
+    assert resp.new_watermark < ts(1, 0, 1)
+
+    # Run 2: followers arrive at 00:04, but the 00:03 watermark does not
+    # make them FINAL — an earlier row could still slot in before them, so
+    # neither pending row's frame is complete yet. Nothing emits.
+    s2 = str(tmp_path / "in" / "s2.parquet")
+    ticker_slice(
+        s2,
+        [
+            (4, 0, ts(3), ts(1, 0, 4), "A", 40),
+            (5, 0, ts(3), ts(1, 0, 4), "B", 7),
+        ],
+    )
+    resp2, out2 = runner.run([_input(s2, ts(1, 0, 3))], system_time=ts(3))
+    assert resp2.new_offset_interval is None
+
+    # Run 3: the watermark passes the followers -> both pending rows emit
+    # exactly once; the 00:04 rows themselves stay pending (no follower).
+    resp3, out3 = runner.run(
+        [{"alias": "tickers", "data_paths": [], "schema_file": s1,
+          "watermark": ts(1, 0, 4)}],
+        system_time=ts(4),
+    )
+    assert _rows(out3, "symbol", "price", "fsum") == [
+        (2, 0, ts(1, 0, 1), "B", 5, 12),  # 5 + 7
+        (3, 0, ts(1, 0, 2), "A", 30, 70),  # 30 + 40
+    ]
+    assert resp3.new_watermark < ts(1, 0, 4)
+
+
+TWO_SIDED_QUERY = """select
+  event_time, symbol, price,
+  sum(price) over (partition by symbol order by event_time
+    range between interval '1' minute preceding and interval '2' minute following) as fsum
+from tickers"""
+
+
+def test_forward_two_sided_range_keeps_backward_context(spark, tmp_path):
+    """PRECEDING AND FOLLOWING: already-emitted rows must persist as
+    backward frame context for still-pending rows."""
+    runner = TransformRunner(spark, tmp_path, queries=[(TWO_SIDED_QUERY, None)])
+    s1 = str(tmp_path / "in" / "s1.parquet")
+    ticker_slice(
+        s1,
+        [
+            (0, 0, ts(2), ts(1, 0, 0), "A", 10),
+            (1, 0, ts(2), ts(1, 0, 1), "A", 20),
+            (2, 0, ts(2), ts(1, 0, 3), "A", 30),
+        ],
+    )
+    resp, out = runner.run([_input(s1, ts(1, 0, 2))], system_time=ts(2))
+    assert _rows(out, "symbol", "price", "fsum") == [
+        (0, 0, ts(1, 0, 0), "A", 10, 30),  # [−1, +2] -> 10 + 20
+    ]
+
+    s2 = str(tmp_path / "in" / "s2.parquet")
+    ticker_slice(s2, [(3, 0, ts(3), ts(1, 0, 5), "A", 40)])
+    resp2, out2 = runner.run([_input(s2, ts(1, 0, 6))], system_time=ts(3))
+    assert _rows(out2, "symbol", "price", "fsum") == [
+        # 00:01's frame [00:00, 00:03] includes the ALREADY-EMITTED 00:00
+        # row — retained as backward context across the checkpoint.
+        (1, 0, ts(1, 0, 1), "A", 20, 60),  # 10 + 20 + 30
+        (2, 0, ts(1, 0, 3), "A", 30, 70),  # 30 + 40 (frame [00:02, 00:05])
+    ]
