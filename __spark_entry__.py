@@ -1422,6 +1422,27 @@ def over_agg_rolling_value_events(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def over_agg_forward_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-looking OVER frame batch twin (operators/over_agg.py
+    `_execute_forward` runs the stateful watermark-gated form, new round
+    4; Flink's planner rejects this shape — beyond-parity extension):
+    per-user look-AHEAD 2-hour sum/count. Decimal sum keeps the frame
+    reduction order-independent and oracle-exact."""
+    e = _t(spark, sf_dir, "events")
+    e.createOrReplaceTempView("__over_fwd_events")
+    return spark.sql(
+        """
+        SELECT CAST(event_id AS BIGINT) AS event_id, ts,
+               CAST(user_id AS BIGINT) AS user_id,
+               CAST(SUM(CAST(value AS DECIMAL(28,10))) OVER w AS DOUBLE) AS fwd_sum,
+               CAST(COUNT(*) OVER w AS BIGINT) AS fwd_cnt
+        FROM __over_fwd_events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN CURRENT ROW AND INTERVAL '2' HOUR FOLLOWING)
+        """
+    )
+
+
 def window_topn_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window Top-N batch twin (the stateful TVF form rides the window-agg
     raw buffer): top-3 users by total value per day — a rank over the
@@ -2515,6 +2536,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_projection_embeddings": random_projection_embeddings,
         "flink_scalar_functions_events": flink_scalar_functions_events,
         "window_monthly_orders": window_monthly_orders,
+        # --- NEW round 4, rotates into the first 50 next round ---
+        "over_agg_forward_window_events": over_agg_forward_window_events,
     }
 
 
@@ -3872,6 +3895,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(pf.minv AS INT), CAST(1 AS INT), c.user_id, NULL, c.cents
             FROM c JOIN pf ON c.user_id = pf.user_id
             WHERE pf.minv > c.inv
+        """,
+        "over_agg_forward_window_events": """
+            SELECT CAST(event_id AS BIGINT) AS event_id, ts,
+                   CAST(user_id AS BIGINT) AS user_id,
+                   CAST(SUM(CAST(value AS DECIMAL(28,10))) OVER w AS DOUBLE) AS fwd_sum,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS fwd_cnt
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN CURRENT ROW AND INTERVAL 2 HOUR FOLLOWING)
         """,
         "window_monthly_orders": """
             SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
