@@ -373,3 +373,63 @@ def test_self_regular_join_requires_distinct_aliases(spark, tmp_path):
             [{"alias": "orders", "data_paths": [o1], "schema_file": o1, "watermark": ts(1)}],
             system_time=ts(5),
         )
+
+
+def test_full_join_changelog_folds_to_batch(spark, tmp_path):
+    """Changelog law: pads and retractions are cut-dependent (a same-slice
+    match never pads — Flink's mini-batch emission), but FOLDING the
+    changelog (op 0 adds, op 1 removes) must reproduce the batch FULL
+    join result for ANY slicing."""
+    from collections import Counter
+
+    lrows = [(i, 0, ts(9), ts(1), i % 5, 10 + i) for i in range(24)]
+    rrows = [(i, ts(9), ts(1), i % 7, 100 + i) for i in range(24)]
+
+    def run_cuts(tag, cuts):
+        runner = TransformRunner(
+            spark,
+            tmp_path / tag,
+            queries=[(RJ_OUTER_QUERY.format(kind="FULL"), None)],
+            vocab=DatasetVocabulary(event_time_column="order_time"),
+        )
+        folded: Counter = Counter()
+        bounds = [0, *cuts, 24]
+        for si in range(len(bounds) - 1):
+            op = str(tmp_path / tag / f"o{si}.parquet")
+            sp = str(tmp_path / tag / f"s{si}.parquet")
+            orders_slice(op, lrows[bounds[si] : bounds[si + 1]])
+            shipments_slice(sp, rrows[bounds[si] : bounds[si + 1]])
+            resp, out = runner.run(
+                [
+                    {"alias": "orders", "data_paths": [op], "schema_file": op, "watermark": ts(1)},
+                    {"alias": "shipments", "data_paths": [sp], "schema_file": sp, "watermark": ts(1)},
+                ],
+                system_time=ts(9 + si),
+            )
+            if resp.new_offset_interval is None:
+                continue
+            for r in pq.read_table(out).to_pylist():
+                key = (r["order_id"], r["order_quantity"], r["shipped_quantity"])
+                folded[key] += 1 if r["op"] == 0 else -1
+        return Counter({k: v for k, v in folded.items() if v})
+
+    # Batch FULL join expectation over the complete inputs.
+    lefts = [(r[4], r[5]) for r in lrows]  # (order_id, quantity)
+    rights = [(r[3], r[4]) for r in rrows]  # (order_id, num_shipped)
+    expected: Counter = Counter()
+    rmatched = [False] * len(rights)
+    for oid, q in lefts:
+        hit = False
+        for j, (rid, ns) in enumerate(rights):
+            if rid == oid:
+                expected[(oid, q, ns)] += 1
+                rmatched[j] = True
+                hit = True
+        if not hit:
+            expected[(oid, q, None)] += 1
+    for j, (rid, ns) in enumerate(rights):
+        if not rmatched[j]:
+            expected[(rid, None, ns)] += 1
+
+    assert run_cuts("one", []) == expected
+    assert run_cuts("many", [7, 15]) == expected
