@@ -51,6 +51,7 @@ HEADLINE = [
     "training_shards_documents",
     "bigram_lm_score_documents",
     "dedup_segments_documents",
+    "over_agg_forward_window_events",
 ]
 
 

@@ -315,10 +315,11 @@ def execute_topn(ctx: StepContext, sql: str) -> StepResult:
     # SQL comparison is exact); ASC ranks nulls first (a null always beats
     # a non-null threshold, so nulls must be kept). A null threshold
     # disables the prefilter — conservative, the fold is exact.
-    worst = prev_state.orderBy(F.col(rank_col).desc()).limit(1).collect()
     threshold = None
-    if worst and worst[0][rank_col] >= spec.limit:
-        threshold = worst[0][order_col]
+    if ctx.state.has_df(state_name):  # first run: skip the threshold job
+        worst = prev_state.orderBy(F.col(rank_col).desc()).limit(1).collect()
+        if worst and worst[0][rank_col] >= spec.limit:
+            threshold = worst[0][order_col]
     if threshold is not None:
         if descending:
             cond = F.col(order_col) > F.lit(threshold)
