@@ -111,6 +111,12 @@ def execute_regular_join(ctx: StepContext, sql: str) -> StepResult:
         else sql
     )
     new_left, new_right = ctx.views[lv], ctx.views[rv]
+    if pad_left:
+        # The new-left slice feeds the pairs branch, two semi/anti probes,
+        # and the pad run — pin once so every consumer shares the scan.
+        new_left = ctx.pin(new_left)
+    if pad_right:
+        new_right = ctx.pin(new_right)
     left_state = f"{ctx.step_key}-rj-left"
     right_state = f"{ctx.step_key}-rj-right"
     left_state_schema = (
@@ -143,9 +149,8 @@ def execute_regular_join(ctx: StepContext, sql: str) -> StepResult:
 
     if pad_left:
         # New lefts without any match so far: NULL-pad immediately (op 0).
-        new_l = ctx.pin(new_left)
-        new_matched_l = new_l.alias(la).join(all_right.alias(ra), cond, "left_semi")
-        new_unmatched_l = new_l.alias(la).join(all_right.alias(ra), cond, "left_anti")
+        new_matched_l = new_left.alias(la).join(all_right.alias(ra), cond, "left_semi")
+        new_unmatched_l = new_left.alias(la).join(all_right.alias(ra), cond, "left_anti")
         pad_parts.append(
             _run_with_views(ctx, sql, {lv: new_unmatched_l, rv_bind: empty_right}, wm)
         )
@@ -178,9 +183,8 @@ def execute_regular_join(ctx: StepContext, sql: str) -> StepResult:
         # FULL with an empty left projects exactly those pads).
         all_left = ctx.pin(old_left.unionByName(new_left))
         empty_left = all_left.limit(0)
-        new_r = ctx.pin(new_right)
-        new_matched_r = new_r.alias(ra).join(all_left.alias(la), cond, "left_semi")
-        new_unmatched_r = new_r.alias(ra).join(all_left.alias(la), cond, "left_anti")
+        new_matched_r = new_right.alias(ra).join(all_left.alias(la), cond, "left_semi")
+        new_unmatched_r = new_right.alias(ra).join(all_left.alias(la), cond, "left_anti")
         pad_parts.append(
             _run_with_views(ctx, sql, {lv: empty_left, rv_bind: new_unmatched_r}, wm)
         )
