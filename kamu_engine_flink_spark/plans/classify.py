@@ -945,6 +945,21 @@ def classify(sql: str, known_views: set[str]) -> str:
     # silently slice-dependent.
     if parse_regular_join(sql, known_views) is not None:
         return REGULAR_JOIN
+    # MULTIPLE joins over two or more stream views in ONE step (and no
+    # temporal/TVF spelling, which routed earlier): Flink's planner would
+    # chain stateful joins — full-history pairing at every stage — while
+    # stateless MAP would pair only same-invocation rows, silently
+    # slice-dependent. The stateful executors handle one join per step;
+    # reject loudly with the supported decomposition.
+    if (
+        len(re.findall(r"\bJOIN\b", sql, re.IGNORECASE)) >= 2
+        and len(referenced_views(sql, known_views)) >= 2
+    ):
+        raise InvalidQueryError(
+            "multiple stream-to-stream joins in one query step are not "
+            "supported: split the query into aliased steps, one join per "
+            "step (each step's alias is a view for the next step)"
+        )
     # Windowless GROUP BY over one stream view with mergeable aggregates:
     # Flink's continuous aggregation — per-key results UPDATE as rows
     # arrive, emitting correction pairs into the changelog. Stateless MAP

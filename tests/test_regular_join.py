@@ -433,3 +433,24 @@ def test_full_join_changelog_folds_to_batch(spark, tmp_path):
 
     assert run_cuts("one", []) == expected
     assert run_cuts("many", [7, 15]) == expected
+
+
+def test_multi_join_single_step_rejected():
+    """Two unbounded stream joins in one step would silently run as MAP
+    (same-invocation pairing only) — must reject with the per-step
+    decomposition guidance instead."""
+    q = """SELECT o.event_time as order_time, o.order_id, s.num_shipped, c.name
+FROM orders as o
+JOIN shipments as s ON o.order_id = s.order_id
+JOIN customers as c ON o.order_id = c.order_id"""
+    with pytest.raises(InvalidQueryError, match="one join per"):
+        classify(q, {"orders", "shipments", "customers"})
+    # a single static-enrichment join (one known view) keeps its MAP route
+    assert (
+        classify(
+            "SELECT * FROM orders o JOIN (VALUES (1)) v(x) ON o.order_id = v.x "
+            "JOIN (VALUES (2)) w(y) ON o.order_id = w.y",
+            {"orders"},
+        )
+        == MAP
+    )
