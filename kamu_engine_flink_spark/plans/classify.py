@@ -746,16 +746,14 @@ class RegularJoinSpec:
     on_condition: str
 
 
-_EQUI_ON_RE = re.compile(
-    r"([`\w]+)\.([`\w]+)\s*=\s*([`\w]+)\.([`\w]+)"
-)
-
-
 def parse_regular_join(sql: str, known_views: set[str]) -> RegularJoinSpec | None:
-    """A single two-view equi JOIN with NO time-window bound (and no
-    temporal/TVF spelling, which classify() routes earlier): Flink's
-    regular join. Conservative shape — anything else keeps its existing
-    MAP route."""
+    """A single two-view JOIN with ANY join condition and no temporal/TVF
+    spelling (classify() routes those — and recognizable interval joins —
+    earlier): Flink's regular join. Flink's planner runs every
+    non-interval stream-to-stream join this way, equi or not (non-equi and
+    cross conditions included); a time bound the interval parser could not
+    recognize degrades to full-history regular-join state, which is
+    Flink's own documented behavior for unrecognized bounds."""
     if len(re.findall(r"\bJOIN\b", sql, re.IGNORECASE)) != 1:
         return None
     if re.search(r"\bGROUP\s+BY\b|\bUNION\b", sql, re.IGNORECASE):
@@ -774,17 +772,6 @@ def parse_regular_join(sql: str, known_views: set[str]) -> RegularJoinSpec | Non
     on = jm.group(8).strip()
     left_alias = (jm.group(2) or jm.group(3) or jm.group(1)).strip("`")
     right_alias = (jm.group(6) or jm.group(7) or jm.group(5)).strip("`")
-    # Must have at least one cross-side column equality; must NOT carry a
-    # time-window bound (those are interval joins).
-    aliases = {left_alias, right_alias}
-    has_equi = any(
-        {m.group(1).strip("`"), m.group(3).strip("`")} == aliases
-        for m in _EQUI_ON_RE.finditer(on)
-    )
-    if not has_equi:
-        return None
-    if _BETWEEN_RE.search(sql) or _parse_cmp_bounds(on) is not None:
-        return None
     return RegularJoinSpec(
         left_view=left_view,
         left_alias=left_alias,

@@ -39,10 +39,16 @@ def test_classification():
     assert classify(RJ_QUERY, views) == REGULAR_JOIN
     # unknown view -> stays MAP
     assert classify(RJ_QUERY, {"orders"}) == MAP
-    # no cross-side equality -> stays MAP
+    # non-equi and cross conditions are regular joins too (Flink runs any
+    # non-interval two-stream join with full-history state; MAP would be
+    # silently slice-dependent)
     assert classify(
         "SELECT * FROM orders o JOIN shipments s ON 1=1", views
-    ) == MAP
+    ) == REGULAR_JOIN
+    assert classify(
+        "SELECT * FROM orders o JOIN shipments s ON o.quantity < s.num_shipped",
+        views,
+    ) == REGULAR_JOIN
     # time-bounded -> interval join, not regular
     assert (
         classify(
@@ -454,3 +460,48 @@ JOIN customers as c ON o.order_id = c.order_id"""
         )
         == MAP
     )
+
+
+def test_non_equi_regular_join_cross_invocation(spark, tmp_path):
+    """Non-equi two-stream joins are regular joins with full-history
+    pairing (Flink planner behavior) — cross-run pairs must appear, and
+    old x old pairs must not re-emit."""
+    q = """SELECT
+  o.event_time as order_time,
+  o.order_id,
+  o.quantity as order_quantity,
+  s.num_shipped as shipped_quantity
+FROM orders as o
+JOIN shipments as s
+ON o.quantity < s.num_shipped"""
+    runner = TransformRunner(
+        spark,
+        tmp_path,
+        queries=[(q, None)],
+        vocab=DatasetVocabulary(event_time_column="order_time"),
+    )
+    o1 = str(tmp_path / "o" / "o1.parquet")
+    s1 = str(tmp_path / "s" / "s1.parquet")
+    orders_slice(o1, [(0, 0, ts(2), ts(1), 1, 10), (1, 0, ts(2), ts(1), 2, 50)])
+    shipments_slice(s1, [(0, ts(2), ts(1), 7, 20)])
+    resp, out = runner.run(
+        [
+            {"alias": "orders", "data_paths": [o1], "schema_file": o1, "watermark": ts(1)},
+            {"alias": "shipments", "data_paths": [s1], "schema_file": s1, "watermark": ts(1)},
+        ],
+        system_time=ts(5),
+    )
+    assert _rows(out) == [(1, 10, 20)]  # 10 < 20 pairs; 50 does not
+
+    # Run 2: a bigger shipment pairs with BOTH historical orders; the old
+    # (10, 20) pair must not re-emit.
+    s2 = str(tmp_path / "s" / "s2.parquet")
+    shipments_slice(s2, [(1, ts(3), ts(2), 8, 60)])
+    resp, out = runner.run(
+        [
+            {"alias": "orders", "data_paths": [], "schema_file": o1, "watermark": ts(2)},
+            {"alias": "shipments", "data_paths": [s2], "schema_file": s2, "watermark": ts(2)},
+        ],
+        system_time=ts(6),
+    )
+    assert _rows(out) == [(1, 10, 60), (2, 50, 60)]
