@@ -131,3 +131,31 @@ def test_window_left_join_pads_at_close(spark, tmp_path):
         (0, 0, ts(1, 0, 0), "A", 10, 7),
         (1, 0, ts(1, 0, 0), "B", 20, None),
     ]
+
+
+def test_window_full_join_pads_both_sides(spark, tmp_path):
+    """FULL window join: both sides are final when the window closes, so
+    unmatched rows on EITHER side pad in the same append-only emission —
+    no retraction machinery needed (unlike the regular join)."""
+    query = """SELECT coalesce(L.window_start, R.window_start) AS event_time,
+  coalesce(L.symbol, R.symbol) AS symbol, L.price AS a_price, R.price AS b_price
+FROM TABLE(TUMBLE(TABLE a, DESCRIPTOR(event_time), INTERVAL '10' MINUTE)) L
+FULL JOIN TABLE(TUMBLE(TABLE b, DESCRIPTOR(event_time), INTERVAL '10' MINUTE)) R
+ON L.window_start = R.window_start AND L.symbol = R.symbol"""
+    runner = TransformRunner(spark, tmp_path, queries=[(query, None)])
+    a1 = str(tmp_path / "in" / "a1.parquet")
+    b1 = str(tmp_path / "in" / "b1.parquet")
+    ticker_slice(
+        a1,
+        [(0, 0, ts(2), ts(1, 0, 1), "A", 10), (1, 0, ts(2), ts(1, 0, 2), "B", 20)],
+    )
+    ticker_slice(
+        b1,
+        [(0, 0, ts(2), ts(1, 0, 3), "A", 7), (1, 0, ts(2), ts(1, 0, 4), "C", 5)],
+    )
+    resp, out = runner.run(_inputs(a1, ts(1, 0, 15), b1, ts(1, 0, 15)), system_time=ts(2))
+    assert sorted(_rows(out), key=lambda t: t[3]) == [
+        (0, 0, ts(1, 0, 0), "A", 10, 7),
+        (1, 0, ts(1, 0, 0), "B", 20, None),
+        (2, 0, ts(1, 0, 0), "C", None, 5),
+    ]
