@@ -975,6 +975,23 @@ def classify(sql: str, known_views: set[str]) -> str:
             "sum/count/min/max/avg aggregates only (window the query with "
             "TUMBLE/HOP/SESSION for other shapes)"
         )
+    # A windowless aggregate OVER A JOIN in one step: stateless MAP would
+    # recompute both the pairing and the aggregate per slice — doubly
+    # slice-dependent (Flink chains a regular join into a continuous
+    # aggregation). Reject with the supported decomposition.
+    if (
+        re.search(r"\bJOIN\b", sql, re.IGNORECASE)
+        and not re.search(r"\bover\s*\(|\bunion\b", sql, re.IGNORECASE)
+        and select_count(sql) == 1
+        and len(referenced_views(sql, known_views)) >= 1
+        and (_AGG_CALL_RE.search(sql) or _GROUP_BY_RE.search(sql))
+        and not re.match(r"^\s*select\s+distinct\b", sql, re.IGNORECASE)
+    ):
+        raise InvalidQueryError(
+            "aggregation over a join in one step would recompute per slice "
+            "(slice-dependent): split into aliased steps — the join step "
+            "first, then the aggregation over its alias"
+        )
     # Top-level SELECT DISTINCT gets Flink's STATEFUL stream semantics
     # (suppress rows seen in any earlier invocation), not per-slice
     # distinct. Conservative shape: single-block, no joins/aggregation.

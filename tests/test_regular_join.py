@@ -505,3 +505,14 @@ ON o.quantity < s.num_shipped"""
         system_time=ts(6),
     )
     assert _rows(out) == [(1, 10, 60), (2, 50, 60)]
+
+
+def test_agg_over_join_single_step_rejected():
+    """A windowless aggregate over a join in one step would recompute both
+    the pairing and the aggregate per slice — reject with the per-step
+    decomposition guidance."""
+    q = """SELECT o.order_id, count(*) as n
+FROM orders as o JOIN shipments as s ON o.order_id = s.order_id
+GROUP BY o.order_id"""
+    with pytest.raises(InvalidQueryError, match="aliased steps"):
+        classify(q, {"orders", "shipments"})
