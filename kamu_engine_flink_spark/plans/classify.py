@@ -984,13 +984,17 @@ def classify(sql: str, known_views: set[str]) -> str:
         and not re.search(r"\bover\s*\(|\bunion\b", sql, re.IGNORECASE)
         and select_count(sql) == 1
         and len(referenced_views(sql, known_views)) >= 1
-        and (_AGG_CALL_RE.search(sql) or _GROUP_BY_RE.search(sql))
-        and not re.match(r"^\s*select\s+distinct\b", sql, re.IGNORECASE)
+        and (
+            _AGG_CALL_RE.search(sql)
+            or _GROUP_BY_RE.search(sql)
+            or re.match(r"^\s*select\s+distinct\b", sql, re.IGNORECASE)
+        )
     ):
         raise InvalidQueryError(
-            "aggregation over a join in one step would recompute per slice "
-            "(slice-dependent): split into aliased steps — the join step "
-            "first, then the aggregation over its alias"
+            "aggregation or DISTINCT over a join in one step would "
+            "recompute per slice (slice-dependent): split into aliased "
+            "steps — the join step first, then the aggregation/DISTINCT "
+            "over its alias"
         )
     # Top-level SELECT DISTINCT gets Flink's STATEFUL stream semantics
     # (suppress rows seen in any earlier invocation), not per-slice

@@ -37,8 +37,15 @@ def readings_slice(path, rows):
 def test_classify_distinct():
     views = {"readings"}
     assert classify(QUERY, views) == DISTINCT
-    # Joins / aggregations / subqueries keep their existing routes.
-    assert classify("SELECT DISTINCT a FROM readings JOIN x ON 1=1", views | {"x"}) == MAP
+    # DISTINCT over a join: per-slice distinct would be slice-dependent —
+    # reject with the per-step decomposition (join, then DISTINCT on the
+    # alias, which the stateful DISTINCT executor handles).
+    import pytest
+
+    from kamu_engine_flink_spark.protocol.model import InvalidQueryError
+
+    with pytest.raises(InvalidQueryError, match="aliased steps"):
+        classify("SELECT DISTINCT a FROM readings JOIN x ON 1=1", views | {"x"})
     assert (
         classify("SELECT a FROM (SELECT DISTINCT a FROM readings)", views) == MAP
     )
