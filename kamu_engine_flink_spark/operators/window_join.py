@@ -32,24 +32,37 @@ def execute_window_join(ctx: StepContext, sql: str) -> StepResult:
     tvfs = list(_WINDOW_TVF_RE.finditer(sql))
     if len(tvfs) != 2:
         raise InvalidQueryError("window join requires exactly two window TVFs")
+    kinds = {m.group(1).upper() for m in tvfs}
+    if len(kinds) != 1:
+        raise InvalidQueryError("window join requires the same TVF kind on both sides")
+    kind = kinds.pop()
     sides = []
+    aliases = []
     for m in tvfs:
-        kind, view, tcol = m.group(1).upper(), m.group(2).strip("`"), m.group(3)
-        if kind != "TUMBLE":
-            raise InvalidQueryError(
-                "window join supports TUMBLE windows (HOP/CUMULATE emission "
-                "needs result-level window attribution)"
-            )
+        view, tcol = m.group(2).strip("`"), m.group(3)
         if view not in ctx.views:
             raise InvalidQueryError(f"window join reads unknown view {view!r}")
+        if kind != "TUMBLE" and m.group(6) is None:
+            raise InvalidQueryError(f"{kind} TVF takes two intervals")
+        # The horizon a row can still influence: its (largest) window size.
+        size_n, size_u = (
+            (m.group(4), m.group(5)) if kind == "TUMBLE" else (m.group(6), m.group(7))
+        )
         sides.append(
             (
                 view,
                 tcol.split(".")[-1].strip("`"),
-                interval_to_timedelta(m.group(4), m.group(5)),
-                f"{m.group(4)} {m.group(5).lower()}",
+                tuple(
+                    interval_to_timedelta(m.group(i), m.group(i + 1))
+                    for i in (4, 6)
+                    if m.group(i) is not None
+                ),
+                f"{size_n} {size_u.lower()}",
+                interval_to_timedelta(size_n, size_u),
             )
         )
+        am = re.match(r"\s*(?:AS\s+)?([`\w]+)", sql[m.end():], re.IGNORECASE)
+        aliases.append(am.group(1).strip("`") if am else None)
     if sides[0][2] != sides[1][2]:
         raise InvalidQueryError("window join requires identical window specs")
     if sides[0][0] == sides[1][0]:
@@ -76,6 +89,20 @@ def execute_window_join(ctx: StepContext, sql: str) -> StepResult:
             "window join requires window-bound equality in the ON clause "
             "(e.g. L.window_start = R.window_start); Flink would otherwise "
             "run this as a regular streaming join over all rows"
+        )
+    if kind == "CUMULATE" and not re.search(
+        r"[`\w.]*\bwindow_end`?\s*=\s*[`\w.]*\bwindow_end\b",
+        on_text,
+        re.IGNORECASE,
+    ):
+        # Every cumulative window of one period shares window_start, so
+        # start equality alone would join rows across DIFFERENT cumulative
+        # instances; ends are period-aligned step multiples and identify
+        # the instance uniquely.
+        raise InvalidQueryError(
+            "CUMULATE window join requires window_end equality in the ON "
+            "clause (window_start is shared by every cumulative window of "
+            "a period)"
         )
 
     # Two-input watermark rule: the operator's clock is the slower input —
