@@ -938,9 +938,18 @@ def classify(sql: str, known_views: set[str]) -> str:
     # stateless MAP would pair only same-invocation rows, silently
     # slice-dependent. The stateful executors handle one join per step;
     # reject loudly with the supported decomposition.
-    if (
-        len(re.findall(r"\bJOIN\b", sql, re.IGNORECASE)) >= 2
-        and len(referenced_views(sql, known_views)) >= 2
+    # Gate on stream-view OCCURRENCES, not distinct views: a multi-join
+    # chain over a SINGLE view repeated (FROM v a JOIN v b ... JOIN v c)
+    # is just as slice-dependent as one over two views, while a stream
+    # enriched twice from static relations (VALUES/literal subqueries)
+    # references a stream view only once and stays a stateless MAP.
+    if len(re.findall(r"\bJOIN\b", sql, re.IGNORECASE)) >= 2 and (
+        sum(
+            1
+            for t in re.findall(r"\b(?:FROM|JOIN)\s+`?(\w+)`?", sql, re.IGNORECASE)
+            if t in known_views
+        )
+        >= 2
     ):
         raise InvalidQueryError(
             "multiple stream-to-stream joins in one query step are not "

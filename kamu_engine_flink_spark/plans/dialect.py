@@ -346,6 +346,50 @@ def hop_starts_sql(time_col: str, slide_n: str, slide_u: str, size_n: str, size_
     )
 
 
+def window_tvf_subquery(
+    kind: str,
+    view: str,
+    ucol: str,
+    n1: str,
+    u1: str,
+    n2: str | None,
+    u2: str | None,
+) -> str:
+    """FROM-subquery text materializing the implicit `window_start`/
+    `window_end` columns of one windowing TVF over `view` (unqualified
+    time column `ucol`). TUMBLE maps straight to window(); HOP/CUMULATE
+    explode the per-row window-instance lists (same integer geometry as
+    the group-window rewrites). Shared by the SQL rewrite below and the
+    window-join executor (which binds `view` to its cross-run buffer)."""
+    kind = kind.upper()
+    if kind == "TUMBLE":
+        if n2 is not None:
+            raise InvalidQueryError("TUMBLE TVF takes one interval (size)")
+        dur = _interval_to_duration(n1, u1)
+        return (
+            f"(SELECT *, window({ucol}, '{dur}').start AS window_start, "
+            f"window({ucol}, '{dur}').end AS window_end FROM {view})"
+        )
+    if n2 is None:
+        raise InvalidQueryError(f"{kind} TVF takes two intervals")
+    if kind == "HOP":
+        # Flink order: (slide, size).
+        starts = hop_starts_sql(ucol, n1, u1, n2, u2)
+        return (
+            f"(SELECT *, window_start + INTERVAL '{n2}' {u2.upper()} "
+            f"AS window_end FROM "
+            f"(SELECT *, explode({starts}) AS window_start FROM {view}))"
+        )
+    # CUMULATE: (step, size); span start is fixed per row.
+    size_us = int(n2) * _INTERVAL_US[u2.upper()]
+    ends = cumulate_ends_sql(ucol, n1, u1, n2, u2)
+    return (
+        f"(SELECT *, timestamp_micros((unix_micros({ucol}) DIV {size_us}) "
+        f"* {size_us}) AS window_start, explode({ends}) AS window_end "
+        f"FROM {view})"
+    )
+
+
 def _rewrite_window_tvf(sql: str) -> str:
     """Flink 1.13+ windowing TVF spellings -> an expanded FROM-subquery
     that materializes the implicit `window_start`/`window_end` columns
@@ -361,35 +405,10 @@ def _rewrite_window_tvf(sql: str) -> str:
     accepts the TVF form so newer Flink SQL ports run unchanged."""
 
     def repl(m: re.Match) -> str:
-        kind = m.group(1).upper()
         view, col = m.group(2), m.group(3)
         ucol = col.split(".")[-1].strip("`")
-        n1, u1, n2, u2 = m.group(4), m.group(5), m.group(6), m.group(7)
-        if kind == "TUMBLE":
-            if n2 is not None:
-                raise InvalidQueryError("TUMBLE TVF takes one interval (size)")
-            dur = _interval_to_duration(n1, u1)
-            return (
-                f"(SELECT *, window({ucol}, '{dur}').start AS window_start, "
-                f"window({ucol}, '{dur}').end AS window_end FROM {view})"
-            )
-        if n2 is None:
-            raise InvalidQueryError(f"{kind} TVF takes two intervals")
-        if kind == "HOP":
-            # Flink order: (slide, size).
-            starts = hop_starts_sql(ucol, n1, u1, n2, u2)
-            return (
-                f"(SELECT *, window_start + INTERVAL '{n2}' {u2.upper()} "
-                f"AS window_end FROM "
-                f"(SELECT *, explode({starts}) AS window_start FROM {view}))"
-            )
-        # CUMULATE: (step, size); span start is fixed per row.
-        size_us = int(n2) * _INTERVAL_US[u2.upper()]
-        ends = cumulate_ends_sql(ucol, n1, u1, n2, u2)
-        return (
-            f"(SELECT *, timestamp_micros((unix_micros({ucol}) DIV {size_us}) "
-            f"* {size_us}) AS window_start, explode({ends}) AS window_end "
-            f"FROM {view})"
+        return window_tvf_subquery(
+            m.group(1), view, ucol, m.group(4), m.group(5), m.group(6), m.group(7)
         )
 
     return _WINDOW_TVF_RE.sub(repl, sql)

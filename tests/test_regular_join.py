@@ -451,6 +451,14 @@ JOIN shipments as s ON o.order_id = s.order_id
 JOIN customers as c ON o.order_id = c.order_id"""
     with pytest.raises(InvalidQueryError, match="one join per"):
         classify(q, {"orders", "shipments", "customers"})
+    # a multi-join chain over a SINGLE view repeated is just as
+    # slice-dependent — occurrence count, not distinct-view count, gates
+    with pytest.raises(InvalidQueryError, match="one join per"):
+        classify(
+            "SELECT a.x FROM orders a JOIN orders b ON a.order_id = b.order_id "
+            "JOIN orders c ON a.order_id = c.order_id",
+            {"orders"},
+        )
     # a single static-enrichment join (one known view) keeps its MAP route
     assert (
         classify(

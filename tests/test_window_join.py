@@ -159,3 +159,92 @@ ON L.window_start = R.window_start AND L.symbol = R.symbol"""
         (1, 0, ts(1, 0, 0), "B", 20, None),
         (2, 0, ts(1, 0, 0), "C", None, 5),
     ]
+
+
+HOP_WJOIN = """SELECT L.window_start AS event_time, L.symbol, L.price AS a_price, R.price AS b_price
+FROM TABLE(HOP(TABLE a, DESCRIPTOR(event_time), INTERVAL '5' MINUTE, INTERVAL '10' MINUTE)) L
+JOIN TABLE(HOP(TABLE b, DESCRIPTOR(event_time), INTERVAL '5' MINUTE, INTERVAL '10' MINUTE)) R
+ON L.window_start = R.window_start AND L.symbol = R.symbol"""
+
+
+def test_hop_window_join_cross_run_slide_boundary(spark, tmp_path):
+    """HOP eviction horizon: a row's LAST hop window ends at
+    slide*floor(t/slide) + size, later than its tumble-of-size end. The
+    a-row at 00:09 (tumble end 00:10) must stay buffered past wm 00:10
+    because hop window [00:05, 00:15) is still open — the b-partner for
+    that window only arrives in run 2."""
+    runner = TransformRunner(spark, tmp_path, queries=[(HOP_WJOIN, None)])
+    a1 = str(tmp_path / "in" / "a1.parquet")
+    b1 = str(tmp_path / "in" / "b1.parquet")
+    ticker_slice(a1, [(0, 0, ts(2), ts(1, 0, 9), "A", 10)])
+    ticker_slice(b1, [])
+    # wm 00:10 closes only [00:00, 00:10): a alone, no pair.
+    resp, out = runner.run(_inputs(a1, ts(1, 0, 10), b1, ts(1, 0, 10)), system_time=ts(2))
+    import os
+
+    assert resp.new_offset_interval is None and not os.path.exists(out)
+
+    # Run 2: b at 00:12 shares hop window [00:05, 00:15) with the buffered
+    # a-row; wm 00:20 closes [00:05,00:15) and [00:10,00:20).
+    a2 = str(tmp_path / "in" / "a2.parquet")
+    b2 = str(tmp_path / "in" / "b2.parquet")
+    ticker_slice(a2, [])
+    ticker_slice(b2, [(0, 0, ts(3), ts(1, 0, 12), "A", 7)])
+    resp2, out2 = runner.run(
+        _inputs(a2, ts(1, 0, 20), b2, ts(1, 0, 20)), system_time=ts(3)
+    )
+    assert _rows(out2) == [(0, 0, ts(1, 0, 5), "A", 10, 7)]
+
+    # Run 3: watermark advances past everything — exactly-once, the
+    # [00:05, 00:15) pair must NOT re-emit.
+    a3 = str(tmp_path / "in" / "a3.parquet")
+    b3 = str(tmp_path / "in" / "b3.parquet")
+    ticker_slice(a3, [])
+    ticker_slice(b3, [])
+    resp3, out3 = runner.run(
+        _inputs(a3, ts(1, 0, 40), b3, ts(1, 0, 40)), system_time=ts(4)
+    )
+    assert resp3.new_offset_interval is None and not os.path.exists(out3)
+
+
+def test_hop_window_join_slice_invariance(spark, tmp_path):
+    """Same data as the cross-run test delivered in ONE slice produces the
+    same single pair (slice-invariance)."""
+    runner = TransformRunner(spark, tmp_path, queries=[(HOP_WJOIN, None)])
+    a1 = str(tmp_path / "in" / "a1.parquet")
+    b1 = str(tmp_path / "in" / "b1.parquet")
+    ticker_slice(a1, [(0, 0, ts(2), ts(1, 0, 9), "A", 10)])
+    ticker_slice(b1, [(0, 0, ts(2), ts(1, 0, 12), "A", 7)])
+    resp, out = runner.run(_inputs(a1, ts(1, 0, 20), b1, ts(1, 0, 20)), system_time=ts(2))
+    assert _rows(out) == [(0, 0, ts(1, 0, 5), "A", 10, 7)]
+
+
+def test_cumulate_window_join_cross_run(spark, tmp_path):
+    """CUMULATE(step 5m, size 10m) join on (start, end): rows pair once
+    per shared cumulative instance; instances close at step boundaries
+    across invocations, exactly once."""
+    query = """SELECT L.window_end AS event_time, L.symbol, L.price AS a_price, R.price AS b_price
+FROM TABLE(CUMULATE(TABLE a, DESCRIPTOR(event_time), INTERVAL '5' MINUTE, INTERVAL '10' MINUTE)) L
+JOIN TABLE(CUMULATE(TABLE b, DESCRIPTOR(event_time), INTERVAL '5' MINUTE, INTERVAL '10' MINUTE)) R
+ON L.window_start = R.window_start AND L.window_end = R.window_end AND L.symbol = R.symbol"""
+    runner = TransformRunner(spark, tmp_path, queries=[(query, None)])
+    a1 = str(tmp_path / "in" / "a1.parquet")
+    b1 = str(tmp_path / "in" / "b1.parquet")
+    # a at 00:02 -> instances [00:00,00:05) and [00:00,00:10);
+    # b at 00:03 -> the same two instances.
+    ticker_slice(a1, [(0, 0, ts(2), ts(1, 0, 2), "A", 10)])
+    ticker_slice(b1, [(0, 0, ts(2), ts(1, 0, 3), "A", 7)])
+    # wm 00:05 closes only the [00:00, 00:05] instance.
+    resp, out = runner.run(_inputs(a1, ts(1, 0, 5), b1, ts(1, 0, 5)), system_time=ts(2))
+    assert _rows(out) == [(0, 0, ts(1, 0, 5), "A", 10, 7)]
+
+    # wm 00:10 closes the [00:00, 00:10] instance — same rows pair again
+    # for the LONGER instance, the earlier one does not re-emit.
+    a2 = str(tmp_path / "in" / "a2.parquet")
+    b2 = str(tmp_path / "in" / "b2.parquet")
+    ticker_slice(a2, [])
+    ticker_slice(b2, [])
+    resp2, out2 = runner.run(
+        _inputs(a2, ts(1, 0, 10), b2, ts(1, 0, 10)), system_time=ts(3)
+    )
+    assert _rows(out2) == [(1, 0, ts(1, 0, 10), "A", 10, 7)]
