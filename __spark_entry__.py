@@ -2116,6 +2116,84 @@ ON p.user_id = c.user_id"""
     return out
 
 
+def _ledger_time_slices(spark, ledger, workdir, name, split_iso):
+    """Two TIME-ORDERED invocation slices (event_time before/after the
+    split) with per-slice max-event-time watermarks — the slicing shape
+    windowed operators need: offset-mod slices would put the watermark
+    near the stream's end after slice 0 and mark nearly every later row
+    late."""
+    import os
+
+    from kamu_engine_flink_spark.sinks.parquet import write_single_parquet
+
+    out = []
+    split = F.to_timestamp(F.lit(split_iso))
+    halves = (
+        ledger.filter(F.col("event_time") < split),
+        ledger.filter(F.col("event_time") >= split),
+    )
+    for i, part in enumerate(halves):
+        path = os.path.join(workdir, f"{name}_t{i}.parquet")
+        write_single_parquet(part, path, sorted_single=False)
+        wm = spark.read.parquet(path).agg(F.max("event_time")).collect()[0][0]
+        out.append((path, wm))
+    return out
+
+
+def window_join_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful window TVF join (operators/window_join.py; the Flink
+    1.14+ same-window two-stream join the reference exposes by planner
+    delegation, TransformEngine.scala:252-262): two chained ODF
+    invocations over a mid-month time split of purchases x clicks, daily
+    TUMBLE, keyed by user. A (purchase, click) pair emits exactly once,
+    in the invocation whose effective (min-of-inputs) watermark first
+    passes the day's end — the boundary day's pairs prove the cross-run
+    buffer (one side's row can arrive an invocation after the other's).
+    Windows never closed by the final watermark stay unemitted, exactly
+    Flink. The oracle reconstructs the same emission from per-side
+    watermark arithmetic. Per invocation: one hash join on
+    (window_start, user_id) over closed-instance sets — scales."""
+    import tempfile
+
+    _conf(spark)
+    workdir = tempfile.mkdtemp(prefix="wjoin-entry-")
+    p_slices = _ledger_time_slices(
+        spark, _events_ledger(spark, sf_dir, "purchase"), workdir, "purchases",
+        "2024-01-16 00:00:00",
+    )
+    c_slices = _ledger_time_slices(
+        spark, _events_ledger(spark, sf_dir, "click"), workdir, "clicks",
+        "2024-01-16 00:00:00",
+    )
+    sql = """SELECT
+  L.window_start as event_time,
+  L.user_id as user_id,
+  L.cents as p_cents,
+  R.cents as c_cents
+FROM TABLE(TUMBLE(TABLE purchases, DESCRIPTOR(event_time), INTERVAL '1' DAY)) L
+JOIN TABLE(TUMBLE(TABLE clicks, DESCRIPTOR(event_time), INTERVAL '1' DAY)) R
+ON L.window_start = R.window_start AND L.user_id = R.user_id"""
+    per_inv = [
+        [("purchases", *p_slices[i]), ("clicks", *c_slices[i])] for i in range(2)
+    ]
+    outs = _run_odf_invocations(spark, sql, per_inv, workdir, "wjoin")
+    parts = [
+        spark.read.parquet(path).select(
+            F.lit(inv).cast("int").alias("inv"),
+            F.col("op").cast("int").alias("op"),
+            "event_time",
+            "user_id",
+            F.col("p_cents").cast("long").alias("p_cents"),
+            F.col("c_cents").cast("long").alias("c_cents"),
+        )
+        for inv, path in outs
+    ]
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out
+
+
 def flink_scalar_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-3 Flink scalar-rewrite surface (plans/dialect.py):
     SPLIT_INDEX (literal-delimiter regex escaping + 0-based index +
@@ -2423,69 +2501,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION note: the driver records correctness rows for only the
     # FIRST 50 dict entries per round, so the registry rotates each round
     # to give every entry a driver row at least every other round.
-    # Round 4 first-50 = the 48 entries last driver-checked in round 2
-    # (including regular_join_purchases_clicks, new in r03 and due its
-    # first driver row) + the 2 entries NEW this round: the continuous
-    # (windowless) aggregation changelog and the FULL regular-join
-    # pad/retract changelog, both simulated as chained ODF invocations
-    # with full DuckDB oracles. The 50 entries checked green in round 3
-    # rotate to the back (due again round 5).
+    # Round 5 first-50 = 2 entries due their FIRST driver row (the new
+    # window TVF join changelog and round 4's forward-OVER entry, the
+    # only never-driver-checked one) + 48 of the 50 entries last checked
+    # in round 3. The two r03 entries that didn't fit lead the back
+    # block (due round 6) ahead of the r04-checked 50.
     # tools/crosscheck.py verifies ALL entries locally regardless; the
     # full run is committed per round as CROSSCHECK_r{N}.txt.
     return {
-        # --- last driver-checked r02, due for re-check (48) ---
-        "match_recognize_dip_spike_events": match_recognize_dip_spike_events,
-        "dedup_keep_last_events": dedup_keep_last_events,
-        "regular_join_purchases_clicks": regular_join_purchases_clicks,
-        "over_agg_rolling_value_events": over_agg_rolling_value_events,
-        "window_topn_daily_users": window_topn_daily_users,
-        "funnel_view_click_purchase": funnel_view_click_purchase,
-        "retention_cohorts_events": retention_cohorts_events,
-        "similarity_pq_topk": similarity_pq_topk,
-        "bigram_lm_score_documents": bigram_lm_score_documents,
-        "quality_classifier_documents": quality_classifier_documents,
-        "dedup_segments_documents": dedup_segments_documents,
-        "semantic_dedup_embeddings": semantic_dedup_embeddings,
-        "training_shards_documents": training_shards_documents,
-        "mixture_sample_documents": mixture_sample_documents,
-        "curriculum_bins_documents": curriculum_bins_documents,
-        "duplicate_ngram_spans_documents": duplicate_ngram_spans_documents,
-        "changelog_diff_customers": changelog_diff_customers,
-        "changelog_snapshot_customers": changelog_snapshot_customers,
-        "kmeans_clusters_embeddings": kmeans_clusters_embeddings,
-        "dedup_minhash_documents": dedup_minhash_documents,
-        "dedup_minhash_fast": dedup_minhash_fast,
-        "dedup_simhash_documents": dedup_simhash_documents,
-        "ngram_jaccard_documents": ngram_jaccard_documents,
-        "dedup_clusters_ngram": dedup_clusters_ngram,
-        "embedding_near_dup": embedding_near_dup,
-        "similarity_cosine_topk": similarity_cosine_topk,
-        "similarity_lsh_topk": similarity_lsh_topk,
-        "similarity_ivf_topk": similarity_ivf_topk,
-        "text_analysis_documents": text_analysis_documents,
-        "multimodal_image_meta": multimodal_image_meta,
-        "multimodal_frame_sample": multimodal_frame_sample,
-        "multimodal_audio_meta": multimodal_audio_meta,
-        "multimodal_audio_windows": multimodal_audio_windows,
-        "text_repetition_documents": text_repetition_documents,
-        "window_rank_family_orders": window_rank_family_orders,
-        "tfidf_top_terms": tfidf_top_terms,
-        "embedding_quantize_int8": embedding_quantize_int8,
-        "sketch_distinct_users": sketch_distinct_users,
-        "text_scrub_documents": text_scrub_documents,
-        "approx_quantiles_events": approx_quantiles_events,
-        "user_event_sequences": user_event_sequences,
-        "decontamination_overlap": decontamination_overlap,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_top_unshipped": q3_top_unshipped,
-        "q5_supplier_volume": q5_supplier_volume,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "agg_distinct_suppliers": agg_distinct_suppliers,
-        "scalar_projection": scalar_projection,
-        # --- NEW this round, first driver row (2) ---
-        "unbounded_agg_changelog_events": unbounded_agg_changelog_events,
-        "regular_join_full_changelog": regular_join_full_changelog,
-        # --- checked green r03, rotate back in round 5 (50) ---
+        # --- due their FIRST driver row (2) ---
+        "window_join_tumbling_daily": window_join_tumbling_daily,
+        "over_agg_forward_window_events": over_agg_forward_window_events,
+        # --- last driver-checked r03, due for re-check (48) ---
         "chained_multistep": chained_multistep,
         "window_tumbling_daily": window_tumbling_daily,
         "window_sliding_2h": window_sliding_2h,
@@ -2534,12 +2561,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_cumulate_6h": window_cumulate_6h,
         "inverted_index_documents": inverted_index_documents,
         "random_projection_embeddings": random_projection_embeddings,
+        # --- r03-checked overflow, front of the round-6 rotation (2) ---
         "flink_scalar_functions_events": flink_scalar_functions_events,
         "window_monthly_orders": window_monthly_orders,
-        # --- NEW round 4, rotates into the first 50 next round ---
-        "over_agg_forward_window_events": over_agg_forward_window_events,
+        # --- checked green r04, rotate back in round 6 (50) ---
+        "match_recognize_dip_spike_events": match_recognize_dip_spike_events,
+        "dedup_keep_last_events": dedup_keep_last_events,
+        "regular_join_purchases_clicks": regular_join_purchases_clicks,
+        "over_agg_rolling_value_events": over_agg_rolling_value_events,
+        "window_topn_daily_users": window_topn_daily_users,
+        "funnel_view_click_purchase": funnel_view_click_purchase,
+        "retention_cohorts_events": retention_cohorts_events,
+        "similarity_pq_topk": similarity_pq_topk,
+        "bigram_lm_score_documents": bigram_lm_score_documents,
+        "quality_classifier_documents": quality_classifier_documents,
+        "dedup_segments_documents": dedup_segments_documents,
+        "semantic_dedup_embeddings": semantic_dedup_embeddings,
+        "training_shards_documents": training_shards_documents,
+        "mixture_sample_documents": mixture_sample_documents,
+        "curriculum_bins_documents": curriculum_bins_documents,
+        "duplicate_ngram_spans_documents": duplicate_ngram_spans_documents,
+        "changelog_diff_customers": changelog_diff_customers,
+        "changelog_snapshot_customers": changelog_snapshot_customers,
+        "kmeans_clusters_embeddings": kmeans_clusters_embeddings,
+        "dedup_minhash_documents": dedup_minhash_documents,
+        "dedup_minhash_fast": dedup_minhash_fast,
+        "dedup_simhash_documents": dedup_simhash_documents,
+        "ngram_jaccard_documents": ngram_jaccard_documents,
+        "dedup_clusters_ngram": dedup_clusters_ngram,
+        "embedding_near_dup": embedding_near_dup,
+        "similarity_cosine_topk": similarity_cosine_topk,
+        "similarity_lsh_topk": similarity_lsh_topk,
+        "similarity_ivf_topk": similarity_ivf_topk,
+        "text_analysis_documents": text_analysis_documents,
+        "multimodal_image_meta": multimodal_image_meta,
+        "multimodal_frame_sample": multimodal_frame_sample,
+        "multimodal_audio_meta": multimodal_audio_meta,
+        "multimodal_audio_windows": multimodal_audio_windows,
+        "text_repetition_documents": text_repetition_documents,
+        "window_rank_family_orders": window_rank_family_orders,
+        "tfidf_top_terms": tfidf_top_terms,
+        "embedding_quantize_int8": embedding_quantize_int8,
+        "sketch_distinct_users": sketch_distinct_users,
+        "text_scrub_documents": text_scrub_documents,
+        "approx_quantiles_events": approx_quantiles_events,
+        "user_event_sequences": user_event_sequences,
+        "decontamination_overlap": decontamination_overlap,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_unshipped": q3_top_unshipped,
+        "q5_supplier_volume": q5_supplier_volume,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "agg_distinct_suppliers": agg_distinct_suppliers,
+        "scalar_projection": scalar_projection,
+        "unbounded_agg_changelog_events": unbounded_agg_changelog_events,
+        "regular_join_full_changelog": regular_join_full_changelog,
     }
-
 
 
 # DuckDB equivalents. Shared SQL fragments for the text oracle:
@@ -3895,6 +3971,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(pf.minv AS INT), CAST(1 AS INT), c.user_id, NULL, c.cents
             FROM c JOIN pf ON c.user_id = pf.user_id
             WHERE pf.minv > c.inv
+        """,
+        "window_join_tumbling_daily": """
+            -- Window TVF join emission reconstruction over a mid-month
+            -- time split: a (purchase, click) pair of the same (day,
+            -- user) emits once, in the invocation whose effective
+            -- (min-of-sides) watermark first passes the day's end;
+            -- days never passed by the final watermark do not emit.
+            WITH e AS (
+                SELECT user_id, event_type, ts,
+                       CAST(floor(value * 100) AS BIGINT) AS cents,
+                       CAST(date_trunc('day', ts) AS TIMESTAMP) AS ws
+                FROM events WHERE event_type IN ('purchase', 'click')
+            ), wm AS (
+                SELECT
+                  least(
+                    (SELECT max(ts) FROM e WHERE event_type = 'purchase'
+                       AND ts < TIMESTAMP '2024-01-16'),
+                    (SELECT max(ts) FROM e WHERE event_type = 'click'
+                       AND ts < TIMESTAMP '2024-01-16')) AS w0,
+                  least(
+                    (SELECT max(ts) FROM e WHERE event_type = 'purchase'),
+                    (SELECT max(ts) FROM e WHERE event_type = 'click')) AS w1
+            )
+            SELECT CAST(CASE WHEN p.ws + INTERVAL 1 DAY <= (SELECT w0 FROM wm)
+                             THEN 0 ELSE 1 END AS INT) AS inv,
+                   CAST(0 AS INT) AS op,
+                   p.ws AS event_time,
+                   p.user_id AS user_id,
+                   p.cents AS p_cents,
+                   c.cents AS c_cents
+            FROM (SELECT * FROM e WHERE event_type = 'purchase') p
+            JOIN (SELECT * FROM e WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.ws = c.ws
+            WHERE p.ws + INTERVAL 1 DAY <= (SELECT w1 FROM wm)
         """,
         "over_agg_forward_window_events": """
             SELECT CAST(event_id AS BIGINT) AS event_id, ts,
