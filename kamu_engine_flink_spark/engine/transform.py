@@ -206,6 +206,27 @@ def execute_transform(spark: SparkSession, request: TransformRequest) -> Transfo
                 pinned=pinned,
             )
             kind = C.classify(step.query, set(views))
+            # A chained step reading a changelog-EMITTING alias (outer
+            # regular-join pads/retractions, continuous-agg correction
+            # pairs): Flink propagates the retractions into the consumer.
+            # Only the continuous aggregation folds them here (op 1/2 as
+            # negative contributions); every other step kind would treat
+            # a pad AND its later retraction as two plain appends —
+            # silently wrong, so reject loudly. (INNER regular joins and
+            # windowed steps emit append-only streams and chain freely.)
+            changelog_refs = sorted(
+                v
+                for v in C.referenced_views(step.query, set(views))
+                if topn.OP_COL in views[v].columns
+            )
+            if changelog_refs and kind != C.UNBOUNDED_AGG:
+                raise InvalidQueryError(
+                    f"step reads updating (changelog-emitting) alias(es) "
+                    f"{', '.join(changelog_refs)}: only a windowless GROUP "
+                    "BY aggregation can consume an updating stream (it "
+                    "folds op 1/2 rows as retractions); other step kinds "
+                    "would misread correction/retraction rows as appends"
+                )
             result = _EXECUTORS[kind](ctx, step.query)
             if step.alias:
                 views[step.alias] = result.df

@@ -33,7 +33,13 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, LongType, StructType
 
-from ..plans.classify import parse_unbounded_aggs, referenced_views, unbounded_agg_group_cols
+from ..plans.classify import (
+    LIVE_COL,
+    changelog_fold_slice_sql,
+    parse_unbounded_aggs,
+    referenced_views,
+    unbounded_agg_group_cols,
+)
 from ..plans.dialect import rewrite_query
 from ..protocol.model import InvalidQueryError
 from .base import StepContext, StepResult
@@ -42,6 +48,7 @@ from .topn import OP_COL
 SUB_COL = "__emit_sub"  # 0 for op 0/2 rows, 1 for op 3 — pair order per key
 
 _OP_APPEND = 0
+_OP_RETRACT = 1
 _OP_CORRECT_FROM = 2
 _OP_CORRECT_TO = 3
 
@@ -66,19 +73,39 @@ def execute_unbounded_agg(ctx: StepContext, sql: str) -> StepResult:
     group_cols = unbounded_agg_group_cols(sql)
     out_schema = _probe_schema(ctx, sql, src)
 
-    # Slice partials (the now() emission-time item stripped; avg
-    # decomposed into sum+count when present).
-    partials = ctx.spark.sql(rewrite_query(mspec.slice_sql or spec.core_sql))
+    # A CHANGELOG input (a chained step emitting op-tagged rows: outer
+    # regular-join pads/retractions, upstream correction pairs) folds op
+    # 1/2 rows as negative contributions — Flink's retraction propagation
+    # between chained views. A hidden signed row counter tracks key
+    # liveness; a key whose rows all retract emits an op-1 delete and
+    # leaves the state.
+    is_changelog = OP_COL in ctx.views[src].columns
+    merges = dict(mspec.merges)
+    if is_changelog:
+        folded = changelog_fold_slice_sql(spec.core_sql, OP_COL)
+        if folded is None:
+            raise InvalidQueryError(
+                "min/max over a changelog-emitting step cannot fold "
+                "retractions (a retractable min/max needs the full value "
+                "multiset, not an accumulator): aggregate the base stream "
+                "before the outer join / updating step, or drop min/max"
+            )
+        partials = ctx.spark.sql(rewrite_query(folded))
+        merges[LIVE_COL] = "sum"
+    else:
+        # Slice partials (the now() emission-time item stripped; avg
+        # decomposed into sum+count when present).
+        partials = ctx.spark.sql(rewrite_query(mspec.slice_sql or spec.core_sql))
     acc_name = f"{ctx.step_key}-unbounded-acc"
     prev = ctx.state.load_df(acc_name, schema=partials.schema)
 
-    merge_exprs = [
-        getattr(F, fn)(F.col(c)).alias(c) for c, fn in mspec.merges.items()
-    ]
+    merge_exprs = [getattr(F, fn)(F.col(c)).alias(c) for c, fn in merges.items()]
     merged = ctx.pin(
         prev.unionByName(partials).groupBy(*group_cols).agg(*merge_exprs)
     )
-    ctx.state.save_df(acc_name, merged)
+    ctx.state.save_df(
+        acc_name, merged.filter(F.col(LIVE_COL) > 0) if is_changelog else merged
+    )
 
     # Per-key diff old vs new. Null-safe key equality keeps NULL group
     # keys as ordinary groups (Spark groupBy semantics); a literal TRUE
@@ -132,14 +159,28 @@ def execute_unbounded_agg(ctx: StepContext, sql: str) -> StepResult:
             F.lit(sub).cast(LongType()).alias(SUB_COL),
         )
 
-    emissions = F.when(is_new, F.array(_emit_struct("n", _OP_APPEND, 0))).otherwise(
-        F.array(
-            _emit_struct("o", _OP_CORRECT_FROM, 0),
-            _emit_struct("n", _OP_CORRECT_TO, 1),
-        )
+    pair = F.array(
+        _emit_struct("o", _OP_CORRECT_FROM, 0),
+        _emit_struct("n", _OP_CORRECT_TO, 1),
     )
+    if is_changelog:
+        live = F.col(f"n.{LIVE_COL}") > 0
+        # Dead new keys (a slice retracting rows never inserted — an
+        # inconsistent changelog) emit nothing; dead existing keys emit
+        # the op-1 delete with their last-emitted values.
+        emissions = (
+            F.when(is_new, F.array(_emit_struct("n", _OP_APPEND, 0)))
+            .when(~live, F.array(_emit_struct("o", _OP_RETRACT, 0)))
+            .otherwise(pair)
+        )
+        keep = (is_new & live) | (~is_new & (~live | changed))
+    else:
+        emissions = F.when(
+            is_new, F.array(_emit_struct("n", _OP_APPEND, 0))
+        ).otherwise(pair)
+        keep = is_new | changed
     result = (
-        joined.filter(is_new | changed)
+        joined.filter(keep)
         .select(F.explode(emissions).alias("__e"))
         .select("__e.*")
     )

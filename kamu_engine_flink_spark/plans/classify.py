@@ -296,6 +296,69 @@ _NOW_ITEM_RE = re.compile(
 )
 
 
+LIVE_COL = "__live_cnt"
+
+
+def changelog_fold_slice_sql(core_sql: str, op_col: str) -> str | None:
+    """Rewrite a continuous-aggregation step's slice SQL so a CHANGELOG
+    input (a chained step emitting op-tagged rows: outer regular-join
+    pads/retractions, continuous-agg correction pairs) folds op 1
+    (Retract) and op 2 (CorrectFrom) rows as NEGATIVE contributions —
+    Flink's retraction propagation between chained views. Each sum
+    becomes a signed sum; each count a signed non-null counter; avg
+    decomposes into both (the same hidden column names
+    _parse_mergeable_aggs assigns, so MergeAggSpec.avgs still applies).
+    A hidden signed row counter (LIVE_COL) tracks key liveness so the
+    executor can emit an op-1 delete when a key's last row retracts.
+
+    Returns None when the projection contains min/max — a retractable
+    min/max needs the full value multiset, not an accumulator (Flink's
+    MinWithRetractAggFunction keeps exactly that map-state); callers
+    reject loudly.
+
+    Deviation from Flink, documented: a signed sum whose contributions
+    all retract yields 0 (its accumulator), where Flink's
+    SumWithRetractAggFunction returns NULL once its non-null counter
+    hits zero. The key itself dies (op-1 delete) when ALL rows retract,
+    so the difference is visible only for keys kept alive by rows whose
+    aggregated column is NULL."""
+    m = re.search(r"select\s+(.*?)\s+from\s", core_sql, re.IGNORECASE | re.DOTALL)
+    if m is None:
+        return None
+    sign = f"(CASE WHEN {op_col} IN (1, 2) THEN -1 ELSE 1 END)"
+    items: list[str] = []
+    for item in _split_top_level(m.group(1)):
+        am = _SIMPLE_AGG_ITEM_RE.match(item)
+        if am:
+            fn, arg, alias = am.group(1).lower(), am.group(2), am.group(3)
+            if fn in ("min", "max"):
+                return None
+            if fn == "sum":
+                items.append(f"sum({sign} * ({arg})) AS {alias}")
+            elif arg == "*":
+                items.append(f"CAST(sum({sign}) AS BIGINT) AS {alias}")
+            else:
+                items.append(
+                    f"CAST(sum(CASE WHEN ({arg}) IS NULL THEN 0 ELSE "
+                    f"{sign} END) AS BIGINT) AS {alias}"
+                )
+            continue
+        vm = _AVG_AGG_ITEM_RE.match(item)
+        if vm:
+            arg, alias = vm.group(1), vm.group(2)
+            items.append(f"sum({sign} * ({arg})) AS __avg_sum_{alias}")
+            items.append(
+                f"CAST(sum(CASE WHEN ({arg}) IS NULL THEN 0 ELSE {sign} END) "
+                f"AS BIGINT) AS __avg_cnt_{alias}"
+            )
+            continue
+        # plain group-key projection (parse_unbounded_aggs already vetted
+        # the item inventory)
+        items.append(item)
+    items.append(f"CAST(sum({sign}) AS BIGINT) AS {LIVE_COL}")
+    return core_sql[: m.start(1)] + ", ".join(items) + core_sql[m.end(1) :]
+
+
 @dataclass
 class UnboundedAggSpec:
     mspec: MergeAggSpec

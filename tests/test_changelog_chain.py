@@ -1,0 +1,218 @@
+"""Changelog-aware chained composition: a step consuming a
+changelog-EMITTING alias (outer regular-join pads/retractions,
+continuous-agg correction pairs).
+
+Flink propagates retractions between chained views; here the continuous
+(windowless) GROUP BY aggregation folds op 1/2 input rows as negative
+contributions (plans/classify.changelog_fold_slice_sql), emits an op-1
+delete when a key's last row retracts, and every OTHER step kind rejects
+the updating input loudly (engine/transform.py guard) instead of
+misreading correction rows as appends.
+"""
+
+import pyarrow.parquet as pq
+import pytest
+
+from kamu_engine_flink_spark.protocol.model import InvalidQueryError
+
+from .helpers import TransformRunner, ticker_slice, ts
+
+LEFT_JOIN = """SELECT a.event_time as event_time, a.symbol as symbol,
+  a.price as a_price, b.price as b_price
+FROM a LEFT JOIN b ON a.symbol = b.symbol"""
+
+AGG_OVER_JOIN = """SELECT cast(now() as timestamp(3)) as event_time,
+  symbol, count(*) as n_pairs, sum(b_price) as b_sum
+FROM j GROUP BY symbol"""
+
+
+def _rows(out):
+    table = pq.read_table(out)
+    return [
+        (r["op"], r["symbol"], r["n_pairs"], r["b_sum"])
+        for r in table.to_pylist()
+    ]
+
+
+def _fold(changelog):
+    """Apply an op 0/1/2/3 ledger to a dict keyed by the group column."""
+    state = {}
+    for op, key, *vals in changelog:
+        if op in (0, 3):
+            state[key] = tuple(vals)
+        elif op == 1:
+            assert state.pop(key, None) is not None, f"retract of absent {key}"
+        # op 2 (CorrectFrom) carries the old values; the op 3 overwrite
+        # suffices for folding, but assert it matches the current state.
+        elif op == 2:
+            assert state.get(key) == tuple(vals), f"stale CorrectFrom for {key}"
+    return state
+
+
+def _two_stream_inputs(tmp_path, name, a_rows, b_rows, wm):
+    a = str(tmp_path / "in" / f"a_{name}.parquet")
+    b = str(tmp_path / "in" / f"b_{name}.parquet")
+    ticker_slice(a, a_rows)
+    ticker_slice(b, b_rows)
+    return [
+        {"alias": "a", "data_paths": [a] if a_rows else [], "schema_file": a,
+         "watermark": wm},
+        {"alias": "b", "data_paths": [b] if b_rows else [], "schema_file": b,
+         "watermark": wm},
+    ]
+
+
+def test_left_join_into_continuous_agg_folds_pads(spark, tmp_path):
+    """LEFT regular-join step -> continuous-agg step: the pad/retract
+    lifecycle must fold so the final state equals the batch answer (a
+    pad counted +1 retracts -1 when the real pair lands)."""
+    runner = TransformRunner(
+        spark, tmp_path, queries=[(LEFT_JOIN, "j"), (AGG_OVER_JOIN, None)]
+    )
+    changelog = []
+
+    # Run 1: A pairs immediately; B pads (b_price NULL).
+    resp, out = runner.run(
+        _two_stream_inputs(
+            tmp_path, "r1",
+            [(0, 0, ts(2), ts(1, 0, 1), "A", 10), (1, 0, ts(2), ts(1, 0, 2), "B", 20)],
+            [(0, 0, ts(2), ts(1, 0, 3), "A", 7)],
+            ts(1, 1, 0),
+        ),
+        system_time=ts(2),
+    )
+    changelog += _rows(out)
+    assert sorted(_rows(out)) == [(0, "A", 1, 7), (0, "B", 1, None)]
+
+    # Run 2: B's partner arrives — upstream retracts the pad and emits the
+    # pair; downstream n_pairs is unchanged (+1-1) while b_sum corrects
+    # NULL -> 5, exactly one op 2/3 pair.
+    resp2, out2 = runner.run(
+        _two_stream_inputs(
+            tmp_path, "r2", [], [(1, 0, ts(3), ts(1, 0, 4), "B", 5)], ts(1, 2, 0)
+        ),
+        system_time=ts(3),
+    )
+    changelog += _rows(out2)
+    assert _rows(out2) == [(2, "B", 1, None), (3, "B", 1, 5)]
+
+    # Run 3: a second partner for A — two pairs now.
+    resp3, out3 = runner.run(
+        _two_stream_inputs(
+            tmp_path, "r3", [], [(2, 0, ts(4), ts(1, 0, 5), "A", 3)], ts(1, 3, 0)
+        ),
+        system_time=ts(4),
+    )
+    changelog += _rows(out3)
+    assert _rows(out3) == [(2, "A", 1, 7), (3, "A", 2, 10)]
+
+    # Folded changelog == batch LEFT JOIN + GROUP BY over all the data.
+    assert _fold([(op, k, n, s) for op, k, n, s in changelog]) == {
+        "A": (2, 10),
+        "B": (1, 5),
+    }
+
+
+def test_agg_into_agg_key_death_emits_delete(spark, tmp_path):
+    """Continuous agg chained into a continuous agg (histogram of per-key
+    counts): when the last key leaves a bucket, the bucket emits an op-1
+    delete and its state row dies."""
+    count_per_symbol = """SELECT cast(now() as timestamp(3)) as event_time,
+  symbol, count(*) as n FROM a GROUP BY symbol"""
+    histogram = """SELECT cast(now() as timestamp(3)) as event_time,
+  n, count(*) as n_symbols FROM per_symbol GROUP BY n"""
+    runner = TransformRunner(
+        spark, tmp_path,
+        queries=[(count_per_symbol, "per_symbol"), (histogram, None)],
+    )
+
+    def _hist_rows(out):
+        table = pq.read_table(out)
+        return [(r["op"], r["n"], r["n_symbols"]) for r in table.to_pylist()]
+
+    a1 = str(tmp_path / "in" / "a1.parquet")
+    ticker_slice(a1, [(0, 0, ts(2), ts(1, 0, 1), "A", 10)])
+    resp, out = runner.run(
+        [{"alias": "a", "data_paths": [a1], "schema_file": a1, "watermark": ts(1, 1, 0)}],
+        system_time=ts(2),
+    )
+    # A has 1 event -> bucket n=1 holds 1 symbol.
+    assert _hist_rows(out) == [(0, 1, 1)]
+
+    # A's second event: upstream corrects A from n=1 to n=2; bucket n=1
+    # empties (op-1 delete), bucket n=2 appears (op 0).
+    a2 = str(tmp_path / "in" / "a2.parquet")
+    ticker_slice(a2, [(1, 0, ts(3), ts(1, 0, 2), "A", 11)])
+    resp2, out2 = runner.run(
+        [{"alias": "a", "data_paths": [a2], "schema_file": a2, "watermark": ts(1, 2, 0)}],
+        system_time=ts(3),
+    )
+    assert sorted(_hist_rows(out2)) == [(0, 2, 1), (1, 1, 1)]
+
+    # B's first event revives bucket n=1 as a fresh op-0 append (its
+    # state row died, so this must NOT be a correction).
+    a3 = str(tmp_path / "in" / "a3.parquet")
+    ticker_slice(a3, [(2, 0, ts(4), ts(1, 0, 3), "B", 12)])
+    resp3, out3 = runner.run(
+        [{"alias": "a", "data_paths": [a3], "schema_file": a3, "watermark": ts(1, 3, 0)}],
+        system_time=ts(4),
+    )
+    assert _hist_rows(out3) == [(0, 1, 1)]
+
+
+def test_min_max_over_changelog_rejected(spark, tmp_path):
+    """min/max cannot fold retractions (needs the full value multiset) —
+    loud rejection, not silent corruption."""
+    agg = """SELECT cast(now() as timestamp(3)) as event_time,
+  symbol, max(b_price) as b_max FROM j GROUP BY symbol"""
+    runner = TransformRunner(
+        spark, tmp_path, queries=[(LEFT_JOIN, "j"), (agg, None)]
+    )
+    with pytest.raises(InvalidQueryError, match="min/max over a changelog"):
+        runner.run(
+            _two_stream_inputs(
+                tmp_path, "r1", [(0, 0, ts(2), ts(1, 0, 1), "A", 10)], [], ts(1, 1, 0)
+            ),
+            system_time=ts(2),
+        )
+
+
+def test_map_over_changelog_rejected(spark, tmp_path):
+    """A projection over an updating alias would silently drop the op
+    tags (pads and retractions would all emit as appends) — reject."""
+    runner = TransformRunner(
+        spark, tmp_path,
+        queries=[(LEFT_JOIN, "j"), ("SELECT event_time, symbol FROM j", None)],
+    )
+    with pytest.raises(InvalidQueryError, match="updating .* alias"):
+        runner.run(
+            _two_stream_inputs(
+                tmp_path, "r1", [(0, 0, ts(2), ts(1, 0, 1), "A", 10)], [], ts(1, 1, 0)
+            ),
+            system_time=ts(2),
+        )
+
+
+def test_inner_join_chain_still_allowed(spark, tmp_path):
+    """INNER regular joins emit append-only streams — chaining into any
+    step stays supported (no false positives from the guard)."""
+    inner = """SELECT a.event_time as event_time, a.symbol as symbol,
+  a.price as a_price, b.price as b_price
+FROM a JOIN b ON a.symbol = b.symbol"""
+    runner = TransformRunner(
+        spark, tmp_path,
+        queries=[(inner, "j"), ("SELECT event_time, symbol, a_price FROM j", None)],
+    )
+    resp, out = runner.run(
+        _two_stream_inputs(
+            tmp_path, "r1",
+            [(0, 0, ts(2), ts(1, 0, 1), "A", 10)],
+            [(0, 0, ts(2), ts(1, 0, 3), "A", 7)],
+            ts(1, 1, 0),
+        ),
+        system_time=ts(2),
+    )
+    table = pq.read_table(out)
+    assert [(r["op"], r["symbol"], r["a_price"]) for r in table.to_pylist()] == [
+        (0, "A", 10)
+    ]
