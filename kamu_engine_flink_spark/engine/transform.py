@@ -28,6 +28,7 @@ Pipeline per invocation:
 
 from __future__ import annotations
 
+import os
 from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -177,6 +178,7 @@ def execute_transform(spark: SparkSession, request: TransformRequest) -> Transfo
             ),
         )
 
+    slice_sizes: dict[str, int] = {}
     for input_def in request.query_inputs:
         alias = alias_map[input_def.query_alias]
         views[alias] = _open_input(spark, input_def)
@@ -184,6 +186,9 @@ def execute_transform(spark: SparkSession, request: TransformRequest) -> Transfo
         event_time_cols[alias] = input_def.vocab.event_time_column
         prev_wms[alias] = saved_wms.get(alias)
         new_wms[alias] = _effective_watermark(prev_wms[alias], input_def)
+        slice_sizes[alias] = sum(
+            os.path.getsize(p) for p in input_def.data_paths if os.path.exists(p)
+        )
 
     steps = request.transform.queries
     result: StepResult | None = None
@@ -204,6 +209,7 @@ def execute_transform(spark: SparkSession, request: TransformRequest) -> Transfo
                 prev_wms=prev_wms,
                 new_wms=new_wms,
                 pinned=pinned,
+                slice_sizes=slice_sizes,
             )
             kind = C.classify(step.query, set(views))
             # A chained step reading a changelog-EMITTING alias (outer
@@ -245,8 +251,6 @@ def execute_transform(spark: SparkSession, request: TransformRequest) -> Transfo
             # The reference writes no data file on an empty result (e.g. a
             # watermark-only run with nothing to flush) — EngineAggregationTest
             # asserts !Files.exists(newDataPath).
-            import os
-
             os.remove(request.new_data_path)
 
         # Persist watermark state for every view (inputs + aliased steps).

@@ -36,6 +36,11 @@ class StepContext:
     # action and the output action; the engine unpersists them after the
     # final write (shared list across all steps of one invocation).
     pinned: list[DataFrame] = field(default_factory=list)
+    # On-disk bytes of each RAW input view's slice this invocation (step
+    # aliases absent): lets stateful joins decide from REAL sizes whether
+    # the new slice is broadcastable against accumulated state, instead
+    # of forcing a hint that would OOM when a slice is genuinely large.
+    slice_sizes: dict[str, int] = field(default_factory=dict)
 
     def pin(self, df: DataFrame) -> DataFrame:
         """Cache `df` (memory-and-disk) so the state-save action and the

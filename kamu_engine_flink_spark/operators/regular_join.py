@@ -68,6 +68,31 @@ def _with_flag(df: DataFrame, value: bool) -> DataFrame:
     return df.withColumn(_MATCHED, F.lit(value))
 
 
+# Optional: a new slice whose on-disk bytes stay under this bound
+# broadcasts into the probes against accumulated state, so the
+# (unboundedly growing) state side plans NO exchange and NO sort.
+# MEASURED at sf0.1 x10 over 3 chained invocations on local[32] (n=3
+# medians): hint 8.87s/15.53s vs no-hint 8.20s/14.86s for the
+# INNER/FULL entries — the forced broadcast's driver round-trip LOSES
+# to a same-JVM shuffle, and AQE's runtime SMJ->BHJ conversion already
+# covers the small-slice case without one. Default 0 (disabled); on a
+# multi-node cluster where slice << state and the state-side exchange
+# is real network IO, set spark.kamu.join.sliceBroadcastMaxBytes to the
+# largest slice size worth a broadcast (e.g. 128 MiB). State itself is
+# NEVER hinted (the test_plan_shapes.py rule — a forced broadcast of an
+# unbounded relation is a driver OOM at scale).
+_SLICE_BROADCAST_MAX = 0
+_SLICE_BROADCAST_CONF = "spark.kamu.join.sliceBroadcastMaxBytes"
+
+
+def _slice_hinted(ctx: StepContext, view: str, df: DataFrame) -> DataFrame:
+    size = ctx.slice_sizes.get(view)
+    if size is None:
+        return df  # chained step alias: no file-backed size to trust
+    limit = int(ctx.spark.conf.get(_SLICE_BROADCAST_CONF, str(_SLICE_BROADCAST_MAX)))
+    return F.broadcast(df) if limit > 0 and size <= limit else df
+
+
 def execute_regular_join(ctx: StepContext, sql: str) -> StepResult:
     spec = parse_regular_join(sql, set(ctx.views))
     if spec is None:
@@ -138,8 +163,10 @@ def execute_regular_join(ctx: StepContext, sql: str) -> StepResult:
     # Pair-uniqueness across invocations without an emitted ledger: a pair
     # is new iff at least one side arrived this run.
     wm = min_watermark(ctx.new_wms.get(lv), ctx.new_wms.get(rv))
-    part_a = _run_with_views(ctx, inner_sql, {lv: new_left, rv_bind: all_right}, wm)
-    part_b = _run_with_views(ctx, inner_sql, {lv: old_left, rv_bind: new_right}, wm)
+    bl = _slice_hinted(ctx, lv, new_left)
+    br = _slice_hinted(ctx, rv, new_right)
+    part_a = _run_with_views(ctx, inner_sql, {lv: bl, rv_bind: all_right}, wm)
+    part_b = _run_with_views(ctx, inner_sql, {lv: old_left, rv_bind: br}, wm)
     pairs = part_a.unionByName(part_b)
 
     cond = F.expr(spec.on_condition)
@@ -149,8 +176,8 @@ def execute_regular_join(ctx: StepContext, sql: str) -> StepResult:
 
     if pad_left:
         # New lefts without any match so far: NULL-pad immediately (op 0).
-        new_matched_l = new_left.alias(la).join(all_right.alias(ra), cond, "left_semi")
-        new_unmatched_l = new_left.alias(la).join(all_right.alias(ra), cond, "left_anti")
+        new_matched_l = bl.alias(la).join(all_right.alias(ra), cond, "left_semi")
+        new_unmatched_l = bl.alias(la).join(all_right.alias(ra), cond, "left_anti")
         pad_parts.append(
             _run_with_views(ctx, sql, {lv: new_unmatched_l, rv_bind: empty_right}, wm)
         )
@@ -159,10 +186,10 @@ def execute_regular_join(ctx: StepContext, sql: str) -> StepResult:
         # exactly once — the per-row matched flag in the left state.
         old_unmatched_l = old_left_state.filter(~F.col(_MATCHED)).drop(_MATCHED)
         newly_matched_l = old_unmatched_l.alias(la).join(
-            new_right.alias(ra), cond, "left_semi"
+            br.alias(ra), cond, "left_semi"
         )
         still_unmatched_l = old_unmatched_l.alias(la).join(
-            new_right.alias(ra), cond, "left_anti"
+            br.alias(ra), cond, "left_anti"
         )
         retract_parts.append(
             _run_with_views(ctx, sql, {lv: newly_matched_l, rv_bind: empty_right}, wm)
@@ -183,17 +210,17 @@ def execute_regular_join(ctx: StepContext, sql: str) -> StepResult:
         # FULL with an empty left projects exactly those pads).
         all_left = ctx.pin(old_left.unionByName(new_left))
         empty_left = all_left.limit(0)
-        new_matched_r = new_right.alias(ra).join(all_left.alias(la), cond, "left_semi")
-        new_unmatched_r = new_right.alias(ra).join(all_left.alias(la), cond, "left_anti")
+        new_matched_r = br.alias(ra).join(all_left.alias(la), cond, "left_semi")
+        new_unmatched_r = br.alias(ra).join(all_left.alias(la), cond, "left_anti")
         pad_parts.append(
             _run_with_views(ctx, sql, {lv: empty_left, rv_bind: new_unmatched_r}, wm)
         )
         old_unmatched_r = old_right_state.filter(~F.col(_MATCHED)).drop(_MATCHED)
         newly_matched_r = old_unmatched_r.alias(ra).join(
-            new_left.alias(la), cond, "left_semi"
+            bl.alias(la), cond, "left_semi"
         )
         still_unmatched_r = old_unmatched_r.alias(ra).join(
-            new_left.alias(la), cond, "left_anti"
+            bl.alias(la), cond, "left_anti"
         )
         retract_parts.append(
             _run_with_views(ctx, sql, {lv: empty_left, rv_bind: newly_matched_r}, wm)
