@@ -49,6 +49,7 @@ from ..operators import (
 )
 from ..operators.base import StepContext, StepResult
 from ..plans import classify as C
+from ..plans import multi_join as MJ
 from ..protocol.model import (
     OP_APPEND,
     InvalidQueryError,
@@ -190,15 +191,39 @@ def execute_transform(spark: SparkSession, request: TransformRequest) -> Transfo
             os.path.getsize(p) for p in input_def.data_paths if os.path.exists(p)
         )
 
-    steps = request.transform.queries
+    steps = list(request.transform.queries)
     result: StepResult | None = None
     pinned: list[DataFrame] = []
     # Pinned (MEMORY_AND_DISK) DataFrames must be released even when an
     # executor step, the output write, or the state save raises — a
     # long-lived adapter process runs many invocations on one session and
     # would otherwise leak the cache on every failure.
+    mj_count = 0
     try:
-        for i, step in enumerate(steps):
+        i = -1
+        while i + 1 < len(steps):
+            i += 1
+            step = steps[i]
+            # A multi-INNER-join step expands into the chain of aliased
+            # single-join steps Flink's planner would build (full-history
+            # state at every stage; plans/multi_join.py). Deterministic
+            # per request, so step state keys stay stable across
+            # invocations.
+            expanded = MJ.expand_multi_join(
+                step.query,
+                set(views),
+                {v: df.columns for v, df in views.items()},
+                f"__mj{mj_count}",
+            )
+            if expanded:
+                mj_count += 1
+                from dataclasses import replace as _sreplace
+
+                steps[i : i + 1] = [
+                    _sreplace(step, query=q, alias=a if a is not None else step.alias)
+                    for q, a in expanded
+                ]
+                step = steps[i]
             ctx = StepContext(
                 spark=spark,
                 state=state,

@@ -1,0 +1,176 @@
+"""Multi-join single-step expansion (plans/multi_join.py).
+
+Flink chains stateful joins in one SQL step (planner delegation,
+TransformEngine.scala:252-262); the engine expands an INNER multi-join
+step into the equivalent chain of aliased single-join steps, each with
+its own full-history state — so a 3-way join pairs across invocations at
+EVERY stage. Outer chains and aggregation-over-multi-join keep their
+loud rejections.
+"""
+
+import pyarrow.parquet as pq
+import pytest
+
+from kamu_engine_flink_spark.plans.multi_join import expand_multi_join
+from kamu_engine_flink_spark.protocol.model import InvalidQueryError
+
+from .helpers import TransformRunner, ticker_slice, ts
+
+THREE_WAY = """SELECT a.event_time as event_time, a.symbol as symbol,
+  a.price as pa, b.price as pb, c.price as pc
+FROM a AS a
+JOIN b AS b ON a.symbol = b.symbol
+JOIN c AS c ON a.symbol = c.symbol"""
+
+
+def _rows(out):
+    return [
+        (r["op"], r["symbol"], r["pa"], r["pb"], r["pc"])
+        for r in pq.read_table(out).to_pylist()
+    ]
+
+
+def _inputs(tmp_path, name, a_rows, b_rows, c_rows, wm):
+    out = []
+    for alias, rows in (("a", a_rows), ("b", b_rows), ("c", c_rows)):
+        p = str(tmp_path / "in" / f"{alias}_{name}.parquet")
+        ticker_slice(p, rows)
+        out.append(
+            {"alias": alias, "data_paths": [p] if rows else [],
+             "schema_file": p, "watermark": wm}
+        )
+    return out
+
+
+def test_expand_shapes():
+    cols = {"a": ["event_time", "symbol", "price"],
+            "b": ["event_time", "symbol", "price"],
+            "c": ["event_time", "symbol", "price"]}
+    views = set(cols)
+    steps = expand_multi_join(THREE_WAY, views, cols, "__mj0")
+    assert steps is not None and len(steps) == 2
+    (s0, a0), (s1, a1) = steps
+    assert a0 == "__mj0_0" and a1 is None
+    assert "JOIN b AS b" in s0 and "__mj_a__symbol" in s0
+    assert "FROM __mj0_0" in s1 and "JOIN c AS c" in s1
+    # outer chains decline
+    assert expand_multi_join(
+        THREE_WAY.replace("JOIN c", "LEFT JOIN c"), views, cols, "t"
+    ) is None
+    # single joins decline (the single-join executors own them)
+    assert expand_multi_join(
+        "SELECT a.symbol FROM a AS a JOIN b AS b ON a.symbol = b.symbol",
+        views, cols, "t",
+    ) is None
+    # bare reference to a non-final view's column declines (can't thread
+    # through the intermediate projection)
+    assert expand_multi_join(
+        THREE_WAY.replace("a.price as pa", "price as pa"), views, cols, "t"
+    ) is None
+
+
+def test_three_way_join_cross_invocation(spark, tmp_path):
+    """The third side arriving an invocation later must still pair —
+    the intermediate join's history is state for the outer join."""
+    runner = TransformRunner(spark, tmp_path, queries=[(THREE_WAY, None)])
+
+    # Run 1: a and b pair on A; c has nothing — no output yet.
+    resp, out = runner.run(
+        _inputs(
+            tmp_path, "r1",
+            [(0, 0, ts(2), ts(1, 0, 1), "A", 1)],
+            [(0, 0, ts(2), ts(1, 0, 2), "A", 2)],
+            [],
+            ts(1, 1, 0),
+        ),
+        system_time=ts(2),
+    )
+    import os
+
+    assert resp.new_offset_interval is None and not os.path.exists(out)
+
+    # Run 2: c's A row arrives — the buffered (a x b) pair completes.
+    resp2, out2 = runner.run(
+        _inputs(
+            tmp_path, "r2", [], [],
+            [(0, 0, ts(3), ts(1, 0, 3), "A", 3)],
+            ts(1, 2, 0),
+        ),
+        system_time=ts(3),
+    )
+    assert _rows(out2) == [(0, "A", 1, 2, 3)]
+
+    # Run 3: a second b row for A — a NEW (a x b) pair flows through the
+    # chain and joins the buffered c row; nothing re-emits.
+    resp3, out3 = runner.run(
+        _inputs(
+            tmp_path, "r3", [],
+            [(1, 0, ts(4), ts(1, 0, 4), "A", 20)],
+            [],
+            ts(1, 3, 0),
+        ),
+        system_time=ts(4),
+    )
+    assert _rows(out3) == [(0, "A", 1, 20, 3)]
+
+
+def test_three_way_join_single_invocation_matches_batch(spark, tmp_path):
+    """One invocation with everything present = the plain batch 3-way
+    join (and a 4-way chain also expands)."""
+    four_way = """SELECT a.event_time as event_time, a.symbol as symbol,
+  a.price as pa, b.price as pb, c.price as pc, d.price as pd
+FROM a AS a
+JOIN b AS b ON a.symbol = b.symbol
+JOIN c AS c ON b.symbol = c.symbol
+JOIN d AS d ON c.symbol = d.symbol"""
+    runner = TransformRunner(spark, tmp_path, queries=[(four_way, None)])
+    rows = {
+        "a": [(0, 0, ts(2), ts(1, 0, 1), "A", 1), (1, 0, ts(2), ts(1, 0, 1), "B", 5)],
+        "b": [(0, 0, ts(2), ts(1, 0, 2), "A", 2)],
+        "c": [(0, 0, ts(2), ts(1, 0, 3), "A", 3)],
+        "d": [(0, 0, ts(2), ts(1, 0, 4), "A", 4)],
+    }
+    inputs = []
+    for alias in ("a", "b", "c", "d"):
+        p = str(tmp_path / "in" / f"{alias}.parquet")
+        ticker_slice(p, rows[alias])
+        inputs.append(
+            {"alias": alias, "data_paths": [p], "schema_file": p,
+             "watermark": ts(1, 1, 0)}
+        )
+    resp, out = runner.run(inputs, system_time=ts(2))
+    got = [
+        (r["op"], r["symbol"], r["pa"], r["pb"], r["pc"], r["pd"])
+        for r in pq.read_table(out).to_pylist()
+    ]
+    assert got == [(0, "A", 1, 2, 3, 4)]
+
+
+def test_outer_multi_join_still_rejected(spark, tmp_path):
+    q = THREE_WAY.replace("JOIN c", "LEFT JOIN c")
+    runner = TransformRunner(spark, tmp_path, queries=[(q, None)])
+    with pytest.raises(InvalidQueryError, match="one join per"):
+        runner.run(
+            _inputs(
+                tmp_path, "r1",
+                [(0, 0, ts(2), ts(1, 0, 1), "A", 1)], [], [], ts(1, 1, 0)
+            ),
+            system_time=ts(2),
+        )
+
+
+def test_agg_over_multi_join_still_rejected(spark, tmp_path):
+    q = """SELECT a.symbol as symbol, count(*) as n
+FROM a AS a
+JOIN b AS b ON a.symbol = b.symbol
+JOIN c AS c ON a.symbol = c.symbol
+GROUP BY a.symbol"""
+    runner = TransformRunner(spark, tmp_path, queries=[(q, None)])
+    with pytest.raises(InvalidQueryError):
+        runner.run(
+            _inputs(
+                tmp_path, "r1",
+                [(0, 0, ts(2), ts(1, 0, 1), "A", 1)], [], [], ts(1, 1, 0)
+            ),
+            system_time=ts(2),
+        )
