@@ -2194,6 +2194,60 @@ ON L.window_start = R.window_start AND L.user_id = R.user_id"""
     return out
 
 
+def multi_join_three_way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join single-step expansion (plans/multi_join.py; Flink
+    chains stateful joins in one SQL step by planner delegation,
+    TransformEngine.scala:252-262): ONE step with two chained INNER
+    regular joins — purchases x clicks x signups per user — run as two
+    chained ODF invocations over event_id%2 slices. The engine expands
+    the step into two aliased regular-join steps, each with full-history
+    state, so a triple emits exactly once, at the invocation where its
+    LAST contributing row arrives (greatest of the three slice
+    invocations in the oracle). user_id%17 subset keeps the triple count
+    driver-sized. Two equi-join shuffles per invocation — scales."""
+    import tempfile
+
+    _conf(spark)
+    workdir = tempfile.mkdtemp(prefix="mj3-entry-")
+    slices = {}
+    for name, etype in (
+        ("purchases", "purchase"), ("clicks", "click"), ("signups", "signup")
+    ):
+        led = _events_ledger(spark, sf_dir, etype).filter(
+            F.col("user_id") % 17 == 0
+        )
+        slices[name] = _ledger_slices(spark, led, workdir, name, 2)
+    sql = """SELECT
+  p.event_time as event_time,
+  p.user_id as user_id,
+  p.cents as p_cents,
+  c.cents as c_cents,
+  s.cents as s_cents
+FROM purchases AS p
+JOIN clicks AS c ON p.user_id = c.user_id
+JOIN signups AS s ON p.user_id = s.user_id"""
+    per_inv = [
+        [(n, *slices[n][i]) for n in ("purchases", "clicks", "signups")]
+        for i in range(2)
+    ]
+    outs = _run_odf_invocations(spark, sql, per_inv, workdir, "mj3")
+    parts = [
+        spark.read.parquet(path).select(
+            F.lit(inv).cast("int").alias("inv"),
+            F.col("op").cast("int").alias("op"),
+            "user_id",
+            F.col("p_cents").cast("long").alias("p_cents"),
+            F.col("c_cents").cast("long").alias("c_cents"),
+            F.col("s_cents").cast("long").alias("s_cents"),
+        )
+        for inv, path in outs
+    ]
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out
+
+
 def flink_scalar_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-3 Flink scalar-rewrite surface (plans/dialect.py):
     SPLIT_INDEX (literal-delimiter regex escaping + 0-based index +
@@ -2509,10 +2563,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/crosscheck.py verifies ALL entries locally regardless; the
     # full run is committed per round as CROSSCHECK_r{N}.txt.
     return {
-        # --- due their FIRST driver row (2) ---
+        # --- due their FIRST driver row (3) ---
+        "multi_join_three_way": multi_join_three_way,
         "window_join_tumbling_daily": window_join_tumbling_daily,
         "over_agg_forward_window_events": over_agg_forward_window_events,
-        # --- last driver-checked r03, due for re-check (48) ---
+        # --- last driver-checked r03, due for re-check (47) ---
         "chained_multistep": chained_multistep,
         "window_tumbling_daily": window_tumbling_daily,
         "window_sliding_2h": window_sliding_2h,
@@ -2560,8 +2615,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract_events": json_extract_events,
         "window_cumulate_6h": window_cumulate_6h,
         "inverted_index_documents": inverted_index_documents,
+        # --- r03-checked overflow, front of the round-6 rotation (3) ---
         "random_projection_embeddings": random_projection_embeddings,
-        # --- r03-checked overflow, front of the round-6 rotation (2) ---
         "flink_scalar_functions_events": flink_scalar_functions_events,
         "window_monthly_orders": window_monthly_orders,
         # --- checked green r04, rotate back in round 6 (50) ---
@@ -3971,6 +4026,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(pf.minv AS INT), CAST(1 AS INT), c.user_id, NULL, c.cents
             FROM c JOIN pf ON c.user_id = pf.user_id
             WHERE pf.minv > c.inv
+        """,
+        "multi_join_three_way": """
+            -- Chained regular joins: a triple emits at the invocation
+            -- its LAST contributing row arrives in (no watermark gate,
+            -- no eviction — Flink regular-join semantics at each stage).
+            WITH e AS (
+                SELECT CAST(event_id % 2 AS INT) AS inv, user_id,
+                       event_type,
+                       CAST(floor(value * 100) AS BIGINT) AS cents
+                FROM events WHERE user_id % 17 = 0
+            )
+            SELECT CAST(greatest(p.inv, c.inv, s.inv) AS INT) AS inv,
+                   CAST(0 AS INT) AS op,
+                   p.user_id AS user_id,
+                   p.cents AS p_cents,
+                   c.cents AS c_cents,
+                   s.cents AS s_cents
+            FROM (SELECT * FROM e WHERE event_type = 'purchase') p
+            JOIN (SELECT * FROM e WHERE event_type = 'click') c
+              ON p.user_id = c.user_id
+            JOIN (SELECT * FROM e WHERE event_type = 'signup') s
+              ON p.user_id = s.user_id
         """,
         "window_join_tumbling_daily": """
             -- Window TVF join emission reconstruction over a mid-month
