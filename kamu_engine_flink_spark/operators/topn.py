@@ -222,24 +222,64 @@ def make_fold_group(value_cols, rank_col, order_col, descending, limit):
                 return None
             return x
 
-        cols = {
-            c: [_nullify(x) for x in pdf[c].tolist()]
-            for c in (*value_cols, rank_col, SEQ_INPUT)
-        }
+        # Round-5 refinement: a row emits changelog iff it ENTERS the
+        # running top-N, which depends only on the ORDER-column sequence
+        # (fold_records admits a row iff it beats the running Nth value;
+        # non-entering rows never mutate the ranking). A scalar prepass
+        # over just (rank, seq, order) picks the entering rows, so the
+        # O(rows x cols) dict materialization runs on the survivors only
+        # — about N*H(rows/key) of rows/key under uniform arrival, a
+        # large constant-factor cut on big slices.
         n = len(pdf)
-        rank_v, seq_v = cols[rank_col], cols[SEQ_INPUT]
+        rank_v = [_nullify(x) for x in pdf[rank_col].tolist()]
+        seq_v = [_nullify(x) for x in pdf[SEQ_INPUT].tolist()]
+        order_v = [_nullify(x) for x in pdf[order_col].tolist()]
         state_idx = sorted(
             (i for i in range(n) if rank_v[i] is not None),
             key=lambda i: rank_v[i],
         )
-        ranking: list[dict[str, Any]] = [
-            {c: cols[c][i] for c in value_cols} for i in state_idx
-        ]
         slice_idx = sorted(
             (i for i in range(n) if rank_v[i] is None), key=lambda i: seq_v[i]
         )
+
+        def _beats(v, ev):
+            # Identical semantics to fold_records._beats (ties do not
+            # displace, DESC nulls last / ASC nulls first).
+            if v is None:
+                return (not descending) and ev is not None
+            if ev is None:
+                return descending
+            return (v > ev) if descending else (v < ev)
+
+        top_vals = [order_v[i] for i in state_idx[:limit]]
+        entering: list[int] = []
+        for i in slice_idx:
+            v = order_v[i]
+            if len(top_vals) >= limit and not _beats(v, top_vals[-1]):
+                continue
+            entering.append(i)
+            lo, hi = 0, len(top_vals)
+            while lo < hi:
+                mid = (lo + hi) // 2
+                if _beats(v, top_vals[mid]):
+                    hi = mid
+                else:
+                    lo = mid + 1
+            top_vals.insert(lo, v)
+            del top_vals[limit:]
+
+        need_idx = state_idx + entering
+        sub_cols = {
+            c: [_nullify(x) for x in pdf[c].iloc[need_idx].tolist()]
+            for c in value_cols
+        }
+        m_state = len(state_idx)
+        ranking: list[dict[str, Any]] = [
+            {c: sub_cols[c][j] for c in value_cols} for j in range(m_state)
+        ]
         rows = [
-            ({c: cols[c][i] for c in value_cols}, seq_v[i]) for i in slice_idx
+            ({c: sub_cols[c][j] for c in value_cols}, seq_v[need_idx[j]])
+            for j in range(m_state, len(need_idx))
         ]
         out: list[dict[str, Any]] = []
         for gseq, sub, op, place, row in fold_records(
