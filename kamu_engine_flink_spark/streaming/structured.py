@@ -280,6 +280,59 @@ class StreamingRegularJoin:
 
 
 @dataclass
+class StreamingWindowJoin:
+    """Window TVF join, always-on twin of operators/window_join.py: both
+    sides are bucketed into the same tumbling window (Spark's window()
+    on each watermarked stream) and joined on window equality + keys.
+    The window-struct equality of two watermarked streams is Spark's
+    documented state-cleanup pattern for stream-stream joins — a side's
+    buffered rows drop once the watermark passes the window end, the
+    same closed-window emission the micro-batch executor implements
+    explicitly. State is bounded by the window size + watermark delay
+    (vs the regular join's forever-state)."""
+
+    left_dir: str
+    right_dir: str
+    checkpoint_dir: str
+    output_dir: str
+    window_duration: str = "10 minutes"
+    equi_keys: list[tuple[str, str]] = field(default_factory=list)
+    left_time_col: str = "event_time"
+    right_time_col: str = "event_time"
+    watermark_delay: str = "0 seconds"
+    left_schema: StructType | None = None
+    right_schema: StructType | None = None
+
+    def _side(self, spark: SparkSession, d, schema, tcol, prefix):
+        s = _file_stream(spark, d, schema).withWatermark(tcol, self.watermark_delay)
+        # The raw time column must NOT pass through: the window struct
+        # carries the side's (single allowed) event-time tag.
+        return s.select(
+            F.window(F.col(tcol), self.window_duration).alias(f"{prefix}w"),
+            *[F.col(c).alias(f"{prefix}{c}") for c in s.columns if c != tcol],
+        )
+
+    def _plan(self, spark: SparkSession) -> DataFrame:
+        left = self._side(
+            spark, self.left_dir, self.left_schema, self.left_time_col, "l_"
+        )
+        right = self._side(
+            spark, self.right_dir, self.right_schema, self.right_time_col, "r_"
+        )
+        cond = F.col("l_w") == F.col("r_w")
+        for lk, rk in self.equi_keys:
+            cond = cond & (F.col(f"l_{lk}") == F.col(f"r_{rk}"))
+        joined = left.join(right, cond, "inner")
+        return joined.select(
+            F.col("l_w.start").alias("window_start"),
+            *[c for c in joined.columns if c not in ("l_w", "r_w")],
+        )
+
+    def run_available_now(self, spark: SparkSession) -> None:
+        _run_available_now(self._plan(spark), self.checkpoint_dir, self.output_dir)
+
+
+@dataclass
 class StreamingDedup:
     """Streaming exact dedup: first occurrence per key wins, duplicates
     arriving within the watermark horizon are dropped, state is evicted

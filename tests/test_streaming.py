@@ -717,3 +717,45 @@ def test_streaming_regular_join_unbounded_history(spark, join_dirs):
         (r.order_id, r.shipped) for r in spark.read.parquet(join_dirs["out"]).collect()
     )
     assert out == [(1, 3), (1, 7), (2, 20)]
+
+
+def test_streaming_window_join_same_window_pairs(spark, join_dirs):
+    from datetime import timezone
+
+    """StreamingWindowJoin: rows pair iff they share the tumbling window
+    AND the key; cross-run, a run-1 order pairs with a run-2 shipment
+    landing in the same window (buffered side in the checkpoint)."""
+    from kamu_engine_flink_spark.streaming.structured import StreamingWindowJoin
+
+    job = StreamingWindowJoin(
+        left_dir=join_dirs["orders"],
+        right_dir=join_dirs["shipments"],
+        checkpoint_dir=join_dirs["chk"],
+        output_dir=join_dirs["out"],
+        window_duration="10 minutes",
+        equi_keys=[("order_id", "ship_order_id")],
+        left_time_col="order_time",
+        right_time_col="ship_time",
+    )
+    # Run 1: order 1 at 00:01; order 2 at 00:12 (next window); no
+    # shipments yet.
+    _orders_slice(
+        os.path.join(join_dirs["orders"], "s1.parquet"),
+        [(ts(1, 0, 1), 1, 10), (ts(1, 0, 12), 2, 20)],
+    )
+    _shipments_slice(os.path.join(join_dirs["shipments"], "s1.parquet"), [])
+    job.run_available_now(spark)
+    assert spark.read.parquet(join_dirs["out"]).count() == 0
+
+    # Run 2: shipment for order 1 in the SAME [00:00, 00:10) window
+    # pairs; a shipment for order 2 in a DIFFERENT window does not.
+    _shipments_slice(
+        os.path.join(join_dirs["shipments"], "s2.parquet"),
+        [(ts(1, 0, 3), 1, 7), (ts(1, 0, 25), 2, 9)],
+    )
+    job.run_available_now(spark)
+    out = sorted(
+        (r.window_start.replace(tzinfo=timezone.utc), r.l_order_id, r.r_shipped)
+        for r in spark.read.parquet(join_dirs["out"]).collect()
+    )
+    assert out == [(ts(1, 0, 0), 1, 7)]
