@@ -216,3 +216,82 @@ FROM a JOIN b ON a.symbol = b.symbol"""
     assert [(r["op"], r["symbol"], r["a_price"]) for r in table.to_pylist()] == [
         (0, "A", 10)
     ]
+
+
+def test_left_join_into_avg_folds(spark, tmp_path):
+    """avg over a changelog decomposes into signed sum + signed non-null
+    count: pads contribute nothing to avg(b_price) (NULL), and the
+    correction stream converges to the batch average."""
+    agg = """SELECT cast(now() as timestamp(3)) as event_time,
+  symbol, avg(b_price) as b_avg FROM j GROUP BY symbol"""
+    runner = TransformRunner(
+        spark, tmp_path, queries=[(LEFT_JOIN, "j"), (agg, None)]
+    )
+
+    def _r(out):
+        table = pq.read_table(out)
+        return [(r["op"], r["symbol"], r["b_avg"]) for r in table.to_pylist()]
+
+    # Run 1: A pads (avg NULL).
+    resp, out = runner.run(
+        _two_stream_inputs(
+            tmp_path, "r1", [(0, 0, ts(2), ts(1, 0, 1), "A", 10)], [], ts(1, 1, 0)
+        ),
+        system_time=ts(2),
+    )
+    assert _r(out) == [(0, "A", None)]
+
+    # Run 2: two partners arrive (5 and 11) — the pad retracts (NULL
+    # drops out of the signed count) and avg corrects NULL -> 8.
+    resp2, out2 = runner.run(
+        _two_stream_inputs(
+            tmp_path, "r2", [],
+            [(0, 0, ts(3), ts(1, 0, 2), "A", 5), (1, 0, ts(3), ts(1, 0, 3), "A", 11)],
+            ts(1, 2, 0),
+        ),
+        system_time=ts(3),
+    )
+    assert _r(out2) == [(2, "A", None), (3, "A", 8.0)]
+
+
+def test_fold_slice_invariance(spark, tmp_path):
+    """Different slicings of the same ledger converge to the same folded
+    state for the LEFT-join -> agg chain."""
+
+    def run_sliced(tag, b_slices):
+        runner = TransformRunner(
+            spark, tmp_path / tag, queries=[(LEFT_JOIN, "j"), (AGG_OVER_JOIN, None)]
+        )
+        import os
+
+        os.makedirs(tmp_path / tag / "in", exist_ok=True)
+        a = str(tmp_path / tag / "in" / "a.parquet")
+        ticker_slice(a, [(0, 0, ts(2), ts(1, 0, 1), "A", 10),
+                         (1, 0, ts(2), ts(1, 0, 2), "B", 20)])
+        changelog = []
+        first = True
+        for i, rows in enumerate(b_slices):
+            b = str(tmp_path / tag / "in" / f"b{i}.parquet")
+            ticker_slice(b, rows)
+            resp, out = runner.run(
+                [
+                    {"alias": "a", "data_paths": [a] if first else [],
+                     "schema_file": a, "watermark": ts(1, i + 1, 0)},
+                    {"alias": "b", "data_paths": [b] if rows else [],
+                     "schema_file": b, "watermark": ts(1, i + 1, 0)},
+                ],
+                system_time=ts(2 + i),
+            )
+            first = False
+            if os.path.exists(out):
+                changelog += _rows(out)
+        return _fold([(op, k, n, s) for op, k, n, s in changelog])
+
+    b_rows = [
+        (0, 0, ts(2), ts(1, 0, 3), "A", 7),
+        (1, 0, ts(2), ts(1, 0, 4), "B", 5),
+        (2, 0, ts(2), ts(1, 0, 5), "A", 3),
+    ]
+    one = run_sliced("one", [b_rows])
+    many = run_sliced("many", [[b_rows[0]], [b_rows[1]], [b_rows[2]]])
+    assert one == many == {"A": (2, 10), "B": (1, 5)}
