@@ -81,6 +81,7 @@ def execute_unbounded_agg(ctx: StepContext, sql: str) -> StepResult:
     # leaves the state.
     is_changelog = OP_COL in ctx.views[src].columns
     merges = dict(mspec.merges)
+    sum_guards: dict[str, str] = {}
     if is_changelog:
         folded = changelog_fold_slice_sql(spec.core_sql, OP_COL)
         if folded is None:
@@ -90,8 +91,11 @@ def execute_unbounded_agg(ctx: StepContext, sql: str) -> StepResult:
                 "multiset, not an accumulator): aggregate the base stream "
                 "before the outer join / updating step, or drop min/max"
             )
+        folded, sum_guards = folded
         partials = ctx.spark.sql(rewrite_query(folded))
         merges[LIVE_COL] = "sum"
+        for guard in sum_guards.values():
+            merges[guard] = "sum"
     else:
         # Slice partials (the now() emission-time item stripped; avg
         # decomposed into sum+count when present).
@@ -140,12 +144,23 @@ def execute_unbounded_agg(ctx: StepContext, sql: str) -> StepResult:
                     .cast(f.dataType)
                     .alias(f.name)
                 )
+            elif f.name in sum_guards:
+                # Flink's SumWithRetractAggFunction: NULL once every
+                # non-null contribution has retracted.
+                cols.append(
+                    F.when(
+                        F.col(f"{side}.{sum_guards[f.name]}") > 0,
+                        F.col(f"{side}.{f.name}"),
+                    )
+                    .cast(f.dataType)
+                    .alias(f.name)
+                )
             else:
                 cols.append(F.col(f"{side}.{f.name}").cast(f.dataType).alias(f.name))
         return cols
 
     changed = None
-    for c in mspec.merges:
+    for c in (*mspec.merges, *sum_guards.values()):
         neq = ~F.col(f"n.{c}").eqNullSafe(F.col(f"o.{c}"))
         changed = neq if changed is None else (changed | neq)
 

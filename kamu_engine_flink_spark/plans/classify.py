@@ -309,24 +309,23 @@ def changelog_fold_slice_sql(core_sql: str, op_col: str) -> str | None:
     decomposes into both (the same hidden column names
     _parse_mergeable_aggs assigns, so MergeAggSpec.avgs still applies).
     A hidden signed row counter (LIVE_COL) tracks key liveness so the
-    executor can emit an op-1 delete when a key's last row retracts.
+    executor can emit an op-1 delete when a key's last row retracts, and
+    each sum carries a hidden signed non-null contribution counter so a
+    sum whose contributions ALL retract projects NULL — exactly Flink's
+    SumWithRetractAggFunction (visible when NULL-valued rows, e.g. outer
+    pads, keep the key alive after every real value retracted).
 
-    Returns None when the projection contains min/max — a retractable
-    min/max needs the full value multiset, not an accumulator (Flink's
-    MinWithRetractAggFunction keeps exactly that map-state); callers
-    reject loudly.
-
-    Deviation from Flink, documented: a signed sum whose contributions
-    all retract yields 0 (its accumulator), where Flink's
-    SumWithRetractAggFunction returns NULL once its non-null counter
-    hits zero. The key itself dies (op-1 delete) when ALL rows retract,
-    so the difference is visible only for keys kept alive by rows whose
-    aggregated column is NULL."""
+    Returns (slice_sql, sum_guards) where sum_guards maps each sum
+    output alias to its hidden counter column; None when the projection
+    contains min/max — a retractable min/max needs the full value
+    multiset, not an accumulator (Flink's MinWithRetractAggFunction
+    keeps exactly that map-state); callers reject loudly."""
     m = re.search(r"select\s+(.*?)\s+from\s", core_sql, re.IGNORECASE | re.DOTALL)
     if m is None:
         return None
     sign = f"(CASE WHEN {op_col} IN (1, 2) THEN -1 ELSE 1 END)"
     items: list[str] = []
+    sum_guards: dict[str, str] = {}
     for item in _split_top_level(m.group(1)):
         am = _SIMPLE_AGG_ITEM_RE.match(item)
         if am:
@@ -335,6 +334,12 @@ def changelog_fold_slice_sql(core_sql: str, op_col: str) -> str | None:
                 return None
             if fn == "sum":
                 items.append(f"sum({sign} * ({arg})) AS {alias}")
+                guard = f"__sum_cnt_{alias}"
+                sum_guards[alias] = guard
+                items.append(
+                    f"CAST(sum(CASE WHEN ({arg}) IS NULL THEN 0 ELSE "
+                    f"{sign} END) AS BIGINT) AS {guard}"
+                )
             elif arg == "*":
                 items.append(f"CAST(sum({sign}) AS BIGINT) AS {alias}")
             else:
@@ -356,7 +361,10 @@ def changelog_fold_slice_sql(core_sql: str, op_col: str) -> str | None:
         # the item inventory)
         items.append(item)
     items.append(f"CAST(sum({sign}) AS BIGINT) AS {LIVE_COL}")
-    return core_sql[: m.start(1)] + ", ".join(items) + core_sql[m.end(1) :]
+    return (
+        core_sql[: m.start(1)] + ", ".join(items) + core_sql[m.end(1) :],
+        sum_guards,
+    )
 
 
 @dataclass

@@ -295,3 +295,24 @@ def test_fold_slice_invariance(spark, tmp_path):
     one = run_sliced("one", [b_rows])
     many = run_sliced("many", [[b_rows[0]], [b_rows[1]], [b_rows[2]]])
     assert one == many == {"A": (2, 10), "B": (1, 5)}
+
+
+def test_fold_slice_sql_shapes():
+    """changelog_fold_slice_sql: signed aggregates, per-sum non-null
+    guard (Flink SumWithRetractAggFunction NULL-out), liveness counter;
+    min/max -> None."""
+    from kamu_engine_flink_spark.plans.classify import (
+        LIVE_COL,
+        changelog_fold_slice_sql,
+    )
+
+    core = "SELECT symbol, sum(v) AS s, count(*) AS n FROM j GROUP BY symbol"
+    out = changelog_fold_slice_sql(core, "__op")
+    assert out is not None
+    sql, guards = out
+    assert guards == {"s": "__sum_cnt_s"}
+    assert "__sum_cnt_s" in sql and LIVE_COL in sql
+    assert "CASE WHEN __op IN (1, 2) THEN -1 ELSE 1 END" in sql
+    assert changelog_fold_slice_sql(
+        "SELECT symbol, max(v) AS m FROM j GROUP BY symbol", "__op"
+    ) is None
