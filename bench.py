@@ -154,6 +154,23 @@ ON
 # (EngineJoinStreamToStreamTest.scala:355-470 "tricky"): a stateful
 # interval join feeding a stateful tumbling aggregation feeding a filter,
 # all in one invocation.
+WINDOW_JOIN_SQL = """SELECT
+  L.window_start as event_time,
+  L.user_id as user_id,
+  L.value as purchase_value,
+  R.value as click_value
+FROM TABLE(TUMBLE(TABLE purchases, DESCRIPTOR(event_time), INTERVAL '1' DAY)) L
+JOIN TABLE(TUMBLE(TABLE clicks, DESCRIPTOR(event_time), INTERVAL '1' DAY)) R
+ON L.window_start = R.window_start AND L.user_id = R.user_id"""
+MULTI_JOIN_SQL = """SELECT
+  p.event_time as event_time,
+  p.user_id as user_id,
+  p.value as purchase_value,
+  c.value as click_value,
+  s.value as signup_value
+FROM purchases AS p
+JOIN clicks AS c ON p.user_id = c.user_id
+JOIN signups AS s ON p.user_id = s.user_id"""
 CHAINED_STEPS = [
     ("purchase_clicks", JOIN_SQL),
     (
@@ -171,11 +188,15 @@ GROUP BY TUMBLE(event_time, INTERVAL '1' DAY), user_id""",
 ]
 
 
-def _odf_ledger(spark, sf_dir: str, workdir: str, name: str = "events", event_type: str | None = None):
+def _odf_ledger(
+    spark, sf_dir: str, workdir: str, name: str = "events",
+    event_type: str | None = None, user_mod: int | None = None,
+):
     """events.parquet as an ODF ledger (system columns added) — prep cost
     excluded from timings, like the reference's test fixtures. With
     `event_type`, only that slice of the stream (a second input for the
-    join surfaces)."""
+    join surfaces); `user_mod` keeps every user_mod-th user (the 3-way
+    join's triple count grows cubically in per-user event counts)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -185,6 +206,8 @@ def _odf_ledger(spark, sf_dir: str, workdir: str, name: str = "events", event_ty
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     if event_type is not None:
         e = e.filter(F.col("event_type") == event_type)
+    if user_mod is not None:
+        e = e.filter(F.col("user_id") % user_mod == 0)
     df = (
         e.select(
             F.col("ts").alias("event_time"), "user_id", "event_type", "value"
@@ -448,6 +471,15 @@ def main() -> None:
         ledger, wm = _odf_ledger(spark, sf_dir, workdir)
         p_ledger, p_wm = _odf_ledger(spark, sf_dir, workdir, "purchases", "purchase")
         c_ledger, c_wm = _odf_ledger(spark, sf_dir, workdir, "clicks", "click")
+        mjp_ledger, mjp_wm = _odf_ledger(
+            spark, sf_dir, workdir, "mj_purchases", "purchase", user_mod=17
+        )
+        mjc_ledger, mjc_wm = _odf_ledger(
+            spark, sf_dir, workdir, "mj_clicks", "click", user_mod=17
+        )
+        mjs_ledger, mjs_wm = _odf_ledger(
+            spark, sf_dir, workdir, "mj_signups", "signup", user_mod=17
+        )
         for tag, sql, inputs in (
             ("odf_transform_map", MAP_SQL, [("events", ledger, wm)]),
             ("odf_transform_window_agg", AGG_SQL, [("events", ledger, wm)]),
@@ -482,6 +514,20 @@ def main() -> None:
                 "odf_transform_chained",
                 CHAINED_STEPS,
                 [("purchases", p_ledger, p_wm), ("clicks", c_ledger, c_wm)],
+            ),
+            (
+                "odf_transform_window_join",
+                WINDOW_JOIN_SQL,
+                [("purchases", p_ledger, p_wm), ("clicks", c_ledger, c_wm)],
+            ),
+            (
+                "odf_transform_multi_join",
+                MULTI_JOIN_SQL,
+                [
+                    ("purchases", mjp_ledger, mjp_wm),
+                    ("clicks", mjc_ledger, mjc_wm),
+                    ("signups", mjs_ledger, mjs_wm),
+                ],
             ),
         ):
             runs = []
