@@ -11,12 +11,13 @@ joins) becomes the "new slice" of an internal stream view, and the next
 join step accumulates its full history in its own state — exactly the
 operator tree Flink builds.
 
-Only INNER chains expand: an outer join mid-chain emits a pad/retract
-changelog, and a join over an updating stream needs retraction-aware
-probes (the engine rejects changelog-fed joins loudly;
-engine/transform.py). Shapes the expansion declines (outer joins,
-aggregation over the join, subqueries, unqualified column references)
-fall through to the existing loud rejections.
+INNER chains expand, and the LAST join may be LEFT/RIGHT/FULL — its
+pad/retract changelog originates in the final expanded step, which the
+downstream machinery already handles (continuous-agg folding or loud
+rejection). A MID-chain outer join would feed a changelog into the next
+join, which needs retraction-aware probes — those decline, as do
+aggregation over the join, subqueries, and unqualified column
+references, all falling through to the existing loud rejections.
 
 Column plumbing: every `alias.col` referenced downstream of an
 intermediate join is projected through under a mangled name
@@ -44,10 +45,13 @@ _ON_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _DECLINE_RE = re.compile(
-    r"\b(LEFT|RIGHT|FULL|CROSS|GROUP\s+BY|UNION|DISTINCT|HAVING|OVER|"
+    r"\b(CROSS|GROUP\s+BY|UNION|DISTINCT|HAVING|OVER|"
     r"MATCH_RECOGNIZE|FOR\s+SYSTEM_TIME|INTERVAL|ORDER\s+BY|LIMIT)\b"
     r"|TABLE\s*\(|\bSELECT\b.*\bSELECT\b",
     re.IGNORECASE | re.DOTALL,
+)
+_JOIN_KW_RE = re.compile(
+    r"(?:(LEFT|RIGHT|FULL)\s+(?:OUTER\s+)?)?JOIN\b", re.IGNORECASE
 )
 _QUALIFIED_REF_RE = re.compile(r"\b(\w+)\s*\.\s*`?(\w+)`?")
 _BARE_WORD_RE = re.compile(r"(?<![\w.`])(\w+)(?!\s*\.)\b")
@@ -59,12 +63,19 @@ class _Parsed:
     sources: list[tuple[str, str]]  # (view, alias) in join order
     conds: list[str]  # conds[k] joins sources[k+1]
     where: str | None
+    # Join kind per cond ('' inner, else LEFT/RIGHT/FULL). Only the LAST
+    # join may be outer: its pad/retract changelog originates in the
+    # final expanded step, which downstream machinery already handles; a
+    # MID-chain outer would feed a changelog into the next join, which
+    # needs retraction-aware probes (rejected engine-wide).
+    kinds: list[str] = None
 
 
-def _split_top_level_joins(text: str) -> list[str]:
-    """Split on JOIN keywords outside parentheses."""
-    parts, depth, last = [], 0, 0
-    for m in re.finditer(r"[()]|\bJOIN\b", text, re.IGNORECASE):
+def _split_top_level_joins(text: str) -> tuple[list[str], list[str]]:
+    """Split on [LEFT|RIGHT|FULL [OUTER]] JOIN outside parentheses;
+    returns (segments, join kinds)."""
+    parts, kinds, depth, last = [], [], 0, 0
+    for m in re.finditer(r"[()]|" + _JOIN_KW_RE.pattern, text, re.IGNORECASE):
         tok = m.group(0)
         if tok == "(":
             depth += 1
@@ -72,9 +83,10 @@ def _split_top_level_joins(text: str) -> list[str]:
             depth -= 1
         elif depth == 0:
             parts.append(text[last : m.start()])
+            kinds.append((m.group(1) or "").upper())
             last = m.end()
     parts.append(text[last:])
-    return parts
+    return parts, kinds
 
 
 def _parse(sql: str, known_views: set[str]) -> _Parsed | None:
@@ -90,9 +102,11 @@ def _parse(sql: str, known_views: set[str]) -> _Parsed | None:
         rest, where = rest[: wm.start()], rest[wm.end() :]
         if _JOIN_SPLIT_RE.search(where):
             return None
-    segs = _split_top_level_joins(rest)
+    segs, kinds = _split_top_level_joins(rest)
     if len(segs) < 3:  # FROM source + at least two JOIN segments
         return None
+    if any(k for k in kinds[:-1]):
+        return None  # outer mid-chain: changelog into a join — decline
     sm = _SOURCE_RE.match(segs[0])
     if not sm:
         return None
@@ -110,7 +124,9 @@ def _parse(sql: str, known_views: set[str]) -> _Parsed | None:
         return None
     if any(v not in known_views for v in views):
         return None
-    return _Parsed(proj=proj.strip(), sources=sources, conds=conds, where=where)
+    return _Parsed(
+        proj=proj.strip(), sources=sources, conds=conds, where=where, kinds=kinds
+    )
 
 
 def _mangled(alias: str, col: str) -> str:
@@ -217,7 +233,8 @@ def expand_multi_join(
     cond = _rewrite_refs(p.conds[-1], prior_aliases, lref)
     proj = _rewrite_refs(p.proj, prior_aliases, lref)
     rv, ra = p.sources[-1]
-    final = f"SELECT {proj} FROM {prev} AS {lref} JOIN {rv} AS {ra} ON {cond}"
+    jkw = f"{p.kinds[-1]} JOIN" if p.kinds[-1] else "JOIN"
+    final = f"SELECT {proj} FROM {prev} AS {lref} {jkw} {rv} AS {ra} ON {cond}"
     if p.where is not None:
         final += f" WHERE {_rewrite_refs(p.where, prior_aliases, lref)}"
     steps.append((final, None))

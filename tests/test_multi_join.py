@@ -4,7 +4,8 @@ Flink chains stateful joins in one SQL step (planner delegation,
 TransformEngine.scala:252-262); the engine expands an INNER multi-join
 step into the equivalent chain of aliased single-join steps, each with
 its own full-history state — so a 3-way join pairs across invocations at
-EVERY stage. Outer chains and aggregation-over-multi-join keep their
+EVERY stage. The final join may be outer (changelog originates in the
+last step); mid-chain outers and aggregation-over-multi-join keep their
 loud rejections.
 """
 
@@ -53,10 +54,15 @@ def test_expand_shapes():
     assert a0 == "__mj0_0" and a1 is None
     assert "JOIN b AS b" in s0 and "__mj_a__symbol" in s0
     assert "FROM __mj0_0" in s1 and "JOIN c AS c" in s1
-    # outer chains decline
+    # a MID-chain outer declines (changelog into a join); a FINAL outer
+    # expands — its pad/retract changelog originates in the last step
     assert expand_multi_join(
-        THREE_WAY.replace("JOIN c", "LEFT JOIN c"), views, cols, "t"
+        THREE_WAY.replace("JOIN b", "LEFT JOIN b"), views, cols, "t"
     ) is None
+    final_left = expand_multi_join(
+        THREE_WAY.replace("JOIN c", "LEFT JOIN c"), views, cols, "t"
+    )
+    assert final_left is not None and "LEFT JOIN c" in final_left[-1][0]
     # single joins decline (the single-join executors own them)
     assert expand_multi_join(
         "SELECT a.symbol FROM a AS a JOIN b AS b ON a.symbol = b.symbol",
@@ -146,8 +152,8 @@ JOIN d AS d ON c.symbol = d.symbol"""
     assert got == [(0, "A", 1, 2, 3, 4)]
 
 
-def test_outer_multi_join_still_rejected(spark, tmp_path):
-    q = THREE_WAY.replace("JOIN c", "LEFT JOIN c")
+def test_outer_mid_chain_still_rejected(spark, tmp_path):
+    q = THREE_WAY.replace("JOIN b", "LEFT JOIN b")
     runner = TransformRunner(spark, tmp_path, queries=[(q, None)])
     with pytest.raises(InvalidQueryError, match="one join per"):
         runner.run(
@@ -157,6 +163,35 @@ def test_outer_multi_join_still_rejected(spark, tmp_path):
             ),
             system_time=ts(2),
         )
+
+
+def test_final_left_join_chain_pad_retract(spark, tmp_path):
+    """INNER chain ending in a LEFT join: the (a x b) pair pads while c
+    has no partner, then the pad retracts when c's row arrives — the
+    changelog originates in the final expanded step."""
+    q = THREE_WAY.replace("JOIN c", "LEFT JOIN c")
+    runner = TransformRunner(spark, tmp_path, queries=[(q, None)])
+    resp, out = runner.run(
+        _inputs(
+            tmp_path, "r1",
+            [(0, 0, ts(2), ts(1, 0, 1), "A", 1)],
+            [(0, 0, ts(2), ts(1, 0, 2), "A", 2)],
+            [],
+            ts(1, 1, 0),
+        ),
+        system_time=ts(2),
+    )
+    assert _rows(out) == [(0, "A", 1, 2, None)]
+
+    resp2, out2 = runner.run(
+        _inputs(
+            tmp_path, "r2", [], [],
+            [(0, 0, ts(3), ts(1, 0, 3), "A", 3)],
+            ts(1, 2, 0),
+        ),
+        system_time=ts(3),
+    )
+    assert _rows(out2) == [(1, "A", 1, 2, None), (0, "A", 1, 2, 3)]
 
 
 def test_agg_over_multi_join_still_rejected(spark, tmp_path):
