@@ -29,6 +29,7 @@ Pipeline per invocation:
 from __future__ import annotations
 
 import os
+import re
 from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -250,18 +251,48 @@ def execute_transform(spark: SparkSession, request: TransformRequest) -> Transfo
                 for v in C.referenced_views(step.query, set(views))
                 if topn.OP_COL in views[v].columns
             )
-            if changelog_refs and kind != C.UNBOUNDED_AGG:
+            if changelog_refs and kind not in (C.UNBOUNDED_AGG, C.MAP):
                 raise InvalidQueryError(
                     f"step reads updating (changelog-emitting) alias(es) "
                     f"{', '.join(changelog_refs)}: only a windowless GROUP "
-                    "BY aggregation can consume an updating stream (it "
-                    "folds op 1/2 rows as retractions); other step kinds "
-                    "would misread correction/retraction rows as appends"
+                    "BY aggregation (which folds op 1/2 rows as "
+                    "retractions) or a plain projection (which forwards "
+                    "the op tags) can consume an updating stream; other "
+                    "step kinds would misread correction/retraction rows "
+                    "as appends"
                 )
             result = _EXECUTORS[kind](ctx, step.query)
             if step.alias:
-                views[step.alias] = result.df
-                result.df.createOrReplaceTempView(step.alias)
+                adf = result.df
+                # A changelog-emitting alias consumed by a downstream
+                # PROJECTION needs its emission order materialized (the
+                # op 2-before-3 pair adjacency lives in order_cols, which
+                # reference internal columns a projection won't carry):
+                # stamp the per-invocation emission sequence so map_step
+                # threads it like a raw ledger offset. Skipped when only
+                # aggregations consume the alias — they fold op tags and
+                # don't need order, and the stamp costs a single-partition
+                # sort of the emission.
+                if (
+                    topn.OP_COL in adf.columns
+                    and result.order_cols
+                    and any(
+                        step.alias in C.referenced_views(s2.query, {step.alias})
+                        and not (
+                            C.parse_unbounded_aggs(s2.query) is not None
+                            and not re.search(r"\bJOIN\b", s2.query, re.IGNORECASE)
+                        )
+                        for s2 in steps[i + 1 :]
+                    )
+                ):
+                    w = Window.partitionBy(F.lit(0)).orderBy(
+                        *[F.col(c).asc() for c in result.order_cols]
+                    )
+                    adf = adf.repartition(1).withColumn(
+                        SEQ, (F.row_number().over(w) - 1).cast("long")
+                    )
+                views[step.alias] = adf
+                adf.createOrReplaceTempView(step.alias)
                 event_time_cols[step.alias] = request.vocab.event_time_column
                 prev_wms[step.alias] = saved_wms.get(step.alias)
                 new_wms[step.alias] = result.watermark

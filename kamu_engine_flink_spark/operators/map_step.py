@@ -46,15 +46,48 @@ def _inject_seq(sql: str) -> str | None:
 
 
 def execute_map(ctx: StepContext, sql: str) -> StepResult:
+    from ..protocol.model import InvalidQueryError
+    from .topn import OP_COL
+
     refs = referenced_views(sql, set(ctx.views))
     wm = min_watermark(*[ctx.new_wms.get(r) for r in refs]) if refs else None
 
-    order_cols: list[str] | None = None
+    # Projection over an updating (changelog-emitting) alias: the op tags
+    # thread through like the ledger offset, so pads/retractions/
+    # correction pairs forward intact (Flink keeps RowKind through a
+    # projection). Only a single plain projection qualifies — a WHERE
+    # could drop one half of an op 2/3 pair (Flink turns that into a
+    # DELETE, which needs pair-aware rewriting), and joins/set ops would
+    # duplicate or strand op rows.
+    changelog_refs = [r for r in refs if OP_COL in ctx.views[r].columns]
     run_sql = sql
-    if len(refs) == 1 and SEQ_INPUT in ctx.views[refs[0]].columns:
+    if changelog_refs:
+        simple = _inject_seq(sql)
+        if (
+            len(refs) != 1
+            or simple is None
+            or re.search(r"\b(where|join)\b|\bover\s*\(", sql, re.IGNORECASE)
+            or SEQ_INPUT not in ctx.views[refs[0]].columns
+        ):
+            raise InvalidQueryError(
+                "a step reading an updating (changelog-emitting) alias "
+                "supports a single plain projection (op tags forward) or "
+                "a windowless GROUP BY aggregation (op tags fold); "
+                "WHERE/JOIN over an updating stream needs retraction-"
+                "aware semantics and is not supported — filter or join "
+                "before the changelog-emitting step instead"
+            )
+        run_sql = simple
+        if OP_COL not in run_sql:
+            run_sql = _SIMPLE_SELECT_RE.sub(
+                f"SELECT {OP_COL}, ", run_sql, count=1
+            )
+    elif len(refs) == 1 and SEQ_INPUT in ctx.views[refs[0]].columns:
         injected = _inject_seq(sql)
         if injected is not None:
             run_sql = injected
+
+    order_cols: list[str] | None = None
     df = ctx.spark.sql(rewrite_query(run_sql, watermark=wm))
     if SEQ_INPUT in df.columns:
         order_cols = [SEQ_INPUT]

@@ -177,14 +177,48 @@ def test_min_max_over_changelog_rejected(spark, tmp_path):
         )
 
 
-def test_map_over_changelog_rejected(spark, tmp_path):
-    """A projection over an updating alias would silently drop the op
-    tags (pads and retractions would all emit as appends) — reject."""
+def test_map_over_changelog_forwards_ops(spark, tmp_path):
+    """A plain projection over an updating alias forwards the op tags in
+    emission order (Flink keeps RowKind through a projection): the pad's
+    later retraction arrives as op 1, not a plain append."""
     runner = TransformRunner(
         spark, tmp_path,
-        queries=[(LEFT_JOIN, "j"), ("SELECT event_time, symbol FROM j", None)],
+        queries=[(LEFT_JOIN, "j"),
+                 ("SELECT event_time, symbol, b_price FROM j", None)],
     )
-    with pytest.raises(InvalidQueryError, match="updating .* alias"):
+
+    def _r(out):
+        table = pq.read_table(out)
+        return [(r["op"], r["symbol"], r["b_price"]) for r in table.to_pylist()]
+
+    resp, out = runner.run(
+        _two_stream_inputs(
+            tmp_path, "r1", [(0, 0, ts(2), ts(1, 0, 1), "A", 10)], [], ts(1, 1, 0)
+        ),
+        system_time=ts(2),
+    )
+    assert _r(out) == [(0, "A", None)]
+
+    # Partner arrives: the projected changelog must retract the pad
+    # BEFORE the pair, op tags intact.
+    resp2, out2 = runner.run(
+        _two_stream_inputs(
+            tmp_path, "r2", [], [(0, 0, ts(3), ts(1, 0, 2), "A", 7)], ts(1, 2, 0)
+        ),
+        system_time=ts(3),
+    )
+    assert _r(out2) == [(1, "A", None), (0, "A", 7)]
+
+
+def test_where_over_changelog_rejected(spark, tmp_path):
+    """A WHERE over an updating alias could drop one half of an op 2/3
+    pair (Flink rewrites that into a DELETE) — reject loudly."""
+    runner = TransformRunner(
+        spark, tmp_path,
+        queries=[(LEFT_JOIN, "j"),
+                 ("SELECT event_time, symbol FROM j WHERE b_price > 5", None)],
+    )
+    with pytest.raises(InvalidQueryError, match="retraction-aware"):
         runner.run(
             _two_stream_inputs(
                 tmp_path, "r1", [(0, 0, ts(2), ts(1, 0, 1), "A", 10)], [], ts(1, 1, 0)
