@@ -1937,7 +1937,8 @@ def _run_odf_invocations(spark, sql, per_inv_inputs, workdir, tag):
     between them, the reference's savepoint contract) and return
     [(invocation_index, output_parquet_path)] for invocations that emitted
     rows. `per_inv_inputs`: per invocation, a list of (alias, ledger_path,
-    watermark)."""
+    watermark). `sql` is one query string or a list of (sql, alias) steps
+    (alias None on the final step)."""
     import os
     from datetime import timezone
 
@@ -1959,8 +1960,13 @@ def _run_odf_invocations(spark, sql, per_inv_inputs, workdir, tag):
         st = max(_utc(wm) for (_, _, wm) in inputs)
         new_cp = os.path.join(workdir, f"cp-{tag}-{inv}")
         data_path = os.path.join(workdir, f"out-{tag}-{inv}.parquet")
+        steps = (
+            [SqlQueryStep(query=sql)]
+            if isinstance(sql, str)
+            else [SqlQueryStep(query=q, alias=a) for q, a in sql]
+        )
         req = TransformRequest(
-            transform=Transform(queries=[SqlQueryStep(query=sql)]),
+            transform=Transform(queries=steps),
             query_inputs=[
                 TransformRequestInput(
                     query_alias=alias,
@@ -2239,6 +2245,60 @@ JOIN signups AS s ON p.user_id = s.user_id"""
             F.col("p_cents").cast("long").alias("p_cents"),
             F.col("c_cents").cast("long").alias("c_cents"),
             F.col("s_cents").cast("long").alias("s_cents"),
+        )
+        for inv, path in outs
+    ]
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out
+
+
+def changelog_projection_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection over an updating alias (operators/map_step.py op-tag
+    threading; Flink keeps RowKind through a projection): a LEFT
+    regular-join step (pads op 0, retraction op 1 on first match —
+    operators/regular_join.py) chained into a plain projection that
+    DROPS the left side's payload; the op changelog must forward intact
+    through the map. Two chained ODF invocations over event_id%2 slices;
+    the oracle reconstructs the projected pad/retract stream from
+    per-side first-match invocations. Projection is zero-shuffle; the
+    emission-order stamp is one single-partition sort of the
+    per-invocation emission — scales with output, not state."""
+    import tempfile
+
+    _conf(spark)
+    workdir = tempfile.mkdtemp(prefix="clproj-entry-")
+    p_slices = _ledger_slices(
+        spark, _events_ledger(spark, sf_dir, "purchase"), workdir, "purchases", 2
+    )
+    c_slices = _ledger_slices(
+        spark, _events_ledger(spark, sf_dir, "click"), workdir, "clicks", 2
+    )
+    steps = [
+        (
+            """SELECT
+  p.event_time as event_time,
+  p.user_id as user_id,
+  p.cents as p_cents,
+  c.cents as c_cents
+FROM purchases as p
+LEFT JOIN clicks as c
+ON p.user_id = c.user_id""",
+            "j",
+        ),
+        ("SELECT event_time, user_id, c_cents FROM j", None),
+    ]
+    per_inv = [
+        [("purchases", *p_slices[i]), ("clicks", *c_slices[i])] for i in range(2)
+    ]
+    outs = _run_odf_invocations(spark, steps, per_inv, workdir, "clproj")
+    parts = [
+        spark.read.parquet(path).select(
+            F.lit(inv).cast("int").alias("inv"),
+            F.col("op").cast("int").alias("op"),
+            "user_id",
+            F.col("c_cents").cast("long").alias("c_cents"),
         )
         for inv, path in outs
     ]
@@ -2563,11 +2623,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/crosscheck.py verifies ALL entries locally regardless; the
     # full run is committed per round as CROSSCHECK_r{N}.txt.
     return {
-        # --- due their FIRST driver row (3) ---
+        # --- due their FIRST driver row (4) ---
+        "changelog_projection_left_join": changelog_projection_left_join,
         "multi_join_three_way": multi_join_three_way,
         "window_join_tumbling_daily": window_join_tumbling_daily,
         "over_agg_forward_window_events": over_agg_forward_window_events,
-        # --- last driver-checked r03, due for re-check (47) ---
+        # --- last driver-checked r03, due for re-check (46) ---
         "chained_multistep": chained_multistep,
         "window_tumbling_daily": window_tumbling_daily,
         "window_sliding_2h": window_sliding_2h,
@@ -2614,8 +2675,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fingerprint_documents": dedup_fingerprint_documents,
         "json_extract_events": json_extract_events,
         "window_cumulate_6h": window_cumulate_6h,
+        # --- r03-checked overflow, front of the round-6 rotation (4) ---
         "inverted_index_documents": inverted_index_documents,
-        # --- r03-checked overflow, front of the round-6 rotation (3) ---
         "random_projection_embeddings": random_projection_embeddings,
         "flink_scalar_functions_events": flink_scalar_functions_events,
         "window_monthly_orders": window_monthly_orders,
@@ -4026,6 +4087,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(pf.minv AS INT), CAST(1 AS INT), c.user_id, NULL, c.cents
             FROM c JOIN pf ON c.user_id = pf.user_id
             WHERE pf.minv > c.inv
+        """,
+        "changelog_projection_left_join": """
+            -- LEFT-join pad/retract stream, projected: pairs at
+            -- max(side invocations); a left row pads (op 0, NULL right)
+            -- when its first match arrives strictly later (or never);
+            -- the pad retracts (op 1) at the first-match invocation.
+            -- The projection drops p_cents — op tags must survive it.
+            WITH p AS (
+                SELECT CAST(event_id % 2 AS INT) AS inv, user_id
+                FROM events WHERE event_type = 'purchase'
+            ), c AS (
+                SELECT CAST(event_id % 2 AS INT) AS inv, user_id,
+                       CAST(floor(value * 100) AS BIGINT) AS cents
+                FROM events WHERE event_type = 'click'
+            ), cf AS (SELECT user_id, min(inv) AS minv FROM c GROUP BY 1)
+            SELECT CAST(greatest(p.inv, c.inv) AS INT) AS inv,
+                   CAST(0 AS INT) AS op, p.user_id AS user_id,
+                   c.cents AS c_cents
+            FROM p JOIN c USING (user_id)
+            UNION ALL
+            SELECT p.inv, CAST(0 AS INT), p.user_id, NULL
+            FROM p LEFT JOIN cf ON p.user_id = cf.user_id
+            WHERE cf.user_id IS NULL OR cf.minv > p.inv
+            UNION ALL
+            SELECT CAST(cf.minv AS INT), CAST(1 AS INT), p.user_id, NULL
+            FROM p JOIN cf ON p.user_id = cf.user_id
+            WHERE cf.minv > p.inv
         """,
         "multi_join_three_way": """
             -- Chained regular joins: a triple emits at the invocation
