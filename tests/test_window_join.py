@@ -248,3 +248,31 @@ ON L.window_start = R.window_start AND L.window_end = R.window_end AND L.symbol 
         _inputs(a2, ts(1, 0, 10), b2, ts(1, 0, 10)), system_time=ts(3)
     )
     assert _rows(out2) == [(1, 0, ts(1, 0, 10), "A", 10, 7)]
+
+
+def test_hop_window_join_partially_late_row(spark, tmp_path):
+    """A row arriving after SOME of its hop windows closed contributes
+    only to the still-open ones (Flink's per-window late-data rule): the
+    late a-row at 00:07 pairs with b in [00:05, 00:15) but must NOT
+    back-fill the already-emitted [00:00, 00:10)."""
+    runner = TransformRunner(spark, tmp_path, queries=[(HOP_WJOIN, None)])
+    a1 = str(tmp_path / "in" / "a1.parquet")
+    b1 = str(tmp_path / "in" / "b1.parquet")
+    ticker_slice(a1, [])
+    ticker_slice(b1, [(0, 0, ts(2), ts(1, 0, 8), "A", 7)])
+    # wm 00:10 closes [00:00, 00:10) with only b present — no pair.
+    resp, out = runner.run(_inputs(a1, ts(1, 0, 10), b1, ts(1, 0, 10)), system_time=ts(2))
+    import os
+
+    assert resp.new_offset_interval is None and not os.path.exists(out)
+
+    # The a-row at 00:07 is LATE for [00:00, 00:10) but alive for
+    # [00:05, 00:15): exactly one pair, at window_start 00:05.
+    a2 = str(tmp_path / "in" / "a2.parquet")
+    b2 = str(tmp_path / "in" / "b2.parquet")
+    ticker_slice(a2, [(0, 0, ts(3), ts(1, 0, 7), "A", 10)])
+    ticker_slice(b2, [])
+    resp2, out2 = runner.run(
+        _inputs(a2, ts(1, 0, 20), b2, ts(1, 0, 20)), system_time=ts(3)
+    )
+    assert _rows(out2) == [(0, 0, ts(1, 0, 5), "A", 10, 7)]
