@@ -243,11 +243,21 @@ def execute_regular_join(ctx: StepContext, sql: str) -> StepResult:
                 _PHASE, F.lit(phase).cast(IntegerType())
             )
 
-        result = _tag(pairs, OP_APPEND, 1)
-        for p in pad_parts:
-            result = result.unionByName(_tag(p, OP_APPEND, 1))
-        for r in retract_parts:
-            result = result.unionByName(_tag(r, OP_RETRACT, 0))
+        if not ctx.state.has_df(left_state) and not ctx.state.has_df(right_state):
+            # First invocation (no prior state): the pair/pad/retract
+            # assembly collapses to the user's own outer join over the
+            # two slices — pairs + immediate pads, no retracts possible.
+            # One join instead of the inner-pairs run plus two anti-join
+            # pad runs; identical output (the slice-invariance tests
+            # cross-validate this path against the general one). The
+            # probes above still feed the matched-flag state.
+            result = _tag(_run_with_views(ctx, sql, {lv: bl, rv_bind: br}, wm), OP_APPEND, 1)
+        else:
+            result = _tag(pairs, OP_APPEND, 1)
+            for p in pad_parts:
+                result = result.unionByName(_tag(p, OP_APPEND, 1))
+            for r in retract_parts:
+                result = result.unionByName(_tag(r, OP_RETRACT, 0))
     else:
         result = pairs
 
