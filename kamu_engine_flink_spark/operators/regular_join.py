@@ -68,6 +68,56 @@ def _with_flag(df: DataFrame, value: bool) -> DataFrame:
     return df.withColumn(_MATCHED, F.lit(value))
 
 
+_EQ_TERM_RE = re.compile(
+    r"^\s*`?(\w+)`?\s*\.\s*`?(\w+)`?\s*=\s*`?(\w+)`?\s*\.\s*`?(\w+)`?\s*$"
+)
+
+
+def equi_keys(on: str, la: str, ra: str) -> list[tuple[str, str]] | None:
+    """[(left_col, right_col), ...] when the ON condition is a pure
+    conjunction of cross-side column equalities; None otherwise (the
+    probes then fall back to per-predicate semi/anti joins)."""
+    out = []
+    for term in re.split(r"\bAND\b", on, flags=re.IGNORECASE):
+        m = _EQ_TERM_RE.match(term)
+        if not m:
+            return None
+        a1, c1, a2, c2 = m.groups()
+        if a1 == la and a2 == ra:
+            out.append((c1, c2))
+        elif a1 == ra and a2 == la:
+            out.append((c2, c1))
+        else:
+            return None
+    return out or None
+
+
+def _flag_matched(
+    probe: DataFrame, other: DataFrame, keys: list[tuple[str, str]], probe_is_left: bool
+) -> DataFrame:
+    """probe rows + _MATCHED: whether a partner with equal keys exists in
+    `other` — ONE left join against the other side's DISTINCT key set
+    (aggregated build side) instead of a semi- PLUS an anti-join over the
+    full relation. Plain `=` semantics: NULL keys never match, exactly
+    like the semi/anti pair this replaces."""
+    sel, conds, tmp = [], [], []
+    for i, (lc, rc) in enumerate(keys):
+        pc, oc = (lc, rc) if probe_is_left else (rc, lc)
+        kn = f"__rjk_{i}"
+        tmp.append(kn)
+        sel.append(F.col(oc).alias(kn))
+        conds.append(F.col(pc) == F.col(kn))
+    keyset = other.select(*sel).distinct()
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond & c
+    return (
+        probe.join(keyset, cond, "left")
+        .withColumn(_MATCHED, F.col(tmp[0]).isNotNull())
+        .drop(*tmp)
+    )
+
+
 # Optional: a new slice whose on-disk bytes stay under this bound
 # broadcasts into the probes against accumulated state, so the
 # (unboundedly growing) state side plans NO exchange and NO sort.
@@ -170,37 +220,53 @@ def execute_regular_join(ctx: StepContext, sql: str) -> StepResult:
     pairs = part_a.unionByName(part_b)
 
     cond = F.expr(spec.on_condition)
+    keys = equi_keys(spec.on_condition, la, ra)
     empty_right = all_right.limit(0)
     retract_parts: list[DataFrame] = []
     pad_parts: list[DataFrame] = []
 
     if pad_left:
-        # New lefts without any match so far: NULL-pad immediately (op 0).
-        new_matched_l = bl.alias(la).join(all_right.alias(ra), cond, "left_semi")
-        new_unmatched_l = bl.alias(la).join(all_right.alias(ra), cond, "left_anti")
+        old_unmatched_l = old_left_state.filter(~F.col(_MATCHED)).drop(_MATCHED)
+        old_matched_l = old_left_state.filter(F.col(_MATCHED)).drop(_MATCHED)
+        if keys is not None:
+            # Equi condition: ONE flagged join per probe against the other
+            # side's distinct key set, and the state union reads the flags
+            # directly (3 branches, 2 joins — vs 5 branches, 4 semi/anti).
+            new_flagged_l = _flag_matched(new_left, all_right, keys, True)
+            old_flagged_l = _flag_matched(old_unmatched_l, new_right, keys, True)
+            new_unmatched_l = new_flagged_l.filter(~F.col(_MATCHED)).drop(_MATCHED)
+            newly_matched_l = old_flagged_l.filter(F.col(_MATCHED)).drop(_MATCHED)
+            keep_left = (
+                _with_flag(old_matched_l, True)
+                .unionByName(old_flagged_l)
+                .unionByName(new_flagged_l)
+            )
+        else:
+            # New lefts without any match so far: NULL-pad immediately
+            # (op 0).
+            new_matched_l = bl.alias(la).join(all_right.alias(ra), cond, "left_semi")
+            new_unmatched_l = bl.alias(la).join(all_right.alias(ra), cond, "left_anti")
+            # Old padded lefts whose FIRST match arrived this run: retract
+            # the pad (op 1 = DELETE, emitted before this invocation's
+            # pairs), exactly once — the per-row matched flag in state.
+            newly_matched_l = old_unmatched_l.alias(la).join(
+                br.alias(ra), cond, "left_semi"
+            )
+            still_unmatched_l = old_unmatched_l.alias(la).join(
+                br.alias(ra), cond, "left_anti"
+            )
+            keep_left = (
+                _with_flag(old_matched_l, True)
+                .unionByName(_with_flag(newly_matched_l, True))
+                .unionByName(_with_flag(still_unmatched_l, False))
+                .unionByName(_with_flag(new_matched_l, True))
+                .unionByName(_with_flag(new_unmatched_l, False))
+            )
         pad_parts.append(
             _run_with_views(ctx, sql, {lv: new_unmatched_l, rv_bind: empty_right}, wm)
         )
-        # Old padded lefts whose FIRST match arrived this run: retract the
-        # pad (op 1 = DELETE, emitted before this invocation's pairs),
-        # exactly once — the per-row matched flag in the left state.
-        old_unmatched_l = old_left_state.filter(~F.col(_MATCHED)).drop(_MATCHED)
-        newly_matched_l = old_unmatched_l.alias(la).join(
-            br.alias(ra), cond, "left_semi"
-        )
-        still_unmatched_l = old_unmatched_l.alias(la).join(
-            br.alias(ra), cond, "left_anti"
-        )
         retract_parts.append(
             _run_with_views(ctx, sql, {lv: newly_matched_l, rv_bind: empty_right}, wm)
-        )
-        old_matched_l = old_left_state.filter(F.col(_MATCHED)).drop(_MATCHED)
-        keep_left = (
-            _with_flag(old_matched_l, True)
-            .unionByName(_with_flag(newly_matched_l, True))
-            .unionByName(_with_flag(still_unmatched_l, False))
-            .unionByName(_with_flag(new_matched_l, True))
-            .unionByName(_with_flag(new_unmatched_l, False))
         )
     else:
         keep_left = old_left.unionByName(new_left)
@@ -210,28 +276,39 @@ def execute_regular_join(ctx: StepContext, sql: str) -> StepResult:
         # FULL with an empty left projects exactly those pads).
         all_left = ctx.pin(old_left.unionByName(new_left))
         empty_left = all_left.limit(0)
-        new_matched_r = br.alias(ra).join(all_left.alias(la), cond, "left_semi")
-        new_unmatched_r = br.alias(ra).join(all_left.alias(la), cond, "left_anti")
+        old_unmatched_r = old_right_state.filter(~F.col(_MATCHED)).drop(_MATCHED)
+        old_matched_r = old_right_state.filter(F.col(_MATCHED)).drop(_MATCHED)
+        if keys is not None:
+            new_flagged_r = _flag_matched(new_right, all_left, keys, False)
+            old_flagged_r = _flag_matched(old_unmatched_r, new_left, keys, False)
+            new_unmatched_r = new_flagged_r.filter(~F.col(_MATCHED)).drop(_MATCHED)
+            newly_matched_r = old_flagged_r.filter(F.col(_MATCHED)).drop(_MATCHED)
+            keep_right = (
+                _with_flag(old_matched_r, True)
+                .unionByName(old_flagged_r)
+                .unionByName(new_flagged_r)
+            )
+        else:
+            new_matched_r = br.alias(ra).join(all_left.alias(la), cond, "left_semi")
+            new_unmatched_r = br.alias(ra).join(all_left.alias(la), cond, "left_anti")
+            newly_matched_r = old_unmatched_r.alias(ra).join(
+                bl.alias(la), cond, "left_semi"
+            )
+            still_unmatched_r = old_unmatched_r.alias(ra).join(
+                bl.alias(la), cond, "left_anti"
+            )
+            keep_right = (
+                _with_flag(old_matched_r, True)
+                .unionByName(_with_flag(newly_matched_r, True))
+                .unionByName(_with_flag(still_unmatched_r, False))
+                .unionByName(_with_flag(new_matched_r, True))
+                .unionByName(_with_flag(new_unmatched_r, False))
+            )
         pad_parts.append(
             _run_with_views(ctx, sql, {lv: empty_left, rv_bind: new_unmatched_r}, wm)
         )
-        old_unmatched_r = old_right_state.filter(~F.col(_MATCHED)).drop(_MATCHED)
-        newly_matched_r = old_unmatched_r.alias(ra).join(
-            bl.alias(la), cond, "left_semi"
-        )
-        still_unmatched_r = old_unmatched_r.alias(ra).join(
-            bl.alias(la), cond, "left_anti"
-        )
         retract_parts.append(
             _run_with_views(ctx, sql, {lv: empty_left, rv_bind: newly_matched_r}, wm)
-        )
-        old_matched_r = old_right_state.filter(F.col(_MATCHED)).drop(_MATCHED)
-        keep_right = (
-            _with_flag(old_matched_r, True)
-            .unionByName(_with_flag(newly_matched_r, True))
-            .unionByName(_with_flag(still_unmatched_r, False))
-            .unionByName(_with_flag(new_matched_r, True))
-            .unionByName(_with_flag(new_unmatched_r, False))
         )
     else:
         keep_right = all_right
