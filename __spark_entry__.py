@@ -2254,6 +2254,59 @@ JOIN signups AS s ON p.user_id = s.user_id"""
     return out
 
 
+def window_join_hop_12h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOP window TVF join (operators/window_join.py closed-instance
+    emission with the slide-aligned eviction horizon — the round-4
+    regression class): HOP(slide 12h, size 24h) purchases x clicks per
+    user over a mid-month time split, two chained ODF invocations. Every
+    row lives in TWO windows; a pair emits once per shared window, in
+    the invocation whose effective (min-of-sides) watermark first passes
+    that window's end — so rows near the split must stay buffered past
+    their first window for the second (the exact bug the tumble-aligned
+    horizon had). Oracle expands the same window geometry with integer
+    epoch arithmetic. One hash join per invocation over closed-instance
+    sets — scales."""
+    import tempfile
+
+    _conf(spark)
+    workdir = tempfile.mkdtemp(prefix="wjhop-entry-")
+    p_slices = _ledger_time_slices(
+        spark, _events_ledger(spark, sf_dir, "purchase"), workdir, "purchases",
+        "2024-01-16 00:00:00",
+    )
+    c_slices = _ledger_time_slices(
+        spark, _events_ledger(spark, sf_dir, "click"), workdir, "clicks",
+        "2024-01-16 00:00:00",
+    )
+    sql = """SELECT
+  L.window_start as event_time,
+  L.user_id as user_id,
+  L.cents as p_cents,
+  R.cents as c_cents
+FROM TABLE(HOP(TABLE purchases, DESCRIPTOR(event_time), INTERVAL '12' HOUR, INTERVAL '24' HOUR)) L
+JOIN TABLE(HOP(TABLE clicks, DESCRIPTOR(event_time), INTERVAL '12' HOUR, INTERVAL '24' HOUR)) R
+ON L.window_start = R.window_start AND L.user_id = R.user_id"""
+    per_inv = [
+        [("purchases", *p_slices[i]), ("clicks", *c_slices[i])] for i in range(2)
+    ]
+    outs = _run_odf_invocations(spark, sql, per_inv, workdir, "wjhop")
+    parts = [
+        spark.read.parquet(path).select(
+            F.lit(inv).cast("int").alias("inv"),
+            F.col("op").cast("int").alias("op"),
+            "event_time",
+            "user_id",
+            F.col("p_cents").cast("long").alias("p_cents"),
+            F.col("c_cents").cast("long").alias("c_cents"),
+        )
+        for inv, path in outs
+    ]
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out
+
+
 def changelog_projection_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Projection over an updating alias (operators/map_step.py op-tag
     threading; Flink keeps RowKind through a projection): a LEFT
@@ -2623,12 +2676,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/crosscheck.py verifies ALL entries locally regardless; the
     # full run is committed per round as CROSSCHECK_r{N}.txt.
     return {
-        # --- due their FIRST driver row (4) ---
+        # --- due their FIRST driver row (5) ---
+        "window_join_hop_12h": window_join_hop_12h,
         "changelog_projection_left_join": changelog_projection_left_join,
         "multi_join_three_way": multi_join_three_way,
         "window_join_tumbling_daily": window_join_tumbling_daily,
         "over_agg_forward_window_events": over_agg_forward_window_events,
-        # --- last driver-checked r03, due for re-check (46) ---
+        # --- last driver-checked r03, due for re-check (45) ---
         "chained_multistep": chained_multistep,
         "window_tumbling_daily": window_tumbling_daily,
         "window_sliding_2h": window_sliding_2h,
@@ -2674,8 +2728,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_documents": dedup_exact_documents,
         "dedup_fingerprint_documents": dedup_fingerprint_documents,
         "json_extract_events": json_extract_events,
+        # --- r03-checked overflow, front of the round-6 rotation (5) ---
         "window_cumulate_6h": window_cumulate_6h,
-        # --- r03-checked overflow, front of the round-6 rotation (4) ---
         "inverted_index_documents": inverted_index_documents,
         "random_projection_embeddings": random_projection_embeddings,
         "flink_scalar_functions_events": flink_scalar_functions_events,
@@ -4087,6 +4141,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(pf.minv AS INT), CAST(1 AS INT), c.user_id, NULL, c.cents
             FROM c JOIN pf ON c.user_id = pf.user_id
             WHERE pf.minv > c.inv
+        """,
+        "window_join_hop_12h": """
+            -- HOP(12h, 24h) join emission: every row expands to its two
+            -- containing windows (slide-aligned starts); a pair emits in
+            -- the invocation whose min-of-sides watermark first passes
+            -- the window end; windows never passed do not emit.
+            WITH e AS (
+                SELECT user_id, event_type, ts,
+                       CAST(floor(value * 100) AS BIGINT) AS cents
+                FROM events WHERE event_type IN ('purchase', 'click')
+            ), w AS (
+                SELECT user_id, event_type, ts, cents,
+                       make_timestamp(CAST(((epoch_us(ts) // 43200000000)
+                         - k.k) * 43200000000 AS BIGINT)) AS ws
+                FROM e, (SELECT unnest([0, 1]) AS k) k
+            ), wm AS (
+                SELECT
+                  least(
+                    (SELECT max(ts) FROM e WHERE event_type = 'purchase'
+                       AND ts < TIMESTAMP '2024-01-16'),
+                    (SELECT max(ts) FROM e WHERE event_type = 'click'
+                       AND ts < TIMESTAMP '2024-01-16')) AS w0,
+                  least(
+                    (SELECT max(ts) FROM e WHERE event_type = 'purchase'),
+                    (SELECT max(ts) FROM e WHERE event_type = 'click')) AS w1
+            )
+            SELECT CAST(CASE WHEN p.ws + INTERVAL 24 HOUR <= (SELECT w0 FROM wm)
+                             THEN 0 ELSE 1 END AS INT) AS inv,
+                   CAST(0 AS INT) AS op,
+                   p.ws AS event_time,
+                   p.user_id AS user_id,
+                   p.cents AS p_cents,
+                   c.cents AS c_cents
+            FROM (SELECT * FROM w WHERE event_type = 'purchase') p
+            JOIN (SELECT * FROM w WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.ws = c.ws
+            WHERE p.ws + INTERVAL 24 HOUR <= (SELECT w1 FROM wm)
         """,
         "changelog_projection_left_join": """
             -- LEFT-join pad/retract stream, projected: pairs at
