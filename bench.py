@@ -554,6 +554,7 @@ def main() -> None:
         ]
         for tag, sql, invs in (
             ("stress_interval_join_x10_3inv", JOIN_SQL, join_invs),
+            ("stress_full_join_x10_3inv", FULL_JOIN_SQL, join_invs),
             ("stress_keyed_topn_x10_3inv", KEYED_TOPN_SQL, ev_invs),
             ("stress_over_agg_x10_3inv", OVER_AGG_SQL, ev_invs),
             ("stress_match_recognize_x10_3inv", MATCH_RECOGNIZE_SQL, ev_invs),
