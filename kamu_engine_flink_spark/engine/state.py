@@ -108,6 +108,22 @@ class StateStore:
         df.write.mode("overwrite").parquet(path)
         self._written.add(f"{name}.parquet")
 
+    def save_dfs(self, items) -> None:
+        """Save several INDEPENDENT state relations with overlapping jobs
+        (concurrent submission from one thread per relation — each write
+        is its own output, so the cluster schedules them side by side
+        instead of serializing the actions)."""
+        items = list(items)
+        if len(items) == 1:
+            self.save_df(*items[0])
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(items)) as pool:
+            futures = [pool.submit(self.save_df, n, df) for n, df in items]
+            for f in futures:
+                f.result()
+
     def finish(self) -> None:
         """Copy forward any previous-state entries this run didn't rewrite."""
         if not self.prev_dir or not os.path.isdir(self.prev_dir):

@@ -180,8 +180,7 @@ def execute_interval_join(ctx: StepContext, sql: str) -> StepResult:
         keep_right = flagged_right.filter(
             F.col(spec.right_time_col) >= F.lit(wm_l + spec.lower)
         )
-    ctx.state.save_df(left_state, keep_left)
-    ctx.state.save_df(right_state, keep_right)
+    ctx.state.save_dfs([(left_state, keep_left), (right_state, keep_right)])
 
     out_wm = None
     if joint_wm is not None:

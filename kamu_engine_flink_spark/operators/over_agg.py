@@ -444,8 +444,9 @@ def _execute_unbounded(ctx: StepContext, sql: str, spec) -> StepResult:
     rt = F.col(spec.time_col)
     if new_wm is None:
         result = result.limit(0)
-        ctx.state.save_df(buffer_name, buf)
-        ctx.state.save_df(acc_name, acc.drop("__gk") if not keys else acc)
+        ctx.state.save_dfs(
+            [(buffer_name, buf), (acc_name, acc.drop("__gk") if not keys else acc)]
+        )
         return StepResult(df=result, watermark=new_wm,
                           order_cols=[spec.time_col, SEQ_INPUT])
     result = result.filter(rt <= F.lit(new_wm))
@@ -492,7 +493,8 @@ def _execute_unbounded(ctx: StepContext, sql: str, spec) -> StepResult:
         .agg(*merge_aggs)
         .select(*acc_cols)
     )
-    ctx.state.save_df(acc_name, new_acc)
-    ctx.state.save_df(buffer_name, buf.filter(t > F.lit(new_wm)))
+    ctx.state.save_dfs(
+        [(acc_name, new_acc), (buffer_name, buf.filter(t > F.lit(new_wm)))]
+    )
 
     return StepResult(df=result, watermark=new_wm, order_cols=[spec.time_col, SEQ_INPUT])

@@ -340,16 +340,9 @@ def execute_regular_join(ctx: StepContext, sql: str) -> StepResult:
 
     # Full-history state (Flink regular-join semantics — no horizon to
     # evict by; a self-join persists each side under its own state key).
-    # The two saves are independent outputs — submit them from two
-    # threads so their jobs overlap instead of serializing (PySpark
-    # supports concurrent job submission; the cluster schedules both).
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        fl = pool.submit(ctx.state.save_df, left_state, keep_left)
-        fr = pool.submit(ctx.state.save_df, right_state, keep_right)
-        fl.result()
-        fr.result()
+    # The two saves are independent outputs — overlapping their jobs
+    # beats serializing the actions (FULL x10 3-inv: 13.8s -> 11.4s).
+    ctx.state.save_dfs([(left_state, keep_left), (right_state, keep_right)])
 
     order_cols = [c for c in result.columns if c != _PHASE]
     out_et = ctx.request.vocab.event_time_column

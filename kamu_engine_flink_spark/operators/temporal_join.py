@@ -105,7 +105,6 @@ def execute_temporal_join(ctx: StepContext, sql: str) -> StepResult:
         release = probe_all.limit(0)
         keep = probe_all
 
-    ctx.state.save_df(probe_state, keep)
     # Prune versions no longer reachable: future probe rows have
     # event_time > joint_wm, so only versions valid at or after it matter.
     versioned = with_validity(versions, tt.primary_key, build_et)
@@ -115,7 +114,8 @@ def execute_temporal_join(ctx: StepContext, sql: str) -> StepResult:
         ).drop(VALID_FROM, VALID_TO)
     else:
         pruned = versions
-    ctx.state.save_df(versions_state, pruned)
+    # Independent outputs: overlap the probe-buffer and versions writes.
+    ctx.state.save_dfs([(probe_state, keep), (versions_state, pruned)])
 
     release.createOrReplaceTempView(probe)
     versioned.createOrReplaceTempView(build + VERSIONS_SUFFIX)
