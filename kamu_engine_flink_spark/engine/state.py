@@ -53,6 +53,12 @@ class StateStore:
         self.new_dir = new_dir
         os.makedirs(new_dir, exist_ok=True)
         self._written: set[str] = set()
+        # When deferral is on, save_df queues (name, df) instead of
+        # writing; flush_deferred() runs every queued write — plus an
+        # optional extra action (the invocation's output write) — with
+        # overlapping jobs. Safe because loads only ever read PREV_DIR:
+        # nothing reads a relation written this invocation.
+        self._deferred: list | None = None
 
     # -- JSON scalars ------------------------------------------------------
 
@@ -102,11 +108,42 @@ class StateStore:
         return None
 
     def save_df(self, name: str, df: DataFrame) -> None:
+        if self._deferred is not None:
+            self._deferred.append((name, df))
+            return
+        self._write_df(name, df)
+
+    def _write_df(self, name: str, df: DataFrame) -> None:
         path = self._rel_path(self.new_dir, name)
         # The input of this write may include the previous state at the same
         # logical name (read from prev_dir), so no self-overwrite hazard.
         df.write.mode("overwrite").parquet(path)
         self._written.add(f"{name}.parquet")
+
+    def begin_deferred(self) -> None:
+        self._deferred = []
+
+    def flush_deferred(self, also=None) -> None:
+        """Run every queued state write — and `also` (a zero-arg callable,
+        typically the output write) — with overlapping job submission,
+        then leave deferral mode. DataFrame plans are resolved at
+        creation, so later temp-view rebinding cannot change a queued
+        write; per-relation names are unique per invocation."""
+        pending, self._deferred = self._deferred or [], None
+        actions = [lambda n=n, df=df: self._write_df(n, df) for n, df in pending]
+        if also is not None:
+            actions.append(also)
+        if not actions:
+            return
+        if len(actions) == 1:
+            actions[0]()
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(len(actions), 6)) as pool:
+            futures = [pool.submit(a) for a in actions]
+            for f in futures:
+                f.result()
 
     def save_dfs(self, items) -> None:
         """Save several INDEPENDENT state relations with overlapping jobs
@@ -114,13 +151,16 @@ class StateStore:
         is its own output, so the cluster schedules them side by side
         instead of serializing the actions)."""
         items = list(items)
+        if self._deferred is not None:
+            self._deferred.extend(items)
+            return
         if len(items) == 1:
             self.save_df(*items[0])
             return
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=len(items)) as pool:
-            futures = [pool.submit(self.save_df, n, df) for n, df in items]
+            futures = [pool.submit(self._write_df, n, df) for n, df in items]
             for f in futures:
                 f.result()
 

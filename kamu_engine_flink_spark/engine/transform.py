@@ -135,6 +135,7 @@ def _effective_watermark(
 
 def execute_transform(spark: SparkSession, request: TransformRequest) -> TransformResponse:
     state = StateStore(spark, request.prev_checkpoint_path, request.new_checkpoint_path)
+    state.begin_deferred()
     saved_wms = state.load_watermarks()
 
     views: dict[str, DataFrame] = {}
@@ -300,9 +301,18 @@ def execute_transform(spark: SparkSession, request: TransformRequest) -> Transfo
             raise InvalidQueryError("transform contains no query steps")
 
         out_df = _assemble_output(spark, request, result)
-        num_records = write_single_parquet(
-            out_df, request.new_data_path, sorted_single=True
-        )
+        # Flush every deferred state write in parallel WITH the output
+        # write — all independent outputs (state loads only ever read the
+        # previous checkpoint dir), so nothing serializes on anything.
+        counts = {}
+
+        def _write_output():
+            counts["n"] = write_single_parquet(
+                out_df, request.new_data_path, sorted_single=True
+            )
+
+        state.flush_deferred(also=_write_output)
+        num_records = counts["n"]
         if num_records == 0:
             # The reference writes no data file on an empty result (e.g. a
             # watermark-only run with nothing to flush) — EngineAggregationTest
