@@ -21,10 +21,26 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import uuid
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
+
+# Conf key for the state bucket count. Buckets are baked into a relation at
+# first write (recorded in its sidecar); later appends reuse the recorded
+# count, so changing the conf mid-stream only affects NEW relations. On the
+# test/bench box 32 matches spark.sql.shuffle.partitions; a real cluster
+# sizes this to executors x cores.
+_NUM_BUCKETS_CONF = "spark.kamu.state.numBuckets"
+
+
+def _has_data_files(path: str) -> bool:
+    """A relation written from an all-empty DataFrame produces only marker
+    files (_SUCCESS) — no parquet footers to infer a schema from."""
+    return any(
+        not e.startswith(("_", ".")) for e in os.listdir(path)
+    ) if os.path.isdir(path) else True
 
 
 def _dt_to_iso(value: datetime | None) -> str | None:
@@ -91,6 +107,9 @@ class StateStore:
             return None
         return os.path.join(base, f"{name}.parquet")
 
+    def _meta_name(self, name: str) -> str:
+        return f"{name}.buckets.json"
+
     def has_df(self, name: str) -> bool:
         """True when the previous checkpoint persisted this relation —
         lets operators skip the buffer-union (and its materializing pin)
@@ -99,25 +118,183 @@ class StateStore:
         return bool(path and os.path.exists(path))
 
     def load_df(self, name: str, schema: StructType | None = None) -> DataFrame | None:
-        """Previous-run state relation, or an empty frame if `schema` given."""
+        """Previous-run state relation, or an empty frame if `schema` given.
+
+        A relation saved with `bucket_by` comes back as a BUCKETED scan:
+        its output partitioning is hash(bucket_by, num_buckets), so a join
+        or aggregation keyed on those columns plans NO exchange (and no
+        re-shuffle of the accumulated history) on the state side — the
+        Spark analogue of Flink probing resident keyed state."""
         path = self._rel_path(self.prev_dir, name)
-        if path and os.path.exists(path):
+        if path and os.path.exists(path) and _has_data_files(path):
+            meta = self.load_json(self._meta_name(name))
+            if meta:
+                return self._read_bucketed(path, meta)
             return self.spark.read.parquet(path)
         if schema is not None:
             return self.spark.createDataFrame([], schema)
         return None
 
-    def save_df(self, name: str, df: DataFrame) -> None:
-        if self._deferred is not None:
-            self._deferred.append((name, df))
-            return
-        self._write_df(name, df)
+    def _read_bucketed(self, path: str, meta: dict) -> DataFrame:
+        # Bucketing metadata lives in the catalog, not parquet footers, so
+        # register a throwaway external table over the state files. The
+        # DataFrame resolves (and snapshots the file listing) eagerly at
+        # spark.table(), so the catalog entry can be dropped immediately —
+        # no cross-invocation catalog residue.
+        schema = self.spark.read.parquet(path).schema
+        ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
+        cols = ", ".join(f"`{c}`" for c in meta["bucket_by"])
+        tbl = f"__kamu_state_{uuid.uuid4().hex}"
+        self.spark.sql(
+            f"CREATE TABLE `{tbl}` ({ddl}) USING PARQUET "
+            f"CLUSTERED BY ({cols}) INTO {int(meta['num_buckets'])} BUCKETS "
+            f"LOCATION '{path}'"
+        )
+        df = self.spark.table(tbl)
+        self.spark.sql(f"DROP TABLE `{tbl}`")
+        return df
 
-    def _write_df(self, name: str, df: DataFrame) -> None:
+    def save_df(
+        self,
+        name: str,
+        df: DataFrame,
+        bucket_by: list[str] | None = None,
+        append: bool = False,
+        pre_partitioned: bool = False,
+    ) -> None:
+        """Persist a state relation into the new checkpoint dir.
+
+        bucket_by: hash-bucket the files by these columns (see load_df) so
+            next invocation's state-side joins are exchange-free.
+        append: `df` is a DELTA — the previous checkpoint's files are
+            hard-linked forward (O(files), no Spark job, no re-read of the
+            accumulated history) and only the delta's files are written.
+            Only valid for relations whose rows are immutable once written
+            (full-history join buffers). Falls back to a plain rewrite when
+            the previous relation's layout doesn't match.
+        pre_partitioned: skip the pre-write repartition — the caller's
+            plan already delivers (mostly) bucket-aligned partitions (e.g.
+            the surviving side of a join/aggregate keyed on bucket_by), so
+            forcing another full exchange of the state would undo the
+            bucketing's point. Always CORRECT regardless (the writer
+            assigns each ROW its bucket file); misaligned partitions only
+            cost extra small files.
+        """
+        if self._deferred is not None:
+            self._deferred.append((name, df, bucket_by, append, pre_partitioned))
+            return
+        self._write_df(name, df, bucket_by, append, pre_partitioned)
+
+    def _write_df(
+        self,
+        name: str,
+        df: DataFrame,
+        bucket_by: list[str] | None = None,
+        append: bool = False,
+        pre_partitioned: bool = False,
+    ) -> None:
         path = self._rel_path(self.new_dir, name)
-        # The input of this write may include the previous state at the same
-        # logical name (read from prev_dir), so no self-overwrite hazard.
-        df.write.mode("overwrite").parquet(path)
+        prev_path = self._rel_path(self.prev_dir, name)
+        prev_meta = self.load_json(self._meta_name(name))
+        if append and prev_path and os.path.exists(prev_path):
+            prev_buckets = (prev_meta or {}).get("bucket_by")
+            if bucket_by is None:
+                # Keep the established layout — a non-bucketed delta file
+                # inside a bucketed dir would corrupt the bucket scan.
+                bucket_by = prev_buckets
+            if prev_buckets == bucket_by:
+                self._append_delta(
+                    name, path, prev_path, df, bucket_by, prev_meta
+                )
+                return
+            # Layout changed (e.g. conf/bucket-key change between runs):
+            # migrate by folding the old files into one bucketed rewrite.
+            prev = self.load_df(name)
+            if prev is not None:
+                df = prev.unionByName(df)
+        if bucket_by:
+            num = self._num_buckets()
+            self._write_bucketed(path, df, bucket_by, num)
+            self.save_json(
+                self._meta_name(name), {"bucket_by": bucket_by, "num_buckets": num}
+            )
+        else:
+            # The input of this write may include the previous state at the
+            # same logical name (read from prev_dir), so no self-overwrite
+            # hazard.
+            df.write.mode("overwrite").parquet(path)
+        self._written.add(f"{name}.parquet")
+
+    def _num_buckets(self) -> int:
+        try:
+            return int(self.spark.conf.get(_NUM_BUCKETS_CONF))
+        except Exception:
+            return int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    def _write_bucketed(
+        self, path: str, df: DataFrame, bucket_by: list[str], num_buckets: int
+    ) -> None:
+        # DataFrameWriter only emits bucketed layout through saveAsTable;
+        # write an external path-backed table, then drop the catalog entry
+        # (files stay). repartition on the bucket keys first so each task
+        # owns exactly one bucket — same Murmur3 hash as the bucket
+        # assignment, so no task writes more than one file.
+        tbl = f"__kamu_state_{uuid.uuid4().hex}"
+        (
+            df.repartition(num_buckets, *bucket_by)
+            .write.mode("overwrite")
+            .bucketBy(num_buckets, *bucket_by)
+            .option("path", path)
+            .format("parquet")
+            .saveAsTable(tbl)
+        )
+        self.spark.sql(f"DROP TABLE `{tbl}`")
+
+    def _append_delta(
+        self,
+        name: str,
+        path: str,
+        prev_path: str,
+        delta: DataFrame,
+        bucket_by: list[str] | None,
+        prev_meta: dict | None,
+    ) -> None:
+        # 1) Link the previous invocation's files forward — bucket ids are
+        #    carried in the file names, so linked files keep their buckets.
+        os.makedirs(path, exist_ok=True)
+        for entry in os.listdir(prev_path):
+            src = os.path.join(prev_path, entry)
+            dst = os.path.join(path, entry)
+            if not os.path.isfile(src) or os.path.exists(dst):
+                continue
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy2(src, dst)
+        # 2) Write ONLY the delta, then move its files in. Spark part-file
+        #    names embed a per-job UUID plus the bucket suffix, so names
+        #    from different jobs can't collide; a defensive unique prefix
+        #    keeps the bucket suffix (the reader parses `_NNNNN` from the
+        #    END of the name) while ruling collisions out entirely.
+        staging = os.path.join(self.new_dir, f".{name}.delta-{uuid.uuid4().hex}")
+        if bucket_by:
+            num = int((prev_meta or {}).get("num_buckets") or self._num_buckets())
+            self._write_bucketed(staging, delta, bucket_by, num)
+            self.save_json(
+                self._meta_name(name), {"bucket_by": bucket_by, "num_buckets": num}
+            )
+        else:
+            delta.write.mode("overwrite").parquet(staging)
+        prefix = uuid.uuid4().hex[:8]
+        for entry in os.listdir(staging):
+            if entry.startswith(("_", ".")):
+                continue
+            os.replace(
+                os.path.join(staging, entry), os.path.join(path, f"{prefix}-{entry}")
+            )
+        shutil.rmtree(staging, ignore_errors=True)
         self._written.add(f"{name}.parquet")
 
     def begin_deferred(self) -> None:
@@ -130,7 +307,7 @@ class StateStore:
         creation, so later temp-view rebinding cannot change a queued
         write; per-relation names are unique per invocation."""
         pending, self._deferred = self._deferred or [], None
-        actions = [lambda n=n, df=df: self._write_df(n, df) for n, df in pending]
+        actions = [lambda it=it: self._write_df(*it) for it in pending]
         if also is not None:
             actions.append(also)
         if not actions:
@@ -149,18 +326,19 @@ class StateStore:
         """Save several INDEPENDENT state relations with overlapping jobs
         (concurrent submission from one thread per relation — each write
         is its own output, so the cluster schedules them side by side
-        instead of serializing the actions)."""
-        items = list(items)
+        instead of serializing the actions). Items are (name, df) or
+        (name, df, bucket_by) or (name, df, bucket_by, append) tuples."""
+        items = [(*it, None, False)[:4] for it in items]
         if self._deferred is not None:
             self._deferred.extend(items)
             return
         if len(items) == 1:
-            self.save_df(*items[0])
+            self._write_df(*items[0])
             return
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=len(items)) as pool:
-            futures = [pool.submit(self._write_df, n, df) for n, df in items]
+            futures = [pool.submit(self._write_df, *it) for it in items]
             for f in futures:
                 f.result()
 

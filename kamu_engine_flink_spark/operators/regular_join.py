@@ -21,8 +21,19 @@ row immediately for an unmatched row on a padded side, then RETRACT it
 when the first match arrives (-D of the pad, +I of the pair); here that is
 the op changelog — pad rows carry op 0, the retraction op 1 (DELETE,
 ChangelogOperator.scala mapping), ordered before the new pairs within the
-invocation. Each padded side's state carries a per-row matched flag so a
-pad is retracted exactly once; FULL pads/retracts on both sides.
+invocation. FULL pads/retracts on both sides.
+
+State layout (the Spark analogue of Flink's resident keyed join state):
+each side persists an APPEND-ONLY `rows` relation — every invocation
+hard-links the previous files forward and writes only its delta, so the
+checkpoint cost is O(slice), never O(accumulated history) — plus, for a
+padded side, a small rewritten `unmatched` relation (rows still awaiting
+their first partner; a pad is retracted exactly once because its row
+leaves `unmatched` the moment it matches). For a pure-equi ON, both
+relations are hash-BUCKETED by the join keys, so every probe of new rows
+against accumulated state plans NO exchange (and no sort-side shuffle) on
+the state side — invocation N+1 never re-shuffles history, exactly like
+Flink probing resident hash state.
 
 Self-joins (the same view on both sides) are supported by rebinding the
 right side under a private temp-view name before the branch SQL runs, so
@@ -36,7 +47,7 @@ import re
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import BooleanType, IntegerType, StructField, StructType
+from pyspark.sql.types import IntegerType
 
 from ..plans.classify import parse_regular_join
 from ..plans.dialect import rewrite_query
@@ -62,10 +73,6 @@ def _run_with_views(
                 ctx.views[name].createOrReplaceTempView(name)
             else:
                 ctx.spark.catalog.dropTempView(name)
-
-
-def _with_flag(df: DataFrame, value: bool) -> DataFrame:
-    return df.withColumn(_MATCHED, F.lit(value))
 
 
 _EQ_TERM_RE = re.compile(
@@ -187,131 +194,121 @@ def execute_regular_join(ctx: StepContext, sql: str) -> StepResult:
     )
     new_left, new_right = ctx.views[lv], ctx.views[rv]
     if pad_left:
-        # The new-left slice feeds the pairs branch, two semi/anti probes,
-        # and the pad run — pin once so every consumer shares the scan.
+        # The new-left slice feeds two pair branches, the anti-probe chain,
+        # the pad run, and the state append — pin once so every consumer
+        # shares the scan.
         new_left = ctx.pin(new_left)
     if pad_right:
         new_right = ctx.pin(new_right)
-    left_state = f"{ctx.step_key}-rj-left"
-    right_state = f"{ctx.step_key}-rj-right"
-    left_state_schema = (
-        StructType(list(new_left.schema.fields) + [StructField(_MATCHED, BooleanType())])
-        if pad_left
-        else new_left.schema
+    left_rows_name = f"{ctx.step_key}-rj-left"
+    right_rows_name = f"{ctx.step_key}-rj-right"
+    left_unm_name = f"{ctx.step_key}-rj-left-unm"
+    right_unm_name = f"{ctx.step_key}-rj-right-unm"
+    keys = equi_keys(spec.on_condition, la, ra)
+    lkeys = [lc for lc, _ in keys] if keys else None
+    rkeys = [rc for _, rc in keys] if keys else None
+
+    first = not ctx.state.has_df(left_rows_name) and not ctx.state.has_df(
+        right_rows_name
     )
-    right_state_schema = (
-        StructType(list(new_right.schema.fields) + [StructField(_MATCHED, BooleanType())])
-        if pad_right
-        else new_right.schema
-    )
-    old_left_state = ctx.state.load_df(left_state, schema=left_state_schema)
-    old_left = old_left_state.drop(_MATCHED) if pad_left else old_left_state
-    old_right_state = ctx.state.load_df(right_state, schema=right_state_schema)
-    old_right = old_right_state.drop(_MATCHED) if pad_right else old_right_state
-    all_right = ctx.pin(old_right.unionByName(new_right))
+    old_left = ctx.state.load_df(left_rows_name, schema=new_left.schema)
+    old_right = ctx.state.load_df(right_rows_name, schema=new_right.schema)
 
     # Pair-uniqueness across invocations without an emitted ledger: a pair
-    # is new iff at least one side arrived this run.
+    # is new iff at least one side arrived this run. Three branches rather
+    # than two (new x old, new x new, old x new) so the bucketed state scan
+    # is joined DIRECTLY (a union with the new slice would discard its
+    # output partitioning and force a full-history exchange).
     wm = min_watermark(ctx.new_wms.get(lv), ctx.new_wms.get(rv))
     bl = _slice_hinted(ctx, lv, new_left)
     br = _slice_hinted(ctx, rv, new_right)
-    part_a = _run_with_views(ctx, inner_sql, {lv: bl, rv_bind: all_right}, wm)
-    part_b = _run_with_views(ctx, inner_sql, {lv: old_left, rv_bind: br}, wm)
-    pairs = part_a.unionByName(part_b)
+    pairs_new = _run_with_views(ctx, inner_sql, {lv: bl, rv_bind: br}, wm)
+    if first:
+        pairs = pairs_new
+    else:
+        pairs = (
+            _run_with_views(ctx, inner_sql, {lv: bl, rv_bind: old_right}, wm)
+            .unionByName(pairs_new)
+            .unionByName(
+                _run_with_views(ctx, inner_sql, {lv: old_left, rv_bind: br}, wm)
+            )
+        )
 
     cond = F.expr(spec.on_condition)
-    keys = equi_keys(spec.on_condition, la, ra)
-    empty_right = all_right.limit(0)
+    empty_right = new_right.limit(0)
     retract_parts: list[DataFrame] = []
     pad_parts: list[DataFrame] = []
+    saves: list[tuple] = [
+        (left_rows_name, new_left, lkeys, True),
+        (right_rows_name, new_right, rkeys, True),
+    ]
 
     if pad_left:
-        old_unmatched_l = old_left_state.filter(~F.col(_MATCHED)).drop(_MATCHED)
-        old_matched_l = old_left_state.filter(F.col(_MATCHED)).drop(_MATCHED)
+        old_unmatched_l = ctx.state.load_df(left_unm_name, schema=new_left.schema)
+        # New lefts without any match so far: NULL-pad immediately (op 0).
+        # Anti-chain: first against the (bucketed) accumulated right rows —
+        # exchange-free on the state side — then against the new slice.
+        new_unmatched_l = (
+            bl.alias(la)
+            .join(old_right.alias(ra), cond, "left_anti")
+            .alias(la)
+            .join(br.alias(ra), cond, "left_anti")
+        )
+        # Old padded lefts whose FIRST match arrived this run: retract the
+        # pad (op 1 = DELETE, emitted before this invocation's pairs),
+        # exactly once — the row leaves `unmatched` state on first match.
         if keys is not None:
-            # Equi condition: ONE flagged join per probe against the other
-            # side's distinct key set, and the state union reads the flags
-            # directly (3 branches, 2 joins — vs 5 branches, 4 semi/anti).
-            new_flagged_l = _flag_matched(new_left, all_right, keys, True)
-            old_flagged_l = _flag_matched(old_unmatched_l, new_right, keys, True)
-            new_unmatched_l = new_flagged_l.filter(~F.col(_MATCHED)).drop(_MATCHED)
-            newly_matched_l = old_flagged_l.filter(F.col(_MATCHED)).drop(_MATCHED)
-            keep_left = (
-                _with_flag(old_matched_l, True)
-                .unionByName(old_flagged_l)
-                .unionByName(new_flagged_l)
-            )
+            flagged_l = _flag_matched(old_unmatched_l, new_right, keys, True)
+            newly_matched_l = flagged_l.filter(F.col(_MATCHED)).drop(_MATCHED)
+            still_unmatched_l = flagged_l.filter(~F.col(_MATCHED)).drop(_MATCHED)
         else:
-            # New lefts without any match so far: NULL-pad immediately
-            # (op 0).
-            new_matched_l = bl.alias(la).join(all_right.alias(ra), cond, "left_semi")
-            new_unmatched_l = bl.alias(la).join(all_right.alias(ra), cond, "left_anti")
-            # Old padded lefts whose FIRST match arrived this run: retract
-            # the pad (op 1 = DELETE, emitted before this invocation's
-            # pairs), exactly once — the per-row matched flag in state.
             newly_matched_l = old_unmatched_l.alias(la).join(
                 br.alias(ra), cond, "left_semi"
             )
             still_unmatched_l = old_unmatched_l.alias(la).join(
                 br.alias(ra), cond, "left_anti"
             )
-            keep_left = (
-                _with_flag(old_matched_l, True)
-                .unionByName(_with_flag(newly_matched_l, True))
-                .unionByName(_with_flag(still_unmatched_l, False))
-                .unionByName(_with_flag(new_matched_l, True))
-                .unionByName(_with_flag(new_unmatched_l, False))
-            )
+        saves.append(
+            (left_unm_name, still_unmatched_l.unionByName(new_unmatched_l), lkeys)
+        )
         pad_parts.append(
             _run_with_views(ctx, sql, {lv: new_unmatched_l, rv_bind: empty_right}, wm)
         )
         retract_parts.append(
             _run_with_views(ctx, sql, {lv: newly_matched_l, rv_bind: empty_right}, wm)
         )
-    else:
-        keep_left = old_left.unionByName(new_left)
 
     if pad_right:
         # Mirror image: unmatched rights pad with a NULL left side (RIGHT/
         # FULL with an empty left projects exactly those pads).
-        all_left = ctx.pin(old_left.unionByName(new_left))
-        empty_left = all_left.limit(0)
-        old_unmatched_r = old_right_state.filter(~F.col(_MATCHED)).drop(_MATCHED)
-        old_matched_r = old_right_state.filter(F.col(_MATCHED)).drop(_MATCHED)
+        empty_left = new_left.limit(0)
+        old_unmatched_r = ctx.state.load_df(right_unm_name, schema=new_right.schema)
+        new_unmatched_r = (
+            br.alias(ra)
+            .join(old_left.alias(la), cond, "left_anti")
+            .alias(ra)
+            .join(bl.alias(la), cond, "left_anti")
+        )
         if keys is not None:
-            new_flagged_r = _flag_matched(new_right, all_left, keys, False)
-            old_flagged_r = _flag_matched(old_unmatched_r, new_left, keys, False)
-            new_unmatched_r = new_flagged_r.filter(~F.col(_MATCHED)).drop(_MATCHED)
-            newly_matched_r = old_flagged_r.filter(F.col(_MATCHED)).drop(_MATCHED)
-            keep_right = (
-                _with_flag(old_matched_r, True)
-                .unionByName(old_flagged_r)
-                .unionByName(new_flagged_r)
-            )
+            flagged_r = _flag_matched(old_unmatched_r, new_left, keys, False)
+            newly_matched_r = flagged_r.filter(F.col(_MATCHED)).drop(_MATCHED)
+            still_unmatched_r = flagged_r.filter(~F.col(_MATCHED)).drop(_MATCHED)
         else:
-            new_matched_r = br.alias(ra).join(all_left.alias(la), cond, "left_semi")
-            new_unmatched_r = br.alias(ra).join(all_left.alias(la), cond, "left_anti")
             newly_matched_r = old_unmatched_r.alias(ra).join(
                 bl.alias(la), cond, "left_semi"
             )
             still_unmatched_r = old_unmatched_r.alias(ra).join(
                 bl.alias(la), cond, "left_anti"
             )
-            keep_right = (
-                _with_flag(old_matched_r, True)
-                .unionByName(_with_flag(newly_matched_r, True))
-                .unionByName(_with_flag(still_unmatched_r, False))
-                .unionByName(_with_flag(new_matched_r, True))
-                .unionByName(_with_flag(new_unmatched_r, False))
-            )
+        saves.append(
+            (right_unm_name, still_unmatched_r.unionByName(new_unmatched_r), rkeys)
+        )
         pad_parts.append(
             _run_with_views(ctx, sql, {lv: empty_left, rv_bind: new_unmatched_r}, wm)
         )
         retract_parts.append(
             _run_with_views(ctx, sql, {lv: empty_left, rv_bind: newly_matched_r}, wm)
         )
-    else:
-        keep_right = all_right
 
     if kind:
 
@@ -320,14 +317,14 @@ def execute_regular_join(ctx: StepContext, sql: str) -> StepResult:
                 _PHASE, F.lit(phase).cast(IntegerType())
             )
 
-        if not ctx.state.has_df(left_state) and not ctx.state.has_df(right_state):
+        if first:
             # First invocation (no prior state): the pair/pad/retract
             # assembly collapses to the user's own outer join over the
             # two slices — pairs + immediate pads, no retracts possible.
             # One join instead of the inner-pairs run plus two anti-join
             # pad runs; identical output (the slice-invariance tests
             # cross-validate this path against the general one). The
-            # probes above still feed the matched-flag state.
+            # probes above still feed the unmatched state.
             result = _tag(_run_with_views(ctx, sql, {lv: bl, rv_bind: br}, wm), OP_APPEND, 1)
         else:
             result = _tag(pairs, OP_APPEND, 1)
@@ -340,9 +337,9 @@ def execute_regular_join(ctx: StepContext, sql: str) -> StepResult:
 
     # Full-history state (Flink regular-join semantics — no horizon to
     # evict by; a self-join persists each side under its own state key).
-    # The two saves are independent outputs — overlapping their jobs
-    # beats serializing the actions (FULL x10 3-inv: 13.8s -> 11.4s).
-    ctx.state.save_dfs([(left_state, keep_left), (right_state, keep_right)])
+    # Rows relations append only this run's slice; the saves are
+    # independent outputs flushed with overlapping jobs.
+    ctx.state.save_dfs(saves)
 
     order_cols = [c for c in result.columns if c != _PHASE]
     out_et = ctx.request.vocab.event_time_column
