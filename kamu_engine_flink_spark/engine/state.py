@@ -110,6 +110,21 @@ class StateStore:
     def _meta_name(self, name: str) -> str:
         return f"{name}.buckets.json"
 
+    def relation_bytes(self, name: str) -> int | None:
+        """On-disk size of the previous checkpoint's relation, or None when
+        it doesn't exist. Free metadata (no Spark job) — operators use it
+        to decide whether a touched-keys state split is worth its probe
+        cost (state >> slice) or the slice plausibly touches most keys
+        anyway (state ~ slice)."""
+        path = self._rel_path(self.prev_dir, name)
+        if not path or not os.path.isdir(path):
+            return None
+        return sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if not f.startswith(("_", "."))
+        )
+
     def has_df(self, name: str) -> bool:
         """True when the previous checkpoint persisted this relation —
         lets operators skip the buffer-union (and its materializing pin)
@@ -216,7 +231,7 @@ class StateStore:
                 df = prev.unionByName(df)
         if bucket_by:
             num = self._num_buckets()
-            self._write_bucketed(path, df, bucket_by, num)
+            self._write_bucketed(path, df, bucket_by, num, pre_partitioned)
             self.save_json(
                 self._meta_name(name), {"bucket_by": bucket_by, "num_buckets": num}
             )
@@ -234,17 +249,25 @@ class StateStore:
             return int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     def _write_bucketed(
-        self, path: str, df: DataFrame, bucket_by: list[str], num_buckets: int
+        self,
+        path: str,
+        df: DataFrame,
+        bucket_by: list[str],
+        num_buckets: int,
+        pre_partitioned: bool = False,
     ) -> None:
         # DataFrameWriter only emits bucketed layout through saveAsTable;
         # write an external path-backed table, then drop the catalog entry
         # (files stay). repartition on the bucket keys first so each task
         # owns exactly one bucket — same Murmur3 hash as the bucket
-        # assignment, so no task writes more than one file.
+        # assignment, so no task writes more than one file. With
+        # pre_partitioned the caller vouches its partitions are already
+        # bucket-aligned; bucket ids are assigned per row either way.
+        if not pre_partitioned:
+            df = df.repartition(num_buckets, *bucket_by)
         tbl = f"__kamu_state_{uuid.uuid4().hex}"
         (
-            df.repartition(num_buckets, *bucket_by)
-            .write.mode("overwrite")
+            df.write.mode("overwrite")
             .bucketBy(num_buckets, *bucket_by)
             .option("path", path)
             .format("parquet")

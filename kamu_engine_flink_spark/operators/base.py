@@ -123,3 +123,55 @@ def fast_local_df(spark: SparkSession, rows: list[dict], schema) -> DataFrame:
         return out
     except Exception:
         return spark.createDataFrame(rows, schema)
+
+
+def split_touched_state(
+    prev: DataFrame, keys: list[str], probe_keys: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """(active, untouched): partition a keyed state relation by whether its
+    key appears in `probe_keys` (this slice's key set).
+
+    Probes use plain `=` so a BUCKETED state scan keeps its output
+    partitioning and plans no exchange — Spark rewrites null-safe (<=>)
+    join keys into coalesce/isnull composites that defeat hash-partition
+    pruning, re-shuffling the whole state. NULL group keys (legal groups
+    under GROUP BY / PARTITION BY semantics) can never `=`-match, so
+    NULL-keyed state rows are unconditionally routed to `active`: folding
+    an unchanged group is a no-op emission-wise, and NULL-key groups stay
+    exact without a full-state null-safe shuffle."""
+    from pyspark.sql import functions as F
+
+    nn = None
+    for k in keys:
+        c = F.col(k).isNotNull()
+        nn = c if nn is None else (nn & c)
+    cond = None
+    for k in keys:
+        c = F.col(f"s.{k}") == F.col(f"p.{k}")
+        cond = c if cond is None else (cond & c)
+    state_nn = prev.filter(nn)
+    state_null = prev.filter(~nn)
+    active = state_nn.alias("s").join(
+        probe_keys.alias("p"), cond, "left_semi"
+    ).unionByName(state_null)
+    untouched = state_nn.alias("s").join(probe_keys.alias("p"), cond, "left_anti")
+    return active, untouched
+
+
+def state_split_worthwhile(
+    ctx: "StepContext", state_name: str, src: str | None, factor: int = 4
+) -> bool:
+    """Gate for the touched-keys state split: worth its probe cost only
+    when the accumulated state is substantially larger than this slice
+    (the steady-state shape of a long-lived stream — a daily slice against
+    months of keys). When state ~ slice, the slice plausibly touches most
+    keys and the split's semi/anti/distinct passes are pure overhead on
+    top of an unavoidable full fold. Decided from free file-size metadata
+    — no Spark job."""
+    state_bytes = ctx.state.relation_bytes(state_name)
+    if not state_bytes:
+        return False  # first invocation: nothing to split
+    slice_bytes = ctx.slice_sizes.get(src) if src else None
+    if slice_bytes is None:
+        return True  # chained alias, size unknown: prefer the scale-safe path
+    return state_bytes > factor * slice_bytes

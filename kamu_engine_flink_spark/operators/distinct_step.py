@@ -106,15 +106,24 @@ def execute_distinct(ctx: StepContext, sql: str) -> StepResult:
     tagged = df.withColumn("__fp", fingerprint)
     if ctx.state.has_df(state_name):
         prev = ctx.state.load_df(state_name, schema=state_schema)
-        # One scan feeds both the emission and the state rewrite.
+        # One scan feeds both the emission and the state append. The
+        # fingerprint state is BUCKETED by fp, so the anti-join probe
+        # plans no exchange on the (unboundedly growing) state side.
         fresh = ctx.pin(tagged.join(prev, tagged["__fp"] == prev["fp"], "left_anti"))
-        new_state = prev.unionByName(fresh.select(F.col("__fp").alias("fp"))).distinct()
     else:
         # First run: nothing seen before — no state to join, no pin (the
         # emission and the state write each re-read the slice directly).
         fresh = tagged
-        new_state = fresh.select(F.col("__fp").alias("fp"))
-    ctx.state.save_df(state_name, new_state)
+    # Fingerprints never leave the seen-set, and `fresh` is unique within
+    # the slice (df is slice-distinct) and disjoint from state (the anti
+    # join) — so the state is append-only: previous files hard-link
+    # forward, only this slice's new fingerprints are written.
+    ctx.state.save_df(
+        state_name,
+        fresh.select(F.col("__fp").alias("fp")),
+        bucket_by=["fp"],
+        append=True,
+    )
 
     out = fresh.drop("__fp")
     has_seq = SEQ_INPUT in out.columns

@@ -32,7 +32,12 @@ from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
 from ..plans.dialect import rewrite_query
 from ..protocol.model import InvalidQueryError
-from .base import StepContext, StepResult
+from .base import (
+    StepContext,
+    StepResult,
+    split_touched_state,
+    state_split_worthwhile,
+)
 from .topn import (
     _INNER_FROM_RE,
     _SHAPE_RE,
@@ -115,7 +120,23 @@ def execute_keyed_topn(ctx: StepContext, sql: str, spec) -> StepResult:
     pruned = _prune_partition_local(
         incoming, order_col, descending, spec.limit, part_keys=part_keys
     )
-    unioned = prev_state.withColumn(SEQ_INPUT, F.lit(None).cast("long")).unionByName(
+    # Touched-keys fold: a key with no row in this slice cannot change its
+    # ranking, so only the state of keys PRESENT in the slice enters the
+    # Python fold — a semi/anti probe against the slice's key set over
+    # the BUCKETED state relation (exchange-free on the state side;
+    # NULL-key groups route to active unconditionally, see base.py).
+    # Untouched keys' rows flow straight to the state save. Fold cost is
+    # O(touched keys), not O(all keys ever seen) — gated on state >> slice
+    # (when the slice plausibly touches most keys, the probes are pure
+    # overhead on an unavoidable full fold).
+    if state_split_worthwhile(ctx, state_name, src):
+        pruned = ctx.pin(pruned)
+        active_state, untouched_state = split_touched_state(
+            prev_state, part_keys, pruned.select(*part_keys).distinct()
+        )
+    else:
+        active_state, untouched_state = prev_state, None
+    unioned = active_state.withColumn(SEQ_INPUT, F.lit(None).cast("long")).unionByName(
         pruned.withColumn(rank_col, F.lit(None).cast("long")).select(
             rank_col, *value_cols, SEQ_INPUT
         )
@@ -138,8 +159,11 @@ def execute_keyed_topn(ctx: StepContext, sql: str, spec) -> StepResult:
     folded = ctx.pin(
         grouped_map_batched(unioned, part_keys, fold_group, fold_schema)
     )
+    keep = folded.filter(F.col(KIND_COL) == 1).select(rank_col, *value_cols)
+    if untouched_state is not None:
+        keep = untouched_state.unionByName(keep)
     ctx.state.save_df(
-        state_name, folded.filter(F.col(KIND_COL) == 1).select(rank_col, *value_cols)
+        state_name, keep, bucket_by=part_keys, pre_partitioned=True
     )
     changelog_df = folded.filter(F.col(KIND_COL) == 0).drop(KIND_COL)
 

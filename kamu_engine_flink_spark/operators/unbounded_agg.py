@@ -42,7 +42,12 @@ from ..plans.classify import (
 )
 from ..plans.dialect import rewrite_query
 from ..protocol.model import InvalidQueryError
-from .base import StepContext, StepResult
+from .base import (
+    StepContext,
+    StepResult,
+    split_touched_state,
+    state_split_worthwhile,
+)
 from .topn import OP_COL
 
 SUB_COL = "__emit_sub"  # 0 for op 0/2 rows, 1 for op 3 — pair order per key
@@ -104,23 +109,58 @@ def execute_unbounded_agg(ctx: StepContext, sql: str) -> StepResult:
     prev = ctx.state.load_df(acc_name, schema=partials.schema)
 
     merge_exprs = [getattr(F, fn)(F.col(c)).alias(c) for c, fn in merges.items()]
-    merged = ctx.pin(
-        prev.unionByName(partials).groupBy(*group_cols).agg(*merge_exprs)
-    )
-    ctx.state.save_df(
-        acc_name, merged.filter(F.col(LIVE_COL) > 0) if is_changelog else merged
-    )
+    if group_cols and state_split_worthwhile(ctx, acc_name, src):
+        # Touched-keys merge: only groups PRESENT in this slice can change,
+        # so split the (bucketed) accumulator state by a semi/anti probe
+        # against the slice's key set — exchange-free on the state
+        # side — and run the merge + diff over the touched subset alone.
+        # Untouched accumulators flow straight to the state save; the
+        # write skips its repartition because both inputs are already
+        # hash-partitioned on the group keys (the bucketed anti output and
+        # the merge's own groupBy). Gated on state >> slice: when the
+        # slice plausibly touches most keys the probes are pure overhead
+        # on an unavoidable full merge.
+        partials = ctx.pin(partials)
+        active_prev, untouched = split_touched_state(
+            prev, group_cols, partials.select(*group_cols)
+        )
+        active_prev = ctx.pin(active_prev)
+        merged = ctx.pin(
+            active_prev.unionByName(partials).groupBy(*group_cols).agg(*merge_exprs)
+        )
+        live_merged = merged.filter(F.col(LIVE_COL) > 0) if is_changelog else merged
+        ctx.state.save_df(
+            acc_name,
+            untouched.unionByName(live_merged),
+            bucket_by=group_cols,
+            pre_partitioned=True,
+        )
+        diff_base = active_prev
+    else:
+        # Full merge: first invocation, keyless aggregation, or a slice
+        # comparable in size to the state. Saved bucketed either way (the
+        # groupBy output is already key-partitioned) so a later, smaller
+        # slice can take the split path against an exchange-free scan.
+        merged = ctx.pin(
+            prev.unionByName(partials).groupBy(*group_cols).agg(*merge_exprs)
+        )
+        ctx.state.save_df(
+            acc_name,
+            merged.filter(F.col(LIVE_COL) > 0) if is_changelog else merged,
+            bucket_by=group_cols or None,
+            pre_partitioned=True,
+        )
+        diff_base = prev
 
     # Per-key diff old vs new. Null-safe key equality keeps NULL group
     # keys as ordinary groups (Spark groupBy semantics); a literal TRUE
     # marker on the old side distinguishes "key unseen" from "NULL key".
-    prev_marked = prev.withColumn("__present", F.lit(True))
+    prev_marked = diff_base.withColumn("__present", F.lit(True))
     key_cond = None
     for k in group_cols:
         c = F.col(f"n.{k}").eqNullSafe(F.col(f"o.{k}"))
         key_cond = c if key_cond is None else (key_cond & c)
     if key_cond is None:
-        # Global (keyless) aggregation: one group — old side is <= 1 row.
         key_cond = F.lit(True)
     joined = merged.alias("n").join(prev_marked.alias("o"), key_cond, "left")
     is_new = F.col("o.__present").isNull()

@@ -174,3 +174,66 @@ def test_match_recognize_no_forced_broadcast_high_cardinality(spark, tmp_path):
     assert table.num_rows == N_KEYS
     assert set(table.column("a_price").to_pylist()) == {5}
     assert set(table.column("b_price").to_pylist()) == {200}
+
+
+RJ_QUERY = """select
+  t.event_time as event_time, t.symbol as symbol,
+  t.price as t_price, q.price as q_price
+from trades as t join quotes as q on t.symbol = q.symbol"""
+
+
+def _two_stream_input(alias, path, watermark):
+    return {
+        "alias": alias,
+        "data_paths": [path] if path else [],
+        "schema_file": path,
+        "watermark": watermark,
+    }
+
+
+def test_regular_join_state_probes_use_bucketed_scans(spark, tmp_path):
+    """The regular join's accumulated per-side state is persisted BUCKETED
+    by the join key: invocation N+1's probes must read it as a bucketed
+    scan (no exchange above the state side — the full history is never
+    re-shuffled), and no forced broadcast may appear either."""
+    runner = TransformRunner(spark, tmp_path, queries=[(RJ_QUERY, None)])
+    n = 20_000
+    t1 = str(tmp_path / "in" / "t1.parquet")
+    q1 = str(tmp_path / "in" / "q1.parquet")
+    ticker_slice(t1, [(i, 0, ts(2), ts(1, 0, 1), f"k{i}", 1) for i in range(n)])
+    ticker_slice(q1, [(i, 0, ts(2), ts(1, 0, 2), f"k{i}", 2) for i in range(n)])
+    runner.run(
+        [_two_stream_input("trades", t1, ts(1, 1)), _two_stream_input("quotes", q1, ts(1, 1))],
+        system_time=ts(2),
+    )
+
+    t2 = str(tmp_path / "in" / "t2.parquet")
+    q2 = str(tmp_path / "in" / "q2.parquet")
+    ticker_slice(t2, [(n + i, 0, ts(3), ts(2, 0, 1), f"k{i}", 3) for i in range(500)])
+    ticker_slice(q2, [(n + i, 0, ts(3), ts(2, 0, 2), f"k{i}", 4) for i in range(500)])
+    with _no_auto_broadcast(spark):
+        _drain_listener_bus(spark)
+        n_before = len(_executions(spark))
+        resp, out = runner.run(
+            [
+                _two_stream_input("trades", t2, ts(2, 1)),
+                _two_stream_input("quotes", q2, ts(2, 1)),
+            ],
+            system_time=ts(3),
+        )
+        _assert_no_broadcast(spark, n_before)
+        _drain_listener_bus(spark)
+        plans = _executions(spark)[n_before:]
+        bucketed = [p for p in plans if "Bucketed: true" in p]
+        assert bucketed, "no bucketed state scan in invocation-2 plans"
+        # The state side of every probe is exchange-free: a bucketed scan
+        # must never sit directly under an Exchange in the same plan
+        # subtree. Textual proxy: every plan that scans the rj state also
+        # selects all of its buckets (the scan went through the bucket
+        # reader, not a plain parquet re-shuffle).
+        assert any("SelectedBucketsCount" in p for p in bucketed)
+
+    # Pair correctness across runs: 500 new trades x old quotes +
+    # new trades x new quotes + old trades x new quotes.
+    table = pq.read_table(out)
+    assert table.num_rows == 3 * 500
