@@ -366,7 +366,9 @@ class StateStore:
                 f.result()
 
     def finish(self) -> None:
-        """Copy forward any previous-state entries this run didn't rewrite."""
+        """Carry forward any previous-state entries this run didn't rewrite.
+        Hard-links where possible (checkpoint dirs are immutable once
+        written, so shared file bodies are safe) — O(files), not O(bytes)."""
         if not self.prev_dir or not os.path.isdir(self.prev_dir):
             return
         for entry in os.listdir(self.prev_dir):
@@ -377,6 +379,12 @@ class StateStore:
             if os.path.exists(dst):
                 continue
             if os.path.isdir(src):
-                shutil.copytree(src, dst)
+                try:
+                    shutil.copytree(src, dst, copy_function=os.link)
+                except OSError:
+                    shutil.copytree(src, dst, dirs_exist_ok=True)
             else:
-                shutil.copy2(src, dst)
+                try:
+                    os.link(src, dst)
+                except OSError:
+                    shutil.copy2(src, dst)

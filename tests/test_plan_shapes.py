@@ -223,14 +223,20 @@ def test_regular_join_state_probes_use_bucketed_scans(spark, tmp_path):
         )
         _assert_no_broadcast(spark, n_before)
         _drain_listener_bus(spark)
-        plans = _executions(spark)[n_before:]
+        # Scope by this test's own checkpoint path: the status store is
+        # shared across the whole session and its retention cap makes
+        # index-based slicing unreliable under a full-suite run.
+        plans = [
+            p
+            for p in _executions(spark)
+            if str(tmp_path) in p and "-rj-" in p
+        ]
+        assert plans, "no plans scanning this test's rj state were captured"
         bucketed = [p for p in plans if "Bucketed: true" in p]
         assert bucketed, "no bucketed state scan in invocation-2 plans"
-        # The state side of every probe is exchange-free: a bucketed scan
-        # must never sit directly under an Exchange in the same plan
-        # subtree. Textual proxy: every plan that scans the rj state also
-        # selects all of its buckets (the scan went through the bucket
-        # reader, not a plain parquet re-shuffle).
+        # The state side of every probe is exchange-free: the state scan
+        # goes through the bucket reader (selects its buckets), not a
+        # plain parquet scan re-shuffled by an Exchange.
         assert any("SelectedBucketsCount" in p for p in bucketed)
 
     # Pair correctness across runs: 500 new trades x old quotes +
