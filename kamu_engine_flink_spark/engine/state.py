@@ -34,6 +34,14 @@ from pyspark.sql.types import StructType
 # sizes this to executors x cores.
 _NUM_BUCKETS_CONF = "spark.kamu.state.numBuckets"
 
+# Append-only relations add up to num_buckets files per invocation (one
+# generation). Past this many data files the append compacts: one full
+# bucketed rewrite folds all generations back to one file per bucket, so
+# long-lived streams see amortized O(slice) appends with periodic O(state)
+# compactions instead of unbounded file-count growth (RocksDB/LSM shape).
+_COMPACT_FILES_CONF = "spark.kamu.state.compactAfterFiles"
+_COMPACT_FILES_DEFAULT = 512
+
 
 def _has_data_files(path: str) -> bool:
     """A relation written from an all-empty DataFrame produces only marker
@@ -219,13 +227,17 @@ class StateStore:
                 # Keep the established layout — a non-bucketed delta file
                 # inside a bucketed dir would corrupt the bucket scan.
                 bucket_by = prev_buckets
-            if prev_buckets == bucket_by:
+            n_files = sum(
+                1 for e in os.listdir(prev_path) if not e.startswith(("_", "."))
+            )
+            if prev_buckets == bucket_by and n_files < self._compact_after():
                 self._append_delta(
                     name, path, prev_path, df, bucket_by, prev_meta
                 )
                 return
-            # Layout changed (e.g. conf/bucket-key change between runs):
-            # migrate by folding the old files into one bucketed rewrite.
+            # Layout changed (conf/bucket-key change between runs) or the
+            # generation count crossed the compaction bound: fold every
+            # accumulated file into one bucketed rewrite.
             prev = self.load_df(name)
             if prev is not None:
                 df = prev.unionByName(df)
@@ -247,6 +259,12 @@ class StateStore:
             return int(self.spark.conf.get(_NUM_BUCKETS_CONF))
         except Exception:
             return int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    def _compact_after(self) -> int:
+        try:
+            return int(self.spark.conf.get(_COMPACT_FILES_CONF))
+        except Exception:
+            return _COMPACT_FILES_DEFAULT
 
     def _write_bucketed(
         self,

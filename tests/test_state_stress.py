@@ -399,3 +399,50 @@ def test_unbounded_agg_state_is_o_keys(spark, tmp_path):
             system_time=ts(2 + inv),
         )
         assert _state_rows(runner, "unbounded-acc") == keys
+
+
+def test_append_only_state_compacts_past_file_bound(spark, tmp_path):
+    """Append-only relations add ~num_buckets files per invocation; past
+    spark.kamu.state.compactAfterFiles the append folds every generation
+    into one bucketed rewrite (LSM-style), keeping file counts bounded on
+    long-lived streams while rows stay exact."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kamu_engine_flink_spark.engine.state import StateStore
+
+    spark.conf.set("spark.kamu.state.compactAfterFiles", "12")
+    spark.conf.set("spark.kamu.state.numBuckets", "4")
+    try:
+        prev = None
+        total = 0
+        for inv in range(6):
+            new_dir = str(tmp_path / f"cp-{inv}")
+            st = StateStore(spark, prev, new_dir)
+            delta = spark.range(inv * 10, inv * 10 + 10).select(
+                (F.col("id") % 7).alias("k"), F.col("id").alias("v")
+            )
+            st.save_df("rows", delta, bucket_by=["k"], append=True)
+            total += 10
+            rel = os.path.join(new_dir, "rows.parquet")
+            n_files = sum(
+                1 for e in os.listdir(rel) if not e.startswith(("_", "."))
+            )
+            assert n_files <= 12 + 4, f"inv {inv}: {n_files} files"
+            loaded = StateStore(spark, new_dir, str(tmp_path / "scratch")).load_df("rows")
+            assert loaded.count() == total
+            assert loaded.agg(F.sum("v")).collect()[0][0] == sum(
+                range(inv * 10 + 10)
+            )
+            prev = new_dir
+        # At least one compaction must have fired across 6 x 4-file gens.
+        final_files = sum(
+            1
+            for e in os.listdir(os.path.join(prev, "rows.parquet"))
+            if not e.startswith(("_", "."))
+        )
+        assert final_files < 24
+    finally:
+        spark.conf.unset("spark.kamu.state.compactAfterFiles")
+        spark.conf.unset("spark.kamu.state.numBuckets")
