@@ -247,3 +247,57 @@ def test_keyed_topn_null_scores(spark, tmp_path):
         (2, 3, 1, ts(1), "Alice", 50),
         (3, 0, 2, ts(1), "Alice", None),
     ]
+
+
+def test_keyed_topn_split_path_untouched_and_null_keys(spark, tmp_path):
+    """Forces the touched-keys SPLIT path (state >> slice): invocation 1
+    seeds thousands of keys plus a NULL-keyed group; invocation 2's tiny
+    slice touches two keys and the NULL group. Untouched keys' rankings
+    must survive in state byte-for-byte (proven by a later invocation that
+    touches one), changelog rows must come only from touched keys, and the
+    NULL group must keep exact Top-N semantics."""
+    runner = _runner(spark, tmp_path, KEYED_TOPN_QUERY)
+    n = 5000
+    s1 = str(tmp_path / "in" / "s1.parquet")
+    rows = [(i, 0, ts(5), ts(1), f"P{i:05d}", 10 + (i % 7)) for i in range(n)]
+    rows.append((n, 0, ts(5), ts(1), None, 55))
+    match_scores_slice(s1, rows)
+    resp, out = runner.run([_input(s1, ts(3))], system_time=ts(10))
+    assert pq.read_table(out).num_rows == n + 1  # every key appends place 1
+
+    # Tiny second slice: one better score for P00001, a new key, and a
+    # second NULL-keyed row that takes place 1 of the NULL group.
+    s2 = str(tmp_path / "in" / "s2.parquet")
+    match_scores_slice(
+        s2,
+        [
+            (n + 1, 0, ts(6), ts(4), "P00001", 99),
+            (n + 2, 0, ts(6), ts(4), "NEWKEY", 1),
+            (n + 3, 0, ts(6), ts(4), None, 77),
+        ],
+    )
+    resp2, out2 = runner.run([_input(s2, ts(4))], system_time=ts(11))
+    got = _read_rows(out2)
+    # Only touched keys emit: P00001 (2->place-1 correction pair... new
+    # better score enters place 1 pushing old row to 2), NEWKEY (append),
+    # NULL group (new place-1 row pushes 55 to place 2).
+    names = {r[4] for r in got}
+    assert names == {"P00001", "NEWKEY", None}
+    # P00001: 99 takes place 1 (op 2/3 pair), old 10+1%7=11 re-appends
+    # at place 2 — the contract pinned by the golden changelog test above.
+    p1 = [r for r in got if r[4] == "P00001"]
+    assert [(r[1], r[2], r[5]) for r in p1] == [(2, 1, 11), (3, 1, 99), (0, 2, 11)]
+    nulls = [r for r in got if r[4] is None]
+    assert [(r[1], r[2], r[5]) for r in nulls] == [(2, 1, 55), (3, 1, 77), (0, 2, 55)]
+
+    # Third invocation touches an untouched key: its invocation-1 state
+    # must still rank (old 10+2%7=12 at place 1 -> pushed to 2 by 98).
+    s3 = str(tmp_path / "in" / "s3.parquet")
+    match_scores_slice(s3, [(n + 4, 0, ts(7), ts(8), "P00002", 98)])
+    resp3, out3 = runner.run([_input(s3, ts(8))], system_time=ts(12))
+    got3 = _read_rows(out3)
+    assert [(r[1], r[2], r[4], r[5]) for r in got3] == [
+        (2, 1, "P00002", 12),
+        (3, 1, "P00002", 98),
+        (0, 2, "P00002", 12),
+    ]

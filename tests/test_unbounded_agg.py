@@ -194,3 +194,59 @@ def test_global_continuous_agg(spark, tmp_path):
     )
     rows = [(r["op"], r["n"], r["total"]) for r in pq.read_table(out).to_pylist()]
     assert rows == [(2, 2, 15), (3, 3, 115)]
+
+
+def test_split_path_untouched_and_null_keys(spark, tmp_path):
+    """Forces the touched-keys SPLIT path (state >> slice): thousands of
+    keys seeded in invocation 1 (plus a NULL-keyed group), then a tiny
+    slice touching two keys and the NULL group. Emissions must come only
+    from touched keys; untouched accumulators must survive exactly
+    (proven by touching one later)."""
+    runner = _runner(spark, tmp_path)
+    n = 5000
+    s1 = str(tmp_path / "in" / "s1.parquet")
+    rows = [(i, 0, ts(2), ts(1, 0, 1), f"S{i:05d}", 10 + (i % 7)) for i in range(n)]
+    rows.append((n, 0, ts(2), ts(1, 0, 1), None, 50))
+    ticker_slice(s1, rows)
+    resp, out = runner.run(
+        [{"alias": "tickers", "data_paths": [s1], "schema_file": s1, "watermark": ts(1)}],
+        system_time=ts(2),
+    )
+    import pyarrow.parquet as pq
+
+    assert pq.read_table(out).num_rows == n + 1
+
+    s2 = str(tmp_path / "in" / "s2.parquet")
+    ticker_slice(
+        s2,
+        [
+            (n + 1, 0, ts(3), ts(1, 0, 4), "S00001", 9),
+            (n + 2, 0, ts(3), ts(1, 0, 5), "NEW", 3),
+            (n + 3, 0, ts(3), ts(1, 0, 6), None, 10),
+        ],
+    )
+    resp, out = runner.run(
+        [{"alias": "tickers", "data_paths": [s2], "schema_file": s2, "watermark": ts(1)}],
+        system_time=ts(3),
+    )
+    # S00001: correction pair (11 -> 11+9); NULL group: pair (50 -> 60);
+    # NEW: op-0 append. Nothing else emits.
+    assert _rows(out) == [
+        (2, None, 1, 50, 50, 50.0),
+        (3, None, 2, 60, 10, 30.0),
+        (0, "NEW", 1, 3, 3, 3.0),
+        (2, "S00001", 1, 11, 11, 11.0),
+        (3, "S00001", 2, 20, 9, 10.0),
+    ]
+
+    # Untouched key S00002 kept its invocation-1 accumulator.
+    s3 = str(tmp_path / "in" / "s3.parquet")
+    ticker_slice(s3, [(n + 4, 0, ts(4), ts(1, 0, 7), "S00002", 8)])
+    resp, out = runner.run(
+        [{"alias": "tickers", "data_paths": [s3], "schema_file": s3, "watermark": ts(1)}],
+        system_time=ts(4),
+    )
+    assert _rows(out) == [
+        (2, "S00002", 1, 12, 12, 12.0),
+        (3, "S00002", 2, 20, 8, 10.0),
+    ]
