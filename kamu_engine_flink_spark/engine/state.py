@@ -250,8 +250,11 @@ class StateStore:
         else:
             # The input of this write may include the previous state at the
             # same logical name (read from prev_dir), so no self-overwrite
-            # hazard.
+            # hazard. Claim the sidecar name as written WITHOUT creating it:
+            # a stale bucket sidecar copied forward over a plain rewrite
+            # would make the next load misread unbucketed files as buckets.
             df.write.mode("overwrite").parquet(path)
+            self._written.add(self._meta_name(name))
         self._written.add(f"{name}.parquet")
 
     def _num_buckets(self) -> int:
@@ -367,9 +370,9 @@ class StateStore:
         """Save several INDEPENDENT state relations with overlapping jobs
         (concurrent submission from one thread per relation — each write
         is its own output, so the cluster schedules them side by side
-        instead of serializing the actions). Items are (name, df) or
-        (name, df, bucket_by) or (name, df, bucket_by, append) tuples."""
-        items = [(*it, None, False)[:4] for it in items]
+        instead of serializing the actions). Items are (name, df[,
+        bucket_by[, append[, pre_partitioned]]]) tuples."""
+        items = [(*it, None, False, False)[:5] for it in items]
         if self._deferred is not None:
             self._deferred.extend(items)
             return

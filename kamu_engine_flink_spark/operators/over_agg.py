@@ -29,7 +29,12 @@ from pyspark.sql import functions as F
 from ..plans.classify import parse_over_agg, referenced_views
 from ..plans.dialect import rewrite_query
 from ..protocol.model import InvalidQueryError
-from .base import StepContext, StepResult
+from .base import (
+    StepContext,
+    StepResult,
+    split_touched_state,
+    state_split_worthwhile,
+)
 
 SEQ_INPUT = "__seq"
 
@@ -77,9 +82,35 @@ def execute_over_agg(ctx: StepContext, sql: str) -> StepResult:
         incoming = incoming.filter(t > F.lit(prev_wm))
 
     buffer_name = f"{ctx.step_key}-over-buffer"
+    part_keys = list(spec.part_keys)
+    untouched = None
     if ctx.state.has_df(buffer_name):
         prev_buf = ctx.state.load_df(buffer_name, schema=incoming.schema)
-        buf = ctx.pin(prev_buf.unionByName(incoming))
+        if part_keys and state_split_worthwhile(ctx, buffer_name, src):
+            # Touched-keys window: a key's frames can only change through
+            # a new slice row OR a buffered pending row this watermark
+            # advance releases — so probe the (bucketed) buffer with the
+            # union of slice keys and released-row keys (semi/anti is
+            # exchange-free on the buffer side) and run the window over
+            # the touched subset alone. Untouched keys need only horizon
+            # eviction, a partition-preserving filter over the bucketed
+            # scan.
+            incoming = ctx.pin(incoming)
+            released = prev_buf
+            if prev_wm is not None:
+                released = released.filter(t > F.lit(prev_wm))
+            released = (
+                released.filter(t <= F.lit(new_wm))
+                if new_wm is not None
+                else released.limit(0)
+            )
+            probe = incoming.select(*part_keys).unionByName(
+                released.select(*part_keys)
+            )
+            active_buf, untouched = split_touched_state(prev_buf, part_keys, probe)
+            buf = ctx.pin(active_buf.unionByName(incoming))
+        else:
+            buf = ctx.pin(prev_buf.unionByName(incoming))
     else:
         buf = incoming  # first run: re-scan the source, skip the pin
 
@@ -117,26 +148,35 @@ def execute_over_agg(ctx: StepContext, sql: str) -> StepResult:
             result = result.filter(rt > F.lit(prev_wm))
 
     # Evict state down to the frame horizon of any future (pending) row.
-    if new_wm is None:
-        still_open = buf
-    elif spec.kind == "range":
-        # A future row has ts > new_wm, so its frame reaches no deeper
-        # than new_wm - h (inclusive bound kept for the ts == new_wm + ε
-        # equality edge).
-        still_open = buf.filter(t >= F.lit(new_wm - spec.range_size))
-    else:
-        pending = buf.filter(t > F.lit(new_wm))
+    def _evict(frame):
+        if new_wm is None:
+            return frame
+        if spec.kind == "range":
+            # A future row has ts > new_wm, so its frame reaches no deeper
+            # than new_wm - h (inclusive bound kept for the ts == new_wm + ε
+            # equality edge).
+            return frame.filter(t >= F.lit(new_wm - spec.range_size))
+        pending = frame.filter(t > F.lit(new_wm))
         w = Window.partitionBy(
             *[F.col(k) for k in spec.part_keys] or [F.lit(0)]
         ).orderBy(t.desc(), F.col(SEQ_INPUT).desc())
         context_rows = (
-            buf.filter(t <= F.lit(new_wm))
+            frame.filter(t <= F.lit(new_wm))
             .withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= spec.rows_n)
             .drop("__rn")
         )
-        still_open = pending.unionByName(context_rows).select(*cols)
-    ctx.state.save_df(buffer_name, still_open)
+        return pending.unionByName(context_rows)
+
+    still_open = _evict(buf).select(*cols)
+    if untouched is not None:
+        still_open = _evict(untouched).select(*cols).unionByName(still_open)
+    ctx.state.save_df(
+        buffer_name,
+        still_open,
+        bucket_by=part_keys or None,
+        pre_partitioned=untouched is not None,
+    )
 
     return StepResult(df=result, watermark=new_wm, order_cols=[spec.time_col, SEQ_INPUT])
 
@@ -394,6 +434,15 @@ def _execute_unbounded(ctx: StepContext, sql: str, spec) -> StepResult:
     )
     acc = ctx.state.load_df(acc_name, schema=acc_schema)
 
+    # Touched-keys accumulator: only keys with buffered/slice rows can
+    # read or revise their accumulator this invocation, so probe the
+    # (bucketed) accumulator table with the buffer's key set — semi/anti
+    # exchange-free on the state side — and join/merge the touched subset
+    # alone; untouched accumulators flow straight to the state save.
+    untouched_acc = None
+    if keys and state_split_worthwhile(ctx, acc_name, src):
+        acc, untouched_acc = split_touched_state(acc, keys, buf.select(*keys))
+
     # Combine buffer-local prefix values with the accumulator per key.
     join_keys = keys or ["__gk"]
     if not keys:
@@ -444,8 +493,14 @@ def _execute_unbounded(ctx: StepContext, sql: str, spec) -> StepResult:
     rt = F.col(spec.time_col)
     if new_wm is None:
         result = result.limit(0)
+        keep_acc = acc.drop("__gk") if not keys else acc
+        if untouched_acc is not None:
+            keep_acc = untouched_acc.unionByName(keep_acc)
         ctx.state.save_dfs(
-            [(buffer_name, buf), (acc_name, acc.drop("__gk") if not keys else acc)]
+            [
+                (buffer_name, buf),
+                (acc_name, keep_acc, keys or None, False, untouched_acc is not None),
+            ]
         )
         return StepResult(df=result, watermark=new_wm,
                           order_cols=[spec.time_col, SEQ_INPUT])
@@ -493,8 +548,13 @@ def _execute_unbounded(ctx: StepContext, sql: str, spec) -> StepResult:
         .agg(*merge_aggs)
         .select(*acc_cols)
     )
+    if untouched_acc is not None:
+        new_acc = untouched_acc.select(*acc_cols).unionByName(new_acc)
     ctx.state.save_dfs(
-        [(acc_name, new_acc), (buffer_name, buf.filter(t > F.lit(new_wm)))]
+        [
+            (acc_name, new_acc, keys or None, False, untouched_acc is not None),
+            (buffer_name, buf.filter(t > F.lit(new_wm))),
+        ]
     )
 
     return StepResult(df=result, watermark=new_wm, order_cols=[spec.time_col, SEQ_INPUT])

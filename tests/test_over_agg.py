@@ -354,3 +354,51 @@ def test_forward_two_sided_range_keeps_backward_context(spark, tmp_path):
         (1, 0, ts(1, 0, 1), "A", 20, 60),  # 10 + 20 + 30
         (2, 0, ts(1, 0, 3), "A", 30, 70),  # 30 + 40 (frame [00:02, 00:05])
     ]
+
+
+def test_over_agg_split_path_pending_release_and_untouched(spark, tmp_path):
+    """Forces the touched-keys SPLIT path (buffer >> slice). Invocation 1
+    buffers thousands of PENDING rows (watermark behind them, nothing
+    emits). Invocation 2's one-row slice advances the watermark past most
+    of them: keys the slice never touches must still release their pending
+    rows (the released-keys probe), keys pending beyond the new watermark
+    must stay buffered, and a later invocation must still see invocation-1
+    frame context."""
+    runner = TransformRunner(spark, tmp_path, queries=[(RANGE_QUERY, None)])
+    n = 4000
+    s1 = str(tmp_path / "in" / "s1.parquet")
+    rows = [(i, 0, ts(5), ts(2, 0, 1), f"K{i:05d}", 10) for i in range(n)]
+    # one key pending far in the future: survives invocation 2's watermark
+    rows.append((n, 0, ts(5), ts(9), "FUTURE", 7))
+    ticker_slice(s1, rows)
+    import os
+
+    resp, out = runner.run([_input(s1, ts(1))], system_time=ts(5))
+    assert not os.path.exists(out)  # all pending: empty runs write no file
+
+    # Tiny slice touches one key within its 2-minute frame; watermark
+    # advances to ts(3): all n pending rows release, FUTURE stays.
+    s2 = str(tmp_path / "in" / "s2.parquet")
+    ticker_slice(s2, [(n + 1, 0, ts(6), ts(2, 0, 2), "K00000", 5)])
+    resp, out = runner.run([_input(s2, ts(3))], system_time=ts(6))
+    got = _rows(out, "symbol", "price", "sum2m")
+    assert len(got) == n + 1
+    by_symbol = {}
+    for r in got:
+        by_symbol.setdefault(r[3], []).append(r)
+    # Untouched-by-slice keys released their pending row with frame sum 10.
+    assert [r[5] for r in by_symbol["K00001"]] == [10]
+    assert [r[5] for r in by_symbol["K39"[:1] + "3999".zfill(5)]] == [10]
+    # The touched key's new row sums its invocation-1 context (10 + 5).
+    assert [(r[4], r[5]) for r in by_symbol["K00000"]] == [(10, 10), (5, 15)]
+    assert "FUTURE" not in by_symbol
+
+    # Invocation 3: the far-pending key releases with its own frame.
+    s3 = str(tmp_path / "in" / "s3.parquet")
+    ticker_slice(s3, [(n + 2, 0, ts(7), ts(9, 0, 1), "FUTURE", 3)])
+    resp, out = runner.run([_input(s3, ts(10))], system_time=ts(7))
+    got3 = _rows(out, "symbol", "price", "sum2m")
+    assert [(r[3], r[4], r[5]) for r in got3] == [
+        ("FUTURE", 7, 7),
+        ("FUTURE", 3, 10),
+    ]
