@@ -70,7 +70,12 @@ from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 from ..plans.dialect import rewrite_query
 from ..protocol.model import InvalidQueryError
-from .base import StepContext, StepResult
+from .base import (
+    StepContext,
+    StepResult,
+    split_touched_state,
+    state_split_worthwhile,
+)
 
 SEQ_INPUT = "__seq"
 KIND_COL = "__kind"  # 0 = match row, 1 = per-key keep-from marker
@@ -871,13 +876,36 @@ def execute_match_recognize(ctx: StepContext, sql: str) -> StepResult:
         incoming = incoming.withColumn("__mrdone", F.lit(False))
 
     buffer_name = f"{ctx.step_key}-mr-buffer"
+    keys = spec["keys"]
+    untouched_buf = None
     if ctx.state.has_df(buffer_name):
         prev_buf = ctx.state.load_df(buffer_name, schema=incoming.schema)
-        buf = ctx.pin(prev_buf.unionByName(incoming))
+        if keys and state_split_worthwhile(ctx, buffer_name, src):
+            # Touched-keys NFA: a key's emissions can only change through a
+            # new slice row OR a buffered row this watermark advance
+            # confirms — probe the (bucketed) buffer with the union of
+            # those key sets (semi/anti, exchange-free on the buffer side)
+            # and run the Python matcher over the touched subset alone.
+            # Untouched keys' suffixes pass through state unchanged: their
+            # WITHIN-expired rows are retained until the key is next
+            # touched, which the matcher already ignores (expired starts
+            # can't complete), so emissions are identical.
+            incoming = ctx.pin(incoming)
+            released = prev_buf
+            if prev_wm is not None:
+                released = released.filter(t > F.lit(prev_wm))
+            released = (
+                released.filter(t <= F.lit(new_wm))
+                if new_wm is not None
+                else released.limit(0)
+            )
+            probe = incoming.select(*keys).unionByName(released.select(*keys))
+            active_buf, untouched_buf = split_touched_state(prev_buf, keys, probe)
+            buf = ctx.pin(active_buf.unionByName(incoming))
+        else:
+            buf = ctx.pin(prev_buf.unionByName(incoming))
     else:
         buf = incoming
-
-    keys = spec["keys"]
     measures = spec["measures"]
     use_match_no = any(fn == "match_number" for fn, *_ in measures)
     fold_input = buf
@@ -914,13 +942,20 @@ def execute_match_recognize(ctx: StepContext, sql: str) -> StepResult:
             (F.col(KIND_COL) == 1) & F.col("__match_count").isNotNull()
         ).select(*keys, F.col("__match_count").alias("__mrcount"))
         if keys:
-            merged_counts = new_counts.unionByName(
-                old_counts.join(new_counts, keys, "left_anti")
-            )
+            # The anti side reads the bucketed counts scan exchange-free
+            # and stays key-partitioned into the save.
+            merged_counts = old_counts.join(
+                new_counts, keys, "left_anti"
+            ).unionByName(new_counts)
         else:
             # Single global key: the new marker (if any) supersedes.
             merged_counts = new_counts if new_counts.take(1) else old_counts
-        ctx.state.save_df(counts_name, merged_counts)
+        ctx.state.save_df(
+            counts_name,
+            merged_counts,
+            bucket_by=keys if (keys and untouched_buf is not None) else None,
+            pre_partitioned=untouched_buf is not None,
+        )
 
     # State: per key, the suffix from the first row still in play (plus
     # max_lag context rows below it when PREV is used). Boundaries are
@@ -978,7 +1013,18 @@ def execute_match_recognize(ctx: StepContext, sql: str) -> StepResult:
             )
             .select(*buf.columns)
         )
-    ctx.state.save_df(buffer_name, still_open)
+    # Bucket the buffer only when the split engaged (the gate found
+    # state >> slice): when every key is touched anyway, the bucketed
+    # write's extra exchange is pure overhead on the hot path, and the
+    # split path accepts a plain previous layout (first split pays one
+    # state shuffle, then stays bucketed).
+    if untouched_buf is not None:
+        still_open = untouched_buf.unionByName(still_open)
+        ctx.state.save_df(
+            buffer_name, still_open, bucket_by=keys, pre_partitioned=True
+        )
+    else:
+        ctx.state.save_df(buffer_name, still_open)
 
     matches = folded.filter(F.col(KIND_COL) == 0).drop(*marker_cols, KIND_COL)
 

@@ -723,3 +723,53 @@ def test_bounded_quantifier_suspends_until_resolved(spark, tmp_path):
     # resolved: greedy tries 3 mids (20,120,130) but then C fails on the
     # closing 3-row; it backtracks to 2 mids with C = 130.
     assert rows == [(2, 130)]
+
+
+def test_split_path_watermark_completion_for_untouched_keys(spark, tmp_path):
+    """Forces the touched-keys SPLIT path (buffer >> slice). Invocation 1
+    buffers complete A-C sequences for thousands of keys but holds the
+    watermark behind them (a greedy B* needs the next row confirmed, so
+    every attempt suspends). Invocation 2's one-row slice advances the
+    watermark: every key's match must complete via the released-keys
+    probe, with no slice row for those keys. A key whose rows stay beyond
+    the watermark must keep suspending and complete later."""
+    import os
+
+    runner = TransformRunner(spark, tmp_path, queries=[(MR_QUERY, None)])
+    n = 3000
+    s1 = str(tmp_path / "in" / "s1.parquet")
+    rows = []
+    for i in range(n):
+        rows.append((2 * i, 0, ts(5), ts(1, 0, 1), f"K{i:05d}", 5))
+        rows.append((2 * i + 1, 0, ts(5), ts(1, 0, 2), f"K{i:05d}", 200))
+    rows.append((2 * n, 0, ts(5), ts(9), "FUTURE", 5))
+    ticker_slice(s1, rows)
+    resp, out = runner.run([_input(s1, ts(1, 0, 1))], system_time=ts(5))
+    # Watermark sits on the A rows: C is unconfirmed, all attempts suspend.
+    assert not os.path.exists(out)
+
+    s2 = str(tmp_path / "in" / "s2.parquet")
+    ticker_slice(s2, [(2 * n + 1, 0, ts(6), ts(2), "LONER", 7)])
+    resp, out = runner.run([_input(s2, ts(3))], system_time=ts(6))
+    got = _rows(out)
+    # All n suspended keys complete on watermark advance alone.
+    assert len(got) == n
+    assert {r[2] for r in got} == {f"K{i:05d}" for i in range(n)}
+    assert all((r[7], r[8]) == (5, 200) for r in got)
+
+    # FUTURE's A row (ts(9)) is beyond wm ts(3) and LONER's A row awaits a
+    # C; both complete in a later invocation from state.
+    s3 = str(tmp_path / "in" / "s3.parquet")
+    ticker_slice(
+        s3,
+        [
+            (2 * n + 2, 0, ts(7), ts(4), "LONER", 150),
+            (2 * n + 3, 0, ts(7), ts(9, 1), "FUTURE", 300),
+        ],
+    )
+    resp, out = runner.run([_input(s3, ts(10))], system_time=ts(7))
+    got3 = _rows(out)
+    assert {(r[2], r[7], r[8]) for r in got3} == {
+        ("LONER", 7, 150),
+        ("FUTURE", 5, 300),
+    }  # LONER's C arrives at ts(4) > the inv-2 watermark (not late)
