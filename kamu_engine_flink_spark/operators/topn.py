@@ -419,6 +419,11 @@ def execute_topn(ctx: StepContext, sql: str) -> StepResult:
     folded = ctx.pin(
         grouped_map_batched(unioned, [GROUP_COL], fold_group, fold_schema)
     )
+    # Materialize the pin NOW: the deferred state save and the output write
+    # later run as concurrent jobs, and Spark's cache races rather than
+    # blocks — both would execute the single-task Python fold. One count
+    # populates the cache; both consumers then read it.
+    folded.count()
     ctx.state.save_df(
         state_name,
         folded.filter(F.col(KIND_COL) == 1).select(rank_col, *value_cols),
