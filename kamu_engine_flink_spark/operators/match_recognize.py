@@ -882,14 +882,14 @@ def execute_match_recognize(ctx: StepContext, sql: str) -> StepResult:
         prev_buf = ctx.state.load_df(buffer_name, schema=incoming.schema)
         if keys and state_split_worthwhile(ctx, buffer_name, src):
             # Touched-keys NFA: a key's emissions can only change through a
-            # new slice row OR a buffered row this watermark advance
-            # confirms — probe the (bucketed) buffer with the union of
-            # those key sets (semi/anti, exchange-free on the buffer side)
-            # and run the Python matcher over the touched subset alone.
-            # Untouched keys' suffixes pass through state unchanged: their
-            # WITHIN-expired rows are retained until the key is next
-            # touched, which the matcher already ignores (expired starts
-            # can't complete), so emissions are identical.
+            # new slice row, a buffered row this watermark advance confirms,
+            # OR a WITHIN horizon crossing the watermark (below) — probe the
+            # (bucketed) buffer with the union of those key sets (semi/anti,
+            # exchange-free on the buffer side) and run the Python matcher
+            # over the touched subset alone. Untouched keys' suffixes pass
+            # through state unchanged: a FAILED expired start can't complete
+            # later, and a suspended-but-satisfied one is covered by the
+            # expiry probe the instant it becomes finalizable.
             incoming = ctx.pin(incoming)
             released = prev_buf
             if prev_wm is not None:
@@ -900,6 +900,19 @@ def execute_match_recognize(ctx: StepContext, sql: str) -> StepResult:
                 else released.limit(0)
             )
             probe = incoming.select(*keys).unionByName(released.select(*keys))
+            within = spec.get("within")
+            if within is not None and new_wm is not None:
+                # A greedy attempt that already satisfies the pattern (e.g.
+                # PATTERN (A B*) WITHIN ...) suspends awaiting more rows and
+                # is finalized by WATERMARK ADVANCE ALONE once
+                # wm >= start_ts + within — no slice or released row touches
+                # its key. Probe buffered rows whose WITHIN horizon falls in
+                # (prev_wm, new_wm]: exactly the attempts that may finalize
+                # on this advance (ADVICE.md r5, high).
+                expiring = prev_buf.filter(t <= F.lit(new_wm - within))
+                if prev_wm is not None:
+                    expiring = expiring.filter(t > F.lit(prev_wm - within))
+                probe = probe.unionByName(expiring.select(*keys))
             active_buf, untouched_buf = split_touched_state(prev_buf, keys, probe)
             buf = ctx.pin(active_buf.unionByName(incoming))
         else:

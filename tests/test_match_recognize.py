@@ -773,3 +773,54 @@ def test_split_path_watermark_completion_for_untouched_keys(spark, tmp_path):
         ("LONER", 7, 150),
         ("FUTURE", 5, 300),
     }  # LONER's C arrives at ts(4) > the inv-2 watermark (not late)
+
+
+def test_split_path_within_finalizes_untouched_keys(spark, tmp_path):
+    """ADVICE r5 (high): under the touched-keys split, a greedy attempt
+    that already SATISFIES the pattern (A B* with WITHIN) suspends awaiting
+    more rows and is finalized by watermark advance alone once
+    wm >= start + within. Such keys have no slice rows and no rows released
+    in (prev_wm, new_wm] — the probe must still route them to 'active' via
+    the WITHIN-horizon crossing, or their emissions defer forever."""
+    query = """select * from tickers
+MATCH_RECOGNIZE (
+  PARTITION BY symbol
+  ORDER BY event_time
+  MEASURES A.event_time AS event_time, COUNT(B.*) AS n_mid, A.price AS dip
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (A B*) WITHIN INTERVAL '2' MINUTE
+  DEFINE A AS A.price < 10, B AS B.price >= 10
+)"""
+    runner = TransformRunner(spark, tmp_path, queries=[(query, None)])
+    n = 3000
+    s1 = str(tmp_path / "in" / "s1.parquet")
+    rows = []
+    for i in range(n):
+        rows.append((2 * i, 0, ts(5), ts(1, 0, 1), f"K{i:05d}", 5))
+        rows.append((2 * i + 1, 0, ts(5), ts(1, 0, 2), f"K{i:05d}", 20))
+    ticker_slice(s1, rows)
+    import os
+
+    resp, out = runner.run([_input(s1, ts(1, 0, 2))], system_time=ts(5))
+    # wm 00:02 < start+within 00:03: every greedy attempt suspends
+    # (satisfied, but more B rows could still arrive).
+    assert not os.path.exists(out)
+
+    # Slice touches ONLY key LONER; the watermark crosses every suspended
+    # attempt's WITHIN horizon — all n finalize with no slice/released row.
+    s2 = str(tmp_path / "in" / "s2.parquet")
+    ticker_slice(s2, [(2 * n, 0, ts(6), ts(1, 0, 9), "LONER", 7)])
+    resp, out = runner.run([_input(s2, ts(1, 0, 10))], system_time=ts(6))
+    got = pq.read_table(out).to_pylist()
+    assert len(got) == n
+    assert {r["symbol"] for r in got} == {f"K{i:05d}" for i in range(n)}
+    assert all((r["n_mid"], r["dip"]) == (1, 5) for r in got)
+
+    # LONER's own attempt (start 00:09, horizon 00:11 > wm 00:10) is still
+    # suspended and finalizes on a later watermark-only advance.
+    s3 = str(tmp_path / "in" / "s3.parquet")
+    ticker_slice(s3, [])
+    resp, out = runner.run([_input(s3, ts(1, 0, 30))], system_time=ts(7))
+    got3 = pq.read_table(out).to_pylist()
+    assert [(r["symbol"], r["n_mid"], r["dip"]) for r in got3] == [("LONER", 0, 7)]
