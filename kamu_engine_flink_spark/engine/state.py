@@ -403,7 +403,18 @@ class StateStore:
                 try:
                     shutil.copytree(src, dst, copy_function=os.link)
                 except OSError:
-                    shutil.copytree(src, dst, dirs_exist_ok=True)
+                    # The link attempt may have PARTIALLY succeeded; the
+                    # retry must skip entries already hard-linked or plain
+                    # copy2 raises SameFileError on them (aggregated into
+                    # shutil.Error) and the carry-forward never completes.
+                    def _copy_new(s, d):
+                        if os.path.exists(d) and os.path.samefile(s, d):
+                            return d
+                        return shutil.copy2(s, d)
+
+                    shutil.copytree(
+                        src, dst, dirs_exist_ok=True, copy_function=_copy_new
+                    )
             else:
                 try:
                     os.link(src, dst)

@@ -214,6 +214,22 @@ def execute_regular_join(ctx: StepContext, sql: str) -> StepResult:
     old_left = ctx.state.load_df(left_rows_name, schema=new_left.schema)
     old_right = ctx.state.load_df(right_rows_name, schema=new_right.schema)
 
+    # v1->v2 checkpoint migration: the pre-bucketed layout (before commit
+    # 14e9ead) stored ONE relation per padded side carrying a __rj_matched
+    # flag and no separate unmatched relation. Detect the flag on load and
+    # rebuild both relations from it; the rows state is rewritten fully
+    # this invocation (appending a flag-less delta into the old files
+    # would mix schemas) and comes out bucketed — later runs append.
+    mig_unm_l = mig_unm_r = None
+    if _MATCHED in old_left.columns:
+        old_left = ctx.pin(old_left)
+        mig_unm_l = old_left.filter(~F.col(_MATCHED)).drop(_MATCHED)
+        old_left = old_left.drop(_MATCHED)
+    if _MATCHED in old_right.columns:
+        old_right = ctx.pin(old_right)
+        mig_unm_r = old_right.filter(~F.col(_MATCHED)).drop(_MATCHED)
+        old_right = old_right.drop(_MATCHED)
+
     # Pair-uniqueness across invocations without an emitted ledger: a pair
     # is new iff at least one side arrived this run. Three branches rather
     # than two (new x old, new x new, old x new) so the bucketed state scan
@@ -239,12 +255,20 @@ def execute_regular_join(ctx: StepContext, sql: str) -> StepResult:
     retract_parts: list[DataFrame] = []
     pad_parts: list[DataFrame] = []
     saves: list[tuple] = [
-        (left_rows_name, new_left, lkeys, True),
-        (right_rows_name, new_right, rkeys, True),
+        (left_rows_name, new_left, lkeys, True)
+        if mig_unm_l is None
+        else (left_rows_name, old_left.unionByName(new_left), lkeys, False),
+        (right_rows_name, new_right, rkeys, True)
+        if mig_unm_r is None
+        else (right_rows_name, old_right.unionByName(new_right), rkeys, False),
     ]
 
     if pad_left:
-        old_unmatched_l = ctx.state.load_df(left_unm_name, schema=new_left.schema)
+        old_unmatched_l = (
+            mig_unm_l
+            if mig_unm_l is not None
+            else ctx.state.load_df(left_unm_name, schema=new_left.schema)
+        )
         # New lefts without any match so far: NULL-pad immediately (op 0).
         # Anti-chain: first against the (bucketed) accumulated right rows —
         # exchange-free on the state side — then against the new slice.
@@ -282,7 +306,11 @@ def execute_regular_join(ctx: StepContext, sql: str) -> StepResult:
         # Mirror image: unmatched rights pad with a NULL left side (RIGHT/
         # FULL with an empty left projects exactly those pads).
         empty_left = new_left.limit(0)
-        old_unmatched_r = ctx.state.load_df(right_unm_name, schema=new_right.schema)
+        old_unmatched_r = (
+            mig_unm_r
+            if mig_unm_r is not None
+            else ctx.state.load_df(right_unm_name, schema=new_right.schema)
+        )
         new_unmatched_r = (
             br.alias(ra)
             .join(old_left.alias(la), cond, "left_anti")

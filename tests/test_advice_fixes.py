@@ -187,3 +187,145 @@ def test_all_rows_measure_alias_collision_rejected(spark, tmp_path):
     ticker_slice(s1, [(0, 0, ts(2), ts(1), "A", 1)])
     with pytest.raises(InvalidQueryError, match="collide with input"):
         runner.run([_input(s1, ts(2))], system_time=ts(2))
+
+
+def _downgrade_rj_left_to_v1(checkpoint: str):
+    """Rewrite a v2 regular-join checkpoint into the pre-14e9ead layout:
+    the padded left side becomes ONE plain (unbucketed) relation carrying a
+    __rj_matched flag; the separate -unm relation and every bucket sidecar
+    disappear."""
+    import pyarrow as pa
+
+    def read_rel(name):
+        return pq.read_table(os.path.join(checkpoint, f"{name}.parquet"))
+
+    rows = read_rel("step0-rj-left")
+    unm = read_rel("step0-rj-left-unm").select(rows.column_names)
+    unm_keys = set(map(tuple, zip(*[unm[c].to_pylist() for c in unm.column_names])))
+    row_tuples = list(zip(*[rows[c].to_pylist() for c in rows.column_names]))
+    flag = pa.array([t not in unm_keys for t in row_tuples], pa.bool_())
+    # Drop the carried-forward Spark row-metadata footer: it lists only the
+    # v2 columns and Spark would trust it over the physical schema,
+    # silently hiding the appended flag from the fixture.
+    v1 = rows.append_column("__rj_matched", flag).replace_schema_metadata(None)
+    shutil.rmtree(os.path.join(checkpoint, "step0-rj-left.parquet"))
+    shutil.rmtree(os.path.join(checkpoint, "step0-rj-left-unm.parquet"))
+    os.makedirs(os.path.join(checkpoint, "step0-rj-left.parquet"))
+    pq.write_table(
+        v1, os.path.join(checkpoint, "step0-rj-left.parquet", "part-00000.parquet")
+    )
+    # v1 right side: same rows, plain layout (no bucket metadata).
+    right = read_rel("step0-rj-right")
+    shutil.rmtree(os.path.join(checkpoint, "step0-rj-right.parquet"))
+    os.makedirs(os.path.join(checkpoint, "step0-rj-right.parquet"))
+    pq.write_table(
+        right, os.path.join(checkpoint, "step0-rj-right.parquet", "part-00000.parquet")
+    )
+    for sidecar in (
+        "step0-rj-left.buckets.json",
+        "step0-rj-left-unm.buckets.json",
+        "step0-rj-right.buckets.json",
+    ):
+        p = os.path.join(checkpoint, sidecar)
+        if os.path.exists(p):
+            os.remove(p)
+
+
+def test_regular_join_v1_checkpoint_migration(spark, tmp_path):
+    """ADVICE r5: a checkpoint written by the pre-bucketed regular-join
+    state format (one flagged relation per padded side, no -unm relation)
+    must load through the v1->v2 migration: the flag column must not leak
+    into SELECT *, and pending pads must still retract on first match."""
+    from datetime import timezone
+
+    from kamu_engine_flink_spark.protocol.model import DatasetVocabulary
+
+    from .test_interval_join import orders_slice, shipments_slice
+
+    query = """SELECT
+      o.event_time as order_time, o.order_id,
+      o.quantity as order_quantity, s.num_shipped as shipped_quantity
+    FROM orders as o LEFT JOIN shipments as s ON o.order_id = s.order_id"""
+    runner = TransformRunner(
+        spark,
+        tmp_path,
+        queries=[(query, None)],
+        vocab=DatasetVocabulary(event_time_column="order_time"),
+    )
+    o1 = str(tmp_path / "o" / "o1.parquet")
+    s1 = str(tmp_path / "s" / "s1.parquet")
+    orders_slice(o1, [(0, 0, ts(2), ts(1), 1, 10), (1, 0, ts(2), ts(1), 2, 20)])
+    shipments_slice(s1, [(0, ts(2), ts(1), 1, 4)])
+    resp, out = runner.run(
+        [
+            {"alias": "orders", "data_paths": [o1], "schema_file": o1, "watermark": ts(1)},
+            {"alias": "shipments", "data_paths": [s1], "schema_file": s1, "watermark": ts(1)},
+        ],
+        system_time=ts(5),
+    )
+
+    def oprows(p):
+        return [
+            (r["op"], r["order_id"], r["order_quantity"], r["shipped_quantity"])
+            for r in pq.read_table(p).to_pylist()
+        ]
+
+    assert sorted(oprows(out)) == [(0, 1, 10, 4), (0, 2, 20, None)]
+    _downgrade_rj_left_to_v1(runner.prev_checkpoint)
+
+    # Run 2 resumes FROM THE v1 CHECKPOINT: order 2's first match arrives
+    # -> the (migrated) pending pad retracts before the pair emits.
+    s2 = str(tmp_path / "s" / "s2.parquet")
+    shipments_slice(s2, [(1, ts(3), ts(2), 2, 8)])
+    resp, out = runner.run(
+        [
+            {"alias": "orders", "data_paths": [], "schema_file": o1, "watermark": ts(2)},
+            {"alias": "shipments", "data_paths": [s2], "schema_file": s2, "watermark": ts(2)},
+        ],
+        system_time=ts(6),
+    )
+    assert oprows(out) == [(1, 2, 20, None), (0, 2, 20, 8)]
+    table = pq.read_table(out)
+    assert "__rj_matched" not in table.column_names
+
+    # Run 3 appends onto the rewritten (now-bucketed) state: a new order
+    # pairs with full shipment history, order 1's pair does not re-emit.
+    o3 = str(tmp_path / "o" / "o3.parquet")
+    orders_slice(o3, [(2, 0, ts(4), ts(3), 2, 99)])
+    resp, out = runner.run(
+        [
+            {"alias": "orders", "data_paths": [o3], "schema_file": o3, "watermark": ts(3)},
+            {"alias": "shipments", "data_paths": [], "schema_file": s2, "watermark": ts(3)},
+        ],
+        system_time=ts(7),
+    )
+    assert oprows(out) == [(0, 2, 99, 8)]
+
+
+def test_state_finish_partial_link_fallback(spark, tmp_path, monkeypatch):
+    """ADVICE r5: when the hard-link copytree PARTIALLY succeeds (e.g. the
+    filesystem rejects links midway), the plain-copy retry must skip the
+    already-linked entries instead of aborting on SameFileError."""
+    from kamu_engine_flink_spark.engine.state import StateStore
+
+    prev = tmp_path / "prev"
+    new = tmp_path / "new"
+    rel = prev / "foo.parquet"
+    rel.mkdir(parents=True)
+    (rel / "a.parquet").write_bytes(b"aaa")
+    (rel / "b.parquet").write_bytes(b"bbb")
+    store = StateStore(spark, str(prev), str(new))
+    calls = {"n": 0}
+    real_link = os.link
+
+    def flaky(src, dst, *a, **k):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise OSError("synthetic link failure")
+        return real_link(src, dst)
+
+    monkeypatch.setattr(os, "link", flaky)
+    store.finish()
+    got = sorted(os.listdir(new / "foo.parquet"))
+    assert got == ["a.parquet", "b.parquet"]
+    assert (new / "foo.parquet" / "b.parquet").read_bytes() == b"bbb"
