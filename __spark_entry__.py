@@ -2361,6 +2361,141 @@ ON p.user_id = c.user_id""",
     return out
 
 
+def changelog_join_three_way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INNER regular join CONSUMING an updating alias
+    (operators/changelog_join.py signed-ledger executor; Flink propagates
+    retractions into chained joins, TransformEngine.scala:252-262): step 1
+    is a LEFT regular join (pads op 0, retracts op 1 on first match),
+    step 2 joins that changelog against a third stream — pad pairs must
+    RETRACT when the upstream pad retracts. Two chained ODF invocations
+    over event_id%2 slices; emissions are netted per invocation, so the
+    oracle is the multiset diff of the cumulative (p LEFT c) JOIN s
+    between invocation prefixes. Key-restricted bucketed ledger probes,
+    O(slice + touched keys) per invocation — scales."""
+    import tempfile
+
+    _conf(spark)
+    workdir = tempfile.mkdtemp(prefix="cj3-entry-")
+    slices = {}
+    for name, etype in (
+        ("purchases", "purchase"), ("clicks", "click"), ("signups", "signup")
+    ):
+        led = _events_ledger(spark, sf_dir, etype).filter(
+            F.col("user_id") % 17 == 0
+        )
+        slices[name] = _ledger_slices(spark, led, workdir, name, 2)
+    steps = [
+        (
+            """SELECT
+  p.event_time as event_time,
+  p.user_id as user_id,
+  p.cents as p_cents,
+  c.cents as c_cents
+FROM purchases as p
+LEFT JOIN clicks as c
+ON p.user_id = c.user_id""",
+            "j",
+        ),
+        (
+            """SELECT
+  s.event_time as event_time,
+  j.user_id as user_id,
+  j.p_cents as p_cents,
+  j.c_cents as c_cents,
+  s.cents as s_cents
+FROM j
+JOIN signups as s ON j.user_id = s.user_id""",
+            None,
+        ),
+    ]
+    per_inv = [
+        [(n, *slices[n][i]) for n in ("purchases", "clicks", "signups")]
+        for i in range(2)
+    ]
+    outs = _run_odf_invocations(spark, steps, per_inv, workdir, "cj3")
+    parts = [
+        spark.read.parquet(path).select(
+            F.lit(inv).cast("int").alias("inv"),
+            F.col("op").cast("int").alias("op"),
+            "user_id",
+            F.col("p_cents").cast("long").alias("p_cents"),
+            F.col("c_cents").cast("long").alias("c_cents"),
+            F.col("s_cents").cast("long").alias("s_cents"),
+        )
+        for inv, path in outs
+    ]
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out
+
+
+def changelog_join_left_over_updating(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUTER regular join over an updating alias — the 3-way outer chain
+    (p LEFT c) LEFT s as two chained steps (operators/changelog_join.py
+    pad-delta diff per touched key): step 2 pads j rows unmatched in
+    signups, retracts the pad when the upstream j row retracts or the
+    first signup match arrives. Same netted-emission contract as the
+    INNER twin; the oracle diffs the cumulative batch three-way LEFT
+    join between invocation prefixes."""
+    import tempfile
+
+    _conf(spark)
+    workdir = tempfile.mkdtemp(prefix="cjl-entry-")
+    slices = {}
+    for name, etype in (
+        ("purchases", "purchase"), ("clicks", "click"), ("signups", "signup")
+    ):
+        led = _events_ledger(spark, sf_dir, etype).filter(
+            F.col("user_id") % 23 == 0
+        )
+        slices[name] = _ledger_slices(spark, led, workdir, name, 2)
+    steps = [
+        (
+            """SELECT
+  p.event_time as event_time,
+  p.user_id as user_id,
+  p.cents as p_cents,
+  c.cents as c_cents
+FROM purchases as p
+LEFT JOIN clicks as c
+ON p.user_id = c.user_id""",
+            "j",
+        ),
+        (
+            """SELECT
+  j.event_time as event_time,
+  j.user_id as user_id,
+  j.p_cents as p_cents,
+  j.c_cents as c_cents,
+  s.cents as s_cents
+FROM j
+LEFT JOIN signups as s ON j.user_id = s.user_id""",
+            None,
+        ),
+    ]
+    per_inv = [
+        [(n, *slices[n][i]) for n in ("purchases", "clicks", "signups")]
+        for i in range(2)
+    ]
+    outs = _run_odf_invocations(spark, steps, per_inv, workdir, "cjl")
+    parts = [
+        spark.read.parquet(path).select(
+            F.lit(inv).cast("int").alias("inv"),
+            F.col("op").cast("int").alias("op"),
+            "user_id",
+            F.col("p_cents").cast("long").alias("p_cents"),
+            F.col("c_cents").cast("long").alias("c_cents"),
+            F.col("s_cents").cast("long").alias("s_cents"),
+        )
+        for inv, path in outs
+    ]
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out
+
+
 def flink_scalar_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-3 Flink scalar-rewrite surface (plans/dialect.py):
     SPLIT_INDEX (literal-delimiter regex escaping + 0-based index +
@@ -2668,21 +2803,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION note: the driver records correctness rows for only the
     # FIRST 50 dict entries per round, so the registry rotates each round
     # to give every entry a driver row at least every other round.
-    # Round 5 first-50 = 2 entries due their FIRST driver row (the new
-    # window TVF join changelog and round 4's forward-OVER entry, the
-    # only never-driver-checked one) + 48 of the 50 entries last checked
-    # in round 3. The two r03 entries that didn't fit lead the back
-    # block (due round 6) ahead of the r04-checked 50.
+    # Round 6 first-50 = 2 entries due their FIRST driver row (the new
+    # changelog-aware join twins) + the 5 r03-checked overflow entries
+    # queued from round 5's plan + 43 of the r04-checked cohort
+    # (prioritizing the regular-join/continuous-agg changelog entries,
+    # whose executors changed this round). The 7 r04 entries that didn't
+    # fit (TPC-H q1/q3/q5/q6, distinct-agg, scalar projection,
+    # decontamination) lead the back block (due round 7) ahead of the 50
+    # r05-checked entries.
     # tools/crosscheck.py verifies ALL entries locally regardless; the
     # full run is committed per round as CROSSCHECK_r{N}.txt.
     return {
-        # --- due their FIRST driver row (5) ---
+        # --- due their FIRST driver row (2) ---
+        "changelog_join_three_way": changelog_join_three_way,
+        "changelog_join_left_over_updating": changelog_join_left_over_updating,
+        # --- r03-checked overflow queued from round 5 (5) ---
+        "window_cumulate_6h": window_cumulate_6h,
+        "inverted_index_documents": inverted_index_documents,
+        "random_projection_embeddings": random_projection_embeddings,
+        "flink_scalar_functions_events": flink_scalar_functions_events,
+        "window_monthly_orders": window_monthly_orders,
+        # --- last driver-checked r04, due for re-check (43) ---
+        "unbounded_agg_changelog_events": unbounded_agg_changelog_events,
+        "regular_join_full_changelog": regular_join_full_changelog,
+        "regular_join_purchases_clicks": regular_join_purchases_clicks,
+        "match_recognize_dip_spike_events": match_recognize_dip_spike_events,
+        "dedup_keep_last_events": dedup_keep_last_events,
+        "over_agg_rolling_value_events": over_agg_rolling_value_events,
+        "window_topn_daily_users": window_topn_daily_users,
+        "funnel_view_click_purchase": funnel_view_click_purchase,
+        "retention_cohorts_events": retention_cohorts_events,
+        "similarity_pq_topk": similarity_pq_topk,
+        "bigram_lm_score_documents": bigram_lm_score_documents,
+        "quality_classifier_documents": quality_classifier_documents,
+        "dedup_segments_documents": dedup_segments_documents,
+        "semantic_dedup_embeddings": semantic_dedup_embeddings,
+        "training_shards_documents": training_shards_documents,
+        "mixture_sample_documents": mixture_sample_documents,
+        "curriculum_bins_documents": curriculum_bins_documents,
+        "duplicate_ngram_spans_documents": duplicate_ngram_spans_documents,
+        "changelog_diff_customers": changelog_diff_customers,
+        "changelog_snapshot_customers": changelog_snapshot_customers,
+        "kmeans_clusters_embeddings": kmeans_clusters_embeddings,
+        "dedup_minhash_documents": dedup_minhash_documents,
+        "dedup_minhash_fast": dedup_minhash_fast,
+        "dedup_simhash_documents": dedup_simhash_documents,
+        "ngram_jaccard_documents": ngram_jaccard_documents,
+        "dedup_clusters_ngram": dedup_clusters_ngram,
+        "embedding_near_dup": embedding_near_dup,
+        "similarity_cosine_topk": similarity_cosine_topk,
+        "similarity_lsh_topk": similarity_lsh_topk,
+        "similarity_ivf_topk": similarity_ivf_topk,
+        "text_analysis_documents": text_analysis_documents,
+        "multimodal_image_meta": multimodal_image_meta,
+        "multimodal_frame_sample": multimodal_frame_sample,
+        "multimodal_audio_meta": multimodal_audio_meta,
+        "multimodal_audio_windows": multimodal_audio_windows,
+        "text_repetition_documents": text_repetition_documents,
+        "window_rank_family_orders": window_rank_family_orders,
+        "tfidf_top_terms": tfidf_top_terms,
+        "embedding_quantize_int8": embedding_quantize_int8,
+        "sketch_distinct_users": sketch_distinct_users,
+        "text_scrub_documents": text_scrub_documents,
+        "approx_quantiles_events": approx_quantiles_events,
+        "user_event_sequences": user_event_sequences,
+        # --- r04-checked overflow, front of the round-7 rotation (7) ---
+        "decontamination_overlap": decontamination_overlap,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_unshipped": q3_top_unshipped,
+        "q5_supplier_volume": q5_supplier_volume,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "agg_distinct_suppliers": agg_distinct_suppliers,
+        "scalar_projection": scalar_projection,
+        # --- checked green r05, rotate back in round 7 (50) ---
         "window_join_hop_12h": window_join_hop_12h,
         "changelog_projection_left_join": changelog_projection_left_join,
         "multi_join_three_way": multi_join_three_way,
         "window_join_tumbling_daily": window_join_tumbling_daily,
         "over_agg_forward_window_events": over_agg_forward_window_events,
-        # --- last driver-checked r03, due for re-check (45) ---
         "chained_multistep": chained_multistep,
         "window_tumbling_daily": window_tumbling_daily,
         "window_sliding_2h": window_sliding_2h,
@@ -2728,63 +2926,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_documents": dedup_exact_documents,
         "dedup_fingerprint_documents": dedup_fingerprint_documents,
         "json_extract_events": json_extract_events,
-        # --- r03-checked overflow, front of the round-6 rotation (5) ---
-        "window_cumulate_6h": window_cumulate_6h,
-        "inverted_index_documents": inverted_index_documents,
-        "random_projection_embeddings": random_projection_embeddings,
-        "flink_scalar_functions_events": flink_scalar_functions_events,
-        "window_monthly_orders": window_monthly_orders,
-        # --- checked green r04, rotate back in round 6 (50) ---
-        "match_recognize_dip_spike_events": match_recognize_dip_spike_events,
-        "dedup_keep_last_events": dedup_keep_last_events,
-        "regular_join_purchases_clicks": regular_join_purchases_clicks,
-        "over_agg_rolling_value_events": over_agg_rolling_value_events,
-        "window_topn_daily_users": window_topn_daily_users,
-        "funnel_view_click_purchase": funnel_view_click_purchase,
-        "retention_cohorts_events": retention_cohorts_events,
-        "similarity_pq_topk": similarity_pq_topk,
-        "bigram_lm_score_documents": bigram_lm_score_documents,
-        "quality_classifier_documents": quality_classifier_documents,
-        "dedup_segments_documents": dedup_segments_documents,
-        "semantic_dedup_embeddings": semantic_dedup_embeddings,
-        "training_shards_documents": training_shards_documents,
-        "mixture_sample_documents": mixture_sample_documents,
-        "curriculum_bins_documents": curriculum_bins_documents,
-        "duplicate_ngram_spans_documents": duplicate_ngram_spans_documents,
-        "changelog_diff_customers": changelog_diff_customers,
-        "changelog_snapshot_customers": changelog_snapshot_customers,
-        "kmeans_clusters_embeddings": kmeans_clusters_embeddings,
-        "dedup_minhash_documents": dedup_minhash_documents,
-        "dedup_minhash_fast": dedup_minhash_fast,
-        "dedup_simhash_documents": dedup_simhash_documents,
-        "ngram_jaccard_documents": ngram_jaccard_documents,
-        "dedup_clusters_ngram": dedup_clusters_ngram,
-        "embedding_near_dup": embedding_near_dup,
-        "similarity_cosine_topk": similarity_cosine_topk,
-        "similarity_lsh_topk": similarity_lsh_topk,
-        "similarity_ivf_topk": similarity_ivf_topk,
-        "text_analysis_documents": text_analysis_documents,
-        "multimodal_image_meta": multimodal_image_meta,
-        "multimodal_frame_sample": multimodal_frame_sample,
-        "multimodal_audio_meta": multimodal_audio_meta,
-        "multimodal_audio_windows": multimodal_audio_windows,
-        "text_repetition_documents": text_repetition_documents,
-        "window_rank_family_orders": window_rank_family_orders,
-        "tfidf_top_terms": tfidf_top_terms,
-        "embedding_quantize_int8": embedding_quantize_int8,
-        "sketch_distinct_users": sketch_distinct_users,
-        "text_scrub_documents": text_scrub_documents,
-        "approx_quantiles_events": approx_quantiles_events,
-        "user_event_sequences": user_event_sequences,
-        "decontamination_overlap": decontamination_overlap,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_top_unshipped": q3_top_unshipped,
-        "q5_supplier_volume": q5_supplier_volume,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "agg_distinct_suppliers": agg_distinct_suppliers,
-        "scalar_projection": scalar_projection,
-        "unbounded_agg_changelog_events": unbounded_agg_changelog_events,
-        "regular_join_full_changelog": regular_join_full_changelog,
     }
 
 
@@ -4178,6 +4319,79 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT * FROM w WHERE event_type = 'click') c
               ON p.user_id = c.user_id AND p.ws = c.ws
             WHERE p.ws + INTERVAL 24 HOUR <= (SELECT w1 FROM wm)
+        """,
+        "changelog_join_three_way": """
+            -- Join over an UPDATING alias, netted emission per
+            -- invocation: the engine's cumulative output after
+            -- invocation i folds to (p<=i LEFT c<=i) JOIN s<=i, so each
+            -- invocation emits exactly the multiset diff between
+            -- consecutive prefixes (op 0 additions, op 1 retractions —
+            -- a pad pair retracts when the upstream pad retracts).
+            WITH e AS (
+                SELECT CAST(event_id % 2 AS INT) AS inv, user_id,
+                       event_type,
+                       CAST(floor(value * 100) AS BIGINT) AS cents
+                FROM events WHERE user_id % 17 = 0
+            ), m0 AS (
+                SELECT p.user_id AS user_id, p.cents AS p_cents,
+                       c.cents AS c_cents, s.cents AS s_cents
+                FROM (SELECT * FROM e WHERE event_type = 'purchase' AND inv = 0) p
+                LEFT JOIN (SELECT * FROM e WHERE event_type = 'click' AND inv = 0) c
+                  ON p.user_id = c.user_id
+                JOIN (SELECT * FROM e WHERE event_type = 'signup' AND inv = 0) s
+                  ON p.user_id = s.user_id
+            ), m1 AS (
+                SELECT p.user_id AS user_id, p.cents AS p_cents,
+                       c.cents AS c_cents, s.cents AS s_cents
+                FROM (SELECT * FROM e WHERE event_type = 'purchase') p
+                LEFT JOIN (SELECT * FROM e WHERE event_type = 'click') c
+                  ON p.user_id = c.user_id
+                JOIN (SELECT * FROM e WHERE event_type = 'signup') s
+                  ON p.user_id = s.user_id
+            )
+            SELECT CAST(0 AS INT) AS inv, CAST(0 AS INT) AS op, *
+            FROM m0
+            UNION ALL
+            SELECT CAST(1 AS INT), CAST(0 AS INT), *
+            FROM (SELECT * FROM m1 EXCEPT ALL SELECT * FROM m0)
+            UNION ALL
+            SELECT CAST(1 AS INT), CAST(1 AS INT), *
+            FROM (SELECT * FROM m0 EXCEPT ALL SELECT * FROM m1)
+        """,
+        "changelog_join_left_over_updating": """
+            -- Three-way outer chain (p LEFT c) LEFT s as two chained
+            -- steps, the second consuming the first's changelog: same
+            -- prefix-diff oracle with the outer final join.
+            WITH e AS (
+                SELECT CAST(event_id % 2 AS INT) AS inv, user_id,
+                       event_type,
+                       CAST(floor(value * 100) AS BIGINT) AS cents
+                FROM events WHERE user_id % 23 = 0
+            ), m0 AS (
+                SELECT p.user_id AS user_id, p.cents AS p_cents,
+                       c.cents AS c_cents, s.cents AS s_cents
+                FROM (SELECT * FROM e WHERE event_type = 'purchase' AND inv = 0) p
+                LEFT JOIN (SELECT * FROM e WHERE event_type = 'click' AND inv = 0) c
+                  ON p.user_id = c.user_id
+                LEFT JOIN (SELECT * FROM e WHERE event_type = 'signup' AND inv = 0) s
+                  ON p.user_id = s.user_id
+            ), m1 AS (
+                SELECT p.user_id AS user_id, p.cents AS p_cents,
+                       c.cents AS c_cents, s.cents AS s_cents
+                FROM (SELECT * FROM e WHERE event_type = 'purchase') p
+                LEFT JOIN (SELECT * FROM e WHERE event_type = 'click') c
+                  ON p.user_id = c.user_id
+                LEFT JOIN (SELECT * FROM e WHERE event_type = 'signup') s
+                  ON p.user_id = s.user_id
+            )
+            SELECT CAST(0 AS INT) AS inv, CAST(0 AS INT) AS op, *
+            FROM m0
+            UNION ALL
+            SELECT CAST(1 AS INT), CAST(0 AS INT), *
+            FROM (SELECT * FROM m1 EXCEPT ALL SELECT * FROM m0)
+            UNION ALL
+            SELECT CAST(1 AS INT), CAST(1 AS INT), *
+            FROM (SELECT * FROM m0 EXCEPT ALL SELECT * FROM m1)
         """,
         "changelog_projection_left_join": """
             -- LEFT-join pad/retract stream, projected: pairs at

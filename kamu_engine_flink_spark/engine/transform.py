@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import (
+    changelog_join,
     distinct_step,
     interval_join,
     map_step,
@@ -242,27 +243,38 @@ def execute_transform(spark: SparkSession, request: TransformRequest) -> Transfo
             # A chained step reading a changelog-EMITTING alias (outer
             # regular-join pads/retractions, continuous-agg correction
             # pairs): Flink propagates the retractions into the consumer.
-            # Only the continuous aggregation folds them here (op 1/2 as
-            # negative contributions); every other step kind would treat
-            # a pad AND its later retraction as two plain appends —
-            # silently wrong, so reject loudly. (INNER regular joins and
-            # windowed steps emit append-only streams and chain freely.)
+            # The continuous aggregation folds them (op 1/2 as negative
+            # contributions), a plain projection forwards the op tags, and
+            # a regular equi-join consumes them through the signed-ledger
+            # executor (operators/changelog_join.py); every other step
+            # kind would treat a pad AND its later retraction as two plain
+            # appends — silently wrong, so reject loudly. (INNER regular
+            # joins and windowed steps emit append-only streams and chain
+            # freely.)
             changelog_refs = sorted(
                 v
                 for v in C.referenced_views(step.query, set(views))
                 if topn.OP_COL in views[v].columns
             )
-            if changelog_refs and kind not in (C.UNBOUNDED_AGG, C.MAP):
+            if changelog_refs and kind not in (
+                C.UNBOUNDED_AGG,
+                C.MAP,
+                C.REGULAR_JOIN,
+            ):
                 raise InvalidQueryError(
                     f"step reads updating (changelog-emitting) alias(es) "
                     f"{', '.join(changelog_refs)}: only a windowless GROUP "
                     "BY aggregation (which folds op 1/2 rows as "
-                    "retractions) or a plain projection (which forwards "
-                    "the op tags) can consume an updating stream; other "
-                    "step kinds would misread correction/retraction rows "
-                    "as appends"
+                    "retractions), a plain projection (which forwards "
+                    "the op tags), or a regular equi-join (which applies "
+                    "them as state deletions) can consume an updating "
+                    "stream; other step kinds would misread correction/"
+                    "retraction rows as appends"
                 )
-            result = _EXECUTORS[kind](ctx, step.query)
+            if changelog_refs and kind == C.REGULAR_JOIN:
+                result = changelog_join.execute_changelog_join(ctx, step.query)
+            else:
+                result = _EXECUTORS[kind](ctx, step.query)
             if step.alias:
                 adf = result.df
                 # A changelog-emitting alias consumed by a downstream
