@@ -59,12 +59,18 @@ _OP_APPEND = 0
 _OP_RETRACT = 1
 
 
+# Engine-internal columns an updating alias may carry: the op tag, the
+# emission-order seq, and an upstream changelog join's phase marker. NOT a
+# dunder-prefix heuristic — the multi-join expansion mangles USER columns
+# as __mj_<alias>__<col>, which must survive.
+_INTERNAL = (OP_COL, SEQ_INPUT, _PHASE, "__emit_sub")
+
+
 def _strip_internal(df: DataFrame) -> DataFrame:
-    """Drop every engine-internal (__-prefixed) column — op tag, ledger
-    seq, emission phase of an upstream changelog join — so every branch
-    binding exposes the identical user-visible shape (a SELECT t.* must
-    expand the same way on a slice binding and a ledger-net binding)."""
-    drop = [c for c in df.columns if c.startswith("__")]
+    """Drop the engine-internal columns so every branch binding exposes
+    the identical user-visible shape (a SELECT t.* must expand the same
+    way on a slice binding and a ledger-net binding)."""
+    drop = [c for c in df.columns if c in _INTERNAL]
     return df.drop(*drop) if drop else df
 
 
@@ -80,7 +86,7 @@ def _signed_slice(df: DataFrame) -> DataFrame:
     else:
         sign = F.lit(1).cast(IntegerType())
     out = df.withColumn(SIGN, sign)
-    drop = [c for c in out.columns if c.startswith("__") and c != SIGN]
+    drop = [c for c in out.columns if c in _INTERNAL]
     return out.drop(*drop) if drop else out
 
 

@@ -11,13 +11,13 @@ joins) becomes the "new slice" of an internal stream view, and the next
 join step accumulates its full history in its own state — exactly the
 operator tree Flink builds.
 
-INNER chains expand, and the LAST join may be LEFT/RIGHT/FULL — its
-pad/retract changelog originates in the final expanded step, which the
-downstream machinery already handles (continuous-agg folding or loud
-rejection). A MID-chain outer join would feed a changelog into the next
-join, which needs retraction-aware probes — those decline, as do
-aggregation over the join, subqueries, and unqualified column
-references, all falling through to the existing loud rejections.
+Any stage may be LEFT/RIGHT/FULL: a MID-chain outer join's intermediate
+emits a pad/retract changelog, which the NEXT stage consumes through the
+changelog-aware join executor (operators/changelog_join.py — signed
+ledgers, retraction-aware probes), exactly Flink's retraction
+propagation between chained join operators. Aggregation over the join,
+subqueries, and unqualified column references decline, falling through
+to the existing loud rejections.
 
 Column plumbing: every `alias.col` referenced downstream of an
 intermediate join is projected through under a mangled name
@@ -63,11 +63,9 @@ class _Parsed:
     sources: list[tuple[str, str]]  # (view, alias) in join order
     conds: list[str]  # conds[k] joins sources[k+1]
     where: str | None
-    # Join kind per cond ('' inner, else LEFT/RIGHT/FULL). Only the LAST
-    # join may be outer: its pad/retract changelog originates in the
-    # final expanded step, which downstream machinery already handles; a
-    # MID-chain outer would feed a changelog into the next join, which
-    # needs retraction-aware probes (rejected engine-wide).
+    # Join kind per cond ('' inner, else LEFT/RIGHT/FULL). A MID-chain
+    # outer join makes its intermediate an updating stream; the next
+    # stage's join then runs through the changelog-aware executor.
     kinds: list[str] = None
 
 
@@ -105,8 +103,6 @@ def _parse(sql: str, known_views: set[str]) -> _Parsed | None:
     segs, kinds = _split_top_level_joins(rest)
     if len(segs) < 3:  # FROM source + at least two JOIN segments
         return None
-    if any(k for k in kinds[:-1]):
-        return None  # outer mid-chain: changelog into a join — decline
     sm = _SOURCE_RE.match(segs[0])
     if not sm:
         return None
@@ -217,10 +213,11 @@ def expand_multi_join(
                 for a, c in needed
             ]
         rv, ra = p.sources[i + 1]
+        jkw_i = f"{p.kinds[i]} JOIN" if p.kinds[i] else "JOIN"
         steps.append(
             (
                 f"SELECT {', '.join(proj_items)} "
-                f"FROM {lsrc} JOIN {rv} AS {ra} ON {cond}",
+                f"FROM {lsrc} {jkw_i} {rv} AS {ra} ON {cond}",
                 inter_name,
             )
         )

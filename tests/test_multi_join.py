@@ -4,9 +4,9 @@ Flink chains stateful joins in one SQL step (planner delegation,
 TransformEngine.scala:252-262); the engine expands an INNER multi-join
 step into the equivalent chain of aliased single-join steps, each with
 its own full-history state — so a 3-way join pairs across invocations at
-EVERY stage. The final join may be outer (changelog originates in the
-last step); mid-chain outers and aggregation-over-multi-join keep their
-loud rejections.
+EVERY stage. Any stage may be outer: a mid-chain outer's intermediate
+emits a changelog the next stage consumes through the changelog-aware
+join executor. Aggregation-over-multi-join keeps its loud rejection.
 """
 
 import pyarrow.parquet as pq
@@ -54,11 +54,13 @@ def test_expand_shapes():
     assert a0 == "__mj0_0" and a1 is None
     assert "JOIN b AS b" in s0 and "__mj_a__symbol" in s0
     assert "FROM __mj0_0" in s1 and "JOIN c AS c" in s1
-    # a MID-chain outer declines (changelog into a join); a FINAL outer
-    # expands — its pad/retract changelog originates in the last step
-    assert expand_multi_join(
+    # a MID-chain outer expands too — the intermediate's changelog feeds
+    # the next stage's changelog-aware join; a FINAL outer expands with
+    # its pad/retract changelog originating in the last step
+    mid_left = expand_multi_join(
         THREE_WAY.replace("JOIN b", "LEFT JOIN b"), views, cols, "t"
-    ) is None
+    )
+    assert mid_left is not None and "LEFT JOIN b" in mid_left[0][0]
     final_left = expand_multi_join(
         THREE_WAY.replace("JOIN c", "LEFT JOIN c"), views, cols, "t"
     )
@@ -152,17 +154,98 @@ JOIN d AS d ON c.symbol = d.symbol"""
     assert got == [(0, "A", 1, 2, 3, 4)]
 
 
-def test_outer_mid_chain_still_rejected(spark, tmp_path):
+def test_outer_mid_chain_pad_retract(spark, tmp_path):
+    """LEFT join MID-chain: the intermediate (a LEFT b) pads while b has
+    no partner; the pad's pair with c must RETRACT when b's row arrives
+    and the corrected triple must emit — the next stage consumes the
+    intermediate's changelog through the changelog-aware executor."""
     q = THREE_WAY.replace("JOIN b", "LEFT JOIN b")
     runner = TransformRunner(spark, tmp_path, queries=[(q, None)])
-    with pytest.raises(InvalidQueryError, match="one join per"):
-        runner.run(
-            _inputs(
-                tmp_path, "r1",
-                [(0, 0, ts(2), ts(1, 0, 1), "A", 1)], [], [], ts(1, 1, 0)
-            ),
-            system_time=ts(2),
-        )
+    resp, out = runner.run(
+        _inputs(
+            tmp_path, "r1",
+            [(0, 0, ts(2), ts(1, 0, 1), "A", 1)],
+            [],
+            [(0, 0, ts(2), ts(1, 0, 3), "A", 3)],
+            ts(1, 1, 0),
+        ),
+        system_time=ts(2),
+    )
+    assert _rows(out) == [(0, "A", 1, None, 3)]
+
+    resp2, out2 = runner.run(
+        _inputs(
+            tmp_path, "r2", [],
+            [(0, 0, ts(3), ts(1, 0, 2), "A", 2)],
+            [],
+            ts(1, 2, 0),
+        ),
+        system_time=ts(3),
+    )
+    assert _rows(out2) == [(1, "A", 1, None, 3), (0, "A", 1, 2, 3)]
+
+    # Run 3: a second c partner pairs against the CURRENT intermediate.
+    resp3, out3 = runner.run(
+        _inputs(
+            tmp_path, "r3", [], [],
+            [(1, 0, ts(4), ts(1, 0, 4), "A", 30)],
+            ts(1, 3, 0),
+        ),
+        system_time=ts(4),
+    )
+    assert _rows(out3) == [(0, "A", 1, 2, 30)]
+
+
+def test_outer_mid_chain_fold_matches_batch(spark, tmp_path):
+    """a LEFT b -> INNER c under slicing folds to the batch answer."""
+    from collections import Counter
+
+    a_rows = [(i, 0, ts(9), ts(1), f"S{i % 3}", 10 + i) for i in range(6)]
+    b_rows = [(i, 0, ts(9), ts(1), f"S{i % 2}", 100 + i) for i in range(4)]
+    c_rows = [(i, 0, ts(9), ts(1), f"S{i % 4}", 1000 + i) for i in range(4)]
+    q = THREE_WAY.replace("JOIN b", "LEFT JOIN b")
+
+    def run_sliced(tag, cuts_b, cuts_c):
+        runner = TransformRunner(spark, tmp_path / tag, queries=[(q, None)])
+        import os
+
+        changelog = []
+        bounds_b = [0, *cuts_b, len(b_rows)]
+        bounds_c = [0, *cuts_c, len(c_rows)]
+        for i in range(max(len(bounds_b), len(bounds_c)) - 1):
+            bs = b_rows[bounds_b[i]: bounds_b[i + 1]] if i + 1 < len(bounds_b) else []
+            cs = c_rows[bounds_c[i]: bounds_c[i + 1]] if i + 1 < len(bounds_c) else []
+            resp, out = runner.run(
+                _inputs(tmp_path / tag, f"r{i}",
+                        a_rows if i == 0 else [], bs, cs, ts(1, i + 1, 0)),
+                system_time=ts(2 + i),
+            )
+            if os.path.exists(out):
+                changelog += _rows(out)
+        state = Counter()
+        for op, *vals in changelog:
+            state[tuple(vals)] += 1 if op in (0, 3) else -1
+            assert state[tuple(vals)] >= 0
+        return Counter({k: v for k, v in state.items() if v})
+
+    one = run_sliced("one", [], [])
+    many = run_sliced("many", [1, 3], [2, 3])
+    batch = spark.createDataFrame(
+        [(r[4], r[5]) for r in a_rows], "symbol string, price int"
+    ).alias("a").join(
+        spark.createDataFrame(
+            [(r[4], r[5]) for r in b_rows], "symbol string, price int"
+        ).alias("b"),
+        "symbol", "left",
+    ).join(
+        spark.createDataFrame(
+            [(r[4], r[5]) for r in c_rows], "symbol string, price int"
+        ).alias("c"),
+        "symbol",
+    ).selectExpr("symbol", "a.price pa", "b.price pb", "c.price pc").collect()
+    expected = Counter((r.symbol, r.pa, r.pb, r.pc) for r in batch)
+    assert one == expected
+    assert many == expected
 
 
 def test_final_left_join_chain_pad_retract(spark, tmp_path):
