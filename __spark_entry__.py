@@ -2496,6 +2496,66 @@ LEFT JOIN signups as s ON j.user_id = s.user_id""",
     return out
 
 
+def changelog_minmax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max over an UPDATING alias (operators/unbounded_agg.py
+    histogram state — Flink's Min/MaxWithRetractAggFunction map-state):
+    a LEFT regular join's pad/retract changelog feeds a continuous
+    aggregation with min/max(c_cents) + count(*) per user. A pad's NULL
+    keeps the key alive with NULL extremes; the first real partner
+    corrects them. Emission = keys whose state changed between
+    invocation prefixes (op 0 first-seen, else an op 2/3 pair), which is
+    exactly the oracle's prefix-state diff. Histogram reads/writes are
+    touched-key-restricted bucketed probes — scales."""
+    import tempfile
+
+    _conf(spark)
+    workdir = tempfile.mkdtemp(prefix="clmm-entry-")
+    p_slices = _ledger_slices(
+        spark, _events_ledger(spark, sf_dir, "purchase"), workdir, "purchases", 2
+    )
+    c_slices = _ledger_slices(
+        spark, _events_ledger(spark, sf_dir, "click"), workdir, "clicks", 2
+    )
+    steps = [
+        (
+            """SELECT
+  p.event_time as event_time,
+  p.user_id as user_id,
+  p.cents as p_cents,
+  c.cents as c_cents
+FROM purchases as p
+LEFT JOIN clicks as c
+ON p.user_id = c.user_id""",
+            "j",
+        ),
+        (
+            """SELECT cast(now() as timestamp(3)) as event_time,
+  user_id, max(c_cents) as max_c, min(c_cents) as min_c, count(*) as n
+FROM j GROUP BY user_id""",
+            None,
+        ),
+    ]
+    per_inv = [
+        [("purchases", *p_slices[i]), ("clicks", *c_slices[i])] for i in range(2)
+    ]
+    outs = _run_odf_invocations(spark, steps, per_inv, workdir, "clmm")
+    parts = [
+        spark.read.parquet(path).select(
+            F.lit(inv).cast("int").alias("inv"),
+            F.col("op").cast("int").alias("op"),
+            "user_id",
+            F.col("max_c").cast("long").alias("max_c"),
+            F.col("min_c").cast("long").alias("min_c"),
+            F.col("n").cast("long").alias("n"),
+        )
+        for inv, path in outs
+    ]
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out
+
+
 def flink_scalar_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-3 Flink scalar-rewrite surface (plans/dialect.py):
     SPLIT_INDEX (literal-delimiter regex escaping + 0-based index +
@@ -2814,9 +2874,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/crosscheck.py verifies ALL entries locally regardless; the
     # full run is committed per round as CROSSCHECK_r{N}.txt.
     return {
-        # --- due their FIRST driver row (2) ---
+        # --- due their FIRST driver row (3) ---
         "changelog_join_three_way": changelog_join_three_way,
         "changelog_join_left_over_updating": changelog_join_left_over_updating,
+        "changelog_minmax_agg": changelog_minmax_agg,
         # --- r03-checked overflow queued from round 5 (5) ---
         "window_cumulate_6h": window_cumulate_6h,
         "inverted_index_documents": inverted_index_documents,
@@ -2866,8 +2927,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_distinct_users": sketch_distinct_users,
         "text_scrub_documents": text_scrub_documents,
         "approx_quantiles_events": approx_quantiles_events,
+        # --- r04-checked overflow, front of the round-7 rotation (8) ---
         "user_event_sequences": user_event_sequences,
-        # --- r04-checked overflow, front of the round-7 rotation (7) ---
         "decontamination_overlap": decontamination_overlap,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_unshipped": q3_top_unshipped,
@@ -4392,6 +4453,54 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(1 AS INT), CAST(1 AS INT), *
             FROM (SELECT * FROM m0 EXCEPT ALL SELECT * FROM m1)
+        """,
+        "changelog_minmax_agg": """
+            -- Continuous agg with min/max over a LEFT join's changelog:
+            -- per-key state after invocation i is the batch aggregate
+            -- over (p<=i LEFT c<=i); emission = first-seen keys (op 0)
+            -- plus op 2/3 pairs for keys whose state changed.
+            WITH e AS (
+                SELECT CAST(event_id % 2 AS INT) AS inv, user_id,
+                       event_type,
+                       CAST(floor(value * 100) AS BIGINT) AS cents
+                FROM events
+            ), s0 AS (
+                SELECT p.user_id AS user_id, max(c.cents) AS max_c,
+                       min(c.cents) AS min_c, count(*) AS n
+                FROM (SELECT * FROM e WHERE event_type = 'purchase' AND inv = 0) p
+                LEFT JOIN (SELECT * FROM e WHERE event_type = 'click' AND inv = 0) c
+                  ON p.user_id = c.user_id
+                GROUP BY p.user_id
+            ), s1 AS (
+                SELECT p.user_id AS user_id, max(c.cents) AS max_c,
+                       min(c.cents) AS min_c, count(*) AS n
+                FROM (SELECT * FROM e WHERE event_type = 'purchase') p
+                LEFT JOIN (SELECT * FROM e WHERE event_type = 'click') c
+                  ON p.user_id = c.user_id
+                GROUP BY p.user_id
+            ), changed AS (
+                SELECT s0.user_id
+                FROM s0 JOIN s1 USING (user_id)
+                WHERE s0.max_c IS DISTINCT FROM s1.max_c
+                   OR s0.min_c IS DISTINCT FROM s1.min_c
+                   OR s0.n <> s1.n
+            )
+            SELECT CAST(0 AS INT) AS inv, CAST(0 AS INT) AS op,
+                   user_id, max_c, min_c, n
+            FROM s0
+            UNION ALL
+            SELECT CAST(1 AS INT), CAST(0 AS INT),
+                   s1.user_id, s1.max_c, s1.min_c, s1.n
+            FROM s1 LEFT JOIN s0 ON s1.user_id = s0.user_id
+            WHERE s0.user_id IS NULL
+            UNION ALL
+            SELECT CAST(1 AS INT), CAST(2 AS INT),
+                   s0.user_id, s0.max_c, s0.min_c, s0.n
+            FROM s0 JOIN changed USING (user_id)
+            UNION ALL
+            SELECT CAST(1 AS INT), CAST(3 AS INT),
+                   s1.user_id, s1.max_c, s1.min_c, s1.n
+            FROM s1 JOIN changed USING (user_id)
         """,
         "changelog_projection_left_join": """
             -- LEFT-join pad/retract stream, projected: pairs at

@@ -83,21 +83,33 @@ def execute_unbounded_agg(ctx: StepContext, sql: str) -> StepResult:
     # 1/2 rows as negative contributions — Flink's retraction propagation
     # between chained views. A hidden signed row counter tracks key
     # liveness; a key whose rows all retract emits an op-1 delete and
-    # leaves the state.
+    # leaves the state. min/max cannot fold into an accumulator (a
+    # retraction may remove the current extremum): each min/max argument
+    # keeps a per-(key, value) signed count HISTOGRAM state — Flink's
+    # Min/MaxWithRetractAggFunction map-state — and the extremes are
+    # recomputed per touched key from the surviving values.
     is_changelog = OP_COL in ctx.views[src].columns
     merges = dict(mspec.merges)
     sum_guards: dict[str, str] = {}
+    minmax: dict[str, tuple[str, str]] = {}
+    acc_name = f"{ctx.step_key}-unbounded-acc"
     if is_changelog:
         folded = changelog_fold_slice_sql(spec.core_sql, OP_COL)
         if folded is None:
             raise InvalidQueryError(
-                "min/max over a changelog-emitting step cannot fold "
-                "retractions (a retractable min/max needs the full value "
-                "multiset, not an accumulator): aggregate the base stream "
-                "before the outer join / updating step, or drop min/max"
+                "continuous aggregation over a changelog-emitting step "
+                "could not rewrite the projection for retraction folding"
             )
-        folded, sum_guards = folded
+        folded, sum_guards, minmax = folded
         partials = ctx.spark.sql(rewrite_query(folded))
+        out_types = {f.name: f.dataType for f in out_schema.fields}
+        for alias in minmax:
+            # Placeholder so slice partials and persisted state share one
+            # schema; the real values come from the histogram extremes.
+            merges.pop(alias, None)
+            partials = partials.withColumn(
+                alias, F.lit(None).cast(out_types[alias])
+            )
         merges[LIVE_COL] = "sum"
         for guard in sum_guards.values():
             merges[guard] = "sum"
@@ -105,11 +117,89 @@ def execute_unbounded_agg(ctx: StepContext, sql: str) -> StepResult:
         # Slice partials (the now() emission-time item stripped; avg
         # decomposed into sum+count when present).
         partials = ctx.spark.sql(rewrite_query(mspec.slice_sql or spec.core_sql))
-    acc_name = f"{ctx.step_key}-unbounded-acc"
     prev = ctx.state.load_df(acc_name, schema=partials.schema)
 
+    use_split = bool(group_cols) and state_split_worthwhile(ctx, acc_name, src)
+
+    # Histogram state per distinct min/max argument; extremes recomputed
+    # over the merged (touched-key) histogram and joined onto the new
+    # accumulator side below.
+    ext_frames = []  # [(extremes df keyed by group_cols, [out aliases])]
+    if minmax:
+        from ..plans.classify import changelog_hist_slice_sql
+
+        hist_specs: dict[str, list[tuple[str, str]]] = {}
+        for alias, (fn, arg) in minmax.items():
+            hist_specs.setdefault(arg, []).append((alias, fn))
+        for i, (arg, outs) in enumerate(sorted(hist_specs.items())):
+            h_name = f"{ctx.step_key}-unbounded-hist{i}"
+            h_delta = ctx.spark.sql(
+                rewrite_query(
+                    changelog_hist_slice_sql(spec.core_sql, OP_COL, group_cols, arg)
+                )
+            )
+            h_prev = ctx.state.load_df(h_name, schema=h_delta.schema)
+            merge_hist = (
+                lambda base, delta: base.unionByName(delta)
+                .groupBy(*group_cols, "__hist_val")
+                .agg(F.sum("__hist_cnt").alias("__hist_cnt"))
+                .filter(F.col("__hist_cnt") > 0)
+            )
+            if use_split:
+                h_delta = ctx.pin(h_delta)
+                h_active, h_untouched = split_touched_state(
+                    h_prev, group_cols, h_delta.select(*group_cols)
+                )
+                h_merged = ctx.pin(merge_hist(h_active, h_delta))
+                ctx.state.save_df(
+                    h_name,
+                    h_untouched.unionByName(h_merged),
+                    bucket_by=group_cols,
+                    pre_partitioned=True,
+                )
+            else:
+                h_merged = ctx.pin(merge_hist(h_prev, h_delta))
+                ctx.state.save_df(
+                    h_name,
+                    h_merged,
+                    bucket_by=group_cols or None,
+                    pre_partitioned=True,
+                )
+            exts = h_merged.groupBy(*group_cols).agg(
+                *[
+                    getattr(F, fn)("__hist_val").cast(out_types[alias]).alias(alias)
+                    for alias, fn in outs
+                ]
+            )
+            ext_frames.append((exts, [alias for alias, _fn in outs]))
+
+    def _attach_extremes(df):
+        """Join each histogram's extremes onto the new accumulator side
+        (null-safe on the group keys — NULL keys are legal groups); keys
+        absent from a histogram (every value retracted) stay NULL, the
+        Flink retractable-extreme contract."""
+        for exts, aliases in ext_frames:
+            renamed = exts.select(
+                *[
+                    F.col(k).alias(f"__ek_{j}")
+                    for j, k in enumerate(group_cols)
+                ],
+                *aliases,
+            )
+            if group_cols:
+                cond = None
+                for j, k in enumerate(group_cols):
+                    c = F.col(k).eqNullSafe(F.col(f"__ek_{j}"))
+                    cond = c if cond is None else (cond & c)
+                df = df.join(renamed, cond, "left").drop(
+                    *[f"__ek_{j}" for j in range(len(group_cols))]
+                )
+            else:
+                df = df.join(F.broadcast(renamed), F.lit(True), "left")
+        return df
+
     merge_exprs = [getattr(F, fn)(F.col(c)).alias(c) for c, fn in merges.items()]
-    if group_cols and state_split_worthwhile(ctx, acc_name, src):
+    if use_split:
         # Touched-keys merge: only groups PRESENT in this slice can change,
         # so split the (bucketed) accumulator state by a semi/anti probe
         # against the slice's key set — exchange-free on the state
@@ -126,7 +216,11 @@ def execute_unbounded_agg(ctx: StepContext, sql: str) -> StepResult:
         )
         active_prev = ctx.pin(active_prev)
         merged = ctx.pin(
-            active_prev.unionByName(partials).groupBy(*group_cols).agg(*merge_exprs)
+            _attach_extremes(
+                active_prev.unionByName(partials)
+                .groupBy(*group_cols)
+                .agg(*merge_exprs)
+            )
         )
         live_merged = merged.filter(F.col(LIVE_COL) > 0) if is_changelog else merged
         ctx.state.save_df(
@@ -142,7 +236,9 @@ def execute_unbounded_agg(ctx: StepContext, sql: str) -> StepResult:
         # groupBy output is already key-partitioned) so a later, smaller
         # slice can take the split path against an exchange-free scan.
         merged = ctx.pin(
-            prev.unionByName(partials).groupBy(*group_cols).agg(*merge_exprs)
+            _attach_extremes(
+                prev.unionByName(partials).groupBy(*group_cols).agg(*merge_exprs)
+            )
         )
         ctx.state.save_df(
             acc_name,

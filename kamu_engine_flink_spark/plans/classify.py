@@ -315,23 +315,28 @@ def changelog_fold_slice_sql(core_sql: str, op_col: str) -> str | None:
     SumWithRetractAggFunction (visible when NULL-valued rows, e.g. outer
     pads, keep the key alive after every real value retracted).
 
-    Returns (slice_sql, sum_guards) where sum_guards maps each sum
-    output alias to its hidden counter column; None when the projection
-    contains min/max — a retractable min/max needs the full value
-    multiset, not an accumulator (Flink's MinWithRetractAggFunction
-    keeps exactly that map-state); callers reject loudly."""
+    Returns (slice_sql, sum_guards, minmax): sum_guards maps each sum
+    output alias to its hidden counter column; minmax maps each min/max
+    output alias to (fn, arg) — a retractable min/max needs the full
+    value multiset, not an accumulator (Flink's MinWithRetractAggFunction
+    keeps exactly that map-state), so those items are OMITTED from the
+    slice SQL and the executor recomputes them per touched key from a
+    per-(key, value) count histogram state. None only on an unparseable
+    projection."""
     m = re.search(r"select\s+(.*?)\s+from\s", core_sql, re.IGNORECASE | re.DOTALL)
     if m is None:
         return None
     sign = f"(CASE WHEN {op_col} IN (1, 2) THEN -1 ELSE 1 END)"
     items: list[str] = []
     sum_guards: dict[str, str] = {}
+    minmax: dict[str, tuple[str, str]] = {}
     for item in _split_top_level(m.group(1)):
         am = _SIMPLE_AGG_ITEM_RE.match(item)
         if am:
             fn, arg, alias = am.group(1).lower(), am.group(2), am.group(3)
             if fn in ("min", "max"):
-                return None
+                minmax[alias] = (fn, arg)
+                continue
             if fn == "sum":
                 items.append(f"sum({sign} * ({arg})) AS {alias}")
                 guard = f"__sum_cnt_{alias}"
@@ -364,6 +369,37 @@ def changelog_fold_slice_sql(core_sql: str, op_col: str) -> str | None:
     return (
         core_sql[: m.start(1)] + ", ".join(items) + core_sql[m.end(1) :],
         sum_guards,
+        minmax,
+    )
+
+
+def changelog_hist_slice_sql(
+    core_sql: str, op_col: str, group_cols: list[str], arg: str
+) -> str:
+    """Slice SQL for the per-(key, value) signed count histogram of one
+    min/max argument — the value-multiset state a retractable min/max
+    needs (Flink's Min/MaxWithRetractAggFunction map-state). Reuses the
+    step's own FROM/WHERE segment so any slice filter applies, adds the
+    min/max NULL-skip, and groups by (keys, value) with a signed count."""
+    sign = f"(CASE WHEN {op_col} IN (1, 2) THEN -1 ELSE 1 END)"
+    fm = re.search(r"\bFROM\b", core_sql, re.IGNORECASE)
+    rest = core_sql[fm.end():]
+    g = re.search(r"\bGROUP\s+BY\b", rest, re.IGNORECASE)
+    middle = (rest[: g.start()] if g else rest).strip()
+    notnull = f"(({arg}) IS NOT NULL)"
+    wm = re.search(r"\bWHERE\b", middle, re.IGNORECASE)
+    if wm:
+        fromwhere = (
+            f"{middle[: wm.start()].strip()} "
+            f"WHERE ({middle[wm.end():].strip()}) AND {notnull}"
+        )
+    else:
+        fromwhere = f"{middle} WHERE {notnull}"
+    keys = "".join(f"{k}, " for k in group_cols)
+    return (
+        f"SELECT {keys}({arg}) AS __hist_val, "
+        f"CAST(sum({sign}) AS BIGINT) AS __hist_cnt "
+        f"FROM {fromwhere} GROUP BY {keys}({arg})"
     )
 
 

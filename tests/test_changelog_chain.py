@@ -160,21 +160,103 @@ def test_agg_into_agg_key_death_emits_delete(spark, tmp_path):
     assert _hist_rows(out3) == [(0, 1, 1)]
 
 
-def test_min_max_over_changelog_rejected(spark, tmp_path):
-    """min/max cannot fold retractions (needs the full value multiset) —
-    loud rejection, not silent corruption."""
+def test_max_over_changelog_histogram(spark, tmp_path):
+    """max over an updating alias: a per-(key, value) count histogram
+    state (Flink MaxWithRetractAggFunction map-state) recomputes the
+    extremum when values arrive or retract; NULL pads keep the key alive
+    with a NULL max."""
     agg = """SELECT cast(now() as timestamp(3)) as event_time,
   symbol, max(b_price) as b_max FROM j GROUP BY symbol"""
     runner = TransformRunner(
         spark, tmp_path, queries=[(LEFT_JOIN, "j"), (agg, None)]
     )
-    with pytest.raises(InvalidQueryError, match="min/max over a changelog"):
-        runner.run(
-            _two_stream_inputs(
-                tmp_path, "r1", [(0, 0, ts(2), ts(1, 0, 1), "A", 10)], [], ts(1, 1, 0)
-            ),
-            system_time=ts(2),
-        )
+
+    def _r(out):
+        table = pq.read_table(out)
+        return [(r["op"], r["symbol"], r["b_max"]) for r in table.to_pylist()]
+
+    # Run 1: A pads — key alive, histogram empty, max NULL.
+    resp, out = runner.run(
+        _two_stream_inputs(
+            tmp_path, "r1", [(0, 0, ts(2), ts(1, 0, 1), "A", 10)], [], ts(1, 1, 0)
+        ),
+        system_time=ts(2),
+    )
+    assert _r(out) == [(0, "A", None)]
+
+    # Run 2: partner 7 arrives — pad retracts, pair adds: max NULL -> 7.
+    resp2, out2 = runner.run(
+        _two_stream_inputs(
+            tmp_path, "r2", [], [(0, 0, ts(3), ts(1, 0, 2), "A", 7)], ts(1, 2, 0)
+        ),
+        system_time=ts(3),
+    )
+    assert _r(out2) == [(2, "A", None), (3, "A", 7)]
+
+    # Run 3: a SMALLER partner (3) — max unchanged, NOTHING emits.
+    import os
+
+    resp3, out3 = runner.run(
+        _two_stream_inputs(
+            tmp_path, "r3", [], [(1, 0, ts(4), ts(1, 0, 3), "A", 3)], ts(1, 3, 0)
+        ),
+        system_time=ts(4),
+    )
+    assert not os.path.exists(out3)
+
+    # Run 4: a larger partner (12) — max corrects 7 -> 12.
+    resp4, out4 = runner.run(
+        _two_stream_inputs(
+            tmp_path, "r4", [], [(2, 0, ts(5), ts(1, 0, 4), "A", 12)], ts(1, 4, 0)
+        ),
+        system_time=ts(5),
+    )
+    assert _r(out4) == [(2, "A", 7), (3, "A", 12)]
+
+
+def test_min_max_retraction_removes_extremum(spark, tmp_path):
+    """The value currently HOLDING the extremum retracts (an upstream
+    correction moves a key's count): the histogram must drop it and the
+    extremes must fall back to the surviving values."""
+    count_per_symbol = """SELECT cast(now() as timestamp(3)) as event_time,
+  symbol, count(*) as n FROM a GROUP BY symbol"""
+    extremes = """SELECT cast(now() as timestamp(3)) as event_time,
+  min(n) as min_n, max(n) as max_n FROM per_symbol"""
+    runner = TransformRunner(
+        spark, tmp_path,
+        queries=[(count_per_symbol, "per_symbol"), (extremes, None)],
+    )
+
+    def _r(out):
+        table = pq.read_table(out)
+        return [(r["op"], r["min_n"], r["max_n"]) for r in table.to_pylist()]
+
+    a1 = str(tmp_path / "in" / "a1.parquet")
+    ticker_slice(a1, [(0, 0, ts(2), ts(1, 0, 1), "A", 10)])
+    resp, out = runner.run(
+        [{"alias": "a", "data_paths": [a1], "schema_file": a1, "watermark": ts(1, 1, 0)}],
+        system_time=ts(2),
+    )
+    assert _r(out) == [(0, 1, 1)]
+
+    # A's count corrects 1 -> 2: the histogram's only value (1, both the
+    # min AND the max) retracts — extremes recompute to (2, 2).
+    a2 = str(tmp_path / "in" / "a2.parquet")
+    ticker_slice(a2, [(1, 0, ts(3), ts(1, 0, 2), "A", 11)])
+    resp2, out2 = runner.run(
+        [{"alias": "a", "data_paths": [a2], "schema_file": a2, "watermark": ts(1, 2, 0)}],
+        system_time=ts(3),
+    )
+    assert _r(out2) == [(2, 1, 1), (3, 2, 2)]
+
+    # B's first event adds value 1 back: min falls to 1, max stays 2.
+    a3 = str(tmp_path / "in" / "a3.parquet")
+    ticker_slice(a3, [(2, 0, ts(4), ts(1, 0, 3), "B", 12)])
+    resp3, out3 = runner.run(
+        [{"alias": "a", "data_paths": [a3], "schema_file": a3, "watermark": ts(1, 3, 0)}],
+        system_time=ts(4),
+    )
+    assert _r(out3) == [(2, 2, 2), (3, 1, 2)]
 
 
 def test_map_over_changelog_forwards_ops(spark, tmp_path):
@@ -334,19 +416,27 @@ def test_fold_slice_invariance(spark, tmp_path):
 def test_fold_slice_sql_shapes():
     """changelog_fold_slice_sql: signed aggregates, per-sum non-null
     guard (Flink SumWithRetractAggFunction NULL-out), liveness counter;
-    min/max -> None."""
+    min/max items are omitted and reported for histogram state."""
     from kamu_engine_flink_spark.plans.classify import (
         LIVE_COL,
         changelog_fold_slice_sql,
+        changelog_hist_slice_sql,
     )
 
     core = "SELECT symbol, sum(v) AS s, count(*) AS n FROM j GROUP BY symbol"
     out = changelog_fold_slice_sql(core, "__op")
     assert out is not None
-    sql, guards = out
-    assert guards == {"s": "__sum_cnt_s"}
+    sql, guards, minmax = out
+    assert guards == {"s": "__sum_cnt_s"} and minmax == {}
     assert "__sum_cnt_s" in sql and LIVE_COL in sql
     assert "CASE WHEN __op IN (1, 2) THEN -1 ELSE 1 END" in sql
-    assert changelog_fold_slice_sql(
+    sql_m, guards_m, minmax_m = changelog_fold_slice_sql(
         "SELECT symbol, max(v) AS m FROM j GROUP BY symbol", "__op"
-    ) is None
+    )
+    assert minmax_m == {"m": ("max", "v")} and "max(" not in sql_m.lower()
+    hist = changelog_hist_slice_sql(
+        "SELECT symbol, max(v) AS m FROM j WHERE v > 0 GROUP BY symbol",
+        "__op", ["symbol"], "v",
+    )
+    assert "__hist_val" in hist and "__hist_cnt" in hist
+    assert "WHERE (v > 0) AND ((v) IS NOT NULL)" in hist
