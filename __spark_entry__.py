@@ -2556,6 +2556,62 @@ FROM j GROUP BY user_id""",
     return out
 
 
+def changelog_filter_pads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE over an updating alias (operators/map_step.py
+    _changelog_filter — Flink's filter on a retraction stream): keep
+    only the UNMATCHED (pad) rows of a LEFT join's changelog. A pad
+    enters the filtered view op 0 and leaves it op 1 when its retraction
+    arrives (the replacing pair fails the predicate). The filtered view
+    after invocation i folds to the unmatched-left set of the batch
+    prefix, so the oracle is the prefix multiset diff. One windowed pass
+    over the per-invocation emission — O(emission), no state."""
+    import tempfile
+
+    _conf(spark)
+    workdir = tempfile.mkdtemp(prefix="clflt-entry-")
+    p_slices = _ledger_slices(
+        spark, _events_ledger(spark, sf_dir, "purchase"), workdir, "purchases", 2
+    )
+    c_slices = _ledger_slices(
+        spark, _events_ledger(spark, sf_dir, "click"), workdir, "clicks", 2
+    )
+    steps = [
+        (
+            """SELECT
+  p.event_time as event_time,
+  p.user_id as user_id,
+  p.cents as p_cents,
+  c.cents as c_cents
+FROM purchases as p
+LEFT JOIN clicks as c
+ON p.user_id = c.user_id""",
+            "j",
+        ),
+        (
+            "SELECT event_time, user_id, p_cents FROM j "
+            "WHERE c_cents IS NULL",
+            None,
+        ),
+    ]
+    per_inv = [
+        [("purchases", *p_slices[i]), ("clicks", *c_slices[i])] for i in range(2)
+    ]
+    outs = _run_odf_invocations(spark, steps, per_inv, workdir, "clflt")
+    parts = [
+        spark.read.parquet(path).select(
+            F.lit(inv).cast("int").alias("inv"),
+            F.col("op").cast("int").alias("op"),
+            "user_id",
+            F.col("p_cents").cast("long").alias("p_cents"),
+        )
+        for inv, path in outs
+    ]
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out
+
+
 def flink_scalar_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-3 Flink scalar-rewrite surface (plans/dialect.py):
     SPLIT_INDEX (literal-delimiter regex escaping + 0-based index +
@@ -2927,7 +2983,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_distinct_users": sketch_distinct_users,
         "text_scrub_documents": text_scrub_documents,
         "approx_quantiles_events": approx_quantiles_events,
-        # --- r04-checked overflow, front of the round-7 rotation (8) ---
+        # --- front of the round-7 rotation (9): the new filter entry
+        # (crosschecked this round) + the r04-checked overflow ---
+        "changelog_filter_pads": changelog_filter_pads,
         "user_event_sequences": user_event_sequences,
         "decontamination_overlap": decontamination_overlap,
         "q1_pricing_summary": q1_pricing_summary,
@@ -4501,6 +4559,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(1 AS INT), CAST(3 AS INT),
                    s1.user_id, s1.max_c, s1.min_c, s1.n
             FROM s1 JOIN changed USING (user_id)
+        """,
+        "changelog_filter_pads": """
+            -- Filtered changelog (pads only): the filtered view after
+            -- invocation i is the unmatched-left multiset of the batch
+            -- prefix; each invocation emits the multiset diff.
+            WITH e AS (
+                SELECT CAST(event_id % 2 AS INT) AS inv, user_id,
+                       event_type,
+                       CAST(floor(value * 100) AS BIGINT) AS cents
+                FROM events
+            ), s0 AS (
+                SELECT p.user_id AS user_id, p.cents AS p_cents
+                FROM (SELECT * FROM e WHERE event_type = 'purchase' AND inv = 0) p
+                LEFT JOIN (SELECT * FROM e WHERE event_type = 'click' AND inv = 0) c
+                  ON p.user_id = c.user_id
+                WHERE c.user_id IS NULL
+            ), s1 AS (
+                SELECT p.user_id AS user_id, p.cents AS p_cents
+                FROM (SELECT * FROM e WHERE event_type = 'purchase') p
+                LEFT JOIN (SELECT * FROM e WHERE event_type = 'click') c
+                  ON p.user_id = c.user_id
+                WHERE c.user_id IS NULL
+            )
+            SELECT CAST(0 AS INT) AS inv, CAST(0 AS INT) AS op, *
+            FROM s0
+            UNION ALL
+            SELECT CAST(1 AS INT), CAST(0 AS INT), *
+            FROM (SELECT * FROM s1 EXCEPT ALL SELECT * FROM s0)
+            UNION ALL
+            SELECT CAST(1 AS INT), CAST(1 AS INT), *
+            FROM (SELECT * FROM s0 EXCEPT ALL SELECT * FROM s1)
         """,
         "changelog_projection_left_join": """
             -- LEFT-join pad/retract stream, projected: pairs at

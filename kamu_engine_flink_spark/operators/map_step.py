@@ -45,6 +45,54 @@ def _inject_seq(sql: str) -> str | None:
     return _SIMPLE_SELECT_RE.sub(f"SELECT {SEQ_INPUT}, ", sql, count=1)
 
 
+def _changelog_filter(ctx: StepContext, sql: str, src: str, wm) -> StepResult:
+    """WHERE over an updating alias — Flink's filter on a retraction
+    stream. Plain op 0/1 rows filter directly; an op 2/3 correction pair
+    (ADJACENT in emission order by the changelog contract) rewrites by
+    which halves pass the predicate: both -> the pair forwards; only the
+    old -> an op-1 DELETE (the row leaves the filtered view); only the
+    new -> an op-0 INSERT (it enters); neither -> nothing. One windowed
+    pass over the per-invocation emission, which the engine already
+    single-partition seq-stamps — O(emission), no state."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .topn import OP_COL
+
+    m = re.search(r"\bwhere\b", sql, re.IGNORECASE)
+    head, pred = sql[: m.start()], sql[m.end() :].strip()
+    pm = re.search(r"select\s+(.*?)(\s+from\s)", head, re.IGNORECASE | re.DOTALL)
+    extras = f"CAST(({pred}) AS BOOLEAN) AS __flt"
+    if not re.search(
+        r"(?:\bselect|,)\s*(?:[`\w]+\s*\.\s*)?\*", head, re.IGNORECASE
+    ):
+        # The predicate evaluates against the VIEW's columns (same scope
+        # as the original WHERE); a star projection already expands the
+        # internal seq/op columns.
+        extras = f"{SEQ_INPUT}, {OP_COL}, " + extras
+    inner_sql = head[: pm.end(1)] + ", " + extras + head[pm.end(1) :]
+    from ..plans.dialect import rewrite_query
+
+    df = ctx.spark.sql(rewrite_query(inner_sql, watermark=wm))
+    w = Window.partitionBy(F.lit(0)).orderBy(SEQ_INPUT)
+    flt = F.coalesce(F.col("__flt"), F.lit(False))
+    prev_flt = F.coalesce(F.lag("__flt").over(w), F.lit(False))
+    next_flt = F.coalesce(F.lead("__flt").over(w), F.lit(False))
+    op = F.col(OP_COL)
+    result = (
+        df.withColumn(
+            OP_COL,
+            F.when((op == 2) & ~next_flt, F.lit(1))
+            .when((op == 3) & ~prev_flt, F.lit(0))
+            .otherwise(op)
+            .cast("int"),
+        )
+        .filter(flt)
+        .drop("__flt")
+    )
+    return StepResult(df=result, watermark=wm, order_cols=[SEQ_INPUT])
+
+
 def execute_map(ctx: StepContext, sql: str) -> StepResult:
     from ..protocol.model import InvalidQueryError
     from .topn import OP_COL
@@ -52,31 +100,35 @@ def execute_map(ctx: StepContext, sql: str) -> StepResult:
     refs = referenced_views(sql, set(ctx.views))
     wm = min_watermark(*[ctx.new_wms.get(r) for r in refs]) if refs else None
 
-    # Projection over an updating (changelog-emitting) alias: the op tags
-    # thread through like the ledger offset, so pads/retractions/
-    # correction pairs forward intact (Flink keeps RowKind through a
-    # projection). Only a single plain projection qualifies — a WHERE
-    # could drop one half of an op 2/3 pair (Flink turns that into a
-    # DELETE, which needs pair-aware rewriting), and joins/set ops would
-    # duplicate or strand op rows.
+    # Projection (and filter) over an updating (changelog-emitting)
+    # alias: the op tags thread through like the ledger offset, so pads/
+    # retractions/correction pairs forward intact (Flink keeps RowKind
+    # through a projection). A WHERE applies pair-aware rewriting (below
+    # — Flink's filter over an updating stream): joins route to the
+    # changelog-aware join executor before reaching here, and set
+    # ops/OVER would duplicate or strand op rows, so those reject.
     changelog_refs = [r for r in refs if OP_COL in ctx.views[r].columns]
     run_sql = sql
     if changelog_refs:
+        has_where = re.search(r"\bwhere\b", sql, re.IGNORECASE)
         simple = _inject_seq(sql)
         if (
             len(refs) != 1
             or simple is None
-            or re.search(r"\b(where|join)\b|\bover\s*\(", sql, re.IGNORECASE)
+            or re.search(r"\bjoin\b|\bover\s*\(", sql, re.IGNORECASE)
             or SEQ_INPUT not in ctx.views[refs[0]].columns
         ):
             raise InvalidQueryError(
                 "a step reading an updating (changelog-emitting) alias "
-                "supports a single plain projection (op tags forward) or "
-                "a windowless GROUP BY aggregation (op tags fold); "
-                "WHERE/JOIN over an updating stream needs retraction-"
-                "aware semantics and is not supported — filter or join "
-                "before the changelog-emitting step instead"
+                "supports a single projection/filter (op tags forward, "
+                "WHERE rewrites correction pairs), a windowless GROUP BY "
+                "aggregation (op tags fold), or a regular equi-join "
+                "(retraction-aware state); other shapes would misread "
+                "correction/retraction rows — restructure before the "
+                "changelog-emitting step instead"
             )
+        if has_where:
+            return _changelog_filter(ctx, sql, refs[0], wm)
         run_sql = simple
         if OP_COL not in run_sql:
             run_sql = _SIMPLE_SELECT_RE.sub(

@@ -292,21 +292,96 @@ def test_map_over_changelog_forwards_ops(spark, tmp_path):
     assert _r(out2) == [(1, "A", None), (0, "A", 7)]
 
 
-def test_where_over_changelog_rejected(spark, tmp_path):
-    """A WHERE over an updating alias could drop one half of an op 2/3
-    pair (Flink rewrites that into a DELETE) — reject loudly."""
+def test_where_over_changelog_filters_retractions(spark, tmp_path):
+    """WHERE over an updating alias (op 0/1 path): the predicate applies
+    to adds AND retracts alike — a pad that entered the filtered view
+    must LEAVE it (op 1 forwards) when the upstream retracts the pad,
+    and the replacing pair that fails the predicate must not enter."""
     runner = TransformRunner(
         spark, tmp_path,
         queries=[(LEFT_JOIN, "j"),
-                 ("SELECT event_time, symbol FROM j WHERE b_price > 5", None)],
+                 ("SELECT event_time, symbol, b_price FROM j "
+                  "WHERE b_price IS NULL", None)],
     )
-    with pytest.raises(InvalidQueryError, match="retraction-aware"):
-        runner.run(
-            _two_stream_inputs(
-                tmp_path, "r1", [(0, 0, ts(2), ts(1, 0, 1), "A", 10)], [], ts(1, 1, 0)
-            ),
-            system_time=ts(2),
-        )
+
+    def _r(out):
+        table = pq.read_table(out)
+        return [(r["op"], r["symbol"], r["b_price"]) for r in table.to_pylist()]
+
+    resp, out = runner.run(
+        _two_stream_inputs(
+            tmp_path, "r1", [(0, 0, ts(2), ts(1, 0, 1), "A", 10)], [], ts(1, 1, 0)
+        ),
+        system_time=ts(2),
+    )
+    assert _r(out) == [(0, "A", None)]
+
+    # Partner arrives: the pad's retraction passes the predicate (op 1
+    # forwards — the row leaves the filtered view); the new pair fails
+    # it and is dropped. The filtered view folds to empty.
+    resp2, out2 = runner.run(
+        _two_stream_inputs(
+            tmp_path, "r2", [], [(0, 0, ts(3), ts(1, 0, 2), "A", 7)], ts(1, 2, 0)
+        ),
+        system_time=ts(3),
+    )
+    assert _r(out2) == [(1, "A", None)]
+
+
+def test_where_over_changelog_rewrites_correction_pairs(spark, tmp_path):
+    """WHERE over correction pairs (op 2/3): only-new-passes becomes an
+    op-0 INSERT, both-pass forwards the pair, only-old-passes becomes an
+    op-1 DELETE — Flink's filter on a retraction stream."""
+    agg = """SELECT cast(now() as timestamp(3)) as event_time,
+  symbol, avg(b_price) as b_avg FROM j GROUP BY symbol"""
+    flt = "SELECT event_time, symbol, b_avg FROM g WHERE b_avg > 8"
+    runner = TransformRunner(
+        spark, tmp_path, queries=[(LEFT_JOIN, "j"), (agg, "g"), (flt, None)]
+    )
+
+    def _r(out):
+        table = pq.read_table(out)
+        return [(r["op"], r["symbol"], r["b_avg"]) for r in table.to_pylist()]
+
+    import os
+
+    # Run 1: avg NULL (pad) — fails the predicate, nothing emits.
+    resp, out = runner.run(
+        _two_stream_inputs(
+            tmp_path, "r1", [(0, 0, ts(2), ts(1, 0, 1), "A", 10)], [], ts(1, 1, 0)
+        ),
+        system_time=ts(2),
+    )
+    assert not os.path.exists(out)
+
+    # Run 2: partner 10 -> avg corrects NULL -> 10: old half fails, new
+    # passes — the row ENTERS the filtered view as an op-0 insert.
+    resp2, out2 = runner.run(
+        _two_stream_inputs(
+            tmp_path, "r2", [], [(0, 0, ts(3), ts(1, 0, 2), "A", 10)], ts(1, 2, 0)
+        ),
+        system_time=ts(3),
+    )
+    assert _r(out2) == [(0, "A", 10.0)]
+
+    # Run 3: partner 8 -> avg 10 -> 9: both halves pass — pair forwards.
+    resp3, out3 = runner.run(
+        _two_stream_inputs(
+            tmp_path, "r3", [], [(1, 0, ts(4), ts(1, 0, 3), "A", 8)], ts(1, 3, 0)
+        ),
+        system_time=ts(4),
+    )
+    assert _r(out3) == [(2, "A", 10.0), (3, "A", 9.0)]
+
+    # Run 4: partner 2 -> avg 9 -> 20/3 < 8: old passes, new fails — the
+    # row LEAVES the filtered view as an op-1 delete with the old values.
+    resp4, out4 = runner.run(
+        _two_stream_inputs(
+            tmp_path, "r4", [], [(2, 0, ts(5), ts(1, 0, 4), "A", 2)], ts(1, 4, 0)
+        ),
+        system_time=ts(5),
+    )
+    assert _r(out4) == [(1, "A", 9.0)]
 
 
 def test_inner_join_chain_still_allowed(spark, tmp_path):
