@@ -123,12 +123,27 @@ def _net(rel: DataFrame, data_cols: list[str]) -> DataFrame:
     )
 
 
-def _explode_copies(net: DataFrame) -> DataFrame:
+def _explode_copies(net: DataFrame, strict: bool = False) -> DataFrame:
     """Materialize multiplicity: |cnt| copies per net row (multiset
-    semantics for duplicate rows; consistent changelogs keep cnt small)."""
-    return net.withColumn(
-        "__cj_dup", F.explode(F.expr(f"sequence(1, abs({CNT}))"))
-    ).drop(CNT, "__cj_dup")
+    semantics for duplicate rows; consistent changelogs keep cnt small).
+
+    strict=True is for LEDGER nets, whose counts must be positive under a
+    consistent changelog: a negative net there means a retraction of a row
+    never inserted (or a prune mismatch) — fail loudly instead of letting
+    abs() silently flip it into phantom inserts."""
+    if strict:
+        seq = (
+            f"sequence(1, CASE WHEN {CNT} > 0 THEN {CNT} ELSE "
+            f"CAST(raise_error('changelog join: a ledger net count went "
+            f"negative — the upstream changelog retracted a row never "
+            f"inserted (inconsistent changelog or mis-pruned state)') "
+            f"AS BIGINT) END)"
+        )
+    else:
+        seq = f"sequence(1, abs({CNT}))"
+    return net.withColumn("__cj_dup", F.explode(F.expr(seq))).drop(
+        CNT, "__cj_dup"
+    )
 
 
 def execute_changelog_join(ctx: StepContext, sql: str) -> StepResult:
@@ -176,18 +191,46 @@ def execute_changelog_join(ctx: StepContext, sql: str) -> StepResult:
     # ledger then stores only load-bearing values (smaller state), and an
     # updating upstream whose UNREFERENCED columns are re-stamped per
     # emission (a continuous agg's now() event time) still cancels — its
-    # op 2 row matches the earlier op 0/3 row on every kept column. A
+    # op 2 row matches the earlier op 0/3 row on every kept column.
+    # References are ALIAS-AWARE: a side keeps a column only when the SQL
+    # names it as <this side's alias/view>.col or as a bare (unqualified,
+    # non-AS-target) word — a `c.event_time AS event_time` must not pin the
+    # OTHER side's re-stamped event_time into its ledger, or the correction
+    # pairs never cancel. String literals are masked out of the scan. A
     # query containing any `*` (star projection or arithmetic) keeps all
     # columns, conservatively.
-    def _prune(df: DataFrame) -> DataFrame:
-        if "*" in sql:
+    from ..plans.classify import mask_sql
+
+    masked = mask_sql(sql)
+    qualified = {
+        (q.lower(), c)
+        for q, c in re.findall(r"(\w+)\s*\.\s*(\w+)", masked)
+    }
+    bare: set[str] = set()
+    for m in re.finditer(r"\w+", masked):
+        before = masked[: m.start()].rstrip()
+        after = masked[m.end() :].lstrip()
+        if before.endswith(".") or after.startswith("."):
+            continue  # half of a qualified reference
+        if re.search(r"\bas$", before, re.IGNORECASE):
+            continue  # an output-alias target, not a column reference
+        bare.add(m.group(0))
+
+    def _prune(df: DataFrame, alias: str, view: str) -> DataFrame:
+        if "*" in masked:
             return df
-        words = set(re.findall(r"\w+", sql))
-        keep = [c for c in df.columns if c in words or c == SIGN]
+        names = {alias.lower(), view.lower()}
+        keep = [
+            c
+            for c in df.columns
+            if c == SIGN
+            or c in bare
+            or any((n, c) in qualified for n in names)
+        ]
         return df.select(*keep)
 
-    dl = ctx.pin(_prune(_signed_slice(ctx.views[lv])))
-    dr = ctx.pin(_prune(_signed_slice(ctx.views[rv])))
+    dl = ctx.pin(_prune(_signed_slice(ctx.views[lv]), la, lv))
+    dr = ctx.pin(_prune(_signed_slice(ctx.views[rv]), ra, rv))
     l_data = [c for c in dl.columns if c != SIGN]
     r_data = [c for c in dr.columns if c != SIGN]
 
@@ -220,14 +263,20 @@ def execute_changelog_join(ctx: StepContext, sql: str) -> StepResult:
             ctx, inner_sql, {lv: left_bind, rv: right_bind}, wm
         )
 
-    # Term 1: DeltaL >< net(R + DeltaR), keys restricted to DeltaL's.
+    # Term 1: DeltaL >< net(R + DeltaR), keys restricted to DeltaL's. The
+    # DELTA is key-restricted too: a delta row whose key is absent from
+    # DeltaL can never pair (the join would drop it), and an op-1 delta
+    # row netting against UNRESTRICTED-away history would read as a
+    # phantom negative. Restricted both ways, every row's full history is
+    # present and the net is provably non-negative.
     r_new_net = _explode_copies(
         _net(
             _key_restrict(r_hist, rkeys, dl_keys_as_r).unionByName(
-                dr.filter(_nn(rkeys))
+                _key_restrict(dr.filter(_nn(rkeys)), rkeys, dl_keys_as_r)
             ),
             r_data,
-        )
+        ),
+        strict=True,
     )
     r_new_net = ctx.pin(r_new_net)
     parts.append((_run_pairs(dl.filter(F.col(SIGN) > 0).drop(SIGN), r_new_net), _OP_APPEND))
@@ -241,7 +290,8 @@ def execute_changelog_join(ctx: StepContext, sql: str) -> StepResult:
     if not first:
         l_old_net = ctx.pin(
             _explode_copies(
-                _net(_key_restrict(l_hist, lkeys, dr_keys_as_l), l_data)
+                _net(_key_restrict(l_hist, lkeys, dr_keys_as_l), l_data),
+                strict=True,
             )
         )
         parts.append(

@@ -57,20 +57,34 @@ def _changelog_filter(ctx: StepContext, sql: str, src: str, wm) -> StepResult:
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    from ..plans.classify import mask_sql
+    from ..protocol.model import InvalidQueryError
     from .topn import OP_COL
 
-    m = re.search(r"\bwhere\b", sql, re.IGNORECASE)
+    # Locate the TOP-LEVEL keywords on a masked copy (literal contents and
+    # paren-nested regions blanked): an EXTRACT(... FROM col) in the
+    # projection or a string literal containing 'where'/'from' must not
+    # derail the splice. Masked positions transfer 1:1 to the original.
+    masked = mask_sql(sql, parens=True)
+    m = re.search(r"\bwhere\b", masked, re.IGNORECASE)
+    fm = re.search(r"\bfrom\b", masked, re.IGNORECASE)
+    if m is None or fm is None or fm.start() > m.start():
+        raise InvalidQueryError(
+            "could not locate the top-level FROM/WHERE of a filter over an "
+            "updating (changelog-emitting) alias"
+        )
     head, pred = sql[: m.start()], sql[m.end() :].strip()
-    pm = re.search(r"select\s+(.*?)(\s+from\s)", head, re.IGNORECASE | re.DOTALL)
     extras = f"CAST(({pred}) AS BOOLEAN) AS __flt"
     if not re.search(
-        r"(?:\bselect|,)\s*(?:[`\w]+\s*\.\s*)?\*", head, re.IGNORECASE
+        r"(?:\bselect|,)\s*(?:[`\w]+\s*\.\s*)?\*",
+        masked[: m.start()],
+        re.IGNORECASE,
     ):
         # The predicate evaluates against the VIEW's columns (same scope
         # as the original WHERE); a star projection already expands the
         # internal seq/op columns.
         extras = f"{SEQ_INPUT}, {OP_COL}, " + extras
-    inner_sql = head[: pm.end(1)] + ", " + extras + head[pm.end(1) :]
+    inner_sql = head[: fm.start()] + ", " + extras + " " + head[fm.start() :]
     from ..plans.dialect import rewrite_query
 
     df = ctx.spark.sql(rewrite_query(inner_sql, watermark=wm))
@@ -110,7 +124,13 @@ def execute_map(ctx: StepContext, sql: str) -> StepResult:
     changelog_refs = [r for r in refs if OP_COL in ctx.views[r].columns]
     run_sql = sql
     if changelog_refs:
-        has_where = re.search(r"\bwhere\b", sql, re.IGNORECASE)
+        from ..plans.classify import mask_sql
+
+        # Top-level WHERE only — a literal containing the word 'where'
+        # must stay on the plain op-forwarding projection path.
+        has_where = re.search(
+            r"\bwhere\b", mask_sql(sql, parens=True), re.IGNORECASE
+        )
         simple = _inject_seq(sql)
         if (
             len(refs) != 1

@@ -120,6 +120,14 @@ def execute_unbounded_agg(ctx: StepContext, sql: str) -> StepResult:
     prev = ctx.state.load_df(acc_name, schema=partials.schema)
 
     use_split = bool(group_cols) and state_split_worthwhile(ctx, acc_name, src)
+    if use_split:
+        # Pinned before the histogram splits below: the ACCUMULATOR
+        # slice's key set is the probe for every state relation this step
+        # owns. The histogram delta alone is NOT a valid probe — it
+        # excludes NULL-arg rows, so a key touched only by NULL-arg rows
+        # (a NULL-valued join partner) would leave its histogram rows in
+        # `untouched` and the recomputed extremes would miss them.
+        partials = ctx.pin(partials)
 
     # Histogram state per distinct min/max argument; extremes recomputed
     # over the merged (touched-key) histogram and joined onto the new
@@ -146,9 +154,8 @@ def execute_unbounded_agg(ctx: StepContext, sql: str) -> StepResult:
                 .filter(F.col("__hist_cnt") > 0)
             )
             if use_split:
-                h_delta = ctx.pin(h_delta)
                 h_active, h_untouched = split_touched_state(
-                    h_prev, group_cols, h_delta.select(*group_cols)
+                    h_prev, group_cols, partials.select(*group_cols)
                 )
                 h_merged = ctx.pin(merge_hist(h_active, h_delta))
                 ctx.state.save_df(
@@ -209,8 +216,8 @@ def execute_unbounded_agg(ctx: StepContext, sql: str) -> StepResult:
         # hash-partitioned on the group keys (the bucketed anti output and
         # the merge's own groupBy). Gated on state >> slice: when the
         # slice plausibly touches most keys the probes are pure overhead
-        # on an unavoidable full merge.
-        partials = ctx.pin(partials)
+        # on an unavoidable full merge. (partials was pinned above, before
+        # the histogram splits.)
         active_prev, untouched = split_touched_state(
             prev, group_cols, partials.select(*group_cols)
         )

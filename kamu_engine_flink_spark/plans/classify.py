@@ -204,6 +204,48 @@ def _split_top_level(s: str) -> list[str]:
     return parts
 
 
+def mask_sql(sql: str, parens: bool = False) -> str:
+    """Same-length copy of `sql` with string-literal and backquoted
+    contents blanked out — and, with parens=True, everything inside
+    parentheses as well — so regex scans see only top-level SQL tokens.
+    An `EXTRACT(YEAR FROM x)` no longer exposes a FROM, a literal
+    `'where it is'` no longer exposes a WHERE, and positions transfer
+    1:1 back to the original string."""
+    out = list(sql)
+    depth = 0
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in ("'", '"', "`"):
+            j = i + 1
+            while j < n:
+                if sql[j] == ch:
+                    if ch == "'" and j + 1 < n and sql[j + 1] == "'":
+                        j += 2  # doubled-quote escape
+                        continue
+                    break
+                j += 1
+            for k in range(i + 1, min(j, n)):
+                out[k] = " "
+            if parens and depth > 0:
+                out[i] = " "
+                if j < n:
+                    out[j] = " "
+            i = j + 1
+            continue
+        if parens:
+            if ch == "(":
+                depth += 1
+                out[i] = " "
+            elif ch == ")":
+                depth = max(0, depth - 1)
+                out[i] = " "
+            elif depth > 0:
+                out[i] = " "
+        i += 1
+    return "".join(out)
+
+
 def _parse_mergeable_aggs(
     sql: str, proj_re: re.Pattern, require_window: bool = True
 ) -> MergeAggSpec | None:

@@ -214,6 +214,59 @@ def test_max_over_changelog_histogram(spark, tmp_path):
     assert _r(out4) == [(2, "A", 7), (3, "A", 12)]
 
 
+def test_max_survives_null_arg_only_touch(spark, tmp_path):
+    """A key touched in a slice ONLY by NULL-arg rows (a NULL-valued join
+    partner) must keep its histogram extremum: the histogram slice excludes
+    NULL args, so the touched-keys probe must come from the ACCUMULATOR
+    slice's key set, not the histogram delta's (advisor round-6 high #1)."""
+    agg = """SELECT cast(now() as timestamp(3)) as event_time,
+  symbol, max(b_price) as b_max FROM j GROUP BY symbol"""
+    runner = TransformRunner(
+        spark, tmp_path, queries=[(LEFT_JOIN, "j"), (agg, None)]
+    )
+
+    def _r(out):
+        table = pq.read_table(out)
+        return [(r["op"], r["symbol"], r["b_max"]) for r in table.to_pylist()]
+
+    # Run 1: pair (A, 10, 7) — max 7, histogram {A: {7: 1}}.
+    resp, out = runner.run(
+        _two_stream_inputs(
+            tmp_path, "r1",
+            [(0, 0, ts(2), ts(1, 0, 1), "A", 10)],
+            [(0, 0, ts(2), ts(1, 0, 2), "A", 7)],
+            ts(1, 1, 0),
+        ),
+        system_time=ts(2),
+    )
+    assert _r(out) == [(0, "A", 7)]
+
+    # Run 2: a NULL-priced b row — j emits op-0 (A, 10, NULL). The key's
+    # accumulator is touched but its histogram delta is empty (NULL arg):
+    # max must STAY 7 and nothing emits.
+    import os
+
+    resp2, out2 = runner.run(
+        _two_stream_inputs(
+            tmp_path, "r2", [], [(1, 0, ts(3), ts(1, 0, 3), "A", None)],
+            ts(1, 2, 0),
+        ),
+        system_time=ts(3),
+    )
+    assert not os.path.exists(out2), _r(out2)
+
+    # Run 3: a larger partner — the correction's OLD value proves the
+    # persisted state still says 7, not NULL.
+    resp3, out3 = runner.run(
+        _two_stream_inputs(
+            tmp_path, "r3", [], [(2, 0, ts(4), ts(1, 0, 4), "A", 12)],
+            ts(1, 3, 0),
+        ),
+        system_time=ts(4),
+    )
+    assert _r(out3) == [(2, "A", 7), (3, "A", 12)]
+
+
 def test_min_max_retraction_removes_extremum(spark, tmp_path):
     """The value currently HOLDING the extremum retracts (an upstream
     correction moves a key's count): the histogram must drop it and the
@@ -382,6 +435,64 @@ def test_where_over_changelog_rewrites_correction_pairs(spark, tmp_path):
         system_time=ts(5),
     )
     assert _r(out4) == [(1, "A", 9.0)]
+
+
+def test_where_over_changelog_with_extract_and_literals(spark, tmp_path):
+    """The changelog-filter rewrite must locate the TOP-LEVEL FROM/WHERE:
+    an EXTRACT(... FROM col) in the projection and string literals
+    containing 'where'/'from' must not derail the splice (advisor
+    round-6 low)."""
+    flt = """SELECT event_time, symbol, b_price,
+  EXTRACT(YEAR FROM event_time) as yr, 'where it came from' as tag
+FROM j WHERE b_price IS NULL"""
+    runner = TransformRunner(
+        spark, tmp_path, queries=[(LEFT_JOIN, "j"), (flt, None)]
+    )
+
+    def _r(out):
+        table = pq.read_table(out)
+        return [
+            (r["op"], r["symbol"], r["b_price"], r["yr"], r["tag"])
+            for r in table.to_pylist()
+        ]
+
+    resp, out = runner.run(
+        _two_stream_inputs(
+            tmp_path, "r1", [(0, 0, ts(2), ts(1, 0, 1), "A", 10)], [], ts(1, 1, 0)
+        ),
+        system_time=ts(2),
+    )
+    assert _r(out) == [(0, "A", None, 2000, "where it came from")]
+
+    # Partner arrives: the pad leaves the filtered view (op 1), the pair
+    # fails the predicate.
+    resp2, out2 = runner.run(
+        _two_stream_inputs(
+            tmp_path, "r2", [], [(0, 0, ts(3), ts(1, 0, 2), "A", 7)], ts(1, 2, 0)
+        ),
+        system_time=ts(3),
+    )
+    assert _r(out2) == [(1, "A", None, 2000, "where it came from")]
+
+
+def test_projection_literal_where_is_not_a_filter(spark, tmp_path):
+    """A plain projection whose LITERAL contains 'where' must take the
+    op-forwarding projection path, not the filter rewrite."""
+    runner = TransformRunner(
+        spark, tmp_path,
+        queries=[(LEFT_JOIN, "j"),
+                 ("SELECT event_time, symbol, b_price, 'nowhere where' as tag "
+                  "FROM j", None)],
+    )
+    resp, out = runner.run(
+        _two_stream_inputs(
+            tmp_path, "r1", [(0, 0, ts(2), ts(1, 0, 1), "A", 10)], [], ts(1, 1, 0)
+        ),
+        system_time=ts(2),
+    )
+    table = pq.read_table(out)
+    rows = [(r["op"], r["symbol"], r["b_price"], r["tag"]) for r in table.to_pylist()]
+    assert rows == [(0, "A", None, "nowhere where")]
 
 
 def test_inner_join_chain_still_allowed(spark, tmp_path):

@@ -215,6 +215,21 @@ FROM g JOIN c ON g.symbol = c.symbol"""
         (0, "A", 2, 100),
     ]
 
+    # A third c partner pairs against the CURRENT g relation only: the
+    # correction pair from run 2 must have cancelled in g's ledger (its
+    # re-stamped now() event time is unreferenced by the join and must be
+    # pruned ALIAS-AWARE — the token `event_time` appears in the SQL, but
+    # only as c's column and an output alias). A word-based prune keeps
+    # it, the pair never cancels, and abs() on the negative net emits
+    # phantom (A, 1, 200) pairs (advisor round-6 high #2).
+    resp3, out3 = runner.run(
+        _inputs(tmp_path, "r3",
+                {"a": [], "c": [(1, 0, ts(4), ts(1, 0, 4), "A", 200)]},
+                ts(1, 3, 0)),
+        system_time=ts(4),
+    )
+    assert _oprows(out3, ("symbol", "n", "c_price")) == [(0, "A", 2, 200)]
+
 
 def test_fold_slice_invariance_three_way(spark, tmp_path):
     """(a LEFT b) LEFT c under different slicings of b and c: the folded
