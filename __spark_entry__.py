@@ -2905,6 +2905,91 @@ def duplicate_ngram_spans_documents(spark: SparkSession, sf_dir: str) -> DataFra
     return TD.duplicate_ngram_docs(_t(spark, sf_dir, "documents"), n=5)
 
 
+def match_recognize_nav_first_last_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE with FIRST/LAST navigation in DEFINE (Flink
+    "Pattern Navigation"; matcher-evaluated predicates with SQL 3VL,
+    operators/match_recognize.py): per-user dip -> surge -> settle
+    triples where the surge must clear the attempt's FIRST dip value by
+    15 and the settle sits 10 under LAST(surge) but stays >= 2. The value
+    bands make B/C rows never A-eligible, so AFTER MATCH SKIP PAST LAST
+    ROW can never suppress a later triple and the oracle is two lead()
+    columns. Predicates evaluate per key inside the applyInPandas fold —
+    scales with key parallelism like the rest of the CEP family."""
+    from kamu_engine_flink_spark.operators.match_recognize import (
+        match_recognize_batch,
+    )
+
+    e = _t(spark, sf_dir, "events").withColumn("__seq", F.col("event_id"))
+    out = match_recognize_batch(
+        spark,
+        e,
+        """select * from events MATCH_RECOGNIZE (
+             PARTITION BY user_id
+             ORDER BY ts
+             MEASURES
+               A.ts AS a_ts,
+               A.value AS a_value,
+               B.value AS b_value,
+               C.value AS c_value
+             ONE ROW PER MATCH
+             AFTER MATCH SKIP PAST LAST ROW
+             PATTERN (A B C)
+             DEFINE A AS A.value >= 0 AND A.value < 2,
+                    B AS B.value > FIRST(A.value) + 15,
+                    C AS C.value < LAST(B.value) - 10 AND C.value >= 2
+           )""",
+    )
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "a_ts",
+        "a_value",
+        "b_value",
+        "c_value",
+    )
+
+
+def window_join_self_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window TVF SELF-join (operators/window_join.py; Flink permits the
+    same stream on both TVF sides): ordered same-day purchase pairs per
+    user through one real ODF invocation. The side is buffered ONCE and
+    both TVF spans bind the same closed-instance view — no duplicated
+    state. Days the final watermark never passed stay unemitted, exactly
+    Flink. One hash join on (window_start, user_id) over closed
+    instances — scales."""
+    import tempfile
+
+    _conf(spark)
+    workdir = tempfile.mkdtemp(prefix="wjself-entry-")
+    slices = _ledger_slices(
+        spark, _events_ledger(spark, sf_dir, "purchase"), workdir, "purchases", 1
+    )
+    sql = """SELECT
+  L.window_start as event_time,
+  L.user_id as user_id,
+  L.cents as l_cents,
+  R.cents as r_cents
+FROM TABLE(TUMBLE(TABLE purchases, DESCRIPTOR(event_time), INTERVAL '1' DAY)) L
+JOIN TABLE(TUMBLE(TABLE purchases, DESCRIPTOR(event_time), INTERVAL '1' DAY)) R
+ON L.window_start = R.window_start AND L.user_id = R.user_id AND L.cents < R.cents"""
+    outs = _run_odf_invocations(
+        spark, sql, [[("purchases", *slices[0])]], workdir, "wjself"
+    )
+    parts = [
+        spark.read.parquet(path).select(
+            F.col("op").cast("int").alias("op"),
+            "event_time",
+            "user_id",
+            F.col("l_cents").cast("long").alias("l_cents"),
+            F.col("r_cents").cast("long").alias("r_cents"),
+        )
+        for _inv, path in outs
+    ]
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -2919,72 +3004,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION note: the driver records correctness rows for only the
     # FIRST 50 dict entries per round, so the registry rotates each round
     # to give every entry a driver row at least every other round.
-    # Round 6 first-50 = 2 entries due their FIRST driver row (the new
-    # changelog-aware join twins) + the 5 r03-checked overflow entries
-    # queued from round 5's plan + 43 of the r04-checked cohort
-    # (prioritizing the regular-join/continuous-agg changelog entries,
-    # whose executors changed this round). The 7 r04 entries that didn't
-    # fit (TPC-H q1/q3/q5/q6, distinct-agg, scalar projection,
-    # decontamination) lead the back block (due round 7) ahead of the 50
-    # r05-checked entries.
+    # Round 7 first-50 = 2 entries due their FIRST driver row (the new
+    # FIRST/LAST-navigation CEP and window self-join) + the 9-entry front
+    # queued by round 6's plan (changelog filter + the r04-checked
+    # overflow) + 39 of the r05-checked cohort. The r05 remainder leads
+    # the back block (due round 8) ahead of the 51 r06-checked entries.
     # tools/crosscheck.py verifies ALL entries locally regardless; the
     # full run is committed per round as CROSSCHECK_r{N}.txt.
     return {
-        # --- due their FIRST driver row (3) ---
-        "changelog_join_three_way": changelog_join_three_way,
-        "changelog_join_left_over_updating": changelog_join_left_over_updating,
-        "changelog_minmax_agg": changelog_minmax_agg,
-        # --- r03-checked overflow queued from round 5 (5) ---
-        "window_cumulate_6h": window_cumulate_6h,
-        "inverted_index_documents": inverted_index_documents,
-        "random_projection_embeddings": random_projection_embeddings,
-        "flink_scalar_functions_events": flink_scalar_functions_events,
-        "window_monthly_orders": window_monthly_orders,
-        # --- last driver-checked r04, due for re-check (43) ---
-        "unbounded_agg_changelog_events": unbounded_agg_changelog_events,
-        "regular_join_full_changelog": regular_join_full_changelog,
-        "regular_join_purchases_clicks": regular_join_purchases_clicks,
-        "match_recognize_dip_spike_events": match_recognize_dip_spike_events,
-        "dedup_keep_last_events": dedup_keep_last_events,
-        "over_agg_rolling_value_events": over_agg_rolling_value_events,
-        "window_topn_daily_users": window_topn_daily_users,
-        "funnel_view_click_purchase": funnel_view_click_purchase,
-        "retention_cohorts_events": retention_cohorts_events,
-        "similarity_pq_topk": similarity_pq_topk,
-        "bigram_lm_score_documents": bigram_lm_score_documents,
-        "quality_classifier_documents": quality_classifier_documents,
-        "dedup_segments_documents": dedup_segments_documents,
-        "semantic_dedup_embeddings": semantic_dedup_embeddings,
-        "training_shards_documents": training_shards_documents,
-        "mixture_sample_documents": mixture_sample_documents,
-        "curriculum_bins_documents": curriculum_bins_documents,
-        "duplicate_ngram_spans_documents": duplicate_ngram_spans_documents,
-        "changelog_diff_customers": changelog_diff_customers,
-        "changelog_snapshot_customers": changelog_snapshot_customers,
-        "kmeans_clusters_embeddings": kmeans_clusters_embeddings,
-        "dedup_minhash_documents": dedup_minhash_documents,
-        "dedup_minhash_fast": dedup_minhash_fast,
-        "dedup_simhash_documents": dedup_simhash_documents,
-        "ngram_jaccard_documents": ngram_jaccard_documents,
-        "dedup_clusters_ngram": dedup_clusters_ngram,
-        "embedding_near_dup": embedding_near_dup,
-        "similarity_cosine_topk": similarity_cosine_topk,
-        "similarity_lsh_topk": similarity_lsh_topk,
-        "similarity_ivf_topk": similarity_ivf_topk,
-        "text_analysis_documents": text_analysis_documents,
-        "multimodal_image_meta": multimodal_image_meta,
-        "multimodal_frame_sample": multimodal_frame_sample,
-        "multimodal_audio_meta": multimodal_audio_meta,
-        "multimodal_audio_windows": multimodal_audio_windows,
-        "text_repetition_documents": text_repetition_documents,
-        "window_rank_family_orders": window_rank_family_orders,
-        "tfidf_top_terms": tfidf_top_terms,
-        "embedding_quantize_int8": embedding_quantize_int8,
-        "sketch_distinct_users": sketch_distinct_users,
-        "text_scrub_documents": text_scrub_documents,
-        "approx_quantiles_events": approx_quantiles_events,
-        # --- front of the round-7 rotation (9): the new filter entry
-        # (crosschecked this round) + the r04-checked overflow ---
+        # --- due their FIRST driver row (2): round-7's new operators ---
+        "match_recognize_nav_first_last_events": match_recognize_nav_first_last_events,
+        "window_join_self_daily": window_join_self_daily,
+        # --- front of round 7 as queued by round 6's plan (9) ---
         "changelog_filter_pads": changelog_filter_pads,
         "user_event_sequences": user_event_sequences,
         "decontamination_overlap": decontamination_overlap,
@@ -2994,7 +3025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": q6_forecast_revenue,
         "agg_distinct_suppliers": agg_distinct_suppliers,
         "scalar_projection": scalar_projection,
-        # --- checked green r05, rotate back in round 7 (50) ---
+        # --- checked green r05, due for re-check (first 39 fit) ---
         "window_join_hop_12h": window_join_hop_12h,
         "changelog_projection_left_join": changelog_projection_left_join,
         "multi_join_three_way": multi_join_three_way,
@@ -3045,6 +3076,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_documents": dedup_exact_documents,
         "dedup_fingerprint_documents": dedup_fingerprint_documents,
         "json_extract_events": json_extract_events,
+        # --- checked green r06, due round 8 (51) ---
+        "changelog_join_three_way": changelog_join_three_way,
+        "changelog_join_left_over_updating": changelog_join_left_over_updating,
+        "changelog_minmax_agg": changelog_minmax_agg,
+        "window_cumulate_6h": window_cumulate_6h,
+        "inverted_index_documents": inverted_index_documents,
+        "random_projection_embeddings": random_projection_embeddings,
+        "flink_scalar_functions_events": flink_scalar_functions_events,
+        "window_monthly_orders": window_monthly_orders,
+        "unbounded_agg_changelog_events": unbounded_agg_changelog_events,
+        "regular_join_full_changelog": regular_join_full_changelog,
+        "regular_join_purchases_clicks": regular_join_purchases_clicks,
+        "match_recognize_dip_spike_events": match_recognize_dip_spike_events,
+        "dedup_keep_last_events": dedup_keep_last_events,
+        "over_agg_rolling_value_events": over_agg_rolling_value_events,
+        "window_topn_daily_users": window_topn_daily_users,
+        "funnel_view_click_purchase": funnel_view_click_purchase,
+        "retention_cohorts_events": retention_cohorts_events,
+        "similarity_pq_topk": similarity_pq_topk,
+        "bigram_lm_score_documents": bigram_lm_score_documents,
+        "quality_classifier_documents": quality_classifier_documents,
+        "dedup_segments_documents": dedup_segments_documents,
+        "semantic_dedup_embeddings": semantic_dedup_embeddings,
+        "training_shards_documents": training_shards_documents,
+        "mixture_sample_documents": mixture_sample_documents,
+        "curriculum_bins_documents": curriculum_bins_documents,
+        "duplicate_ngram_spans_documents": duplicate_ngram_spans_documents,
+        "changelog_diff_customers": changelog_diff_customers,
+        "changelog_snapshot_customers": changelog_snapshot_customers,
+        "kmeans_clusters_embeddings": kmeans_clusters_embeddings,
+        "dedup_minhash_documents": dedup_minhash_documents,
+        "dedup_minhash_fast": dedup_minhash_fast,
+        "dedup_simhash_documents": dedup_simhash_documents,
+        "ngram_jaccard_documents": ngram_jaccard_documents,
+        "dedup_clusters_ngram": dedup_clusters_ngram,
+        "embedding_near_dup": embedding_near_dup,
+        "similarity_cosine_topk": similarity_cosine_topk,
+        "similarity_lsh_topk": similarity_lsh_topk,
+        "similarity_ivf_topk": similarity_ivf_topk,
+        "text_analysis_documents": text_analysis_documents,
+        "multimodal_image_meta": multimodal_image_meta,
+        "multimodal_frame_sample": multimodal_frame_sample,
+        "multimodal_audio_meta": multimodal_audio_meta,
+        "multimodal_audio_windows": multimodal_audio_windows,
+        "text_repetition_documents": text_repetition_documents,
+        "window_rank_family_orders": window_rank_family_orders,
+        "tfidf_top_terms": tfidf_top_terms,
+        "embedding_quantize_int8": embedding_quantize_int8,
+        "sketch_distinct_users": sketch_distinct_users,
+        "text_scrub_documents": text_scrub_documents,
+        "approx_quantiles_events": approx_quantiles_events,
     }
 
 
@@ -3678,6 +3760,41 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ) WHERE value < 2 AND next_value > 18
+        """,
+        "match_recognize_nav_first_last_events": """
+            -- FIRST/LAST navigation triples: B/C value bands exclude
+            -- A-eligibility, so SKIP PAST LAST ROW never suppresses a
+            -- later triple and adjacent leads reconstruct the matches.
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   ts AS a_ts, value AS a_value,
+                   v1 AS b_value, v2 AS c_value
+            FROM (
+                SELECT user_id, ts, value,
+                       lead(value) OVER w AS v1,
+                       lead(value, 2) OVER w AS v2
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ) WHERE value >= 0 AND value < 2
+              AND v1 > value + 15
+              AND v2 < v1 - 10 AND v2 >= 2
+        """,
+        "window_join_self_daily": """
+            -- Window TVF self-join: ordered same-day purchase pairs per
+            -- user for days the final watermark passed.
+            WITH e AS (
+                SELECT user_id, ts,
+                       CAST(floor(value * 100) AS BIGINT) AS cents,
+                       CAST(date_trunc('day', ts) AS TIMESTAMP) AS ws
+                FROM events WHERE event_type = 'purchase'
+            ), wm AS (SELECT max(ts) AS w FROM e)
+            SELECT CAST(0 AS INT) AS op,
+                   l.ws AS event_time,
+                   l.user_id AS user_id,
+                   l.cents AS l_cents,
+                   r.cents AS r_cents
+            FROM e l JOIN e r
+              ON l.ws = r.ws AND l.user_id = r.user_id AND l.cents < r.cents
+            WHERE l.ws + INTERVAL 1 DAY <= (SELECT w FROM wm)
         """,
         "dedup_keep_last_events": """
             SELECT CAST(user_id AS BIGINT) AS user_id,

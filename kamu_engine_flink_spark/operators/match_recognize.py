@@ -19,7 +19,8 @@ the classic CEP shapes ("A, then anything until C"):
                                   -- default), *? +? ?? {n,m}? reluctant;
                                   -- quantified tails suspend until
                                   -- resolved
-    DEFINE V AS <predicate over V's own row, PREV(V.col [, n]) allowed>, ...
+    DEFINE V AS <predicate over V's own row; PREV(V.col [, n]) and
+                 FIRST/LAST(W.col [, n]) match navigation allowed>, ...
   )  -- plus PATTERN (...) WITHIN INTERVAL 'n' UNIT time bounds
 
 Quantifier semantics are exact: the matcher explores branches in
@@ -44,10 +45,17 @@ watermark passes that cap an incomplete attempt FAILS instead of
 suspending, so both suspension latency and retained state are bounded by
 the window — the property that makes CEP viable on unbounded streams.
 
-Restrictions vs full Flink (each raises InvalidQueryError): DEFINE
-predicates see only the current row and PREV of their own variable (no
-LAST/FIRST/NEXT navigation, no cross-variable references); AFTER MATCH
-SKIP TO FIRST/LAST(variable) modes are out.
+FIRST/LAST(V.col [, n]) inside DEFINE (Flink "Pattern Navigation",
+cross-variable allowed) address rows mapped in the CURRENT attempt — the
+row under evaluation counts as mapped to its own variable (SQL:2016
+RUNNING semantics) — so those predicates are evaluated by the matcher
+against the unfolding match state instead of precompiling to boolean
+columns; they support comparisons, IS [NOT] NULL, AND/OR/NOT and + - * /
+with SQL three-valued logic, and reject richer expressions loudly.
+
+Restrictions vs full Flink (each raises InvalidQueryError): bare
+cross-variable references in DEFINE (write LAST(W.col) explicitly) and
+NEXT in DEFINE (forward navigation needs lookahead) are out.
 
 Spark-first derivation: DEFINE predicates compile to boolean columns
 evaluated JVM-side (whole-stage codegen) BEFORE the per-key fold, so the
@@ -216,6 +224,244 @@ def _parse_pattern(pat: str):
     return elements
 
 
+# --------------------------------------------------------------------------
+# FIRST/LAST navigation inside DEFINE (Flink "Pattern Navigation").
+#
+# LAST(V.col, n) / FIRST(V.col, n) address rows mapped to variable V in
+# the CURRENT match attempt (the row under evaluation counts as mapped to
+# the variable being defined — SQL:2016 RUNNING semantics), so these
+# predicates cannot precompile to per-row boolean columns: the matcher
+# evaluates them against (row, pairs) as the attempt unfolds. The
+# predicate text is compiled ONCE (driver-side) into a closure tree with
+# SQL three-valued logic; only the vars that use navigation pay the
+# Python-eval cost — every other DEFINE stays a JVM boolean column.
+
+_NAV_RE = re.compile(
+    r"\b(FIRST|LAST)\s*\(\s*([A-Za-z_]\w*)\s*\.\s*([`\w]+)\s*(?:,\s*(\d+))?\s*\)",
+    re.IGNORECASE,
+)
+
+_PRED_TOKEN_RE = re.compile(
+    r"\s*(?:(?P<num>\d+\.\d*|\.\d+|\d+)"
+    r"|(?P<str>'(?:[^']|'')*')"
+    r"|(?P<op><=|>=|<>|!=|=|<|>|\+|-|\*|/|\(|\))"
+    r"|(?P<id>[A-Za-z_]\w*))"
+)
+
+_CMP_OPS = {
+    "=": lambda a, b: a == b,
+    "<>": lambda a, b: a != b,
+    "!=": lambda a, b: a != b,
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+}
+
+
+def _tokenize_pred(pred: str) -> list[tuple[str, Any]]:
+    tokens, pos = [], 0
+    while pos < len(pred):
+        m = _PRED_TOKEN_RE.match(pred, pos)
+        if not m or m.end() == pos:
+            if pred[pos:].strip():
+                raise InvalidQueryError(
+                    f"MATCH_RECOGNIZE: unsupported token in navigation DEFINE "
+                    f"predicate near {pred[pos:][:30]!r}"
+                )
+            break
+        pos = m.end()
+        if m.group("num") is not None:
+            v = m.group("num")
+            tokens.append(("lit", float(v) if "." in v else int(v)))
+        elif m.group("str") is not None:
+            tokens.append(("lit", m.group("str")[1:-1].replace("''", "'")))
+        elif m.group("op") is not None:
+            tokens.append(("op", m.group("op")))
+        else:
+            tokens.append(("id", m.group("id")))
+    return tokens
+
+
+def _compile_pred(tokens: list[tuple[str, Any]]):
+    """Recursive-descent compile of a navigation DEFINE predicate into a
+    closure fn(get, nav) -> True | False | None, with SQL three-valued
+    logic (a comparison against NULL is UNKNOWN; AND/OR/NOT propagate;
+    the matcher treats only True as a match). Grammar: OR < AND < NOT <
+    comparison / IS [NOT] NULL < + - < * / < unary - < primary (number,
+    string, TRUE/FALSE/NULL, column, __navK, parens). Anything richer
+    (functions, CASE, BETWEEN, IN) rejects loudly — write it with these
+    or move it out of the navigation predicate."""
+    pos = [0]
+
+    def peek():
+        return tokens[pos[0]] if pos[0] < len(tokens) else (None, None)
+
+    def take():
+        t = peek()
+        pos[0] += 1
+        return t
+
+    def kw(word):
+        tt, tv = peek()
+        return tt == "id" and tv.lower() == word
+
+    def p_or():
+        left = p_and()
+        while kw("or"):
+            take()
+            right = p_and()
+
+            def f(get, nav, l=left, r=right):
+                a, b = l(get, nav), r(get, nav)
+                if a is True or b is True:
+                    return True
+                if a is None or b is None:
+                    return None
+                return False
+
+            left = f
+        return left
+
+    def p_and():
+        left = p_not()
+        while kw("and"):
+            take()
+            right = p_not()
+
+            def f(get, nav, l=left, r=right):
+                a, b = l(get, nav), r(get, nav)
+                if a is False or b is False:
+                    return False
+                if a is None or b is None:
+                    return None
+                return True
+
+            left = f
+        return left
+
+    def p_not():
+        if kw("not"):
+            take()
+            e = p_not()
+            return lambda get, nav: (
+                None if (v := e(get, nav)) is None else (not v)
+            )
+        return p_cmp()
+
+    def p_cmp():
+        left = p_add()
+        tt, tv = peek()
+        if tt == "op" and tv in _CMP_OPS:
+            take()
+            right = p_add()
+
+            def f(get, nav, l=left, r=right, op=_CMP_OPS[tv]):
+                a, b = l(get, nav), r(get, nav)
+                return None if a is None or b is None else op(a, b)
+
+            return f
+        if kw("is"):
+            take()
+            neg = False
+            if kw("not"):
+                take()
+                neg = True
+            tt3, tv3 = take()
+            if not (tt3 == "id" and tv3.lower() == "null"):
+                raise InvalidQueryError(
+                    "MATCH_RECOGNIZE: expected NULL after IS [NOT] in "
+                    "navigation DEFINE predicate"
+                )
+            return lambda get, nav, l=left, neg=neg: (
+                (l(get, nav) is None) != neg
+            )
+        return left
+
+    def _arith(l, r, opch):
+        def f(get, nav):
+            a, b = l(get, nav), r(get, nav)
+            if a is None or b is None:
+                return None
+            if opch == "+":
+                return a + b
+            if opch == "-":
+                return a - b
+            if opch == "*":
+                return a * b
+            return None if b == 0 else a / b  # SQL: x / 0 is NULL
+
+        return f
+
+    def p_add():
+        left = p_mul()
+        while True:
+            tt, tv = peek()
+            if tt == "op" and tv in ("+", "-"):
+                take()
+                left = _arith(left, p_mul(), tv)
+            else:
+                return left
+
+    def p_mul():
+        left = p_unary()
+        while True:
+            tt, tv = peek()
+            if tt == "op" and tv in ("*", "/"):
+                take()
+                left = _arith(left, p_unary(), tv)
+            else:
+                return left
+
+    def p_unary():
+        tt, tv = peek()
+        if tt == "op" and tv == "-":
+            take()
+            e = p_unary()
+            return lambda get, nav: (
+                None if (v := e(get, nav)) is None else -v
+            )
+        return p_primary()
+
+    def p_primary():
+        tt, tv = take()
+        if tt == "lit":
+            return lambda get, nav, v=tv: v
+        if tt == "op" and tv == "(":
+            e = p_or()
+            tt2, tv2 = take()
+            if not (tt2 == "op" and tv2 == ")"):
+                raise InvalidQueryError(
+                    "MATCH_RECOGNIZE: unbalanced parens in navigation DEFINE "
+                    "predicate"
+                )
+            return e
+        if tt == "id":
+            lw = tv.lower()
+            if lw == "null":
+                return lambda get, nav: None
+            if lw == "true":
+                return lambda get, nav: True
+            if lw == "false":
+                return lambda get, nav: False
+            if tv.startswith("__nav"):
+                return lambda get, nav, k=tv: nav(k)
+            return lambda get, nav, c=tv: get(c)
+        raise InvalidQueryError(
+            f"MATCH_RECOGNIZE: unsupported navigation DEFINE predicate "
+            f"element {tv!r}"
+        )
+
+    result = p_or()
+    if pos[0] != len(tokens):
+        raise InvalidQueryError(
+            f"MATCH_RECOGNIZE: could not parse navigation DEFINE predicate "
+            f"past {tokens[pos[0]]!r} (supported: comparisons, IS [NOT] "
+            f"NULL, AND/OR/NOT, + - * /, literals, columns, FIRST/LAST refs)"
+        )
+    return result
+
+
 def parse_match_recognize(sql: str):
     m = _MR_RE.search(sql.strip())
     if not m:
@@ -278,6 +524,11 @@ def parse_match_recognize(sql: str):
     # of input arrives — exactly Flink's NFA emission rule.
     dm = _DEFINE_RE.search(body)
     defines: dict[str, str] = {}
+    # var -> (predicate text with __navK placeholders, {placeholder ->
+    # (first|last, var, col, offset)}) for DEFINEs using FIRST/LAST
+    # navigation — compiled and evaluated matcher-side (_fold_matches).
+    dyn_defines: dict[str, tuple[str, dict]] = {}
+    pat_vars = {v for vars_, *_ in elements for v in vars_}
     lags: set[tuple[str, int]] = set()  # (column, offset) pairs PREV needs
     if dm:
         for item in _split_top_level(dm.group("body")):
@@ -307,17 +558,48 @@ def parse_match_recognize(sql: str):
                 pred,
                 flags=re.IGNORECASE,
             )
+            # FIRST/LAST(V.col [, n]) — match-state navigation (cross-var
+            # allowed, Flink "Pattern Navigation") — lifts the DEFINE onto
+            # the matcher-evaluated path; the placeholders keep the rest
+            # of the predicate parseable.
+            navs: dict[str, tuple[str, str, str, int]] = {}
+
+            def _nav_repl(nm):
+                key = f"__nav{len(navs)}"
+                navs[key] = (
+                    nm.group(1).lower(),
+                    nm.group(2),
+                    nm.group(3).strip("`"),
+                    int(nm.group(4) or 0),
+                )
+                return key
+
+            pred = _NAV_RE.sub(_nav_repl, pred)
+            if re.search(r"\bNEXT\s*\(", pred, re.IGNORECASE):
+                raise InvalidQueryError(
+                    "MATCH_RECOGNIZE: NEXT in DEFINE is not supported "
+                    "(forward navigation needs lookahead beyond the "
+                    "current row)"
+                )
             other = re.findall(r"\b([A-Za-z_]\w*)\.", pred)
             if any(o.upper() not in (var.upper(),) for o in other):
                 raise InvalidQueryError(
-                    "MATCH_RECOGNIZE: DEFINE predicates may reference only the "
-                    "current row of their own variable (no LAST cross-refs)"
+                    "MATCH_RECOGNIZE: DEFINE predicates may reference other "
+                    "variables only through FIRST/LAST navigation (bare "
+                    "cross-variable references are not supported)"
                 )
-            if re.search(r"\b(FIRST|LAST|NEXT)\s*\(", pred, re.IGNORECASE):
-                raise InvalidQueryError(
-                    "MATCH_RECOGNIZE: FIRST/LAST/NEXT in DEFINE is not supported"
-                )
-            defines[var] = re.sub(rf"\b{var}\.", "", pred)
+            stripped = re.sub(rf"\b{var}\.", "", pred)
+            if navs:
+                for nfn, nvar, _ncol, _off in navs.values():
+                    if nvar not in pat_vars:
+                        raise InvalidQueryError(
+                            f"MATCH_RECOGNIZE: {nfn.upper()} in DEFINE "
+                            f"references unknown pattern variable {nvar!r}"
+                        )
+                _compile_pred(_tokenize_pred(stripped))  # parse-time check
+                dyn_defines[var] = (stripped, navs)
+            else:
+                defines[var] = stripped
     return {
         "proj": m.group("proj").strip(),
         "src": m.group("src").strip("`"),
@@ -326,6 +608,7 @@ def parse_match_recognize(sql: str):
         "measures": measures,
         "elements": elements,
         "defines": defines,
+        "dyn_defines": dyn_defines,
         "lags": sorted(lags),
         "all_rows": all_rows,
         "skip_mode": skip_mode,
@@ -378,31 +661,42 @@ def try_match(preds, elements, att, i, ei, pairs):
     if ei == len(elements):
         return ("match", i, pairs)
     vars_, quant, greedy = elements[ei]
-    if len(vars_) == 1:
+    # A predicate is either a precomputed per-row boolean list (the common,
+    # JVM-evaluated case) or a callable (i, pairs) -> bool for DEFINEs
+    # using FIRST/LAST navigation, whose truth depends on the rows mapped
+    # so far in THIS attempt.
+    dyn = any(callable(preds[v]) for v in vars_)
+    if len(vars_) == 1 and not dyn:
         p0 = preds[vars_[0]]
 
-        def p(i):
+        def p(i, prs):
             return p0[i]
 
-        def cv(i):
+        def cv(i, prs):
             return vars_[0]
 
     else:
         # Alternation group: a row matches if ANY alternative's predicate
         # holds; it is classified as the FIRST holding one (SQL:2016
         # preference order).
-        def p(i):
-            return any(preds[v][i] for v in vars_)
+        def _ev(v, i, prs):
+            pv = preds[v]
+            return pv(i, prs) if callable(pv) else pv[i]
 
-        def cv(i):
-            return next(v for v in vars_ if preds[v][i])
+        def p(i, prs):
+            return any(_ev(v, i, prs) for v in vars_)
+
+        def cv(i, prs):
+            return next(v for v in vars_ if _ev(v, i, prs))
 
     if quant == "one":
         if i >= att["n"]:
             return None if att["final"] else PENDING
-        if not p(i):
+        if not p(i, pairs):
             return None
-        return try_match(preds, elements, att, i + 1, ei + 1, pairs + [(cv(i), i)])
+        return try_match(
+            preds, elements, att, i + 1, ei + 1, pairs + [(cv(i, pairs), i)]
+        )
     if quant == "opt":
         branches = ("take", "skip") if greedy else ("skip", "take")
         for b in branches:
@@ -411,9 +705,10 @@ def try_match(preds, elements, att, i, ei, pairs):
                     if not att["final"]:
                         return PENDING
                     continue  # no row to take; other branches only
-                if p(i):
+                if p(i, pairs):
                     r = try_match(
-                        preds, elements, att, i + 1, ei + 1, pairs + [(cv(i), i)]
+                        preds, elements, att, i + 1, ei + 1,
+                        pairs + [(cv(i, pairs), i)],
                     )
                     if r:
                         return r
@@ -423,13 +718,22 @@ def try_match(preds, elements, att, i, ei, pairs):
                     return r
         return None
     # star / plus / bounded range: maximal run of group-satisfying rows
-    # from i (capped at the range's upper bound when given).
+    # from i (capped at the range's upper bound when given). With a
+    # navigation predicate the run is built INCREMENTALLY — row j is
+    # tested against the mapping of rows i..j-1 already taken into the
+    # run — so any prefix of a valid run is valid and the greedy/reluctant
+    # shrink below stays exact.
     if isinstance(quant, tuple):  # ("range", min, max|None)
         min_take, max_take = quant[1], quant[2]
     else:
         min_take, max_take = (1, None) if quant == "plus" else (0, None)
     j = i
-    while j < att["n"] and p(j) and (max_take is None or j - i < max_take):
+    run_maps: list = []
+    while j < att["n"] and (max_take is None or j - i < max_take):
+        prs = pairs if not dyn else pairs + run_maps
+        if not p(j, prs):
+            break
+        run_maps.append((cv(j, prs), j))
         j += 1
     run_len = j - i
     # The run is extendable by future rows only if it stopped at the
@@ -445,8 +749,7 @@ def try_match(preds, elements, att, i, ei, pairs):
         ks = range(min_take, run_len + 1)
     for k in ks:
         r = try_match(
-            preds, elements, att, i + k, ei + 1,
-            pairs + [(cv(idx), idx) for idx in range(i, i + k)],
+            preds, elements, att, i + k, ei + 1, pairs + run_maps[:k]
         )
         if r:
             return r
@@ -555,6 +858,12 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
     within = spec.get("within")
     use_match_no = any(fn == "match_number" for fn, *_ in spec["measures"])
     has_count = "__mrcount" in buf.columns
+    # FIRST/LAST navigation DEFINEs: compiled once driver-side; the
+    # closures serialize into the fold with everything else.
+    dyn_compiled = {
+        v: (_compile_pred(_tokenize_pred(p)), navs)
+        for v, (p, navs) in (spec.get("dyn_defines") or {}).items()
+    }
 
     def fold_records(pdf):
         import numpy as np
@@ -607,6 +916,33 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
             for vars_, *_ in elements
             for var in vars_
         }
+        # Navigation DEFINEs become callables (i, pairs) -> bool: the
+        # current row counts as mapped to the variable being defined
+        # (SQL:2016 RUNNING semantics), so LAST(V.col) inside V's own
+        # DEFINE is the current row and LAST(V.col, 1) the previous
+        # V-mapped row of this attempt.
+        for dvar, (dfn, dnavs) in dyn_compiled.items():
+
+            def _mk(dvar=dvar, dfn=dfn, dnavs=dnavs):
+                def dpred(i, pairs):
+                    def get(col):
+                        return colv(col)[i]
+
+                    def nav(key):
+                        nfn, nvar, ncol, off = dnavs[key]
+                        rows = [ri for pv, ri in pairs if pv == nvar]
+                        if nvar == dvar:
+                            rows = rows + [i]
+                        jx = len(rows) - 1 - off if nfn == "last" else off
+                        if jx < 0 or jx >= len(rows):
+                            return None
+                        return colv(ncol)[rows[jx]]
+
+                    return dfn(get, nav) is True
+
+                return dpred
+
+            preds[dvar] = _mk()
 
         # In bounded (batch) execution the end of input is FINAL: no
         # future row can extend a preferred branch, so boundary hits

@@ -96,8 +96,13 @@ def execute_window_join(ctx: StepContext, sql: str) -> StepResult:
         )
     if sides[0][3] != sides[1][3]:
         raise InvalidQueryError("window join requires identical window specs")
-    if sides[0][0] == sides[1][0]:
-        raise InvalidQueryError("window self-join is not supported")
+    # Self-join (both TVFs over the same view, same time column and
+    # window args — Flink permits it): buffer and expand the side ONCE
+    # and bind BOTH spans to the same closed-instances view; the user's
+    # own table aliases disambiguate the join. A same-view join with a
+    # DIFFERENT descriptor column falls through to the generic two-buffer
+    # path, which is already side-indexed.
+    self_same = sides[0] == sides[1]
 
     # Flink's planner only recognizes a window join when the ON clause
     # equates the window bounds of both sides; without that predicate the
@@ -149,6 +154,9 @@ def execute_window_join(ctx: StepContext, sql: str) -> StepResult:
 
     inst_names = []
     for side_idx, (view, tcol, groups, _ivals, align, size) in enumerate(sides):
+        if side_idx == 1 and self_same:
+            inst_names.append(inst_names[0])
+            continue
         incoming = ctx.views[view]
         cols = incoming.columns
         max_end = _max_window_end(tcol, align, size)

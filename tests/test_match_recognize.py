@@ -550,8 +550,9 @@ def test_match_recognize_parse_rules():
     )
     assert spec["lags"] == [("x", 1)]
     assert spec["defines"]["B"] == "x > __lag1_x"
-    # Cross-variable references stay rejected.
-    with pytest.raises(InvalidQueryError, match="own variable"):
+    # Bare cross-variable references stay rejected (navigation is the
+    # supported spelling).
+    with pytest.raises(InvalidQueryError, match="FIRST/LAST navigation"):
         parse_match_recognize(
             "select * from t MATCH_RECOGNIZE (ORDER BY ts MEASURES A.x AS event_time "
             "PATTERN (A B) DEFINE A AS A.x > 0, B AS B.x > A.x)"
@@ -824,3 +825,122 @@ MATCH_RECOGNIZE (
     resp, out = runner.run([_input(s3, ts(1, 0, 30))], system_time=ts(7))
     got3 = pq.read_table(out).to_pylist()
     assert [(r["symbol"], r["n_mid"], r["dip"]) for r in got3] == [("LONER", 0, 7)]
+
+
+NAV_V_QUERY = """select * from tickers
+MATCH_RECOGNIZE (
+  PARTITION BY symbol
+  ORDER BY event_time
+  MEASURES
+    STRT.event_time AS event_time,
+    STRT.price AS start_price,
+    LAST(DOWN.price) AS bottom_price,
+    LAST(UP.price) AS end_price
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (STRT DOWN+ UP+)
+  DEFINE
+    DOWN AS DOWN.price < LAST(DOWN.price, 1)
+         OR (LAST(DOWN.price, 1) IS NULL AND DOWN.price < LAST(STRT.price)),
+    UP AS UP.price > LAST(UP.price, 1)
+       OR (LAST(UP.price, 1) IS NULL AND UP.price > LAST(DOWN.price))
+)"""
+
+
+def test_navigation_last_v_shape_cross_run(spark, tmp_path):
+    """Flink's LAST-navigation spelling of the V shape (docs "Pattern
+    Navigation"): LAST(V.col, 1) inside V's own DEFINE is the previous
+    V-mapped row of THIS attempt, cross-variable LAST(STRT.price) bridges
+    run starts, and IS NULL bootstraps the first run row. Same rows as
+    test_v_pattern_prev_cross_run — the greedy UP+ tail suspends at the
+    watermark and resolves next invocation with the identical answer."""
+    import os
+
+    runner = TransformRunner(spark, tmp_path, queries=[(NAV_V_QUERY, None)])
+    s1 = str(tmp_path / "in" / "s1.parquet")
+    ticker_slice(
+        s1,
+        [
+            (0, 0, ts(2), ts(1, 0, 1), "A", 12),
+            (1, 0, ts(2), ts(1, 0, 2), "A", 10),
+            (2, 0, ts(2), ts(1, 0, 3), "A", 8),
+            (3, 0, ts(2), ts(1, 0, 4), "A", 9),
+            (4, 0, ts(2), ts(1, 0, 5), "A", 11),
+            (5, 0, ts(2), ts(1, 0, 6), "A", 11),  # flat: beyond wm, pending
+        ],
+    )
+    resp, out = runner.run([_input(s1, ts(1, 0, 5))], system_time=ts(2))
+    assert resp.new_offset_interval is None and not os.path.exists(out)
+
+    s2 = str(tmp_path / "in" / "s2.parquet")
+    ticker_slice(s2, [(6, 0, ts(3), ts(1, 0, 7), "A", 13)])
+    resp2, out2 = runner.run([_input(s2, ts(1, 0, 10))], system_time=ts(3))
+    rows = pq.read_table(out2).to_pylist()
+    assert [
+        (r["symbol"], r["start_price"], r["bottom_price"], r["end_price"])
+        for r in rows
+    ] == [("A", 12, 8, 11)]
+
+
+def test_navigation_first_cross_var_arithmetic(spark, tmp_path):
+    """FIRST(A.col) referenced from ANOTHER variable's DEFINE, with
+    arithmetic: B rows must exceed twice the attempt's first A price and
+    the closing C must dip below it."""
+    query = """select * from tickers
+MATCH_RECOGNIZE (
+  PARTITION BY symbol
+  ORDER BY event_time
+  MEASURES
+    A.event_time AS event_time,
+    FIRST(A.price) AS a_price,
+    COUNT(B.*) AS n_b,
+    C.price AS c_price
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (A B+ C)
+  DEFINE
+    A AS A.price < 10,
+    B AS B.price > FIRST(A.price) * 2,
+    C AS C.price < FIRST(A.price)
+)"""
+    runner = TransformRunner(spark, tmp_path, queries=[(query, None)])
+    s1 = str(tmp_path / "in" / "s1.parquet")
+    ticker_slice(
+        s1,
+        [
+            (0, 0, ts(2), ts(1, 0, 1), "A", 5),
+            (1, 0, ts(2), ts(1, 0, 2), "A", 11),  # > 10 = 2*5
+            (2, 0, ts(2), ts(1, 0, 3), "A", 12),
+            (3, 0, ts(2), ts(1, 0, 4), "A", 3),   # < 5 closes
+        ],
+    )
+    resp, out = runner.run([_input(s1, ts(1, 0, 5))], system_time=ts(2))
+    rows = pq.read_table(out).to_pylist()
+    assert [(r["a_price"], r["n_b"], r["c_price"]) for r in rows] == [(5, 2, 3)]
+
+
+def test_navigation_define_parse_rules():
+    def q(define):
+        return f"""select * from t MATCH_RECOGNIZE (
+  PARTITION BY k ORDER BY ts
+  MEASURES A.ts AS event_time, COUNT(B.*) AS n_b
+  ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (A B+)
+  DEFINE {define}
+)"""
+
+    # NEXT stays rejected (forward navigation).
+    with pytest.raises(InvalidQueryError, match="NEXT in DEFINE"):
+        parse_match_recognize(q("B AS NEXT(B.price) > 1"))
+    # Bare cross-variable references still reject — write LAST(A.col).
+    with pytest.raises(InvalidQueryError, match="FIRST/LAST navigation"):
+        parse_match_recognize(q("B AS B.price > A.price"))
+    # Navigation of a variable not in the pattern.
+    with pytest.raises(InvalidQueryError, match="unknown pattern variable"):
+        parse_match_recognize(q("B AS B.price > LAST(Z.price)"))
+    # Richer expressions inside a navigation predicate reject loudly.
+    with pytest.raises(InvalidQueryError, match="navigation DEFINE"):
+        parse_match_recognize(q("B AS ABS(LAST(B.price, 1)) > 1"))
+    # The happy path parses and routes to dyn_defines.
+    spec = parse_match_recognize(q("B AS B.price > LAST(B.price, 1)"))
+    assert "B" in spec["dyn_defines"] and spec["defines"] == {}

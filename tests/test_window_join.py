@@ -276,3 +276,46 @@ def test_hop_window_join_partially_late_row(spark, tmp_path):
         _inputs(a2, ts(1, 0, 20), b2, ts(1, 0, 20)), system_time=ts(3)
     )
     assert _rows(out2) == [(0, 0, ts(1, 0, 5), "A", 10, 7)]
+
+
+def test_window_self_join_cross_run(spark, tmp_path):
+    """Self-join: both TVFs over the same view (Flink permits it — e.g.
+    same-window pair enumeration). The side is buffered once and both
+    spans bind the same closed-instances view; user aliases disambiguate."""
+    q = """SELECT L.window_start AS event_time, L.symbol, L.price AS l_price, R.price AS r_price
+FROM TABLE(TUMBLE(TABLE a, DESCRIPTOR(event_time), INTERVAL '10' MINUTE)) L
+JOIN TABLE(TUMBLE(TABLE a, DESCRIPTOR(event_time), INTERVAL '10' MINUTE)) R
+ON L.window_start = R.window_start AND L.symbol = R.symbol AND L.price < R.price"""
+    runner = TransformRunner(spark, tmp_path, queries=[(q, None)])
+
+    def _in(path, wm):
+        return [{"alias": "a", "data_paths": [path] if path else [],
+                 "schema_file": path, "watermark": wm}]
+
+    def _r(out):
+        table = pq.read_table(out)
+        return [
+            (r["op"], r["event_time"].replace(tzinfo=timezone.utc),
+             r["symbol"], r["l_price"], r["r_price"])
+            for r in table.to_pylist()
+        ]
+
+    a1 = str(tmp_path / "in" / "a1.parquet")
+    ticker_slice(
+        a1,
+        [
+            (0, 0, ts(2), ts(1, 0, 1), "A", 10),
+            (1, 0, ts(2), ts(1, 0, 2), "A", 20),
+            (2, 0, ts(2), ts(1, 0, 3), "B", 5),
+            (3, 0, ts(2), ts(1, 0, 12), "A", 99),  # open window
+        ],
+    )
+    # Window [00:00, 00:10) closes: the ordered pair (10, 20); B alone.
+    resp, out = runner.run(_in(a1, ts(1, 0, 11)), system_time=ts(2))
+    assert _r(out) == [(0, ts(1, 0, 0), "A", 10, 20)]
+
+    # Run 2: a buffered-window partner arrives, then [00:10, 00:20) closes.
+    a2 = str(tmp_path / "in" / "a2.parquet")
+    ticker_slice(a2, [(4, 0, ts(3), ts(1, 0, 14), "A", 50)])
+    resp2, out2 = runner.run(_in(a2, ts(1, 0, 25)), system_time=ts(3))
+    assert _r(out2) == [(0, ts(1, 0, 10), "A", 50, 99)]
