@@ -2990,6 +2990,65 @@ ON L.window_start = R.window_start AND L.user_id = R.user_id AND L.cents < R.cen
     return out
 
 
+def changelog_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT over an updating alias (operators/distinct_step.py
+    _changelog_distinct — Flink's retraction-aware distinct keeps a
+    per-value count): distinct (user, click-cents) pairs of a LEFT-join
+    changelog across two chained ODF invocations. A pad value (u, NULL)
+    enters the distinct view while the user has any unmatched purchase
+    and LEAVES it (op 1) once every pad retracts; matched values enter
+    once regardless of pair multiplicity. The view after invocation i
+    equals the batch prefix's distinct set, so the oracle is two set
+    diffs. Per invocation: one groupBy + one fp-bucketed state merge —
+    O(slice + touched values) — scales."""
+    import tempfile
+
+    _conf(spark)
+    workdir = tempfile.mkdtemp(prefix="cldist-entry-")
+    p_slices = _ledger_slices(
+        spark, _events_ledger(spark, sf_dir, "purchase"), workdir, "purchases", 2
+    )
+    c_slices = _ledger_slices(
+        spark, _events_ledger(spark, sf_dir, "click"), workdir, "clicks", 2
+    )
+    steps = [
+        (
+            """SELECT
+  p.event_time as event_time,
+  p.user_id as user_id,
+  p.cents as p_cents,
+  c.cents as c_cents
+FROM purchases as p
+LEFT JOIN clicks as c
+ON p.user_id = c.user_id""",
+            "j",
+        ),
+        ("SELECT DISTINCT user_id, c_cents FROM j", "d"),
+        (
+            "SELECT cast(now() as timestamp(3)) as event_time, "
+            "user_id, c_cents FROM d",
+            None,
+        ),
+    ]
+    per_inv = [
+        [("purchases", *p_slices[i]), ("clicks", *c_slices[i])] for i in range(2)
+    ]
+    outs = _run_odf_invocations(spark, steps, per_inv, workdir, "cldist")
+    parts = [
+        spark.read.parquet(path).select(
+            F.lit(inv).cast("int").alias("inv"),
+            F.col("op").cast("int").alias("op"),
+            "user_id",
+            F.col("c_cents").cast("long").alias("c_cents"),
+        )
+        for inv, path in outs
+    ]
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -3004,17 +3063,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION note: the driver records correctness rows for only the
     # FIRST 50 dict entries per round, so the registry rotates each round
     # to give every entry a driver row at least every other round.
-    # Round 7 first-50 = 2 entries due their FIRST driver row (the new
-    # FIRST/LAST-navigation CEP and window self-join) + the 9-entry front
-    # queued by round 6's plan (changelog filter + the r04-checked
-    # overflow) + 39 of the r05-checked cohort. The r05 remainder leads
-    # the back block (due round 8) ahead of the 51 r06-checked entries.
+    # Round 7 first-50 = 3 entries due their FIRST driver row (the new
+    # FIRST/LAST-navigation CEP, window self-join, and changelog
+    # distinct) + the 9-entry front queued by round 6's plan (changelog
+    # filter + the r04-checked overflow) + 38 of the r05-checked cohort.
+    # The r05 remainder leads the back block (due round 8) ahead of the
+    # 51 r06-checked entries.
     # tools/crosscheck.py verifies ALL entries locally regardless; the
     # full run is committed per round as CROSSCHECK_r{N}.txt.
     return {
-        # --- due their FIRST driver row (2): round-7's new operators ---
+        # --- due their FIRST driver row (3): round-7's new operators ---
         "match_recognize_nav_first_last_events": match_recognize_nav_first_last_events,
         "window_join_self_daily": window_join_self_daily,
+        "changelog_distinct_pairs": changelog_distinct_pairs,
         # --- front of round 7 as queued by round 6's plan (9) ---
         "changelog_filter_pads": changelog_filter_pads,
         "user_event_sequences": user_event_sequences,
@@ -3777,6 +3838,35 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE value >= 0 AND value < 2
               AND v1 > value + 15
               AND v2 < v1 - 10 AND v2 >= 2
+        """,
+        "changelog_distinct_pairs": """
+            -- Retraction-aware DISTINCT: the distinct view after
+            -- invocation i equals the batch prefix's distinct
+            -- (user, click-cents) set of the LEFT join; each invocation
+            -- emits the set diff (op 0 enters, op 1 leaves).
+            WITH e AS (
+                SELECT CAST(event_id % 2 AS INT) AS inv, user_id,
+                       event_type,
+                       CAST(floor(value * 100) AS BIGINT) AS cents
+                FROM events
+            ), j0 AS (
+                SELECT DISTINCT p.user_id AS user_id, c.cents AS c_cents
+                FROM (SELECT * FROM e WHERE event_type = 'purchase' AND inv = 0) p
+                LEFT JOIN (SELECT * FROM e WHERE event_type = 'click' AND inv = 0) c
+                  ON p.user_id = c.user_id
+            ), j1 AS (
+                SELECT DISTINCT p.user_id AS user_id, c.cents AS c_cents
+                FROM (SELECT * FROM e WHERE event_type = 'purchase') p
+                LEFT JOIN (SELECT * FROM e WHERE event_type = 'click') c
+                  ON p.user_id = c.user_id
+            )
+            SELECT CAST(0 AS INT) AS inv, CAST(0 AS INT) AS op, * FROM j0
+            UNION ALL
+            SELECT CAST(1 AS INT), CAST(0 AS INT), *
+            FROM (SELECT * FROM j1 EXCEPT SELECT * FROM j0)
+            UNION ALL
+            SELECT CAST(1 AS INT), CAST(1 AS INT), *
+            FROM (SELECT * FROM j0 EXCEPT SELECT * FROM j1)
         """,
         "window_join_self_daily": """
             -- Window TVF self-join: ordered same-day purchase pairs per

@@ -260,13 +260,15 @@ def execute_transform(spark: SparkSession, request: TransformRequest) -> Transfo
                 C.UNBOUNDED_AGG,
                 C.MAP,
                 C.REGULAR_JOIN,
+                C.DISTINCT,
             ):
                 raise InvalidQueryError(
                     f"step reads updating (changelog-emitting) alias(es) "
                     f"{', '.join(changelog_refs)}: only a windowless GROUP "
                     "BY aggregation (which folds op 1/2 rows as "
                     "retractions), a plain projection (which forwards "
-                    "the op tags), or a regular equi-join (which applies "
+                    "the op tags), SELECT DISTINCT (which keeps per-value "
+                    "counts), or a regular equi-join (which applies "
                     "them as state deletions) can consume an updating "
                     "stream; other step kinds would misread correction/"
                     "retraction rows as appends"

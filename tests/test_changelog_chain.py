@@ -495,6 +495,62 @@ def test_projection_literal_where_is_not_a_filter(spark, tmp_path):
     assert rows == [(0, "A", None, "nowhere where")]
 
 
+def test_distinct_over_changelog(spark, tmp_path):
+    """SELECT DISTINCT over an updating alias (Flink keeps a per-value
+    count): a value enters the distinct view (op 0) when its count rises
+    from zero, leaves (op 1) when it falls back to zero, and emits
+    NOTHING while the count moves between positive values."""
+    import os
+
+    runner = TransformRunner(
+        spark, tmp_path,
+        queries=[(LEFT_JOIN, "j"),
+                 ("SELECT DISTINCT event_time, symbol, b_price FROM j", None)],
+    )
+
+    def _r(out):
+        table = pq.read_table(out)
+        return [(r["op"], r["symbol"], r["b_price"]) for r in table.to_pylist()]
+
+    # Run 1: A pads — (A, NULL) enters the distinct view.
+    resp, out = runner.run(
+        _two_stream_inputs(
+            tmp_path, "r1", [(0, 0, ts(2), ts(1, 0, 1), "A", 10)], [], ts(1, 1, 0)
+        ),
+        system_time=ts(2),
+    )
+    assert _r(out) == [(0, "A", None)]
+
+    # Run 2: partner 7 — the pad retracts ((A, NULL) leaves, op 1) and
+    # the pair value (A, 7) enters.
+    resp2, out2 = runner.run(
+        _two_stream_inputs(
+            tmp_path, "r2", [], [(0, 0, ts(3), ts(1, 0, 2), "A", 7)], ts(1, 2, 0)
+        ),
+        system_time=ts(3),
+    )
+    assert sorted(_r(out2)) == [(0, "A", 7), (1, "A", None)]
+
+    # Run 3: a SECOND b row with the same price — (A, 7)'s count rises
+    # 1 -> 2: the distinct view is unchanged, nothing emits.
+    resp3, out3 = runner.run(
+        _two_stream_inputs(
+            tmp_path, "r3", [], [(1, 0, ts(4), ts(1, 0, 3), "A", 7)], ts(1, 3, 0)
+        ),
+        system_time=ts(4),
+    )
+    assert not os.path.exists(out3), _r(out3)
+
+    # Run 4: a different price enters alongside.
+    resp4, out4 = runner.run(
+        _two_stream_inputs(
+            tmp_path, "r4", [], [(2, 0, ts(5), ts(1, 0, 4), "A", 9)], ts(1, 4, 0)
+        ),
+        system_time=ts(5),
+    )
+    assert _r(out4) == [(0, "A", 9)]
+
+
 def test_inner_join_chain_still_allowed(spark, tmp_path):
     """INNER regular joins emit append-only streams — chaining into any
     step stays supported (no false positives from the guard)."""
