@@ -3049,6 +3049,54 @@ ON p.user_id = c.user_id""",
     return out
 
 
+def changelog_topn_live_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N over an updating aggregate (operators/changelog_topn.py —
+    Flink's RetractableTopNFunction, the 'top users by live purchase
+    count' pattern): continuous count per user chained into a global
+    top-3 by count across two ODF invocations. Each invocation re-ranks
+    from the signed row ledger of touched keys and emits the per-place
+    diff (op 0 enter / op 1 leave / op 2+3 correction), ties broken
+    deterministically by the remaining projected columns. The oracle
+    rebuilds both prefix rank tables and diffs them. Per invocation: one
+    groupBy + TakeOrdered over the live net — scales."""
+    import tempfile
+
+    _conf(spark)
+    workdir = tempfile.mkdtemp(prefix="cltopn-entry-")
+    p_slices = _ledger_slices(
+        spark, _events_ledger(spark, sf_dir, "purchase"), workdir, "purchases", 2
+    )
+    steps = [
+        (
+            """SELECT cast(now() as timestamp(3)) as event_time,
+  user_id, count(*) as n FROM purchases GROUP BY user_id""",
+            "g",
+        ),
+        (
+            """SELECT cast(now() as timestamp(3)) as event_time, user_id, n, rnk FROM (
+  SELECT user_id, n, row_number() over (order by n desc) as rnk FROM g
+) WHERE rnk <= 3""",
+            None,
+        ),
+    ]
+    per_inv = [[("purchases", *p_slices[i])] for i in range(2)]
+    outs = _run_odf_invocations(spark, steps, per_inv, workdir, "cltopn")
+    parts = [
+        spark.read.parquet(path).select(
+            F.lit(inv).cast("int").alias("inv"),
+            F.col("op").cast("int").alias("op"),
+            "user_id",
+            F.col("n").cast("long").alias("n"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+        for inv, path in outs
+    ]
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -3063,12 +3111,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION note: the driver records correctness rows for only the
     # FIRST 50 dict entries per round, so the registry rotates each round
     # to give every entry a driver row at least every other round.
-    # Round 7 first-50 = 3 entries due their FIRST driver row (the new
-    # FIRST/LAST-navigation CEP, window self-join, and changelog
-    # distinct) + the 9-entry front queued by round 6's plan (changelog
-    # filter + the r04-checked overflow) + 38 of the r05-checked cohort.
-    # The r05 remainder leads the back block (due round 8) ahead of the
-    # 51 r06-checked entries.
+    # Round 7 first-50 = 4 entries due their FIRST driver row (the new
+    # FIRST/LAST-navigation CEP, window self-join, changelog distinct,
+    # and retractable Top-N) + the 9-entry front queued by round 6's
+    # plan (changelog filter + the r04-checked overflow) + 37 of the
+    # r05-checked cohort. The r05 remainder leads the back block (due
+    # round 8) ahead of the 51 r06-checked entries.
     # tools/crosscheck.py verifies ALL entries locally regardless; the
     # full run is committed per round as CROSSCHECK_r{N}.txt.
     return {
@@ -3076,6 +3124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_recognize_nav_first_last_events": match_recognize_nav_first_last_events,
         "window_join_self_daily": window_join_self_daily,
         "changelog_distinct_pairs": changelog_distinct_pairs,
+        "changelog_topn_live_counts": changelog_topn_live_counts,
         # --- front of round 7 as queued by round 6's plan (9) ---
         "changelog_filter_pads": changelog_filter_pads,
         "user_event_sequences": user_event_sequences,
@@ -3838,6 +3887,46 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE value >= 0 AND value < 2
               AND v1 > value + 15
               AND v2 < v1 - 10 AND v2 >= 2
+        """,
+        "changelog_topn_live_counts": """
+            -- Retractable Top-N: rank tables of both prefixes (ties by
+            -- the remaining projected column, user_id), diffed per place.
+            WITH p AS (
+                SELECT CAST(event_id % 2 AS INT) AS inv, user_id
+                FROM events WHERE event_type = 'purchase'
+            ), t0 AS (
+                SELECT user_id, n, row_number() OVER (ORDER BY n DESC, user_id) AS rnk
+                FROM (SELECT user_id, count(*) AS n FROM p WHERE inv = 0 GROUP BY 1)
+                QUALIFY rnk <= 3
+            ), t1 AS (
+                SELECT user_id, n, row_number() OVER (ORDER BY n DESC, user_id) AS rnk
+                FROM (SELECT user_id, count(*) AS n FROM p GROUP BY 1)
+                QUALIFY rnk <= 3
+            ), d AS (
+                SELECT coalesce(t0.rnk, t1.rnk) AS rnk,
+                       t0.user_id AS ou, t0.n AS o_n,
+                       t1.user_id AS nu, t1.n AS n_n,
+                       t0.rnk IS NOT NULL AS has_o,
+                       t1.rnk IS NOT NULL AS has_n
+                FROM t0 FULL JOIN t1 ON t0.rnk = t1.rnk
+                WHERE t0.rnk IS NULL OR t1.rnk IS NULL
+                   OR t0.user_id <> t1.user_id OR t0.n <> t1.n
+            )
+            SELECT CAST(0 AS INT) AS inv, CAST(0 AS INT) AS op,
+                   user_id, CAST(n AS BIGINT) AS n, CAST(rnk AS BIGINT) AS rnk
+            FROM t0
+            UNION ALL
+            SELECT 1, 2, ou, CAST(o_n AS BIGINT), CAST(rnk AS BIGINT)
+            FROM d WHERE has_o AND has_n
+            UNION ALL
+            SELECT 1, 3, nu, CAST(n_n AS BIGINT), CAST(rnk AS BIGINT)
+            FROM d WHERE has_o AND has_n
+            UNION ALL
+            SELECT 1, 0, nu, CAST(n_n AS BIGINT), CAST(rnk AS BIGINT)
+            FROM d WHERE NOT has_o
+            UNION ALL
+            SELECT 1, 1, ou, CAST(o_n AS BIGINT), CAST(rnk AS BIGINT)
+            FROM d WHERE NOT has_n
         """,
         "changelog_distinct_pairs": """
             -- Retraction-aware DISTINCT: the distinct view after

@@ -261,6 +261,7 @@ def execute_transform(spark: SparkSession, request: TransformRequest) -> Transfo
                 C.MAP,
                 C.REGULAR_JOIN,
                 C.DISTINCT,
+                C.TOPN,
             ):
                 raise InvalidQueryError(
                     f"step reads updating (changelog-emitting) alias(es) "
@@ -268,13 +269,21 @@ def execute_transform(spark: SparkSession, request: TransformRequest) -> Transfo
                     "BY aggregation (which folds op 1/2 rows as "
                     "retractions), a plain projection (which forwards "
                     "the op tags), SELECT DISTINCT (which keeps per-value "
-                    "counts), or a regular equi-join (which applies "
+                    "counts), Top-N (which re-ranks from a signed row "
+                    "ledger), or a regular equi-join (which applies "
                     "them as state deletions) can consume an updating "
                     "stream; other step kinds would misread correction/"
                     "retraction rows as appends"
                 )
             if changelog_refs and kind == C.REGULAR_JOIN:
                 result = changelog_join.execute_changelog_join(ctx, step.query)
+            elif changelog_refs and kind == C.TOPN:
+                from ..operators import changelog_topn as CT
+
+                spec_t = C.parse_topn(step.query)
+                if spec_t is None:
+                    raise InvalidQueryError("unsupported Top-N query shape")
+                result = CT.execute_changelog_topn(ctx, step.query, spec_t)
             else:
                 result = _EXECUTORS[kind](ctx, step.query)
             if step.alias:

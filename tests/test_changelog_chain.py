@@ -551,6 +551,100 @@ def test_distinct_over_changelog(spark, tmp_path):
     assert _r(out4) == [(0, "A", 9)]
 
 
+def test_topn_over_changelog_agg_promotes_on_retraction(spark, tmp_path):
+    """Top-N over an updating aggregate (Flink's RetractableTopNFunction,
+    the 'top products by live sales count' pattern): a correction that
+    DROPS the leader's value must promote the runner-up from beyond the
+    visible horizon — which requires the full live-row ledger, not just
+    the top-N."""
+    agg = """SELECT cast(now() as timestamp(3)) as event_time,
+  symbol, avg(price) as a FROM a GROUP BY symbol"""
+    topn = """SELECT cast(now() as timestamp(3)) as event_time, symbol, a, rnk FROM (
+  SELECT symbol, a, row_number() over (order by a desc) as rnk FROM g
+) WHERE rnk <= 1"""
+    runner = TransformRunner(
+        spark, tmp_path, queries=[(agg, "g"), (topn, None)]
+    )
+
+    def _r(out):
+        table = pq.read_table(out)
+        return [(r["op"], r["symbol"], r["a"], r["rnk"]) for r in table.to_pylist()]
+
+    def _run(name, rows, wm_min):
+        p = str(tmp_path / "in" / f"a_{name}.parquet")
+        ticker_slice(p, rows)
+        return runner.run(
+            [{"alias": "a", "data_paths": [p] if rows else [], "schema_file": p,
+              "watermark": ts(1, wm_min, 0)}],
+            system_time=ts(2 + wm_min),
+        )
+
+    # Run 1: A avg 10, B avg 5 -> leader (A, 10).
+    resp, out = _run("r1", [(0, 0, ts(2), ts(1, 0, 1), "A", 10),
+                            (1, 0, ts(2), ts(1, 0, 2), "B", 5)], 1)
+    assert _r(out) == [(0, "A", 10.0, 1)]
+
+    # Run 2: A's avg corrects 10 -> 6, still the leader: op 2/3 pair.
+    resp2, out2 = _run("r2", [(2, 0, ts(3), ts(1, 0, 3), "A", 2)], 2)
+    assert _r(out2) == [(2, "A", 10.0, 1), (3, "A", 6.0, 1)]
+
+    # Run 3: A's avg falls to 4, BELOW B's 5 — the retraction of the
+    # leading tuple promotes B, which was never in the visible top-1.
+    resp3, out3 = _run("r3", [(3, 0, ts(4), ts(1, 0, 4), "A", 0)], 3)
+    assert _r(out3) == [(2, "A", 6.0, 1), (3, "B", 5.0, 1)]
+
+
+def test_keyed_topn_over_changelog_join(spark, tmp_path):
+    """PARTITION BY Top-N over a LEFT-join changelog: the pad's NULL
+    value holds rank 1 until a real partner retracts it; a worse partner
+    emits nothing; a better one corrects the place."""
+    import os
+
+    topn = """SELECT cast(now() as timestamp(3)) as event_time, symbol, b_price, rnk FROM (
+  SELECT symbol, b_price, row_number() over (partition by symbol order by b_price desc) as rnk FROM j
+) WHERE rnk <= 1"""
+    runner = TransformRunner(
+        spark, tmp_path, queries=[(LEFT_JOIN, "j"), (topn, None)]
+    )
+
+    def _r(out):
+        table = pq.read_table(out)
+        return [(r["op"], r["symbol"], r["b_price"], r["rnk"]) for r in table.to_pylist()]
+
+    resp, out = runner.run(
+        _two_stream_inputs(
+            tmp_path, "r1", [(0, 0, ts(2), ts(1, 0, 1), "A", 10)], [], ts(1, 1, 0)
+        ),
+        system_time=ts(2),
+    )
+    assert _r(out) == [(0, "A", None, 1)]
+
+    resp2, out2 = runner.run(
+        _two_stream_inputs(
+            tmp_path, "r2", [], [(0, 0, ts(3), ts(1, 0, 2), "A", 7)], ts(1, 2, 0)
+        ),
+        system_time=ts(3),
+    )
+    assert _r(out2) == [(2, "A", None, 1), (3, "A", 7, 1)]
+
+    # A worse partner: rank table unchanged, nothing emits.
+    resp3, out3 = runner.run(
+        _two_stream_inputs(
+            tmp_path, "r3", [], [(1, 0, ts(4), ts(1, 0, 3), "A", 3)], ts(1, 3, 0)
+        ),
+        system_time=ts(4),
+    )
+    assert not os.path.exists(out3), _r(out3)
+
+    resp4, out4 = runner.run(
+        _two_stream_inputs(
+            tmp_path, "r4", [], [(2, 0, ts(5), ts(1, 0, 4), "A", 9)], ts(1, 4, 0)
+        ),
+        system_time=ts(5),
+    )
+    assert _r(out4) == [(2, "A", 7, 1), (3, "A", 9, 1)]
+
+
 def test_inner_join_chain_still_allowed(spark, tmp_path):
     """INNER regular joins emit append-only streams — chaining into any
     step stays supported (no false positives from the guard)."""
