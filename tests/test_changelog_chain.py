@@ -645,6 +645,76 @@ def test_keyed_topn_over_changelog_join(spark, tmp_path):
     assert _r(out4) == [(2, "A", 7, 1), (3, "A", 9, 1)]
 
 
+def test_changelog_topn_fold_slice_invariance(spark, tmp_path):
+    """The changelog Top-N's emitted ledger folds to the batch rank table
+    under ANY slicing of the input — the retractable-rank analogue of the
+    other fold-to-batch laws."""
+    agg = """SELECT cast(now() as timestamp(3)) as event_time,
+  symbol, avg(price) as a FROM a GROUP BY symbol"""
+    topn = """SELECT cast(now() as timestamp(3)) as event_time, symbol, a, rnk FROM (
+  SELECT symbol, a, row_number() over (order by a desc) as rnk FROM g
+) WHERE rnk <= 3"""
+    rows = [(i, 0, ts(9), ts(1), f"S{i % 5}", (i * 7) % 23) for i in range(20)]
+
+    def run_sliced(tag, cuts):
+        import os
+
+        runner = TransformRunner(
+            spark, tmp_path / tag, queries=[(agg, "g"), (topn, None)]
+        )
+        os.makedirs(tmp_path / tag / "in", exist_ok=True)
+        state = {}
+        bounds = [0, *cuts, len(rows)]
+        for i in range(len(bounds) - 1):
+            sl = rows[bounds[i]: bounds[i + 1]]
+            p = str(tmp_path / tag / "in" / f"a{i}.parquet")
+            ticker_slice(p, sl)
+            resp, out = runner.run(
+                [{"alias": "a", "data_paths": [p] if sl else [],
+                  "schema_file": p, "watermark": ts(1, i + 1, 0)}],
+                system_time=ts(2 + i),
+            )
+            if not os.path.exists(out):
+                continue
+            for r in pq.read_table(out).to_pylist():
+                op, key = r["op"], r["rnk"]
+                val = (r["symbol"], r["a"])
+                if op in (0, 3):
+                    state[key] = val
+                elif op == 1:
+                    assert state.pop(key, None) == val, f"bad delete @{key}"
+                else:
+                    assert state.get(key) == val, f"stale CorrectFrom @{key}"
+        return state
+
+    one = run_sliced("one", [])
+    many = run_sliced("many", [3, 7, 12, 16])
+
+    import pyspark.sql.functions as SF
+    from pyspark.sql import Window as W
+
+    base = spark.createDataFrame(
+        [(r[4], r[5]) for r in rows], "symbol string, price int"
+    )
+    batch = (
+        base.groupBy("symbol")
+        .agg(SF.avg("price").alias("a"))
+        .withColumn(
+            "rnk",
+            SF.row_number().over(
+                W.partitionBy(SF.lit(0)).orderBy(
+                    SF.col("a").desc(), SF.col("symbol").asc()
+                )
+            ),
+        )
+        .filter(SF.col("rnk") <= 3)
+        .collect()
+    )
+    expected = {r["rnk"]: (r["symbol"], r["a"]) for r in batch}
+    assert one == expected
+    assert many == expected
+
+
 def test_inner_join_chain_still_allowed(spark, tmp_path):
     """INNER regular joins emit append-only streams — chaining into any
     step stays supported (no false positives from the guard)."""
