@@ -3097,6 +3097,43 @@ def changelog_topn_live_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def dedup_minhash_incremental_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest MinHash dedup (operators/dedup.
+    dedup_minhash_incremental): the corpus arrives as two id-ordered
+    batches; each batch dedups against the persisted (band, key, id) +
+    (id, signature) state of everything seen so far — kept AND dropped —
+    without rescanning history text. The union of kept batches equals the
+    batch portable dedup (the ingest law), so the oracle is the batch
+    oracle with an arrival tag. Per batch: one signature pass + one
+    bucket join against state — O(batch + touched buckets) — scales."""
+    import os
+    import tempfile
+
+    d = _t(spark, sf_dir, "documents")
+    cut = d.count() // 2  # doc_id is contiguous from 0: an id-ordered prefix
+    workdir = tempfile.mkdtemp(prefix="incdedup-entry-")
+    kept1, state = D.dedup_minhash_incremental(d.filter(F.col("doc_id") < cut))
+    # Persist + reload the state between batches (the ingest contract).
+    bpath = os.path.join(workdir, "buckets")
+    spath = os.path.join(workdir, "sigs")
+    state[0].write.mode("overwrite").parquet(bpath)
+    state[1].write.mode("overwrite").parquet(spath)
+    state = (spark.read.parquet(bpath), spark.read.parquet(spath))
+    kept2, _state = D.dedup_minhash_incremental(
+        d.filter(F.col("doc_id") >= cut), state
+    )
+
+    def _shape(kept, inv):
+        return kept.select(
+            F.lit(inv).cast("int").alias("inv"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "lang",
+            "source",
+        )
+
+    return _shape(kept1, 0).unionByName(_shape(kept2, 1))
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -3111,12 +3148,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION note: the driver records correctness rows for only the
     # FIRST 50 dict entries per round, so the registry rotates each round
     # to give every entry a driver row at least every other round.
-    # Round 7 first-50 = 4 entries due their FIRST driver row (the new
+    # Round 7 first-50 = 5 entries due their FIRST driver row (the new
     # FIRST/LAST-navigation CEP, window self-join, changelog distinct,
-    # and retractable Top-N) + the 9-entry front queued by round 6's
-    # plan (changelog filter + the r04-checked overflow) + 37 of the
-    # r05-checked cohort. The r05 remainder leads the back block (due
-    # round 8) ahead of the 51 r06-checked entries.
+    # retractable Top-N, and incremental-ingest dedup) + the 9-entry
+    # front queued by round 6's plan (changelog filter + the r04-checked
+    # overflow) + 36 of the r05-checked cohort. The r05 remainder leads
+    # the back block (due round 8) ahead of the 51 r06-checked entries.
     # tools/crosscheck.py verifies ALL entries locally regardless; the
     # full run is committed per round as CROSSCHECK_r{N}.txt.
     return {
@@ -3125,6 +3162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_join_self_daily": window_join_self_daily,
         "changelog_distinct_pairs": changelog_distinct_pairs,
         "changelog_topn_live_counts": changelog_topn_live_counts,
+        "dedup_minhash_incremental_documents": dedup_minhash_incremental_documents,
         # --- front of round 7 as queued by round 6's plan (9) ---
         "changelog_filter_pads": changelog_filter_pads,
         "user_event_sequences": user_event_sequences,
@@ -4323,6 +4361,52 @@ def oracle_sql() -> dict[str, str]:
         """,
         # -- portable-hash pipelines, replayed in full (see
         #    functions/portable_hash.py for the shared spec) ----------------
+        "dedup_minhash_incremental_documents": rf"""
+            -- Incremental-ingest law: the union of per-batch kept sets
+            -- under id-ordered arrival equals the batch dedup; inv tags
+            -- which half each surviving doc arrived in.
+            WITH base AS (
+                SELECT doc_id, lang, source,
+                       CASE WHEN text IS NULL THEN []::VARCHAR[]
+                            ELSE {_DUCK_TOKS} END AS toks
+                FROM documents
+            ), sh AS (
+                SELECT doc_id, lang, source,
+                    CASE WHEN len(toks) < 3 THEN []::BIGINT[]
+                         ELSE list_transform(range(1, len(toks) - 1),
+                              i -> ('0x' || substr(md5(array_to_string(
+                                       toks[i:i+2], ' ')), 1, 12)
+                                   )::BIGINT % 2147483647)
+                    END AS hs
+                FROM base
+            ), sig AS (
+                SELECT doc_id, lang, source, len(hs) AS nsh,
+                    list_transform(range(32), i ->
+                        list_min(list_transform(hs, h ->
+                            ({_PORT_A_SQL}[i+1] * h + {_PORT_B_SQL}[i+1]) % 2147483647))) AS sig
+                FROM sh
+            ), bnd AS (
+                SELECT doc_id, rb.b AS band,
+                       md5(array_to_string(sig[4*rb.b+1 : 4*rb.b+4], '-')) AS key
+                FROM sig CROSS JOIN (SELECT unnest(range(8)) AS b) rb
+                WHERE nsh > 0
+            ), cand AS (
+                SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                FROM bnd x JOIN bnd y
+                  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+            ), losers AS (
+                SELECT DISTINCT c.id_b
+                FROM cand c
+                JOIN sig sa ON sa.doc_id = c.id_a
+                JOIN sig sb ON sb.doc_id = c.id_b
+                WHERE len(list_filter(range(32), i -> sa.sig[i+1] = sb.sig[i+1])) >= 16
+            )
+            SELECT CAST(CASE WHEN s.doc_id < (SELECT count(*) // 2 FROM documents)
+                             THEN 0 ELSE 1 END AS INT) AS inv,
+                   CAST(s.doc_id AS BIGINT) AS doc_id, s.lang, s.source
+            FROM sig s LEFT JOIN losers l ON s.doc_id = l.id_b
+            WHERE l.id_b IS NULL
+        """,
         "dedup_minhash_documents": rf"""
             WITH base AS (
                 SELECT doc_id, lang, source,

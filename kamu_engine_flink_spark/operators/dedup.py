@@ -370,6 +370,116 @@ def dedup_minhash_portable(
     return df.join(losers, id_col, "left_anti")
 
 
+def dedup_minhash_incremental(
+    df: DataFrame,
+    prior_state: tuple[DataFrame, DataFrame] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_matches: int = 16,
+) -> tuple[DataFrame, tuple[DataFrame, DataFrame]]:
+    """Incremental (cross-batch) smaller-id-wins MinHash dedup — the
+    training-data INGEST shape: dedup each arriving batch against the
+    accumulated corpus without ever rescanning history text.
+
+    State is a pair of relations over every doc seen so far (kept AND
+    dropped — the batch rule lets an already-dropped doc still eliminate
+    later arrivals): the (band, key, id) bucket membership and the
+    (id, signature) table, both from the portable md5/mod-P hash family
+    (functions/portable_hash.py) so a DuckDB oracle can hash-check the
+    law below end to end. A new doc drops iff a bucket-mate with
+    >= min_matches equal signature positions exists in the prior state
+    (every prior id is smaller when batches arrive in id order) or at a
+    smaller id within its own batch.
+
+    LAW: with id-ordered batches, the union of kept batches equals
+    dedup_minhash_portable over the whole corpus.
+
+    Returns (kept rows of df, new state). Per batch: one signature pass
+    over the batch text, one (band, key) join against the state buckets,
+    one in-batch bucket self-join, signature-verification joins against
+    the batch + the touched prior ids — O(batch + touched buckets), never
+    O(corpus). Persist the state relations bucketed by (band, key) / id
+    for exchange-free probes at scale (the engine state layer's layout).
+    """
+    from ..functions import portable_hash as PH
+
+    sigd = (
+        spread(df)
+        .withColumn("__hs", PH.shingle_hashes_portable(text_col))
+        .withColumn("__sig", PH.minhash_sig_portable("__hs"))
+        .persist()
+    )
+    new_buckets = (
+        sigd.filter(F.size("__hs") > 0)
+        .select(
+            F.col(id_col).alias("__id"),
+            PH.band_keys_portable("__sig").alias("__keys"),
+        )
+        .select("__id", F.posexplode("__keys").alias("band", "key"))
+    )
+    new_sigs = sigd.select(F.col(id_col).alias("__id"), F.col("__sig").alias("__sig_v"))
+
+    def _verify(cand: DataFrame, sigs_a: DataFrame, sigs_b: DataFrame) -> DataFrame:
+        return (
+            cand.join(
+                sigs_a.select(F.col("__id").alias("id_a"), F.col("__sig_v").alias("__sig_a")),
+                "id_a",
+            )
+            .join(
+                sigs_b.select(F.col("__id").alias("id_b"), F.col("__sig_v").alias("__sig_b")),
+                "id_b",
+            )
+            .filter(
+                F.expr(
+                    "size(filter(zip_with(__sig_a, __sig_b, (x, y) -> x = y), v -> v))"
+                )
+                >= min_matches
+            )
+            .select("id_b")
+        )
+
+    # In-batch: smaller id wins within the arriving batch.
+    a, b = new_buckets.alias("a"), new_buckets.alias("b")
+    cand_batch = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    losers = _verify(cand_batch, new_sigs, new_sigs)
+
+    if prior_state is not None:
+        prior_buckets, prior_sigs = prior_state
+        # Cross-batch: any prior bucket-mate eliminates (prior ids are
+        # smaller under id-ordered arrival).
+        cand_hist = (
+            new_buckets.alias("n")
+            .join(
+                prior_buckets.alias("p"),
+                (F.col("n.band") == F.col("p.band"))
+                & (F.col("n.key") == F.col("p.key")),
+            )
+            .select(F.col("p.__id").alias("id_a"), F.col("n.__id").alias("id_b"))
+            .distinct()
+        )
+        losers = losers.unionByName(_verify(cand_hist, prior_sigs, new_sigs))
+        state = (
+            prior_buckets.unionByName(new_buckets),
+            prior_sigs.unionByName(new_sigs),
+        )
+    else:
+        state = (new_buckets, new_sigs)
+
+    kept = df.join(
+        losers.distinct().withColumnRenamed("id_b", id_col), id_col, "left_anti"
+    )
+    return kept, state
+
+
 def dedup_simhash_portable(
     df: DataFrame,
     text_col: str = "text",

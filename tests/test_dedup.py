@@ -205,3 +205,53 @@ def test_remove_duplicate_segments_identity_without_dups(spark, docs):
     assert mismatch == 0
     # and with unique-per-doc leading tokens most docs keep everything
     assert out.filter(F.col("n_removed") == 0).count() > 0
+
+
+def test_minhash_incremental_matches_batch(spark, docs, tmp_path):
+    """The incremental-ingest law: with id-ordered batches, the union of
+    kept batches equals the batch portable dedup over the whole corpus —
+    with the state round-tripped through parquet between batches, as a
+    real ingest would."""
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    cuts = [0, len(ids) // 3, 2 * len(ids) // 3, len(ids)]
+    state = None
+    kept_ids = set()
+    for i in range(3):
+        lo, hi = ids[cuts[i]], ids[cuts[i + 1] - 1]
+        batch = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") <= hi))
+        kept, state = dedup.dedup_minhash_incremental(batch, state)
+        kept_ids |= {r.doc_id for r in kept.select("doc_id").collect()}
+        # Round-trip the state through parquet (a real ingest persists it).
+        bpath, spath = str(tmp_path / f"b{i}"), str(tmp_path / f"s{i}")
+        state[0].write.mode("overwrite").parquet(bpath)
+        state[1].write.mode("overwrite").parquet(spath)
+        state = (spark.read.parquet(bpath), spark.read.parquet(spath))
+
+    batch_kept = {
+        r.doc_id for r in dedup.dedup_minhash_portable(docs).select("doc_id").collect()
+    }
+    assert kept_ids == batch_kept
+
+
+def test_minhash_incremental_drops_cross_batch_dup(spark):
+    """A batch-2 document near-identical to a batch-1 document must drop
+    even though its own batch contains no duplicate."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the sun shines "
+        "bright over the green valley and the river runs fast"
+    )
+    b1 = spark.createDataFrame(
+        [(1, base), (2, "completely different content about machine learning "
+                        "pipelines and spark engines running at scale")],
+        ["doc_id", "text"],
+    )
+    b2 = spark.createDataFrame(
+        [(3, base.replace("fast", "slow")),
+         (4, "yet another unrelated document describing parquet file layouts "
+             "and shuffle partitioning strategies in detail")],
+        ["doc_id", "text"],
+    )
+    kept1, state = dedup.dedup_minhash_incremental(b1)
+    assert sorted(r.doc_id for r in kept1.collect()) == [1, 2]
+    kept2, _state = dedup.dedup_minhash_incremental(b2, state)
+    assert sorted(r.doc_id for r in kept2.collect()) == [4]
