@@ -3134,6 +3134,71 @@ def dedup_minhash_incremental_documents(spark: SparkSession, sf_dir: str) -> Dat
     return _shape(kept1, 0).unionByName(_shape(kept2, 1))
 
 
+def changelog_union_pads_and_appends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of an updating alias with an append stream
+    (operators/map_step._changelog_union; Flink unions changelogs
+    freely): the LEFT-join pad/retract projection merged with the
+    signups stream across two chained ODF invocations. Branch op tags
+    forward intact — the pad's later op-1 retraction arrives through the
+    union — and the append branch contributes op-0 inserts. The oracle is
+    the projection oracle UNION ALL the arrival-tagged signup rows.
+    Stateless single unionByName per invocation — scales."""
+    import tempfile
+
+    _conf(spark)
+    workdir = tempfile.mkdtemp(prefix="clunion-entry-")
+    p_slices = _ledger_slices(
+        spark, _events_ledger(spark, sf_dir, "purchase"), workdir, "purchases", 2
+    )
+    c_slices = _ledger_slices(
+        spark, _events_ledger(spark, sf_dir, "click"), workdir, "clicks", 2
+    )
+    s_slices = _ledger_slices(
+        spark, _events_ledger(spark, sf_dir, "signup"), workdir, "signups", 2
+    )
+    steps = [
+        (
+            """SELECT
+  p.event_time as event_time,
+  p.user_id as user_id,
+  p.cents as p_cents,
+  c.cents as c_cents
+FROM purchases as p
+LEFT JOIN clicks as c
+ON p.user_id = c.user_id""",
+            "j",
+        ),
+        (
+            "SELECT event_time, user_id, c_cents FROM j "
+            "UNION ALL "
+            "SELECT event_time, user_id, cents as c_cents FROM signups",
+            None,
+        ),
+    ]
+    per_inv = [
+        [
+            ("purchases", *p_slices[i]),
+            ("clicks", *c_slices[i]),
+            ("signups", *s_slices[i]),
+        ]
+        for i in range(2)
+    ]
+    outs = _run_odf_invocations(spark, steps, per_inv, workdir, "clunion")
+    parts = [
+        spark.read.parquet(path).select(
+            F.lit(inv).cast("int").alias("inv"),
+            F.col("op").cast("int").alias("op"),
+            "user_id",
+            F.col("c_cents").cast("long").alias("c_cents"),
+        )
+        for inv, path in outs
+    ]
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -3148,12 +3213,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION note: the driver records correctness rows for only the
     # FIRST 50 dict entries per round, so the registry rotates each round
     # to give every entry a driver row at least every other round.
-    # Round 7 first-50 = 5 entries due their FIRST driver row (the new
+    # Round 7 first-50 = 6 entries due their FIRST driver row (the new
     # FIRST/LAST-navigation CEP, window self-join, changelog distinct,
-    # retractable Top-N, and incremental-ingest dedup) + the 9-entry
-    # front queued by round 6's plan (changelog filter + the r04-checked
-    # overflow) + 36 of the r05-checked cohort. The r05 remainder leads
-    # the back block (due round 8) ahead of the 51 r06-checked entries.
+    # retractable Top-N, incremental-ingest dedup, and changelog union)
+    # + the 9-entry front queued by round 6's plan (changelog filter +
+    # the r04-checked overflow) + 35 of the r05-checked cohort. The r05
+    # remainder leads the back block (due round 8) ahead of the 51
+    # r06-checked entries.
     # tools/crosscheck.py verifies ALL entries locally regardless; the
     # full run is committed per round as CROSSCHECK_r{N}.txt.
     return {
@@ -3163,6 +3229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changelog_distinct_pairs": changelog_distinct_pairs,
         "changelog_topn_live_counts": changelog_topn_live_counts,
         "dedup_minhash_incremental_documents": dedup_minhash_incremental_documents,
+        "changelog_union_pads_and_appends": changelog_union_pads_and_appends,
         # --- front of round 7 as queued by round 6's plan (9) ---
         "changelog_filter_pads": changelog_filter_pads,
         "user_event_sequences": user_event_sequences,
@@ -4997,6 +5064,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(cf.minv AS INT), CAST(1 AS INT), p.user_id, NULL
             FROM p JOIN cf ON p.user_id = cf.user_id
             WHERE cf.minv > p.inv
+        """,
+        "changelog_union_pads_and_appends": """
+            -- The LEFT-join pad/retract projection stream UNION ALL the
+            -- signup append stream, both arrival-tagged.
+            WITH p AS (
+                SELECT CAST(event_id % 2 AS INT) AS inv, user_id
+                FROM events WHERE event_type = 'purchase'
+            ), c AS (
+                SELECT CAST(event_id % 2 AS INT) AS inv, user_id,
+                       CAST(floor(value * 100) AS BIGINT) AS cents
+                FROM events WHERE event_type = 'click'
+            ), cf AS (SELECT user_id, min(inv) AS minv FROM c GROUP BY 1)
+            SELECT CAST(greatest(p.inv, c.inv) AS INT) AS inv,
+                   CAST(0 AS INT) AS op, p.user_id AS user_id,
+                   c.cents AS c_cents
+            FROM p JOIN c USING (user_id)
+            UNION ALL
+            SELECT p.inv, CAST(0 AS INT), p.user_id, NULL
+            FROM p LEFT JOIN cf ON p.user_id = cf.user_id
+            WHERE cf.user_id IS NULL OR cf.minv > p.inv
+            UNION ALL
+            SELECT CAST(cf.minv AS INT), CAST(1 AS INT), p.user_id, NULL
+            FROM p JOIN cf ON p.user_id = cf.user_id
+            WHERE cf.minv > p.inv
+            UNION ALL
+            SELECT CAST(event_id % 2 AS INT), CAST(0 AS INT), user_id,
+                   CAST(floor(value * 100) AS BIGINT)
+            FROM events WHERE event_type = 'signup'
         """,
         "multi_join_three_way": """
             -- Chained regular joins: a triple emits at the invocation

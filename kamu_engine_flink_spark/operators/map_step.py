@@ -107,6 +107,88 @@ def _changelog_filter(ctx: StepContext, sql: str, src: str, wm) -> StepResult:
     return StepResult(df=result, watermark=wm, order_cols=[SEQ_INPUT])
 
 
+def _split_union_all(sql: str) -> list[str] | None:
+    """Top-level UNION ALL segments (literal/paren-masked scan), or None
+    when the query has no top-level UNION ALL. Bare UNION / INTERSECT /
+    EXCEPT at top level return None too — the caller's generic reject
+    explains them (set-distinct over a changelog would misread op rows)."""
+    from ..plans.classify import mask_sql
+
+    masked = mask_sql(sql, parens=True)
+    if re.search(r"\b(intersect|except|minus)\b", masked, re.IGNORECASE):
+        return None
+    if re.search(r"\bunion\b(?!\s+all\b)", masked, re.IGNORECASE):
+        return None
+    parts, last = [], 0
+    for m in re.finditer(r"\bunion\s+all\b", masked, re.IGNORECASE):
+        parts.append(sql[last : m.start()])
+        last = m.end()
+    parts.append(sql[last:])
+    return parts if len(parts) > 1 else None
+
+
+UNION_BRANCH = "__union_branch"
+
+
+def _changelog_union(ctx: StepContext, segs: list[str], wm) -> StepResult:
+    """UNION ALL with at least one UPDATING input — Flink unions
+    changelogs freely (the result is an updating stream). Each branch is
+    a single-view projection; op tags forward per branch (an append-only
+    branch contributes op-0 inserts), and emission orders branch-major so
+    each input's correction-pair adjacency survives — any interleaving
+    preserving per-input order is a valid changelog. Stateless: one
+    unionByName, no shuffle."""
+    from pyspark.sql import functions as F
+
+    from ..plans.classify import mask_sql
+    from ..protocol.model import InvalidQueryError
+    from .topn import OP_COL
+
+    branches = []
+    for bi, seg in enumerate(segs):
+        seg = seg.strip()
+        srefs = referenced_views(seg, set(ctx.views))
+        if len(srefs) != 1:
+            raise InvalidQueryError(
+                "each UNION ALL branch over an updating (changelog-"
+                "emitting) alias must be a single-view projection"
+            )
+        src = srefs[0]
+        is_cl = OP_COL in ctx.views[src].columns
+        masked_seg = mask_sql(seg, parens=True)
+        if re.search(r"\bjoin\b|\bover\s*\(", masked_seg, re.IGNORECASE):
+            raise InvalidQueryError(
+                "UNION ALL branches over an updating alias must be plain "
+                "projections — join/window in a separate step first"
+            )
+        if is_cl and re.search(r"\bwhere\b", masked_seg, re.IGNORECASE):
+            raise InvalidQueryError(
+                "a WHERE on an updating UNION ALL branch must run as its "
+                "own step before the union (correction pairs rewrite "
+                "there)"
+            )
+        run = _inject_seq(seg)
+        if run is None:
+            raise InvalidQueryError(
+                f"unsupported UNION ALL branch shape over an updating "
+                f"alias: {seg[:60]!r}"
+            )
+        if is_cl and OP_COL not in run:
+            run = _SIMPLE_SELECT_RE.sub(f"SELECT {OP_COL}, ", run, count=1)
+        df = ctx.spark.sql(rewrite_query(run, watermark=wm))
+        if OP_COL not in df.columns:
+            df = df.withColumn(OP_COL, F.lit(0).cast("int"))
+        if SEQ_INPUT not in df.columns:
+            # A derived view without a ledger offset: deterministic
+            # partition-major order (the map fallback's contract).
+            df = df.withColumn(SEQ_INPUT, F.monotonically_increasing_id())
+        branches.append(df.withColumn(UNION_BRANCH, F.lit(bi).cast("int")))
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return StepResult(df=out, watermark=wm, order_cols=[UNION_BRANCH, SEQ_INPUT])
+
+
 def execute_map(ctx: StepContext, sql: str) -> StepResult:
     from ..protocol.model import InvalidQueryError
     from .topn import OP_COL
@@ -126,6 +208,9 @@ def execute_map(ctx: StepContext, sql: str) -> StepResult:
     if changelog_refs:
         from ..plans.classify import mask_sql
 
+        segs = _split_union_all(sql)
+        if segs is not None:
+            return _changelog_union(ctx, segs, wm)
         # Top-level WHERE only — a literal containing the word 'where'
         # must stay on the plain op-forwarding projection path.
         has_where = re.search(

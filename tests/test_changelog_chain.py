@@ -715,6 +715,95 @@ def test_changelog_topn_fold_slice_invariance(spark, tmp_path):
     assert many == expected
 
 
+def test_union_all_updating_and_append(spark, tmp_path):
+    """UNION ALL of an updating alias with an append stream (Flink unions
+    changelogs freely): op tags forward per branch, append rows are op-0
+    inserts, and a continuous agg CONSUMING the union folds the merged
+    changelog to the batch answer."""
+    union = ("SELECT event_time, symbol, b_price FROM j "
+             "UNION ALL SELECT event_time, symbol, price as b_price FROM c")
+    agg = """SELECT cast(now() as timestamp(3)) as event_time,
+  symbol, count(*) as n, sum(b_price) as s FROM u GROUP BY symbol"""
+    runner = TransformRunner(
+        spark, tmp_path,
+        queries=[(LEFT_JOIN, "j"), (union, "u"), (agg, None)],
+    )
+
+    def _in(name, a_rows, b_rows, c_rows, wm):
+        out = []
+        for alias, rows in (("a", a_rows), ("b", b_rows), ("c", c_rows)):
+            p = str(tmp_path / "in" / f"{alias}_{name}.parquet")
+            ticker_slice(p, rows)
+            out.append({"alias": alias, "data_paths": [p] if rows else [],
+                        "schema_file": p, "watermark": wm})
+        return out
+
+    def _r(out):
+        table = pq.read_table(out)
+        return [(r["op"], r["symbol"], r["n"], r["s"]) for r in table.to_pylist()]
+
+    # Run 1: A pads through j (b_price NULL); C arrives on the append
+    # branch: two op-0 groups.
+    resp, out = runner.run(
+        _in("r1", [(0, 0, ts(2), ts(1, 0, 1), "A", 10)], [],
+            [(0, 0, ts(2), ts(1, 0, 2), "C", 42)], ts(1, 1, 0)),
+        system_time=ts(2),
+    )
+    assert sorted(_r(out)) == [(0, "A", 1, None), (0, "C", 1, 42)]
+
+    # Run 2: A's partner lands — the union forwards j's op-1 pad
+    # retraction and op-0 pair; the agg folds them into one correction
+    # (count stays 1, sum NULL -> 7).
+    resp2, out2 = runner.run(
+        _in("r2", [], [(0, 0, ts(3), ts(1, 0, 3), "A", 7)], [], ts(1, 2, 0)),
+        system_time=ts(3),
+    )
+    assert _r(out2) == [(2, "A", 1, None), (3, "A", 1, 7)]
+
+    # Run 3: another append row on C's branch: plain correction.
+    resp3, out3 = runner.run(
+        _in("r3", [], [], [(1, 0, ts(4), ts(1, 0, 4), "C", 8)], ts(1, 3, 0)),
+        system_time=ts(4),
+    )
+    assert _r(out3) == [(2, "C", 1, 42), (3, "C", 2, 50)]
+
+
+def test_union_all_updating_as_final_step(spark, tmp_path):
+    """The union itself as the FINAL step: branch-major emission, op tags
+    on the output."""
+    union = ("SELECT event_time, symbol, b_price FROM j "
+             "UNION ALL SELECT event_time, symbol, price as b_price FROM c")
+    runner = TransformRunner(
+        spark, tmp_path, queries=[(LEFT_JOIN, "j"), (union, None)]
+    )
+
+    def _in(name, a_rows, b_rows, c_rows, wm):
+        out = []
+        for alias, rows in (("a", a_rows), ("b", b_rows), ("c", c_rows)):
+            p = str(tmp_path / "in" / f"{alias}_{name}.parquet")
+            ticker_slice(p, rows)
+            out.append({"alias": alias, "data_paths": [p] if rows else [],
+                        "schema_file": p, "watermark": wm})
+        return out
+
+    def _r(out):
+        table = pq.read_table(out)
+        return [(r["op"], r["symbol"], r["b_price"]) for r in table.to_pylist()]
+
+    resp, out = runner.run(
+        _in("r1", [(0, 0, ts(2), ts(1, 0, 1), "A", 10)], [],
+            [(0, 0, ts(2), ts(1, 0, 2), "C", 42)], ts(1, 1, 0)),
+        system_time=ts(2),
+    )
+    assert _r(out) == [(0, "A", None), (0, "C", 42)]
+
+    resp2, out2 = runner.run(
+        _in("r2", [], [(0, 0, ts(3), ts(1, 0, 3), "A", 7)], [], ts(1, 2, 0)),
+        system_time=ts(3),
+    )
+    assert _r(out2) == [(1, "A", None), (0, "A", 7)]
+
+
 def test_inner_join_chain_still_allowed(spark, tmp_path):
     """INNER regular joins emit append-only streams — chaining into any
     step stays supported (no false positives from the guard)."""
