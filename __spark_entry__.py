@@ -2563,8 +2563,12 @@ def changelog_filter_pads(spark: SparkSession, sf_dir: str) -> DataFrame:
     enters the filtered view op 0 and leaves it op 1 when its retraction
     arrives (the replacing pair fails the predicate). The filtered view
     after invocation i folds to the unmatched-left set of the batch
-    prefix, so the oracle is the prefix multiset diff. One windowed pass
-    over the per-invocation emission — O(emission), no state."""
+    prefix, so the oracle is the prefix multiset diff. Clicks are
+    restricted to every third user so pads EXIST at this scale (the
+    synthetic corpus gives every purchasing user a click, which would
+    leave both the engine emission and the oracle empty — the round-6
+    version of this entry tripped exactly that). One windowed pass over
+    the per-invocation emission — O(emission), no state."""
     import tempfile
 
     _conf(spark)
@@ -2573,7 +2577,11 @@ def changelog_filter_pads(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, _events_ledger(spark, sf_dir, "purchase"), workdir, "purchases", 2
     )
     c_slices = _ledger_slices(
-        spark, _events_ledger(spark, sf_dir, "click"), workdir, "clicks", 2
+        spark,
+        _events_ledger(spark, sf_dir, "click").filter(F.col("user_id") % 3 == 0),
+        workdir,
+        "clicks",
+        2,
     )
     steps = [
         (
@@ -5010,7 +5018,8 @@ def oracle_sql() -> dict[str, str]:
         "changelog_filter_pads": """
             -- Filtered changelog (pads only): the filtered view after
             -- invocation i is the unmatched-left multiset of the batch
-            -- prefix; each invocation emits the multiset diff.
+            -- prefix; each invocation emits the multiset diff. Clicks
+            -- restricted to every third user so pads exist.
             WITH e AS (
                 SELECT CAST(event_id % 2 AS INT) AS inv, user_id,
                        event_type,
@@ -5019,13 +5028,15 @@ def oracle_sql() -> dict[str, str]:
             ), s0 AS (
                 SELECT p.user_id AS user_id, p.cents AS p_cents
                 FROM (SELECT * FROM e WHERE event_type = 'purchase' AND inv = 0) p
-                LEFT JOIN (SELECT * FROM e WHERE event_type = 'click' AND inv = 0) c
+                LEFT JOIN (SELECT * FROM e WHERE event_type = 'click' AND inv = 0
+                             AND user_id % 3 = 0) c
                   ON p.user_id = c.user_id
                 WHERE c.user_id IS NULL
             ), s1 AS (
                 SELECT p.user_id AS user_id, p.cents AS p_cents
                 FROM (SELECT * FROM e WHERE event_type = 'purchase') p
-                LEFT JOIN (SELECT * FROM e WHERE event_type = 'click') c
+                LEFT JOIN (SELECT * FROM e WHERE event_type = 'click'
+                             AND user_id % 3 = 0) c
                   ON p.user_id = c.user_id
                 WHERE c.user_id IS NULL
             )

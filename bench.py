@@ -201,6 +201,39 @@ GROUP BY TUMBLE(event_time, INTERVAL '1' DAY), user_id""",
     ),
     (None, "SELECT * FROM daily_stats WHERE click_total > purchase_total"),
 ]
+# Retractable Top-N over an updating aggregate (Flink's
+# RetractableTopNFunction shape): live per-user purchase totals ranked
+# globally; the rank step consumes the agg's op 0/2/3 changelog from its
+# signed row ledger.
+CHANGELOG_TOPN_STEPS = [
+    (
+        "live_totals",
+        """SELECT cast(now() as timestamp(3)) as event_time,
+  user_id, count(*) as n, sum(value) as total
+FROM purchases GROUP BY user_id""",
+    ),
+    (
+        None,
+        """SELECT cast(now() as timestamp(3)) as event_time, user_id, total, rnk FROM (
+  SELECT user_id, total, row_number() over (order by total desc) as rnk FROM live_totals
+) WHERE rnk <= 100""",
+    ),
+]
+# Retraction-aware DISTINCT over a LEFT-join changelog: per-value count
+# state keyed by the row fingerprint.
+CHANGELOG_DISTINCT_STEPS = [
+    (
+        "pc",
+        """SELECT p.event_time as event_time, p.user_id as user_id,
+  p.value as purchase_value, c.value as click_value
+FROM purchases as p LEFT JOIN clicks as c ON p.user_id = c.user_id""",
+    ),
+    ("d", "SELECT DISTINCT user_id, click_value FROM pc"),
+    (
+        None,
+        "SELECT cast(now() as timestamp(3)) as event_time, user_id, click_value FROM d",
+    ),
+]
 
 
 def _odf_ledger(
@@ -544,6 +577,16 @@ def main() -> None:
                     ("clicks", mjc_ledger, mjc_wm),
                     ("signups", mjs_ledger, mjs_wm),
                 ],
+            ),
+            (
+                "odf_transform_changelog_topn",
+                CHANGELOG_TOPN_STEPS,
+                [("purchases", p_ledger, p_wm)],
+            ),
+            (
+                "odf_transform_changelog_distinct",
+                CHANGELOG_DISTINCT_STEPS,
+                [("purchases", p_ledger, p_wm), ("clicks", c_ledger, c_wm)],
             ),
         ):
             rep_seq = iter(range(SUBSEC_REPS))
