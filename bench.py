@@ -397,11 +397,16 @@ def _stress_transform_x10(spark, invocations, sql, workdir: str, tag: str) -> fl
     prev_cp = None
     next_offset = 0
     total = 0.0
+    steps = (
+        [SqlQueryStep(query=sql)]
+        if isinstance(sql, str)
+        else [SqlQueryStep(query=q, alias=a) for (a, q) in sql]
+    )
     for inv, inputs in enumerate(invocations):
         st = max(_utc(wm) for (_, _, wm) in inputs)
         new_cp = os.path.join(workdir, f"cp-{tag}-{inv}")
         req = TransformRequest(
-            transform=Transform(queries=[SqlQueryStep(query=sql)]),
+            transform=Transform(queries=steps),
             query_inputs=[
                 TransformRequestInput(
                     query_alias=alias,
@@ -611,12 +616,21 @@ def main() -> None:
             [("purchases", pp, pwm), ("clicks", cp, cwm)]
             for (pp, pwm), (cp, cwm) in zip(p_slices, c_slices)
         ]
+        p_stress_invs = [[("purchases", pp, pwm)] for (pp, pwm) in p_slices]
         for tag, sql, invs in (
             ("stress_interval_join_x10_3inv", JOIN_SQL, join_invs),
             ("stress_full_join_x10_3inv", FULL_JOIN_SQL, join_invs),
             ("stress_keyed_topn_x10_3inv", KEYED_TOPN_SQL, ev_invs),
             ("stress_over_agg_x10_3inv", OVER_AGG_SQL, ev_invs),
             ("stress_match_recognize_x10_3inv", MATCH_RECOGNIZE_SQL, ev_invs),
+            # Retractable Top-N over an updating aggregate at 10x key
+            # cardinality across 3 chained invocations: the agg's op 0/2/3
+            # stream feeds the rank's signed ledger. The agg folds
+            # O(touched keys); the GLOBAL rank re-nets its single group —
+            # a linear scan + TakeOrdered over O(live agg keys), the same
+            # order as the agg state itself (rank positions shift
+            # globally, so no key restriction applies).
+            ("stress_changelog_topn_x10_3inv", CHANGELOG_TOPN_STEPS, p_stress_invs),
         ):
             rep_seq = iter(range(SUBSEC_REPS))
             timings[tag], runs = _median_runs(

@@ -49,6 +49,8 @@ from ..protocol.model import InvalidQueryError
 from .base import StepContext, StepResult, min_watermark
 from .map_step import SEQ_INPUT
 from .regular_join import _run_with_views, equi_keys
+
+_SELF_RIGHT = "__cj_self_right"
 from .topn import OP_COL
 
 SIGN = "__cj_sign"
@@ -156,11 +158,28 @@ def execute_changelog_join(ctx: StepContext, sql: str) -> StepResult:
         )
     lv, rv = spec.left_view, spec.right_view
     la, ra = spec.left_alias, spec.right_alias
+    # Self-join: the bilinear differential needs DIFFERENT bindings per
+    # branch (slice-vs-net, old-net-vs-slice), so rebind the right side
+    # under a private view name — the regular join's trick; `AS <alias>`
+    # keeps every column reference valid. The two ledgers then hold the
+    # same stream twice, which is the generic machinery's contract.
     if lv == rv:
-        raise InvalidQueryError(
-            "a self-join over an updating (changelog-emitting) alias is "
-            "not supported"
+        if la == ra:
+            raise InvalidQueryError(
+                "a changelog self-join needs distinct aliases for the two "
+                "sides"
+            )
+        sql = re.sub(
+            rf"(\bJOIN\s+)`?{re.escape(rv)}`?"
+            rf"(?:\s+AS\s+[`\w]+|\s+(?!ON\b)[`\w]+)?",
+            rf"\g<1>{_SELF_RIGHT} AS {ra}",
+            sql,
+            count=1,
+            flags=re.IGNORECASE,
         )
+        rv_bind = _SELF_RIGHT
+    else:
+        rv_bind = rv
     keys = equi_keys(spec.on_condition, la, ra)
     if keys is None:
         raise InvalidQueryError(
@@ -260,7 +279,7 @@ def execute_changelog_join(ctx: StepContext, sql: str) -> StepResult:
 
     def _run_pairs(left_bind: DataFrame, right_bind: DataFrame) -> DataFrame:
         return _run_with_views(
-            ctx, inner_sql, {lv: left_bind, rv: right_bind}, wm
+            ctx, inner_sql, {lv: left_bind, rv_bind: right_bind}, wm
         )
 
     # Term 1: DeltaL >< net(R + DeltaR), keys restricted to DeltaL's. The
@@ -310,7 +329,8 @@ def execute_changelog_join(ctx: StepContext, sql: str) -> StepResult:
         parts.extend(
             _pad_deltas(
                 ctx, sql, wm,
-                side_view=lv, other_view=rv,
+                side_view=lv, other_view=rv_bind,
+                other_df=ctx.views[rv],
                 side_hist=l_hist, side_delta=dl, side_keys=lkeys,
                 side_data=l_data,
                 other_hist=r_hist, other_delta=dr, other_keys=rkeys,
@@ -321,7 +341,8 @@ def execute_changelog_join(ctx: StepContext, sql: str) -> StepResult:
         parts.extend(
             _pad_deltas(
                 ctx, sql, wm,
-                side_view=rv, other_view=lv,
+                side_view=rv_bind, other_view=lv,
+                other_df=ctx.views[lv],
                 side_hist=r_hist, side_delta=dr, side_keys=rkeys,
                 side_data=r_data,
                 other_hist=l_hist, other_delta=dl, other_keys=lkeys,
@@ -393,6 +414,7 @@ def _pad_deltas(
     *,
     side_view: str,
     other_view: str,
+    other_df: DataFrame,
     side_hist: DataFrame,
     side_delta: DataFrame,
     side_keys: list[str],
@@ -495,7 +517,7 @@ def _pad_deltas(
     pads = _explode_copies(diffed.filter(F.col(CNT) > 0))
     retr = _explode_copies(diffed.filter(F.col(CNT) < 0))
 
-    empty_other = _strip_internal(ctx.views[other_view]).limit(0)
+    empty_other = _strip_internal(other_df).limit(0)
 
     def _run_pad(rows: DataFrame) -> DataFrame:
         # Bind padded-side rows under its view name, empty other side —

@@ -301,3 +301,54 @@ FROM j JOIN c ON j.a_price < c.price"""
                     ts(1, 1, 0)),
             system_time=ts(2),
         )
+
+
+def test_self_join_over_updating_alias(spark, tmp_path):
+    """Self-join of an updating alias (g JOIN g ON equal counts): a
+    correction must retract every pair the old row participated in —
+    on BOTH sides — and emit the new row's pairs."""
+    agg = """SELECT cast(now() as timestamp(3)) as event_time,
+  symbol, count(`op`) as n FROM a GROUP BY symbol"""
+    join = """SELECT cast(now() as timestamp(3)) as event_time,
+  x.symbol as xs, y.symbol as ys, x.n as n
+FROM g as x JOIN g as y ON x.n = y.n"""
+    runner = TransformRunner(
+        spark, tmp_path, queries=[(agg, "g"), (join, None)]
+    )
+
+    def _r(out):
+        table = pq.read_table(out)
+        return sorted(
+            (r["op"], r["xs"], r["ys"], r["n"]) for r in table.to_pylist()
+        )
+
+    # Run 1: A and B both at count 1 — all four (x, y) pairs emit.
+    resp, out = runner.run(
+        _inputs(tmp_path, "r1",
+                {"a": [(0, 0, ts(2), ts(1, 0, 1), "A", 10),
+                       (1, 0, ts(2), ts(1, 0, 2), "B", 20)]},
+                ts(1, 1, 0)),
+        system_time=ts(2),
+    )
+    assert _r(out) == [
+        (0, "A", "A", 1), (0, "A", "B", 1), (0, "B", "A", 1), (0, "B", "B", 1),
+    ]
+
+    # Run 2: A's count corrects 1 -> 2: the three pairs touching (A, 1)
+    # retract; (A, 2) pairs only with itself.
+    resp2, out2 = runner.run(
+        _inputs(tmp_path, "r2",
+                {"a": [(2, 0, ts(3), ts(1, 0, 3), "A", 11)]},
+                ts(1, 2, 0)),
+        system_time=ts(3),
+    )
+    assert _r(out2) == [
+        (0, "A", "A", 2),
+        (1, "A", "A", 1), (1, "A", "B", 1), (1, "B", "A", 1),
+    ]
+
+    # Folded: {(A,A,2), (B,B,1)} — the batch self-join of the final state.
+    folded = _fold_multiset(
+        [(op, xs, ys, n) for op, xs, ys, n in _r(out) + _r(out2)]
+    )
+    assert folded == Counter({("A", "A", 2): 1, ("B", "B", 1): 1})
