@@ -645,6 +645,64 @@ def test_keyed_topn_over_changelog_join(spark, tmp_path):
     assert _r(out4) == [(2, "A", 7, 1), (3, "A", 9, 1)]
 
 
+def test_changelog_distinct_fold_slice_invariance(spark, tmp_path):
+    """The changelog DISTINCT's op 0/1 stream folds to the batch distinct
+    set under ANY slicing of the inputs."""
+    dist = "SELECT DISTINCT event_time, symbol, b_price FROM j"
+    a_rows = [(i, 0, ts(9), ts(1), f"S{i % 4}", 10 + (i % 2)) for i in range(8)]
+    b_rows = [(i, 0, ts(9), ts(1), f"S{i % 3}", 100 + (i % 2)) for i in range(6)]
+
+    def run_sliced(tag, cuts_b):
+        import os
+
+        runner = TransformRunner(
+            spark, tmp_path / tag, queries=[(LEFT_JOIN, "j"), (dist, None)]
+        )
+        os.makedirs(tmp_path / tag / "in", exist_ok=True)
+        state = set()
+        bounds = [0, *cuts_b, len(b_rows)]
+        for i in range(len(bounds) - 1):
+            bs = b_rows[bounds[i]: bounds[i + 1]]
+            a = str(tmp_path / tag / "in" / f"a{i}.parquet")
+            b = str(tmp_path / tag / "in" / f"b{i}.parquet")
+            ticker_slice(a, a_rows if i == 0 else [])
+            ticker_slice(b, bs)
+            resp, out = runner.run(
+                [{"alias": "a", "data_paths": [a] if i == 0 else [],
+                  "schema_file": a, "watermark": ts(1, i + 1, 0)},
+                 {"alias": "b", "data_paths": [b] if bs else [],
+                  "schema_file": b, "watermark": ts(1, i + 1, 0)}],
+                system_time=ts(2 + i),
+            )
+            if not os.path.exists(out):
+                continue
+            for r in pq.read_table(out).to_pylist():
+                key = (r["symbol"], r["b_price"])
+                if r["op"] == 0:
+                    assert key not in state, f"double insert {key}"
+                    state.add(key)
+                else:
+                    state.discard(key)
+        return state
+
+    one = run_sliced("one", [])
+    many = run_sliced("many", [1, 3, 5])
+
+    # Batch oracle: distinct (symbol, b_price) of the full LEFT join.
+    a = spark.createDataFrame([(r[4], r[5]) for r in a_rows], "symbol string, price int")
+    b = spark.createDataFrame([(r[4], r[5]) for r in b_rows], "symbol string, price int")
+    batch = (
+        a.alias("a")
+        .join(b.alias("b"), "symbol", "left")
+        .select("symbol", b["price"].alias("b_price"))
+        .distinct()
+        .collect()
+    )
+    expected = {(r["symbol"], r["b_price"]) for r in batch}
+    assert one == expected
+    assert many == expected
+
+
 def test_changelog_topn_fold_slice_invariance(spark, tmp_path):
     """The changelog Top-N's emitted ledger folds to the batch rank table
     under ANY slicing of the input — the retractable-rank analogue of the
