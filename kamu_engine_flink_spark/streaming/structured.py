@@ -628,6 +628,95 @@ class StreamingTopN:
         _run_available_now(self._plan(spark), self.checkpoint_dir, self.output_dir)
 
 
+_UAGG_OUTPUT = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("op", IntegerType()),
+        StructField("n", LongType()),
+        StructField("sum_v", DoubleType()),
+    ]
+)
+_UAGG_STATE = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("sum_v", DoubleType()),
+    ]
+)
+
+
+def _unbounded_agg_fn():
+    """Per-key continuous-aggregation kernel: state = the mergeable
+    (count, sum) accumulator; a micro-batch touching the key emits op 0
+    on first appearance or one CorrectFrom/CorrectTo (op 2/3) pair —
+    the reference's ChangelogOperator RowKind mapping, mini-batch
+    granularity (the micro-batch IS the mini-batch)."""
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        n0, s0 = state.get if state.exists else (None, None)
+        dn, ds = 0, 0.0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            dn += len(pdf)
+            ds += float(pdf["__val"].sum())
+        if dn == 0:
+            return
+        out = []
+        if n0 is None:
+            n1, s1 = dn, ds
+            out.append((key[0], 0, n1, s1))
+        else:
+            n1, s1 = n0 + dn, s0 + ds
+            out.append((key[0], 2, n0, s0))
+            out.append((key[0], 3, n1, s1))
+        state.update((n1, s1))
+        yield pd.DataFrame(out, columns=["key", "op", "n", "sum_v"])
+
+    return fn
+
+
+@dataclass
+class StreamingUnboundedAgg:
+    """Always-on CONTINUOUS (windowless) GROUP BY aggregation with the
+    op 0/2/3 correction changelog — the data-derived-watermark twin of
+    operators/unbounded_agg.py. Structured Streaming's own update-mode
+    aggregation UPSERTS without retractions (no -U rows), so the
+    changelog contract needs this custom stateful operator; the
+    accumulator state rides the stream checkpoint, so a key first
+    published in run 1 corrects in run 2 (savepoint-resume parity).
+
+    Scale shape: state shards by the group key across executors,
+    O(distinct keys) rows total, each micro-batch touching only its own
+    keys — the same contract as the micro-batch executor's touched-keys
+    split."""
+
+    input_dir: str
+    checkpoint_dir: str
+    output_dir: str
+    key_col: str = "key"
+    value_col: str = "value"
+    schema: StructType | None = None
+
+    def _plan(self, spark: SparkSession) -> DataFrame:
+        stream = _file_stream(spark, self.input_dir, self.schema)
+        rows = stream.select(
+            F.col(self.key_col).cast("string").alias("__key"),
+            F.col(self.value_col).cast("double").alias("__val"),
+        )
+        return rows.groupBy("__key").applyInPandasWithState(
+            _unbounded_agg_fn(),
+            outputStructType=_UAGG_OUTPUT,
+            stateStructType=_UAGG_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    def run_available_now(self, spark: SparkSession) -> None:
+        _run_available_now(self._plan(spark), self.checkpoint_dir, self.output_dir)
+
+
 _OVER_OUTPUT = StructType(
     [
         StructField("key", StringType()),

@@ -759,3 +759,42 @@ def test_streaming_window_join_same_window_pairs(spark, join_dirs):
         for r in spark.read.parquet(join_dirs["out"]).collect()
     )
     assert out == [(ts(1, 0, 0), 1, 7)]
+
+
+def test_streaming_unbounded_agg_corrections_across_runs(spark, dirs):
+    """Continuous GROUP BY changelog on the always-on path: run 1 emits
+    op 0 per key; run 2's rows for an existing key emit exactly one
+    op 2/3 correction pair, via accumulator state restored from the
+    stream checkpoint."""
+    from kamu_engine_flink_spark.streaming.structured import StreamingUnboundedAgg
+
+    job = StreamingUnboundedAgg(
+        input_dir=dirs["in"],
+        checkpoint_dir=dirs["chk"],
+        output_dir=dirs["out"],
+        key_col="game",
+        value_col="score",
+    )
+    _scores_slice(
+        os.path.join(dirs["in"], "s1.parquet"),
+        [("chess", 1, 10.0), ("chess", 2, 8.0), ("go", 7, 5.0)],
+    )
+    job.run_available_now(spark)
+    out1 = sorted(
+        (r.key, r.op, r.n, r.sum_v)
+        for r in spark.read.parquet(dirs["out"]).collect()
+    )
+    assert out1 == [("chess", 0, 2, 18.0), ("go", 0, 1, 5.0)]
+
+    # Run 2: two more chess rows — one correction pair, go untouched.
+    _scores_slice(
+        os.path.join(dirs["in"], "s2.parquet"),
+        [("chess", 3, 2.0), ("chess", 4, 1.0)],
+    )
+    job.run_available_now(spark)
+    out2 = sorted(
+        (r.key, r.op, r.n, r.sum_v)
+        for r in spark.read.parquet(dirs["out"]).collect()
+    )
+    new = sorted(set(out2) - set(out1))
+    assert new == [("chess", 2, 2, 18.0), ("chess", 3, 4, 21.0)]
