@@ -289,23 +289,24 @@ def execute_transform(spark: SparkSession, request: TransformRequest) -> Transfo
             if step.alias:
                 adf = result.df
                 # A changelog-emitting alias consumed by a downstream
-                # PROJECTION needs its emission order materialized (the
-                # op 2-before-3 pair adjacency lives in order_cols, which
-                # reference internal columns a projection won't carry):
-                # stamp the per-invocation emission sequence so map_step
-                # threads it like a raw ledger offset. Skipped when only
-                # aggregations consume the alias — they fold op tags and
-                # don't need order, and the stamp costs a single-partition
-                # sort of the emission.
+                # MAP-kind step (projection, filter, UNION ALL) needs its
+                # emission order materialized: the op 2-before-3 pair
+                # adjacency lives in order_cols, which reference internal
+                # columns a projection won't carry. Every OTHER consumer
+                # folds per tuple — continuous agg (signed accumulators),
+                # changelog join (signed ledgers), retractable Top-N
+                # (re-rank from nets), DISTINCT (per-value counts) — and
+                # never reads arrival order, so the stamp (a
+                # single-partition sort of the WHOLE per-invocation
+                # emission, the one O(emission) serial point in these
+                # chains) is skipped for them.
+                all_names = set(views) | {s.alias for s in steps if s.alias}
                 if (
                     topn.OP_COL in adf.columns
                     and result.order_cols
                     and any(
                         step.alias in C.referenced_views(s2.query, {step.alias})
-                        and not (
-                            C.parse_unbounded_aggs(s2.query) is not None
-                            and not re.search(r"\bJOIN\b", s2.query, re.IGNORECASE)
-                        )
+                        and C.classify(s2.query, all_names) == C.MAP
                         for s2 in steps[i + 1 :]
                     )
                 ):

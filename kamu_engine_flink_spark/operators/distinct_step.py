@@ -161,18 +161,19 @@ def _changelog_distinct(ctx: StepContext, sql: str, src: str, wm) -> StepResult:
     from .base import split_touched_state, state_split_worthwhile
     from .topn import OP_COL
 
-    if SEQ_INPUT not in ctx.views[src].columns:
-        raise InvalidQueryError(
-            "DISTINCT over an updating (changelog-emitting) alias needs the "
-            "input's emission order; restructure so the updating step "
-            "directly precedes the DISTINCT"
-        )
-    inner = _inject_seq_distinct(sql)
-    if inner is None:
+    # The fold itself is order-free (per-tuple signed counts), so the
+    # engine does NOT stamp the upstream emission for a DISTINCT consumer
+    # (that stamp is a single-partition sort of the whole emission).
+    # With no seq, emissions order deterministically by the row
+    # fingerprint instead of arrival.
+    has_seq = SEQ_INPUT in ctx.views[src].columns
+    probe = _inject_seq_distinct(sql)
+    if probe is None:
         raise InvalidQueryError(
             "DISTINCT over an updating (changelog-emitting) alias supports "
             "a single projection (no joins/set ops/GROUP BY)"
         )
+    inner = probe if has_seq else _DISTINCT_HEAD_RE.sub("SELECT ", sql)
     if OP_COL not in inner:
         inner = re.sub(
             r"^\s*select\s+", f"SELECT {OP_COL}, ", inner, count=1,
@@ -194,7 +195,9 @@ def _changelog_distinct(ctx: StepContext, sql: str, src: str, wm) -> StepResult:
         .groupBy("__fp")
         .agg(
             F.sum("__d").alias("__d"),
-            F.min(SEQ_INPUT).alias(SEQ_INPUT),
+            (
+                F.min(SEQ_INPUT) if has_seq else F.min(F.lit(None).cast("long"))
+            ).alias(SEQ_INPUT),
             # fp is injective over the tuple, so any row's values do.
             *[F.first(c).alias(c) for c in value_cols],
         )
@@ -253,6 +256,7 @@ def _changelog_distinct(ctx: StepContext, sql: str, src: str, wm) -> StepResult:
             *value_cols,
             F.lit(op).cast(IntegerType()).alias(OP_COL),
             F.col(SEQ_INPUT),
+            F.col("fp").alias("__fp"),
         )
 
     result = _emit(enters, 0).unionByName(_emit(leaves, 1))
@@ -263,4 +267,8 @@ def _changelog_distinct(ctx: StepContext, sql: str, src: str, wm) -> StepResult:
         ),
         bucket_by=["fp"],
     )
-    return StepResult(df=result, watermark=wm, order_cols=[SEQ_INPUT])
+    return StepResult(
+        df=result,
+        watermark=wm,
+        order_cols=[SEQ_INPUT] if has_seq else ["__fp", OP_COL],
+    )
