@@ -10,7 +10,7 @@ the classic CEP shapes ("A, then anything until C"):
   SELECT <cols> FROM <view> MATCH_RECOGNIZE (
     [PARTITION BY k1, k2]
     ORDER BY <rowtime>
-    MEASURES <FIRST|LAST(V.col) | V.col | COUNT(V.*) |
+    MEASURES <FIRST|LAST(V.col [, n]) | V.col | COUNT(V.*) |
               COUNT|SUM|MIN|MAX|AVG(V.col)> AS alias, ...
     [ONE ROW PER MATCH | ALL ROWS PER MATCH]
     [AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW]
@@ -126,7 +126,7 @@ _PAT_TOKEN_RE = re.compile(r"([A-Za-z_]\w*)\s*(\*\?|\+\?|\?\?|\*|\+|\?)?")
 _MEASURE_RE = re.compile(
     r"^(?:(?P<mode>RUNNING|FINAL)\s+)?"
     r"(?:(?P<fn>FIRST|LAST|COUNT|SUM|MIN|MAX|AVG)\s*\(\s*"
-    r"(?P<var1>[A-Za-z_]\w*)\.(?P<col1>[`\w]+|\*)\s*\)"
+    r"(?P<var1>[A-Za-z_]\w*)\.(?P<col1>[`\w]+|\*)\s*(?:,\s*(?P<off1>\d+)\s*)?\)"
     r"|(?P<special>CLASSIFIER|MATCH_NUMBER)\s*\(\s*\)"
     r"|(?P<var2>[A-Za-z_]\w*)\.(?P<col2>[`\w]+))\s+AS\s+(?P<alias>[`\w]+)$",
     re.IGNORECASE,
@@ -499,19 +499,28 @@ def parse_match_recognize(sql: str):
         if not im:
             raise InvalidQueryError(
                 f"MATCH_RECOGNIZE: unsupported measure {item!r} (supported: "
-                f"FIRST/LAST/COUNT/SUM/MIN/MAX/AVG(V.col), COUNT(V.*), V.col)"
+                f"FIRST/LAST(V.col [, n]), COUNT/SUM/MIN/MAX/AVG(V.col), "
+                f"COUNT(V.*), V.col)"
             )
         mode = (im.group("mode") or "").lower()
+        off = 0
         if im.group("fn"):
             fn = im.group("fn").lower()
             var, col = im.group("var1"), im.group("col1").strip("`")
             if col == "*" and fn != "count":
                 raise InvalidQueryError(f"MATCH_RECOGNIZE: {fn}(V.*) is not valid")
+            if im.group("off1") is not None:
+                if fn not in ("first", "last"):
+                    raise InvalidQueryError(
+                        f"MATCH_RECOGNIZE: an offset argument is only valid "
+                        f"on FIRST/LAST measures, not {fn.upper()}"
+                    )
+                off = int(im.group("off1"))
         elif im.group("special"):
             fn, var, col = im.group("special").lower(), None, None
         else:
             fn, var, col = "last", im.group("var2"), im.group("col2").strip("`")
-        measures.append((fn, var, col, im.group("alias").strip("`"), mode))
+        measures.append((fn, var, col, im.group("alias").strip("`"), mode, off))
     pat_text = _extract_pattern(body)
     if pat_text is None:
         raise InvalidQueryError("MATCH_RECOGNIZE requires a PATTERN clause")
@@ -810,7 +819,7 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
             if fn == "match_number"
             else _measure_type(fn, buf_types.get(col, LongType())),
         )
-        for fn, var, col, alias, _mode in spec["measures"]
+        for fn, var, col, alias, _mode, _off in spec["measures"]
     ]
     all_rows = spec.get("all_rows", False)
     # ONE ROW PER MATCH: keys + measures. ALL ROWS PER MATCH: every input
@@ -965,16 +974,18 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
 
         out = []
 
-        def _measure_val(fn, idxs, col):
+        def _measure_val(fn, idxs, col, off=0):
             if fn == "count":
                 return len(idxs)
             if not idxs:
                 return None
             cv = colv(col)
             if fn == "first":
-                return cv[idxs[0]]
+                # FIRST(V.col, n): n-th row mapped to V from the start
+                # (SQL:2016 logical navigation); NULL when out of range.
+                return cv[idxs[off]] if off < len(idxs) else None
             if fn == "last":
-                return cv[idxs[-1]]
+                return cv[idxs[-1 - off]] if off < len(idxs) else None
             vals = [cv[j] for j in idxs if cv[j] is not None]
             if not vals:
                 return None
@@ -1019,7 +1030,7 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
                 # default, FINAL on request (SQL:2016 semantics).
                 for j in range(s0, end_i):
                     rec = {c: colv(c)[j] for c in data_cols}
-                    for fn, var, col, alias, mode in measures:
+                    for fn, var, col, alias, mode, off in measures:
                         if fn == "classifier":
                             rec[alias] = var_of.get(j)
                         elif fn == "match_number":
@@ -1028,18 +1039,20 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
                             idxs = assign.get(var, [])
                             if mode != "final":
                                 idxs = [x for x in idxs if x <= j]
-                            rec[alias] = _measure_val(fn, idxs, col)
+                            rec[alias] = _measure_val(fn, idxs, col, off)
                     _emit(rec, j, start_i=s0)
                 return assign
             else:
                 rec = {k: colv(k)[s0] for k in keys}
-                for fn, var, col, alias, _mode in measures:
+                for fn, var, col, alias, _mode, off in measures:
                     if fn == "classifier":
                         rec[alias] = var_of.get(end_i - 1)
                     elif fn == "match_number":
                         rec[alias] = match_no[0]
                     else:
-                        rec[alias] = _measure_val(fn, assign.get(var, []), col)
+                        rec[alias] = _measure_val(
+                            fn, assign.get(var, []), col, off
+                        )
                 _emit(rec, end_i - 1, start_i=s0)
             return assign
 

@@ -944,3 +944,44 @@ def test_navigation_define_parse_rules():
     # The happy path parses and routes to dyn_defines.
     spec = parse_match_recognize(q("B AS B.price > LAST(B.price, 1)"))
     assert "B" in spec["dyn_defines"] and spec["defines"] == {}
+
+
+def test_measure_offsets(spark):
+    """FIRST/LAST(V.col, n) offsets in MEASURES: n-th row mapped to the
+    variable from either end, NULL when out of range; offsets on
+    aggregates reject."""
+    from kamu_engine_flink_spark.operators.match_recognize import (
+        match_recognize_batch,
+    )
+
+    df = spark.createDataFrame(
+        [(1, s, s, float(x)) for s, x in
+         [(0, 5), (1, 20), (2, 30), (3, 40), (4, 120)]],
+        "k int, ts long, __seq long, x double",
+    )
+    out = match_recognize_batch(
+        spark,
+        df,
+        """select * from t MATCH_RECOGNIZE (
+             PARTITION BY k ORDER BY ts
+             MEASURES
+               FIRST(B.x, 1) AS second_b,
+               LAST(B.x, 1) AS second_last_b,
+               LAST(B.x, 9) AS oob_b,
+               C.x AS c_x
+             ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+             PATTERN (A B+ C)
+             DEFINE A AS A.x < 10, B AS B.x >= 10 AND B.x < 100,
+                    C AS C.x >= 100
+           )""",
+    )
+    rows = out.collect()
+    assert [(r.second_b, r.second_last_b, r.oob_b, r.c_x) for r in rows] == [
+        (30.0, 30.0, None, 120.0)
+    ]
+
+    with pytest.raises(InvalidQueryError, match="offset argument"):
+        parse_match_recognize(
+            "select * from t MATCH_RECOGNIZE (ORDER BY ts "
+            "MEASURES SUM(B.x, 1) AS s PATTERN (B+) DEFINE B AS B.x > 0)"
+        )
