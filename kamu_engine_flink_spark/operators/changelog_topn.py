@@ -59,7 +59,16 @@ from ..plans.dialect import rewrite_query
 from ..protocol.model import InvalidQueryError
 from .base import StepContext, StepResult
 from .keyed_topn import parse_keyed_order
-from .topn import _INNER_FROM_RE, _ORDER_RE, _SHAPE_RE, GSEQ_COL, OP_COL, SUB_COL, _dedupe_columns
+from .topn import (
+    _INNER_FROM_RE,
+    _ORDER_RE,
+    _SHAPE_RE,
+    GSEQ_COL,
+    OP_COL,
+    SUB_COL,
+    _dedupe_columns,
+    parse_order_items,
+)
 
 SIGN = "__ct_sign"
 CNT = "__ct_cnt"
@@ -76,14 +85,15 @@ def execute_changelog_topn(ctx: StepContext, sql: str, spec) -> StepResult:
         raise InvalidQueryError("unsupported Top-N query shape")
     keyed = parse_keyed_order(sql)
     if keyed is not None:
-        part_keys, order_col, descending = keyed
+        part_keys, order = keyed
     else:
         order_m = _ORDER_RE.search(sql)
-        if order_m is None:
+        order = (
+            parse_order_items(order_m.group("items")) if order_m else []
+        )
+        if not order:
             raise InvalidQueryError("unsupported Top-N query shape")
         part_keys = []
-        order_col = order_m.group(1).split(".")[-1].strip("`")
-        descending = bool(order_m.group(2))
     inner_sql = shape.group("inner").strip()
     from_m = _INNER_FROM_RE.search(inner_sql)
     if not from_m:
@@ -183,9 +193,10 @@ def execute_changelog_topn(ctx: StepContext, sql: str, spec) -> StepResult:
             .drop(CNT, "__ct_dup")
         )
 
+    user_order_cols = {c for c, _ in order}
     order_exprs = [
-        F.col(order_col).desc() if descending else F.col(order_col).asc()
-    ] + [F.col(c).asc() for c in value_cols if c != order_col]
+        F.col(c).desc() if desc else F.col(c).asc() for c, desc in order
+    ] + [F.col(c).asc() for c in value_cols if c not in user_order_cols]
 
     def _top(rel: DataFrame) -> DataFrame:
         if part_keys:

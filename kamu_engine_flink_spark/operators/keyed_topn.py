@@ -53,19 +53,26 @@ from .topn import (
 
 _PART_ORDER_RE = re.compile(
     r"row_number\s*\(\s*\)\s+over\s*\(\s*partition\s+by\s+(?P<keys>[`\w.]+(?:\s*,\s*[`\w.]+)*)"
-    r"\s+order\s+by\s+(?P<col>[`\w.]+)\s*(?P<desc>desc)?\s*\)",
+    r"\s+order\s+by\s+(?P<items>[^)]+)\)",
     re.IGNORECASE,
 )
 
 
 def parse_keyed_order(sql: str):
-    """(partition_keys, order_col, descending) of a PARTITION BY rank, or
-    None when the OVER clause has no PARTITION BY (global form)."""
+    """(partition_keys, [(order_col, descending), ...]) of a PARTITION BY
+    rank (composite orders are Flink parity), or None when the OVER
+    clause has no PARTITION BY (global form) or an order item isn't a
+    plain column."""
+    from .topn import parse_order_items
+
     m = _PART_ORDER_RE.search(sql)
     if not m:
         return None
+    order = parse_order_items(m.group("items"))
+    if not order:
+        return None
     keys = [k.strip().strip("`").split(".")[-1] for k in m.group("keys").split(",")]
-    return keys, m.group("col").split(".")[-1].strip("`"), bool(m.group("desc"))
+    return keys, order
 
 
 def execute_keyed_topn(ctx: StepContext, sql: str, spec) -> StepResult:
@@ -73,7 +80,7 @@ def execute_keyed_topn(ctx: StepContext, sql: str, spec) -> StepResult:
     parsed = parse_keyed_order(sql)
     if shape is None or parsed is None:
         raise InvalidQueryError("unsupported keyed Top-N query shape")
-    part_keys, order_col, descending = parsed
+    part_keys, order = parsed
     inner_sql = shape.group("inner").strip()
     from_m = _INNER_FROM_RE.search(inner_sql)
     if not from_m:
@@ -118,7 +125,7 @@ def execute_keyed_topn(ctx: StepContext, sql: str, spec) -> StepResult:
     # Union (state ∪ slice) on a common schema; fold output carries both the
     # changelog and the key's new ranking (KIND_COL splits them afterward).
     pruned = _prune_partition_local(
-        incoming, order_col, descending, spec.limit, part_keys=part_keys
+        incoming, order, spec.limit, part_keys=part_keys
     )
     # Touched-keys fold: a key with no row in this slice cannot change its
     # ranking, so only the state of keys PRESENT in the slice enters the
@@ -150,9 +157,7 @@ def execute_keyed_topn(ctx: StepContext, sql: str, spec) -> StepResult:
             StructField(KIND_COL, IntegerType()),
         ]
     )
-    fold_group = make_fold_group(
-        value_cols, rank_col, order_col, descending, spec.limit
-    )
+    fold_group = make_fold_group(value_cols, rank_col, order, spec.limit)
 
     from ..functions.grouped import grouped_map_batched
 

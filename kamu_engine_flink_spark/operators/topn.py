@@ -51,13 +51,50 @@ _SHAPE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _ORDER_RE = re.compile(
-    r"row_number\s*\(\s*\)\s+over\s*\(\s*order\s+by\s+([`\w.]+)\s*(desc)?\s*\)",
+    r"row_number\s*\(\s*\)\s+over\s*\(\s*order\s+by\s+(?P<items>[^)]+)\)",
     re.IGNORECASE,
 )
+_ORDER_ITEM_RE = re.compile(r"^\s*([`\w.]+)\s*(asc|desc)?\s*$", re.IGNORECASE)
 _INNER_FROM_RE = re.compile(r"\bfrom\s+([`\w]+)\s*$", re.IGNORECASE | re.DOTALL)
 
 
-def _prune_partition_local(df, order_col: str, descending: bool, limit: int,
+def parse_order_items(text: str) -> list[tuple[str, bool]]:
+    """[(column, descending), ...] from a rank ORDER BY item list —
+    multi-column composite orders are Flink rank parity (`ORDER BY score
+    DESC, ts ASC`). Empty list when any item isn't a plain column."""
+    out = []
+    for item in text.split(","):
+        m = _ORDER_ITEM_RE.match(item)
+        if not m:
+            return []
+        out.append(
+            (
+                m.group(1).split(".")[-1].strip("`"),
+                bool(m.group(2) and m.group(2).lower() == "desc"),
+            )
+        )
+    return out
+
+
+def beats_key(vals, evals, order) -> bool:
+    """Lexicographic 'ranks strictly better' over composite order keys:
+    per column, DESC ranks nulls last / ASC nulls first (Spark's
+    row_number defaults); equal values fall through to the next column;
+    a full tie does not beat (insert-after-ties row_number stability)."""
+    for v, ev, (_c, desc) in zip(vals, evals, order):
+        if v is None and ev is None:
+            continue
+        if v is None:
+            return not desc
+        if ev is None:
+            return desc
+        if v == ev:
+            continue
+        return (v > ev) if desc else (v < ev)
+    return False
+
+
+def _prune_partition_local(df, order: list[tuple[str, bool]], limit: int,
                            part_keys=()):
     """Keep only rows that enter a PARTITION-LOCAL running top-N processed
     in ledger (__seq) order — per `part_keys` group when given (the keyed
@@ -67,16 +104,26 @@ def _prune_partition_local(df, order_col: str, descending: bool, limit: int,
     equals, so a tie counts as beaten). Survivors stream on to the exact
     fold.
 
-    Type-generic: the running top-N is a sorted list compared directly
-    against its worst element, so any orderable type (strings, timestamps,
-    numerics) prunes in either direction — no key negation. Missing scores
-    or keys (None and the NaN/NaT that nullable columns become in Arrow
-    batches — pd.isna covers both) pass through to the fold untouched and
-    are never pushed into a list, where NaN comparisons would corrupt it.
+    Type-generic: the running top-N is a sorted (best-to-worst) list of
+    composite order keys wrapped in a rank comparator, so any orderable
+    types prune under any per-column direction mix. Rows with a missing
+    order value or key (None and the NaN/NaT that nullable columns become
+    in Arrow batches — pd.isna covers both) pass through to the fold
+    untouched and are never pushed into the list, where NaN comparisons
+    would corrupt it.
     """
     import bisect
 
     import pandas as pd
+
+    class _K:
+        __slots__ = ("v",)
+
+        def __init__(self, v):
+            self.v = v
+
+        def __lt__(self, other):  # True iff self RANKS strictly better
+            return beats_key(self.v, other.v, order)
 
     def batches(it):
         # The running top-N state carries ACROSS Arrow batches within a
@@ -94,8 +141,13 @@ def _prune_partition_local(df, order_col: str, descending: bool, limit: int,
             # Vectorized null masks + list materialization: iterating raw
             # pandas Series and calling pd.isna per cell is 3-5x slower
             # than this in the hot loop.
-            vals = pdf[order_col].tolist()
-            null_mask = pd.isna(pdf[order_col]).to_numpy()
+            col_lists = [pdf[c].tolist() for c, _ in order]
+            vals = list(zip(*col_lists)) if len(order) > 1 else [
+                (x,) for x in col_lists[0]
+            ]
+            null_mask = pd.isna(pdf[order[0][0]]).to_numpy()
+            for c, _ in order[1:]:
+                null_mask = null_mask | pd.isna(pdf[c]).to_numpy()
             if part_keys:
                 key_lists = [pdf[k].tolist() for k in part_keys]
                 for k in part_keys:
@@ -111,24 +163,17 @@ def _prune_partition_local(df, order_col: str, descending: bool, limit: int,
                 if null_mask[i]:
                     keep.append(True)
                     continue
+                k = _K(v)
                 lst = best.setdefault(kt[i], []) if part_keys else glob
                 if len(lst) < limit:
-                    bisect.insort(lst, v)
+                    bisect.insort(lst, k)
                     keep.append(True)
-                elif descending:
-                    if v > lst[0]:  # strictly beats the local N-th (min)
-                        del lst[0]
-                        bisect.insort(lst, v)
-                        keep.append(True)
-                    else:
-                        keep.append(False)
+                elif k < lst[-1]:  # strictly beats the local N-th (worst)
+                    del lst[-1]
+                    bisect.insort(lst, k)
+                    keep.append(True)
                 else:
-                    if v < lst[-1]:  # strictly beats the local N-th (max)
-                        del lst[-1]
-                        bisect.insort(lst, v)
-                        keep.append(True)
-                    else:
-                        keep.append(False)
+                    keep.append(False)
             yield pdf[keep]
 
     # Partition-level seq sort (no shuffle): makes Arrow batches arrive in
@@ -147,34 +192,29 @@ def _dedupe_columns(df):
     return df.select(*cols) if len(cols) != len(df.columns) else df
 
 
-def fold_records(ranking, rows, order_col, descending, limit):
+def fold_records(ranking, rows, order, limit):
     """Fold slice rows (ledger order) through a running top-N `ranking`
     (mutated in place, sorted best-to-worst), yielding changelog tuples
     (gseq, sub, op, place, row) — gseq is the triggering row's ledger
     offset, sub orders one record's corrections (ascending place, op 2
-    before 3). Shared by the global driver fold and the per-key
-    distributed fold (keyed_topn.py)."""
-
-    def _beats(v: Any, ev: Any) -> bool:
-        # DESC: nulls last — a non-null beats a null, null beats nothing.
-        # ASC: nulls first — a null beats any non-null. Null vs null ties.
-        if v is None:
-            return (not descending) and ev is not None
-        if ev is None:
-            return descending
-        return (v > ev) if descending else (v < ev)
+    before 3). `order` is the composite [(col, descending), ...] rank
+    order (beats_key semantics). Shared by the global driver fold and the
+    per-key distributed fold (keyed_topn.py)."""
+    order_cols_ = [c for c, _ in order]
 
     for row, gseq in rows:
-        v = row[order_col]
+        v = tuple(row[c] for c in order_cols_)
         # Insertion point: ties go after existing entries (row_number
         # stability — an equal score does not displace an earlier row).
-        # `ranking` is sorted best-to-worst, so _beats(v, ranking[i]) is
-        # monotone in i and the first-True index binary-searches in
+        # `ranking` is sorted best-to-worst, so beats_key(v, ranking[i])
+        # is monotone in i and the first-True index binary-searches in
         # O(log N).
         lo, hi = 0, len(ranking)
         while lo < hi:
             mid = (lo + hi) // 2
-            if _beats(v, ranking[mid][order_col]):
+            if beats_key(
+                v, tuple(ranking[mid][c] for c in order_cols_), order
+            ):
                 hi = mid
             else:
                 lo = mid + 1
@@ -201,13 +241,15 @@ def fold_records(ranking, rows, order_col, descending, limit):
         del ranking[limit:]  # beyond-N tail can never resurface
 
 
-def make_fold_group(value_cols, rank_col, order_col, descending, limit):
+def make_fold_group(value_cols, rank_col, order, limit):
     """Build the applyInPandas group fold shared by the global and keyed
     Top-N executors. The group pdf is the union of (previous state rows —
     rank_col set) and (slice rows — rank_col null, ordered by SEQ_INPUT);
     the fold replays the slice through the running ranking and returns
     changelog records (KIND 0, ordered by GSEQ/SUB) plus the group's new
-    ranking (KIND 1)."""
+    ranking (KIND 1). `order` is the composite [(col, descending), ...]
+    rank order."""
+    order_cols_ = [c for c, _ in order]
 
     def fold_group(pdf) -> list[dict[str, Any]]:
         # Hot path at high key cardinality: plain per-column Python lists
@@ -233,7 +275,13 @@ def make_fold_group(value_cols, rank_col, order_col, descending, limit):
         n = len(pdf)
         rank_v = [_nullify(x) for x in pdf[rank_col].tolist()]
         seq_v = [_nullify(x) for x in pdf[SEQ_INPUT].tolist()]
-        order_v = [_nullify(x) for x in pdf[order_col].tolist()]
+        ov_lists = [
+            [_nullify(x) for x in pdf[c].tolist()] for c in order_cols_
+        ]
+        order_v = (
+            list(zip(*ov_lists)) if len(ov_lists) > 1
+            else [(x,) for x in ov_lists[0]]
+        )
         state_idx = sorted(
             (i for i in range(n) if rank_v[i] is not None),
             key=lambda i: rank_v[i],
@@ -243,13 +291,9 @@ def make_fold_group(value_cols, rank_col, order_col, descending, limit):
         )
 
         def _beats(v, ev):
-            # Identical semantics to fold_records._beats (ties do not
-            # displace, DESC nulls last / ASC nulls first).
-            if v is None:
-                return (not descending) and ev is not None
-            if ev is None:
-                return descending
-            return (v > ev) if descending else (v < ev)
+            # Identical semantics to fold_records (ties do not displace,
+            # per-column DESC nulls last / ASC nulls first).
+            return beats_key(v, ev, order)
 
         top_vals = [order_v[i] for i in state_idx[:limit]]
         entering: list[int] = []
@@ -283,7 +327,7 @@ def make_fold_group(value_cols, rank_col, order_col, descending, limit):
         ]
         out: list[dict[str, Any]] = []
         for gseq, sub, op, place, row in fold_records(
-            ranking, rows, order_col, descending, limit
+            ranking, rows, order, limit
         ):
             out.append(
                 {**row, rank_col: place, OP_COL: op, GSEQ_COL: gseq,
@@ -308,10 +352,10 @@ def execute_topn(ctx: StepContext, sql: str) -> StepResult:
             return execute_keyed_topn(ctx, sql, spec)
     shape = _SHAPE_RE.search(sql.strip())
     order_m = _ORDER_RE.search(sql)
-    if spec is None or shape is None or order_m is None:
+    order = parse_order_items(order_m.group("items")) if order_m else []
+    if spec is None or shape is None or not order:
         raise InvalidQueryError("unsupported Top-N query shape")
-    order_col = order_m.group(1).split(".")[-1].strip("`")
-    descending = bool(order_m.group(2))
+    order_col, descending = order[0]
     inner_sql = shape.group("inner").strip()
     from_m = _INNER_FROM_RE.search(inner_sql)
     if not from_m:
@@ -354,17 +398,28 @@ def execute_topn(ctx: StepContext, sql: str) -> StepResult:
     # last (a null never beats a non-null threshold, so the null-dropping
     # SQL comparison is exact); ASC ranks nulls first (a null always beats
     # a non-null threshold, so nulls must be kept). A null threshold
-    # disables the prefilter — conservative, the fold is exact.
+    # disables the prefilter — conservative, the fold is exact. With a
+    # COMPOSITE order the comparison on the leading column must be
+    # NON-strict (a leading-column tie can still win on a later column).
     threshold = None
     if ctx.state.has_df(state_name):  # first run: skip the threshold job
         worst = prev_state.orderBy(F.col(rank_col).desc()).limit(1).collect()
         if worst and worst[0][rank_col] >= spec.limit:
             threshold = worst[0][order_col]
     if threshold is not None:
+        strict = len(order) == 1
         if descending:
-            cond = F.col(order_col) > F.lit(threshold)
+            cond = (
+                F.col(order_col) > F.lit(threshold)
+                if strict
+                else F.col(order_col) >= F.lit(threshold)
+            )
         else:
-            cond = (F.col(order_col) < F.lit(threshold)) | F.col(order_col).isNull()
+            cond = (
+                F.col(order_col) < F.lit(threshold)
+                if strict
+                else F.col(order_col) <= F.lit(threshold)
+            ) | F.col(order_col).isNull()
         candidates = incoming.filter(cond)
     else:
         candidates = incoming
@@ -382,9 +437,7 @@ def execute_topn(ctx: StepContext, sql: str) -> StepResult:
     # visible top-N and never emits changelog. Bounds the fold group to
     # ~N*ln(rows/partition) survivors per partition on shuffled data
     # instead of the whole input.
-    candidates = _prune_partition_local(
-        candidates, order_col, descending, spec.limit
-    )
+    candidates = _prune_partition_local(candidates, order, spec.limit)
 
     # Distributed fold: the global changelog is inherently one sequential
     # fold, so run it as ONE applyInPandas group (constant key) over
@@ -413,9 +466,7 @@ def execute_topn(ctx: StepContext, sql: str) -> StepResult:
     )
     from ..functions.grouped import grouped_map_batched
 
-    fold_group = make_fold_group(
-        value_cols, rank_col, order_col, descending, spec.limit
-    )
+    fold_group = make_fold_group(value_cols, rank_col, order, spec.limit)
     folded = ctx.pin(
         grouped_map_batched(unioned, [GROUP_COL], fold_group, fold_schema)
     )

@@ -145,7 +145,7 @@ def test_keyed_topn_randomized_vs_simulation(spark, tmp_path):
         row = {"match_time": ts(1, 0, 0), "player_name": player, "score": score}
         ranking = rankings.setdefault(player, [])
         for gseq, sub, op, place, r in fold_records(
-            ranking, [(row, seq)], "score", True, limit
+            ranking, [(row, seq)], [("score", True)], limit
         ):
             expected.append((op, place, r["player_name"], r["score"]))
 
@@ -300,4 +300,37 @@ def test_keyed_topn_split_path_untouched_and_null_keys(spark, tmp_path):
         (2, 1, "P00002", 12),
         (3, 1, "P00002", 98),
         (0, 2, "P00002", 12),
+    ]
+
+
+def test_keyed_topn_composite_order(spark, tmp_path):
+    """Composite rank order per key (ORDER BY score DESC, match_time ASC):
+    a score tie breaks by the earlier match, and a later-arriving
+    earlier-timestamped tie corrects the place."""
+    q = """select
+  cast(now() as timestamp(3)) as placed_at,
+  *
+from (
+  select
+    row_number() over (partition by player_name order by score desc, match_time asc) AS place,
+    match_time,
+    player_name,
+    score
+  from match_scores
+) where place <= 1"""
+    runner = _runner(spark, tmp_path, q)
+    s1 = str(tmp_path / "in" / "s1.parquet")
+    match_scores_slice(
+        s1,
+        [
+            (0, 0, ts(5), ts(1, 0, 5), "mira", 100),
+            (1, 0, ts(5), ts(1, 0, 3), "mira", 100),  # tie, earlier: wins
+            (2, 0, ts(5), ts(1, 0, 9), "mira", 100),  # tie, later: nothing
+        ],
+    )
+    resp, out = runner.run([_input(s1, ts(1, 0, 10))], system_time=ts(5))
+    rows = [(r[1], r[2], r[3]) for r in _read_rows(out)]
+    assert rows == [
+        (0, 1, ts(1, 0, 5)),
+        (2, 1, ts(1, 0, 5)), (3, 1, ts(1, 0, 3)),
     ]

@@ -121,7 +121,7 @@ def test_fold_records_matches_brute_force_oracle(vals, limit, descending):
 
     rows = [({"v": v, "id": i}, i) for i, v in enumerate(vals)]
     ranking: list = []
-    got = list(fold_records(ranking, rows, "v", descending, limit))
+    got = list(fold_records(ranking, rows, [("v", descending)], limit))
 
     def beats(a, b):
         if a is None:
@@ -270,3 +270,64 @@ def test_try_match_spans_match_regex_oracle(pattern_spec, row_masks):
         if m.end() > m.start()
     ]
     assert got == expected, (pattern_spec, row_masks)
+
+
+pair_scores = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=4)),
+        st.one_of(st.none(), st.integers(min_value=0, max_value=4)),
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(pair_scores, st.integers(min_value=1, max_value=3))
+def test_fold_records_composite_order_matches_brute_force(vals, limit):
+    """Composite rank order (v DESC, w ASC) against the prefix-sort
+    oracle — ties on the leading column must break by the second, nulls
+    per-column (DESC last / ASC first), full ties arrival-stable."""
+    from kamu_engine_flink_spark.operators.topn import (
+        OP_APPEND,
+        OP_CORRECT_FROM,
+        OP_CORRECT_TO,
+        beats_key,
+        fold_records,
+    )
+
+    order = [("v", True), ("w", False)]
+    rows = [({"v": v, "w": w, "id": i}, i) for i, (v, w) in enumerate(vals)]
+    ranking: list = []
+    got = list(fold_records(ranking, rows, order, limit))
+
+    def cmp(ra, rb):
+        ka = (ra["v"], ra["w"])
+        kb = (rb["v"], rb["w"])
+        if beats_key(ka, kb, order):
+            return -1
+        if beats_key(kb, ka, order):
+            return 1
+        return -1 if ra["id"] < rb["id"] else 1
+
+    expected = []
+    prev_top: list = []
+    for i in range(len(vals)):
+        prefix = sorted((r for r, _ in rows[: i + 1]), key=functools.cmp_to_key(cmp))
+        top = prefix[:limit]
+        sub = 0
+        for place in range(limit):
+            new_r = top[place] if place < len(top) else None
+            old_r = prev_top[place] if place < len(prev_top) else None
+            if new_r is None:
+                break
+            if old_r is None:
+                expected.append((i, sub, OP_APPEND, place + 1, new_r))
+                sub += 1
+            elif old_r != new_r:
+                expected.append((i, sub, OP_CORRECT_FROM, place + 1, old_r))
+                sub += 1
+                expected.append((i, sub, OP_CORRECT_TO, place + 1, new_r))
+                sub += 1
+        prev_top = top
+    assert got == expected

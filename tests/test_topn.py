@@ -160,7 +160,7 @@ def test_partition_prune_keeps_all_global_enterers(spark):
                 del ranking[limit:]
         survived = {
             r["__seq"]
-            for r in _prune_partition_local(df, "score", descending, limit).collect()
+            for r in _prune_partition_local(df, [("score", descending)], limit).collect()
         }
         assert enterers <= survived, (descending, limit, enterers - survived)
         assert len(survived) < len(rows)  # it actually prunes
@@ -201,7 +201,7 @@ def test_partition_prune_ascending_strings_is_bounded(spark):
             del ranking[limit:]
 
     survived = [
-        r["__seq"] for r in _prune_partition_local(df, "word", False, limit).collect()
+        r["__seq"] for r in _prune_partition_local(df, [("word", False)], limit).collect()
     ]
     assert enterers <= set(survived)
     # ~limit * ln(rows/partition) expected survivors per partition; 2000 is
@@ -226,9 +226,56 @@ def test_partition_prune_null_scores_pass_through(spark):
     for descending in (True, False):
         survived = {
             r["__seq"]
-            for r in _prune_partition_local(df, "score", descending, 3).collect()
+            for r in _prune_partition_local(df, [("score", descending)], 3).collect()
         }
         null_seqs = {i for i in range(300) if i % 3 == 0}
         assert null_seqs <= survived  # nulls always reach the driver fold
         # Non-null pruning still works around the NaN rows.
         assert len(survived) < 300
+
+
+def test_topn_composite_order(spark, tmp_path):
+    """Multi-column rank order (Flink parity: ORDER BY score DESC,
+    player_name ASC): score ties break by name, and a later-arriving
+    name-tie winner corrects the place."""
+    q = """select
+  cast(now() as timestamp(3)) as placed_at,
+  *
+from (
+  select
+    row_number() over (order by score desc, player_name asc) AS place,
+    match_time,
+    player_name,
+    score
+  from match_scores
+) where place <= 2"""
+    runner = TransformRunner(
+        spark, tmp_path, queries=[(q, None)],
+        vocab=DatasetVocabulary(event_time_column="placed_at"),
+    )
+    s1 = str(tmp_path / "in" / "s1.parquet")
+    match_scores_slice(
+        s1,
+        [
+            (0, 0, ts(2), ts(1, 0, 1), "mira", 100),
+            (1, 0, ts(2), ts(1, 0, 2), "zoe", 100),   # tie: mira < zoe
+            (2, 0, ts(2), ts(1, 0, 3), "anya", 100),  # tie: anya beats both
+        ],
+    )
+    resp, out = runner.run(
+        [{"alias": "match_scores", "data_paths": [s1], "schema_file": s1,
+          "watermark": ts(1, 1, 0)}],
+        system_time=ts(2),
+    )
+    rows = [
+        (r["op"], r["place"], r["player_name"])
+        for r in pq.read_table(out).to_pylist()
+    ]
+    # mira enters p1; zoe enters p2 (name-tiebreak after mira); anya's
+    # smaller name takes p1, pushing mira to p2 and zoe out.
+    assert rows == [
+        (0, 1, "mira"),
+        (0, 2, "zoe"),
+        (2, 1, "mira"), (3, 1, "anya"),
+        (2, 2, "zoe"), (3, 2, "mira"),
+    ]
