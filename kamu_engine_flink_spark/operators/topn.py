@@ -125,6 +125,13 @@ def _prune_partition_local(df, order: list[tuple[str, bool]], limit: int,
         def __lt__(self, other):  # True iff self RANKS strictly better
             return beats_key(self.v, other.v, order)
 
+    # Single-column fast path: raw scalars in the sorted list (C-speed
+    # bisect compares, no per-row wrapper allocation) — this loop touches
+    # EVERY input row, so the composite wrapper's Python __lt__ would be
+    # the hot-path cost for the overwhelmingly common single-order case.
+    single = len(order) == 1
+    descending0 = order[0][1]
+
     def batches(it):
         # The running top-N state carries ACROSS Arrow batches within a
         # partition (sound because the partition is seq-sorted below):
@@ -142,9 +149,7 @@ def _prune_partition_local(df, order: list[tuple[str, bool]], limit: int,
             # pandas Series and calling pd.isna per cell is 3-5x slower
             # than this in the hot loop.
             col_lists = [pdf[c].tolist() for c, _ in order]
-            vals = list(zip(*col_lists)) if len(order) > 1 else [
-                (x,) for x in col_lists[0]
-            ]
+            vals = col_lists[0] if single else list(zip(*col_lists))
             null_mask = pd.isna(pdf[order[0][0]]).to_numpy()
             for c, _ in order[1:]:
                 null_mask = null_mask | pd.isna(pdf[c]).to_numpy()
@@ -159,21 +164,45 @@ def _prune_partition_local(df, order: list[tuple[str, bool]], limit: int,
                 )
             else:
                 kt = None
-            for i, v in enumerate(vals):
-                if null_mask[i]:
-                    keep.append(True)
-                    continue
-                k = _K(v)
-                lst = best.setdefault(kt[i], []) if part_keys else glob
-                if len(lst) < limit:
-                    bisect.insort(lst, k)
-                    keep.append(True)
-                elif k < lst[-1]:  # strictly beats the local N-th (worst)
-                    del lst[-1]
-                    bisect.insort(lst, k)
-                    keep.append(True)
-                else:
-                    keep.append(False)
+            if single:
+                for i, v in enumerate(vals):
+                    if null_mask[i]:
+                        keep.append(True)
+                        continue
+                    lst = best.setdefault(kt[i], []) if part_keys else glob
+                    if len(lst) < limit:
+                        bisect.insort(lst, v)
+                        keep.append(True)
+                    elif descending0:
+                        if v > lst[0]:  # strictly beats the local N-th (min)
+                            del lst[0]
+                            bisect.insort(lst, v)
+                            keep.append(True)
+                        else:
+                            keep.append(False)
+                    else:
+                        if v < lst[-1]:  # strictly beats the local N-th (max)
+                            del lst[-1]
+                            bisect.insort(lst, v)
+                            keep.append(True)
+                        else:
+                            keep.append(False)
+            else:
+                for i, v in enumerate(vals):
+                    if null_mask[i]:
+                        keep.append(True)
+                        continue
+                    k = _K(v)
+                    lst = best.setdefault(kt[i], []) if part_keys else glob
+                    if len(lst) < limit:
+                        bisect.insort(lst, k)
+                        keep.append(True)
+                    elif k < lst[-1]:  # strictly beats the local N-th (worst)
+                        del lst[-1]
+                        bisect.insort(lst, k)
+                        keep.append(True)
+                    else:
+                        keep.append(False)
             yield pdf[keep]
 
     # Partition-level seq sort (no shuffle): makes Arrow batches arrive in
@@ -201,20 +230,35 @@ def fold_records(ranking, rows, order, limit):
     order (beats_key semantics). Shared by the global driver fold and the
     per-key distributed fold (keyed_topn.py)."""
     order_cols_ = [c for c, _ in order]
+    if len(order_cols_) == 1:
+        col0 = order_cols_[0]
+
+        def _key(row):
+            return row[col0]
+
+    else:
+
+        def _key(row):
+            return tuple(row[c] for c in order_cols_)
+
+    def _kbeats(v, ev):
+        return beats_key(
+            v if isinstance(v, tuple) else (v,),
+            ev if isinstance(ev, tuple) else (ev,),
+            order,
+        )
 
     for row, gseq in rows:
-        v = tuple(row[c] for c in order_cols_)
+        v = _key(row)
         # Insertion point: ties go after existing entries (row_number
         # stability — an equal score does not displace an earlier row).
-        # `ranking` is sorted best-to-worst, so beats_key(v, ranking[i])
-        # is monotone in i and the first-True index binary-searches in
+        # `ranking` is sorted best-to-worst, so beats(v, ranking[i]) is
+        # monotone in i and the first-True index binary-searches in
         # O(log N).
         lo, hi = 0, len(ranking)
         while lo < hi:
             mid = (lo + hi) // 2
-            if beats_key(
-                v, tuple(ranking[mid][c] for c in order_cols_), order
-            ):
+            if _kbeats(v, _key(ranking[mid])):
                 hi = mid
             else:
                 lo = mid + 1
@@ -278,10 +322,10 @@ def make_fold_group(value_cols, rank_col, order, limit):
         ov_lists = [
             [_nullify(x) for x in pdf[c].tolist()] for c in order_cols_
         ]
-        order_v = (
-            list(zip(*ov_lists)) if len(ov_lists) > 1
-            else [(x,) for x in ov_lists[0]]
-        )
+        # Single-column fast path: scalar order keys and a direction-
+        # specialized compare — this prepass touches every slice row.
+        single = len(ov_lists) == 1
+        order_v = ov_lists[0] if single else list(zip(*ov_lists))
         state_idx = sorted(
             (i for i in range(n) if rank_v[i] is not None),
             key=lambda i: rank_v[i],
@@ -290,10 +334,22 @@ def make_fold_group(value_cols, rank_col, order, limit):
             (i for i in range(n) if rank_v[i] is None), key=lambda i: seq_v[i]
         )
 
-        def _beats(v, ev):
-            # Identical semantics to fold_records (ties do not displace,
-            # per-column DESC nulls last / ASC nulls first).
-            return beats_key(v, ev, order)
+        if single:
+            desc0 = order[0][1]
+
+            def _beats(v, ev):
+                # Identical semantics to beats_key (ties do not displace,
+                # DESC nulls last / ASC nulls first).
+                if v is None:
+                    return (not desc0) and ev is not None
+                if ev is None:
+                    return desc0
+                return (v > ev) if desc0 else (v < ev)
+
+        else:
+
+            def _beats(v, ev):
+                return beats_key(v, ev, order)
 
         top_vals = [order_v[i] for i in state_idx[:limit]]
         entering: list[int] = []
