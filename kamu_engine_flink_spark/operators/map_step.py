@@ -156,7 +156,11 @@ def _changelog_union(ctx: StepContext, segs: list[str], wm) -> StepResult:
         src = srefs[0]
         is_cl = OP_COL in ctx.views[src].columns
         masked_seg = mask_sql(seg, parens=True)
-        if re.search(r"\bjoin\b|\bover\s*\(", masked_seg, re.IGNORECASE):
+        # Literal-only mask for the join/OVER guard: the paren mask blanks
+        # every '(' so `over\s*\(` could never match there — a window
+        # aggregate branch would silently compute over retraction rows.
+        masked_lit = mask_sql(seg)
+        if re.search(r"\bjoin\b|\bover\s*\(", masked_lit, re.IGNORECASE):
             raise InvalidQueryError(
                 "UNION ALL branches over an updating alias must be plain "
                 "projections — join/window in a separate step first"
@@ -173,9 +177,27 @@ def _changelog_union(ctx: StepContext, segs: list[str], wm) -> StepResult:
                 f"unsupported UNION ALL branch shape over an updating "
                 f"alias: {seg[:60]!r}"
             )
-        if is_cl and OP_COL not in run:
+        # A star branch expands the view's __op at execution even though
+        # the TEXT doesn't mention it — injecting another would duplicate
+        # the column and break the later unionByName (same detection as
+        # _inject_seq's star rule).
+        star = re.search(
+            r"(?:\bselect|,)\s*(?:[`\w]+\s*\.\s*)?\*", masked_lit, re.IGNORECASE
+        )
+        if is_cl and OP_COL not in run and not star:
             run = _SIMPLE_SELECT_RE.sub(f"SELECT {OP_COL}, ", run, count=1)
         df = ctx.spark.sql(rewrite_query(run, watermark=wm))
+        # A star branch also expands the view's OTHER internals (e.g. the
+        # regular join's __emit_phase ordering column) which the sibling
+        # branches don't carry; __seq already captures emission order, so
+        # drop everything internal but the op tag and the ledger offset.
+        df = df.drop(
+            *[
+                c
+                for c in df.columns
+                if c.startswith("__") and c not in (OP_COL, SEQ_INPUT)
+            ]
+        )
         if OP_COL not in df.columns:
             df = df.withColumn(OP_COL, F.lit(0).cast("int"))
         if SEQ_INPUT not in df.columns:
