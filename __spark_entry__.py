@@ -1932,13 +1932,15 @@ GROUP BY p.user_id"""
     )
 
 
-def _run_odf_invocations(spark, sql, per_inv_inputs, workdir, tag):
+def _run_odf_invocations(spark, sql, per_inv_inputs, workdir, tag,
+                         temporal_tables=()):
     """Simulate chained ODF transform invocations (checkpoint restore
     between them, the reference's savepoint contract) and return
     [(invocation_index, output_parquet_path)] for invocations that emitted
     rows. `per_inv_inputs`: per invocation, a list of (alias, ledger_path,
     watermark). `sql` is one query string or a list of (sql, alias) steps
-    (alias None on the final step)."""
+    (alias None on the final step). `temporal_tables`: (name, pk) pairs
+    declared FOR SYSTEM_TIME-joinable."""
     import os
     from datetime import timezone
 
@@ -1946,6 +1948,7 @@ def _run_odf_invocations(spark, sql, per_inv_inputs, workdir, tag):
     from kamu_engine_flink_spark.protocol.model import (
         DatasetVocabulary,
         SqlQueryStep,
+        TemporalTable,
         Transform,
         TransformRequest,
         TransformRequestInput,
@@ -1966,7 +1969,13 @@ def _run_odf_invocations(spark, sql, per_inv_inputs, workdir, tag):
             else [SqlQueryStep(query=q, alias=a) for q, a in sql]
         )
         req = TransformRequest(
-            transform=Transform(queries=steps),
+            transform=Transform(
+                queries=steps,
+                temporal_tables=[
+                    TemporalTable(name=n, primary_key=[pk])
+                    for n, pk in temporal_tables
+                ],
+            ),
             query_inputs=[
                 TransformRequestInput(
                     query_alias=alias,
@@ -3105,6 +3114,66 @@ def changelog_topn_live_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def changelog_asof_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (as-of) join over an UPDATING build side (operators/
+    temporal_join.execute_changelog_temporal_join — Flink's event-time
+    temporal join against a changelog-maintained versioned view,
+    reference surface via TransformEngine.scala:252-262): a per-user
+    running purchase total (continuous agg, versioned by its
+    max(event_time) rowtime) probed by the click stream with
+    FOR SYSTEM_TIME AS OF across two chained ODF invocations. Each click
+    resolves the rate version live AT ITS TIME among versions the engine
+    had seen when the click's watermark released it; correction rows
+    landing at or before the already-used build watermark are late and
+    drop (Flink's late changelog handling) — the oracle replays both
+    rules. Output is append-only (event-time temporal joins emit
+    inserts). Version state: bucketed-by-PK O(slice) appends — scales."""
+    import tempfile
+
+    _conf(spark)
+    workdir = tempfile.mkdtemp(prefix="clasof-entry-")
+    p_slices = _ledger_slices(
+        spark, _events_ledger(spark, sf_dir, "purchase"), workdir, "purchases", 2
+    )
+    c_slices = _ledger_slices(
+        spark, _events_ledger(spark, sf_dir, "click"), workdir, "clicks", 2
+    )
+    steps = [
+        (
+            """SELECT max(event_time) as event_time,
+  user_id, sum(cents) as rate FROM purchases GROUP BY user_id""",
+            "rates",
+        ),
+        (
+            """SELECT c.event_time as event_time, c.user_id as user_id,
+  c.cents as qty, rt.rate as rate
+FROM clicks AS c JOIN rates FOR SYSTEM_TIME AS OF c.event_time AS rt
+ON c.user_id = rt.user_id""",
+            None,
+        ),
+    ]
+    per_inv = [
+        [("purchases", *p_slices[i]), ("clicks", *c_slices[i])] for i in range(2)
+    ]
+    outs = _run_odf_invocations(
+        spark, steps, per_inv, workdir, "clasof",
+        temporal_tables=[("rates", "user_id")],
+    )
+    parts = [
+        spark.read.parquet(path).select(
+            "event_time",
+            "user_id",
+            F.col("qty").cast("long").alias("qty"),
+            F.col("rate").cast("long").alias("rate"),
+        )
+        for _inv, path in outs
+    ]
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out
+
+
 def dedup_minhash_incremental_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest MinHash dedup (operators/dedup.
     dedup_minhash_incremental): the corpus arrives as two id-ordered
@@ -3236,6 +3305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_join_self_daily": window_join_self_daily,
         "changelog_distinct_pairs": changelog_distinct_pairs,
         "changelog_topn_live_counts": changelog_topn_live_counts,
+        "changelog_asof_rates": changelog_asof_rates,
         "dedup_minhash_incremental_documents": dedup_minhash_incremental_documents,
         "changelog_union_pads_and_appends": changelog_union_pads_and_appends,
         # --- front of round 7 as queued by round 6's plan (9) ---
@@ -4040,6 +4110,63 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 1, 1, ou, CAST(o_n AS BIGINT), CAST(rnk AS BIGINT)
             FROM d WHERE NOT has_n
+        """,
+        "changelog_asof_rates": """
+            -- As-of join against a changelog-maintained versioned view.
+            -- Versions per user: v0 = (max ts, sum cents) of inv-0
+            -- purchases; v1 = totals, kept only if the tuple changed AND
+            -- its version time beats the inv-1 build watermark (= max
+            -- inv-0 purchase ts) — later rows are late and drop. A click
+            -- released in invocation 1 (inv-0, ts <= joint wm1) sees only
+            -- v0; clicks released in invocation 2 see both.
+            WITH e AS (
+                -- The ODF ledger is TIMESTAMP_MILLIS parquet: truncate up
+                -- front so every watermark/validity comparison matches
+                -- what the engine actually saw.
+                SELECT CAST(event_id % 2 AS INT) AS inv, user_id,
+                       date_trunc('milliseconds', ts) AS ts,
+                       event_type,
+                       CAST(floor(value * 100) AS BIGINT) AS cents
+                FROM events WHERE event_type IN ('purchase', 'click')
+            ), wm AS (
+                SELECT
+                  (SELECT max(ts) FROM e WHERE event_type='purchase' AND inv=0) AS p0,
+                  (SELECT max(ts) FROM e WHERE event_type='click' AND inv=0) AS c0,
+                  (SELECT max(ts) FROM e WHERE event_type='purchase') AS p1,
+                  (SELECT max(ts) FROM e WHERE event_type='click') AS c1
+            ), v0 AS (
+                SELECT user_id, max(ts) AS vt, sum(cents) AS rate
+                FROM e WHERE event_type='purchase' AND inv=0 GROUP BY user_id
+            ), v1 AS (
+                SELECT a.user_id, a.vt, a.rate
+                FROM (
+                    SELECT user_id, max(ts) AS vt, sum(cents) AS rate
+                    FROM e WHERE event_type='purchase' GROUP BY user_id
+                ) a LEFT JOIN v0 ON a.user_id = v0.user_id
+                WHERE (v0.user_id IS NULL OR a.vt <> v0.vt OR a.rate <> v0.rate)
+                  AND a.vt > (SELECT p0 FROM wm)
+            ), versions AS (
+                SELECT user_id, vt, rate, 1 AS vinv FROM v0
+                UNION ALL
+                SELECT user_id, vt, rate, 2 AS vinv FROM v1
+            ), probes AS (
+                SELECT user_id, ts, cents,
+                       CASE WHEN inv = 0
+                              AND ts <= least((SELECT p0 FROM wm), (SELECT c0 FROM wm))
+                            THEN 1 ELSE 2 END AS rel
+                FROM e WHERE event_type = 'click'
+                  AND ts <= least((SELECT p1 FROM wm), (SELECT c1 FROM wm))
+            )
+            SELECT p.ts AS event_time, p.user_id AS user_id,
+                   CAST(p.cents AS BIGINT) AS qty,
+                   CAST(v.rate AS BIGINT) AS rate
+            FROM probes p
+            JOIN LATERAL (
+                SELECT rate FROM versions v
+                WHERE v.user_id = p.user_id AND v.vt <= p.ts
+                  AND v.vinv <= p.rel
+                ORDER BY v.vt DESC LIMIT 1
+            ) v ON TRUE
         """,
         "changelog_distinct_pairs": """
             -- Retraction-aware DISTINCT: the distinct view after

@@ -262,6 +262,7 @@ def execute_transform(spark: SparkSession, request: TransformRequest) -> Transfo
                 C.REGULAR_JOIN,
                 C.DISTINCT,
                 C.TOPN,
+                C.TEMPORAL_JOIN,
             ):
                 raise InvalidQueryError(
                     f"step reads updating (changelog-emitting) alias(es) "
@@ -270,12 +271,18 @@ def execute_transform(spark: SparkSession, request: TransformRequest) -> Transfo
                     "retractions), a plain projection (which forwards "
                     "the op tags), SELECT DISTINCT (which keeps per-value "
                     "counts), Top-N (which re-ranks from a signed row "
-                    "ledger), or a regular equi-join (which applies "
-                    "them as state deletions) can consume an updating "
+                    "ledger), a regular equi-join (which applies "
+                    "them as state deletions), or a temporal (as-of) join "
+                    "whose BUILD side is the updating alias (its changelog "
+                    "maintains the versioned view) can consume an updating "
                     "stream; other step kinds would misread correction/"
                     "retraction rows as appends"
                 )
-            if changelog_refs and kind == C.REGULAR_JOIN:
+            if changelog_refs and kind == C.TEMPORAL_JOIN:
+                result = temporal_join.execute_changelog_temporal_join(
+                    ctx, step.query
+                )
+            elif changelog_refs and kind == C.REGULAR_JOIN:
                 result = changelog_join.execute_changelog_join(ctx, step.query)
             elif changelog_refs and kind == C.TOPN:
                 from ..operators import changelog_topn as CT
@@ -301,12 +308,16 @@ def execute_transform(spark: SparkSession, request: TransformRequest) -> Transfo
                 # emission, the one O(emission) serial point in these
                 # chains) is skipped for them.
                 all_names = set(views) | {s.alias for s in steps if s.alias}
+                # TEMPORAL_JOIN consumers also need the stamp: version rows
+                # of one key tie on event_time within an invocation, and
+                # the emission seq is the deterministic tie-break.
                 if (
                     topn.OP_COL in adf.columns
                     and result.order_cols
                     and any(
                         step.alias in C.referenced_views(s2.query, {step.alias})
-                        and C.classify(s2.query, all_names) == C.MAP
+                        and C.classify(s2.query, all_names)
+                        in (C.MAP, C.TEMPORAL_JOIN)
                         for s2 in steps[i + 1 :]
                     )
                 ):

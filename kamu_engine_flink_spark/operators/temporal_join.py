@@ -49,6 +49,182 @@ def resolve_temporal_table(ctx: StepContext, name: str) -> TemporalTable:
     raise InvalidQueryError(f"temporal table '{name}' is not declared")
 
 
+def execute_changelog_temporal_join(ctx: StepContext, sql: str) -> StepResult:
+    """Temporal (as-of) join whose BUILD side is an UPDATING
+    (changelog-emitting) alias — Flink's event-time temporal join against
+    a versioned view maintained by a changelog (the mainline latest-rate
+    pattern; reference surface via planner delegation,
+    TransformEngine.scala:252-262, temporal machinery :163-200).
+
+    The changelog rows ARE the version history: an op-0/op-3 row creates
+    a version of its key at its event_time, an op-1 row creates a
+    TOMBSTONE (the key is dead from that time until its next version),
+    and op-2 (CorrectFrom) rows are pair bookkeeping with no version
+    content. Versions of one key ordered by (event_time, emission seq)
+    yield validity intervals exactly like the append-only executor; a
+    probe row resolves the latest LIVE version at its event time, and a
+    probe landing in a tombstone interval matches nothing. The output is
+    APPEND-ONLY (Flink: event-time temporal joins emit inserts), so the
+    result chains freely.
+
+    Finality mirrors Flink: probe rows release when the joint watermark
+    passes their event time, and a version row arriving with event_time
+    at or before the build watermark already used for releases is LATE
+    and dropped (it could contradict emitted rows).
+
+    Scale shape: the version state is an append-only relation bucketed by
+    the PK — one O(slice) delta append per invocation, with the same
+    size-triggered compaction as the Top-N ledger (fold to versions still
+    reachable at the joint watermark). Validity derivation is a window
+    over the bucketed scan (no exchange on the state side).
+    """
+    from pyspark.sql.types import BooleanType, LongType, StructField, StructType
+
+    from .map_step import SEQ_INPUT
+    from .topn import OP_COL
+
+    known = set(ctx.views)
+    refs = referenced_views(sql, known)
+    temporal_names = {t.name for t in ctx.request.transform.temporal_tables}
+    build_names = [r for r in refs if r in temporal_names]
+    probe_names = [r for r in refs if r not in temporal_names]
+    if len(build_names) != 1 or len(probe_names) != 1:
+        raise InvalidQueryError(
+            f"temporal join must reference one probe and one temporal table, got {refs}"
+        )
+    build, probe = build_names[0], probe_names[0]
+    if OP_COL in ctx.views[probe].columns:
+        raise InvalidQueryError(
+            "temporal join PROBE side must be an append-only stream; an "
+            "updating (changelog-emitting) alias can only be the versioned "
+            "(FOR SYSTEM_TIME AS OF) side"
+        )
+    tt = resolve_temporal_table(ctx, build)
+    pk = tt.primary_key[0]
+    build_et = ctx.event_time_cols[build]
+    probe_et = ctx.event_time_cols[probe]
+
+    build_df = ctx.views[build]
+    value_cols = [c for c in build_df.columns if not c.startswith("__")]
+    if pk not in value_cols or build_et not in value_cols:
+        raise InvalidQueryError(
+            f"temporal table '{build}' must project its primary key "
+            f"({pk}) and event time ({build_et})"
+        )
+
+    TOMB, VSEQ = "__tombstone", "__vseq"
+    meta_name = f"{ctx.step_key}-cl-versions-meta"
+    meta = ctx.state.load_json(meta_name, {}) or {}
+    inv = int(meta.get("inv", 0))
+    prev_bw = _iso(meta.get("build_wm"))
+
+    seq = (
+        F.col(SEQ_INPUT).cast(LongType())
+        if SEQ_INPUT in build_df.columns
+        else F.lit(0).cast(LongType())
+    )
+    delta = build_df.filter(F.col(OP_COL) != 2).select(
+        *value_cols,
+        (F.col(OP_COL) == 1).alias(TOMB),
+        # Globally monotonic across invocations: emission seq is bounded
+        # by the per-invocation output (far below 2^40).
+        (F.lit(inv * (1 << 40)).cast(LongType()) + seq).alias(VSEQ),
+    )
+    if prev_bw is not None:
+        # Late version rows (at or before the build watermark already used
+        # for releases) could contradict emitted probes — drop, like
+        # Flink's late changelog handling.
+        delta = delta.filter(F.col(build_et) > F.lit(prev_bw))
+    delta = ctx.pin(delta)
+
+    versions_state = f"{ctx.step_key}-cl-versions"
+    ledger_schema = StructType(
+        [build_df.schema[c] for c in value_cols]
+        + [StructField(TOMB, BooleanType()), StructField(VSEQ, LongType())]
+    )
+    prev_versions = ctx.state.load_df(versions_state, schema=ledger_schema)
+    versions = prev_versions.unionByName(delta)
+
+    # Probe buffering + release: identical to the append-only executor.
+    probe_state = f"{ctx.step_key}-probe-buffer"
+    prev_probe = ctx.state.load_df(probe_state, schema=ctx.views[probe].schema)
+    probe_all = ctx.pin(prev_probe.unionByName(ctx.views[probe]))
+    pw, bw = ctx.new_wms.get(probe), ctx.new_wms.get(build)
+    joint_wm = min_watermark(pw, bw) if pw is not None and bw is not None else None
+    if joint_wm is not None:
+        release = probe_all.filter(F.col(probe_et) <= F.lit(joint_wm))
+        keep = probe_all.filter(F.col(probe_et) > F.lit(joint_wm))
+    else:
+        release = probe_all.limit(0)
+        keep = probe_all
+
+    # Validity intervals per key, ties within one event time broken by
+    # emission order; tombstone rows shape the intervals, then drop out of
+    # the probe-resolution view (their interval matches nothing).
+    w = Window.partitionBy(pk).orderBy(F.col(build_et).asc(), F.col(VSEQ).asc())
+    versioned = (
+        versions.withColumn(VALID_FROM, F.col(build_et))
+        .withColumn(VALID_TO, F.lead(build_et).over(w))
+    )
+    resolvable = versioned.filter(~F.col(TOMB)).drop(TOMB, VSEQ)
+
+    # State maintenance: O(slice) delta append; size-triggered compaction
+    # folds to versions still reachable at the joint watermark (the
+    # latest version per key at or before it — tombstones included, so a
+    # dead key stays dead — plus everything after it).
+    compact_meta = f"{versions_state}.compact.json"
+    cmeta = ctx.state.load_json(compact_meta) or {}
+    cur_bytes = ctx.state.relation_bytes(versions_state) or 0
+    floor = cmeta.get("floor")
+    try:
+        min_bytes = int(
+            ctx.spark.conf.get("spark.kamu.state.ledgerCompactMinBytes")
+        )
+    except Exception:
+        min_bytes = 8 << 20
+    if (
+        floor is not None
+        and joint_wm is not None
+        and cur_bytes > max(4 * floor, min_bytes)
+    ):
+        pruned = versioned.filter(
+            F.col(VALID_TO).isNull() | (F.col(VALID_TO) > F.lit(joint_wm))
+        ).drop(VALID_FROM, VALID_TO)
+        ctx.state.save_dfs([(probe_state, keep), (versions_state, pruned, [pk])])
+        ctx.state.save_json(compact_meta, {"floor": None})
+    else:
+        ctx.state.save_df(versions_state, delta, bucket_by=[pk], append=True)
+        ctx.state.save_df(probe_state, keep)
+        if floor is None:
+            ctx.state.save_json(compact_meta, {"floor": cur_bytes})
+    ctx.state.save_json(
+        meta_name,
+        {"inv": inv + 1, "build_wm": bw.isoformat() if bw else meta.get("build_wm")},
+    )
+
+    release.createOrReplaceTempView(probe)
+    resolvable.createOrReplaceTempView(build + VERSIONS_SUFFIX)
+    try:
+        result = ctx.spark.sql(rewrite_query(sql, watermark=joint_wm))
+    finally:
+        ctx.views[probe].createOrReplaceTempView(probe)
+
+    order_cols = list(result.columns)
+    out_et = ctx.request.vocab.event_time_column
+    if out_et in order_cols:
+        order_cols.remove(out_et)
+        order_cols.insert(0, out_et)
+    return StepResult(df=result, watermark=joint_wm, order_cols=order_cols)
+
+
+def _iso(value):
+    if not value:
+        return None
+    from datetime import datetime
+
+    return datetime.fromisoformat(value)
+
+
 def execute_temporal_join(ctx: StepContext, sql: str) -> StepResult:
     known = set(ctx.views)
     refs = referenced_views(sql, known)
