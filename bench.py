@@ -219,6 +219,18 @@ FROM purchases GROUP BY user_id""",
 ) WHERE rnk <= 100""",
     ),
 ]
+# Continuous agg -> plain projection: the MAP consumer makes the engine
+# materialize the agg changelog's emission order (the mid-chain stamp,
+# engine/transform.py) before forwarding op tags.
+CHANGELOG_STAMP_STEPS = [
+    (
+        "live_totals",
+        """SELECT cast(now() as timestamp(3)) as event_time,
+  user_id, count(*) as n, sum(value) as total
+FROM events GROUP BY user_id""",
+    ),
+    (None, "SELECT event_time, user_id, total FROM live_totals"),
+]
 # Retraction-aware DISTINCT over a LEFT-join changelog: per-value count
 # state keyed by the row fingerprint.
 CHANGELOG_DISTINCT_STEPS = [
@@ -630,7 +642,23 @@ def main() -> None:
             # a linear scan + TakeOrdered over O(live agg keys), the same
             # order as the agg state itself (rank positions shift
             # globally, so no key restriction applies).
+            # PIN: <= 8.0 s (round-8 measured 7.9 after sharing the ledger
+            # aggregation between the old/new rank tables — net counts are
+            # additive, so history is grouped once and cached; round-7
+            # baseline was 8.10).
             ("stress_changelog_topn_x10_3inv", CHANGELOG_TOPN_STEPS, p_stress_invs),
+            # Mid-chain emission-order stamp under state >> slice:
+            # continuous agg over the 1M-row events ledger (100k keys) ->
+            # plain projection, 3 invocations; each invocation stamps the
+            # ~100-200k-row correction stream. PIN: <= 5.5 s (round-8
+            # measured 4.9 single-partition). The distributed stamp
+            # (range partition + per-partition offset bases, forced via
+            # spark.kamu.stampDistributedMinBytes=0) measured 6.6 s at
+            # this emission scale — its extra shuffle + Arrow stage only
+            # amortize at multi-million-row emissions, hence the 32 MB
+            # default threshold keeping small emissions on the lazy
+            # single-partition window.
+            ("stress_changelog_stamp_x10_3inv", CHANGELOG_STAMP_STEPS, ev_invs),
         ):
             rep_seq = iter(range(SUBSEC_REPS))
             timings[tag], runs = _median_runs(

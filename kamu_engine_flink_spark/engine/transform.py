@@ -66,6 +66,77 @@ from .state import StateStore
 
 SEQ = "__seq"
 
+# Below this many input-slice bytes the mid-chain emission-order stamp
+# stays a single-partition window (lazy, zero extra jobs — right for the
+# small per-invocation emissions of most chains); above it, the stamp
+# range-partitions so a multi-million-row correction stream feeding a
+# projection never serializes through one task.
+_STAMP_DIST_CONF = "spark.kamu.stampDistributedMinBytes"
+_STAMP_DIST_DEFAULT = 32 << 20
+
+
+def _stamp_emission_seq(spark, df, order_cols, pinned):
+    """Distributed emission-order stamp: range-partition on order_cols
+    (partitions come out globally ordered) + in-partition sort, derive
+    per-partition base offsets from a prefix sum over the (tiny)
+    per-partition counts, and add base + position in one Arrow pass —
+    the sink's partitioned-ledger trick (sinks/parquet.py:84-123)
+    applied mid-chain. Same order as the single-partition window stamp;
+    ties across a range boundary can land on either side, which is the
+    existing contract (equal tuples are interchangeable)."""
+    from pyspark import StorageLevel
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # Pin the emission BEFORE range partitioning: the range partitioner's
+    # sampling pass would otherwise recompute the whole upstream (state
+    # union + fold) a second time.
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    pinned.append(df)
+    n = spark.sparkContext.defaultParallelism
+    ordered = df.repartitionByRange(
+        n, *[F.col(c).asc() for c in order_cols]
+    ).sortWithinPartitions(*[F.col(c).asc() for c in order_cols])
+    tagged = ordered.withColumn("__pid", F.spark_partition_id()).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    pinned.append(tagged)
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in tagged.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    base, acc = {}, 0
+    for pid in sorted(counts):
+        base[pid] = acc
+        acc += counts[pid]
+    bbase = spark.sparkContext.broadcast(base)
+    has_seq = SEQ in df.columns
+
+    def stamp(it):
+        cursor = None
+        for pdf in it:
+            if not len(pdf):
+                continue
+            if cursor is None:
+                cursor = bbase.value[int(pdf["__pid"].iloc[0])]
+            out = pdf.drop(columns="__pid")
+            # Overwrites in place when __seq already exists (re-stamp of a
+            # forwarded ledger offset), appends otherwise — either way the
+            # column ORDER matches `schema` below, so star expansion over
+            # the alias view is unchanged.
+            out[SEQ] = range(cursor, cursor + len(pdf))
+            cursor += len(pdf)
+            yield out
+
+    fields = [
+        StructField(f.name, LongType(), True) if f.name == SEQ else f
+        for f in df.schema.fields
+    ]
+    if not has_seq:
+        fields.append(StructField(SEQ, LongType(), True))
+    return tagged.mapInPandas(stamp, StructType(fields))
+
 
 def _safe_name(alias: str) -> str:
     """Spark temp-view-safe alias. The reference allows dotted dataset
@@ -321,12 +392,21 @@ def execute_transform(spark: SparkSession, request: TransformRequest) -> Transfo
                         for s2 in steps[i + 1 :]
                     )
                 ):
-                    w = Window.partitionBy(F.lit(0)).orderBy(
-                        *[F.col(c).asc() for c in result.order_cols]
-                    )
-                    adf = adf.repartition(1).withColumn(
-                        SEQ, (F.row_number().over(w) - 1).cast("long")
-                    )
+                    try:
+                        dist_min = int(spark.conf.get(_STAMP_DIST_CONF))
+                    except Exception:
+                        dist_min = _STAMP_DIST_DEFAULT
+                    if sum(slice_sizes.values()) >= dist_min:
+                        adf = _stamp_emission_seq(
+                            spark, adf, result.order_cols, pinned
+                        )
+                    else:
+                        w = Window.partitionBy(F.lit(0)).orderBy(
+                            *[F.col(c).asc() for c in result.order_cols]
+                        )
+                        adf = adf.repartition(1).withColumn(
+                            SEQ, (F.row_number().over(w) - 1).cast("long")
+                        )
                 views[step.alias] = adf
                 adf.createOrReplaceTempView(step.alias)
                 event_time_cols[step.alias] = request.vocab.event_time_column

@@ -170,13 +170,17 @@ def execute_changelog_topn(ctx: StepContext, sql: str, spec) -> StepResult:
     else:
         hist = ledger if not first else ledger.limit(0)
 
-    def _net(rel: DataFrame) -> DataFrame:
-        """Live multiset with a loud guard: a consistent changelog never
-        nets negative (see module docstring on re-stamped columns)."""
+    def _counts(rel: DataFrame) -> DataFrame:
+        return rel.groupBy(*value_cols).agg(
+            F.sum(SIGN).cast("long").alias(CNT)
+        )
+
+    def _expand(counts: DataFrame) -> DataFrame:
+        """Live multiset from net counts, with a loud guard: a consistent
+        changelog never nets negative (see module docstring on re-stamped
+        columns)."""
         return (
-            rel.groupBy(*value_cols)
-            .agg(F.sum(SIGN).cast("long").alias(CNT))
-            .filter(F.col(CNT) != 0)
+            counts.filter(F.col(CNT) != 0)
             .withColumn(
                 "__ct_dup",
                 F.explode(
@@ -213,8 +217,18 @@ def execute_changelog_topn(ctx: StepContext, sql: str, spec) -> StepResult:
             rank_col, F.row_number().over(w).cast("long")
         )
 
-    old_top = ctx.pin(_top(_net(hist)))
-    new_top = ctx.pin(_top(_net(hist.unionByName(delta))))
+    # Net counts are additive (sum of signs), so the history is aggregated
+    # ONCE and both rank tables ride the same cached counts frame — the
+    # old side expands it directly, the new side folds in only the slice's
+    # counts. Halves the per-invocation ledger work vs netting hist twice.
+    hist_counts = ctx.pin(_counts(hist))
+    new_counts = (
+        hist_counts.unionByName(_counts(delta))
+        .groupBy(*value_cols)
+        .agg(F.sum(CNT).alias(CNT))
+    )
+    old_top = ctx.pin(_top(_expand(hist_counts)))
+    new_top = ctx.pin(_top(_expand(new_counts)))
 
     # Per-(key, place) diff. Null-safe key equality keeps NULL rank groups.
     join_keys = [*part_keys, rank_col]
