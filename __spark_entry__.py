@@ -1299,6 +1299,48 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def similarity_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index state (operators/similarity.
+    lsh_index_incremental — the ingest template of the incremental
+    MinHash dedup): the corpus arrives as two id-ordered batches, each
+    bucketed ONCE and appended to the persisted index relation without
+    re-bucketing history; queries probe the accumulated index. The LSH
+    planes are md5-derived constants (data-independent), so the
+    incremental index row-equals the one-shot build — the oracle IS the
+    one-shot oracle. Per batch: one narrow pass over the batch; probe:
+    one bucket join — never O(corpus) — scales."""
+    import os
+    import tempfile
+
+    e = _t(spark, sf_dir, "embeddings")
+    cut = e.count() // 2  # vec_id is contiguous from 0: an id-ordered prefix
+    workdir = tempfile.mkdtemp(prefix="inclsh-entry-")
+    idx = S.lsh_index_incremental(
+        e.filter(F.col("vec_id") < cut), bits=12, dim=64
+    )
+    # Persist + reload between batches (the ingest contract).
+    p1 = os.path.join(workdir, "index1")
+    idx.write.mode("overwrite").parquet(p1)
+    idx = S.lsh_index_incremental(
+        e.filter(F.col("vec_id") >= cut), spark.read.parquet(p1),
+        bits=12, dim=64,
+    )
+    p2 = os.path.join(workdir, "index2")
+    idx.write.mode("overwrite").parquet(p2)
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = S.lsh_topk_from_index(
+        spark.read.parquet(p2), q, k=5, bits=12, dim=64
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "cosine",
+    )
+
+
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-k with deterministic centroids (nlist smallest corpus
     ids) over quantized cosine — DuckDB-oracle hash-checked assignment,
@@ -3407,6 +3449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": embedding_near_dup,
         "similarity_cosine_topk": similarity_cosine_topk,
         "similarity_lsh_topk": similarity_lsh_topk,
+        "similarity_lsh_incremental": similarity_lsh_incremental,
         "similarity_ivf_topk": similarity_ivf_topk,
         "text_analysis_documents": text_analysis_documents,
         "multimodal_image_meta": multimodal_image_meta,
@@ -3493,7 +3536,7 @@ def _Q_COS(a: str, b: str) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
@@ -5566,3 +5609,7 @@ def oracle_sql() -> dict[str, str]:
             FROM per
         """,
     }
+    # The incremental LSH index row-equals the one-shot build (the planes
+    # are data-independent constants), so its oracle IS the one-shot one.
+    d["similarity_lsh_incremental"] = d["similarity_lsh_topk"]
+    return d

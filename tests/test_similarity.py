@@ -125,3 +125,28 @@ def test_pq_portable_self_match_rank1(spark):
         self_d2 = [d for _, vid, d in rows if vid == qid]
         assert self_d2, f"query {qid} missing its own row in top-3"
         assert rows[0][2] == min(d for _, _, d in rows)
+
+
+def test_lsh_incremental_index_equals_one_shot(spark, tmp_path):
+    """The incremental LSH index law: batches bucketed separately and
+    appended (with a persist/reload between them — the ingest contract)
+    answer queries EXACTLY like the one-shot build, because the md5
+    hyperplanes are data-independent."""
+    from kamu_engine_flink_spark.operators import similarity as S
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cut = e.count() // 2
+    idx = S.lsh_index_incremental(e.filter(F.col("vec_id") < cut))
+    p1 = str(tmp_path / "idx1")
+    idx.write.mode("overwrite").parquet(p1)
+    idx = S.lsh_index_incremental(
+        e.filter(F.col("vec_id") >= cut), spark.read.parquet(p1)
+    )
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    inc = S.lsh_topk_from_index(idx, q, k=5)
+    one = S.lsh_topk_portable(e, q, k=5)
+    inc_rows = sorted(map(tuple, inc.collect()))
+    one_rows = sorted(map(tuple, one.collect()))
+    assert inc_rows == one_rows and len(inc_rows) > 0
