@@ -717,6 +717,146 @@ class StreamingUnboundedAgg:
         _run_available_now(self._plan(spark), self.checkpoint_dir, self.output_dir)
 
 
+_CLJOIN_OUTPUT = StructType(
+    [
+        StructField("op", IntegerType()),
+        StructField("key", StringType()),
+        StructField("l_value", DoubleType()),
+        StructField("r_value", DoubleType()),
+    ]
+)
+_CLJOIN_STATE = StructType(
+    [
+        StructField("l_vals", ArrayType(DoubleType())),
+        StructField("l_cnts", ArrayType(LongType())),
+        StructField("r_vals", ArrayType(DoubleType())),
+        StructField("r_cnts", ArrayType(LongType())),
+    ]
+)
+
+
+def _changelog_join_fn():
+    """Per-key signed-ledger join kernel: state = both sides' live
+    multisets as (value, net count) pairs. A micro-batch folds its op
+    tags into signed deltas and emits the incremental join delta
+      d(L><R) = dL >< R_old  UNION  L_new >< dR
+    as op-0 inserts (positive net) / op-1 deletes (negative net) — a
+    retract stream at insert/delete granularity (Flink's regular join on
+    updating inputs emits the same +I/-D stream when no upsert key is
+    available; an upstream op-2/3 pair folds to delete+insert, a valid
+    changelog of identical net effect). A negative live multiplicity
+    raises — the micro-batch executor's inconsistent-changelog guard."""
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            lv, lc, rv, rc = state.get
+            L = dict(zip(lv or [], lc or []))
+            R = dict(zip(rv or [], rc or []))
+        else:
+            L, R = {}, {}
+        dL, dR = {}, {}
+        for pdf in pdfs:
+            for side, val, op in zip(pdf["__side"], pdf["__val"], pdf["__op"]):
+                sign = -1 if op in (1, 2) else 1
+                d = dL if side == 0 else dR
+                d[val] = d.get(val, 0) + sign
+        if not dL and not dR:
+            return
+        out = []
+        for lval, dn in dL.items():
+            if dn == 0:
+                continue
+            for rval, cnt in R.items():
+                net = dn * cnt
+                out.extend([(0 if net > 0 else 1, key[0], lval, rval)] * abs(net))
+        for lval, dn in dL.items():
+            n = L.get(lval, 0) + dn
+            if n < 0:
+                raise ValueError(
+                    "changelog join: left multiplicity went negative — "
+                    "inconsistent changelog"
+                )
+            if n == 0:
+                L.pop(lval, None)
+            else:
+                L[lval] = n
+        for rval, dn in dR.items():
+            if dn == 0:
+                continue
+            for lval, cnt in L.items():
+                net = dn * cnt
+                out.extend([(0 if net > 0 else 1, key[0], lval, rval)] * abs(net))
+        for rval, dn in dR.items():
+            n = R.get(rval, 0) + dn
+            if n < 0:
+                raise ValueError(
+                    "changelog join: right multiplicity went negative — "
+                    "inconsistent changelog"
+                )
+            if n == 0:
+                R.pop(rval, None)
+            else:
+                R[rval] = n
+        state.update(
+            (list(L.keys()), list(L.values()), list(R.keys()), list(R.values()))
+        )
+        if out:
+            yield pd.DataFrame(out, columns=["op", "key", "l_value", "r_value"])
+
+    return fn
+
+
+@dataclass
+class StreamingChangelogJoin:
+    """Always-on retraction-aware regular equi-join — the streaming twin
+    of operators/changelog_join.py 's signed-ledger executor. Both inputs
+    are CHANGELOGS (op-tagged rows: 0 append, 1 retract, 2/3 correction
+    pair); the join emits the incremental delta of L >< R as an op-0/op-1
+    retract stream, with both sides' live multisets riding the stream
+    checkpoint so a run-1 row retracted in run 2 retracts its joined
+    pairs (savepoint-resume parity).
+
+    Scale shape: state shards by the join key across executors; a
+    micro-batch touches only its own keys' ledgers — the same
+    touched-keys contract as the micro-batch executor's bucketed state.
+    """
+
+    left_dir: str
+    right_dir: str
+    checkpoint_dir: str
+    output_dir: str
+    key_col: str = "key"
+    value_col: str = "value"
+    op_col: str = "op"
+    left_schema: StructType | None = None
+    right_schema: StructType | None = None
+
+    def _plan(self, spark: SparkSession) -> DataFrame:
+        def side(input_dir, schema, tag):
+            return _file_stream(spark, input_dir, schema).select(
+                F.lit(tag).cast("int").alias("__side"),
+                F.col(self.key_col).cast("string").alias("__key"),
+                F.col(self.value_col).cast("double").alias("__val"),
+                F.col(self.op_col).cast("int").alias("__op"),
+            )
+
+        rows = side(self.left_dir, self.left_schema, 0).unionByName(
+            side(self.right_dir, self.right_schema, 1)
+        )
+        return rows.groupBy("__key").applyInPandasWithState(
+            _changelog_join_fn(),
+            outputStructType=_CLJOIN_OUTPUT,
+            stateStructType=_CLJOIN_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    def run_available_now(self, spark: SparkSession) -> None:
+        _run_available_now(self._plan(spark), self.checkpoint_dir, self.output_dir)
+
+
 _OVER_OUTPUT = StructType(
     [
         StructField("key", StringType()),

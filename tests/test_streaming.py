@@ -798,3 +798,71 @@ def test_streaming_unbounded_agg_corrections_across_runs(spark, dirs):
     )
     new = sorted(set(out2) - set(out1))
     assert new == [("chess", 2, 2, 18.0), ("chess", 3, 4, 21.0)]
+
+
+def _cl_slice(path, rows):
+    """rows: (key, value, op)"""
+    cols = list(zip(*rows)) if rows else [[], [], []]
+    pq.write_table(
+        pa.table(
+            {
+                "key": pa.array(list(cols[0]), pa.string()),
+                "value": pa.array(list(cols[1]), pa.float64()),
+                "op": pa.array(list(cols[2]), pa.int32()),
+            }
+        ),
+        path,
+        compression="snappy",
+    )
+
+
+def test_streaming_changelog_join_cross_run_retraction(spark, tmp_path):
+    """Retraction-aware regular join on the always-on path: a left row
+    published and joined in run 1 is RETRACTED in run 2 (op 1) — the
+    signed ledgers restored from the stream checkpoint emit op-1 deletes
+    for every joined pair it participated in; an op-2/3 correction pair
+    folds to delete+insert of the affected pairs."""
+    from kamu_engine_flink_spark.streaming.structured import StreamingChangelogJoin
+
+    d = {k: str(tmp_path / k) for k in ["left", "right", "chk", "out"]}
+    os.makedirs(d["left"])
+    os.makedirs(d["right"])
+    job = StreamingChangelogJoin(
+        left_dir=d["left"],
+        right_dir=d["right"],
+        checkpoint_dir=d["chk"],
+        output_dir=d["out"],
+    )
+
+    def _read():
+        try:
+            rows = spark.read.parquet(d["out"]).collect()
+        except Exception:
+            return []
+        return sorted((r.op, r.key, r.l_value, r.r_value) for r in rows)
+
+    # Run 1: left (A,1), (A,2); right (A,10) -> two joined pairs.
+    _cl_slice(os.path.join(d["left"], "s1.parquet"),
+              [("A", 1.0, 0), ("A", 2.0, 0)])
+    _cl_slice(os.path.join(d["right"], "s1.parquet"), [("A", 10.0, 0)])
+    job.run_available_now(spark)
+    out1 = _read()
+    assert out1 == [(0, "A", 1.0, 10.0), (0, "A", 2.0, 10.0)]
+
+    # Run 2: left (A,1) retracts -> its joined pair deletes; and the
+    # right side corrects 10 -> 20 (op 2/3 pair) -> the surviving left
+    # row's pair deletes and re-inserts with the new value.
+    _cl_slice(os.path.join(d["left"], "s2.parquet"), [("A", 1.0, 1)])
+    job.run_available_now(spark)
+    # Exact delta check: multiset difference.
+    from collections import Counter
+
+    delta2 = Counter(_read()) - Counter(out1)
+    assert dict(delta2) == {(1, "A", 1.0, 10.0): 1}
+
+    snapshot2 = _read()
+    _cl_slice(os.path.join(d["right"], "s2.parquet"),
+              [("A", 10.0, 2), ("A", 20.0, 3)])
+    job.run_available_now(spark)
+    delta3 = Counter(_read()) - Counter(snapshot2)
+    assert dict(delta3) == {(1, "A", 2.0, 10.0): 1, (0, "A", 2.0, 20.0): 1}
