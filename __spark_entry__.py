@@ -1341,6 +1341,44 @@ def similarity_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def similarity_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index state (operators/similarity.
+    ivf_index_incremental — frozen-centroid ingest, the production ANN
+    shape): the corpus arrives as two id-ordered batches; batch 1 fixes
+    the centroid set (the nlist smallest ids), batch 2 is assigned
+    against the persisted index's centroids and appended without
+    touching history. Because the global nlist smallest ids all arrive
+    in batch 1, the incremental index row-equals the one-shot build —
+    the oracle IS the one-shot oracle. Per batch: one tiny centroid
+    broadcast + one narrow assignment pass — never O(corpus) — scales."""
+    import os
+    import tempfile
+
+    e = _t(spark, sf_dir, "embeddings")
+    cut = e.count() // 2  # vec_id is contiguous from 0: an id-ordered prefix
+    workdir = tempfile.mkdtemp(prefix="incivf-entry-")
+    idx = S.ivf_index_incremental(e.filter(F.col("vec_id") < cut), nlist=16)
+    p1 = os.path.join(workdir, "index1")
+    idx.write.mode("overwrite").parquet(p1)
+    idx = S.ivf_index_incremental(
+        e.filter(F.col("vec_id") >= cut), spark.read.parquet(p1), nlist=16
+    )
+    p2 = os.path.join(workdir, "index2")
+    idx.write.mode("overwrite").parquet(p2)
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = S.ivf_topk_from_index(
+        spark.read.parquet(p2), q, k=5, nlist=16, nprobe=4
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "cosine",
+    )
+
+
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-k with deterministic centroids (nlist smallest corpus
     ids) over quantized cosine — DuckDB-oracle hash-checked assignment,
@@ -3330,71 +3368,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION note: the driver records correctness rows for only the
-    # FIRST 50 dict entries per round, so the registry rotates each round
-    # to give every entry a driver row at least every other round.
-    # Round 7 first-50 = 6 entries due their FIRST driver row (the new
-    # FIRST/LAST-navigation CEP, window self-join, changelog distinct,
-    # retractable Top-N, incremental-ingest dedup, and changelog union)
-    # + the 9-entry front queued by round 6's plan (changelog filter +
-    # the r04-checked overflow) + 35 of the r05-checked cohort. The r05
-    # remainder leads the back block (due round 8) ahead of the 51
-    # r06-checked entries.
-    # tools/crosscheck.py verifies ALL entries locally regardless; the
-    # full run is committed per round as CROSSCHECK_r{N}.txt.
+    # FIRST 50 dict entries per round, so the registry rotates each round.
+    # Round 8 first-50 = 3 entries due their FIRST driver row (the
+    # changelog as-of join and the incremental LSH/IVF indexes) + 47 of
+    # the r05-remainder/r06-checked cohort queued by round 7's plan. At
+    # 118 entries the 50-row cap makes a full cycle take 3 rounds for the
+    # cohort tail (~20 entries, the stable multimodal/sketch/text block);
+    # tools/crosscheck.py verifies ALL entries locally every round and
+    # the run is committed as CROSSCHECK_r{N}.txt.
     return {
-        # --- due their FIRST driver row (3): round-7's new operators ---
-        "match_recognize_nav_first_last_events": match_recognize_nav_first_last_events,
-        "window_join_self_daily": window_join_self_daily,
-        "changelog_distinct_pairs": changelog_distinct_pairs,
-        "changelog_topn_live_counts": changelog_topn_live_counts,
+        # --- due their FIRST driver row (3): round-8's new operators ---
         "changelog_asof_rates": changelog_asof_rates,
-        "dedup_minhash_incremental_documents": dedup_minhash_incremental_documents,
-        "changelog_union_pads_and_appends": changelog_union_pads_and_appends,
-        # --- front of round 7 as queued by round 6's plan (9) ---
-        "changelog_filter_pads": changelog_filter_pads,
-        "user_event_sequences": user_event_sequences,
-        "decontamination_overlap": decontamination_overlap,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_top_unshipped": q3_top_unshipped,
-        "q5_supplier_volume": q5_supplier_volume,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "agg_distinct_suppliers": agg_distinct_suppliers,
-        "scalar_projection": scalar_projection,
-        # --- checked green r05, due for re-check (first 39 fit) ---
-        "window_join_hop_12h": window_join_hop_12h,
-        "changelog_projection_left_join": changelog_projection_left_join,
-        "multi_join_three_way": multi_join_three_way,
-        "window_join_tumbling_daily": window_join_tumbling_daily,
-        "over_agg_forward_window_events": over_agg_forward_window_events,
-        "chained_multistep": chained_multistep,
-        "window_tumbling_daily": window_tumbling_daily,
-        "window_sliding_2h": window_sliding_2h,
-        "window_session_30m": window_session_30m,
-        "agg_rollup_flag_status": agg_rollup_flag_status,
-        "semi_join_returned_orders": semi_join_returned_orders,
-        "anti_join_inactive_customers": anti_join_inactive_customers,
-        "lag_lead_user_events": lag_lead_user_events,
-        "cube_orders_status_priority": cube_orders_status_priority,
-        "formats_try_cast_decimal": formats_try_cast_decimal,
-        "setops_nation_coverage": setops_nation_coverage,
-        "q2_min_cost_supplier": q2_min_cost_supplier,
-        "q4_order_priority": q4_order_priority,
-        "q7_nation_trade": q7_nation_trade,
-        "q8_market_share": q8_market_share,
-        "q9_product_profit": q9_product_profit,
-        "q10_returned_customers": q10_returned_customers,
-        "q11_important_parts": q11_important_parts,
-        "q12_late_shipment_priority": q12_late_shipment_priority,
-        "q13_order_count_distribution": q13_order_count_distribution,
-        "q14_promo_share": q14_promo_share,
-        "q15_top_supplier": q15_top_supplier,
-        "q16_supplier_part_counts": q16_supplier_part_counts,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q18_large_orders": q18_large_orders,
-        "q19_disjunctive_revenue": q19_disjunctive_revenue,
-        "q20_excess_suppliers": q20_excess_suppliers,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
-        "q22_lapsed_customers": q22_lapsed_customers,
+        "similarity_lsh_incremental": similarity_lsh_incremental,
+        "similarity_ivf_incremental": similarity_ivf_incremental,
+        # --- r05-remainder + r06-checked cohort, due re-check (first 47
+        #     fit the 50 cap; the ~20 tail entries take the 3-round slot
+        #     the 118-entry registry forces at 50 rows/round — all 118 are
+        #     backstopped by the committed CROSSCHECK_r08) ---
         "stratified_sample_documents": stratified_sample_documents,
         "term_doc_frequency": term_doc_frequency,
         "embedding_centroids_by_label": embedding_centroids_by_label,
@@ -3411,7 +3401,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_documents": dedup_exact_documents,
         "dedup_fingerprint_documents": dedup_fingerprint_documents,
         "json_extract_events": json_extract_events,
-        # --- checked green r06, due round 8 (51) ---
         "changelog_join_three_way": changelog_join_three_way,
         "changelog_join_left_over_updating": changelog_join_left_over_updating,
         "changelog_minmax_agg": changelog_minmax_agg,
@@ -3449,7 +3438,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": embedding_near_dup,
         "similarity_cosine_topk": similarity_cosine_topk,
         "similarity_lsh_topk": similarity_lsh_topk,
-        "similarity_lsh_incremental": similarity_lsh_incremental,
         "similarity_ivf_topk": similarity_ivf_topk,
         "text_analysis_documents": text_analysis_documents,
         "multimodal_image_meta": multimodal_image_meta,
@@ -3463,6 +3451,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_distinct_users": sketch_distinct_users,
         "text_scrub_documents": text_scrub_documents,
         "approx_quantiles_events": approx_quantiles_events,
+        # --- checked green r07, rotate behind (due round 9) ---
+        "match_recognize_nav_first_last_events": match_recognize_nav_first_last_events,
+        "window_join_self_daily": window_join_self_daily,
+        "changelog_distinct_pairs": changelog_distinct_pairs,
+        "changelog_topn_live_counts": changelog_topn_live_counts,
+        "dedup_minhash_incremental_documents": dedup_minhash_incremental_documents,
+        "changelog_union_pads_and_appends": changelog_union_pads_and_appends,
+        "changelog_filter_pads": changelog_filter_pads,
+        "user_event_sequences": user_event_sequences,
+        "decontamination_overlap": decontamination_overlap,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_unshipped": q3_top_unshipped,
+        "q5_supplier_volume": q5_supplier_volume,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "agg_distinct_suppliers": agg_distinct_suppliers,
+        "scalar_projection": scalar_projection,
+        "window_join_hop_12h": window_join_hop_12h,
+        "changelog_projection_left_join": changelog_projection_left_join,
+        "multi_join_three_way": multi_join_three_way,
+        "window_join_tumbling_daily": window_join_tumbling_daily,
+        "over_agg_forward_window_events": over_agg_forward_window_events,
+        "chained_multistep": chained_multistep,
+        "window_tumbling_daily": window_tumbling_daily,
+        "window_sliding_2h": window_sliding_2h,
+        "window_session_30m": window_session_30m,
+        "agg_rollup_flag_status": agg_rollup_flag_status,
+        "semi_join_returned_orders": semi_join_returned_orders,
+        "anti_join_inactive_customers": anti_join_inactive_customers,
+        "lag_lead_user_events": lag_lead_user_events,
+        "cube_orders_status_priority": cube_orders_status_priority,
+        "formats_try_cast_decimal": formats_try_cast_decimal,
+        "setops_nation_coverage": setops_nation_coverage,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q4_order_priority": q4_order_priority,
+        "q7_nation_trade": q7_nation_trade,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q10_returned_customers": q10_returned_customers,
+        "q11_important_parts": q11_important_parts,
+        "q12_late_shipment_priority": q12_late_shipment_priority,
+        "q13_order_count_distribution": q13_order_count_distribution,
+        "q14_promo_share": q14_promo_share,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_part_counts": q16_supplier_part_counts,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q18_large_orders": q18_large_orders,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q20_excess_suppliers": q20_excess_suppliers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "q22_lapsed_customers": q22_lapsed_customers,
     }
 
 
@@ -5612,4 +5650,5 @@ def oracle_sql() -> dict[str, str]:
     # The incremental LSH index row-equals the one-shot build (the planes
     # are data-independent constants), so its oracle IS the one-shot one.
     d["similarity_lsh_incremental"] = d["similarity_lsh_topk"]
+    d["similarity_ivf_incremental"] = d["similarity_ivf_topk"]
     return d

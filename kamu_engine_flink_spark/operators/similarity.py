@@ -471,6 +471,116 @@ def lsh_topk_portable(
     )
 
 
+def _ivf_centroids_from_index(index: DataFrame, nlist: int) -> DataFrame:
+    """The deterministic centroid set IS recoverable from the index: the
+    nlist smallest-id member rows (their quantized vectors ride the index
+    relation)."""
+    return (
+        index.select(
+            F.col("__cid").alias("__centid"), F.col("__cq").alias("__centq")
+        )
+        .orderBy("__centid")
+        .limit(nlist)
+    )
+
+
+def ivf_index_incremental(
+    batch: DataFrame,
+    prior_index: DataFrame | None = None,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+) -> DataFrame:
+    """Incremental IVF index — frozen-centroid ingest (the production ANN
+    shape: train/fix the coarse quantizer once, then assign arriving
+    batches against it forever): the new batch is assigned to the PRIOR
+    index's centroid set (its nlist smallest-id rows) and appended as
+    (__cid, __cq, __list) rows without touching history.
+
+    LAW: with id-ordered batches whose first batch holds at least nlist
+    rows, the incremental index row-equals the one-shot build — the
+    global nlist smallest ids all arrive in batch 1, so the frozen
+    centroid set IS the one-shot centroid set and every assignment
+    matches. Probing the accumulated index then answers queries exactly
+    like a full rebuild (the oracle is the one-shot oracle).
+
+    Per batch: one broadcast of the (tiny) centroid set + one narrow
+    assignment pass over the batch — never O(corpus). Persist bucketed by
+    __list for exchange-free probes (the engine state layer's layout)."""
+    from ..functions import portable_hash as PH
+
+    c = batch.select(
+        F.col(corpus_id).alias("__cid"), PH.quantize_embedding(vec_col).alias("__cq")
+    )
+    if prior_index is None:
+        cents = (
+            c.select(
+                F.col("__cid").alias("__centid"), F.col("__cq").alias("__centq")
+            )
+            .orderBy("__centid")
+            .limit(nlist)
+        )
+    else:
+        cents = _ivf_centroids_from_index(prior_index, nlist)
+    aw = Window.partitionBy("__cid").orderBy(
+        F.desc(PH.quantized_cosine("__cq", "__centq")), F.asc("__centid")
+    )
+    assigned = (
+        c.crossJoin(F.broadcast(cents))
+        .withColumn("__r", F.row_number().over(aw))
+        .filter(F.col("__r") == 1)
+        .select("__cid", "__cq", F.col("__centid").alias("__list"))
+    )
+    if prior_index is None:
+        return assigned
+    return prior_index.unionByName(assigned)
+
+
+def ivf_topk_from_index(
+    index: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe a prebuilt (possibly incrementally accumulated) IVF index:
+    queries rank the centroid set (recovered from the index itself),
+    probe their nprobe nearest lists, rescore candidates by quantized
+    cosine, rank ties to the smaller corpus id."""
+    from ..functions import portable_hash as PH
+
+    cents = _ivf_centroids_from_index(index, nlist)
+    q = queries.select(
+        F.col(query_id).alias("__qid"), PH.quantize_embedding(vec_col).alias("__qq")
+    )
+    qw = Window.partitionBy("__qid").orderBy(
+        F.desc(PH.quantized_cosine("__qq", "__centq")), F.asc("__centid")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("__r", F.row_number().over(qw))
+        .filter(F.col("__r") <= nprobe)
+        .select("__qid", "__qq", F.col("__centid").alias("__list"))
+    )
+    scored = probes.join(index, "__list").withColumn(
+        "cosine", PH.quantized_cosine("__qq", "__cq")
+    )
+    w = Window.partitionBy("__qid").orderBy(F.desc("cosine"), F.asc("__cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__cid").alias(corpus_id),
+            F.col("rank"),
+            "cosine",
+        )
+    )
+
+
 def ivf_topk_portable(
     corpus: DataFrame,
     queries: DataFrame,
@@ -488,51 +598,14 @@ def ivf_topk_portable(
     centroid by quantized cosine (ties -> smaller centroid id); queries
     probe their nprobe nearest lists; candidates rescored and ranked like
     the exact path. ivf_topk (k-means centroids, numpy assignment) remains
-    the recall-tuned variant."""
-    from ..functions import portable_hash as PH
-
-    cents = (
-        corpus.select(F.col(corpus_id).alias("__centid"), PH.quantize_embedding(vec_col).alias("__centq"))
-        .orderBy("__centid")
-        .limit(nlist)
+    the recall-tuned variant. One-shot composition of
+    ivf_index_incremental + ivf_topk_from_index."""
+    index = ivf_index_incremental(
+        corpus, None, corpus_id=corpus_id, vec_col=vec_col, nlist=nlist
     )
-    c = corpus.select(
-        F.col(corpus_id).alias("__cid"), PH.quantize_embedding(vec_col).alias("__cq")
-    )
-    aw = Window.partitionBy("__cid").orderBy(
-        F.desc(PH.quantized_cosine("__cq", "__centq")), F.asc("__centid")
-    )
-    assigned = (
-        c.crossJoin(F.broadcast(cents))
-        .withColumn("__r", F.row_number().over(aw))
-        .filter(F.col("__r") == 1)
-        .select("__cid", "__cq", F.col("__centid").alias("__list"))
-    )
-    q = queries.select(
-        F.col(query_id).alias("__qid"), PH.quantize_embedding(vec_col).alias("__qq")
-    )
-    qw = Window.partitionBy("__qid").orderBy(
-        F.desc(PH.quantized_cosine("__qq", "__centq")), F.asc("__centid")
-    )
-    probes = (
-        q.crossJoin(F.broadcast(cents))
-        .withColumn("__r", F.row_number().over(qw))
-        .filter(F.col("__r") <= nprobe)
-        .select("__qid", "__qq", F.col("__centid").alias("__list"))
-    )
-    scored = probes.join(assigned, "__list").withColumn(
-        "cosine", PH.quantized_cosine("__qq", "__cq")
-    )
-    w = Window.partitionBy("__qid").orderBy(F.desc("cosine"), F.asc("__cid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("__qid").alias(query_id),
-            F.col("__cid").alias(corpus_id),
-            F.col("rank"),
-            "cosine",
-        )
+    return ivf_topk_from_index(
+        index, queries, k=k, corpus_id=corpus_id, query_id=query_id,
+        vec_col=vec_col, nlist=nlist, nprobe=nprobe,
     )
 
 

@@ -150,3 +150,28 @@ def test_lsh_incremental_index_equals_one_shot(spark, tmp_path):
     inc_rows = sorted(map(tuple, inc.collect()))
     one_rows = sorted(map(tuple, one.collect()))
     assert inc_rows == one_rows and len(inc_rows) > 0
+
+
+def test_ivf_incremental_index_equals_one_shot(spark, tmp_path):
+    """The frozen-centroid IVF ingest law: with id-ordered batches whose
+    first batch holds >= nlist rows, the incremental index answers
+    queries exactly like the one-shot build (the global nlist smallest
+    ids all arrive in batch 1, so the centroid sets coincide)."""
+    from kamu_engine_flink_spark.operators import similarity as S
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cut = e.count() // 2
+    idx = S.ivf_index_incremental(e.filter(F.col("vec_id") < cut), nlist=16)
+    p1 = str(tmp_path / "idx1")
+    idx.write.mode("overwrite").parquet(p1)
+    idx = S.ivf_index_incremental(
+        e.filter(F.col("vec_id") >= cut), spark.read.parquet(p1), nlist=16
+    )
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    inc = S.ivf_topk_from_index(idx, q, k=5, nlist=16, nprobe=4)
+    one = S.ivf_topk_portable(e, q, k=5, nlist=16, nprobe=4)
+    inc_rows = sorted(map(tuple, inc.collect()))
+    one_rows = sorted(map(tuple, one.collect()))
+    assert inc_rows == one_rows and len(inc_rows) > 0
