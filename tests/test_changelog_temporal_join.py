@@ -311,3 +311,61 @@ def test_asof_changelog_version_state_compacts(spark, tmp_path):
         assert n_rows <= 4, f"versions not compacted: {n_rows} rows"
     finally:
         spark.conf.unset("spark.kamu.state.ledgerCompactMinBytes")
+
+
+def test_asof_left_join_pads_before_first_version(spark, tmp_path):
+    """LEFT JOIN ... FOR SYSTEM_TIME AS OF over the updating build side:
+    probes before the key's first version (or on unseen keys) pad NULL
+    instead of dropping."""
+    asof_left = """SELECT o.event_time as event_time, o.symbol as symbol,
+  o.price as qty, rt.rate as rate
+FROM o LEFT JOIN rates FOR SYSTEM_TIME AS OF o.event_time AS rt
+ON o.symbol = rt.symbol"""
+    runner = TransformRunner(
+        spark, tmp_path, queries=[(RATES, "rates"), (asof_left, None)],
+        temporal_tables=[("rates", "symbol")],
+    )
+    resp, out = runner.run(
+        _inputs(
+            tmp_path, "r1",
+            [(0, 0, ts(10), ts(2, 0, 0), "A", 10)],
+            [(0, 0, ts(10), ts(1, 0, 0), "A", 100),   # before first version
+             (1, 0, ts(10), ts(2, 0, 1), "A", 200),   # matches
+             (2, 0, ts(10), ts(2, 0, 1), "Z", 300)],  # unseen key
+            ts(3), ts(3),
+        ),
+        system_time=ts(10),
+    )
+    assert _rows(out) == [
+        ("A", ts(1).isoformat(), 100, None),
+        ("A", ts(2, 0, 1).isoformat(), 200, 10),
+        ("Z", ts(2, 0, 1).isoformat(), 300, None),
+    ]
+
+
+def test_asof_lateral_table_spelling(spark, tmp_path):
+    """The LATERAL TABLE (rates(o.event_time)) spelling resolves through
+    the same changelog-versioned executor."""
+    lateral = """SELECT o.event_time as event_time, o.symbol as symbol,
+  o.price as qty, rt.rate as rate
+FROM o, LATERAL TABLE (rates(o.event_time)) AS rt
+WHERE o.symbol = rt.symbol"""
+    runner = TransformRunner(
+        spark, tmp_path, queries=[(RATES, "rates"), (lateral, None)],
+        temporal_tables=[("rates", "symbol")],
+    )
+    resp, out = runner.run(
+        _inputs(
+            tmp_path, "r1",
+            [(0, 0, ts(10), ts(1, 0, 1), "A", 10),
+             (1, 0, ts(10), ts(1, 0, 2), "B", 5)],
+            [(0, 0, ts(10), ts(2, 0, 0), "A", 100),
+             (1, 0, ts(10), ts(2, 0, 0), "B", 200)],
+            ts(3), ts(3),
+        ),
+        system_time=ts(10),
+    )
+    assert _rows(out) == [
+        ("A", ts(2).isoformat(), 100, 10),
+        ("B", ts(2).isoformat(), 200, 5),
+    ]
