@@ -857,6 +857,103 @@ class StreamingChangelogJoin:
         _run_available_now(self._plan(spark), self.checkpoint_dir, self.output_dir)
 
 
+_CLDIST_OUTPUT = StructType(
+    [
+        StructField("op", IntegerType()),
+        StructField("key", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+_CLDIST_STATE = StructType(
+    [
+        StructField("vals", ArrayType(DoubleType())),
+        StructField("cnts", ArrayType(LongType())),
+    ]
+)
+
+
+def _changelog_distinct_fn():
+    """Per-key DISTINCT kernel over a changelog input: state = the
+    per-value net counts (Flink's retraction-aware distinct). A value
+    emits op 0 when its count rises from zero, op 1 when it falls back to
+    zero, and NOTHING while moving between positive counts; a negative
+    count raises (inconsistent changelog)."""
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            vs, cs = state.get
+            C = dict(zip(vs or [], cs or []))
+        else:
+            C = {}
+        delta = {}
+        for pdf in pdfs:
+            for val, op in zip(pdf["__val"], pdf["__op"]):
+                delta[val] = delta.get(val, 0) + (-1 if op in (1, 2) else 1)
+        if not delta:
+            return
+        out = []
+        for val, dn in delta.items():
+            if dn == 0:
+                continue
+            old = C.get(val, 0)
+            new = old + dn
+            if new < 0:
+                raise ValueError(
+                    "changelog DISTINCT: a value count went negative — "
+                    "inconsistent changelog"
+                )
+            if old == 0 and new > 0:
+                out.append((0, key[0], val))
+            elif old > 0 and new == 0:
+                out.append((1, key[0], val))
+            if new == 0:
+                C.pop(val, None)
+            else:
+                C[val] = new
+        state.update((list(C.keys()), list(C.values())))
+        if out:
+            yield pd.DataFrame(out, columns=["op", "key", "value"])
+
+    return fn
+
+
+@dataclass
+class StreamingChangelogDistinct:
+    """Always-on retraction-aware SELECT DISTINCT — the streaming twin of
+    operators/distinct_step.py 's changelog path: per-value counts ride
+    the stream checkpoint, so a value published in run 1 leaves the
+    distinct view (op 1) when the last row carrying it retracts in a
+    later run. State shards by the key column across executors — the
+    same per-fingerprint count contract as the micro-batch executor."""
+
+    input_dir: str
+    checkpoint_dir: str
+    output_dir: str
+    key_col: str = "key"
+    value_col: str = "value"
+    op_col: str = "op"
+    schema: StructType | None = None
+
+    def _plan(self, spark: SparkSession) -> DataFrame:
+        rows = _file_stream(spark, self.input_dir, self.schema).select(
+            F.col(self.key_col).cast("string").alias("__key"),
+            F.col(self.value_col).cast("double").alias("__val"),
+            F.col(self.op_col).cast("int").alias("__op"),
+        )
+        return rows.groupBy("__key").applyInPandasWithState(
+            _changelog_distinct_fn(),
+            outputStructType=_CLDIST_OUTPUT,
+            stateStructType=_CLDIST_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    def run_available_now(self, spark: SparkSession) -> None:
+        _run_available_now(self._plan(spark), self.checkpoint_dir, self.output_dir)
+
+
 _OVER_OUTPUT = StructType(
     [
         StructField("key", StringType()),

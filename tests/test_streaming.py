@@ -866,3 +866,46 @@ def test_streaming_changelog_join_cross_run_retraction(spark, tmp_path):
     job.run_available_now(spark)
     delta3 = Counter(_read()) - Counter(snapshot2)
     assert dict(delta3) == {(1, "A", 2.0, 10.0): 1, (0, "A", 2.0, 20.0): 1}
+
+
+def test_streaming_changelog_distinct_cross_run(spark, tmp_path):
+    """Retraction-aware DISTINCT on the always-on path: a value enters
+    (op 0) when its count rises from zero, emits NOTHING between positive
+    counts, and leaves (op 1) when the last carrier retracts in a LATER
+    run — per-value counts restored from the stream checkpoint."""
+    from collections import Counter
+
+    from kamu_engine_flink_spark.streaming.structured import (
+        StreamingChangelogDistinct,
+    )
+
+    d = {k: str(tmp_path / k) for k in ["in", "chk", "out"]}
+    os.makedirs(d["in"])
+    job = StreamingChangelogDistinct(
+        input_dir=d["in"], checkpoint_dir=d["chk"], output_dir=d["out"]
+    )
+
+    def _read():
+        try:
+            rows = spark.read.parquet(d["out"]).collect()
+        except Exception:
+            return []
+        return sorted((r.op, r.key, r.value) for r in rows)
+
+    # Run 1: two carriers of (A, 1.0), one of (A, 2.0) -> two op-0 rows.
+    _cl_slice(os.path.join(d["in"], "s1.parquet"),
+              [("A", 1.0, 0), ("A", 1.0, 0), ("A", 2.0, 0)])
+    job.run_available_now(spark)
+    out1 = _read()
+    assert out1 == [(0, "A", 1.0), (0, "A", 2.0)]
+
+    # Run 2: one carrier of (A, 1.0) retracts -> count 2 -> 1: silent.
+    _cl_slice(os.path.join(d["in"], "s2.parquet"), [("A", 1.0, 1)])
+    job.run_available_now(spark)
+    assert _read() == out1
+
+    # Run 3: the LAST carrier retracts -> (A, 1.0) leaves the view.
+    _cl_slice(os.path.join(d["in"], "s3.parquet"), [("A", 1.0, 1)])
+    job.run_available_now(spark)
+    delta = Counter(_read()) - Counter(out1)
+    assert dict(delta) == {(1, "A", 1.0): 1}
