@@ -954,6 +954,123 @@ class StreamingChangelogDistinct:
         _run_available_now(self._plan(spark), self.checkpoint_dir, self.output_dir)
 
 
+_CLTOPN_OUTPUT = StructType(
+    [
+        StructField("op", IntegerType()),
+        StructField("key", StringType()),
+        StructField("place", LongType()),
+        StructField("value", DoubleType()),
+    ]
+)
+_CLTOPN_STATE = StructType(
+    [
+        StructField("vals", ArrayType(DoubleType())),
+        StructField("cnts", ArrayType(LongType())),
+    ]
+)
+
+
+def _changelog_topn_fn(n: int):
+    """Per-key retractable-rank kernel (Flink RetractableTopNFunction,
+    streaming form): state = the FULL live value multiset as (value, net
+    count) pairs — a retraction of the leader must promote from beyond
+    the visible top-N, which only full state can answer. Each micro-batch
+    folds its op tags, re-ranks, and emits the per-place diff: op 0 where
+    a place appears, op 1 where it disappears, an op-2/op-3
+    CorrectFrom/CorrectTo pair (adjacent, in order) where its value
+    changed. Negative multiplicities raise — the micro-batch executor's
+    inconsistent-changelog guard."""
+
+    def top(C):
+        out = []
+        for v in sorted(C, reverse=True):
+            out.extend([v] * C[v])
+            if len(out) >= n:
+                break
+        return out[:n]
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            vs, cs = state.get
+            C = dict(zip(vs or [], cs or []))
+        else:
+            C = {}
+        delta = {}
+        for pdf in pdfs:
+            for val, op in zip(pdf["__val"], pdf["__op"]):
+                delta[val] = delta.get(val, 0) + (-1 if op in (1, 2) else 1)
+        if not delta:
+            return
+        old = top(C)
+        for val, dn in delta.items():
+            m = C.get(val, 0) + dn
+            if m < 0:
+                raise ValueError(
+                    "changelog Top-N: a value multiplicity went negative — "
+                    "inconsistent changelog"
+                )
+            if m == 0:
+                C.pop(val, None)
+            else:
+                C[val] = m
+        new = top(C)
+        out = []
+        for place in range(max(len(old), len(new))):
+            o = old[place] if place < len(old) else None
+            nv = new[place] if place < len(new) else None
+            if o is None:
+                out.append((0, key[0], place + 1, nv))
+            elif nv is None:
+                out.append((1, key[0], place + 1, o))
+            elif o != nv:
+                out.append((2, key[0], place + 1, o))
+                out.append((3, key[0], place + 1, nv))
+        state.update((list(C.keys()), list(C.values())))
+        if out:
+            yield pd.DataFrame(out, columns=["op", "key", "place", "value"])
+
+    return fn
+
+
+@dataclass
+class StreamingChangelogTopN:
+    """Always-on retractable Top-N over a CHANGELOG input — the streaming
+    twin of operators/changelog_topn.py: the rank operator when its input
+    is itself updating (the 'top products by live sales count' pattern).
+    The live multiset rides the stream checkpoint, so a run-1 leader
+    retracted in run 2 promotes the runner-up that was never visible in
+    the emitted top-N (per-key state; use a constant key column for the
+    global form)."""
+
+    input_dir: str
+    checkpoint_dir: str
+    output_dir: str
+    n: int = 3
+    key_col: str = "key"
+    value_col: str = "value"
+    op_col: str = "op"
+    schema: StructType | None = None
+
+    def _plan(self, spark: SparkSession) -> DataFrame:
+        rows = _file_stream(spark, self.input_dir, self.schema).select(
+            F.col(self.key_col).cast("string").alias("__key"),
+            F.col(self.value_col).cast("double").alias("__val"),
+            F.col(self.op_col).cast("int").alias("__op"),
+        )
+        return rows.groupBy("__key").applyInPandasWithState(
+            _changelog_topn_fn(self.n),
+            outputStructType=_CLTOPN_OUTPUT,
+            stateStructType=_CLTOPN_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    def run_available_now(self, spark: SparkSession) -> None:
+        _run_available_now(self._plan(spark), self.checkpoint_dir, self.output_dir)
+
+
 _OVER_OUTPUT = StructType(
     [
         StructField("key", StringType()),

@@ -909,3 +909,51 @@ def test_streaming_changelog_distinct_cross_run(spark, tmp_path):
     job.run_available_now(spark)
     delta = Counter(_read()) - Counter(out1)
     assert dict(delta) == {(1, "A", 1.0): 1}
+
+
+def test_streaming_changelog_topn_promotes_on_retraction(spark, tmp_path):
+    """Retractable Top-N over a changelog input on the always-on path:
+    run 2 retracts the run-1 leader — the runner-up beyond the visible
+    top-2 promotes (full live multiset in the stream checkpoint), and a
+    changed place emits an adjacent op-2/op-3 pair in order."""
+    from collections import Counter
+
+    from kamu_engine_flink_spark.streaming.structured import StreamingChangelogTopN
+
+    d = {k: str(tmp_path / k) for k in ["in", "chk", "out"]}
+    os.makedirs(d["in"])
+    job = StreamingChangelogTopN(
+        input_dir=d["in"], checkpoint_dir=d["chk"], output_dir=d["out"], n=2
+    )
+
+    def _read():
+        try:
+            rows = spark.read.parquet(d["out"]).collect()
+        except Exception:
+            return []
+        return [(r.op, r.key, r.place, r.value) for r in rows]
+
+    # Run 1: values 9, 7, 5 -> top-2 = [9, 7]; 5 lives beyond the horizon.
+    _cl_slice(os.path.join(d["in"], "s1.parquet"),
+              [("A", 9.0, 0), ("A", 7.0, 0), ("A", 5.0, 0)])
+    job.run_available_now(spark)
+    out1 = sorted(_read())
+    assert out1 == [(0, "A", 1, 9.0), (0, "A", 2, 7.0)]
+
+    # Run 2: the leader retracts -> 7 takes place 1, the never-visible 5
+    # promotes into place 2 (two correction pairs).
+    _cl_slice(os.path.join(d["in"], "s2.parquet"), [("A", 9.0, 1)])
+    job.run_available_now(spark)
+    delta = Counter(_read()) - Counter(out1)
+    assert dict(delta) == {
+        (2, "A", 1, 9.0): 1, (3, "A", 1, 7.0): 1,
+        (2, "A", 2, 7.0): 1, (3, "A", 2, 5.0): 1,
+    }
+
+    # Run 3: everything retracts -> both places leave (op 1).
+    snapshot = _read()
+    _cl_slice(os.path.join(d["in"], "s3.parquet"),
+              [("A", 7.0, 1), ("A", 5.0, 1)])
+    job.run_available_now(spark)
+    delta3 = Counter(_read()) - Counter(snapshot)
+    assert dict(delta3) == {(1, "A", 1, 7.0): 1, (1, "A", 2, 5.0): 1}
