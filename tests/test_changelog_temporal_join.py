@@ -369,3 +369,84 @@ WHERE o.symbol = rt.symbol"""
         ("A", ts(2).isoformat(), 100, 10),
         ("B", ts(2).isoformat(), 200, 5),
     ]
+
+
+@pytest.mark.parametrize("seed,n_inv", [(7, 3), (23, 4)])
+def test_asof_random_slicing_matches_brute_force(spark, tmp_path, seed, n_inv):
+    """Randomized scenario vs a Python brute-force model of the full
+    contract: continuous-agg version history (max-event-time rowtime,
+    monotone vseq), late-version drops against the prior build watermark,
+    probe buffering until the joint watermark, and latest-live-version
+    resolution. Seeded, so failures reproduce."""
+    import random
+
+    rng = random.Random(seed)
+    syms = [f"S{i}" for i in range(4)]
+    rate_events = [
+        (rng.choice(syms), ts(rng.randint(1, 18), rng.randint(0, 23)),
+         rng.randint(1, 9))
+        for _ in range(28)
+    ]
+    probe_events = [
+        (rng.choice(syms), ts(rng.randint(1, 18), rng.randint(0, 23)), 1000 + i)
+        for i in range(24)
+    ]
+    rng.shuffle(rate_events)
+    rng.shuffle(probe_events)
+
+    def chunk(evts, k):
+        out = [[] for _ in range(k)]
+        for e in evts:
+            out[rng.randrange(k)].append(e)
+        return out
+
+    r_slices = chunk(rate_events, n_inv)
+    p_slices = chunk(probe_events, n_inv)
+    wms = [ts(5 + i * (16 // n_inv)) for i in range(n_inv - 1)] + [ts(21)]
+
+    # ---- brute-force model -------------------------------------------
+    agg = {}       # sym -> [sum, max_ts]
+    versions = {}  # sym -> [(vt, vseq, rate)]
+    pending, emitted, prev_bw, vseq = [], [], None, 0
+    for rs, ps, wm in zip(r_slices, p_slices, wms):
+        touched = set()
+        for sym, t, price in rs:
+            s, m = agg.get(sym, (0, None))
+            agg[sym] = (s + price, t if m is None or t > m else m)
+            touched.add(sym)
+        for sym in sorted(touched):
+            s, m = agg[sym]
+            if prev_bw is not None and m <= prev_bw:
+                continue  # late version: contradicts released probes
+            versions.setdefault(sym, []).append((m, vseq, s))
+            vseq += 1
+        pending += ps
+        release = [p for p in pending if p[1] <= wm]
+        pending = [p for p in pending if p[1] > wm]
+        for sym, t, qty in release:
+            vs = [v for v in versions.get(sym, []) if v[0] <= t]
+            if vs:
+                emitted.append((sym, t.isoformat(), qty, max(vs)[2]))
+        prev_bw = wm
+
+    # ---- engine -------------------------------------------------------
+    runner = TransformRunner(
+        spark, tmp_path, queries=[(RATES, "rates"), (ASOF, None)],
+        temporal_tables=[("rates", "symbol")],
+    )
+    got = []
+    for i, (rs, ps, wm) in enumerate(zip(r_slices, p_slices, wms)):
+        r_rows = [(j, 0, ts(25), t, sym, price)
+                  for j, (sym, t, price) in enumerate(rs)]
+        p_rows = [(j, 0, ts(25), t, sym, qty)
+                  for j, (sym, t, qty) in enumerate(ps)]
+        resp, out = runner.run(
+            _inputs(tmp_path, f"rnd{i}", r_rows, p_rows, wm, wm),
+            system_time=ts(25, i),
+        )
+        if os.path.exists(out):
+            got += [
+                (r["symbol"], r["event_time"].isoformat(), r["qty"], r["rate"])
+                for r in pq.read_table(out).to_pylist()
+            ]
+    assert sorted(got) == sorted(emitted)
