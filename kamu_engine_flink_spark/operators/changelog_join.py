@@ -390,13 +390,15 @@ def execute_changelog_join(ctx: StepContext, sql: str) -> StepResult:
         .drop("__cj_d", "__cj_dup")
     )
 
-    # Ledgers append only this invocation's signed rows — O(slice).
-    ctx.state.save_dfs(
-        [
-            (l_name, dl, lkeys, True),
-            (r_name, dr, rkeys, True),
-        ]
-    )
+    # Ledger maintenance: O(slice) appends with size-triggered netting
+    # compaction (operators/base.maintain_signed_ledger) — an updating
+    # upstream emits a +1/-1 pair per touched tuple every invocation, so
+    # without compaction state would track changelog volume, not live
+    # rows.
+    from .base import maintain_signed_ledger
+
+    maintain_signed_ledger(ctx, l_name, dl, l_data, SIGN, lkeys, full=l_hist)
+    maintain_signed_ledger(ctx, r_name, dr, r_data, SIGN, rkeys, full=r_hist)
 
     order_cols = [c for c in result.columns if c != _PHASE]
     out_et = ctx.request.vocab.event_time_column

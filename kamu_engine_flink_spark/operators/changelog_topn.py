@@ -280,41 +280,16 @@ def execute_changelog_topn(ctx: StepContext, sql: str, spec) -> StepResult:
         GSEQ_COL, F.row_number().over(ord_w).cast("long")
     )
 
-    # Ledger maintenance: the common case appends only the slice's signed
-    # rows — O(slice). But an upstream continuous aggregate emits a +1/-1
-    # pair per touched key EVERY invocation, so an append-only ledger
-    # grows with changelog volume, not live rows. The ledger is a signed
-    # multiset: netting it (groupBy tuple, sum sign, drop zero nets) is
-    # semantics-preserving, so when the accumulated bytes exceed 4x the
-    # size measured after the last compaction, fold the history back to
-    # one row per live tuple (amortized O(slice) appends with periodic
-    # O(state) compactions — Flink retains only live rows continuously).
-    compact_meta = f"{ledger_name}.compact.json"
-    meta = ctx.state.load_json(compact_meta) or {}
-    cur_bytes = ctx.state.relation_bytes(ledger_name) or 0
-    floor = meta.get("floor")
-    try:
-        min_bytes = int(
-            ctx.spark.conf.get("spark.kamu.state.ledgerCompactMinBytes")
-        )
-    except Exception:
-        min_bytes = 8 << 20
-    if floor is not None and cur_bytes > max(4 * floor, min_bytes):
-        compacted = (
-            ledger.unionByName(delta)
-            .groupBy(*value_cols)
-            .agg(F.sum(SIGN).cast(IntegerType()).alias(SIGN))
-            .filter(F.col(SIGN) != 0)
-        )
-        ctx.state.save_df(ledger_name, compacted, bucket_by=part_keys or None)
-        # floor=None -> next invocation records the compacted size.
-        ctx.state.save_json(compact_meta, {"floor": None})
-    else:
-        ctx.state.save_df(
-            ledger_name, delta, bucket_by=part_keys or None, append=True
-        )
-        if floor is None:
-            ctx.state.save_json(compact_meta, {"floor": cur_bytes})
+    # Ledger maintenance: O(slice) appends with size-triggered netting
+    # compaction so state tracks LIVE rows, not changelog volume (an
+    # upstream continuous aggregate emits a +1/-1 pair per touched key
+    # EVERY invocation) — operators/base.maintain_signed_ledger.
+    from .base import maintain_signed_ledger
+
+    maintain_signed_ledger(
+        ctx, ledger_name, delta, value_cols, SIGN, part_keys or None,
+        full=ledger,
+    )
 
     # Re-apply the user's outer projection over the diff changelog.
     view_name = f"__cl_topn_{ctx.step_key.replace('-', '_')}"

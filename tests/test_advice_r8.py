@@ -260,3 +260,54 @@ def test_changelog_topn_ledger_compacts(spark, tmp_path):
         assert n_rows <= 8, f"ledger not compacted: {n_rows} rows"
     finally:
         spark.conf.unset("spark.kamu.state.ledgerCompactMinBytes")
+
+
+def test_changelog_join_ledger_compacts(spark, tmp_path):
+    """The changelog JOIN's signed ledgers net-compact too (same
+    maintenance as the Top-N ledger): per-invocation correction churn on
+    one key must leave state tracking live rows, not changelog volume,
+    with the joined changelog still folding to the batch answer."""
+    agg = """SELECT max(event_time) as event_time,
+  symbol, sum(price) as s FROM a GROUP BY symbol"""
+    join = """SELECT g.event_time as event_time, g.symbol as symbol,
+  g.s as s, c.price as c_price
+FROM g JOIN c ON g.symbol = c.symbol"""
+    runner = TransformRunner(
+        spark, tmp_path, queries=[(agg, "g"), (join, None)]
+    )
+    spark.conf.set("spark.kamu.state.ledgerCompactMinBytes", "0")
+    try:
+        n_inv = 10
+        state = {}
+        for i in range(1, n_inv + 1):
+            a = str(tmp_path / "in" / f"a_r{i}.parquet")
+            c = str(tmp_path / "in" / f"c_r{i}.parquet")
+            ticker_slice(a, [(i, 0, ts(20 + i), ts(i), "A", i)])
+            ticker_slice(c, [(0, 0, ts(21), ts(1), "A", 99)] if i == 1 else [])
+            resp, out = runner.run(
+                [{"alias": "a", "data_paths": [a], "schema_file": a,
+                  "watermark": ts(i, 12)},
+                 {"alias": "c", "data_paths": [c] if i == 1 else [],
+                  "schema_file": c, "watermark": ts(i, 12)}],
+                system_time=ts(20 + i),
+            )
+            if os.path.exists(out):
+                for r in pq.read_table(out).to_pylist():
+                    key = (r["symbol"], r["c_price"])
+                    if r["op"] in (0, 3):
+                        state[key] = r["s"]
+                    elif r["op"] == 1:
+                        state.pop(key, None)
+        assert state == {("A", 99): sum(range(1, n_inv + 1))}
+        for side in ("cj-left", "cj-right"):
+            dirs = [
+                e for e in os.listdir(runner.prev_checkpoint)
+                if e.endswith(f"-{side}.parquet")
+            ]
+            assert len(dirs) == 1, (side, dirs)
+            n_rows = pq.read_table(
+                os.path.join(runner.prev_checkpoint, dirs[0])
+            ).num_rows
+            assert n_rows <= 6, f"{side} not compacted: {n_rows} rows"
+    finally:
+        spark.conf.unset("spark.kamu.state.ledgerCompactMinBytes")
