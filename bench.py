@@ -231,6 +231,23 @@ FROM events GROUP BY user_id""",
     ),
     (None, "SELECT event_time, user_id, total FROM live_totals"),
 ]
+# Temporal (as-of) join over an updating build side: a continuous
+# per-user total versioned by its max(event_time) rowtime, probed by the
+# click stream (changelog-maintained versioned view).
+CHANGELOG_ASOF_STEPS = [
+    (
+        "rates",
+        """SELECT max(event_time) as event_time,
+  user_id, sum(value) as rate FROM purchases GROUP BY user_id""",
+    ),
+    (
+        None,
+        """SELECT c.event_time as event_time, c.user_id as user_id,
+  c.value as qty, rt.rate as rate
+FROM clicks AS c JOIN rates FOR SYSTEM_TIME AS OF c.event_time AS rt
+ON c.user_id = rt.user_id""",
+    ),
+]
 # Retraction-aware DISTINCT over a LEFT-join changelog: per-value count
 # state keyed by the row fingerprint.
 CHANGELOG_DISTINCT_STEPS = [
@@ -282,17 +299,20 @@ def _odf_ledger(
     return path, wm
 
 
-def _time_transform(spark, inputs, sql, workdir: str, tag: str) -> float:
+def _time_transform(spark, inputs, sql, workdir: str, tag: str,
+                    temporal_tables=()) -> float:
     """One full ODF transform invocation (the reference's primary surface):
     slice read, dialect rewrite, stateful executor, offset stamp,
     single-file write, state persist. `inputs`: [(alias, ledger_path, wm)];
-    `sql` is one query string or a list of (alias, sql) steps."""
+    `sql` is one query string or a list of (alias, sql) steps;
+    `temporal_tables`: (name, pk) pairs."""
     from datetime import timezone
 
     from kamu_engine_flink_spark.engine.transform import execute_transform
     from kamu_engine_flink_spark.protocol.model import (
         DatasetVocabulary,
         SqlQueryStep,
+        TemporalTable,
         Transform,
         TransformRequest,
         TransformRequestInput,
@@ -309,7 +329,13 @@ def _time_transform(spark, inputs, sql, workdir: str, tag: str) -> float:
     )
     st = max(_utc(wm) for (_, _, wm) in inputs)
     req = TransformRequest(
-        transform=Transform(queries=steps),
+        transform=Transform(
+            queries=steps,
+            temporal_tables=[
+                TemporalTable(name=n, primary_key=[pk])
+                for n, pk in temporal_tables
+            ],
+        ),
         query_inputs=[
             TransformRequestInput(
                 query_alias=alias,
@@ -605,11 +631,22 @@ def main() -> None:
                 CHANGELOG_DISTINCT_STEPS,
                 [("purchases", p_ledger, p_wm), ("clicks", c_ledger, c_wm)],
             ),
+            (
+                "odf_transform_changelog_asof",
+                CHANGELOG_ASOF_STEPS,
+                [("purchases", p_ledger, p_wm), ("clicks", c_ledger, c_wm)],
+            ),
         ):
             rep_seq = iter(range(SUBSEC_REPS))
+            tts = (
+                [("rates", "user_id")]
+                if tag == "odf_transform_changelog_asof"
+                else ()
+            )
             timings[tag], runs = _median_runs(
-                lambda tag=tag, sql=sql, inputs=inputs: _time_transform(
-                    spark, inputs, sql, workdir, f"{tag}-{next(rep_seq)}"
+                lambda tag=tag, sql=sql, inputs=inputs, tts=tts: _time_transform(
+                    spark, inputs, sql, workdir, f"{tag}-{next(rep_seq)}",
+                    temporal_tables=tts,
                 )
             )
             print(f"{tag}: {timings[tag]}s (runs: {runs})", file=sys.stderr)
