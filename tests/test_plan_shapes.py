@@ -243,3 +243,61 @@ def test_regular_join_state_probes_use_bucketed_scans(spark, tmp_path):
     # new trades x new quotes + old trades x new quotes.
     table = pq.read_table(out)
     assert table.num_rows == 3 * 500
+
+
+CL_ASOF_RATES = """SELECT max(event_time) as event_time,
+  symbol, sum(price) as rate FROM r GROUP BY symbol"""
+CL_ASOF_PROBE = """SELECT o.event_time as event_time, o.symbol as symbol,
+  o.price as qty, rt.rate as rate
+FROM o JOIN rates FOR SYSTEM_TIME AS OF o.event_time AS rt
+ON o.symbol = rt.symbol"""
+
+
+def test_changelog_asof_version_state_bucketed_no_broadcast(spark, tmp_path):
+    """The changelog as-of join's version state is persisted BUCKETED by
+    the primary key and carries no forced broadcast: at 20k keys the
+    invocation-2 plans must read it through the bucket reader and plan
+    no BroadcastExchange with the threshold disabled (the state is
+    unbounded — a hard hint would be the driver-OOM scale-killer)."""
+    runner = TransformRunner(
+        spark, tmp_path, queries=[(CL_ASOF_RATES, "rates"), (CL_ASOF_PROBE, None)],
+        temporal_tables=[("rates", "symbol")],
+    )
+    n = 20_000
+    r1 = str(tmp_path / "in" / "r1.parquet")
+    o1 = str(tmp_path / "in" / "o1.parquet")
+    ticker_slice(r1, [(i, 0, ts(10), ts(1, 0, 1), f"k{i}", 1) for i in range(n)])
+    ticker_slice(o1, [(i, 0, ts(10), ts(2, 0, 0), f"k{i}", 7) for i in range(200)])
+    runner.run(
+        [{"alias": "r", "data_paths": [r1], "schema_file": r1, "watermark": ts(3)},
+         {"alias": "o", "data_paths": [o1], "schema_file": o1, "watermark": ts(3)}],
+        system_time=ts(10),
+    )
+
+    r2 = str(tmp_path / "in" / "r2.parquet")
+    o2 = str(tmp_path / "in" / "o2.parquet")
+    ticker_slice(r2, [(n + i, 0, ts(12), ts(4, 0, 1), f"k{i}", 2) for i in range(300)])
+    ticker_slice(o2, [(n + i, 0, ts(12), ts(5, 0, 0), f"k{i}", 9) for i in range(300)])
+    with _no_auto_broadcast(spark):
+        _drain_listener_bus(spark)
+        n_before = len(_executions(spark))
+        resp, out = runner.run(
+            [{"alias": "r", "data_paths": [r2], "schema_file": r2, "watermark": ts(6)},
+             {"alias": "o", "data_paths": [o2], "schema_file": o2, "watermark": ts(6)}],
+            system_time=ts(12),
+        )
+        _assert_no_broadcast(spark, n_before)
+        _drain_listener_bus(spark)
+        plans = [
+            p
+            for p in _executions(spark)
+            if str(tmp_path) in p and "-cl-versions" in p
+        ]
+        assert plans, "no plans scanning this test's version state captured"
+        bucketed = [p for p in plans if "Bucketed: true" in p]
+        assert bucketed, "no bucketed version-state scan in invocation-2 plans"
+
+    table = pq.read_table(out)
+    # 300 probes at day 5: 300 keys corrected to rate 3 at day 4.
+    assert table.num_rows == 300
+    assert {r["rate"] for r in table.to_pylist()} == {3}
