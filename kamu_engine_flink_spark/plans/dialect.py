@@ -516,6 +516,16 @@ def rewrite_query(sql: str, *, watermark: datetime | None = None) -> str:
     out = _PROCTIME_RE.sub("current_timestamp()", out)
     out = _CURRENT_ROW_TS_RE.sub("current_timestamp()", out)
     out = _rewrite_call(out, "SPLIT_INDEX", _split_index_repl)
+    # CONVERT_TZ(s, tzFrom, tzTo): Flink converts a 'yyyy-MM-dd HH:mm:ss'
+    # STRING between zones and returns a string of the same shape; Spark
+    # spells it as the to_utc/from_utc pair plus the format.
+    out = _rewrite_call(
+        out, "CONVERT_TZ",
+        lambda a: (
+            f"date_format(from_utc_timestamp(to_utc_timestamp({a[0]}, "
+            f"{a[1]}), {a[2]}), 'yyyy-MM-dd HH:mm:ss')"
+        ),
+    )
     # RAND_INTEGER(bound) / RAND_INTEGER(seed, bound): the bound is always
     # the LAST argument; a seed cannot be honored by Spark's RAND() here and
     # is dropped (Flink itself documents the seeded form as a per-operator

@@ -337,3 +337,16 @@ def test_rowtime_rewrites():
         rq("SELECT TUMBLE_ROWTIME(ts, INTERVAL '1' MONTH) FROM t")
         == "SELECT (date_trunc('MONTH', ts) + INTERVAL 1 MONTH - INTERVAL 1 MILLISECOND) FROM t"
     )
+
+
+def test_convert_tz_rewrite(spark):
+    """Flink CONVERT_TZ(string, tzFrom, tzTo) -> Spark to_utc/from_utc
+    pair formatted back to Flink's string shape."""
+    from kamu_engine_flink_spark.plans.dialect import rewrite_query
+
+    sql = rewrite_query(
+        "SELECT CONVERT_TZ('2000-01-01 00:00:00', 'UTC', 'America/New_York') as t"
+    )
+    assert "from_utc_timestamp" in sql and "CONVERT_TZ" not in sql
+    row = spark.sql(sql).collect()[0]
+    assert row["t"] == "1999-12-31 19:00:00"
