@@ -35,9 +35,12 @@ oracle-reproducible).
 Scale shape: ledger probes are key-restricted `=` semi-joins against the
 bucketed state (no state-side exchange); an invocation costs O(slice +
 touched keys' live rows) — the inherent retractable-rank cost (Flink's
-map-state reads the same rows). The GLOBAL form (no PARTITION BY)
-recomputes its single group's top-N with TakeOrdered (distributed
-partial top-N, no full sort).
+map-state reads the same rows) — with the ledger itself held at O(live
+rows) by size-triggered netting compaction (operators/base.
+maintain_signed_ledger), so per-key cost never grows with total
+changelog volume. The GLOBAL form (no PARTITION BY) recomputes its
+single group's top-N with TakeOrdered (distributed partial top-N, no
+full sort).
 
 A re-stamped now() emission time from an upstream continuous aggregate
 must NOT be projected through the ranked subquery — its value differs
