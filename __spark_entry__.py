@@ -1379,6 +1379,49 @@ def similarity_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def similarity_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental PQ index state (operators/similarity.
+    pq_index_incremental — frozen-codebook ingest, completing the
+    incremental-ANN trilogy with LSH and IVF): batch 1 fixes the
+    deterministic codebook (subvectors of the ksub smallest ids); batch 2
+    encodes against the persisted codebook and appends its code rows.
+    Under id-ordered arrival the incremental index row-equals the
+    one-shot build, so the oracle IS the one-shot oracle. Per batch: one
+    tiny codebook broadcast + one encode pass — never O(corpus)."""
+    import os
+    import tempfile
+
+    e = _t(spark, sf_dir, "embeddings")
+    cut = e.count() // 2  # vec_id is contiguous from 0: an id-ordered prefix
+    workdir = tempfile.mkdtemp(prefix="incpq-entry-")
+    codes, book = S.pq_index_incremental(
+        e.filter(F.col("vec_id") < cut), m=8, ksub=16, dim=64
+    )
+    cpath, bpath = os.path.join(workdir, "codes1"), os.path.join(workdir, "book")
+    codes.write.mode("overwrite").parquet(cpath)
+    book.write.mode("overwrite").parquet(bpath)
+    codes, book = S.pq_index_incremental(
+        e.filter(F.col("vec_id") >= cut),
+        (spark.read.parquet(cpath), spark.read.parquet(bpath)),
+        m=8, ksub=16, dim=64,
+    )
+    cpath2 = os.path.join(workdir, "codes2")
+    codes.write.mode("overwrite").parquet(cpath2)
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = S.pq_topk_from_index(
+        (spark.read.parquet(cpath2), spark.read.parquet(bpath)), q,
+        k=5, m=8, dim=64,
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("approx_d2").cast("long").alias("approx_d2"),
+    )
+
+
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-k with deterministic centroids (nlist smallest corpus
     ids) over quantized cosine — DuckDB-oracle hash-checked assignment,
@@ -3369,21 +3412,22 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION note: the driver records correctness rows for only the
     # FIRST 50 dict entries per round, so the registry rotates each round.
-    # Round 8 first-50 = 3 entries due their FIRST driver row (the
-    # changelog as-of join and the incremental LSH/IVF indexes) + 47 of
-    # the r05-remainder/r06-checked cohort queued by round 7's plan. At
-    # 118 entries the 50-row cap makes a full cycle take 3 rounds for the
-    # cohort tail (~20 entries, the stable multimodal/sketch/text block);
-    # tools/crosscheck.py verifies ALL entries locally every round and
-    # the run is committed as CROSSCHECK_r{N}.txt.
+    # Round 8 first-50 = 4 entries due their FIRST driver row (the
+    # changelog as-of join and the incremental LSH/IVF/PQ indexes) + 46
+    # of the r05-remainder/r06-checked cohort queued by round 7's plan.
+    # At 119 entries the 50-row cap makes a full cycle take 3 rounds for
+    # the cohort tail (~20 entries, the stable multimodal/sketch/text
+    # block); tools/crosscheck.py verifies ALL entries locally every
+    # round and the run is committed as CROSSCHECK_r{N}.txt.
     return {
-        # --- due their FIRST driver row (3): round-8's new operators ---
+        # --- due their FIRST driver row (4): round-8's new operators ---
         "changelog_asof_rates": changelog_asof_rates,
         "similarity_lsh_incremental": similarity_lsh_incremental,
         "similarity_ivf_incremental": similarity_ivf_incremental,
-        # --- r05-remainder + r06-checked cohort, due re-check (first 47
+        "similarity_pq_incremental": similarity_pq_incremental,
+        # --- r05-remainder + r06-checked cohort, due re-check (first 46
         #     fit the 50 cap; the ~20 tail entries take the 3-round slot
-        #     the 118-entry registry forces at 50 rows/round — all 118 are
+        #     the 119-entry registry forces at 50 rows/round — all 119 are
         #     backstopped by the committed CROSSCHECK_r08) ---
         "stratified_sample_documents": stratified_sample_documents,
         "term_doc_frequency": term_doc_frequency,
@@ -5651,4 +5695,5 @@ def oracle_sql() -> dict[str, str]:
     # are data-independent constants), so its oracle IS the one-shot one.
     d["similarity_lsh_incremental"] = d["similarity_lsh_topk"]
     d["similarity_ivf_incremental"] = d["similarity_ivf_topk"]
+    d["similarity_pq_incremental"] = d["similarity_pq_topk"]
     return d

@@ -753,6 +753,131 @@ def pq_topk(
     )
 
 
+def _pq_subvectors(df: DataFrame, keep: list[str], m: int, dsub: int) -> DataFrame:
+    subs_expr = (
+        f"transform(sequence(0, {m - 1}), j -> slice(__q, j * {dsub} + 1, {dsub}))"
+    )
+    return df.select(
+        *keep, F.posexplode(F.expr(subs_expr)).alias("__j", "__sub")
+    )
+
+
+_PQ_D2 = (
+    "aggregate(zip_with(__sub, __cb, (x, y) -> (x - y) * (x - y)), "
+    "0L, (acc, v) -> acc + v)"
+)
+
+
+def _pq_codebook(cq: DataFrame, ksub: int, m: int, dsub: int) -> DataFrame:
+    """Deterministic (__code, __j, __cb) codebook: subvectors of the ksub
+    smallest corpus ids."""
+    cents = (
+        cq.orderBy("__cid")
+        .limit(ksub)
+        .withColumn("__code", F.row_number().over(Window.orderBy("__cid")) - 1)
+    )
+    return _pq_subvectors(cents, ["__code"], m, dsub).select(
+        "__code", "__j", F.col("__sub").alias("__cb")
+    )
+
+
+def _pq_encode(cq: DataFrame, codebook: DataFrame, m: int, dsub: int) -> DataFrame:
+    """(__cid, __j, __code): per (row, subspace) argmin integer L2 to the
+    codebook, ties to the smaller code."""
+    enc_w = Window.partitionBy("__cid", "__j").orderBy(
+        F.expr(_PQ_D2).asc(), F.col("__code").asc()
+    )
+    return (
+        _pq_subvectors(cq, ["__cid"], m, dsub)
+        .join(F.broadcast(codebook), "__j")
+        .withColumn("__r", F.row_number().over(enc_w))
+        .filter(F.col("__r") == 1)
+        .select("__cid", "__j", "__code")
+    )
+
+
+def pq_index_incremental(
+    batch: DataFrame,
+    prior_index: tuple[DataFrame, DataFrame] | None = None,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental PQ index — frozen-codebook ingest: batch 1 fixes the
+    deterministic codebook (subvectors of the ksub smallest ids); later
+    batches encode against the persisted codebook and append their
+    (__cid, __j, __code) rows without touching history. State is the
+    (codes, codebook) pair — codes are the compressed corpus (m codes per
+    row), the codebook is ksub tiny rows.
+
+    LAW: with id-ordered batches whose first batch holds at least ksub
+    rows, the incremental index row-equals the one-shot build (the global
+    ksub smallest ids all arrive in batch 1, so the frozen codebook IS
+    the one-shot codebook and every encoding matches).
+
+    Per batch: one tiny codebook broadcast + one encode pass over the
+    batch — never O(corpus)."""
+    from ..functions import portable_hash as PH
+
+    dsub = dim // m
+    cq = batch.select(
+        F.col(corpus_id).alias("__cid"), PH.quantize_embedding(vec_col).alias("__q")
+    )
+    if prior_index is None:
+        codebook = _pq_codebook(cq, ksub, m, dsub)
+        return _pq_encode(cq, codebook, m, dsub), codebook
+    prior_codes, codebook = prior_index
+    return (
+        prior_codes.unionByName(_pq_encode(cq, codebook, m, dsub)),
+        codebook,
+    )
+
+
+def pq_topk_from_index(
+    index: tuple[DataFrame, DataFrame],
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    dim: int = 64,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC over a prebuilt (possibly incrementally accumulated) PQ index:
+    each query's per-(subspace, code) distance table joins the corpus
+    codes and sums; rank ties to the smaller corpus id."""
+    from ..functions import portable_hash as PH
+
+    dsub = dim // m
+    codes, codebook = index
+    qq = queries.select(
+        F.col(query_id).alias("__qid"), PH.quantize_embedding(vec_col).alias("__q")
+    )
+    qtab = (
+        _pq_subvectors(qq, ["__qid"], m, dsub)
+        .join(F.broadcast(codebook), "__j")
+        .select("__qid", "__j", "__code", F.expr(_PQ_D2).alias("__d2"))
+    )
+    adc = (
+        codes.join(F.broadcast(qtab), ["__j", "__code"])
+        .groupBy("__qid", "__cid")
+        .agg(F.sum("__d2").alias("approx_d2"))
+    )
+    w = Window.partitionBy("__qid").orderBy(F.asc("approx_d2"), F.asc("__cid"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__cid").alias(corpus_id),
+            F.col("rank"),
+            "approx_d2",
+        )
+    )
+
+
 def pq_topk_portable(
     corpus: DataFrame,
     queries: DataFrame,
@@ -771,70 +896,13 @@ def pq_topk_portable(
     distance exactly. Encoding: per (row, subspace) argmin integer L2 to
     the codebook (ties -> smaller code); ADC: each query's (subspace,
     code) distance table joins the corpus codes and sums. pq_topk
-    (trained codebooks, Arrow ADC) remains the recall-tuned variant."""
-    from ..functions import portable_hash as PH
-
-    dsub = dim // m
-    subs_expr = (
-        f"transform(sequence(0, {m - 1}), j -> slice(__q, j * {dsub} + 1, {dsub}))"
+    (trained codebooks, Arrow ADC) remains the recall-tuned variant.
+    One-shot composition of pq_index_incremental + pq_topk_from_index."""
+    index = pq_index_incremental(
+        corpus, None, m=m, ksub=ksub, dim=dim,
+        corpus_id=corpus_id, vec_col=vec_col,
     )
-    d2 = (
-        "aggregate(zip_with(__sub, __cb, (x, y) -> (x - y) * (x - y)), "
-        "0L, (acc, v) -> acc + v)"
-    )
-
-    def subvectors(df: DataFrame, keep: list[str]) -> DataFrame:
-        return df.select(
-            *keep, F.posexplode(F.expr(subs_expr)).alias("__j", "__sub")
-        )
-
-    cq = corpus.select(
-        F.col(corpus_id).alias("__cid"), PH.quantize_embedding(vec_col).alias("__q")
-    )
-    cents = (
-        cq.orderBy("__cid")
-        .limit(ksub)
-        .withColumn(
-            "__code", F.row_number().over(Window.orderBy("__cid")) - 1
-        )
-    )
-    codebook = subvectors(cents, ["__code"]).select(
-        "__code", "__j", F.col("__sub").alias("__cb")
-    )
-
-    enc_w = Window.partitionBy("__cid", "__j").orderBy(
-        F.expr(d2).asc(), F.col("__code").asc()
-    )
-    codes = (
-        subvectors(cq, ["__cid"])
-        .join(F.broadcast(codebook), "__j")
-        .withColumn("__r", F.row_number().over(enc_w))
-        .filter(F.col("__r") == 1)
-        .select("__cid", "__j", "__code")
-    )
-
-    qq = queries.select(
-        F.col(query_id).alias("__qid"), PH.quantize_embedding(vec_col).alias("__q")
-    )
-    qtab = (
-        subvectors(qq, ["__qid"])
-        .join(F.broadcast(codebook), "__j")
-        .select("__qid", "__j", "__code", F.expr(d2).alias("__d2"))
-    )
-
-    adc = (
-        codes.join(F.broadcast(qtab), ["__j", "__code"])
-        .groupBy("__qid", "__cid")
-        .agg(F.sum("__d2").alias("approx_d2"))
-    )
-    w = Window.partitionBy("__qid").orderBy(F.asc("approx_d2"), F.asc("__cid"))
-    return (
-        adc.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("__qid").alias(query_id),
-            F.col("__cid").alias(corpus_id),
-            F.col("rank"),
-            "approx_d2",
-        )
+    return pq_topk_from_index(
+        index, queries, k=k, m=m, dim=dim,
+        corpus_id=corpus_id, query_id=query_id, vec_col=vec_col,
     )

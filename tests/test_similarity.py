@@ -175,3 +175,32 @@ def test_ivf_incremental_index_equals_one_shot(spark, tmp_path):
     inc_rows = sorted(map(tuple, inc.collect()))
     one_rows = sorted(map(tuple, one.collect()))
     assert inc_rows == one_rows and len(inc_rows) > 0
+
+
+def test_pq_incremental_index_equals_one_shot(spark, tmp_path):
+    """The frozen-codebook PQ ingest law: with id-ordered batches whose
+    first batch holds >= ksub rows, the incremental (codes, codebook)
+    index answers ADC queries exactly like the one-shot build."""
+    from kamu_engine_flink_spark.operators import similarity as S
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cut = e.count() // 2
+    codes, book = S.pq_index_incremental(
+        e.filter(F.col("vec_id") < cut), m=8, ksub=16, dim=64
+    )
+    cp, bp = str(tmp_path / "codes1"), str(tmp_path / "book")
+    codes.write.mode("overwrite").parquet(cp)
+    book.write.mode("overwrite").parquet(bp)
+    codes, book = S.pq_index_incremental(
+        e.filter(F.col("vec_id") >= cut),
+        (spark.read.parquet(cp), spark.read.parquet(bp)),
+        m=8, ksub=16, dim=64,
+    )
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    inc = S.pq_topk_from_index((codes, book), q, k=5, m=8, dim=64)
+    one = S.pq_topk_portable(e, q, k=5, m=8, ksub=16, dim=64)
+    inc_rows = sorted(map(tuple, inc.collect()))
+    one_rows = sorted(map(tuple, one.collect()))
+    assert inc_rows == one_rows and len(inc_rows) > 0
