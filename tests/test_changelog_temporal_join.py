@@ -450,3 +450,49 @@ def test_asof_random_slicing_matches_brute_force(spark, tmp_path, seed, n_inv):
                 for r in pq.read_table(out).to_pylist()
             ]
     assert sorted(got) == sorted(emitted)
+
+
+def test_asof_output_chains_into_continuous_agg(spark, tmp_path):
+    """The as-of join's output is append-only, so it chains freely — here
+    into a continuous aggregate that emits corrections as more probes
+    resolve across invocations."""
+    agg = """SELECT max(event_time) as event_time,
+  symbol, sum(rate) as rate_total, count(*) as n FROM jx GROUP BY symbol"""
+    runner = TransformRunner(
+        spark, tmp_path,
+        queries=[(RATES, "rates"), (ASOF, "jx"), (agg, None)],
+        temporal_tables=[("rates", "symbol")],
+    )
+
+    def _r(out):
+        return sorted(
+            (r["op"], r["symbol"], r["rate_total"], r["n"])
+            for r in pq.read_table(out).to_pylist()
+        )
+
+    # Invocation 1: version A=10@d1; probes at d2 and d3 -> two resolved
+    # rows -> agg (A, 20, 2).
+    resp, out = runner.run(
+        _inputs(
+            tmp_path, "r1",
+            [(0, 0, ts(10), ts(1, 0, 0), "A", 10)],
+            [(0, 0, ts(10), ts(2, 0, 0), "A", 100),
+             (1, 0, ts(10), ts(3, 0, 0), "A", 200)],
+            ts(4), ts(4),
+        ),
+        system_time=ts(10),
+    )
+    assert _r(out) == [(0, "A", 20, 2)]
+
+    # Invocation 2: rate corrects to 17 at d5; a probe at d6 resolves 17
+    # -> the agg corrects (A, 20, 2) -> (A, 37, 3) as one op-2/3 pair.
+    resp2, out2 = runner.run(
+        _inputs(
+            tmp_path, "r2",
+            [(1, 0, ts(12), ts(5, 0, 0), "A", 7)],
+            [(2, 0, ts(12), ts(6, 0, 0), "A", 300)],
+            ts(7), ts(7),
+        ),
+        system_time=ts(12),
+    )
+    assert _r(out2) == [(2, "A", 20, 2), (3, "A", 37, 3)]
