@@ -110,6 +110,9 @@ def _stamp_emission_seq(spark, df, order_cols, pinned):
     for pid in sorted(counts):
         base[pid] = acc
         acc += counts[pid]
+    # Not explicitly destroyed: the stamped frame is consumed lazily by
+    # later steps/output, so the broadcast must outlive this function;
+    # it is unreferenced after the invocation and GC'd with the plan.
     bbase = spark.sparkContext.broadcast(base)
     has_seq = SEQ in df.columns
 
