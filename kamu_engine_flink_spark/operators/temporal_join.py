@@ -13,9 +13,11 @@ derive validity intervals [__valid_from, __valid_to) per key with `lead()`
 and let the dialect layer (plans/dialect.py) rewrite both Flink spellings
 (`LATERAL TABLE (f(t.ts))` and `FOR SYSTEM_TIME AS OF`) into a plain range
 join Catalyst can plan — and broadcast when the versioned side is small,
-which is the common dimension-table case at scale. Version history is
-pruned to versions still valid at the joint watermark, so state stays
-bounded by key cardinality, not history length.
+which is the common dimension-table case at scale. Version state appends
+O(slice) per invocation (bucketed by the PK, so the validity window plans
+no state-side exchange); a size-triggered compaction prunes versions no
+longer valid at the joint watermark, keeping state bounded by key
+cardinality (within 4x), not history length.
 """
 
 from __future__ import annotations
@@ -251,9 +253,10 @@ def execute_temporal_join(ctx: StepContext, sql: str) -> StepResult:
     # dataset's entire build-side history instead of silently starting an
     # EMPTY versions frame.
     legacy_versions_state = f"versions-{build}"
-    if not ctx.state.has_df(versions_state) and ctx.state.has_df(
+    migrating = not ctx.state.has_df(versions_state) and ctx.state.has_df(
         legacy_versions_state
-    ):
+    )
+    if migrating:
         prev_versions = ctx.state.load_df(
             legacy_versions_state, schema=ctx.views[build].schema
         )
@@ -281,17 +284,48 @@ def execute_temporal_join(ctx: StepContext, sql: str) -> StepResult:
         release = probe_all.limit(0)
         keep = probe_all
 
-    # Prune versions no longer reachable: future probe rows have
-    # event_time > joint_wm, so only versions valid at or after it matter.
     versioned = with_validity(versions, tt.primary_key, build_et)
-    if joint_wm is not None:
-        pruned = versioned.filter(
-            F.col(VALID_TO).isNull() | (F.col(VALID_TO) > F.lit(joint_wm))
-        ).drop(VALID_FROM, VALID_TO)
+
+    # State maintenance: the common case appends only this invocation's
+    # build slice, bucketed by the PK — O(slice) per invocation, and the
+    # next run's validity window plans no exchange on the state side.
+    # Unreachable versions (future probes have event_time > joint_wm, so
+    # only versions valid at or after it matter) are dropped by the
+    # size-triggered compaction rewrite instead of a full O(state)
+    # rewrite EVERY invocation; between compactions state holds at most
+    # 4x the reachable versions. A legacy (or pre-bucketing) relation
+    # migrates through the compaction path on first touch.
+    compact_meta = f"{versions_state}.compact.json"
+    cmeta = ctx.state.load_json(compact_meta) or {}
+    cur_bytes = ctx.state.relation_bytes(versions_state) or 0
+    floor = cmeta.get("floor")
+    try:
+        min_bytes = int(
+            ctx.spark.conf.get("spark.kamu.state.ledgerCompactMinBytes")
+        )
+    except Exception:
+        min_bytes = 8 << 20
+    pk = tt.primary_key
+    if migrating or (
+        floor is not None
+        and joint_wm is not None
+        and cur_bytes > max(4 * floor, min_bytes)
+    ):
+        if joint_wm is not None:
+            pruned = versioned.filter(
+                F.col(VALID_TO).isNull() | (F.col(VALID_TO) > F.lit(joint_wm))
+            ).drop(VALID_FROM, VALID_TO)
+        else:
+            pruned = versions
+        ctx.state.save_dfs([(probe_state, keep), (versions_state, pruned, pk)])
+        ctx.state.save_json(compact_meta, {"floor": None})
     else:
-        pruned = versions
-    # Independent outputs: overlap the probe-buffer and versions writes.
-    ctx.state.save_dfs([(probe_state, keep), (versions_state, pruned)])
+        ctx.state.save_df(
+            versions_state, ctx.views[build], bucket_by=pk, append=True
+        )
+        ctx.state.save_df(probe_state, keep)
+        if floor is None:
+            ctx.state.save_json(compact_meta, {"floor": cur_bytes})
 
     release.createOrReplaceTempView(probe)
     versioned.createOrReplaceTempView(build + VERSIONS_SUFFIX)

@@ -143,3 +143,55 @@ def test_temporal_join_lateral_table(spark, tmp_path):
 
 def test_temporal_join_for_system_time(spark, tmp_path):
     _run_scenario(spark, tmp_path, SYSTEM_TIME_QUERY)
+
+
+def test_temporal_join_version_state_compacts(spark, tmp_path):
+    """Version state appends O(slice) per invocation and compacts past the
+    size trigger (forced to zero): superseded versions drop once the joint
+    watermark passes them, and buffered probes keep resolving correctly."""
+    import os
+
+    query = """SELECT t.event_time as event_time, t.symbol as symbol,
+  t.price as price, s.volume as volume
+FROM tickers as t
+JOIN `stocks.owned` FOR SYSTEM_TIME AS OF t.event_time AS s
+ON t.symbol = s.symbol"""
+    runner = TransformRunner(
+        spark, tmp_path, queries=[(query, None)],
+        temporal_tables=[("stocks.owned", "symbol")],
+    )
+    spark.conf.set("spark.kamu.state.ledgerCompactMinBytes", "0")
+    try:
+        n_inv = 8
+        for i in range(1, n_inv + 1):
+            t = str(tmp_path / "tickers" / f"t{i}.parquet")
+            s = str(tmp_path / "stocks" / f"s{i}.parquet")
+            # One new version of A per invocation (volume 100*i at day i)
+            # and one probe just after it.
+            ticker_slice(t, [(i, 0, ts(20 + i), ts(i, 1), "A", i)])
+            stocks_owned_slice(s, [(i, ts(20 + i), ts(i), "A", 100 * i)])
+            resp, out = runner.run(
+                [{"alias": "tickers", "data_paths": [t], "schema_file": t,
+                  "watermark": ts(i, 12)},
+                 {"alias": "stocks.owned", "data_paths": [s], "schema_file": s,
+                  "watermark": ts(i, 12)}],
+                system_time=ts(20 + i),
+            )
+            rows = [
+                (r["symbol"], r["price"], r["volume"])
+                for r in pq.read_table(out).to_pylist()
+            ]
+            assert rows == [("A", i, 100 * i)], rows
+        vdirs = [
+            e for e in os.listdir(runner.prev_checkpoint)
+            if e.endswith("-versions-stocks__owned.parquet")
+        ]
+        assert len(vdirs) == 1, os.listdir(runner.prev_checkpoint)
+        n_rows = pq.read_table(
+            os.path.join(runner.prev_checkpoint, vdirs[0])
+        ).num_rows
+        # 8 versions written; only the reachable tail (plus at most a
+        # couple of uncompacted generations) survives.
+        assert n_rows <= 4, f"versions not compacted: {n_rows} rows"
+    finally:
+        spark.conf.unset("spark.kamu.state.ledgerCompactMinBytes")
