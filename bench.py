@@ -411,7 +411,8 @@ def _x10_sliced_ledgers(
     return out
 
 
-def _stress_transform_x10(spark, invocations, sql, workdir: str, tag: str) -> float:
+def _stress_transform_x10(spark, invocations, sql, workdir: str, tag: str,
+                          temporal_tables=()) -> float:
     """Chained ODF invocations over the 10x sliced ledgers: invocation i
     restores invocation i-1's checkpoint (state restore + horizon eviction
     included in the measured time, as in a real deployment). `invocations`:
@@ -423,6 +424,7 @@ def _stress_transform_x10(spark, invocations, sql, workdir: str, tag: str) -> fl
     from kamu_engine_flink_spark.protocol.model import (
         DatasetVocabulary,
         SqlQueryStep,
+        TemporalTable,
         Transform,
         TransformRequest,
         TransformRequestInput,
@@ -444,7 +446,13 @@ def _stress_transform_x10(spark, invocations, sql, workdir: str, tag: str) -> fl
         st = max(_utc(wm) for (_, _, wm) in inputs)
         new_cp = os.path.join(workdir, f"cp-{tag}-{inv}")
         req = TransformRequest(
-            transform=Transform(queries=steps),
+            transform=Transform(
+                queries=steps,
+                temporal_tables=[
+                    TemporalTable(name=n, primary_key=[pk])
+                    for n, pk in temporal_tables
+                ],
+            ),
             query_inputs=[
                 TransformRequestInput(
                     query_alias=alias,
@@ -696,11 +704,24 @@ def main() -> None:
             # default threshold keeping small emissions on the lazy
             # single-partition window.
             ("stress_changelog_stamp_x10_3inv", CHANGELOG_STAMP_STEPS, ev_invs),
+            # Changelog as-of at state >> slice: a 100k-key continuous
+            # aggregate's correction stream maintains the versioned view,
+            # probed by ~200k clicks per invocation across 3 chained
+            # invocations (version-state appends, probe buffering, and
+            # watermark releases all in the measured time). PIN: <= 10.5 s
+            # (round-8 measured 10.2 n=3 median, warm floor ~7.7).
+            ("stress_changelog_asof_x10_3inv", CHANGELOG_ASOF_STEPS, join_invs),
         ):
             rep_seq = iter(range(SUBSEC_REPS))
+            tts = (
+                [("rates", "user_id")]
+                if sql is CHANGELOG_ASOF_STEPS
+                else ()
+            )
             timings[tag], runs = _median_runs(
-                lambda tag=tag, sql=sql, invs=invs: _stress_transform_x10(
-                    spark, invs, sql, workdir, f"{tag}-r{next(rep_seq)}"
+                lambda tag=tag, sql=sql, invs=invs, tts=tts: _stress_transform_x10(
+                    spark, invs, sql, workdir, f"{tag}-r{next(rep_seq)}",
+                    temporal_tables=tts,
                 )
             )
             print(f"{tag}: {timings[tag]}s (runs: {runs})", file=sys.stderr)
