@@ -717,6 +717,15 @@ class StreamingUnboundedAgg:
         _run_available_now(self._plan(spark), self.checkpoint_dir, self.output_dir)
 
 
+def _norm_val(val):
+    """NULL-safe fold key: pandas hands NULL doubles over as NaN, and a
+    NaN-keyed dict never cancels (NaN != NaN) — normalize to None so a
+    retraction of a NULL value finds its +1."""
+    import pandas as pd
+
+    return None if pd.isna(val) else float(val)
+
+
 _CLJOIN_OUTPUT = StructType(
     [
         StructField("op", IntegerType()),
@@ -752,8 +761,8 @@ def _changelog_join_fn():
 
         if state.exists:
             lv, lc, rv, rc = state.get
-            L = dict(zip(lv or [], lc or []))
-            R = dict(zip(rv or [], rc or []))
+            L = {_norm_val(v): c for v, c in zip(lv or [], lc or [])}
+            R = {_norm_val(v): c for v, c in zip(rv or [], rc or [])}
         else:
             L, R = {}, {}
         dL, dR = {}, {}
@@ -761,6 +770,7 @@ def _changelog_join_fn():
             for side, val, op in zip(pdf["__side"], pdf["__val"], pdf["__op"]):
                 sign = -1 if op in (1, 2) else 1
                 d = dL if side == 0 else dR
+                val = _norm_val(val)
                 d[val] = d.get(val, 0) + sign
         if not dL and not dR:
             return
@@ -884,12 +894,13 @@ def _changelog_distinct_fn():
 
         if state.exists:
             vs, cs = state.get
-            C = dict(zip(vs or [], cs or []))
+            C = {_norm_val(v): c for v, c in zip(vs or [], cs or [])}
         else:
             C = {}
         delta = {}
         for pdf in pdfs:
             for val, op in zip(pdf["__val"], pdf["__op"]):
+                val = _norm_val(val)
                 delta[val] = delta.get(val, 0) + (-1 if op in (1, 2) else 1)
         if not delta:
             return
@@ -983,7 +994,8 @@ def _changelog_topn_fn(n: int):
 
     def top(C):
         out = []
-        for v in sorted(C, reverse=True):
+        # NULL sorts last under DESC (Spark's desc_nulls_last default).
+        for v in sorted(C, key=lambda v: (v is None, -(v or 0.0))):
             out.extend([v] * C[v])
             if len(out) >= n:
                 break
@@ -994,12 +1006,13 @@ def _changelog_topn_fn(n: int):
 
         if state.exists:
             vs, cs = state.get
-            C = dict(zip(vs or [], cs or []))
+            C = {_norm_val(v): c for v, c in zip(vs or [], cs or [])}
         else:
             C = {}
         delta = {}
         for pdf in pdfs:
             for val, op in zip(pdf["__val"], pdf["__op"]):
+                val = _norm_val(val)
                 delta[val] = delta.get(val, 0) + (-1 if op in (1, 2) else 1)
         if not delta:
             return

@@ -957,3 +957,44 @@ def test_streaming_changelog_topn_promotes_on_retraction(spark, tmp_path):
     job.run_available_now(spark)
     delta3 = Counter(_read()) - Counter(snapshot)
     assert dict(delta3) == {(1, "A", 1, 7.0): 1, (1, "A", 2, 5.0): 1}
+
+
+def test_streaming_changelog_join_null_value_retracts(spark, tmp_path):
+    """A NULL-valued changelog row must cancel on retraction: pandas hands
+    NULL doubles over as NaN, and a NaN-keyed fold would never match the
+    earlier +1 (NaN != NaN) — the kernels normalize to None."""
+    from collections import Counter
+
+    from kamu_engine_flink_spark.streaming.structured import StreamingChangelogJoin
+
+    d = {k: str(tmp_path / k) for k in ["left", "right", "chk", "out"]}
+    os.makedirs(d["left"])
+    os.makedirs(d["right"])
+    job = StreamingChangelogJoin(
+        left_dir=d["left"], right_dir=d["right"],
+        checkpoint_dir=d["chk"], output_dir=d["out"],
+    )
+
+    def _read():
+        try:
+            rows = spark.read.parquet(d["out"]).collect()
+        except Exception:
+            return []
+        return sorted(
+            ((r.op, r.key, r.l_value, r.r_value) for r in rows),
+            key=str,
+        )
+
+    # Run 1: a NULL-valued left row joins the right row.
+    _cl_slice(os.path.join(d["left"], "s1.parquet"), [("A", None, 0)])
+    _cl_slice(os.path.join(d["right"], "s1.parquet"), [("A", 10.0, 0)])
+    job.run_available_now(spark)
+    out1 = _read()
+    assert out1 == [(0, "A", None, 10.0)]
+
+    # Run 2: the NULL row retracts — its joined pair must delete (state
+    # restored across the run boundary, None key matching).
+    _cl_slice(os.path.join(d["left"], "s2.parquet"), [("A", None, 1)])
+    job.run_available_now(spark)
+    delta = Counter(map(str, _read())) - Counter(map(str, out1))
+    assert dict(delta) == {str((1, "A", None, 10.0)): 1}
