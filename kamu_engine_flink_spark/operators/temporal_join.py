@@ -51,6 +51,24 @@ def resolve_temporal_table(ctx: StepContext, name: str) -> TemporalTable:
     raise InvalidQueryError(f"temporal table '{name}' is not declared")
 
 
+def _probe_time_col(sql: str, probe_cols, default: str) -> str:
+    """Probe-side release column. Ordinarily the vocab event-time column;
+    a multi-join INTERMEDIATE probe carries mangled pass-through names
+    (plans/multi_join.py), so when the vocab column is absent the
+    FOR SYSTEM_TIME AS OF / LATERAL time expression's own column — always
+    a probe-side time attribute — names the release column."""
+    if default in probe_cols:
+        return default
+    from ..plans.dialect import _LATERAL_RE, _SYSTEM_TIME_JOIN_RE
+
+    m = _SYSTEM_TIME_JOIN_RE.search(sql) or _LATERAL_RE.search(sql)
+    if m:
+        col = m.group(2).split(".")[-1].strip("`")
+        if col in probe_cols:
+            return col
+    return default
+
+
 def execute_changelog_temporal_join(ctx: StepContext, sql: str) -> StepResult:
     """Temporal (as-of) join whose BUILD side is an UPDATING
     (changelog-emitting) alias — Flink's event-time temporal join against
@@ -104,7 +122,9 @@ def execute_changelog_temporal_join(ctx: StepContext, sql: str) -> StepResult:
     tt = resolve_temporal_table(ctx, build)
     pk = tt.primary_key[0]
     build_et = ctx.event_time_cols[build]
-    probe_et = ctx.event_time_cols[probe]
+    probe_et = _probe_time_col(
+        sql, ctx.views[probe].columns, ctx.event_time_cols[probe]
+    )
 
     build_df = ctx.views[build]
     value_cols = [c for c in build_df.columns if not c.startswith("__")]
@@ -240,7 +260,9 @@ def execute_temporal_join(ctx: StepContext, sql: str) -> StepResult:
     build, probe = build_names[0], probe_names[0]
     tt = resolve_temporal_table(ctx, build)
     build_et = ctx.event_time_cols[build]
-    probe_et = ctx.event_time_cols[probe]
+    probe_et = _probe_time_col(
+        sql, ctx.views[probe].columns, ctx.event_time_cols[probe]
+    )
 
     # Version history accumulates across invocations.
     # Scoped per STEP: two temporal-join steps on the same build table

@@ -37,16 +37,20 @@ _FROM_RE = re.compile(
     r"^\s*SELECT\s+(?P<proj>.*?)\s+FROM\s+(?P<rest>.*)$",
     re.IGNORECASE | re.DOTALL,
 )
-_SOURCE_RE = re.compile(r"^\s*`?(\w+)`?\s+(?:AS\s+)?(\w+)\s*$", re.IGNORECASE)
+_SOURCE_RE = re.compile(
+    r"^\s*`?(\w+)`?(?:\s+(?:AS\s+)?(\w+))?\s*$", re.IGNORECASE
+)
 _WHERE_SPLIT_RE = re.compile(r"\bWHERE\b", re.IGNORECASE)
 _JOIN_SPLIT_RE = re.compile(r"\bJOIN\b", re.IGNORECASE)
 _ON_RE = re.compile(
-    r"^\s*`?(\w+)`?\s+(?:AS\s+)?(\w+)\s+ON\s+(?P<cond>.*)$",
+    r"^\s*`?(\w+)`?"
+    r"(?:\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+(?P<asof>[`\w.]+))?"
+    r"\s+(?:AS\s+)?(?P<alias>\w+)\s+ON\s+(?P<cond>.*)$",
     re.IGNORECASE | re.DOTALL,
 )
 _DECLINE_RE = re.compile(
     r"\b(CROSS|GROUP\s+BY|UNION|DISTINCT|HAVING|OVER|"
-    r"MATCH_RECOGNIZE|FOR\s+SYSTEM_TIME|INTERVAL|ORDER\s+BY|LIMIT)\b"
+    r"MATCH_RECOGNIZE|INTERVAL|ORDER\s+BY|LIMIT)\b"
     r"|TABLE\s*\(|\bSELECT\b.*\bSELECT\b",
     re.IGNORECASE | re.DOTALL,
 )
@@ -67,6 +71,11 @@ class _Parsed:
     # outer join makes its intermediate an updating stream; the next
     # stage's join then runs through the changelog-aware executor.
     kinds: list[str] = None
+    # Per-stage FOR SYSTEM_TIME AS OF time expression, None for regular
+    # stages: Flink chains temporal joins freely in one SQL step (a probe
+    # enriched by several versioned tables), so a temporal stage expands
+    # like any other — its probe becomes the prior intermediate.
+    asofs: list[str | None] = None
 
 
 def _split_top_level_joins(text: str) -> tuple[list[str], list[str]]:
@@ -106,14 +115,17 @@ def _parse(sql: str, known_views: set[str]) -> _Parsed | None:
     sm = _SOURCE_RE.match(segs[0])
     if not sm:
         return None
-    sources = [(sm.group(1), sm.group(2))]
+    # A bare first source refers to itself: FROM o JOIN ... ON o.col = ..
+    sources = [(sm.group(1), sm.group(2) or sm.group(1))]
     conds: list[str] = []
+    asofs: list[str | None] = []
     for seg in segs[1:]:
         jm = _ON_RE.match(seg)
         if not jm:
             return None
-        sources.append((jm.group(1), jm.group(2)))
+        sources.append((jm.group(1), jm.group("alias")))
         conds.append(jm.group("cond").strip())
+        asofs.append(jm.group("asof"))
     views = [v for v, _ in sources]
     aliases = [a for _, a in sources]
     if len(set(aliases)) != len(aliases):
@@ -121,7 +133,8 @@ def _parse(sql: str, known_views: set[str]) -> _Parsed | None:
     if any(v not in known_views for v in views):
         return None
     return _Parsed(
-        proj=proj.strip(), sources=sources, conds=conds, where=where, kinds=kinds
+        proj=proj.strip(), sources=sources, conds=conds, where=where,
+        kinds=kinds, asofs=asofs,
     )
 
 
@@ -197,6 +210,7 @@ def expand_multi_join(
         if i == 0:
             lsrc = f"{p.sources[0][0]} AS {p.sources[0][1]}"
             cond = p.conds[0]
+            asof = p.asofs[0]
             proj_items = [f"{a}.{c} AS {_mangled(a, c)}" for a, c in needed]
         else:
             prev = f"{tag}_{i - 1}"
@@ -204,6 +218,11 @@ def expand_multi_join(
             lsrc = f"{prev} AS {lref}"
             prior_aliases = {a for _, a in p.sources[: i + 1]}
             cond = _rewrite_refs(p.conds[i], prior_aliases, lref)
+            asof = (
+                _rewrite_refs(p.asofs[i], prior_aliases, lref)
+                if p.asofs[i]
+                else None
+            )
             proj_items = [
                 (
                     f"{a}.{c} AS {_mangled(a, c)}"
@@ -214,10 +233,11 @@ def expand_multi_join(
             ]
         rv, ra = p.sources[i + 1]
         jkw_i = f"{p.kinds[i]} JOIN" if p.kinds[i] else "JOIN"
+        tkw = f" FOR SYSTEM_TIME AS OF {asof}" if asof else ""
         steps.append(
             (
                 f"SELECT {', '.join(proj_items)} "
-                f"FROM {lsrc} {jkw_i} {rv} AS {ra} ON {cond}",
+                f"FROM {lsrc} {jkw_i} {rv}{tkw} AS {ra} ON {cond}",
                 inter_name,
             )
         )
@@ -231,7 +251,12 @@ def expand_multi_join(
     proj = _rewrite_refs(p.proj, prior_aliases, lref)
     rv, ra = p.sources[-1]
     jkw = f"{p.kinds[-1]} JOIN" if p.kinds[-1] else "JOIN"
-    final = f"SELECT {proj} FROM {prev} AS {lref} {jkw} {rv} AS {ra} ON {cond}"
+    tkw = (
+        f" FOR SYSTEM_TIME AS OF {_rewrite_refs(p.asofs[-1], prior_aliases, lref)}"
+        if p.asofs[-1]
+        else ""
+    )
+    final = f"SELECT {proj} FROM {prev} AS {lref} {jkw} {rv}{tkw} AS {ra} ON {cond}"
     if p.where is not None:
         final += f" WHERE {_rewrite_refs(p.where, prior_aliases, lref)}"
     steps.append((final, None))

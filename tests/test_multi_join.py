@@ -292,3 +292,124 @@ GROUP BY a.symbol"""
             ),
             system_time=ts(2),
         )
+
+
+def test_multi_temporal_join_two_builds(spark, tmp_path):
+    """Two FOR SYSTEM_TIME stages in ONE SQL step (Flink chains temporal
+    joins freely): the step expands into probe -> asof(fx) -> asof(fee)
+    with the intermediate's mangled time column driving the second
+    stage's release gate."""
+    query = """SELECT o.event_time as event_time, o.symbol as symbol,
+  o.price as qty, f.price as fx_rate, g.price as fee_rate
+FROM o
+JOIN fx FOR SYSTEM_TIME AS OF o.event_time AS f ON o.symbol = f.symbol
+JOIN fee FOR SYSTEM_TIME AS OF o.event_time AS g ON o.symbol = g.symbol"""
+    runner = TransformRunner(
+        spark, tmp_path, queries=[(query, None)],
+        temporal_tables=[("fx", "symbol"), ("fee", "symbol")],
+    )
+
+    def _in(name, o_rows, fx_rows, fee_rows, wm):
+        out = []
+        for alias, rows in (("o", o_rows), ("fx", fx_rows), ("fee", fee_rows)):
+            p = str(tmp_path / "in" / f"{alias}_{name}.parquet")
+            ticker_slice(p, rows)
+            out.append({"alias": alias, "data_paths": [p] if rows else [],
+                        "schema_file": p, "watermark": wm})
+        return out
+
+    def _r(out):
+        return sorted(
+            (r["symbol"], r["event_time"].isoformat(), r["qty"],
+             r["fx_rate"], r["fee_rate"])
+            for r in pq.read_table(out).to_pylist()
+        )
+
+    # Invocation 1: fx A=10@d1, A=20@d4; fee A=1@d1. Probes at d2 and d5
+    # resolve (10,1) and (20,1) respectively.
+    resp, out = runner.run(
+        _in("r1",
+            [(0, 0, ts(10), ts(2), "A", 100), (1, 0, ts(10), ts(5), "A", 200)],
+            [(0, 0, ts(10), ts(1), "A", 10), (1, 0, ts(10), ts(4), "A", 20)],
+            [(0, 0, ts(10), ts(1), "A", 1)],
+            ts(6)),
+        system_time=ts(10),
+    )
+    assert _r(out) == [
+        ("A", ts(2).isoformat(), 100, 10, 1),
+        ("A", ts(5).isoformat(), 200, 20, 1),
+    ]
+
+    # Invocation 2: a probe BEYOND the watermark buffers in stage 1, then
+    # releases next invocation against versions live at its time.
+    resp2, out2 = runner.run(
+        _in("r2", [(2, 0, ts(12), ts(7), "A", 300)], [], [], ts(6, 12)),
+        system_time=ts(12),
+    )
+    import os
+
+    assert not os.path.exists(out2)
+    resp3, out3 = runner.run(
+        _in("r3", [], [(2, 0, ts(14), ts(8), "A", 30)],
+            [(1, 0, ts(14), ts(8), "A", 2)], ts(9)),
+        system_time=ts(14),
+    )
+    assert _r(out3) == [("A", ts(7).isoformat(), 300, 20, 1)]
+
+
+def test_multi_join_temporal_over_changelog_build(spark, tmp_path):
+    """A regular-join-free mixed chain: stage 1 probes a CHANGELOG build
+    (continuous agg), stage 2 an append temporal table — one SQL step."""
+    rates = """SELECT max(event_time) as event_time,
+  symbol, sum(price) as rate FROM r GROUP BY symbol"""
+    query = """SELECT o.event_time as event_time, o.symbol as symbol,
+  o.price as qty, rt.rate as rate, g.price as fee_rate
+FROM o AS o
+JOIN rates FOR SYSTEM_TIME AS OF o.event_time AS rt ON o.symbol = rt.symbol
+JOIN fee FOR SYSTEM_TIME AS OF o.event_time AS g ON o.symbol = g.symbol"""
+    runner = TransformRunner(
+        spark, tmp_path, queries=[(rates, "rates"), (query, None)],
+        temporal_tables=[("rates", "symbol"), ("fee", "symbol")],
+    )
+
+    def _in(name, r_rows, o_rows, fee_rows, wm):
+        out = []
+        for alias, rows in (("r", r_rows), ("o", o_rows), ("fee", fee_rows)):
+            p = str(tmp_path / "in" / f"{alias}_{name}.parquet")
+            ticker_slice(p, rows)
+            out.append({"alias": alias, "data_paths": [p] if rows else [],
+                        "schema_file": p, "watermark": wm})
+        return out
+
+    def _r(out):
+        return sorted(
+            (r["symbol"], r["event_time"].isoformat(), r["qty"],
+             r["rate"], r["fee_rate"])
+            for r in pq.read_table(out).to_pylist()
+        )
+
+    # Invocation 1: rate version A=10@d1; fee A=1@d1; probe at d2.
+    resp, out = runner.run(
+        _in("r1",
+            [(0, 0, ts(10), ts(1), "A", 10)],
+            [(0, 0, ts(10), ts(2), "A", 100)],
+            [(0, 0, ts(10), ts(1), "A", 1)],
+            ts(3)),
+        system_time=ts(10),
+    )
+    assert _r(out) == [("A", ts(2).isoformat(), 100, 10, 1)]
+
+    # Invocation 2: the rate corrects to 17 at d5; a probe at d4 still
+    # sees 10 (old version), a probe at d6 sees 17.
+    resp2, out2 = runner.run(
+        _in("r2",
+            [(1, 0, ts(12), ts(5), "A", 7)],
+            [(1, 0, ts(12), ts(4), "A", 200), (2, 0, ts(12), ts(6), "A", 300)],
+            [],
+            ts(7)),
+        system_time=ts(12),
+    )
+    assert _r(out2) == [
+        ("A", ts(4).isoformat(), 200, 10, 1),
+        ("A", ts(6).isoformat(), 300, 17, 1),
+    ]
