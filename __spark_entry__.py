@@ -3297,6 +3297,80 @@ ON c.user_id = rt.user_id""",
     return out
 
 
+def multi_asof_two_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO temporal joins in ONE SQL step (plans/multi_join.py temporal
+    stages — Flink chains FOR SYSTEM_TIME joins freely): each click
+    resolves the latest prior purchase AND signup version of its user,
+    across two chained ODF invocations. Release is STAGED: a click leaves
+    stage 1 when min(click, purchase) watermarks pass it — fixing its
+    purchase version set THEN — and leaves stage 2 when the signup
+    watermark catches up, possibly an invocation later with a wider
+    signup version set; the oracle replays both gates. Version times are
+    deduped per (user, ts) so validity intervals are total. Bucketed
+    version state per stage, O(slice) appends — scales."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    _conf(spark)
+    workdir = tempfile.mkdtemp(prefix="masof-entry-")
+
+    def _grouped_ledger(etype):
+        e = _t(spark, sf_dir, "events").filter(F.col("event_type") == etype)
+        g = e.groupBy("user_id", F.col("ts").alias("event_time")).agg(
+            F.max(F.floor(F.col("value") * 100).cast("long")).alias("cents")
+        )
+        return (
+            g.withColumn(
+                "offset",
+                F.row_number().over(Window.orderBy("event_time", "user_id")) - 1,
+            )
+            .withColumn("op", F.lit(0).cast("int"))
+            .withColumn(
+                "system_time", F.to_timestamp(F.lit("2020-01-01 00:00:00"))
+            )
+            .select("offset", "op", "system_time", "event_time", "user_id", "cents")
+        )
+
+    p_slices = _ledger_slices(
+        spark, _grouped_ledger("purchase"), workdir, "purchases", 2
+    )
+    s_slices = _ledger_slices(
+        spark, _grouped_ledger("signup"), workdir, "signups", 2
+    )
+    c_slices = _ledger_slices(
+        spark, _events_ledger(spark, sf_dir, "click"), workdir, "clicks", 2
+    )
+    sql = """SELECT c.event_time as event_time, c.user_id as user_id,
+  c.cents as qty, p.cents as purchase_rate, s.cents as signup_rate
+FROM clicks AS c
+JOIN purchases FOR SYSTEM_TIME AS OF c.event_time AS p ON c.user_id = p.user_id
+JOIN signups FOR SYSTEM_TIME AS OF c.event_time AS s ON c.user_id = s.user_id"""
+    per_inv = [
+        [("clicks", *c_slices[i]), ("purchases", *p_slices[i]),
+         ("signups", *s_slices[i])]
+        for i in range(2)
+    ]
+    outs = _run_odf_invocations(
+        spark, sql, per_inv, workdir, "masof",
+        temporal_tables=[("purchases", "user_id"), ("signups", "user_id")],
+    )
+    parts = [
+        spark.read.parquet(path).select(
+            "event_time",
+            "user_id",
+            F.col("qty").cast("long").alias("qty"),
+            F.col("purchase_rate").cast("long").alias("purchase_rate"),
+            F.col("signup_rate").cast("long").alias("signup_rate"),
+        )
+        for _inv, path in outs
+    ]
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out
+
+
 def dedup_minhash_incremental_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest MinHash dedup (operators/dedup.
     dedup_minhash_incremental): the corpus arrives as two id-ordered
@@ -3412,22 +3486,24 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION note: the driver records correctness rows for only the
     # FIRST 50 dict entries per round, so the registry rotates each round.
-    # Round 8 first-50 = 4 entries due their FIRST driver row (the
-    # changelog as-of join and the incremental LSH/IVF/PQ indexes) + 46
-    # of the r05-remainder/r06-checked cohort queued by round 7's plan.
-    # At 119 entries the 50-row cap makes a full cycle take 3 rounds for
-    # the cohort tail (~20 entries, the stable multimodal/sketch/text
-    # block); tools/crosscheck.py verifies ALL entries locally every
-    # round and the run is committed as CROSSCHECK_r{N}.txt.
+    # Round 8 first-50 = 5 entries due their FIRST driver row (the
+    # changelog as-of join, the multi-temporal chain, and the incremental
+    # LSH/IVF/PQ indexes) + 45 of the r05-remainder/r06-checked cohort
+    # queued by round 7's plan. At 120 entries the 50-row cap makes a
+    # full cycle take 3 rounds for the cohort tail (~20 entries, the
+    # stable multimodal/sketch/text block); tools/crosscheck.py verifies
+    # ALL entries locally every round and the run is committed as
+    # CROSSCHECK_r{N}.txt.
     return {
-        # --- due their FIRST driver row (4): round-8's new operators ---
+        # --- due their FIRST driver row (5): round-8's new operators ---
         "changelog_asof_rates": changelog_asof_rates,
         "similarity_lsh_incremental": similarity_lsh_incremental,
         "similarity_ivf_incremental": similarity_ivf_incremental,
         "similarity_pq_incremental": similarity_pq_incremental,
+        "multi_asof_two_rates": multi_asof_two_rates,
         # --- r05-remainder + r06-checked cohort, due re-check (first 46
         #     fit the 50 cap; the ~20 tail entries take the 3-round slot
-        #     the 119-entry registry forces at 50 rows/round — all 119 are
+        #     the 120-entry registry forces at 50 rows/round — all 120 are
         #     backstopped by the committed CROSSCHECK_r08) ---
         "stratified_sample_documents": stratified_sample_documents,
         "term_doc_frequency": term_doc_frequency,
@@ -4235,6 +4311,66 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 1, 1, ou, CAST(o_n AS BIGINT), CAST(rnk AS BIGINT)
             FROM d WHERE NOT has_n
+        """,
+        "multi_asof_two_rates": """
+            -- Two chained FOR SYSTEM_TIME stages with STAGED release: a
+            -- click's purchase version set freezes when min(click,
+            -- purchase) watermarks release it from stage 1; its signup
+            -- set freezes at stage 2 (all three watermarks).
+            WITH ev AS (
+                SELECT user_id, date_trunc('milliseconds', ts) AS ts,
+                       event_type, event_id,
+                       CAST(floor(value * 100) AS BIGINT) AS cents
+                FROM events
+                WHERE event_type IN ('purchase', 'signup', 'click')
+            ), p AS (
+                SELECT user_id, ts, max(cents) AS cents,
+                       CAST((row_number() OVER (ORDER BY ts, user_id) - 1) % 2 AS INT) AS inv
+                FROM ev WHERE event_type = 'purchase' GROUP BY user_id, ts
+            ), sg AS (
+                SELECT user_id, ts, max(cents) AS cents,
+                       CAST((row_number() OVER (ORDER BY ts, user_id) - 1) % 2 AS INT) AS inv
+                FROM ev WHERE event_type = 'signup' GROUP BY user_id, ts
+            ), c AS (
+                SELECT user_id, ts, cents, CAST(event_id % 2 AS INT) AS inv
+                FROM ev WHERE event_type = 'click'
+            ), wm AS (
+                SELECT
+                  (SELECT max(ts) FROM p WHERE inv = 0) AS p0,
+                  (SELECT max(ts) FROM p) AS p1,
+                  (SELECT max(ts) FROM sg WHERE inv = 0) AS s0,
+                  (SELECT max(ts) FROM sg) AS s1,
+                  (SELECT max(ts) FROM c WHERE inv = 0) AS c0,
+                  (SELECT max(ts) FROM c) AS c1
+            ), probes AS (
+                SELECT user_id, ts, cents,
+                       CASE WHEN inv = 0
+                              AND ts <= least((SELECT p0 FROM wm), (SELECT c0 FROM wm))
+                            THEN 0 ELSE 1 END AS rel_p,
+                       CASE WHEN inv = 0
+                              AND ts <= least((SELECT p0 FROM wm), (SELECT c0 FROM wm),
+                                              (SELECT s0 FROM wm))
+                            THEN 0 ELSE 1 END AS rel_s
+                FROM c
+                WHERE ts <= least((SELECT p1 FROM wm), (SELECT c1 FROM wm),
+                                  (SELECT s1 FROM wm))
+            )
+            SELECT pr.ts AS event_time, pr.user_id AS user_id,
+                   CAST(pr.cents AS BIGINT) AS qty,
+                   pv.cents AS purchase_rate, sv.cents AS signup_rate
+            FROM probes pr
+            JOIN LATERAL (
+                SELECT cents FROM p
+                WHERE p.user_id = pr.user_id AND p.ts <= pr.ts
+                  AND p.inv <= pr.rel_p
+                ORDER BY p.ts DESC LIMIT 1
+            ) pv ON TRUE
+            JOIN LATERAL (
+                SELECT cents FROM sg
+                WHERE sg.user_id = pr.user_id AND sg.ts <= pr.ts
+                  AND sg.inv <= pr.rel_s
+                ORDER BY sg.ts DESC LIMIT 1
+            ) sv ON TRUE
         """,
         "changelog_asof_rates": """
             -- As-of join against a changelog-maintained versioned view.
