@@ -71,11 +71,22 @@ SEQ = "__seq"
 # small per-invocation emissions of most chains); above it, the stamp
 # range-partitions so a multi-million-row correction stream feeding a
 # projection never serializes through one task.
-_STAMP_DIST_CONF = "spark.kamu.stampDistributedMinBytes"
-_STAMP_DIST_DEFAULT = 32 << 20
+# The distributed emission stamp pays a range-partition sampling pass and
+# a per-partition-count collect; the single-partition window stamp pays a
+# one-partition sort of the whole emission. The gate reads the EMISSION
+# frame's own row count (the input slice is no proxy: a join blow-up or a
+# wide correction stream can amplify a small slice into a multi-million-row
+# emission, which is exactly the case the distributed path exists for).
+# Default threshold measured on local[32] at bench scale: the
+# single-partition sort still wins at ~200k rows (4.9 s vs 6.6 s,
+# bench.py stress_changelog_stamp entry) and loses by ~2x at ~4M rows
+# (bench.py stamp_dist_crossover entry); 1M sits at the measured
+# crossover.
+_STAMP_DIST_CONF = "spark.kamu.stampDistributedMinRows"
+_STAMP_DIST_DEFAULT = 1_000_000
 
 
-def _stamp_emission_seq(spark, df, order_cols, pinned):
+def _stamp_emission_seq(spark, df, order_cols, pinned, persisted=False):
     """Distributed emission-order stamp: range-partition on order_cols
     (partitions come out globally ordered) + in-partition sort, derive
     per-partition base offsets from a prefix sum over the (tiny)
@@ -89,9 +100,11 @@ def _stamp_emission_seq(spark, df, order_cols, pinned):
 
     # Pin the emission BEFORE range partitioning: the range partitioner's
     # sampling pass would otherwise recompute the whole upstream (state
-    # union + fold) a second time.
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    pinned.append(df)
+    # union + fold) a second time. (Skipped when the caller's gate
+    # already pinned and counted the frame.)
+    if not persisted:
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        pinned.append(df)
     n = spark.sparkContext.defaultParallelism
     ordered = df.repartitionByRange(
         n, *[F.col(c).asc() for c in order_cols]
@@ -399,17 +412,34 @@ def execute_transform(spark: SparkSession, request: TransformRequest) -> Transfo
                         dist_min = int(spark.conf.get(_STAMP_DIST_CONF))
                     except Exception:
                         dist_min = _STAMP_DIST_DEFAULT
-                    if sum(slice_sizes.values()) >= dist_min:
+                    if dist_min <= 0:
+                        # Forced distributed (tests / calibration).
                         adf = _stamp_emission_seq(
                             spark, adf, result.order_cols, pinned
                         )
                     else:
-                        w = Window.partitionBy(F.lit(0)).orderBy(
-                            *[F.col(c).asc() for c in result.order_cols]
-                        )
-                        adf = adf.repartition(1).withColumn(
-                            SEQ, (F.row_number().over(w) - 1).cast("long")
-                        )
+                        # Gate on the emission frame ITSELF: pin it and
+                        # count. The pin is not overhead — both stamp
+                        # paths re-read the frame (the window stamp's
+                        # one-partition sort would otherwise recompute
+                        # the whole upstream state union + fold), and
+                        # the count is then a cached-partition scan.
+                        from pyspark import StorageLevel
+
+                        adf = adf.persist(StorageLevel.MEMORY_AND_DISK)
+                        pinned.append(adf)
+                        if adf.count() >= dist_min:
+                            adf = _stamp_emission_seq(
+                                spark, adf, result.order_cols, pinned,
+                                persisted=True,
+                            )
+                        else:
+                            w = Window.partitionBy(F.lit(0)).orderBy(
+                                *[F.col(c).asc() for c in result.order_cols]
+                            )
+                            adf = adf.repartition(1).withColumn(
+                                SEQ, (F.row_number().over(w) - 1).cast("long")
+                            )
                 views[step.alias] = adf
                 adf.createOrReplaceTempView(step.alias)
                 event_time_cols[step.alias] = request.vocab.event_time_column

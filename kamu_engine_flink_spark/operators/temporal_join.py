@@ -138,7 +138,15 @@ def execute_changelog_temporal_join(ctx: StepContext, sql: str) -> StepResult:
     meta_name = f"{ctx.step_key}-cl-versions-meta"
     meta = ctx.state.load_json(meta_name, {}) or {}
     inv = int(meta.get("inv", 0))
-    prev_bw = _iso(meta.get("build_wm"))
+    # Late-version drops gate on the JOINT watermark actually used for
+    # probe releases, not the build watermark: when the build side runs
+    # ahead of the probe side (dimension-ahead-of-facts), versions with
+    # event_time in (joint_wm, build_wm] can only affect still-buffered,
+    # never-emitted probes — Flink stores and uses such rows, and so must
+    # we. Older checkpoints stored only build_wm; fall back to it (it can
+    # only be >= the joint one, so the fallback never over-drops vs the
+    # behavior those checkpoints already exhibited).
+    prev_jw = _iso(meta.get("joint_wm") or meta.get("build_wm"))
 
     seq = (
         F.col(SEQ_INPUT).cast(LongType())
@@ -152,11 +160,13 @@ def execute_changelog_temporal_join(ctx: StepContext, sql: str) -> StepResult:
         # by the per-invocation output (far below 2^40).
         (F.lit(inv * (1 << 40)).cast(LongType()) + seq).alias(VSEQ),
     )
-    if prev_bw is not None:
-        # Late version rows (at or before the build watermark already used
+    if prev_jw is not None:
+        # Late version rows (at or before the joint watermark already used
         # for releases) could contradict emitted probes — drop, like
-        # Flink's late changelog handling.
-        delta = delta.filter(F.col(build_et) > F.lit(prev_bw))
+        # Flink's late changelog handling. Versions above the joint
+        # watermark are kept even if behind the build watermark: the
+        # probes they resolve are still buffered.
+        delta = delta.filter(F.col(build_et) > F.lit(prev_jw))
     delta = ctx.pin(delta)
 
     versions_state = f"{ctx.step_key}-cl-versions"
@@ -221,7 +231,14 @@ def execute_changelog_temporal_join(ctx: StepContext, sql: str) -> StepResult:
             ctx.state.save_json(compact_meta, {"floor": cur_bytes})
     ctx.state.save_json(
         meta_name,
-        {"inv": inv + 1, "build_wm": bw.isoformat() if bw else meta.get("build_wm")},
+        {
+            "inv": inv + 1,
+            "joint_wm": (
+                joint_wm.isoformat()
+                if joint_wm
+                else (meta.get("joint_wm") or meta.get("build_wm"))
+            ),
+        },
     )
 
     release.createOrReplaceTempView(probe)

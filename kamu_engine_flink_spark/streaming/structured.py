@@ -981,6 +981,11 @@ _CLTOPN_STATE = StructType(
 )
 
 
+# Sentinel distinguishing "no row at this place" from a NULL-valued row
+# occupying a place in the visible top-N (None is a real value there).
+_ABSENT = object()
+
+
 def _changelog_topn_fn(n: int):
     """Per-key retractable-rank kernel (Flink RetractableTopNFunction,
     streaming form): state = the FULL live value multiset as (value, net
@@ -1031,11 +1036,16 @@ def _changelog_topn_fn(n: int):
         new = top(C)
         out = []
         for place in range(max(len(old), len(new))):
-            o = old[place] if place < len(old) else None
-            nv = new[place] if place < len(new) else None
-            if o is None:
+            # _ABSENT (not None) marks a place beyond the list: top()
+            # deliberately admits NULL values (sorted last), so None is a
+            # legitimate occupant of a place and must diff as a value —
+            # a retracted NULL-valued place emits op-1 (or an op-2/3 pair
+            # when replaced), never a bare op-0 insert.
+            o = old[place] if place < len(old) else _ABSENT
+            nv = new[place] if place < len(new) else _ABSENT
+            if o is _ABSENT:
                 out.append((0, key[0], place + 1, nv))
-            elif nv is None:
+            elif nv is _ABSENT:
                 out.append((1, key[0], place + 1, o))
             elif o != nv:
                 out.append((2, key[0], place + 1, o))

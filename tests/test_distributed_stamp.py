@@ -2,7 +2,7 @@
 _stamp_emission_seq): range-partitioned sort + per-partition offset bases
 must produce EXACTLY the emission order of the single-partition window
 stamp — pair adjacency and per-branch ordering included — when forced on
-via spark.kamu.stampDistributedMinBytes=0."""
+via spark.kamu.stampDistributedMinRows=0."""
 
 import os
 
@@ -18,9 +18,9 @@ FROM a LEFT JOIN b ON a.symbol = b.symbol"""
 
 @pytest.fixture()
 def dist_stamp(spark):
-    spark.conf.set("spark.kamu.stampDistributedMinBytes", "0")
+    spark.conf.set("spark.kamu.stampDistributedMinRows", "0")
     yield
-    spark.conf.unset("spark.kamu.stampDistributedMinBytes")
+    spark.conf.unset("spark.kamu.stampDistributedMinRows")
 
 
 def _two_stream_inputs(tmp_path, name, a_rows, b_rows, wm):
