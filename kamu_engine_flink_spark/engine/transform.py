@@ -360,8 +360,9 @@ def execute_transform(spark: SparkSession, request: TransformRequest) -> Transfo
                     "counts), Top-N (which re-ranks from a signed row "
                     "ledger), a regular equi-join (which applies "
                     "them as state deletions), or a temporal (as-of) join "
-                    "whose BUILD side is the updating alias (its changelog "
-                    "maintains the versioned view) can consume an updating "
+                    "on either side (an updating build maintains the "
+                    "versioned view; an updating probe forwards its op "
+                    "tags through the resolution) can consume an updating "
                     "stream; other step kinds would misread correction/"
                     "retraction rows as appends"
                 )

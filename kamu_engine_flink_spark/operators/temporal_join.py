@@ -69,40 +69,8 @@ def _probe_time_col(sql: str, probe_cols, default: str) -> str:
     return default
 
 
-def execute_changelog_temporal_join(ctx: StepContext, sql: str) -> StepResult:
-    """Temporal (as-of) join whose BUILD side is an UPDATING
-    (changelog-emitting) alias — Flink's event-time temporal join against
-    a versioned view maintained by a changelog (the mainline latest-rate
-    pattern; reference surface via planner delegation,
-    TransformEngine.scala:252-262, temporal machinery :163-200).
-
-    The changelog rows ARE the version history: an op-0/op-3 row creates
-    a version of its key at its event_time, an op-1 row creates a
-    TOMBSTONE (the key is dead from that time until its next version),
-    and op-2 (CorrectFrom) rows are pair bookkeeping with no version
-    content. Versions of one key ordered by (event_time, emission seq)
-    yield validity intervals exactly like the append-only executor; a
-    probe row resolves the latest LIVE version at its event time, and a
-    probe landing in a tombstone interval matches nothing. The output is
-    APPEND-ONLY (Flink: event-time temporal joins emit inserts), so the
-    result chains freely.
-
-    Finality mirrors Flink: probe rows release when the joint watermark
-    passes their event time, and a version row arriving with event_time
-    at or before the build watermark already used for releases is LATE
-    and dropped (it could contradict emitted rows).
-
-    Scale shape: the version state is an append-only relation bucketed by
-    the PK — one O(slice) delta append per invocation, with the same
-    size-triggered compaction as the Top-N ledger (fold to versions still
-    reachable at the joint watermark). Validity derivation is a window
-    over the bucketed scan (no exchange on the state side).
-    """
-    from pyspark.sql.types import BooleanType, LongType, StructField, StructType
-
-    from .map_step import SEQ_INPUT
-    from .topn import OP_COL
-
+def _parse_sides(ctx: StepContext, sql: str):
+    """(build, probe, tt, pk, build_et, probe_et) of a temporal join."""
     known = set(ctx.views)
     refs = referenced_views(sql, known)
     temporal_names = {t.name for t in ctx.request.transform.temporal_tables}
@@ -113,24 +81,44 @@ def execute_changelog_temporal_join(ctx: StepContext, sql: str) -> StepResult:
             f"temporal join must reference one probe and one temporal table, got {refs}"
         )
     build, probe = build_names[0], probe_names[0]
-    if OP_COL in ctx.views[probe].columns:
-        raise InvalidQueryError(
-            "temporal join PROBE side must be an append-only stream; an "
-            "updating (changelog-emitting) alias can only be the versioned "
-            "(FOR SYSTEM_TIME AS OF) side"
-        )
     tt = resolve_temporal_table(ctx, build)
-    pk = tt.primary_key[0]
     build_et = ctx.event_time_cols[build]
     probe_et = _probe_time_col(
         sql, ctx.views[probe].columns, ctx.event_time_cols[probe]
     )
+    return build, probe, tt, tt.primary_key[0], build_et, probe_et
 
-    build_df = ctx.views[build]
+
+def _changelog_version_state(
+    ctx: StepContext, build_df, build_et: str, pk: str, joint_wm, probe_saves
+) -> DataFrame:
+    """Maintain the CHANGELOG-fed version ledger and return the resolvable
+    (live-version) validity view.
+
+    The changelog rows ARE the version history: an op-0/op-3 row creates
+    a version of its key at its event_time, an op-1 row creates a
+    TOMBSTONE (the key is dead from that time until its next version),
+    and op-2 (CorrectFrom) rows are pair bookkeeping with no version
+    content. Versions of one key ordered by (event_time, emission seq)
+    yield validity intervals exactly like the append-only executor.
+
+    Scale shape: the version state is an append-only relation bucketed by
+    the PK — one O(slice) delta append per invocation, with the same
+    size-triggered compaction as the Top-N ledger (fold to versions still
+    reachable at the joint watermark). Validity derivation is a window
+    over the bucketed scan (no exchange on the state side). probe_saves
+    ((name, df) tuples) batch with compaction rewrites so all state
+    writes stay parallel.
+    """
+    from pyspark.sql.types import BooleanType, LongType, StructField, StructType
+
+    from .map_step import SEQ_INPUT
+    from .topn import OP_COL
+
     value_cols = [c for c in build_df.columns if not c.startswith("__")]
     if pk not in value_cols or build_et not in value_cols:
         raise InvalidQueryError(
-            f"temporal table '{build}' must project its primary key "
+            f"temporal table must project its primary key "
             f"({pk}) and event time ({build_et})"
         )
 
@@ -177,19 +165,6 @@ def execute_changelog_temporal_join(ctx: StepContext, sql: str) -> StepResult:
     prev_versions = ctx.state.load_df(versions_state, schema=ledger_schema)
     versions = prev_versions.unionByName(delta)
 
-    # Probe buffering + release: identical to the append-only executor.
-    probe_state = f"{ctx.step_key}-probe-buffer"
-    prev_probe = ctx.state.load_df(probe_state, schema=ctx.views[probe].schema)
-    probe_all = ctx.pin(prev_probe.unionByName(ctx.views[probe]))
-    pw, bw = ctx.new_wms.get(probe), ctx.new_wms.get(build)
-    joint_wm = min_watermark(pw, bw) if pw is not None and bw is not None else None
-    if joint_wm is not None:
-        release = probe_all.filter(F.col(probe_et) <= F.lit(joint_wm))
-        keep = probe_all.filter(F.col(probe_et) > F.lit(joint_wm))
-    else:
-        release = probe_all.limit(0)
-        keep = probe_all
-
     # Validity intervals per key, ties within one event time broken by
     # emission order; tombstone rows shape the intervals, then drop out of
     # the probe-resolution view (their interval matches nothing).
@@ -222,11 +197,12 @@ def execute_changelog_temporal_join(ctx: StepContext, sql: str) -> StepResult:
         pruned = versioned.filter(
             F.col(VALID_TO).isNull() | (F.col(VALID_TO) > F.lit(joint_wm))
         ).drop(VALID_FROM, VALID_TO)
-        ctx.state.save_dfs([(probe_state, keep), (versions_state, pruned, [pk])])
+        ctx.state.save_dfs([*probe_saves, (versions_state, pruned, [pk])])
         ctx.state.save_json(compact_meta, {"floor": None})
     else:
         ctx.state.save_df(versions_state, delta, bucket_by=[pk], append=True)
-        ctx.state.save_df(probe_state, keep)
+        for name, df in probe_saves:
+            ctx.state.save_df(name, df)
         if floor is None:
             ctx.state.save_json(compact_meta, {"floor": cur_bytes})
     ctx.state.save_json(
@@ -239,6 +215,57 @@ def execute_changelog_temporal_join(ctx: StepContext, sql: str) -> StepResult:
                 else (meta.get("joint_wm") or meta.get("build_wm"))
             ),
         },
+    )
+    return resolvable
+
+
+def execute_changelog_temporal_join(ctx: StepContext, sql: str) -> StepResult:
+    """Temporal (as-of) join with at least one UPDATING
+    (changelog-emitting) side — Flink's event-time temporal join, which
+    accepts a changelog on either side (reference surface via planner
+    delegation, TransformEngine.scala:252-262, temporal machinery
+    :163-200).
+
+    BUILD updating (the mainline latest-rate pattern): the changelog
+    maintains the versioned view — op-0/3 rows as versions, op-1
+    tombstones, late versions dropped against the joint watermark. The
+    output is APPEND-ONLY (probe rows are inserts), so it chains freely.
+
+    PROBE updating (continuous agg probing a rates table): the probe
+    changelog buffers as a SIGNED ledger and each released row — insert,
+    retraction, or correction half — resolves against the version live
+    at ITS event time, forwarding its op tag, so a retraction retracts
+    exactly the join output its insert produced (version history at or
+    below released times is frozen: by the watermark contract for an
+    append-only build, by the late-drop rule for a changelog build).
+    The output is itself a changelog.
+
+    Finality mirrors Flink: probe rows release when the joint watermark
+    passes their event time.
+    """
+    from .topn import OP_COL
+
+    build, probe, tt, pk, build_et, probe_et = _parse_sides(ctx, sql)
+    if OP_COL in ctx.views[probe].columns:
+        return _execute_updating_probe(
+            ctx, sql, build, probe, tt, pk, build_et, probe_et
+        )
+
+    # Probe buffering + release: identical to the append-only executor.
+    probe_state = f"{ctx.step_key}-probe-buffer"
+    prev_probe = ctx.state.load_df(probe_state, schema=ctx.views[probe].schema)
+    probe_all = ctx.pin(prev_probe.unionByName(ctx.views[probe]))
+    pw, bw = ctx.new_wms.get(probe), ctx.new_wms.get(build)
+    joint_wm = min_watermark(pw, bw) if pw is not None and bw is not None else None
+    if joint_wm is not None:
+        release = probe_all.filter(F.col(probe_et) <= F.lit(joint_wm))
+        keep = probe_all.filter(F.col(probe_et) > F.lit(joint_wm))
+    else:
+        release = probe_all.limit(0)
+        keep = probe_all
+
+    resolvable = _changelog_version_state(
+        ctx, ctx.views[build], build_et, pk, joint_wm, [(probe_state, keep)]
     )
 
     release.createOrReplaceTempView(probe)
@@ -256,6 +283,154 @@ def execute_changelog_temporal_join(ctx: StepContext, sql: str) -> StepResult:
     return StepResult(df=result, watermark=joint_wm, order_cols=order_cols)
 
 
+_PROBE_OP, _PROBE_SEQ = "__pop", "__pseq"
+
+
+def _inject_probe_tags(sql: str) -> str:
+    """Thread the probe ledger's op tag and emission seq through the
+    user's SELECT list. Requires an explicit projection: with a star the
+    injected names would collide with the star expansion and the version
+    side's validity columns would leak."""
+    import re
+
+    from ..plans.classify import mask_sql, select_count
+
+    if select_count(sql) != 1 or re.search(
+        r"(?:\bselect|,)\s*(?:[`\w]+\s*\.\s*)?\*",
+        mask_sql(sql, parens=True),
+        re.IGNORECASE,
+    ):
+        raise InvalidQueryError(
+            "a temporal join over an UPDATING probe side needs a single "
+            "SELECT with an explicit projection (no star) so the "
+            "changelog op tags can be threaded through"
+        )
+    return re.sub(
+        r"^\s*select\s+",
+        f"SELECT {_PROBE_OP}, {_PROBE_SEQ}, ",
+        sql,
+        count=1,
+        flags=re.IGNORECASE,
+    )
+
+
+def _execute_updating_probe(
+    ctx: StepContext, sql: str, build, probe, tt, pk, build_et, probe_et
+) -> StepResult:
+    """Temporal (as-of) join whose PROBE side is an updating alias.
+
+    The probe changelog buffers as a signed ledger stamped with a
+    globally monotone emission seq; rows of every op kind release when
+    the joint watermark passes their event time and resolve against the
+    version live at that time. Op tags forward to the output — with one
+    repair: an op-2/op-3 correction pair can SPLIT (one half buffered
+    past the watermark, or one half dropped by an inner join whose other
+    half resolves), and a dangling half rewrites to the changelog-
+    equivalent single op (op-2 alone -> op-1 DELETE, op-3 alone -> op-0
+    INSERT). Pair partners are adjacent in emission seq (upstream
+    executors emit op-2 immediately before its op-3), so partner
+    presence is one equi-join of the emission against itself on seq+-1 —
+    O(emission), shuffle-parallel, no state.
+
+    Build side: changelog-maintained versions when the temporal table is
+    itself updating, the plain append-only version ledger otherwise.
+    """
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    from .map_step import SEQ_INPUT
+    from .topn import OP_COL
+
+    probe_df = ctx.views[probe]
+    if SEQ_INPUT not in probe_df.columns:
+        raise InvalidQueryError(
+            "updating probe side of a temporal join lost its emission "
+            "seq — op-2/op-3 pair adjacency cannot be preserved"
+        )
+    value_cols = [c for c in probe_df.columns if not c.startswith("__")]
+    if probe_et not in value_cols:
+        raise InvalidQueryError(
+            f"updating probe '{probe}' must project its event time ({probe_et})"
+        )
+    injected = _inject_probe_tags(sql)
+
+    pmeta_name = f"{ctx.step_key}-cl-probe-meta"
+    pmeta = ctx.state.load_json(pmeta_name, {}) or {}
+    pinv = int(pmeta.get("inv", 0))
+    delta = probe_df.select(
+        *value_cols,
+        F.col(OP_COL).cast(IntegerType()).alias(_PROBE_OP),
+        (
+            F.lit(pinv * (1 << 40)).cast(LongType())
+            + F.col(SEQ_INPUT).cast(LongType())
+        ).alias(_PROBE_SEQ),
+    )
+
+    probe_state = f"{ctx.step_key}-probe-buffer"
+    ledger_schema = StructType(
+        [probe_df.schema[c] for c in value_cols]
+        + [
+            StructField(_PROBE_OP, IntegerType()),
+            StructField(_PROBE_SEQ, LongType()),
+        ]
+    )
+    prev_probe = ctx.state.load_df(probe_state, schema=ledger_schema)
+    probe_all = ctx.pin(prev_probe.unionByName(delta))
+    pw, bw = ctx.new_wms.get(probe), ctx.new_wms.get(build)
+    joint_wm = min_watermark(pw, bw) if pw is not None and bw is not None else None
+    if joint_wm is not None:
+        release = probe_all.filter(F.col(probe_et) <= F.lit(joint_wm))
+        keep = probe_all.filter(F.col(probe_et) > F.lit(joint_wm))
+    else:
+        release = probe_all.limit(0)
+        keep = probe_all
+
+    build_df = ctx.views[build]
+    if OP_COL in build_df.columns:
+        resolvable = _changelog_version_state(
+            ctx, build_df, build_et, pk, joint_wm, [(probe_state, keep)]
+        )
+    else:
+        resolvable = _appendonly_version_state(
+            ctx, build, build_et, tt.primary_key, joint_wm,
+            [(probe_state, keep)],
+        )
+    ctx.state.save_json(pmeta_name, {"inv": pinv + 1})
+
+    release.createOrReplaceTempView(probe)
+    resolvable.createOrReplaceTempView(build + VERSIONS_SUFFIX)
+    try:
+        raw = ctx.spark.sql(rewrite_query(injected, watermark=joint_wm))
+    finally:
+        ctx.views[probe].createOrReplaceTempView(probe)
+
+    # Dangling-half repair: a correction half whose partner (seq +- 1)
+    # is absent from THIS emission — buffered past the watermark or
+    # dropped by the inner join — becomes the equivalent single op.
+    # Resolution is deterministic on (key, event time) over frozen
+    # history, so the repair composes across invocations: the halves of
+    # a split pair rewrite consistently whenever each releases.
+    op = F.col(_PROBE_OP)
+    partners = raw.filter(op.isin(2, 3)).select(
+        F.col(_PROBE_SEQ).alias("__partner")
+    )
+    fixed = raw.withColumn(
+        "__want",
+        F.when(op == 2, F.col(_PROBE_SEQ) + 1).when(op == 3, F.col(_PROBE_SEQ) - 1),
+    ).join(partners, F.col("__want") == F.col("__partner"), "left")
+    result = (
+        fixed.withColumn(
+            OP_COL,
+            F.when((op == 2) & F.col("__partner").isNull(), F.lit(1))
+            .when((op == 3) & F.col("__partner").isNull(), F.lit(0))
+            .otherwise(op)
+            .cast(IntegerType()),
+        )
+        .drop(_PROBE_OP, "__want", "__partner")
+        .withColumnRenamed(_PROBE_SEQ, SEQ_INPUT)
+    )
+    return StepResult(df=result, watermark=joint_wm, order_cols=[SEQ_INPUT])
+
+
 def _iso(value):
     if not value:
         return None
@@ -264,27 +439,28 @@ def _iso(value):
     return datetime.fromisoformat(value)
 
 
-def execute_temporal_join(ctx: StepContext, sql: str) -> StepResult:
-    known = set(ctx.views)
-    refs = referenced_views(sql, known)
-    temporal_names = {t.name for t in ctx.request.transform.temporal_tables}
-    build_names = [r for r in refs if r in temporal_names]
-    probe_names = [r for r in refs if r not in temporal_names]
-    if len(build_names) != 1 or len(probe_names) != 1:
-        raise InvalidQueryError(
-            f"temporal join must reference one probe and one temporal table, got {refs}"
-        )
-    build, probe = build_names[0], probe_names[0]
-    tt = resolve_temporal_table(ctx, build)
-    build_et = ctx.event_time_cols[build]
-    probe_et = _probe_time_col(
-        sql, ctx.views[probe].columns, ctx.event_time_cols[probe]
-    )
+def _appendonly_version_state(
+    ctx: StepContext, build: str, build_et: str, pk: list, joint_wm, probe_saves
+) -> DataFrame:
+    """Maintain the APPEND-ONLY version ledger of temporal table `build`
+    and return the validity view.
 
-    # Version history accumulates across invocations.
-    # Scoped per STEP: two temporal-join steps on the same build table
-    # prune by different joint watermarks — a shared file would let the
-    # last writer destroy versions the other step's buffered probes need.
+    Version history accumulates across invocations, scoped per STEP: two
+    temporal-join steps on the same build table prune by different joint
+    watermarks — a shared file would let the last writer destroy versions
+    the other step's buffered probes need.
+
+    State maintenance: the common case appends only this invocation's
+    build slice, bucketed by the PK — O(slice) per invocation, and the
+    next run's validity window plans no exchange on the state side.
+    Unreachable versions (future probes have event_time > joint_wm, so
+    only versions valid at or after it matter) are dropped by the
+    size-triggered compaction rewrite instead of a full O(state) rewrite
+    EVERY invocation; between compactions state holds at most 4x the
+    reachable versions. A legacy (or pre-bucketing) relation migrates
+    through the compaction path on first touch. probe_saves ((name, df)
+    tuples) batch with compaction rewrites so state writes stay parallel.
+    """
     versions_state = f"{ctx.step_key}-versions-{build}"
     # One-time migration: checkpoints from engine revisions before the
     # per-step scoping used the unscoped key. Loading the legacy file once
@@ -304,6 +480,44 @@ def execute_temporal_join(ctx: StepContext, sql: str) -> StepResult:
             versions_state, schema=ctx.views[build].schema
         )
     versions = ctx.pin(prev_versions.unionByName(ctx.views[build]))
+    versioned = with_validity(versions, pk, build_et)
+
+    compact_meta = f"{versions_state}.compact.json"
+    cmeta = ctx.state.load_json(compact_meta) or {}
+    cur_bytes = ctx.state.relation_bytes(versions_state) or 0
+    floor = cmeta.get("floor")
+    try:
+        min_bytes = int(
+            ctx.spark.conf.get("spark.kamu.state.ledgerCompactMinBytes")
+        )
+    except Exception:
+        min_bytes = 8 << 20
+    if migrating or (
+        floor is not None
+        and joint_wm is not None
+        and cur_bytes > max(4 * floor, min_bytes)
+    ):
+        if joint_wm is not None:
+            pruned = versioned.filter(
+                F.col(VALID_TO).isNull() | (F.col(VALID_TO) > F.lit(joint_wm))
+            ).drop(VALID_FROM, VALID_TO)
+        else:
+            pruned = versions
+        ctx.state.save_dfs([*probe_saves, (versions_state, pruned, pk)])
+        ctx.state.save_json(compact_meta, {"floor": None})
+    else:
+        ctx.state.save_df(
+            versions_state, ctx.views[build], bucket_by=pk, append=True
+        )
+        for name, df in probe_saves:
+            ctx.state.save_df(name, df)
+        if floor is None:
+            ctx.state.save_json(compact_meta, {"floor": cur_bytes})
+    return versioned
+
+
+def execute_temporal_join(ctx: StepContext, sql: str) -> StepResult:
+    build, probe, tt, _pk, build_et, probe_et = _parse_sides(ctx, sql)
 
     # Probe rows release when the joint watermark passes their event time.
     probe_state = f"{ctx.step_key}-probe-buffer"
@@ -323,48 +537,9 @@ def execute_temporal_join(ctx: StepContext, sql: str) -> StepResult:
         release = probe_all.limit(0)
         keep = probe_all
 
-    versioned = with_validity(versions, tt.primary_key, build_et)
-
-    # State maintenance: the common case appends only this invocation's
-    # build slice, bucketed by the PK — O(slice) per invocation, and the
-    # next run's validity window plans no exchange on the state side.
-    # Unreachable versions (future probes have event_time > joint_wm, so
-    # only versions valid at or after it matter) are dropped by the
-    # size-triggered compaction rewrite instead of a full O(state)
-    # rewrite EVERY invocation; between compactions state holds at most
-    # 4x the reachable versions. A legacy (or pre-bucketing) relation
-    # migrates through the compaction path on first touch.
-    compact_meta = f"{versions_state}.compact.json"
-    cmeta = ctx.state.load_json(compact_meta) or {}
-    cur_bytes = ctx.state.relation_bytes(versions_state) or 0
-    floor = cmeta.get("floor")
-    try:
-        min_bytes = int(
-            ctx.spark.conf.get("spark.kamu.state.ledgerCompactMinBytes")
-        )
-    except Exception:
-        min_bytes = 8 << 20
-    pk = tt.primary_key
-    if migrating or (
-        floor is not None
-        and joint_wm is not None
-        and cur_bytes > max(4 * floor, min_bytes)
-    ):
-        if joint_wm is not None:
-            pruned = versioned.filter(
-                F.col(VALID_TO).isNull() | (F.col(VALID_TO) > F.lit(joint_wm))
-            ).drop(VALID_FROM, VALID_TO)
-        else:
-            pruned = versions
-        ctx.state.save_dfs([(probe_state, keep), (versions_state, pruned, pk)])
-        ctx.state.save_json(compact_meta, {"floor": None})
-    else:
-        ctx.state.save_df(
-            versions_state, ctx.views[build], bucket_by=pk, append=True
-        )
-        ctx.state.save_df(probe_state, keep)
-        if floor is None:
-            ctx.state.save_json(compact_meta, {"floor": cur_bytes})
+    versioned = _appendonly_version_state(
+        ctx, build, build_et, tt.primary_key, joint_wm, [(probe_state, keep)]
+    )
 
     release.createOrReplaceTempView(probe)
     versioned.createOrReplaceTempView(build + VERSIONS_SUFFIX)

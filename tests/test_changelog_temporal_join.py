@@ -246,14 +246,14 @@ ON o.price = h.n"""
     assert rows2 == [(1, 1)]
 
 
-def test_asof_updating_probe_rejects(spark, tmp_path):
-    """The PROBE side being an updating alias still rejects loudly."""
+def test_asof_updating_probe_star_rejects(spark, tmp_path):
+    """An updating PROBE side now executes (test_changelog_asof_probe.py),
+    but a star projection — which would collide with the threaded op
+    tags — still rejects loudly."""
     left_join = """SELECT a.event_time as event_time, a.symbol as symbol,
   a.price as a_price, b.price as b_price
 FROM a LEFT JOIN b ON a.symbol = b.symbol"""
-    asof = """SELECT j.event_time as event_time, j.symbol as symbol,
-  rt.price as rate
-FROM j JOIN rt FOR SYSTEM_TIME AS OF j.event_time AS rt
+    asof = """SELECT * FROM j JOIN rt FOR SYSTEM_TIME AS OF j.event_time AS rt
 ON j.symbol = rt.symbol"""
     runner = TransformRunner(
         spark, tmp_path,
@@ -266,7 +266,7 @@ ON j.symbol = rt.symbol"""
     ticker_slice(a, [(0, 0, ts(2), ts(1, 0, 1), "A", 10)])
     ticker_slice(b, [])
     ticker_slice(rt, [(0, 0, ts(2), ts(1, 0, 2), "A", 7)])
-    with pytest.raises(InvalidQueryError, match="PROBE side"):
+    with pytest.raises(InvalidQueryError, match="explicit projection"):
         runner.run(
             [{"alias": "a", "data_paths": [a], "schema_file": a, "watermark": ts(1, 1)},
              {"alias": "b", "data_paths": [], "schema_file": b, "watermark": ts(1, 1)},
