@@ -3297,6 +3297,103 @@ ON c.user_id = rt.user_id""",
     return out
 
 
+_ASOF_BAND = "2024-01-16 00:00:00"
+
+
+def changelog_asof_updating_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (as-of) join over an UPDATING PROBE side (operators/
+    temporal_join._execute_updating_probe — the inverse of
+    changelog_asof_rates; Flink's event-time temporal join accepts an
+    updating left table, reference surface TransformEngine.scala:252-262):
+    a per-user running purchase total (continuous agg) probes a click-
+    derived rates table with FOR SYSTEM_TIME AS OF across two chained ODF
+    invocations. Every released changelog row — insert, CorrectFrom,
+    CorrectTo — resolves the rate version live AT ITS OWN event time and
+    forwards its op tag; a correction half whose partner is buffered past
+    the joint watermark or dropped by the inner join repairs to the
+    equivalent single op (dangling op-2 -> op-1, dangling op-3 -> op-0).
+    The rates ledger is TIME-BANDED (versions never arrive behind their
+    watermark), so resolution history below released times is frozen and
+    the oracle can replay release inv + version visibility + pair repair
+    exactly. Probe ledger state: O(slice) signed appends — scales."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from kamu_engine_flink_spark.sinks.parquet import write_single_parquet
+
+    _conf(spark)
+    workdir = tempfile.mkdtemp(prefix="clasofp-entry-")
+    p_slices = _ledger_slices(
+        spark, _events_ledger(spark, sf_dir, "purchase"), workdir, "purchases", 2
+    )
+    # Build: one rate version per (user, ts) so validity intervals are
+    # total; banded by a fixed boundary replayed verbatim in the oracle.
+    clicks = _t(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    rates_ledger = (
+        clicks.groupBy("user_id", F.col("ts").alias("event_time"))
+        .agg(F.max(F.floor(F.col("value") * 100).cast("long")).alias("rate"))
+        .withColumn(
+            "offset",
+            F.row_number().over(Window.orderBy("event_time", "user_id")) - 1,
+        )
+        .withColumn("op", F.lit(0).cast("int"))
+        .withColumn(
+            "system_time", F.to_timestamp(F.lit("2020-01-01 00:00:00"))
+        )
+        .select("offset", "op", "system_time", "event_time", "user_id", "rate")
+    )
+    r_slices = []
+    for i, flt in enumerate(
+        (
+            F.col("event_time") <= F.lit(_ASOF_BAND).cast("timestamp"),
+            F.col("event_time") > F.lit(_ASOF_BAND).cast("timestamp"),
+        )
+    ):
+        path = os.path.join(workdir, f"rates_s{i}.parquet")
+        part = rates_ledger.filter(flt)
+        write_single_parquet(part, path, sorted_single=False)
+        wm = spark.read.parquet(path).agg(F.max("event_time")).collect()[0][0]
+        r_slices.append((path, wm))
+    steps = [
+        (
+            """SELECT max(event_time) as event_time,
+  user_id, sum(cents) as total FROM purchases GROUP BY user_id""",
+            "totals",
+        ),
+        (
+            """SELECT t.event_time as event_time, t.user_id as user_id,
+  t.total as total, rt.rate as rate
+FROM totals AS t JOIN rates FOR SYSTEM_TIME AS OF t.event_time AS rt
+ON t.user_id = rt.user_id""",
+            None,
+        ),
+    ]
+    per_inv = [
+        [("purchases", *p_slices[i]), ("rates", *r_slices[i])] for i in range(2)
+    ]
+    outs = _run_odf_invocations(
+        spark, steps, per_inv, workdir, "clasofp",
+        temporal_tables=[("rates", "user_id")],
+    )
+    parts = [
+        spark.read.parquet(path).select(
+            F.lit(inv).cast("int").alias("inv"),
+            F.col("op").cast("int").alias("op"),
+            "event_time",
+            "user_id",
+            F.col("total").cast("long").alias("total"),
+            F.col("rate").cast("long").alias("rate"),
+        )
+        for inv, path in outs
+    ]
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out
+
+
 def multi_asof_two_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TWO temporal joins in ONE SQL step (plans/multi_join.py temporal
     stages — Flink chains FOR SYSTEM_TIME joins freely): each click
@@ -3495,7 +3592,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ALL entries locally every round and the run is committed as
     # CROSSCHECK_r{N}.txt.
     return {
-        # --- due their FIRST driver row (5): round-8's new operators ---
+        # --- due their FIRST driver row: round-9's new operators ---
+        "changelog_asof_updating_probe": changelog_asof_updating_probe,
+        # --- round-8 operators (checked r08, rotate behind next round) ---
         "changelog_asof_rates": changelog_asof_rates,
         "similarity_lsh_incremental": similarity_lsh_incremental,
         "similarity_ivf_incremental": similarity_ivf_incremental,
@@ -4428,6 +4527,90 @@ def oracle_sql() -> dict[str, str]:
                   AND v.vinv <= p.rel
                 ORDER BY v.vt DESC LIMIT 1
             ) v ON TRUE
+        """,
+        "changelog_asof_updating_probe": f"""
+            -- As-of join over an UPDATING PROBE: replay the continuous
+            -- aggregate's emission (op-0 on first appearance, op-2/op-3
+            -- pair on accumulator change), the joint-watermark release
+            -- invocation of every changelog row, per-release version
+            -- visibility (rates band 1 after invocation 0, both bands
+            -- after invocation 1), inner resolution at each row's OWN
+            -- event time, and the dangling-half repair (op-2 alone ->
+            -- op-1, op-3 alone -> op-0).
+            WITH e AS (
+                SELECT CAST(event_id % 2 AS INT) AS inv, user_id,
+                       date_trunc('milliseconds', ts) AS ts,
+                       event_type,
+                       CAST(floor(value * 100) AS BIGINT) AS cents
+                FROM events WHERE event_type IN ('purchase', 'click')
+            ), rates AS (
+                SELECT user_id, ts AS vt, max(cents) AS rate,
+                       CASE WHEN ts <= TIMESTAMP '{_ASOF_BAND}'
+                            THEN 1 ELSE 2 END AS vinv
+                FROM e WHERE event_type = 'click' GROUP BY user_id, ts
+            ), wm AS (
+                SELECT
+                  (SELECT max(ts) FROM e
+                    WHERE event_type='purchase' AND inv=0) AS p0,
+                  (SELECT max(ts) FROM e WHERE event_type='purchase') AS p1,
+                  (SELECT max(vt) FROM rates WHERE vinv=1) AS c0,
+                  (SELECT max(vt) FROM rates) AS c1
+            ), j AS (
+                SELECT least((SELECT p0 FROM wm), (SELECT c0 FROM wm)) AS j0,
+                       least((SELECT p1 FROM wm), (SELECT c1 FROM wm)) AS j1
+            ), t0 AS (
+                SELECT user_id, max(ts) AS vt, sum(cents) AS total
+                FROM e WHERE event_type='purchase' AND inv=0 GROUP BY user_id
+            ), t1 AS (
+                SELECT user_id, max(ts) AS vt, sum(cents) AS total
+                FROM e WHERE event_type='purchase' GROUP BY user_id
+            ), em AS (
+                SELECT 0 AS emit_inv, 0 AS op, vt AS et, user_id, total
+                FROM t0
+                UNION ALL
+                SELECT 1, 2, t0.vt, t0.user_id, t0.total
+                FROM t0 JOIN t1 ON t0.user_id = t1.user_id
+                WHERE t1.vt <> t0.vt OR t1.total <> t0.total
+                UNION ALL
+                SELECT 1, 3, t1.vt, t1.user_id, t1.total
+                FROM t1 JOIN t0 ON t0.user_id = t1.user_id
+                WHERE t1.vt <> t0.vt OR t1.total <> t0.total
+                UNION ALL
+                SELECT 1, 0, t1.vt, t1.user_id, t1.total
+                FROM t1 WHERE user_id NOT IN (SELECT user_id FROM t0)
+            ), rel AS (
+                SELECT *, CASE
+                    WHEN emit_inv = 0 AND et <= (SELECT j0 FROM j) THEN 0
+                    WHEN et <= (SELECT j1 FROM j) THEN 1
+                    ELSE NULL END AS rel_inv
+                FROM em
+            ), res AS (
+                SELECT r.rel_inv AS inv, r.op, r.et, r.user_id, r.total,
+                       v.rate
+                FROM rel r
+                JOIN LATERAL (
+                    SELECT rate FROM rates v
+                    WHERE v.user_id = r.user_id AND v.vt <= r.et
+                      AND v.vinv <= r.rel_inv + 1
+                    ORDER BY v.vt DESC LIMIT 1
+                ) v ON TRUE
+                WHERE r.rel_inv IS NOT NULL
+            )
+            SELECT CAST(a.inv AS INT) AS inv,
+                   CAST(CASE
+                     WHEN a.op = 2 AND NOT EXISTS (
+                       SELECT 1 FROM res b WHERE b.op = 3
+                         AND b.user_id = a.user_id AND b.inv = a.inv)
+                     THEN 1
+                     WHEN a.op = 3 AND NOT EXISTS (
+                       SELECT 1 FROM res b WHERE b.op = 2
+                         AND b.user_id = a.user_id AND b.inv = a.inv)
+                     THEN 0
+                     ELSE a.op END AS INT) AS op,
+                   a.et AS event_time, a.user_id AS user_id,
+                   CAST(a.total AS BIGINT) AS total,
+                   CAST(a.rate AS BIGINT) AS rate
+            FROM res a
         """,
         "changelog_distinct_pairs": """
             -- Retraction-aware DISTINCT: the distinct view after
