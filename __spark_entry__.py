@@ -3297,6 +3297,67 @@ ON c.user_id = rt.user_id""",
     return out
 
 
+def streaming_changelog_topn_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING under the driver oracle: the always-on
+    retractable Top-N twin (streaming/structured.StreamingChangelogTopN,
+    applyInPandasWithState) run as two availableNow micro-batches over a
+    real file stream with a checkpoint between them. Batch 1 inserts the
+    even-offset events as a (event_type, cents) changelog; batch 2
+    retracts every batch-1 row with cents < 300 and inserts the odd
+    half — so run 2's per-place diff (op-1 leaves, op-0 enters, op-2/3
+    pairs on change) must promote values the emitted top-3 never showed,
+    from the live multiset restored off the stream checkpoint. The
+    oracle recomputes both batch states and diffs their ranked top-3.
+    State is the per-key value multiset (bounded by distinct values);
+    emission is O(changed places) — the always-on counterpart of
+    operators/changelog_topn.py, which scales by key partitioning."""
+    import os
+    import tempfile
+
+    from kamu_engine_flink_spark.sinks.parquet import write_single_parquet
+    from kamu_engine_flink_spark.streaming.structured import (
+        StreamingChangelogTopN,
+    )
+
+    _conf(spark)
+    workdir = tempfile.mkdtemp(prefix="stream-topn-")
+    d = {k: os.path.join(workdir, k) for k in ("in", "chk", "out")}
+    os.makedirs(d["in"])
+    e = _t(spark, sf_dir, "events").select(
+        (F.col("event_id") % 2).cast("int").alias("inv"),
+        F.col("event_type").alias("key"),
+        F.floor(F.col("value") * 100).cast("double").alias("value"),
+    )
+    b1 = e.filter("inv = 0").select(
+        "key", "value", F.lit(0).cast("int").alias("op")
+    )
+    b2 = (
+        e.filter("inv = 0 AND value < 300")
+        .select("key", "value", F.lit(1).cast("int").alias("op"))
+        .unionByName(
+            e.filter("inv = 1").select(
+                "key", "value", F.lit(0).cast("int").alias("op")
+            )
+        )
+    )
+    job = StreamingChangelogTopN(
+        input_dir=d["in"], checkpoint_dir=d["chk"], output_dir=d["out"], n=3
+    )
+    write_single_parquet(b1, os.path.join(d["in"], "b1.parquet"))
+    job.run_available_now(spark)
+    out_schema = spark.read.parquet(d["out"]).schema
+    run1_rows = spark.read.parquet(d["out"]).collect()
+    write_single_parquet(b2, os.path.join(d["in"], "b2.parquet"))
+    job.run_available_now(spark)
+    run1 = spark.createDataFrame(run1_rows, out_schema)
+    run2 = spark.read.parquet(d["out"]).exceptAll(run1)
+    return (
+        run1.withColumn("inv", F.lit(1).cast("int"))
+        .unionByName(run2.withColumn("inv", F.lit(2).cast("int")))
+        .select("inv", "op", "key", "place", "value")
+    )
+
+
 _ASOF_BAND = "2024-01-16 00:00:00"
 
 
@@ -3594,6 +3655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- due their FIRST driver row: round-9's new operators ---
         "changelog_asof_updating_probe": changelog_asof_updating_probe,
+        "streaming_changelog_topn_twin": streaming_changelog_topn_twin,
         # --- round-8 operators (checked r08, rotate behind next round) ---
         "changelog_asof_rates": changelog_asof_rates,
         "similarity_lsh_incremental": similarity_lsh_incremental,
@@ -4527,6 +4589,53 @@ def oracle_sql() -> dict[str, str]:
                   AND v.vinv <= p.rel
                 ORDER BY v.vt DESC LIMIT 1
             ) v ON TRUE
+        """,
+        "streaming_changelog_topn_twin": """
+            -- Streaming retractable Top-N twin: recompute the live value
+            -- multiset after each micro-batch and diff the ranked top-3
+            -- per key (batch 1 = even-offset inserts; batch 2 retracts
+            -- cents < 300 and inserts the odd half). op-0 where a place
+            -- appears, op-1 where it disappears, op-2/op-3 where its
+            -- value changes.
+            WITH e AS (
+                SELECT CAST(event_id % 2 AS INT) AS inv,
+                       event_type AS key,
+                       CAST(floor(value * 100) AS DOUBLE) AS val
+                FROM events
+            ), s1 AS (
+                SELECT key, val FROM e WHERE inv = 0
+            ), s2 AS (
+                SELECT key, val FROM e WHERE inv = 0 AND NOT val < 300
+                UNION ALL
+                SELECT key, val FROM e WHERE inv = 1
+            ), r1 AS (
+                SELECT key, val,
+                       row_number() OVER (PARTITION BY key ORDER BY val DESC) AS place
+                FROM s1 QUALIFY place <= 3
+            ), r2 AS (
+                SELECT key, val,
+                       row_number() OVER (PARTITION BY key ORDER BY val DESC) AS place
+                FROM s2 QUALIFY place <= 3
+            )
+            SELECT CAST(1 AS INT) AS inv, CAST(0 AS INT) AS op,
+                   key, CAST(place AS BIGINT) AS place, val AS value
+            FROM r1
+            UNION ALL
+            SELECT 2, 0, r2.key, r2.place, r2.val
+            FROM r2 LEFT JOIN r1 ON r1.key = r2.key AND r1.place = r2.place
+            WHERE r1.key IS NULL
+            UNION ALL
+            SELECT 2, 1, r1.key, r1.place, r1.val
+            FROM r1 LEFT JOIN r2 ON r1.key = r2.key AND r1.place = r2.place
+            WHERE r2.key IS NULL
+            UNION ALL
+            SELECT 2, 2, r1.key, r1.place, r1.val
+            FROM r1 JOIN r2 ON r1.key = r2.key AND r1.place = r2.place
+            WHERE r1.val <> r2.val
+            UNION ALL
+            SELECT 2, 3, r2.key, r2.place, r2.val
+            FROM r1 JOIN r2 ON r1.key = r2.key AND r1.place = r2.place
+            WHERE r1.val <> r2.val
         """,
         "changelog_asof_updating_probe": f"""
             -- As-of join over an UPDATING PROBE: replay the continuous

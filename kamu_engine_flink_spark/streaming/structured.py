@@ -1094,6 +1094,196 @@ class StreamingChangelogTopN:
         _run_available_now(self._plan(spark), self.checkpoint_dir, self.output_dir)
 
 
+_CLASOF_OUTPUT = StructType(
+    [
+        StructField("pk", StringType()),
+        StructField("probe_ts_ms", LongType()),
+        StructField("probe_val", DoubleType()),
+        StructField("version_val", DoubleType()),
+    ]
+)
+_CLASOF_STATE = StructType(
+    [
+        StructField("v_ts", ArrayType(LongType())),
+        StructField("v_seq", ArrayType(LongType())),
+        StructField("v_tomb", ArrayType(IntegerType())),
+        StructField("v_val", ArrayType(DoubleType())),
+        StructField("p_ts", ArrayType(LongType())),
+        StructField("p_val", ArrayType(DoubleType())),
+        StructField("used_wm", LongType()),
+        StructField("next_seq", LongType()),
+    ]
+)
+
+
+def _changelog_asof_fn(how: str):
+    """Per-key as-of kernel over a CHANGELOG-maintained versioned view —
+    the streaming twin of operators/temporal_join.
+    execute_changelog_temporal_join's build-updating path. Version rows
+    arrive as op tags: op-0/op-3 create a version at their event time,
+    op-1 a TOMBSTONE (the key is dead from that time on), op-2 is pair
+    bookkeeping and skipped. Ties within one event time break by arrival
+    order (a per-key monotone seq rides the state). A version arriving at
+    or before the watermark already used for emissions is LATE and drops
+    (it could contradict emitted probes — Flink's late changelog
+    handling); probes buffer until the watermark passes their time, then
+    resolve the latest LIVE version, landing in a tombstone interval
+    matches nothing (inner drops, left pads NULL).
+
+    State is bounded like the append-only kernel: versions strictly older
+    than the newest one at/below the used watermark are pruned — the
+    survivor (tombstone included, so a dead key stays dead) shadows all
+    older ones for every future probe."""
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        wm = state.getCurrentWatermarkMs()
+        if state.exists:
+            v_ts, v_seq, v_tomb, v_val, p_ts, p_val, used_wm, next_seq = state.get
+            versions = list(zip(v_ts, v_seq, v_tomb, v_val))
+            pending = list(zip(p_ts, p_val))
+            used_wm = used_wm or 0
+            next_seq = next_seq or 0
+        else:
+            versions, pending, used_wm, next_seq = [], [], 0, 0
+        for pdf in pdfs:
+            ts_ms = (pdf["__ts"].astype("int64") // 1_000_000).tolist()
+            ops = pdf["__op"].tolist()
+            kinds = pdf["__kind"].tolist()
+            vals = pdf["__val"].tolist()
+            for kind, op, t, val in zip(kinds, ops, ts_ms, vals):
+                if kind == "p":
+                    pending.append((t, val))
+                    continue
+                if op == 2:
+                    continue
+                if t <= used_wm:
+                    # Late version: contradicts already-emitted probes.
+                    continue
+                versions.append((t, next_seq, 1 if op == 1 else 0, val))
+                next_seq += 1
+        versions.sort(key=lambda v: (v[0], v[1]))
+        out = []
+        still_pending = []
+        for t, val in sorted(pending):
+            if t <= wm:
+                vmatch, dead = None, True
+                for vt, _, tomb, vv in versions:
+                    if vt <= t:
+                        vmatch, dead = vv, bool(tomb)
+                    else:
+                        break
+                if dead:
+                    vmatch = None
+                if vmatch is not None or how == "left":
+                    out.append((key[0], t, val, vmatch))
+            else:
+                still_pending.append((t, val))
+        # The watermark was USED: every probe at/below it was decided
+        # (emitted or inner-dropped) this invocation — like the batch
+        # twin, which persists the joint watermark every invocation, a
+        # version at/below it is late from now on even when nothing
+        # released.
+        used_wm = max(used_wm, wm)
+        # Prune versions shadowed by the newest one at/below the used
+        # watermark — kept even if a tombstone (dead stays dead).
+        latest_final = None
+        for i, (vt, _, _, _) in enumerate(versions):
+            if vt <= used_wm:
+                latest_final = i
+            else:
+                break
+        if latest_final is not None and latest_final > 0:
+            versions = versions[latest_final:]
+        state.update(
+            (
+                [v[0] for v in versions],
+                [v[1] for v in versions],
+                [v[2] for v in versions],
+                [v[3] for v in versions],
+                [t for t, _ in still_pending],
+                [v for _, v in still_pending],
+                used_wm,
+                next_seq,
+            )
+        )
+        if still_pending:
+            state.setTimeoutTimestamp(min(t for t, _ in still_pending))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["pk", "probe_ts_ms", "probe_val", "version_val"]
+            )
+
+    return fn
+
+
+@dataclass
+class StreamingChangelogAsOfJoin:
+    """Always-on temporal (as-of) join whose versioned view is maintained
+    by a CHANGELOG — the streaming twin of operators/temporal_join.
+    execute_changelog_temporal_join (Flink's event-time temporal join
+    against an updating build side, reference surface via planner
+    delegation, TransformEngine.scala:252-262).
+
+    The version changelog (with an op column) and the append-only probe
+    stream union into one keyed stream, each watermarked on its own event
+    time; the global watermark is their min, so a released probe's
+    version history is final on both sides. Version/probe buffers and the
+    used-watermark ride the stream checkpoint, so a run-1 version
+    tombstoned in run 2 stops matching run-2 probes while already-emitted
+    run-1 rows stand (late versions drop)."""
+
+    version_dir: str
+    probe_dir: str
+    checkpoint_dir: str
+    output_dir: str
+    pk_col: str = "pk"
+    version_time: str = "event_time"
+    version_value: str = "value"
+    version_op: str = "op"
+    probe_time: str = "event_time"
+    probe_value: str = "value"
+    watermark_delay: str = "0 seconds"
+    how: str = "inner"
+    version_schema: StructType | None = None
+    probe_schema: StructType | None = None
+
+    def _plan(self, spark: SparkSession) -> DataFrame:
+        versions = (
+            _file_stream(spark, self.version_dir, self.version_schema)
+            .withWatermark(self.version_time, self.watermark_delay)
+            .select(
+                F.col(self.pk_col).cast("string").alias("__pk"),
+                F.lit("v").alias("__kind"),
+                F.col(self.version_op).cast("int").alias("__op"),
+                F.col(self.version_time).alias("__ts"),
+                F.col(self.version_value).cast("double").alias("__val"),
+            )
+        )
+        probes = (
+            _file_stream(spark, self.probe_dir, self.probe_schema)
+            .withWatermark(self.probe_time, self.watermark_delay)
+            .select(
+                F.col(self.pk_col).cast("string").alias("__pk"),
+                F.lit("p").alias("__kind"),
+                F.lit(0).cast("int").alias("__op"),
+                F.col(self.probe_time).alias("__ts"),
+                F.col(self.probe_value).cast("double").alias("__val"),
+            )
+        )
+        return versions.unionByName(probes).groupBy("__pk").applyInPandasWithState(
+            _changelog_asof_fn(self.how),
+            outputStructType=_CLASOF_OUTPUT,
+            stateStructType=_CLASOF_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+
+    def run_available_now(self, spark: SparkSession) -> None:
+        _run_available_now(self._plan(spark), self.checkpoint_dir, self.output_dir)
+
+
 _OVER_OUTPUT = StructType(
     [
         StructField("key", StringType()),

@@ -998,3 +998,101 @@ def test_streaming_changelog_join_null_value_retracts(spark, tmp_path):
     job.run_available_now(spark)
     delta = Counter(map(str, _read())) - Counter(map(str, out1))
     assert dict(delta) == {str((1, "A", None, 10.0)): 1}
+
+
+def _kv_op_slice(path, rows):
+    """rows: (pk, event_time, value, op) — a versioned-view changelog."""
+    cols = list(zip(*rows)) if rows else [[], [], [], []]
+    pq.write_table(
+        pa.table(
+            {
+                "pk": pa.array(list(cols[0]), pa.string()),
+                "event_time": pa.array(list(cols[1]), pa.timestamp("ms", tz="UTC")),
+                "value": pa.array(list(cols[2]), pa.float64()),
+                "op": pa.array(list(cols[3]), pa.int32()),
+            }
+        ),
+        path,
+        compression="snappy",
+    )
+
+
+def test_streaming_changelog_asof_cross_run_version_retraction(spark, asof_dirs):
+    """Streaming twin of the changelog-maintained as-of join
+    (StreamingChangelogAsOfJoin): a version TOMBSTONED in a later run
+    stops matching newly released probes while rows already emitted
+    against it stand; a late version (at or before the used watermark)
+    drops instead of resurrecting history; a post-tombstone version
+    revives the key. Version state, probe buffers, and the used
+    watermark all ride the stream checkpoint across runs."""
+    from kamu_engine_flink_spark.streaming.structured import (
+        StreamingChangelogAsOfJoin,
+    )
+
+    job = StreamingChangelogAsOfJoin(
+        version_dir=asof_dirs["versions"],
+        probe_dir=asof_dirs["probes"],
+        checkpoint_dir=asof_dirs["chk"],
+        output_dir=asof_dirs["out"],
+        how="inner",
+    )
+    # Run 1: version A=10@d1 (op-0); probe at d2 buffers (joint wm d1).
+    _kv_op_slice(
+        os.path.join(asof_dirs["versions"], "s1.parquet"),
+        [("A", ts(1), 10.0, 0)],
+    )
+    _kv_slice(os.path.join(asof_dirs["probes"], "s1.parquet"), [("A", ts(2), 100.0)])
+    job.run_available_now(spark)
+    assert _asof_out(spark, asof_dirs["out"]) == []
+
+    # Run 2: the rate corrects via an op-2/op-3 pair (version 17@d3);
+    # probes at d2:12 and d3:12 arrive. Joint wm d3 releases the d2 and
+    # d2:12 probes against the OLD version 10 (17 is later than both);
+    # the d3:12 probe stays buffered.
+    _kv_op_slice(
+        os.path.join(asof_dirs["versions"], "s2.parquet"),
+        [("A", ts(1), 10.0, 2), ("A", ts(3), 17.0, 3)],
+    )
+    _kv_slice(
+        os.path.join(asof_dirs["probes"], "s2.parquet"),
+        [("A", ts(2, 12), 150.0), ("A", ts(3, 12), 200.0)],
+    )
+    job.run_available_now(spark)
+    assert _asof_out(spark, asof_dirs["out"]) == [
+        ("A", ts(2), 100.0, 10.0),
+        ("A", ts(2, 12), 150.0, 10.0),
+    ]
+
+    # Run 3: A TOMBSTONES at d3:06 (op-1) — the buffered d3:12 probe now
+    # lands in the dead interval and inner-drops, as does the new d6
+    # probe; already-emitted rows stand. (A live version at d8 advances
+    # the version watermark; joint wm = d6.)
+    _kv_op_slice(
+        os.path.join(asof_dirs["versions"], "s3.parquet"),
+        [("A", ts(3, 6), 17.0, 1), ("A", ts(8), 25.0, 0)],
+    )
+    _kv_slice(os.path.join(asof_dirs["probes"], "s3.parquet"), [("A", ts(6), 300.0)])
+    job.run_available_now(spark)
+    assert _asof_out(spark, asof_dirs["out"]) == [
+        ("A", ts(2), 100.0, 10.0),
+        ("A", ts(2, 12), 150.0, 10.0),
+    ]
+
+    # Run 4: a LATE version (d5 <= used wm d6) drops — without the drop
+    # the d7 probe would resurrect against 99. The d7 probe inner-drops
+    # (still dead), the d9 probe revives against the d8 version, and the
+    # d11 probe stays buffered (joint wm d10).
+    _kv_op_slice(
+        os.path.join(asof_dirs["versions"], "s4.parquet"),
+        [("A", ts(5), 99.0, 0), ("A", ts(10), 30.0, 0)],
+    )
+    _kv_slice(
+        os.path.join(asof_dirs["probes"], "s4.parquet"),
+        [("A", ts(7), 400.0), ("A", ts(9), 450.0), ("A", ts(11), 500.0)],
+    )
+    job.run_available_now(spark)
+    assert _asof_out(spark, asof_dirs["out"]) == [
+        ("A", ts(2), 100.0, 10.0),
+        ("A", ts(2, 12), 150.0, 10.0),
+        ("A", ts(9), 450.0, 25.0),
+    ]
