@@ -171,6 +171,50 @@ QUANT_MAP = {
 }
 
 
+def _split_exclusions(pat: str) -> tuple[str, set[str]]:
+    """Strip SQL:2016 row-pattern exclusion markers `{- ... -}` (Flink
+    supports them for ALL ROWS PER MATCH output) and return the cleaned
+    pattern — the excluded elements still MATCH, they are just omitted
+    from the output — plus the variable names inside exclusion sections.
+    A variable appearing both inside and outside an exclusion rejects:
+    emission filters by variable, so a mixed occurrence would be
+    ambiguous."""
+    out: list[str] = []
+    inside: set[str] = set()
+    outside: set[str] = set()
+    i, n, depth = 0, len(pat), 0
+    while i < n:
+        if pat.startswith("{-", i):
+            depth += 1
+            i += 2
+            continue
+        if pat.startswith("-}", i):
+            if depth == 0:
+                raise InvalidQueryError(
+                    "MATCH_RECOGNIZE: unbalanced -} in PATTERN"
+                )
+            depth -= 1
+            i += 2
+            continue
+        m = re.match(r"[A-Za-z_]\w*", pat[i:])
+        if m:
+            (inside if depth > 0 else outside).add(m.group(0))
+            out.append(m.group(0))
+            i += m.end()
+            continue
+        out.append(pat[i])
+        i += 1
+    if depth:
+        raise InvalidQueryError("MATCH_RECOGNIZE: unbalanced {- in PATTERN")
+    mixed = sorted(inside & outside)
+    if mixed:
+        raise InvalidQueryError(
+            "MATCH_RECOGNIZE: pattern variable(s) appear both inside and "
+            f"outside a {{- -}} exclusion: {mixed}"
+        )
+    return "".join(out), inside
+
+
 def _parse_pattern(pat: str):
     """Pattern elements as (vars, quant, greedy) with `vars` a tuple —
     one entry for a plain variable, several for an alternation group
@@ -524,6 +568,7 @@ def parse_match_recognize(sql: str):
     pat_text = _extract_pattern(body)
     if pat_text is None:
         raise InvalidQueryError("MATCH_RECOGNIZE requires a PATTERN clause")
+    pat_text, excluded_vars = _split_exclusions(pat_text)
     elements = _parse_pattern(pat_text)
     if not elements:
         raise InvalidQueryError("MATCH_RECOGNIZE: empty PATTERN")
@@ -620,6 +665,7 @@ def parse_match_recognize(sql: str):
         "dyn_defines": dyn_defines,
         "lags": sorted(lags),
         "all_rows": all_rows,
+        "excluded_vars": sorted(excluded_vars),
         "skip_mode": skip_mode,
         "within": _parse_within(body),
     }
@@ -822,6 +868,10 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
         for fn, var, col, alias, _mode, _off in spec["measures"]
     ]
     all_rows = spec.get("all_rows", False)
+    # SQL:2016 row-pattern exclusion `{- X -}`: rows matched inside the
+    # excluded section participate in matching and in measures but are
+    # omitted from ALL ROWS PER MATCH output (Flink parity).
+    excluded_vars = frozenset(spec.get("excluded_vars") or ())
     # ONE ROW PER MATCH: keys + measures. ALL ROWS PER MATCH: every input
     # column + RUNNING measures per matched row (Flink's default
     # running semantics).
@@ -1029,6 +1079,10 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
                 # One output row per matched row; RUNNING measures by
                 # default, FINAL on request (SQL:2016 semantics).
                 for j in range(s0, end_i):
+                    if var_of.get(j) in excluded_vars:
+                        # Row-pattern exclusion: matched (and visible to
+                        # measures via `assign`) but not emitted.
+                        continue
                     rec = {c: colv(c)[j] for c in data_cols}
                     for fn, var, col, alias, mode, off in measures:
                         if fn == "classifier":

@@ -985,3 +985,112 @@ def test_measure_offsets(spark):
             "select * from t MATCH_RECOGNIZE (ORDER BY ts "
             "MEASURES SUM(B.x, 1) AS s PATTERN (B+) DEFINE B AS B.x > 0)"
         )
+
+
+def test_all_rows_pattern_exclusion(spark, tmp_path):
+    """SQL:2016 row-pattern exclusion `{- B* -}` (Flink parity): the
+    excluded rows MATCH — measures still see them — but are omitted from
+    ALL ROWS PER MATCH output."""
+    query = """select * from tickers
+MATCH_RECOGNIZE (
+  PARTITION BY symbol
+  ORDER BY event_time
+  MEASURES
+    COUNT(B.*) AS n_mid,
+    C.price AS spike
+  ALL ROWS PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (A {- B* -} C)
+  DEFINE A AS A.price < 10, B AS B.price >= 10 AND B.price < 100, C AS C.price >= 100
+)"""
+    runner = TransformRunner(spark, tmp_path, queries=[(query, None)])
+    s1 = str(tmp_path / "in" / "s1.parquet")
+    ticker_slice(
+        s1,
+        [
+            (0, 0, ts(2), ts(1, 0, 1), "A", 5),
+            (1, 0, ts(2), ts(1, 0, 2), "A", 20),   # excluded B row
+            (2, 0, ts(2), ts(1, 0, 3), "A", 30),   # excluded B row
+            (3, 0, ts(2), ts(1, 0, 4), "A", 120),
+        ],
+    )
+    resp, out = runner.run([_input(s1, ts(1, 0, 5))], system_time=ts(2))
+    rows = pq.read_table(out).to_pylist()
+    # The B rows are gone from the output, yet COUNT(B.*) on the C row
+    # proves they were matched (RUNNING count at A is still 0).
+    assert [
+        (r["symbol"], r["price"], r["n_mid"], r["spike"]) for r in rows
+    ] == [
+        ("A", 5, 0, None),
+        ("A", 120, 2, 120),
+    ]
+
+
+def test_all_rows_pattern_exclusion_cross_invocation(spark, tmp_path):
+    """Exclusion with NFA emission timing intact: a greedy excluded tail
+    suspended at the invocation boundary resolves on the next run and
+    the match emits only its non-excluded rows."""
+    query = """select * from tickers
+MATCH_RECOGNIZE (
+  PARTITION BY symbol
+  ORDER BY event_time
+  MEASURES COUNT(B.*) AS n_mid, C.price AS spike
+  ALL ROWS PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (A {- B* -} C)
+  DEFINE A AS A.price < 10, B AS B.price >= 10 AND B.price < 100, C AS C.price >= 100
+)"""
+    runner = TransformRunner(spark, tmp_path, queries=[(query, None)])
+    s1 = str(tmp_path / "in" / "s1.parquet")
+    ticker_slice(
+        s1,
+        [
+            (0, 0, ts(2), ts(1, 0, 1), "A", 5),
+            (1, 0, ts(2), ts(1, 0, 2), "A", 20),
+        ],
+    )
+    # Invocation 1: the greedy excluded B* tail may still extend — the
+    # whole match suspends, nothing emits.
+    resp, out = runner.run([_input(s1, ts(1, 0, 2))], system_time=ts(2))
+    import os
+
+    assert not os.path.exists(out)
+
+    s2 = str(tmp_path / "in" / "s2.parquet")
+    ticker_slice(
+        s2,
+        [
+            (2, 0, ts(3), ts(1, 0, 3), "A", 40),
+            (3, 0, ts(3), ts(1, 0, 4), "A", 150),
+        ],
+    )
+    resp2, out2 = runner.run([_input(s2, ts(1, 0, 5))], system_time=ts(3))
+    rows = pq.read_table(out2).to_pylist()
+    assert [
+        (r["symbol"], r["price"], r["n_mid"], r["spike"]) for r in rows
+    ] == [
+        ("A", 5, 0, None),
+        ("A", 150, 2, 150),
+    ]
+
+
+def test_pattern_exclusion_mixed_variable_rejects(spark, tmp_path):
+    """A variable occurring both inside and outside an exclusion is
+    ambiguous for variable-level filtering — loud reject."""
+    from kamu_engine_flink_spark.protocol.model import InvalidQueryError
+
+    query = """select * from tickers
+MATCH_RECOGNIZE (
+  PARTITION BY symbol
+  ORDER BY event_time
+  MEASURES C.price AS spike
+  ALL ROWS PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (B {- B -} C)
+  DEFINE B AS B.price < 100, C AS C.price >= 100
+)"""
+    runner = TransformRunner(spark, tmp_path, queries=[(query, None)])
+    s1 = str(tmp_path / "in" / "s1.parquet")
+    ticker_slice(s1, [(0, 0, ts(2), ts(1, 0, 1), "A", 5)])
+    with pytest.raises(InvalidQueryError, match="inside and outside"):
+        runner.run([_input(s1, ts(1, 0, 5))], system_time=ts(2))
