@@ -3653,64 +3653,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ALL entries locally every round and the run is committed as
     # CROSSCHECK_r{N}.txt.
     return {
+        # ROUND-9 ROTATION: first 50 = 2 new round-9 operators + the
+        # 21-entry r05/r06-cohort tail that missed round 8's 50-row cap
+        # + the first 27 of the r07-checked block (driver rows last
+        # seen round 7). The r08-checked blocks rotate behind and are
+        # due again round 10. All 122 entries are verified locally
+        # every round via tools/crosscheck.py (CROSSCHECK_r09.txt).
         # --- due their FIRST driver row: round-9's new operators ---
         "changelog_asof_updating_probe": changelog_asof_updating_probe,
         "streaming_changelog_topn_twin": streaming_changelog_topn_twin,
-        # --- round-8 operators (checked r08, rotate behind next round) ---
-        "changelog_asof_rates": changelog_asof_rates,
-        "similarity_lsh_incremental": similarity_lsh_incremental,
-        "similarity_ivf_incremental": similarity_ivf_incremental,
-        "similarity_pq_incremental": similarity_pq_incremental,
-        "multi_asof_two_rates": multi_asof_two_rates,
-        # --- r05-remainder + r06-checked cohort, due re-check (first 46
-        #     fit the 50 cap; the ~20 tail entries take the 3-round slot
-        #     the 120-entry registry forces at 50 rows/round — all 120 are
-        #     backstopped by the committed CROSSCHECK_r08) ---
-        "stratified_sample_documents": stratified_sample_documents,
-        "term_doc_frequency": term_doc_frequency,
-        "embedding_centroids_by_label": embedding_centroids_by_label,
-        "median_price_by_status": median_price_by_status,
-        "split_train_val_test": split_train_val_test,
-        "sequence_packing_bins": sequence_packing_bins,
-        "agg_salted_user_value": agg_salted_user_value,
-        "pivot_segment_status": pivot_segment_status,
-        "groupingsets_status_priority": groupingsets_status_priority,
-        "stats_moments_by_type": stats_moments_by_type,
-        "topn_orders_per_customer": topn_orders_per_customer,
-        "asof_join_purchase_value": asof_join_purchase_value,
-        "interval_join_clicks": interval_join_clicks,
-        "dedup_exact_documents": dedup_exact_documents,
-        "dedup_fingerprint_documents": dedup_fingerprint_documents,
-        "json_extract_events": json_extract_events,
-        "changelog_join_three_way": changelog_join_three_way,
-        "changelog_join_left_over_updating": changelog_join_left_over_updating,
-        "changelog_minmax_agg": changelog_minmax_agg,
-        "window_cumulate_6h": window_cumulate_6h,
-        "inverted_index_documents": inverted_index_documents,
-        "random_projection_embeddings": random_projection_embeddings,
-        "flink_scalar_functions_events": flink_scalar_functions_events,
-        "window_monthly_orders": window_monthly_orders,
-        "unbounded_agg_changelog_events": unbounded_agg_changelog_events,
-        "regular_join_full_changelog": regular_join_full_changelog,
-        "regular_join_purchases_clicks": regular_join_purchases_clicks,
-        "match_recognize_dip_spike_events": match_recognize_dip_spike_events,
-        "dedup_keep_last_events": dedup_keep_last_events,
-        "over_agg_rolling_value_events": over_agg_rolling_value_events,
-        "window_topn_daily_users": window_topn_daily_users,
-        "funnel_view_click_purchase": funnel_view_click_purchase,
-        "retention_cohorts_events": retention_cohorts_events,
-        "similarity_pq_topk": similarity_pq_topk,
-        "bigram_lm_score_documents": bigram_lm_score_documents,
-        "quality_classifier_documents": quality_classifier_documents,
-        "dedup_segments_documents": dedup_segments_documents,
-        "semantic_dedup_embeddings": semantic_dedup_embeddings,
-        "training_shards_documents": training_shards_documents,
-        "mixture_sample_documents": mixture_sample_documents,
-        "curriculum_bins_documents": curriculum_bins_documents,
-        "duplicate_ngram_spans_documents": duplicate_ngram_spans_documents,
-        "changelog_diff_customers": changelog_diff_customers,
-        "changelog_snapshot_customers": changelog_snapshot_customers,
-        "kmeans_clusters_embeddings": kmeans_clusters_embeddings,
+        # --- r05/r06-cohort tail, missed the round-8 cap: due now ---
         "dedup_minhash_documents": dedup_minhash_documents,
         "dedup_minhash_fast": dedup_minhash_fast,
         "dedup_simhash_documents": dedup_simhash_documents,
@@ -3782,6 +3734,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_excess_suppliers": q20_excess_suppliers,
         "q21_waiting_suppliers": q21_waiting_suppliers,
         "q22_lapsed_customers": q22_lapsed_customers,
+        # --- round-8 operators (checked r08, due round 10) ---
+        "changelog_asof_rates": changelog_asof_rates,
+        "similarity_lsh_incremental": similarity_lsh_incremental,
+        "similarity_ivf_incremental": similarity_ivf_incremental,
+        "similarity_pq_incremental": similarity_pq_incremental,
+        "multi_asof_two_rates": multi_asof_two_rates,
+        # --- r05/r06 cohort head, checked green r08: due round 10+ ---
+        # (orig note) --- r05-remainder + r06-checked cohort, due re-check (first 46
+        #     fit the 50 cap; the ~20 tail entries take the 3-round slot
+        #     the 120-entry registry forces at 50 rows/round — all 120 are
+        #     backstopped by the committed CROSSCHECK_r08) ---
+        "stratified_sample_documents": stratified_sample_documents,
+        "term_doc_frequency": term_doc_frequency,
+        "embedding_centroids_by_label": embedding_centroids_by_label,
+        "median_price_by_status": median_price_by_status,
+        "split_train_val_test": split_train_val_test,
+        "sequence_packing_bins": sequence_packing_bins,
+        "agg_salted_user_value": agg_salted_user_value,
+        "pivot_segment_status": pivot_segment_status,
+        "groupingsets_status_priority": groupingsets_status_priority,
+        "stats_moments_by_type": stats_moments_by_type,
+        "topn_orders_per_customer": topn_orders_per_customer,
+        "asof_join_purchase_value": asof_join_purchase_value,
+        "interval_join_clicks": interval_join_clicks,
+        "dedup_exact_documents": dedup_exact_documents,
+        "dedup_fingerprint_documents": dedup_fingerprint_documents,
+        "json_extract_events": json_extract_events,
+        "changelog_join_three_way": changelog_join_three_way,
+        "changelog_join_left_over_updating": changelog_join_left_over_updating,
+        "changelog_minmax_agg": changelog_minmax_agg,
+        "window_cumulate_6h": window_cumulate_6h,
+        "inverted_index_documents": inverted_index_documents,
+        "random_projection_embeddings": random_projection_embeddings,
+        "flink_scalar_functions_events": flink_scalar_functions_events,
+        "window_monthly_orders": window_monthly_orders,
+        "unbounded_agg_changelog_events": unbounded_agg_changelog_events,
+        "regular_join_full_changelog": regular_join_full_changelog,
+        "regular_join_purchases_clicks": regular_join_purchases_clicks,
+        "match_recognize_dip_spike_events": match_recognize_dip_spike_events,
+        "dedup_keep_last_events": dedup_keep_last_events,
+        "over_agg_rolling_value_events": over_agg_rolling_value_events,
+        "window_topn_daily_users": window_topn_daily_users,
+        "funnel_view_click_purchase": funnel_view_click_purchase,
+        "retention_cohorts_events": retention_cohorts_events,
+        "similarity_pq_topk": similarity_pq_topk,
+        "bigram_lm_score_documents": bigram_lm_score_documents,
+        "quality_classifier_documents": quality_classifier_documents,
+        "dedup_segments_documents": dedup_segments_documents,
+        "semantic_dedup_embeddings": semantic_dedup_embeddings,
+        "training_shards_documents": training_shards_documents,
+        "mixture_sample_documents": mixture_sample_documents,
+        "curriculum_bins_documents": curriculum_bins_documents,
+        "duplicate_ngram_spans_documents": duplicate_ngram_spans_documents,
+        "changelog_diff_customers": changelog_diff_customers,
+        "changelog_snapshot_customers": changelog_snapshot_customers,
+        "kmeans_clusters_embeddings": kmeans_clusters_embeddings,
     }
 
 
