@@ -699,10 +699,12 @@ def main() -> None:
             # ~100-200k-row correction stream. PIN: <= 5.5 s (round-8
             # measured 4.9 single-partition). The distributed stamp
             # (range partition + per-partition offset bases, forced via
-            # spark.kamu.stampDistributedMinBytes=0) measured 6.6 s at
+            # spark.kamu.stampDistributedMinRows=0) measured 6.6 s at
             # this emission scale — its extra shuffle + Arrow stage only
-            # amortize at multi-million-row emissions, hence the 32 MB
-            # default threshold keeping small emissions on the lazy
+            # amortize at million-row emissions (see the stamp_2m_*
+            # proof pair below), hence the 1M-row default gate — which
+            # since round 9 reads the EMISSION frame's own count, not
+            # input bytes — keeping small emissions on the lazy
             # single-partition window.
             ("stress_changelog_stamp_x10_3inv", CHANGELOG_STAMP_STEPS, ev_invs),
             # Changelog as-of at state >> slice: a 100k-key continuous
@@ -725,6 +727,71 @@ def main() -> None:
                     temporal_tables=tts,
                 )
             )
+            print(f"{tag}: {timings[tag]}s (runs: {runs})", file=sys.stderr)
+
+        # Distributed emission-stamp proof: a ~2M-row emission (every
+        # input row its own group key, events x20) feeding a projection
+        # crosses the spark.kamu.stampDistributedMinRows=1M default, so
+        # the DEFAULT gate range-partitions the stamp; the
+        # *_serial_forced twin pins the single-partition window on the
+        # identical workload. Round-9 calibration on an idle box (n=3
+        # medians): serial/distributed = 5.6/4.7 s at 1M rows, 11.6/8.8
+        # at 2M, 17.0/11.9 at 4M — distributed wins at and above the 1M
+        # default, while the ~150k-row emissions of
+        # stress_changelog_stamp_x10_3inv stay on the serial path it
+        # loses at (4.9 vs 6.6 s, round-8 measurement).
+        from pyspark.sql import functions as BF
+
+        from kamu_engine_flink_spark.sinks.parquet import write_single_parquet
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        big = (
+            ev.crossJoin(spark.range(20).select(BF.col("id").alias("__rep")))
+            .select(
+                (BF.col("event_id") * 20 + BF.col("__rep")).alias("offset"),
+                BF.lit(0).cast("int").alias("op"),
+                BF.to_timestamp(BF.lit("2020-01-01 00:00:00")).alias(
+                    "system_time"
+                ),
+                BF.col("ts").alias("event_time"),
+                BF.concat(
+                    BF.col("user_id"), BF.lit("#"), BF.col("__rep"),
+                    BF.lit("#"), BF.col("event_id"),
+                ).alias("k"),
+                BF.floor(BF.col("value") * 100).cast("long").alias("v"),
+            )
+        )
+        stamp_path = os.path.join(workdir, "stamp2m.parquet")
+        write_single_parquet(big, stamp_path)
+        stamp_wm = (
+            spark.read.parquet(stamp_path).agg({"event_time": "max"}).collect()[0][0]
+        )
+        STAMP2M_STEPS = [
+            (
+                "g",
+                """SELECT cast(now() as timestamp(3)) as event_time,
+  k, sum(v) as s FROM a GROUP BY k""",
+            ),
+            (None, "SELECT event_time, k, s FROM g"),
+        ]
+        stamp_invs = [[("a", stamp_path, stamp_wm)]]
+        for tag, forced in (
+            ("stamp_2m_gate_default", None),
+            ("stamp_2m_serial_forced", str(1 << 60)),
+        ):
+            if forced is not None:
+                spark.conf.set("spark.kamu.stampDistributedMinRows", forced)
+            try:
+                rep_seq = iter(range(SUBSEC_REPS))
+                timings[tag], runs = _median_runs(
+                    lambda tag=tag: _stress_transform_x10(
+                        spark, stamp_invs, STAMP2M_STEPS, workdir,
+                        f"{tag}-r{next(rep_seq)}",
+                    )
+                )
+            finally:
+                if forced is not None:
+                    spark.conf.unset("spark.kamu.stampDistributedMinRows")
             print(f"{tag}: {timings[tag]}s (runs: {runs})", file=sys.stderr)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
