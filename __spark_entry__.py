@@ -1694,6 +1694,43 @@ def match_recognize_dip_spike_events(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def match_recognize_exclusion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE row-pattern exclusion `{- B -}` in ALL ROWS PER
+    MATCH (operators/match_recognize.py — SQL:2016 exclusion, Flink
+    parity): per-user dip -> mid -> spike triples where the mid row
+    MATCHES (the RUNNING COUNT(B.*) measure proves it) but is omitted
+    from the ALL ROWS output. The three value bands are disjoint, so
+    SKIP PAST LAST ROW never suppresses a later triple and the oracle
+    reconstructs each match from two lead() windows, emitting only its
+    A and C rows."""
+    from kamu_engine_flink_spark.operators.match_recognize import (
+        match_recognize_batch,
+    )
+
+    e = _t(spark, sf_dir, "events").withColumn("__seq", F.col("event_id"))
+    out = match_recognize_batch(
+        spark,
+        e,
+        """select * from events MATCH_RECOGNIZE (
+             PARTITION BY user_id
+             ORDER BY ts
+             MEASURES COUNT(B.*) AS n_mid
+             ALL ROWS PER MATCH
+             AFTER MATCH SKIP PAST LAST ROW
+             PATTERN (A {- B -} C)
+             DEFINE A AS A.value < 2,
+                    B AS B.value >= 2 AND B.value <= 18,
+                    C AS C.value > 18
+           )""",
+    )
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "ts",
+        "value",
+        F.col("n_mid").cast("long").alias("n_mid"),
+    )
+
+
 def dedup_keep_last_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flink Deduplication pattern batch twin (operators/keyed_topn.py
     runs the stateful changelog form): latest event per user, ties broken
@@ -3662,6 +3699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- due their FIRST driver row: round-9's new operators ---
         "changelog_asof_updating_probe": changelog_asof_updating_probe,
         "streaming_changelog_topn_twin": streaming_changelog_topn_twin,
+        "match_recognize_exclusion_events": match_recognize_exclusion_events,
         # --- r05/r06-cohort tail, missed the round-8 cap: due now ---
         "dedup_minhash_documents": dedup_minhash_documents,
         "dedup_minhash_fast": dedup_minhash_fast,
@@ -4423,6 +4461,31 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ) WHERE value < 2 AND next_value > 18
+        """,
+        "match_recognize_exclusion_events": """
+            -- Row-pattern exclusion: dip -> {- mid -} -> spike triples;
+            -- bands are disjoint so triples never overlap and every
+            -- predicate-triple matches. ALL ROWS output = the A and C
+            -- rows only; RUNNING COUNT(B.*) is 0 at A, 1 at C (the
+            -- excluded row matched, it is just not emitted).
+            WITH t AS (
+                SELECT user_id, ts, value,
+                       lead(value) OVER w AS v1,
+                       lead(value, 2) OVER w AS v2,
+                       lead(ts, 2) OVER w AS ts2
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), m AS (
+                SELECT * FROM t
+                WHERE value < 2 AND v1 >= 2 AND v1 <= 18 AND v2 > 18
+            )
+            SELECT CAST(user_id AS BIGINT) AS user_id, ts, value,
+                   CAST(0 AS BIGINT) AS n_mid
+            FROM m
+            UNION ALL
+            SELECT CAST(user_id AS BIGINT) AS user_id, ts2 AS ts,
+                   v2 AS value, CAST(1 AS BIGINT) AS n_mid
+            FROM m
         """,
         "match_recognize_nav_first_last_events": """
             -- FIRST/LAST navigation triples: B/C value bands exclude
