@@ -346,7 +346,13 @@ def _execute_updating_probe(
             "updating probe side of a temporal join lost its emission "
             "seq — op-2/op-3 pair adjacency cannot be preserved"
         )
-    value_cols = [c for c in probe_df.columns if not c.startswith("__")]
+    # A multi-join INTERMEDIATE probe carries pass-through data under
+    # mangled `__mj_*` names (plans/multi_join.py) — those are values,
+    # not engine internals, and must survive the ledger.
+    value_cols = [
+        c for c in probe_df.columns
+        if not c.startswith("__") or c.startswith("__mj_")
+    ]
     if probe_et not in value_cols:
         raise InvalidQueryError(
             f"updating probe '{probe}' must project its event time ({probe_et})"

@@ -373,3 +373,66 @@ def test_updating_probe_slicing_law(spark, tmp_path, seed, n_inv):
     f_one = _run(one_shot, tmp_path / "oneshot")
     assert f_sliced == f_one
     assert len(f_one) > 0
+
+
+MULTI_ASOF = """SELECT g.event_time as event_time, g.symbol as symbol,
+  g.total as total, r1.price as rate1, r2.price as rate2
+FROM g JOIN rates1 FOR SYSTEM_TIME AS OF g.event_time AS r1
+  ON g.symbol = r1.symbol
+JOIN rates2 FOR SYSTEM_TIME AS OF g.event_time AS r2
+  ON g.symbol = r2.symbol"""
+
+
+def test_updating_probe_through_multi_asof_chain(spark, tmp_path):
+    """An updating probe chains through TWO FOR SYSTEM_TIME stages in one
+    SQL step (plans/multi_join.py expansion): stage 1's changelog output
+    (with mangled pass-through columns) becomes stage 2's updating
+    probe; corrections resolve per half at each stage."""
+    runner = TransformRunner(
+        spark, tmp_path,
+        queries=[(AGG, "g"), (MULTI_ASOF, None)],
+        temporal_tables=[("rates1", "symbol"), ("rates2", "symbol")],
+    )
+
+    def _in(name, a_rows, r1_rows, r2_rows, wm):
+        out = []
+        for alias, rows in (("a", a_rows), ("rates1", r1_rows), ("rates2", r2_rows)):
+            p = str(tmp_path / "in" / f"{alias}_{name}.parquet")
+            ticker_slice(p, rows)
+            out.append({"alias": alias, "data_paths": [p] if rows else [],
+                        "schema_file": p, "watermark": wm})
+        return out
+
+    def _r(out):
+        if not os.path.exists(out):
+            return []
+        return [
+            (r["op"], r["symbol"], r["total"], r["rate1"], r["rate2"])
+            for r in pq.read_table(out).to_pylist()
+        ]
+
+    # Invocation 1: rate1 A=2@d1, rate2 A=7@d1; agg op-0 (d2, A, 10)
+    # resolves both.
+    resp, out = runner.run(
+        _in("r1",
+            [(0, 0, ts(10), ts(2, 0, 0), "A", 10)],
+            [(0, 0, ts(10), ts(1, 0, 0), "A", 2)],
+            [(0, 0, ts(10), ts(1, 0, 0), "A", 7)],
+            ts(3)),
+        system_time=ts(10),
+    )
+    assert _r(out) == [(0, "A", 10, 2, 7)]
+
+    # Invocation 2: rate1 corrects to 3@d3, rate2 to 8@d3h12; the agg
+    # corrects (d2,A,10) -> (d4,A,15). The op-2 half resolves at d2
+    # (old rates 2/7), the op-3 half at d4 (new rates 3/8) — through
+    # BOTH stages.
+    resp2, out2 = runner.run(
+        _in("r2",
+            [(1, 0, ts(12), ts(4, 0, 0), "A", 5)],
+            [(1, 0, ts(12), ts(3, 0, 0), "A", 3)],
+            [(1, 0, ts(12), ts(3, 12, 0), "A", 8)],
+            ts(5)),
+        system_time=ts(12),
+    )
+    assert _r(out2) == [(2, "A", 10, 2, 7), (3, "A", 15, 3, 8)]
