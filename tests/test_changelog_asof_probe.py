@@ -436,3 +436,36 @@ def test_updating_probe_through_multi_asof_chain(spark, tmp_path):
         system_time=ts(12),
     )
     assert _r(out2) == [(2, "A", 10, 2, 7), (3, "A", 15, 3, 8)]
+
+
+def test_updating_probe_lateral_table_spelling(spark, tmp_path):
+    """The LATERAL TABLE (rates(g.event_time)) spelling resolves through
+    the same updating-probe executor."""
+    lateral = """SELECT g.event_time as event_time, g.symbol as symbol,
+  g.total as total, rt.price as rate
+FROM g, LATERAL TABLE (rates(g.event_time)) AS rt
+WHERE g.symbol = rt.symbol"""
+    runner = TransformRunner(
+        spark, tmp_path, queries=[(AGG, "g"), (lateral, None)],
+        temporal_tables=[("rates", "symbol")],
+    )
+    resp, out = runner.run(
+        _inputs(tmp_path, "r1",
+                [(0, 0, ts(10), ts(2, 0, 0), "A", 10)],
+                [(0, 0, ts(10), ts(1, 0, 0), "A", 2)],
+                ts(3), ts(3)),
+        system_time=ts(10),
+    )
+    assert _rows(out) == [(0, "A", ts(2).isoformat(), 10, 2)]
+
+    resp2, out2 = runner.run(
+        _inputs(tmp_path, "r2",
+                [(1, 0, ts(12), ts(4, 0, 0), "A", 5)],
+                [(1, 0, ts(12), ts(3, 12, 0), "A", 3)],
+                ts(5), ts(5)),
+        system_time=ts(12),
+    )
+    assert _rows(out2) == [
+        (2, "A", ts(2).isoformat(), 10, 2),
+        (3, "A", ts(4).isoformat(), 15, 3),
+    ]
