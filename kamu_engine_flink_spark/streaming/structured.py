@@ -1284,6 +1284,180 @@ class StreamingChangelogAsOfJoin:
         _run_available_now(self._plan(spark), self.checkpoint_dir, self.output_dir)
 
 
+_CLPASOF_OUTPUT = StructType(
+    [
+        StructField("op", IntegerType()),
+        StructField("pk", StringType()),
+        StructField("probe_ts_ms", LongType()),
+        StructField("probe_val", DoubleType()),
+        StructField("version_val", DoubleType()),
+    ]
+)
+_CLPASOF_STATE = StructType(
+    [
+        StructField("v_ts", ArrayType(LongType())),
+        StructField("v_val", ArrayType(DoubleType())),
+        StructField("p_seq", ArrayType(LongType())),
+        StructField("p_ts", ArrayType(LongType())),
+        StructField("p_val", ArrayType(DoubleType())),
+        StructField("p_op", ArrayType(IntegerType())),
+    ]
+)
+
+
+def _changelog_probe_asof_fn(how: str):
+    """Per-key as-of kernel whose PROBE side is a CHANGELOG — the
+    streaming twin of operators/temporal_join._execute_updating_probe.
+    Probe rows buffer as (seq, ts, val, op) until the watermark passes
+    their event time, then resolve the latest version at their OWN time
+    and forward their op tag; a dangling correction half (partner seq
+    +-1 unreleased, released earlier, or dropped by the inner join)
+    repairs to the equivalent single op (op-2 alone -> op-1, op-3 alone
+    -> op-0). Resolution is deterministic over frozen history (the
+    version side is append-only under the watermark contract), so the
+    repair composes across micro-batches. Version pruning keeps the
+    newest version at/below the watermark — every surviving probe is
+    later, so it shadows all older ones."""
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        wm = state.getCurrentWatermarkMs()
+        if state.exists:
+            v_ts, v_val, p_seq, p_ts, p_val, p_op = state.get
+            versions = list(zip(v_ts, v_val))
+            pending = list(zip(p_seq, p_ts, p_val, p_op))
+        else:
+            versions, pending = [], []
+        for pdf in pdfs:
+            ts_ms = (pdf["__ts"].astype("int64") // 1_000_000).tolist()
+            for kind, seq, t, val, op in zip(
+                pdf["__kind"].tolist(), pdf["__seq"].tolist(), ts_ms,
+                pdf["__val"].tolist(), pdf["__op"].tolist(),
+            ):
+                if kind == "v":
+                    versions.append((t, val))
+                else:
+                    pending.append((int(seq), t, val, int(op)))
+        versions.sort()
+        resolved = {}
+        still_pending = []
+        for seq, t, val, op in sorted(pending):
+            if t > wm:
+                still_pending.append((seq, t, val, op))
+                continue
+            vmatch = None
+            for vt, vv in versions:
+                if vt <= t:
+                    vmatch = vv
+                else:
+                    break
+            if vmatch is not None or how == "left":
+                resolved[seq] = (op, t, val, vmatch)
+        out = []
+        for seq in sorted(resolved):
+            op, t, val, vm = resolved[seq]
+            if op == 2 and (seq + 1) not in resolved:
+                op = 1
+            elif op == 3 and (seq - 1) not in resolved:
+                op = 0
+            out.append((op, key[0], t, val, vm))
+        latest_final = None
+        for i, (vt, _) in enumerate(versions):
+            if vt <= wm:
+                latest_final = i
+            else:
+                break
+        if latest_final is not None and latest_final > 0:
+            versions = versions[latest_final:]
+        state.update(
+            (
+                [t for t, _ in versions],
+                [v for _, v in versions],
+                [p[0] for p in still_pending],
+                [p[1] for p in still_pending],
+                [p[2] for p in still_pending],
+                [p[3] for p in still_pending],
+            )
+        )
+        if still_pending:
+            state.setTimeoutTimestamp(min(p[1] for p in still_pending))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["op", "pk", "probe_ts_ms", "probe_val", "version_val"],
+            )
+
+    return fn
+
+
+@dataclass
+class StreamingChangelogProbeAsOfJoin:
+    """Always-on temporal (as-of) join over an UPDATING PROBE — the
+    streaming twin of the batch executor's probe-changelog path (Flink's
+    event-time temporal join accepts an updating left table; reference
+    surface via planner delegation, TransformEngine.scala:252-262).
+
+    The probe changelog carries op tags and an explicit ledger seq (the
+    changelog offset), which preserves op-2/op-3 pair adjacency through
+    the shuffle; the version stream is append-only. Both union into one
+    keyed stream watermarked on their own event times, so a released
+    probe's history is final; probe buffers ride the stream checkpoint
+    across runs."""
+
+    version_dir: str
+    probe_dir: str
+    checkpoint_dir: str
+    output_dir: str
+    pk_col: str = "pk"
+    version_time: str = "event_time"
+    version_value: str = "value"
+    probe_time: str = "event_time"
+    probe_value: str = "value"
+    probe_op: str = "op"
+    probe_seq: str = "seq"
+    watermark_delay: str = "0 seconds"
+    how: str = "inner"
+    version_schema: StructType | None = None
+    probe_schema: StructType | None = None
+
+    def _plan(self, spark: SparkSession) -> DataFrame:
+        versions = (
+            _file_stream(spark, self.version_dir, self.version_schema)
+            .withWatermark(self.version_time, self.watermark_delay)
+            .select(
+                F.col(self.pk_col).cast("string").alias("__pk"),
+                F.lit("v").alias("__kind"),
+                F.lit(0).cast("long").alias("__seq"),
+                F.lit(0).cast("int").alias("__op"),
+                F.col(self.version_time).alias("__ts"),
+                F.col(self.version_value).cast("double").alias("__val"),
+            )
+        )
+        probes = (
+            _file_stream(spark, self.probe_dir, self.probe_schema)
+            .withWatermark(self.probe_time, self.watermark_delay)
+            .select(
+                F.col(self.pk_col).cast("string").alias("__pk"),
+                F.lit("p").alias("__kind"),
+                F.col(self.probe_seq).cast("long").alias("__seq"),
+                F.col(self.probe_op).cast("int").alias("__op"),
+                F.col(self.probe_time).alias("__ts"),
+                F.col(self.probe_value).cast("double").alias("__val"),
+            )
+        )
+        return versions.unionByName(probes).groupBy("__pk").applyInPandasWithState(
+            _changelog_probe_asof_fn(self.how),
+            outputStructType=_CLPASOF_OUTPUT,
+            stateStructType=_CLPASOF_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+
+    def run_available_now(self, spark: SparkSession) -> None:
+        _run_available_now(self._plan(spark), self.checkpoint_dir, self.output_dir)
+
+
 _OVER_OUTPUT = StructType(
     [
         StructField("key", StringType()),

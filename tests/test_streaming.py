@@ -1096,3 +1096,92 @@ def test_streaming_changelog_asof_cross_run_version_retraction(spark, asof_dirs)
         ("A", ts(2, 12), 150.0, 10.0),
         ("A", ts(9), 450.0, 25.0),
     ]
+
+
+def _probe_cl_slice(path, rows):
+    """rows: (pk, event_time, value, op, seq) — an op-tagged probe ledger."""
+    cols = list(zip(*rows)) if rows else [[], [], [], [], []]
+    pq.write_table(
+        pa.table(
+            {
+                "pk": pa.array(list(cols[0]), pa.string()),
+                "event_time": pa.array(list(cols[1]), pa.timestamp("ms", tz="UTC")),
+                "value": pa.array(list(cols[2]), pa.float64()),
+                "op": pa.array(list(cols[3]), pa.int32()),
+                "seq": pa.array(list(cols[4]), pa.int64()),
+            }
+        ),
+        path,
+        compression="snappy",
+    )
+
+
+def test_streaming_changelog_probe_asof_cross_run_pair_repair(spark, asof_dirs):
+    """Streaming twin of the UPDATING-PROBE as-of join
+    (StreamingChangelogProbeAsOfJoin): released changelog rows resolve at
+    their own event time and forward op tags; a correction pair split by
+    the watermark repairs to op-1 now and op-0 on the later run — each
+    half against the version live at ITS time."""
+    from kamu_engine_flink_spark.streaming.structured import (
+        StreamingChangelogProbeAsOfJoin,
+    )
+
+    job = StreamingChangelogProbeAsOfJoin(
+        version_dir=asof_dirs["versions"],
+        probe_dir=asof_dirs["probes"],
+        checkpoint_dir=asof_dirs["chk"],
+        output_dir=asof_dirs["out"],
+        how="inner",
+    )
+
+    def _read():
+        try:
+            rows = spark.read.parquet(asof_dirs["out"]).collect()
+        except Exception:
+            return []
+        from datetime import datetime, timezone
+
+        return sorted(
+            (r.op, r.pk,
+             datetime.fromtimestamp(r.probe_ts_ms / 1000, tz=timezone.utc),
+             r.probe_val, r.version_val)
+            for r in rows
+        )
+
+    # Run 1: version A=2@d1; probe insert (seq 0, d2, 10) buffers
+    # (joint wm d1).
+    _kv_slice(os.path.join(asof_dirs["versions"], "s1.parquet"),
+              [("A", ts(1), 2.0)])
+    _probe_cl_slice(os.path.join(asof_dirs["probes"], "s1.parquet"),
+                    [("A", ts(2), 10.0, 0, 0)])
+    job.run_available_now(spark)
+    assert _read() == []
+
+    # Run 2: version A=3@d3:12; the probe corrects via op-2 (seq 1, d2)
+    # / op-3 (seq 2, d4). Joint wm d3:12 releases the insert and the
+    # op-2 (both resolve rate 2) but NOT the op-3 — the dangling op-2
+    # repairs to op-1.
+    _kv_slice(os.path.join(asof_dirs["versions"], "s2.parquet"),
+              [("A", ts(3, 12), 3.0)])
+    _probe_cl_slice(os.path.join(asof_dirs["probes"], "s2.parquet"),
+                    [("A", ts(2), 10.0, 2, 1), ("A", ts(4), 15.0, 3, 2)])
+    job.run_available_now(spark)
+    assert _read() == [
+        (0, "A", ts(2), 10.0, 2.0),
+        (1, "A", ts(2), 10.0, 2.0),
+    ]
+
+    # Run 3: watermarks pass d6 — the buffered op-3 releases alone and
+    # repairs to op-0 against the rate live at d4 (3.0); a fresh insert
+    # at d6 sees the d6 version.
+    _kv_slice(os.path.join(asof_dirs["versions"], "s3.parquet"),
+              [("A", ts(6), 9.0)])
+    _probe_cl_slice(os.path.join(asof_dirs["probes"], "s3.parquet"),
+                    [("A", ts(6), 99.0, 0, 3)])
+    job.run_available_now(spark)
+    assert _read() == [
+        (0, "A", ts(2), 10.0, 2.0),
+        (0, "A", ts(4), 15.0, 3.0),
+        (0, "A", ts(6), 99.0, 9.0),
+        (1, "A", ts(2), 10.0, 2.0),
+    ]
