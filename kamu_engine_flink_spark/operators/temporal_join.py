@@ -405,7 +405,10 @@ def _execute_updating_probe(
     release.createOrReplaceTempView(probe)
     resolvable.createOrReplaceTempView(build + VERSIONS_SUFFIX)
     try:
-        raw = ctx.spark.sql(rewrite_query(injected, watermark=joint_wm))
+        # Pinned: the dangling-half repair below self-joins the
+        # resolution output, which would otherwise recompute the whole
+        # state-union + range-join subtree twice.
+        raw = ctx.pin(ctx.spark.sql(rewrite_query(injected, watermark=joint_wm)))
     finally:
         ctx.views[probe].createOrReplaceTempView(probe)
 
