@@ -3603,6 +3603,55 @@ def dedup_minhash_incremental_documents(spark: SparkSession, sf_dir: str) -> Dat
     return _shape(kept1, 0).unionByName(_shape(kept2, 1))
 
 
+def odf_transform_unnest_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink's array-expanding UNNEST join inside a transform MAP step
+    (plans/dialect._rewrite_unnest; reference surface via planner
+    delegation, TransformEngine.scala:252-262): each non-error event
+    expands into two tag rows via LEFT JOIN UNNEST .. ON TRUE — the
+    keep-empty-arrays spelling — while error events carry an empty array
+    and survive with a NULL tag. Two chained ODF invocations over
+    event_id%2 slices; inv attribution is offset parity, identical
+    arithmetic in the oracle. Rewrites to LATERAL VIEW OUTER explode —
+    stateless whole-stage-codegen row expansion, zero shuffles — scales."""
+    import tempfile
+
+    _conf(spark)
+    workdir = tempfile.mkdtemp(prefix="unnest-entry-")
+    e = _t(spark, sf_dir, "events")
+    ledger = e.select(
+        F.col("event_id").alias("offset"),
+        F.lit(0).cast("int").alias("op"),
+        F.to_timestamp(F.lit("2020-01-01 00:00:00")).alias("system_time"),
+        F.col("ts").alias("event_time"),
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    slices = _ledger_slices(spark, ledger, workdir, "events", 2)
+    sql = """SELECT event_time, user_id, u.tag AS tag, cents
+FROM events
+LEFT JOIN UNNEST(
+  CASE WHEN event_type = 'error' THEN ARRAY()
+       ELSE split(concat(event_type, ',u', cast(MOD(user_id, 10) AS string)), ',')
+  END) AS u (tag) ON TRUE"""
+    outs = _run_odf_invocations(
+        spark, sql, [[("events", p, wm)] for p, wm in slices], workdir, "unnest"
+    )
+    parts = [
+        spark.read.parquet(path).select(
+            F.lit(inv).cast("int").alias("inv"),
+            F.col("user_id").cast("long").alias("user_id"),
+            "tag",
+            F.col("cents").cast("long").alias("cents"),
+        )
+        for inv, path in outs
+    ]
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out
+
+
 def changelog_union_pads_and_appends(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION ALL of an updating alias with an append stream
     (operators/map_step._changelog_union; Flink unions changelogs
@@ -3690,16 +3739,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ALL entries locally every round and the run is committed as
     # CROSSCHECK_r{N}.txt.
     return {
-        # ROUND-9 ROTATION: first 50 = 2 new round-9 operators + the
+        # ROUND-9 ROTATION: first 50 = 4 new round-9 operators + the
         # 21-entry r05/r06-cohort tail that missed round 8's 50-row cap
-        # + the first 27 of the r07-checked block (driver rows last
+        # + the head of the r07-checked block (driver rows last
         # seen round 7). The r08-checked blocks rotate behind and are
-        # due again round 10. All 122 entries are verified locally
+        # due again round 10. All entries are verified locally
         # every round via tools/crosscheck.py (CROSSCHECK_r09.txt).
         # --- due their FIRST driver row: round-9's new operators ---
         "changelog_asof_updating_probe": changelog_asof_updating_probe,
         "streaming_changelog_topn_twin": streaming_changelog_topn_twin,
         "match_recognize_exclusion_events": match_recognize_exclusion_events,
+        "odf_transform_unnest_tags": odf_transform_unnest_tags,
         # --- r05/r06-cohort tail, missed the round-8 cap: due now ---
         "dedup_minhash_documents": dedup_minhash_documents,
         "dedup_minhash_fast": dedup_minhash_fast,
@@ -5530,6 +5580,26 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT user_id, value FROM events WHERE event_type = 'click') c
               ON p.user_id = c.user_id
             GROUP BY p.user_id
+        """,
+        "odf_transform_unnest_tags": """
+            -- LEFT JOIN UNNEST .. ON TRUE: non-error events expand into
+            -- their two tags; error events carry an empty array and
+            -- survive with a NULL tag. inv = offset parity (event_id%2),
+            -- the slice arithmetic of the transform's two invocations.
+            WITH base AS (
+                SELECT CAST(event_id % 2 AS INT) AS inv, user_id,
+                       event_type,
+                       event_type || ',u' || CAST(user_id % 10 AS VARCHAR)
+                           AS tags,
+                       CAST(floor(value * 100) AS BIGINT) AS cents
+                FROM events
+            )
+            SELECT inv, user_id, u.tag AS tag, cents
+            FROM base, unnest(string_split(tags, ',')) AS u(tag)
+            WHERE event_type <> 'error'
+            UNION ALL
+            SELECT inv, user_id, CAST(NULL AS VARCHAR) AS tag, cents
+            FROM base WHERE event_type = 'error'
         """,
         "unbounded_agg_changelog_events": """
             -- Continuous-agg changelog reconstruction: per event_id%3

@@ -1035,6 +1035,30 @@ _OVER_AGG_REJECT_RE = re.compile(
 
 
 def classify(sql: str, known_views: set[str]) -> str:
+    if re.search(r"\bUNNEST\s*\(", sql, re.IGNORECASE):
+        # Normalize array-expanding UNNEST joins to their LATERAL VIEW
+        # form BEFORE any join-shape matching: `CROSS JOIN UNNEST(..)`
+        # / `LEFT JOIN UNNEST(..) ON TRUE` carry a JOIN keyword but are
+        # stateless per-row expansions, not stream joins — counting them
+        # would misroute a real join + UNNEST into the multi-join gate
+        # (or an UNNEST alone into the regular-join parser). The
+        # executors rewrite the original SQL themselves; this copy is
+        # classification-only.
+        from .dialect import _rewrite_unnest
+
+        sql = _rewrite_unnest(sql)
+        kind = classify(sql, known_views)
+        if kind != MAP:
+            # The stateful executors parse fixed query shapes and would
+            # drop or misread a LATERAL clause; Flink's planner composes
+            # them freely, so reject with the decomposition instead of
+            # silently executing the join without the expansion.
+            raise InvalidQueryError(
+                "UNNEST composes with stateless projection steps only; "
+                f"put the {kind} in its own step and UNNEST its output "
+                "in a following step"
+            )
+        return MAP
     if re.search(r"\bMATCH_RECOGNIZE\b", sql, re.IGNORECASE):
         return MATCH_RECOGNIZE
     if len(_WINDOW_TVF_RE.findall(sql)) >= 2 and re.search(

@@ -46,6 +46,17 @@ Rewrites:
     -> FROM-subqueries materializing window_start/window_end
   t FOR SYSTEM_TIME AS OF p.ts AS a    -> <t>__versions a + validity preds
   , LATERAL TABLE (t(p.ts)) AS a       -> JOIN <t>__versions a ON validity
+  CROSS JOIN UNNEST(arr) AS u (c)      -> LATERAL VIEW explode(arr) u AS c
+  , UNNEST(arr) AS u (c)               -> same (comma spelling)
+  LEFT JOIN UNNEST(arr) AS u (c) ON TRUE -> LATERAL VIEW OUTER explode(..)
+    (keeps rows whose array is empty/NULL, Flink's ON TRUE contract)
+  ... AS u (c1, c2, ...)               -> LATERAL VIEW inline(arr) u AS c1,..
+    (Flink's UNNEST over an array of rows flattens the row fields into
+    columns; Spark's inline() is the same operation. UNNEST over a MAP —
+    also two columns in Flink — is indistinguishable syntactically and
+    inline() will reject it at analysis; spell map flattening as
+    explode(map) directly. WITH ORDINALITY and alias-less UNNEST reject
+    loudly below.)
 
 Temporal rewrites target the `<name>__versions` views the transform engine
 registers for declared temporal tables (operators/asof_join.py): each
@@ -438,6 +449,82 @@ def _validity_pred(alias: str, time_expr: str) -> str:
     )
 
 
+_UNNEST_LEAD_RE = re.compile(
+    r"(\bCROSS\s+JOIN\s+|\bLEFT\s+(?:OUTER\s+)?JOIN\s+|,\s*)UNNEST\s*\(",
+    re.IGNORECASE,
+)
+_UNNEST_TAIL_RE = re.compile(
+    r"\s*(?:AS\s+)?([`\w]+)\s*\(\s*([`\w]+(?:\s*,\s*[`\w]+)*)\s*\)",
+    re.IGNORECASE,
+)
+_UNNEST_ON_TRUE_RE = re.compile(r"\s*ON\s+TRUE\b", re.IGNORECASE)
+
+
+def _rewrite_unnest(sql: str) -> str:
+    """Flink's array-expanding UNNEST -> Spark's LATERAL VIEW.
+
+    `FROM t CROSS JOIN UNNEST(t.arr) AS u (x)` (or the comma spelling)
+    becomes `FROM t LATERAL VIEW explode(t.arr) u AS x`; the LEFT JOIN
+    ... ON TRUE spelling (Flink's keep-empty-arrays form) becomes
+    LATERAL VIEW OUTER. A multi-column alias list — Flink's UNNEST over
+    an array of rows — maps to inline(), Spark's row-flattening twin.
+    Both clauses occupy the same syntactic slot (immediately after the
+    driving table reference), so the rewrite is positional. Reference
+    surface via Flink planner delegation (TransformEngine.scala:252-262
+    hands the full query text to the Flink parser, which accepts UNNEST).
+    """
+    while True:
+        m = _UNNEST_LEAD_RE.search(sql)
+        if not m:
+            return sql
+        lead = m.group(1)
+        # Balanced-paren scan for the array expression (may nest calls).
+        depth, in_str, i = 1, False, m.end()
+        while i < len(sql) and depth:
+            ch = sql[i]
+            if in_str:
+                in_str = ch != "'"
+            elif ch == "'":
+                in_str = True
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            return sql  # unbalanced — leave for Spark to report
+        expr = sql[m.end() : i - 1]
+        rest = sql[i:]
+        if re.match(r"\s*WITH\s+ORDINALITY\b", rest, re.IGNORECASE):
+            raise InvalidQueryError(
+                "UNNEST ... WITH ORDINALITY is not supported; use "
+                "posexplode via a LATERAL VIEW directly"
+            )
+        tail = _UNNEST_TAIL_RE.match(rest)
+        if not tail:
+            raise InvalidQueryError(
+                "UNNEST requires an alias with a column list: "
+                "UNNEST(arr) AS u (col)"
+            )
+        alias = tail.group(1)
+        cols = [c.strip() for c in tail.group(2).split(",")]
+        rest = rest[tail.end() :]
+        outer = bool(re.match(r"LEFT\b", lead, re.IGNORECASE))
+        if outer:
+            on_true = _UNNEST_ON_TRUE_RE.match(rest)
+            if not on_true:
+                raise InvalidQueryError(
+                    "LEFT JOIN UNNEST requires the literal ON TRUE"
+                )
+            rest = rest[on_true.end() :]
+        fn = "explode" if len(cols) == 1 else "inline"
+        replacement = (
+            f" LATERAL VIEW{' OUTER' if outer else ''} {fn}({expr}) "
+            f"{alias} AS {', '.join(cols)}"
+        )
+        sql = sql[: m.start()] + replacement + rest
+
+
 def _rewrite_system_time_join(sql: str) -> str:
     """`JOIN t FOR SYSTEM_TIME AS OF p.ts [AS] a ON <cond>` ->
     `JOIN t__versions a ON <validity> AND <cond>`
@@ -549,4 +636,5 @@ def rewrite_query(sql: str, *, watermark: datetime | None = None) -> str:
         out = _CURRENT_WM_RE.sub(lit, out)
     out = _rewrite_system_time_join(out)
     out = _rewrite_lateral(out)
+    out = _rewrite_unnest(out)
     return out

@@ -1,0 +1,208 @@
+"""UNNEST — Flink's array-expanding join, reference surface via planner
+delegation (TransformEngine.scala:252-262 hands query text to the Flink
+parser, which accepts CROSS JOIN UNNEST / LEFT JOIN UNNEST .. ON TRUE).
+The dialect maps it onto Spark's LATERAL VIEW explode/inline."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+from kamu_engine_flink_spark.plans.classify import MAP, classify
+from kamu_engine_flink_spark.plans.dialect import rewrite_query
+from kamu_engine_flink_spark.protocol.model import InvalidQueryError
+
+from .helpers import TransformRunner, ts, write_input_slice
+
+
+def test_unnest_rewrites():
+    assert rewrite_query(
+        "SELECT e.event_time, u.x FROM e CROSS JOIN UNNEST(e.arr) AS u (x)"
+    ).strip() == (
+        "SELECT e.event_time, u.x FROM e  LATERAL VIEW explode(e.arr) u AS x"
+    )
+    # comma spelling, nested call inside the array expression
+    out = rewrite_query(
+        "SELECT u.x FROM e, UNNEST(split(e.tags, ',')) AS u (x) WHERE u.x <> ''"
+    )
+    assert "LATERAL VIEW explode(split(e.tags, ',')) u AS x" in out
+    assert "UNNEST" not in out
+    # LEFT JOIN ... ON TRUE keeps empty/NULL arrays -> OUTER
+    out = rewrite_query(
+        "SELECT u.x FROM e LEFT JOIN UNNEST(e.arr) AS u (x) ON TRUE"
+    )
+    assert "LATERAL VIEW OUTER explode(e.arr) u AS x" in out
+    # multi-column alias list (array of rows) -> inline
+    out = rewrite_query(
+        "SELECT u.f1, u.f2 FROM e CROSS JOIN UNNEST(e.rows) AS u (f1, f2)"
+    )
+    assert "LATERAL VIEW inline(e.rows) u AS f1, f2" in out
+
+
+def test_unnest_rejects():
+    with pytest.raises(InvalidQueryError, match="ORDINALITY"):
+        rewrite_query(
+            "SELECT * FROM e CROSS JOIN UNNEST(a) WITH ORDINALITY AS u (x, i)"
+        )
+    with pytest.raises(InvalidQueryError, match="alias"):
+        rewrite_query("SELECT * FROM e CROSS JOIN UNNEST(a)")
+    with pytest.raises(InvalidQueryError, match="ON TRUE"):
+        rewrite_query("SELECT * FROM e LEFT JOIN UNNEST(a) AS u (x)")
+
+
+def test_unnest_classification():
+    views = {"events", "purchases"}
+    assert (
+        classify(
+            "SELECT event_time, u.x FROM events "
+            "CROSS JOIN UNNEST(ARRAY[value]) AS u (x)",
+            views,
+        )
+        == MAP
+    )
+    # UNNEST's JOIN keyword must not count as a stream join; but a REAL
+    # stream join in the same step would need executor composition the
+    # fixed-shape parsers don't do -> loud reject with the decomposition.
+    with pytest.raises(InvalidQueryError, match="own step"):
+        classify(
+            "SELECT p.event_time, u.x FROM purchases p "
+            "JOIN events e ON p.user_id = e.user_id "
+            "CROSS JOIN UNNEST(ARRAY[p.value]) AS u (x)",
+            views,
+        )
+
+
+def _tag_slice(path, rows):
+    """rows: (offset, op, system_time, event_time, symbol, tags_csv)"""
+    cols = list(zip(*rows)) if rows else [[]] * 6
+    write_input_slice(
+        path,
+        {
+            "offset": list(cols[0]),
+            "op": list(cols[1]),
+            "system_time": list(cols[2]),
+            "event_time": list(cols[3]),
+            "symbol": list(cols[4]),
+            "tags": list(cols[5]),
+        },
+        {
+            "offset": pa.int64(),
+            "op": pa.int32(),
+            "system_time": pa.timestamp("ms", tz="UTC"),
+            "event_time": pa.timestamp("ms", tz="UTC"),
+            "symbol": pa.string(),
+            "tags": pa.string(),
+        },
+    )
+
+
+def test_unnest_transform_map(spark, tmp_path):
+    """CROSS JOIN UNNEST over a split() array inside a transform MAP step:
+    one output row per array element, op/system columns stamped."""
+    slice1 = str(tmp_path / "in" / "s1.parquet")
+    _tag_slice(
+        slice1,
+        [
+            (0, 0, ts(1), ts(1, 1), "A", "red,hot"),
+            (1, 0, ts(1), ts(1, 2), "B", "blue"),
+        ],
+    )
+    runner = TransformRunner(
+        spark,
+        str(tmp_path),
+        [
+            (
+                "SELECT event_time, symbol, u.tag AS tag "
+                "FROM tickers CROSS JOIN UNNEST(split(tags, ',')) AS u (tag)",
+                None,
+            )
+        ],
+    )
+    _, out_path = runner.run(
+        [{"alias": "tickers", "schema_file": slice1, "data_paths": [slice1],
+          "watermark": ts(1, 2)}],
+        system_time=ts(2),
+    )
+    rows = sorted(
+        (r.symbol, r.tag) for r in spark.read.parquet(out_path).collect()
+    )
+    assert rows == [("A", "hot"), ("A", "red"), ("B", "blue")]
+
+
+def test_unnest_left_join_on_true_keeps_empty(spark, tmp_path):
+    """LEFT JOIN UNNEST .. ON TRUE: a row whose array is empty survives
+    with a NULL element (Flink semantics; Spark's LATERAL VIEW OUTER)."""
+    slice1 = str(tmp_path / "in" / "s1.parquet")
+    _tag_slice(
+        slice1,
+        [
+            (0, 0, ts(1), ts(1, 1), "A", "x,y"),
+            (1, 0, ts(1), ts(1, 2), "B", ""),
+        ],
+    )
+    runner = TransformRunner(
+        spark,
+        str(tmp_path),
+        [
+            (
+                "SELECT event_time, symbol, u.tag AS tag FROM tickers "
+                "LEFT JOIN UNNEST(CASE WHEN tags = '' THEN ARRAY() "
+                "ELSE split(tags, ',') END) AS u (tag) ON TRUE",
+                None,
+            )
+        ],
+    )
+    _, out_path = runner.run(
+        [{"alias": "tickers", "schema_file": slice1, "data_paths": [slice1],
+          "watermark": ts(1, 2)}],
+        system_time=ts(2),
+    )
+    rows = sorted(
+        (r.symbol, r.tag)
+        for r in spark.read.parquet(out_path).collect()
+    )
+    assert rows == [("A", "x"), ("A", "y"), ("B", None)]
+
+
+def test_unnest_array_of_rows_inline(spark, tmp_path):
+    """Multi-column UNNEST alias (array of rows) -> inline(): each row
+    struct flattens into the aliased columns."""
+    path = str(tmp_path / "in" / "s1.parquet")
+    struct_t = pa.struct([("k", pa.string()), ("v", pa.int64())])
+    write_input_slice(
+        path,
+        {
+            "offset": [0],
+            "op": [0],
+            "system_time": [ts(1)],
+            "event_time": [ts(1, 1)],
+            "pairs": [[{"k": "a", "v": 1}, {"k": "b", "v": 2}]],
+        },
+        {
+            "offset": pa.int64(),
+            "op": pa.int32(),
+            "system_time": pa.timestamp("ms", tz="UTC"),
+            "event_time": pa.timestamp("ms", tz="UTC"),
+            "pairs": pa.list_(struct_t),
+        },
+    )
+    runner = TransformRunner(
+        spark,
+        str(tmp_path),
+        [
+            (
+                "SELECT event_time, u.k AS k, u.v AS v FROM src "
+                "CROSS JOIN UNNEST(pairs) AS u (k, v)",
+                None,
+            )
+        ],
+    )
+    _, out_path = runner.run(
+        [{"alias": "src", "schema_file": path, "data_paths": [path],
+          "watermark": ts(1, 1)}],
+        system_time=ts(2),
+    )
+    rows = sorted(
+        (r.k, r.v) for r in spark.read.parquet(out_path).collect()
+    )
+    assert rows == [("a", 1), ("b", 2)]
