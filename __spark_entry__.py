@@ -3395,6 +3395,131 @@ def streaming_changelog_topn_twin(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def streaming_changelog_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING under the driver oracle: the always-on
+    retraction-aware regular join twin (streaming/structured.
+    StreamingChangelogJoin, applyInPandasWithState) run as two
+    availableNow micro-batches over real file streams with a checkpoint
+    between them. Batch 1 inserts the even-offset purchases x even
+    clicks per user; batch 2 retracts every batch-1 purchase with
+    cents < 300 and inserts both odd halves — so run 2's emission must
+    retract joined pairs whose left row died, against live multisets
+    restored off the stream checkpoint. The kernel emits the NET batch
+    delta d(LxR) = dLxR_old + L_newxdR = pairs_after - pairs_before, so
+    the oracle is two EXCEPT ALLs over the recomputed pair multisets.
+    State shards by join key across executors; a micro-batch touches
+    only its own keys' ledgers — scales."""
+    import os
+    import tempfile
+
+    from kamu_engine_flink_spark.sinks.parquet import write_single_parquet
+    from kamu_engine_flink_spark.streaming.structured import (
+        StreamingChangelogJoin,
+    )
+
+    _conf(spark)
+    workdir = tempfile.mkdtemp(prefix="stream-cjoin-")
+    d = {k: os.path.join(workdir, k) for k in ("l", "r", "chk", "out")}
+    for k in ("l", "r"):
+        os.makedirs(d[k])
+    e = _t(spark, sf_dir, "events").select(
+        (F.col("event_id") % 2).cast("int").alias("inv"),
+        "event_type",
+        F.col("user_id").cast("string").alias("key"),
+        F.floor(F.col("value") * 100).cast("double").alias("value"),
+    )
+    p, c = e.filter("event_type = 'purchase'"), e.filter("event_type = 'click'")
+    op0 = F.lit(0).cast("int").alias("op")
+    l1 = p.filter("inv = 0").select("key", "value", op0)
+    r1 = c.filter("inv = 0").select("key", "value", op0)
+    l2 = (
+        p.filter("inv = 0 AND value < 300")
+        .select("key", "value", F.lit(1).cast("int").alias("op"))
+        .unionByName(p.filter("inv = 1").select("key", "value", op0))
+    )
+    r2 = c.filter("inv = 1").select("key", "value", op0)
+    job = StreamingChangelogJoin(
+        left_dir=d["l"], right_dir=d["r"],
+        checkpoint_dir=d["chk"], output_dir=d["out"],
+    )
+    import glob
+
+    write_single_parquet(l1, os.path.join(d["l"], "b1.parquet"))
+    write_single_parquet(r1, os.path.join(d["r"], "b1.parquet"))
+    job.run_available_now(spark)
+    # Attribute rows to runs by part FILE, not by row-value set-difference:
+    # a run-2 insert can be value-identical to a run-1 pair (same cents on
+    # an odd purchase) and exceptAll would mis-subtract it.
+    files1 = set(glob.glob(os.path.join(d["out"], "*.parquet")))
+    write_single_parquet(l2, os.path.join(d["l"], "b2.parquet"))
+    write_single_parquet(r2, os.path.join(d["r"], "b2.parquet"))
+    job.run_available_now(spark)
+    files2 = set(glob.glob(os.path.join(d["out"], "*.parquet"))) - files1
+    run1 = spark.read.parquet(*sorted(files1))
+    run2 = spark.read.parquet(*sorted(files2))
+    return (
+        run1.withColumn("inv", F.lit(1).cast("int"))
+        .unionByName(run2.withColumn("inv", F.lit(2).cast("int")))
+        .select("inv", "op", "key", "l_value", "r_value")
+    )
+
+
+def streaming_changelog_distinct_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING under the driver oracle: the always-on
+    retraction-aware DISTINCT twin (streaming/structured.
+    StreamingChangelogDistinct, applyInPandasWithState) as two
+    availableNow micro-batches with a checkpoint between them. Batch 1
+    inserts the even-offset (event_type, cents) changelog; batch 2
+    retracts every batch-1 row with cents < 300 and inserts the odd
+    half. A value emits op 0 only when its per-key net count rises from
+    zero and op 1 only when it falls back to zero — so run 2 must stay
+    SILENT for values whose count merely moves between positives, off
+    counts restored from the stream checkpoint. Oracle = set difference
+    of the two distinct-value sets. State is per-key distinct values
+    with net counts, sharded by key — scales."""
+    import glob
+    import os
+    import tempfile
+
+    from kamu_engine_flink_spark.sinks.parquet import write_single_parquet
+    from kamu_engine_flink_spark.streaming.structured import (
+        StreamingChangelogDistinct,
+    )
+
+    _conf(spark)
+    workdir = tempfile.mkdtemp(prefix="stream-cldist-")
+    d = {k: os.path.join(workdir, k) for k in ("in", "chk", "out")}
+    os.makedirs(d["in"])
+    e = _t(spark, sf_dir, "events").select(
+        (F.col("event_id") % 2).cast("int").alias("inv"),
+        F.col("event_type").alias("key"),
+        F.floor(F.col("value") * 100).cast("double").alias("value"),
+    )
+    op0 = F.lit(0).cast("int").alias("op")
+    b1 = e.filter("inv = 0").select("key", "value", op0)
+    b2 = (
+        e.filter("inv = 0 AND value < 300")
+        .select("key", "value", F.lit(1).cast("int").alias("op"))
+        .unionByName(e.filter("inv = 1").select("key", "value", op0))
+    )
+    job = StreamingChangelogDistinct(
+        input_dir=d["in"], checkpoint_dir=d["chk"], output_dir=d["out"]
+    )
+    write_single_parquet(b1, os.path.join(d["in"], "b1.parquet"))
+    job.run_available_now(spark)
+    files1 = set(glob.glob(os.path.join(d["out"], "*.parquet")))
+    write_single_parquet(b2, os.path.join(d["in"], "b2.parquet"))
+    job.run_available_now(spark)
+    files2 = set(glob.glob(os.path.join(d["out"], "*.parquet"))) - files1
+    run1 = spark.read.parquet(*sorted(files1))
+    run2 = spark.read.parquet(*sorted(files2))
+    return (
+        run1.withColumn("inv", F.lit(1).cast("int"))
+        .unionByName(run2.withColumn("inv", F.lit(2).cast("int")))
+        .select("inv", "op", "key", "value")
+    )
+
+
 _ASOF_BAND = "2024-01-16 00:00:00"
 
 
@@ -3750,6 +3875,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_changelog_topn_twin": streaming_changelog_topn_twin,
         "match_recognize_exclusion_events": match_recognize_exclusion_events,
         "odf_transform_unnest_tags": odf_transform_unnest_tags,
+        "streaming_changelog_join_twin": streaming_changelog_join_twin,
+        "streaming_changelog_distinct_twin": streaming_changelog_distinct_twin,
         # --- r05/r06-cohort tail, missed the round-8 cap: due now ---
         "dedup_minhash_documents": dedup_minhash_documents,
         "dedup_minhash_fast": dedup_minhash_fast,
@@ -4757,6 +4884,72 @@ def oracle_sql() -> dict[str, str]:
             SELECT 2, 3, r2.key, r2.place, r2.val
             FROM r1 JOIN r2 ON r1.key = r2.key AND r1.place = r2.place
             WHERE r1.val <> r2.val
+        """,
+        "streaming_changelog_distinct_twin": """
+            -- Streaming retraction-aware DISTINCT twin: run 1 = the
+            -- distinct (key, value) set of the even half; run 2 = the
+            -- set difference after retracting cents < 300 and inserting
+            -- the odd half (op 0 = appeared, op 1 = vanished; values
+            -- moving between positive counts emit nothing).
+            WITH e AS (
+                SELECT CAST(event_id % 2 AS INT) AS inv,
+                       event_type AS key,
+                       CAST(floor(value * 100) AS DOUBLE) AS val
+                FROM events
+            ), s1 AS (
+                SELECT DISTINCT key, val FROM e WHERE inv = 0
+            ), s2 AS (
+                SELECT DISTINCT key, val FROM (
+                    SELECT key, val FROM e WHERE inv = 0 AND NOT val < 300
+                    UNION ALL
+                    SELECT key, val FROM e WHERE inv = 1
+                )
+            )
+            SELECT CAST(1 AS INT) AS inv, CAST(0 AS INT) AS op,
+                   key, val AS value FROM s1
+            UNION ALL
+            SELECT 2, 0, key, val FROM (SELECT * FROM s2 EXCEPT SELECT * FROM s1)
+            UNION ALL
+            SELECT 2, 1, key, val FROM (SELECT * FROM s1 EXCEPT SELECT * FROM s2)
+        """,
+        "streaming_changelog_join_twin": """
+            -- Streaming retraction-aware join twin: the kernel emits the
+            -- NET per-batch delta of the joined pair multiset, so run 1
+            -- is the even x even pairing and run 2 is the multiset
+            -- difference after retracting cents < 300 purchases and
+            -- inserting both odd halves (op 0 = entered, op 1 = left).
+            WITH e AS (
+                SELECT CAST(event_id % 2 AS INT) AS inv, event_type,
+                       CAST(user_id AS VARCHAR) AS key,
+                       CAST(floor(value * 100) AS DOUBLE) AS val
+                FROM events WHERE event_type IN ('purchase', 'click')
+            ), l1 AS (
+                SELECT key, val FROM e WHERE event_type='purchase' AND inv=0
+            ), r1 AS (
+                SELECT key, val FROM e WHERE event_type='click' AND inv=0
+            ), l2 AS (
+                SELECT key, val FROM l1 WHERE NOT val < 300
+                UNION ALL
+                SELECT key, val FROM e WHERE event_type='purchase' AND inv=1
+            ), r2 AS (
+                SELECT key, val FROM r1
+                UNION ALL
+                SELECT key, val FROM e WHERE event_type='click' AND inv=1
+            ), p1 AS (
+                SELECT l1.key AS key, l1.val AS l_value, r1.val AS r_value
+                FROM l1 JOIN r1 ON l1.key = r1.key
+            ), p2 AS (
+                SELECT l2.key AS key, l2.val AS l_value, r2.val AS r_value
+                FROM l2 JOIN r2 ON l2.key = r2.key
+            )
+            SELECT CAST(1 AS INT) AS inv, CAST(0 AS INT) AS op,
+                   key, l_value, r_value FROM p1
+            UNION ALL
+            SELECT 2, 0, key, l_value, r_value
+            FROM (SELECT * FROM p2 EXCEPT ALL SELECT * FROM p1)
+            UNION ALL
+            SELECT 2, 1, key, l_value, r_value
+            FROM (SELECT * FROM p1 EXCEPT ALL SELECT * FROM p2)
         """,
         "changelog_asof_updating_probe": f"""
             -- As-of join over an UPDATING PROBE: replay the continuous
