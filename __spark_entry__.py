@@ -3520,6 +3520,113 @@ def streaming_changelog_distinct_twin(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+_SETOP_TUPLE = "user_id, cast(floor(cents / 1000) as bigint) AS vb"
+
+
+def setop_intersect_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful cross-invocation INTERSECT (operators/setop_step.py;
+    Flink supports streaming set operators via planner delegation,
+    TransformEngine.scala:252-262): distinct (user_id, value-bucket)
+    tuples live once seen on BOTH the purchase and the click stream —
+    across all invocations, so a tuple whose purchase arrived in
+    invocation 0 and whose click arrives in invocation 1 emits in
+    invocation 1 (per-slice evaluation would never pair them; here the
+    intersection grows 302 -> 654 tuples between the invocations). Per
+    invocation: one union + one fingerprint groupBy (single shuffle) +
+    one bucketed full-outer state merge — scales; state is O(distinct
+    tuples), Flink's own bound."""
+    import tempfile
+
+    _conf(spark)
+    workdir = tempfile.mkdtemp(prefix="setop-i-entry-")
+    p_slices = _ledger_slices(
+        spark, _events_ledger(spark, sf_dir, "purchase"), workdir, "purchases", 2
+    )
+    c_slices = _ledger_slices(
+        spark, _events_ledger(spark, sf_dir, "click"), workdir, "clicks", 2
+    )
+    steps = [
+        (
+            f"SELECT {_SETOP_TUPLE} FROM purchases "
+            f"INTERSECT SELECT {_SETOP_TUPLE} FROM clicks",
+            "iv",
+        ),
+        (
+            "SELECT cast(now() as timestamp(3)) as event_time, "
+            "user_id, vb FROM iv",
+            None,
+        ),
+    ]
+    per_inv = [
+        [("purchases", pp, pwm), ("clicks", cp, cwm)]
+        for (pp, pwm), (cp, cwm) in zip(p_slices, c_slices)
+    ]
+    outs = _run_odf_invocations(spark, steps, per_inv, workdir, "setopi")
+    parts = [
+        spark.read.parquet(path).select(
+            F.lit(inv).cast("int").alias("inv"),
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("vb").cast("long").alias("vb"),
+        )
+        for inv, path in outs
+    ]
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out
+
+
+def setop_except_changelog_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful cross-invocation EXCEPT changelog (operators/
+    setop_step.py): distinct (user_id, value-bucket) tuples live while
+    seen on the purchase stream and NEVER on the click stream. A click
+    arriving in a later invocation KILLS an earlier emission — the step
+    emits an op-1 retraction (Flink's streaming EXCEPT emits the same
+    -D row). The oracle recomputes both cumulative difference sets and
+    diffs them per invocation. Same single-shuffle + bucketed-state
+    shape as INTERSECT — scales."""
+    import tempfile
+
+    _conf(spark)
+    workdir = tempfile.mkdtemp(prefix="setop-e-entry-")
+    p_slices = _ledger_slices(
+        spark, _events_ledger(spark, sf_dir, "purchase"), workdir, "purchases", 2
+    )
+    c_slices = _ledger_slices(
+        spark, _events_ledger(spark, sf_dir, "click"), workdir, "clicks", 2
+    )
+    steps = [
+        (
+            f"SELECT {_SETOP_TUPLE} FROM purchases "
+            f"EXCEPT SELECT {_SETOP_TUPLE} FROM clicks",
+            "ev",
+        ),
+        (
+            "SELECT cast(now() as timestamp(3)) as event_time, "
+            "user_id, vb FROM ev",
+            None,
+        ),
+    ]
+    per_inv = [
+        [("purchases", pp, pwm), ("clicks", cp, cwm)]
+        for (pp, pwm), (cp, cwm) in zip(p_slices, c_slices)
+    ]
+    outs = _run_odf_invocations(spark, steps, per_inv, workdir, "setope")
+    parts = [
+        spark.read.parquet(path).select(
+            F.lit(inv).cast("int").alias("inv"),
+            F.col("op").cast("int").alias("op"),
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("vb").cast("long").alias("vb"),
+        )
+        for inv, path in outs
+    ]
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out
+
+
 _ASOF_BAND = "2024-01-16 00:00:00"
 
 
@@ -3877,6 +3984,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "odf_transform_unnest_tags": odf_transform_unnest_tags,
         "streaming_changelog_join_twin": streaming_changelog_join_twin,
         "streaming_changelog_distinct_twin": streaming_changelog_distinct_twin,
+        "setop_intersect_user_values": setop_intersect_user_values,
+        "setop_except_changelog_users": setop_except_changelog_users,
         # --- r05/r06-cohort tail, missed the round-8 cap: due now ---
         "dedup_minhash_documents": dedup_minhash_documents,
         "dedup_minhash_fast": dedup_minhash_fast,
@@ -4884,6 +4993,75 @@ def oracle_sql() -> dict[str, str]:
             SELECT 2, 3, r2.key, r2.place, r2.val
             FROM r1 JOIN r2 ON r1.key = r2.key AND r1.place = r2.place
             WHERE r1.val <> r2.val
+        """,
+        "setop_intersect_user_values": """
+            -- Stateful INTERSECT: invocation 0 emits the slice-0
+            -- intersection; invocation 1 emits the tuples the FULL
+            -- histories intersect that slice 0 alone did not.
+            WITH e AS (
+                SELECT CAST(event_id % 2 AS INT) AS inv, user_id,
+                       event_type,
+                       CAST(floor(CAST(floor(value * 100) AS BIGINT)
+                            / 1000) AS BIGINT) AS vb
+                FROM events WHERE event_type IN ('purchase', 'click')
+            ), p0 AS (
+                SELECT DISTINCT user_id, vb FROM e
+                WHERE event_type = 'purchase' AND inv = 0
+            ), c0 AS (
+                SELECT DISTINCT user_id, vb FROM e
+                WHERE event_type = 'click' AND inv = 0
+            ), pa AS (
+                SELECT DISTINCT user_id, vb FROM e
+                WHERE event_type = 'purchase'
+            ), ca AS (
+                SELECT DISTINCT user_id, vb FROM e
+                WHERE event_type = 'click'
+            ), i0 AS (
+                SELECT * FROM p0 INTERSECT SELECT * FROM c0
+            ), i1 AS (
+                SELECT * FROM pa INTERSECT SELECT * FROM ca
+            )
+            SELECT CAST(0 AS INT) AS inv, user_id, vb FROM i0
+            UNION ALL
+            SELECT CAST(1 AS INT) AS inv, user_id, vb
+            FROM (SELECT * FROM i1 EXCEPT SELECT * FROM i0)
+        """,
+        "setop_except_changelog_users": """
+            -- Stateful EXCEPT changelog: invocation 0 emits the slice-0
+            -- difference as op-0; invocation 1 emits op-0 for tuples the
+            -- full-history difference gained and op-1 retractions for
+            -- tuples it lost (their click arrived late).
+            WITH e AS (
+                SELECT CAST(event_id % 2 AS INT) AS inv, user_id,
+                       event_type,
+                       CAST(floor(CAST(floor(value * 100) AS BIGINT)
+                            / 1000) AS BIGINT) AS vb
+                FROM events WHERE event_type IN ('purchase', 'click')
+            ), p0 AS (
+                SELECT DISTINCT user_id, vb FROM e
+                WHERE event_type = 'purchase' AND inv = 0
+            ), c0 AS (
+                SELECT DISTINCT user_id, vb FROM e
+                WHERE event_type = 'click' AND inv = 0
+            ), pa AS (
+                SELECT DISTINCT user_id, vb FROM e
+                WHERE event_type = 'purchase'
+            ), ca AS (
+                SELECT DISTINCT user_id, vb FROM e
+                WHERE event_type = 'click'
+            ), e0 AS (
+                SELECT * FROM p0 EXCEPT SELECT * FROM c0
+            ), e1 AS (
+                SELECT * FROM pa EXCEPT SELECT * FROM ca
+            )
+            SELECT CAST(0 AS INT) AS inv, CAST(0 AS INT) AS op,
+                   user_id, vb FROM e0
+            UNION ALL
+            SELECT 1, 0, user_id, vb
+            FROM (SELECT * FROM e1 EXCEPT SELECT * FROM e0)
+            UNION ALL
+            SELECT 1, 1, user_id, vb
+            FROM (SELECT * FROM e0 EXCEPT SELECT * FROM e1)
         """,
         "streaming_changelog_distinct_twin": """
             -- Streaming retraction-aware DISTINCT twin: run 1 = the

@@ -43,6 +43,7 @@ from ..operators import (
     match_recognize,
     over_agg,
     regular_join,
+    setop_step,
     temporal_join,
     unbounded_agg,
     topn,
@@ -186,6 +187,7 @@ _EXECUTORS = {
     C.OVER_AGG: over_agg.execute_over_agg,
     C.MATCH_RECOGNIZE: match_recognize.execute_match_recognize,
     C.WINDOW_JOIN: window_join.execute_window_join,
+    C.SETOP: setop_step.execute_setop,
 }
 
 

@@ -126,7 +126,8 @@ def fast_local_df(spark: SparkSession, rows: list[dict], schema) -> DataFrame:
 
 
 def split_touched_state(
-    prev: DataFrame, keys: list[str], probe_keys: DataFrame
+    prev: DataFrame, keys: list[str], probe_keys: DataFrame,
+    no_null_keys: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """(active, untouched): partition a keyed state relation by whether its
     key appears in `probe_keys` (this slice's key set).
@@ -138,17 +139,29 @@ def split_touched_state(
     under GROUP BY / PARTITION BY semantics) can never `=`-match, so
     NULL-keyed state rows are unconditionally routed to `active`: folding
     an unchanged group is a no-op emission-wise, and NULL-key groups stay
-    exact without a full-state null-safe shuffle."""
+    exact without a full-state null-safe shuffle.
+
+    `no_null_keys=True` (for callers whose keys provably can't be NULL —
+    the md5 row fingerprints of DISTINCT and the set operators) skips
+    that NULL branch: the Union it creates reports UnknownPartitioning,
+    which makes the downstream keyed join re-shuffle the WHOLE state and
+    silently defeats the bucketed scan this function exists to preserve."""
     from pyspark.sql import functions as F
 
-    nn = None
-    for k in keys:
-        c = F.col(k).isNotNull()
-        nn = c if nn is None else (nn & c)
     cond = None
     for k in keys:
         c = F.col(f"s.{k}") == F.col(f"p.{k}")
         cond = c if cond is None else (cond & c)
+    if no_null_keys:
+        active = prev.alias("s").join(probe_keys.alias("p"), cond, "left_semi")
+        untouched = prev.alias("s").join(
+            probe_keys.alias("p"), cond, "left_anti"
+        )
+        return active, untouched
+    nn = None
+    for k in keys:
+        c = F.col(k).isNotNull()
+        nn = c if nn is None else (nn & c)
     state_nn = prev.filter(nn)
     state_null = prev.filter(~nn)
     active = state_nn.alias("s").join(

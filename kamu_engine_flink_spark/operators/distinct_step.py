@@ -213,7 +213,8 @@ def _changelog_distinct(ctx: StepContext, sql: str, src: str, wm) -> StepResult:
     prev = ctx.state.load_df(state_name, schema=state_schema)
     if state_split_worthwhile(ctx, state_name, src):
         active, untouched = split_touched_state(
-            prev, ["fp"], delta.select(F.col("__fp").alias("fp"))
+            prev, ["fp"], delta.select(F.col("__fp").alias("fp")),
+            no_null_keys=True,  # fp is md5(...), never NULL
         )
     else:
         active, untouched = prev, prev.limit(0)

@@ -1,0 +1,232 @@
+"""Stateful cross-invocation set operations: UNION (distinct),
+INTERSECT [ALL], EXCEPT [ALL] / MINUS.
+
+Flink SQL supports all four set operators in streaming mode (reference
+surface via planner delegation, TransformEngine.scala:252-262): the
+planner keeps per-value state so `A INTERSECT B` pairs values across the
+streams' FULL histories, not per micro-batch. Running these as stateless
+MAP would pair only same-invocation rows — silently slice-dependent — so
+classification routes any top-level non-UNION-ALL set operator here
+(UNION ALL is genuinely stateless and stays MAP).
+
+State: one relation per step, (fp, value columns, cnt_0..cnt_{k-1}) —
+the per-branch arrival counts of every distinct tuple, keyed and
+BUCKETED by the injective row fingerprint (the same fingerprint as
+DISTINCT, distinct_step._row_fingerprint), so the per-invocation merge
+joins without a state-side exchange. Counts only grow (branches must be
+append-only; updating aliases reject loudly), and the live multiplicity
+of a tuple is a pure function of its counts:
+
+    UNION          live = 1 if sum_i cnt_i > 0          (never falls)
+    INTERSECT      live = 1 if min_i cnt_i > 0          (never falls)
+    INTERSECT ALL  live = min_i cnt_i                   (never falls)
+    EXCEPT         live = 1 if cnt_0 > 0 and sum_{i>0} cnt_i = 0
+    EXCEPT ALL     live = max(0, cnt_0 - sum_{i>0} cnt_i)
+
+A left-associative chain of one operator folds into these n-ary forms
+((A EXCEPT B) EXCEPT C = A EXCEPT (B UNION ALL C), etc.), so any number
+of branches of a single operator is supported; mixed operators reject
+with the decomposition. Each invocation emits the live-multiplicity
+DELTA: op-0 inserts where it rose, op-1 retractions where it fell — only
+EXCEPT [ALL] can fall, so UNION / INTERSECT [ALL] emit plain append
+rows with no op column (their outputs chain as append streams), while
+EXCEPT [ALL] emits an op-tagged changelog.
+
+Scale shape: per invocation one union of the branch slices, one
+fingerprint groupBy (partial+final, single shuffle), one bucketed
+full-outer merge against touched state, one state rewrite. State is
+O(distinct tuples seen) — the inherent cost of streaming set ops; Flink
+holds the same in RocksDB.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import reduce
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, LongType, StringType, StructField, StructType
+
+from ..plans import classify as C
+from ..plans.dialect import rewrite_query
+from ..protocol.model import InvalidQueryError
+from .base import StepContext, StepResult, min_watermark
+from .distinct_step import _row_fingerprint
+from .map_step import SEQ_INPUT
+from .topn import OP_COL
+
+
+def _live_expr(op: str, all_flag: bool, cnt_exprs: list):
+    """Live multiplicity of a tuple as a Column over its branch-count
+    expressions (Columns, NULL-safe here)."""
+    cnts = [F.coalesce(c, F.lit(0)) for c in cnt_exprs]
+    if op == "UNION":
+        total = reduce(lambda a, b: a + b, cnts)
+        return F.when(total > 0, F.lit(1)).otherwise(F.lit(0))
+    if op == "INTERSECT":
+        m = reduce(lambda a, b: F.least(a, b), cnts)
+        return m if all_flag else F.when(m > 0, F.lit(1)).otherwise(F.lit(0))
+    # EXCEPT / MINUS
+    rest = reduce(lambda a, b: a + b, cnts[1:])
+    if all_flag:
+        return F.greatest(cnts[0] - rest, F.lit(0))
+    return F.when((cnts[0] > 0) & (rest == 0), F.lit(1)).otherwise(F.lit(0))
+
+
+def execute_setop(ctx: StepContext, sql: str) -> StepResult:
+    spec = C.parse_setop(sql, set(ctx.views))
+    if spec is None:  # pragma: no cover — routing guarantees a match
+        raise InvalidQueryError("not a set-operation step")
+    op, all_flag, branches = spec
+
+    known = set(ctx.views)
+    branch_dfs, wms = [], []
+    for i, branch_sql in enumerate(branches):
+        b = branch_sql.strip()
+        while b.startswith("(") and b.endswith(")"):
+            b = b[1:-1].strip()
+        if C.classify(b, known) != C.MAP or re.search(
+            r"\b(GROUP\s+BY|JOIN|DISTINCT)\b", C.mask_sql(b, parens=True),
+            re.IGNORECASE,
+        ):
+            # classify() alone is not enough: GROUP BY without an
+            # aggregate call is DISTINCT-shaped and classifies MAP, but
+            # evaluated per slice it is just as slice-dependent.
+            raise InvalidQueryError(
+                "set-operation branches must be plain projections; put "
+                "the stateful operator in its own aliased step and "
+                "reference its alias in the branch"
+            )
+        refs = C.referenced_views(b, known)
+        for r in refs:
+            if OP_COL in ctx.views[r].columns:
+                raise InvalidQueryError(
+                    "set operations over an updating (changelog-emitting) "
+                    "alias are not supported; materialize the branch as "
+                    "an append stream first"
+                )
+        wms.extend(ctx.new_wms.get(r) for r in refs)
+        bdf = ctx.spark.sql(rewrite_query(b, watermark=min_watermark(
+            *[ctx.new_wms.get(r) for r in refs]
+        ) if refs else None))
+        if SEQ_INPUT in bdf.columns:
+            bdf = bdf.drop(SEQ_INPUT)
+        branch_dfs.append(bdf)
+    wm = min_watermark(*wms)
+
+    names = branch_dfs[0].columns
+    for i, bdf in enumerate(branch_dfs[1:], start=1):
+        if len(bdf.columns) != len(names):
+            raise InvalidQueryError(
+                f"set-operation branches select {len(names)} vs "
+                f"{len(bdf.columns)} columns"
+            )
+    # Positional rename to branch 0's names, then a positional union so
+    # Spark's coercion rules align the value types ONCE — the fingerprint
+    # must hash identical values identically across branches.
+    k = len(branch_dfs)
+    tagged = reduce(
+        lambda a, b: a.union(b),
+        [
+            bdf.toDF(*names).select(
+                F.lit(i).cast("int").alias("__branch"), *names
+            )
+            for i, bdf in enumerate(branch_dfs)
+        ],
+    )
+    value_cols = names
+    cnt_cols = [f"cnt_{i}" for i in range(k)]
+    with_fp = tagged.withColumn(
+        "__fp", _row_fingerprint(tagged, value_cols)
+    )
+    delta = ctx.pin(
+        with_fp.groupBy("__fp").agg(
+            *[F.first(c).alias(c) for c in value_cols],
+            *[
+                F.sum(F.when(F.col("__branch") == i, 1).otherwise(0))
+                .cast(LongType())
+                .alias(cnt_cols[i])
+                for i in range(k)
+            ],
+        )
+    )
+
+    state_name = f"{ctx.step_key}-setop-cnt"
+    state_schema = StructType(
+        [StructField("fp", StringType())]
+        + [StructField(c, delta.schema[c].dataType) for c in value_cols]
+        + [StructField(c, LongType()) for c in cnt_cols]
+    )
+    from .base import split_touched_state, state_split_worthwhile
+
+    prev = ctx.state.load_df(state_name, schema=state_schema)
+    if state_split_worthwhile(ctx, state_name, None):
+        active, untouched = split_touched_state(
+            prev, ["fp"], delta.select(F.col("__fp").alias("fp")),
+            no_null_keys=True,  # fp is md5(...), never NULL
+        )
+    else:
+        active, untouched = prev, prev.limit(0)
+
+    joined = active.alias("s").join(
+        delta.alias("d"), F.col("s.fp") == F.col("d.__fp"), "full_outer"
+    )
+    old_cnts = [F.coalesce(F.col(f"s.{c}"), F.lit(0)) for c in cnt_cols]
+    new_cnts = [
+        o + F.coalesce(F.col(f"d.{c}"), F.lit(0))
+        for o, c in zip(old_cnts, cnt_cols)
+    ]
+    # new_live reads the merged counts; old_live reads the state side of
+    # the SAME joined frame (both are pure functions of their counts).
+    merged = ctx.pin(
+        joined.select(
+            F.coalesce(F.col("d.__fp"), F.col("s.fp")).alias("fp"),
+            *[
+                F.when(F.col("d.__fp").isNull(), F.col(f"s.{c}"))
+                .otherwise(F.col(f"d.{c}"))
+                .alias(c)
+                for c in value_cols
+            ],
+            *[n.alias(c) for n, c in zip(new_cnts, cnt_cols)],
+            _live_expr(op, all_flag, new_cnts).alias("__new_live"),
+            _live_expr(
+                op, all_flag, [F.col(f"s.{c}") for c in cnt_cols]
+            ).alias("__old_live"),
+        )
+    )
+
+    rises = merged.filter(F.col("__new_live") > F.col("__old_live"))
+    falls = merged.filter(F.col("__new_live") < F.col("__old_live"))
+    retracts = op in ("EXCEPT", "MINUS")
+
+    def _emit(dfp, opv: int, n_expr):
+        out = dfp.withColumn(
+            "__copies", F.explode(F.sequence(F.lit(1), n_expr))
+        ).select(
+            *value_cols,
+            F.lit(opv).cast(IntegerType()).alias(OP_COL),
+            F.col("fp").alias("__fp"),
+        )
+        return out
+
+    result = _emit(
+        rises, 0, F.col("__new_live") - F.col("__old_live")
+    ).unionByName(
+        _emit(falls, 1, F.col("__old_live") - F.col("__new_live"))
+    )
+    if not retracts:
+        # UNION / INTERSECT [ALL] live counts never fall (counts only
+        # grow and the formulas are monotone) — the output is an append
+        # stream, no changelog column.
+        result = result.drop(OP_COL)
+
+    ctx.state.save_df(
+        state_name,
+        untouched.unionByName(merged.select("fp", *value_cols, *cnt_cols)),
+        bucket_by=["fp"],
+    )
+    return StepResult(
+        df=result,
+        watermark=wm,
+        order_cols=["__fp", OP_COL] if retracts else ["__fp"],
+    )

@@ -31,6 +31,7 @@ TOPN = "topn"
 OVER_AGG = "over_agg"
 MATCH_RECOGNIZE = "match_recognize"
 WINDOW_JOIN = "window_join"
+SETOP = "setop"
 
 _TUMBLE_RE = re.compile(
     r"TUMBLE\s*\(\s*([`\w.]+)\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*\)", re.IGNORECASE
@@ -1034,6 +1035,51 @@ _OVER_AGG_REJECT_RE = re.compile(
 )
 
 
+_SETOP_RE = re.compile(
+    r"\b(UNION|INTERSECT|EXCEPT|MINUS)\b(\s+ALL\b)?\s*(?=SELECT\b|\()",
+    re.IGNORECASE,
+)
+
+
+def parse_setop(sql: str, known_views: set[str]):
+    """Top-level set-operator split: (op, all_flag, [branch_sqls]) or
+    None. UNION ALL chains return None — they are genuinely stateless
+    (each slice's rows pass through once) and stay on the MAP path with
+    its changelog-union machinery. Everything else (UNION distinct,
+    INTERSECT [ALL], EXCEPT [ALL] / MINUS) needs per-value state across
+    invocations. Scans the parens-masked text so subquery set ops don't
+    match; branch boundaries transfer back to the original string."""
+    masked = mask_sql(sql, parens=True)
+    found = [
+        (m.group(1).upper(), bool(m.group(2)), m.start(), m.end())
+        for m in _SETOP_RE.finditer(masked)
+    ]
+    if not found:
+        return None
+    stateful = [
+        (op, allf) for (op, allf, _, _) in found if not (op == "UNION" and allf)
+    ]
+    if not stateful:
+        return None  # pure UNION ALL chain
+    kinds = {("EXCEPT" if op == "MINUS" else op, allf) for op, allf in stateful}
+    if len(kinds) > 1 or len(stateful) != len(found):
+        raise InvalidQueryError(
+            "mixed set operators in one step are not supported: chain "
+            "one operator per aliased step"
+        )
+    (op, allf), = kinds
+    if re.search(r"\b(ORDER\s+BY|LIMIT)\b", masked, re.IGNORECASE):
+        raise InvalidQueryError(
+            "ORDER BY / LIMIT on a set-operation step is not supported"
+        )
+    branches, pos = [], 0
+    for (_, _, s, e) in found:
+        branches.append(sql[pos:s])
+        pos = e
+    branches.append(sql[pos:])
+    return ("EXCEPT" if op == "MINUS" else op, allf, branches)
+
+
 def classify(sql: str, known_views: set[str]) -> str:
     if re.search(r"\bUNNEST\s*\(", sql, re.IGNORECASE):
         # Normalize array-expanding UNNEST joins to their LATERAL VIEW
@@ -1061,6 +1107,11 @@ def classify(sql: str, known_views: set[str]) -> str:
         return MAP
     if re.search(r"\bMATCH_RECOGNIZE\b", sql, re.IGNORECASE):
         return MATCH_RECOGNIZE
+    # Top-level non-UNION-ALL set operators need per-value state across
+    # invocations (Flink keeps it in the planner's set-op operators);
+    # stateless MAP would pair only same-invocation rows.
+    if parse_setop(sql, known_views) is not None:
+        return SETOP
     if len(_WINDOW_TVF_RE.findall(sql)) >= 2 and re.search(
         r"\bJOIN\b", sql, re.IGNORECASE
     ):

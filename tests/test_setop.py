@@ -1,0 +1,273 @@
+"""Stateful cross-invocation set operations (operators/setop_step.py).
+
+Flink SQL supports UNION / INTERSECT [ALL] / EXCEPT [ALL] in streaming
+mode (reference surface via planner delegation,
+TransformEngine.scala:252-262); per-slice evaluation would pair only
+same-invocation rows. These tests pin the cross-invocation semantics:
+a value arriving on one side in invocation 1 and the other side in
+invocation 2 must pair; EXCEPT must retract when the subtrahend arrives
+later."""
+
+from __future__ import annotations
+
+import pytest
+
+from kamu_engine_flink_spark.plans.classify import SETOP, classify, parse_setop
+from kamu_engine_flink_spark.protocol.model import InvalidQueryError
+
+from .helpers import TransformRunner, ticker_slice, ts
+
+
+def _two_input_runner(spark, tmp_path, setop_sql, final_cols="symbol"):
+    return TransformRunner(
+        spark,
+        str(tmp_path),
+        [
+            (setop_sql, "sv"),
+            (
+                "SELECT cast(now() as timestamp(3)) as event_time, "
+                f"{final_cols} FROM sv",
+                None,
+            ),
+        ],
+    )
+
+
+def _slices(tmp_path, name, rows):
+    path = str(tmp_path / "in" / f"{name}.parquet")
+    ticker_slice(path, rows)
+    return path
+
+
+def _run(runner, tmp_path, inv, a_rows, b_rows, st):
+    a = _slices(tmp_path, f"a{inv}", a_rows)
+    b = _slices(tmp_path, f"b{inv}", b_rows)
+    wm_a = max(r[3] for r in a_rows) if a_rows else None
+    wm_b = max(r[3] for r in b_rows) if b_rows else None
+    _, out = runner.run(
+        [
+            {"alias": "a", "schema_file": a, "data_paths": [a] if a_rows else [],
+             "watermark": wm_a},
+            {"alias": "b", "schema_file": b, "data_paths": [b] if b_rows else [],
+             "watermark": wm_b},
+        ],
+        system_time=st,
+    )
+    return out
+
+
+def _read(spark, out):
+    import os
+
+    if not os.path.exists(out):
+        return []
+    return sorted(
+        (r.op, r.symbol) for r in spark.read.parquet(out).collect()
+    )
+
+
+def test_classification():
+    views = {"a", "b"}
+    assert classify("SELECT x FROM a INTERSECT SELECT x FROM b", views) == SETOP
+    assert classify("SELECT x FROM a EXCEPT ALL SELECT x FROM b", views) == SETOP
+    assert classify("SELECT x FROM a MINUS SELECT x FROM b", views) == SETOP
+    assert classify("SELECT x FROM a UNION SELECT x FROM b", views) == SETOP
+    assert classify("SELECT x FROM a UNION ALL SELECT x FROM b", views) == "map"
+    op, allf, branches = parse_setop(
+        "SELECT x FROM a EXCEPT ALL SELECT x FROM b EXCEPT ALL SELECT x FROM c",
+        views,
+    )
+    assert (op, allf, len(branches)) == ("EXCEPT", True, 3)
+    with pytest.raises(InvalidQueryError, match="mixed"):
+        parse_setop(
+            "SELECT x FROM a UNION SELECT x FROM b INTERSECT SELECT x FROM c",
+            views,
+        )
+    with pytest.raises(InvalidQueryError, match="ORDER BY"):
+        parse_setop(
+            "SELECT x FROM a INTERSECT SELECT x FROM b ORDER BY x", views
+        )
+
+
+def test_intersect_pairs_across_invocations(spark, tmp_path):
+    runner = _two_input_runner(
+        spark, tmp_path, "SELECT symbol FROM a INTERSECT SELECT symbol FROM b"
+    )
+    out1 = _run(
+        runner, tmp_path, 1,
+        [(0, 0, ts(1), ts(1, 1), "A", 1.0), (1, 0, ts(1), ts(1, 2), "B", 1.0)],
+        [(0, 0, ts(1), ts(1, 1), "B", 1.0)],
+        st=ts(2),
+    )
+    assert _read(spark, out1) == [(0, "B")]
+    # A arrived on `a` in invocation 1 and on `b` in invocation 2: the
+    # stateful intersect pairs them; per-slice evaluation would miss it.
+    out2 = _run(
+        runner, tmp_path, 2,
+        [(2, 0, ts(3), ts(3, 1), "C", 1.0)],
+        [(1, 0, ts(3), ts(3, 1), "A", 1.0)],
+        st=ts(4),
+    )
+    assert _read(spark, out2) == [(0, "A")]
+    # Re-arrivals of already-live values emit nothing (distinct variant).
+    out3 = _run(
+        runner, tmp_path, 3,
+        [(3, 0, ts(5), ts(5, 1), "A", 1.0)],
+        [(2, 0, ts(5), ts(5, 1), "B", 1.0)],
+        st=ts(6),
+    )
+    assert _read(spark, out3) == []
+
+
+def test_except_retracts_on_late_subtrahend(spark, tmp_path):
+    runner = _two_input_runner(
+        spark, tmp_path, "SELECT symbol FROM a EXCEPT SELECT symbol FROM b"
+    )
+    out1 = _run(
+        runner, tmp_path, 1,
+        [(0, 0, ts(1), ts(1, 1), "A", 1.0), (1, 0, ts(1), ts(1, 2), "B", 1.0)],
+        [],
+        st=ts(2),
+    )
+    assert _read(spark, out1) == [(0, "A"), (0, "B")]
+    # B arrives on the subtrahend later: its earlier emission retracts.
+    out2 = _run(
+        runner, tmp_path, 2,
+        [],
+        [(0, 0, ts(3), ts(3, 1), "B", 1.0)],
+        st=ts(4),
+    )
+    assert _read(spark, out2) == [(1, "B")]
+    # A value already dead on arrival (b first) never emits.
+    out3 = _run(
+        runner, tmp_path, 3,
+        [(2, 0, ts(5), ts(5, 1), "B", 1.0)],
+        [],
+        st=ts(6),
+    )
+    assert _read(spark, out3) == []
+
+
+def test_except_all_multiplicities(spark, tmp_path):
+    runner = _two_input_runner(
+        spark, tmp_path, "SELECT symbol FROM a EXCEPT ALL SELECT symbol FROM b"
+    )
+    # a: A x3; b: A x1 -> live multiplicity 2 -> two op-0 copies.
+    out1 = _run(
+        runner, tmp_path, 1,
+        [
+            (0, 0, ts(1), ts(1, 1), "A", 1.0),
+            (1, 0, ts(1), ts(1, 2), "A", 1.0),
+            (2, 0, ts(1), ts(1, 3), "A", 1.0),
+        ],
+        [(0, 0, ts(1), ts(1, 1), "A", 1.0)],
+        st=ts(2),
+    )
+    assert _read(spark, out1) == [(0, "A"), (0, "A")]
+    # b: A x1 more -> multiplicity 2 -> 1: one retraction.
+    out2 = _run(
+        runner, tmp_path, 2,
+        [],
+        [(1, 0, ts(3), ts(3, 1), "A", 1.0)],
+        st=ts(4),
+    )
+    assert _read(spark, out2) == [(1, "A")]
+
+
+def test_intersect_all_min_counts(spark, tmp_path):
+    runner = _two_input_runner(
+        spark, tmp_path,
+        "SELECT symbol FROM a INTERSECT ALL SELECT symbol FROM b",
+    )
+    # a: A x2; b: A x1 -> min = 1 copy.
+    out1 = _run(
+        runner, tmp_path, 1,
+        [(0, 0, ts(1), ts(1, 1), "A", 1.0), (1, 0, ts(1), ts(1, 2), "A", 1.0)],
+        [(0, 0, ts(1), ts(1, 1), "A", 1.0)],
+        st=ts(2),
+    )
+    assert _read(spark, out1) == [(0, "A")]
+    # b: A x2 more -> min(2, 3) = 2 -> one more copy.
+    out2 = _run(
+        runner, tmp_path, 2,
+        [],
+        [(1, 0, ts(3), ts(3, 1), "A", 1.0), (2, 0, ts(3), ts(3, 2), "A", 1.0)],
+        st=ts(4),
+    )
+    assert _read(spark, out2) == [(0, "A")]
+
+
+def test_union_distinct_across_branches_and_invocations(spark, tmp_path):
+    runner = _two_input_runner(
+        spark, tmp_path, "SELECT symbol FROM a UNION SELECT symbol FROM b"
+    )
+    out1 = _run(
+        runner, tmp_path, 1,
+        [(0, 0, ts(1), ts(1, 1), "A", 1.0)],
+        [(0, 0, ts(1), ts(1, 1), "A", 1.0), (1, 0, ts(1), ts(1, 2), "B", 1.0)],
+        st=ts(2),
+    )
+    assert _read(spark, out1) == [(0, "A"), (0, "B")]
+    # Values seen in ANY earlier invocation (on either side) suppress.
+    out2 = _run(
+        runner, tmp_path, 2,
+        [(1, 0, ts(3), ts(3, 1), "B", 1.0), (2, 0, ts(3), ts(3, 2), "C", 1.0)],
+        [],
+        st=ts(4),
+    )
+    assert _read(spark, out2) == [(0, "C")]
+
+
+def test_except_fold_to_batch_law(spark, tmp_path):
+    """Folding the op-0/op-1 changelog across 2 invocations equals the
+    one-shot batch EXCEPT of the full inputs."""
+    import random
+
+    rng = random.Random(7)
+    a_rows = [(i, 0, ts(1), ts(1, i % 23 + 1 if False else 1, i % 59),
+               f"S{rng.randrange(12)}", 1.0) for i in range(40)]
+    b_rows = [(i, 0, ts(1), ts(1, 1, i % 59),
+               f"S{rng.randrange(12)}", 1.0) for i in range(25)]
+    cut_a, cut_b = 24, 11
+    runner = _two_input_runner(
+        spark, tmp_path, "SELECT symbol FROM a EXCEPT SELECT symbol FROM b"
+    )
+    folded: dict[str, int] = {}
+    for inv, (asl, bsl) in enumerate(
+        [(a_rows[:cut_a], b_rows[:cut_b]), (a_rows[cut_a:], b_rows[cut_b:])]
+    ):
+        asl = [(o,) + r[1:] for o, r in enumerate(asl)] if inv else asl
+        out = _run(runner, tmp_path, inv + 1, asl, bsl, st=ts(2 + inv))
+        for op, sym in _read(spark, out):
+            folded[sym] = folded.get(sym, 0) + (1 if op == 0 else -1)
+    live = sorted(s for s, n in folded.items() if n > 0)
+    assert all(n in (0, 1) for n in folded.values())
+    a_syms = {r[4] for r in a_rows}
+    b_syms = {r[4] for r in b_rows}
+    assert live == sorted(a_syms - b_syms)
+
+
+def test_setop_rejects(spark, tmp_path):
+    # A stateful branch (aggregation) must not silently run per-slice.
+    runner = TransformRunner(
+        spark,
+        str(tmp_path),
+        [
+            (
+                "SELECT symbol FROM a GROUP BY symbol "
+                "INTERSECT SELECT symbol FROM b",
+                "sv",
+            ),
+            ("SELECT cast(now() as timestamp(3)) as event_time, symbol FROM sv", None),
+        ],
+    )
+    a = _slices(tmp_path, "ra", [(0, 0, ts(1), ts(1, 1), "A", 1.0)])
+    b = _slices(tmp_path, "rb", [(0, 0, ts(1), ts(1, 1), "A", 1.0)])
+    with pytest.raises(InvalidQueryError):
+        runner.run(
+            [
+                {"alias": "a", "schema_file": a, "data_paths": [a], "watermark": ts(1, 1)},
+                {"alias": "b", "schema_file": b, "data_paths": [b], "watermark": ts(1, 1)},
+            ],
+            system_time=ts(2),
+        )
