@@ -1780,3 +1780,105 @@ class StreamingMatchRecognize:
 
     def run_available_now(self, spark: SparkSession) -> None:
         _run_available_now(self._plan(spark), self.checkpoint_dir, self.output_dir)
+
+
+_SETOP_OUTPUT = StructType(
+    [
+        StructField("op", IntegerType()),
+        StructField("value", DoubleType()),
+    ]
+)
+_SETOP_STATE = StructType(
+    [
+        StructField("cnt_l", LongType()),
+        StructField("cnt_r", LongType()),
+    ]
+)
+
+
+def _setop_fn(op: str, all_flag: bool):
+    """Per-value set-operation kernel — the streaming twin of
+    operators/setop_step.py: state is the value's per-branch arrival
+    counts; live multiplicity is the same pure function of the counts
+    (UNION: any>0, INTERSECT [ALL]: min, EXCEPT [ALL]: left minus right,
+    clamped), and each micro-batch emits the live-multiplicity delta as
+    op-0 inserts / op-1 retractions. Inputs are append-only (counts only
+    grow), so only EXCEPT [ALL] ever emits op-1 — the same monotonicity
+    as the micro-batch executor."""
+
+    def live(l: int, r: int) -> int:
+        if op == "UNION":
+            return 1 if (l + r) > 0 else 0
+        if op == "INTERSECT":
+            m = min(l, r)
+            return m if all_flag else (1 if m > 0 else 0)
+        diff = l - r
+        if all_flag:
+            return max(0, diff)
+        return 1 if (l > 0 and r == 0) else 0
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        cl, cr = state.get if state.exists else (0, 0)
+        dl = dr = 0
+        for pdf in pdfs:
+            for side in pdf["__side"]:
+                if side == 0:
+                    dl += 1
+                else:
+                    dr += 1
+        if dl == 0 and dr == 0:
+            return
+        old = live(cl, cr)
+        cl, cr = cl + dl, cr + dr
+        new = live(cl, cr)
+        state.update((cl, cr))
+        if new != old:
+            opv, n = (0, new - old) if new > old else (1, old - new)
+            yield pd.DataFrame({"op": [opv] * n, "value": [key[0]] * n})
+
+    return fn
+
+
+@dataclass
+class StreamingSetOp:
+    """Always-on streaming set operation (UNION / INTERSECT [ALL] /
+    EXCEPT [ALL]) over two append-only file streams — the streaming twin
+    of operators/setop_step.py. Per-value branch counts ride the stream
+    checkpoint, so a left value published in run 1 retracts (op 1) when
+    its right twin arrives in a later run under EXCEPT, and pairs under
+    INTERSECT. State shards by value across executors; a micro-batch
+    touches only its own values' counts — the same touched-keys contract
+    as the micro-batch executor's bucketed fingerprint state."""
+
+    left_dir: str
+    right_dir: str
+    checkpoint_dir: str
+    output_dir: str
+    op: str = "EXCEPT"
+    all_flag: bool = False
+    value_col: str = "value"
+    left_schema: StructType | None = None
+    right_schema: StructType | None = None
+
+    def _plan(self, spark: SparkSession) -> DataFrame:
+        def side(input_dir, schema, tag):
+            return _file_stream(spark, input_dir, schema).select(
+                F.lit(tag).cast("int").alias("__side"),
+                F.col(self.value_col).cast("double").alias("__val"),
+            )
+
+        rows = side(self.left_dir, self.left_schema, 0).unionByName(
+            side(self.right_dir, self.right_schema, 1)
+        )
+        return rows.groupBy("__val").applyInPandasWithState(
+            _setop_fn(self.op.upper(), self.all_flag),
+            outputStructType=_SETOP_OUTPUT,
+            stateStructType=_SETOP_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    def run_available_now(self, spark: SparkSession) -> None:
+        _run_available_now(self._plan(spark), self.checkpoint_dir, self.output_dir)

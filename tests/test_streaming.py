@@ -1185,3 +1185,93 @@ def test_streaming_changelog_probe_asof_cross_run_pair_repair(spark, asof_dirs):
         (0, "A", ts(6), 99.0, 9.0),
         (1, "A", ts(2), 10.0, 2.0),
     ]
+
+
+def _val_slice(path, values):
+    pq.write_table(
+        pa.table({"value": pa.array(list(values), pa.float64())}),
+        path,
+        compression="snappy",
+    )
+
+
+def test_streaming_setop_except_cross_run_retraction(spark, tmp_path):
+    """Streaming EXCEPT twin (operators/setop_step.py batch executor):
+    a left value emitted in run 1 RETRACTS (op 1) when its right twin
+    arrives in run 2 — per-value branch counts restored from the stream
+    checkpoint."""
+    from collections import Counter
+
+    from kamu_engine_flink_spark.streaming.structured import StreamingSetOp
+
+    d = {k: str(tmp_path / k) for k in ["left", "right", "chk", "out"]}
+    os.makedirs(d["left"]); os.makedirs(d["right"])
+    job = StreamingSetOp(
+        left_dir=d["left"], right_dir=d["right"],
+        checkpoint_dir=d["chk"], output_dir=d["out"], op="EXCEPT",
+    )
+
+    def _read():
+        try:
+            rows = spark.read.parquet(d["out"]).collect()
+        except Exception:
+            return []
+        return sorted((r.op, r.value) for r in rows)
+
+    _val_slice(os.path.join(d["left"], "s1.parquet"), [1.0, 2.0])
+    _val_slice(os.path.join(d["right"], "s1.parquet"), [])
+    job.run_available_now(spark)
+    out1 = _read()
+    assert out1 == [(0, 1.0), (0, 2.0)]
+
+    # Run 2: 2.0 arrives on the right -> retraction; a fresh 3.0 enters.
+    _val_slice(os.path.join(d["left"], "s2.parquet"), [3.0])
+    _val_slice(os.path.join(d["right"], "s2.parquet"), [2.0])
+    job.run_available_now(spark)
+    delta = Counter(_read()) - Counter(out1)
+    assert dict(delta) == {(1, 2.0): 1, (0, 3.0): 1}
+
+    # Run 3: 2.0 re-arrives on the left — already dead, stays silent.
+    _val_slice(os.path.join(d["left"], "s3.parquet"), [2.0])
+    _val_slice(os.path.join(d["right"], "s3.parquet"), [])
+    prev = _read()
+    job.run_available_now(spark)
+    assert _read() == prev
+
+
+def test_streaming_setop_intersect_all_cross_run(spark, tmp_path):
+    """Streaming INTERSECT ALL twin: live multiplicity is min(left,
+    right) counts; a later right arrival raises the min and emits one
+    more copy."""
+    from collections import Counter
+
+    from kamu_engine_flink_spark.streaming.structured import StreamingSetOp
+
+    d = {k: str(tmp_path / k) for k in ["left", "right", "chk", "out"]}
+    os.makedirs(d["left"]); os.makedirs(d["right"])
+    job = StreamingSetOp(
+        left_dir=d["left"], right_dir=d["right"],
+        checkpoint_dir=d["chk"], output_dir=d["out"],
+        op="INTERSECT", all_flag=True,
+    )
+
+    def _read():
+        try:
+            rows = spark.read.parquet(d["out"]).collect()
+        except Exception:
+            return []
+        return sorted((r.op, r.value) for r in rows)
+
+    # left: 5.0 x2; right: 5.0 x1 -> min 1 -> one copy.
+    _val_slice(os.path.join(d["left"], "s1.parquet"), [5.0, 5.0])
+    _val_slice(os.path.join(d["right"], "s1.parquet"), [5.0])
+    job.run_available_now(spark)
+    out1 = _read()
+    assert out1 == [(0, 5.0)]
+
+    # right: 5.0 x2 more -> min(2, 3) = 2 -> exactly one more copy.
+    _val_slice(os.path.join(d["left"], "s2.parquet"), [])
+    _val_slice(os.path.join(d["right"], "s2.parquet"), [5.0, 5.0])
+    job.run_available_now(spark)
+    delta = Counter(_read()) - Counter(out1)
+    assert dict(delta) == {(0, 5.0): 1}
