@@ -87,6 +87,16 @@ def _row_fingerprint(df, value_cols):
 
 
 def execute_distinct(ctx: StepContext, sql: str) -> StepResult:
+    if not _DISTINCT_HEAD_RE.match(sql):
+        # GROUP BY without aggregates routed here by classify(): same
+        # stateful distinct semantics, normalized to the SELECT DISTINCT
+        # spelling this executor parses.
+        from ..plans.classify import group_by_distinct_sql
+
+        normalized = group_by_distinct_sql(sql)
+        if normalized is None:  # pragma: no cover — routing guarantees
+            raise ValueError("unroutable DISTINCT spelling")
+        sql = normalized
     refs = referenced_views(sql, set(ctx.views))
     wm = min_watermark(*[ctx.new_wms.get(r) for r in refs]) if refs else None
 

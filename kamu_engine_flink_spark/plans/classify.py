@@ -1238,7 +1238,78 @@ def classify(sql: str, known_views: set[str]) -> str:
         and not re.search(r"\b(join|group\s+by|union)\b", sql, re.IGNORECASE)
     ):
         return DISTINCT
+    # GROUP BY with NO aggregate calls is DISTINCT in disguise (Flink's
+    # planner gives it the same stateful distinct semantics); stateless
+    # MAP would re-emit a group seen in an earlier invocation. When the
+    # select list is exactly the group keys, route to the DISTINCT
+    # executor (which normalizes the spelling); any other windowless
+    # no-aggregate GROUP BY shape rejects loudly rather than silently
+    # running per slice.
+    if (
+        select_count(sql) == 1
+        and not _AGG_CALL_RE.search(sql)
+        and not re.search(
+            r"\b(join|union|over|having)\b", mask_sql(sql, parens=True),
+            re.IGNORECASE,
+        )
+        and len(referenced_views(sql, known_views)) >= 1
+    ):
+        gb = _GROUP_BY_RE.search(mask_sql(sql, parens=True))
+        if gb:
+            if group_by_distinct_sql(sql) is not None:
+                return DISTINCT
+            raise InvalidQueryError(
+                "GROUP BY without aggregates is stateful DISTINCT; only "
+                "the plain-column form whose select list equals the "
+                "group keys is supported (spell other shapes as SELECT "
+                "DISTINCT over a projection step)"
+            )
     return MAP
+
+
+def group_by_distinct_sql(sql: str) -> str | None:
+    """`SELECT k1, k2 FROM v [WHERE ..] GROUP BY k1, k2` (plain columns,
+    ordinals allowed, no aggregates) -> the equivalent
+    `SELECT DISTINCT k1, k2 FROM v [WHERE ..]`, or None when the shape
+    doesn't match (an expression select item, keys not covering the
+    select list, ...)."""
+    masked = mask_sql(sql, parens=True)
+    gb = _GROUP_BY_RE.search(masked)
+    if not gb:
+        return None
+    keys = [k.strip().strip("`").lower() for k in gb.group(1).split(",")]
+    m = re.match(r"^\s*select\s+(.*?)\s+from\b", masked, re.IGNORECASE | re.DOTALL)
+    if not m:
+        return None
+    items = [i.strip() for i in m.group(1).split(",")]
+    plain = re.compile(r"^[`\w]+$")
+    sel = []
+    for it in items:
+        if not plain.match(it):
+            return None
+        sel.append(it.strip("`").lower())
+    resolved = []
+    for k in keys:
+        if k.isdigit():
+            idx = int(k)
+            if not (1 <= idx <= len(sel)):
+                return None
+            resolved.append(sel[idx - 1])
+        elif plain.match(k):
+            resolved.append(k)
+        else:
+            return None
+    if set(resolved) != set(sel):
+        return None
+    # Strip the GROUP BY clause (positions transfer 1:1 from the mask)
+    # and inject DISTINCT.
+    gb_full = re.search(
+        r"\s*GROUP\s+BY\s+(?:[`\w]+\s*,\s*)*[`\w]+", masked, re.IGNORECASE
+    )
+    if not gb_full:
+        return None
+    out = sql[: gb_full.start()] + sql[gb_full.end() :]
+    return re.sub(r"^(\s*select\s+)", r"\1DISTINCT ", out, count=1, flags=re.IGNORECASE)
 
 
 def referenced_views(sql: str, known_views: set[str]) -> list[str]:

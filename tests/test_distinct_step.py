@@ -151,3 +151,49 @@ def test_distinct_suppresses_rows_seen_in_earlier_invocations(spark, tmp_path):
     )
     assert resp3.new_offset_interval is None
     assert not os.path.exists(out3)
+
+
+def test_group_by_without_aggregates_is_stateful_distinct(spark, tmp_path):
+    """`SELECT k FROM v GROUP BY k` is DISTINCT in disguise (Flink's
+    planner gives it the same stateful semantics): a group seen in an
+    earlier invocation must NOT re-emit — per-slice MAP evaluation would.
+    classify() routes it to the DISTINCT executor, which normalizes the
+    spelling (plans/classify.group_by_distinct_sql)."""
+    from .helpers import TransformRunner, ticker_slice, ts
+
+    runner = TransformRunner(
+        spark,
+        str(tmp_path),
+        [
+            ("SELECT symbol FROM tickers GROUP BY symbol", "g"),
+            (
+                "SELECT cast(now() as timestamp(3)) as event_time, symbol FROM g",
+                None,
+            ),
+        ],
+    )
+    s1 = str(tmp_path / "in" / "s1.parquet")
+    ticker_slice(s1, [
+        (0, 0, ts(1), ts(1, 1), "A", 1.0),
+        (1, 0, ts(1), ts(1, 2), "A", 2.0),
+        (2, 0, ts(1), ts(1, 3), "B", 3.0),
+    ])
+    _, out1 = runner.run(
+        [{"alias": "tickers", "schema_file": s1, "data_paths": [s1],
+          "watermark": ts(1, 3)}],
+        system_time=ts(2),
+    )
+    assert sorted(r.symbol for r in spark.read.parquet(out1).collect()) == ["A", "B"]
+
+    # Invocation 2: A re-arrives (suppressed), C is new.
+    s2 = str(tmp_path / "in" / "s2.parquet")
+    ticker_slice(s2, [
+        (3, 0, ts(3), ts(3, 1), "A", 4.0),
+        (4, 0, ts(3), ts(3, 2), "C", 5.0),
+    ])
+    _, out2 = runner.run(
+        [{"alias": "tickers", "schema_file": s2, "data_paths": [s2],
+          "watermark": ts(3, 2)}],
+        system_time=ts(4),
+    )
+    assert sorted(r.symbol for r in spark.read.parquet(out2).collect()) == ["C"]
