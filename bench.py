@@ -67,6 +67,8 @@ HEADLINE = [
     "bigram_lm_score_documents",
     "dedup_segments_documents",
     "over_agg_forward_window_events",
+    "setop_except_changelog_users",  # stateful streaming EXCEPT changelog
+    "odf_transform_unnest_tags",  # UNNEST -> LATERAL VIEW dialect path
 ]
 
 
@@ -234,6 +236,21 @@ FROM events GROUP BY user_id""",
 # Temporal (as-of) join over an updating build side: a continuous
 # per-user total versioned by its max(event_time) rowtime, probed by the
 # click stream (changelog-maintained versioned view).
+# Stateful streaming EXCEPT at scale: (user_id, value-bucket) tuples live
+# while seen on purchases and never on clicks; late clicks retract. One
+# union + one fingerprint groupBy + one bucketed full-outer state merge
+# per invocation.
+SETOP_EXCEPT_STEPS = [
+    (
+        "ev",
+        """SELECT user_id, cast(floor(value / 10) as bigint) AS vb
+FROM purchases EXCEPT SELECT user_id, cast(floor(value / 10) as bigint) AS vb FROM clicks""",
+    ),
+    (
+        None,
+        "SELECT cast(now() as timestamp(3)) as event_time, user_id, vb FROM ev",
+    ),
+]
 CHANGELOG_ASOF_STEPS = [
     (
         "rates",
@@ -739,6 +756,13 @@ def main() -> None:
             # watermark releases all in the measured time). PIN: <= 10.5 s
             # (round-8 measured 10.2 n=3 median, warm floor ~7.7).
             ("stress_changelog_asof_x10_3inv", CHANGELOG_ASOF_STEPS, join_invs),
+            # Stateful EXCEPT over the 10x purchase/click ledgers (state =
+            # per-tuple branch counts, bucketed by fingerprint; the merge
+            # plans no state-side exchange). PIN: <= 8.5 s full-session
+            # (round-9 idle-box introduction: cold 11.6, then 6.7, 6.5,
+            # 6.0 — warm median 6.5; pin allows the measured ~2 s
+            # aged-session overhead of the other stress entries).
+            ("stress_setop_except_x10_3inv", SETOP_EXCEPT_STEPS, join_invs),
         ):
             rep_seq = iter(range(SUBSEC_REPS))
             tts = (
