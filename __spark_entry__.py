@@ -3520,6 +3520,58 @@ def streaming_changelog_distinct_twin(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+def streaming_setop_except_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING under the driver oracle: the always-on EXCEPT
+    twin (streaming/structured.StreamingSetOp, applyInPandasWithState) as
+    two availableNow micro-batches with a checkpoint between them over
+    purchase/click cents values. Run 1 sees the even-offset halves; run 2
+    adds the odd halves — a left value whose right twin arrives only in
+    run 2 must RETRACT (op 1) off per-value branch counts restored from
+    the stream checkpoint. Oracle = the two cumulative difference sets
+    diffed. State shards by value — scales."""
+    import glob
+    import os
+    import tempfile
+
+    from kamu_engine_flink_spark.sinks.parquet import write_single_parquet
+    from kamu_engine_flink_spark.streaming.structured import StreamingSetOp
+
+    _conf(spark)
+    workdir = tempfile.mkdtemp(prefix="stream-setop-")
+    d = {k: os.path.join(workdir, k) for k in ("l", "r", "chk", "out")}
+    for k in ("l", "r"):
+        os.makedirs(d[k])
+    e = _t(spark, sf_dir, "events").select(
+        (F.col("event_id") % 2).cast("int").alias("inv"),
+        "event_type",
+        F.floor(F.col("value") * 100).cast("double").alias("value"),
+    )
+    p, c = e.filter("event_type = 'purchase'"), e.filter("event_type = 'click'")
+    job = StreamingSetOp(
+        left_dir=d["l"], right_dir=d["r"],
+        checkpoint_dir=d["chk"], output_dir=d["out"], op="EXCEPT",
+    )
+    write_single_parquet(p.filter("inv = 0").select("value"),
+                         os.path.join(d["l"], "b1.parquet"))
+    write_single_parquet(c.filter("inv = 0").select("value"),
+                         os.path.join(d["r"], "b1.parquet"))
+    job.run_available_now(spark)
+    files1 = set(glob.glob(os.path.join(d["out"], "*.parquet")))
+    write_single_parquet(p.filter("inv = 1").select("value"),
+                         os.path.join(d["l"], "b2.parquet"))
+    write_single_parquet(c.filter("inv = 1").select("value"),
+                         os.path.join(d["r"], "b2.parquet"))
+    job.run_available_now(spark)
+    files2 = set(glob.glob(os.path.join(d["out"], "*.parquet"))) - files1
+    run1 = spark.read.parquet(*sorted(files1))
+    run2 = spark.read.parquet(*sorted(files2))
+    return (
+        run1.withColumn("inv", F.lit(1).cast("int"))
+        .unionByName(run2.withColumn("inv", F.lit(2).cast("int")))
+        .select("inv", "op", "value")
+    )
+
+
 _SETOP_TUPLE = "user_id, cast(floor(cents / 1000) as bigint) AS vb"
 
 
@@ -3986,6 +4038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_changelog_distinct_twin": streaming_changelog_distinct_twin,
         "setop_intersect_user_values": setop_intersect_user_values,
         "setop_except_changelog_users": setop_except_changelog_users,
+        "streaming_setop_except_twin": streaming_setop_except_twin,
         # --- r05/r06-cohort tail, missed the round-8 cap: due now ---
         "dedup_minhash_documents": dedup_minhash_documents,
         "dedup_minhash_fast": dedup_minhash_fast,
@@ -4993,6 +5046,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT 2, 3, r2.key, r2.place, r2.val
             FROM r1 JOIN r2 ON r1.key = r2.key AND r1.place = r2.place
             WHERE r1.val <> r2.val
+        """,
+        "streaming_setop_except_twin": """
+            -- Streaming EXCEPT twin: run 1 = even-purchase cents minus
+            -- even-click cents (distinct values); run 2 = the diff of
+            -- the cumulative difference sets after both odd halves
+            -- arrive (op 0 = gained, op 1 = a late click killed it).
+            WITH e AS (
+                SELECT CAST(event_id % 2 AS INT) AS inv, event_type,
+                       CAST(floor(value * 100) AS DOUBLE) AS val
+                FROM events WHERE event_type IN ('purchase', 'click')
+            ), p0 AS (
+                SELECT DISTINCT val FROM e
+                WHERE event_type = 'purchase' AND inv = 0
+            ), c0 AS (
+                SELECT DISTINCT val FROM e
+                WHERE event_type = 'click' AND inv = 0
+            ), pa AS (
+                SELECT DISTINCT val FROM e WHERE event_type = 'purchase'
+            ), ca AS (
+                SELECT DISTINCT val FROM e WHERE event_type = 'click'
+            ), e0 AS (
+                SELECT val FROM p0 EXCEPT SELECT val FROM c0
+            ), e1 AS (
+                SELECT val FROM pa EXCEPT SELECT val FROM ca
+            )
+            SELECT CAST(1 AS INT) AS inv, CAST(0 AS INT) AS op,
+                   val AS value FROM e0
+            UNION ALL
+            SELECT 2, 0, val FROM (SELECT * FROM e1 EXCEPT SELECT * FROM e0)
+            UNION ALL
+            SELECT 2, 1, val FROM (SELECT * FROM e0 EXCEPT SELECT * FROM e1)
         """,
         "setop_intersect_user_values": """
             -- Stateful INTERSECT: invocation 0 emits the slice-0
