@@ -352,6 +352,7 @@ def execute_transform(spark: SparkSession, request: TransformRequest) -> Transfo
                 C.DISTINCT,
                 C.TOPN,
                 C.TEMPORAL_JOIN,
+                C.SETOP,
             ):
                 raise InvalidQueryError(
                     f"step reads updating (changelog-emitting) alias(es) "
@@ -364,9 +365,10 @@ def execute_transform(spark: SparkSession, request: TransformRequest) -> Transfo
                     "them as state deletions), or a temporal (as-of) join "
                     "on either side (an updating build maintains the "
                     "versioned view; an updating probe forwards its op "
-                    "tags through the resolution) can consume an updating "
-                    "stream; other step kinds would misread correction/"
-                    "retraction rows as appends"
+                    "tags through the resolution), or a set operation "
+                    "(which folds signed branch counts) can consume an "
+                    "updating stream; other step kinds would misread "
+                    "correction/retraction rows as appends"
                 )
             if changelog_refs and kind == C.TEMPORAL_JOIN:
                 result = temporal_join.execute_changelog_temporal_join(

@@ -10,12 +10,14 @@ classification routes any top-level non-UNION-ALL set operator here
 (UNION ALL is genuinely stateless and stays MAP).
 
 State: one relation per step, (fp, value columns, cnt_0..cnt_{k-1}) —
-the per-branch arrival counts of every distinct tuple, keyed and
+the per-branch NET arrival counts of every distinct tuple, keyed and
 BUCKETED by the injective row fingerprint (the same fingerprint as
 DISTINCT, distinct_step._row_fingerprint), so the per-invocation merge
-joins without a state-side exchange. Counts only grow (branches must be
-append-only; updating aliases reject loudly), and the live multiplicity
-of a tuple is a pure function of its counts:
+joins without a state-side exchange. Append-only branches contribute +1
+per row; an UPDATING (changelog-emitting) branch contributes signed
+counts (+1 for op 0/3, -1 for op 1/2 — Flink's set operators consume
+retraction streams the same way), with a loud negative-count guard. The
+live multiplicity of a tuple is a pure function of its counts:
 
     UNION          live = 1 if sum_i cnt_i > 0          (never falls)
     INTERSECT      live = 1 if min_i cnt_i > 0          (never falls)
@@ -27,10 +29,11 @@ A left-associative chain of one operator folds into these n-ary forms
 ((A EXCEPT B) EXCEPT C = A EXCEPT (B UNION ALL C), etc.), so any number
 of branches of a single operator is supported; mixed operators reject
 with the decomposition. Each invocation emits the live-multiplicity
-DELTA: op-0 inserts where it rose, op-1 retractions where it fell — only
-EXCEPT [ALL] can fall, so UNION / INTERSECT [ALL] emit plain append
-rows with no op column (their outputs chain as append streams), while
-EXCEPT [ALL] emits an op-tagged changelog.
+DELTA: op-0 inserts where it rose, op-1 retractions where it fell. On
+append-only inputs only EXCEPT [ALL] can fall, so UNION / INTERSECT
+[ALL] emit plain append rows with no op column (their outputs chain as
+append streams); with any updating branch every operator can retract
+and emits an op-tagged changelog.
 
 Scale shape: per invocation one union of the branch slices, one
 fingerprint groupBy (partial+final, single shuffle), one bucketed
@@ -81,6 +84,7 @@ def execute_setop(ctx: StepContext, sql: str) -> StepResult:
 
     known = set(ctx.views)
     branch_dfs, wms = [], []
+    any_updating = False
     for i, branch_sql in enumerate(branches):
         b = branch_sql.strip()
         while b.startswith("(") and b.endswith(")"):
@@ -98,28 +102,47 @@ def execute_setop(ctx: StepContext, sql: str) -> StepResult:
                 "reference its alias in the branch"
             )
         refs = C.referenced_views(b, known)
-        for r in refs:
-            if OP_COL in ctx.views[r].columns:
-                raise InvalidQueryError(
-                    "set operations over an updating (changelog-emitting) "
-                    "alias are not supported; materialize the branch as "
-                    "an append stream first"
-                )
+        updating = any(OP_COL in ctx.views[r].columns for r in refs)
+        if updating and len(refs) != 1:
+            raise InvalidQueryError(
+                "a set-operation branch over an updating alias must "
+                "reference exactly that alias"
+            )
+        bwm = min_watermark(*[ctx.new_wms.get(r) for r in refs]) if refs else None
         wms.extend(ctx.new_wms.get(r) for r in refs)
-        bdf = ctx.spark.sql(rewrite_query(b, watermark=min_watermark(
-            *[ctx.new_wms.get(r) for r in refs]
-        ) if refs else None))
+        if updating:
+            # UPDATING branch (Flink's set operators consume retraction
+            # streams): thread the op tag through the projection so each
+            # row contributes a SIGNED count (+1 insert / -1 retract).
+            inner = b
+            if OP_COL not in inner:
+                inner = re.sub(
+                    r"^\s*select\s+", f"SELECT {OP_COL}, ", inner, count=1,
+                    flags=re.IGNORECASE,
+                )
+            bdf = ctx.spark.sql(rewrite_query(inner, watermark=bwm))
+            sign = (
+                F.when(F.col(OP_COL).isin(1, 2), F.lit(-1))
+                .otherwise(F.lit(1))
+                .cast(LongType())
+            )
+            bdf = bdf.withColumn("__sign", sign).drop(OP_COL)
+        else:
+            bdf = ctx.spark.sql(rewrite_query(b, watermark=bwm)).withColumn(
+                "__sign", F.lit(1).cast(LongType())
+            )
         if SEQ_INPUT in bdf.columns:
             bdf = bdf.drop(SEQ_INPUT)
         branch_dfs.append(bdf)
+        any_updating = any_updating or updating
     wm = min_watermark(*wms)
 
-    names = branch_dfs[0].columns
+    names = [c for c in branch_dfs[0].columns if c != "__sign"]
     for i, bdf in enumerate(branch_dfs[1:], start=1):
-        if len(bdf.columns) != len(names):
+        if len(bdf.columns) != len(names) + 1:
             raise InvalidQueryError(
                 f"set-operation branches select {len(names)} vs "
-                f"{len(bdf.columns)} columns"
+                f"{len(bdf.columns) - 1} columns"
             )
     # Positional rename to branch 0's names, then a positional union so
     # Spark's coercion rules align the value types ONCE — the fingerprint
@@ -128,8 +151,15 @@ def execute_setop(ctx: StepContext, sql: str) -> StepResult:
     tagged = reduce(
         lambda a, b: a.union(b),
         [
-            bdf.toDF(*names).select(
-                F.lit(i).cast("int").alias("__branch"), *names
+            bdf.select(
+                F.lit(i).cast("int").alias("__branch"),
+                *[
+                    F.col(c).alias(n)
+                    for c, n in zip(
+                        [c for c in bdf.columns if c != "__sign"], names
+                    )
+                ],
+                F.col("__sign"),
             )
             for i, bdf in enumerate(branch_dfs)
         ],
@@ -143,7 +173,9 @@ def execute_setop(ctx: StepContext, sql: str) -> StepResult:
         with_fp.groupBy("__fp").agg(
             *[F.first(c).alias(c) for c in value_cols],
             *[
-                F.sum(F.when(F.col("__branch") == i, 1).otherwise(0))
+                F.sum(
+                    F.when(F.col("__branch") == i, F.col("__sign")).otherwise(0)
+                )
                 .cast(LongType())
                 .alias(cnt_cols[i])
                 for i in range(k)
@@ -187,7 +219,27 @@ def execute_setop(ctx: StepContext, sql: str) -> StepResult:
                 .alias(c)
                 for c in value_cols
             ],
-            *[n.alias(c) for n, c in zip(new_cnts, cnt_cols)],
+            *[
+                (
+                    # A consistent changelog never retracts a tuple below
+                    # zero arrivals on a branch — fail loudly over a
+                    # silent clamp (phantom rows), mirroring DISTINCT's
+                    # negative-count guard.
+                    F.when(
+                        n >= 0, n
+                    ).otherwise(
+                        F.expr(
+                            "CAST(raise_error('set operation over "
+                            "changelog: a branch count went negative "
+                            "(retraction of a row never inserted)') "
+                            "AS BIGINT)"
+                        )
+                    )
+                    if any_updating
+                    else n
+                ).alias(c)
+                for n, c in zip(new_cnts, cnt_cols)
+            ],
             _live_expr(op, all_flag, new_cnts).alias("__new_live"),
             _live_expr(
                 op, all_flag, [F.col(f"s.{c}") for c in cnt_cols]
@@ -197,7 +249,9 @@ def execute_setop(ctx: StepContext, sql: str) -> StepResult:
 
     rises = merged.filter(F.col("__new_live") > F.col("__old_live"))
     falls = merged.filter(F.col("__new_live") < F.col("__old_live"))
-    retracts = op in ("EXCEPT", "MINUS")
+    # With any UPDATING branch the counts can fall, so every operator can
+    # retract; on append-only inputs only EXCEPT [ALL] can.
+    retracts = op in ("EXCEPT", "MINUS") or any_updating
 
     def _emit(dfp, opv: int, n_expr):
         out = dfp.withColumn(
@@ -220,9 +274,17 @@ def execute_setop(ctx: StepContext, sql: str) -> StepResult:
         # stream, no changelog column.
         result = result.drop(OP_COL)
 
+    # A tuple whose counts all netted to zero (fully retracted on every
+    # branch) is dead — drop it so state tracks live tuples, not
+    # changelog volume.
+    alive = reduce(
+        lambda a, b: a | b, [F.col(c) > 0 for c in cnt_cols]
+    )
     ctx.state.save_df(
         state_name,
-        untouched.unionByName(merged.select("fp", *value_cols, *cnt_cols)),
+        untouched.unionByName(
+            merged.filter(alive).select("fp", *value_cols, *cnt_cols)
+        ),
         bucket_by=["fp"],
     )
     return StepResult(

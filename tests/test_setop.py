@@ -271,3 +271,135 @@ def test_setop_rejects(spark, tmp_path):
             ],
             system_time=ts(2),
         )
+
+
+def test_intersect_over_updating_branch(spark, tmp_path):
+    """A set-operation branch over an UPDATING alias contributes SIGNED
+    counts (Flink's set operators consume retraction streams): when the
+    continuous aggregate corrects (A, 1) -> (A, 2), the intersection
+    retracts (A, 1) — op 1 — and admits (A, 2) once the right side
+    carries it."""
+    runner = TransformRunner(
+        spark,
+        str(tmp_path),
+        [
+            (
+                "SELECT cast(now() as timestamp(3)) as event_time, "
+                "symbol, count(*) as n FROM a GROUP BY symbol",
+                "ag",
+            ),
+            (
+                "SELECT symbol, n FROM ag "
+                "INTERSECT SELECT symbol, cast(price as bigint) AS n FROM b",
+                "sv",
+            ),
+            (
+                "SELECT cast(now() as timestamp(3)) as event_time, "
+                "symbol, n FROM sv",
+                None,
+            ),
+        ],
+    )
+
+    def _run(inv, a_rows, b_rows, st):
+        a = _slices(tmp_path, f"ua{inv}", a_rows)
+        b = _slices(tmp_path, f"ub{inv}", b_rows)
+        _, out = runner.run(
+            [
+                {"alias": "a", "schema_file": a,
+                 "data_paths": [a] if a_rows else [],
+                 "watermark": max(r[3] for r in a_rows) if a_rows else None},
+                {"alias": "b", "schema_file": b,
+                 "data_paths": [b] if b_rows else [],
+                 "watermark": max(r[3] for r in b_rows) if b_rows else None},
+            ],
+            system_time=st,
+        )
+        return out
+
+    def _read(out):
+        import os
+
+        if not os.path.exists(out):
+            return []
+        return sorted(
+            (r.op, r.symbol, r.n)
+            for r in spark.read.parquet(out).collect()
+        )
+
+    # inv 1: agg emits (A, 1) op 0; b carries (A, 1) -> live.
+    out1 = _run(
+        1,
+        [(0, 0, ts(1), ts(1, 1), "A", 9.0)],
+        [(0, 0, ts(1), ts(1, 1), "A", 1.0)],
+        st=ts(2),
+    )
+    assert _read(out1) == [(0, "A", 1)]
+
+    # inv 2: a second A -> agg corrects (A,1)->(A,2): the op-2 retract
+    # kills (A, 1) in the intersection (op 1); (A, 2) is not live until
+    # the right side carries it — which this invocation also delivers.
+    out2 = _run(
+        2,
+        [(1, 0, ts(3), ts(3, 1), "A", 9.0)],
+        [(1, 0, ts(3), ts(3, 1), "A", 2.0)],
+        st=ts(4),
+    )
+    assert _read(out2) == [(0, "A", 2), (1, "A", 1)]
+
+
+def test_union_over_updating_branch_retracts(spark, tmp_path):
+    """UNION over an updating branch: a tuple leaves the union (op 1)
+    when its only carrier — the aggregate's old accumulator row — is
+    corrected away and no other branch holds it."""
+    runner = TransformRunner(
+        spark,
+        str(tmp_path),
+        [
+            (
+                "SELECT cast(now() as timestamp(3)) as event_time, "
+                "symbol, count(*) as n FROM a GROUP BY symbol",
+                "ag",
+            ),
+            (
+                "SELECT symbol, n FROM ag "
+                "UNION SELECT symbol, cast(price as bigint) AS n FROM b",
+                "sv",
+            ),
+            (
+                "SELECT cast(now() as timestamp(3)) as event_time, "
+                "symbol, n FROM sv",
+                None,
+            ),
+        ],
+    )
+    a1 = _slices(tmp_path, "wa1", [(0, 0, ts(1), ts(1, 1), "A", 9.0)])
+    b1 = _slices(tmp_path, "wb1", [(0, 0, ts(1), ts(1, 1), "B", 7.0)])
+    _, out1 = runner.run(
+        [
+            {"alias": "a", "schema_file": a1, "data_paths": [a1], "watermark": ts(1, 1)},
+            {"alias": "b", "schema_file": b1, "data_paths": [b1], "watermark": ts(1, 1)},
+        ],
+        system_time=ts(2),
+    )
+    rows1 = sorted((r.op, r.symbol, r.n) for r in spark.read.parquet(out1).collect())
+    assert rows1 == [(0, "A", 1), (0, "B", 7)]
+
+    # inv 2: (A,1) corrects to (A,2) -> union retracts (A,1), inserts (A,2).
+    a2 = _slices(tmp_path, "wa2", [(1, 0, ts(3), ts(3, 1), "A", 9.0)])
+    b2 = _slices(tmp_path, "wb2", [])
+    _, out2 = runner.run(
+        [
+            {"alias": "a", "schema_file": a2, "data_paths": [a2], "watermark": ts(3, 1)},
+            {"alias": "b", "schema_file": b2, "data_paths": [], "watermark": None},
+        ],
+        system_time=ts(4),
+    )
+    import os
+
+    rows2 = (
+        sorted((r.op, r.symbol, r.n) for r in spark.read.parquet(out2).collect())
+        if os.path.exists(out2)
+        else []
+    )
+    assert rows2 == [(0, "A", 2), (1, "A", 1)]
