@@ -281,3 +281,44 @@ MATCH_RECOGNIZE (
     assert [(r["symbol"], r["dip"], r["spike"], r["n_mid"]) for r in rows] == [
         ("A", 5, 120, 1)
     ]
+
+
+def test_raw_query_unnest(spark, tmp_path):
+    """UNNEST works on the raw-query (batch) path too — the same dialect
+    rewrite to LATERAL VIEW explode (plans/dialect._rewrite_unnest)."""
+    in_path = str(tmp_path / "input.parquet")
+    ticker_slice(
+        in_path,
+        [(0, 0, ts(5), ts(1), "AB", 10.0), (1, 0, ts(5), ts(2), "C", 20.0)],
+    )
+    query = (
+        "SELECT event_time, symbol, u.ch AS ch FROM input "
+        "CROSS JOIN UNNEST(split(symbol, '')) AS u (ch)"
+    )
+    resp, out = _raw(spark, tmp_path, query, in_path)
+    assert resp.num_records == 3
+    rows = sorted(
+        (r["symbol"], r["ch"]) for r in pq.read_table(out).to_pylist()
+    )
+    assert rows == [("AB", "A"), ("AB", "B"), ("C", "C")]
+
+
+def test_raw_query_setop(spark, tmp_path):
+    """Batch INTERSECT/EXCEPT on the raw-query path pass straight through
+    to Spark SQL (one bounded input, no cross-invocation state needed)."""
+    in_path = str(tmp_path / "input.parquet")
+    ticker_slice(
+        in_path,
+        [
+            (0, 0, ts(5), ts(1), "A", 10.0),
+            (1, 0, ts(5), ts(2), "B", 20.0),
+            (2, 0, ts(5), ts(3), "A", 30.0),
+        ],
+    )
+    query = (
+        "SELECT event_time, symbol FROM ("
+        "SELECT event_time, symbol FROM input WHERE price < 25 "
+        "INTERSECT SELECT event_time, symbol FROM input WHERE price >= 5)"
+    )
+    resp, out = _raw(spark, tmp_path, query, in_path)
+    assert resp.num_records == 2
