@@ -403,3 +403,76 @@ def test_union_over_updating_branch_retracts(spark, tmp_path):
         else []
     )
     assert rows2 == [(0, "A", 2), (1, "A", 1)]
+
+
+@pytest.mark.parametrize(
+    "setop,allf",
+    [
+        ("UNION", False),
+        ("INTERSECT", False),
+        ("INTERSECT ALL", True),
+        ("EXCEPT", False),
+        ("EXCEPT ALL", True),
+    ],
+)
+def test_setop_random_brute_force(spark, tmp_path, setop, allf):
+    """Randomized brute-force model: 3 invocations of random symbol
+    multisets on each branch; after every invocation the executor's
+    emission must equal the delta of the live multiset computed from the
+    cumulative branch counts by the operator's formula — per invocation,
+    not just folded at the end."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(sum(map(ord, setop)))
+    syms = ["S0", "S1", "S2", "S3", "S4", "S5"]
+
+    def live(l: int, r: int) -> int:
+        base = setop.split()[0]
+        if base == "UNION":
+            return 1 if (l + r) > 0 else 0
+        if base == "INTERSECT":
+            m = min(l, r)
+            return m if allf else (1 if m > 0 else 0)
+        d = l - r
+        return max(0, d) if allf else (1 if (l > 0 and r == 0) else 0)
+
+    runner = _two_input_runner(
+        spark, tmp_path,
+        f"SELECT symbol FROM a {setop} SELECT symbol FROM b",
+    )
+    ca: Counter = Counter()
+    cb: Counter = Counter()
+    offs = {"a": 0, "b": 0}
+
+    def _rows(alias, chosen, inv):
+        out = []
+        for s in chosen:
+            out.append((offs[alias], 0, ts(9), ts(2 * inv + 1, 1), s, 1.0))
+            offs[alias] += 1
+        return out
+
+    for inv in range(3):
+        a_syms = [rng.choice(syms) for _ in range(rng.randrange(0, 7))]
+        b_syms = [rng.choice(syms) for _ in range(rng.randrange(0, 7))]
+        old_live = {s: live(ca[s], cb[s]) for s in syms}
+        ca.update(a_syms)
+        cb.update(b_syms)
+        new_live = {s: live(ca[s], cb[s]) for s in syms}
+        expected: Counter = Counter()
+        for s in syms:
+            d = new_live[s] - old_live[s]
+            if d > 0:
+                expected[(0, s)] += d
+            elif d < 0:
+                expected[(1, s)] += -d
+        out = _run(
+            runner, tmp_path, f"r{inv}",
+            _rows("a", a_syms, inv), _rows("b", b_syms, inv),
+            st=ts(2 * inv + 2),
+        )
+        got = Counter(_read(spark, out))
+        assert got == expected, (
+            f"{setop} inv {inv}: got {dict(got)} expected {dict(expected)} "
+            f"(ca={dict(ca)}, cb={dict(cb)})"
+        )
