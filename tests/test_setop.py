@@ -476,3 +476,55 @@ def test_setop_random_brute_force(spark, tmp_path, setop, allf):
             f"{setop} inv {inv}: got {dict(got)} expected {dict(expected)} "
             f"(ca={dict(ca)}, cb={dict(cb)})"
         )
+
+
+def test_setop_null_tuples(spark, tmp_path):
+    """NULL-carrying tuples participate in set operations (the row
+    fingerprint encodes NULL injectively): a NULL symbol seen on both
+    sides intersects; a NULL on the subtrahend kills the minuend's NULL
+    under EXCEPT."""
+    runner = _two_input_runner(
+        spark, tmp_path,
+        "SELECT nullif(symbol, 'N') AS symbol FROM a "
+        "INTERSECT SELECT nullif(symbol, 'N') AS symbol FROM b",
+    )
+    out1 = _run(
+        runner, tmp_path, 1,
+        [(0, 0, ts(1), ts(1, 1), "N", 1.0), (1, 0, ts(1), ts(1, 2), "A", 1.0)],
+        [(0, 0, ts(1), ts(1, 1), "N", 1.0)],
+        st=ts(2),
+    )
+    assert _read(spark, out1) == [(0, None)]
+
+    runner2 = TransformRunner(
+        spark,
+        str(tmp_path / "e"),
+        [
+            (
+                "SELECT nullif(symbol, 'N') AS symbol FROM a "
+                "EXCEPT SELECT nullif(symbol, 'N') AS symbol FROM b",
+                "sv",
+            ),
+            ("SELECT cast(now() as timestamp(3)) as event_time, symbol FROM sv", None),
+        ],
+    )
+    a1 = _slices(tmp_path, "na1", [(0, 0, ts(1), ts(1, 1), "N", 1.0)])
+    b1 = _slices(tmp_path, "nb1", [])
+    _, o1 = runner2.run(
+        [
+            {"alias": "a", "schema_file": a1, "data_paths": [a1], "watermark": ts(1, 1)},
+            {"alias": "b", "schema_file": b1, "data_paths": [], "watermark": None},
+        ],
+        system_time=ts(2),
+    )
+    assert _read(spark, o1) == [(0, None)]
+    a2 = _slices(tmp_path, "na2", [])
+    b2 = _slices(tmp_path, "nb2", [(0, 0, ts(3), ts(3, 1), "N", 1.0)])
+    _, o2 = runner2.run(
+        [
+            {"alias": "a", "schema_file": a2, "data_paths": [], "watermark": None},
+            {"alias": "b", "schema_file": b2, "data_paths": [b2], "watermark": ts(3, 1)},
+        ],
+        system_time=ts(4),
+    )
+    assert _read(spark, o2) == [(1, None)]
