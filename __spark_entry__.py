@@ -3572,6 +3572,66 @@ def streaming_setop_except_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_asof_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING under the driver oracle: the always-on
+    temporal/as-of twin (streaming/structured.StreamingAsOfJoin,
+    applyInPandasWithState with event-time timeouts) as two availableNow
+    runs over TIME-BANDED slices (rows at or before the band in run 1,
+    the rest in run 2) with a checkpoint between them. A probe releases
+    only once the min-of-streams watermark passes its time — so probes
+    above run 1's watermark buffer in the stream checkpoint and release
+    in run 2, resolving the latest purchase version at or before their
+    own time (ties on version time resolve to the larger value, the
+    kernel's sort order). The banding means versions never arrive behind
+    a release, so the oracle can replay watermark per run + release set
+    + resolution exactly. Per-key state is O(active horizon): versions
+    shadowed below the watermark prune — scales."""
+    import glob
+    import os
+    import tempfile
+
+    from kamu_engine_flink_spark.sinks.parquet import write_single_parquet
+    from kamu_engine_flink_spark.streaming.structured import StreamingAsOfJoin
+
+    _conf(spark)
+    workdir = tempfile.mkdtemp(prefix="stream-asof-")
+    d = {k: os.path.join(workdir, k) for k in ("v", "p", "chk", "out")}
+    for k in ("v", "p"):
+        os.makedirs(d[k])
+    e = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("pk"),
+        F.col("ts").alias("event_time"),
+        "event_type",
+        F.floor(F.col("value") * 100).cast("double").alias("value"),
+    )
+    band = F.to_timestamp(F.lit(_ASOF_BAND))
+    v = e.filter("event_type = 'purchase'").select("pk", "event_time", "value")
+    p = e.filter("event_type = 'click'").select("pk", "event_time", "value")
+    job = StreamingAsOfJoin(
+        version_dir=d["v"], probe_dir=d["p"],
+        checkpoint_dir=d["chk"], output_dir=d["out"], how="inner",
+    )
+    write_single_parquet(v.filter(F.col("event_time") <= band),
+                         os.path.join(d["v"], "b1.parquet"))
+    write_single_parquet(p.filter(F.col("event_time") <= band),
+                         os.path.join(d["p"], "b1.parquet"))
+    job.run_available_now(spark)
+    files1 = set(glob.glob(os.path.join(d["out"], "*.parquet")))
+    write_single_parquet(v.filter(F.col("event_time") > band),
+                         os.path.join(d["v"], "b2.parquet"))
+    write_single_parquet(p.filter(F.col("event_time") > band),
+                         os.path.join(d["p"], "b2.parquet"))
+    job.run_available_now(spark)
+    files2 = set(glob.glob(os.path.join(d["out"], "*.parquet"))) - files1
+    run1 = spark.read.parquet(*sorted(files1))
+    run2 = spark.read.parquet(*sorted(files2))
+    return (
+        run1.withColumn("inv", F.lit(1).cast("int"))
+        .unionByName(run2.withColumn("inv", F.lit(2).cast("int")))
+        .select("inv", "pk", "probe_ts_ms", "probe_val", "version_val")
+    )
+
+
 _SETOP_TUPLE = "user_id, cast(floor(cents / 1000) as bigint) AS vb"
 
 
@@ -4039,6 +4099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setop_intersect_user_values": setop_intersect_user_values,
         "setop_except_changelog_users": setop_except_changelog_users,
         "streaming_setop_except_twin": streaming_setop_except_twin,
+        "streaming_asof_join_twin": streaming_asof_join_twin,
         # --- r05/r06-cohort tail, missed the round-8 cap: due now ---
         "dedup_minhash_documents": dedup_minhash_documents,
         "dedup_minhash_fast": dedup_minhash_fast,
@@ -5046,6 +5107,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT 2, 3, r2.key, r2.place, r2.val
             FROM r1 JOIN r2 ON r1.key = r2.key AND r1.place = r2.place
             WHERE r1.val <> r2.val
+        """,
+        "streaming_asof_join_twin": f"""
+            -- Streaming as-of twin: per run the watermark is the min of
+            -- the two streams' max times; probes at or below it release,
+            -- resolving the latest purchase version at or before their
+            -- own time (ties on version time -> larger value). Banding
+            -- at the split point means versions never arrive behind a
+            -- release, so the replay is exact. Inner join: released
+            -- probes with no version <= t vanish.
+            WITH e AS (
+                SELECT CAST(user_id AS VARCHAR) AS pk,
+                       date_trunc('milliseconds', ts) AS ts, event_type,
+                       CAST(floor(value * 100) AS DOUBLE) AS val
+                FROM events WHERE event_type IN ('purchase', 'click')
+            ), v AS (
+                SELECT pk, ts AS vt, val AS vv FROM e
+                WHERE event_type = 'purchase'
+            ), p AS (
+                SELECT pk, ts AS pt, val AS pv FROM e
+                WHERE event_type = 'click'
+            ), wm AS (
+                SELECT least(
+                    (SELECT max(vt) FROM v
+                      WHERE vt <= TIMESTAMP '{_ASOF_BAND}'),
+                    (SELECT max(pt) FROM p
+                      WHERE pt <= TIMESTAMP '{_ASOF_BAND}')) AS w1,
+                  least((SELECT max(vt) FROM v),
+                        (SELECT max(pt) FROM p)) AS w2
+            ), rel AS (
+                SELECT pk, pt, pv,
+                       CASE WHEN pt <= (SELECT w1 FROM wm) THEN 1
+                            WHEN pt <= (SELECT w2 FROM wm) THEN 2
+                       END AS inv
+                FROM p
+            ), best AS (
+                SELECT c.pk, c.pt, v.vv,
+                       row_number() OVER (
+                           PARTITION BY c.pk, c.pt
+                           ORDER BY v.vt DESC, v.vv DESC) AS rn
+                FROM (SELECT DISTINCT pk, pt FROM rel
+                      WHERE inv IS NOT NULL) c
+                JOIN v ON v.pk = c.pk AND v.vt <= c.pt
+            )
+            SELECT r.inv, r.pk,
+                   CAST(epoch_ms(r.pt) AS BIGINT) AS probe_ts_ms,
+                   r.pv AS probe_val, b.vv AS version_val
+            FROM rel r
+            JOIN (SELECT pk, pt, vv FROM best WHERE rn = 1) b
+              ON b.pk = r.pk AND b.pt = r.pt
+            WHERE r.inv IS NOT NULL
         """,
         "streaming_setop_except_twin": """
             -- Streaming EXCEPT twin: run 1 = even-purchase cents minus
