@@ -4083,7 +4083,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ALL entries locally every round and the run is committed as
     # CROSSCHECK_r{N}.txt.
     return {
-        # ROUND-9 ROTATION: first 50 = 4 new round-9 operators + the
+        # ROUND-9 ROTATION: first 50 = 10 new round-9 operators (the
+        # updating-probe as-of, MATCH_RECOGNIZE exclusions, UNNEST, the
+        # set-op pair, and five oracle-backed streaming twins) + the
         # 21-entry r05/r06-cohort tail that missed round 8's 50-row cap
         # + the head of the r07-checked block (driver rows last
         # seen round 7). The r08-checked blocks rotate behind and are

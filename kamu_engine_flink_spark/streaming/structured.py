@@ -1798,13 +1798,14 @@ _SETOP_STATE = StructType(
 
 def _setop_fn(op: str, all_flag: bool):
     """Per-value set-operation kernel — the streaming twin of
-    operators/setop_step.py: state is the value's per-branch arrival
+    operators/setop_step.py: state is the value's per-branch NET arrival
     counts; live multiplicity is the same pure function of the counts
     (UNION: any>0, INTERSECT [ALL]: min, EXCEPT [ALL]: left minus right,
     clamped), and each micro-batch emits the live-multiplicity delta as
-    op-0 inserts / op-1 retractions. Inputs are append-only (counts only
-    grow), so only EXCEPT [ALL] ever emits op-1 — the same monotonicity
-    as the micro-batch executor."""
+    op-0 inserts / op-1 retractions. Append-only inputs contribute +1
+    per row; CHANGELOG inputs (rows carrying an op column) contribute
+    signed counts (+1 op 0/3, -1 op 1/2 — the batch executor's updating
+    branches), with a loud negative-count guard."""
 
     def live(l: int, r: int) -> int:
         if op == "UNION":
@@ -1823,15 +1824,21 @@ def _setop_fn(op: str, all_flag: bool):
         cl, cr = state.get if state.exists else (0, 0)
         dl = dr = 0
         for pdf in pdfs:
-            for side in pdf["__side"]:
+            for side, rop in zip(pdf["__side"], pdf["__op"]):
+                sign = -1 if rop in (1, 2) else 1
                 if side == 0:
-                    dl += 1
+                    dl += sign
                 else:
-                    dr += 1
+                    dr += sign
         if dl == 0 and dr == 0:
             return
         old = live(cl, cr)
         cl, cr = cl + dl, cr + dr
+        if cl < 0 or cr < 0:
+            raise ValueError(
+                "set operation over changelog: a branch count went "
+                "negative (retraction of a row never inserted)"
+            )
         new = live(cl, cr)
         state.update((cl, cr))
         if new != old:
@@ -1859,14 +1866,24 @@ class StreamingSetOp:
     op: str = "EXCEPT"
     all_flag: bool = False
     value_col: str = "value"
+    op_col: str = "op"
     left_schema: StructType | None = None
     right_schema: StructType | None = None
 
     def _plan(self, spark: SparkSession) -> DataFrame:
         def side(input_dir, schema, tag):
-            return _file_stream(spark, input_dir, schema).select(
+            stream = _file_stream(spark, input_dir, schema)
+            # A side whose rows carry the op column is a CHANGELOG input
+            # and contributes signed counts; append-only sides insert.
+            rop = (
+                F.col(self.op_col).cast("int")
+                if self.op_col in stream.columns
+                else F.lit(0).cast("int")
+            )
+            return stream.select(
                 F.lit(tag).cast("int").alias("__side"),
                 F.col(self.value_col).cast("double").alias("__val"),
+                rop.alias("__op"),
             )
 
         rows = side(self.left_dir, self.left_schema, 0).unionByName(

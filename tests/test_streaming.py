@@ -1275,3 +1275,50 @@ def test_streaming_setop_intersect_all_cross_run(spark, tmp_path):
     job.run_available_now(spark)
     delta = Counter(_read()) - Counter(out1)
     assert dict(delta) == {(0, 5.0): 1}
+
+
+def test_streaming_setop_intersect_changelog_input(spark, tmp_path):
+    """Streaming INTERSECT with a CHANGELOG left input (rows carry op
+    tags): retracting the left value kills the intersection (op 1) in a
+    later run — signed branch counts restored from the stream
+    checkpoint, mirroring the batch executor's updating branches."""
+    from collections import Counter
+
+    from kamu_engine_flink_spark.streaming.structured import StreamingSetOp
+
+    d = {k: str(tmp_path / k) for k in ["left", "right", "chk", "out"]}
+    os.makedirs(d["left"]); os.makedirs(d["right"])
+    job = StreamingSetOp(
+        left_dir=d["left"], right_dir=d["right"],
+        checkpoint_dir=d["chk"], output_dir=d["out"], op="INTERSECT",
+    )
+
+    def _cl(path, rows):
+        """rows: (value, op)"""
+        pq.write_table(
+            pa.table({
+                "value": pa.array([v for v, _ in rows], pa.float64()),
+                "op": pa.array([o for _, o in rows], pa.int32()),
+            }),
+            path, compression="snappy",
+        )
+
+    def _read():
+        try:
+            rows = spark.read.parquet(d["out"]).collect()
+        except Exception:
+            return []
+        return sorted((r.op, r.value) for r in rows)
+
+    _cl(os.path.join(d["left"], "s1.parquet"), [(1.0, 0), (2.0, 0)])
+    _val_slice(os.path.join(d["right"], "s1.parquet"), [1.0])
+    job.run_available_now(spark)
+    out1 = _read()
+    assert out1 == [(0, 1.0)]
+
+    # Run 2: the left 1.0 retracts -> the intersection loses it (op 1).
+    _cl(os.path.join(d["left"], "s2.parquet"), [(1.0, 1)])
+    _val_slice(os.path.join(d["right"], "s2.parquet"), [])
+    job.run_available_now(spark)
+    delta = Counter(_read()) - Counter(out1)
+    assert dict(delta) == {(1, 1.0): 1}
