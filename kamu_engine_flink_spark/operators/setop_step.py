@@ -89,8 +89,15 @@ def execute_setop(ctx: StepContext, sql: str) -> StepResult:
         b = branch_sql.strip()
         while b.startswith("(") and b.endswith(")"):
             b = b[1:-1].strip()
+        from ..plans.dialect import _rewrite_unnest
+
         if C.classify(b, known) != C.MAP or re.search(
-            r"\b(GROUP\s+BY|JOIN|DISTINCT)\b", C.mask_sql(b, parens=True),
+            r"\b(GROUP\s+BY|JOIN|DISTINCT)\b",
+            # Normalize UNNEST first: its JOIN keyword is a stateless
+            # row expansion, not a stream join — a branch like
+            # `SELECT u.x FROM a CROSS JOIN UNNEST(..) AS u (x)` is a
+            # legitimate plain projection.
+            C.mask_sql(_rewrite_unnest(b), parens=True),
             re.IGNORECASE,
         ):
             # classify() alone is not enough: GROUP BY without an

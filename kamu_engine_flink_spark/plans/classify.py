@@ -1094,17 +1094,19 @@ def classify(sql: str, known_views: set[str]) -> str:
 
         sql = _rewrite_unnest(sql)
         kind = classify(sql, known_views)
-        if kind != MAP:
+        if kind not in (MAP, SETOP):
             # The stateful executors parse fixed query shapes and would
             # drop or misread a LATERAL clause; Flink's planner composes
             # them freely, so reject with the decomposition instead of
-            # silently executing the join without the expansion.
+            # silently executing the join without the expansion. SETOP is
+            # fine: its branches run through the MAP rewrite themselves,
+            # so an UNNEST inside a branch expands before the fold.
             raise InvalidQueryError(
                 "UNNEST composes with stateless projection steps only; "
                 f"put the {kind} in its own step and UNNEST its output "
                 "in a following step"
             )
-        return MAP
+        return kind
     if re.search(r"\bMATCH_RECOGNIZE\b", sql, re.IGNORECASE):
         return MATCH_RECOGNIZE
     # Top-level non-UNION-ALL set operators need per-value state across

@@ -528,3 +528,29 @@ def test_setop_null_tuples(spark, tmp_path):
         system_time=ts(4),
     )
     assert _read(spark, o2) == [(1, None)]
+
+
+def test_setop_branch_with_unnest(spark, tmp_path):
+    """A set-operation branch may expand arrays with UNNEST — its JOIN
+    keyword is a stateless row expansion, not a stream join, so the
+    branch guard must not reject it."""
+    runner = _two_input_runner(
+        spark, tmp_path,
+        "SELECT u.ch AS symbol FROM a CROSS JOIN UNNEST(split(symbol, '')) AS u (ch) "
+        "INTERSECT SELECT symbol FROM b",
+    )
+    out1 = _run(
+        runner, tmp_path, 1,
+        [(0, 0, ts(1), ts(1, 1), "AB", 1.0)],
+        [(0, 0, ts(1), ts(1, 1), "B", 1.0)],
+        st=ts(2),
+    )
+    assert _read(spark, out1) == [(0, "B")]
+    # A's other character pairs when the right side delivers it later.
+    out2 = _run(
+        runner, tmp_path, 2,
+        [],
+        [(1, 0, ts(3), ts(3, 1), "A", 1.0)],
+        st=ts(4),
+    )
+    assert _read(spark, out2) == [(0, "A")]
