@@ -726,19 +726,14 @@ def main() -> None:
             # a linear scan + TakeOrdered over O(live agg keys), the same
             # order as the agg state itself (rank positions shift
             # globally, so no key restriction applies).
-            # PIN: <= 10.5 s full-session / <= 8.5 s isolated-warm.
-            # Round-9 idle-box re-baseline (dedicated session, n=6,
-            # 2026-08-16): cold first rep 21.2, then 8.38, 6.86, 6.68,
-            # 6.99, 6.69 — warm floor 6.7, warm median 6.9, SAME code as
-            # round-8's 10.02 full-bench median. The gap between the 6.9
-            # warm floor and the ~10 s full-bench number is session
-            # aging (JVM heap/GC after ~60 prior entries) plus the cold
-            # first rep entering the n=3 median, not a code regression;
-            # the round-8 pin of 8.5 assumed the isolated-warm regime
-            # while the driver measures the aged-session one. Round-7's
-            # 8.10 was an aged-session number before the shared-ledger
-            # rework; a full-session median above 10.5 or an isolated
-            # warm median above 8.5 is a real regression.
+            # PIN: <= 8.5 s. Round-9 idle-box re-baseline (dedicated
+            # session, n=6, 2026-08-16): cold 21.2, then 8.38, 6.86,
+            # 6.68, 6.99, 6.69 — warm floor 6.7, warm median 6.9, SAME
+            # code as round-8's 10.02 full-bench median; the gap was
+            # session aging (JVM heap after ~60 prior entries). With the
+            # per-rep cache/GC hygiene below, the round-9 local full
+            # bench measured 5.54 (n=3 median) — full-session now tracks
+            # the warm regime, so the round-8 pin of 8.5 stands.
             ("stress_changelog_topn_x10_3inv", CHANGELOG_TOPN_STEPS, p_stress_invs),
             # Mid-chain emission-order stamp under state >> slice:
             # continuous agg over the 1M-row events ledger (100k keys) ->
@@ -763,13 +758,12 @@ def main() -> None:
             ("stress_changelog_asof_x10_3inv", CHANGELOG_ASOF_STEPS, join_invs),
             # Stateful EXCEPT over the 10x purchase/click ledgers (state =
             # per-tuple branch counts, bucketed by fingerprint; the merge
-            # plans no state-side exchange). PIN: <= 11 s full-session /
-            # <= 8.5 s isolated-warm. Round-9 introduction measurements:
-            # dedicated session n=4 warm median 6.5 (floor 6.0); with
-            # per-rep hygiene n=5 [12.8 cold, 8.6, 8.3, 6.7, 6.1] — the
-            # path JIT-warms across reps, so an n=3 median with a cold
-            # first rep lands ~8-10; the round-9 local full bench
-            # measured [7.5, 10.3, 20.9] before per-rep hygiene existed.
+            # plans no state-side exchange). PIN: <= 8.5 s. Round-9
+            # introduction measurements: dedicated session n=4 warm
+            # median 6.5 (floor 6.0); full local bench BEFORE per-rep
+            # hygiene [7.5, 10.3, 20.9] (aged-session pathology), AFTER
+            # per-rep hygiene 5.65 n=3 median — the hygiene collapsed the
+            # full-session/isolated gap, so one pin suffices.
             ("stress_setop_except_x10_3inv", SETOP_EXCEPT_STEPS, join_invs),
         ):
             rep_seq = iter(range(SUBSEC_REPS))
