@@ -716,8 +716,9 @@ def main() -> None:
             # Round-9 idle-box re-baseline (dedicated session, n=3,
             # 2026-08-16): 21.7 cold, 7.44, 7.19 — median 7.44 vs
             # round-8's full-bench 8.31 and round-7's 6.34. The round-8
-            # +31% was session drift (code untouched); expect ~7.5
-            # isolated-warm / up to ~8.5 aged-session.
+            # +31% was session drift (code untouched). With per-rep
+            # hygiene the round-9 local full bench measured 6.14 —
+            # expect ~6-7.5; above 8.5 is a real regression.
             ("stress_match_recognize_x10_3inv", MATCH_RECOGNIZE_SQL, ev_invs),
             # Retractable Top-N over an updating aggregate at 10x key
             # cardinality across 3 chained invocations: the agg's op 0/2/3
