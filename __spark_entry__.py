@@ -3739,6 +3739,59 @@ def setop_except_changelog_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def setop_except_all_three_way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-branch EXCEPT ALL chain in one step (operators/setop_step.py
+    n-ary fold: (A EXCEPT ALL B) EXCEPT ALL C = per-tuple
+    max(0, cnt_A - cnt_B - cnt_C), the left-associative algebra): live
+    MULTIPLICITY of each (user_id, value-bucket) tuple is purchases minus
+    clicks minus signups, clamped at zero; each invocation emits the
+    multiplicity delta as op-0 copies / op-1 retractions. Single-shuffle
+    union+groupBy per invocation, bucketed count state — scales."""
+    import tempfile
+
+    _conf(spark)
+    workdir = tempfile.mkdtemp(prefix="setop3-entry-")
+    slices = {
+        name: _ledger_slices(
+            spark, _events_ledger(spark, sf_dir, et), workdir, name, 2
+        )
+        for name, et in (
+            ("purchases", "purchase"), ("clicks", "click"), ("signups", "signup"),
+        )
+    }
+    steps = [
+        (
+            f"SELECT {_SETOP_TUPLE} FROM purchases "
+            f"EXCEPT ALL SELECT {_SETOP_TUPLE} FROM clicks "
+            f"EXCEPT ALL SELECT {_SETOP_TUPLE} FROM signups",
+            "ev",
+        ),
+        (
+            "SELECT cast(now() as timestamp(3)) as event_time, "
+            "user_id, vb FROM ev",
+            None,
+        ),
+    ]
+    per_inv = [
+        [(name, *slices[name][i]) for name in ("purchases", "clicks", "signups")]
+        for i in range(2)
+    ]
+    outs = _run_odf_invocations(spark, steps, per_inv, workdir, "setop3")
+    parts = [
+        spark.read.parquet(path).select(
+            F.lit(inv).cast("int").alias("inv"),
+            F.col("op").cast("int").alias("op"),
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("vb").cast("long").alias("vb"),
+        )
+        for inv, path in outs
+    ]
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out
+
+
 _ASOF_BAND = "2024-01-16 00:00:00"
 
 
@@ -4100,6 +4153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_changelog_distinct_twin": streaming_changelog_distinct_twin,
         "setop_intersect_user_values": setop_intersect_user_values,
         "setop_except_changelog_users": setop_except_changelog_users,
+        "setop_except_all_three_way": setop_except_all_three_way,
         "streaming_setop_except_twin": streaming_setop_except_twin,
         "streaming_asof_join_twin": streaming_asof_join_twin,
         # --- r05/r06-cohort tail, missed the round-8 cap: due now ---
@@ -5190,6 +5244,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT 2, 0, val FROM (SELECT * FROM e1 EXCEPT SELECT * FROM e0)
             UNION ALL
             SELECT 2, 1, val FROM (SELECT * FROM e0 EXCEPT SELECT * FROM e1)
+        """,
+        "setop_except_all_three_way": """
+            -- Three-branch EXCEPT ALL: per-tuple live multiplicity is
+            -- max(0, purchases - clicks - signups) over CUMULATIVE
+            -- counts; invocation 0 emits the slice-0 multiplicities,
+            -- invocation 1 emits the delta (op 0 copies where it rose,
+            -- op 1 where later clicks/signups ate it).
+            WITH e AS (
+                SELECT CAST(event_id % 2 AS INT) AS inv, user_id,
+                       event_type,
+                       CAST(floor(CAST(floor(value * 100) AS BIGINT)
+                            / 1000) AS BIGINT) AS vb
+                FROM events
+                WHERE event_type IN ('purchase', 'click', 'signup')
+            ), cnt AS (
+                SELECT user_id, vb,
+                  count(*) FILTER (event_type = 'purchase' AND inv = 0) AS p0,
+                  count(*) FILTER (event_type = 'purchase') AS pa,
+                  count(*) FILTER (event_type = 'click' AND inv = 0) AS c0,
+                  count(*) FILTER (event_type = 'click') AS ca,
+                  count(*) FILTER (event_type = 'signup' AND inv = 0) AS s0,
+                  count(*) FILTER (event_type = 'signup') AS sa
+                FROM e GROUP BY user_id, vb
+            ), lv AS (
+                SELECT user_id, vb,
+                       greatest(0, p0 - c0 - s0) AS l0,
+                       greatest(0, pa - ca - sa) AS l1
+                FROM cnt
+            ), d AS (
+                SELECT CAST(0 AS INT) AS inv, CAST(0 AS INT) AS op,
+                       user_id, vb, l0 AS n FROM lv WHERE l0 > 0
+                UNION ALL
+                SELECT 1, 0, user_id, vb, l1 - l0 FROM lv WHERE l1 > l0
+                UNION ALL
+                SELECT 1, 1, user_id, vb, l0 - l1 FROM lv WHERE l0 > l1
+            )
+            SELECT inv, op, user_id, vb
+            FROM d, unnest(range(d.n)) AS u(i)
         """,
         "setop_intersect_user_values": """
             -- Stateful INTERSECT: invocation 0 emits the slice-0
