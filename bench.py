@@ -57,6 +57,12 @@ HEADLINE = [
     "asof_join_purchase_value",
     "interval_join_clicks",
     "dedup_exact_documents",
+    # PIN: <= 3.2 s full-session. Round-10 idle-box re-baseline
+    # (dedicated session, n=7, 2026-08-16) after the round-9 full-bench
+    # slip to 3.41: warm median 2.60, floor 2.38 — vs round-8's 2.13.
+    # Code untouched both rounds (git confirms); the ~0.5 s drift is
+    # environmental (the 3-exchange banded-LSH plan is unchanged in
+    # PLANS.md). Above 3.2 isolated-warm is a real regression.
     "dedup_minhash_documents",  # portable md5 family (oracle-checkable)
     "dedup_minhash_fast",  # numpy rolling-hash family (throughput path)
     "text_analysis_documents",
@@ -865,6 +871,39 @@ def main() -> None:
     )
 
     total = round(sum(timings.values()), 3)
+    detail = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "n": REPS,
+        "queries": timings,
+        "sf": sf_num,
+    }
+    # The full per-query map (~60 keys) grew past the driver's stdout
+    # tail-capture window in round 9, truncating the final JSON line and
+    # leaving BENCH_r09.json with "parsed": null. Emission order now:
+    # 1. the full detail JSON to BENCH_DETAIL.json (committed artifact),
+    # 2. the full detail JSON as an EARLIER stdout line (human/CI view),
+    # 3. the LAST stdout line a compact JSON <= ~1 KB — headline total
+    #    plus only the pinned stress entries — guaranteed to survive any
+    #    tail capture.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_DETAIL.json"),
+            "w",
+        ) as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError:
+        pass
+    print(json.dumps(detail))
+    pinned = {
+        k: v
+        for k, v in timings.items()
+        if k.startswith("stress_") or k.startswith("stamp_2m_")
+        or k == "q1_pricing_summary"
+    }
     print(
         json.dumps(
             {
@@ -872,8 +911,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "n": REPS,
-                "queries": timings,
                 "sf": sf_num,
+                "n_queries": len(timings),
+                "queries": pinned,
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )
