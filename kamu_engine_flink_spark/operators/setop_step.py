@@ -27,9 +27,15 @@ live multiplicity of a tuple is a pure function of its counts:
 
 A left-associative chain of one operator folds into these n-ary forms
 ((A EXCEPT B) EXCEPT C = A EXCEPT (B UNION ALL C), etc.), so any number
-of branches of a single operator is supported; mixed operators reject
-with the decomposition. Each invocation emits the live-multiplicity
-DELTA: op-0 inserts where it rose, op-1 retractions where it fell. On
+of branches of a single operator is supported. MIXED operators and
+parenthesized sub-chains (`A UNION B EXCEPT C`, `(A INTERSECT B) EXCEPT
+C`) decompose recursively: parse_setop returns a precedence-correct
+tree, each nested node executes as its own stateful sub-step (state key
+`{step_key}.s{i}`, its own count relation), its changelog registers as
+a synthetic view, and the parent consumes it as an updating (or append)
+branch — exactly the chain of set-op operators Flink's planner builds.
+Each invocation emits the live-multiplicity DELTA: op-0 inserts where
+it rose, op-1 retractions where it fell. On
 append-only inputs only EXCEPT [ALL] can fall, so UNION / INTERSECT
 [ALL] emit plain append rows with no op column (their outputs chain as
 append streams); with any updating branch every operator can retract
@@ -77,11 +83,47 @@ def _live_expr(op: str, all_flag: bool, cnt_exprs: list):
 
 
 def execute_setop(ctx: StepContext, sql: str) -> StepResult:
-    spec = C.parse_setop(sql, set(ctx.views))
+    spec = C.parse_setop(sql)
     if spec is None:  # pragma: no cover — routing guarantees a match
         raise InvalidQueryError("not a set-operation step")
-    op, all_flag, branches = spec
+    return _exec_node(ctx, spec)
 
+
+def _exec_node(ctx: StepContext, node) -> StepResult:
+    """Execute one set-op tree node. Nested children run first as
+    sub-steps (their own count state under `{step_key}.s{i}` — stable
+    across invocations because the tree shape is a pure function of the
+    step SQL), register their changelog as a synthetic view, and the
+    parent consumes them like any updating/append branch."""
+    from dataclasses import replace
+
+    op, all_flag, children = node
+    views = dict(ctx.views)
+    new_wms = dict(ctx.new_wms)
+    branches: list[str] = []
+    for i, child in enumerate(children):
+        if isinstance(child, str):
+            branches.append(child)
+            continue
+        sub_key = f"{ctx.step_key}.s{i}"
+        sub = _exec_node(replace(ctx, step_key=sub_key), child)
+        sub_df = sub.df.drop(
+            *[c for c in sub.df.columns if c.startswith("__")]
+        )
+        vname = "__setop_" + sub_key.replace(".", "_").replace("-", "_")
+        sub_df.createOrReplaceTempView(vname)
+        views[vname] = sub_df
+        new_wms[vname] = sub.watermark
+        cols = ", ".join(f"`{c}`" for c in sub_df.columns)
+        branches.append(f"SELECT {cols} FROM {vname}")
+    return _exec_flat(
+        replace(ctx, views=views, new_wms=new_wms), op, all_flag, branches
+    )
+
+
+def _exec_flat(
+    ctx: StepContext, op: str, all_flag: bool, branches: list[str]
+) -> StepResult:
     known = set(ctx.views)
     branch_dfs, wms = [], []
     any_updating = False
@@ -121,13 +163,26 @@ def execute_setop(ctx: StepContext, sql: str) -> StepResult:
             # UPDATING branch (Flink's set operators consume retraction
             # streams): thread the op tag through the projection so each
             # row contributes a SIGNED count (+1 insert / -1 retract).
-            inner = b
-            if OP_COL not in inner:
+            # The injection decision reads the RESOLVED projection's
+            # columns, not the SQL text — a branch merely mentioning the
+            # op name (aliasing it away) must still get the tag, and a
+            # star expansion must not end up with two op columns.
+            if re.search(
+                r"\*\s*(?:,|$|FROM\b)", C.mask_sql(b), re.IGNORECASE
+            ):
+                raise InvalidQueryError(
+                    "SELECT * over an updating alias in a set-operation "
+                    "branch is ambiguous (the changelog op column would "
+                    "join the value tuple): list the value columns "
+                    "explicitly"
+                )
+            bdf = ctx.spark.sql(rewrite_query(b, watermark=bwm))
+            if OP_COL not in bdf.columns:
                 inner = re.sub(
-                    r"^\s*select\s+", f"SELECT {OP_COL}, ", inner, count=1,
+                    r"^\s*select\s+", f"SELECT {OP_COL}, ", b, count=1,
                     flags=re.IGNORECASE,
                 )
-            bdf = ctx.spark.sql(rewrite_query(inner, watermark=bwm))
+                bdf = ctx.spark.sql(rewrite_query(inner, watermark=bwm))
             sign = (
                 F.when(F.col(OP_COL).isin(1, 2), F.lit(-1))
                 .otherwise(F.lit(1))

@@ -174,6 +174,21 @@ _AVG_AGG_ITEM_RE = re.compile(
     r"^avg\s*\(\s*([`\w.]+)\s*\)\s+(?:AS\s+)?`?(\w+)`?$", re.IGNORECASE
 )
 _AGG_CALL_RE = re.compile(r"\b(sum|count|min|max|avg|stddev|variance|collect_\w+|first|last)\s*\(", re.IGNORECASE)
+# Wider net for "is there ANY aggregate call here" gates (the reject
+# paths): a GROUP BY using an aggregate the mergeable whitelist above
+# doesn't know (median, any_value, percentile_approx, bool_and, ...)
+# must read as an unsupported AGGREGATION, not be misdiagnosed as a
+# no-aggregate GROUP BY (stateful DISTINCT).
+_AGG_CALL_ANY_RE = re.compile(
+    r"\b(sum|count|min|max|avg|stddev\w*|variance|var_pop|var_samp"
+    r"|collect_\w+|first|last|first_value|last_value|median|mode"
+    r"|any_value|percentile\w*|approx_\w+|bool_and|bool_or|every"
+    r"|count_if|kurtosis|skewness|corr|covar_pop|covar_samp"
+    r"|bit_and|bit_or|bit_xor|listagg|string_agg|array_agg"
+    r"|max_by|min_by|histogram_numeric|regr_\w+|hll_\w+|mean|sketch_\w+"
+    r")\s*\(",
+    re.IGNORECASE,
+)
 _MERGE_FN = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 
 
@@ -1041,43 +1056,123 @@ _SETOP_RE = re.compile(
 )
 
 
-def parse_setop(sql: str, known_views: set[str]):
-    """Top-level set-operator split: (op, all_flag, [branch_sqls]) or
-    None. UNION ALL chains return None — they are genuinely stateless
-    (each slice's rows pass through once) and stay on the MAP path with
-    its changelog-union machinery. Everything else (UNION distinct,
-    INTERSECT [ALL], EXCEPT [ALL] / MINUS) needs per-value state across
-    invocations. Scans the parens-masked text so subquery set ops don't
-    match; branch boundaries transfer back to the original string."""
-    masked = mask_sql(sql, parens=True)
-    found = [
+def _strip_outer_parens(s: str) -> str:
+    """Strip enclosing parens only when the FIRST `(` matches the LAST
+    `)` — `(A) UNION (B)` must survive intact. Literal-masked scan."""
+    s = s.strip()
+    while s.startswith("(") and s.endswith(")"):
+        depth = 0
+        for i, ch in enumerate(mask_sql(s)):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and i != len(s) - 1:
+                    return s
+        s = s[1:-1].strip()
+    return s
+
+
+def _top_level_setops(sql: str):
+    """(op_upper, all_flag, start, end) for every set operator at paren
+    depth 0, scanned on the literal-masked text (parens KEPT so the
+    `(SELECT ...)` branch spelling still matches the lookahead)."""
+    masked = mask_sql(sql)
+    depths, d = [], 0
+    for ch in masked:
+        if ch == "(":
+            depths.append(d)
+            d += 1
+        elif ch == ")":
+            d = max(0, d - 1)
+            depths.append(d)
+        else:
+            depths.append(d)
+    return [
         (m.group(1).upper(), bool(m.group(2)), m.start(), m.end())
         for m in _SETOP_RE.finditer(masked)
+        if depths[m.start()] == 0
     ]
+
+
+def parse_setop(sql: str):
+    """Top-level set-operator parse: a NODE `(op, all_flag, [children])`
+    or None. Each child is either a leaf SQL string (a plain branch; may
+    itself be a stateless UNION ALL chain) or a nested node — mixed
+    operators and parenthesized sub-chains decompose recursively with
+    standard SQL precedence (INTERSECT binds tighter than UNION/EXCEPT;
+    equal precedence associates left, Flink/Calcite semantics via
+    planner delegation, TransformEngine.scala:252-262). Consecutive
+    same-operator runs fold n-ary: `(A EXCEPT B) EXCEPT C` =
+    `A EXCEPT (B UNION ALL C)` in count space, `(A ∩ B) ∩ C` and
+    `(A ∪ B) ∪ C` by associativity.
+
+    Pure UNION ALL chains return None — genuinely stateless (each
+    slice's rows pass through once), they stay on the MAP path with its
+    changelog-union machinery. UNION ALL over a STATEFUL sub-chain's
+    result (`A EXCEPT B UNION ALL C`) rejects with the decomposition —
+    the stateless splice would need the sub-chain's changelog as a
+    first-class branch, which is exactly what an aliased step provides."""
+    found = _top_level_setops(sql)
     if not found:
+        stripped = _strip_outer_parens(sql)
+        if stripped != sql.strip() and _top_level_setops(stripped):
+            return parse_setop(stripped)
         return None
-    stateful = [
-        (op, allf) for (op, allf, _, _) in found if not (op == "UNION" and allf)
-    ]
-    if not stateful:
+    if not any(not (op == "UNION" and allf) for (op, allf, _, _) in found):
         return None  # pure UNION ALL chain
-    kinds = {("EXCEPT" if op == "MINUS" else op, allf) for op, allf in stateful}
-    if len(kinds) > 1 or len(stateful) != len(found):
-        raise InvalidQueryError(
-            "mixed set operators in one step are not supported: chain "
-            "one operator per aliased step"
-        )
-    (op, allf), = kinds
-    if re.search(r"\b(ORDER\s+BY|LIMIT)\b", masked, re.IGNORECASE):
+    if re.search(
+        r"\b(ORDER\s+BY|LIMIT)\b", mask_sql(sql, parens=True), re.IGNORECASE
+    ):
         raise InvalidQueryError(
             "ORDER BY / LIMIT on a set-operation step is not supported"
         )
-    branches, pos = [], 0
+    segs, pos = [], 0
     for (_, _, s, e) in found:
-        branches.append(sql[pos:s])
+        segs.append(sql[pos:s])
         pos = e
-    branches.append(sql[pos:])
-    return ("EXCEPT" if op == "MINUS" else op, allf, branches)
+    segs.append(sql[pos:])
+
+    def _operand(seg: str):
+        s = _strip_outer_parens(seg)
+        sub = parse_setop(s)
+        return sub if sub is not None else s
+
+    def _fold(cur, kind: str, allf: bool, nxt):
+        # Extend an n-ary run of the same operator (left-associative
+        # identities above); otherwise nest.
+        if isinstance(cur, tuple) and cur[0] == kind and cur[1] == allf:
+            return (kind, allf, cur[2] + [nxt])
+        return (kind, allf, [cur, nxt])
+
+    # Pass 1 — INTERSECT (higher precedence) binds adjacent operands.
+    red_operands = [_operand(segs[0])]
+    red_ops: list[tuple[str, bool]] = []
+    for (kind, allf, _, _), seg in zip(found, segs[1:]):
+        nxt = _operand(seg)
+        if kind == "INTERSECT":
+            red_operands[-1] = _fold(red_operands[-1], "INTERSECT", allf, nxt)
+        else:
+            red_ops.append(("EXCEPT" if kind == "MINUS" else kind, allf))
+            red_operands.append(nxt)
+    # Pass 2 — UNION / EXCEPT, left-associative.
+    cur = red_operands[0]
+    for (kind, allf), nxt in zip(red_ops, red_operands[1:]):
+        if kind == "UNION" and allf:
+            if isinstance(cur, str) and isinstance(nxt, str):
+                cur = f"{cur} UNION ALL {nxt}"  # stateless splice
+            else:
+                raise InvalidQueryError(
+                    "UNION ALL over a stateful set-operation result in "
+                    "the same step is not supported: put the set "
+                    "operator in its own aliased step and UNION ALL its "
+                    "alias"
+                )
+        else:
+            cur = _fold(cur, kind, allf, nxt)
+    if isinstance(cur, str):  # pragma: no cover — pure-ALL handled above
+        return None
+    return cur
 
 
 def classify(sql: str, known_views: set[str]) -> str:
@@ -1112,7 +1207,7 @@ def classify(sql: str, known_views: set[str]) -> str:
     # Top-level non-UNION-ALL set operators need per-value state across
     # invocations (Flink keeps it in the planner's set-op operators);
     # stateless MAP would pair only same-invocation rows.
-    if parse_setop(sql, known_views) is not None:
+    if parse_setop(sql) is not None:
         return SETOP
     if len(_WINDOW_TVF_RE.findall(sql)) >= 2 and re.search(
         r"\bJOIN\b", sql, re.IGNORECASE
@@ -1202,7 +1297,7 @@ def classify(sql: str, known_views: set[str]) -> str:
         not re.search(r"\bJOIN\b|\bover\s*\(|\bunion\b", sql, re.IGNORECASE)
         and select_count(sql) == 1
         and len(referenced_views(sql, known_views)) == 1
-        and _AGG_CALL_RE.search(sql)
+        and _AGG_CALL_ANY_RE.search(sql)
     ):
         raise InvalidQueryError(
             "unsupported continuous-aggregation shape: windowless stream "
@@ -1220,7 +1315,7 @@ def classify(sql: str, known_views: set[str]) -> str:
         and select_count(sql) == 1
         and len(referenced_views(sql, known_views)) >= 1
         and (
-            _AGG_CALL_RE.search(sql)
+            _AGG_CALL_ANY_RE.search(sql)
             or _GROUP_BY_RE.search(sql)
             or re.match(r"^\s*select\s+distinct\b", sql, re.IGNORECASE)
         )
@@ -1249,7 +1344,7 @@ def classify(sql: str, known_views: set[str]) -> str:
     # running per slice.
     if (
         select_count(sql) == 1
-        and not _AGG_CALL_RE.search(sql)
+        and not _AGG_CALL_ANY_RE.search(sql)
         and not re.search(
             r"\b(join|union|over|having)\b", mask_sql(sql, parens=True),
             re.IGNORECASE,
@@ -1261,10 +1356,13 @@ def classify(sql: str, known_views: set[str]) -> str:
             if group_by_distinct_sql(sql) is not None:
                 return DISTINCT
             raise InvalidQueryError(
-                "GROUP BY without aggregates is stateful DISTINCT; only "
-                "the plain-column form whose select list equals the "
-                "group keys is supported (spell other shapes as SELECT "
-                "DISTINCT over a projection step)"
+                "unsupported GROUP BY shape: with no recognized aggregate "
+                "call this is stateful DISTINCT, supported only in the "
+                "plain-column form whose select list equals the group "
+                "keys (spell other shapes as SELECT DISTINCT over a "
+                "projection step); if the query DOES aggregate, the "
+                "aggregate function is not one the streaming engine "
+                "recognizes"
             )
     return MAP
 

@@ -53,10 +53,12 @@ Rewrites:
   ... AS u (c1, c2, ...)               -> LATERAL VIEW inline(arr) u AS c1,..
     (Flink's UNNEST over an array of rows flattens the row fields into
     columns; Spark's inline() is the same operation. UNNEST over a MAP —
-    also two columns in Flink — is indistinguishable syntactically and
-    inline() will reject it at analysis; spell map flattening as
-    explode(map) directly. WITH ORDINALITY and alias-less UNNEST reject
-    loudly below.)
+    also two columns in Flink — is syntactically identical, so the
+    two-column form resolves the argument's type against the registered
+    view schemas and emits explode(map) -> (key, value) when it is a MAP
+    column; complex non-column map expressions still fall to inline()
+    and should be spelled as explode(map) directly. WITH ORDINALITY and
+    alias-less UNNEST reject loudly below.)
 
 Temporal rewrites target the `<name>__versions` views the transform engine
 registers for declared temporal tables (operators/asof_join.py): each
@@ -460,21 +462,81 @@ _UNNEST_TAIL_RE = re.compile(
 _UNNEST_ON_TRUE_RE = re.compile(r"\s*ON\s+TRUE\b", re.IGNORECASE)
 
 
+def _unnest_expr_is_map(sql: str, expr: str) -> bool:
+    """Best-effort: does the UNNEST argument resolve to a MAP column?
+    Handles the `[alias.]column` form against the registered temp views
+    named in this query's FROM/JOIN clauses (resolved via the ACTIVE
+    SparkSession, so no signature threading); anything unresolvable says
+    False and the caller keeps the array-of-rows inline() emission."""
+    em = re.match(
+        r"^\s*(?:`?(\w+)`?\s*\.\s*)?`?(\w+)`?\s*$", expr
+    )
+    if not em:
+        return False
+    qual, col = em.group(1), em.group(2)
+    try:
+        from pyspark.sql import SparkSession
+        from pyspark.sql.types import MapType
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            return False
+        from .classify import mask_sql
+
+        tables: dict[str, str] = {}
+        for tm in re.finditer(
+            r"\b(?:FROM|JOIN)\s+`?(\w+)`?(?:\s+(?:AS\s+)?`?(\w+)`?)?",
+            mask_sql(sql),
+            re.IGNORECASE,
+        ):
+            name, alias = tm.group(1), tm.group(2)
+            if alias and alias.upper() in (
+                "CROSS", "LEFT", "RIGHT", "FULL", "INNER", "JOIN", "ON",
+                "WHERE", "GROUP", "ORDER", "LATERAL", "UNNEST",
+            ):
+                alias = None
+            tables[(alias or name)] = name
+        candidates = (
+            [tables[qual]] if qual and qual in tables
+            else ([] if qual else list(dict.fromkeys(tables.values())))
+        )
+        for t in candidates:
+            try:
+                schema = spark.table(t).schema
+            except Exception:
+                continue
+            if col in schema.names and isinstance(
+                schema[col].dataType, MapType
+            ):
+                return True
+    except Exception:
+        return False
+    return False
+
+
 def _rewrite_unnest(sql: str) -> str:
     """Flink's array-expanding UNNEST -> Spark's LATERAL VIEW.
 
     `FROM t CROSS JOIN UNNEST(t.arr) AS u (x)` (or the comma spelling)
     becomes `FROM t LATERAL VIEW explode(t.arr) u AS x`; the LEFT JOIN
     ... ON TRUE spelling (Flink's keep-empty-arrays form) becomes
-    LATERAL VIEW OUTER. A multi-column alias list — Flink's UNNEST over
-    an array of rows — maps to inline(), Spark's row-flattening twin.
+    LATERAL VIEW OUTER. A two-column alias list is Flink's UNNEST over
+    an array of rows OR over a MAP — syntactically identical; when the
+    argument resolves to a MAP column against the registered view
+    schemas it maps to explode() (Spark's map flattening yields the
+    key/value pair), otherwise to inline(), Spark's row-flattening twin.
     Both clauses occupy the same syntactic slot (immediately after the
-    driving table reference), so the rewrite is positional. Reference
-    surface via Flink planner delegation (TransformEngine.scala:252-262
-    hands the full query text to the Flink parser, which accepts UNNEST).
+    driving table reference), so the rewrite is positional. Occurrences
+    are located on the literal-masked text so 'CROSS JOIN UNNEST(...)'
+    INSIDE a string literal is never rewritten (positions transfer 1:1
+    back to the original). Reference surface via Flink planner
+    delegation (TransformEngine.scala:252-262 hands the full query text
+    to the Flink parser, which accepts UNNEST).
     """
+    from .classify import mask_sql
+
     while True:
-        m = _UNNEST_LEAD_RE.search(sql)
+        m = _UNNEST_LEAD_RE.search(mask_sql(sql))
         if not m:
             return sql
         lead = m.group(1)
@@ -517,7 +579,12 @@ def _rewrite_unnest(sql: str) -> str:
                     "LEFT JOIN UNNEST requires the literal ON TRUE"
                 )
             rest = rest[on_true.end() :]
-        fn = "explode" if len(cols) == 1 else "inline"
+        if len(cols) == 1:
+            fn = "explode"
+        elif len(cols) == 2 and _unnest_expr_is_map(sql, expr):
+            fn = "explode"  # map flattening: (key, value) pair
+        else:
+            fn = "inline"
         replacement = (
             f" LATERAL VIEW{' OUTER' if outer else ''} {fn}({expr}) "
             f"{alias} AS {', '.join(cols)}"

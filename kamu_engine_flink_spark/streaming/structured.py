@@ -1806,6 +1806,17 @@ def _setop_fn(op: str, all_flag: bool):
     per row; CHANGELOG inputs (rows carrying an op column) contribute
     signed counts (+1 op 0/3, -1 op 1/2 — the batch executor's updating
     branches), with a loud negative-count guard."""
+    op = "EXCEPT" if op == "MINUS" else op
+    if op not in ("UNION", "INTERSECT", "EXCEPT"):
+        raise ValueError(f"unknown set operator {op!r}")
+    if op == "UNION" and all_flag:
+        # UNION ALL is stateless pass-through — it has no business in
+        # this per-value count kernel, and silently computing UNION
+        # DISTINCT for it would be a wrong answer.
+        raise ValueError(
+            "UNION ALL is stateless: union the streams directly instead "
+            "of routing through the stateful set-operation kernel"
+        )
 
     def live(l: int, r: int) -> int:
         if op == "UNION":

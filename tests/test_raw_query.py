@@ -303,6 +303,40 @@ def test_raw_query_unnest(spark, tmp_path):
     assert rows == [("AB", "A"), ("AB", "B"), ("C", "C")]
 
 
+def test_raw_query_unnest_map(spark, tmp_path):
+    """UNNEST over a MAP column on the raw-query path: the two-column
+    alias resolves the input view's schema and emits explode(map) —
+    (key, value) rows; empty maps drop under the inner form."""
+    import pyarrow as pa
+
+    from .helpers import write_input_slice
+
+    in_path = str(tmp_path / "input.parquet")
+    write_input_slice(
+        in_path,
+        {
+            "event_time": [ts(1), ts(2)],
+            "symbol": ["A", "B"],
+            "attrs": [[("x", 1), ("y", 2)], []],
+        },
+        {
+            "event_time": pa.timestamp("ms", tz="UTC"),
+            "symbol": pa.string(),
+            "attrs": pa.map_(pa.string(), pa.int64()),
+        },
+    )
+    query = (
+        "SELECT event_time, symbol, u.k AS k, u.v AS v FROM input "
+        "CROSS JOIN UNNEST(attrs) AS u (k, v)"
+    )
+    resp, out = _raw(spark, tmp_path, query, in_path)
+    assert resp.num_records == 2
+    rows = sorted(
+        (r["symbol"], r["k"], r["v"]) for r in pq.read_table(out).to_pylist()
+    )
+    assert rows == [("A", "x", 1), ("A", "y", 2)]
+
+
 def test_raw_query_setop(spark, tmp_path):
     """Batch INTERSECT/EXCEPT on the raw-query path pass straight through
     to Spark SQL (one bounded input, no cross-invocation state needed)."""

@@ -74,19 +74,56 @@ def test_classification():
     assert classify("SELECT x FROM a UNION SELECT x FROM b", views) == SETOP
     assert classify("SELECT x FROM a UNION ALL SELECT x FROM b", views) == "map"
     op, allf, branches = parse_setop(
-        "SELECT x FROM a EXCEPT ALL SELECT x FROM b EXCEPT ALL SELECT x FROM c",
-        views,
+        "SELECT x FROM a EXCEPT ALL SELECT x FROM b EXCEPT ALL SELECT x FROM c"
     )
     assert (op, allf, len(branches)) == ("EXCEPT", True, 3)
-    with pytest.raises(InvalidQueryError, match="mixed"):
-        parse_setop(
-            "SELECT x FROM a UNION SELECT x FROM b INTERSECT SELECT x FROM c",
-            views,
-        )
     with pytest.raises(InvalidQueryError, match="ORDER BY"):
+        parse_setop("SELECT x FROM a INTERSECT SELECT x FROM b ORDER BY x")
+
+
+def test_mixed_chain_parse_tree():
+    # Standard SQL precedence: INTERSECT binds tighter; UNION/EXCEPT
+    # associate left. Mixed chains decompose into nested nodes instead
+    # of rejecting (Flink's planner nests them freely).
+    assert parse_setop(
+        "SELECT x FROM a UNION SELECT x FROM b INTERSECT SELECT x FROM c"
+    ) == (
+        "UNION",
+        False,
+        ["SELECT x FROM a", ("INTERSECT", False, ["SELECT x FROM b", "SELECT x FROM c"])],
+    )
+    assert parse_setop(
+        "SELECT x FROM a UNION SELECT x FROM b EXCEPT SELECT x FROM c"
+    ) == (
+        "EXCEPT",
+        False,
+        [("UNION", False, ["SELECT x FROM a", "SELECT x FROM b"]), "SELECT x FROM c"],
+    )
+    # Parenthesized sub-chains override precedence.
+    assert parse_setop(
+        "SELECT x FROM a EXCEPT (SELECT x FROM b UNION SELECT x FROM c)"
+    ) == (
+        "EXCEPT",
+        False,
+        ["SELECT x FROM a", ("UNION", False, ["SELECT x FROM b", "SELECT x FROM c"])],
+    )
+    # UNION ALL splices stateless leaves; over a stateful result it
+    # rejects with the decomposition.
+    assert parse_setop(
+        "SELECT x FROM a UNION ALL SELECT x FROM b EXCEPT SELECT x FROM c"
+    ) == (
+        "EXCEPT",
+        False,
+        ["SELECT x FROM a UNION ALL SELECT x FROM b", "SELECT x FROM c"],
+    )
+    with pytest.raises(InvalidQueryError, match="UNION ALL over a stateful"):
         parse_setop(
-            "SELECT x FROM a INTERSECT SELECT x FROM b ORDER BY x", views
+            "SELECT x FROM a EXCEPT SELECT x FROM b UNION ALL SELECT x FROM c"
         )
+    # MINUS normalizes to EXCEPT; same-op runs stay n-ary flat.
+    assert parse_setop(
+        "SELECT x FROM a MINUS SELECT x FROM b MINUS SELECT x FROM c"
+    ) == ("EXCEPT", False, ["SELECT x FROM a", "SELECT x FROM b", "SELECT x FROM c"])
 
 
 def test_intersect_pairs_across_invocations(spark, tmp_path):
@@ -475,6 +512,165 @@ def test_setop_random_brute_force(spark, tmp_path, setop, allf):
         assert got == expected, (
             f"{setop} inv {inv}: got {dict(got)} expected {dict(expected)} "
             f"(ca={dict(ca)}, cb={dict(cb)})"
+        )
+
+
+def _three_input_runner(spark, tmp_path, setop_sql):
+    return TransformRunner(
+        spark,
+        str(tmp_path),
+        [
+            (setop_sql, "sv"),
+            (
+                "SELECT cast(now() as timestamp(3)) as event_time, "
+                "symbol FROM sv",
+                None,
+            ),
+        ],
+    )
+
+
+def _run3(runner, tmp_path, inv, a_rows, b_rows, c_rows, st):
+    inputs = []
+    for alias, rows in (("a", a_rows), ("b", b_rows), ("c", c_rows)):
+        p = _slices(tmp_path, f"m{alias}{inv}", rows)
+        inputs.append(
+            {"alias": alias, "schema_file": p,
+             "data_paths": [p] if rows else [],
+             "watermark": max(r[3] for r in rows) if rows else None}
+        )
+    _, out = runner.run(inputs, system_time=st)
+    return out
+
+
+def test_mixed_chain_union_except_cross_invocation(spark, tmp_path):
+    """`A UNION B EXCEPT C` decomposes into a stateful UNION sub-step
+    whose changelog feeds the outer EXCEPT: a value that joined the
+    union in invocation 1 retracts when the subtrahend carries it in
+    invocation 2 — and a subtrahend-first value never emits."""
+    runner = _three_input_runner(
+        spark, tmp_path,
+        "SELECT symbol FROM a UNION SELECT symbol FROM b "
+        "EXCEPT SELECT symbol FROM c",
+    )
+    out1 = _run3(
+        runner, tmp_path, 1,
+        [(0, 0, ts(1), ts(1, 1), "A", 1.0)],
+        [(0, 0, ts(1), ts(1, 1), "B", 1.0)],
+        [(0, 0, ts(1), ts(1, 1), "B", 1.0)],
+        st=ts(2),
+    )
+    assert _read(spark, out1) == [(0, "A")]
+    # C arrives for A -> retraction; B arrives again on `a` -> still
+    # suppressed (subtrahend holds it); D enters via `b` -> insert.
+    out2 = _run3(
+        runner, tmp_path, 2,
+        [(1, 0, ts(3), ts(3, 1), "B", 1.0)],
+        [(1, 0, ts(3), ts(3, 1), "D", 1.0)],
+        [(1, 0, ts(3), ts(3, 1), "A", 1.0)],
+        st=ts(4),
+    )
+    assert _read(spark, out2) == [(0, "D"), (1, "A")]
+
+
+def test_mixed_chain_parenthesized_intersect(spark, tmp_path):
+    """`(A UNION B) INTERSECT C` — the parenthesized union is the
+    nested node; intersection requires presence on BOTH the union's
+    live set and `c`, across invocations."""
+    runner = _three_input_runner(
+        spark, tmp_path,
+        "(SELECT symbol FROM a UNION SELECT symbol FROM b) "
+        "INTERSECT SELECT symbol FROM c",
+    )
+    out1 = _run3(
+        runner, tmp_path, 1,
+        [(0, 0, ts(1), ts(1, 1), "A", 1.0)],
+        [(0, 0, ts(1), ts(1, 1), "B", 1.0)],
+        [(0, 0, ts(1), ts(1, 1), "B", 1.0)],
+        st=ts(2),
+    )
+    assert _read(spark, out1) == [(0, "B")]
+    # A's counterpart arrives on c one invocation later: stateful pair.
+    out2 = _run3(
+        runner, tmp_path, 2,
+        [], [],
+        [(1, 0, ts(3), ts(3, 1), "A", 1.0)],
+        st=ts(4),
+    )
+    assert _read(spark, out2) == [(0, "A")]
+
+
+def test_mixed_chain_fold_to_batch_law(spark, tmp_path):
+    """Slicing law for the mixed chain: folding the op-0/op-1 changelog
+    of `A UNION B EXCEPT C` across 3 invocations of random slices
+    equals the one-shot batch evaluation over the full inputs."""
+    import random
+
+    rng = random.Random(31)
+    mk = lambda n, tag: [
+        (i, 0, ts(1), ts(1, 1, i % 59), f"S{rng.randrange(14)}", 1.0)
+        for i in range(n)
+    ]
+    a_rows, b_rows, c_rows = mk(30, "a"), mk(24, "b"), mk(18, "c")
+    runner = _three_input_runner(
+        spark, tmp_path,
+        "SELECT symbol FROM a UNION SELECT symbol FROM b "
+        "EXCEPT SELECT symbol FROM c",
+    )
+    folded: dict[str, int] = {}
+    cuts = [(0, 10, 8, 5), (10, 20, 16, 12), (20, 30, 24, 18)]
+    prev = (0, 0, 0)
+    for inv, (_, ca, cb, cc) in enumerate(cuts):
+        asl = [(o,) + r[1:] for o, r in enumerate(a_rows[prev[0]:ca])]
+        bsl = [(o,) + r[1:] for o, r in enumerate(b_rows[prev[1]:cb])]
+        csl = [(o,) + r[1:] for o, r in enumerate(c_rows[prev[2]:cc])]
+        prev = (ca, cb, cc)
+        out = _run3(runner, tmp_path, inv + 1, asl, bsl, csl, st=ts(2 + inv))
+        for op, sym in _read(spark, out):
+            folded[sym] = folded.get(sym, 0) + (1 if op == 0 else -1)
+    assert all(n in (0, 1) for n in folded.values())
+    live = sorted(s for s, n in folded.items() if n > 0)
+    ab = {r[4] for r in a_rows} | {r[4] for r in b_rows}
+    c_syms = {r[4] for r in c_rows}
+    assert live == sorted(ab - c_syms)
+
+
+def test_setop_star_over_updating_branch_rejects(spark, tmp_path):
+    """SELECT * over an updating alias in a set-op branch is ambiguous
+    (the changelog op column would join the value tuple) — loud reject,
+    not a raw Spark ambiguity error."""
+    runner = TransformRunner(
+        spark,
+        str(tmp_path),
+        [
+            (
+                "SELECT cast(now() as timestamp(3)) as event_time, "
+                "symbol, count(*) as n FROM a GROUP BY symbol",
+                "ag",
+            ),
+            (
+                "SELECT * FROM ag "
+                "EXCEPT SELECT symbol, cast(price as bigint) FROM b",
+                "sv",
+            ),
+            (
+                "SELECT cast(now() as timestamp(3)) as event_time, "
+                "symbol FROM sv",
+                None,
+            ),
+        ],
+    )
+    a = _slices(tmp_path, "sa", [(0, 0, ts(1), ts(1, 1), "A", 1.0)])
+    b = _slices(tmp_path, "sb", [(0, 0, ts(1), ts(1, 1), "A", 1.0)])
+    with pytest.raises(InvalidQueryError, match="list the value columns"):
+        runner.run(
+            [
+                {"alias": "a", "schema_file": a, "data_paths": [a],
+                 "watermark": ts(1, 1)},
+                {"alias": "b", "schema_file": b, "data_paths": [b],
+                 "watermark": ts(1, 1)},
+            ],
+            system_time=ts(2),
         )
 
 

@@ -39,6 +39,45 @@ def test_unnest_rewrites():
     assert "LATERAL VIEW inline(e.rows) u AS f1, f2" in out
 
 
+def test_unnest_inside_string_literal_untouched():
+    """Occurrences are located on the literal-masked text: UNNEST text
+    inside a string literal must be neither rewritten nor treated as a
+    missing-alias error (ADVICE r9: the raw-text scan corrupted it)."""
+    sql = (
+        "SELECT 'CROSS JOIN UNNEST(x) AS u (x)' AS s, event_time FROM e"
+    )
+    assert rewrite_query(sql) == sql
+    sql2 = "SELECT ', UNNEST(arr)' AS s, event_time FROM e"
+    assert rewrite_query(sql2) == sql2
+
+
+def test_unnest_map_rewrite_resolution(spark):
+    """A two-column UNNEST alias over a MAP column resolves against the
+    registered view schema and emits explode() (key/value), not
+    inline(); an array-of-rows column keeps inline()."""
+    spark.sql(
+        "SELECT 'A' AS symbol, map('k', 1) AS attrs, "
+        "array(named_struct('f1', 1, 'f2', 2)) AS pairs"
+    ).createOrReplaceTempView("mapv")
+    try:
+        out = rewrite_query(
+            "SELECT u.k, u.v FROM mapv CROSS JOIN UNNEST(attrs) AS u (k, v)"
+        )
+        assert "LATERAL VIEW explode(attrs) u AS k, v" in out
+        # qualified spelling resolves through the FROM alias
+        out = rewrite_query(
+            "SELECT u.k, u.v FROM mapv m CROSS JOIN UNNEST(m.attrs) AS u (k, v)"
+        )
+        assert "LATERAL VIEW explode(m.attrs) u AS k, v" in out
+        # array-of-rows stays inline
+        out = rewrite_query(
+            "SELECT u.f1, u.f2 FROM mapv CROSS JOIN UNNEST(pairs) AS u (f1, f2)"
+        )
+        assert "LATERAL VIEW inline(pairs) u AS f1, f2" in out
+    finally:
+        spark.catalog.dropTempView("mapv")
+
+
 def test_unnest_rejects():
     with pytest.raises(InvalidQueryError, match="ORDINALITY"):
         rewrite_query(
@@ -162,6 +201,99 @@ def test_unnest_left_join_on_true_keeps_empty(spark, tmp_path):
         for r in spark.read.parquet(out_path).collect()
     )
     assert rows == [("A", "x"), ("A", "y"), ("B", None)]
+
+
+def _attrs_slice(path, rows):
+    """rows: (offset, op, system_time, event_time, symbol, attrs) where
+    attrs is a list of (key, value) pairs, [] for empty, None for NULL."""
+    cols = list(zip(*rows)) if rows else [[]] * 6
+    write_input_slice(
+        path,
+        {
+            "offset": list(cols[0]),
+            "op": list(cols[1]),
+            "system_time": list(cols[2]),
+            "event_time": list(cols[3]),
+            "symbol": list(cols[4]),
+            "attrs": list(cols[5]),
+        },
+        {
+            "offset": pa.int64(),
+            "op": pa.int32(),
+            "system_time": pa.timestamp("ms", tz="UTC"),
+            "event_time": pa.timestamp("ms", tz="UTC"),
+            "symbol": pa.string(),
+            "attrs": pa.map_(pa.string(), pa.int64()),
+        },
+    )
+
+
+def test_unnest_map_transform(spark, tmp_path):
+    """CROSS JOIN UNNEST over a MAP column in a transform step: one row
+    per entry; empty and NULL maps drop (inner semantics)."""
+    slice1 = str(tmp_path / "in" / "s1.parquet")
+    _attrs_slice(
+        slice1,
+        [
+            (0, 0, ts(1), ts(1, 1), "A", [("x", 1), ("y", 2)]),
+            (1, 0, ts(1), ts(1, 2), "B", []),
+            (2, 0, ts(1), ts(1, 3), "C", None),
+        ],
+    )
+    runner = TransformRunner(
+        spark,
+        str(tmp_path),
+        [
+            (
+                "SELECT event_time, symbol, u.k AS k, u.v AS v FROM tickers "
+                "CROSS JOIN UNNEST(attrs) AS u (k, v)",
+                None,
+            )
+        ],
+    )
+    _, out_path = runner.run(
+        [{"alias": "tickers", "schema_file": slice1, "data_paths": [slice1],
+          "watermark": ts(1, 3)}],
+        system_time=ts(2),
+    )
+    rows = sorted(
+        (r.symbol, r.k, r.v) for r in spark.read.parquet(out_path).collect()
+    )
+    assert rows == [("A", "x", 1), ("A", "y", 2)]
+
+
+def test_unnest_map_left_join_keeps_empty(spark, tmp_path):
+    """LEFT JOIN UNNEST(map) ON TRUE: rows with empty/NULL maps survive
+    with NULL key/value (Flink's ON TRUE contract, LATERAL VIEW OUTER)."""
+    slice1 = str(tmp_path / "in" / "s1.parquet")
+    _attrs_slice(
+        slice1,
+        [
+            (0, 0, ts(1), ts(1, 1), "A", [("x", 1)]),
+            (1, 0, ts(1), ts(1, 2), "B", []),
+            (2, 0, ts(1), ts(1, 3), "C", None),
+        ],
+    )
+    runner = TransformRunner(
+        spark,
+        str(tmp_path),
+        [
+            (
+                "SELECT event_time, symbol, u.k AS k, u.v AS v FROM tickers "
+                "LEFT JOIN UNNEST(attrs) AS u (k, v) ON TRUE",
+                None,
+            )
+        ],
+    )
+    _, out_path = runner.run(
+        [{"alias": "tickers", "schema_file": slice1, "data_paths": [slice1],
+          "watermark": ts(1, 3)}],
+        system_time=ts(2),
+    )
+    rows = sorted(
+        (r.symbol, r.k, r.v) for r in spark.read.parquet(out_path).collect()
+    )
+    assert rows == [("A", "x", 1), ("B", None, None), ("C", None, None)]
 
 
 def test_unnest_array_of_rows_inline(spark, tmp_path):
