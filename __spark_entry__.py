@@ -3792,6 +3792,120 @@ def setop_except_all_three_way(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def setop_mixed_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIXED-operator set-op chain in ONE step — `purchases UNION clicks
+    EXCEPT signups` (operators/setop_step._exec_node; Flink's planner
+    nests set operators freely, reference surface via planner
+    delegation, TransformEngine.scala:252-262): parse_setop returns the
+    precedence-correct tree (UNION/EXCEPT associate left), the inner
+    UNION runs as its own stateful sub-step whose append stream feeds
+    the outer EXCEPT's branch-0 counts, and signups arriving in a LATER
+    invocation retract earlier emissions (op 1). Two chained ODF
+    invocations; the oracle replays both cumulative set algebras and
+    diffs them per invocation. Per node: one single-shuffle fingerprint
+    groupBy + one bucketed state merge; state O(distinct tuples) per
+    node — scales."""
+    import tempfile
+
+    _conf(spark)
+    workdir = tempfile.mkdtemp(prefix="setopmix-entry-")
+    slices = {
+        name: _ledger_slices(
+            spark, _events_ledger(spark, sf_dir, et), workdir, name, 2
+        )
+        for name, et in (
+            ("purchases", "purchase"), ("clicks", "click"), ("signups", "signup"),
+        )
+    }
+    steps = [
+        (
+            f"SELECT {_SETOP_TUPLE} FROM purchases "
+            f"UNION SELECT {_SETOP_TUPLE} FROM clicks "
+            f"EXCEPT SELECT {_SETOP_TUPLE} FROM signups",
+            "mv",
+        ),
+        (
+            "SELECT cast(now() as timestamp(3)) as event_time, "
+            "user_id, vb FROM mv",
+            None,
+        ),
+    ]
+    per_inv = [
+        [(name, *slices[name][i]) for name in ("purchases", "clicks", "signups")]
+        for i in range(2)
+    ]
+    outs = _run_odf_invocations(spark, steps, per_inv, workdir, "setopmix")
+    parts = [
+        spark.read.parquet(path).select(
+            F.lit(inv).cast("int").alias("inv"),
+            F.col("op").cast("int").alias("op"),
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("vb").cast("long").alias("vb"),
+        )
+        for inv, path in outs
+    ]
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out
+
+
+def odf_transform_unnest_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNNEST over a MAP column inside a transform MAP step
+    (plans/dialect._rewrite_unnest two-column resolution; Flink's
+    UNNEST(map) yields the key/value pair, syntactically identical to
+    the array-of-rows form — the rewrite resolves the column's type
+    against the registered view schema and emits explode(map)): each
+    non-error event carries a two-entry attrs map ('t' -> event_type,
+    'u' -> user_id mod 10) and expands into two rows; error events
+    carry an EMPTY map and survive the LEFT JOIN .. ON TRUE spelling
+    with NULL key/value (LATERAL VIEW OUTER explode). Two chained ODF
+    invocations over event_id%2 slices. Stateless codegen row
+    expansion, zero shuffles — scales."""
+    import tempfile
+
+    _conf(spark)
+    workdir = tempfile.mkdtemp(prefix="unnestmap-entry-")
+    e = _t(spark, sf_dir, "events")
+    ledger = e.select(
+        F.col("event_id").alias("offset"),
+        F.lit(0).cast("int").alias("op"),
+        F.to_timestamp(F.lit("2020-01-01 00:00:00")).alias("system_time"),
+        F.col("ts").alias("event_time"),
+        "user_id",
+        F.when(F.col("event_type") == "error", F.expr("map()"))
+        .otherwise(
+            F.create_map(
+                F.lit("t"), F.col("event_type"),
+                F.lit("u"), (F.col("user_id") % 10).cast("string"),
+            )
+        )
+        .alias("attrs"),
+    )
+    slices = _ledger_slices(spark, ledger, workdir, "events", 2)
+    sql = (
+        "SELECT event_time, user_id, u.k AS k, u.v AS v FROM events "
+        "LEFT JOIN UNNEST(attrs) AS u (k, v) ON TRUE"
+    )
+    outs = _run_odf_invocations(
+        spark, sql, [[("events", p, wm)] for p, wm in slices], workdir,
+        "unnestmap",
+    )
+    parts = [
+        spark.read.parquet(path).select(
+            F.lit(inv).cast("int").alias("inv"),
+            F.col("user_id").cast("long").alias("user_id"),
+            "k",
+            "v",
+        )
+        for inv, path in outs
+    ]
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out
+
+
 _ASOF_BAND = "2024-01-16 00:00:00"
 
 
@@ -4136,15 +4250,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ALL entries locally every round and the run is committed as
     # CROSSCHECK_r{N}.txt.
     return {
-        # ROUND-9 ROTATION: first 50 = 10 new round-9 operators (the
-        # updating-probe as-of, MATCH_RECOGNIZE exclusions, UNNEST, the
-        # set-op pair, and five oracle-backed streaming twins) + the
-        # 21-entry r05/r06-cohort tail that missed round 8's 50-row cap
-        # + the head of the r07-checked block (driver rows last
-        # seen round 7). The r08-checked blocks rotate behind and are
-        # due again round 10. All entries are verified locally
-        # every round via tools/crosscheck.py (CROSSCHECK_r09.txt).
-        # --- due their FIRST driver row: round-9's new operators ---
+        # ROUND-10 ROTATION: first 50 = the new round-10 operators (the
+        # mixed set-op chain, UNNEST over MAP, the streaming window-join
+        # twin) + the blocks last checked by the driver in ROUND 8 (the
+        # round-8 operators and the r05/r06 cohort head) — the oldest
+        # driver rows in the registry. The round-9-checked blocks rotate
+        # behind and are due again round 11. All entries are verified
+        # locally every round via tools/crosscheck.py (CROSSCHECK_r10.txt).
+        # --- due their FIRST driver row: round-10's new operators ---
+        "setop_mixed_chain": setop_mixed_chain,
+        "odf_transform_unnest_map": odf_transform_unnest_map,
+        # --- round-8 operators, driver rows last seen r08: due now ---
+        "changelog_asof_rates": changelog_asof_rates,
+        "similarity_lsh_incremental": similarity_lsh_incremental,
+        "similarity_ivf_incremental": similarity_ivf_incremental,
+        "similarity_pq_incremental": similarity_pq_incremental,
+        "multi_asof_two_rates": multi_asof_two_rates,
+        # --- r05/r06 cohort head, driver rows last seen r08: due now
+        #     (the last couple spill past the 50 cap to round 11) ---
+        "stratified_sample_documents": stratified_sample_documents,
+        "term_doc_frequency": term_doc_frequency,
+        "embedding_centroids_by_label": embedding_centroids_by_label,
+        "median_price_by_status": median_price_by_status,
+        "split_train_val_test": split_train_val_test,
+        "sequence_packing_bins": sequence_packing_bins,
+        "agg_salted_user_value": agg_salted_user_value,
+        "pivot_segment_status": pivot_segment_status,
+        "groupingsets_status_priority": groupingsets_status_priority,
+        "stats_moments_by_type": stats_moments_by_type,
+        "topn_orders_per_customer": topn_orders_per_customer,
+        "asof_join_purchase_value": asof_join_purchase_value,
+        "interval_join_clicks": interval_join_clicks,
+        "dedup_exact_documents": dedup_exact_documents,
+        "dedup_fingerprint_documents": dedup_fingerprint_documents,
+        "json_extract_events": json_extract_events,
+        "changelog_join_three_way": changelog_join_three_way,
+        "changelog_join_left_over_updating": changelog_join_left_over_updating,
+        "changelog_minmax_agg": changelog_minmax_agg,
+        "window_cumulate_6h": window_cumulate_6h,
+        "inverted_index_documents": inverted_index_documents,
+        "random_projection_embeddings": random_projection_embeddings,
+        "flink_scalar_functions_events": flink_scalar_functions_events,
+        "window_monthly_orders": window_monthly_orders,
+        "unbounded_agg_changelog_events": unbounded_agg_changelog_events,
+        "regular_join_full_changelog": regular_join_full_changelog,
+        "regular_join_purchases_clicks": regular_join_purchases_clicks,
+        "match_recognize_dip_spike_events": match_recognize_dip_spike_events,
+        "dedup_keep_last_events": dedup_keep_last_events,
+        "over_agg_rolling_value_events": over_agg_rolling_value_events,
+        "window_topn_daily_users": window_topn_daily_users,
+        "funnel_view_click_purchase": funnel_view_click_purchase,
+        "retention_cohorts_events": retention_cohorts_events,
+        "similarity_pq_topk": similarity_pq_topk,
+        "bigram_lm_score_documents": bigram_lm_score_documents,
+        "quality_classifier_documents": quality_classifier_documents,
+        "dedup_segments_documents": dedup_segments_documents,
+        "semantic_dedup_embeddings": semantic_dedup_embeddings,
+        "training_shards_documents": training_shards_documents,
+        "mixture_sample_documents": mixture_sample_documents,
+        "curriculum_bins_documents": curriculum_bins_documents,
+        "duplicate_ngram_spans_documents": duplicate_ngram_spans_documents,
+        "changelog_diff_customers": changelog_diff_customers,
+        "changelog_snapshot_customers": changelog_snapshot_customers,
+        "kmeans_clusters_embeddings": kmeans_clusters_embeddings,
+        # --- round-9 operators, checked r09: rotate behind (due r11) ---
         "changelog_asof_updating_probe": changelog_asof_updating_probe,
         "streaming_changelog_topn_twin": streaming_changelog_topn_twin,
         "match_recognize_exclusion_events": match_recognize_exclusion_events,
@@ -4228,62 +4397,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_excess_suppliers": q20_excess_suppliers,
         "q21_waiting_suppliers": q21_waiting_suppliers,
         "q22_lapsed_customers": q22_lapsed_customers,
-        # --- round-8 operators (checked r08, due round 10) ---
-        "changelog_asof_rates": changelog_asof_rates,
-        "similarity_lsh_incremental": similarity_lsh_incremental,
-        "similarity_ivf_incremental": similarity_ivf_incremental,
-        "similarity_pq_incremental": similarity_pq_incremental,
-        "multi_asof_two_rates": multi_asof_two_rates,
-        # --- r05/r06 cohort head, checked green r08: due round 10+ ---
-        # (orig note) --- r05-remainder + r06-checked cohort, due re-check (first 46
-        #     fit the 50 cap; the ~20 tail entries take the 3-round slot
-        #     the 120-entry registry forces at 50 rows/round — all 120 are
-        #     backstopped by the committed CROSSCHECK_r08) ---
-        "stratified_sample_documents": stratified_sample_documents,
-        "term_doc_frequency": term_doc_frequency,
-        "embedding_centroids_by_label": embedding_centroids_by_label,
-        "median_price_by_status": median_price_by_status,
-        "split_train_val_test": split_train_val_test,
-        "sequence_packing_bins": sequence_packing_bins,
-        "agg_salted_user_value": agg_salted_user_value,
-        "pivot_segment_status": pivot_segment_status,
-        "groupingsets_status_priority": groupingsets_status_priority,
-        "stats_moments_by_type": stats_moments_by_type,
-        "topn_orders_per_customer": topn_orders_per_customer,
-        "asof_join_purchase_value": asof_join_purchase_value,
-        "interval_join_clicks": interval_join_clicks,
-        "dedup_exact_documents": dedup_exact_documents,
-        "dedup_fingerprint_documents": dedup_fingerprint_documents,
-        "json_extract_events": json_extract_events,
-        "changelog_join_three_way": changelog_join_three_way,
-        "changelog_join_left_over_updating": changelog_join_left_over_updating,
-        "changelog_minmax_agg": changelog_minmax_agg,
-        "window_cumulate_6h": window_cumulate_6h,
-        "inverted_index_documents": inverted_index_documents,
-        "random_projection_embeddings": random_projection_embeddings,
-        "flink_scalar_functions_events": flink_scalar_functions_events,
-        "window_monthly_orders": window_monthly_orders,
-        "unbounded_agg_changelog_events": unbounded_agg_changelog_events,
-        "regular_join_full_changelog": regular_join_full_changelog,
-        "regular_join_purchases_clicks": regular_join_purchases_clicks,
-        "match_recognize_dip_spike_events": match_recognize_dip_spike_events,
-        "dedup_keep_last_events": dedup_keep_last_events,
-        "over_agg_rolling_value_events": over_agg_rolling_value_events,
-        "window_topn_daily_users": window_topn_daily_users,
-        "funnel_view_click_purchase": funnel_view_click_purchase,
-        "retention_cohorts_events": retention_cohorts_events,
-        "similarity_pq_topk": similarity_pq_topk,
-        "bigram_lm_score_documents": bigram_lm_score_documents,
-        "quality_classifier_documents": quality_classifier_documents,
-        "dedup_segments_documents": dedup_segments_documents,
-        "semantic_dedup_embeddings": semantic_dedup_embeddings,
-        "training_shards_documents": training_shards_documents,
-        "mixture_sample_documents": mixture_sample_documents,
-        "curriculum_bins_documents": curriculum_bins_documents,
-        "duplicate_ngram_spans_documents": duplicate_ngram_spans_documents,
-        "changelog_diff_customers": changelog_diff_customers,
-        "changelog_snapshot_customers": changelog_snapshot_customers,
-        "kmeans_clusters_embeddings": kmeans_clusters_embeddings,
     }
 
 
@@ -5282,6 +5395,66 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT inv, op, user_id, vb
             FROM d, unnest(range(d.n)) AS u(i)
+        """,
+        "setop_mixed_chain": """
+            -- Mixed chain (P UNION C) EXCEPT S with left-assoc
+            -- precedence: live = tuple distinct-seen on purchases OR
+            -- clicks and never on signups; invocation 0 emits the
+            -- slice-0 algebra, invocation 1 the cumulative delta (op 0
+            -- gains, op 1 retractions where a later signup ate it).
+            WITH e AS (
+                SELECT CAST(event_id % 2 AS INT) AS inv, user_id,
+                       event_type,
+                       CAST(floor(CAST(floor(value * 100) AS BIGINT)
+                            / 1000) AS BIGINT) AS vb
+                FROM events
+                WHERE event_type IN ('purchase', 'click', 'signup')
+            ), u0 AS (
+                SELECT DISTINCT user_id, vb FROM e
+                WHERE event_type IN ('purchase', 'click') AND inv = 0
+            ), ua AS (
+                SELECT DISTINCT user_id, vb FROM e
+                WHERE event_type IN ('purchase', 'click')
+            ), s0 AS (
+                SELECT DISTINCT user_id, vb FROM e
+                WHERE event_type = 'signup' AND inv = 0
+            ), sa AS (
+                SELECT DISTINCT user_id, vb FROM e
+                WHERE event_type = 'signup'
+            ), e0 AS (
+                SELECT * FROM u0 EXCEPT SELECT * FROM s0
+            ), e1 AS (
+                SELECT * FROM ua EXCEPT SELECT * FROM sa
+            )
+            SELECT CAST(0 AS INT) AS inv, CAST(0 AS INT) AS op,
+                   user_id, vb FROM e0
+            UNION ALL
+            SELECT 1, 0, user_id, vb
+            FROM (SELECT * FROM e1 EXCEPT SELECT * FROM e0)
+            UNION ALL
+            SELECT 1, 1, user_id, vb
+            FROM (SELECT * FROM e0 EXCEPT SELECT * FROM e1)
+        """,
+        "odf_transform_unnest_map": """
+            -- UNNEST over a MAP column (explode(map) -> key/value): two
+            -- rows per non-error event ('t' -> event_type, 'u' ->
+            -- user_id mod 10); error events carry an EMPTY map and
+            -- survive the LEFT JOIN .. ON TRUE with NULL key/value.
+            WITH e AS (
+                SELECT CAST(event_id % 2 AS INT) AS inv, user_id,
+                       event_type
+                FROM events
+            )
+            SELECT inv, user_id, 't' AS k, event_type AS v
+            FROM e WHERE event_type <> 'error'
+            UNION ALL
+            SELECT inv, user_id, 'u' AS k,
+                   CAST(user_id % 10 AS VARCHAR) AS v
+            FROM e WHERE event_type <> 'error'
+            UNION ALL
+            SELECT inv, user_id, CAST(NULL AS VARCHAR) AS k,
+                   CAST(NULL AS VARCHAR) AS v
+            FROM e WHERE event_type = 'error'
         """,
         "setop_intersect_user_values": """
             -- Stateful INTERSECT: invocation 0 emits the slice-0
