@@ -3572,6 +3572,74 @@ def streaming_setop_except_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_window_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING under the driver oracle: the always-on HOP
+    window-TVF join twin (streaming/structured.StreamingWindowJoin —
+    Spark's native stream-stream join on window-instance equality, the
+    documented state-cleanup pattern; the join watermark is the MIN over
+    both inputs, Flink's two-input rule) as two availableNow runs over
+    TIME-BANDED purchase/click slices with a checkpoint between them.
+    HOP(size 12h, slide 6h): every row expands into its two containing
+    window instances; instances pair per (user, window). The native
+    inner join emits a pair in the run where its LATER member arrives —
+    so a run-1 purchase buffered in the stream checkpoint pairs with a
+    run-2 click landing in the same still-open window, while its earlier
+    closed hop instance stays emitted-once. The banding keeps run-2 rows
+    ahead of the run-1 watermark, so the oracle is the exact batch
+    instance join with pairs attributed to the max-side run. State is
+    bounded by window size + delay (not full history) — scales."""
+    import glob
+    import os
+    import tempfile
+
+    from kamu_engine_flink_spark.sinks.parquet import write_single_parquet
+    from kamu_engine_flink_spark.streaming.structured import StreamingWindowJoin
+
+    _conf(spark)
+    workdir = tempfile.mkdtemp(prefix="stream-wj-")
+    d = {k: os.path.join(workdir, k) for k in ("l", "r", "chk", "out")}
+    for k in ("l", "r"):
+        os.makedirs(d[k])
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    p = e.filter("event_type = 'purchase'").select("ts", "user_id", "cents")
+    c = e.filter("event_type = 'click'").select("ts", "user_id", "cents")
+    band = f"ts < TIMESTAMP '{_ASOF_BAND}'"
+    job = StreamingWindowJoin(
+        left_dir=d["l"], right_dir=d["r"],
+        checkpoint_dir=d["chk"], output_dir=d["out"],
+        window_duration="12 hours", slide_duration="6 hours",
+        equi_keys=[("user_id", "user_id")],
+        left_time_col="ts", right_time_col="ts",
+        left_schema=p.schema, right_schema=c.schema,
+    )
+    write_single_parquet(p.filter(band), os.path.join(d["l"], "b1.parquet"))
+    write_single_parquet(c.filter(band), os.path.join(d["r"], "b1.parquet"))
+    job.run_available_now(spark)
+    files1 = set(glob.glob(os.path.join(d["out"], "*.parquet")))
+    write_single_parquet(p.filter(f"NOT ({band})"),
+                         os.path.join(d["l"], "b2.parquet"))
+    write_single_parquet(c.filter(f"NOT ({band})"),
+                         os.path.join(d["r"], "b2.parquet"))
+    job.run_available_now(spark)
+    files2 = set(glob.glob(os.path.join(d["out"], "*.parquet"))) - files1
+    run1 = spark.read.parquet(*sorted(files1))
+    run2 = spark.read.parquet(*sorted(files2))
+    return (
+        run1.withColumn("inv", F.lit(1).cast("int"))
+        .unionByName(run2.withColumn("inv", F.lit(2).cast("int")))
+        .select(
+            "inv",
+            F.col("window_start").alias("ws"),
+            F.col("l_user_id").cast("long").alias("user_id"),
+            F.col("l_cents").cast("long").alias("p_cents"),
+            F.col("r_cents").cast("long").alias("c_cents"),
+        )
+    )
+
+
 def streaming_asof_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STRUCTURED STREAMING under the driver oracle: the always-on
     temporal/as-of twin (streaming/structured.StreamingAsOfJoin,
@@ -4260,6 +4328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- due their FIRST driver row: round-10's new operators ---
         "setop_mixed_chain": setop_mixed_chain,
         "odf_transform_unnest_map": odf_transform_unnest_map,
+        "streaming_window_join_twin": streaming_window_join_twin,
         # --- round-8 operators, driver rows last seen r08: due now ---
         "changelog_asof_rates": changelog_asof_rates,
         "similarity_lsh_incremental": similarity_lsh_incremental,
@@ -5455,6 +5524,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT inv, user_id, CAST(NULL AS VARCHAR) AS k,
                    CAST(NULL AS VARCHAR) AS v
             FROM e WHERE event_type = 'error'
+        """,
+        "streaming_window_join_twin": """
+            -- Native stream-stream HOP(12h, 6h) window join with a
+            -- time-banded split: every row expands to its two window
+            -- instances; a (purchase, click) instance pair on the same
+            -- (user, window) emits exactly once, in the run where its
+            -- LATER member arrives (banding keeps run 2 ahead of the
+            -- run-1 watermark, so nothing is late-dropped or evicted
+            -- early).
+            WITH e AS (
+                SELECT user_id, event_type, ts,
+                       CAST(floor(value * 100) AS BIGINT) AS cents
+                FROM events WHERE event_type IN ('purchase', 'click')
+            ), w AS (
+                SELECT user_id, event_type, ts, cents,
+                       make_timestamp(CAST(((epoch_us(ts) // 21600000000)
+                         - k.k) * 21600000000 AS BIGINT)) AS ws
+                FROM e, (SELECT unnest([0, 1]) AS k) k
+            )
+            SELECT CAST(CASE WHEN p.ts < TIMESTAMP '2024-01-16'
+                              AND c.ts < TIMESTAMP '2024-01-16'
+                             THEN 1 ELSE 2 END AS INT) AS inv,
+                   p.ws AS ws,
+                   p.user_id AS user_id,
+                   p.cents AS p_cents,
+                   c.cents AS c_cents
+            FROM (SELECT * FROM w WHERE event_type = 'purchase') p
+            JOIN (SELECT * FROM w WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.ws = c.ws
         """,
         "setop_intersect_user_values": """
             -- Stateful INTERSECT: invocation 0 emits the slice-0

@@ -282,20 +282,26 @@ class StreamingRegularJoin:
 @dataclass
 class StreamingWindowJoin:
     """Window TVF join, always-on twin of operators/window_join.py: both
-    sides are bucketed into the same tumbling window (Spark's window()
-    on each watermarked stream) and joined on window equality + keys.
+    sides are bucketed into the same window (Spark's window() on each
+    watermarked stream — with a slide_duration it is the HOP TVF: one
+    row per CONTAINING window instance, exactly the micro-batch
+    executor's instance expansion) and joined on window equality + keys.
     The window-struct equality of two watermarked streams is Spark's
     documented state-cleanup pattern for stream-stream joins — a side's
-    buffered rows drop once the watermark passes the window end, the
-    same closed-window emission the micro-batch executor implements
-    explicitly. State is bounded by the window size + watermark delay
-    (vs the regular join's forever-state)."""
+    buffered rows drop once the watermark passes the window end, and the
+    join watermark is the MIN over both inputs (Spark's default
+    multipleWatermarkPolicy), the Flink two-input watermark rule the
+    micro-batch executor implements explicitly. Per-instance emission
+    means a row's EARLIER hop windows can close and pair while its later
+    ones are still open across runs. State is bounded by the window size
+    + watermark delay (vs the regular join's forever-state)."""
 
     left_dir: str
     right_dir: str
     checkpoint_dir: str
     output_dir: str
     window_duration: str = "10 minutes"
+    slide_duration: str | None = None  # None = TUMBLE; set = HOP
     equi_keys: list[tuple[str, str]] = field(default_factory=list)
     left_time_col: str = "event_time"
     right_time_col: str = "event_time"
@@ -305,10 +311,15 @@ class StreamingWindowJoin:
 
     def _side(self, spark: SparkSession, d, schema, tcol, prefix):
         s = _file_stream(spark, d, schema).withWatermark(tcol, self.watermark_delay)
+        win = (
+            F.window(F.col(tcol), self.window_duration, self.slide_duration)
+            if self.slide_duration
+            else F.window(F.col(tcol), self.window_duration)
+        )
         # The raw time column must NOT pass through: the window struct
         # carries the side's (single allowed) event-time tag.
         return s.select(
-            F.window(F.col(tcol), self.window_duration).alias(f"{prefix}w"),
+            win.alias(f"{prefix}w"),
             *[F.col(c).alias(f"{prefix}{c}") for c in s.columns if c != tcol],
         )
 

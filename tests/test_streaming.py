@@ -761,6 +761,64 @@ def test_streaming_window_join_same_window_pairs(spark, join_dirs):
     assert out == [(ts(1, 0, 0), 1, 7)]
 
 
+def test_streaming_window_join_hop_boundary_across_runs(spark, join_dirs):
+    from datetime import timezone
+
+    """HOP window join twin: each row expands into one instance per
+    CONTAINING window (size 10m, slide 5m -> two instances), instances
+    pair independently, and across runs a row's EARLIER hop window can
+    be past the watermark while its LATER one still pairs with new
+    arrivals — the micro-batch executor's per-instance boundary rule."""
+    from kamu_engine_flink_spark.streaming.structured import StreamingWindowJoin
+
+    job = StreamingWindowJoin(
+        left_dir=join_dirs["orders"],
+        right_dir=join_dirs["shipments"],
+        checkpoint_dir=join_dirs["chk"],
+        output_dir=join_dirs["out"],
+        window_duration="10 minutes",
+        slide_duration="5 minutes",
+        equi_keys=[("order_id", "ship_order_id")],
+        left_time_col="order_time",
+        right_time_col="ship_time",
+    )
+    # Run 1: order 1 at 00:07 (hops [00:00,00:10) and [00:05,00:15));
+    # shipment at 00:08 shares BOTH instances -> two paired rows.
+    _orders_slice(
+        os.path.join(join_dirs["orders"], "s1.parquet"),
+        [(ts(1, 0, 7), 1, 10)],
+    )
+    _shipments_slice(
+        os.path.join(join_dirs["shipments"], "s1.parquet"),
+        [(ts(1, 0, 8), 1, 7)],
+    )
+    job.run_available_now(spark)
+    out1 = sorted(
+        (r.window_start.replace(tzinfo=timezone.utc), r.l_order_id, r.r_shipped)
+        for r in spark.read.parquet(join_dirs["out"]).collect()
+    )
+    assert out1 == [(ts(1, 0, 0), 1, 7), (ts(1, 0, 5), 1, 7)]
+
+    # Run 2: a shipment at 00:12 (hops [00:05,00:15) and [00:10,00:20))
+    # pairs the checkpoint-buffered order ONLY on the shared later hop
+    # [00:05,00:15) — the order's earlier [00:00,00:10) instance is a
+    # closed window the new arrival is not in.
+    _shipments_slice(
+        os.path.join(join_dirs["shipments"], "s2.parquet"),
+        [(ts(1, 0, 12), 1, 9)],
+    )
+    job.run_available_now(spark)
+    out2 = sorted(
+        (r.window_start.replace(tzinfo=timezone.utc), r.l_order_id, r.r_shipped)
+        for r in spark.read.parquet(join_dirs["out"]).collect()
+    )
+    assert out2 == [
+        (ts(1, 0, 0), 1, 7),
+        (ts(1, 0, 5), 1, 7),
+        (ts(1, 0, 5), 1, 9),
+    ]
+
+
 def test_streaming_unbounded_agg_corrections_across_runs(spark, dirs):
     """Continuous GROUP BY changelog on the always-on path: run 1 emits
     op 0 per key; run 2's rows for an existing key emit exactly one
