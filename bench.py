@@ -257,6 +257,22 @@ FROM purchases EXCEPT SELECT user_id, cast(floor(value / 10) as bigint) AS vb FR
         "SELECT cast(now() as timestamp(3)) as event_time, user_id, vb FROM ev",
     ),
 ]
+# Mixed-operator set-op chain: (purchases UNION clicks) EXCEPT signups
+# decomposes into a stateful UNION sub-step whose append stream feeds the
+# outer EXCEPT's branch-0 counts (operators/setop_step._exec_node): two
+# count states, two single-shuffle fingerprint groupBys per invocation.
+SETOP_MIXED_STEPS = [
+    (
+        "mv",
+        """SELECT user_id, cast(floor(value / 10) as bigint) AS vb FROM purchases
+UNION SELECT user_id, cast(floor(value / 10) as bigint) AS vb FROM clicks
+EXCEPT SELECT user_id, cast(floor(value / 10) as bigint) AS vb FROM signups""",
+    ),
+    (
+        None,
+        "SELECT cast(now() as timestamp(3)) as event_time, user_id, vb FROM mv",
+    ),
+]
 CHANGELOG_ASOF_STEPS = [
     (
         "rates",
@@ -646,6 +662,19 @@ def main() -> None:
             (
                 "odf_transform_multi_join",
                 MULTI_JOIN_SQL,
+                [
+                    ("purchases", mjp_ledger, mjp_wm),
+                    ("clicks", mjc_ledger, mjc_wm),
+                    ("signups", mjs_ledger, mjs_wm),
+                ],
+            ),
+            # Round-10 introduction: dedicated-session n=4 warm median
+            # 2.9 s (floor 2.7) — two stateful set-op nodes (inner UNION
+            # sub-step + outer EXCEPT) over the three user_mod=17
+            # ledgers. Above ~4.5 is a real regression.
+            (
+                "odf_transform_setop_mixed",
+                SETOP_MIXED_STEPS,
                 [
                     ("purchases", mjp_ledger, mjp_wm),
                     ("clicks", mjc_ledger, mjc_wm),
