@@ -98,6 +98,8 @@ def _exec_node(ctx: StepContext, node) -> StepResult:
     from dataclasses import replace
 
     op, all_flag, children = node
+    if op == "UNIONALL":
+        return _exec_union_all(ctx, children)
     views = dict(ctx.views)
     new_wms = dict(ctx.new_wms)
     branches: list[str] = []
@@ -107,8 +109,12 @@ def _exec_node(ctx: StepContext, node) -> StepResult:
             continue
         sub_key = f"{ctx.step_key}.s{i}"
         sub = _exec_node(replace(ctx, step_key=sub_key), child)
+        # Strip the child's internals but KEEP the changelog tag — a
+        # retracting child (nested EXCEPT, anything over an updating
+        # branch) feeds the parent as an updating branch via exactly
+        # this column.
         sub_df = sub.df.drop(
-            *[c for c in sub.df.columns if c.startswith("__")]
+            *[c for c in sub.df.columns if c.startswith("__") and c != OP_COL]
         )
         vname = "__setop_" + sub_key.replace(".", "_").replace("-", "_")
         sub_df.createOrReplaceTempView(vname)
@@ -118,6 +124,53 @@ def _exec_node(ctx: StepContext, node) -> StepResult:
         branches.append(f"SELECT {cols} FROM {vname}")
     return _exec_flat(
         replace(ctx, views=views, new_wms=new_wms), op, all_flag, branches
+    )
+
+
+def _exec_union_all(ctx: StepContext, children) -> StepResult:
+    """UNION ALL with at least one stateful set-op sub-chain branch
+    (`A EXCEPT B UNION ALL C`): Flink unions changelogs freely — the
+    result is just the concatenation of the branch changelogs. Each
+    stateful node executes as its own sub-step; its op-tagged output
+    registers as a synthetic view carrying a deterministic partition-
+    major __seq (set-op changelogs are op 0/1 only, so correction-pair
+    adjacency is not at stake), and every branch — synthetic or plain —
+    forwards through the map executor's changelog union (op tags per
+    branch, branch-major emission order). Stateless beyond the
+    children's own state: one unionByName, no extra shuffle."""
+    from dataclasses import replace
+
+    from .map_step import _changelog_union, _split_union_all
+
+    views = dict(ctx.views)
+    new_wms = dict(ctx.new_wms)
+    segs: list[str] = []
+    wms = []
+    for i, child in enumerate(children):
+        if isinstance(child, str):
+            segs.extend(_split_union_all(child) or [child])
+            wms.extend(
+                ctx.new_wms.get(r)
+                for r in C.referenced_views(child, set(ctx.views))
+            )
+            continue
+        sub_key = f"{ctx.step_key}.u{i}"
+        sub = _exec_node(replace(ctx, step_key=sub_key), child)
+        sub_df = sub.df.drop(
+            *[c for c in sub.df.columns if c.startswith("__") and c != OP_COL]
+        ).withColumn(SEQ_INPUT, F.monotonically_increasing_id())
+        vname = "__setop_" + sub_key.replace(".", "_").replace("-", "_")
+        sub_df.createOrReplaceTempView(vname)
+        views[vname] = sub_df
+        new_wms[vname] = sub.watermark
+        wms.append(sub.watermark)
+        cols = ", ".join(
+            f"`{c}`" for c in sub_df.columns if c != SEQ_INPUT
+        )
+        segs.append(f"SELECT {cols} FROM {vname}")
+    wm = min_watermark(*wms)
+    return _changelog_union(
+        replace(ctx, views=views, new_wms=new_wms), segs, wm
     )
 
 

@@ -1110,9 +1110,10 @@ def parse_setop(sql: str):
     Pure UNION ALL chains return None — genuinely stateless (each
     slice's rows pass through once), they stay on the MAP path with its
     changelog-union machinery. UNION ALL over a STATEFUL sub-chain's
-    result (`A EXCEPT B UNION ALL C`) rejects with the decomposition —
-    the stateless splice would need the sub-chain's changelog as a
-    first-class branch, which is exactly what an aliased step provides."""
+    result (`A EXCEPT B UNION ALL C`) becomes a ("UNIONALL", False,
+    children) node: Flink unions changelogs freely, so the executor runs
+    the stateful children as sub-steps and forwards every branch's
+    changelog through the map executor's changelog union."""
     found = _top_level_setops(sql)
     if not found:
         stripped = _strip_outer_parens(sql)
@@ -1161,13 +1162,13 @@ def parse_setop(sql: str):
         if kind == "UNION" and allf:
             if isinstance(cur, str) and isinstance(nxt, str):
                 cur = f"{cur} UNION ALL {nxt}"  # stateless splice
+            elif isinstance(cur, tuple) and cur[0] == "UNIONALL":
+                cur = ("UNIONALL", False, cur[2] + [nxt])
             else:
-                raise InvalidQueryError(
-                    "UNION ALL over a stateful set-operation result in "
-                    "the same step is not supported: put the set "
-                    "operator in its own aliased step and UNION ALL its "
-                    "alias"
-                )
+                # Changelog concatenation of a stateful sub-chain with
+                # further branches — an executor-level union of branch
+                # changelogs, not a count-state node.
+                cur = ("UNIONALL", False, [cur, nxt])
         else:
             cur = _fold(cur, kind, allf, nxt)
     if isinstance(cur, str):  # pragma: no cover — pure-ALL handled above

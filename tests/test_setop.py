@@ -108,7 +108,8 @@ def test_mixed_chain_parse_tree():
         ["SELECT x FROM a", ("UNION", False, ["SELECT x FROM b", "SELECT x FROM c"])],
     )
     # UNION ALL splices stateless leaves; over a stateful result it
-    # rejects with the decomposition.
+    # becomes a changelog-concatenation node (Flink unions changelogs
+    # freely).
     assert parse_setop(
         "SELECT x FROM a UNION ALL SELECT x FROM b EXCEPT SELECT x FROM c"
     ) == (
@@ -116,10 +117,13 @@ def test_mixed_chain_parse_tree():
         False,
         ["SELECT x FROM a UNION ALL SELECT x FROM b", "SELECT x FROM c"],
     )
-    with pytest.raises(InvalidQueryError, match="UNION ALL over a stateful"):
-        parse_setop(
-            "SELECT x FROM a EXCEPT SELECT x FROM b UNION ALL SELECT x FROM c"
-        )
+    assert parse_setop(
+        "SELECT x FROM a EXCEPT SELECT x FROM b UNION ALL SELECT x FROM c"
+    ) == (
+        "UNIONALL",
+        False,
+        [("EXCEPT", False, ["SELECT x FROM a", "SELECT x FROM b"]), "SELECT x FROM c"],
+    )
     # MINUS normalizes to EXCEPT; same-op runs stay n-ary flat.
     assert parse_setop(
         "SELECT x FROM a MINUS SELECT x FROM b MINUS SELECT x FROM c"
@@ -633,6 +637,66 @@ def test_mixed_chain_fold_to_batch_law(spark, tmp_path):
     ab = {r[4] for r in a_rows} | {r[4] for r in b_rows}
     c_syms = {r[4] for r in c_rows}
     assert live == sorted(ab - c_syms)
+
+
+def test_nested_retracting_child_feeds_parent(spark, tmp_path):
+    """`(A EXCEPT B) INTERSECT C` — the nested EXCEPT RETRACTS across
+    invocations and the retraction must flow into the parent INTERSECT's
+    signed branch counts (regression: the sub-step registration must
+    keep the child's changelog tag)."""
+    runner = _three_input_runner(
+        spark, tmp_path,
+        "(SELECT symbol FROM a EXCEPT SELECT symbol FROM b) "
+        "INTERSECT SELECT symbol FROM c",
+    )
+    out1 = _run3(
+        runner, tmp_path, 1,
+        [(0, 0, ts(1), ts(1, 1), "A", 1.0)],
+        [],
+        [(0, 0, ts(1), ts(1, 1), "A", 1.0)],
+        st=ts(2),
+    )
+    assert _read(spark, out1) == [(0, "A")]
+    # B arrives: the inner EXCEPT retracts A; the intersection must
+    # retract it too — op 1 through the parent's signed counts.
+    out2 = _run3(
+        runner, tmp_path, 2,
+        [],
+        [(0, 0, ts(3), ts(3, 1), "A", 1.0)],
+        [],
+        st=ts(4),
+    )
+    assert _read(spark, out2) == [(1, "A")]
+
+
+def test_union_all_over_stateful_chain(spark, tmp_path):
+    """`A EXCEPT B UNION ALL C` — the stateful EXCEPT's changelog
+    concatenates with the plain append branch (Flink unions changelogs
+    freely): the EXCEPT's later op-1 retraction flows through the union,
+    and the append branch contributes op-0 inserts each invocation."""
+    runner = _three_input_runner(
+        spark, tmp_path,
+        "SELECT symbol FROM a EXCEPT SELECT symbol FROM b "
+        "UNION ALL SELECT symbol FROM c",
+    )
+    out1 = _run3(
+        runner, tmp_path, 1,
+        [(0, 0, ts(1), ts(1, 1), "A", 1.0)],
+        [],
+        [(0, 0, ts(1), ts(1, 1), "X", 1.0)],
+        st=ts(2),
+    )
+    assert _read(spark, out1) == [(0, "A"), (0, "X")]
+    # B arrives for A -> the EXCEPT retracts (op 1) THROUGH the union;
+    # the append branch keeps inserting.
+    out2 = _run3(
+        runner, tmp_path, 2,
+        [],
+        [(0, 0, ts(3), ts(3, 1), "A", 1.0)],
+        [(1, 0, ts(3), ts(3, 1), "Y", 1.0)],
+        st=ts(4),
+    )
+    assert _read(spark, out2) == [(0, "Y"), (1, "A")]
 
 
 def test_setop_star_over_updating_branch_rejects(spark, tmp_path):
