@@ -34,6 +34,9 @@ tree, each nested node executes as its own stateful sub-step (state key
 `{step_key}.s{i}`, its own count relation), its changelog registers as
 a synthetic view, and the parent consumes it as an updating (or append)
 branch — exactly the chain of set-op operators Flink's planner builds.
+UNION ALL adjacent to a stateful sub-chain (`A EXCEPT B UNION ALL C`)
+is changelog CONCATENATION: the children execute as sub-steps and every
+branch forwards through the map executor's changelog union.
 Each invocation emits the live-multiplicity DELTA: op-0 inserts where
 it rose, op-1 retractions where it fell. On
 append-only inputs only EXCEPT [ALL] can fall, so UNION / INTERSECT
@@ -182,8 +185,7 @@ def _exec_flat(
     any_updating = False
     for i, branch_sql in enumerate(branches):
         b = branch_sql.strip()
-        while b.startswith("(") and b.endswith(")"):
-            b = b[1:-1].strip()
+        b = C._strip_outer_parens(b)  # matched strip: `(A) x (B)` survives
         from ..plans.dialect import _rewrite_unnest
 
         if C.classify(b, known) != C.MAP or re.search(
