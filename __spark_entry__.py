@@ -3918,6 +3918,62 @@ def setop_mixed_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def setop_unionall_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL over a STATEFUL set-op result in one step — `purchases
+    EXCEPT clicks UNION ALL signups` (operators/setop_step._exec_union_all;
+    Flink unions changelogs freely): the stateful EXCEPT runs as its own
+    sub-step and its op-0/op-1 changelog CONCATENATES with the append
+    branch through the map executor's changelog union — a late click
+    retracts an earlier EXCEPT emission (op 1) through the union, while
+    every signup row passes through as an op-0 insert in its arrival
+    invocation. Two chained ODF invocations; the oracle is the EXCEPT
+    delta algebra UNION ALL the arrival-tagged signup rows. One
+    unionByName on top of the child's single-shuffle merge — scales."""
+    import tempfile
+
+    _conf(spark)
+    workdir = tempfile.mkdtemp(prefix="setopua-entry-")
+    slices = {
+        name: _ledger_slices(
+            spark, _events_ledger(spark, sf_dir, et), workdir, name, 2
+        )
+        for name, et in (
+            ("purchases", "purchase"), ("clicks", "click"), ("signups", "signup"),
+        )
+    }
+    steps = [
+        (
+            f"SELECT {_SETOP_TUPLE} FROM purchases "
+            f"EXCEPT SELECT {_SETOP_TUPLE} FROM clicks "
+            f"UNION ALL SELECT {_SETOP_TUPLE} FROM signups",
+            "uv",
+        ),
+        (
+            "SELECT cast(now() as timestamp(3)) as event_time, "
+            "user_id, vb FROM uv",
+            None,
+        ),
+    ]
+    per_inv = [
+        [(name, *slices[name][i]) for name in ("purchases", "clicks", "signups")]
+        for i in range(2)
+    ]
+    outs = _run_odf_invocations(spark, steps, per_inv, workdir, "setopua")
+    parts = [
+        spark.read.parquet(path).select(
+            F.lit(inv).cast("int").alias("inv"),
+            F.col("op").cast("int").alias("op"),
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("vb").cast("long").alias("vb"),
+        )
+        for inv, path in outs
+    ]
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out
+
+
 def odf_transform_unnest_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNNEST over a MAP column inside a transform MAP step
     (plans/dialect._rewrite_unnest two-column resolution; Flink's
@@ -4327,6 +4383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # locally every round via tools/crosscheck.py (CROSSCHECK_r10.txt).
         # --- due their FIRST driver row: round-10's new operators ---
         "setop_mixed_chain": setop_mixed_chain,
+        "setop_unionall_chain": setop_unionall_chain,
         "odf_transform_unnest_map": odf_transform_unnest_map,
         "streaming_window_join_twin": streaming_window_join_twin,
         # --- round-8 operators, driver rows last seen r08: due now ---
@@ -5503,6 +5560,48 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 1, 1, user_id, vb
             FROM (SELECT * FROM e0 EXCEPT SELECT * FROM e1)
+        """,
+        "setop_unionall_chain": """
+            -- (P EXCEPT C) UNION ALL S: changelog concatenation — the
+            -- EXCEPT delta algebra (op-0 gains / op-1 retractions per
+            -- invocation vs the cumulative difference sets) unioned with
+            -- EVERY signup row as an op-0 insert in its arrival
+            -- invocation (UNION ALL: no dedup).
+            WITH e AS (
+                SELECT CAST(event_id % 2 AS INT) AS inv, user_id,
+                       event_type,
+                       CAST(floor(CAST(floor(value * 100) AS BIGINT)
+                            / 1000) AS BIGINT) AS vb
+                FROM events
+                WHERE event_type IN ('purchase', 'click', 'signup')
+            ), p0 AS (
+                SELECT DISTINCT user_id, vb FROM e
+                WHERE event_type = 'purchase' AND inv = 0
+            ), c0 AS (
+                SELECT DISTINCT user_id, vb FROM e
+                WHERE event_type = 'click' AND inv = 0
+            ), pa AS (
+                SELECT DISTINCT user_id, vb FROM e
+                WHERE event_type = 'purchase'
+            ), ca AS (
+                SELECT DISTINCT user_id, vb FROM e
+                WHERE event_type = 'click'
+            ), e0 AS (
+                SELECT * FROM p0 EXCEPT SELECT * FROM c0
+            ), e1 AS (
+                SELECT * FROM pa EXCEPT SELECT * FROM ca
+            )
+            SELECT CAST(0 AS INT) AS inv, CAST(0 AS INT) AS op,
+                   user_id, vb FROM e0
+            UNION ALL
+            SELECT 1, 0, user_id, vb
+            FROM (SELECT * FROM e1 EXCEPT SELECT * FROM e0)
+            UNION ALL
+            SELECT 1, 1, user_id, vb
+            FROM (SELECT * FROM e0 EXCEPT SELECT * FROM e1)
+            UNION ALL
+            SELECT inv, CAST(0 AS INT) AS op, user_id, vb
+            FROM e WHERE event_type = 'signup'
         """,
         "odf_transform_unnest_map": """
             -- UNNEST over a MAP column (explode(map) -> key/value): two
