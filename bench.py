@@ -828,7 +828,13 @@ def main() -> None:
         # at 2M, 17.0/11.9 at 4M — distributed wins at and above the 1M
         # default, while the ~150k-row emissions of
         # stress_changelog_stamp_x10_3inv stay on the serial path it
-        # loses at (4.9 vs 6.6 s, round-8 measurement).
+        # loses at (4.9 vs 6.6 s, round-8 measurement). Round-10
+        # re-calibration (dedicated session, warm): distributed 9.4 /
+        # serial 10.6 at 2M — direction confirmed. CAUTION: a host
+        # CPU-steal window (load avg << nproc during a saturating run)
+        # inflates and can even INVERT this pair; re-probe with a known
+        # entry (dedup_minhash warm ~2.5 s healthy) before reading a
+        # full-bench number from such a window as real.
         from pyspark.sql import functions as BF
 
         from kamu_engine_flink_spark.sinks.parquet import write_single_parquet
