@@ -4381,6 +4381,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver rows in the registry. The round-9-checked blocks rotate
         # behind and are due again round 11. All entries are verified
         # locally every round via tools/crosscheck.py (CROSSCHECK_r10.txt).
+        # Retirement of near-duplicates (round-9 verdict suggestion) was
+        # considered and declined: the full 135-entry crosscheck runs in
+        # ~10 min, comfortably bounded.
         # --- due their FIRST driver row: round-10's new operators ---
         "setop_mixed_chain": setop_mixed_chain,
         "setop_unionall_chain": setop_unionall_chain,

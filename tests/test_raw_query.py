@@ -337,6 +337,33 @@ def test_raw_query_unnest_map(spark, tmp_path):
     assert rows == [("A", "x", 1), ("A", "y", 2)]
 
 
+def test_raw_query_mixed_setop_chain(spark, tmp_path):
+    """Mixed set-operator chains on the raw-query (batch) path pass
+    straight through to Spark SQL with standard precedence — one bounded
+    input, no decomposition needed."""
+    in_path = str(tmp_path / "input.parquet")
+    ticker_slice(
+        in_path,
+        [
+            (0, 0, ts(5), ts(1), "A", 10.0),
+            (1, 0, ts(5), ts(2), "B", 30.0),
+            (2, 0, ts(5), ts(3), "B", 10.0),
+        ],
+    )
+    # (cheap ∪ mid) \ expensive: A,B union'd from the first two selects,
+    # B removed by the third.
+    query = (
+        "SELECT event_time, symbol FROM ("
+        "SELECT event_time, symbol FROM input WHERE price < 20 "
+        "UNION SELECT event_time, symbol FROM input WHERE price < 40 "
+        "EXCEPT SELECT event_time, symbol FROM input WHERE price > 20"
+        ") ORDER BY symbol"
+    )
+    resp, out = _raw(spark, tmp_path, query, in_path)
+    rows = sorted(r["symbol"] for r in pq.read_table(out).to_pylist())
+    assert rows == ["A", "B"]
+
+
 def test_raw_query_setop(spark, tmp_path):
     """Batch INTERSECT/EXCEPT on the raw-query path pass straight through
     to Spark SQL (one bounded input, no cross-invocation state needed)."""

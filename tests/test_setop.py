@@ -738,6 +738,65 @@ def test_setop_star_over_updating_branch_rejects(spark, tmp_path):
         )
 
 
+def test_mixed_chain_random_brute_force(spark, tmp_path):
+    """Randomized per-invocation model for `A UNION B EXCEPT C`: after
+    every invocation the emission must equal the delta of the live set
+    computed from cumulative counts — live = (seen on a OR b) AND never
+    on c — not just fold to the right batch answer at the end."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(97)
+    syms = ["S0", "S1", "S2", "S3", "S4", "S5"]
+    runner = _three_input_runner(
+        spark, tmp_path,
+        "SELECT symbol FROM a UNION SELECT symbol FROM b "
+        "EXCEPT SELECT symbol FROM c",
+    )
+    ca: Counter = Counter()
+    cb: Counter = Counter()
+    cc: Counter = Counter()
+    offs = {"a": 0, "b": 0, "c": 0}
+
+    def live(s):
+        return 1 if (ca[s] + cb[s]) > 0 and cc[s] == 0 else 0
+
+    def _rows(alias, chosen, inv):
+        out = []
+        for s in chosen:
+            out.append((offs[alias], 0, ts(9), ts(2 * inv + 1, 1), s, 1.0))
+            offs[alias] += 1
+        return out
+
+    for inv in range(3):
+        picks = {
+            al: [rng.choice(syms) for _ in range(rng.randrange(0, 5))]
+            for al in ("a", "b", "c")
+        }
+        old = {s: live(s) for s in syms}
+        ca.update(picks["a"]); cb.update(picks["b"]); cc.update(picks["c"])
+        new = {s: live(s) for s in syms}
+        expected: Counter = Counter()
+        for s in syms:
+            d = new[s] - old[s]
+            if d > 0:
+                expected[(0, s)] += d
+            elif d < 0:
+                expected[(1, s)] += -d
+        out = _run3(
+            runner, tmp_path, f"rb{inv}",
+            _rows("a", picks["a"], inv),
+            _rows("b", picks["b"], inv),
+            _rows("c", picks["c"], inv),
+            st=ts(2 * inv + 2),
+        )
+        got = Counter(_read(spark, out))
+        assert got == expected, (
+            f"inv {inv}: got {dict(got)} expected {dict(expected)} "
+            f"(ca={dict(ca)}, cb={dict(cb)}, cc={dict(cc)})"
+        )
+
+
 def test_setop_null_tuples(spark, tmp_path):
     """NULL-carrying tuples participate in set operations (the row
     fingerprint encodes NULL injectively): a NULL symbol seen on both
