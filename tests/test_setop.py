@@ -738,6 +738,53 @@ def test_setop_star_over_updating_branch_rejects(spark, tmp_path):
         )
 
 
+def test_mixed_chain_into_continuous_agg(spark, tmp_path):
+    """Consumption-matrix composition: the mixed chain's op-0/op-1
+    changelog feeds a downstream CONTINUOUS aggregate — a retraction
+    (subtrahend kills a live tuple) must fold as -1 and emit the
+    aggregate key's op-1 delete, exactly like any other updating alias."""
+    runner = TransformRunner(
+        spark,
+        str(tmp_path),
+        [
+            (
+                "SELECT symbol FROM a UNION SELECT symbol FROM b "
+                "EXCEPT SELECT symbol FROM c",
+                "sv",
+            ),
+            (
+                "SELECT cast(now() as timestamp(3)) as event_time, "
+                "symbol, count(*) as n FROM sv GROUP BY symbol",
+                None,
+            ),
+        ],
+    )
+    out1 = _run3(
+        runner, tmp_path, 1,
+        [(0, 0, ts(1), ts(1, 1), "A", 1.0)],
+        [(0, 0, ts(1), ts(1, 1), "B", 1.0)],
+        [(0, 0, ts(1), ts(1, 1), "B", 1.0)],
+        st=ts(2),
+    )
+    rows1 = sorted(
+        (r.op, r.symbol, r.n) for r in spark.read.parquet(out1).collect()
+    )
+    assert rows1 == [(0, "A", 1)]
+    # c kills A -> the chain emits op-1 A -> the aggregate's A group
+    # dies (op-1 delete); D enters via b -> fresh op-0 group.
+    out2 = _run3(
+        runner, tmp_path, 2,
+        [],
+        [(1, 0, ts(3), ts(3, 1), "D", 1.0)],
+        [(1, 0, ts(3), ts(3, 1), "A", 1.0)],
+        st=ts(4),
+    )
+    rows2 = sorted(
+        (r.op, r.symbol, r.n) for r in spark.read.parquet(out2).collect()
+    )
+    assert rows2 == [(0, "D", 1), (1, "A", 1)]
+
+
 def test_mixed_chain_random_brute_force(spark, tmp_path):
     """Randomized per-invocation model for `A UNION B EXCEPT C`: after
     every invocation the emission must equal the delta of the live set
