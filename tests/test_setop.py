@@ -844,6 +844,61 @@ def test_mixed_chain_random_brute_force(spark, tmp_path):
         )
 
 
+def test_union_all_leaf_splice_feeds_except(spark, tmp_path):
+    """`A UNION ALL B EXCEPT C` — the left UNION ALL splices into ONE
+    stateless leaf (left-assoc: (A ∪all B) \\ C): rows from EITHER a or
+    b make a tuple live in the difference, and a later c retracts it."""
+    runner = _three_input_runner(
+        spark, tmp_path,
+        "SELECT symbol FROM a UNION ALL SELECT symbol FROM b "
+        "EXCEPT SELECT symbol FROM c",
+    )
+    out1 = _run3(
+        runner, tmp_path, 1,
+        [(0, 0, ts(1), ts(1, 1), "A", 1.0)],
+        [(0, 0, ts(1), ts(1, 1), "B", 1.0)],
+        [],
+        st=ts(2),
+    )
+    assert _read(spark, out1) == [(0, "A"), (0, "B")]
+    out2 = _run3(
+        runner, tmp_path, 2,
+        [], [],
+        [(0, 0, ts(3), ts(3, 1), "B", 1.0)],
+        st=ts(4),
+    )
+    assert _read(spark, out2) == [(1, "B")]
+
+
+def test_unnest_inside_setop_branch(spark, tmp_path):
+    """An UNNEST row expansion INSIDE a set-op branch: the branch is a
+    legitimate stateless projection (classification strips UNNEST's JOIN
+    keyword), its expanded rows feed the INTERSECT's counts, and pairing
+    still happens across invocations."""
+    runner = _two_input_runner(
+        spark, tmp_path,
+        "SELECT u.part AS symbol FROM a "
+        "CROSS JOIN UNNEST(split(symbol, '#')) AS u (part) "
+        "INTERSECT SELECT symbol FROM b",
+    )
+    # a carries 'X#Y' -> expands to X and Y; b carries Y -> intersect Y.
+    out1 = _run(
+        runner, tmp_path, 1,
+        [(0, 0, ts(1), ts(1, 1), "X#Y", 1.0)],
+        [(0, 0, ts(1), ts(1, 1), "Y", 1.0)],
+        st=ts(2),
+    )
+    assert _read(spark, out1) == [(0, "Y")]
+    # X's right twin arrives one invocation later: stateful pairing.
+    out2 = _run(
+        runner, tmp_path, 2,
+        [],
+        [(1, 0, ts(3), ts(3, 1), "X", 1.0)],
+        st=ts(4),
+    )
+    assert _read(spark, out2) == [(0, "X")]
+
+
 def test_setop_null_tuples(spark, tmp_path):
     """NULL-carrying tuples participate in set operations (the row
     fingerprint encodes NULL injectively): a NULL symbol seen on both
