@@ -296,6 +296,48 @@ def test_unnest_map_left_join_keeps_empty(spark, tmp_path):
     assert rows == [("A", "x", 1), ("B", None, None), ("C", None, None)]
 
 
+def test_unnest_map_over_step_alias(spark, tmp_path):
+    """UNNEST(map) over a MID-CHAIN step alias: the two-column rewrite
+    resolves the DERIVED view's schema (registered by the previous
+    step), not just raw inputs."""
+    slice1 = str(tmp_path / "in" / "s1.parquet")
+    from .helpers import ticker_slice
+
+    ticker_slice(
+        slice1,
+        [(0, 0, ts(1), ts(1, 1), "A", 2.0), (1, 0, ts(1), ts(1, 2), "B", 3.0)],
+    )
+    runner = TransformRunner(
+        spark,
+        str(tmp_path),
+        [
+            (
+                "SELECT event_time, symbol, "
+                "map('sym', symbol, 'p', cast(cast(price as int) as string)) "
+                "AS attrs FROM tickers",
+                "mv",
+            ),
+            (
+                "SELECT event_time, symbol, u.k AS k, u.v AS v FROM mv "
+                "CROSS JOIN UNNEST(attrs) AS u (k, v)",
+                None,
+            ),
+        ],
+    )
+    _, out_path = runner.run(
+        [{"alias": "tickers", "schema_file": slice1, "data_paths": [slice1],
+          "watermark": ts(1, 2)}],
+        system_time=ts(2),
+    )
+    rows = sorted(
+        (r.symbol, r.k, r.v) for r in spark.read.parquet(out_path).collect()
+    )
+    assert rows == [
+        ("A", "p", "2"), ("A", "sym", "A"),
+        ("B", "p", "3"), ("B", "sym", "B"),
+    ]
+
+
 def test_unnest_array_of_rows_inline(spark, tmp_path):
     """Multi-column UNNEST alias (array of rows) -> inline(): each row
     struct flattens into the aliased columns."""
