@@ -930,8 +930,17 @@ def main() -> None:
         ) as f:
             json.dump(detail, f, indent=1, sort_keys=True)
             f.write("\n")
-    except OSError:
-        pass
+    except OSError as e:
+        # A stale committed BENCH_DETAIL.json must be detectable: warn on
+        # stderr AND flag it in the compact final line.
+        detail_write_failed = f"{type(e).__name__}: {e}"
+        print(
+            f"WARNING: BENCH_DETAIL.json write failed ({e}) — the "
+            "committed per-query artifact is STALE",
+            file=sys.stderr,
+        )
+    else:
+        detail_write_failed = None
     print(json.dumps(detail))
     pinned = {
         k: v
@@ -939,20 +948,19 @@ def main() -> None:
         if k.startswith("stress_") or k.startswith("stamp_2m_")
         or k == "q1_pricing_summary"
     }
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "n": REPS,
-                "sf": sf_num,
-                "n_queries": len(timings),
-                "queries": pinned,
-                "detail": "BENCH_DETAIL.json",
-            }
-        )
-    )
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "n": REPS,
+        "sf": sf_num,
+        "n_queries": len(timings),
+        "queries": pinned,
+        "detail": "BENCH_DETAIL.json",
+    }
+    if detail_write_failed:
+        compact["detail_write_failed"] = detail_write_failed
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

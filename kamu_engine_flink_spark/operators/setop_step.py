@@ -159,9 +159,29 @@ def _exec_union_all(ctx: StepContext, children) -> StepResult:
             continue
         sub_key = f"{ctx.step_key}.u{i}"
         sub = _exec_node(replace(ctx, step_key=sub_key), child)
+        # Deterministic __seq from the child's own order contract
+        # (__fp[, op] for the count executor) rather than
+        # monotonically_increasing_id, so the sub-chain's emission order
+        # within the union survives retries and partitioning changes.
+        # The global row_number sorts only the child's per-invocation
+        # DELTA (slice-sized) — the same bounded single-partition sort
+        # every final emission already performs.
+        order = [c for c in (sub.order_cols or []) if c in sub.df.columns]
+        keep = {OP_COL} | set(order)
         sub_df = sub.df.drop(
-            *[c for c in sub.df.columns if c.startswith("__") and c != OP_COL]
-        ).withColumn(SEQ_INPUT, F.monotonically_increasing_id())
+            *[c for c in sub.df.columns if c.startswith("__") and c not in keep]
+        )
+        if order:
+            from pyspark.sql import Window
+
+            sub_df = sub_df.withColumn(
+                SEQ_INPUT,
+                F.row_number().over(Window.orderBy(*order)).cast(LongType()),
+            ).drop(*[c for c in order if c not in (OP_COL, SEQ_INPUT)])
+        else:  # pragma: no cover — count executor always sets order_cols
+            sub_df = sub_df.withColumn(
+                SEQ_INPUT, F.monotonically_increasing_id()
+            )
         vname = "__setop_" + sub_key.replace(".", "_").replace("-", "_")
         sub_df.createOrReplaceTempView(vname)
         views[vname] = sub_df

@@ -1120,14 +1120,6 @@ def parse_setop(sql: str):
         if stripped != sql.strip() and _top_level_setops(stripped):
             return parse_setop(stripped)
         return None
-    if not any(not (op == "UNION" and allf) for (op, allf, _, _) in found):
-        return None  # pure UNION ALL chain
-    if re.search(
-        r"\b(ORDER\s+BY|LIMIT)\b", mask_sql(sql, parens=True), re.IGNORECASE
-    ):
-        raise InvalidQueryError(
-            "ORDER BY / LIMIT on a set-operation step is not supported"
-        )
     segs, pos = [], 0
     for (_, _, s, e) in found:
         segs.append(sql[pos:s])
@@ -1138,6 +1130,42 @@ def parse_setop(sql: str):
         s = _strip_outer_parens(seg)
         sub = parse_setop(s)
         return sub if sub is not None else s
+
+    if not any(not (op == "UNION" and allf) for (op, allf, _, _) in found):
+        # Every depth-0 operator is UNION ALL — but a PARENTHESIZED
+        # segment may hide a stateful sub-chain (`(A EXCEPT B) UNION ALL
+        # C`). Decompose each segment first; only when every operand is a
+        # plain leaf is the chain genuinely stateless (MAP path). A
+        # stateful operand anywhere makes the whole chain a UNIONALL
+        # changelog-concatenation node, exactly like the unparenthesized
+        # `A EXCEPT B UNION ALL C` spelling.
+        operands = [_operand(s) for s in segs]
+        if all(isinstance(o, str) for o in operands):
+            return None  # pure stateless UNION ALL chain
+        if re.search(
+            r"\b(ORDER\s+BY|LIMIT)\b", mask_sql(sql, parens=True),
+            re.IGNORECASE,
+        ):
+            raise InvalidQueryError(
+                "ORDER BY / LIMIT on a set-operation step is not supported"
+            )
+        children: list = []
+        for o in operands:
+            if isinstance(o, tuple) and o[0] == "UNIONALL":
+                children.extend(o[2])  # flatten nested concatenations
+            elif isinstance(o, str) and children and isinstance(
+                children[-1], str
+            ):
+                children[-1] = f"{children[-1]} UNION ALL {o}"
+            else:
+                children.append(o)
+        return ("UNIONALL", False, children)
+    if re.search(
+        r"\b(ORDER\s+BY|LIMIT)\b", mask_sql(sql, parens=True), re.IGNORECASE
+    ):
+        raise InvalidQueryError(
+            "ORDER BY / LIMIT on a set-operation step is not supported"
+        )
 
     def _fold(cur, kind: str, allf: bool, nxt):
         # Extend an n-ary run of the same operator (left-associative
@@ -1160,7 +1188,16 @@ def parse_setop(sql: str):
     cur = red_operands[0]
     for (kind, allf), nxt in zip(red_ops, red_operands[1:]):
         if kind == "UNION" and allf:
-            if isinstance(cur, str) and isinstance(nxt, str):
+            if isinstance(nxt, tuple) and nxt[0] == "UNIONALL":
+                # Flatten a parenthesized concatenation operand so the
+                # executors only ever see one UNIONALL level.
+                base = (
+                    cur[2]
+                    if isinstance(cur, tuple) and cur[0] == "UNIONALL"
+                    else [cur]
+                )
+                cur = ("UNIONALL", False, base + nxt[2])
+            elif isinstance(cur, str) and isinstance(nxt, str):
                 cur = f"{cur} UNION ALL {nxt}"  # stateless splice
             elif isinstance(cur, tuple) and cur[0] == "UNIONALL":
                 cur = ("UNIONALL", False, cur[2] + [nxt])

@@ -54,10 +54,12 @@ Rewrites:
     (Flink's UNNEST over an array of rows flattens the row fields into
     columns; Spark's inline() is the same operation. UNNEST over a MAP —
     also two columns in Flink — is syntactically identical, so the
-    two-column form resolves the argument's type against the registered
-    view schemas and emits explode(map) -> (key, value) when it is a MAP
-    column; complex non-column map expressions still fall to inline()
-    and should be spelled as explode(map) directly. WITH ORDINALITY and
+    two-column form resolves the argument's type: `[alias.]column`
+    against the registered view schemas (an unqualified name must bind
+    UNIQUELY across the referenced tables), and a computed expression
+    (map_filter(m, ...) etc.) by schema-inferring a probe projection —
+    analysis only, no job. MAP -> explode(map) = (key, value);
+    array-of-rows / unresolvable -> inline(). WITH ORDINALITY and
     alias-less UNNEST reject loudly below.)
 
 Temporal rewrites target the `<name>__versions` views the transform engine
@@ -462,18 +464,45 @@ _UNNEST_TAIL_RE = re.compile(
 _UNNEST_ON_TRUE_RE = re.compile(r"\s*ON\s+TRUE\b", re.IGNORECASE)
 
 
-def _unnest_expr_is_map(sql: str, expr: str) -> bool:
-    """Best-effort: does the UNNEST argument resolve to a MAP column?
-    Handles the `[alias.]column` form against the registered temp views
-    named in this query's FROM/JOIN clauses (resolved via the ACTIVE
-    SparkSession, so no signature threading); anything unresolvable says
-    False and the caller keeps the array-of-rows inline() emission."""
-    em = re.match(
-        r"^\s*(?:`?(\w+)`?\s*\.\s*)?`?(\w+)`?\s*$", expr
+def _unnest_from_tables(sql: str) -> dict:
+    """alias -> table name for every FROM/JOIN reference in the query
+    (literal-masked scan; UNNEST/keyword pseudo-aliases filtered)."""
+    from .classify import mask_sql
+
+    tables: dict[str, str] = {}
+    # The alias group must NOT consume a following keyword — matching
+    # `FROM a JOIN b` with alias=JOIN would eat the JOIN token and hide
+    # table b from the scan entirely.
+    kw = (
+        r"CROSS|LEFT|RIGHT|FULL|INNER|JOIN|ON|WHERE|GROUP|ORDER|"
+        r"LATERAL|UNNEST|UNION|EXCEPT|INTERSECT|MINUS|HAVING|LIMIT"
     )
-    if not em:
-        return False
-    qual, col = em.group(1), em.group(2)
+    for tm in re.finditer(
+        r"\b(?:FROM|JOIN)\s+`?(\w+)`?"
+        rf"(?:\s+(?:AS\s+)?`?(?!(?:{kw})\b)(\w+)`?)?",
+        mask_sql(sql),
+        re.IGNORECASE,
+    ):
+        name, alias = tm.group(1), tm.group(2)
+        if name.upper() == "UNNEST":
+            continue  # the expansion clause itself, not a table
+        tables[(alias or name)] = name
+    return tables
+
+
+def _unnest_expr_is_map(sql: str, expr: str) -> bool:
+    """Best-effort: does the UNNEST argument resolve to a MAP?
+
+    `[alias.]column` forms resolve against the registered temp views
+    named in this query's FROM/JOIN clauses (via the ACTIVE SparkSession,
+    so no signature threading). An UNQUALIFIED column must resolve
+    UNIQUELY — if more than one referenced table carries the name, the
+    binding is ambiguous and the answer falls back to inline() (the
+    array-of-rows emission) rather than guessing MAP from whichever
+    table happens to match first. A COMPUTED expression (map_filter(m,
+    ...), map_from_entries(...), ...) is resolved by schema-inferring
+    `SELECT <expr> FROM <tables>` — analysis only, no job. Anything
+    unresolvable says False."""
     try:
         from pyspark.sql import SparkSession
         from pyspark.sql.types import MapType
@@ -481,37 +510,56 @@ def _unnest_expr_is_map(sql: str, expr: str) -> bool:
         spark = SparkSession.getActiveSession()
         if spark is None:
             return False
-        from .classify import mask_sql
-
-        tables: dict[str, str] = {}
-        for tm in re.finditer(
-            r"\b(?:FROM|JOIN)\s+`?(\w+)`?(?:\s+(?:AS\s+)?`?(\w+)`?)?",
-            mask_sql(sql),
-            re.IGNORECASE,
-        ):
-            name, alias = tm.group(1), tm.group(2)
-            if alias and alias.upper() in (
-                "CROSS", "LEFT", "RIGHT", "FULL", "INNER", "JOIN", "ON",
-                "WHERE", "GROUP", "ORDER", "LATERAL", "UNNEST",
-            ):
-                alias = None
-            tables[(alias or name)] = name
-        candidates = (
-            [tables[qual]] if qual and qual in tables
-            else ([] if qual else list(dict.fromkeys(tables.values())))
-        )
-        for t in candidates:
+        tables = _unnest_from_tables(sql)
+        em = re.match(r"^\s*(?:`?(\w+)`?\s*\.\s*)?`?(\w+)`?\s*$", expr)
+        if em:
+            qual, col = em.group(1), em.group(2)
+            if qual:
+                candidates = [tables[qual]] if qual in tables else []
+            else:
+                # Unqualified: require a UNIQUE binding across the
+                # referenced tables before answering from its type.
+                owners = []
+                for t in dict.fromkeys(tables.values()):
+                    try:
+                        if col in spark.table(t).schema.names:
+                            owners.append(t)
+                    except Exception:
+                        continue
+                candidates = owners if len(owners) == 1 else []
+            for t in candidates:
+                try:
+                    schema = spark.table(t).schema
+                except Exception:
+                    continue
+                if col in schema.names and isinstance(
+                    schema[col].dataType, MapType
+                ):
+                    return True
+            return False
+        # Computed expression: infer its type by ANALYZING a probe
+        # projection over the same table references (aliases preserved).
+        # spark.sql(...).schema runs the analyzer only — no execution.
+        resolvable = []
+        for alias, name in tables.items():
             try:
-                schema = spark.table(t).schema
+                spark.table(name)
             except Exception:
                 continue
-            if col in schema.names and isinstance(
-                schema[col].dataType, MapType
-            ):
-                return True
+            resolvable.append(
+                f"`{name}`" + (f" AS `{alias}`" if alias != name else "")
+            )
+        if not resolvable:
+            return False
+        probe = (
+            f"SELECT {expr} AS __unnest_probe FROM "
+            + " CROSS JOIN ".join(resolvable)
+        )
+        return isinstance(
+            spark.sql(probe).schema["__unnest_probe"].dataType, MapType
+        )
     except Exception:
         return False
-    return False
 
 
 def _rewrite_unnest(sql: str) -> str:

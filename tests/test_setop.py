@@ -975,3 +975,103 @@ def test_setop_branch_with_unnest(spark, tmp_path):
         st=ts(4),
     )
     assert _read(spark, out2) == [(0, "A")]
+
+
+# ---------------------------------------------------------------------------
+# Property: parse_setop's precedence/associativity decomposition agrees with
+# direct SQL evaluation (DuckDB) on arbitrary mixed chains with parens.
+# The tree is evaluated in pure-Python COUNT ALGEBRA — the same formulas
+# _live_expr compiles to Spark columns — so this pins both the parser's tree
+# shape and the executor's per-operator count semantics at once
+# (VERDICT r10 "Next #7").
+# ---------------------------------------------------------------------------
+
+import re as _re
+from collections import Counter as _Counter
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_LEAF = st.sampled_from(
+    ["SELECT x FROM a", "SELECT x FROM b", "SELECT x FROM c"]
+)
+_OPS = st.sampled_from(
+    ["UNION", "UNION ALL", "INTERSECT", "INTERSECT ALL",
+     "EXCEPT", "EXCEPT ALL", "MINUS"]
+)
+
+
+@st.composite
+def _setop_exprs(draw, depth=3):
+    if depth == 0 or draw(st.booleans()):
+        return draw(_LEAF)
+    left = draw(_setop_exprs(depth=depth - 1))
+    right = draw(_setop_exprs(depth=depth - 1))
+    op = draw(_OPS)
+    ls = f"({left})" if draw(st.booleans()) else left
+    rs = f"({right})" if draw(st.booleans()) else right
+    return f"{ls} {op} {rs}"
+
+
+def _eval_tree(node, data):
+    """Count-algebra evaluation of a parse_setop tree (or a leaf SQL
+    string) -> multiset of values, mirroring _live_expr's formulas."""
+    if isinstance(node, str):
+        out = []
+        for m in _re.finditer(r"FROM\s+(\w+)", node):
+            out.extend(data[m.group(1)])
+        return out
+    op, allf, children = node
+    if op == "UNIONALL":
+        out = []
+        for ch in children:
+            out.extend(_eval_tree(ch, data))
+        return out
+    counts = [_Counter(_eval_tree(ch, data)) for ch in children]
+    values = set()
+    for c in counts:
+        values |= set(c)
+    out = []
+    for v in sorted(values):
+        c0, rest = counts[0][v], sum(c[v] for c in counts[1:])
+        if op == "UNION":
+            n = (c0 + rest) if allf else (1 if c0 + rest > 0 else 0)
+        elif op == "INTERSECT":
+            m = min(c[v] for c in counts)
+            n = m if allf else (1 if m > 0 else 0)
+        else:  # EXCEPT
+            n = max(c0 - rest, 0) if allf else (
+                1 if c0 > 0 and rest == 0 else 0
+            )
+        out.extend([v] * n)
+    return out
+
+
+_SMALL_TABLE = st.lists(
+    st.integers(min_value=0, max_value=3), min_size=0, max_size=5
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_setop_exprs(), _SMALL_TABLE, _SMALL_TABLE, _SMALL_TABLE)
+def test_parse_setop_tree_matches_duckdb(sql, ta, tb, tc):
+    import duckdb
+
+    data = {"a": ta, "b": tb, "c": tc}
+    tree = parse_setop(sql)
+    got = sorted(_eval_tree(tree if tree is not None else sql, data))
+
+    con = duckdb.connect()
+    try:
+        for name, rows in data.items():
+            con.execute(f"CREATE TABLE {name} (x INTEGER)")
+            if rows:
+                con.execute(
+                    f"INSERT INTO {name} VALUES "
+                    + ",".join(f"({v})" for v in rows)
+                )
+        oracle_sql = _re.sub(r"\bMINUS\b", "EXCEPT", sql)
+        want = sorted(r[0] for r in con.execute(oracle_sql).fetchall())
+    finally:
+        con.close()
+    assert got == want, f"{sql!r}: tree={tree!r} got={got} want={want}"

@@ -78,6 +78,116 @@ def test_unnest_map_rewrite_resolution(spark):
         spark.catalog.dropTempView("mapv")
 
 
+def test_unnest_unqualified_ambiguous_column_falls_to_inline(spark):
+    """An UNQUALIFIED UNNEST argument that exists in MORE THAN ONE
+    referenced table is ambiguous — the rewrite must NOT answer MAP from
+    whichever table matches first; it falls back to inline() (round-10
+    ADVICE #2). A UNIQUE binding still resolves."""
+    spark.sql(
+        "SELECT 'A' AS symbol, map('k', 1) AS attrs"
+    ).createOrReplaceTempView("mv1")
+    spark.sql(
+        "SELECT 'A' AS symbol, array(named_struct('k', 'x', 'v', 1)) AS attrs"
+    ).createOrReplaceTempView("mv2")
+    spark.sql(
+        "SELECT 'A' AS symbol2, 1 AS other"
+    ).createOrReplaceTempView("mv3")
+    try:
+        # attrs exists in BOTH mv1 (map) and mv2 (array-of-rows):
+        # ambiguous -> inline().
+        out = rewrite_query(
+            "SELECT u.k, u.v FROM mv1 JOIN mv2 ON mv1.symbol = mv2.symbol "
+            "CROSS JOIN UNNEST(attrs) AS u (k, v)"
+        )
+        assert "inline(attrs)" in out
+        # Qualified spelling disambiguates -> explode().
+        out = rewrite_query(
+            "SELECT u.k, u.v FROM mv1 JOIN mv2 ON mv1.symbol = mv2.symbol "
+            "CROSS JOIN UNNEST(mv1.attrs) AS u (k, v)"
+        )
+        assert "explode(mv1.attrs)" in out
+        # Unqualified but UNIQUE across the referenced tables -> explode().
+        out = rewrite_query(
+            "SELECT u.k, u.v FROM mv1 JOIN mv3 ON mv1.symbol = mv3.symbol2 "
+            "CROSS JOIN UNNEST(attrs) AS u (k, v)"
+        )
+        assert "explode(attrs)" in out
+    finally:
+        for v in ("mv1", "mv2", "mv3"):
+            spark.catalog.dropTempView(v)
+
+
+def test_unnest_computed_map_expression_resolves(spark):
+    """A COMPUTED map expression (map_filter, map_from_entries, ...)
+    resolves via the analysis-only probe projection and emits explode();
+    a computed ARRAY-OF-ROWS expression keeps inline() (round-10
+    "What's missing #2")."""
+    spark.sql(
+        "SELECT 'A' AS symbol, map('k', 1, 'j', 0) AS attrs, "
+        "array(named_struct('f1', 1, 'f2', 2)) AS pairs"
+    ).createOrReplaceTempView("mapv")
+    try:
+        out = rewrite_query(
+            "SELECT u.k, u.v FROM mapv CROSS JOIN "
+            "UNNEST(map_filter(attrs, (k, x) -> x > 0)) AS u (k, v)"
+        )
+        assert "explode(map_filter(attrs, (k, x) -> x > 0))" in out
+        # Alias-qualified computed expression, probe keeps the alias.
+        out = rewrite_query(
+            "SELECT u.k, u.v FROM mapv m CROSS JOIN "
+            "UNNEST(map_filter(m.attrs, (k, x) -> x > 0)) AS u (k, v)"
+        )
+        assert "explode(map_filter(m.attrs, (k, x) -> x > 0))" in out
+        # Computed array-of-rows stays inline().
+        out = rewrite_query(
+            "SELECT u.f1, u.f2 FROM mapv CROSS JOIN "
+            "UNNEST(slice(pairs, 1, 1)) AS u (f1, f2)"
+        )
+        assert "inline(slice(pairs, 1, 1))" in out
+        # Unresolvable expression (unknown function) -> inline(), no raise.
+        out = rewrite_query(
+            "SELECT u.a, u.b FROM mapv CROSS JOIN "
+            "UNNEST(no_such_fn(attrs)) AS u (a, b)"
+        )
+        assert "inline(no_such_fn(attrs))" in out
+    finally:
+        spark.catalog.dropTempView("mapv")
+
+
+def test_unnest_computed_map_end_to_end(spark, tmp_path):
+    """Transform execution: UNNEST over map_filter(attrs, ...) expands
+    only the surviving entries (the computed expression resolves MAP via
+    the probe, so the rewrite emits explode(), yielding (k, v) pairs)."""
+    path = str(tmp_path / "in" / "m1.parquet")
+    _attrs_slice(
+        path,
+        [
+            (0, 0, ts(1), ts(1, 1), "A", [("k1", 1), ("k2", 0), ("k3", 2)]),
+        ],
+    )
+    runner = TransformRunner(
+        spark,
+        str(tmp_path),
+        [
+            (
+                "SELECT event_time, symbol, u.k AS k, u.v AS v FROM tickers "
+                "CROSS JOIN UNNEST(map_filter(attrs, (k, x) -> x > 0)) "
+                "AS u (k, v)",
+                None,
+            )
+        ],
+    )
+    _, out = runner.run(
+        [{"alias": "tickers", "schema_file": path, "data_paths": [path],
+          "watermark": ts(1, 1)}],
+        system_time=ts(3),
+    )
+    got = sorted(
+        (r.k, r.v) for r in spark.read.parquet(out).collect()
+    )
+    assert got == [("k1", 1), ("k3", 2)]
+
+
 def test_unnest_rejects():
     with pytest.raises(InvalidQueryError, match="ORDINALITY"):
         rewrite_query(
