@@ -3974,6 +3974,119 @@ def setop_unionall_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def setop_paren_unionall_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARENTHESIZED stateful sub-chain under UNION ALL — `(purchases
+    EXCEPT clicks) UNION ALL signups` (plans/classify.parse_setop;
+    Flink's planner nests parenthesized set operators freely, reference
+    surface via planner delegation, TransformEngine.scala:252-262).
+    The chain's only DEPTH-0 operator is UNION ALL, the shape that
+    previously early-returned to the stateless MAP path and silently
+    evaluated the EXCEPT per slice; parse_setop now decomposes each
+    segment first and builds the UNIONALL changelog-concatenation node,
+    so the semantics are identical to the unparenthesized
+    `purchases EXCEPT clicks UNION ALL signups` spelling — a late click
+    retracts an earlier EXCEPT emission (op 1) across invocations. Same
+    oracle algebra as setop_unionall_chain. One unionByName on top of
+    the child's single-shuffle merge — scales."""
+    import tempfile
+
+    _conf(spark)
+    workdir = tempfile.mkdtemp(prefix="setoppua-entry-")
+    slices = {
+        name: _ledger_slices(
+            spark, _events_ledger(spark, sf_dir, et), workdir, name, 2
+        )
+        for name, et in (
+            ("purchases", "purchase"), ("clicks", "click"), ("signups", "signup"),
+        )
+    }
+    steps = [
+        (
+            f"(SELECT {_SETOP_TUPLE} FROM purchases "
+            f"EXCEPT SELECT {_SETOP_TUPLE} FROM clicks) "
+            f"UNION ALL SELECT {_SETOP_TUPLE} FROM signups",
+            "pv",
+        ),
+        (
+            "SELECT cast(now() as timestamp(3)) as event_time, "
+            "user_id, vb FROM pv",
+            None,
+        ),
+    ]
+    per_inv = [
+        [(name, *slices[name][i]) for name in ("purchases", "clicks", "signups")]
+        for i in range(2)
+    ]
+    outs = _run_odf_invocations(spark, steps, per_inv, workdir, "setoppua")
+    parts = [
+        spark.read.parquet(path).select(
+            F.lit(inv).cast("int").alias("inv"),
+            F.col("op").cast("int").alias("op"),
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("vb").cast("long").alias("vb"),
+        )
+        for inv, path in outs
+    ]
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out
+
+
+def odf_transform_unnest_map_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNNEST over a COMPUTED map expression inside a transform MAP step
+    (plans/dialect._unnest_expr_is_map probe resolution; Flink's UNNEST
+    accepts any map-typed expression): `UNNEST(map_filter(attrs, ...))`
+    resolves MAP by schema-inferring an analysis-only probe projection
+    over the step's table references — previously only plain
+    `[alias.]column` arguments resolved and computed expressions fell to
+    inline() (a raw Spark analysis error). Each event carries attrs =
+    {'t': event_type, 'u': user_id mod 10}; the filter keeps 'u' always
+    and 't' only for purchase events, so purchases expand to two rows
+    and everything else to one. Two chained ODF invocations over
+    event_id%2 slices. Stateless codegen row expansion, zero shuffles —
+    scales."""
+    import tempfile
+
+    _conf(spark)
+    workdir = tempfile.mkdtemp(prefix="unnestmapf-entry-")
+    e = _t(spark, sf_dir, "events")
+    ledger = e.select(
+        F.col("event_id").alias("offset"),
+        F.lit(0).cast("int").alias("op"),
+        F.to_timestamp(F.lit("2020-01-01 00:00:00")).alias("system_time"),
+        F.col("ts").alias("event_time"),
+        "user_id",
+        F.create_map(
+            F.lit("t"), F.col("event_type"),
+            F.lit("u"), (F.col("user_id") % 10).cast("string"),
+        ).alias("attrs"),
+    )
+    slices = _ledger_slices(spark, ledger, workdir, "events", 2)
+    sql = (
+        "SELECT event_time, user_id, u.k AS k, u.v AS v FROM events "
+        "CROSS JOIN UNNEST(map_filter(attrs, "
+        "(k, x) -> k = 'u' OR x = 'purchase')) AS u (k, v)"
+    )
+    outs = _run_odf_invocations(
+        spark, sql, [[("events", p, wm)] for p, wm in slices], workdir,
+        "unnestmapf",
+    )
+    parts = [
+        spark.read.parquet(path).select(
+            F.lit(inv).cast("int").alias("inv"),
+            F.col("user_id").cast("long").alias("user_id"),
+            "k",
+            "v",
+        )
+        for inv, path in outs
+    ]
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out
+
+
 def odf_transform_unnest_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNNEST over a MAP column inside a transform MAP step
     (plans/dialect._rewrite_unnest two-column resolution; Flink's
@@ -4374,29 +4487,120 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ALL entries locally every round and the run is committed as
     # CROSSCHECK_r{N}.txt.
     return {
-        # ROUND-10 ROTATION: first 50 = the new round-10 operators (the
-        # mixed set-op chain, UNNEST over MAP, the streaming window-join
-        # twin) + the blocks last checked by the driver in ROUND 8 (the
-        # round-8 operators and the r05/r06 cohort head) — the oldest
-        # driver rows in the registry. The round-9-checked blocks rotate
-        # behind and are due again round 11. All entries are verified
-        # locally every round via tools/crosscheck.py (CROSSCHECK_r10.txt).
-        # Retirement of near-duplicates (round-9 verdict suggestion) was
-        # considered and declined: the full 135-entry crosscheck runs in
-        # ~10 min, comfortably bounded.
-        # --- due their FIRST driver row: round-10's new operators ---
+        # ROUND-11 ROTATION: first 50 = the two new round-11 operators
+        # (the parenthesized stateful sub-chain under UNION ALL, UNNEST
+        # over a computed map expression) + the cohorts with the OLDEST
+        # driver rows: the r07-checked block (31 — 4 rounds stale without
+        # this rotation), the r08-checked block (4), and the round-9
+        # cohort the round-10 verdict named (the updating-probe as-of,
+        # the five streaming twins, the exclusion MATCH_RECOGNIZE, the
+        # UNNEST tags path, the three setop entries) + 2 more r09
+        # entries. The r09 remainder and the entire round-10-checked
+        # block rotate behind (due r12). All entries are verified locally
+        # every round via tools/crosscheck.py (CROSSCHECK_r11.txt).
+        # --- due their FIRST driver row: round-11's new operators ---
+        "setop_paren_unionall_chain": setop_paren_unionall_chain,
+        "odf_transform_unnest_map_filter": odf_transform_unnest_map_filter,
+        # --- r07-checked cohort: oldest driver rows, due now ---
+        "window_join_tumbling_daily": window_join_tumbling_daily,
+        "over_agg_forward_window_events": over_agg_forward_window_events,
+        "chained_multistep": chained_multistep,
+        "window_tumbling_daily": window_tumbling_daily,
+        "window_sliding_2h": window_sliding_2h,
+        "window_session_30m": window_session_30m,
+        "agg_rollup_flag_status": agg_rollup_flag_status,
+        "semi_join_returned_orders": semi_join_returned_orders,
+        "anti_join_inactive_customers": anti_join_inactive_customers,
+        "lag_lead_user_events": lag_lead_user_events,
+        "cube_orders_status_priority": cube_orders_status_priority,
+        "formats_try_cast_decimal": formats_try_cast_decimal,
+        "setops_nation_coverage": setops_nation_coverage,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q4_order_priority": q4_order_priority,
+        "q7_nation_trade": q7_nation_trade,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q10_returned_customers": q10_returned_customers,
+        "q11_important_parts": q11_important_parts,
+        "q12_late_shipment_priority": q12_late_shipment_priority,
+        "q13_order_count_distribution": q13_order_count_distribution,
+        "q14_promo_share": q14_promo_share,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_part_counts": q16_supplier_part_counts,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q18_large_orders": q18_large_orders,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q20_excess_suppliers": q20_excess_suppliers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "q22_lapsed_customers": q22_lapsed_customers,
+        # --- r08-checked cohort ---
+        "duplicate_ngram_spans_documents": duplicate_ngram_spans_documents,
+        "changelog_diff_customers": changelog_diff_customers,
+        "changelog_snapshot_customers": changelog_snapshot_customers,
+        "kmeans_clusters_embeddings": kmeans_clusters_embeddings,
+        # --- round-9 cohort named by the round-10 verdict ---
+        "changelog_asof_updating_probe": changelog_asof_updating_probe,
+        "streaming_changelog_topn_twin": streaming_changelog_topn_twin,
+        "match_recognize_exclusion_events": match_recognize_exclusion_events,
+        "odf_transform_unnest_tags": odf_transform_unnest_tags,
+        "streaming_changelog_join_twin": streaming_changelog_join_twin,
+        "streaming_changelog_distinct_twin": streaming_changelog_distinct_twin,
+        "setop_intersect_user_values": setop_intersect_user_values,
+        "setop_except_changelog_users": setop_except_changelog_users,
+        "setop_except_all_three_way": setop_except_all_three_way,
+        "streaming_setop_except_twin": streaming_setop_except_twin,
+        "streaming_asof_join_twin": streaming_asof_join_twin,
+        # --- two more r09 entries (cap filler) ---
+        "dedup_minhash_incremental_documents": dedup_minhash_incremental_documents,
+        "decontamination_overlap": decontamination_overlap,
+        # --- r09 remainder: rotate behind, due r12 ---
+        "dedup_minhash_documents": dedup_minhash_documents,
+        "dedup_minhash_fast": dedup_minhash_fast,
+        "dedup_simhash_documents": dedup_simhash_documents,
+        "ngram_jaccard_documents": ngram_jaccard_documents,
+        "dedup_clusters_ngram": dedup_clusters_ngram,
+        "embedding_near_dup": embedding_near_dup,
+        "similarity_cosine_topk": similarity_cosine_topk,
+        "similarity_lsh_topk": similarity_lsh_topk,
+        "similarity_ivf_topk": similarity_ivf_topk,
+        "text_analysis_documents": text_analysis_documents,
+        "multimodal_image_meta": multimodal_image_meta,
+        "multimodal_frame_sample": multimodal_frame_sample,
+        "multimodal_audio_meta": multimodal_audio_meta,
+        "multimodal_audio_windows": multimodal_audio_windows,
+        "text_repetition_documents": text_repetition_documents,
+        "window_rank_family_orders": window_rank_family_orders,
+        "tfidf_top_terms": tfidf_top_terms,
+        "embedding_quantize_int8": embedding_quantize_int8,
+        "sketch_distinct_users": sketch_distinct_users,
+        "text_scrub_documents": text_scrub_documents,
+        "approx_quantiles_events": approx_quantiles_events,
+        "match_recognize_nav_first_last_events": match_recognize_nav_first_last_events,
+        "window_join_self_daily": window_join_self_daily,
+        "changelog_distinct_pairs": changelog_distinct_pairs,
+        "changelog_topn_live_counts": changelog_topn_live_counts,
+        "changelog_union_pads_and_appends": changelog_union_pads_and_appends,
+        "changelog_filter_pads": changelog_filter_pads,
+        "user_event_sequences": user_event_sequences,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_unshipped": q3_top_unshipped,
+        "q5_supplier_volume": q5_supplier_volume,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "agg_distinct_suppliers": agg_distinct_suppliers,
+        "scalar_projection": scalar_projection,
+        "window_join_hop_12h": window_join_hop_12h,
+        "changelog_projection_left_join": changelog_projection_left_join,
+        "multi_join_three_way": multi_join_three_way,
+        # --- round-10-checked block: newest rows, rotate behind ---
         "setop_mixed_chain": setop_mixed_chain,
         "setop_unionall_chain": setop_unionall_chain,
         "odf_transform_unnest_map": odf_transform_unnest_map,
         "streaming_window_join_twin": streaming_window_join_twin,
-        # --- round-8 operators, driver rows last seen r08: due now ---
         "changelog_asof_rates": changelog_asof_rates,
         "similarity_lsh_incremental": similarity_lsh_incremental,
         "similarity_ivf_incremental": similarity_ivf_incremental,
         "similarity_pq_incremental": similarity_pq_incremental,
         "multi_asof_two_rates": multi_asof_two_rates,
-        # --- r05/r06 cohort head, driver rows last seen r08: due now
-        #     (the last couple spill past the 50 cap to round 11) ---
         "stratified_sample_documents": stratified_sample_documents,
         "term_doc_frequency": term_doc_frequency,
         "embedding_centroids_by_label": embedding_centroids_by_label,
@@ -4438,94 +4642,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_shards_documents": training_shards_documents,
         "mixture_sample_documents": mixture_sample_documents,
         "curriculum_bins_documents": curriculum_bins_documents,
-        "duplicate_ngram_spans_documents": duplicate_ngram_spans_documents,
-        "changelog_diff_customers": changelog_diff_customers,
-        "changelog_snapshot_customers": changelog_snapshot_customers,
-        "kmeans_clusters_embeddings": kmeans_clusters_embeddings,
-        # --- round-9 operators, checked r09: rotate behind (due r11) ---
-        "changelog_asof_updating_probe": changelog_asof_updating_probe,
-        "streaming_changelog_topn_twin": streaming_changelog_topn_twin,
-        "match_recognize_exclusion_events": match_recognize_exclusion_events,
-        "odf_transform_unnest_tags": odf_transform_unnest_tags,
-        "streaming_changelog_join_twin": streaming_changelog_join_twin,
-        "streaming_changelog_distinct_twin": streaming_changelog_distinct_twin,
-        "setop_intersect_user_values": setop_intersect_user_values,
-        "setop_except_changelog_users": setop_except_changelog_users,
-        "setop_except_all_three_way": setop_except_all_three_way,
-        "streaming_setop_except_twin": streaming_setop_except_twin,
-        "streaming_asof_join_twin": streaming_asof_join_twin,
-        # --- r05/r06-cohort tail, missed the round-8 cap: due now ---
-        "dedup_minhash_documents": dedup_minhash_documents,
-        "dedup_minhash_fast": dedup_minhash_fast,
-        "dedup_simhash_documents": dedup_simhash_documents,
-        "ngram_jaccard_documents": ngram_jaccard_documents,
-        "dedup_clusters_ngram": dedup_clusters_ngram,
-        "embedding_near_dup": embedding_near_dup,
-        "similarity_cosine_topk": similarity_cosine_topk,
-        "similarity_lsh_topk": similarity_lsh_topk,
-        "similarity_ivf_topk": similarity_ivf_topk,
-        "text_analysis_documents": text_analysis_documents,
-        "multimodal_image_meta": multimodal_image_meta,
-        "multimodal_frame_sample": multimodal_frame_sample,
-        "multimodal_audio_meta": multimodal_audio_meta,
-        "multimodal_audio_windows": multimodal_audio_windows,
-        "text_repetition_documents": text_repetition_documents,
-        "window_rank_family_orders": window_rank_family_orders,
-        "tfidf_top_terms": tfidf_top_terms,
-        "embedding_quantize_int8": embedding_quantize_int8,
-        "sketch_distinct_users": sketch_distinct_users,
-        "text_scrub_documents": text_scrub_documents,
-        "approx_quantiles_events": approx_quantiles_events,
-        # --- checked green r07, rotate behind (due round 9) ---
-        "match_recognize_nav_first_last_events": match_recognize_nav_first_last_events,
-        "window_join_self_daily": window_join_self_daily,
-        "changelog_distinct_pairs": changelog_distinct_pairs,
-        "changelog_topn_live_counts": changelog_topn_live_counts,
-        "dedup_minhash_incremental_documents": dedup_minhash_incremental_documents,
-        "changelog_union_pads_and_appends": changelog_union_pads_and_appends,
-        "changelog_filter_pads": changelog_filter_pads,
-        "user_event_sequences": user_event_sequences,
-        "decontamination_overlap": decontamination_overlap,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_top_unshipped": q3_top_unshipped,
-        "q5_supplier_volume": q5_supplier_volume,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "agg_distinct_suppliers": agg_distinct_suppliers,
-        "scalar_projection": scalar_projection,
-        "window_join_hop_12h": window_join_hop_12h,
-        "changelog_projection_left_join": changelog_projection_left_join,
-        "multi_join_three_way": multi_join_three_way,
-        "window_join_tumbling_daily": window_join_tumbling_daily,
-        "over_agg_forward_window_events": over_agg_forward_window_events,
-        "chained_multistep": chained_multistep,
-        "window_tumbling_daily": window_tumbling_daily,
-        "window_sliding_2h": window_sliding_2h,
-        "window_session_30m": window_session_30m,
-        "agg_rollup_flag_status": agg_rollup_flag_status,
-        "semi_join_returned_orders": semi_join_returned_orders,
-        "anti_join_inactive_customers": anti_join_inactive_customers,
-        "lag_lead_user_events": lag_lead_user_events,
-        "cube_orders_status_priority": cube_orders_status_priority,
-        "formats_try_cast_decimal": formats_try_cast_decimal,
-        "setops_nation_coverage": setops_nation_coverage,
-        "q2_min_cost_supplier": q2_min_cost_supplier,
-        "q4_order_priority": q4_order_priority,
-        "q7_nation_trade": q7_nation_trade,
-        "q8_market_share": q8_market_share,
-        "q9_product_profit": q9_product_profit,
-        "q10_returned_customers": q10_returned_customers,
-        "q11_important_parts": q11_important_parts,
-        "q12_late_shipment_priority": q12_late_shipment_priority,
-        "q13_order_count_distribution": q13_order_count_distribution,
-        "q14_promo_share": q14_promo_share,
-        "q15_top_supplier": q15_top_supplier,
-        "q16_supplier_part_counts": q16_supplier_part_counts,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q18_large_orders": q18_large_orders,
-        "q19_disjunctive_revenue": q19_disjunctive_revenue,
-        "q20_excess_suppliers": q20_excess_suppliers,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
-        "q22_lapsed_customers": q22_lapsed_customers,
     }
 
 
@@ -5605,6 +5721,68 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT inv, CAST(0 AS INT) AS op, user_id, vb
             FROM e WHERE event_type = 'signup'
+        """,
+        "setop_paren_unionall_chain": """
+            -- (P EXCEPT C) UNION ALL S with the PARENTHESIZED spelling:
+            -- semantically identical to the unparenthesized chain (the
+            -- depth-0 operator is UNION ALL but the sub-chain is
+            -- stateful) — same algebra as setop_unionall_chain: the
+            -- EXCEPT delta per invocation vs cumulative difference sets,
+            -- concatenated with every signup row as an op-0 insert in
+            -- its arrival invocation.
+            WITH e AS (
+                SELECT CAST(event_id % 2 AS INT) AS inv, user_id,
+                       event_type,
+                       CAST(floor(CAST(floor(value * 100) AS BIGINT)
+                            / 1000) AS BIGINT) AS vb
+                FROM events
+                WHERE event_type IN ('purchase', 'click', 'signup')
+            ), p0 AS (
+                SELECT DISTINCT user_id, vb FROM e
+                WHERE event_type = 'purchase' AND inv = 0
+            ), c0 AS (
+                SELECT DISTINCT user_id, vb FROM e
+                WHERE event_type = 'click' AND inv = 0
+            ), pa AS (
+                SELECT DISTINCT user_id, vb FROM e
+                WHERE event_type = 'purchase'
+            ), ca AS (
+                SELECT DISTINCT user_id, vb FROM e
+                WHERE event_type = 'click'
+            ), e0 AS (
+                SELECT * FROM p0 EXCEPT SELECT * FROM c0
+            ), e1 AS (
+                SELECT * FROM pa EXCEPT SELECT * FROM ca
+            )
+            SELECT CAST(0 AS INT) AS inv, CAST(0 AS INT) AS op,
+                   user_id, vb FROM e0
+            UNION ALL
+            SELECT 1, 0, user_id, vb
+            FROM (SELECT * FROM e1 EXCEPT SELECT * FROM e0)
+            UNION ALL
+            SELECT 1, 1, user_id, vb
+            FROM (SELECT * FROM e0 EXCEPT SELECT * FROM e1)
+            UNION ALL
+            SELECT inv, CAST(0 AS INT) AS op, user_id, vb
+            FROM e WHERE event_type = 'signup'
+        """,
+        "odf_transform_unnest_map_filter": """
+            -- UNNEST over a COMPUTED map expression
+            -- (map_filter(attrs, (k, x) -> k = 'u' OR x = 'purchase')):
+            -- the 'u' entry survives for every event, the 't' entry only
+            -- when its value is 'purchase' — so purchases expand to two
+            -- rows and all other events to one.
+            WITH e AS (
+                SELECT CAST(event_id % 2 AS INT) AS inv, user_id,
+                       event_type
+                FROM events
+            )
+            SELECT inv, user_id, 'u' AS k,
+                   CAST(user_id % 10 AS VARCHAR) AS v
+            FROM e
+            UNION ALL
+            SELECT inv, user_id, 't' AS k, event_type AS v
+            FROM e WHERE event_type = 'purchase'
         """,
         "odf_transform_unnest_map": """
             -- UNNEST over a MAP column (explode(map) -> key/value): two
