@@ -314,3 +314,117 @@ FROM tickers GROUP BY TUMBLE(event_time, INTERVAL '30' MINUTE), symbol"""
         [None, None, ts(1, 5, 0)], "many2",
     )
     assert b == sorted(_read_all(staged2, drop=("system_time", "offset")))
+
+
+# ---------------------------------------------------------------------------
+# Set-operation chains: the emitted changelog NET (op-0 inserts minus op-1
+# retractions, as a multiset) must not depend on how the three inputs were
+# cut into invocations — including the round-11 parenthesized
+# `(a EXCEPT b) UNION ALL c` spelling and a mixed precedence chain.
+# ---------------------------------------------------------------------------
+
+
+from collections import Counter
+
+
+def _gen_triple(rng, n):
+    """Three small-domain inputs (collisions forced) with offsets per input."""
+    out = {"a": [], "b": [], "c": []}
+    for name in out:
+        for i in range(n):
+            out[name].append(
+                (
+                    i,
+                    0,
+                    ts(9),
+                    ts(1, rng.randrange(4), rng.randrange(60)),
+                    f"S{rng.randrange(6)}",
+                    rng.randrange(1, 4),
+                )
+            )
+    return out
+
+
+def _run_chain_sliced(spark, tmp_path, chain_sql, data, n_slices, tag):
+    runner = TransformRunner(
+        spark,
+        tmp_path / tag,
+        queries=[
+            (chain_sql, "sv"),
+            (
+                "SELECT cast(now() as timestamp(3)) as event_time, "
+                "symbol, price FROM sv",
+                None,
+            ),
+        ],
+    )
+    outs = []
+    for si in range(n_slices):
+        inputs = []
+        for name, rows in data.items():
+            k = len(rows) // n_slices
+            sl = rows[si * k : (si + 1) * k if si < n_slices - 1 else len(rows)]
+            path = str(tmp_path / tag / f"{name}{si}.parquet")
+            ticker_slice(path, sl)
+            inputs.append(
+                {
+                    "alias": name,
+                    "data_paths": [path] if sl else [],
+                    "schema_file": path,
+                    "watermark": max(r[3] for r in sl) if sl else None,
+                }
+            )
+        resp, out = runner.run(inputs, system_time=ts(9 + si))
+        if resp.new_offset_interval is not None:
+            outs.append(out)
+    return outs
+
+
+def _net_fold(outs):
+
+    net = Counter()
+    for out in outs:
+        for r in pq.read_table(out).to_pylist():
+            key = (r["symbol"], r["price"])
+            net[key] += 1 if r.get("op", 0) in (0, 3) else -1
+    return {k: v for k, v in net.items() if v}
+
+
+CHAINS = [
+    # round-11 parenthesized stateful sub-chain under UNION ALL
+    "(SELECT symbol, price FROM a EXCEPT SELECT symbol, price FROM b) "
+    "UNION ALL SELECT symbol, price FROM c",
+    # mixed precedence: INTERSECT binds tighter than EXCEPT
+    "SELECT symbol, price FROM a EXCEPT "
+    "SELECT symbol, price FROM b INTERSECT SELECT symbol, price FROM c",
+    # n-ary EXCEPT ALL with multiplicities
+    "SELECT symbol, price FROM a EXCEPT ALL SELECT symbol, price FROM b "
+    "EXCEPT ALL SELECT symbol, price FROM c",
+]
+
+
+def test_setop_chain_slice_invariance(spark, tmp_path):
+    rng = random.Random(17)
+    data = _gen_triple(rng, 60)
+    for ci, chain in enumerate(CHAINS):
+        one = _run_chain_sliced(spark, tmp_path, chain, data, 1, f"c{ci}one")
+        three = _run_chain_sliced(spark, tmp_path, chain, data, 3, f"c{ci}three")
+        assert _net_fold(one) == _net_fold(three), chain
+        # And the single-invocation net equals the batch set algebra.
+        import duckdb
+
+        con = duckdb.connect()
+        try:
+            for name, rows in data.items():
+                con.execute(f"CREATE TABLE {name} (symbol VARCHAR, price INT)")
+                con.executemany(
+                    f"INSERT INTO {name} VALUES (?, ?)",
+                    [(r[4], r[5]) for r in rows],
+                )
+            want = Counter(
+                (s, p) for (s, p) in con.execute(chain).fetchall()
+            )
+        finally:
+            con.close()
+        assert _net_fold(one) == {k: v for k, v in want.items() if v}, chain
+
