@@ -3572,6 +3572,65 @@ def streaming_setop_except_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_setop_unionall_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING under the driver oracle: the UNION ALL
+    changelog-concatenation twin (streaming/structured.
+    StreamingSetOpUnionAll — `(purchases EXCEPT clicks) UNION ALL
+    signups`, the round-11 parse shape) as two availableNow runs with a
+    checkpoint between them. Run 1 sees the even-offset halves of all
+    THREE streams; run 2 adds the odd halves — a purchase value whose
+    click twin arrives only in run 2 RETRACTS (op 1) off per-value branch
+    counts restored from the stream checkpoint, while every signup value
+    passes through as an op-0 insert in its arrival run (UNION ALL never
+    dedups across branches). Oracle = the cumulative EXCEPT difference
+    sets diffed, concatenated with arrival-tagged signup values. The
+    union adds no state of its own — scales."""
+    import glob
+    import os
+    import tempfile
+
+    from kamu_engine_flink_spark.sinks.parquet import write_single_parquet
+    from kamu_engine_flink_spark.streaming.structured import (
+        StreamingSetOpUnionAll,
+    )
+
+    _conf(spark)
+    workdir = tempfile.mkdtemp(prefix="stream-setopua-")
+    d = {k: os.path.join(workdir, k) for k in ("l", "r", "t", "chk", "out")}
+    for k in ("l", "r", "t"):
+        os.makedirs(d[k])
+    e = _t(spark, sf_dir, "events").select(
+        (F.col("event_id") % 2).cast("int").alias("inv"),
+        "event_type",
+        F.floor(F.col("value") * 100).cast("double").alias("value"),
+    )
+    p = e.filter("event_type = 'purchase'")
+    c = e.filter("event_type = 'click'")
+    s = e.filter("event_type = 'signup'")
+    job = StreamingSetOpUnionAll(
+        left_dir=d["l"], right_dir=d["r"], third_dir=d["t"],
+        checkpoint_dir=d["chk"], output_dir=d["out"], op="EXCEPT",
+    )
+    for inv, tag in ((0, "b1"), (1, "b2")):
+        write_single_parquet(p.filter(f"inv = {inv}").select("value"),
+                             os.path.join(d["l"], f"{tag}.parquet"))
+        write_single_parquet(c.filter(f"inv = {inv}").select("value"),
+                             os.path.join(d["r"], f"{tag}.parquet"))
+        write_single_parquet(s.filter(f"inv = {inv}").select("value"),
+                             os.path.join(d["t"], f"{tag}.parquet"))
+        job.run_available_now(spark)
+        if inv == 0:
+            files1 = set(glob.glob(os.path.join(d["out"], "*.parquet")))
+    files2 = set(glob.glob(os.path.join(d["out"], "*.parquet"))) - files1
+    run1 = spark.read.parquet(*sorted(files1))
+    run2 = spark.read.parquet(*sorted(files2))
+    return (
+        run1.withColumn("inv", F.lit(1).cast("int"))
+        .unionByName(run2.withColumn("inv", F.lit(2).cast("int")))
+        .select("inv", "op", "value")
+    )
+
+
 def streaming_window_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STRUCTURED STREAMING under the driver oracle: the always-on HOP
     window-TVF join twin (streaming/structured.StreamingWindowJoin —
@@ -4487,20 +4546,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ALL entries locally every round and the run is committed as
     # CROSSCHECK_r{N}.txt.
     return {
-        # ROUND-11 ROTATION: first 50 = the two new round-11 operators
+        # ROUND-11 ROTATION: first 50 = the three new round-11 operators
         # (the parenthesized stateful sub-chain under UNION ALL, UNNEST
-        # over a computed map expression) + the cohorts with the OLDEST
+        # over a computed map expression, the streaming UNION ALL
+        # concatenation twin) + the cohorts with the OLDEST
         # driver rows: the r07-checked block (31 — 4 rounds stale without
         # this rotation), the r08-checked block (4), and the round-9
         # cohort the round-10 verdict named (the updating-probe as-of,
         # the five streaming twins, the exclusion MATCH_RECOGNIZE, the
-        # UNNEST tags path, the three setop entries) + 2 more r09
-        # entries. The r09 remainder and the entire round-10-checked
+        # UNNEST tags path, the three setop entries) + 1 more r09
+        # entry. The r09 remainder and the entire round-10-checked
         # block rotate behind (due r12). All entries are verified locally
         # every round via tools/crosscheck.py (CROSSCHECK_r11.txt).
         # --- due their FIRST driver row: round-11's new operators ---
         "setop_paren_unionall_chain": setop_paren_unionall_chain,
         "odf_transform_unnest_map_filter": odf_transform_unnest_map_filter,
+        "streaming_setop_unionall_twin": streaming_setop_unionall_twin,
         # --- r07-checked cohort: oldest driver rows, due now ---
         "window_join_tumbling_daily": window_join_tumbling_daily,
         "over_agg_forward_window_events": over_agg_forward_window_events,
@@ -4550,10 +4611,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setop_except_all_three_way": setop_except_all_three_way,
         "streaming_setop_except_twin": streaming_setop_except_twin,
         "streaming_asof_join_twin": streaming_asof_join_twin,
-        # --- two more r09 entries (cap filler) ---
+        # --- one more r09 entry (cap filler) ---
         "dedup_minhash_incremental_documents": dedup_minhash_incremental_documents,
-        "decontamination_overlap": decontamination_overlap,
         # --- r09 remainder: rotate behind, due r12 ---
+        "decontamination_overlap": decontamination_overlap,
         "dedup_minhash_documents": dedup_minhash_documents,
         "dedup_minhash_fast": dedup_minhash_fast,
         "dedup_simhash_documents": dedup_simhash_documents,
@@ -5602,6 +5663,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT 2, 0, val FROM (SELECT * FROM e1 EXCEPT SELECT * FROM e0)
             UNION ALL
             SELECT 2, 1, val FROM (SELECT * FROM e0 EXCEPT SELECT * FROM e1)
+        """,
+        "streaming_setop_unionall_twin": """
+            -- Streaming UNION ALL concatenation over a stateful EXCEPT:
+            -- run 1 = (even purchases EXCEPT even clicks) distinct
+            -- values plus even signup values as op-0 inserts; run 2 =
+            -- the diff of the cumulative difference sets (op 0 gained /
+            -- op 1 a late click killed it) plus odd signup values.
+            WITH e AS (
+                SELECT CAST(event_id % 2 AS INT) AS inv, event_type,
+                       CAST(floor(value * 100) AS DOUBLE) AS val
+                FROM events
+                WHERE event_type IN ('purchase', 'click', 'signup')
+            ), p0 AS (
+                SELECT DISTINCT val FROM e
+                WHERE event_type = 'purchase' AND inv = 0
+            ), c0 AS (
+                SELECT DISTINCT val FROM e
+                WHERE event_type = 'click' AND inv = 0
+            ), pa AS (
+                SELECT DISTINCT val FROM e WHERE event_type = 'purchase'
+            ), ca AS (
+                SELECT DISTINCT val FROM e WHERE event_type = 'click'
+            ), e0 AS (
+                SELECT val FROM p0 EXCEPT SELECT val FROM c0
+            ), e1 AS (
+                SELECT val FROM pa EXCEPT SELECT val FROM ca
+            )
+            SELECT CAST(1 AS INT) AS inv, CAST(0 AS INT) AS op,
+                   val AS value FROM e0
+            UNION ALL
+            SELECT 2, 0, val FROM (SELECT * FROM e1 EXCEPT SELECT * FROM e0)
+            UNION ALL
+            SELECT 2, 1, val FROM (SELECT * FROM e0 EXCEPT SELECT * FROM e1)
+            UNION ALL
+            SELECT inv + 1, CAST(0 AS INT) AS op, val
+            FROM e WHERE event_type = 'signup'
         """,
         "setop_except_all_three_way": """
             -- Three-branch EXCEPT ALL: per-tuple live multiplicity is

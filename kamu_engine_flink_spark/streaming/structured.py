@@ -1921,3 +1921,52 @@ class StreamingSetOp:
 
     def run_available_now(self, spark: SparkSession) -> None:
         _run_available_now(self._plan(spark), self.checkpoint_dir, self.output_dir)
+
+
+@dataclass
+class StreamingSetOpUnionAll:
+    """UNION ALL changelog concatenation over a stateful set-op sub-chain
+    — the streaming twin of operators/setop_step._exec_union_all for
+    `(A EXCEPT B) UNION ALL C` (and the unparenthesized spelling; Flink
+    unions changelogs freely, reference surface via planner delegation,
+    TransformEngine.scala:252-262): the stateful sub-chain kernel's
+    op-0/op-1 changelog unions with a third APPEND-ONLY stream's op-0
+    inserts inside the SAME streaming query — Spark's union of two
+    streaming frames adds no state of its own, so total state stays the
+    sub-chain's per-value branch counts, sharded by value across
+    executors."""
+
+    left_dir: str
+    right_dir: str
+    third_dir: str
+    checkpoint_dir: str
+    output_dir: str
+    op: str = "EXCEPT"
+    all_flag: bool = False
+    value_col: str = "value"
+    op_col: str = "op"
+    left_schema: StructType | None = None
+    right_schema: StructType | None = None
+    third_schema: StructType | None = None
+
+    def _plan(self, spark: SparkSession) -> DataFrame:
+        sub = StreamingSetOp(
+            left_dir=self.left_dir,
+            right_dir=self.right_dir,
+            checkpoint_dir=self.checkpoint_dir,
+            output_dir=self.output_dir,
+            op=self.op,
+            all_flag=self.all_flag,
+            value_col=self.value_col,
+            op_col=self.op_col,
+            left_schema=self.left_schema,
+            right_schema=self.right_schema,
+        )._plan(spark)
+        third = _file_stream(spark, self.third_dir, self.third_schema).select(
+            F.lit(0).cast("int").alias("op"),
+            F.col(self.value_col).cast("double").alias("value"),
+        )
+        return sub.unionByName(third)
+
+    def run_available_now(self, spark: SparkSession) -> None:
+        _run_available_now(self._plan(spark), self.checkpoint_dir, self.output_dir)

@@ -1380,3 +1380,50 @@ def test_streaming_setop_intersect_changelog_input(spark, tmp_path):
     job.run_available_now(spark)
     delta = Counter(_read()) - Counter(out1)
     assert dict(delta) == {(1, 1.0): 1}
+
+
+def test_streaming_setop_unionall_cross_run(spark, tmp_path):
+    """Streaming UNION ALL concatenation over a stateful EXCEPT sub-chain
+    (the `(A EXCEPT B) UNION ALL C` twin, round 11): the sub-chain's
+    op-0/op-1 changelog and the third append branch's op-0 inserts land
+    in the SAME output; a left value emitted in run 1 retracts (op 1)
+    when its right twin arrives in run 2, while third-branch rows pass
+    through untouched in their arrival run — including a value the
+    EXCEPT already killed (UNION ALL never dedups across branches)."""
+    from collections import Counter
+
+    from kamu_engine_flink_spark.streaming.structured import (
+        StreamingSetOpUnionAll,
+    )
+
+    d = {k: str(tmp_path / k) for k in ["left", "right", "third", "chk", "out"]}
+    for k in ("left", "right", "third"):
+        os.makedirs(d[k])
+    job = StreamingSetOpUnionAll(
+        left_dir=d["left"], right_dir=d["right"], third_dir=d["third"],
+        checkpoint_dir=d["chk"], output_dir=d["out"], op="EXCEPT",
+    )
+
+    def _read():
+        try:
+            rows = spark.read.parquet(d["out"]).collect()
+        except Exception:
+            return []
+        return sorted((r.op, r.value) for r in rows)
+
+    _val_slice(os.path.join(d["left"], "s1.parquet"), [1.0, 2.0])
+    _val_slice(os.path.join(d["right"], "s1.parquet"), [])
+    _val_slice(os.path.join(d["third"], "s1.parquet"), [9.0])
+    job.run_available_now(spark)
+    out1 = _read()
+    assert out1 == [(0, 1.0), (0, 2.0), (0, 9.0)]
+
+    # Run 2: 2.0 arrives on the right -> the sub-chain retracts it; the
+    # third branch inserts 2.0 REGARDLESS (no cross-branch dedup) plus a
+    # fresh 7.0.
+    _val_slice(os.path.join(d["left"], "s2.parquet"), [])
+    _val_slice(os.path.join(d["right"], "s2.parquet"), [2.0])
+    _val_slice(os.path.join(d["third"], "s2.parquet"), [2.0, 7.0])
+    job.run_available_now(spark)
+    delta = Counter(_read()) - Counter(out1)
+    assert dict(delta) == {(1, 2.0): 1, (0, 2.0): 1, (0, 7.0): 1}
