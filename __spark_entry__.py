@@ -1978,6 +1978,56 @@ def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cms_heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable count-min-sketch heavy hitters over document tokens
+    (functions/portable_hash.cms_cells — md5-derived mod-P token hashes
+    under the shared affine families, depth 4 x width 1024): token
+    occurrences fold into the BOUNDED 4096-cell sketch matrix via ONE
+    groupBy whose map-side partial aggregation is the per-partition
+    sketch merge (cell-wise addition — the re-aggregatable pattern that
+    replaces exact token counting at 100 TB), then the exact top-50
+    tokens (deterministic count-desc/token tie-break) probe the sketch
+    with a broadcast join: estimate = min over the 4 rows of the
+    counter at (row, bucket). Unlike binary HLL sketches, every number
+    here is integer arithmetic over md5 — the DuckDB oracle replays the
+    sketch CELL-EXACTLY (estimate >= exact always holds; collisions
+    inflate estimates identically in both engines)."""
+    from kamu_engine_flink_spark.functions.portable_hash import (
+        P as _P,
+        cms_cells,
+        h48,
+        word_tokens,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    h = d.select(F.explode(word_tokens("text")).alias("tok")).withColumn(
+        "hv", F.expr(f"{h48('tok')} % {_P}L")
+    )
+    cells = (
+        h.select(F.explode(cms_cells("hv")).alias("c"))
+        .groupBy(F.col("c.i").alias("i"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    exact = h.groupBy("tok", "hv").agg(F.count("*").alias("exact_cnt"))
+    cand = exact.orderBy(F.desc("exact_cnt"), "tok").limit(50)
+    cand_cells = cand.select(
+        "tok", "exact_cnt", F.explode(cms_cells("hv")).alias("c")
+    ).select(
+        "tok", "exact_cnt",
+        F.col("c.i").alias("i"), F.col("c.bucket").alias("bucket"),
+    )
+    return (
+        cand_cells.join(F.broadcast(cells), ["i", "bucket"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_estimate"))
+        .select(
+            F.col("tok").alias("token"),
+            F.col("exact_cnt").cast("long").alias("exact_cnt"),
+            F.col("cms_estimate").cast("long").alias("cms_estimate"),
+        )
+    )
+
+
 def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio decode plumbing (decode stubbed, digest-derived): the oracle
     recomputes sample_rate/channels/duration/codec from md5 hex in SQL, so
@@ -4546,22 +4596,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ALL entries locally every round and the run is committed as
     # CROSSCHECK_r{N}.txt.
     return {
-        # ROUND-11 ROTATION: first 50 = the three new round-11 operators
+        # ROUND-11 ROTATION: first 50 = the four new round-11 operators
         # (the parenthesized stateful sub-chain under UNION ALL, UNNEST
         # over a computed map expression, the streaming UNION ALL
-        # concatenation twin) + the cohorts with the OLDEST
+        # concatenation twin, the portable count-min heavy hitters) +
+        # the cohorts with the OLDEST
         # driver rows: the r07-checked block (31 — 4 rounds stale without
         # this rotation), the r08-checked block (4), and the round-9
         # cohort the round-10 verdict named (the updating-probe as-of,
         # the five streaming twins, the exclusion MATCH_RECOGNIZE, the
-        # UNNEST tags path, the three setop entries) + 1 more r09
-        # entry. The r09 remainder and the entire round-10-checked
+        # UNNEST tags path, the three setop entries). The r09 remainder and the entire round-10-checked
         # block rotate behind (due r12). All entries are verified locally
         # every round via tools/crosscheck.py (CROSSCHECK_r11.txt).
         # --- due their FIRST driver row: round-11's new operators ---
         "setop_paren_unionall_chain": setop_paren_unionall_chain,
         "odf_transform_unnest_map_filter": odf_transform_unnest_map_filter,
         "streaming_setop_unionall_twin": streaming_setop_unionall_twin,
+        "cms_heavy_hitters_tokens": cms_heavy_hitters_tokens,
         # --- r07-checked cohort: oldest driver rows, due now ---
         "window_join_tumbling_daily": window_join_tumbling_daily,
         "over_agg_forward_window_events": over_agg_forward_window_events,
@@ -4611,9 +4662,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setop_except_all_three_way": setop_except_all_three_way,
         "streaming_setop_except_twin": streaming_setop_except_twin,
         "streaming_asof_join_twin": streaming_asof_join_twin,
-        # --- one more r09 entry (cap filler) ---
-        "dedup_minhash_incremental_documents": dedup_minhash_incremental_documents,
         # --- r09 remainder: rotate behind, due r12 ---
+        "dedup_minhash_incremental_documents": dedup_minhash_incremental_documents,
         "decontamination_overlap": decontamination_overlap,
         "dedup_minhash_documents": dedup_minhash_documents,
         "dedup_minhash_fast": dedup_minhash_fast,
@@ -5699,6 +5749,45 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT inv + 1, CAST(0 AS INT) AS op, val
             FROM e WHERE event_type = 'signup'
+        """,
+        "cms_heavy_hitters_tokens": f"""
+            -- Portable count-min sketch replayed cell-exactly: token
+            -- hash = first 12 md5 hex digits mod P; cell (i, bucket) =
+            -- ((A_i*h + B_i) mod P) mod 1024 over the shared affine
+            -- literals; estimate for an exact-top-50 token = min over
+            -- the 4 rows of its bucket counter.
+            WITH tk AS (
+                SELECT unnest({_DUCK_TOKS}) AS tok FROM documents
+            ), h AS (
+                SELECT tok,
+                       ('0x' || substr(md5(tok), 1, 12))::BIGINT
+                         % 2147483647 AS hv
+                FROM tk
+            ), ab AS (
+                SELECT {_PORT_A_SQL} AS a, {_PORT_B_SQL} AS b
+            ), cells AS (
+                SELECT ii.i AS i,
+                       ((ab.a[ii.i + 1] * h.hv + ab.b[ii.i + 1])
+                         % 2147483647) % 1024 AS bucket,
+                       count(*) AS cnt
+                FROM h, (SELECT unnest([0, 1, 2, 3]) AS i) ii, ab
+                GROUP BY 1, 2
+            ), exact AS (
+                SELECT tok, hv, count(*) AS exact_cnt
+                FROM h GROUP BY tok, hv
+            ), cand AS (
+                SELECT * FROM exact ORDER BY exact_cnt DESC, tok LIMIT 50
+            ), cc AS (
+                SELECT cand.tok, cand.exact_cnt, ii.i AS i,
+                       ((ab.a[ii.i + 1] * cand.hv + ab.b[ii.i + 1])
+                         % 2147483647) % 1024 AS bucket
+                FROM cand, (SELECT unnest([0, 1, 2, 3]) AS i) ii, ab
+            )
+            SELECT cc.tok AS token,
+                   CAST(cc.exact_cnt AS BIGINT) AS exact_cnt,
+                   CAST(min(cells.cnt) AS BIGINT) AS cms_estimate
+            FROM cc JOIN cells ON cc.i = cells.i AND cc.bucket = cells.bucket
+            GROUP BY 1, 2
         """,
         "setop_except_all_three_way": """
             -- Three-branch EXCEPT ALL: per-tuple live multiplicity is

@@ -143,6 +143,28 @@ def band_keys_portable(sig_col: str) -> Column:
     )
 
 
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def cms_cells(tok_hash_col: str) -> Column:
+    """array<struct<i,bucket>>: the count-min-sketch (row, bucket)
+    coordinates of a mod-P token hash under the first CMS_DEPTH affine
+    families (the same A/B literals the MinHash family uses, so the
+    DuckDB oracle replays the bucketing exactly). CMS_DEPTH x CMS_WIDTH
+    = 4096 cells total: the sketch matrix is BOUNDED state — per-token
+    occurrences fold into cells via an ordinary groupBy whose map-side
+    partial aggregation IS the per-partition sketch merge (cell-wise
+    addition), the property that makes CMS re-aggregatable across
+    shards/days at 100 TB where exact token counts need a full reshuffle
+    of the raw token stream."""
+    return F.expr(
+        f"transform(sequence(0, {CMS_DEPTH - 1}), i -> named_struct("
+        f"'i', i, 'bucket', ((element_at({_A_SQL}, i + 1) * {tok_hash_col}"
+        f" + element_at({_B_SQL}, i + 1)) % {P}L) % {CMS_WIDTH}L))"
+    )
+
+
 def simhash48_portable(text_col: str) -> Column:
     """48-bit SimHash fingerprint over distinct word tokens; bit b is 1
     when the +/-1 vote sum for (h >> b) & 1 is >= 0. Blank/null docs get

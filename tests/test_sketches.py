@@ -80,3 +80,67 @@ def test_approx_quantiles_contract(spark):
     for r in rows:
         assert r.gk_within_bound, r
         assert r.exact_p50 <= r.exact_p90 <= r.exact_p99, r
+
+
+def test_cms_matches_brute_force_python(spark):
+    """The portable count-min sketch (functions/portable_hash.cms_cells)
+    is deterministic integer arithmetic over md5 — a brute-force Python
+    replay of the same cells must agree exactly, and estimate >= exact
+    for every token (the CMS one-sided error guarantee)."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    from kamu_engine_flink_spark.functions.portable_hash import (
+        A, B, CMS_DEPTH, CMS_WIDTH, P, cms_cells, h48, word_tokens,
+    )
+
+    texts = [
+        "the cat sat on the mat",
+        "the dog ate the cat food",
+        "a mat a cat a dog",
+        "",
+        "THE Cat\tsat",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    h = df.select(F.explode(word_tokens("text")).alias("tok")).withColumn(
+        "hv", F.expr(f"{h48('tok')} % {P}L")
+    )
+    cells = (
+        h.select(F.explode(cms_cells("hv")).alias("c"))
+        .groupBy(F.col("c.i").alias("i"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    got = {(r.i, r.bucket): r.cnt for r in cells.collect()}
+
+    # Brute force.
+    toks = []
+    for t in texts:
+        toks.extend(w for w in t.lower().split() if w)
+    exact = Counter(toks)
+    want = defaultdict(int)
+    hv_of = {}
+    for tok, n in exact.items():
+        hv = int(hashlib.md5(tok.encode()).hexdigest()[:12], 16) % P
+        hv_of[tok] = hv
+        for i in range(CMS_DEPTH):
+            want[(i, (A[i] * hv + B[i]) % P % CMS_WIDTH)] += n
+    assert got == dict(want)
+
+    # One-sided error: estimate >= exact, every token.
+    for tok, n in exact.items():
+        est = min(
+            got[(i, (A[i] * hv_of[tok] + B[i]) % P % CMS_WIDTH)]
+            for i in range(CMS_DEPTH)
+        )
+        assert est >= n
+
+
+def test_cms_heavy_hitters_query_contract(spark):
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["cms_heavy_hitters_tokens"](
+        spark, _SF_DIR
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.cms_estimate >= r.exact_cnt > 0
