@@ -4460,6 +4460,56 @@ def dedup_minhash_incremental_documents(spark: SparkSession, sf_dir: str) -> Dat
     return _shape(kept1, 0).unionByName(_shape(kept2, 1))
 
 
+def odf_transform_unnest_ordinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNNEST ... WITH ORDINALITY inside a transform MAP step
+    (plans/dialect._rewrite_unnest ordinality branch — BEYOND reference
+    parity: Flink 1.16's parser rejects WITH ORDINALITY, Flink 1.20
+    added it with the ordinality column last and 1-based): each
+    non-error event's two-tag array expands into (tag, pos) rows with
+    pos in {1, 2}; error events carry an EMPTY array and survive the
+    LEFT JOIN .. ON TRUE spelling with NULL tag AND NULL ordinality.
+    The rewrite pre-packages positions via an index lambda
+    (inline(transform(arr, (v, i) -> struct(v, i + 1)))) — stateless
+    codegen row expansion, zero shuffles — scales."""
+    import tempfile
+
+    _conf(spark)
+    workdir = tempfile.mkdtemp(prefix="unnestord-entry-")
+    e = _t(spark, sf_dir, "events")
+    ledger = e.select(
+        F.col("event_id").alias("offset"),
+        F.lit(0).cast("int").alias("op"),
+        F.to_timestamp(F.lit("2020-01-01 00:00:00")).alias("system_time"),
+        F.col("ts").alias("event_time"),
+        "user_id",
+        "event_type",
+    )
+    slices = _ledger_slices(spark, ledger, workdir, "events", 2)
+    sql = """SELECT event_time, user_id, u.tag AS tag, u.pos AS pos
+FROM events
+LEFT JOIN UNNEST(
+  CASE WHEN event_type = 'error' THEN ARRAY()
+       ELSE split(concat(event_type, ',u', cast(MOD(user_id, 10) AS string)), ',')
+  END) WITH ORDINALITY AS u (tag, pos) ON TRUE"""
+    outs = _run_odf_invocations(
+        spark, sql, [[("events", p, wm)] for p, wm in slices], workdir,
+        "unnestord",
+    )
+    parts = [
+        spark.read.parquet(path).select(
+            F.lit(inv).cast("int").alias("inv"),
+            F.col("user_id").cast("long").alias("user_id"),
+            "tag",
+            F.col("pos").cast("long").alias("pos"),
+        )
+        for inv, path in outs
+    ]
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out
+
+
 def odf_transform_unnest_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flink's array-expanding UNNEST join inside a transform MAP step
     (plans/dialect._rewrite_unnest; reference surface via planner
@@ -4596,16 +4646,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ALL entries locally every round and the run is committed as
     # CROSSCHECK_r{N}.txt.
     return {
-        # ROUND-11 ROTATION: first 50 = the four new round-11 operators
+        # ROUND-11 ROTATION: first 50 = the five new round-11 operators
         # (the parenthesized stateful sub-chain under UNION ALL, UNNEST
         # over a computed map expression, the streaming UNION ALL
-        # concatenation twin, the portable count-min heavy hitters) +
-        # the cohorts with the OLDEST
+        # concatenation twin, the portable count-min heavy hitters,
+        # UNNEST WITH ORDINALITY) + the cohorts with the OLDEST
         # driver rows: the r07-checked block (31 — 4 rounds stale without
         # this rotation), the r08-checked block (4), and the round-9
         # cohort the round-10 verdict named (the updating-probe as-of,
         # the five streaming twins, the exclusion MATCH_RECOGNIZE, the
-        # UNNEST tags path, the three setop entries). The r09 remainder and the entire round-10-checked
+        # UNNEST tags path, the three setop entries) — whose LAST member
+        # lands at position 51 and takes its row in r12 (still <=3
+        # rounds old; its r09 row is 2 old after this round). The r09 remainder and the entire round-10-checked
         # block rotate behind (due r12). All entries are verified locally
         # every round via tools/crosscheck.py (CROSSCHECK_r11.txt).
         # --- due their FIRST driver row: round-11's new operators ---
@@ -4613,6 +4665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "odf_transform_unnest_map_filter": odf_transform_unnest_map_filter,
         "streaming_setop_unionall_twin": streaming_setop_unionall_twin,
         "cms_heavy_hitters_tokens": cms_heavy_hitters_tokens,
+        "odf_transform_unnest_ordinality": odf_transform_unnest_ordinality,
         # --- r07-checked cohort: oldest driver rows, due now ---
         "window_join_tumbling_daily": window_join_tumbling_daily,
         "over_agg_forward_window_events": over_agg_forward_window_events,
@@ -5969,6 +6022,29 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT inv, user_id, 't' AS k, event_type AS v
             FROM e WHERE event_type = 'purchase'
+        """,
+        "odf_transform_unnest_ordinality": """
+            -- UNNEST WITH ORDINALITY (1-based, ordinality last): each
+            -- non-error event yields (event_type, 1) and
+            -- ('u' || user_id % 10, 2); error events survive the LEFT
+            -- JOIN .. ON TRUE with NULL tag AND NULL ordinality.
+            WITH e AS (
+                SELECT CAST(event_id % 2 AS INT) AS inv, user_id,
+                       event_type
+                FROM events
+            )
+            SELECT inv, user_id, event_type AS tag,
+                   CAST(1 AS BIGINT) AS pos
+            FROM e WHERE event_type <> 'error'
+            UNION ALL
+            SELECT inv, user_id,
+                   'u' || CAST(user_id % 10 AS VARCHAR) AS tag,
+                   CAST(2 AS BIGINT) AS pos
+            FROM e WHERE event_type <> 'error'
+            UNION ALL
+            SELECT inv, user_id, CAST(NULL AS VARCHAR) AS tag,
+                   CAST(NULL AS BIGINT) AS pos
+            FROM e WHERE event_type = 'error'
         """,
         "odf_transform_unnest_map": """
             -- UNNEST over a MAP column (explode(map) -> key/value): two

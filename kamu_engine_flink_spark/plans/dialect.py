@@ -562,6 +562,68 @@ def _unnest_expr_is_map(sql: str, expr: str) -> bool:
         return False
 
 
+def _unnest_expr_struct_fields(sql: str, expr: str):
+    """Field names of the UNNEST argument when it resolves to an ARRAY OF
+    ROWS (array<struct<...>>), else None — same resolution strategy as
+    _unnest_expr_is_map: `[alias.]column` against registered view schemas
+    (unqualified must bind uniquely), computed expressions via the
+    analysis-only probe projection."""
+    try:
+        from pyspark.sql import SparkSession
+        from pyspark.sql.types import ArrayType, StructType as _ST
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            return None
+        tables = _unnest_from_tables(sql)
+
+        def _fields_of(dt):
+            if isinstance(dt, ArrayType) and isinstance(dt.elementType, _ST):
+                return [f.name for f in dt.elementType.fields]
+            return None
+
+        em = re.match(r"^\s*(?:`?(\w+)`?\s*\.\s*)?`?(\w+)`?\s*$", expr)
+        if em:
+            qual, col = em.group(1), em.group(2)
+            if qual:
+                candidates = [tables[qual]] if qual in tables else []
+            else:
+                owners = []
+                for t in dict.fromkeys(tables.values()):
+                    try:
+                        if col in spark.table(t).schema.names:
+                            owners.append(t)
+                    except Exception:
+                        continue
+                candidates = owners if len(owners) == 1 else []
+            for t in candidates:
+                try:
+                    schema = spark.table(t).schema
+                except Exception:
+                    continue
+                if col in schema.names:
+                    return _fields_of(schema[col].dataType)
+            return None
+        resolvable = []
+        for alias, name in tables.items():
+            try:
+                spark.table(name)
+            except Exception:
+                continue
+            resolvable.append(
+                f"`{name}`" + (f" AS `{alias}`" if alias != name else "")
+            )
+        if not resolvable:
+            return None
+        probe = (
+            f"SELECT {expr} AS __unnest_probe FROM "
+            + " CROSS JOIN ".join(resolvable)
+        )
+        return _fields_of(spark.sql(probe).schema["__unnest_probe"].dataType)
+    except Exception:
+        return None
+
+
 def _rewrite_unnest(sql: str) -> str:
     """Flink's array-expanding UNNEST -> Spark's LATERAL VIEW.
 
@@ -605,11 +667,9 @@ def _rewrite_unnest(sql: str) -> str:
             return sql  # unbalanced — leave for Spark to report
         expr = sql[m.end() : i - 1]
         rest = sql[i:]
-        if re.match(r"\s*WITH\s+ORDINALITY\b", rest, re.IGNORECASE):
-            raise InvalidQueryError(
-                "UNNEST ... WITH ORDINALITY is not supported; use "
-                "posexplode via a LATERAL VIEW directly"
-            )
+        ordinality = re.match(r"\s*WITH\s+ORDINALITY\b", rest, re.IGNORECASE)
+        if ordinality:
+            rest = rest[ordinality.end() :]
         tail = _UNNEST_TAIL_RE.match(rest)
         if not tail:
             raise InvalidQueryError(
@@ -627,6 +687,48 @@ def _rewrite_unnest(sql: str) -> str:
                     "LEFT JOIN UNNEST requires the literal ON TRUE"
                 )
             rest = rest[on_true.end() :]
+        if ordinality:
+            # WITH ORDINALITY (beyond reference parity — Flink 1.16's
+            # parser rejects it; Flink 1.20 added it with the ordinality
+            # column LAST and 1-based, the standard's order): pre-package
+            # each element with its 1-based position via an index lambda
+            # and expand with inline(); LATERAL VIEW assigns the alias
+            # list positionally, so the struct's internal field names
+            # never surface. Empty/NULL collections behave exactly like
+            # the plain spellings (inline drops; OUTER null-pads,
+            # ordinality included).
+            fn = "inline"
+            ord_expr = "cast(i + 1 as bigint)"
+            if len(cols) == 2:
+                # plain array: (value, ord)
+                gen_arg = f"transform({expr}, (v, i) -> struct(v, {ord_expr}))"
+            elif len(cols) == 3 and _unnest_expr_is_map(sql, expr):
+                # map: (key, value, ord) in map_entries order
+                gen_arg = (
+                    f"transform(map_entries({expr}), (e, i) -> "
+                    f"struct(e.key, e.value, {ord_expr}))"
+                )
+            else:
+                fields = _unnest_expr_struct_fields(sql, expr)
+                if fields is None or len(fields) != len(cols) - 1:
+                    raise InvalidQueryError(
+                        "UNNEST ... WITH ORDINALITY over an array of "
+                        "rows needs the row type to resolve against the "
+                        "referenced tables (or use posexplode via a "
+                        "LATERAL VIEW directly); alias list must be the "
+                        "row fields plus the ordinality column"
+                    )
+                picks = ", ".join(f"r.`{f}`" for f in fields)
+                gen_arg = (
+                    f"transform({expr}, (r, i) -> "
+                    f"struct({picks}, {ord_expr}))"
+                )
+            replacement = (
+                f" LATERAL VIEW{' OUTER' if outer else ''} {fn}({gen_arg}) "
+                f"{alias} AS {', '.join(cols)}"
+            )
+            sql = sql[: m.start()] + replacement + rest
+            continue
         if len(cols) == 1:
             fn = "explode"
         elif len(cols) == 2 and _unnest_expr_is_map(sql, expr):

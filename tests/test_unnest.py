@@ -189,14 +189,115 @@ def test_unnest_computed_map_end_to_end(spark, tmp_path):
 
 
 def test_unnest_rejects():
-    with pytest.raises(InvalidQueryError, match="ORDINALITY"):
-        rewrite_query(
-            "SELECT * FROM e CROSS JOIN UNNEST(a) WITH ORDINALITY AS u (x, i)"
-        )
     with pytest.raises(InvalidQueryError, match="alias"):
         rewrite_query("SELECT * FROM e CROSS JOIN UNNEST(a)")
     with pytest.raises(InvalidQueryError, match="ON TRUE"):
         rewrite_query("SELECT * FROM e LEFT JOIN UNNEST(a) AS u (x)")
+    # WITH ORDINALITY over an array of rows whose type cannot resolve
+    # (table e is unregistered) rejects loudly with the decomposition.
+    with pytest.raises(InvalidQueryError, match="ORDINALITY"):
+        rewrite_query(
+            "SELECT * FROM e CROSS JOIN UNNEST(a) WITH ORDINALITY "
+            "AS u (f1, f2, f3, i)"
+        )
+
+
+def test_unnest_with_ordinality_rewrites():
+    """WITH ORDINALITY (beyond Flink-1.16 parity): the rewrite
+    pre-packages 1-based positions via an index lambda — arrays give
+    (value, ord), the OUTER spelling null-pads ordinality too."""
+    out = rewrite_query(
+        "SELECT u.x, u.i FROM e CROSS JOIN UNNEST(arr) "
+        "WITH ORDINALITY AS u (x, i)"
+    )
+    assert (
+        "LATERAL VIEW inline(transform(arr, (v, i) -> "
+        "struct(v, cast(i + 1 as bigint)))) u AS x, i" in out
+    )
+    out = rewrite_query(
+        "SELECT u.x, u.i FROM e LEFT JOIN UNNEST(arr) "
+        "WITH ORDINALITY AS u (x, i) ON TRUE"
+    )
+    assert "LATERAL VIEW OUTER inline(" in out
+
+
+def test_unnest_with_ordinality_map_and_rows(spark):
+    """Map argument -> (key, value, ord) in map_entries order; array of
+    rows resolves its field names against the registered view schema ->
+    fields + ord."""
+    spark.sql(
+        "SELECT 'A' AS symbol, map('k', 1, 'j', 2) AS attrs, "
+        "array(named_struct('f1', 1, 'f2', 'x')) AS pairs"
+    ).createOrReplaceTempView("ordv")
+    try:
+        out = rewrite_query(
+            "SELECT u.k, u.v, u.i FROM ordv CROSS JOIN UNNEST(attrs) "
+            "WITH ORDINALITY AS u (k, v, i)"
+        )
+        assert "map_entries(attrs)" in out and "e.key, e.value" in out
+        out = rewrite_query(
+            "SELECT u.f1, u.f2, u.i FROM ordv CROSS JOIN UNNEST(pairs) "
+            "WITH ORDINALITY AS u (f1, f2, i)"
+        )
+        assert "struct(r.`f1`, r.`f2`, cast(i + 1 as bigint))" in out
+        # Alias-count mismatch against the resolved row type: loud.
+        with pytest.raises(InvalidQueryError, match="ORDINALITY"):
+            rewrite_query(
+                "SELECT * FROM ordv CROSS JOIN UNNEST(pairs) "
+                "WITH ORDINALITY AS u (f1, f2, f3, i)"
+            )
+    finally:
+        spark.catalog.dropTempView("ordv")
+
+
+def test_unnest_with_ordinality_end_to_end(spark, tmp_path):
+    """Transform execution: ordinality is 1-based array position; an
+    empty array survives the LEFT JOIN .. ON TRUE spelling with NULL
+    value AND NULL ordinality."""
+    slice1 = str(tmp_path / "in" / "ord1.parquet")
+    write_input_slice(
+        slice1,
+        {
+            "offset": [0, 1],
+            "op": [0, 0],
+            "system_time": [ts(1), ts(1)],
+            "event_time": [ts(1, 1), ts(1, 2)],
+            "symbol": ["A", "B"],
+            "tags": [["x", "y", "z"], []],
+        },
+        {
+            "offset": pa.int64(),
+            "op": pa.int32(),
+            "system_time": pa.timestamp("ms", tz="UTC"),
+            "event_time": pa.timestamp("ms", tz="UTC"),
+            "symbol": pa.string(),
+            "tags": pa.list_(pa.string()),
+        },
+    )
+    runner = TransformRunner(
+        spark,
+        str(tmp_path),
+        [
+            (
+                "SELECT event_time, symbol, u.tag AS tag, u.pos AS pos "
+                "FROM tickers LEFT JOIN UNNEST(tags) WITH ORDINALITY "
+                "AS u (tag, pos) ON TRUE",
+                None,
+            )
+        ],
+    )
+    _, out = runner.run(
+        [{"alias": "tickers", "schema_file": slice1, "data_paths": [slice1],
+          "watermark": ts(1, 2)}],
+        system_time=ts(2),
+    )
+    rows = sorted(
+        (r.symbol, r.tag, r.pos)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert rows == [
+        ("A", "x", 1), ("A", "y", 2), ("A", "z", 3), ("B", None, None)
+    ]
 
 
 def test_unnest_classification():
