@@ -2182,7 +2182,10 @@ def _run_odf_invocations(spark, sql, per_inv_inputs, workdir, tag,
             transform=Transform(
                 queries=steps,
                 temporal_tables=[
-                    TemporalTable(name=n, primary_key=[pk])
+                    TemporalTable(
+                        name=n,
+                        primary_key=[pk] if isinstance(pk, str) else list(pk),
+                    )
                     for n, pk in temporal_tables
                 ],
             ),
@@ -4423,6 +4426,88 @@ JOIN signups FOR SYSTEM_TIME AS OF c.event_time AS s ON c.user_id = s.user_id"""
     return out
 
 
+def asof_composite_pk_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (as-of) join over a COMPOSITE-primary-key temporal table
+    (operators/temporal_join.py — BEYOND reference parity:
+    TransformEngine.scala:194-197 throws on composite keys): the rates
+    table is keyed by (ub, etype) = (user_id mod 10, purchase|click),
+    versions deduped per (key, ts); signup probes carry a derived `want`
+    type and resolve FOR SYSTEM_TIME AS OF their own event time ON BOTH
+    key columns — two keys sharing a ub must never shadow each other's
+    version history. Two chained ODF invocations over offset%2 slices;
+    a probe releases in invocation 1 only if it arrived there AND sits
+    at or under the joint watermark (it then sees slice-0 versions
+    only); everything else releases in invocation 2 against the full
+    history — the oracle replays release + visibility exactly. Version
+    state bucketed by the full key tuple, O(slice) appends — scales."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    _conf(spark)
+    workdir = tempfile.mkdtemp(prefix="cpk-entry-")
+    e = _t(spark, sf_dir, "events")
+    # Version times ms-truncated UP FRONT (not just at the parquet write):
+    # the grouping and the offset ordering must see the same values in
+    # both engines (Spark reads the ns column as floor-us; DuckDB reads
+    # ns natively — grouping on raw values could split differently).
+    v = (
+        e.filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy(
+            (F.col("user_id") % 10).cast("long").alias("ub"),
+            F.col("event_type").alias("etype"),
+            F.date_trunc("millisecond", F.col("ts")).alias("event_time"),
+        )
+        .agg(F.max(F.floor(F.col("value") * 100).cast("long")).alias("rate"))
+        .withColumn(
+            "offset",
+            F.row_number().over(Window.orderBy("event_time", "ub", "etype")) - 1,
+        )
+        .withColumn("op", F.lit(0).cast("int"))
+        .withColumn("system_time", F.to_timestamp(F.lit("2020-01-01 00:00:00")))
+        .select("offset", "op", "system_time", "event_time", "ub", "etype", "rate")
+    )
+    p = e.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("offset"),
+        F.lit(0).cast("int").alias("op"),
+        F.to_timestamp(F.lit("2020-01-01 00:00:00")).alias("system_time"),
+        F.col("ts").alias("event_time"),
+        (F.col("user_id") % 10).cast("long").alias("ub"),
+        F.when(F.col("user_id") % 2 == 0, F.lit("purchase"))
+        .otherwise(F.lit("click"))
+        .alias("want"),
+        F.floor(F.col("value") * 100).cast("long").alias("qty"),
+    )
+    v_slices = _ledger_slices(spark, v, workdir, "rates", 2)
+    p_slices = _ledger_slices(spark, p, workdir, "signups", 2)
+    sql = """SELECT s.event_time as event_time, s.ub as ub, s.want as want,
+  s.qty as qty, r.rate as rate
+FROM signups AS s
+JOIN rates FOR SYSTEM_TIME AS OF s.event_time AS r
+ON s.ub = r.ub AND s.want = r.etype"""
+    per_inv = [
+        [("rates", *v_slices[i]), ("signups", *p_slices[i])] for i in range(2)
+    ]
+    outs = _run_odf_invocations(
+        spark, sql, per_inv, workdir, "cpkasof",
+        temporal_tables=[("rates", ("ub", "etype"))],
+    )
+    parts = [
+        spark.read.parquet(path).select(
+            "event_time",
+            F.col("ub").cast("long").alias("ub"),
+            "want",
+            F.col("qty").cast("long").alias("qty"),
+            F.col("rate").cast("long").alias("rate"),
+        )
+        for _inv, path in outs
+    ]
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out
+
+
 def dedup_minhash_incremental_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest MinHash dedup (operators/dedup.
     dedup_minhash_incremental): the corpus arrives as two id-ordered
@@ -4646,18 +4731,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ALL entries locally every round and the run is committed as
     # CROSSCHECK_r{N}.txt.
     return {
-        # ROUND-11 ROTATION: first 50 = the five new round-11 operators
+        # ROUND-11 ROTATION: first 50 = the six new round-11 operators
         # (the parenthesized stateful sub-chain under UNION ALL, UNNEST
         # over a computed map expression, the streaming UNION ALL
         # concatenation twin, the portable count-min heavy hitters,
-        # UNNEST WITH ORDINALITY) + the cohorts with the OLDEST
+        # UNNEST WITH ORDINALITY, the composite-PK as-of join) + the
+        # cohorts with the OLDEST
         # driver rows: the r07-checked block (31 — 4 rounds stale without
         # this rotation), the r08-checked block (4), and the round-9
         # cohort the round-10 verdict named (the updating-probe as-of,
         # the five streaming twins, the exclusion MATCH_RECOGNIZE, the
-        # UNNEST tags path, the three setop entries) — whose LAST member
-        # lands at position 51 and takes its row in r12 (still <=3
-        # rounds old; its r09 row is 2 old after this round). The r09 remainder and the entire round-10-checked
+        # UNNEST tags path, the three setop entries) — whose last TWO
+        # members land at positions 51-52 and take their rows in r12
+        # (still <=3 rounds old; their r09 rows are 2 old after this
+        # round). The r09 remainder and the entire round-10-checked
         # block rotate behind (due r12). All entries are verified locally
         # every round via tools/crosscheck.py (CROSSCHECK_r11.txt).
         # --- due their FIRST driver row: round-11's new operators ---
@@ -4666,6 +4753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_setop_unionall_twin": streaming_setop_unionall_twin,
         "cms_heavy_hitters_tokens": cms_heavy_hitters_tokens,
         "odf_transform_unnest_ordinality": odf_transform_unnest_ordinality,
+        "asof_composite_pk_rates": asof_composite_pk_rates,
         # --- r07-checked cohort: oldest driver rows, due now ---
         "window_join_tumbling_daily": window_join_tumbling_daily,
         "over_agg_forward_window_events": over_agg_forward_window_events,
@@ -5581,6 +5669,55 @@ def oracle_sql() -> dict[str, str]:
                   AND sg.inv <= pr.rel_s
                 ORDER BY sg.ts DESC LIMIT 1
             ) sv ON TRUE
+        """,
+        "asof_composite_pk_rates": """
+            -- As-of join on a COMPOSITE key (ub, etype): versions are
+            -- ms-truncated deduped (key, ts) rows sliced by a
+            -- row_number offset % 2; a signup probe releases in
+            -- invocation 1 only if it ARRIVED in slice 0 AND sits at or
+            -- under the joint watermark (then it sees slice-0 versions
+            -- only); all other probes at or under the final joint
+            -- watermark release in invocation 2 against full history.
+            WITH v AS (
+                SELECT CAST(user_id % 10 AS BIGINT) AS ub,
+                       event_type AS etype,
+                       date_trunc('milliseconds', ts) AS vt,
+                       max(CAST(floor(value * 100) AS BIGINT)) AS rate
+                FROM events WHERE event_type IN ('purchase', 'click')
+                GROUP BY 1, 2, 3
+            ), vs AS (
+                SELECT *, CAST((row_number() OVER
+                       (ORDER BY vt, ub, etype) - 1) % 2 AS INT) AS vslice
+                FROM v
+            ), s AS (
+                SELECT CAST(user_id % 10 AS BIGINT) AS ub,
+                       CASE WHEN user_id % 2 = 0 THEN 'purchase'
+                            ELSE 'click' END AS want,
+                       date_trunc('milliseconds', ts) AS pts,
+                       CAST(floor(value * 100) AS BIGINT) AS qty,
+                       CAST(event_id % 2 AS INT) AS pslice
+                FROM events WHERE event_type = 'signup'
+            ), wm AS (
+                SELECT
+                  least((SELECT max(vt) FROM vs WHERE vslice = 0),
+                        (SELECT max(pts) FROM s WHERE pslice = 0)) AS jw1,
+                  least((SELECT max(vt) FROM vs),
+                        (SELECT max(pts) FROM s)) AS jw2
+            ), rel AS (
+                SELECT s.*, CASE WHEN s.pslice = 0 AND s.pts <= wm.jw1
+                                 THEN 1 ELSE 2 END AS r
+                FROM s, wm WHERE s.pts <= wm.jw2
+            )
+            SELECT rel.pts AS event_time, rel.ub AS ub, rel.want AS want,
+                   rel.qty AS qty, v.rate AS rate
+            FROM rel
+            JOIN LATERAL (
+                SELECT rate FROM vs
+                WHERE vs.ub = rel.ub AND vs.etype = rel.want
+                  AND vs.vt <= rel.pts
+                  AND (rel.r = 2 OR vs.vslice = 0)
+                ORDER BY vs.vt DESC LIMIT 1
+            ) v ON TRUE
         """,
         "changelog_asof_rates": """
             -- As-of join against a changelog-maintained versioned view.

@@ -42,11 +42,16 @@ def with_validity(versions: DataFrame, primary_key: list[str], event_time_col: s
 def resolve_temporal_table(ctx: StepContext, name: str) -> TemporalTable:
     for t in ctx.request.transform.temporal_tables:
         if t.name == name:
-            if len(t.primary_key) != 1:
-                # Composite PK rejected like TransformEngine.scala:194-197.
+            if not t.primary_key:
                 raise InvalidQueryError(
-                    f"temporal table '{name}' must have exactly one primary key column"
+                    f"temporal table '{name}' must declare at least one "
+                    "primary key column"
                 )
+            # COMPOSITE primary keys are supported BEYOND reference
+            # parity (TransformEngine.scala:194-197 throws on them):
+            # every executor versions/buckets/compacts per full key
+            # tuple; the user's join condition equates all key columns,
+            # exactly as Flink's temporal join would require.
             return t
     raise InvalidQueryError(f"temporal table '{name}' is not declared")
 
@@ -70,7 +75,8 @@ def _probe_time_col(sql: str, probe_cols, default: str) -> str:
 
 
 def _parse_sides(ctx: StepContext, sql: str):
-    """(build, probe, tt, pk, build_et, probe_et) of a temporal join."""
+    """(build, probe, tt, pks, build_et, probe_et) of a temporal join;
+    pks is the (possibly composite) primary-key column list."""
     known = set(ctx.views)
     refs = referenced_views(sql, known)
     temporal_names = {t.name for t in ctx.request.transform.temporal_tables}
@@ -86,11 +92,11 @@ def _parse_sides(ctx: StepContext, sql: str):
     probe_et = _probe_time_col(
         sql, ctx.views[probe].columns, ctx.event_time_cols[probe]
     )
-    return build, probe, tt, tt.primary_key[0], build_et, probe_et
+    return build, probe, tt, tt.primary_key, build_et, probe_et
 
 
 def _changelog_version_state(
-    ctx: StepContext, build_df, build_et: str, pk: str, joint_wm, probe_saves
+    ctx: StepContext, build_df, build_et: str, pk: list, joint_wm, probe_saves
 ) -> DataFrame:
     """Maintain the CHANGELOG-fed version ledger and return the resolvable
     (live-version) validity view.
@@ -116,10 +122,10 @@ def _changelog_version_state(
     from .topn import OP_COL
 
     value_cols = [c for c in build_df.columns if not c.startswith("__")]
-    if pk not in value_cols or build_et not in value_cols:
+    if any(p not in value_cols for p in pk) or build_et not in value_cols:
         raise InvalidQueryError(
             f"temporal table must project its primary key "
-            f"({pk}) and event time ({build_et})"
+            f"({', '.join(pk)}) and event time ({build_et})"
         )
 
     TOMB, VSEQ = "__tombstone", "__vseq"
@@ -168,7 +174,7 @@ def _changelog_version_state(
     # Validity intervals per key, ties within one event time broken by
     # emission order; tombstone rows shape the intervals, then drop out of
     # the probe-resolution view (their interval matches nothing).
-    w = Window.partitionBy(pk).orderBy(F.col(build_et).asc(), F.col(VSEQ).asc())
+    w = Window.partitionBy(*pk).orderBy(F.col(build_et).asc(), F.col(VSEQ).asc())
     versioned = (
         versions.withColumn(VALID_FROM, F.col(build_et))
         .withColumn(VALID_TO, F.lead(build_et).over(w))
@@ -197,10 +203,10 @@ def _changelog_version_state(
         pruned = versioned.filter(
             F.col(VALID_TO).isNull() | (F.col(VALID_TO) > F.lit(joint_wm))
         ).drop(VALID_FROM, VALID_TO)
-        ctx.state.save_dfs([*probe_saves, (versions_state, pruned, [pk])])
+        ctx.state.save_dfs([*probe_saves, (versions_state, pruned, pk)])
         ctx.state.save_json(compact_meta, {"floor": None})
     else:
-        ctx.state.save_df(versions_state, delta, bucket_by=[pk], append=True)
+        ctx.state.save_df(versions_state, delta, bucket_by=pk, append=True)
         for name, df in probe_saves:
             ctx.state.save_df(name, df)
         if floor is None:

@@ -89,7 +89,11 @@ class TransformRunner:
                     SqlQueryStep(query=q, alias=a) for q, a in self.queries
                 ],
                 temporal_tables=[
-                    TemporalTable(name=n, primary_key=[pk]) for n, pk in self.temporal_tables
+                    TemporalTable(
+                        name=n,
+                        primary_key=[pk] if isinstance(pk, str) else list(pk),
+                    )
+                    for n, pk in self.temporal_tables
                 ],
             ),
             query_inputs=[

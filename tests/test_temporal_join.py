@@ -195,3 +195,167 @@ ON t.symbol = s.symbol"""
         assert n_rows <= 4, f"versions not compacted: {n_rows} rows"
     finally:
         spark.conf.unset("spark.kamu.state.ledgerCompactMinBytes")
+
+
+# ---------------------------------------------------------------------------
+# COMPOSITE primary keys (beyond reference parity: the reference throws on
+# them, TransformEngine.scala:194-197). Versions are keyed by the FULL
+# (symbol, region) tuple — two keys sharing a symbol must not shadow each
+# other's version history — and state persists across invocations.
+# ---------------------------------------------------------------------------
+
+
+def _rates2_slice(path, rows):
+    """rows: (offset, system_time, event_time, symbol, region, rate)"""
+    cols = list(zip(*rows)) if rows else [[]] * 6
+    write_input_slice(
+        path,
+        {
+            "offset": list(cols[0]),
+            "op": [0] * len(rows),
+            "system_time": list(cols[1]),
+            "event_time": list(cols[2]),
+            "symbol": list(cols[3]),
+            "region": list(cols[4]),
+            "rate": list(cols[5]),
+        },
+        {
+            "offset": pa.int64(),
+            "op": pa.int32(),
+            "system_time": pa.timestamp("ms", tz="UTC"),
+            "event_time": pa.timestamp("ms", tz="UTC"),
+            "symbol": pa.string(),
+            "region": pa.string(),
+            "rate": pa.int32(),
+        },
+    )
+
+
+def _probe2_slice(path, rows):
+    """rows: (offset, system_time, event_time, symbol, region, qty)"""
+    cols = list(zip(*rows)) if rows else [[]] * 6
+    write_input_slice(
+        path,
+        {
+            "offset": list(cols[0]),
+            "op": [0] * len(rows),
+            "system_time": list(cols[1]),
+            "event_time": list(cols[2]),
+            "symbol": list(cols[3]),
+            "region": list(cols[4]),
+            "qty": list(cols[5]),
+        },
+        {
+            "offset": pa.int64(),
+            "op": pa.int32(),
+            "system_time": pa.timestamp("ms", tz="UTC"),
+            "event_time": pa.timestamp("ms", tz="UTC"),
+            "symbol": pa.string(),
+            "region": pa.string(),
+            "qty": pa.int32(),
+        },
+    )
+
+
+COMPOSITE_QUERY = """SELECT
+  t.event_time, t.symbol, t.region, t.qty, r.rate AS rate,
+  t.qty * r.rate AS total
+FROM trades AS t
+JOIN rates FOR SYSTEM_TIME AS OF t.event_time AS r
+ON t.symbol = r.symbol AND t.region = r.region"""
+
+
+def test_composite_pk_temporal_join(spark, tmp_path):
+    runner = TransformRunner(
+        spark,
+        str(tmp_path),
+        [(COMPOSITE_QUERY, None)],
+        temporal_tables=[("rates", ("symbol", "region"))],
+    )
+    # Invocation 1: versions for (A, eu)=10@t1, (A, us)=20@t1 — same
+    # symbol, different region. Probe (A, eu)@t2 must take 10, (A, us)@t2
+    # must take 20 (a symbol-only key would collapse these).
+    r1 = str(tmp_path / "r1.parquet")
+    _rates2_slice(r1, [
+        (0, ts(5), ts(1), "A", "eu", 10),
+        (1, ts(5), ts(1), "A", "us", 20),
+    ])
+    p1 = str(tmp_path / "p1.parquet")
+    _probe2_slice(p1, [
+        (0, ts(5), ts(2), "A", "eu", 3),
+        (1, ts(5), ts(2), "A", "us", 4),
+    ])
+    _, out1 = runner.run(
+        [
+            {"alias": "rates", "schema_file": r1, "data_paths": [r1],
+             "watermark": ts(2)},
+            {"alias": "trades", "schema_file": p1, "data_paths": [p1],
+             "watermark": ts(2)},
+        ],
+        system_time=ts(5),
+    )
+    got1 = sorted(
+        (r.symbol, r.region, r.qty, r.rate, r.total)
+        for r in spark.read.parquet(out1).collect()
+    )
+    assert got1 == [("A", "eu", 3, 10, 30), ("A", "us", 4, 20, 80)]
+
+    # Invocation 2: a NEW version for (A, eu)=11@t3 only; probes at t4 —
+    # (A, eu) resolves the new version, (A, us) still the t1 version
+    # restored from cross-invocation state.
+    r2 = str(tmp_path / "r2.parquet")
+    _rates2_slice(r2, [(2, ts(6), ts(3), "A", "eu", 11)])
+    p2 = str(tmp_path / "p2.parquet")
+    _probe2_slice(p2, [
+        (2, ts(6), ts(4), "A", "eu", 5),
+        (3, ts(6), ts(4), "A", "us", 6),
+    ])
+    _, out2 = runner.run(
+        [
+            {"alias": "rates", "schema_file": r2, "data_paths": [r2],
+             "watermark": ts(4)},
+            {"alias": "trades", "schema_file": p2, "data_paths": [p2],
+             "watermark": ts(4)},
+        ],
+        system_time=ts(6),
+    )
+    got2 = sorted(
+        (r.symbol, r.region, r.qty, r.rate, r.total)
+        for r in spark.read.parquet(out2).collect()
+    )
+    assert got2 == [("A", "eu", 5, 11, 55), ("A", "us", 6, 20, 120)]
+
+
+def test_composite_pk_requires_all_key_columns(spark, tmp_path):
+    """A changelog build that fails to project every composite key column
+    rejects loudly naming the full key list."""
+    from kamu_engine_flink_spark.protocol.model import InvalidQueryError
+
+    runner = TransformRunner(
+        spark,
+        str(tmp_path),
+        [
+            (
+                "SELECT cast(now() as timestamp(3)) as event_time, "
+                "symbol, count(*) as n FROM a GROUP BY symbol",
+                "agg",
+            ),
+            (
+                "SELECT t.event_time, t.symbol, r.n AS n FROM a AS t "
+                "JOIN agg FOR SYSTEM_TIME AS OF t.event_time AS r "
+                "ON t.symbol = r.symbol",
+                None,
+            ),
+        ],
+        temporal_tables=[("agg", ("symbol", "missing_col"))],
+    )
+    path = str(tmp_path / "a1.parquet")
+    ticker_slice(path, [(0, 0, ts(1), ts(1, 1), "A", 1)])
+    import pytest as _pytest
+
+    with _pytest.raises(InvalidQueryError, match="symbol, missing_col"):
+        runner.run(
+            [{"alias": "a", "schema_file": path, "data_paths": [path],
+              "watermark": ts(1, 1)}],
+            system_time=ts(2),
+        )
