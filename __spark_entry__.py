@@ -3752,6 +3752,84 @@ def streaming_window_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_interval_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING under the driver oracle: the always-on
+    interval-join twin (streaming/structured.StreamingIntervalJoin —
+    Spark's native stream-stream time-interval join, the reference's
+    core streaming join, EngineJoinStreamToStreamTest.scala:106-117) as
+    two availableNow runs over TIME-BANDED purchase/click slices with a
+    checkpoint between them. Pairs satisfy c_ts in [p_ts, p_ts + 12h]
+    on the same user; the native inner join emits a pair in the run
+    where its LATER member arrives — a run-1 purchase buffered in the
+    stream checkpoint pairs with a run-2 click inside its window. The
+    banding keeps run-2 rows ahead of run-1 watermarks, so nothing is
+    late-dropped and no needed buffer row is evicted early (an evicted
+    purchase's window lies entirely below the band, where no run-2
+    click can exist) — the oracle is the exact batch interval join with
+    pairs attributed to the max-side run. State bounded by the interval
+    width + watermark delay — scales."""
+    import glob
+    import os
+    import tempfile
+
+    from kamu_engine_flink_spark.sinks.parquet import write_single_parquet
+    from kamu_engine_flink_spark.streaming.structured import (
+        StreamingIntervalJoin,
+    )
+
+    _conf(spark)
+    workdir = tempfile.mkdtemp(prefix="stream-ivj-")
+    d = {k: os.path.join(workdir, k) for k in ("l", "r", "chk", "out")}
+    for k in ("l", "r"):
+        os.makedirs(d[k])
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    p = e.filter("event_type = 'purchase'").select(
+        F.col("ts").alias("p_ts"), F.col("user_id").alias("p_user"),
+        F.col("cents").alias("p_cents"),
+    )
+    c = e.filter("event_type = 'click'").select(
+        F.col("ts").alias("c_ts"), F.col("user_id").alias("c_user"),
+        F.col("cents").alias("c_cents"),
+    )
+    band_p = f"p_ts < TIMESTAMP '{_ASOF_BAND}'"
+    band_c = f"c_ts < TIMESTAMP '{_ASOF_BAND}'"
+    job = StreamingIntervalJoin(
+        left_dir=d["l"], right_dir=d["r"],
+        checkpoint_dir=d["chk"], output_dir=d["out"],
+        left_time="p_ts", right_time="c_ts",
+        equi_keys=[("p_user", "c_user")],
+        lower="0 seconds", upper="12 hours",
+        left_schema=p.schema, right_schema=c.schema,
+    )
+    write_single_parquet(p.filter(band_p), os.path.join(d["l"], "b1.parquet"))
+    write_single_parquet(c.filter(band_c), os.path.join(d["r"], "b1.parquet"))
+    job.run_available_now(spark)
+    files1 = set(glob.glob(os.path.join(d["out"], "*.parquet")))
+    write_single_parquet(p.filter(f"NOT ({band_p})"),
+                         os.path.join(d["l"], "b2.parquet"))
+    write_single_parquet(c.filter(f"NOT ({band_c})"),
+                         os.path.join(d["r"], "b2.parquet"))
+    job.run_available_now(spark)
+    files2 = set(glob.glob(os.path.join(d["out"], "*.parquet"))) - files1
+    run1 = spark.read.parquet(*sorted(files1))
+    run2 = spark.read.parquet(*sorted(files2))
+    return (
+        run1.withColumn("inv", F.lit(1).cast("int"))
+        .unionByName(run2.withColumn("inv", F.lit(2).cast("int")))
+        .select(
+            "inv",
+            F.col("p_user").cast("long").alias("user_id"),
+            F.unix_millis("p_ts").alias("p_ts_ms"),
+            F.unix_millis("c_ts").alias("c_ts_ms"),
+            F.col("p_cents").cast("long").alias("p_cents"),
+            F.col("c_cents").cast("long").alias("c_cents"),
+        )
+    )
+
+
 def streaming_asof_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STRUCTURED STREAMING under the driver oracle: the always-on
     temporal/as-of twin (streaming/structured.StreamingAsOfJoin,
@@ -4731,18 +4809,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ALL entries locally every round and the run is committed as
     # CROSSCHECK_r{N}.txt.
     return {
-        # ROUND-11 ROTATION: first 50 = the six new round-11 operators
+        # ROUND-11 ROTATION: first 50 = the seven new round-11 operators
         # (the parenthesized stateful sub-chain under UNION ALL, UNNEST
         # over a computed map expression, the streaming UNION ALL
         # concatenation twin, the portable count-min heavy hitters,
-        # UNNEST WITH ORDINALITY, the composite-PK as-of join) + the
-        # cohorts with the OLDEST
+        # UNNEST WITH ORDINALITY, the composite-PK as-of join, the
+        # streaming interval-join twin) + the cohorts with the OLDEST
         # driver rows: the r07-checked block (31 — 4 rounds stale without
         # this rotation), the r08-checked block (4), and the round-9
         # cohort the round-10 verdict named (the updating-probe as-of,
         # the five streaming twins, the exclusion MATCH_RECOGNIZE, the
-        # UNNEST tags path, the three setop entries) — whose last TWO
-        # members land at positions 51-52 and take their rows in r12
+        # UNNEST tags path, the three setop entries) — whose last THREE
+        # members land at positions 51-53 and take their rows in r12
         # (still <=3 rounds old; their r09 rows are 2 old after this
         # round). The r09 remainder and the entire round-10-checked
         # block rotate behind (due r12). All entries are verified locally
@@ -4754,6 +4832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters_tokens": cms_heavy_hitters_tokens,
         "odf_transform_unnest_ordinality": odf_transform_unnest_ordinality,
         "asof_composite_pk_rates": asof_composite_pk_rates,
+        "streaming_interval_join_twin": streaming_interval_join_twin,
         # --- r07-checked cohort: oldest driver rows, due now ---
         "window_join_tumbling_daily": window_join_tumbling_daily,
         "over_agg_forward_window_events": over_agg_forward_window_events,
@@ -5775,6 +5854,38 @@ def oracle_sql() -> dict[str, str]:
                   AND v.vinv <= p.rel
                 ORDER BY v.vt DESC LIMIT 1
             ) v ON TRUE
+        """,
+        "streaming_interval_join_twin": """
+            -- Native stream-stream interval join, time-banded split:
+            -- a (purchase, click) pair with c_ts in [p_ts, p_ts + 12h]
+            -- on the same user emits exactly once, in the run where
+            -- its LATER member arrives (banding keeps run 2 ahead of
+            -- run-1 watermarks; an evicted purchase's window lies
+            -- entirely below the band, unreachable by run-2 clicks).
+            WITH e AS (
+                SELECT user_id, event_type,
+                       date_trunc('milliseconds', ts) AS ts,
+                       CAST(floor(value * 100) AS BIGINT) AS cents
+                FROM events WHERE event_type IN ('purchase', 'click')
+            ), p AS (
+                SELECT user_id, ts AS p_ts, cents AS p_cents FROM e
+                WHERE event_type = 'purchase'
+            ), c AS (
+                SELECT user_id, ts AS c_ts, cents AS c_cents FROM e
+                WHERE event_type = 'click'
+            )
+            SELECT CAST(CASE WHEN p.p_ts < TIMESTAMP '2024-01-16'
+                              AND c.c_ts < TIMESTAMP '2024-01-16'
+                             THEN 1 ELSE 2 END AS INT) AS inv,
+                   p.user_id AS user_id,
+                   epoch_ms(p.p_ts) AS p_ts_ms,
+                   epoch_ms(c.c_ts) AS c_ts_ms,
+                   p.p_cents AS p_cents,
+                   c.c_cents AS c_cents
+            FROM p JOIN c
+              ON p.user_id = c.user_id
+             AND c.c_ts >= p.p_ts
+             AND c.c_ts <= p.p_ts + INTERVAL 12 HOUR
         """,
         "streaming_changelog_topn_twin": """
             -- Streaming retractable Top-N twin: recompute the live value
