@@ -2028,6 +2028,51 @@ def cms_heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable KMV (bottom-k) distinct-count sketch per event_type
+    (functions/portable_hash.h48 over the stringified user id, k = 64):
+    the sketch is the k SMALLEST distinct 48-bit hashes — mergeable by
+    union-then-rebottom (tested in tests/test_sketches.py), the
+    re-aggregatable pattern HLL provides, but in pure integer md5
+    arithmetic so the DuckDB oracle replays the ESTIMATE itself
+    cell-exactly (estimate = (k-1) * 2^48 div h_(k), or the exact
+    distinct count when fewer than k hashes exist). The bottom-k is a
+    hash-distinct plus a per-key ordered head — at 100 TB the same
+    result comes from a bounded min-k accumulator merged map-side, so
+    state per key is k longs either way. The exact distinct count rides
+    along for comparison."""
+    from kamu_engine_flink_spark.functions.portable_hash import h48
+
+    K = 64
+    e = _t(spark, sf_dir, "events")
+    h = e.select(
+        "event_type",
+        F.expr(h48("cast(user_id as string)")).alias("hv"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("hv")
+    rk = h.select(
+        "event_type", "hv",
+        F.row_number().over(w).alias("r"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    est = rk.filter(
+        (F.col("r") == K) | ((F.col("n") < K) & (F.col("r") == F.col("n")))
+    ).select(
+        "event_type",
+        F.when(
+            F.col("n") < K, F.col("n")
+        ).otherwise(
+            F.expr(f"CAST(({K - 1} * 281474976710656L) DIV hv AS BIGINT)")
+        ).cast("long").alias("kmv_estimate"),
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "exact_users", "kmv_estimate"
+    )
+
+
 def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio decode plumbing (decode stubbed, digest-derived): the oracle
     recomputes sample_rate/channels/duration/codec from md5 hex in SQL, so
@@ -4809,7 +4854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ALL entries locally every round and the run is committed as
     # CROSSCHECK_r{N}.txt.
     return {
-        # ROUND-11 ROTATION: first 50 = the seven new round-11 operators
+        # ROUND-11 ROTATION: first 50 = the eight new round-11 operators
         # (the parenthesized stateful sub-chain under UNION ALL, UNNEST
         # over a computed map expression, the streaming UNION ALL
         # concatenation twin, the portable count-min heavy hitters,
@@ -4819,8 +4864,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # this rotation), the r08-checked block (4), and the round-9
         # cohort the round-10 verdict named (the updating-probe as-of,
         # the five streaming twins, the exclusion MATCH_RECOGNIZE, the
-        # UNNEST tags path, the three setop entries) — whose last THREE
-        # members land at positions 51-53 and take their rows in r12
+        # UNNEST tags path, the three setop entries) — whose last FOUR
+        # members land at positions 51-54 and take their rows in r12
         # (still <=3 rounds old; their r09 rows are 2 old after this
         # round). The r09 remainder and the entire round-10-checked
         # block rotate behind (due r12). All entries are verified locally
@@ -4833,6 +4878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "odf_transform_unnest_ordinality": odf_transform_unnest_ordinality,
         "asof_composite_pk_rates": asof_composite_pk_rates,
         "streaming_interval_join_twin": streaming_interval_join_twin,
+        "kmv_distinct_users": kmv_distinct_users,
         # --- r07-checked cohort: oldest driver rows, due now ---
         "window_join_tumbling_daily": window_join_tumbling_daily,
         "over_agg_forward_window_events": over_agg_forward_window_events,
@@ -6050,6 +6096,39 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT inv + 1, CAST(0 AS INT) AS op, val
             FROM e WHERE event_type = 'signup'
+        """,
+        "kmv_distinct_users": """
+            -- Portable KMV: distinct 48-bit md5 hashes of the
+            -- stringified user id; estimate = (k-1) * 2^48 div h_(64),
+            -- or the exact distinct hash count when fewer than 64
+            -- exist — pure integer arithmetic, replayed cell-exactly.
+            WITH h AS (
+                SELECT DISTINCT event_type,
+                       ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                       1, 12))::BIGINT AS hv
+                FROM events
+            ), rk AS (
+                SELECT event_type, hv,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY hv) AS r,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM h
+            ), est AS (
+                SELECT event_type,
+                       CASE WHEN n < 64 THEN n
+                            ELSE (63 * 281474976710656) // hv
+                       END AS kmv_estimate
+                FROM rk
+                WHERE r = 64 OR (n < 64 AND r = n)
+            ), exact AS (
+                SELECT event_type,
+                       count(DISTINCT user_id) AS exact_users
+                FROM events GROUP BY event_type
+            )
+            SELECT est.event_type AS event_type,
+                   CAST(exact.exact_users AS BIGINT) AS exact_users,
+                   CAST(est.kmv_estimate AS BIGINT) AS kmv_estimate
+            FROM est JOIN exact ON est.event_type = exact.event_type
         """,
         "cms_heavy_hitters_tokens": f"""
             -- Portable count-min sketch replayed cell-exactly: token

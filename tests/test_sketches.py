@@ -144,3 +144,48 @@ def test_cms_heavy_hitters_query_contract(spark):
     assert rows
     for r in rows:
         assert r.cms_estimate >= r.exact_cnt > 0
+
+
+def test_kmv_merge_equals_direct_and_tracks_exact(spark):
+    """KMV mergeability: the union of per-day bottom-64 sketches,
+    re-bottomed, equals the direct bottom-64 — the property that lets
+    partial sketches merge across shards/days. And the estimate tracks
+    the exact distinct count within the sketch's standard error."""
+    from kamu_engine_flink_spark.functions.portable_hash import h48
+
+    K = 64
+    e = _events(spark)
+    h = e.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.expr(h48("cast(user_id as string)")).alias("hv"),
+    )
+
+    def bottom_k(df, keys):
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*keys).orderBy("hv")
+        return (
+            df.select(*keys, "hv").distinct()
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= K)
+            .drop("r")
+        )
+
+    direct = bottom_k(h, ["event_type"])
+    daily = bottom_k(h, ["event_type", "day"]).drop("day")
+    merged = bottom_k(daily, ["event_type"])
+    assert (
+        direct.exceptAll(merged).count() == 0
+        and merged.exceptAll(direct).count() == 0
+    )
+
+    # Estimate accuracy: rse ~ 1/sqrt(k-1) ~ 12.6%; assert within 4 sigma.
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["kmv_distinct_users"](spark, _SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.kmv_estimate - r.exact_users) <= max(
+            0.51 * r.exact_users, 3
+        )
