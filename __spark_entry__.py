@@ -2036,11 +2036,21 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-aggregatable pattern HLL provides, but in pure integer md5
     arithmetic so the DuckDB oracle replays the ESTIMATE itself
     cell-exactly (estimate = (k-1) * 2^48 div h_(k), or the exact
-    distinct count when fewer than k hashes exist). The bottom-k is a
-    hash-distinct plus a per-key ordered head — at 100 TB the same
-    result comes from a bounded min-k accumulator merged map-side, so
-    state per key is k longs either way. The exact distinct count rides
-    along for comparison."""
+    distinct count when fewer than k hashes exist).
+
+    The bottom-k is computed as a MAP-SIDE BOUNDED MIN-K with a tree
+    merge — never a per-key sort of all distinct hashes: (1) each input
+    partition folds its own hashes into one <=k array per event_type
+    (collect_set dedups map-side; the group spans exactly one partition
+    so the shuffle carries <=k longs per (key, partition)); (2) partition
+    sketches re-bottom within 64 buckets; (3) buckets re-bottom
+    globally — so final fan-in is bounded by the bucket count, not the
+    cluster size, and no task ever sorts more than (fan-in * k) longs.
+    Correctness of union-then-rebottom is the mergeability law pinned in
+    tests/test_sketches.py:149: if global distinct < k every partition
+    sketch kept all its hashes, so the merged size IS the exact count;
+    otherwise the merged k-th smallest is the global k-th smallest.
+    The exact distinct count rides along for comparison."""
     from kamu_engine_flink_spark.functions.portable_hash import h48
 
     K = 64
@@ -2048,21 +2058,30 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = e.select(
         "event_type",
         F.expr(h48("cast(user_id as string)")).alias("hv"),
-    ).distinct()
-    w = Window.partitionBy("event_type").orderBy("hv")
-    rk = h.select(
-        "event_type", "hv",
-        F.row_number().over(w).alias("r"),
-        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
     )
-    est = rk.filter(
-        (F.col("r") == K) | ((F.col("n") < K) & (F.col("r") == F.col("n")))
-    ).select(
+
+    def _rebottom(col: str):
+        return F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list(col)))),
+            1, K,
+        )
+
+    local = h.groupBy("event_type", F.spark_partition_id().alias("pid")).agg(
+        F.slice(F.array_sort(F.collect_set("hv")), 1, K).alias("bk")
+    )
+    bucket = local.groupBy("event_type", (F.col("pid") % 64).alias("b")).agg(
+        _rebottom("bk").alias("bk")
+    )
+    merged = bucket.groupBy("event_type").agg(_rebottom("bk").alias("bk"))
+    est = merged.select(
         "event_type",
         F.when(
-            F.col("n") < K, F.col("n")
+            F.size("bk") < K, F.size("bk").cast("long")
         ).otherwise(
-            F.expr(f"CAST(({K - 1} * 281474976710656L) DIV hv AS BIGINT)")
+            F.expr(
+                f"CAST(({K - 1} * 281474976710656L)"
+                f" DIV element_at(bk, {K}) AS BIGINT)"
+            )
         ).cast("long").alias("kmv_estimate"),
     )
     exact = e.groupBy("event_type").agg(
