@@ -22,6 +22,8 @@ cardinality (within 4x), not history length.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -56,6 +58,38 @@ def resolve_temporal_table(ctx: StepContext, name: str) -> TemporalTable:
     raise InvalidQueryError(f"temporal table '{name}' is not declared")
 
 
+def _pk_equated(sql: str, col: str) -> bool:
+    """True when `col` appears in an equality predicate (or USING list)
+    somewhere in the query text. Heuristic on purpose: a false positive
+    merely skips the loud guard below, while every conventional spelling
+    (ON a.c = b.c / WHERE a.c = b.c / USING (c)) is detected."""
+    c = re.escape(col)
+    ident = rf"(?:(?:\w+|`[^`]+`)\s*\.\s*)?`?{c}`?"
+    if re.search(rf"(?<![\w.`]){ident}\s*==?(?!=)", sql, re.IGNORECASE):
+        return True
+    if re.search(rf"(?<![<>!=])==?\s*{ident}(?![\w.`])", sql, re.IGNORECASE):
+        return True
+    return bool(
+        re.search(rf"USING\s*\([^)]*\b{c}\b[^)]*\)", sql, re.IGNORECASE)
+    )
+
+
+def _require_full_pk_equality(sql: str, name: str, pk: list[str]) -> None:
+    """Temporal-join correctness requires the join condition to equate
+    EVERY declared primary-key column: a condition covering only a key
+    prefix matches multiple live versions whose validity intervals
+    overlap when projected onto that prefix, silently multiplying rows
+    (ADVICE r11). Flink's planner enforces the same via the temporal
+    table's PRIMARY KEY; we reject loudly instead of diverging."""
+    missing = [c for c in pk if not _pk_equated(sql, c)]
+    if missing:
+        raise InvalidQueryError(
+            f"temporal join with '{name}' must equate every primary-key "
+            f"column in its join condition; missing equality on: "
+            f"{', '.join(missing)} (declared primary key: {', '.join(pk)})"
+        )
+
+
 def _probe_time_col(sql: str, probe_cols, default: str) -> str:
     """Probe-side release column. Ordinarily the vocab event-time column;
     a multi-join INTERMEDIATE probe carries mangled pass-through names
@@ -88,6 +122,7 @@ def _parse_sides(ctx: StepContext, sql: str):
         )
     build, probe = build_names[0], probe_names[0]
     tt = resolve_temporal_table(ctx, build)
+    _require_full_pk_equality(sql, build, tt.primary_key)
     build_et = ctx.event_time_cols[build]
     probe_et = _probe_time_col(
         sql, ctx.views[probe].columns, ctx.event_time_cols[probe]

@@ -466,7 +466,11 @@ _UNNEST_ON_TRUE_RE = re.compile(r"\s*ON\s+TRUE\b", re.IGNORECASE)
 
 def _unnest_from_tables(sql: str) -> dict:
     """alias -> table name for every FROM/JOIN reference in the query
-    (literal-masked scan; UNNEST/keyword pseudo-aliases filtered)."""
+    (literal-masked scan; UNNEST/keyword pseudo-aliases filtered).
+    Comma-separated table lists (`FROM a, b`) are followed through the
+    comma chain — stopping at UNNEST/LATERAL items — so the
+    unqualified-uniqueness checks below see EVERY referenced table, not
+    just the first (ADVICE r11)."""
     from .classify import mask_sql
 
     tables: dict[str, str] = {}
@@ -477,16 +481,34 @@ def _unnest_from_tables(sql: str) -> dict:
         r"CROSS|LEFT|RIGHT|FULL|INNER|JOIN|ON|WHERE|GROUP|ORDER|"
         r"LATERAL|UNNEST|UNION|EXCEPT|INTERSECT|MINUS|HAVING|LIMIT"
     )
-    for tm in re.finditer(
-        r"\b(?:FROM|JOIN)\s+`?(\w+)`?"
-        rf"(?:\s+(?:AS\s+)?`?(?!(?:{kw})\b)(\w+)`?)?",
-        mask_sql(sql),
+    # Structure is scanned on the MASKED text (backtick contents are
+    # blanked there), but identifier text is recovered from the original
+    # via the 1:1 position transfer, so backquoted names survive.
+    ref_re = re.compile(
+        rf"(`[^`]*`|\w+)(?:\s+(?:AS\s+)?(?!(?:{kw})\b)(`[^`]*`|\w+))?",
         re.IGNORECASE,
-    ):
-        name, alias = tm.group(1), tm.group(2)
-        if name.upper() == "UNNEST":
-            continue  # the expansion clause itself, not a table
-        tables[(alias or name)] = name
+    )
+    masked = mask_sql(sql)
+
+    def _orig(span) -> str:
+        return sql[span[0] : span[1]].strip("`")
+
+    for lead in re.finditer(r"\b(?:FROM|JOIN)\s+", masked, re.IGNORECASE):
+        pos = lead.end()
+        while True:
+            rm = ref_re.match(masked, pos)
+            if not rm:
+                break
+            name = _orig(rm.span(1))
+            if name.upper() in ("UNNEST", "LATERAL"):
+                break  # the expansion clause itself, not a table
+            alias = _orig(rm.span(2)) if rm.group(2) else None
+            tables[(alias or name)] = name
+            pos = rm.end()
+            cm = re.match(r"\s*,\s*", masked[pos:])
+            if not cm:
+                break
+            pos += cm.end()
     return tables
 
 
@@ -700,8 +722,20 @@ def _rewrite_unnest(sql: str) -> str:
             fn = "inline"
             ord_expr = "cast(i + 1 as bigint)"
             if len(cols) == 2:
-                # plain array: (value, ord)
-                gen_arg = f"transform({expr}, (v, i) -> struct(v, {ord_expr}))"
+                # Plain array: (value, ord) — UNLESS the argument is an
+                # array of single-field rows, which Flink's UNNEST
+                # flattens to the field (matching the non-ordinality
+                # inline() path for the same column; ADVICE r11).
+                fields1 = _unnest_expr_struct_fields(sql, expr)
+                if fields1 is not None and len(fields1) == 1:
+                    gen_arg = (
+                        f"transform({expr}, (r, i) -> "
+                        f"struct(r.`{fields1[0]}`, {ord_expr}))"
+                    )
+                else:
+                    gen_arg = (
+                        f"transform({expr}, (v, i) -> struct(v, {ord_expr}))"
+                    )
             elif len(cols) == 3 and _unnest_expr_is_map(sql, expr):
                 # map: (key, value, ord) in map_entries order
                 gen_arg = (
@@ -730,7 +764,14 @@ def _rewrite_unnest(sql: str) -> str:
             sql = sql[: m.start()] + replacement + rest
             continue
         if len(cols) == 1:
-            fn = "explode"
+            # An array of SINGLE-FIELD rows flattens to the field in
+            # Flink's UNNEST — inline(), not explode-of-struct.
+            fields1 = _unnest_expr_struct_fields(sql, expr)
+            fn = (
+                "inline"
+                if fields1 is not None and len(fields1) == 1
+                else "explode"
+            )
         elif len(cols) == 2 and _unnest_expr_is_map(sql, expr):
             fn = "explode"  # map flattening: (key, value) pair
         else:
