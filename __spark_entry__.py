@@ -1209,18 +1209,84 @@ def dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dedup on the numpy rolling-hash family
     (operators/dedup.dedup_minhash_lsh + functions/minhash_pandas.py) —
     the raw-throughput 100 TB path: vectorized Arrow signatures, banded
-    single-shuffle LSH, estimate-verified candidates. No oracle twin (the
-    64-bit rolling family is not ANSI-SQL-expressible); correctness is
-    pinned by tests/test_dedup.py and the x10 stress bench entry, and the
-    portable twin `dedup_minhash_documents` hash-checks the identical
-    pipeline shape. Benched under its own name so the two variants'
-    numbers can never be conflated again."""
-    d = _t(spark, sf_dir, "documents")
+    single-shuffle LSH, estimate-verified candidates. The 64-bit rolling
+    family is not ANSI-SQL-expressible, so instead of a rows-only check
+    the entry emits a LAW ROW the oracle asserts (the HLL-bound pattern;
+    round-11 verdict ask #3). To keep the law NON-VACUOUS on a corpus
+    with no natural exact duplicates, the query plants 25 deterministic
+    copies (doc_id + 10_000_000 of the 25 smallest ids) before running
+    the dedup — the pipeline must remove every planted copy on any
+    corpus. Each column is a THEOREM of the implementation, not a
+    tuning property:
+    - exact_dups_all_removed: two docs with identical NORMALIZED text
+      have identical shingle sets, hence identical signatures, collide
+      in every band, estimate Jaccard 1.0 >= threshold — so only the
+      smallest id of each normalized-text group may survive;
+    - min_survivor_id == global min doc_id (nothing can drop it under
+      smaller-id-wins);
+    - survivor_count_bounded: survivors <= total - exact-dup victims
+      (every victim is provably removed) and >= 1.
+    total_docs / exact_dup_victims are exact companions the oracle
+    recomputes via the shared md5 fingerprint normalization. Full
+    cluster semantics stay pinned by tests/test_dedup.py and the x10
+    stress bench entry; the portable twin `dedup_minhash_documents`
+    hash-checks the identical pipeline shape cell-exactly. Benched under
+    its own name (the dedup dominates; the law row adds two 1-row
+    aggregates) so the two variants' numbers can never be conflated."""
+    base = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    planted = base.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    d = base.unionAll(planted)
     out = D.dedup_minhash_lsh(
         d, "text", "doc_id", num_hashes=64, bands=16, shingle_k=5,
         jaccard_threshold=0.5,
     )
-    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "lang", "source")
+    surv = out.select(F.col("doc_id").cast("long").alias("doc_id"))
+    fp = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        T.fingerprint(F.col("text")).alias("__fp"),
+    )
+    keep = fp.groupBy("__fp").agg(F.min("doc_id").alias("__keep_id"))
+    victims = (
+        fp.join(keep, "__fp")
+        .filter(F.col("doc_id") != F.col("__keep_id"))
+        .select("doc_id")
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).cast("long").alias("total_docs"),
+        F.min("doc_id").cast("long").alias("__min_doc_id"),
+    )
+    vstats = victims.agg(
+        F.count(F.lit(1)).cast("long").alias("exact_dup_victims")
+    )
+    sstats = surv.agg(
+        F.count(F.lit(1)).cast("long").alias("__survivors"),
+        F.min("doc_id").cast("long").alias("min_survivor_id"),
+    )
+    sviol = surv.join(victims, "doc_id").agg(
+        F.count(F.lit(1)).alias("__surviving_victims")
+    )
+    return (
+        stats.crossJoin(vstats).crossJoin(sstats).crossJoin(sviol).select(
+            "total_docs",
+            "exact_dup_victims",
+            "min_survivor_id",
+            (F.col("__surviving_victims") == 0).alias(
+                "exact_dups_all_removed"
+            ),
+            (
+                (F.col("min_survivor_id") == F.col("__min_doc_id"))
+                & (
+                    F.col("__survivors")
+                    <= F.col("total_docs") - F.col("exact_dup_victims")
+                )
+                & (F.col("__survivors") >= 1)
+            ).alias("survivor_count_bounded"),
+        )
+    )
 
 
 def dedup_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6801,6 +6867,34 @@ def oracle_sql() -> dict[str, str]:
                    {_FINGERPRINT} AS fingerprint,
                    CAST(COUNT(*) AS BIGINT) AS dup_count
             FROM documents GROUP BY 2
+        """,
+        "dedup_minhash_fast": f"""
+            -- Law row for the non-SQL-expressible rolling-hash MinHash
+            -- path (HLL-bound pattern): exact companions recomputed via
+            -- the shared md5 fingerprint normalization; the two verdict
+            -- booleans are theorems of smaller-id-wins LSH dedup, so the
+            -- oracle asserts TRUE and a violation hash-mismatches.
+            WITH aug AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000000, text FROM documents
+                WHERE doc_id < 25
+            ), fp AS (
+                SELECT doc_id, {_FINGERPRINT} AS fp FROM aug
+            ), keep AS (
+                SELECT fp, min(doc_id) AS keep_id FROM fp GROUP BY fp
+            ), victims AS (
+                SELECT fp.doc_id FROM fp JOIN keep USING (fp)
+                WHERE fp.doc_id <> keep.keep_id
+            )
+            SELECT CAST((SELECT count(*) FROM aug) AS BIGINT)
+                       AS total_docs,
+                   CAST((SELECT count(*) FROM victims) AS BIGINT)
+                       AS exact_dup_victims,
+                   CAST((SELECT min(doc_id) FROM aug) AS BIGINT)
+                       AS min_survivor_id,
+                   TRUE AS exact_dups_all_removed,
+                   TRUE AS survivor_count_bounded
         """,
         "ngram_jaccard_documents": f"""
             WITH g AS (
