@@ -71,6 +71,15 @@ PINS = {
     # serial floor — its isolated warm runs 8.8-9.8; round-10 full-
     # session 11.26 was aged). gate pin covers full-session aging.
     "stamp_2m_gate_default": 10.5,          # warm 6.98 (r10 full 9.58)
+    # Suite-total tripwire (round-11 verdict ask #5): the per-entry pins
+    # cover stress/stamp/dedup_minhash, but the round-10 slip showed the
+    # sub-second odf_transform cluster drifts in concert — this single
+    # fleet-wide pin catches that mechanically. Round-10 full-session
+    # total 131.7, round-11 full-session 121.6 (both ~60 entries);
+    # isolated-warm would run ~10-25% under full-session. Same MISS
+    # protocol as every pin: re-measure isolated before calling a
+    # regression.
+    "headline_queries_total": 150.0,        # r11 full 121.6, r10 131.7
 }
 
 HEADLINE = [
@@ -962,11 +971,12 @@ def main() -> None:
     )
 
     total = round(sum(timings.values()), 3)
+    pinnable = {**timings, "headline_queries_total": total}
     pin_report = {
         k: {
             "pin": p,
-            "value": timings.get(k),
-            "hit": timings.get(k) is not None and timings[k] <= p,
+            "value": pinnable.get(k),
+            "hit": pinnable.get(k) is not None and pinnable[k] <= p,
         }
         for k, p in PINS.items()
     }
