@@ -4939,85 +4939,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ALL entries locally every round and the run is committed as
     # CROSSCHECK_r{N}.txt.
     return {
-        # ROUND-11 ROTATION: first 50 = the eight new round-11 operators
-        # (the parenthesized stateful sub-chain under UNION ALL, UNNEST
-        # over a computed map expression, the streaming UNION ALL
-        # concatenation twin, the portable count-min heavy hitters,
-        # UNNEST WITH ORDINALITY, the composite-PK as-of join, the
-        # streaming interval-join twin) + the cohorts with the OLDEST
-        # driver rows: the r07-checked block (31 — 4 rounds stale without
-        # this rotation), the r08-checked block (4), and the round-9
-        # cohort the round-10 verdict named (the updating-probe as-of,
-        # the five streaming twins, the exclusion MATCH_RECOGNIZE, the
-        # UNNEST tags path, the three setop entries) — whose last FOUR
-        # members land at positions 51-54 and take their rows in r12
-        # (still <=3 rounds old; their r09 rows are 2 old after this
-        # round). The r09 remainder and the entire round-10-checked
-        # block rotate behind (due r12). All entries are verified locally
-        # every round via tools/crosscheck.py (CROSSCHECK_r11.txt).
-        # --- due their FIRST driver row: round-11's new operators ---
-        "setop_paren_unionall_chain": setop_paren_unionall_chain,
-        "odf_transform_unnest_map_filter": odf_transform_unnest_map_filter,
-        "streaming_setop_unionall_twin": streaming_setop_unionall_twin,
-        "cms_heavy_hitters_tokens": cms_heavy_hitters_tokens,
-        "odf_transform_unnest_ordinality": odf_transform_unnest_ordinality,
-        "asof_composite_pk_rates": asof_composite_pk_rates,
-        "streaming_interval_join_twin": streaming_interval_join_twin,
+        # ROUND-12 ROTATION: first 50 = the two entries whose PLANS
+        # changed this round and are due fresh driver rows (the KMV
+        # bottom-k rewritten as a map-side bounded min-k; the
+        # dedup_minhash_fast law row that closed the last rows-only
+        # exception) + the four round-9-cohort members that sat at
+        # 51-54 last round + the r09-remainder / round-10-checked block
+        # the round-11 note queued (dedup/similarity/multimodal/text
+        # families, oldest rows after this rotation's head). Behind
+        # them: the rest of that block (due r13), then the round-11
+        # checked cohorts (r07-block + round-11's eight new operators —
+        # all carrying fresh r11 rows). All 143 entries are verified
+        # locally every round via tools/crosscheck.py
+        # (CROSSCHECK_r12.txt).
         "kmv_distinct_users": kmv_distinct_users,
-        # --- r07-checked cohort: oldest driver rows, due now ---
-        "window_join_tumbling_daily": window_join_tumbling_daily,
-        "over_agg_forward_window_events": over_agg_forward_window_events,
-        "chained_multistep": chained_multistep,
-        "window_tumbling_daily": window_tumbling_daily,
-        "window_sliding_2h": window_sliding_2h,
-        "window_session_30m": window_session_30m,
-        "agg_rollup_flag_status": agg_rollup_flag_status,
-        "semi_join_returned_orders": semi_join_returned_orders,
-        "anti_join_inactive_customers": anti_join_inactive_customers,
-        "lag_lead_user_events": lag_lead_user_events,
-        "cube_orders_status_priority": cube_orders_status_priority,
-        "formats_try_cast_decimal": formats_try_cast_decimal,
-        "setops_nation_coverage": setops_nation_coverage,
-        "q2_min_cost_supplier": q2_min_cost_supplier,
-        "q4_order_priority": q4_order_priority,
-        "q7_nation_trade": q7_nation_trade,
-        "q8_market_share": q8_market_share,
-        "q9_product_profit": q9_product_profit,
-        "q10_returned_customers": q10_returned_customers,
-        "q11_important_parts": q11_important_parts,
-        "q12_late_shipment_priority": q12_late_shipment_priority,
-        "q13_order_count_distribution": q13_order_count_distribution,
-        "q14_promo_share": q14_promo_share,
-        "q15_top_supplier": q15_top_supplier,
-        "q16_supplier_part_counts": q16_supplier_part_counts,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q18_large_orders": q18_large_orders,
-        "q19_disjunctive_revenue": q19_disjunctive_revenue,
-        "q20_excess_suppliers": q20_excess_suppliers,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
-        "q22_lapsed_customers": q22_lapsed_customers,
-        # --- r08-checked cohort ---
-        "duplicate_ngram_spans_documents": duplicate_ngram_spans_documents,
-        "changelog_diff_customers": changelog_diff_customers,
-        "changelog_snapshot_customers": changelog_snapshot_customers,
-        "kmeans_clusters_embeddings": kmeans_clusters_embeddings,
-        # --- round-9 cohort named by the round-10 verdict ---
-        "changelog_asof_updating_probe": changelog_asof_updating_probe,
-        "streaming_changelog_topn_twin": streaming_changelog_topn_twin,
-        "match_recognize_exclusion_events": match_recognize_exclusion_events,
-        "odf_transform_unnest_tags": odf_transform_unnest_tags,
-        "streaming_changelog_join_twin": streaming_changelog_join_twin,
-        "streaming_changelog_distinct_twin": streaming_changelog_distinct_twin,
-        "setop_intersect_user_values": setop_intersect_user_values,
+        "dedup_minhash_fast": dedup_minhash_fast,
         "setop_except_changelog_users": setop_except_changelog_users,
         "setop_except_all_three_way": setop_except_all_three_way,
         "streaming_setop_except_twin": streaming_setop_except_twin,
         "streaming_asof_join_twin": streaming_asof_join_twin,
-        # --- r09 remainder: rotate behind, due r12 ---
         "dedup_minhash_incremental_documents": dedup_minhash_incremental_documents,
         "decontamination_overlap": decontamination_overlap,
         "dedup_minhash_documents": dedup_minhash_documents,
-        "dedup_minhash_fast": dedup_minhash_fast,
         "dedup_simhash_documents": dedup_simhash_documents,
         "ngram_jaccard_documents": ngram_jaccard_documents,
         "dedup_clusters_ngram": dedup_clusters_ngram,
@@ -5053,7 +4996,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_join_hop_12h": window_join_hop_12h,
         "changelog_projection_left_join": changelog_projection_left_join,
         "multi_join_three_way": multi_join_three_way,
-        # --- round-10-checked block: newest rows, rotate behind ---
         "setop_mixed_chain": setop_mixed_chain,
         "setop_unionall_chain": setop_unionall_chain,
         "odf_transform_unnest_map": odf_transform_unnest_map,
@@ -5104,6 +5046,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_shards_documents": training_shards_documents,
         "mixture_sample_documents": mixture_sample_documents,
         "curriculum_bins_documents": curriculum_bins_documents,
+        "window_join_tumbling_daily": window_join_tumbling_daily,
+        "over_agg_forward_window_events": over_agg_forward_window_events,
+        "chained_multistep": chained_multistep,
+        "window_tumbling_daily": window_tumbling_daily,
+        "window_sliding_2h": window_sliding_2h,
+        "window_session_30m": window_session_30m,
+        "agg_rollup_flag_status": agg_rollup_flag_status,
+        "semi_join_returned_orders": semi_join_returned_orders,
+        "anti_join_inactive_customers": anti_join_inactive_customers,
+        "lag_lead_user_events": lag_lead_user_events,
+        "cube_orders_status_priority": cube_orders_status_priority,
+        "formats_try_cast_decimal": formats_try_cast_decimal,
+        "setops_nation_coverage": setops_nation_coverage,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q4_order_priority": q4_order_priority,
+        "q7_nation_trade": q7_nation_trade,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q10_returned_customers": q10_returned_customers,
+        "q11_important_parts": q11_important_parts,
+        "q12_late_shipment_priority": q12_late_shipment_priority,
+        "q13_order_count_distribution": q13_order_count_distribution,
+        "q14_promo_share": q14_promo_share,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_part_counts": q16_supplier_part_counts,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q18_large_orders": q18_large_orders,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q20_excess_suppliers": q20_excess_suppliers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "q22_lapsed_customers": q22_lapsed_customers,
+        "duplicate_ngram_spans_documents": duplicate_ngram_spans_documents,
+        "changelog_diff_customers": changelog_diff_customers,
+        "changelog_snapshot_customers": changelog_snapshot_customers,
+        "kmeans_clusters_embeddings": kmeans_clusters_embeddings,
+        "changelog_asof_updating_probe": changelog_asof_updating_probe,
+        "streaming_changelog_topn_twin": streaming_changelog_topn_twin,
+        "match_recognize_exclusion_events": match_recognize_exclusion_events,
+        "odf_transform_unnest_tags": odf_transform_unnest_tags,
+        "streaming_changelog_join_twin": streaming_changelog_join_twin,
+        "streaming_changelog_distinct_twin": streaming_changelog_distinct_twin,
+        "setop_intersect_user_values": setop_intersect_user_values,
+        "setop_paren_unionall_chain": setop_paren_unionall_chain,
+        "odf_transform_unnest_map_filter": odf_transform_unnest_map_filter,
+        "streaming_setop_unionall_twin": streaming_setop_unionall_twin,
+        "cms_heavy_hitters_tokens": cms_heavy_hitters_tokens,
+        "odf_transform_unnest_ordinality": odf_transform_unnest_ordinality,
+        "asof_composite_pk_rates": asof_composite_pk_rates,
+        "streaming_interval_join_twin": streaming_interval_join_twin,
     }
 
 
