@@ -2158,6 +2158,146 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bloom_decontamination_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Bloom-filter decontamination (functions/portable_hash.
+    bloom_positions — k=3 affine families over md5 mod-P shingle hashes,
+    m=65536 bits): the eval set (doc_id < 25) folds its word-3-gram
+    shingles into a BOUNDED bit set via one distinct (map-side partial =
+    per-partition filter merge, i.e. bitwise OR), the corpus probes each
+    of its shingles by joining the broadcast bit set on all k positions —
+    membership iff every position is set. This is the sketch-shaped
+    decontamination for 100 TB: the filter ships as <=65536 positions
+    regardless of eval-set size, where the exact-join twin
+    (decontamination_overlap) must shuffle raw n-grams. Per surviving
+    doc: distinct-shingle count, Bloom maybe-hits, exact hits (the
+    ground-truth join rides along), and the no-false-negatives verdict —
+    a THEOREM of the construction (a member's positions are all set by
+    definition), so the oracle asserts TRUE while replaying every count
+    cell-exactly, false positives included."""
+    from kamu_engine_flink_spark.functions.portable_hash import (
+        bloom_positions,
+        shingle_hashes_portable,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(
+            F.array_distinct(shingle_hashes_portable("text", 3))
+        ).alias("hv"),
+    )
+    eval_h = sh.filter(F.col("doc_id") < 25).select("hv").distinct()
+    bits = eval_h.select(
+        F.explode(bloom_positions("hv")).alias("pos")
+    ).distinct()
+    probe = sh.filter(F.col("doc_id") >= 25)
+    pos = probe.withColumn(
+        "poss", F.array_distinct(bloom_positions("hv"))
+    ).select(
+        "doc_id", "hv",
+        F.size("poss").alias("n_pos"),
+        F.explode("poss").alias("pos"),
+    )
+    maybe = (
+        pos.join(F.broadcast(bits), "pos")
+        .groupBy("doc_id", "hv", "n_pos")
+        .agg(F.count(F.lit(1)).alias("hit"))
+        .filter(F.col("hit") == F.col("n_pos"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("bloom_maybe"))
+    )
+    exact = (
+        probe.join(eval_h, "hv")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("exact_hits"))
+    )
+    n_sh = probe.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    return (
+        n_sh.join(maybe, "doc_id", "left")
+        .join(exact, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.coalesce("bloom_maybe", F.lit(0)).cast("long").alias(
+                "bloom_maybe"
+            ),
+            F.coalesce("exact_hits", F.lit(0)).cast("long").alias(
+                "exact_hits"
+            ),
+            (
+                F.coalesce("bloom_maybe", F.lit(0))
+                >= F.coalesce("exact_hits", F.lit(0))
+            ).alias("no_false_negatives"),
+        )
+        .filter(F.col("bloom_maybe") > 0)
+    )
+
+
+def kmv_union_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch ALGEBRA as a driver-checked fact: the per-event_type
+    bottom-k sketches (same map-side bounded min-k tree as
+    kmv_distinct_users) MERGE into the global sketch by
+    union-then-rebottom, and the merged sketch must equal the sketch
+    computed directly over the ungrouped stream — the re-aggregatability
+    that lets per-shard/per-day sketches roll up to any grouping at
+    100 TB without touching raw data again. Emits the merged and direct
+    estimates (cell-exact in DuckDB: (k-1) * 2^48 div h_(k), or the
+    exact count below k), the exact global distinct for comparison, and
+    the merge==direct verdict the oracle asserts TRUE (the mergeability
+    law tests/test_sketches.py:149 pins on randomized data)."""
+    from kamu_engine_flink_spark.functions.portable_hash import h48
+
+    K = 64
+    e = _t(spark, sf_dir, "events")
+    h = e.select(
+        "event_type",
+        F.expr(h48("cast(user_id as string)")).alias("hv"),
+    )
+
+    def _rebottom(col: str):
+        return F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list(col)))),
+            1, K,
+        )
+
+    def _estimate(bk):
+        return (
+            F.when(F.size(bk) < K, F.size(bk).cast("long"))
+            .otherwise(
+                F.expr(
+                    f"CAST(({K - 1} * 281474976710656L)"
+                    f" DIV element_at(bk, {K}) AS BIGINT)"
+                )
+            )
+            .cast("long")
+        )
+
+    local = h.groupBy("event_type", F.spark_partition_id().alias("pid")).agg(
+        F.slice(F.array_sort(F.collect_set("hv")), 1, K).alias("bk")
+    )
+    per_type = local.groupBy("event_type").agg(_rebottom("bk").alias("bk"))
+    merged = per_type.agg(_rebottom("bk").alias("bk")).select(
+        F.col("bk").alias("mbk")
+    )
+    dlocal = h.groupBy(F.spark_partition_id().alias("pid")).agg(
+        F.slice(F.array_sort(F.collect_set("hv")), 1, K).alias("bk")
+    )
+    direct = dlocal.agg(_rebottom("bk").alias("bk"))
+    exact = e.agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users")
+    )
+    return (
+        merged.crossJoin(direct).crossJoin(exact).select(
+            _estimate(F.col("mbk")).alias("merged_estimate"),
+            _estimate(F.col("bk")).alias("direct_estimate"),
+            "exact_users",
+            (F.col("mbk") == F.col("bk")).alias("merge_equals_direct"),
+        )
+    )
+
+
 def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio decode plumbing (decode stubbed, digest-derived): the oracle
     recomputes sample_rate/channels/duration/codec from md5 hex in SQL, so
@@ -4951,7 +5091,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # checked cohorts (r07-block + round-11's eight new operators —
         # all carrying fresh r11 rows). All 143 entries are verified
         # locally every round via tools/crosscheck.py
-        # (CROSSCHECK_r12.txt).
+        # (CROSSCHECK_r12.txt). The two NEW round-12 operators (the
+        # portable Bloom-filter decontamination probe and the KMV
+        # union/merge algebra entry) lead, due their FIRST driver rows;
+        # the two r10-block members they displace from the head
+        # (changelog_asof_rates, similarity_lsh_incremental) are due
+        # r13 with the rest of that block.
+        "bloom_decontamination_documents": bloom_decontamination_documents,
+        "kmv_union_event_types": kmv_union_event_types,
         "kmv_distinct_users": kmv_distinct_users,
         "dedup_minhash_fast": dedup_minhash_fast,
         "setop_except_changelog_users": setop_except_changelog_users,
@@ -6172,6 +6319,95 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT inv + 1, CAST(0 AS INT) AS op, val
             FROM e WHERE event_type = 'signup'
+        """,
+        "bloom_decontamination_documents": f"""
+            -- Portable Bloom filter replayed cell-exactly: eval-set
+            -- (doc_id < 25) shingle hashes set k=3 affine bit positions
+            -- mod 65536; a probe shingle is maybe-present iff all its
+            -- positions are set. no_false_negatives is a theorem of the
+            -- construction, asserted TRUE.
+            WITH base AS (
+                SELECT doc_id, CASE WHEN text IS NULL THEN []::VARCHAR[]
+                                    ELSE {_DUCK_TOKS} END AS toks
+                FROM documents
+            ), sh0 AS (
+                SELECT doc_id,
+                    CASE WHEN len(toks) < 3 THEN []::BIGINT[]
+                         ELSE list_distinct(list_transform(
+                              range(1, len(toks) - 1),
+                              i -> ('0x' || substr(md5(array_to_string(
+                                       toks[i:i+2], ' ')), 1, 12)
+                                   )::BIGINT % 2147483647))
+                    END AS hs
+                FROM base
+            ), sh AS (
+                SELECT doc_id, unnest(hs) AS hv FROM sh0
+            ), ev AS (
+                SELECT DISTINCT hv FROM sh WHERE doc_id < 25
+            ), fams AS (
+                SELECT unnest(range(3)) AS i
+            ), bits AS (
+                SELECT DISTINCT
+                    (({_PORT_A_SQL}[i+1] * hv + {_PORT_B_SQL}[i+1])
+                     % 2147483647) % 65536 AS pos
+                FROM ev CROSS JOIN fams
+            ), probe AS (
+                SELECT doc_id, hv FROM sh WHERE doc_id >= 25
+            ), ppos AS (
+                SELECT DISTINCT doc_id, hv,
+                    (({_PORT_A_SQL}[i+1] * hv + {_PORT_B_SQL}[i+1])
+                     % 2147483647) % 65536 AS pos
+                FROM probe CROSS JOIN fams
+            ), pgrp AS (
+                SELECT doc_id, hv, count(*) AS n_pos,
+                       count(CASE WHEN pos IN (SELECT pos FROM bits)
+                                  THEN 1 END) AS hit
+                FROM ppos GROUP BY doc_id, hv
+            ), maybe AS (
+                SELECT doc_id, count(*) AS bloom_maybe
+                FROM pgrp WHERE hit = n_pos GROUP BY doc_id
+            ), ex AS (
+                SELECT doc_id, count(*) AS exact_hits
+                FROM probe JOIN ev USING (hv) GROUP BY doc_id
+            ), nsh AS (
+                SELECT doc_id, count(*) AS n_shingles
+                FROM probe GROUP BY doc_id
+            )
+            SELECT CAST(nsh.doc_id AS BIGINT) AS doc_id,
+                   CAST(n_shingles AS BIGINT) AS n_shingles,
+                   CAST(COALESCE(bloom_maybe, 0) AS BIGINT) AS bloom_maybe,
+                   CAST(COALESCE(exact_hits, 0) AS BIGINT) AS exact_hits,
+                   TRUE AS no_false_negatives
+            FROM nsh
+            LEFT JOIN maybe ON nsh.doc_id = maybe.doc_id
+            LEFT JOIN ex ON nsh.doc_id = ex.doc_id
+            WHERE COALESCE(bloom_maybe, 0) > 0
+        """,
+        "kmv_union_event_types": """
+            -- The merged per-type KMV must equal the direct global KMV
+            -- (union-then-rebottom law), so both estimates replay as
+            -- the global bottom-64; merge_equals_direct asserted TRUE.
+            WITH h AS (
+                SELECT DISTINCT
+                       ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                       1, 12))::BIGINT AS hv
+                FROM events
+            ), rk AS (
+                SELECT hv, row_number() OVER (ORDER BY hv) AS r,
+                       count(*) OVER () AS n
+                FROM h
+            ), est AS (
+                SELECT CASE WHEN n < 64 THEN n
+                            ELSE (63 * 281474976710656) // hv
+                       END AS e
+                FROM rk WHERE r = 64 OR (n < 64 AND r = n)
+            )
+            SELECT CAST(e AS BIGINT) AS merged_estimate,
+                   CAST(e AS BIGINT) AS direct_estimate,
+                   (SELECT CAST(count(DISTINCT user_id) AS BIGINT)
+                    FROM events) AS exact_users,
+                   TRUE AS merge_equals_direct
+            FROM est
         """,
         "kmv_distinct_users": """
             -- Portable KMV: distinct 48-bit md5 hashes of the

@@ -165,6 +165,27 @@ def cms_cells(tok_hash_col: str) -> Column:
     )
 
 
+BLOOM_K = 3
+BLOOM_M = 65536
+
+
+def bloom_positions(hv_col: str) -> Column:
+    """array<long>: the BLOOM_K bit positions of a mod-P hash under the
+    first BLOOM_K affine families mod BLOOM_M (same A/B literals as the
+    MinHash/CMS families, so a DuckDB oracle replays the bit addressing
+    exactly). Like CMS, the filter itself is BOUNDED state (BLOOM_M
+    bits): membership bits fold in via an ordinary distinct/groupBy
+    whose map-side partial aggregation is the per-partition filter
+    merge (bitwise OR == set union of positions) — the re-aggregatable
+    shape that makes Bloom filters shippable across shards at 100 TB,
+    where broadcasting the raw eval-set n-grams would not be."""
+    return F.expr(
+        f"transform(sequence(0, {BLOOM_K - 1}), i -> "
+        f"((element_at({_A_SQL}, i + 1) * {hv_col}"
+        f" + element_at({_B_SQL}, i + 1)) % {P}L) % {BLOOM_M}L)"
+    )
+
+
 def simhash48_portable(text_col: str) -> Column:
     """48-bit SimHash fingerprint over distinct word tokens; bit b is 1
     when the +/-1 vote sum for (h >> b) & 1 is >= 0. Blank/null docs get
