@@ -4100,6 +4100,72 @@ def streaming_interval_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_match_recognize_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING under the driver oracle — the ninth
+    oracle-backed twin, and the first for CEP: the always-on
+    MATCH_RECOGNIZE kernel (streaming/structured.StreamingMatchRecognize,
+    applyInPandasWithState, sharing the micro-batch executor's matcher)
+    runs the dip->spike adjacent-pair pattern (PATTERN (A C), A: value <
+    2, C: value > 18, PARTITION BY user_id — the streaming twin of
+    `match_recognize_dip_spike_events`) over TWO availableNow runs with
+    a checkpoint between them, on time-banded events (< / >= the band).
+    Emission rule: each availableNow run ends with a no-data batch at
+    the advanced watermark, so run r emits exactly the matches whose
+    spike row is <= wm_r = max-event-time through run r minus the delay
+    (ms-floored — Spark tracks watermarks in ms; the kernel compares
+    t <= wm in us). Run 1 therefore emits pairs with spike <= wm1 =
+    max(band rows) - 1 min; run 2 emits (wm1, wm2 = global max - 1 min]
+    — including pairs whose dip sat suspended in the run-1 checkpoint
+    within the 1-minute tail above wm1 and whose spike arrived in run
+    2. Pairs with spike above wm2 stay suspended; the oracle excludes
+    them by the same rule and replays both watermark boundaries
+    cell-exactly in epoch-microsecond integer arithmetic."""
+    import glob
+    import os
+    import tempfile
+
+    from kamu_engine_flink_spark.sinks.parquet import write_single_parquet
+    from kamu_engine_flink_spark.streaming.structured import (
+        StreamingMatchRecognize,
+    )
+
+    _conf(spark)
+    workdir = tempfile.mkdtemp(prefix="stream-mr-")
+    d = {k: os.path.join(workdir, k) for k in ("in", "chk", "out")}
+    os.makedirs(d["in"])
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    job = StreamingMatchRecognize(
+        input_dir=d["in"], checkpoint_dir=d["chk"], output_dir=d["out"],
+        pattern="A C",
+        defines={"A": "value < 2", "C": "value > 18"},
+        partition_col="user_id",
+        event_time_col="ts",
+        watermark_delay="1 minute",
+        schema=e.schema,
+    )
+    band = f"ts < TIMESTAMP '{_ASOF_BAND}'"
+    write_single_parquet(e.filter(band), os.path.join(d["in"], "b1.parquet"))
+    job.run_available_now(spark)
+    files1 = set(glob.glob(os.path.join(d["out"], "*.parquet")))
+    write_single_parquet(
+        e.filter(f"NOT ({band})"), os.path.join(d["in"], "b2.parquet")
+    )
+    job.run_available_now(spark)
+    files2 = set(glob.glob(os.path.join(d["out"], "*.parquet"))) - files1
+    run1 = spark.read.parquet(*sorted(files1))
+    run2 = spark.read.parquet(*sorted(files2))
+    return (
+        run1.withColumn("inv", F.lit(1).cast("int"))
+        .unionByName(run2.withColumn("inv", F.lit(2).cast("int")))
+        .select(
+            "inv",
+            F.col("key").cast("long").alias("user_id"),
+            F.unix_micros("start_time").alias("dip_ts_us"),
+            F.unix_micros("end_time").alias("spike_ts_us"),
+        )
+    )
+
+
 def streaming_asof_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STRUCTURED STREAMING under the driver oracle: the always-on
     temporal/as-of twin (streaming/structured.StreamingAsOfJoin,
@@ -5097,6 +5163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the two r10-block members they displace from the head
         # (changelog_asof_rates, similarity_lsh_incremental) are due
         # r13 with the rest of that block.
+        "streaming_match_recognize_twin": streaming_match_recognize_twin,
         "bloom_decontamination_documents": bloom_decontamination_documents,
         "kmv_union_event_types": kmv_union_event_types,
         "kmv_distinct_users": kmv_distinct_users,
@@ -6319,6 +6386,35 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT inv + 1, CAST(0 AS INT) AS op, val
             FROM e WHERE event_type = 'signup'
+        """,
+        "streaming_match_recognize_twin": f"""
+            -- The CEP kernel's emission rule replayed exactly: a
+            -- dip->spike adjacent pair (per user, ts order) emits in
+            -- the first run whose watermark covers its spike row.
+            -- Run r processes against max-event-time through run r-1
+            -- minus 1 minute, millisecond-floored (Spark tracks
+            -- watermarks in ms; the kernel compares t <= wm in us).
+            WITH wm AS (
+                SELECT (epoch_us(max(CASE WHEN ts < TIMESTAMP
+                            '{_ASOF_BAND}' THEN ts END)) // 1000)
+                        - 60000 AS wm1_ms,
+                       (epoch_us(max(ts)) // 1000) - 60000 AS wm2_ms
+                FROM events
+            ), p AS (
+                SELECT user_id, ts, value,
+                       lead(ts) OVER w AS nts,
+                       lead(value) OVER w AS nv
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            )
+            SELECT CAST(CASE WHEN epoch_us(nts) // 1000 <= wm.wm1_ms
+                             THEN 1 ELSE 2 END AS INTEGER) AS inv,
+                   CAST(user_id AS BIGINT) AS user_id,
+                   (epoch_us(ts) // 1000) * 1000 AS dip_ts_us,
+                   (epoch_us(nts) // 1000) * 1000 AS spike_ts_us
+            FROM p, wm
+            WHERE value < 2 AND nv > 18
+              AND epoch_us(nts) // 1000 <= wm.wm2_ms
         """,
         "bloom_decontamination_documents": f"""
             -- Portable Bloom filter replayed cell-exactly: eval-set

@@ -1427,3 +1427,23 @@ def test_streaming_setop_unionall_cross_run(spark, tmp_path):
     job.run_available_now(spark)
     delta = Counter(_read()) - Counter(out1)
     assert dict(delta) == {(1, 2.0): 1, (0, 2.0): 1, (0, 7.0): 1}
+
+
+def test_streaming_match_recognize_twin_cross_run_split(spark):
+    """The oracle-backed CEP twin must genuinely split matches across
+    the two availableNow runs (suspended dips resolving from checkpoint
+    state) — both inv groups non-empty at the smoke scale factor."""
+    import os
+
+    import __spark_entry__ as entrymod
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    if not os.path.exists(os.path.join(sf, "events.parquet")):
+        pytest.skip("test data not found")
+    rows = entrymod.queries()["streaming_match_recognize_twin"](
+        spark, sf
+    ).collect()
+    invs = {r.inv for r in rows}
+    assert invs == {1, 2}
+    for r in rows:
+        assert r.dip_ts_us < r.spike_ts_us
