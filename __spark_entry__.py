@@ -4166,6 +4166,75 @@ def streaming_match_recognize_twin(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def streaming_session_window_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING under the driver oracle — the tenth twin:
+    Spark's NATIVE streaming session window (streaming/structured.
+    StreamingSessionWindow, F.session_window merging in the state store;
+    beyond-reference surface — the reference has no session windows at
+    all) over TWO availableNow runs on time-banded events with a
+    checkpoint between them. Per user, activity separated by >= 30 min
+    of event-time silence forms one session; append mode emits a
+    session once the watermark passes its end (last event + gap). Each
+    run's no-data batch advances the watermark to max-event-time through
+    that run minus 1 min, so run 1 emits sessions with end <= wm1 and
+    run 2 the rest up to wm2 — INCLUDING sessions a run-2 event EXTENDED
+    across the band (safe by construction: a session emitted in run 1
+    has end <= wm1 < band, so every run-2 event lies outside its gap and
+    the full-data island is identical). The oracle replays the
+    gaps-and-islands decomposition, both aggregates, and the per-run
+    attribution cell-exactly (all integer/epoch-us arithmetic; the gap
+    boundary is Spark's merge rule: events merge iff diff < gap)."""
+    import glob
+    import os
+    import tempfile
+
+    from kamu_engine_flink_spark.sinks.parquet import write_single_parquet
+    from kamu_engine_flink_spark.streaming.structured import (
+        StreamingSessionWindow,
+    )
+
+    _conf(spark)
+    workdir = tempfile.mkdtemp(prefix="stream-sess-")
+    d = {k: os.path.join(workdir, k) for k in ("in", "chk", "out")}
+    os.makedirs(d["in"])
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "ts",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    job = StreamingSessionWindow(
+        input_dir=d["in"], checkpoint_dir=d["chk"], output_dir=d["out"],
+        gap="30 minutes",
+        watermark_delay="1 minute",
+        event_time_col="ts",
+        group_keys=["user_id"],
+        aggs={"n_events": "count(1)", "cents_sum": "sum(cents)"},
+        schema=e.schema,
+    )
+    band = f"ts < TIMESTAMP '{_ASOF_BAND}'"
+    write_single_parquet(e.filter(band), os.path.join(d["in"], "b1.parquet"))
+    job.run_available_now(spark)
+    files1 = set(glob.glob(os.path.join(d["out"], "*.parquet")))
+    write_single_parquet(
+        e.filter(f"NOT ({band})"), os.path.join(d["in"], "b2.parquet")
+    )
+    job.run_available_now(spark)
+    files2 = set(glob.glob(os.path.join(d["out"], "*.parquet"))) - files1
+    run1 = spark.read.parquet(*sorted(files1))
+    run2 = spark.read.parquet(*sorted(files2))
+    return (
+        run1.withColumn("inv", F.lit(1).cast("int"))
+        .unionByName(run2.withColumn("inv", F.lit(2).cast("int")))
+        .select(
+            "inv",
+            F.col("user_id").cast("long").alias("user_id"),
+            F.unix_micros("session_start").alias("session_start_us"),
+            F.unix_micros("session_end").alias("session_end_us"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("cents_sum").cast("long").alias("cents_sum"),
+        )
+    )
+
+
 def streaming_asof_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STRUCTURED STREAMING under the driver oracle: the always-on
     temporal/as-of twin (streaming/structured.StreamingAsOfJoin,
@@ -5164,6 +5233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (changelog_asof_rates, similarity_lsh_incremental) are due
         # r13 with the rest of that block.
         "streaming_match_recognize_twin": streaming_match_recognize_twin,
+        "streaming_session_window_twin": streaming_session_window_twin,
         "bloom_decontamination_documents": bloom_decontamination_documents,
         "kmv_union_event_types": kmv_union_event_types,
         "kmv_distinct_users": kmv_distinct_users,
@@ -6386,6 +6456,60 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT inv + 1, CAST(0 AS INT) AS op, val
             FROM e WHERE event_type = 'signup'
+        """,
+        "streaming_session_window_twin": f"""
+            -- Native streaming session windows replayed exactly:
+            -- gaps-and-islands per user (new session when the gap to
+            -- the previous event is >= 30 min — Spark merges on
+            -- strictly-overlapping [ts, ts+gap) windows), appended in
+            -- the first run whose watermark (max event time through
+            -- that run minus 1 min, ms-floored, compared in us) covers
+            -- the session end = last event + gap.
+            WITH wm AS (
+                SELECT ((epoch_us(max(CASE WHEN ts < TIMESTAMP
+                            '{_ASOF_BAND}' THEN ts END)) // 1000)
+                        - 60000) * 1000 AS wm1_us,
+                       ((epoch_us(max(ts)) // 1000) - 60000) * 1000
+                           AS wm2_us
+                FROM events
+            ), ev AS (
+                -- Spark's session-window state is millisecond-resolution
+                -- (event times floor to ms before merging), so the
+                -- oracle floors at the source too.
+                SELECT user_id,
+                       make_timestamp((epoch_us(ts) // 1000) * 1000) AS ts,
+                       CAST(floor(value * 100) AS BIGINT) AS cents
+                FROM events
+            ), marked AS (
+                SELECT user_id, ts, cents,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w
+                                    >= INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS ns
+                FROM ev
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), sess AS (
+                SELECT user_id, ts, cents,
+                       SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+                FROM marked
+            ), agg AS (
+                SELECT user_id,
+                       MIN(ts) AS s_start,
+                       MAX(ts) + INTERVAL 30 MINUTE AS s_end,
+                       COUNT(*) AS n_events,
+                       SUM(cents) AS cents_sum
+                FROM sess GROUP BY user_id, sid
+            )
+            SELECT CAST(CASE WHEN epoch_us(s_end) <= wm.wm1_us
+                             THEN 1 ELSE 2 END AS INTEGER) AS inv,
+                   CAST(user_id AS BIGINT) AS user_id,
+                   epoch_us(s_start) AS session_start_us,
+                   epoch_us(s_end) AS session_end_us,
+                   CAST(n_events AS BIGINT) AS n_events,
+                   CAST(cents_sum AS BIGINT) AS cents_sum
+            FROM agg, wm
+            WHERE epoch_us(s_end) <= wm.wm2_us
         """,
         "streaming_match_recognize_twin": f"""
             -- The CEP kernel's emission rule replayed exactly: a

@@ -1447,3 +1447,23 @@ def test_streaming_match_recognize_twin_cross_run_split(spark):
     assert invs == {1, 2}
     for r in rows:
         assert r.dip_ts_us < r.spike_ts_us
+
+
+def test_streaming_session_window_twin_cross_run_split(spark):
+    """The oracle-backed native-session-window twin splits sessions
+    across the two availableNow runs; ends are start+gap or later."""
+    import os
+
+    import __spark_entry__ as entrymod
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    if not os.path.exists(os.path.join(sf, "events.parquet")):
+        pytest.skip("test data not found")
+    rows = entrymod.queries()["streaming_session_window_twin"](
+        spark, sf
+    ).collect()
+    assert {r.inv for r in rows} == {1, 2}
+    gap_us = 30 * 60 * 1_000_000
+    for r in rows:
+        assert r.session_end_us >= r.session_start_us + gap_us
+        assert r.n_events >= 1
