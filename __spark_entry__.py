@@ -4235,6 +4235,71 @@ def streaming_session_window_twin(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def streaming_over_agg_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING under the driver oracle — the eleventh twin:
+    the always-on row-time OVER aggregation kernel (streaming/structured.
+    StreamingOverAgg, applyInPandasWithState — Spark has no native
+    per-row streaming window) computing the backward RANGE frame
+    [t - 2h, t] sum/count of integer cents per user over TWO
+    availableNow runs on time-banded events. Values are INTEGER cents so
+    the kernel's sliding add/subtract accumulator is exact in double and
+    the DuckDB window-frame replay matches bit-for-bit. A row's frame is
+    final once the watermark passes its timestamp, so run r emits rows
+    with ts <= wm_r (ms-floored — the Arrow transfer truncates event
+    times to ms, exactly as the CEP twin documents); run-2 rows near the
+    band see their trailing frame RESTORED from the run-1 checkpoint
+    state (rows within 2h below the band), the cross-run property under
+    test. The oracle replays frame membership, both aggregates, and the
+    per-run attribution in millisecond integer arithmetic."""
+    import glob
+    import os
+    import tempfile
+
+    from kamu_engine_flink_spark.sinks.parquet import write_single_parquet
+    from kamu_engine_flink_spark.streaming.structured import StreamingOverAgg
+
+    _conf(spark)
+    workdir = tempfile.mkdtemp(prefix="stream-over-")
+    d = {k: os.path.join(workdir, k) for k in ("in", "chk", "out")}
+    os.makedirs(d["in"])
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "ts",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    job = StreamingOverAgg(
+        input_dir=d["in"], checkpoint_dir=d["chk"], output_dir=d["out"],
+        frame="2 hours",
+        event_time_col="ts",
+        value_col="cents",
+        partition_col="user_id",
+        watermark_delay="1 minute",
+        schema=e.schema,
+    )
+    band = f"ts < TIMESTAMP '{_ASOF_BAND}'"
+    write_single_parquet(e.filter(band), os.path.join(d["in"], "b1.parquet"))
+    job.run_available_now(spark)
+    files1 = set(glob.glob(os.path.join(d["out"], "*.parquet")))
+    write_single_parquet(
+        e.filter(f"NOT ({band})"), os.path.join(d["in"], "b2.parquet")
+    )
+    job.run_available_now(spark)
+    files2 = set(glob.glob(os.path.join(d["out"], "*.parquet"))) - files1
+    run1 = spark.read.parquet(*sorted(files1))
+    run2 = spark.read.parquet(*sorted(files2))
+    return (
+        run1.withColumn("inv", F.lit(1).cast("int"))
+        .unionByName(run2.withColumn("inv", F.lit(2).cast("int")))
+        .select(
+            "inv",
+            F.col("key").cast("long").alias("user_id"),
+            F.unix_micros("ts").alias("ts_us"),
+            F.col("value").cast("long").alias("cents"),
+            F.col("roll_sum").cast("long").alias("roll_sum"),
+            F.col("roll_cnt").cast("long").alias("roll_cnt"),
+        )
+    )
+
+
 def streaming_asof_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STRUCTURED STREAMING under the driver oracle: the always-on
     temporal/as-of twin (streaming/structured.StreamingAsOfJoin,
@@ -5234,6 +5299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r13 with the rest of that block.
         "streaming_match_recognize_twin": streaming_match_recognize_twin,
         "streaming_session_window_twin": streaming_session_window_twin,
+        "streaming_over_agg_twin": streaming_over_agg_twin,
         "bloom_decontamination_documents": bloom_decontamination_documents,
         "kmv_union_event_types": kmv_union_event_types,
         "kmv_distinct_users": kmv_distinct_users,
@@ -6456,6 +6522,40 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT inv + 1, CAST(0 AS INT) AS op, val
             FROM e WHERE event_type = 'signup'
+        """,
+        "streaming_over_agg_twin": f"""
+            -- The rolling RANGE-frame kernel replayed exactly in
+            -- millisecond integer arithmetic: frame [t - 2h, t]
+            -- inclusive with equal-timestamp peers, rows emitted in the
+            -- first run whose watermark covers their (ms-floored)
+            -- timestamp.
+            WITH wm AS (
+                SELECT (epoch_us(max(CASE WHEN ts < TIMESTAMP
+                            '{_ASOF_BAND}' THEN ts END)) // 1000)
+                        - 60000 AS wm1_ms,
+                       (epoch_us(max(ts)) // 1000) - 60000 AS wm2_ms
+                FROM events
+            ), ev AS (
+                SELECT user_id, epoch_us(ts) // 1000 AS tms,
+                       CAST(floor(value * 100) AS BIGINT) AS cents
+                FROM events
+            ), r AS (
+                SELECT user_id, tms, cents,
+                       SUM(cents) OVER w AS roll_sum,
+                       COUNT(*) OVER w AS roll_cnt
+                FROM ev
+                WINDOW w AS (PARTITION BY user_id ORDER BY tms
+                    RANGE BETWEEN 7200000 PRECEDING AND CURRENT ROW)
+            )
+            SELECT CAST(CASE WHEN tms <= wm.wm1_ms
+                             THEN 1 ELSE 2 END AS INTEGER) AS inv,
+                   CAST(user_id AS BIGINT) AS user_id,
+                   tms * 1000 AS ts_us,
+                   cents,
+                   CAST(roll_sum AS BIGINT) AS roll_sum,
+                   CAST(roll_cnt AS BIGINT) AS roll_cnt
+            FROM r, wm
+            WHERE tms <= wm.wm2_ms
         """,
         "streaming_session_window_twin": f"""
             -- Native streaming session windows replayed exactly:

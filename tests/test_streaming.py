@@ -1467,3 +1467,22 @@ def test_streaming_session_window_twin_cross_run_split(spark):
     for r in rows:
         assert r.session_end_us >= r.session_start_us + gap_us
         assert r.n_events >= 1
+
+
+def test_streaming_over_agg_twin_cross_run_split(spark):
+    """The oracle-backed rolling-frame twin splits rows across runs and
+    keeps frame invariants (sum >= own value, cnt >= 1)."""
+    import os
+
+    import __spark_entry__ as entrymod
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    if not os.path.exists(os.path.join(sf, "events.parquet")):
+        pytest.skip("test data not found")
+    rows = entrymod.queries()["streaming_over_agg_twin"](
+        spark, sf
+    ).collect()
+    assert {r.inv for r in rows} == {1, 2}
+    for r in rows:
+        assert r.roll_cnt >= 1
+        assert r.roll_sum >= r.cents or r.roll_cnt > 1
