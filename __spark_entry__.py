@@ -4300,6 +4300,70 @@ def streaming_over_agg_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_hop_window_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING under the driver oracle — the twelfth twin:
+    Spark's NATIVE sliding (HOP) window aggregation (streaming/
+    structured.StreamingWindowAgg with slide_duration — the reference's
+    HOP TVF surface, §2.C) over TWO availableNow runs on time-banded
+    events with a checkpoint between them: 12h windows sliding every 6h,
+    count + integer-cents sum per (window, event_type). Every row lands
+    in exactly two epoch-aligned instances; append mode emits an
+    instance once the watermark passes its end, so run 1 emits windows
+    with end <= wm1 = max(band rows) - 1 min and run 2 the rest up to
+    wm2 — instances straddling the band accumulate run-1 rows in the
+    state store and finalize with run-2 rows added, the cross-run
+    property under test. The oracle regenerates the instance expansion
+    with epoch-millisecond integer arithmetic and replays both
+    aggregates and the per-run attribution cell-exactly."""
+    import glob
+    import os
+    import tempfile
+
+    from kamu_engine_flink_spark.sinks.parquet import write_single_parquet
+    from kamu_engine_flink_spark.streaming.structured import StreamingWindowAgg
+
+    _conf(spark)
+    workdir = tempfile.mkdtemp(prefix="stream-hop-")
+    d = {k: os.path.join(workdir, k) for k in ("in", "chk", "out")}
+    os.makedirs(d["in"])
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", "ts",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    job = StreamingWindowAgg(
+        input_dir=d["in"], checkpoint_dir=d["chk"], output_dir=d["out"],
+        window_duration="12 hours",
+        slide_duration="6 hours",
+        watermark_delay="1 minute",
+        event_time_col="ts",
+        group_keys=["event_type"],
+        aggs={"n_events": "count(1)", "cents_sum": "sum(cents)"},
+        schema=e.schema,
+    )
+    band = f"ts < TIMESTAMP '{_ASOF_BAND}'"
+    write_single_parquet(e.filter(band), os.path.join(d["in"], "b1.parquet"))
+    job.run_available_now(spark)
+    files1 = set(glob.glob(os.path.join(d["out"], "*.parquet")))
+    write_single_parquet(
+        e.filter(f"NOT ({band})"), os.path.join(d["in"], "b2.parquet")
+    )
+    job.run_available_now(spark)
+    files2 = set(glob.glob(os.path.join(d["out"], "*.parquet"))) - files1
+    run1 = spark.read.parquet(*sorted(files1))
+    run2 = spark.read.parquet(*sorted(files2))
+    return (
+        run1.withColumn("inv", F.lit(1).cast("int"))
+        .unionByName(run2.withColumn("inv", F.lit(2).cast("int")))
+        .select(
+            "inv",
+            F.unix_millis("ts").alias("win_start_ms"),
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("cents_sum").cast("long").alias("cents_sum"),
+        )
+    )
+
+
 def streaming_asof_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STRUCTURED STREAMING under the driver oracle: the always-on
     temporal/as-of twin (streaming/structured.StreamingAsOfJoin,
@@ -5300,6 +5364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_match_recognize_twin": streaming_match_recognize_twin,
         "streaming_session_window_twin": streaming_session_window_twin,
         "streaming_over_agg_twin": streaming_over_agg_twin,
+        "streaming_hop_window_twin": streaming_hop_window_twin,
         "bloom_decontamination_documents": bloom_decontamination_documents,
         "kmv_union_event_types": kmv_union_event_types,
         "kmv_distinct_users": kmv_distinct_users,
@@ -6522,6 +6587,38 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT inv + 1, CAST(0 AS INT) AS op, val
             FROM e WHERE event_type = 'signup'
+        """,
+        "streaming_hop_window_twin": f"""
+            -- Native sliding windows replayed exactly: each row lands
+            -- in the two epoch-aligned 12h/6h instances; an instance
+            -- emits in the first run whose watermark covers its end.
+            WITH wm AS (
+                SELECT (epoch_us(max(CASE WHEN ts < TIMESTAMP
+                            '{_ASOF_BAND}' THEN ts END)) // 1000)
+                        - 60000 AS wm1_ms,
+                       (epoch_us(max(ts)) // 1000) - 60000 AS wm2_ms
+                FROM events
+            ), inst AS (
+                SELECT ((epoch_us(ts) // 1000) // 21600000) * 21600000
+                           - i.i * 21600000 AS win_start_ms,
+                       event_type,
+                       CAST(floor(value * 100) AS BIGINT) AS cents
+                FROM events
+                CROSS JOIN (SELECT unnest(range(2)) AS i) i
+            ), agg AS (
+                SELECT win_start_ms, event_type,
+                       COUNT(*) AS n_events,
+                       SUM(cents) AS cents_sum
+                FROM inst GROUP BY win_start_ms, event_type
+            )
+            SELECT CAST(CASE WHEN win_start_ms + 43200000 <= wm.wm1_ms
+                             THEN 1 ELSE 2 END AS INTEGER) AS inv,
+                   win_start_ms,
+                   event_type,
+                   CAST(n_events AS BIGINT) AS n_events,
+                   CAST(cents_sum AS BIGINT) AS cents_sum
+            FROM agg, wm
+            WHERE win_start_ms + 43200000 <= wm.wm2_ms
         """,
         "streaming_over_agg_twin": f"""
             -- The rolling RANGE-frame kernel replayed exactly in

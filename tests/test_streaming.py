@@ -1486,3 +1486,22 @@ def test_streaming_over_agg_twin_cross_run_split(spark):
     for r in rows:
         assert r.roll_cnt >= 1
         assert r.roll_sum >= r.cents or r.roll_cnt > 1
+
+
+def test_streaming_hop_window_twin_cross_run_split(spark):
+    """The oracle-backed sliding-window twin splits instances across
+    runs; every 12h/6h instance is epoch-aligned to the 6h grid."""
+    import os
+
+    import __spark_entry__ as entrymod
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    if not os.path.exists(os.path.join(sf, "events.parquet")):
+        pytest.skip("test data not found")
+    rows = entrymod.queries()["streaming_hop_window_twin"](
+        spark, sf
+    ).collect()
+    assert {r.inv for r in rows} == {1, 2}
+    for r in rows:
+        assert r.win_start_ms % 21_600_000 == 0
+        assert r.n_events >= 1
