@@ -4364,6 +4364,68 @@ def streaming_hop_window_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_unbounded_agg_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING under the driver oracle — the thirteenth
+    twin: the always-on CONTINUOUS (windowless) GROUP BY kernel
+    (streaming/structured.StreamingUnboundedAgg, applyInPandasWithState
+    — Spark's own update-mode aggregation upserts without retractions,
+    so the op 0/2/3 changelog contract needs the custom operator; the
+    reference's ChangelogOperator RowKind mapping at micro-batch
+    granularity). TWO availableNow runs on time-banded events, counting
+    rows and summing integer cents per user: run 1 publishes op-0 rows
+    with the band totals; run 2 emits one CorrectFrom/CorrectTo pair
+    per key it touches (op 2 = the run-1 accumulator restored from the
+    stream checkpoint, op 3 = the final totals) or op-0 for keys first
+    seen in run 2. Integer cents keep the float accumulator exact, so
+    the DuckDB oracle replays every (inv, op, n, sum) cell from two
+    grouped snapshots."""
+    import glob
+    import os
+    import tempfile
+
+    from kamu_engine_flink_spark.sinks.parquet import write_single_parquet
+    from kamu_engine_flink_spark.streaming.structured import (
+        StreamingUnboundedAgg,
+    )
+
+    _conf(spark)
+    workdir = tempfile.mkdtemp(prefix="stream-uagg-")
+    d = {k: os.path.join(workdir, k) for k in ("in", "chk", "out")}
+    os.makedirs(d["in"])
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "ts",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    job = StreamingUnboundedAgg(
+        input_dir=d["in"], checkpoint_dir=d["chk"], output_dir=d["out"],
+        key_col="user_id",
+        value_col="cents",
+        schema=e.schema,
+    )
+    band = f"ts < TIMESTAMP '{_ASOF_BAND}'"
+    write_single_parquet(e.filter(band), os.path.join(d["in"], "b1.parquet"))
+    job.run_available_now(spark)
+    files1 = set(glob.glob(os.path.join(d["out"], "*.parquet")))
+    write_single_parquet(
+        e.filter(f"NOT ({band})"), os.path.join(d["in"], "b2.parquet")
+    )
+    job.run_available_now(spark)
+    files2 = set(glob.glob(os.path.join(d["out"], "*.parquet"))) - files1
+    run1 = spark.read.parquet(*sorted(files1))
+    run2 = spark.read.parquet(*sorted(files2))
+    return (
+        run1.withColumn("inv", F.lit(1).cast("int"))
+        .unionByName(run2.withColumn("inv", F.lit(2).cast("int")))
+        .select(
+            "inv",
+            F.col("op").cast("int").alias("op"),
+            F.col("key").cast("long").alias("user_id"),
+            F.col("n").cast("long").alias("n"),
+            F.col("sum_v").cast("long").alias("sum_cents"),
+        )
+    )
+
+
 def streaming_asof_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STRUCTURED STREAMING under the driver oracle: the always-on
     temporal/as-of twin (streaming/structured.StreamingAsOfJoin,
@@ -5365,6 +5427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_session_window_twin": streaming_session_window_twin,
         "streaming_over_agg_twin": streaming_over_agg_twin,
         "streaming_hop_window_twin": streaming_hop_window_twin,
+        "streaming_unbounded_agg_twin": streaming_unbounded_agg_twin,
         "bloom_decontamination_documents": bloom_decontamination_documents,
         "kmv_union_event_types": kmv_union_event_types,
         "kmv_distinct_users": kmv_distinct_users,
@@ -6587,6 +6650,46 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT inv + 1, CAST(0 AS INT) AS op, val
             FROM e WHERE event_type = 'signup'
+        """,
+        "streaming_unbounded_agg_twin": f"""
+            -- The continuous-aggregation changelog replayed from two
+            -- grouped snapshots: run 1 = op-0 band totals; run 2 = an
+            -- op-2/op-3 pair (band totals -> final totals) per key with
+            -- post-band rows, or op-0 finals for keys new in run 2.
+            WITH ev AS (
+                SELECT user_id, ts,
+                       CAST(floor(value * 100) AS BIGINT) AS cents
+                FROM events
+            ), b1 AS (
+                SELECT user_id, COUNT(*) AS n, SUM(cents) AS s
+                FROM ev WHERE ts < TIMESTAMP '{_ASOF_BAND}'
+                GROUP BY user_id
+            ), fin AS (
+                SELECT user_id, COUNT(*) AS n, SUM(cents) AS s
+                FROM ev GROUP BY user_id
+            ), b2k AS (
+                SELECT DISTINCT user_id FROM ev
+                WHERE ts >= TIMESTAMP '{_ASOF_BAND}'
+            )
+            SELECT CAST(1 AS INTEGER) AS inv, CAST(0 AS INTEGER) AS op,
+                   CAST(user_id AS BIGINT) AS user_id,
+                   CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS sum_cents
+            FROM b1
+            UNION ALL
+            SELECT 2, 0, CAST(f.user_id AS BIGINT),
+                   CAST(f.n AS BIGINT), CAST(f.s AS BIGINT)
+            FROM fin f JOIN b2k USING (user_id)
+            LEFT JOIN b1 ON f.user_id = b1.user_id
+            WHERE b1.user_id IS NULL
+            UNION ALL
+            SELECT 2, 2, CAST(b1.user_id AS BIGINT),
+                   CAST(b1.n AS BIGINT), CAST(b1.s AS BIGINT)
+            FROM b1 JOIN b2k USING (user_id)
+            UNION ALL
+            SELECT 2, 3, CAST(f.user_id AS BIGINT),
+                   CAST(f.n AS BIGINT), CAST(f.s AS BIGINT)
+            FROM fin f JOIN b2k USING (user_id)
+            JOIN b1 ON f.user_id = b1.user_id
         """,
         "streaming_hop_window_twin": f"""
             -- Native sliding windows replayed exactly: each row lands

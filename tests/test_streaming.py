@@ -1505,3 +1505,30 @@ def test_streaming_hop_window_twin_cross_run_split(spark):
     for r in rows:
         assert r.win_start_ms % 21_600_000 == 0
         assert r.n_events >= 1
+
+
+def test_streaming_unbounded_agg_twin_correction_pairs(spark):
+    """The oracle-backed continuous-aggregation twin: run-2 corrections
+    come as op-2/op-3 pairs whose op-3 totals strictly grow."""
+    import os
+    from collections import defaultdict
+
+    import __spark_entry__ as entrymod
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    if not os.path.exists(os.path.join(sf, "events.parquet")):
+        pytest.skip("test data not found")
+    rows = entrymod.queries()["streaming_unbounded_agg_twin"](
+        spark, sf
+    ).collect()
+    by_key = defaultdict(dict)
+    for r in rows:
+        by_key[r.user_id][(r.inv, r.op)] = (r.n, r.sum_cents)
+    corrected = 0
+    for key, ops in by_key.items():
+        if (2, 2) in ops or (2, 3) in ops:
+            corrected += 1
+            assert (2, 2) in ops and (2, 3) in ops
+            assert ops[(2, 2)] == ops[(1, 0)]  # CorrectFrom = run-1 state
+            assert ops[(2, 3)][0] > ops[(2, 2)][0]
+    assert corrected > 0
