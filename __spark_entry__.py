@@ -4426,6 +4426,65 @@ def streaming_unbounded_agg_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_dedup_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING under the driver oracle — the fourteenth
+    twin: streaming exact dedup (streaming/structured.StreamingDedup,
+    Spark's native dropDuplicatesWithinWatermark) on (user_id,
+    event_type, day) over TWO availableNow runs on time-banded events.
+    First
+    occurrence wins and emits ON ARRIVAL (the dedup state filters, it
+    does not gate on the watermark), so a key pair emits in run 1 iff it
+    appears below the band, else in run 2 — with the run-1 seen-set
+    restored from the stream checkpoint, the cross-run property under
+    test. The watermark delay is set beyond the data span so no dedup
+    state evicts mid-test (the production eviction bound is exercised in
+    tests/test_streaming.py); the kept row's non-key columns are
+    projected away, leaving a fully deterministic (inv, key) relation
+    the oracle replays with one grouped min-band flag."""
+    import glob
+    import os
+    import tempfile
+
+    from kamu_engine_flink_spark.sinks.parquet import write_single_parquet
+    from kamu_engine_flink_spark.streaming.structured import StreamingDedup
+
+    _conf(spark)
+    workdir = tempfile.mkdtemp(prefix="stream-dedup-")
+    d = {k: os.path.join(workdir, k) for k in ("in", "chk", "out")}
+    os.makedirs(d["in"])
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", F.to_date("ts").alias("day")
+    )
+    job = StreamingDedup(
+        input_dir=d["in"], checkpoint_dir=d["chk"], output_dir=d["out"],
+        keys=["user_id", "event_type", "day"],
+        event_time_col="ts",
+        watermark_delay="90 days",
+        schema=e.schema,
+    )
+    band = f"ts < TIMESTAMP '{_ASOF_BAND}'"
+    write_single_parquet(e.filter(band), os.path.join(d["in"], "b1.parquet"))
+    job.run_available_now(spark)
+    files1 = set(glob.glob(os.path.join(d["out"], "*.parquet")))
+    write_single_parquet(
+        e.filter(f"NOT ({band})"), os.path.join(d["in"], "b2.parquet")
+    )
+    job.run_available_now(spark)
+    files2 = set(glob.glob(os.path.join(d["out"], "*.parquet"))) - files1
+    run1 = spark.read.parquet(*sorted(files1))
+    run2 = spark.read.parquet(*sorted(files2))
+    return (
+        run1.withColumn("inv", F.lit(1).cast("int"))
+        .unionByName(run2.withColumn("inv", F.lit(2).cast("int")))
+        .select(
+            "inv",
+            F.col("user_id").cast("long").alias("user_id"),
+            "event_type",
+            "day",
+        )
+    )
+
+
 def streaming_asof_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STRUCTURED STREAMING under the driver oracle: the always-on
     temporal/as-of twin (streaming/structured.StreamingAsOfJoin,
@@ -5431,6 +5490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_over_agg_twin": streaming_over_agg_twin,
         "streaming_hop_window_twin": streaming_hop_window_twin,
         "streaming_unbounded_agg_twin": streaming_unbounded_agg_twin,
+        "streaming_dedup_twin": streaming_dedup_twin,
         "bloom_decontamination_documents": bloom_decontamination_documents,
         "kmv_union_event_types": kmv_union_event_types,
         "kmv_distinct_users": kmv_distinct_users,
@@ -6653,6 +6713,22 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT inv + 1, CAST(0 AS INT) AS op, val
             FROM e WHERE event_type = 'signup'
+        """,
+        "streaming_dedup_twin": f"""
+            -- Native streaming dedup replayed exactly: a (user_id,
+            -- event_type, day) key emits on first arrival, so inv = 1
+            -- iff it appears below the band.
+            SELECT CAST(CASE WHEN band_hit = 1 THEN 1 ELSE 2 END
+                        AS INTEGER) AS inv,
+                   CAST(user_id AS BIGINT) AS user_id,
+                   event_type,
+                   day
+            FROM (
+                SELECT user_id, event_type, CAST(ts AS DATE) AS day,
+                       max(CASE WHEN ts < TIMESTAMP '{_ASOF_BAND}'
+                                THEN 1 ELSE 0 END) AS band_hit
+                FROM events GROUP BY user_id, event_type, CAST(ts AS DATE)
+            )
         """,
         "streaming_unbounded_agg_twin": f"""
             -- The continuous-aggregation changelog replayed from two

@@ -1532,3 +1532,19 @@ def test_streaming_unbounded_agg_twin_correction_pairs(spark):
             assert ops[(2, 2)] == ops[(1, 0)]  # CorrectFrom = run-1 state
             assert ops[(2, 3)][0] > ops[(2, 2)][0]
     assert corrected > 0
+
+
+def test_streaming_dedup_twin_cross_run_split(spark):
+    """The oracle-backed native dedup twin: keys split across runs and
+    never repeat across the checkpoint."""
+    import os
+
+    import __spark_entry__ as entrymod
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    if not os.path.exists(os.path.join(sf, "events.parquet")):
+        pytest.skip("test data not found")
+    rows = entrymod.queries()["streaming_dedup_twin"](spark, sf).collect()
+    assert {r.inv for r in rows} == {1, 2}
+    keys = [(r.user_id, r.event_type, r.day) for r in rows]
+    assert len(keys) == len(set(keys))
