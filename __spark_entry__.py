@@ -4485,6 +4485,76 @@ def streaming_dedup_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_cumulate_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING under the driver oracle — the fifteenth
+    twin: CUMULATE windows (Flink's cumulative-window TVF, §2.C) as the
+    streaming kernel implements them (streaming/structured.
+    StreamingWindowAgg cumulate mode: each row explodes to its
+    step-aligned cumulative-window ENDS and the END column itself is
+    watermarked — append mode then finalizes an (end, keys) group
+    exactly when the end-watermark passes it, the cumulate emission
+    rule). Step 1h over 6h spans, count + integer-cents sum per
+    event_type, TWO availableNow runs on time-banded events with a
+    checkpoint between. The band sits ON a 6h span boundary, so no
+    window mixes run-1 and run-2 rows (an unaligned band would make the
+    end-watermark run ahead of unseen rows — the class docstring's
+    late-tolerance caveat, exercised as the documented boundary here);
+    the final run-1 span's windows are held in checkpointed aggregation
+    state and emit in run 2. inv = 1 iff end <= wm1 = (span end of the
+    last band row) - 1 min; ends are hour-aligned and watermarks sit
+    1 min off the grid, so the attribution has no boundary ambiguity.
+    The oracle regenerates the end explosion with the same integer
+    epoch-microsecond geometry as the dialect rewrite and replays
+    everything cell-exactly."""
+    import glob
+    import os
+    import tempfile
+
+    from kamu_engine_flink_spark.sinks.parquet import write_single_parquet
+    from kamu_engine_flink_spark.streaming.structured import StreamingWindowAgg
+
+    _conf(spark)
+    workdir = tempfile.mkdtemp(prefix="stream-cum-")
+    d = {k: os.path.join(workdir, k) for k in ("in", "chk", "out")}
+    os.makedirs(d["in"])
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", "ts",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    job = StreamingWindowAgg(
+        input_dir=d["in"], checkpoint_dir=d["chk"], output_dir=d["out"],
+        window_duration="6 hour",
+        cumulate_step="1 hour",
+        watermark_delay="1 minute",
+        event_time_col="ts",
+        group_keys=["event_type"],
+        aggs={"n_events": "count(1)", "cents_sum": "sum(cents)"},
+        schema=e.schema,
+    )
+    band = f"ts < TIMESTAMP '{_ASOF_BAND}'"
+    write_single_parquet(e.filter(band), os.path.join(d["in"], "b1.parquet"))
+    job.run_available_now(spark)
+    files1 = set(glob.glob(os.path.join(d["out"], "*.parquet")))
+    write_single_parquet(
+        e.filter(f"NOT ({band})"), os.path.join(d["in"], "b2.parquet")
+    )
+    job.run_available_now(spark)
+    files2 = set(glob.glob(os.path.join(d["out"], "*.parquet"))) - files1
+    run1 = spark.read.parquet(*sorted(files1))
+    run2 = spark.read.parquet(*sorted(files2))
+    return (
+        run1.withColumn("inv", F.lit(1).cast("int"))
+        .unionByName(run2.withColumn("inv", F.lit(2).cast("int")))
+        .select(
+            "inv",
+            F.unix_micros("ts").alias("win_end_us"),
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("cents_sum").cast("long").alias("cents_sum"),
+        )
+    )
+
+
 def streaming_asof_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STRUCTURED STREAMING under the driver oracle: the always-on
     temporal/as-of twin (streaming/structured.StreamingAsOfJoin,
@@ -5491,6 +5561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hop_window_twin": streaming_hop_window_twin,
         "streaming_unbounded_agg_twin": streaming_unbounded_agg_twin,
         "streaming_dedup_twin": streaming_dedup_twin,
+        "streaming_cumulate_twin": streaming_cumulate_twin,
         "bloom_decontamination_documents": bloom_decontamination_documents,
         "kmv_union_event_types": kmv_union_event_types,
         "kmv_distinct_users": kmv_distinct_users,
@@ -6713,6 +6784,49 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT inv + 1, CAST(0 AS INT) AS op, val
             FROM e WHERE event_type = 'signup'
+        """,
+        "streaming_cumulate_twin": f"""
+            -- CUMULATE(step 1h, size 6h) streaming emission replayed:
+            -- ends via the same integer epoch-us geometry as the
+            -- dialect rewrite; a window emits in the first run whose
+            -- END-column watermark (span end of the last row seen,
+            -- minus 1 min) covers its end. Hour-aligned ends vs
+            -- 1-min-offset watermarks: no boundary ambiguity.
+            WITH wm AS (
+                SELECT ((epoch_us(max(CASE WHEN ts < TIMESTAMP
+                            '{_ASOF_BAND}' THEN ts END))
+                         // 21600000000) * 21600000000 + 21600000000)
+                        - 60000000 AS wm1_us,
+                       ((epoch_us(max(ts)) // 21600000000) * 21600000000
+                         + 21600000000) - 60000000 AS wm2_us
+                FROM events
+            ), e AS (
+                SELECT epoch_us(ts) AS us, event_type,
+                       CAST(floor(value * 100) AS BIGINT) AS cents
+                FROM events
+            ), x AS (
+                SELECT *, (us // 21600000000) * 21600000000 AS s_us FROM e
+            ), w AS (
+                SELECT event_type, cents,
+                       unnest(generate_series(
+                           s_us + ((us - s_us) // 3600000000 + 1)
+                                * 3600000000,
+                           s_us + 21600000000,
+                           3600000000)) AS end_us
+                FROM x
+            ), agg AS (
+                SELECT end_us, event_type,
+                       COUNT(*) AS n, SUM(cents) AS s
+                FROM w GROUP BY end_us, event_type
+            )
+            SELECT CAST(CASE WHEN end_us <= wm.wm1_us
+                             THEN 1 ELSE 2 END AS INTEGER) AS inv,
+                   end_us AS win_end_us,
+                   event_type,
+                   CAST(n AS BIGINT) AS n_events,
+                   CAST(s AS BIGINT) AS cents_sum
+            FROM agg, wm
+            WHERE end_us <= wm.wm2_us
         """,
         "streaming_dedup_twin": f"""
             -- Native streaming dedup replayed exactly: a (user_id,

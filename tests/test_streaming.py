@@ -1548,3 +1548,31 @@ def test_streaming_dedup_twin_cross_run_split(spark):
     assert {r.inv for r in rows} == {1, 2}
     keys = [(r.user_id, r.event_type, r.day) for r in rows]
     assert len(keys) == len(set(keys))
+
+
+def test_streaming_cumulate_twin_cross_run_split(spark):
+    """The oracle-backed streaming CUMULATE twin: windows split across
+    runs, ends sit on the hour grid, and each span's cumulative counts
+    are monotone in the end."""
+    import os
+    from collections import defaultdict
+
+    import __spark_entry__ as entrymod
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    if not os.path.exists(os.path.join(sf, "events.parquet")):
+        pytest.skip("test data not found")
+    rows = entrymod.queries()["streaming_cumulate_twin"](
+        spark, sf
+    ).collect()
+    assert {r.inv for r in rows} == {1, 2}
+    span_us = 6 * 3600 * 1_000_000
+    by_span = defaultdict(list)
+    for r in rows:
+        assert r.win_end_us % 3_600_000_000 == 0
+        span = (r.win_end_us - 1) // span_us
+        by_span[(span, r.event_type)].append((r.win_end_us, r.n_events))
+    for grp in by_span.values():
+        grp.sort()
+        for (_, a), (_, b) in zip(grp, grp[1:]):
+            assert b >= a
