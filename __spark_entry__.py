@@ -4555,6 +4555,82 @@ def streaming_cumulate_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_regular_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING under the driver oracle — the sixteenth
+    twin: Flink's REGULAR (unbounded, no time constraint) stream-stream
+    INNER equi-join as Spark's native streaming join with state kept
+    forever (streaming/structured.StreamingRegularJoin, the always-on
+    twin of operators/regular_join.py). Purchases join clicks on
+    (user_id, day) over TWO availableNow runs on time-banded slices: a
+    pair emits in the run its LATER member arrives, so run-1 pairs are
+    those with both sides below the band and run 2 joins each new row
+    against the other side's FULL state restored from the checkpoint —
+    the unbounded-state contract under test. No watermark is involved
+    (this operator never evicts), so the oracle is the exact batch join
+    with inv = 1 iff both members sit below the band — every pair,
+    timestamp (full microseconds, JVM-native) and cents value replayed
+    cell-exactly."""
+    import glob
+    import os
+    import tempfile
+
+    from kamu_engine_flink_spark.sinks.parquet import write_single_parquet
+    from kamu_engine_flink_spark.streaming.structured import (
+        StreamingRegularJoin,
+    )
+
+    _conf(spark)
+    workdir = tempfile.mkdtemp(prefix="stream-rj-")
+    d = {k: os.path.join(workdir, k) for k in ("l", "r", "chk", "out")}
+    for k in ("l", "r"):
+        os.makedirs(d[k])
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts",
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    p = e.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("p_user"), F.col("day").alias("p_day"),
+        F.col("ts").alias("p_ts"), F.col("cents").alias("p_cents"),
+    )
+    c = e.filter("event_type = 'click'").select(
+        F.col("user_id").alias("c_user"), F.col("day").alias("c_day"),
+        F.col("ts").alias("c_ts"), F.col("cents").alias("c_cents"),
+    )
+    job = StreamingRegularJoin(
+        left_dir=d["l"], right_dir=d["r"],
+        checkpoint_dir=d["chk"], output_dir=d["out"],
+        equi_keys=[("p_user", "c_user"), ("p_day", "c_day")],
+        left_schema=p.schema, right_schema=c.schema,
+    )
+    band_p = f"p_ts < TIMESTAMP '{_ASOF_BAND}'"
+    band_c = f"c_ts < TIMESTAMP '{_ASOF_BAND}'"
+    write_single_parquet(p.filter(band_p), os.path.join(d["l"], "b1.parquet"))
+    write_single_parquet(c.filter(band_c), os.path.join(d["r"], "b1.parquet"))
+    job.run_available_now(spark)
+    files1 = set(glob.glob(os.path.join(d["out"], "*.parquet")))
+    write_single_parquet(p.filter(f"NOT ({band_p})"),
+                         os.path.join(d["l"], "b2.parquet"))
+    write_single_parquet(c.filter(f"NOT ({band_c})"),
+                         os.path.join(d["r"], "b2.parquet"))
+    job.run_available_now(spark)
+    files2 = set(glob.glob(os.path.join(d["out"], "*.parquet"))) - files1
+    run1 = spark.read.parquet(*sorted(files1))
+    run2 = spark.read.parquet(*sorted(files2))
+    return (
+        run1.withColumn("inv", F.lit(1).cast("int"))
+        .unionByName(run2.withColumn("inv", F.lit(2).cast("int")))
+        .select(
+            "inv",
+            F.col("p_user").cast("long").alias("user_id"),
+            F.unix_micros("p_ts").alias("p_ts_us"),
+            F.unix_micros("c_ts").alias("c_ts_us"),
+            F.col("p_cents").cast("long").alias("p_cents"),
+            F.col("c_cents").cast("long").alias("c_cents"),
+        )
+    )
+
+
 def streaming_asof_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STRUCTURED STREAMING under the driver oracle: the always-on
     temporal/as-of twin (streaming/structured.StreamingAsOfJoin,
@@ -5562,6 +5638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_unbounded_agg_twin": streaming_unbounded_agg_twin,
         "streaming_dedup_twin": streaming_dedup_twin,
         "streaming_cumulate_twin": streaming_cumulate_twin,
+        "streaming_regular_join_twin": streaming_regular_join_twin,
         "bloom_decontamination_documents": bloom_decontamination_documents,
         "kmv_union_event_types": kmv_union_event_types,
         "kmv_distinct_users": kmv_distinct_users,
@@ -6784,6 +6861,30 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT inv + 1, CAST(0 AS INT) AS op, val
             FROM e WHERE event_type = 'signup'
+        """,
+        "streaming_regular_join_twin": f"""
+            -- The unbounded regular join is the exact batch join;
+            -- a pair emits in the run its later member arrives.
+            WITH p AS (
+                SELECT user_id, CAST(ts AS DATE) AS day, ts,
+                       CAST(floor(value * 100) AS BIGINT) AS cents
+                FROM events WHERE event_type = 'purchase'
+            ), c AS (
+                SELECT user_id, CAST(ts AS DATE) AS day, ts,
+                       CAST(floor(value * 100) AS BIGINT) AS cents
+                FROM events WHERE event_type = 'click'
+            )
+            SELECT CAST(CASE WHEN p.ts < TIMESTAMP '{_ASOF_BAND}'
+                              AND c.ts < TIMESTAMP '{_ASOF_BAND}'
+                             THEN 1 ELSE 2 END AS INTEGER) AS inv,
+                   CAST(p.user_id AS BIGINT) AS user_id,
+                   -- the slice files carry the ODF TIMESTAMP_MILLIS
+                   -- golden schema, so stored times are ms-floored
+                   (epoch_us(p.ts) // 1000) * 1000 AS p_ts_us,
+                   (epoch_us(c.ts) // 1000) * 1000 AS c_ts_us,
+                   p.cents AS p_cents,
+                   c.cents AS c_cents
+            FROM p JOIN c ON p.user_id = c.user_id AND p.day = c.day
         """,
         "streaming_cumulate_twin": f"""
             -- CUMULATE(step 1h, size 6h) streaming emission replayed:

@@ -1576,3 +1576,29 @@ def test_streaming_cumulate_twin_cross_run_split(spark):
         grp.sort()
         for (_, a), (_, b) in zip(grp, grp[1:]):
             assert b >= a
+
+
+def test_streaming_regular_join_twin_cross_run_split(spark):
+    """The oracle-backed unbounded regular-join twin: pairs split across
+    runs (run-2 rows joining run-1 state restored from checkpoint)."""
+    import os
+
+    import __spark_entry__ as entrymod
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    if not os.path.exists(os.path.join(sf, "events.parquet")):
+        pytest.skip("test data not found")
+    rows = entrymod.queries()["streaming_regular_join_twin"](
+        spark, sf
+    ).collect()
+    assert {r.inv for r in rows} == {1, 2}
+    # run-2 output must contain at least one CROSS-BAND pair: one side
+    # below the band (run-1 state), the other above.
+    band_us = 1705363200000000  # 2024-01-16 00:00:00 UTC
+    crossed = [
+        r for r in rows
+        if r.inv == 2 and (
+            (r.p_ts_us < band_us) != (r.c_ts_us < band_us)
+        )
+    ]
+    assert crossed
