@@ -4603,8 +4603,11 @@ def streaming_regular_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         equi_keys=[("p_user", "c_user"), ("p_day", "c_day")],
         left_schema=p.schema, right_schema=c.schema,
     )
-    band_p = f"p_ts < TIMESTAMP '{_ASOF_BAND}'"
-    band_c = f"c_ts < TIMESTAMP '{_ASOF_BAND}'"
+    # Band INSIDE a day (noon): the join key includes the day, so a
+    # midnight band could never produce a cross-run pair — noon makes
+    # same-day pairs straddle the checkpoint.
+    band_p = f"p_ts < TIMESTAMP '{_RJ_BAND}'"
+    band_c = f"c_ts < TIMESTAMP '{_RJ_BAND}'"
     write_single_parquet(p.filter(band_p), os.path.join(d["l"], "b1.parquet"))
     write_single_parquet(c.filter(band_c), os.path.join(d["r"], "b1.parquet"))
     job.run_available_now(spark)
@@ -5135,6 +5138,7 @@ def odf_transform_unnest_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ASOF_BAND = "2024-01-16 00:00:00"
+_RJ_BAND = "2024-01-16 12:00:00"
 
 
 def changelog_asof_updating_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6874,8 +6878,8 @@ def oracle_sql() -> dict[str, str]:
                        CAST(floor(value * 100) AS BIGINT) AS cents
                 FROM events WHERE event_type = 'click'
             )
-            SELECT CAST(CASE WHEN p.ts < TIMESTAMP '{_ASOF_BAND}'
-                              AND c.ts < TIMESTAMP '{_ASOF_BAND}'
+            SELECT CAST(CASE WHEN p.ts < TIMESTAMP '{_RJ_BAND}'
+                              AND c.ts < TIMESTAMP '{_RJ_BAND}'
                              THEN 1 ELSE 2 END AS INTEGER) AS inv,
                    CAST(p.user_id AS BIGINT) AS user_id,
                    -- the slice files carry the ODF TIMESTAMP_MILLIS

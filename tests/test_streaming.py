@@ -1594,7 +1594,7 @@ def test_streaming_regular_join_twin_cross_run_split(spark):
     assert {r.inv for r in rows} == {1, 2}
     # run-2 output must contain at least one CROSS-BAND pair: one side
     # below the band (run-1 state), the other above.
-    band_us = 1705363200000000  # 2024-01-16 00:00:00 UTC
+    band_us = 1705406400000000  # 2024-01-16 12:00:00 UTC (_RJ_BAND)
     crossed = [
         r for r in rows
         if r.inv == 2 and (
