@@ -4634,6 +4634,66 @@ def streaming_regular_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_topn_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING under the driver oracle — the seventeenth
+    twin: the always-on ranked-state Top-N kernel (streaming/structured.
+    StreamingTopN, applyInPandasWithState — Spark has no retracting rank
+    in Structured Streaming; the reference's EngineTopNTest golden
+    sequence). Top-3 events per event_type by (value DESC, event_id ASC)
+    over TWO availableNow runs on time-banded events: run 1 publishes
+    op-0 rows for the band ranking; run 2 merges post-band rows into the
+    checkpointed ranking and emits op-2/op-3 pairs for every place whose
+    occupant changed (or op-0 for places first occupied). The
+    two-snapshot oracle is exact because any full-data top-3 row is
+    either a run-2 row or already inside the band top-3 (fewer rows can
+    only rank a survivor higher), so the kernel's retained-top-n state
+    loses nothing the final ranking needs. Scores are raw doubles —
+    compared, never summed — so both engines sort identically."""
+    import glob
+    import os
+    import tempfile
+
+    from kamu_engine_flink_spark.sinks.parquet import write_single_parquet
+    from kamu_engine_flink_spark.streaming.structured import StreamingTopN
+
+    _conf(spark)
+    workdir = tempfile.mkdtemp(prefix="stream-topn-")
+    d = {k: os.path.join(workdir, k) for k in ("in", "chk", "out")}
+    os.makedirs(d["in"])
+    e = _t(spark, sf_dir, "events").select("event_type", "event_id", "ts", "value")
+    job = StreamingTopN(
+        input_dir=d["in"], checkpoint_dir=d["chk"], output_dir=d["out"],
+        n=3,
+        id_col="event_id",
+        score_col="value",
+        partition_col="event_type",
+        schema=e.schema,
+    )
+    band = f"ts < TIMESTAMP '{_ASOF_BAND}'"
+    write_single_parquet(e.filter(band), os.path.join(d["in"], "b1.parquet"))
+    job.run_available_now(spark)
+    files1 = set(glob.glob(os.path.join(d["out"], "*.parquet")))
+    write_single_parquet(
+        e.filter(f"NOT ({band})"), os.path.join(d["in"], "b2.parquet")
+    )
+    job.run_available_now(spark)
+    files2 = set(glob.glob(os.path.join(d["out"], "*.parquet"))) - files1
+    run1 = spark.read.parquet(*sorted(files1))
+    run2 = spark.read.parquet(*sorted(files2))
+    return (
+        run1.withColumn("inv", F.lit(1).cast("int"))
+        .unionByName(run2.withColumn("inv", F.lit(2).cast("int")))
+        .select(
+            "inv",
+            F.col("op").cast("int").alias("op"),
+            F.col("scope").alias("event_type"),
+            F.col("place").cast("long").alias("place"),
+            F.col("id").cast("long").alias("event_id"),
+            F.col("score").cast("double").alias("score"),
+        )
+    )
+
+
 def streaming_asof_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STRUCTURED STREAMING under the driver oracle: the always-on
     temporal/as-of twin (streaming/structured.StreamingAsOfJoin,
@@ -5644,6 +5704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_twin": streaming_dedup_twin,
         "streaming_cumulate_twin": streaming_cumulate_twin,
         "streaming_regular_join_twin": streaming_regular_join_twin,
+        "streaming_topn_twin": streaming_topn_twin,
         "bloom_decontamination_documents": bloom_decontamination_documents,
         "kmv_union_event_types": kmv_union_event_types,
         "kmv_distinct_users": kmv_distinct_users,
@@ -6866,6 +6927,46 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT inv + 1, CAST(0 AS INT) AS op, val
             FROM e WHERE event_type = 'signup'
+        """,
+        "streaming_topn_twin": f"""
+            -- Ranked-state Top-N replayed from two snapshots: run 1 =
+            -- op-0 band top-3 per event_type; run 2 = op-2/3 pairs for
+            -- places whose occupant changed in the full ranking (plus
+            -- op-0 for newly occupied places). Exact because a full
+            -- top-3 row is a run-2 row or already in the band top-3.
+            WITH b AS (
+                SELECT event_type, event_id AS id, value AS score,
+                       row_number() OVER (PARTITION BY event_type
+                           ORDER BY value DESC, event_id ASC) AS p
+                FROM events WHERE ts < TIMESTAMP '{_ASOF_BAND}'
+                QUALIFY p <= 3
+            ), f AS (
+                SELECT event_type, event_id AS id, value AS score,
+                       row_number() OVER (PARTITION BY event_type
+                           ORDER BY value DESC, event_id ASC) AS p
+                FROM events
+                QUALIFY p <= 3
+            )
+            SELECT CAST(1 AS INTEGER) AS inv, CAST(0 AS INTEGER) AS op,
+                   event_type, CAST(p AS BIGINT) AS place,
+                   CAST(id AS BIGINT) AS event_id,
+                   CAST(score AS DOUBLE) AS score
+            FROM b
+            UNION ALL
+            SELECT 2, 2, b.event_type, CAST(b.p AS BIGINT),
+                   CAST(b.id AS BIGINT), CAST(b.score AS DOUBLE)
+            FROM b JOIN f ON b.event_type = f.event_type AND b.p = f.p
+            WHERE b.id <> f.id OR b.score <> f.score
+            UNION ALL
+            SELECT 2, 3, f.event_type, CAST(f.p AS BIGINT),
+                   CAST(f.id AS BIGINT), CAST(f.score AS DOUBLE)
+            FROM f JOIN b ON b.event_type = f.event_type AND b.p = f.p
+            WHERE b.id <> f.id OR b.score <> f.score
+            UNION ALL
+            SELECT 2, 0, f.event_type, CAST(f.p AS BIGINT),
+                   CAST(f.id AS BIGINT), CAST(f.score AS DOUBLE)
+            FROM f LEFT JOIN b ON b.event_type = f.event_type AND b.p = f.p
+            WHERE b.p IS NULL
         """,
         "streaming_regular_join_twin": f"""
             -- The unbounded regular join is the exact batch join;

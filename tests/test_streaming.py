@@ -1602,3 +1602,25 @@ def test_streaming_regular_join_twin_cross_run_split(spark):
         )
     ]
     assert crossed
+
+
+def test_streaming_topn_twin_correction_pairs(spark):
+    """The oracle-backed ranked-state twin: run-2 corrections come as
+    op-2/op-3 pairs per (event_type, place)."""
+    import os
+    from collections import defaultdict
+
+    import __spark_entry__ as entrymod
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    if not os.path.exists(os.path.join(sf, "events.parquet")):
+        pytest.skip("test data not found")
+    rows = entrymod.queries()["streaming_topn_twin"](spark, sf).collect()
+    assert {r.inv for r in rows} == {1, 2}
+    pairs = defaultdict(set)
+    for r in rows:
+        if r.inv == 2 and r.op in (2, 3):
+            pairs[(r.event_type, r.place)].add(r.op)
+    assert pairs
+    for ops in pairs.values():
+        assert ops == {2, 3}
