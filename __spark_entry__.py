@@ -4694,6 +4694,200 @@ def streaming_topn_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_changelog_asof_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING under the driver oracle — the eighteenth
+    twin: the temporal (as-of) join over a CHANGELOG-maintained build
+    side (streaming/structured.StreamingChangelogAsOfJoin — op-0 rows
+    create versions, op-1 rows TOMBSTONE the key; the streaming twin of
+    execute_changelog_temporal_join's build-updating path). The version
+    changelog derives deterministically from events — signups are op-0
+    versions carrying cents, errors are op-1 tombstones — and purchases
+    probe it, per user, over TWO availableNow runs on time-banded
+    slices. A probe resolves the latest version at or before its own
+    time; landing in a tombstone interval matches nothing (inner join
+    drops it). The query watermark is the MIN of the two streams'
+    (delay 0), so a probe is decided in the first run whose min-max
+    watermark covers it; a run-1 probe's resolution can never be
+    changed by a run-2 version (any such version would sit above the
+    band, hence above the probe), which is exactly why the two-snapshot
+    oracle is exact. Tombstone state (dead keys stay dead across the
+    checkpoint) is the cross-run property under test."""
+    import glob
+    import os
+    import tempfile
+
+    from kamu_engine_flink_spark.sinks.parquet import write_single_parquet
+    from kamu_engine_flink_spark.streaming.structured import (
+        StreamingChangelogAsOfJoin,
+    )
+
+    _conf(spark)
+    workdir = tempfile.mkdtemp(prefix="stream-clasof-")
+    d = {k: os.path.join(workdir, k) for k in ("v", "p", "chk", "out")}
+    for k in ("v", "p"):
+        os.makedirs(d[k])
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    v = e.filter(F.col("event_type").isin("signup", "error")).select(
+        F.col("user_id").alias("pk"),
+        F.when(F.col("event_type") == "signup", F.lit(0))
+        .otherwise(F.lit(1)).cast("int").alias("op"),
+        F.col("ts").alias("event_time"),
+        F.col("cents").cast("double").alias("value"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pk"),
+        F.col("ts").alias("event_time"),
+        F.col("cents").cast("double").alias("value"),
+    )
+    job = StreamingChangelogAsOfJoin(
+        version_dir=d["v"], probe_dir=d["p"],
+        checkpoint_dir=d["chk"], output_dir=d["out"],
+        pk_col="pk", how="inner",
+        version_schema=v.schema, probe_schema=p.schema,
+    )
+    band = f"event_time < TIMESTAMP '{_ASOF_BAND}'"
+    write_single_parquet(v.filter(band), os.path.join(d["v"], "b1.parquet"))
+    write_single_parquet(p.filter(band), os.path.join(d["p"], "b1.parquet"))
+    job.run_available_now(spark)
+    files1 = set(glob.glob(os.path.join(d["out"], "*.parquet")))
+    write_single_parquet(v.filter(f"NOT ({band})"),
+                         os.path.join(d["v"], "b2.parquet"))
+    write_single_parquet(p.filter(f"NOT ({band})"),
+                         os.path.join(d["p"], "b2.parquet"))
+    job.run_available_now(spark)
+    files2 = set(glob.glob(os.path.join(d["out"], "*.parquet"))) - files1
+    run1 = spark.read.parquet(*sorted(files1))
+    run2 = spark.read.parquet(*sorted(files2))
+    return (
+        run1.withColumn("inv", F.lit(1).cast("int"))
+        .unionByName(run2.withColumn("inv", F.lit(2).cast("int")))
+        .select(
+            "inv",
+            F.col("pk").cast("long").alias("user_id"),
+            F.col("probe_ts_ms").cast("long").alias("probe_ts_ms"),
+            F.col("probe_val").cast("long").alias("probe_cents"),
+            F.col("version_val").cast("long").alias("version_cents"),
+        )
+    )
+
+
+def streaming_changelog_probe_asof_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING under the driver oracle — the nineteenth
+    twin, completing the set: EVERY always-on kernel in
+    streaming/structured.py now has an oracle-backed driver entry. The
+    temporal (as-of) join over an UPDATING PROBE side (streaming/
+    structured.StreamingChangelogProbeAsOfJoin — the probe changelog
+    carries op tags and a ledger seq preserving op-2/op-3 pair adjacency
+    through the shuffle). The probe changelog derives deterministically
+    from events: per user, purchases form a running-total ledger — the
+    first purchase an op-0 insert, each later one a CorrectFrom (old
+    total) / CorrectTo (new total) pair at the purchase time, seq =
+    2*global_rank(+1) so pairs stay adjacent. Versions are per-(user,
+    ts) click rates (append-only). Each released probe row resolves the
+    latest rate at its OWN event time and forwards its op tag; a pair
+    shares one timestamp, so both halves release (or inner-drop)
+    together and the oracle replays the full op stream from window
+    running-sums, with inv = the first run whose min-of-streams
+    watermark covers the probe. TWO banded availableNow runs; probe
+    buffers and version state ride the checkpoint."""
+    import glob
+    import os
+    import tempfile
+
+    from kamu_engine_flink_spark.sinks.parquet import write_single_parquet
+    from kamu_engine_flink_spark.streaming.structured import (
+        StreamingChangelogProbeAsOfJoin,
+    )
+
+    _conf(spark)
+    workdir = tempfile.mkdtemp(prefix="stream-clpasof-")
+    d = {k: os.path.join(workdir, k) for k in ("v", "p", "chk", "out")}
+    for k in ("v", "p"):
+        os.makedirs(d[k])
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    v = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("cents").alias("rate"))
+        .select(
+            F.col("user_id").alias("pk"),
+            F.col("ts").alias("event_time"),
+            F.col("rate").cast("double").alias("value"),
+        )
+    )
+    pu = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "cents",
+        F.sum("cents").over(
+            Window.partitionBy("user_id").orderBy("ts")
+        ).alias("total"),
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy("ts")
+        ).alias("k"),
+        (F.row_number().over(Window.orderBy("ts", "user_id")) * 2).alias(
+            "seq2"
+        ),
+    )
+    first = pu.filter("k = 1").select(
+        F.col("user_id").alias("pk"),
+        F.col("ts").alias("event_time"),
+        F.col("total").cast("double").alias("value"),
+        F.lit(0).cast("int").alias("op"),
+        F.col("seq2").cast("long").alias("seq"),
+    )
+    correct_from = pu.filter("k > 1").select(
+        F.col("user_id").alias("pk"),
+        F.col("ts").alias("event_time"),
+        (F.col("total") - F.col("cents")).cast("double").alias("value"),
+        F.lit(2).cast("int").alias("op"),
+        F.col("seq2").cast("long").alias("seq"),
+    )
+    correct_to = pu.filter("k > 1").select(
+        F.col("user_id").alias("pk"),
+        F.col("ts").alias("event_time"),
+        F.col("total").cast("double").alias("value"),
+        F.lit(3).cast("int").alias("op"),
+        (F.col("seq2") + 1).cast("long").alias("seq"),
+    )
+    p = first.unionByName(correct_from).unionByName(correct_to)
+    job = StreamingChangelogProbeAsOfJoin(
+        version_dir=d["v"], probe_dir=d["p"],
+        checkpoint_dir=d["chk"], output_dir=d["out"],
+        pk_col="pk", how="inner",
+        version_schema=v.schema, probe_schema=p.schema,
+    )
+    band = f"event_time < TIMESTAMP '{_ASOF_BAND}'"
+    write_single_parquet(v.filter(band), os.path.join(d["v"], "b1.parquet"))
+    write_single_parquet(p.filter(band), os.path.join(d["p"], "b1.parquet"))
+    job.run_available_now(spark)
+    files1 = set(glob.glob(os.path.join(d["out"], "*.parquet")))
+    write_single_parquet(v.filter(f"NOT ({band})"),
+                         os.path.join(d["v"], "b2.parquet"))
+    write_single_parquet(p.filter(f"NOT ({band})"),
+                         os.path.join(d["p"], "b2.parquet"))
+    job.run_available_now(spark)
+    files2 = set(glob.glob(os.path.join(d["out"], "*.parquet"))) - files1
+    run1 = spark.read.parquet(*sorted(files1))
+    run2 = spark.read.parquet(*sorted(files2))
+    return (
+        run1.withColumn("inv", F.lit(1).cast("int"))
+        .unionByName(run2.withColumn("inv", F.lit(2).cast("int")))
+        .select(
+            "inv",
+            F.col("op").cast("int").alias("op"),
+            F.col("pk").cast("long").alias("user_id"),
+            F.col("probe_ts_ms").cast("long").alias("probe_ts_ms"),
+            F.col("probe_val").cast("long").alias("total_cents"),
+            F.col("version_val").cast("long").alias("rate_cents"),
+        )
+    )
+
+
 def streaming_asof_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STRUCTURED STREAMING under the driver oracle: the always-on
     temporal/as-of twin (streaming/structured.StreamingAsOfJoin,
@@ -5705,6 +5899,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cumulate_twin": streaming_cumulate_twin,
         "streaming_regular_join_twin": streaming_regular_join_twin,
         "streaming_topn_twin": streaming_topn_twin,
+        "streaming_changelog_asof_twin": streaming_changelog_asof_twin,
+        "streaming_changelog_probe_asof_twin": streaming_changelog_probe_asof_twin,
         "bloom_decontamination_documents": bloom_decontamination_documents,
         "kmv_union_event_types": kmv_union_event_types,
         "kmv_distinct_users": kmv_distinct_users,
@@ -6927,6 +7123,105 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT inv + 1, CAST(0 AS INT) AS op, val
             FROM e WHERE event_type = 'signup'
+        """,
+        "streaming_changelog_probe_asof_twin": f"""
+            -- Updating-probe as-of replayed: the probe changelog is the
+            -- per-user running purchase total (op-0 first, op-2/3 pairs
+            -- after, both halves at the purchase time); each released
+            -- row resolves the latest click rate at its own time and
+            -- forwards its op; inner join drops rows with no prior
+            -- rate. Watermark = MIN of the two streams' maxima.
+            WITH v AS (
+                SELECT user_id AS pk, epoch_us(ts) // 1000 AS tms,
+                       max(CAST(floor(value * 100) AS BIGINT)) AS rate
+                FROM events WHERE event_type = 'click'
+                GROUP BY user_id, epoch_us(ts) // 1000
+            ), pu AS (
+                SELECT user_id AS pk, epoch_us(ts) // 1000 AS tms,
+                       CAST(floor(value * 100) AS BIGINT) AS cents,
+                       SUM(CAST(floor(value * 100) AS BIGINT)) OVER w
+                           AS total,
+                       row_number() OVER w AS k
+                FROM events WHERE event_type = 'purchase'
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), probe AS (
+                SELECT pk, tms, total AS val, 0 AS op FROM pu WHERE k = 1
+                UNION ALL
+                SELECT pk, tms, total - cents, 2 FROM pu WHERE k > 1
+                UNION ALL
+                SELECT pk, tms, total, 3 FROM pu WHERE k > 1
+            ), wm AS (
+                SELECT LEAST(
+                         (SELECT max(tms) FROM v
+                          WHERE tms < epoch_us(TIMESTAMP '{_ASOF_BAND}')
+                                      // 1000),
+                         (SELECT max(tms) FROM probe
+                          WHERE tms < epoch_us(TIMESTAMP '{_ASOF_BAND}')
+                                      // 1000)
+                       ) AS wm1_ms,
+                       LEAST((SELECT max(tms) FROM v),
+                             (SELECT max(tms) FROM probe)) AS wm2_ms
+            ), res AS (
+                SELECT probe.pk, probe.op, probe.tms AS probe_ts_ms,
+                       probe.val AS total_cents, v.rate AS rate_cents,
+                       row_number() OVER (PARTITION BY probe.pk,
+                           probe.tms, probe.op ORDER BY v.tms DESC) AS rn
+                FROM probe JOIN v
+                  ON probe.pk = v.pk AND v.tms <= probe.tms
+            )
+            SELECT CAST(CASE WHEN probe_ts_ms <= wm.wm1_ms
+                             THEN 1 ELSE 2 END AS INTEGER) AS inv,
+                   CAST(op AS INTEGER) AS op,
+                   CAST(pk AS BIGINT) AS user_id,
+                   probe_ts_ms,
+                   total_cents,
+                   rate_cents
+            FROM res, wm
+            WHERE rn = 1 AND probe_ts_ms <= wm.wm2_ms
+        """,
+        "streaming_changelog_asof_twin": f"""
+            -- Changelog-build as-of replayed: signups are op-0
+            -- versions, errors op-1 tombstones; a purchase resolves the
+            -- latest version at or before its time (tombstone interval
+            -- = no match, inner drop). Watermark = MIN of the two
+            -- streams' maxima (delay 0, ms): a probe is decided in the
+            -- first run whose watermark covers it.
+            WITH v AS (
+                SELECT user_id AS pk, epoch_us(ts) // 1000 AS tms,
+                       CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END
+                           AS op,
+                       CAST(floor(value * 100) AS BIGINT) AS cents
+                FROM events WHERE event_type IN ('signup', 'error')
+            ), p AS (
+                SELECT user_id AS pk, epoch_us(ts) // 1000 AS tms,
+                       CAST(floor(value * 100) AS BIGINT) AS cents
+                FROM events WHERE event_type = 'purchase'
+            ), wm AS (
+                SELECT LEAST(
+                         (SELECT max(tms) FROM v
+                          WHERE tms < epoch_us(TIMESTAMP '{_ASOF_BAND}')
+                                      // 1000),
+                         (SELECT max(tms) FROM p
+                          WHERE tms < epoch_us(TIMESTAMP '{_ASOF_BAND}')
+                                      // 1000)
+                       ) AS wm1_ms,
+                       LEAST((SELECT max(tms) FROM v),
+                             (SELECT max(tms) FROM p)) AS wm2_ms
+            ), res AS (
+                SELECT p.pk, p.tms AS probe_ts_ms, p.cents AS probe_cents,
+                       v.op AS v_op, v.cents AS version_cents,
+                       row_number() OVER (PARTITION BY p.pk, p.tms
+                           ORDER BY v.tms DESC) AS rn
+                FROM p JOIN v ON p.pk = v.pk AND v.tms <= p.tms
+            )
+            SELECT CAST(CASE WHEN probe_ts_ms <= wm.wm1_ms
+                             THEN 1 ELSE 2 END AS INTEGER) AS inv,
+                   CAST(pk AS BIGINT) AS user_id,
+                   probe_ts_ms,
+                   probe_cents,
+                   version_cents
+            FROM res, wm
+            WHERE rn = 1 AND v_op = 0 AND probe_ts_ms <= wm.wm2_ms
         """,
         "streaming_topn_twin": f"""
             -- Ranked-state Top-N replayed from two snapshots: run 1 =

@@ -1624,3 +1624,29 @@ def test_streaming_topn_twin_correction_pairs(spark):
     assert pairs
     for ops in pairs.values():
         assert ops == {2, 3}
+
+
+def test_streaming_changelog_asof_twins_cross_run(spark):
+    """The two changelog as-of twins (updating build / updating probe):
+    both split across runs; probe-twin corrections come as op-2/3 pairs
+    sharing a timestamp."""
+    import os
+    from collections import defaultdict
+
+    import __spark_entry__ as entrymod
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    if not os.path.exists(os.path.join(sf, "events.parquet")):
+        pytest.skip("test data not found")
+    q = entrymod.queries()
+    rows_b = q["streaming_changelog_asof_twin"](spark, sf).collect()
+    assert {r.inv for r in rows_b} == {1, 2}
+    rows_p = q["streaming_changelog_probe_asof_twin"](spark, sf).collect()
+    assert {r.inv for r in rows_p} == {1, 2}
+    pairs = defaultdict(set)
+    for r in rows_p:
+        if r.op in (2, 3):
+            pairs[(r.user_id, r.probe_ts_ms)].add(r.op)
+    assert pairs
+    for ops in pairs.values():
+        assert ops == {2, 3}
