@@ -5880,16 +5880,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # checked cohorts (r07-block + round-11's eight new operators —
         # all carrying fresh r11 rows). All 143 entries are verified
         # locally every round via tools/crosscheck.py
-        # (CROSSCHECK_r12.txt). The TEN new round-12 operators lead,
-        # due their FIRST driver rows: eight freshly oracle-backed
-        # Structured Streaming twins (MATCH_RECOGNIZE CEP, native
-        # session windows, the rolling OVER frame, native sliding HOP
-        # windows, the continuous op-0/2/3 aggregation changelog,
-        # native dedup, CUMULATE windows, and the unbounded regular
-        # join — SIXTEEN oracle-backed twins total now), the portable
-        # Bloom-filter decontamination probe, and the KMV union/merge
-        # algebra entry; the r10-block members they displace from the
-        # head are due r13 with the rest of that block.
+        # (CROSSCHECK_r12.txt). The THIRTEEN new round-12 operators
+        # lead, due their FIRST driver rows: eleven freshly
+        # oracle-backed Structured Streaming twins (MATCH_RECOGNIZE
+        # CEP, native session windows, the rolling OVER frame, native
+        # sliding HOP windows, the continuous op-0/2/3 aggregation
+        # changelog, native dedup, CUMULATE windows, the unbounded
+        # regular join, the ranked-state Top-N, and BOTH changelog
+        # as-of directions — with which EVERY always-on kernel class
+        # in streaming/structured.py carries an oracle-backed entry,
+        # NINETEEN twins total), the portable Bloom-filter
+        # decontamination probe, and the KMV union/merge algebra
+        # entry; the r10-block members they displace from the head are
+        # due r13 with the rest of that block.
         "streaming_match_recognize_twin": streaming_match_recognize_twin,
         "streaming_session_window_twin": streaming_session_window_twin,
         "streaming_over_agg_twin": streaming_over_agg_twin,
