@@ -134,3 +134,91 @@ def test_asof_join_matches_duckdb_asof(spark, tmp_path_factory, versions, probes
         f"\nversions={sorted(versions)}\nprobes={sorted(probes)}"
         f"\ngot={got_naive}\nwant={want}"
     )
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    versions=_VERSIONS,
+    probes=_PROBES,
+    lateral=st.booleans(),
+    split=st.integers(min_value=1, max_value=12),
+)
+def test_asof_join_random_slicing_folds_to_batch(
+    spark, tmp_path_factory, versions, probes, lateral, split
+):
+    """Fold-to-batch law under RANDOM slicing: the same data split at a
+    random minute into two chained invocations (state through the
+    checkpoint) must union to the single-invocation / DuckDB ASOF
+    answer. This fuzzes cross-invocation version state, probe
+    buffering, and watermark release at arbitrary boundaries."""
+    import os
+
+    import duckdb
+
+    tmp_path = tmp_path_factory.mktemp("asof_slice_fuzz")
+    runner = TransformRunner(
+        spark,
+        str(tmp_path),
+        [(LATERAL_Q if lateral else SYSTEM_TIME_Q, None)],
+        temporal_tables=[("rates", "symbol")],
+    )
+    st_time = ts(20)
+    got = []
+    for inv, (lo, hi, wm_min) in enumerate(
+        [(0, split, split - 1), (split, 13, 13)]
+    ):
+        v_rows = [
+            (i, st_time, ts(1, 0, m), s, r)
+            for i, (s, m, r) in enumerate(sorted(versions))
+            if lo <= m < hi
+        ]
+        p_rows = [
+            (i + 100, st_time, ts(1, 0, m), s, q)
+            for i, (s, m, q) in enumerate(sorted(probes))
+            if lo <= m < hi
+        ]
+        vp = str(tmp_path / f"rates{inv}.parquet")
+        pp = str(tmp_path / f"trades{inv}.parquet")
+        _slice(vp, v_rows, "rate")
+        _slice(pp, p_rows, "qty")
+        wm = ts(1, 0, wm_min)
+        _, out = runner.run(
+            [
+                {"alias": "rates", "schema_file": vp,
+                 "data_paths": [vp] if v_rows else [], "watermark": wm},
+                {"alias": "trades", "schema_file": pp,
+                 "data_paths": [pp] if p_rows else [], "watermark": wm},
+            ],
+            system_time=st_time,
+        )
+        if os.path.exists(out):
+            got.extend(
+                (r.symbol, r.event_time.replace(tzinfo=None), r.qty, r.rate)
+                for r in spark.read.parquet(out).collect()
+            )
+    got = sorted(got)
+
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE v(s VARCHAR, t TIMESTAMP, r INT)")
+        con.execute("CREATE TABLE p(s VARCHAR, t TIMESTAMP, q INT)")
+        for s, m, r in versions:
+            con.execute("INSERT INTO v VALUES (?, ?, ?)",
+                        [s, ts(1, 0, m).replace(tzinfo=None), r])
+        for s, m, q in probes:
+            con.execute("INSERT INTO p VALUES (?, ?, ?)",
+                        [s, ts(1, 0, m).replace(tzinfo=None), q])
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                "SELECT p.s, p.t, p.q, v.r FROM p ASOF JOIN v "
+                "ON p.s = v.s AND p.t >= v.t"
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    assert got == want, (
+        f"\nsplit={split} spelling={'LATERAL' if lateral else 'SYSTEM_TIME'}"
+        f"\nversions={sorted(versions)}\nprobes={sorted(probes)}"
+        f"\ngot={got}\nwant={want}"
+    )
