@@ -113,7 +113,12 @@ class StreamingWindowAgg:
         """One incremental pass: process all files not yet seen by the
         checkpoint, emit windows the (derived) watermark has closed since
         the previous pass, persist stream + operator state, stop."""
-        _run_available_now(self._plan(spark), self.checkpoint_dir, self.output_dir)
+        _run_available_now(
+            self._plan(spark),
+            self.checkpoint_dir,
+            self.output_dir,
+            input_dirs=_job_input_dirs(self),
+        )
 
 
 @dataclass
@@ -165,19 +170,110 @@ class StreamingSessionWindow:
         )
 
     def run_available_now(self, spark: SparkSession) -> None:
-        _run_available_now(self._plan(spark), self.checkpoint_dir, self.output_dir)
+        _run_available_now(
+            self._plan(spark),
+            self.checkpoint_dir,
+            self.output_dir,
+            input_dirs=_job_input_dirs(self),
+        )
 
 
-def _run_available_now(plan: DataFrame, checkpoint_dir: str, output_dir: str) -> None:
-    query = (
-        plan.writeStream.format("parquet")
-        .option("path", output_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+def _run_available_now(
+    plan: DataFrame,
+    checkpoint_dir: str,
+    output_dir: str,
+    input_dirs: "tuple[str, ...] | list[str] | None" = None,
+    max_drain_ticks: int = 4,
+) -> None:
+    """Run the plan to completion under Trigger.AvailableNow — and DRAIN.
+
+    Correct run-attribution in the banded twin harnesses requires that
+    by the time this returns, EVERY row releasable at the checkpoint's
+    final watermark has been written: the kernels buffer under
+    event-time timeouts (`state.setTimeoutTimestamp`), and those fire
+    in the trailing no-data micro-batch that runs after the last data
+    batch advanced the watermark. Under a loaded driver session that
+    trailing batch is timing-sensitive (the round-12 driver observed a
+    run-1-eligible probe slipping to run 2: equal row counts, flipped
+    `inv`, red hash), so this wrapper makes the drain deterministic:
+
+      - FAST PATH: if the run's last StreamingQueryProgress has
+        `numInputRows == 0`, the trailing no-data batch did execute at
+        the final watermark — nothing more can release without new
+        data, so no drain is needed (zero extra cost, the common case).
+      - Otherwise, write a ZERO-ROW "tick" parquet into each input dir
+        and restart the query against the same checkpoint, repeating
+        until a restart emits zero new rows. A bare restart with no new
+        input constructs NO batch at all (verified empirically on this
+        Spark: two bare restarts after a suppressed no-data batch
+        released nothing), so the tick file is what forces a batch; the
+        restored watermark then fires every pending timeout inside that
+        batch. Zero-row files leave watermarks and data untouched.
+
+    `input_dirs=None` preserves the old single-run behavior for callers
+    that manage their own lifecycle.
+    """
+    import glob
+    import os
+
+    def _one_run():
+        query = (
+            plan.writeStream.format("parquet")
+            .option("path", output_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        return query.recentProgress
+
+    progress = _one_run()
+    if not input_dirs:
+        return
+    if progress and progress[-1]["numInputRows"] == 0:
+        return  # trailing no-data batch ran — already drained
+    import pyarrow.parquet as pq
+
+    def _rows(files):
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+    for _ in range(max_drain_ticks):
+        before = set(glob.glob(os.path.join(output_dir, "*.parquet")))
+        for d in input_dirs:
+            existing = sorted(glob.glob(os.path.join(d, "*.parquet")))
+            if not existing:
+                continue  # nothing ever flowed from this side
+            # NOT underscore-prefixed: Spark's file listing treats `_`/`.`
+            # prefixed files as hidden and the source never offsets them
+            # (verified: a `__tick` file forces no releasing batch).
+            ticks = [
+                f for f in existing if os.path.basename(f).startswith("drain-tick-")
+            ]
+            non_tick = [f for f in existing if f not in ticks]
+            schema = pq.read_schema((non_tick or existing)[0])
+            pq.write_table(
+                schema.empty_table(),
+                os.path.join(d, f"drain-tick-{len(ticks)}.parquet"),
+            )
+        _one_run()
+        new = set(glob.glob(os.path.join(output_dir, "*.parquet"))) - before
+        if _rows(new) == 0:
+            return
+
+
+def _job_input_dirs(job) -> tuple[str, ...]:
+    """Every `*_dir` dataclass field except checkpoint/output is an input
+    slice directory — the set the drain loop must tick (see
+    `_run_available_now`). Derived by reflection so a new job class is
+    drain-correct by construction."""
+    from dataclasses import fields
+
+    return tuple(
+        getattr(job, f.name)
+        for f in fields(job)
+        if f.name.endswith("_dir") and f.name not in ("checkpoint_dir", "output_dir")
     )
-    query.awaitTermination()
 
 
 def _file_stream(spark: SparkSession, input_dir: str, schema: StructType | None) -> DataFrame:
@@ -246,7 +342,12 @@ class StreamingIntervalJoin:
         return left.join(right, cond, self.how)
 
     def run_available_now(self, spark: SparkSession) -> None:
-        _run_available_now(self._plan(spark), self.checkpoint_dir, self.output_dir)
+        _run_available_now(
+            self._plan(spark),
+            self.checkpoint_dir,
+            self.output_dir,
+            input_dirs=_job_input_dirs(self),
+        )
 
 
 @dataclass
@@ -276,7 +377,12 @@ class StreamingRegularJoin:
         return left.join(right, cond, "inner")
 
     def run_available_now(self, spark: SparkSession) -> None:
-        _run_available_now(self._plan(spark), self.checkpoint_dir, self.output_dir)
+        _run_available_now(
+            self._plan(spark),
+            self.checkpoint_dir,
+            self.output_dir,
+            input_dirs=_job_input_dirs(self),
+        )
 
 
 @dataclass
@@ -340,7 +446,12 @@ class StreamingWindowJoin:
         )
 
     def run_available_now(self, spark: SparkSession) -> None:
-        _run_available_now(self._plan(spark), self.checkpoint_dir, self.output_dir)
+        _run_available_now(
+            self._plan(spark),
+            self.checkpoint_dir,
+            self.output_dir,
+            input_dirs=_job_input_dirs(self),
+        )
 
 
 @dataclass
@@ -368,7 +479,12 @@ class StreamingDedup:
         return stream.dropDuplicatesWithinWatermark(self.keys)
 
     def run_available_now(self, spark: SparkSession) -> None:
-        _run_available_now(self._plan(spark), self.checkpoint_dir, self.output_dir)
+        _run_available_now(
+            self._plan(spark),
+            self.checkpoint_dir,
+            self.output_dir,
+            input_dirs=_job_input_dirs(self),
+        )
 
 
 _ASOF_OUTPUT = StructType(
@@ -525,7 +641,12 @@ class StreamingAsOfJoin:
         )
 
     def run_available_now(self, spark: SparkSession) -> None:
-        _run_available_now(self._plan(spark), self.checkpoint_dir, self.output_dir)
+        _run_available_now(
+            self._plan(spark),
+            self.checkpoint_dir,
+            self.output_dir,
+            input_dirs=_job_input_dirs(self),
+        )
 
 
 _TOPN_OUTPUT = StructType(
@@ -636,7 +757,12 @@ class StreamingTopN:
         )
 
     def run_available_now(self, spark: SparkSession) -> None:
-        _run_available_now(self._plan(spark), self.checkpoint_dir, self.output_dir)
+        _run_available_now(
+            self._plan(spark),
+            self.checkpoint_dir,
+            self.output_dir,
+            input_dirs=_job_input_dirs(self),
+        )
 
 
 _UAGG_OUTPUT = StructType(
@@ -725,7 +851,12 @@ class StreamingUnboundedAgg:
         )
 
     def run_available_now(self, spark: SparkSession) -> None:
-        _run_available_now(self._plan(spark), self.checkpoint_dir, self.output_dir)
+        _run_available_now(
+            self._plan(spark),
+            self.checkpoint_dir,
+            self.output_dir,
+            input_dirs=_job_input_dirs(self),
+        )
 
 
 def _norm_val(val):
@@ -875,7 +1006,12 @@ class StreamingChangelogJoin:
         )
 
     def run_available_now(self, spark: SparkSession) -> None:
-        _run_available_now(self._plan(spark), self.checkpoint_dir, self.output_dir)
+        _run_available_now(
+            self._plan(spark),
+            self.checkpoint_dir,
+            self.output_dir,
+            input_dirs=_job_input_dirs(self),
+        )
 
 
 _CLDIST_OUTPUT = StructType(
@@ -973,7 +1109,12 @@ class StreamingChangelogDistinct:
         )
 
     def run_available_now(self, spark: SparkSession) -> None:
-        _run_available_now(self._plan(spark), self.checkpoint_dir, self.output_dir)
+        _run_available_now(
+            self._plan(spark),
+            self.checkpoint_dir,
+            self.output_dir,
+            input_dirs=_job_input_dirs(self),
+        )
 
 
 _CLTOPN_OUTPUT = StructType(
@@ -1102,7 +1243,12 @@ class StreamingChangelogTopN:
         )
 
     def run_available_now(self, spark: SparkSession) -> None:
-        _run_available_now(self._plan(spark), self.checkpoint_dir, self.output_dir)
+        _run_available_now(
+            self._plan(spark),
+            self.checkpoint_dir,
+            self.output_dir,
+            input_dirs=_job_input_dirs(self),
+        )
 
 
 _CLASOF_OUTPUT = StructType(
@@ -1292,7 +1438,12 @@ class StreamingChangelogAsOfJoin:
         )
 
     def run_available_now(self, spark: SparkSession) -> None:
-        _run_available_now(self._plan(spark), self.checkpoint_dir, self.output_dir)
+        _run_available_now(
+            self._plan(spark),
+            self.checkpoint_dir,
+            self.output_dir,
+            input_dirs=_job_input_dirs(self),
+        )
 
 
 _CLPASOF_OUTPUT = StructType(
@@ -1466,7 +1617,12 @@ class StreamingChangelogProbeAsOfJoin:
         )
 
     def run_available_now(self, spark: SparkSession) -> None:
-        _run_available_now(self._plan(spark), self.checkpoint_dir, self.output_dir)
+        _run_available_now(
+            self._plan(spark),
+            self.checkpoint_dir,
+            self.output_dir,
+            input_dirs=_job_input_dirs(self),
+        )
 
 
 _OVER_OUTPUT = StructType(
@@ -1610,7 +1766,12 @@ class StreamingOverAgg:
         )
 
     def run_available_now(self, spark: SparkSession) -> None:
-        _run_available_now(self._plan(spark), self.checkpoint_dir, self.output_dir)
+        _run_available_now(
+            self._plan(spark),
+            self.checkpoint_dir,
+            self.output_dir,
+            input_dirs=_job_input_dirs(self),
+        )
 
 
 _CEP_OUTPUT = StructType(
@@ -1790,7 +1951,12 @@ class StreamingMatchRecognize:
         )
 
     def run_available_now(self, spark: SparkSession) -> None:
-        _run_available_now(self._plan(spark), self.checkpoint_dir, self.output_dir)
+        _run_available_now(
+            self._plan(spark),
+            self.checkpoint_dir,
+            self.output_dir,
+            input_dirs=_job_input_dirs(self),
+        )
 
 
 _SETOP_OUTPUT = StructType(
@@ -1920,7 +2086,12 @@ class StreamingSetOp:
         )
 
     def run_available_now(self, spark: SparkSession) -> None:
-        _run_available_now(self._plan(spark), self.checkpoint_dir, self.output_dir)
+        _run_available_now(
+            self._plan(spark),
+            self.checkpoint_dir,
+            self.output_dir,
+            input_dirs=_job_input_dirs(self),
+        )
 
 
 @dataclass
@@ -1969,4 +2140,9 @@ class StreamingSetOpUnionAll:
         return sub.unionByName(third)
 
     def run_available_now(self, spark: SparkSession) -> None:
-        _run_available_now(self._plan(spark), self.checkpoint_dir, self.output_dir)
+        _run_available_now(
+            self._plan(spark),
+            self.checkpoint_dir,
+            self.output_dir,
+            input_dirs=_job_input_dirs(self),
+        )
