@@ -4808,7 +4808,7 @@ def streaming_changelog_probe_asof_twin(spark: SparkSession, sf_dir: str) -> Dat
     for k in ("v", "p"):
         os.makedirs(d[k])
     e = _t(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts",
+        "user_id", "event_type", "ts", "event_id",
         F.floor(F.col("value") * 100).cast("long").alias("cents"),
     )
     v = (
@@ -4821,17 +4821,21 @@ def streaming_changelog_probe_asof_twin(spark: SparkSession, sf_dir: str) -> Dat
             F.col("rate").cast("double").alias("value"),
         )
     )
+    # Tie-hardened ledger windows (round-12 verdict latent-risk note):
+    # event_id is unique, so every ORDER BY below is a TOTAL order even
+    # if a future testdata regeneration introduces (user_id, ts)
+    # duplicate purchases; the oracle SQL mirrors the same tie-break.
     pu = e.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", "cents",
         F.sum("cents").over(
-            Window.partitionBy("user_id").orderBy("ts")
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
         ).alias("total"),
         F.row_number().over(
-            Window.partitionBy("user_id").orderBy("ts")
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
         ).alias("k"),
-        (F.row_number().over(Window.orderBy("ts", "user_id")) * 2).alias(
-            "seq2"
-        ),
+        (
+            F.row_number().over(Window.orderBy("ts", "user_id", "event_id")) * 2
+        ).alias("seq2"),
     )
     first = pu.filter("k = 1").select(
         F.col("user_id").alias("pk"),
@@ -7140,13 +7144,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM events WHERE event_type = 'click'
                 GROUP BY user_id, epoch_us(ts) // 1000
             ), pu AS (
+                -- event_id tie-break mirrors the Spark ledger windows:
+                -- total order even under (user_id, ts) duplicates.
                 SELECT user_id AS pk, epoch_us(ts) // 1000 AS tms,
                        CAST(floor(value * 100) AS BIGINT) AS cents,
                        SUM(CAST(floor(value * 100) AS BIGINT)) OVER w
                            AS total,
                        row_number() OVER w AS k
                 FROM events WHERE event_type = 'purchase'
-                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ), probe AS (
                 SELECT pk, tms, total AS val, 0 AS op FROM pu WHERE k = 1
                 UNION ALL
@@ -7164,23 +7170,28 @@ def oracle_sql() -> dict[str, str]:
                        ) AS wm1_ms,
                        LEAST((SELECT max(tms) FROM v),
                              (SELECT max(tms) FROM probe)) AS wm2_ms
-            ), res AS (
-                SELECT probe.pk, probe.op, probe.tms AS probe_ts_ms,
-                       probe.val AS total_cents, v.rate AS rate_cents,
-                       row_number() OVER (PARTITION BY probe.pk,
-                           probe.tms, probe.op ORDER BY v.tms DESC) AS rn
-                FROM probe JOIN v
-                  ON probe.pk = v.pk AND v.tms <= probe.tms
+            ), best AS (
+                -- Resolve the best version ONCE per distinct (pk, tms),
+                -- then join back: rn-over-the-probe-join would collapse
+                -- duplicate probe rows sharing a timestamp (the tie-pair
+                -- shape the tie-bearing corpus test plants).
+                SELECT c.pk, c.tms, v.rate,
+                       row_number() OVER (PARTITION BY c.pk, c.tms
+                           ORDER BY v.tms DESC) AS rn
+                FROM (SELECT DISTINCT pk, tms FROM probe) c
+                JOIN v ON v.pk = c.pk AND v.tms <= c.tms
             )
-            SELECT CAST(CASE WHEN probe_ts_ms <= wm.wm1_ms
+            SELECT CAST(CASE WHEN probe.tms <= wm.wm1_ms
                              THEN 1 ELSE 2 END AS INTEGER) AS inv,
-                   CAST(op AS INTEGER) AS op,
-                   CAST(pk AS BIGINT) AS user_id,
-                   probe_ts_ms,
-                   total_cents,
-                   rate_cents
-            FROM res, wm
-            WHERE rn = 1 AND probe_ts_ms <= wm.wm2_ms
+                   CAST(probe.op AS INTEGER) AS op,
+                   CAST(probe.pk AS BIGINT) AS user_id,
+                   probe.tms AS probe_ts_ms,
+                   probe.val AS total_cents,
+                   b.rate AS rate_cents
+            FROM probe
+            JOIN (SELECT pk, tms, rate FROM best WHERE rn = 1) b
+              ON b.pk = probe.pk AND b.tms = probe.tms, wm
+            WHERE probe.tms <= wm.wm2_ms
         """,
         "streaming_changelog_asof_twin": f"""
             -- Changelog-build as-of replayed: signups are op-0
@@ -7210,21 +7221,26 @@ def oracle_sql() -> dict[str, str]:
                        ) AS wm1_ms,
                        LEAST((SELECT max(tms) FROM v),
                              (SELECT max(tms) FROM p)) AS wm2_ms
-            ), res AS (
-                SELECT p.pk, p.tms AS probe_ts_ms, p.cents AS probe_cents,
-                       v.op AS v_op, v.cents AS version_cents,
-                       row_number() OVER (PARTITION BY p.pk, p.tms
+            ), best AS (
+                -- Best version once per distinct (pk, tms), joined back
+                -- so duplicate probes at one timestamp keep their
+                -- multiplicity (same tie-hardening as the probe twin).
+                SELECT c.pk, c.tms, v.op AS v_op, v.cents,
+                       row_number() OVER (PARTITION BY c.pk, c.tms
                            ORDER BY v.tms DESC) AS rn
-                FROM p JOIN v ON p.pk = v.pk AND v.tms <= p.tms
+                FROM (SELECT DISTINCT pk, tms FROM p) c
+                JOIN v ON v.pk = c.pk AND v.tms <= c.tms
             )
-            SELECT CAST(CASE WHEN probe_ts_ms <= wm.wm1_ms
+            SELECT CAST(CASE WHEN p.tms <= wm.wm1_ms
                              THEN 1 ELSE 2 END AS INTEGER) AS inv,
-                   CAST(pk AS BIGINT) AS user_id,
-                   probe_ts_ms,
-                   probe_cents,
-                   version_cents
-            FROM res, wm
-            WHERE rn = 1 AND v_op = 0 AND probe_ts_ms <= wm.wm2_ms
+                   CAST(p.pk AS BIGINT) AS user_id,
+                   p.tms AS probe_ts_ms,
+                   p.cents AS probe_cents,
+                   b.cents AS version_cents
+            FROM p
+            JOIN (SELECT pk, tms, v_op, cents FROM best WHERE rn = 1) b
+              ON b.pk = p.pk AND b.tms = p.tms, wm
+            WHERE b.v_op = 0 AND p.tms <= wm.wm2_ms
         """,
         "streaming_topn_twin": f"""
             -- Ranked-state Top-N replayed from two snapshots: run 1 =

@@ -1650,3 +1650,75 @@ def test_streaming_changelog_asof_twins_cross_run(spark):
     assert pairs
     for ops in pairs.values():
         assert ops == {2, 3}
+
+
+def test_probe_asof_twin_on_tie_bearing_corpus(spark, tmp_path):
+    """Round-12 verdict latent-risk fix: the twin ledger derivations must
+    stay deterministic on a corpus WITH (user_id, ts) duplicate purchases
+    — the shipped testdata has none, so ordering ambiguity would
+    otherwise first surface in a future driver run. Both the Spark entry
+    and its DuckDB oracle now tie-break every ledger window on the unique
+    event_id; this synthesizes duplicate-(user, ts) purchase pairs on
+    both sides of the band and asserts cell-exact agreement."""
+    import datetime as dt
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    UTC = dt.timezone.utc
+
+    def t(day, hour=0):
+        return dt.datetime(2024, 1, day, hour, tzinfo=UTC)
+
+    # (event_id, ts, user_id, event_type, value): purchases carry
+    # duplicate (user_id, ts) pairs straddling the 2024-01-16 band.
+    rows = [
+        (1, t(10), 1, "click", 0.50),
+        (2, t(14), 1, "click", 0.70),
+        (3, t(18), 1, "click", 0.80),
+        (4, t(20, 12), 1, "click", 0.90),
+        (10, t(10, 6), 1, "purchase", 1.00),
+        (11, t(12), 1, "purchase", 2.00),   # tie pair, band 1
+        (12, t(12), 1, "purchase", 3.00),
+        (13, t(19), 1, "purchase", 4.00),
+        (14, t(20), 1, "purchase", 5.00),   # tie pair, band 2
+        (15, t(20), 1, "purchase", 6.00),
+        (20, t(10), 2, "click", 0.40),
+        (21, t(20, 12), 2, "click", 0.60),
+        (22, t(11), 2, "purchase", 7.00),
+        (23, t(11), 2, "purchase", 8.00),   # tie pair, band 1
+        (24, t(19, 6), 2, "purchase", 9.00),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("ms", tz="UTC")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array(["{}" for _ in rows], pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+
+    name = "streaming_changelog_probe_asof_twin"
+    got = {
+        (r.inv, r.op, r.user_id, r.probe_ts_ms, r.total_cents, r.rate_cents)
+        for r in entrymod.queries()[name](spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(entrymod.oracle_sql()[name]).fetchall()
+    }
+    assert got == want
+    # The ties actually exercised the tie-break: correction pairs exist
+    # at the duplicated timestamps in both runs.
+    tie_ms = {int(t(12).timestamp() * 1000), int(t(20).timestamp() * 1000)}
+    assert {m for (_, op, u, m, _, _) in got if op in (2, 3) and u == 1} >= tie_ms
