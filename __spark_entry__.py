@@ -2104,14 +2104,20 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell-exactly (estimate = (k-1) * 2^48 div h_(k), or the exact
     distinct count when fewer than k hashes exist).
 
-    The bottom-k is computed as a MAP-SIDE BOUNDED MIN-K with a tree
-    merge — never a per-key sort of all distinct hashes: (1) each input
-    partition folds its own hashes into one <=k array per event_type
-    (collect_set dedups map-side; the group spans exactly one partition
-    so the shuffle carries <=k longs per (key, partition)); (2) partition
-    sketches re-bottom within 64 buckets; (3) buckets re-bottom
-    globally — so final fan-in is bounded by the bucket count, not the
-    cluster size, and no task ever sorts more than (fan-in * k) longs.
+    The bottom-k is computed per-partition with a tree merge — never a
+    per-key GLOBAL sort of all distinct hashes (the round-11
+    scale-killer this replaced): (1) each input partition folds its own
+    hashes into one <=k array per event_type — collect_set dedups
+    map-side and, because spark_partition_id is in the group key, each
+    group's rows live in exactly one partition; the shuffle then
+    carries that partition's per-key DISTINCT set (bounded by partition
+    size, not by k — slice/array_sort are post-aggregation projections)
+    and the sort each task performs covers only its own partition's
+    distinct hashes, in parallel across partitions; (2) the resulting
+    <=k partition sketches re-bottom within 64 buckets; (3) buckets
+    re-bottom globally — stages 2-3 move and sort only <=k-long arrays,
+    with final fan-in bounded by the bucket count, not the cluster
+    size.
     Correctness of union-then-rebottom is the mergeability law pinned in
     tests/test_sketches.py:149: if global distinct < k every partition
     sketch kept all its hashes, so the merged size IS the exact count;

@@ -71,15 +71,17 @@ PINS = {
     # serial floor — its isolated warm runs 8.8-9.8; round-10 full-
     # session 11.26 was aged). gate pin covers full-session aging.
     "stamp_2m_gate_default": 10.5,          # warm 6.98 (r10 full 9.58)
-    # Suite-total tripwire (round-11 verdict ask #5): the per-entry pins
-    # cover stress/stamp/dedup_minhash, but the round-10 slip showed the
-    # sub-second odf_transform cluster drifts in concert — this single
-    # fleet-wide pin catches that mechanically. Round-10 full-session
-    # total 131.7, round-11 full-session 121.6 (both ~60 entries);
-    # isolated-warm would run ~10-25% under full-session. Same MISS
-    # protocol as every pin: re-measure isolated before calling a
-    # regression.
-    "headline_queries_total": 150.0,        # r11 full 121.6, r10 131.7
+    # Suite-total tripwire (round-11 verdict ask #5; renamed from
+    # headline_queries_total per ADVICE r12 — the sum spans EVERY timed
+    # entry, headline + odf_transform + stress/stamp, and the name now
+    # says so): the per-entry pins cover stress/stamp/dedup_minhash, but
+    # the round-10 slip showed the sub-second odf_transform cluster
+    # drifts in concert — this single fleet-wide pin catches that
+    # mechanically. Round-10 full-session total 131.7, round-11 full-
+    # session 121.6, round-12 126.7 (all ~60 entries); isolated-warm
+    # would run ~10-25% under full-session. Same MISS protocol as every
+    # pin: re-measure isolated before calling a regression.
+    "suite_total": 150.0,                   # r11 full 121.6, r10 131.7
 }
 
 HEADLINE = [
@@ -971,7 +973,7 @@ def main() -> None:
     )
 
     total = round(sum(timings.values()), 3)
-    pinnable = {**timings, "headline_queries_total": total}
+    pinnable = {**timings, "suite_total": total}
     pin_report = {
         k: {
             "pin": p,
@@ -981,7 +983,7 @@ def main() -> None:
         for k, p in PINS.items()
     }
     detail = {
-        "metric": "headline_queries_total",
+        "metric": "suite_total",
         "value": total,
         "unit": "sec",
         "n": REPS,
@@ -1030,7 +1032,7 @@ def main() -> None:
         or k == "q1_pricing_summary"
     }
     compact = {
-        "metric": "headline_queries_total",
+        "metric": "suite_total",
         "value": total,
         "unit": "sec",
         "n": REPS,

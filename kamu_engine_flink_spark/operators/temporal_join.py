@@ -58,20 +58,76 @@ def resolve_temporal_table(ctx: StepContext, name: str) -> TemporalTable:
     raise InvalidQueryError(f"temporal table '{name}' is not declared")
 
 
-def _pk_equated(sql: str, col: str) -> bool:
+_LITERAL_KW = {"true", "false", "null"}
+
+
+def _other_side_identifier_right(sql: str, pos: int) -> bool:
+    """Does the text at `pos` (just past `col =`) begin with something
+    identifier-/expression-like rather than a literal?"""
+    m = re.match(r"\s*(?:NOT\s+)?([A-Za-z_][\w]*|`|\()", sql[pos:])
+    if not m:
+        return False
+    tok = m.group(1)
+    return tok in ("`", "(") or tok.lower() not in _LITERAL_KW
+
+
+def _other_side_identifier_left(sql: str, pos: int) -> bool:
+    """Does the token ending just before `pos` (the `=` of `... = col`)
+    look identifier-/expression-like rather than a literal?"""
+    i = pos
+    while i > 0 and sql[i - 1].isspace():
+        i -= 1
+    if i == 0:
+        return False
+    if sql[i - 1] in ("'", '"'):
+        return False
+    if sql[i - 1] in (")", "`"):
+        return True
+    j = i
+    while j > 0 and (sql[j - 1].isalnum() or sql[j - 1] in "._"):
+        j -= 1
+    tok = sql[j:i]
+    if not tok:
+        return False
+    if re.fullmatch(r"[\d.]+", tok):
+        return False
+    return tok.lower() not in _LITERAL_KW
+
+
+def _pk_equated(sql: str, col: str, build_quals: set[str] | None = None) -> bool:
     """True when `col` appears in an equality predicate (or USING list)
-    somewhere in the query text. Heuristic on purpose: a false positive
-    merely skips the loud guard below, while every conventional spelling
-    (ON a.c = b.c / WHERE a.c = b.c / USING (c)) is detected."""
+    that plausibly equates the BUILD side's key. Tightened per ADVICE
+    r12: an equality to a LITERAL (`r.symbol = 'AAPL'`, `= 5`, `= NULL`)
+    never counts, and when `build_quals` (the temporal table's name plus
+    its aliases in this query) is known, a col reference QUALIFIED by a
+    non-build table only counts if the OTHER side is itself a
+    build-qualified reference — so a probe-probe equality
+    (`p1.symbol = p2.symbol`) no longer satisfies the guard. Still a
+    heuristic on purpose: a false positive merely skips the loud guard
+    below, while every conventional spelling (ON a.c = b.c / USING (c))
+    is detected."""
     c = re.escape(col)
-    ident = rf"(?:(?:\w+|`[^`]+`)\s*\.\s*)?`?{c}`?"
-    if re.search(rf"(?<![\w.`]){ident}\s*==?(?!=)", sql, re.IGNORECASE):
+    if re.search(rf"USING\s*\([^)]*\b{c}\b[^)]*\)", sql, re.IGNORECASE):
         return True
-    if re.search(rf"(?<![<>!=])==?\s*{ident}(?![\w.`])", sql, re.IGNORECASE):
-        return True
-    return bool(
-        re.search(rf"USING\s*\([^)]*\b{c}\b[^)]*\)", sql, re.IGNORECASE)
-    )
+    refs = []
+    if build_quals:
+        qp = "|".join(re.escape(q.strip("`")) for q in sorted(build_quals))
+        refs.append(rf"(?<![\w`])`?(?:{qp})`?\s*\.\s*`?{c}`?(?![\w`])")
+    else:
+        # No FROM-clause context (bare-snippet mode): accept any
+        # qualifier, as before.
+        refs.append(
+            rf"(?<![\w.`])(?:\w+|`[^`]+`)\s*\.\s*`?{c}`?(?![\w`])"
+        )
+    refs.append(rf"(?<![\w.`])`?{c}`?(?![\w`.])")  # unqualified
+    for ref in refs:
+        for m in re.finditer(rf"{ref}\s*==?(?!=)", sql, re.IGNORECASE):
+            if _other_side_identifier_right(sql, m.end()):
+                return True
+        for m in re.finditer(rf"(?<![<>!=])(==?\s*){ref}", sql, re.IGNORECASE):
+            if _other_side_identifier_left(sql, m.start(1)):
+                return True
+    return False
 
 
 def _require_full_pk_equality(sql: str, name: str, pk: list[str]) -> None:
@@ -81,7 +137,28 @@ def _require_full_pk_equality(sql: str, name: str, pk: list[str]) -> None:
     overlap when projected onto that prefix, silently multiplying rows
     (ADVICE r11). Flink's planner enforces the same via the temporal
     table's PRIMARY KEY; we reject loudly instead of diverging."""
-    missing = [c for c in pk if not _pk_equated(sql, c)]
+    from ..plans.dialect import (
+        _LATERAL_RE,
+        _SYSTEM_TIME_JOIN_RE,
+        _unnest_from_tables,
+    )
+
+    # The build table's aliases: the FOR SYSTEM_TIME / LATERAL TABLE
+    # spellings place the alias AFTER the temporal clause, so collect
+    # them from the dedicated regexes; the plain FROM/JOIN scan covers
+    # any remaining direct references.
+    target = name.strip("`").lower()
+    quals = {name}
+    for rx in (_SYSTEM_TIME_JOIN_RE, _LATERAL_RE):
+        for m in rx.finditer(sql):
+            if m.group(1).strip("`").split(".")[-1].lower() == target:
+                alias = m.group(3) or m.group(4)
+                if alias:
+                    quals.add(alias.strip("`"))
+    for a, t in _unnest_from_tables(sql).items():
+        if t.strip("`").lower() == target:
+            quals.add(a.strip("`"))
+    missing = [c for c in pk if not _pk_equated(sql, c, quals)]
     if missing:
         raise InvalidQueryError(
             f"temporal join with '{name}' must equate every primary-key "

@@ -468,9 +468,11 @@ def _unnest_from_tables(sql: str) -> dict:
     """alias -> table name for every FROM/JOIN reference in the query
     (literal-masked scan; UNNEST/keyword pseudo-aliases filtered).
     Comma-separated table lists (`FROM a, b`) are followed through the
-    comma chain — stopping at UNNEST/LATERAL items — so the
-    unqualified-uniqueness checks below see EVERY referenced table, not
-    just the first (ADVICE r11)."""
+    comma chain; UNNEST/LATERAL items are skipped wholesale (consumed to
+    their matching paren plus alias tail) rather than terminating the
+    scan, so `FROM a, UNNEST(...) u, b` records table b too and the
+    unqualified-uniqueness checks below see EVERY referenced table
+    (ADVICE r11 + r12)."""
     from .classify import mask_sql
 
     tables: dict[str, str] = {}
@@ -493,6 +495,35 @@ def _unnest_from_tables(sql: str) -> dict:
     def _orig(span) -> str:
         return sql[span[0] : span[1]].strip("`")
 
+    # Alias tail of an expansion item: [WITH ORDINALITY] [AS] alias
+    # [(col, ...)] — the alias must not swallow a following keyword.
+    tail_re = re.compile(
+        rf"\s*(?:WITH\s+ORDINALITY\s*)?(?:AS\s+)?"
+        rf"(?:(?!(?:{kw})\b)(?:`[^`]*`|\w+))?"
+        rf"(?:\s*\(\s*[`\w]+(?:\s*,\s*[`\w]+)*\s*\))?",
+        re.IGNORECASE,
+    )
+
+    def _skip_expansion_item(start: int) -> int | None:
+        """Consume `UNNEST(...)`/`LATERAL ...(...)` plus its alias tail
+        starting at `start`; return the position after it, or None if
+        the parens never balance (malformed — abandon this chain)."""
+        p = masked.find("(", start)
+        if p < 0:
+            return None
+        depth = 0
+        while p < len(masked):
+            if masked[p] == "(":
+                depth += 1
+            elif masked[p] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            p += 1
+        if depth != 0:
+            return None
+        return tail_re.match(masked, p + 1).end()
+
     for lead in re.finditer(r"\b(?:FROM|JOIN)\s+", masked, re.IGNORECASE):
         pos = lead.end()
         while True:
@@ -501,10 +532,14 @@ def _unnest_from_tables(sql: str) -> dict:
                 break
             name = _orig(rm.span(1))
             if name.upper() in ("UNNEST", "LATERAL"):
-                break  # the expansion clause itself, not a table
-            alias = _orig(rm.span(2)) if rm.group(2) else None
-            tables[(alias or name)] = name
-            pos = rm.end()
+                nxt = _skip_expansion_item(rm.start(1))
+                if nxt is None:
+                    break
+                pos = nxt
+            else:
+                alias = _orig(rm.span(2)) if rm.group(2) else None
+                tables[(alias or name)] = name
+                pos = rm.end()
             cm = re.match(r"\s*,\s*", masked[pos:])
             if not cm:
                 break
