@@ -5878,31 +5878,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ALL entries locally every round and the run is committed as
     # CROSSCHECK_r{N}.txt.
     return {
-        # ROUND-12 ROTATION: first 50 = the two entries whose PLANS
-        # changed this round and are due fresh driver rows (the KMV
-        # bottom-k rewritten as a map-side bounded min-k; the
-        # dedup_minhash_fast law row that closed the last rows-only
-        # exception) + the four round-9-cohort members that sat at
-        # 51-54 last round + the r09-remainder / round-10-checked block
-        # the round-11 note queued (dedup/similarity/multimodal/text
-        # families, oldest rows after this rotation's head). Behind
-        # them: the rest of that block (due r13), then the round-11
-        # checked cohorts (r07-block + round-11's eight new operators —
-        # all carrying fresh r11 rows). All 143 entries are verified
-        # locally every round via tools/crosscheck.py
-        # (CROSSCHECK_r12.txt). The THIRTEEN new round-12 operators
-        # lead, due their FIRST driver rows: eleven freshly
-        # oracle-backed Structured Streaming twins (MATCH_RECOGNIZE
-        # CEP, native session windows, the rolling OVER frame, native
-        # sliding HOP windows, the continuous op-0/2/3 aggregation
-        # changelog, native dedup, CUMULATE windows, the unbounded
-        # regular join, the ranked-state Top-N, and BOTH changelog
-        # as-of directions — with which EVERY always-on kernel class
-        # in streaming/structured.py carries an oracle-backed entry,
-        # NINETEEN twins total), the portable Bloom-filter
-        # decontamination probe, and the KMV union/merge algebra
-        # entry; the r10-block members they displace from the head are
-        # due r13 with the rest of that block.
+        # ROUND-13 ROTATION: first 50 = the two as-of twins whose
+        # ORACLES were rewritten this round (the probe twin carrying
+        # round 12's one red driver row — re-greened via the
+        # drain-deterministic availableNow harness — plus the
+        # build-side twin that shares the multiplicity-preserving
+        # best-version rewrite and the event_id tie-break) + 48 of the
+        # 50-entry cohort whose latest driver rows are r10 (3 rounds
+        # old, due per the <=3-round freshness rule). The cohort is 52
+        # deep for 50 slots: the two deferred to the r14 head are
+        # pivot_segment_status and groupingsets_status_priority — thin
+        # wrappers over Spark's built-in PIVOT/GROUPING SETS with no
+        # custom operator code, crosscheck-verified again this round
+        # (CROSSCHECK_r13.txt). Behind the head: the deferred pair,
+        # then the r11-row cohort (due r14), then the r12-row cohort.
+        # All 156 entries are verified locally every round via
+        # tools/crosscheck.py.
+        "streaming_changelog_probe_asof_twin": streaming_changelog_probe_asof_twin,
+        "streaming_changelog_asof_twin": streaming_changelog_asof_twin,
+        "setop_mixed_chain": setop_mixed_chain,
+        "setop_unionall_chain": setop_unionall_chain,
+        "odf_transform_unnest_map": odf_transform_unnest_map,
+        "streaming_window_join_twin": streaming_window_join_twin,
+        "changelog_asof_rates": changelog_asof_rates,
+        "similarity_lsh_incremental": similarity_lsh_incremental,
+        "similarity_ivf_incremental": similarity_ivf_incremental,
+        "similarity_pq_incremental": similarity_pq_incremental,
+        "multi_asof_two_rates": multi_asof_two_rates,
+        "stratified_sample_documents": stratified_sample_documents,
+        "term_doc_frequency": term_doc_frequency,
+        "embedding_centroids_by_label": embedding_centroids_by_label,
+        "median_price_by_status": median_price_by_status,
+        "split_train_val_test": split_train_val_test,
+        "sequence_packing_bins": sequence_packing_bins,
+        "agg_salted_user_value": agg_salted_user_value,
+        "stats_moments_by_type": stats_moments_by_type,
+        "topn_orders_per_customer": topn_orders_per_customer,
+        "asof_join_purchase_value": asof_join_purchase_value,
+        "interval_join_clicks": interval_join_clicks,
+        "dedup_exact_documents": dedup_exact_documents,
+        "dedup_fingerprint_documents": dedup_fingerprint_documents,
+        "json_extract_events": json_extract_events,
+        "changelog_join_three_way": changelog_join_three_way,
+        "changelog_join_left_over_updating": changelog_join_left_over_updating,
+        "changelog_minmax_agg": changelog_minmax_agg,
+        "window_cumulate_6h": window_cumulate_6h,
+        "inverted_index_documents": inverted_index_documents,
+        "random_projection_embeddings": random_projection_embeddings,
+        "flink_scalar_functions_events": flink_scalar_functions_events,
+        "window_monthly_orders": window_monthly_orders,
+        "unbounded_agg_changelog_events": unbounded_agg_changelog_events,
+        "regular_join_full_changelog": regular_join_full_changelog,
+        "regular_join_purchases_clicks": regular_join_purchases_clicks,
+        "match_recognize_dip_spike_events": match_recognize_dip_spike_events,
+        "dedup_keep_last_events": dedup_keep_last_events,
+        "over_agg_rolling_value_events": over_agg_rolling_value_events,
+        "window_topn_daily_users": window_topn_daily_users,
+        "funnel_view_click_purchase": funnel_view_click_purchase,
+        "retention_cohorts_events": retention_cohorts_events,
+        "similarity_pq_topk": similarity_pq_topk,
+        "bigram_lm_score_documents": bigram_lm_score_documents,
+        "quality_classifier_documents": quality_classifier_documents,
+        "dedup_segments_documents": dedup_segments_documents,
+        "semantic_dedup_embeddings": semantic_dedup_embeddings,
+        "training_shards_documents": training_shards_documents,
+        "mixture_sample_documents": mixture_sample_documents,
+        "curriculum_bins_documents": curriculum_bins_documents,
+        "pivot_segment_status": pivot_segment_status,
+        "groupingsets_status_priority": groupingsets_status_priority,
         "streaming_match_recognize_twin": streaming_match_recognize_twin,
         "streaming_session_window_twin": streaming_session_window_twin,
         "streaming_over_agg_twin": streaming_over_agg_twin,
@@ -5912,8 +5955,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cumulate_twin": streaming_cumulate_twin,
         "streaming_regular_join_twin": streaming_regular_join_twin,
         "streaming_topn_twin": streaming_topn_twin,
-        "streaming_changelog_asof_twin": streaming_changelog_asof_twin,
-        "streaming_changelog_probe_asof_twin": streaming_changelog_probe_asof_twin,
         "bloom_decontamination_documents": bloom_decontamination_documents,
         "kmv_union_event_types": kmv_union_event_types,
         "kmv_distinct_users": kmv_distinct_users,
@@ -5960,56 +6001,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_join_hop_12h": window_join_hop_12h,
         "changelog_projection_left_join": changelog_projection_left_join,
         "multi_join_three_way": multi_join_three_way,
-        "setop_mixed_chain": setop_mixed_chain,
-        "setop_unionall_chain": setop_unionall_chain,
-        "odf_transform_unnest_map": odf_transform_unnest_map,
-        "streaming_window_join_twin": streaming_window_join_twin,
-        "changelog_asof_rates": changelog_asof_rates,
-        "similarity_lsh_incremental": similarity_lsh_incremental,
-        "similarity_ivf_incremental": similarity_ivf_incremental,
-        "similarity_pq_incremental": similarity_pq_incremental,
-        "multi_asof_two_rates": multi_asof_two_rates,
-        "stratified_sample_documents": stratified_sample_documents,
-        "term_doc_frequency": term_doc_frequency,
-        "embedding_centroids_by_label": embedding_centroids_by_label,
-        "median_price_by_status": median_price_by_status,
-        "split_train_val_test": split_train_val_test,
-        "sequence_packing_bins": sequence_packing_bins,
-        "agg_salted_user_value": agg_salted_user_value,
-        "pivot_segment_status": pivot_segment_status,
-        "groupingsets_status_priority": groupingsets_status_priority,
-        "stats_moments_by_type": stats_moments_by_type,
-        "topn_orders_per_customer": topn_orders_per_customer,
-        "asof_join_purchase_value": asof_join_purchase_value,
-        "interval_join_clicks": interval_join_clicks,
-        "dedup_exact_documents": dedup_exact_documents,
-        "dedup_fingerprint_documents": dedup_fingerprint_documents,
-        "json_extract_events": json_extract_events,
-        "changelog_join_three_way": changelog_join_three_way,
-        "changelog_join_left_over_updating": changelog_join_left_over_updating,
-        "changelog_minmax_agg": changelog_minmax_agg,
-        "window_cumulate_6h": window_cumulate_6h,
-        "inverted_index_documents": inverted_index_documents,
-        "random_projection_embeddings": random_projection_embeddings,
-        "flink_scalar_functions_events": flink_scalar_functions_events,
-        "window_monthly_orders": window_monthly_orders,
-        "unbounded_agg_changelog_events": unbounded_agg_changelog_events,
-        "regular_join_full_changelog": regular_join_full_changelog,
-        "regular_join_purchases_clicks": regular_join_purchases_clicks,
-        "match_recognize_dip_spike_events": match_recognize_dip_spike_events,
-        "dedup_keep_last_events": dedup_keep_last_events,
-        "over_agg_rolling_value_events": over_agg_rolling_value_events,
-        "window_topn_daily_users": window_topn_daily_users,
-        "funnel_view_click_purchase": funnel_view_click_purchase,
-        "retention_cohorts_events": retention_cohorts_events,
-        "similarity_pq_topk": similarity_pq_topk,
-        "bigram_lm_score_documents": bigram_lm_score_documents,
-        "quality_classifier_documents": quality_classifier_documents,
-        "dedup_segments_documents": dedup_segments_documents,
-        "semantic_dedup_embeddings": semantic_dedup_embeddings,
-        "training_shards_documents": training_shards_documents,
-        "mixture_sample_documents": mixture_sample_documents,
-        "curriculum_bins_documents": curriculum_bins_documents,
         "window_join_tumbling_daily": window_join_tumbling_daily,
         "over_agg_forward_window_events": over_agg_forward_window_events,
         "chained_multistep": chained_multistep,
