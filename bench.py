@@ -64,8 +64,24 @@ PINS = {
     "stress_interval_join_x10_3inv": 5.5,   # warm 4.05 (r10 full 3.51)
     "stress_full_join_x10_3inv": 12.0,      # warm 8.90 (r10 full 10.33)
     "stress_keyed_topn_x10_3inv": 9.5,      # warm 6.56 (r10 full 7.91)
-    "stress_over_agg_x10_3inv": 7.0,        # warm 4.72 (r10 full 5.65)
-    "stress_minhash_cluster_x10": 11.0,     # warm 7.40 (r10 full 10.03)
+    # Round-13 idle-box adjudication (2026-08-17, dedicated session,
+    # n=5, cold dropped) of the two round-12 drifters — both clean in
+    # isolation, so the round-12 full-session numbers were aging, not
+    # regressions, per the MISS protocol:
+    #   over_agg   r12 full 6.41 -> idle warm median 4.64 (r11 idle
+    #              4.72 — unchanged); pin 7.0 keeps 34% isolated headroom.
+    #   minhash_cluster r12 full 10.29 -> idle warm median 7.95 (r11
+    #              idle 7.40, +7% same-code creep, floor 7.81); pin 11.0
+    #              keeps 28% isolated headroom — re-adjudicate if the
+    #              idle warm median ever exceeds ~9.
+    "stress_over_agg_x10_3inv": 7.0,        # r13 idle warm 4.64
+    "stress_minhash_cluster_x10": 11.0,     # r13 idle warm 7.95
+    # dedup_minhash_fast grew its oracle law row in round 12 (0.30 ->
+    # 1.92 by design: the entry now runs the full numpy MinHash+LSH
+    # pipeline over corpus + 25 planted duplicates). Round-13 idle-box
+    # baseline (2026-08-17, dedicated session, n=5, cold dropped): warm
+    # median 2.02, floor 1.75; full-session runs ~10-25% above isolated.
+    "dedup_minhash_fast": 3.0,              # r13 idle warm 2.02
     # stamp proof pair: the distributed gate must beat the serial twin at
     # 2M rows. Round-11 isolated pair: gate 6.98 / serial 9.45 (the
     # serial floor — its isolated warm runs 8.8-9.8; round-10 full-
