@@ -570,7 +570,16 @@ def _asof_join_fn(how: str):
             )
         )
         if still_pending:
-            state.setTimeoutTimestamp(min(t for t, _ in still_pending))
+            # Arm at min-1: Spark fires event-time timeouts only STRICTLY
+            # beyond the armed timestamp, but the release predicate (and
+            # Flink's timer rule the oracles replay) is non-strict
+            # t <= wm — arming at t-1 makes the key re-invoke exactly
+            # when wm reaches t, so a probe AT the final watermark
+            # releases (tie-bearing corpus regression in
+            # tests/test_streaming.py). Spark rejects arming BELOW the
+            # current watermark but allows equality — the max() clamp is
+            # the legal floor and fires on the next advancement.
+            state.setTimeoutTimestamp(max(min(t for t, _ in still_pending) - 1, wm))
         if out:
             yield pd.DataFrame(out, columns=["pk", "probe_ts_ms", "probe_val", "version_val"])
 
@@ -1366,7 +1375,16 @@ def _changelog_asof_fn(how: str):
             )
         )
         if still_pending:
-            state.setTimeoutTimestamp(min(t for t, _ in still_pending))
+            # Arm at min-1: Spark fires event-time timeouts only STRICTLY
+            # beyond the armed timestamp, but the release predicate (and
+            # Flink's timer rule the oracles replay) is non-strict
+            # t <= wm — arming at t-1 makes the key re-invoke exactly
+            # when wm reaches t, so a probe AT the final watermark
+            # releases (tie-bearing corpus regression in
+            # tests/test_streaming.py). Spark rejects arming BELOW the
+            # current watermark but allows equality — the max() clamp is
+            # the legal floor and fires on the next advancement.
+            state.setTimeoutTimestamp(max(min(t for t, _ in still_pending) - 1, wm))
         if out:
             yield pd.DataFrame(
                 out, columns=["pk", "probe_ts_ms", "probe_val", "version_val"]
@@ -1543,7 +1561,8 @@ def _changelog_probe_asof_fn(how: str):
             )
         )
         if still_pending:
-            state.setTimeoutTimestamp(min(p[1] for p in still_pending))
+            # min-1: non-strict release at t <= wm (see the as-of kernel).
+            state.setTimeoutTimestamp(max(min(p[1] for p in still_pending) - 1, wm))
         if out:
             yield pd.DataFrame(
                 out,
@@ -1700,10 +1719,13 @@ def _over_agg_fn(h_us: int):
         )
         pending = [t for t, _ in keep if t > wm_us]
         if pending:
-            # Re-invoke this key when the watermark reaches the earliest
-            # pending row, even if no new data arrives for it (timeout
-            # must sit strictly above the current watermark).
-            state.setTimeoutTimestamp(max(min(pending) // 1000, wm_us // 1000 + 1))
+            # Re-invoke this key when the watermark REACHES the earliest
+            # pending row (non-strict): Spark timeouts fire strictly
+            # beyond the armed ms, so arm at floor(t_us/1000)-1 — fires
+            # whenever wm_us >= t_us, incl. a row exactly at the final
+            # watermark. Spark rejects arming below the current watermark
+            # (equality is legal) — clamp to it.
+            state.setTimeoutTimestamp(max(min(pending) // 1000 - 1, wm_us // 1000))
         if out:
             yield pd.DataFrame(
                 out, columns=["key", "ts", "value", "roll_sum", "roll_cnt"]
@@ -1868,10 +1890,10 @@ def _cep_fn(elements, within_us):
             )
         )
         if keep:
-            # Wake the key when the watermark passes the suspended suffix
-            # (timeout must sit strictly above the current watermark).
+            # Wake the key when the watermark REACHES the suspended
+            # suffix (non-strict; arm ms-1 — see the over-agg kernel).
             min_ms = min(t for t, _s, _m in keep) // 1000
-            state.setTimeoutTimestamp(max(min_ms, wm_us // 1000 + 1))
+            state.setTimeoutTimestamp(max(min_ms - 1, wm_us // 1000))
         if out:
             yield pd.DataFrame(out, columns=["key", "start_ts", "end_ts", "n_rows"])
 

@@ -1722,3 +1722,70 @@ def test_probe_asof_twin_on_tie_bearing_corpus(spark, tmp_path):
     # at the duplicated timestamps in both runs.
     tie_ms = {int(t(12).timestamp() * 1000), int(t(20).timestamp() * 1000)}
     assert {m for (_, op, u, m, _, _) in got if op in (2, 3) and u == 1} >= tie_ms
+
+
+def test_build_asof_twin_on_tie_bearing_corpus(spark, tmp_path):
+    """The SECOND rewritten oracle (streaming_changelog_asof_twin): its
+    rn=1 version-resolution also collapsed duplicate probe rows sharing
+    a timestamp. This corpus plants BOTH flavors — a different-cents
+    (user, ts) purchase pair and a FULL duplicate (same cents) pair —
+    plus a tombstone interval, and asserts the entry and its oracle
+    agree cell-exactly including row multiplicity."""
+    import datetime as dt
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    UTC = dt.timezone.utc
+
+    def t(day, hour=0):
+        return dt.datetime(2024, 1, day, hour, tzinfo=UTC)
+
+    rows = [
+        # user 1: version history with a tombstone interval
+        (1, t(10), 1, "signup", 1.00),
+        (2, t(13), 1, "error", 0.00),
+        (3, t(18), 1, "signup", 2.00),
+        (10, t(11), 1, "purchase", 5.00),
+        (11, t(12), 1, "purchase", 6.00),   # tie pair, different cents
+        (12, t(12), 1, "purchase", 7.00),
+        (13, t(14), 1, "purchase", 8.00),   # tombstone interval -> drop
+        (14, t(19), 1, "purchase", 9.00),   # FULL duplicate pair
+        (15, t(19), 1, "purchase", 9.00),
+        # user 2: plain history, pushes the run-2 watermark past 01-20
+        (20, t(10), 2, "signup", 0.40),
+        (21, t(21), 2, "signup", 0.60),
+        (22, t(12), 2, "purchase", 3.00),
+        (23, t(20), 2, "purchase", 3.10),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("ms", tz="UTC")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array(["{}" for _ in rows], pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+
+    name = "streaming_changelog_asof_twin"
+    got = sorted(
+        (r.inv, r.user_id, r.probe_ts_ms, r.probe_cents, r.version_cents)
+        for r in entrymod.queries()[name](spark, str(tmp_path)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(entrymod.oracle_sql()[name]).fetchall())
+    assert got == want
+    # Multiplicity preserved: the full-duplicate pair appears twice.
+    dup = [r for r in got if r[1] == 1 and r[2] == int(t(19).timestamp() * 1000)]
+    assert len(dup) == 2 and dup[0] == dup[1]
+    # The tombstone interval dropped the 01-14 probe in both engines.
+    assert not [r for r in got if r[2] == int(t(14).timestamp() * 1000)]
