@@ -254,3 +254,72 @@ def test_job_input_dirs_reflection(tmp_path):
         input_dir="/b/in", checkpoint_dir="/b/chk", output_dir="/b/out"
     )
     assert _job_input_dirs(one) == ("/b/in",)
+
+
+def test_over_agg_twin_drained_matches_normal_run(spark, tmp_path):
+    """Forced-race drain regression for the MICROSECOND-path kernel
+    (StreamingOverAgg arms its event-time timeout from µs row times
+    floored to ms, clamped to the current watermark): the same banded
+    scenario under a normal session and under the forced race must
+    produce identical per-run row sets."""
+    from kamu_engine_flink_spark.streaming.structured import StreamingOverAgg
+
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+
+    def scenario(base):
+        ind, chk, out = [str(base / k) for k in ("in", "chk", "out")]
+        os.makedirs(ind)
+        rows1 = [(5, "01:00", 10.0), (5, "02:00", 20.0), (5, "04:00", 40.0)]
+        rows2 = [(5, "05:00", 50.0), (5, "07:00", 70.0)]
+
+        def write(rows, name):
+            pq.write_table(
+                pa.table(
+                    {
+                        "k": pa.array([r[0] for r in rows], pa.int64()),
+                        "event_time": pa.array(
+                            [_ts(r[1]) for r in rows],
+                            pa.timestamp("ms", tz="UTC"),
+                        ),
+                        "value": pa.array([r[2] for r in rows], pa.float64()),
+                    }
+                ),
+                os.path.join(ind, name),
+            )
+
+        write(rows1, "b1.parquet")
+        job = StreamingOverAgg(
+            input_dir=ind, checkpoint_dir=chk, output_dir=out,
+            frame="2 hours", partition_col="k",
+            watermark_delay="1 minute",
+        )
+        job.schema = spark.read.parquet(ind).schema
+        job.run_available_now(spark)
+        files1 = set(glob.glob(os.path.join(out, "*.parquet")))
+        write(rows2, "b2.parquet")
+        job.run_available_now(spark)
+        files2 = set(glob.glob(os.path.join(out, "*.parquet"))) - files1
+
+        def rows(files):
+            nonempty = [f for f in files if pq.ParquetFile(f).metadata.num_rows]
+            if not nonempty:
+                return set()
+            return {
+                (r.key, r.event_time, r.value, r.roll_sum, r.roll_cnt)
+                for r in spark.read.parquet(*sorted(nonempty)).collect()
+            }
+
+        return rows(files1), rows(files2)
+
+    results = {}
+    old = spark.conf.get(key, "true")
+    try:
+        for label, conf in (("normal", "true"), ("raced", "false")):
+            spark.conf.set(key, conf)
+            base = tmp_path / label
+            os.makedirs(base)
+            results[label] = scenario(base)
+    finally:
+        spark.conf.set(key, old)
+    assert results["normal"] == results["raced"]
+    assert results["normal"][0], "run 1 emitted nothing — law not exercised"
