@@ -4189,7 +4189,8 @@ def streaming_session_window_twin(spark: SparkSession, sf_dir: str) -> DataFrame
     the full-data island is identical). The oracle replays the
     gaps-and-islands decomposition, both aggregates, and the per-run
     attribution cell-exactly (all integer/epoch-us arithmetic; the gap
-    boundary is Spark's merge rule: events merge iff diff < gap)."""
+    boundary is Spark's merge rule: adjacent windows merge too, so
+    events exactly one gap apart share a session — diff <= gap)."""
     import glob
     import os
     import tempfile
@@ -7470,9 +7471,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "streaming_session_window_twin": f"""
             -- Native streaming session windows replayed exactly:
-            -- gaps-and-islands per user (new session when the gap to
-            -- the previous event is >= 30 min — Spark merges on
-            -- strictly-overlapping [ts, ts+gap) windows), appended in
+            -- gaps-and-islands per user (new session ONLY when the gap
+            -- to the previous event EXCEEDS 30 min — Spark merges
+            -- adjacent [ts, ts+gap) windows too, i.e. events exactly
+            -- one gap apart share a session; boundary verified
+            -- empirically and pinned in tests/test_streaming.py's
+            -- session boundary corpus), appended in
             -- the first run whose watermark (max event time through
             -- that run minus 1 min, ms-floored, compared in us) covers
             -- the session end = last event + gap.
@@ -7495,7 +7499,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT user_id, ts, cents,
                        CASE WHEN lag(ts) OVER w IS NULL
                                  OR ts - lag(ts) OVER w
-                                    >= INTERVAL 30 MINUTE
+                                    > INTERVAL 30 MINUTE
                             THEN 1 ELSE 0 END AS ns
                 FROM ev
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts)

@@ -1789,3 +1789,71 @@ def test_build_asof_twin_on_tie_bearing_corpus(spark, tmp_path):
     assert len(dup) == 2 and dup[0] == dup[1]
     # The tombstone interval dropped the 01-14 probe in both engines.
     assert not [r for r in got if r[2] == int(t(14).timestamp() * 1000)]
+
+
+def test_session_twin_on_boundary_corpus(spark, tmp_path):
+    """Boundary corpus for the NATIVE session-window twin, probing the
+    two exact boundaries shipped data never hits: (a) events exactly one
+    gap apart MERGE (Spark merges adjacent [t, t+gap) windows — the
+    oracle's gaps-and-islands must split only at diff > gap), and (b) a
+    session whose end lands EXACTLY on the final watermark."""
+    import datetime as dt
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    UTC = dt.timezone.utc
+
+    def t(day, hour=0, minute=0):
+        return dt.datetime(2024, 1, day, hour, minute, tzinfo=UTC)
+
+    rows = [
+        # user 4: clean early session, closes under wm1 (inv 1)
+        (1, t(10, 1, 0), 4, "click", 0.10),
+        # user 1: exact 30-min chain — ONE session [00:00, 01:30)
+        (2, t(10, 10, 0), 1, "click", 0.20),
+        (3, t(10, 10, 30), 1, "click", 0.30),
+        (4, t(10, 11, 0), 1, "click", 0.40),
+        # band-1 max: sets wm1 = 13:59 (covers both sessions above)
+        (5, t(10, 14, 0), 5, "click", 0.50),
+        # user 2: band-2 session whose end (10:30) == wm2 exactly
+        (6, t(20, 10, 0), 2, "click", 0.60),
+        # user 3: global max 10:31 -> wm2 = 10:30
+        (7, t(20, 10, 31), 3, "click", 0.70),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("ms", tz="UTC")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array(["{}" for _ in rows], pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+
+    name = "streaming_session_window_twin"
+    got = sorted(
+        (r.inv, r.user_id, r.session_start_us, r.session_end_us,
+         r.n_events, r.cents_sum)
+        for r in entrymod.queries()[name](spark, str(tmp_path)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(entrymod.oracle_sql()[name]).fetchall()
+    )
+    assert got == want
+    # (a) the exact-gap chain merged into ONE 3-event session
+    u1 = [r for r in got if r[1] == 1]
+    assert len(u1) == 1 and u1[0][4] == 3
+    # (b) the end==wm2 session is decided the same way by both engines
+    # (got == want already asserts it; record which way for the reader)
+    u2 = [r for r in got if r[1] == 2]
+    assert len(u2) <= 1
