@@ -1857,3 +1857,66 @@ def test_session_twin_on_boundary_corpus(spark, tmp_path):
     # (got == want already asserts it; record which way for the reader)
     u2 = [r for r in got if r[1] == 2]
     assert len(u2) <= 1
+
+
+def test_hop_twin_on_close_boundary_corpus(spark, tmp_path):
+    """Close-boundary corpus for the native sliding-window twin: a hop
+    window whose end lands EXACTLY on the final watermark must be
+    decided the same way by the kernel (Spark's append-mode state-store
+    close, non-strict — pinned for sessions too) and the oracle's
+    end <= wm rule. The state-store close predicate is shared by the
+    native tumbling/hop/cumulate/session paths, so this pins the whole
+    family."""
+    import datetime as dt
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    UTC = dt.timezone.utc
+
+    def t(day, hour=0, minute=0):
+        return dt.datetime(2024, 1, day, hour, minute, tzinfo=UTC)
+
+    rows = [
+        # band 1: a couple of clicks + the band-1 max-setter
+        (1, t(10, 1, 0), 1, "click", 0.10),
+        (2, t(10, 2, 0), 2, "click", 0.20),
+        (3, t(10, 9, 1), 3, "view", 0.30),
+        # band 2: rows inside the window [19@18:00, 20@06:00)
+        (4, t(20, 1, 0), 1, "click", 0.40),
+        (5, t(20, 5, 59), 2, "click", 0.50),
+        # global max 06:01 -> wm2 = 06:00 == that window's end, exactly
+        (6, t(20, 6, 1), 3, "view", 0.60),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("ms", tz="UTC")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array(["{}" for _ in rows], pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+
+    name = "streaming_hop_window_twin"
+    df = entrymod.queries()[name](spark, str(tmp_path))
+    got = sorted(tuple(r) for r in df.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(entrymod.oracle_sql()[name]).fetchall()
+    )
+    assert got == want
+    # The boundary window (end == wm2) is present and EMITTED: the twin
+    # reports window STARTS in ms; the 12h instance ending 01-20 06:00
+    # starts 01-19 18:00 and holds both band-2 clicks.
+    start_ms = int(t(19, 18).timestamp() * 1000)
+    hit = [r for r in got if r[1] == start_ms and r[2] == "click"]
+    assert hit and hit[0][3] == 2, got
