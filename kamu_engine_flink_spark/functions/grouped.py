@@ -103,7 +103,15 @@ def grouped_map_batched(
             if recs:
                 yield recs_frame(recs)
 
-    ordered = df.repartition(*keys).sortWithinPartitions(
+    # Explicit partition count: a keys-only repartition is AQE-coalescible,
+    # and the fold's shuffle is tiny in BYTES (pruned survivors) while the
+    # stage's cost is per-ROW Python CPU — AQE's advisory-size coalescing
+    # (64 MB) collapses it to 1-2 partitions and serializes the whole fold
+    # onto one core (measured: the keyed Top-N fold ran 14 s single-task
+    # at bench scale). A user-specified count is exempt from coalescing;
+    # defaultParallelism scales with the cluster.
+    n = df.sparkSession.sparkContext.defaultParallelism
+    ordered = df.repartition(n, *keys).sortWithinPartitions(
         *keys, *(sort_cols or [])
     )
     return ordered.mapInPandas(mapper, out_schema)

@@ -73,10 +73,17 @@ def connected_components(
     # Undirected: propagate along both directions each round. Partition by
     # the probe key `v` so the cached layout is the one every round's join
     # needs — the per-round exchange then only moves the (small) label side.
+    # No edge dedup: min-propagation is multiset-insensitive (a duplicate
+    # edge only repeats a min() contribution), so the distinct() this used
+    # to pay — a full extra exchange of the edge list before the loop —
+    # bought nothing; callers pass deduped pairs anyway. The explicit
+    # partition count keeps AQE from coalescing the cached layout (the
+    # edge list is small in BYTES, but it is joined every round).
     sym = (
         eg.unionAll(eg.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
-        .repartition(F.col("v"))
+        .repartition(
+            edges.sparkSession.sparkContext.defaultParallelism, F.col("v")
+        )
         .persist()
     )
     labels = _truncate_lineage(

@@ -205,6 +205,23 @@ def _prune_partition_local(df, order: list[tuple[str, bool]], limit: int,
                         keep.append(False)
             yield pdf[keep]
 
+    # Widen a narrow input first: a single-file slice scan arrives as ONE
+    # partition, which would run this per-row Python pass on one core. The
+    # keyed form spreads by HASH of the partition keys (all rows of a key
+    # stay together, so the prune keeps its exact per-key survivor bound);
+    # the global form spreads round-robin (per-partition survivor bounds
+    # grow ~n_partitions x N*ln(rows/partition) — still tiny vs the input).
+    # The explicit count is exempt from AQE coalescing, which prices
+    # shuffles by bytes and would collapse this CPU-per-row stage.
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        # Global form: hash on the (unique) ledger offset — deterministic
+        # spread with no round-robin sort-before-repartition pass.
+        df = (
+            df.repartition(n, *part_keys)
+            if part_keys
+            else df.repartition(n, F.col(SEQ_INPUT))
+        )
     # Partition-level seq sort (no shuffle): makes Arrow batches arrive in
     # ledger order, which the cross-batch carry above relies on — dropped
     # rows are then beaten only by genuinely EARLIER rows.
