@@ -164,7 +164,14 @@ class StateStore:
         # DataFrame resolves (and snapshots the file listing) eagerly at
         # spark.table(), so the catalog entry can be dropped immediately —
         # no cross-invocation catalog residue.
-        schema = self.spark.read.parquet(path).schema
+        # The sidecar records the relation schema at write time (the writer
+        # holds it for free); a footer-inference pass per state load would
+        # cost a driver round trip per relation per invocation. Checkpoints
+        # from before the sidecar carried it fall back to inference.
+        if meta.get("schema"):
+            schema = StructType.fromJson(meta["schema"])
+        else:
+            schema = self.spark.read.parquet(path).schema
         ddl = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
         )
@@ -245,7 +252,14 @@ class StateStore:
             num = self._num_buckets()
             self._write_bucketed(path, df, bucket_by, num, pre_partitioned)
             self.save_json(
-                self._meta_name(name), {"bucket_by": bucket_by, "num_buckets": num}
+                self._meta_name(name),
+                {
+                    "bucket_by": bucket_by,
+                    "num_buckets": num,
+                    # Written-schema record: load_df rebuilds the bucketed
+                    # scan from this instead of a per-load footer inference.
+                    "schema": df.schema.jsonValue(),
+                },
             )
         else:
             # The input of this write may include the previous state at the
@@ -327,7 +341,14 @@ class StateStore:
             num = int((prev_meta or {}).get("num_buckets") or self._num_buckets())
             self._write_bucketed(staging, delta, bucket_by, num)
             self.save_json(
-                self._meta_name(name), {"bucket_by": bucket_by, "num_buckets": num}
+                self._meta_name(name),
+                {
+                    "bucket_by": bucket_by,
+                    "num_buckets": num,
+                    # Delta layout must match the relation's, so the delta
+                    # schema IS the relation schema (see the append guard).
+                    "schema": delta.schema.jsonValue(),
+                },
             )
         else:
             delta.write.mode("overwrite").parquet(staging)

@@ -51,6 +51,13 @@ def engine_session(
             str(shuffle_partitions or _DEFAULT_SHUFFLE_PARTITIONS),
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # DataFrame call-site capture costs 3 extra py4j round trips per
+        # DataFrame API call (set/conf.get/clear on PySparkCurrentOrigin —
+        # measured 0.48 s of a 10.7 s warm 3-invocation transform rep, 145
+        # wrapped calls). It only enriches error messages with user line
+        # numbers; engine invocations are machine-built SQL, so the
+        # call-site would always point into the engine itself.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

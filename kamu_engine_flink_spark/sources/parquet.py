@@ -18,9 +18,30 @@ it casts ns to its us-precision TIMESTAMP.
 
 from __future__ import annotations
 
+import os
+
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# (path, mtime_ns, size) per slice file -> (spark StructType, ns columns).
+# A long-lived engine process re-reads the same slice vector every
+# invocation (and the bench re-reads it every rep); Spark re-infers the
+# schema eagerly on each spark.read.parquet — a driver round trip plus a
+# footer-read job (~60-100 ms per input). The ODF contract pins the
+# schema per dataset (no evolution), so the inferred schema is a pure
+# function of the file identity; mtime+size key invalidates rewrites.
+# Metadata-only cache: never caches data or results.
+_SCHEMA_CACHE: dict[tuple, tuple] = {}
+
+
+def _file_key(paths: list[str]) -> tuple | None:
+    try:
+        return tuple(
+            (p, st.st_mtime_ns, st.st_size) for p, st in ((p, os.stat(p)) for p in paths)
+        )
+    except OSError:
+        return None  # non-local / vanished path: skip caching
 
 
 def _nanos_timestamp_columns(path: str) -> list[str]:
@@ -59,8 +80,20 @@ def read_parquet_slices(spark: SparkSession, paths: list[str]) -> DataFrame:
     """
     if not paths:
         raise ValueError("read_parquet_slices: empty path vector")
-    df = spark.read.parquet(*paths)
-    ns_cols = _nanos_timestamp_columns(paths[0])
+    key = _file_key(paths)
+    cached = _SCHEMA_CACHE.get(key) if key is not None else None
+    if cached is not None:
+        schema, ns_cols = cached
+        # Explicit schema (Spark's own prior inference verbatim, as the
+        # original StructType — no DDL round trip that could lose type
+        # fidelity) skips the per-invocation inference pass; plans are
+        # identical.
+        df = spark.read.schema(schema).parquet(*paths)
+    else:
+        df = spark.read.parquet(*paths)
+        ns_cols = _nanos_timestamp_columns(paths[0])
+        if key is not None:
+            _SCHEMA_CACHE[key] = (df.schema, ns_cols)
     for c in ns_cols:
         # Exact integer FLOOR division, in two respects: float `/ 1000`
         # would be off by up to ±128ns (epoch-ns ~1.7e18 exceeds double's
