@@ -244,13 +244,36 @@ def _single_source(ctx: StepContext, sql: str, what: str) -> str:
     return refs[0]
 
 
+def _pushdown_barrier(col):
+    """Identity on `col` that Catalyst must treat as nondeterministic —
+    `shuffle()` of a 1-element array is the element itself, but the
+    nondeterminism marker stops predicate pushdown through the plan.
+
+    Needed ONLY for filters on SESSION window bounds: a session's
+    grouping key is NOT a per-row function — per-row [t, t+gap) windows
+    MERGE during aggregation — yet Catalyst's pushdown treats it like
+    one and rewrites `session_window.end <= wm` into a PRE-aggregation
+    filter on each row's OWN end. That drops a session's later rows
+    before they can extend it (observed: rows at 15 and 20 with gap 5
+    and wm 24 — own-end 25 row filtered out below the aggregate, the
+    remaining row emitted as a bogus closed session [15,20)). TUMBLE /
+    HOP / CUMULATE keys are per-row-stable, so their pushdown is legal
+    and wanted — keep those filters bare."""
+    return F.element_at(F.shuffle(F.array(col)), 1)
+
+
 def _emit_and_order(
-    ctx: StepContext, sql: str, src: str, buf: DataFrame, end_col, prev_wm, new_wm, lead_alias
+    ctx: StepContext, sql: str, src: str, buf: DataFrame, end_col, prev_wm, new_wm,
+    lead_alias, pushdown_safe: bool = True,
 ) -> StepResult:
     """Run the user's (rewritten) SQL over the full buffer and keep only
     result windows whose end falls in (prev_wm, new_wm] — each window is
     emitted in exactly one invocation even though rows contributing to
-    several windows stay buffered across runs."""
+    several windows stay buffered across runs.
+
+    pushdown_safe=False (the SESSION caller): the window-end emission
+    filter must NOT sink below the session-merging aggregation — see
+    _pushdown_barrier."""
     buf.createOrReplaceTempView(src)
     try:
         result = ctx.spark.sql(rewrite_query(sql, watermark=new_wm))
@@ -259,9 +282,10 @@ def _emit_and_order(
     if new_wm is None:
         result = result.limit(0)
     else:
-        result = result.filter(end_col <= F.lit(new_wm))
+        guard = end_col if pushdown_safe else _pushdown_barrier(end_col)
+        result = result.filter(guard <= F.lit(new_wm))
         if prev_wm is not None:
-            result = result.filter(end_col > F.lit(prev_wm))
+            result = result.filter(guard > F.lit(prev_wm))
     order_cols = list(result.columns)
     if lead_alias in order_cols:
         order_cols.remove(lead_alias)
@@ -573,7 +597,13 @@ def execute_session_agg(ctx: StepContext, sql: str) -> StepResult:
             F.session_window(F.col(spec.time_col), spec.gap_duration).alias("__sw"),
             *spec.group_keys,
         ).agg(F.count(F.lit(1)).alias("__n"))
-        open_sess = sess.filter(F.col("__sw.end") > F.lit(new_wm)).select(
+        # Barrier for the same Catalyst unsoundness as the emission filter
+        # (see _pushdown_barrier): pushed below the aggregation, this
+        # open-session predicate would drop a session's early rows from
+        # the buffer rewrite — silently truncating still-open sessions.
+        open_sess = sess.filter(
+            _pushdown_barrier(F.col("__sw.end")) > F.lit(new_wm)
+        ).select(
             F.col("__sw.start").alias("__ss_start"),
             F.col("__sw.end").alias("__ss_end"),
             *[F.col(k).alias(f"__ss_{k}") for k in spec.group_keys],
@@ -592,5 +622,6 @@ def execute_session_agg(ctx: StepContext, sql: str) -> StepResult:
     ctx.state.save_df(buffer_name, still_open)
 
     return _emit_and_order(
-        ctx, sql, src, buf, F.col(spec.end_alias), prev_wm, new_wm, spec.end_alias
+        ctx, sql, src, buf, F.col(spec.end_alias), prev_wm, new_wm, spec.end_alias,
+        pushdown_safe=False,
     )

@@ -405,6 +405,44 @@ def test_session_window_merges_across_runs(spark, tmp_path):
     assert _session_rows(out2) == [(ts(1, 10), ts(1, 13, 30), "B", 2, 21)]
 
 
+def test_session_emission_filter_not_pushed_below_merge(spark, tmp_path):
+    """Regression (r13 fuzz find): Catalyst pushes a filter on
+    `session_window.end` BELOW the session aggregation as a per-row
+    own-end filter — but sessions MERGE, so a session's later rows (own
+    end beyond the watermark) were dropped pre-aggregation, emitting a
+    bogus truncated session AND evicting the dropped rows from the
+    buffer. Two events exactly one gap apart (01:00, 03:00; gap 2h) with
+    the watermark just short of the merged close (04:59) must emit
+    NOTHING; advancing past 05:00 must emit the single merged session."""
+    runner = TransformRunner(spark, tmp_path, queries=[(SESSION_QUERY, None)])
+
+    s1 = str(tmp_path / "in" / "s1.parquet")
+    ticker_slice(
+        s1,
+        [
+            (0, 0, ts(5), ts(1, 1), "A", 10),
+            (1, 0, ts(5), ts(1, 3), "A", 12),
+        ],
+    )
+    # wm 04:59 < merged close 05:00: session [01:00, 05:00) stays open.
+    # The unsound pushdown emitted ([01:00, 03:00), n=1) here and
+    # dropped the 03:00 row from the buffer.
+    resp, out = runner.run(
+        [{"alias": "in", "data_paths": [s1], "schema_file": s1,
+          "watermark": ts(1, 4, 59)}],
+        system_time=ts(10),
+    )
+    assert not os.path.exists(out), "open session must not emit"
+
+    # Watermark-only advance past the close: ONE merged session, n=2.
+    resp2, out2 = runner.run(
+        [{"alias": "in", "data_paths": [], "schema_file": s1,
+          "watermark": ts(1, 6)}],
+        system_time=ts(11),
+    )
+    assert _session_rows(out2) == [(ts(1, 1), ts(1, 5), "A", 2, 12)]
+
+
 CUMULATE_QUERY = """SELECT
   CUMULATE_START(event_time, INTERVAL '1' HOUR, INTERVAL '4' HOUR) as start_time,
   CUMULATE_END(event_time, INTERVAL '1' HOUR, INTERVAL '4' HOUR) as event_time,
