@@ -48,10 +48,10 @@ from ..plans.classify import parse_regular_join
 from ..protocol.model import InvalidQueryError
 from .base import StepContext, StepResult, min_watermark
 from .map_step import SEQ_INPUT
-from .regular_join import _run_with_views, equi_keys
+from .regular_join import _run_with_views, _view_scope, equi_keys
+from .topn import OP_COL
 
 _SELF_RIGHT = "__cj_self_right"
-from .topn import OP_COL
 
 SIGN = "__cj_sign"
 CNT = "__cj_cnt"
@@ -149,13 +149,23 @@ def _explode_copies(net: DataFrame, strict: bool = False) -> DataFrame:
 
 
 def execute_changelog_join(ctx: StepContext, sql: str) -> StepResult:
-    import re
-
     spec = parse_regular_join(sql, set(ctx.views))
     if spec is None:
         raise InvalidQueryError(
             "changelog join executor could not parse the join shape"
         )
+    rv_bind = (
+        _SELF_RIGHT if spec.left_view == spec.right_view else spec.right_view
+    )
+    # One deferred view restore for the whole executor (up to 8
+    # _run_with_views calls per invocation over the same two names).
+    with _view_scope(ctx, (spec.left_view, rv_bind)):
+        return _changelog_join_body(ctx, sql, spec)
+
+
+def _changelog_join_body(ctx: StepContext, sql: str, spec) -> StepResult:
+    import re
+
     lv, rv = spec.left_view, spec.right_view
     la, ra = spec.left_alias, spec.right_alias
     # Self-join: the bilinear differential needs DIFFERENT bindings per
@@ -279,7 +289,8 @@ def execute_changelog_join(ctx: StepContext, sql: str) -> StepResult:
 
     def _run_pairs(left_bind: DataFrame, right_bind: DataFrame) -> DataFrame:
         return _run_with_views(
-            ctx, inner_sql, {lv: left_bind, rv_bind: right_bind}, wm
+            ctx, inner_sql, {lv: left_bind, rv_bind: right_bind}, wm,
+            restore=False,
         )
 
     # Term 1: DeltaL >< net(R + DeltaR), keys restricted to DeltaL's. The
@@ -525,7 +536,8 @@ def _pad_deltas(
         # Bind padded-side rows under its view name, empty other side —
         # the user's OUTER sql projects exactly the padded shape.
         return _run_with_views(
-            ctx, sql, {side_view: rows, other_view: empty_other}, wm
+            ctx, sql, {side_view: rows, other_view: empty_other}, wm,
+            restore=False,
         )
 
     return [(_run_pad(pads), _OP_APPEND), (_run_pad(retr), _OP_RETRACT)]

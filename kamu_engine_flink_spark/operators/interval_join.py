@@ -34,28 +34,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..plans.classify import IntervalJoinSpec, parse_interval_join
-from ..plans.dialect import rewrite_query
 from ..protocol.model import InvalidQueryError
 from .base import StepContext, StepResult, min_watermark
+from .regular_join import _run_with_views, _view_scope
 
 _MATCHED = "__matched"
 _OUTER_JOIN_RE = re.compile(r"\b(?:LEFT|RIGHT|FULL)\s+(?:OUTER\s+)?JOIN\b", re.IGNORECASE)
-
-
-def _run_with_views(ctx: StepContext, sql: str, bindings: dict[str, DataFrame], wm) -> DataFrame:
-    for name, df in bindings.items():
-        df.createOrReplaceTempView(name)
-    try:
-        return ctx.spark.sql(rewrite_query(sql, watermark=wm))
-    finally:
-        for name in bindings:
-            ctx.views[name].createOrReplaceTempView(name)
 
 
 def execute_interval_join(ctx: StepContext, sql: str) -> StepResult:
     spec = parse_interval_join(sql, set(ctx.views))
     if spec is None:
         raise InvalidQueryError("interval join executor could not parse the join shape")
+    # One deferred view restore for the whole executor (2-4
+    # _run_with_views calls per invocation over the same two names) —
+    # see regular_join._view_scope.
+    with _view_scope(ctx, (spec.left_view, spec.right_view)):
+        return _interval_join_body(ctx, sql, spec)
+
+
+def _interval_join_body(ctx: StepContext, sql: str, spec) -> StepResult:
     lv, rv = spec.left_view, spec.right_view
     wm_l, wm_r = ctx.new_wms.get(lv), ctx.new_wms.get(rv)
 
@@ -87,10 +85,18 @@ def execute_interval_join(ctx: StepContext, sql: str) -> StepResult:
         return df.drop(_MATCHED) if spec.is_right_outer else df
 
     matches = _run_with_views(
-        ctx, inner_sql, {lv: new_left.drop(_MATCHED), rv: _r(all_right)}, joint_wm
+        ctx,
+        inner_sql,
+        {lv: new_left.drop(_MATCHED), rv: _r(all_right)},
+        joint_wm,
+        restore=False,
     ).unionByName(
         _run_with_views(
-            ctx, inner_sql, {lv: old_left.drop(_MATCHED), rv: _r(new_right)}, joint_wm
+            ctx,
+            inner_sql,
+            {lv: old_left.drop(_MATCHED), rv: _r(new_right)},
+            joint_wm,
+            restore=False,
         )
     )
 
@@ -133,7 +139,7 @@ def execute_interval_join(ctx: StepContext, sql: str) -> StepResult:
         )
         pad_lefts = flagged_left.filter(~F.col(_MATCHED)).filter(horizon_passed).drop(_MATCHED)
         empty_right = _r(all_right).limit(0)
-        padded = _run_with_views(ctx, sql, {lv: pad_lefts, rv: empty_right}, joint_wm)
+        padded = _run_with_views(ctx, sql, {lv: pad_lefts, rv: empty_right}, joint_wm, restore=False)
         emit_parts.append(padded)
 
     # RIGHT/FULL: NULL-pad right rows whose match horizon passed — a right
@@ -161,7 +167,7 @@ def execute_interval_join(ctx: StepContext, sql: str) -> StepResult:
         )
         empty_left = new_left.drop(_MATCHED).limit(0)
         emit_parts.append(
-            _run_with_views(ctx, sql, {lv: empty_left, rv: pad_rights}, joint_wm)
+            _run_with_views(ctx, sql, {lv: empty_left, rv: pad_rights}, joint_wm, restore=False)
         )
     else:
         flagged_right = all_right

@@ -44,6 +44,7 @@ view; distinct relation aliases are required, as in any SQL self-join.
 from __future__ import annotations
 
 import re
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -60,19 +61,44 @@ _PHASE = "__emit_phase"  # 0 = pad retractions, 1 = pads + pairs
 _SELF_RIGHT = "__rj_self_right"
 
 
+def _restore_views(ctx: StepContext, names) -> None:
+    for name in names:
+        if name in ctx.views:
+            ctx.views[name].createOrReplaceTempView(name)
+        else:
+            ctx.spark.catalog.dropTempView(name)
+
+
+@contextmanager
+def _view_scope(ctx: StepContext, names):
+    """Defer temp-view restoration to scope exit. The join executors issue
+    several `_run_with_views` calls over the SAME view names per
+    invocation (a FULL regular join: 7); `spark.sql` binds each returned
+    DataFrame to the views at ANALYSIS time, so restoring between
+    consecutive calls that immediately re-bind the same names is pure
+    py4j churn (~4 round trips per call). One restore at scope exit keeps
+    the executor contract — ctx bindings are back before the next step —
+    at 1/N of the cost."""
+    try:
+        yield
+    finally:
+        _restore_views(ctx, names)
+
+
 def _run_with_views(
-    ctx: StepContext, sql: str, bindings: dict[str, DataFrame], wm
+    ctx: StepContext,
+    sql: str,
+    bindings: dict[str, DataFrame],
+    wm,
+    restore: bool = True,
 ) -> DataFrame:
     for name, df in bindings.items():
         df.createOrReplaceTempView(name)
     try:
         return ctx.spark.sql(rewrite_query(sql, watermark=wm))
     finally:
-        for name in bindings:
-            if name in ctx.views:
-                ctx.views[name].createOrReplaceTempView(name)
-            else:
-                ctx.spark.catalog.dropTempView(name)
+        if restore:
+            _restore_views(ctx, bindings)
 
 
 _EQ_TERM_RE = re.compile(
@@ -154,6 +180,12 @@ def execute_regular_join(ctx: StepContext, sql: str) -> StepResult:
     spec = parse_regular_join(sql, set(ctx.views))
     if spec is None:
         raise InvalidQueryError("regular join executor could not parse the join shape")
+    rv_bind = _SELF_RIGHT if spec.left_view == spec.right_view else spec.right_view
+    with _view_scope(ctx, (spec.left_view, rv_bind)):
+        return _regular_join_body(ctx, sql, spec)
+
+
+def _regular_join_body(ctx: StepContext, sql: str, spec) -> StepResult:
     kind = spec.join_kind  # "", "LEFT", "RIGHT", "FULL"
     pad_left = kind in ("LEFT", "FULL")
     pad_right = kind in ("RIGHT", "FULL")
@@ -238,15 +270,15 @@ def execute_regular_join(ctx: StepContext, sql: str) -> StepResult:
     wm = min_watermark(ctx.new_wms.get(lv), ctx.new_wms.get(rv))
     bl = _slice_hinted(ctx, lv, new_left)
     br = _slice_hinted(ctx, rv, new_right)
-    pairs_new = _run_with_views(ctx, inner_sql, {lv: bl, rv_bind: br}, wm)
+    pairs_new = _run_with_views(ctx, inner_sql, {lv: bl, rv_bind: br}, wm, restore=False)
     if first:
         pairs = pairs_new
     else:
         pairs = (
-            _run_with_views(ctx, inner_sql, {lv: bl, rv_bind: old_right}, wm)
+            _run_with_views(ctx, inner_sql, {lv: bl, rv_bind: old_right}, wm, restore=False)
             .unionByName(pairs_new)
             .unionByName(
-                _run_with_views(ctx, inner_sql, {lv: old_left, rv_bind: br}, wm)
+                _run_with_views(ctx, inner_sql, {lv: old_left, rv_bind: br}, wm, restore=False)
             )
         )
 
@@ -296,10 +328,10 @@ def execute_regular_join(ctx: StepContext, sql: str) -> StepResult:
             (left_unm_name, still_unmatched_l.unionByName(new_unmatched_l), lkeys)
         )
         pad_parts.append(
-            _run_with_views(ctx, sql, {lv: new_unmatched_l, rv_bind: empty_right}, wm)
+            _run_with_views(ctx, sql, {lv: new_unmatched_l, rv_bind: empty_right}, wm, restore=False)
         )
         retract_parts.append(
-            _run_with_views(ctx, sql, {lv: newly_matched_l, rv_bind: empty_right}, wm)
+            _run_with_views(ctx, sql, {lv: newly_matched_l, rv_bind: empty_right}, wm, restore=False)
         )
 
     if pad_right:
@@ -332,10 +364,10 @@ def execute_regular_join(ctx: StepContext, sql: str) -> StepResult:
             (right_unm_name, still_unmatched_r.unionByName(new_unmatched_r), rkeys)
         )
         pad_parts.append(
-            _run_with_views(ctx, sql, {lv: empty_left, rv_bind: new_unmatched_r}, wm)
+            _run_with_views(ctx, sql, {lv: empty_left, rv_bind: new_unmatched_r}, wm, restore=False)
         )
         retract_parts.append(
-            _run_with_views(ctx, sql, {lv: empty_left, rv_bind: newly_matched_r}, wm)
+            _run_with_views(ctx, sql, {lv: empty_left, rv_bind: newly_matched_r}, wm, restore=False)
         )
 
     if kind:
@@ -353,7 +385,7 @@ def execute_regular_join(ctx: StepContext, sql: str) -> StepResult:
             # pad runs; identical output (the slice-invariance tests
             # cross-validate this path against the general one). The
             # probes above still feed the unmatched state.
-            result = _tag(_run_with_views(ctx, sql, {lv: bl, rv_bind: br}, wm), OP_APPEND, 1)
+            result = _tag(_run_with_views(ctx, sql, {lv: bl, rv_bind: br}, wm, restore=False), OP_APPEND, 1)
         else:
             result = _tag(pairs, OP_APPEND, 1)
             for p in pad_parts:
