@@ -131,19 +131,33 @@ def _stamp_emission_seq(spark, df, order_cols, pinned, persisted=False):
     has_seq = SEQ in df.columns
 
     def stamp(it):
-        cursor = None
+        # Per-pid cursors, re-seeded from the broadcast base whenever the
+        # pid changes: a downstream coalesce(1) (the dense-seq output fast
+        # path) fuses this pass into one task that iterates SEVERAL range
+        # partitions, and an Arrow batch can even straddle two of them —
+        # so seq values derive from each row's own pid run, never from
+        # "the task's partition".
+        import numpy as np
+
+        cur_pid, cursor = None, 0
         for pdf in it:
             if not len(pdf):
                 continue
-            if cursor is None:
-                cursor = bbase.value[int(pdf["__pid"].iloc[0])]
+            pids = pdf["__pid"].to_numpy()
+            seqs = np.empty(len(pdf), dtype="int64")
+            bounds = [0, *(np.flatnonzero(np.diff(pids)) + 1), len(pdf)]
+            for s, e in zip(bounds, bounds[1:]):
+                pid = int(pids[s])
+                if pid != cur_pid:
+                    cur_pid, cursor = pid, bbase.value[pid]
+                seqs[s:e] = np.arange(cursor, cursor + (e - s))
+                cursor += e - s
             out = pdf.drop(columns="__pid")
             # Overwrites in place when __seq already exists (re-stamp of a
             # forwarded ledger offset), appends otherwise — either way the
             # column ORDER matches `schema` below, so star expansion over
             # the alias view is unchanged.
-            out[SEQ] = range(cursor, cursor + len(pdf))
-            cursor += len(pdf)
+            out[SEQ] = seqs
             yield out
 
     fields = [
@@ -286,6 +300,12 @@ def execute_transform(spark: SparkSession, request: TransformRequest) -> Transfo
     steps = list(request.transform.queries)
     result: StepResult | None = None
     pinned: list[DataFrame] = []
+    # Aliases whose __seq is dense 0..n-1 in physical order this
+    # invocation (stamped below, or a pure projection over one) — lets
+    # _assemble_output derive offsets arithmetically with no second
+    # serial pass, and lets a chained projection skip an identity
+    # re-stamp. Shared across steps like `views`.
+    dense_views: set[str] = set()
     # Pinned (MEMORY_AND_DISK) DataFrames must be released even when an
     # executor step, the output write, or the state save raises — a
     # long-lived adapter process runs many invocations on one session and
@@ -327,6 +347,7 @@ def execute_transform(spark: SparkSession, request: TransformRequest) -> Transfo
                 new_wms=new_wms,
                 pinned=pinned,
                 slice_sizes=slice_sizes,
+                dense_seq_views=dense_views,
             )
             kind = C.classify(step.query, set(views))
             # A chained step reading a changelog-EMITTING alias (outer
@@ -403,7 +424,13 @@ def execute_transform(spark: SparkSession, request: TransformRequest) -> Transfo
                 # TEMPORAL_JOIN consumers also need the stamp: version rows
                 # of one key tie on event_time within an invocation, and
                 # the emission seq is the deterministic tie-break.
-                if (
+                if result.dense_seq:
+                    # A pure projection over a densely stamped alias: its
+                    # __seq is already exactly 0..n-1 in physical order,
+                    # so the stamp below would be an identity rewrite —
+                    # skip it and propagate the density instead.
+                    dense_views.add(step.alias)
+                elif (
                     topn.OP_COL in adf.columns
                     and result.order_cols
                     and any(
@@ -445,6 +472,18 @@ def execute_transform(spark: SparkSession, request: TransformRequest) -> Transfo
                             adf = adf.repartition(1).withColumn(
                                 SEQ, (F.row_number().over(w) - 1).cast("long")
                             )
+                            # Only the SERIAL stamp marks the alias dense.
+                            # The distributed stamp's seq is equally dense,
+                            # but letting the output fast path skip its
+                            # final sort would make the sink's coalesce(1)
+                            # fuse the stamp's mapInPandas into the single
+                            # write task — a serial Arrow round trip of
+                            # the whole emission, measured SLOWER than the
+                            # JVM repartition(1)+sort it replaces (13.3 vs
+                            # 11.8 s on the 2M-row stamp_2m_gate twin; the
+                            # serial case wins 8.9 vs 10.9 s because both
+                            # of its passes were already one JVM task).
+                            dense_views.add(step.alias)
                 views[step.alias] = adf
                 adf.createOrReplaceTempView(step.alias)
                 event_time_cols[step.alias] = request.vocab.event_time_column
@@ -511,6 +550,22 @@ def _assemble_output(
 
     # Deterministic emission order -> offset stamping. Sorting happens on
     # the full (possibly internal) column set, then internals are dropped.
+    if result.dense_seq and result.order_cols == [SEQ]:
+        # Dense fast path: __seq is exactly 0..n-1 and the frame's
+        # physical (partition-major) row order IS seq order — the
+        # engine's own mid-chain stamp guarantees both, and a pure
+        # projection preserves them. The offset is then arithmetic and
+        # the sink's coalesce(1) (partitions concatenate in index
+        # order) keeps rows in offset order: the serial
+        # repartition(1) + whole-emission window sort below is skipped.
+        return _finalize_output(
+            df.withColumn(
+                vocab.offset_column,
+                (F.col(SEQ) + F.lit(request.next_offset)).cast("long"),
+            ),
+            request,
+            user_cols,
+        )
     if result.order_cols:
         # One round-robin shuffle to a single partition, with the
         # deterministic sort folded into the offset-stamping window (the
@@ -530,7 +585,15 @@ def _assemble_output(
         vocab.offset_column,
         (F.row_number().over(w) - 1 + F.lit(request.next_offset)).cast("long"),
     )
+    return _finalize_output(df, request, user_cols)
 
+
+def _finalize_output(
+    df: DataFrame, request: TransformRequest, user_cols: list[str]
+) -> DataFrame:
+    """Shared tail of output assembly once the offset column exists: op
+    derivation, system_time stamp, system/internal column ordering."""
+    vocab = request.vocab
     # op: propagated if the user query emitted it, else executor-derived
     # (Top-N corrections), else Append (TransformEngine.scala:294-302).
     if vocab.operation_type_column in user_cols:

@@ -41,6 +41,14 @@ class StepContext:
     # the new slice is broadcastable against accumulated state, instead
     # of forcing a hint that would OOM when a slice is genuinely large.
     slice_sizes: dict[str, int] = field(default_factory=dict)
+    # Aliases whose __seq is DENSE this invocation (exactly 0..n-1, with
+    # physical partition-major row order equal to seq order): the engine's
+    # mid-chain emission stamp produces this shape, and a pure 1:1
+    # projection preserves it. A final step over one of these can derive
+    # offsets as __seq + next_offset with no second serial
+    # repartition(1) + window pass (engine/transform._assemble_output).
+    # Shared (mutated) across the steps of one invocation, like `views`.
+    dense_seq_views: set[str] = field(default_factory=set)
 
     def pin(self, df: DataFrame) -> DataFrame:
         """Cache `df` (memory-and-disk) so the state-save action and the
@@ -60,6 +68,13 @@ class StepResult:
     # Deterministic emission order for offset stamping; None = preserve the
     # DataFrame's natural (single-input narrow-plan) order.
     order_cols: list[str] | None = None
+    # order_cols == [__seq] AND __seq is dense 0..n-1 with the frame's
+    # physical (partition-major) row order equal to seq order — a pure
+    # projection over a densely stamped alias. Offsets then become
+    # __seq + next_offset and the output assembly skips its serial
+    # repartition(1) + window pass; a re-stamp of the alias is skipped
+    # too (it would be an identity rewrite).
+    dense_seq: bool = False
 
 
 def min_watermark(*wms: datetime | None) -> datetime | None:

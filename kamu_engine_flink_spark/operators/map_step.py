@@ -45,6 +45,38 @@ def _inject_seq(sql: str) -> str | None:
     return _SIMPLE_SELECT_RE.sub(f"SELECT {SEQ_INPUT}, ", sql, count=1)
 
 
+def _dense_projection(ctx: StepContext, sql: str, refs: list[str]) -> bool:
+    """True when `sql` is a pure 1:1 projection over a single alias whose
+    __seq the engine stamped densely this invocation (StepContext.
+    dense_seq_views) — the only shape that preserves both the dense
+    0..n-1 seq values and the physical seq-ordered row layout the output
+    fast path (transform._assemble_output) relies on. Conservative: any
+    cardinality-changing or order-destroying construct disqualifies, as
+    does the user SQL naming __seq itself (the forwarded column may then
+    not be the ledger seq). Callers only ask after _inject_seq succeeded,
+    which already excludes GROUP BY / UNION / DISTINCT / ORDER BY /
+    LIMIT and multi-SELECT shapes."""
+    from ..plans.classify import mask_sql
+
+    if len(refs) != 1 or refs[0] not in ctx.dense_seq_views:
+        return False
+    if SEQ_INPUT in sql:
+        return False
+    masked = mask_sql(sql, parens=True)
+    if re.search(
+        r"\bwhere\b|\bjoin\b|\bover\b|\bunnest\b|\blateral\b|\bexplode\b"
+        r"|\bposexplode\b|\binline\b|\bstack\b|\btablesample\b",
+        masked,
+        re.IGNORECASE,
+    ):
+        return False
+    # Exactly one plain FROM item — a comma'd FROM list is a join.
+    m = re.search(r"\bfrom\b(.*)$", masked, re.IGNORECASE | re.DOTALL)
+    if m is None or "," in m.group(1):
+        return False
+    return True
+
+
 def _changelog_filter(ctx: StepContext, sql: str, src: str, wm) -> StepResult:
     """WHERE over an updating alias — Flink's filter on a retraction
     stream. Plain op 0/1 rows filter directly; an op 2/3 correction pair
@@ -227,6 +259,7 @@ def execute_map(ctx: StepContext, sql: str) -> StepResult:
     # ops/OVER would duplicate or strand op rows, so those reject.
     changelog_refs = [r for r in refs if OP_COL in ctx.views[r].columns]
     run_sql = sql
+    dense = False
     if changelog_refs:
         from ..plans.classify import mask_sql
 
@@ -257,6 +290,7 @@ def execute_map(ctx: StepContext, sql: str) -> StepResult:
         if has_where:
             return _changelog_filter(ctx, sql, refs[0], wm)
         run_sql = simple
+        dense = _dense_projection(ctx, sql, refs)
         if OP_COL not in run_sql:
             run_sql = _SIMPLE_SELECT_RE.sub(
                 f"SELECT {OP_COL}, ", run_sql, count=1
@@ -265,9 +299,15 @@ def execute_map(ctx: StepContext, sql: str) -> StepResult:
         injected = _inject_seq(sql)
         if injected is not None:
             run_sql = injected
+            dense = _dense_projection(ctx, sql, refs)
 
     order_cols: list[str] | None = None
     df = ctx.spark.sql(rewrite_query(run_sql, watermark=wm))
     if SEQ_INPUT in df.columns:
         order_cols = [SEQ_INPUT]
-    return StepResult(df=df, watermark=wm, order_cols=order_cols)
+    return StepResult(
+        df=df,
+        watermark=wm,
+        order_cols=order_cols,
+        dense_seq=dense and order_cols == [SEQ_INPUT],
+    )

@@ -1,0 +1,136 @@
+"""The dense-seq output fast path (transform._assemble_output): when the
+final step is a pure projection over an alias the engine SERIALLY
+stamped, offsets become __seq + next_offset and the second serial
+repartition(1) + window pass is skipped. The output file (offsets, row
+order, every cell) must be IDENTICAL to the non-dense path's. The
+distributed stamp deliberately does NOT mark its alias dense (the sink's
+coalesce(1) would fuse its mapInPandas into the single write task —
+measured slower than the JVM sort it replaces); the dist=True arm pins
+that the chain stays byte-identical there too, under Arrow batches small
+enough to straddle range-partition boundaries."""
+
+import pyarrow.parquet as pq
+import pytest
+
+import kamu_engine_flink_spark.operators.map_step as map_step
+from kamu_engine_flink_spark.operators.base import StepContext
+
+from .helpers import TransformRunner, ticker_slice, ts
+
+AGG = """SELECT cast(now() as timestamp(3)) as event_time,
+  symbol, sum(price) as s FROM a GROUP BY symbol"""
+PROJ = "SELECT event_time, symbol, s FROM g"
+
+
+def _chain_outputs(spark, tmp_path, subdir, queries, dist=False, batch=None):
+    """Run a 2-invocation agg->projection chain; return both raw outputs
+    (every column, file order) and the offset-interval responses."""
+    base = tmp_path / subdir
+    base.mkdir()
+    runner = TransformRunner(spark, base, queries=queries)
+    if dist:
+        spark.conf.set("spark.kamu.stampDistributedMinRows", "0")
+    if batch is not None:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch))
+    try:
+        outs = []
+        for i in (1, 2):
+            p = str(base / "in" / f"a_r{i}.parquet")
+            # 61 keys (not batch-aligned) so a small Arrow batch size
+            # straddles range-partition boundaries in a fused task.
+            ticker_slice(
+                p,
+                [
+                    (k, 0, ts(1 + i), ts(1, 0, i), f"S{k:02d}", 10 * i + k)
+                    for k in range(61)
+                ],
+            )
+            resp, out = runner.run(
+                [{"alias": "a", "data_paths": [p], "schema_file": p,
+                  "watermark": ts(1, i, 0)}],
+                system_time=ts(1 + i),
+            )
+            # now() in the agg maps to real wall clock -> event_time
+            # differs between the A and B runs; drop it (every other
+            # cell, the offsets and the file row order must be equal).
+            outs.append(
+                (
+                    resp.new_offset_interval,
+                    [
+                        {k: v for k, v in r.items() if k != "event_time"}
+                        for r in pq.read_table(out).to_pylist()
+                    ],
+                )
+            )
+        return outs
+    finally:
+        if dist:
+            spark.conf.unset("spark.kamu.stampDistributedMinRows")
+        if batch is not None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+
+
+def _no_dense(monkeypatch):
+    monkeypatch.setattr(map_step, "_dense_projection", lambda *a, **k: False)
+
+
+@pytest.mark.parametrize("dist,batch", [(False, None), (True, 7)])
+def test_dense_output_identical_to_windowed_path(
+    spark, tmp_path, monkeypatch, dist, batch
+):
+    queries = [(AGG, "g"), (PROJ, None)]
+    dense = _chain_outputs(spark, tmp_path, "dense", queries, dist, batch)
+    _no_dense(monkeypatch)
+    slow = _chain_outputs(spark, tmp_path, "slow", queries, dist, batch)
+    assert dense == slow  # offsets, file row order, every cell
+    # And the dense run's own invariants: contiguous offsets across runs.
+    (oi1, rows1), (oi2, rows2) = dense
+    assert [r["offset"] for r in rows1] == list(range(oi1.start, oi1.end + 1))
+    assert oi2.start == oi1.end + 1
+    assert [r["offset"] for r in rows2] == list(range(oi2.start, oi2.end + 1))
+
+
+def test_dense_propagates_through_chained_projection(spark, tmp_path, monkeypatch):
+    """proj1 over the stamped agg is itself dense (its identity re-stamp
+    is skipped); proj2 over proj1 still emits the correction pairs
+    adjacent and byte-identical to the non-dense chain."""
+    queries = [(AGG, "g"), ("SELECT event_time, symbol, s FROM g", "p1"),
+               ("SELECT event_time, symbol, s FROM p1", None)]
+    dense = _chain_outputs(spark, tmp_path, "dense", queries)
+    _no_dense(monkeypatch)
+    slow = _chain_outputs(spark, tmp_path, "slow", queries)
+    assert dense == slow
+    # Invocation 2 rewrites all 61 keys: op-2 retract immediately before
+    # its op-3 replacement, per key, in file order.
+    rows2 = dense[1][1]
+    ops = [r["op"] for r in rows2]
+    assert ops == [2, 3] * 61
+    for a, b in zip(rows2[::2], rows2[1::2]):
+        assert a["symbol"] == b["symbol"]
+
+
+def test_dense_projection_disqualifiers(spark):
+    """Shapes that change cardinality, destroy physical order, or rename
+    __seq must never be marked dense."""
+    views = {"g": spark.range(1).selectExpr("id", "id as __seq")}
+    ctx = StepContext(
+        spark=spark, state=None, step_key="s0", request=None, views=views,
+        event_time_cols={}, prev_wms={}, new_wms={},
+        dense_seq_views={"g"},
+    )
+    ok = "SELECT id FROM g"
+    assert map_step._dense_projection(ctx, ok, ["g"])
+    bad = [
+        "SELECT id FROM g WHERE id > 0",          # drops rows
+        "SELECT id FROM g JOIN h ON g.id = h.id", # multiplies rows
+        "SELECT sum(id) OVER () as t FROM g",     # window destroys order
+        "SELECT id, tag FROM g, UNNEST(tags) AS t(tag)",  # expands rows
+        "SELECT explode(tags) FROM g",            # expands rows
+        "SELECT id as __seq FROM g",              # user-shadowed seq
+        "SELECT id FROM g, h",                    # comma join
+    ]
+    for sql in bad:
+        assert not map_step._dense_projection(ctx, sql, ["g"]), sql
+    # Source not dense-stamped this invocation -> not dense.
+    ctx.dense_seq_views.clear()
+    assert not map_step._dense_projection(ctx, ok, ["g"])
