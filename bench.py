@@ -1006,11 +1006,20 @@ def main() -> None:
         "queries": timings,
         "sf": sf_num,
         "pins": pin_report,
+        # Round-13 semantics fix (measurement, not workload): the flag
+        # asserted the DEFAULT gate strictly beats the forced-serial
+        # twin. Since the dense-seq output fast path landed, the default
+        # gate CHOOSES the serial+dense plan for this chain shape at 2M
+        # rows (engine/transform._dense_chain_to_output) — both twins
+        # now run the same optimal plan and a strict < is a jitter coin
+        # flip. The flag now asserts the default is never WORSE than the
+        # forced twin beyond a 10% jitter band, which is the property
+        # the pair exists to prove.
         "stamp_gate_wins": (
             timings.get("stamp_2m_gate_default") is not None
             and timings.get("stamp_2m_serial_forced") is not None
             and timings["stamp_2m_gate_default"]
-            < timings["stamp_2m_serial_forced"]
+            <= 1.10 * timings["stamp_2m_serial_forced"]
         ),
     }
     # The full per-query map (~60 keys) grew past the driver's stdout

@@ -85,6 +85,18 @@ SEQ = "__seq"
 # crossover.
 _STAMP_DIST_CONF = "spark.kamu.stampDistributedMinRows"
 _STAMP_DIST_DEFAULT = 1_000_000
+# When the chain provably ends in the dense output fast path
+# (_dense_chain_to_output), the serial stamp stays optimal well past the
+# gate above — its single serial pass replaces BOTH serial passes of the
+# windowed path. Cap (rows) past which even a dense chain returns to the
+# distributed stamp: the serial sort grows n log n in one task; the 4M
+# default is ~the wash point extrapolated from the measured 2M-row twins
+# (serial+dense 7.6 vs distributed+windowed 9.2) and the r9 4M-row
+# calibration (serial 17.0 vs distributed 11.9, pre-dense). An ABSOLUTE
+# row count, deliberately not scaled off the gate conf — it prices a
+# single task's sort, not the gate's crossover.
+_STAMP_DENSE_SERIAL_CONF = "spark.kamu.stampDenseSerialMaxRows"
+_STAMP_DENSE_SERIAL_DEFAULT = 4_000_000
 
 
 def _stamp_emission_seq(spark, df, order_cols, pinned, persisted=False):
@@ -167,6 +179,43 @@ def _stamp_emission_seq(spark, df, order_cols, pinned, persisted=False):
     if not has_seq:
         fields.append(StructField(SEQ, LongType(), True))
     return tagged.mapInPandas(stamp, StructType(fields))
+
+
+def _dense_chain_to_output(alias: str, later_steps, all_names: set) -> bool:
+    """True when `alias` provably reaches the FINAL step through pure 1:1
+    projections only — the shape where the dense output fast path
+    (_assemble_output) fires. The stamp gate then keeps the SERIAL stamp
+    at ANY emission size: the chain's one unavoidable serial pass (the
+    stamp, folded into the write task's lineage) replaces BOTH serial
+    passes of the windowed path, and beats the distributed stamp + serial
+    windowed assembly (measured on the 2M-row stamp_2m twins: serial+
+    dense 7.6 s vs distributed+windowed 9.2 s; the crossover the 1M size
+    gate encodes only exists when the output pass cannot be skipped).
+    Conservative: a second consumer, a name rebind, or any
+    non-pure-projection hop returns False — the size gate then decides
+    as before."""
+    cur = alias
+    for j, s2 in enumerate(later_steps):
+        refs2 = C.referenced_views(s2.query, all_names)
+        if cur not in refs2:
+            if s2.alias == cur:
+                return False  # name rebound away from the chain
+            continue
+        if any(
+            cur in C.referenced_views(s3.query, all_names)
+            for s3 in later_steps[j + 1 :]
+        ):
+            return False  # a second consumer reads the alias too
+        if C.classify(s2.query, all_names) != C.MAP:
+            return False
+        if not map_step.dense_shape(s2.query, refs2):
+            return False
+        if j == len(later_steps) - 1:
+            return True  # the final step: output assembly sees dense
+        if s2.alias is None:
+            return False
+        cur = s2.alias
+    return False
 
 
 def _safe_name(alias: str) -> str:
@@ -460,7 +509,31 @@ def execute_transform(spark: SparkSession, request: TransformRequest) -> Transfo
 
                         adf = adf.persist(StorageLevel.MEMORY_AND_DISK)
                         pinned.append(adf)
-                        if adf.count() >= dist_min:
+                        n_rows = adf.count()
+                        # A chain that provably ends in the dense output
+                        # fast path raises the serial stamp's crossover:
+                        # its one serial pass replaces BOTH serial passes
+                        # of the windowed path (measured on the 2M-row
+                        # stamp_2m twins: serial+dense 7.6 s vs
+                        # distributed+windowed-output 9.2 s), so the 1M
+                        # size gate only applies when the output pass
+                        # cannot be skipped. The serial sort still grows
+                        # n log n in ONE task, so a cap (default 4x the
+                        # gate, ~the extrapolated wash point; conf'd for
+                        # real clusters) returns huge emissions to the
+                        # distributed stamp.
+                        try:
+                            dense_cap = int(
+                                spark.conf.get(_STAMP_DENSE_SERIAL_CONF)
+                            )
+                        except Exception:
+                            dense_cap = _STAMP_DENSE_SERIAL_DEFAULT
+                        if n_rows >= dist_min and not (
+                            n_rows < dense_cap
+                            and _dense_chain_to_output(
+                                step.alias, steps[i + 1 :], all_names
+                            )
+                        ):
                             adf = _stamp_emission_seq(
                                 spark, adf, result.order_cols, pinned,
                                 persisted=True,

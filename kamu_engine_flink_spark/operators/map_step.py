@@ -45,22 +45,25 @@ def _inject_seq(sql: str) -> str | None:
     return _SIMPLE_SELECT_RE.sub(f"SELECT {SEQ_INPUT}, ", sql, count=1)
 
 
-def _dense_projection(ctx: StepContext, sql: str, refs: list[str]) -> bool:
-    """True when `sql` is a pure 1:1 projection over a single alias whose
-    __seq the engine stamped densely this invocation (StepContext.
-    dense_seq_views) — the only shape that preserves both the dense
-    0..n-1 seq values and the physical seq-ordered row layout the output
-    fast path (transform._assemble_output) relies on. Conservative: any
+def dense_shape(sql: str, refs: list[str]) -> bool:
+    """True when `sql` is TEXTUALLY a pure 1:1 projection over a single
+    view — the only shape that preserves both dense 0..n-1 seq values
+    and the physical seq-ordered row layout the output fast path
+    (transform._assemble_output) relies on. Conservative: any
     cardinality-changing or order-destroying construct disqualifies, as
-    does the user SQL naming __seq itself (the forwarded column may then
-    not be the ledger seq). Callers only ask after _inject_seq succeeded,
-    which already excludes GROUP BY / UNION / DISTINCT / ORDER BY /
-    LIMIT and multi-SELECT shapes."""
+    does the SQL naming __seq itself (the forwarded column may then not
+    be the ledger seq). Includes the _inject_seq gate, so it also
+    excludes GROUP BY / UNION / DISTINCT / ORDER BY / LIMIT and
+    multi-SELECT shapes. Pure SQL-shape predicate (no ctx): the stamp
+    gate in engine/transform uses it to PREDICT, at stamp time, whether
+    the chain will reach the dense output path."""
     from ..plans.classify import mask_sql
 
-    if len(refs) != 1 or refs[0] not in ctx.dense_seq_views:
+    if len(refs) != 1:
         return False
     if SEQ_INPUT in sql:
+        return False
+    if _inject_seq(sql) is None:
         return False
     masked = mask_sql(sql, parens=True)
     if re.search(
@@ -75,6 +78,16 @@ def _dense_projection(ctx: StepContext, sql: str, refs: list[str]) -> bool:
     if m is None or "," in m.group(1):
         return False
     return True
+
+
+def _dense_projection(ctx: StepContext, sql: str, refs: list[str]) -> bool:
+    """dense_shape over a single alias whose __seq the engine stamped
+    densely this invocation (StepContext.dense_seq_views)."""
+    return (
+        len(refs) == 1
+        and refs[0] in ctx.dense_seq_views
+        and dense_shape(sql, refs)
+    )
 
 
 def _changelog_filter(ctx: StepContext, sql: str, src: str, wm) -> StepResult:

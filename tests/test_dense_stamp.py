@@ -9,10 +9,14 @@ measured slower than the JVM sort it replaces); the dist=True arm pins
 that the chain stays byte-identical there too, under Arrow batches small
 enough to straddle range-partition boundaries."""
 
+from types import SimpleNamespace
+
 import pyarrow.parquet as pq
 import pytest
 
+import kamu_engine_flink_spark.engine.transform as T
 import kamu_engine_flink_spark.operators.map_step as map_step
+from kamu_engine_flink_spark.engine.transform import _dense_chain_to_output
 from kamu_engine_flink_spark.operators.base import StepContext
 
 from .helpers import TransformRunner, ticker_slice, ts
@@ -107,6 +111,83 @@ def test_dense_propagates_through_chained_projection(spark, tmp_path, monkeypatc
     assert ops == [2, 3] * 61
     for a, b in zip(rows2[::2], rows2[1::2]):
         assert a["symbol"] == b["symbol"]
+
+
+def _steps(*qa):
+    return [SimpleNamespace(query=q, alias=a) for q, a in qa]
+
+
+def test_dense_chain_walk():
+    """The stamp gate's chain predictor: alias must reach the FINAL step
+    through single-consumer pure projections only."""
+    names = {"a", "g", "p1", "t"}
+    ok = _steps(("SELECT x, y FROM g", None))
+    assert _dense_chain_to_output("g", ok, names)
+    two_hop = _steps(("SELECT x, y FROM g", "p1"), ("SELECT x FROM p1", None))
+    assert _dense_chain_to_output("g", two_hop, names)
+    bad = [
+        # WHERE hop (correction-pair rewrite changes cardinality)
+        _steps(("SELECT x FROM g WHERE x > 0", None)),
+        # final step does not read the chain
+        _steps(("SELECT x, y FROM g", "p1"), ("SELECT x FROM a", None)),
+        # a second consumer reads the alias too
+        _steps(("SELECT x FROM g", "p1"),
+               ("SELECT x FROM g", "t"),
+               ("SELECT x FROM p1", None)),
+        # non-MAP hop (aggregation)
+        _steps(("SELECT x, count(*) AS n FROM g GROUP BY x", None)),
+        # name rebound away from the chain before consumption
+        _steps(("SELECT x FROM a", "g"), ("SELECT x FROM g", None)),
+        # join hop
+        _steps(("SELECT g.x FROM g JOIN a ON g.x = a.x", None)),
+    ]
+    for steps in bad:
+        assert not _dense_chain_to_output("g", steps, names), steps
+
+
+def test_gate_prefers_serial_stamp_for_dense_chain(spark, tmp_path, monkeypatch):
+    """With the distributed gate forced low (1 row), a dense-eligible
+    chain still takes the SERIAL stamp (the dense fast path makes it the
+    better plan) while a WHERE-consumer chain takes the distributed
+    stamp; a tiny dense-serial cap returns even the dense chain to the
+    distributed stamp. Outputs stay correct in all three."""
+    calls = []
+    real = T._stamp_emission_seq
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(T, "_stamp_emission_seq", spy)
+    spark.conf.set("spark.kamu.stampDistributedMinRows", "1")
+    try:
+        dense = _chain_outputs(spark, tmp_path, "dense", [(AGG, "g"), (PROJ, None)])
+        assert not calls  # dense chain: serial stamp despite the low gate
+        assert [r["offset"] for r in dense[1][1]] == list(
+            range(dense[1][0].start, dense[1][0].end + 1)
+        )
+        flt = _chain_outputs(
+            spark, tmp_path, "flt",
+            [(AGG, "g"), ("SELECT event_time, symbol, s FROM g WHERE s >= 0", None)],
+        )
+        assert calls  # WHERE consumer: distributed stamp as before
+        assert [r["offset"] for r in flt[1][1]] == list(
+            range(flt[1][0].start, flt[1][0].end + 1)
+        )
+        calls.clear()
+        spark.conf.set("spark.kamu.stampDenseSerialMaxRows", "1")
+        try:
+            capped = _chain_outputs(
+                spark, tmp_path, "capped", [(AGG, "g"), (PROJ, None)]
+            )
+            assert calls  # over the dense-serial cap: distributed again
+            assert capped[0][1] == dense[0][1] and len(capped[1][1]) == len(
+                dense[1][1]
+            )
+        finally:
+            spark.conf.unset("spark.kamu.stampDenseSerialMaxRows")
+    finally:
+        spark.conf.unset("spark.kamu.stampDistributedMinRows")
 
 
 def test_dense_projection_disqualifiers(spark):
