@@ -221,9 +221,16 @@ def test_stamp_gate_keys_on_emission_not_input(spark, tmp_path, monkeypatch):
         # Case B: 8 input rows over 8 keys -> emission of 8 rows crosses
         # the threshold: distributed path, exactly one call. (Under the
         # old input-bytes gate this slice — a fraction of case A's — kept
-        # the serial window.)
+        # the serial window.) The consumer is a WHERE filter rather than
+        # a pure projection: a pure-projection chain is dense-eligible
+        # and the round-13 dense-aware gate (transform.
+        # _dense_chain_to_output) would legitimately keep it serial —
+        # the SIZE gate this test pins only decides for chains that
+        # cannot take the dense output fast path.
         runner2 = TransformRunner(
-            spark, tmp_path / "b", queries=[(AGG, "g"), (PROJ, None)],
+            spark, tmp_path / "b",
+            queries=[(AGG, "g"),
+                     ("SELECT event_time, symbol, s FROM g WHERE s >= 0", None)],
         )
         rows2 = [(i, 0, ts(2), ts(1, 0, 1), f"S{i}", 10 + i) for i in range(8)]
         resp2, out2 = runner2.run(
