@@ -27,6 +27,8 @@ from datetime import datetime, timezone
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
+from ..session import conf_int
+
 # Conf key for the state bucket count. Buckets are baked into a relation at
 # first write (recorded in its sidecar); later appends reuse the recorded
 # count, so changing the conf mid-stream only affects NEW relations. On the
@@ -272,16 +274,19 @@ class StateStore:
         self._written.add(f"{name}.parquet")
 
     def _num_buckets(self) -> int:
-        try:
-            return int(self.spark.conf.get(_NUM_BUCKETS_CONF))
-        except Exception:
-            return int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        # Two-arg conf.get: the unset-key exception costs ~40 ms in py4j
+        # round trips and this runs per bucketed state write (see
+        # session.conf_int; bespoke here for the shuffle-partitions chain).
+        v = self.spark.conf.get(_NUM_BUCKETS_CONF, None)
+        if v is not None:
+            try:
+                return int(v)
+            except (TypeError, ValueError):
+                pass
+        return int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     def _compact_after(self) -> int:
-        try:
-            return int(self.spark.conf.get(_COMPACT_FILES_CONF))
-        except Exception:
-            return _COMPACT_FILES_DEFAULT
+        return conf_int(self.spark, _COMPACT_FILES_CONF, _COMPACT_FILES_DEFAULT)
 
     def _write_bucketed(
         self,

@@ -51,6 +51,7 @@ from ..operators import (
     window_join,
 )
 from ..operators.base import StepContext, StepResult
+from ..session import conf_int
 from ..plans import classify as C
 from ..plans import multi_join as MJ
 from ..protocol.model import (
@@ -489,10 +490,9 @@ def execute_transform(spark: SparkSession, request: TransformRequest) -> Transfo
                         for s2 in steps[i + 1 :]
                     )
                 ):
-                    try:
-                        dist_min = int(spark.conf.get(_STAMP_DIST_CONF))
-                    except Exception:
-                        dist_min = _STAMP_DIST_DEFAULT
+                    dist_min = conf_int(
+                        spark, _STAMP_DIST_CONF, _STAMP_DIST_DEFAULT
+                    )
                     if dist_min <= 0:
                         # Forced distributed (tests / calibration).
                         adf = _stamp_emission_seq(
@@ -522,12 +522,11 @@ def execute_transform(spark: SparkSession, request: TransformRequest) -> Transfo
                         # gate, ~the extrapolated wash point; conf'd for
                         # real clusters) returns huge emissions to the
                         # distributed stamp.
-                        try:
-                            dense_cap = int(
-                                spark.conf.get(_STAMP_DENSE_SERIAL_CONF)
-                            )
-                        except Exception:
-                            dense_cap = _STAMP_DENSE_SERIAL_DEFAULT
+                        dense_cap = conf_int(
+                            spark,
+                            _STAMP_DENSE_SERIAL_CONF,
+                            _STAMP_DENSE_SERIAL_DEFAULT,
+                        )
                         if n_rows >= dist_min and not (
                             n_rows < dense_cap
                             and _dense_chain_to_output(

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..engine.state import StateStore
 from ..protocol.model import TransformRequest
+from ..session import conf_int
 
 
 @dataclass
@@ -234,12 +235,9 @@ def maintain_signed_ledger(
     meta = ctx.state.load_json(meta_name) or {}
     cur_bytes = ctx.state.relation_bytes(name) or 0
     floor = meta.get("floor")
-    try:
-        min_bytes = int(
-            ctx.spark.conf.get("spark.kamu.state.ledgerCompactMinBytes")
-        )
-    except Exception:
-        min_bytes = 8 << 20
+    min_bytes = conf_int(
+        ctx.spark, "spark.kamu.state.ledgerCompactMinBytes", 8 << 20
+    )
     if floor is not None and cur_bytes > max(4 * floor, min_bytes):
         ledger = (
             full

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from ..plans.classify import referenced_views
 from ..plans.dialect import VALID_FROM, VALID_TO, VERSIONS_SUFFIX, rewrite_query
 from ..protocol.model import InvalidQueryError, TemporalTable
+from ..session import conf_int
 from .base import StepContext, StepResult, min_watermark
 
 
@@ -301,12 +302,9 @@ def _changelog_version_state(
     cmeta = ctx.state.load_json(compact_meta) or {}
     cur_bytes = ctx.state.relation_bytes(versions_state) or 0
     floor = cmeta.get("floor")
-    try:
-        min_bytes = int(
-            ctx.spark.conf.get("spark.kamu.state.ledgerCompactMinBytes")
-        )
-    except Exception:
-        min_bytes = 8 << 20
+    min_bytes = conf_int(
+        ctx.spark, "spark.kamu.state.ledgerCompactMinBytes", 8 << 20
+    )
     if (
         floor is not None
         and joint_wm is not None
@@ -613,12 +611,9 @@ def _appendonly_version_state(
     cmeta = ctx.state.load_json(compact_meta) or {}
     cur_bytes = ctx.state.relation_bytes(versions_state) or 0
     floor = cmeta.get("floor")
-    try:
-        min_bytes = int(
-            ctx.spark.conf.get("spark.kamu.state.ledgerCompactMinBytes")
-        )
-    except Exception:
-        min_bytes = 8 << 20
+    min_bytes = conf_int(
+        ctx.spark, "spark.kamu.state.ledgerCompactMinBytes", 8 << 20
+    )
     if migrating or (
         floor is not None
         and joint_wm is not None
