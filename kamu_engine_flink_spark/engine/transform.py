@@ -493,11 +493,47 @@ def execute_transform(spark: SparkSession, request: TransformRequest) -> Transfo
                     dist_min = conf_int(
                         spark, _STAMP_DIST_CONF, _STAMP_DIST_DEFAULT
                     )
+                    dense_cap_raw = spark.conf.get(
+                        _STAMP_DENSE_SERIAL_CONF, None
+                    )
                     if dist_min <= 0:
                         # Forced distributed (tests / calibration).
                         adf = _stamp_emission_seq(
                             spark, adf, result.order_cols, pinned
                         )
+                    elif dense_cap_raw is None and _dense_chain_to_output(
+                        step.alias, steps[i + 1 :], all_names
+                    ):
+                        # Provably dense chain (single consumer, pure 1:1
+                        # projections to the FINAL step): serial stamp with
+                        # NO gate materialization — skip the persist and
+                        # the count entirely. The gate exists to choose
+                        # serial vs distributed by size, but for a dense
+                        # chain the distributed variant cannot win at ANY
+                        # size: its output pass (not dense-marked, see the
+                        # serial-branch note below) still ends in the same
+                        # one-task sort-by-__seq + encode + single-file
+                        # write that the serial stamp's one task performs —
+                        # a strict superset of work (range shuffle + Arrow
+                        # stamp + persist on top). The old 4M cap was
+                        # extrapolated from the PRE-dense r9 calibration,
+                        # where the serial path paid the windowed output
+                        # pass twice; with the dense output path that
+                        # second pass does not exist. Setting
+                        # spark.kamu.stampDenseSerialMaxRows restores the
+                        # counted gate (tests force tiny caps; a real
+                        # cluster can re-enable the escape hatch). Single
+                        # consumer means the un-persisted emission is
+                        # computed exactly once, inside the one output job
+                        # — the persist here was a pure cache-write cost
+                        # (~1.5 s of the 2M-row stamp twin's 8.3 s).
+                        w = Window.partitionBy(F.lit(0)).orderBy(
+                            *[F.col(c).asc() for c in result.order_cols]
+                        )
+                        adf = adf.repartition(1).withColumn(
+                            SEQ, (F.row_number().over(w) - 1).cast("long")
+                        )
+                        dense_views.add(step.alias)
                     else:
                         # Gate on the emission frame ITSELF: pin it and
                         # count. The pin is not overhead — both stamp
@@ -515,18 +551,15 @@ def execute_transform(spark: SparkSession, request: TransformRequest) -> Transfo
                         # its one serial pass replaces BOTH serial passes
                         # of the windowed path (measured on the 2M-row
                         # stamp_2m twins: serial+dense 7.6 s vs
-                        # distributed+windowed-output 9.2 s), so the 1M
-                        # size gate only applies when the output pass
-                        # cannot be skipped. The serial sort still grows
-                        # n log n in ONE task, so a cap (default 4x the
-                        # gate, ~the extrapolated wash point; conf'd for
-                        # real clusters) returns huge emissions to the
+                        # distributed+windowed-output 9.2 s). This counted
+                        # path only runs for dense chains when the cap
+                        # conf is explicitly set (see the fast path above);
+                        # the cap then returns huge emissions to the
                         # distributed stamp.
-                        dense_cap = conf_int(
-                            spark,
-                            _STAMP_DENSE_SERIAL_CONF,
-                            _STAMP_DENSE_SERIAL_DEFAULT,
-                        )
+                        try:
+                            dense_cap = int(dense_cap_raw)
+                        except (TypeError, ValueError):
+                            dense_cap = _STAMP_DENSE_SERIAL_DEFAULT
                         if n_rows >= dist_min and not (
                             n_rows < dense_cap
                             and _dense_chain_to_output(
