@@ -190,6 +190,43 @@ def test_gate_prefers_serial_stamp_for_dense_chain(spark, tmp_path, monkeypatch)
         spark.conf.unset("spark.kamu.stampDistributedMinRows")
 
 
+def test_dense_chain_skips_gate_count(spark, tmp_path, monkeypatch):
+    """With the dense-serial cap conf UNSET (the default), a
+    dense-eligible chain takes the serial stamp with NO gate
+    materialization: the gate issues no count() action at all (the
+    emission computes once, inside the output job). Setting the cap
+    restores the counted gate. Outputs must be identical either way
+    (modulo now()-derived event_time, which _chain_outputs drops)."""
+    from pyspark.sql.classic.dataframe import DataFrame as CDF
+
+    counts = []
+    real_count = CDF.count
+
+    def spy(self):
+        counts.append(1)
+        return real_count(self)
+
+    monkeypatch.setattr(CDF, "count", spy)
+    spark.conf.set("spark.kamu.stampDistributedMinRows", "1")
+    try:
+        fast = _chain_outputs(spark, tmp_path, "nocnt", [(AGG, "g"), (PROJ, None)])
+        n_fast = len(counts)
+        counts.clear()
+        spark.conf.set("spark.kamu.stampDenseSerialMaxRows", "4000000")
+        try:
+            gated = _chain_outputs(
+                spark, tmp_path, "cnt", [(AGG, "g"), (PROJ, None)]
+            )
+            n_gated = len(counts)
+        finally:
+            spark.conf.unset("spark.kamu.stampDenseSerialMaxRows")
+    finally:
+        spark.conf.unset("spark.kamu.stampDistributedMinRows")
+    assert n_fast == 0, "dense fast path must not count the emission"
+    assert n_gated >= 2, "cap set: the counted gate must run per invocation"
+    assert fast == gated  # offsets, file row order, every remaining cell
+
+
 def test_dense_projection_disqualifiers(spark):
     """Shapes that change cardinality, destroy physical order, or rename
     __seq must never be marked dense."""
