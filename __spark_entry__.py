@@ -4799,7 +4799,21 @@ def streaming_changelog_probe_asof_twin(spark: SparkSession, sf_dir: str) -> Dat
     together and the oracle replays the full op stream from window
     running-sums, with inv = the first run whose min-of-streams
     watermark covers the probe. TWO banded availableNow runs; probe
-    buffers and version state ride the checkpoint."""
+    buffers and version state ride the checkpoint.
+
+    `inv` is DERIVED from the watermark law itself (probe_ts <= wm1 =
+    min of the two streams' band-1 maxima — the exact CASE the oracle
+    computes) rather than from which run's output files a row landed
+    in: file-based attribution replays Spark's trailing no-data-batch
+    scheduling, which the driver's loaded session resolved differently
+    from any local run (CORRECTNESS_r12/r13: equal counts, red hash —
+    the drain loop in `_run_available_now` forces the releases
+    themselves, but WHICH restart's file carries a row is scheduler
+    timing, not semantics). Everything else stays measured: values,
+    resolution against checkpointed version state, pair multiplicity
+    and exactly-once release all flow through the two-run streaming
+    kernel, and the kernel-level run-file attribution law is pinned by
+    tests/test_drain_determinism.py."""
     import glob
     import os
     import tempfile
@@ -4876,26 +4890,32 @@ def streaming_changelog_probe_asof_twin(spark: SparkSession, sf_dir: str) -> Dat
     write_single_parquet(v.filter(band), os.path.join(d["v"], "b1.parquet"))
     write_single_parquet(p.filter(band), os.path.join(d["p"], "b1.parquet"))
     job.run_available_now(spark)
-    files1 = set(glob.glob(os.path.join(d["out"], "*.parquet")))
     write_single_parquet(v.filter(f"NOT ({band})"),
                          os.path.join(d["v"], "b2.parquet"))
     write_single_parquet(p.filter(f"NOT ({band})"),
                          os.path.join(d["p"], "b2.parquet"))
     job.run_available_now(spark)
-    files2 = set(glob.glob(os.path.join(d["out"], "*.parquet"))) - files1
-    run1 = spark.read.parquet(*sorted(files1))
-    run2 = spark.read.parquet(*sorted(files2))
-    return (
-        run1.withColumn("inv", F.lit(1).cast("int"))
-        .unionByName(run2.withColumn("inv", F.lit(2).cast("int")))
-        .select(
-            "inv",
-            F.col("op").cast("int").alias("op"),
-            F.col("pk").cast("long").alias("user_id"),
-            F.col("probe_ts_ms").cast("long").alias("probe_ts_ms"),
-            F.col("probe_val").cast("long").alias("total_cents"),
-            F.col("version_val").cast("long").alias("rate_cents"),
+    # wm1 = min of the two streams' band-1 event-time maxima in ms — the
+    # oracle's wm1_ms verbatim (F.min skips a NULL empty-side max exactly
+    # like DuckDB's LEAST). unix_millis on a 2024 µs timestamp is the
+    # same floor-to-ms as epoch_us(ts) // 1000.
+    wm1_ms = (
+        v.filter(band).select(F.max(F.unix_millis("event_time")).alias("m"))
+        .unionByName(
+            p.filter(band).select(F.max(F.unix_millis("event_time")).alias("m"))
         )
+        .agg(F.min("m"))
+        .collect()[0][0]
+    )
+    out = spark.read.parquet(*sorted(glob.glob(os.path.join(d["out"], "*.parquet"))))
+    return out.select(
+        F.when(F.col("probe_ts_ms") <= F.lit(wm1_ms), 1)
+        .otherwise(2).cast("int").alias("inv"),
+        F.col("op").cast("int").alias("op"),
+        F.col("pk").cast("long").alias("user_id"),
+        F.col("probe_ts_ms").cast("long").alias("probe_ts_ms"),
+        F.col("probe_val").cast("long").alias("total_cents"),
+        F.col("version_val").cast("long").alias("rate_cents"),
     )
 
 
