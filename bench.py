@@ -613,6 +613,52 @@ def _stress_dedup_cluster(spark, sf_dir: str) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _recheck_missed_pins(pin_report: dict) -> dict:
+    """Isolated-warm re-measure of every missed per-entry pin via
+    tools/isobench.py in a SUBPROCESS (fresh JVM + session + fixtures —
+    the same dedicated-session regime the pins were calibrated in; an
+    in-process restart would inherit this aged JVM's heap). Returns
+    {entry: {runs, warm_median, pin, hit}} (or {"error": ...} per entry
+    on subprocess failure), empty when every pin hit."""
+    import subprocess
+
+    missed = [
+        k for k, v in pin_report.items()
+        if not v["hit"] and k != "suite_total"
+    ]
+    if not missed:
+        return {}
+    tool = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools", "isobench.py"
+    )
+    out: dict[str, dict] = {}
+    try:
+        proc = subprocess.run(
+            [sys.executable, tool, "--json", "--reps", "4", *missed],
+            capture_output=True, text=True,
+            timeout=300 + 240 * len(missed),
+        )
+        for line in proc.stdout.splitlines():
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            rec = json.loads(line)
+            name = rec.pop("entry")
+            rec["pin"] = PINS[name]
+            rec["hit"] = rec["warm_median"] <= PINS[name]
+            out[name] = rec
+        for name in missed:
+            if name not in out:
+                tail = (proc.stderr or "")[-300:]
+                out[name] = {"error": f"no recheck result (rc={proc.returncode}): {tail}"}
+    except (OSError, subprocess.TimeoutExpired, ValueError) as e:
+        for name in missed:
+            out.setdefault(name, {"error": f"{type(e).__name__}: {e}"})
+    for name, rec in out.items():
+        print(f"pin_miss_recheck {name}: {rec}", file=sys.stderr)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
@@ -998,6 +1044,18 @@ def main() -> None:
         }
         for k, p in PINS.items()
     }
+    # Self-adjudicating MISS protocol (round-13 verdict ask #2): pins are
+    # calibrated from ISOLATED baselines, so a full-session miss is only a
+    # real regression if it reproduces isolated-warm. On any per-entry
+    # miss, re-measure that entry in a DEDICATED fresh process/session
+    # (tools/isobench.py --json, n=4 reps, cold dropped, warm median) and
+    # carry the verdict in the artifact itself — a degraded host window
+    # (like the r13 32-core run) then ships its own exoneration or
+    # conviction instead of a bare pins_missed list. suite_total is a
+    # composite with no single entry to isolate; its adjudication IS the
+    # per-entry rechecks. Timings above are final before this runs, so
+    # the recheck cannot perturb them.
+    pin_miss_recheck = _recheck_missed_pins(pin_report)
     detail = {
         "metric": "suite_total",
         "value": total,
@@ -1021,6 +1079,7 @@ def main() -> None:
             and timings["stamp_2m_gate_default"]
             <= 1.10 * timings["stamp_2m_serial_forced"]
         ),
+        "pin_miss_recheck": pin_miss_recheck,
     }
     # The full per-query map (~60 keys) grew past the driver's stdout
     # tail-capture window in round 9, truncating the final JSON line and
@@ -1072,6 +1131,13 @@ def main() -> None:
         "stamp_gate_wins": detail["stamp_gate_wins"],
         "detail": "BENCH_DETAIL.json",
     }
+    if pin_miss_recheck:
+        # Compact form stays bounded: only missed entries appear, and the
+        # rep list is dropped (full reps live in BENCH_DETAIL.json).
+        compact["pin_miss_recheck"] = {
+            k: {kk: vv for kk, vv in rec.items() if kk != "runs"}
+            for k, rec in pin_miss_recheck.items()
+        }
     if detail_write_failed:
         compact["detail_write_failed"] = detail_write_failed
     print(json.dumps(compact))

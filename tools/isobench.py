@@ -39,19 +39,24 @@ from kamu_engine_flink_spark.session import engine_session  # noqa: E402
 
 
 def _parse_args(argv):
-    reps, profile, names = 5, False, []
+    reps, profile, as_json, names = 5, False, False, []
     it = iter(argv)
     for a in it:
         if a == "--reps":
             reps = int(next(it))
         elif a == "--profile":
             profile = True
+        elif a == "--json":
+            # One JSON object per entry on stdout (human lines move to
+            # stderr) — the machine mode bench.py's pin-miss
+            # self-adjudication consumes.
+            as_json = True
         else:
             names.append(a)
     if not names:
         print(__doc__)
         raise SystemExit(2)
-    return reps, profile, names
+    return reps, profile, as_json, names
 
 
 def _hygiene(spark):
@@ -224,7 +229,7 @@ def _sql_execs(ui, app_id):
 
 
 def main() -> None:
-    reps, profile, names = _parse_args(sys.argv[1:])
+    reps, profile, as_json, names = _parse_args(sys.argv[1:])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     extra = {"spark.ui.enabled": "true"} if profile else None
     spark = engine_session(app_name="isobench", extra_conf=extra)
@@ -260,9 +265,16 @@ def main() -> None:
                     pre_ids = {s["id"] for s in _sql_execs(ui, app_id)}
                 runs.append(round(runner.run_once(name), 3))
             warm = runs[1:] or runs
+            warm_median = round(statistics.median(warm), 3)
             print(
-                f"{name}: runs={runs} warm_median={statistics.median(warm)}"
+                f"{name}: runs={runs} warm_median={warm_median}",
+                file=sys.stderr if as_json else sys.stdout,
             )
+            if as_json:
+                print(json.dumps(
+                    {"entry": name, "runs": runs, "warm_median": warm_median}
+                ))
+                sys.stdout.flush()
             if profile:
                 recent = [
                     s for s in _sql_execs(ui, app_id) if s["id"] not in pre_ids
