@@ -699,6 +699,11 @@ def _measure_type(fn: str, col_type):
 
 PENDING = ("pending",)
 
+# NaT's int64 bit pattern: an int64 view of a datetime64[ns] array maps NaT
+# here; the fold masks it out of watermark comparisons to keep the pandas
+# semantics (NaT <= wm is False).
+_NAT_NS = -(2**63)
+
 
 def try_match(preds, elements, att, i, ei, pairs):
     """Backtracking matcher in PREFERENCE order (greedy: consume more
@@ -924,25 +929,55 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
         for v, (p, navs) in (spec.get("dyn_defines") or {}).items()
     }
 
-    def fold_records(pdf):
+    def fold_batch(pdf, starts):
+        """Fold every key run of one Arrow chunk. `starts` are the
+        0-based offsets where a new key's rows begin (always containing
+        0); the chunk arrives pre-sorted by (keys, time, seq) from
+        grouped_map_batched. Batch-level numpy/list extraction replaces
+        the per-group pandas work the old per-key fold paid — at
+        user_id-grade cardinality (~10-100 rows/key) the per-group
+        Series/DataFrame construction dominated the whole fold by an
+        order of magnitude over the matcher itself (profiled: ~30 s of
+        34 s worker CPU on the x10 stress corpus)."""
         import numpy as np
         import pandas as pd
 
-        n = len(pdf)
-        # Hot path at high key cardinality (one fold call per key): avoid
-        # the O(columns) astype(object) copy and only physically sort when
-        # the group isn't already ordered. Column values are materialized
-        # lazily, per accessed column, as plain Python lists.
+        nb = len(pdf)
+        if nb == 0:
+            return []
+        # ---- batch-level extraction (once per Arrow chunk, not per key)
         ts_series = pd.to_datetime(pdf[time_col])
-        if n > 1:
-            ts64 = ts_series.to_numpy(dtype="datetime64[ns]")
-            seqv = pdf[SEQ_INPUT].to_numpy()
-            order = np.lexsort((seqv, ts64))
-            if not np.array_equal(order, np.arange(n)):
-                pdf = pdf.take(order)
-                ts_series = ts_series.take(order).reset_index(drop=True)
+        ts_dt = ts_series.to_numpy(dtype="datetime64[ns]")
+        ts_ns = ts_dt.view("int64")
+        seq_arr = pdf[SEQ_INPUT].to_numpy()
+        arange_b = np.arange(nb)
+        wm_ns = None
+        if wm_val is not None:
+            wm_x = pd.Timestamp(wm_val)
+            if ts_series.dt.tz is not None and wm_x.tz is None:
+                wm_x = wm_x.tz_localize(ts_series.dt.tz)
+            elif ts_series.dt.tz is None and wm_x.tz is not None:
+                wm_x = wm_x.tz_localize(None)
+            wm_ns = wm_x.value
+        within_ns = None if within is None else int(pd.Timedelta(within).value)
+        preds_b = {
+            var: pdf[f"__p_{var}"].to_numpy(dtype=bool, na_value=False)
+            for vars_, *_ in elements
+            for var in vars_
+        }
+        mrctx_b = (
+            pdf["__mrctx"].to_numpy(dtype=bool, na_value=False)
+            if has_ctx
+            else None
+        )
+        mrdone_b = (
+            pdf["__mrdone"].to_numpy(dtype=bool, na_value=False)
+            if has_done
+            else None
+        )
+        mrcount_b = pdf["__mrcount"].to_numpy() if has_count else None
 
-        colvals: dict[str, list] = {}
+        batch_cols: dict[str, list] = {}
 
         def _nullify(x):
             if x is None or x is pd.NaT:
@@ -951,27 +986,67 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
                 return None
             return x
 
+        def batch_col(c):
+            v = batch_cols.get(c)
+            if v is None:
+                v = [_nullify(x) for x in pdf[c].tolist()]
+                batch_cols[c] = v
+            return v
+
+        out = []
+        bounds_idx = [*starts, nb]
+        for gs, ge in zip(bounds_idx, bounds_idx[1:]):
+            _fold_group(
+                gs, ge, out, np, ts_dt, ts_ns, seq_arr, arange_b, wm_ns,
+                within_ns, preds_b, mrctx_b, mrdone_b, mrcount_b, batch_col,
+            )
+        return out
+
+    def _fold_group(
+        gs, ge, out, np, ts_dt_b, ts_ns_b, seq_b, arange_b, wm_ns,
+        within_ns, preds_b, mrctx_b, mrdone_b, mrcount_b, batch_col,
+    ):
+        n = ge - gs
+        # Defensive order check, same rule as the old per-key fold: only
+        # physically reorder when the slice isn't already (ts, seq)-sorted
+        # (it always is when fed by grouped_map_batched; the no-keys path
+        # passes one unsorted global group).
+        order = None
+        if n > 1:
+            lex = np.lexsort((seq_b[gs:ge], ts_dt_b[gs:ge]))
+            if not np.array_equal(lex, arange_b[:n]):
+                order = lex
+
+        def take(arr):
+            sl = arr[gs:ge]
+            return sl if order is None else sl[order]
+
+        ts_ns_g = take(ts_ns_b)
+        colvals: dict[str, list] = {}
+
         def colv(c):
             v = colvals.get(c)
             if v is None:
-                v = [_nullify(x) for x in pdf[c].tolist()]
+                b = batch_col(c)
+                if order is None:
+                    v = b[gs:ge]
+                else:
+                    v = [b[gs + j] for j in order]
                 colvals[c] = v
             return v
-        wm_naive = None
-        if wm_val is not None:
-            wm_naive = pd.Timestamp(wm_val)
-            if ts_series.dt.tz is not None and wm_naive.tz is None:
-                wm_naive = wm_naive.tz_localize(ts_series.dt.tz)
-            elif ts_series.dt.tz is None and wm_naive.tz is not None:
-                wm_naive = wm_naive.tz_localize(None)
+
         if process_all:
             n_proc = n
-        elif wm_naive is None:
+        elif wm_ns is None:
             n_proc = 0
         else:
-            n_proc = int((ts_series <= wm_naive).sum())
+            # NaT views as int64-min; the explicit mask keeps the old
+            # pandas semantics (NaT <= wm is False, never counted).
+            n_proc = int(
+                ((ts_ns_g <= wm_ns) & (ts_ns_g != _NAT_NS)).sum()
+            )
         preds = {
-            var: pdf[f"__p_{var}"].tolist()
+            var: take(preds_b[var])
             for vars_, *_ in elements
             for var in vars_
         }
@@ -1013,16 +1088,16 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
         att = {"n": n_proc, "final": final}
 
         def set_attempt(s0):
-            if within is None:
+            if within_ns is None:
                 return
-            wlimit = ts_series.iloc[s0] + within
-            att["n"] = min(n_proc, int(ts_series.searchsorted(wlimit, side="right")))
-            att["final"] = final or (wm_naive is not None and wm_naive >= wlimit)
+            wlimit_ns = ts_ns_g[s0] + within_ns
+            att["n"] = min(
+                n_proc, int(np.searchsorted(ts_ns_g, wlimit_ns, side="right"))
+            )
+            att["final"] = final or (wm_ns is not None and wm_ns >= wlimit_ns)
 
         def try_from(i, ei, pairs):
             return try_match(preds, elements, att, i, ei, pairs)
-
-        out = []
 
         def _measure_val(fn, idxs, col, off=0):
             if fn == "count":
@@ -1064,7 +1139,7 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
             out.append(rec)
 
         base_count = (
-            int(pdf["__mrcount"].iloc[0]) if has_count and n else 0
+            int(take(mrcount_b)[0]) if has_count and n else 0
         )
         match_no = [base_count]
 
@@ -1112,15 +1187,13 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
 
         # Context rows (kept only for PREV navigation) all sort before the
         # match boundary; matching resumes after them.
-        n_ctx = int(pdf["__mrctx"].sum()) if has_ctx else 0
+        n_ctx = int(take(mrctx_b).sum()) if has_ctx else 0
         pending_from = None
         if skip_next:
             # SKIP TO NEXT ROW: every row is an attempt start; matches
             # overlap. A completed start is tombstoned (__mrdone) so a
             # retained suffix never re-emits it.
-            done = (
-                pdf["__mrdone"].fillna(False).tolist() if has_done else [False] * n
-            )
+            done = take(mrdone_b).tolist() if has_done else [False] * n
             for s0 in range(n_ctx, n_proc):
                 if done[s0]:
                     continue
@@ -1216,15 +1289,18 @@ def _fold_matches(buf, spec, wm_val, process_all=False):
         return grouped_map_batched(
             with_preds,
             keys,
-            fold_records,
+            None,
             out_schema,
             sort_cols=[time_col, SEQ_INPUT],
+            batch_fold=fold_batch,
         )
 
     def fold(pdf):
         import pandas as pd
 
-        return pd.DataFrame(fold_records(pdf), columns=out_names)
+        # One global group spanning the whole frame (and unsorted input:
+        # _fold_group's order check handles the physical sort).
+        return pd.DataFrame(fold_batch(pdf, [0]), columns=out_names)
 
     return with_preds.groupBy(F.lit(0).alias("__gk")).applyInPandas(fold, out_schema)
 
