@@ -63,24 +63,27 @@ def connected_components(
     singleton clusters. Returns (id, component).
 
     `nodes` must contain every id referenced by `edges`."""
-    # Materialize the caller's edge subtree ONCE before symmetrizing: the
-    # union below references `edges` twice, and upstream pair producers
-    # (LSH band self-joins over UDF-computed signatures) are expensive
-    # subtrees that Spark does not de-duplicate across union branches —
-    # without this, the first loop action runs the corpus pipeline 4x.
-    eg = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v")).persist()
-    eg.count()
-    # Undirected: propagate along both directions each round. Partition by
-    # the probe key `v` so the cached layout is the one every round's join
-    # needs — the per-round exchange then only moves the (small) label side.
-    # No edge dedup: min-propagation is multiset-insensitive (a duplicate
-    # edge only repeats a min() contribution), so the distinct() this used
-    # to pay — a full extra exchange of the edge list before the loop —
-    # bought nothing; callers pass deduped pairs anyway. The explicit
+    # Undirected: propagate along both directions each round, so the edge
+    # list is symmetrized up front. explode(array(fwd, rev)) emits both
+    # directions in ONE pass over the caller's edge subtree — upstream
+    # pair producers (LSH band self-joins over UDF-computed signatures)
+    # are expensive subtrees that Spark does not de-duplicate across
+    # union branches, so the union-based symmetrization this replaces
+    # needed a separate persist+count of the raw edges first (one full
+    # extra materialization cycle per call; measured 2.4 s + 1.6 s as two
+    # back-to-back counts on the x10 stress corpus vs one ~2.7 s job).
+    # Partition by the probe key `v` so the cached layout is the one
+    # every round's join needs — the per-round exchange then only moves
+    # the (small) label side. No edge dedup: min-propagation is
+    # multiset-insensitive (a duplicate edge only repeats a min()
+    # contribution); callers pass deduped pairs anyway. The explicit
     # partition count keeps AQE from coalescing the cached layout (the
     # edge list is small in BYTES, but it is joined every round).
+    fwd = F.struct(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    rev = F.struct(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
     sym = (
-        eg.unionAll(eg.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        edges.select(F.explode(F.array(fwd, rev)).alias("e"))
+        .select("e.u", "e.v")
         .repartition(
             edges.sparkSession.sparkContext.defaultParallelism, F.col("v")
         )
@@ -91,7 +94,6 @@ def connected_components(
     )
     try:
         sym.count()  # cache the symmetric edge list before the rounds
-        eg.unpersist()
         for rnd in range(max_iter):
             # min label among self + neighbors (neighbor labels arrive by
             # joining each edge's far end to its current label).
