@@ -274,16 +274,14 @@ class StateStore:
         self._written.add(f"{name}.parquet")
 
     def _num_buckets(self) -> int:
-        # Two-arg conf.get: the unset-key exception costs ~40 ms in py4j
-        # round trips and this runs per bucketed state write (see
-        # session.conf_int; bespoke here for the shuffle-partitions chain).
-        v = self.spark.conf.get(_NUM_BUCKETS_CONF, None)
-        if v is not None:
-            try:
-                return int(v)
-            except (TypeError, ValueError):
-                pass
-        return int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        # One implementation of parse-with-fallback (ADVICE r13): the
+        # bucket-count conf falls back to the session's shuffle partition
+        # count, itself read with the same two-arg no-exception form.
+        return conf_int(
+            self.spark,
+            _NUM_BUCKETS_CONF,
+            conf_int(self.spark, "spark.sql.shuffle.partitions", 32),
+        )
 
     def _compact_after(self) -> int:
         return conf_int(self.spark, _COMPACT_FILES_CONF, _COMPACT_FILES_DEFAULT)

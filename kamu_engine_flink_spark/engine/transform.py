@@ -87,15 +87,17 @@ SEQ = "__seq"
 _STAMP_DIST_CONF = "spark.kamu.stampDistributedMinRows"
 _STAMP_DIST_DEFAULT = 1_000_000
 # When the chain provably ends in the dense output fast path
-# (_dense_chain_to_output), the serial stamp stays optimal well past the
-# gate above — its single serial pass replaces BOTH serial passes of the
-# windowed path. Cap (rows) past which even a dense chain returns to the
-# distributed stamp: the serial sort grows n log n in one task; the 4M
-# default is ~the wash point extrapolated from the measured 2M-row twins
-# (serial+dense 7.6 vs distributed+windowed 9.2) and the r9 4M-row
-# calibration (serial 17.0 vs distributed 11.9, pre-dense). An ABSOLUTE
-# row count, deliberately not scaled off the gate conf — it prices a
-# single task's sort, not the gate's crossover.
+# (_dense_chain_to_output), the serial stamp is kept at ANY emission size
+# with NO gate materialization while this conf is UNSET (the default; see
+# the fast-path branch in execute_transform) — its single serial pass
+# replaces BOTH serial passes of the windowed path, and the distributed
+# alternatives re-measured SLOWER even at 2M rows (r14 interleaved A/B:
+# serial 4.25 s vs range+coalesce 4.91 vs cached JVM-stamp 4.83; the
+# one-task encode of the single-file contract dominates and the
+# alternatives add a sampling pass / cache cycle on top). SETTING the
+# conf restores the counted gate, with this constant as the fallback cap
+# only when the set value fails int() parsing — the escape hatch for a
+# real cluster where one task's n log n sort eventually loses.
 _STAMP_DENSE_SERIAL_CONF = "spark.kamu.stampDenseSerialMaxRows"
 _STAMP_DENSE_SERIAL_DEFAULT = 4_000_000
 

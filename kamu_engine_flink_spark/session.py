@@ -73,6 +73,12 @@ def engine_session(
     return spark
 
 
+# Keys already warned about once (ADVICE r13: a SET-but-malformed conf
+# silently reverting to its default is indistinguishable from unset; warn
+# once per key so misconfiguration is visible without flooding hot paths).
+_WARNED_BAD_CONF: set[str] = set()
+
+
 def conf_int(spark: SparkSession, key: str, default: int) -> int:
     """Session conf as int without the missing-key exception round trips.
 
@@ -82,11 +88,20 @@ def conf_int(spark: SparkSession, key: str, default: int) -> int:
     (~0.3 ms). These gate/threshold confs are read on every invocation's
     hot path, so the try/except-miss pattern was a fixed per-invocation
     driver cost. Unset or non-integer values fall back to `default`,
-    matching the try/except sites this replaces."""
+    matching the try/except sites this replaces; a set-but-unparsable
+    value additionally warns once per key."""
     v = spark.conf.get(key, None)
     if v is None:
         return default
     try:
         return int(v)
     except (TypeError, ValueError):
+        if key not in _WARNED_BAD_CONF:
+            _WARNED_BAD_CONF.add(key)
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "conf %s is set to %r, which is not an int — using the "
+                "engine default %d", key, v, default,
+            )
         return default

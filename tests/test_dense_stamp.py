@@ -197,7 +197,11 @@ def test_dense_chain_skips_gate_count(spark, tmp_path, monkeypatch):
     emission computes once, inside the output job). Setting the cap
     restores the counted gate. Outputs must be identical either way
     (modulo now()-derived event_time, which _chain_outputs drops)."""
-    from pyspark.sql.classic.dataframe import DataFrame as CDF
+    # Patch the implementation class the session ACTUALLY returns (ADVICE
+    # r13: a hardcoded pyspark.sql.classic import pins the spy to the
+    # non-Connect path and a module move would leave it observing nothing;
+    # n_gated >= 2 below additionally proves the spy fires at all).
+    CDF = type(spark.range(1))
 
     counts = []
     real_count = CDF.count
